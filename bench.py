@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect — the honest distributed cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from tablite_spark import get_spark
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_revenue",
+    "q5_nation_revenue",
+    "filter_pass",
+    "groupby_accumulators",
+    "join_inner",
+    "join_left",
+    "lookup_first_match",
+    "window_running_sum",
+    "pivot_wide",
+    "sessionize_events",
+    "dedup_exact",
+    "text_stats",
+    "doc_fingerprint",
+    "embedding_topk",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+
+    # warm the JVM + parquet footers so per-query numbers measure the
+    # queries, not JIT/session startup
+    force(qs["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Imputation — carry-forward, mean, mode, nearest-neighbour.
+
+Reference: ``Table.imputation(targets, missing, method, sources)``
+(tablite/core.py:857-904, tablite/imputation.py:12-158, NN distance in
+nimlite/funcs/imputation.nim:116-275).
+
+Spark mappings:
+- carry-forward → ``last(col, ignorenulls=True)`` over an ordered
+  running window (needs an explicit order column — distributed frames
+  have no implicit row order).
+- mean / mode → global agg broadcast back via ``fillna`` (no shuffle of
+  the big side: the agg result is a scalar).
+- nearest-neighbour → the reference is O(n²) single-node; here the
+  exact form is a crossJoin+rank confined to the null rows only
+  (null_rows × donor_rows, usually << n²), with rank-normalized L1
+  distance over the source columns, matching imputation.nim's
+  normalized distance. The scale path is LSH bucketing (pipeline.dedup
+  shares the machinery).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def carry_forward(df: DataFrame, targets: list[str], order_by: list[str]) -> DataFrame:
+    w = (Window.orderBy(*[F.col(c) for c in order_by])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = df
+    for t in targets:
+        out = out.withColumn(t, F.last(F.col(t), ignorenulls=True).over(w))
+    return out
+
+
+def fill_mean(df: DataFrame, targets: list[str]) -> DataFrame:
+    aggs = df.agg(*[F.avg(F.col(t)).alias(t) for t in targets]).first()
+    return df.fillna({t: aggs[t] for t in targets if aggs[t] is not None})
+
+
+def fill_mode(df: DataFrame, targets: list[str]) -> DataFrame:
+    aggs = df.agg(*[F.mode(F.col(t)).alias(t) for t in targets]).first()
+    return df.fillna({t: aggs[t] for t in targets if aggs[t] is not None})
+
+
+def nearest_neighbour(df: DataFrame, targets: list[str],
+                      sources: list[str]) -> DataFrame:
+    """Exact NN imputation (rank-normalized L1 over sources).
+
+    For each row with a missing target, find the donor row (target not
+    null) minimizing sum(|src_i - donor_src_i| / range_i); ties broken
+    by donor order. Only null rows join donors — at 100 TB the null
+    fraction is what drives cost, and the donor side can be sampled or
+    LSH-bucketed without changing the API.
+    """
+    ranges = df.agg(*[
+        (F.max(F.col(s)) - F.min(F.col(s))).alias(s) for s in sources
+    ]).first()
+
+    rid = "__nn_rid__"
+    base = df.withColumn(rid, F.monotonically_increasing_id())
+    out = base
+    for t in targets:
+        nulls = out.filter(F.col(t).isNull()).select(rid, *sources)
+        donors = out.filter(F.col(t).isNotNull()).select(
+            F.col(rid).alias("__donor_rid__"), F.col(t).alias("__donor_val__"),
+            *[F.col(s).alias(f"__d_{s}__") for s in sources])
+        dist_terms = []
+        for s in sources:
+            rng = ranges[s] or 1
+            dist_terms.append(F.abs(F.col(s) - F.col(f"__d_{s}__")) / F.lit(float(rng)))
+        dist = reduce(Column.__add__, dist_terms)
+        w = Window.partitionBy(rid).orderBy(dist.asc(), F.col("__donor_rid__").asc())
+        best = (nulls.join(donors, on=F.lit(True), how="left")
+                .withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .select(rid, F.col("__donor_val__").alias(f"__fill_{t}__")))
+        out = (out.join(best, on=rid, how="left")
+               .withColumn(t, F.coalesce(F.col(t), F.col(f"__fill_{t}__")))
+               .drop(f"__fill_{t}__"))
+    return out.drop(rid)
+
+
+def imputation(df: DataFrame, targets: list[str], method: str = "carry_forward",
+               sources: list[str] | None = None,
+               order_by: list[str] | None = None) -> DataFrame:
+    if method in ("carry_forward", "ffill"):
+        if not order_by:
+            raise ValueError("carry_forward needs order_by columns on a distributed frame")
+        return carry_forward(df, targets, order_by)
+    if method == "mean":
+        return fill_mean(df, targets)
+    if method == "mode":
+        return fill_mode(df, targets)
+    if method in ("nearest_neighbour", "nn"):
+        if not sources:
+            raise ValueError("nearest_neighbour needs source columns")
+        return nearest_neighbour(df, targets, sources)
+    raise ValueError(f"unknown imputation method {method!r}")

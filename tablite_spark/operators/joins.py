@@ -1,0 +1,195 @@
+"""Joins — equi joins with null-safe keys, collision renaming,
+merge_keys, plus the reference's two special joins (lookup, match).
+
+Reference semantics:
+- ``Table.join(other, left_keys, right_keys, ..., kind)`` with kinds
+  inner/left/outer(=full)/cross (tablite/core.py:735-749,
+  tablite/joins.py:16-131).
+- **None is a joinable key** — None==None matches (tablite/joins.py:
+  201-210, tests/test_join.py:16-41) → Spark ``eqNullSafe``.
+- Right-side columns colliding with left names get a ``_1`` suffix
+  (tablite/utils.py:41-52 ``unique_name``).
+- ``merge_keys=True`` coalesces left/right key pairs into one column
+  (tablite/joins.py:524-562).
+- ``lookup`` = first-match theta join (tablite/lookup.py:14-110).
+- ``match`` = equi join keeping first right match (tablite/match.py:6-102).
+
+Spark-first: Catalyst/AQE pick broadcast / shuffled-hash / sort-merge;
+we only shape the condition and output columns. ``lookup`` becomes a
+non-equi join + window rank — the scalable form of the reference's
+O(n*m) nested loop.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_KINDS = {"inner": "inner", "left": "left", "outer": "full", "full": "full",
+          "cross": "cross"}
+
+
+def unique_name(wanted: str, taken) -> str:
+    """``name`` → ``name_1`` → ``name_2`` … (tablite/utils.py:41-52)."""
+    if wanted not in taken:
+        return wanted
+    i = 1
+    while f"{wanted}_{i}" in taken:
+        i += 1
+    return f"{wanted}_{i}"
+
+
+def join(left: DataFrame, right: DataFrame,
+         left_keys: list[str] | None, right_keys: list[str] | None,
+         left_columns: list[str] | None = None,
+         right_columns: list[str] | None = None,
+         kind: str = "inner", merge_keys: bool = False) -> DataFrame:
+    if kind not in _KINDS:
+        raise ValueError(f"join kind {kind!r} not in {sorted(_KINDS)}")
+    how = _KINDS[kind]
+    left_columns = left_columns if left_columns is not None else left.columns
+    right_columns = right_columns if right_columns is not None else right.columns
+
+    L = left.alias("__l__")
+    R = right.alias("__r__")
+
+    if how == "cross":
+        joined = L.crossJoin(R)
+    else:
+        conds = [
+            F.col(f"__l__.{lk}").eqNullSafe(F.col(f"__r__.{rk}"))
+            for lk, rk in zip(left_keys, right_keys)
+        ]
+        joined = L.join(R, on=reduce(Column.__and__, conds), how=how)
+
+    # output projection with reference collision renaming
+    out, taken = [], []
+    for c in left_columns:
+        name = unique_name(c, taken)
+        taken.append(name)
+        out.append(F.col(f"__l__.{c}").alias(name))
+    for c in right_columns:
+        name = unique_name(c, taken)
+        taken.append(name)
+        out.append(F.col(f"__r__.{c}").alias(name))
+    result = joined.select(*out)
+
+    if merge_keys and how in ("left", "full") and left_keys:
+        # coalesce left/right key pairs into the left name
+        # (tablite/joins.py:524-562); map right key -> its output name
+        seen = []
+        for c in left_columns:
+            seen.append(unique_name(c, seen))
+        right_out = {}
+        for c in right_columns:
+            n = unique_name(c, seen)
+            seen.append(n)
+            right_out[c] = n
+        for lk, rk in zip(left_keys, right_keys):
+            if lk in left_columns and rk in right_out and right_out[rk] != lk:
+                result = result.withColumn(
+                    lk, F.coalesce(F.col(lk), F.col(right_out[rk]))
+                ).drop(right_out[rk])
+    return result
+
+
+_THETA_OPS: dict[str, Callable[[Column, Column], Column]] = {
+    "==": lambda a, b: a.eqNullSafe(b),
+    "!=": lambda a, b: ~a.eqNullSafe(b),
+    "<": Column.__lt__,
+    "<=": Column.__le__,
+    ">": Column.__gt__,
+    ">=": Column.__ge__,
+    "in": lambda a, b: b.cast("string").contains(a.cast("string")),
+    "not in": lambda a, b: ~b.cast("string").contains(a.cast("string")),
+}
+
+
+def lookup(left: DataFrame, right: DataFrame,
+           *criteria: tuple, keep_all: bool = True) -> DataFrame:
+    """First-match theta join (tablite/core.py:813-832,
+    tablite/lookup.py:14-110).
+
+    Each criterion is ``(left_operand, op, right_operand)`` where a
+    string names a column on its side and any other value is a literal.
+    For every left row: attach the FIRST right row (in right's original
+    order) satisfying all criteria; unmatched → nulls.
+
+    Scalable plan: tag both sides with row ids, non-equi join, then
+    ``row_number() over (partition by left_id order by right_id) = 1``.
+    When one criterion is an equality, Spark plans it as an equi join
+    with the rest as post-filters; pure-theta degrades to broadcast
+    nested loop — same asymptotics as the reference, but distributed.
+    """
+    lid, rid = "__lookup_lid__", "__lookup_rid__"
+    Lw = left.withColumn(lid, F.monotonically_increasing_id()).alias("__l__")
+    Rw = right.withColumn(rid, F.monotonically_increasing_id()).alias("__r__")
+
+    conds = []
+    for c_left, op, c_right in criteria:
+        lcol = F.col(f"__l__.{c_left}") if isinstance(c_left, str) and c_left in left.columns else F.lit(c_left)
+        rcol = F.col(f"__r__.{c_right}") if isinstance(c_right, str) and c_right in right.columns else F.lit(c_right)
+        if callable(op):
+            conds.append(F.udf(lambda a, b, f=op: bool(f(a, b)), "boolean")(lcol, rcol))
+        else:
+            conds.append(_THETA_OPS[op](lcol, rcol))
+    cond = reduce(Column.__and__, conds)
+
+    joined = Lw.join(Rw, on=cond, how="left")
+    w = Window.partitionBy(F.col(f"__l__.{lid}")).orderBy(F.col(f"__r__.{rid}").asc_nulls_last())
+    ranked = joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1)
+
+    out, taken = [], []
+    for c in left.columns:
+        n = unique_name(c, taken); taken.append(n)
+        out.append(F.col(f"__l__.{c}").alias(n))
+    for c in right.columns:
+        n = unique_name(c, taken); taken.append(n)
+        out.append(F.col(f"__r__.{c}").alias(n))
+    return ranked.select(*out)
+
+
+def match(left: DataFrame, right: DataFrame, keys: list[tuple[str, str]],
+          keep_left: list[str] | None = None,
+          keep_right: list[str] | None = None) -> DataFrame:
+    """Inner semi-style equi join attaching the first matching right row
+    (tablite/core.py:834-852, tablite/match.py:6-102 — '==' only).
+
+    Spark plan: dedup the right side on its keys (keeps one row per
+    key — matching the reference's first-index semantics when the
+    right side is ordered), then a plain inner join. With
+    ``keep_right=[]`` this is exactly a left-semi join and is planned
+    as one (no right payload shuffled).
+    """
+    keep_left = left.columns if keep_left is None else keep_left
+    keep_right = right.columns if keep_right is None else keep_right
+    lkeys = [k for k, _ in keys]
+    rkeys = [k for _, k in keys]
+
+    if not keep_right:
+        cond = reduce(Column.__and__, [
+            left[lk].eqNullSafe(right[rk]) for lk, rk in keys
+        ])
+        return left.join(right, on=cond, how="left_semi").select(*keep_left)
+
+    rid = "__match_rid__"
+    r1 = (right.withColumn(rid, F.monotonically_increasing_id())
+          .withColumn("__rn__", F.row_number().over(
+              Window.partitionBy(*rkeys).orderBy(F.col(rid))))
+          .filter(F.col("__rn__") == 1).drop(rid, "__rn__"))
+    L, R = left.alias("__l__"), r1.alias("__r__")
+    cond = reduce(Column.__and__, [
+        F.col(f"__l__.{lk}").eqNullSafe(F.col(f"__r__.{rk}")) for lk, rk in keys
+    ])
+    joined = L.join(R, on=cond, how="inner")
+    out, taken = [], []
+    for c in keep_left:
+        n = unique_name(c, taken); taken.append(n)
+        out.append(F.col(f"__l__.{c}").alias(n))
+    for c in keep_right:
+        n = unique_name(c, taken); taken.append(n)
+        out.append(F.col(f"__r__.{c}").alias(n))
+    return joined.select(*out)

@@ -1,0 +1,85 @@
+"""Set-ish table operators: concat, stack, repeat, diff, equality.
+
+Reference semantics:
+- concat ``t1 += t2`` requires identical column sets, any order
+  (tablite/base.py:1493-1537) → ``unionByName``.
+- ``stack`` unions tables with different columns, missing filled None
+  (tablite/base.py:1640-1663) → ``unionByName(allowMissingColumns=True)``.
+- repeat ``t * n`` (tablite/base.py:1464-1491) → explode over a lit
+  array (narrow, no shuffle — the Spark analogue of page-pointer copy).
+- ``diff`` (tablite/diff.py:8-88) is an order-sensitive LCS diff; the
+  scalable form here is a set-style full-outer diff with +/-/= markers
+  (exact LCS only makes sense driver-side on small tables).
+- equality ``t1 == t2`` content equality (tablite/base.py:1320-1344).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def concat(a: DataFrame, b: DataFrame) -> DataFrame:
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"concat requires identical column sets: {sorted(set(a.columns) ^ set(b.columns))} differ")
+    return a.unionByName(b)
+
+
+def stack(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def repeat(df: DataFrame, n: int) -> DataFrame:
+    """``t * n``: each partition emits its rows n times in place —
+    no shuffle, no driver round-trip."""
+    if n < 0:
+        raise ValueError("repeat count must be >= 0")
+    if n == 0:
+        return df.limit(0)
+    return (df.withColumn("__rep__", F.explode(F.array_repeat(F.lit(1), n)))
+            .drop("__rep__"))
+
+
+def table_diff(a: DataFrame, b: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Set-style diff with multiplicity: marker '=' rows in both,
+    '-' only in first, '+' only in second (reference markers:
+    tablite/diff.py:8-88; its order-sensitive 'r' replace marker is an
+    LCS artifact that has no distributed analogue).
+
+    Plan: count rows per tuple on each side (two partial-agg shuffles),
+    full-outer join the counts, emit markers with multiplicities.
+    """
+    columns = columns or [c for c in a.columns if c in b.columns]
+    ca = a.select(columns).groupBy(columns).agg(F.count(F.lit(1)).alias("__na__"))
+    cb = b.select(columns).groupBy(columns).agg(F.count(F.lit(1)).alias("__nb__"))
+    cond = [ca[c].eqNullSafe(cb[c]) for c in columns]
+    j = ca.join(cb, on=cond, how="full")
+    na = F.coalesce(F.col("__na__"), F.lit(0))
+    nb = F.coalesce(F.col("__nb__"), F.lit(0))
+    merged = j.select(
+        *[F.coalesce(ca[c], cb[c]).alias(c) for c in columns],
+        na.alias("__na__"), nb.alias("__nb__"),
+    )
+    eq = merged.withColumn("__cnt__", F.least(F.col("__na__"), F.col("__nb__"))) \
+               .filter(F.col("__cnt__") > 0).withColumn("marker", F.lit("="))
+    only_a = merged.withColumn("__cnt__", F.col("__na__") - F.col("__nb__")) \
+                   .filter(F.col("__cnt__") > 0).withColumn("marker", F.lit("-"))
+    only_b = merged.withColumn("__cnt__", F.col("__nb__") - F.col("__na__")) \
+                   .filter(F.col("__cnt__") > 0).withColumn("marker", F.lit("+"))
+    out = eq.unionByName(only_a).unionByName(only_b)
+    # expand multiplicities back into rows
+    out = out.withColumn("__x__", F.explode(F.sequence(F.lit(1), F.col("__cnt__"))))
+    return out.select("marker", *columns)
+
+
+def frames_equal(a: DataFrame, b: DataFrame) -> bool:
+    """``t1 == t2`` — multiset content equality (tablite/base.py:1320-1344).
+    Reference compares column-by-column in order; here: same columns,
+    same row multiset (order-insensitive, which is the only stable
+    notion on a distributed frame)."""
+    if a.columns != b.columns:
+        return False
+    if a.schema != b.schema:
+        return False
+    return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()

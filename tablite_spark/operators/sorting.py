@@ -1,0 +1,167 @@
+"""Sorts, slices, reindex — order operators.
+
+Reference semantics (tablite/sortation.py:17-163, sort_utils.py:135-264):
+multi-key sort with per-key ``reverse`` bool and three collation modes
+over MIXED-type columns:
+- "excel":        numeric < text < bool < None
+- "unix":         None < bool < numeric < text  (times/dates are numeric-like)
+- "alphanumeric": everything compared as text
+
+Spark columns are single-typed, so the cross-type machinery collapses
+to null placement for typed columns; for genuinely mixed (string-coded)
+columns we build a (type_rank, numeric_key, string_key) struct sort key
+— structs compare lexicographically field-by-field in Spark, which
+reproduces the reference's rank-tuple sort (sortation.py builds rank
+dicts per column and sorts tuples of ranks).
+
+Slicing: tablite ``t[start:stop:step]`` (tablite/base.py:1205-1287)
+→ ``row_number()`` window filter; plain head slices use ``limit``
+(no shuffle, no full scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SORT_MODES = ("excel", "unix", "alphanumeric")
+
+
+def _mixed_sort_key(col: str, mode: str) -> list[Column]:
+    """Cross-type sort key for a string-typed 'mixed' column.
+
+    Emits [type_rank, numeric_value, text_value] columns; Spark sorts
+    them left-to-right like the reference sorts its rank tuples.
+    """
+    c = F.col(col)
+    num = c.try_cast("double")
+    is_null = c.isNull()
+    is_bool = F.lower(c).isin("true", "false")
+    is_num = num.isNotNull() & ~is_bool
+    if mode == "excel":
+        # numeric(0) < text(1) < bool(2) < None(3)  (sort_utils.py:152-173)
+        rank = (F.when(is_null, 3).when(is_bool, 2)
+                .when(is_num, 0).otherwise(1))
+    elif mode == "unix":
+        # None(0) < bool(1) < numeric(2) < text(3)  (sort_utils.py:176-207)
+        rank = (F.when(is_null, 0).when(is_bool, 1)
+                .when(is_num, 2).otherwise(3))
+    else:  # alphanumeric: everything as text (sort_utils.py:210-216)
+        return [c.cast("string")]
+    bool_key = F.when(is_bool, F.lower(c) == "true").cast("int")
+    return [rank, F.when(is_num, num), bool_key, F.when(~is_num & ~is_bool, c)]
+
+
+def sort(df: DataFrame, mapping: dict[str, bool], sort_mode: str = "excel",
+         mixed_columns: set[str] | None = None) -> DataFrame:
+    """``Table.sort({col: reverse, ...}, sort_mode)``
+    (tablite/core.py:406-432).
+
+    Typed columns degrade to plain asc/desc with null placement per
+    mode (excel: nulls last; unix: nulls first). ``mixed_columns``
+    flags string columns that carry mixed values and need the
+    cross-type struct key.
+    """
+    if sort_mode not in SORT_MODES:
+        raise ValueError(f"sort_mode {sort_mode!r} not in {SORT_MODES}")
+    mixed_columns = mixed_columns or set()
+    order = []
+    for col, reverse in mapping.items():
+        keys = (_mixed_sort_key(col, sort_mode)
+                if col in mixed_columns else [F.col(col)])
+        for k in keys:
+            if reverse:
+                order.append(k.desc_nulls_first() if sort_mode == "excel"
+                             else k.desc_nulls_last())
+            else:
+                order.append(k.asc_nulls_last() if sort_mode == "excel"
+                             else k.asc_nulls_first())
+    return df.orderBy(*order)
+
+
+def is_sorted(df: DataFrame, mapping: dict[str, bool],
+              sort_mode: str = "excel") -> bool:
+    """``Table.is_sorted`` (tablite/sortation.py:165-177).
+
+    Check: in the SORTED frame, the original row position must be
+    non-decreasing (ties broken by original position, so equal keys
+    never flag). One shuffle + one lag scan; no driver collect.
+    """
+    rid = "__is_sorted_rid__"
+    tagged = with_row_index(df, rid)
+    # position each row would take after sorting (rid as tiebreaker);
+    # sorted ⟺ sort index == arange (the reference's exact check)
+    order = []
+    for col, reverse in mapping.items():
+        c = F.col(col)
+        if reverse:
+            order.append(c.desc_nulls_first() if sort_mode == "excel" else c.desc_nulls_last())
+        else:
+            order.append(c.asc_nulls_last() if sort_mode == "excel" else c.asc_nulls_first())
+    order.append(F.col(rid).asc())
+    pos = F.row_number().over(Window.orderBy(*order)) - 1
+    bad = tagged.withColumn("__pos__", pos).filter(F.col("__pos__") != F.col(rid)).count()
+    return bad == 0
+
+
+def with_row_index(df: DataFrame, name: str = "__row_id__",
+                   order_by: list[str] | None = None) -> DataFrame:
+    """Stable 0-based row index. With ``order_by``: a global row_number
+    (single final shuffle). Without: zipWithIndex-style partition-offset
+    id — O(1) extra passes, preserves on-disk order, scales linearly."""
+    if order_by:
+        w = Window.orderBy(*[F.col(c) for c in order_by])
+        return df.withColumn(name, F.row_number().over(w) - 1)
+    # monotonically_increasing_id preserves order within partitions and
+    # partition index in the high bits → order-preserving rank via sort
+    tagged = df.withColumn(name, F.monotonically_increasing_id())
+    w = Window.orderBy(F.col(name))
+    return tagged.withColumn(name, F.row_number().over(w) - 1)
+
+
+def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
+               step: int = 1, order_by: list[str] | None = None) -> DataFrame:
+    """``t[start:stop:step]`` (tablite/base.py:1205-1287).
+
+    Fast paths: ``t[:n]`` → limit(n) (no shuffle); stepped/offset slices
+    rank rows then filter — one narrow shuffle, arithmetic filter.
+    """
+    if step == 0:
+        raise ValueError("slice step cannot be 0")
+    if step < 0:
+        raise NotImplementedError("negative step: reverse the sort instead")
+    if start == 0 and step == 1 and stop is not None and order_by is None:
+        return df.limit(stop)
+    idx = "__slice_idx__"
+    ranked = with_row_index(df, idx, order_by=order_by)
+    cond = F.col(idx) >= start
+    if stop is not None:
+        cond = cond & (F.col(idx) < stop)
+    if step != 1:
+        cond = cond & ((F.col(idx) - start) % step == 0)
+    return ranked.filter(cond).drop(idx)
+
+
+def reindex(df: DataFrame, index: list[int],
+            order_by: list[str] | None = None) -> DataFrame:
+    """Reorder/project rows by integer positions (tablite/core.py:375-392);
+    -1 → all-null row. Implemented as a join against a (position,
+    new_order) frame — distributed, unlike the reference's np.take."""
+    spark = df.sparkSession
+    pos_df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(index)], schema="__new__ long, __old__ long")
+    idx = "__reindex_idx__"
+    ranked = with_row_index(df, idx, order_by=order_by)
+    joined = pos_df.join(ranked, pos_df["__old__"] == ranked[idx], "left")
+    return joined.orderBy("__new__").drop("__new__", "__old__", idx)
+
+
+def unique_index(df: DataFrame, keys: list[str],
+                 order_by: list[str] | None = None) -> DataFrame:
+    """First-occurrence row per key tuple (tablite/base.py:1967-1989)
+    → ``row_number() over (partition by keys order by row_id) == 1``."""
+    idx = "__uidx__"
+    ranked = with_row_index(df, idx, order_by=order_by)
+    w = Window.partitionBy(*keys).orderBy(F.col(idx))
+    return (ranked.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1).drop("__rn__", idx))

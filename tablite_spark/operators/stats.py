@@ -1,0 +1,76 @@
+"""Column statistics / histogram / type census.
+
+Reference: ``Column.statistics()`` (tablite/base.py:1007-1024,
+tablite/utils.py:188-398) — summary dict with min, max, mean, median,
+stdev, mode, distinct, iqr bounds, sum. ``Column.histogram``
+(base.py:981-1005), ``Column.unique`` (base.py:956-979),
+``Column.count(item)`` type-strict counting (base.py:1026-1072).
+
+All single-pass Spark aggregations (one job, partial aggs map-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def statistics(df: DataFrame, column: str) -> DataFrame:
+    """One-row frame of summary statistics for a column."""
+    c = F.col(column)
+    qs = F.percentile_approx(c, [0.25, 0.75], 100_000)
+    return df.agg(
+        F.min(c).alias("min"),
+        F.max(c).alias("max"),
+        F.avg(c).alias("mean"),
+        F.median(c).alias("median"),
+        F.stddev_samp(c).alias("stdev"),
+        F.mode(c).alias("mode"),
+        F.count_distinct(c).alias("distinct"),
+        qs.getItem(0).alias("iqr_low"),
+        qs.getItem(1).alias("iqr_high"),
+        (qs.getItem(1) - qs.getItem(0)).alias("iqr"),
+        F.sum(c).alias("sum"),
+        F.count(F.lit(1)).alias("summary_rows"),
+        F.count(c).alias("non_null"),
+    )
+
+
+def statistics_dict(df: DataFrame, column: str) -> dict:
+    return statistics(df, column).first().asDict()
+
+
+def histogram(df: DataFrame, column: str) -> DataFrame:
+    return df.groupBy(column).agg(F.count(F.lit(1)).alias("count"))
+
+
+def unique_values(df: DataFrame, column: str) -> DataFrame:
+    return df.select(column).distinct()
+
+
+def count_value(df: DataFrame, column: str, value) -> int:
+    """Type-strict occurrence count — with a typed schema, strictness
+    is free (True != 1 can't collide in a typed column)."""
+    if value is None:
+        return df.filter(F.col(column).isNull()).count()
+    return df.filter(F.col(column) == F.lit(value)).count()
+
+
+def type_census(df: DataFrame) -> dict:
+    """tablite ``Table.types()`` (base.py:1665-1683): per-column python
+    type histogram. A typed Spark schema makes this {type: non-null,
+    NoneType: nulls} per column, computed in ONE aggregation pass."""
+    aggs = []
+    for cname in df.columns:
+        aggs.append(F.count(F.col(cname)).alias(f"{cname}__nn"))
+        aggs.append(F.count(F.lit(1)).alias(f"{cname}__total"))
+    row = df.agg(*aggs).first()
+    out = {}
+    for field in df.schema.fields:
+        nn = row[f"{field.name}__nn"]
+        total = row[f"{field.name}__total"]
+        census = {field.dataType.simpleString(): nn}
+        if total - nn:
+            census["NoneType"] = total - nn
+        out[field.name] = census
+    return out

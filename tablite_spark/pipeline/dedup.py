@@ -1,0 +1,167 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Green-field (no reference analogue beyond drop_duplicates): exact
+dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard verification.
+
+Scale design:
+- exact: hash-groupBy on the dedup key — one shuffle, partial aggs
+  map-side; at 100 TB dedup on a 64-bit content hash, not raw text,
+  so shuffle rows are tiny.
+- MinHash+LSH: shingle → K permutations → band signatures →
+  self-join on (band_id, band_hash) buckets — candidate pairs only,
+  never the O(n²) cross join. All hashing via built-in xxhash64 /
+  aggregate expressions (JVM side, no python in the hot path).
+- SimHash: 64-bit sign-aggregated token hashes; near-dups = equal
+  simhash (or small hamming distance among bucket candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from tablite_spark.config import Config
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep the row with the smallest ``id_col`` per key tuple —
+    deterministic keep-first. One shuffle on the key hash."""
+    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
+    return (df.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1).drop("__rn__"))
+
+
+def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via 64-bit content hash — at scale, shuffle the
+    (hash, id) projection instead of raw documents, then semi-join the
+    winners back. Two narrow shuffles, no wide rows in flight."""
+    h = df.select(F.xxhash64(F.col(text_col)).alias("__h__"), F.col(id_col))
+    winners = h.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+def shingle_minhash(df: DataFrame, text_col: str, id_col: str,
+                    num_perm: int | None = None,
+                    shingle_size: int | None = None) -> DataFrame:
+    """id → minhash signature (array<long> of length num_perm).
+
+    Pipeline: word shingles (k-grams of tokens) → per-shingle xxhash64
+    → num_perm cheap permutations h_i(x) = a_i*x + b_i (mod 2^61-1) →
+    min per permutation. Everything is built-in expressions over an
+    exploded shingle frame followed by ONE groupBy(id) — scales
+    linearly, no UDFs.
+    """
+    num_perm = num_perm or Config.MINHASH_PERMUTATIONS
+    k = shingle_size or Config.SHINGLE_SIZE
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    n_sh = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
+    sh_idx = F.sequence(F.lit(0), n_sh - 1)
+    shingles = F.array_distinct(
+        F.transform(sh_idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))))
+    exploded = df.select(F.col(id_col), F.explode(shingles).alias("__sh__"))
+    hashed = exploded.select(id_col, F.xxhash64("__sh__").alias("__h__"))
+
+    # deterministic permutation constants (seeded, not random at runtime)
+    MERSENNE = (1 << 61) - 1
+    import random
+    rnd = random.Random(42)
+    perms = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE))
+             for _ in range(num_perm)]
+    aggs = []
+    x = (F.col("__h__").cast("decimal(38,0)") % MERSENNE + MERSENNE) % MERSENNE
+    for i, (a, b) in enumerate(perms):
+        hv = (x * a + b) % MERSENNE
+        aggs.append(F.min(hv.cast("long")).alias(f"mh_{i}"))
+    sig = hashed.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("minhash"))
+
+
+def minhash_lsh_candidates(sig: DataFrame, id_col: str,
+                           bands: int | None = None,
+                           num_perm: int | None = None) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) buckets.
+    Returns candidate pairs (id_a < id_b). The join is on a tiny
+    (band_id, hash) key — LSH keeps candidate volume ~linear for
+    realistic dup rates; AQE handles hot buckets via skew splitting."""
+    bands = bands or Config.MINHASH_BANDS
+    if num_perm is None:
+        first = sig.select(F.size("minhash").alias("n")).first()
+        num_perm = first["n"] if first else Config.MINHASH_PERMUTATIONS
+    rows_per_band = max(1, num_perm // bands)
+    band_cols = []
+    for b in range(bands):
+        seg = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(F.lit(b).alias("band"),
+                                  F.xxhash64(F.concat_ws(",", *[seg.getItem(i).cast("string") for i in range(rows_per_band)])).alias("bh")))
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
+                .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = banded.alias("a")
+    b2 = banded.alias("b")
+    pairs = (a.join(b2, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.bh") == F.col("b.bh"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def minhash_jaccard(sig: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature slots."""
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda x, y: x == y),
+                              lambda m: m))
+    return j.select("id_a", "id_b",
+                    (matches / F.size("mh_a")).alias("est_jaccard"))
+
+
+def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
+                  threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup removal: keep the smallest id of each
+    near-dup pair group (greedy transitive by min-id)."""
+    sig = shingle_minhash(df, text_col, id_col)
+    pairs = minhash_lsh_candidates(sig, id_col)
+    scored = minhash_jaccard(sig, pairs, id_col).filter(F.col("est_jaccard") >= threshold)
+    losers = scored.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word tokens: sum(+1/-1 per bit weighted by
+    token hash sign), sign → bit. Explode + one groupBy — linear."""
+    tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
+    ex = df.select(F.col(id_col), F.explode(tokens).alias("__tok__"))
+    h = ex.select(id_col, F.xxhash64("__tok__").alias("__h__"))
+    bit_aggs = []
+    for i in range(bits):
+        bit = F.shiftrightunsigned(F.col("__h__"), i).bitwiseAND(F.lit(1))
+        bit_aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{i}"))
+    agg = h.groupBy(id_col).agg(*bit_aggs)
+    sh = F.lit(0).cast("long")
+    for i in range(bits):
+        sh = sh.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long")))
+    return agg.select(id_col, sh.alias("simhash"))
+
+
+def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                  id_col: str, n: int = 3) -> DataFrame:
+    """Exact token-n-gram Jaccard for given row pairs (df_a x df_b must
+    already be restricted — e.g. LSH candidates); array_intersect /
+    array_union are JVM built-ins."""
+    def grams(c):
+        tokens = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+        cnt = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n))))
+    a = df_a.select(F.col(id_col).alias("id_a"), grams(F.col(text_col)).alias("g_a"))
+    b = df_b.select(F.col(id_col).alias("id_b"), grams(F.col(text_col)).alias("g_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.size(F.array_union("g_a", "g_b"))
+    return pairs.select("id_a", "id_b",
+                        (inter / F.greatest(union, F.lit(1))).alias("jaccard"))

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k of each query against the
+  corpus. The corpus→query join is a broadcast of the (small) query
+  set against a single scan of the corpus; per-row dot products are
+  built-in ``aggregate``/``zip_with`` expressions (JVM, codegen).
+- lsh_topk: random-hyperplane LSH — bucket corpus and queries by
+  sign-bit signatures, only score within matching buckets (multi-probe
+  across bands). The 100 TB path: candidate generation is a hash join
+  on small keys; exact scoring only on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm2(vec):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm2(a) * _norm2(b))
+
+
+def _as_double(vec):
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """Exact top-k: returns (qid, nid, cos, rn). Queries are broadcast;
+    the corpus is scanned once. Use for ground truth / small query sets."""
+    q = queries.select(F.col(id_col).alias("qid"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      _as_double(F.col(vec_col)).alias("cv"))
+    scored = (c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+              .withColumn("cos", cosine(F.col("qv"), F.col("cv"))))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    import random
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+
+
+def lsh_signature(df: DataFrame, vec_col: str, dim: int,
+                  bits: int = 16, seed: int = 42):
+    """Sign-bit signature under `bits` random hyperplanes (as a long)."""
+    planes = _hyperplanes(dim, bits, seed)
+    sig = F.lit(0).cast("long")
+    v = _as_double(F.col(vec_col))
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = (_dot(v, plane) > 0).cast("long")
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return sig
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
+             id_col: str = "id", vec_col: str = "vec",
+             bits: int = 12, bands: int = 3, seed: int = 42) -> DataFrame:
+    """Approximate top-k: match on any of `bands` sub-signatures, score
+    candidates exactly, rank. Recall grows with bands; cost stays
+    ~linear because the join key is a small hash."""
+    bits_per_band = bits // bands
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      _as_double(F.col(vec_col)).alias("cv"),
+                      lsh_signature(corpus, vec_col, dim, bits, seed).alias("sig"))
+    q = queries.select(F.col(id_col).alias("qid"),
+                       _as_double(F.col(vec_col)).alias("qv"),
+                       lsh_signature(queries, vec_col, dim, bits, seed).alias("qsig"))
+    mask = (1 << bits_per_band) - 1
+    band_structs_c, band_structs_q = [], []
+    for b in range(bands):
+        band_structs_c.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sig"), b * bits_per_band)
+             .bitwiseAND(F.lit(mask)).alias("bh")))
+        band_structs_q.append(F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("qsig"), b * bits_per_band)
+             .bitwiseAND(F.lit(mask)).alias("bh")))
+    cb = c.select("nid", "cv", F.explode(F.array(*band_structs_c)).alias("b")) \
+          .select("nid", "cv", "b.band", "b.bh")
+    qb = q.select("qid", "qv", F.explode(F.array(*band_structs_q)).alias("b")) \
+          .select("qid", "qv", "b.band", "b.bh")
+    cand = (cb.join(F.broadcast(qb), on=["band", "bh"])
+            .filter(F.col("nid") != F.col("qid"))
+            .select("qid", "qv", "nid", "cv").distinct())
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                             threshold: float = 0.95,
+                             partition_col: str | None = None) -> DataFrame:
+    """Near-duplicate pairs by cosine. With a partition column (e.g. an
+    LSH bucket or label), pairs are generated within partitions only —
+    the scalable pattern; without it, a guarded full self-join."""
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("v_a"),
+                  *( [F.col(partition_col).alias("p")] if partition_col else []))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("v_b"),
+                  *( [F.col(partition_col).alias("p")] if partition_col else []))
+    cond = F.col("id_a") < F.col("id_b")
+    on = ["p"] if partition_col else None
+    j = a.join(b, on=on) if on else a.crossJoin(b)
+    j = j.filter(cond).withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
+    return (j.filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")))

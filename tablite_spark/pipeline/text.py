@@ -1,0 +1,100 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Green-field capabilities for training-data pipelines (BASELINE.json
+north star). Everything is built-in string/regex/array expressions —
+whole-stage codegen, no python in the row path — so a 100 TB corpus is
+one narrow scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# tiny per-language stopword lists for the n-gram/stopword language
+# heuristic; deterministic and dependency-free.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "que", "los", "es"),
+}
+
+
+def _tokens(c):
+    return F.split(F.trim(c), r"\s+")
+
+
+def text_statistics(df: DataFrame, text_col: str) -> DataFrame:
+    """chars, tokens, distinct tokens, avg token length — one projection."""
+    c = F.col(text_col)
+    toks = _tokens(c)
+    return df.withColumns({
+        "n_chars_computed": F.length(c),
+        "n_tokens": F.size(toks),
+        "n_uniq_tokens": F.size(F.array_distinct(toks)),
+        "avg_token_len": (F.length(F.regexp_replace(F.trim(c), r"\s", ""))
+                          / F.size(toks)),
+    }).filter(F.length(F.trim(c)) > 0)
+
+
+def token_count(df: DataFrame, text_col: str,
+                mode: str = "whitespace") -> DataFrame:
+    """Token counting: whitespace or BPE-ish regex pieces."""
+    c = F.col(text_col)
+    if mode == "whitespace":
+        n = F.size(_tokens(c))
+    elif mode == "bpe_ish":
+        # word pieces + digits + punctuation as separate tokens —
+        # a cheap proxy for BPE token counts
+        n = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), 0))
+    else:
+        raise ValueError(f"unknown token mode {mode!r}")
+    return df.withColumn("n_tokens", n)
+
+
+def fingerprint(df: DataFrame, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, alphanumerics+spaces only). Content-addressed identity
+    for exact dedup across shards."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", "")
+    return df.withColumn("fp", F.md5(norm))
+
+
+def quality_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic quality: token volume + stopword density (a proxy for
+    natural-language-ness). Pure arithmetic; thresholds tunable."""
+    c = F.col(text_col)
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n_tok = F.size(toks).cast("double")
+    sw = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    stop_ratio = sw / F.greatest(n_tok, F.lit(1.0))
+    quality = (F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+               + F.least(stop_ratio * 5, F.lit(1.0)) * 0.5)
+    return (df.filter(F.length(F.trim(c)) > 0)
+            .withColumns({"n_tok": n_tok, "stopword_ratio": stop_ratio,
+                          "quality": quality}))
+
+
+def language_id(df: DataFrame, text_col: str) -> DataFrame:
+    """Stopword-marker language heuristic: score = count of language
+    markers among tokens; predicted = argmax (ties → language order)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def _marker_pred(markers):
+        # single-arg lambda: PySpark HOF binds one Column per parameter,
+        # so the marker tuple must be captured by closure, not default arg
+        return lambda t: t.isin(*markers)
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        s = F.size(F.filter(toks, _marker_pred(markers)))
+        scores.append(F.struct(s.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    out = df.withColumn("lang_pred",
+                        F.when(best.getField("score") > 0, best.getField("lang"))
+                        .otherwise(F.lit("unknown")))
+    return out

@@ -1,0 +1,206 @@
+"""Sources & sinks — csv/tsv/txt, json, parquet persistence, pandas.
+
+Reference surface (tablite/core.py:50-218 ``Table.from_file`` dispatch,
+tablite/import_utils.py:633-648 dispatch table; export_utils.py):
+- csv/tsv/txt with encodings, delimiters, text qualifiers, header row
+  index, start/limit, per-column import, skip_empty NONE/ANY/ALL,
+  datatype guessing → ``spark.read.csv`` options + post-passes.
+- .tpz persistence → parquet directory (snappy), page-dedup ≈ parquet
+  column chunks (tablite/base.py:1350-1453).
+- json column-major {"columns": {name: [...]}} (import_utils.py:112-122).
+- pandas bridge via Arrow (import_utils.py:40-69).
+- to_sql ANSI-92 script (export_utils.py:12-48).
+- xlsx/ods/html: optional — gated behind import-try (pandas engines
+  aren't in this container); the dispatch raises a clear error.
+
+Scale notes: the CSV reader is a single distributed scan with schema
+inference on a sample; start/limit use ``offset``/``limit`` on the
+plan, not a driver slice.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from datetime import date, datetime
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tablite_spark.functions.inference import apply_guessed_types
+
+_DELIMS = {".csv": ",", ".tsv": "\t", ".txt": "|", ".ssv": ";"}
+
+
+def read_csv(spark: SparkSession, path: str, *,
+             first_row_has_headers: bool = True,
+             header_row_index: int = 0,
+             encoding: str | None = None,
+             delimiter: str | None = None,
+             text_qualifier: str = '"',
+             newline: str | None = None,
+             columns: list[str] | None = None,
+             start: int = 0, limit: int | None = None,
+             guess_datatypes: bool = True,
+             strip_leading_and_tailing_whitespace: bool = True,
+             skip_empty: str = "NONE") -> DataFrame:
+    """CSV/TSV/TXT reader covering the reference's option matrix
+    (tablite/nimlite.py:71-198)."""
+    suffix = pathlib.Path(path).suffix.lower()
+    sep = delimiter or _DELIMS.get(suffix, ",")
+    reader = (spark.read
+              .option("header", first_row_has_headers)
+              .option("sep", sep)
+              .option("quote", text_qualifier or '"')
+              .option("escape", text_qualifier or '"')
+              .option("multiLine", True)
+              .option("mode", "PERMISSIVE")
+              .option("ignoreLeadingWhiteSpace", strip_leading_and_tailing_whitespace)
+              .option("ignoreTrailingWhiteSpace", strip_leading_and_tailing_whitespace))
+    if encoding:
+        reader = reader.option("encoding", encoding)
+    if newline:
+        reader = reader.option("lineSep", newline)
+    if header_row_index:
+        # skip leading junk rows before the header
+        reader = reader.option("skipRows", header_row_index)
+    df = reader.csv(path)
+    if columns:
+        df = df.select(*columns)
+    if skip_empty in ("ANY", "ALL"):
+        df = df.na.drop("any" if skip_empty == "ANY" else "all")
+    if start:
+        df = df.offset(start)
+    if limit is not None:
+        df = df.limit(limit)
+    if guess_datatypes:
+        df = apply_guessed_types(df)
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json_columnar(spark: SparkSession, jsn: dict | str) -> DataFrame:
+    """Column-major JSON {"columns": {name: [values]}}
+    (tablite/import_utils.py:112-122). Small-data by nature (a dict in
+    memory); big JSON goes through spark.read.json."""
+    import json as _json
+
+    if isinstance(jsn, str):
+        jsn = _json.loads(jsn)
+    cols = jsn["columns"]
+    names = list(cols)
+    n = max((len(v) for v in cols.values()), default=0)
+    rows = [tuple(cols[c][i] if i < len(cols[c]) else None for c in names)
+            for i in range(n)]
+    return spark.createDataFrame(rows, schema=names)
+
+
+def from_pandas(spark: SparkSession, pdf) -> DataFrame:
+    return spark.createDataFrame(pdf)
+
+
+def to_pandas(df: DataFrame):
+    return df.toPandas()
+
+
+def from_file(spark: SparkSession, path: str, **kwargs) -> DataFrame:
+    """Suffix dispatch (tablite/core.py:50-218,
+    tablite/import_utils.py:633-648)."""
+    suffix = pathlib.Path(path).suffix.lower()
+    if suffix in (".csv", ".tsv", ".txt", ".ssv"):
+        return read_csv(spark, path, **kwargs)
+    if suffix == ".parquet":
+        return read_parquet(spark, path)
+    if suffix == ".json":
+        return spark.read.json(path, multiLine=True)
+    if suffix in (".xlsx", ".xls", ".xlsm", ".ods"):
+        try:
+            import pandas as pd
+            pdf = pd.read_excel(path, sheet_name=kwargs.get("sheet", 0))
+            return spark.createDataFrame(pdf)
+        except ImportError as e:  # engine missing in container
+            raise NotImplementedError(
+                f"excel/ods ingest needs a pandas excel engine: {e}") from e
+    if suffix in (".html", ".htm"):
+        try:
+            import pandas as pd
+            pdf = pd.read_html(path)[0]
+            return spark.createDataFrame(pdf)
+        except ImportError as e:
+            raise NotImplementedError(f"html ingest needs lxml/bs4: {e}") from e
+    if suffix in (".h5", ".hdf5"):
+        raise NotImplementedError("hdf5 ingest is out of Spark-native scope")
+    raise ValueError(f"unsupported file type: {suffix}")
+
+
+def get_headers(spark: SparkSession, path: str, linecount: int = 10, **kwargs):
+    """Peek first N rows (tablite/nimlite.py:52-69, tools.py:32-36)."""
+    df = read_csv(spark, path, guess_datatypes=False, **kwargs)
+    return [df.columns] + [list(r) for r in df.take(linecount)]
+
+
+def save(df: DataFrame, path: str, mode: str = "overwrite",
+         compression: str = "snappy") -> None:
+    """tpz-equivalent persistence → parquet (tablite/base.py:1350-1453).
+    Snappy parquet ≈ zip-of-npy-pages with column-chunk dedup built in."""
+    df.write.mode(mode).option("compression", compression).parquet(path)
+
+
+def load(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def to_csv(df: DataFrame, path: str, sep: str | None = None,
+           mode: str = "overwrite") -> None:
+    suffix = pathlib.Path(path).suffix.lower()
+    sep = sep or _DELIMS.get(suffix, ",")
+    df.write.mode(mode).option("header", True).option("sep", sep).csv(path)
+
+
+def to_json_columnar(df: DataFrame) -> dict:
+    """{"columns": {name: [...]}, "total_rows": n}
+    (tablite/export_utils.py:139-143, base.py:1892-1925). Driver-side;
+    guarded by collect — use write.json for big frames."""
+    rows = df.collect()
+    cols = {c: [] for c in df.columns}
+    for r in rows:
+        for c in df.columns:
+            v = r[c]
+            if isinstance(v, (datetime, date)):
+                v = v.isoformat()
+            cols[c].append(v)
+    return {"columns": cols, "total_rows": len(rows)}
+
+
+_SQL_TYPES = {"long": "INTEGER", "int": "INTEGER", "short": "INTEGER",
+              "byte": "INTEGER", "double": "REAL", "float": "REAL",
+              "boolean": "INTEGER"}
+
+
+def to_sql_script(df: DataFrame, name: str, limit: int = 10_000) -> str:
+    """ANSI-92 CREATE TABLE + INSERT script
+    (tablite/export_utils.py:12-48). Driver-side convenience for small
+    frames; ``df.write.jdbc`` is the scale path."""
+    cols = []
+    for f_ in df.schema.fields:
+        t = _SQL_TYPES.get(f_.dataType.simpleString(), "TEXT")
+        cols.append(f"{f_.name} {t}")
+    ddl = f"CREATE TABLE {name} ({', '.join(cols)});"
+    inserts = []
+    for r in df.limit(limit).collect():
+        vals = []
+        for c in df.columns:
+            v = r[c]
+            if v is None:
+                vals.append("NULL")
+            elif isinstance(v, bool):
+                vals.append("1" if v else "0")
+            elif isinstance(v, (int, float)):
+                vals.append(str(v))
+            else:
+                s = str(v).replace("'", "''")
+                vals.append(f"'{s}'")
+        inserts.append(f"INSERT INTO {name} VALUES ({', '.join(vals)});")
+    return "\n".join([ddl, *inserts])

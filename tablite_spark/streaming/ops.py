@@ -1,0 +1,79 @@
+"""Structured Streaming operators — additive capability (SURVEY §2.8:
+the reference has no streaming; BASELINE.json asks for it).
+
+Patterns: file-source readStream, watermarked tumbling windows,
+session windows, and a custom stateful operator via
+``applyInPandasWithState``. Each has a batch twin in
+``__spark_entry__`` so correctness is oracle-checkable; the streaming
+forms are exercised in tests with availableNow triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_from_directory(spark: SparkSession, path: str, schema,
+                          fmt: str = "parquet") -> DataFrame:
+    return (spark.readStream.format(fmt).schema(schema)
+            .option("maxFilesPerTrigger", 4).load(path))
+
+
+def tumbling_counts(events: DataFrame, ts_col: str = "ts",
+                    window: str = "1 hour",
+                    watermark: str = "2 hours",
+                    keys: list[str] | None = None) -> DataFrame:
+    """Watermarked tumbling-window counts. Late rows beyond the
+    watermark are dropped; state is bounded by watermark horizon."""
+    keys = keys or []
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window), *keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value")))
+
+
+def session_aggregate(events: DataFrame, ts_col: str = "ts",
+                      gap: str = "30 minutes",
+                      watermark: str = "2 hours",
+                      key: str = "user_id") -> DataFrame:
+    """Session windows with inactivity gap (state closes at watermark)."""
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("session_value")))
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.DoubleType())])
+_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("batch_events", T.LongType()),
+    T.StructField("running_total", T.DoubleType()),
+])
+
+
+def _running_total_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    total = state.get[0] if state.exists else 0.0
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "batch_events": [n],
+                        "running_total": [total]})
+
+
+def stateful_running_total(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running total across
+    micro-batches via applyInPandasWithState (Arrow-batched, bounded
+    state per key)."""
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _running_total_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

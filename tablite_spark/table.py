@@ -1,0 +1,244 @@
+"""Table — the user-facing facade mirroring the reference API.
+
+A thin, immutable-ish wrapper around a ``pyspark.sql.DataFrame``. Every
+method delegates to the operator modules; the DataFrame (logical plan)
+is always accessible as ``.df`` so users can drop to raw Spark.
+
+Reference API surface: tablite/core.py Table methods. This class keeps
+the reference's method NAMES and semantics while every implementation
+is a declarative Spark plan (lazy until an action), so Catalyst
+optimizes across chained calls — unlike the reference, where each call
+eagerly materializes pages to disk.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import tablite_spark.operators.filters as _filters
+import tablite_spark.operators.groupby as _groupby
+import tablite_spark.operators.imputation as _imputation
+import tablite_spark.operators.joins as _joins
+import tablite_spark.operators.select as _select
+import tablite_spark.operators.setops as _setops
+import tablite_spark.operators.sorting as _sorting
+import tablite_spark.operators.stats as _stats
+from tablite_spark.sources import io as _io
+
+
+class GroupBy(_groupby.GroupBy):
+    pass
+
+
+class Table:
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # ------------------------------------------------------------- io
+    @classmethod
+    def from_file(cls, spark: SparkSession, path: str, **kwargs) -> "Table":
+        return cls(_io.from_file(spark, path, **kwargs))
+
+    @classmethod
+    def from_pandas(cls, spark: SparkSession, pdf) -> "Table":
+        return cls(_io.from_pandas(spark, pdf))
+
+    @classmethod
+    def from_json(cls, spark: SparkSession, jsn) -> "Table":
+        return cls(_io.read_json_columnar(spark, jsn))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Table":
+        return cls(_io.load(spark, path))
+
+    def save(self, path: str, **kwargs) -> None:
+        _io.save(self.df, path, **kwargs)
+
+    def to_csv(self, path: str, **kwargs) -> None:
+        _io.to_csv(self.df, path, **kwargs)
+
+    def to_json(self) -> dict:
+        return _io.to_json_columnar(self.df)
+
+    def to_pandas(self):
+        return _io.to_pandas(self.df)
+
+    def to_sql(self, name: str) -> str:
+        return _io.to_sql_script(self.df, name)
+
+    # ----------------------------------------------------- dict-like
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def __len__(self) -> int:
+        return self.df.count()
+
+    def __getitem__(self, keys):
+        if isinstance(keys, str):
+            return Table(self.df.select(keys))
+        if isinstance(keys, slice):
+            return Table(_sorting.slice_rows(
+                self.df, keys.start or 0, keys.stop, keys.step or 1))
+        if isinstance(keys, tuple):
+            cols = [k for k in keys if isinstance(k, str)]
+            slices = [k for k in keys if isinstance(k, slice)]
+            out = self.df.select(*cols) if cols else self.df
+            if slices:
+                s = slices[0]
+                out = _sorting.slice_rows(out, s.start or 0, s.stop, s.step or 1)
+            return Table(out)
+        raise TypeError(f"unsupported key: {keys!r}")
+
+    def __delitem__(self, name: str):
+        self.df = self.df.drop(name)
+
+    def rename(self, mapping: dict[str, str]) -> "Table":
+        return Table(self.df.withColumnsRenamed(mapping))
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Table):
+            return NotImplemented
+        return _setops.frames_equal(self.df, other.df)
+
+    def __add__(self, other: "Table") -> "Table":
+        return Table(_setops.concat(self.df, other.df))
+
+    def __iadd__(self, other: "Table") -> "Table":
+        self.df = _setops.concat(self.df, other.df)
+        return self
+
+    def __mul__(self, n: int) -> "Table":
+        return Table(_setops.repeat(self.df, n))
+
+    def stack(self, other: "Table") -> "Table":
+        return Table(_setops.stack(self.df, other.df))
+
+    def copy(self) -> "Table":
+        return Table(self.df)  # lineage IS the zero-copy page share
+
+    def show(self, *a, **kw):
+        return self.df.show(*a, **kw)
+
+    # ------------------------------------------------------- filters
+    def filter(self, expressions, filter_type: str = "all") -> tuple["Table", "Table"]:
+        t, f = _filters.filter_pass_fail(self.df, expressions, filter_type)
+        return Table(t), Table(f)
+
+    def expression(self, expression: str) -> "Table":
+        return Table(self.df.filter(_filters.mask_from_string(expression)))
+
+    def any(self, **criteria) -> "Table":
+        return Table(_filters.any_all(self.df, criteria, "any"))
+
+    def all(self, **criteria) -> "Table":
+        return Table(_filters.any_all(self.df, criteria, "all"))
+
+    def drop(self, *values) -> "Table":
+        return Table(_filters.drop_rows_with(self.df, *values))
+
+    def replace(self, mapping: dict, columns: list[str] | None = None) -> "Table":
+        return Table(_filters.replace_values(self.df, mapping, columns))
+
+    def drop_duplicates(self, *columns: str) -> "Table":
+        return Table(_filters.drop_duplicates(self.df, *columns))
+
+    def merge(self, left: str, right: str, new: str, criteria) -> "Table":
+        """SQL CASE merge (tablite/core.py:660-702, tablite/merge.py:7-50)."""
+        crit = criteria if not isinstance(criteria, str) else _filters.mask_from_string(criteria)
+        out = (self.df.withColumn(
+            new, F.when(crit, F.col(left)).otherwise(F.col(right)))
+            .drop(*{left, right} - {new}))
+        return Table(out)
+
+    # --------------------------------------------------------- joins
+    def join(self, other: "Table", left_keys, right_keys,
+             left_columns=None, right_columns=None, kind: str = "inner",
+             merge_keys: bool = False) -> "Table":
+        return Table(_joins.join(self.df, other.df, left_keys, right_keys,
+                                 left_columns, right_columns, kind, merge_keys))
+
+    def inner_join(self, other, left_keys, right_keys, **kw) -> "Table":
+        return self.join(other, left_keys, right_keys, kind="inner", **kw)
+
+    def left_join(self, other, left_keys, right_keys, **kw) -> "Table":
+        return self.join(other, left_keys, right_keys, kind="left", **kw)
+
+    def outer_join(self, other, left_keys, right_keys, **kw) -> "Table":
+        return self.join(other, left_keys, right_keys, kind="outer", **kw)
+
+    def cross_join(self, other, **kw) -> "Table":
+        return self.join(other, None, None, kind="cross", **kw)
+
+    def lookup(self, other: "Table", *criteria, all: bool = True) -> "Table":
+        return Table(_joins.lookup(self.df, other.df, *criteria, keep_all=all))
+
+    def match(self, other: "Table", *criteria, keep_left=None, keep_right=None) -> "Table":
+        keys = [(lc, rc) for lc, op, rc in criteria]
+        return Table(_joins.match(self.df, other.df, keys, keep_left, keep_right))
+
+    # ------------------------------------------------------- groupby
+    def groupby(self, keys: list[str], functions=None) -> "Table":
+        return Table(_groupby.groupby(self.df, keys, functions))
+
+    def pivot(self, rows, columns, functions, values_as_rows: bool = False) -> "Table":
+        return Table(_groupby.pivot(self.df, rows, columns, functions, values_as_rows))
+
+    def transpose(self) -> "Table":
+        return Table(_groupby.transpose(self.df))
+
+    def pivot_transpose(self, columns, keep=None, column_name: str = "transpose",
+                        value_name: str = "value") -> "Table":
+        return Table(_groupby.melt(self.df, ids=keep or [], values=columns,
+                                   variable_name=column_name, value_name=value_name))
+
+    # ---------------------------------------------------------- sort
+    def sort(self, mapping: dict[str, bool], sort_mode: str = "excel",
+             mixed_columns=None) -> "Table":
+        return Table(_sorting.sort(self.df, mapping, sort_mode, mixed_columns))
+
+    def is_sorted(self, mapping: dict[str, bool], sort_mode: str = "excel") -> bool:
+        return _sorting.is_sorted(self.df, mapping, sort_mode)
+
+    def reindex(self, index: list[int], order_by=None) -> "Table":
+        return Table(_sorting.reindex(self.df, index, order_by))
+
+    def unique_index(self, *keys: str, order_by=None) -> "Table":
+        return Table(_sorting.unique_index(self.df, list(keys), order_by))
+
+    def index(self, *keys: str) -> "Table":
+        """{key_tuple: [row_ids]} (tablite/base.py:1927-1965)."""
+        tagged = _sorting.with_row_index(self.df, "__row_id__")
+        return Table(tagged.groupBy(*keys).agg(
+            F.collect_list("__row_id__").alias("row_ids")))
+
+    # --------------------------------------------------------- misc
+    def column_select(self, cols: list[dict]) -> tuple["Table", "Table"]:
+        p, f = _select.column_select(self.df, cols)
+        return Table(p), Table(f)
+
+    def imputation(self, targets, method: str = "carry_forward",
+                   sources=None, order_by=None) -> "Table":
+        return Table(_imputation.imputation(self.df, targets, method,
+                                            sources, order_by))
+
+    def diff(self, other: "Table", columns=None) -> "Table":
+        return Table(_setops.table_diff(self.df, other.df, columns))
+
+    def statistics(self, column: str) -> dict:
+        return _stats.statistics_dict(self.df, column)
+
+    def histogram(self, column: str) -> "Table":
+        return Table(_stats.histogram(self.df, column))
+
+    def unique(self, column: str) -> "Table":
+        return Table(_stats.unique_values(self.df, column))
+
+    def count(self, column: str, value) -> int:
+        return _stats.count_value(self.df, column, value)
+
+    def types(self) -> dict:
+        return _stats.type_census(self.df)

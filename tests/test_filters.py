@@ -1,0 +1,93 @@
+"""Filter semantics vs the reference fixture F4 (tests/test_filter.py
+in the reference): twin pass/fail output, dict/string equivalence,
+substring-`in`."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tablite_spark import Table
+from tablite_spark.operators.filters import (
+    any_all, drop_rows_with, filter_pass_fail, mask_from_string,
+    normalize_expression,
+)
+
+
+@pytest.fixture()
+def ab(spark):
+    return spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30), (4, 40)], "a int, b int")
+
+
+def test_filter_twin_output(ab):
+    t, f = filter_pass_fail(ab, [
+        {"column1": "a", "criteria": ">=", "value2": 3},
+        {"column1": "b", "criteria": "<=", "value2": 20},
+    ], "all")
+    assert t.count() + f.count() == ab.count()
+    assert t.count() == 0  # no row has a>=3 AND b<=20
+
+
+def test_filter_forms_agree(ab):
+    exprs = [
+        {"column1": "a", "criteria": ">=", "value2": 3},
+        {"column1": "b", "criteria": "<=", "value2": 20},
+    ]
+    t1, _ = filter_pass_fail(ab, exprs, "all")
+    t2, _ = filter_pass_fail(ab, "all((a>=3, b<=20))")
+    t3, _ = filter_pass_fail(ab, "a>=3 and b<=20")
+    assert t1.collect() == t2.collect() == t3.collect()
+
+
+def test_filter_any(ab):
+    t, f = filter_pass_fail(ab, [
+        {"column1": "a", "criteria": ">=", "value2": 3},
+        {"column1": "b", "criteria": "<=", "value2": 20},
+    ], "any")
+    assert t.count() == 4
+    assert f.count() == 0
+
+
+def test_column_vs_column(ab):
+    df = ab.withColumn("c", F.col("b") - 25)
+    t, _ = filter_pass_fail(df, [
+        {"column1": "a", "criteria": ">", "column2": "c"}], "all")
+    # a > b-25: (1,10,-15)T (2,20,-5)T (3,30,5)F (4,40,15)F
+    assert sorted(r["a"] for r in t.collect()) == [1, 2]
+
+
+def test_substring_in(spark):
+    """`in` = substring containment (tablite/mp_utils.py:13-18):
+    '1' in '12' is True."""
+    df = spark.createDataFrame([("12",), ("34",), ("1",)], "s string")
+    t, _ = filter_pass_fail(df, [
+        {"value1": "1", "criteria": "in", "column2": "s"}], "all")
+    assert sorted(r["s"] for r in t.collect()) == ["1", "12"]
+
+
+def test_normalize_expression():
+    assert normalize_expression("all((a>=3, b<=20))") == "(a>=3) AND (b<=20)"
+    assert normalize_expression("any((a>1, b>2))") == "(a>1) OR (b>2)"
+    assert normalize_expression("a>=3 and b<=20") == "a>=3 and b<=20"
+
+
+def test_any_all_callable(ab):
+    out = any_all(ab, {"a": lambda x: x % 2 == 0}, "all")
+    assert sorted(r["a"] for r in out.collect()) == [2, 4]
+
+
+def test_drop_rows_type_strict(spark):
+    df = spark.createDataFrame([(1, "R"), (2, "x"), (44, "y")], "n int, s string")
+    out = drop_rows_with(df, "R", 44)
+    assert sorted(r["n"] for r in out.collect()) == [2]
+
+
+def test_drop_rows_none(spark):
+    df = spark.createDataFrame([(1, "a"), (None, "b"), (3, None)], "n int, s string")
+    out = drop_rows_with(df, None)
+    assert out.count() == 1
+
+
+def test_table_facade_filter(spark):
+    t = Table(spark.createDataFrame([(1, 10), (2, 20)], "a int, b int"))
+    tr, fa = t.filter([{"column1": "a", "criteria": "==", "value2": 1}])
+    assert len(tr) == 1 and len(fa) == 1

@@ -1,0 +1,99 @@
+"""Sources/sinks: csv options, parquet round-trip, columnar json,
+pandas bridge, sql script."""
+
+import os
+
+import pytest
+
+from tablite_spark.sources.io import (
+    from_pandas, get_headers, read_csv, read_json_columnar, save, load,
+    to_csv, to_json_columnar, to_sql_script,
+)
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "data.csv"
+    p.write_text("a,b,c\n1,x,2021-01-01\n2,y,2021-06-09\n3,z,2021-12-31\n")
+    return str(p)
+
+
+def test_read_csv_infers_types(spark, csv_path):
+    df = read_csv(spark, csv_path)
+    types = dict(df.dtypes)
+    assert types["a"] == "bigint"
+    assert types["b"] == "string"
+    assert types["c"] == "date"
+    assert df.count() == 3
+
+
+def test_read_csv_no_guess(spark, csv_path):
+    df = read_csv(spark, csv_path, guess_datatypes=False)
+    assert dict(df.dtypes)["a"] == "string"
+
+
+def test_read_csv_start_limit(spark, csv_path):
+    df = read_csv(spark, csv_path, start=1, limit=1, guess_datatypes=False)
+    assert df.count() == 1
+
+
+def test_read_tsv_delimiter(spark, tmp_path):
+    p = tmp_path / "data.tsv"
+    p.write_text("a\tb\n1\t2\n")
+    df = read_csv(spark, str(p))
+    assert df.columns == ["a", "b"]
+
+
+def test_skip_empty(spark, tmp_path):
+    p = tmp_path / "gaps.csv"
+    p.write_text("a,b\n1,\n,\n2,3\n")
+    df_any = read_csv(spark, str(p), skip_empty="ANY", guess_datatypes=False)
+    assert df_any.count() == 1
+    df_all = read_csv(spark, str(p), skip_empty="ALL", guess_datatypes=False)
+    assert df_all.count() == 2
+
+
+def test_get_headers(spark, csv_path):
+    h = get_headers(spark, csv_path, linecount=2)
+    assert h[0] == ["a", "b", "c"]
+    assert len(h) == 3
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "a int, b string")
+    path = str(tmp_path / "t.parquet")
+    save(df, path)
+    back = load(spark, path)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_csv_write(spark, tmp_path):
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    path = str(tmp_path / "out_csv")
+    to_csv(df, path)
+    back = read_csv(spark, path + "/*.csv", guess_datatypes=False)
+    assert back.count() == 1
+
+
+def test_json_columnar_roundtrip(spark):
+    jsn = {"columns": {"a": [1, 2], "b": ["x", "y"]}, "total_rows": 2}
+    df = read_json_columnar(spark, jsn)
+    assert df.count() == 2
+    out = to_json_columnar(df)
+    assert out["columns"]["a"] == [1, 2]
+    assert out["total_rows"] == 2
+
+
+def test_pandas_bridge(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    df = from_pandas(spark, pdf)
+    assert df.count() == 2
+    assert df.toPandas().equals(pdf)
+
+
+def test_sql_script(spark):
+    df = spark.createDataFrame([(1, "o'x")], "a int, b string")
+    script = to_sql_script(df, "t")
+    assert "CREATE TABLE t (a INTEGER, b TEXT);" in script
+    assert "INSERT INTO t VALUES (1, 'o''x');" in script

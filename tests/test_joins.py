@@ -1,0 +1,110 @@
+"""Join semantics vs reference fixture F2 (tests/test_join.py:16-41):
+null-key matching, collision renaming `_1`, merge_keys, lookup, match."""
+
+import pytest
+from pyspark.sql import types as T
+
+from tablite_spark.operators.joins import join, lookup, match, unique_name
+
+SCHEMA = T.StructType([
+    T.StructField("number", T.IntegerType(), True),
+    T.StructField("colour", T.StringType(), True),
+])
+
+
+@pytest.fixture()
+def numbers(spark):
+    return spark.createDataFrame(
+        [(1, "black"), (2, "blue"), (3, "white"), (4, "white"), (None, "blue")],
+        SCHEMA)
+
+
+@pytest.fixture()
+def letters(spark):
+    return spark.createDataFrame(
+        [("a", "black"), ("b", "blue"), ("c", "orange"), (None, "blue")],
+        "letter string, colour string")
+
+
+def test_unique_name():
+    assert unique_name("x", ["a"]) == "x"
+    assert unique_name("x", ["x"]) == "x_1"
+    assert unique_name("x", ["x", "x_1"]) == "x_2"
+
+
+def test_left_join_collision_rename(numbers, letters):
+    j = join(numbers, letters, ["colour"], ["colour"], kind="left")
+    assert j.columns == ["number", "colour", "letter", "colour_1"]
+
+
+def test_left_join_null_unjoined(spark, numbers):
+    other = spark.createDataFrame([(1, "black")], SCHEMA)
+    j = join(numbers, other, ["colour"], ["colour"], kind="left")
+    rows = {(r["number"], r["number_1"]) for r in j.collect()}
+    assert (1, 1) in rows
+    # unmatched left rows keep None on the right
+    assert (2, None) in rows
+
+
+def test_null_keys_match(numbers, spark):
+    """None == None in join keys (tablite/joins.py:201-210)."""
+    other = spark.createDataFrame([(None, 99), ("black", 1)], "colour string, v int")
+    left = numbers.selectExpr("number", "CASE WHEN number = 2 THEN NULL ELSE colour END AS colour")
+    j = join(left, other, ["colour"], ["colour"], kind="inner")
+    # row with NULL colour must match the NULL key on the right
+    assert any(r["v"] == 99 for r in j.collect())
+
+
+def test_inner_join_cartesian_per_key(numbers, letters):
+    j = join(numbers, letters, ["colour"], ["colour"], kind="inner")
+    # blue appears 2x left, 2x right → 4 pairs; black 1x1; white unmatched
+    assert j.count() == 5
+
+
+def test_outer_join(numbers, letters):
+    j = join(numbers, letters, ["colour"], ["colour"], kind="outer")
+    colours = [r["colour"] or r["colour_1"] for r in j.collect()]
+    assert "orange" in colours and "white" in colours
+
+
+def test_merge_keys(numbers, letters):
+    j = join(numbers, letters, ["colour"], ["colour"], kind="outer", merge_keys=True)
+    assert "colour_1" not in j.columns
+    assert sorted(set(r["colour"] for r in j.collect())) == [
+        "black", "blue", "orange", "white"]
+
+
+def test_cross_join(numbers, letters):
+    j = join(numbers, letters, None, None, kind="cross")
+    assert j.count() == 20
+
+
+def test_lookup_first_match(spark):
+    """F7 bus-timetable fixture: first right row (in right_order)
+    satisfying theta criteria; unmatched → nulls."""
+    friends = spark.createDataFrame(
+        [("Alice", "Downtown"), ("Bob", "Uptown"), ("Eve", "Nowhere")],
+        "name string, stop string")
+    bus = spark.createDataFrame(
+        [(700, "Downtown"), (800, "Downtown"), (730, "Uptown")],
+        "time int, stop string")
+    out = lookup(friends, bus,
+                 ("stop", "==", "stop"), (720, "<=", "time"))
+    rows = {r["name"]: r["time"] for r in out.collect()}
+    assert rows["Alice"] == 800
+    assert rows["Bob"] == 730
+    assert rows["Eve"] is None
+
+
+def test_match_semi(spark, numbers, letters):
+    out = match(numbers, letters, [("colour", "colour")],
+                keep_left=["number", "colour"], keep_right=[])
+    assert sorted(r["colour"] for r in out.collect()) == ["black", "blue", "blue"]
+
+
+def test_match_attach_first(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "id int, k string")
+    right = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 30)], "k string, v int")
+    out = match(left, right, [("k", "k")])
+    assert out.count() == 2  # one right row attached per left row

@@ -1,0 +1,157 @@
+"""Pipeline operators: dedup (exact / minhash / simhash / jaccard),
+similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tablite_spark.pipeline.dedup import (
+    content_hash_dedup, exact_dedup, minhash_dedup, minhash_jaccard,
+    minhash_lsh_candidates, ngram_jaccard, shingle_minhash, simhash,
+)
+from tablite_spark.pipeline.similarity import (
+    brute_force_topk, embedding_near_dup_pairs, lsh_topk,
+)
+from tablite_spark.pipeline.text import (
+    fingerprint, language_id, quality_scores, text_statistics, token_count,
+)
+
+DOC = ("the quick brown fox jumps over the lazy dog and then runs far "
+       "away into the deep green forest to hide from the angry farmer")
+DOC_NEAR = DOC.replace("angry", "upset")  # one token differs
+DOC_OTHER = ("completely different text about database engines and "
+             "distributed query processing with columnar storage layers "
+             "plus adaptive execution and shuffle services in clusters")
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, DOC), (1, DOC), (2, DOC_NEAR), (3, DOC_OTHER)],
+        "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs, ["text"], id_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2, 3]
+
+
+def test_content_hash_dedup(docs):
+    out = content_hash_dedup(docs, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2, 3]
+
+
+def test_minhash_signature_shape(docs):
+    sig = shingle_minhash(docs, "text", "doc_id", num_perm=32, shingle_size=3)
+    rows = sig.collect()
+    assert len(rows) == 4
+    assert all(len(r["minhash"]) == 32 for r in rows)
+    by_id = {r["doc_id"]: r["minhash"] for r in rows}
+    assert by_id[0] == by_id[1]  # identical docs → identical signatures
+
+
+def test_minhash_near_dup_detection(spark, docs):
+    sig = shingle_minhash(docs, "text", "doc_id", num_perm=32, shingle_size=3)
+    from tablite_spark.config import Config
+    pairs = minhash_lsh_candidates(sig, "doc_id", bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup always a candidate
+    scored = minhash_jaccard(sig, pairs, "doc_id").collect()
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in scored}
+    assert est[(0, 1)] == 1.0
+
+
+def test_minhash_dedup_end_to_end(docs):
+    out = minhash_dedup(docs, "text", "doc_id", threshold=0.95)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 0 in ids and 1 not in ids and 3 in ids
+
+
+def test_simhash_identical_and_different(docs):
+    out = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+
+
+def test_ngram_jaccard(docs):
+    out = ngram_jaccard(docs, docs, "text", "doc_id", n=3)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert j[(0, 1)] == 1.0
+    assert j[(0, 2)] > 0.5  # near dup
+    assert j[(0, 3)] < 0.1
+
+
+def test_brute_force_topk(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2,
+                           id_col="vec_id", vec_col="embedding")
+    rows = sorted(out.collect(), key=lambda r: r["rn"])
+    assert [r["nid"] for r in rows] == [3, 1]
+
+
+def test_lsh_topk_recall(spark):
+    import random
+    rnd = random.Random(7)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(16)]) for i in range(50)]
+    # plant a near-dup of vec 0
+    vecs.append((99, [v + 0.01 for v in vecs[0][1]]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = lsh_topk(df, q, k=3, dim=16, id_col="vec_id", vec_col="embedding",
+                   bits=12, bands=4)
+    got = [r["nid"] for r in out.collect()]
+    assert 99 in got  # near-identical vector lands in the same band
+
+
+def test_embedding_near_dup_pairs(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(df, "vec_id", "embedding", threshold=0.99)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_text_statistics(docs):
+    out = text_statistics(docs, "text").collect()
+    r0 = [r for r in out if r["doc_id"] == 0][0]
+    assert r0["n_tokens"] == len(DOC.split())
+    assert r0["n_chars_computed"] == len(DOC)
+
+
+def test_token_count_modes(spark):
+    df = spark.createDataFrame([("hello, world! 42",)], "text string")
+    ws = token_count(df, "text", "whitespace").collect()[0]["n_tokens"]
+    bp = token_count(df, "text", "bpe_ish").collect()[0]["n_tokens"]
+    assert ws == 3
+    assert bp == 5  # hello , world ! 42
+
+
+def test_fingerprint_stable(docs):
+    out = fingerprint(docs, "text")
+    fps = {r["doc_id"]: r["fp"] for r in out.collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+
+
+def test_quality_and_langid(docs):
+    q = quality_scores(docs, "text").collect()
+    assert all(0 <= r["quality"] <= 1 for r in q)
+    lang = language_id(docs, "text").collect()
+    by_id = {r["doc_id"]: r["lang_pred"] for r in lang}
+    assert by_id[0] == "en"  # 'the' markers
+
+
+def test_multimodal_decode_plumbing(spark):
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fakepngbytes")), (2, None)], "id int, raw binary")
+    media = attach_media(df, "raw", "image/png").drop("raw")
+    decoded = decode_images(media)
+    rows = {r["id"]: (r["width"], r["height"]) for r in decoded.collect()}
+    assert rows[1][0] > 0
+    feats = extract_image_features(media, dim=4).collect()
+    by_id = {r["id"]: r["features"] for r in feats}
+    assert len(by_id[1]) == 4
+    assert abs(sum(by_id[1]) - 1.0) < 1e-6

@@ -1,0 +1,121 @@
+"""column_select cast-with-reject (F9), imputation (F8), statistics,
+type inference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tablite_spark.functions.inference import guess_types
+from tablite_spark.operators.imputation import (
+    carry_forward, fill_mean, fill_mode, nearest_neighbour,
+)
+from tablite_spark.operators.select import column_select
+from tablite_spark.operators.stats import statistics_dict, type_census
+
+
+def test_column_select_pass_fail(spark):
+    df = spark.createDataFrame(
+        [("1", "x"), ("2.0", "y"), ("nope", "z"), ("", "w")],
+        "v string, k string")
+    p, f = column_select(df, [
+        {"column": "v", "type": "int", "rename": "v_int"},
+        {"column": "k", "type": "str"},
+    ])
+    prows = {r["k"]: r["v_int"] for r in p.collect()}
+    assert prows == {"x": 1, "y": 2}
+    frows = f.collect()
+    assert len(frows) == 2
+    assert all("failed to convert" in r["reject_reason"] for r in frows)
+    assert "reject_reason" in f.columns
+
+
+def test_column_select_allow_empty(spark):
+    df = spark.createDataFrame([("1",), ("",)], "v string")
+    p, f = column_select(df, [
+        {"column": "v", "type": "int", "allow_empty": True}])
+    assert p.count() == 2 and f.count() == 0
+    vals = sorted((r["v"] for r in p.collect()), key=lambda x: (x is None, x))
+    assert vals == [1, None]
+
+
+def test_column_select_dates(spark):
+    df = spark.createDataFrame(
+        [("2023-06-09",), ("09.06.2023",), ("junk",)], "d string")
+    p, f = column_select(df, [{"column": "d", "type": "date"}])
+    assert p.count() == 2 and f.count() == 1
+
+
+def test_column_select_time_us(spark):
+    """time → µs-since-midnight LongType (SURVEY §1.3 convention)."""
+    df = spark.createDataFrame([("09:12:06",)], "t string")
+    p, _ = column_select(df, [{"column": "t", "type": "time"}])
+    assert p.collect()[0]["t"] == (9 * 3600 + 12 * 60 + 6) * 1_000_000
+
+
+def test_column_select_eu_numbers(spark):
+    """Locale-aware parsing (nimlite/infertypes.nim)."""
+    df = spark.createDataFrame(
+        [("1.000.000,5",), ("1,000,000",), ("12",)], "v string")
+    p, f = column_select(df, [{"column": "v", "type": "float"}])
+    vals = sorted(r["v"] for r in p.collect())
+    assert vals == [12.0, 1000000.0, 1000000.5]
+
+
+def test_column_select_bool(spark):
+    df = spark.createDataFrame([("true",), ("No",), ("7",)], "b string")
+    p, f = column_select(df, [{"column": "b", "type": "bool"}])
+    assert p.count() == 2 and f.count() == 1
+
+
+def test_carry_forward(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, 40.0)], "i int, v double")
+    out = carry_forward(df, ["v"], order_by=["i"]).collect()
+    vals = {r["i"]: r["v"] for r in out}
+    assert vals == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0}
+
+
+def test_fill_mean(spark):
+    df = spark.createDataFrame([(1.0,), (3.0,), (None,)], "v double")
+    out = fill_mean(df, ["v"])
+    assert sorted(r["v"] for r in out.collect()) == [1.0, 2.0, 3.0]
+
+
+def test_fill_mode(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",), (None,)], "v string")
+    out = fill_mode(df, ["v"])
+    assert sorted(r["v"] for r in out.collect()).count("a") == 3
+
+
+def test_nearest_neighbour(spark):
+    """NN picks donor minimizing range-normalized L1 over sources
+    (nimlite/funcs/imputation.nim:116-275)."""
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 100.0), (10.0, 10.0, 200.0), (1.0, 1.0, None)],
+        "s1 double, s2 double, t double")
+    out = nearest_neighbour(df, ["t"], ["s1", "s2"]).collect()
+    filled = [r["t"] for r in out if r["s1"] == 1.0][0]
+    assert filled == 100.0  # (0,0) is nearer to (1,1) than (10,10)
+
+
+def test_statistics(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 11)], "v double")
+    st = statistics_dict(df, "v")
+    assert st["min"] == 1.0 and st["max"] == 10.0
+    assert st["mean"] == 5.5 and st["median"] == 5.5
+    assert st["distinct"] == 10 and st["sum"] == 55.0
+
+
+def test_type_census(spark):
+    df = spark.createDataFrame([(1, None), (2, "x")], "a int, b string")
+    tc = type_census(df)
+    assert tc["a"] == {"int": 2}
+    assert tc["b"] == {"string": 1, "NoneType": 1}
+
+
+def test_guess_types(spark):
+    df = spark.createDataFrame(
+        [("1", "1.5", "2021-01-01", "true", "abc"),
+         ("2", "2.5", "2021-06-09", "false", "def")],
+        "i string, f string, d string, b string, s string")
+    g = guess_types(df)
+    assert g == {"i": "int", "f": "float", "d": "date", "b": "bool", "s": "str"}

@@ -1,0 +1,126 @@
+"""Sort collations, slicing, reindex, unique_index, concat/stack/
+repeat/diff/equality (reference: sortation.py, base.py, diff.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tablite_spark.operators.setops import (
+    concat, frames_equal, repeat, stack, table_diff,
+)
+from tablite_spark.operators.sorting import (
+    is_sorted, reindex, slice_rows, sort, unique_index, with_row_index,
+)
+
+
+@pytest.fixture()
+def nums(spark):
+    return spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b"), (None, "z")], "n int, s string")
+
+
+def test_sort_excel_nulls_last(nums):
+    out = sort(nums, {"n": False}, "excel").collect()
+    assert [r["n"] for r in out] == [1, 2, 3, None]
+
+
+def test_sort_unix_nulls_first(nums):
+    out = sort(nums, {"n": False}, "unix").collect()
+    assert [r["n"] for r in out] == [None, 1, 2, 3]
+
+
+def test_sort_reverse(nums):
+    out = sort(nums, {"n": True}, "unix").collect()
+    assert [r["n"] for r in out] == [3, 2, 1, None]
+
+
+def test_sort_mixed_column_excel(spark):
+    """Cross-type collation on a string-coded mixed column:
+    numeric < text < bool < None (sort_utils.py:152-173)."""
+    df = spark.createDataFrame(
+        [("banana",), ("10",), ("true",), (None,), ("2",), ("apple",)],
+        "v string")
+    out = sort(df, {"v": False}, "excel", mixed_columns={"v"}).collect()
+    assert [r["v"] for r in out] == ["2", "10", "apple", "banana", "true", None]
+
+
+def test_sort_mixed_column_unix(spark):
+    df = spark.createDataFrame(
+        [("banana",), ("10",), ("true",), (None,), ("2",)], "v string")
+    out = sort(df, {"v": False}, "unix", mixed_columns={"v"}).collect()
+    assert [r["v"] for r in out] == [None, "true", "2", "10", "banana"]
+
+
+def test_is_sorted(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "x int").coalesce(1)
+    assert is_sorted(df, {"x": False})
+    df2 = spark.createDataFrame([(2,), (1,), (3,)], "x int").coalesce(1)
+    assert not is_sorted(df2, {"x": False})
+
+
+def test_slice_rows(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    out = slice_rows(df, 10, 50, 7, order_by=["x"])
+    assert sorted(r["x"] for r in out.collect()) == list(range(10, 50, 7))
+
+
+def test_slice_head(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "x int")
+    assert slice_rows(df, 0, 5).count() == 5
+
+
+def test_with_row_index_order(spark):
+    df = spark.createDataFrame([(i,) for i in range(50)], "x int")
+    out = with_row_index(df, "rid", order_by=["x"]).collect()
+    assert all(r["rid"] == r["x"] for r in out)
+
+
+def test_reindex(spark):
+    df = spark.createDataFrame([(10,), (20,), (30,)], "x int")
+    out = reindex(df, [2, 0, -1], order_by=["x"]).collect()
+    assert [r["x"] for r in out] == [30, 10, None]
+
+
+def test_unique_index(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, k string")
+    out = unique_index(df, ["k"], order_by=["id"])
+    assert sorted(r["id"] for r in out.collect()) == [1, 3]
+
+
+def test_concat_requires_same_columns(spark):
+    a = spark.createDataFrame([(1,)], "x int")
+    b = spark.createDataFrame([(2,)], "y int")
+    with pytest.raises(ValueError):
+        concat(a, b)
+    c = concat(a, spark.createDataFrame([(5,)], "x int"))
+    assert c.count() == 2
+
+
+def test_stack_fills_missing(spark):
+    a = spark.createDataFrame([(1, "p")], "x int, s string")
+    b = spark.createDataFrame([(2,)], "x int")
+    out = stack(a, b)
+    rows = sorted(out.collect(), key=lambda r: r["x"])
+    assert rows[1]["s"] is None
+
+
+def test_repeat(spark):
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    assert repeat(df, 3).count() == 6
+    assert repeat(df, 0).count() == 0
+
+
+def test_diff_markers(spark):
+    a = spark.createDataFrame([(1,), (2,), (2,), (3,)], "x int")
+    b = spark.createDataFrame([(2,), (3,), (4,)], "x int")
+    out = table_diff(a, b)
+    marks = sorted((r["marker"], r["x"]) for r in out.collect())
+    assert marks == [("+", 4), ("-", 1), ("-", 2), ("=", 2), ("=", 3)]
+
+
+def test_frames_equal(spark):
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "n int, s string")
+    b = spark.createDataFrame([(2, "y"), (1, "x")], "n int, s string")
+    assert frames_equal(a, b)
+    c = spark.createDataFrame([(1, "x")], "n int, s string")
+    assert not frames_equal(a, c)

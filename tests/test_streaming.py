@@ -1,0 +1,77 @@
+"""Structured Streaming ops: file-source stream with availableNow
+trigger, tumbling window, session window, stateful running total."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tablite_spark.streaming.ops import (
+    session_aggregate, stateful_running_total, stream_from_directory,
+    tumbling_counts,
+)
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, 10.0),
+        (2, "2024-01-01 00:10:00", 1, 5.0),
+        (3, "2024-01-01 02:00:00", 1, 1.0),
+        (4, "2024-01-01 00:05:00", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "events_stream")
+    df.write.parquet(path)
+    return path
+
+
+def _run_to_completion(sdf, tmp_path, name):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("complete" if name != "stateful" else "update")
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_stream(spark, stream_dir, tmp_path):
+    src = stream_from_directory(spark, stream_dir, SCHEMA)
+    agg = tumbling_counts(src, window="1 hour")
+    _run_to_completion(agg, tmp_path, "tumble")
+    out = spark.sql("SELECT * FROM tumble").collect()
+    by_start = {str(r["window"]["start"]): r["n"] for r in out}
+    assert by_start["2024-01-01 00:00:00"] == 3
+    assert by_start["2024-01-01 02:00:00"] == 1
+
+
+def test_session_window_stream(spark, stream_dir, tmp_path):
+    src = stream_from_directory(spark, stream_dir, SCHEMA)
+    agg = session_aggregate(src, gap="30 minutes")
+    _run_to_completion(agg, tmp_path, "sessions")
+    out = spark.sql("SELECT * FROM sessions").collect()
+    u1 = sorted(r["n_events"] for r in out if r["user_id"] == 1)
+    assert u1 == [1, 2]  # events 1,2 in one session; 3 alone
+
+
+def test_stateful_running_total(spark, stream_dir, tmp_path):
+    src = stream_from_directory(spark, stream_dir, SCHEMA)
+    out_df = stateful_running_total(src)
+    q = (out_df.writeStream.format("memory").queryName("stateful")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_st"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful").collect()
+    totals = {r["user_id"]: r["running_total"] for r in rows}
+    assert totals[1] == 16.0
+    assert totals[2] == 7.0

@@ -1,0 +1,125 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, compares row count, schema
+(column names), and order-insensitive values. Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from tablite_spark import get_spark
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("datetime64[us]").astype(str).replace("NaT", None)
+        elif pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda v: None if v is None or (not isinstance(v, (list, tuple, dict))
+                                                and pd.isna(v)) else str(v))
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="last",
+                          kind="mergesort").reset_index(drop=True)
+    return pdf
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    scols, dcols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if scols != dcols:
+        problems.append(f"columns spark={scols} duck={dcols}")
+        return problems
+    if problems:
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if (pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv)
+                and (pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv))):
+            av, bv = av.astype("float64"), bv.astype("float64")
+            ok = np.allclose(av.fillna(1e300), bv.fillna(1e300),
+                             rtol=0, atol=1e-9, equal_nan=True)
+        else:
+            ok = av.astype(str).equals(bv.astype(str))
+        if not ok:
+            diff_idx = None
+            try:
+                neq = (av.astype(str) != bv.astype(str))
+                diff_idx = neq[neq].index[:3].tolist()
+            except Exception:
+                pass
+            sample = ""
+            if diff_idx:
+                sample = "; ".join(
+                    f"row{j}: spark={av.iloc[j]!r} duck={bv.iloc[j]!r}" for j in diff_idx)
+            problems.append(f"values differ in column {c!r} {sample}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    passed, failed, rows_only = [], [], []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            failed.append((name, "SPARK ERROR:\n" + traceback.format_exc(limit=6)))
+            continue
+        if name not in oracles:
+            rows_only.append((name, len(spark_pdf)))
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).fetchdf()
+        except Exception:
+            failed.append((name, "DUCKDB ERROR:\n" + traceback.format_exc(limit=3)))
+            continue
+        problems = compare(spark_pdf, duck_pdf)
+        if problems:
+            failed.append((name, "; ".join(problems)))
+        else:
+            passed.append((name, len(spark_pdf)))
+
+    print(f"\n=== PASS ({len(passed)}) ===")
+    for name, n in passed:
+        print(f"  {name}: {n} rows")
+    print(f"\n=== ROWS-ONLY ({len(rows_only)}) ===")
+    for name, n in rows_only:
+        print(f"  {name}: {n} rows")
+    print(f"\n=== FAIL ({len(failed)}) ===")
+    for name, msg in failed:
+        print(f"  {name}: {msg[:600]}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
