@@ -132,9 +132,17 @@ def filter_substring_in(spark: SparkSession, sf: str) -> DataFrame:
     from tablite_spark.operators.filters import filter_pass_fail
     p = _t(spark, sf, "part").select("p_partkey", "p_name", "p_type")
     t, _f = filter_pass_fail(p, [
-        {"value1": "BRASS", "criteria": "in", "column2": "p_type"},
+        {"value1": "ECO", "criteria": "in", "column2": "p_type"},
     ], "all")
     return t
+
+
+def filter_callable(spark: SparkSession, sf: str) -> DataFrame:
+    """any/all with a python callable predicate (tablite/core.py:441-481)
+    — the row-at-a-time UDF slow path, kept for parity."""
+    from tablite_spark.operators.filters import any_all
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return any_all(o, {"o_orderkey": lambda v: v % 3 == 0}, "all")
 
 
 def groupby_accumulators(spark: SparkSession, sf: str) -> DataFrame:
@@ -469,6 +477,95 @@ def tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("hour_start", F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss")))
 
 
+def merge_where_case(spark: SparkSession, sf: str) -> DataFrame:
+    """Table.merge: CASE column merge dropping sources
+    (tablite/merge.py:7-50)."""
+    from tablite_spark.operators.merge import merge_where
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus")
+    m = merge_where(o, "o_orderpriority", "o_orderstatus", "label",
+                    F.col("o_totalprice") > 200000)
+    return m.select("o_orderkey", "label")
+
+
+def groupby_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Mode accumulator (nimlite/funcs/groupby.nim:394-441)."""
+    from tablite_spark.operators.groupby import GroupBy, groupby
+    li = _t(spark, sf, "lineitem")
+    g = groupby(li, ["l_returnflag"], [("l_linenumber", GroupBy.mode)])
+    return g.select("l_returnflag",
+                    F.col("Mode(l_linenumber)").alias("mode_ln"))
+
+
+def groupby_product(spark: SparkSession, sf: str) -> DataFrame:
+    """Product accumulator (nimlite/funcs/groupby.nim:107-152)."""
+    from tablite_spark.operators.groupby import GroupBy, groupby
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000) \
+        .withColumn("disc1", 1 + F.col("l_discount"))
+    g = groupby(li, ["l_orderkey"], [("disc1", GroupBy.product)])
+    return g.select("l_orderkey",
+                    F.round(F.col("Product(disc1)"), 4).alias("prod_disc"))
+
+
+def sort_mixed_excel(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-type 'excel' collation: numeric < text < bool < None
+    (tablite/sort_utils.py:152-173) over a string-coded mixed column;
+    output position proves the total order."""
+    from tablite_spark.operators.sorting import _mixed_sort_key
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0,
+               F.col("o_totalprice").cast("string"))
+         .when(F.col("o_orderkey") % 4 == 1, F.col("o_orderpriority"))
+         .when(F.col("o_orderkey") % 4 == 2,
+               F.when(F.col("o_orderkey") % 8 == 2, F.lit("true")).otherwise(F.lit("false")))
+         .alias("v"))
+    keys = [k.asc_nulls_last() for k in _mixed_sort_key("v", "excel")]
+    keys.append(F.col("o_orderkey").asc())
+    return o.select(
+        (F.row_number().over(W.orderBy(*keys)) - 1).alias("pos"),
+        "o_orderkey", "v")
+
+
+def transpose_region(spark: SparkSession, sf: str) -> DataFrame:
+    """Full matrix rotation, first column becomes header
+    (tablite/pivots.py:185-198)."""
+    from tablite_spark.operators.groupby import transpose
+    r = _t(spark, sf, "region").select("r_regionkey", "r_name").orderBy("r_regionkey")
+    return transpose(r)
+
+
+def reindex_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """Reorder rows by integer positions, -1 → null row
+    (tablite/core.py:375-392)."""
+    from tablite_spark.operators.sorting import reindex
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    return reindex(n, [5, 3, -1, 7, 20], order_by=["n_nationkey"])
+
+
+def imputation_mode(spark: SparkSession, sf: str) -> DataFrame:
+    """Mode imputation (tablite/imputation.py:12-158)."""
+    from tablite_spark.operators.imputation import fill_mode
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("event_type")).alias("etype"))
+    return fill_mode(e, ["etype"])
+
+
+def imputation_nn(spark: SparkSession, sf: str) -> DataFrame:
+    """Nearest-neighbour imputation: rank-normalized L1 distance over
+    source columns (nimlite/funcs/imputation.nim:116-275)."""
+    from tablite_spark.operators.imputation import nearest_neighbour
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") < 300).select(
+        "c_custkey", "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(F.col("c_acctbal"), 2)).alias("bal"))
+    out = nearest_neighbour(c, ["bal"], ["c_custkey", "c_nationkey"],
+                            tiebreak=["c_custkey"])
+    return out.select("c_custkey", F.round(F.col("bal"), 2).alias("bal"))
+
+
 # --------------------------------------------------------------------
 # pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------
@@ -510,6 +607,85 @@ def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
+def token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish regex token counting (word pieces + digits + punct)."""
+    from tablite_spark.pipeline.text import token_count
+    d = _t(spark, sf, "documents")
+    return token_count(d, "text", mode="bpe_ish").select("doc_id", "n_tokens")
+
+
+def language_id_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-marker language heuristic; argmax over per-language
+    marker counts (ties → lexicographically-largest language)."""
+    from tablite_spark.pipeline.text import language_id
+    d = _t(spark, sf, "documents")
+    return language_id(d, "text").select("doc_id", "lang_pred")
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-3-gram Jaccard on a restricted pair set."""
+    from tablite_spark.pipeline.dedup import ngram_jaccard
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    j = ngram_jaccard(d, d, "text", "doc_id", n=3)
+    return j.select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def near_dup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
+    from tablite_spark.pipeline.similarity import embedding_near_dup_pairs
+    emb = _t(spark, sf, "embeddings")
+    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+
+
+def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary media column + mapInPandas decode (deterministic fake
+    decoder — the Spark plumbing is the real artifact)."""
+    from tablite_spark.pipeline.multimodal import attach_media, decode_images
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    m = attach_media(d, "payload", "image/fake").drop("payload")
+    return decode_images(m).select("doc_id", "width", "height")
+
+
+def media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Byte-histogram 'embedding' via mapInPandas (Arrow-batched);
+    deterministic stand-in for a real feature extractor."""
+    from tablite_spark.pipeline.multimodal import attach_media, extract_image_features
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    m = attach_media(d, "payload", "image/fake").drop("payload")
+    feats = extract_image_features(m, dim=8)
+    return feats.select("doc_id",
+                        F.round(F.element_at("features", 1), 4).alias("f0"),
+                        F.round(F.element_at("features", 8), 4).alias("f7"))
+
+
+def minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH near-dup removal (shingle → signature → band join →
+    est-Jaccard filter). Hash-dependent → rows-only check; exactness is
+    covered by ngram_jaccard_pairs."""
+    from tablite_spark.pipeline.dedup import minhash_dedup
+    d = _t(spark, sf, "documents")
+    return minhash_dedup(d, "text", "doc_id", threshold=0.5).select("doc_id")
+
+
+def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """64-bit SimHash signatures (hash-dependent → rows-only check)."""
+    from tablite_spark.pipeline.dedup import simhash
+    d = _t(spark, sf, "documents")
+    return simhash(d, "text", "doc_id")
+
+
+def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-k (seeded planes →
+    deterministic but not SQL-expressible; rows-only check)."""
+    from tablite_spark.pipeline.similarity import lsh_topk
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_topk(emb, q, k=5, dim=dim, id_col="vec_id", vec_col="embedding")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -524,6 +700,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_any": filter_any,
         "filter_expression": filter_expression,
         "filter_substring_in": filter_substring_in,
+        "filter_callable": filter_callable,
+        "merge_where_case": merge_where_case,
+        "groupby_mode": groupby_mode,
+        "groupby_product": groupby_product,
+        "sort_mixed_excel": sort_mixed_excel,
+        "transpose_region": transpose_region,
+        "reindex_rows": reindex_rows,
+        "imputation_mode": imputation_mode,
+        "imputation_nn": imputation_nn,
+        "token_count_bpe": token_count_bpe,
+        "language_id_docs": language_id_docs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "near_dup_embeddings": near_dup_embeddings,
+        "multimodal_decode": multimodal_decode,
+        "media_features": media_features,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_docs": simhash_docs,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
         "groupby_accumulators": groupby_accumulators,
         "distinct_keys": distinct_keys,
         "unique_first": unique_first,
@@ -617,7 +811,149 @@ def oracle_sql() -> dict[str, str]:
         """,
         "filter_substring_in": """
             SELECT p_partkey, p_name, p_type
-            FROM part WHERE p_type LIKE '%BRASS%'
+            FROM part WHERE p_type LIKE '%ECO%'
+        """,
+        "filter_callable": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+        """,
+        "merge_where_case": """
+            SELECT o_orderkey,
+                   CASE WHEN o_totalprice > 200000
+                        THEN o_orderpriority ELSE o_orderstatus END AS label
+            FROM orders
+        """,
+        "groupby_mode": """
+            SELECT l_returnflag, MODE(l_linenumber) AS mode_ln
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "groupby_product": """
+            SELECT l_orderkey, ROUND(PRODUCT(1 + l_discount), 4) AS prod_disc
+            FROM lineitem WHERE l_orderkey < 1000 GROUP BY l_orderkey
+        """,
+        "sort_mixed_excel": """
+            WITH m AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_totalprice AS VARCHAR)
+                            WHEN o_orderkey % 4 = 1 THEN o_orderpriority
+                            WHEN o_orderkey % 4 = 2 THEN
+                                CASE WHEN o_orderkey % 8 = 2 THEN 'true' ELSE 'false' END
+                       END AS v
+                FROM orders WHERE o_orderkey < 2000
+            ), k AS (
+                SELECT o_orderkey, v,
+                       LOWER(v) IN ('true','false') AS is_bool,
+                       TRY_CAST(v AS DOUBLE) AS num
+                FROM m
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY
+                       CASE WHEN v IS NULL THEN 3
+                            WHEN is_bool THEN 2
+                            WHEN num IS NOT NULL THEN 0
+                            ELSE 1 END ASC,
+                       CASE WHEN num IS NOT NULL AND NOT is_bool THEN num END ASC NULLS LAST,
+                       CASE WHEN is_bool THEN CAST(LOWER(v) = 'true' AS INT) END ASC NULLS LAST,
+                       CASE WHEN num IS NULL AND NOT is_bool THEN v END ASC NULLS LAST,
+                       o_orderkey ASC) - 1 AS pos,
+                   o_orderkey, v
+            FROM k
+        """,
+        "transpose_region": """
+            SELECT 'r_name' AS r_regionkey,
+                   MAX(CASE WHEN r_regionkey = 0 THEN r_name END) AS "0",
+                   MAX(CASE WHEN r_regionkey = 1 THEN r_name END) AS "1",
+                   MAX(CASE WHEN r_regionkey = 2 THEN r_name END) AS "2",
+                   MAX(CASE WHEN r_regionkey = 3 THEN r_name END) AS "3",
+                   MAX(CASE WHEN r_regionkey = 4 THEN r_name END) AS "4"
+            FROM region
+        """,
+        "reindex_rows": """
+            SELECT n_nationkey, n_name FROM nation WHERE n_nationkey IN (5, 3, 7, 20)
+            UNION ALL
+            SELECT NULL, NULL
+        """,
+        "imputation_mode": """
+            SELECT event_id,
+                   COALESCE(etype, (SELECT MODE(etype) FROM
+                       (SELECT CASE WHEN event_id % 7 = 0 THEN NULL
+                                    ELSE event_type END AS etype FROM events))) AS etype
+            FROM (SELECT event_id,
+                         CASE WHEN event_id % 7 = 0 THEN NULL
+                              ELSE event_type END AS etype FROM events)
+        """,
+        "imputation_nn": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey,
+                       CASE WHEN c_custkey % 10 = 0 THEN NULL
+                            ELSE ROUND(c_acctbal, 2) END AS bal
+                FROM customer WHERE c_custkey < 300
+            ), rng AS (
+                SELECT CAST(MAX(c_custkey) - MIN(c_custkey) AS DOUBLE) AS r_ck,
+                       CAST(MAX(c_nationkey) - MIN(c_nationkey) AS DOUBLE) AS r_nk
+                FROM c
+            ), best AS (
+                SELECT n.c_custkey, d.bal AS fill_bal,
+                       ROW_NUMBER() OVER (PARTITION BY n.c_custkey ORDER BY
+                           ABS(n.c_custkey - d.c_custkey) / rng.r_ck
+                           + ABS(n.c_nationkey - d.c_nationkey) / rng.r_nk ASC,
+                           d.c_custkey ASC) AS rn
+                FROM c n CROSS JOIN rng JOIN c d ON d.bal IS NOT NULL
+                WHERE n.bal IS NULL
+            )
+            SELECT c.c_custkey, ROUND(COALESCE(c.bal, b.fill_bal), 2) AS bal
+            FROM c LEFT JOIN (SELECT c_custkey, fill_bal FROM best WHERE rn = 1) b
+            ON c.c_custkey = b.c_custkey
+        """,
+        "token_count_bpe": """
+            SELECT doc_id,
+                   LENGTH(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS n_tokens
+            FROM documents
+        """,
+        "language_id_docs": """
+            WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+               [{'score': LENGTH(list_filter(toks, x -> x IN ('the','and','of','to','is'))), 'lang': 'en'},
+                {'score': LENGTH(list_filter(toks, x -> x IN ('der','die','und','das','ist'))), 'lang': 'de'},
+                {'score': LENGTH(list_filter(toks, x -> x IN ('le','la','et','les','est'))), 'lang': 'fr'},
+                {'score': LENGTH(list_filter(toks, x -> x IN ('el','la','que','los','es'))), 'lang': 'es'}] AS sc
+               FROM t)
+            SELECT doc_id,
+                   CASE WHEN list_max(sc).score > 0 THEN list_max(sc).lang
+                        ELSE 'unknown' END AS lang_pred
+            FROM s
+        """,
+        "ngram_jaccard_pairs": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents WHERE doc_id < 40
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(0, GREATEST(LENGTH(toks) - 2, 1) - 1),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS grams
+                FROM d
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(LENGTH(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / GREATEST(LENGTH(list_distinct(list_concat(a.grams, b.grams))), 1), 4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+        """,
+        "near_dup_embeddings": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.embedding, b.embedding)
+                         / (SQRT(list_dot_product(a.embedding, a.embedding))
+                            * SQRT(list_dot_product(b.embedding, b.embedding))), 4) AS cos
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.embedding, b.embedding)
+                  / (SQRT(list_dot_product(a.embedding, a.embedding))
+                     * SQRT(list_dot_product(b.embedding, b.embedding))) >= 0.4
+        """,
+        "multimodal_decode": """
+            SELECT doc_id,
+                   64 + OCTET_LENGTH(ENCODE(text)) % 512 AS width,
+                   64 + (OCTET_LENGTH(ENCODE(text)) * 7) % 512 AS height
+            FROM documents
         """,
         "groupby_accumulators": """
             SELECT l_returnflag,

@@ -42,6 +42,42 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
+    """BASELINE.md mappings: tpz save/load ↔ parquet write/read,
+    CSV read throughput, stepped slice. Timings land in the shared
+    queries dict (seconds); row counts go to ``rows_out`` so rows/s is
+    reproducible."""
+    import shutil
+    import tempfile
+    import time
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    tmp = tempfile.mkdtemp(prefix="bench_io_")
+    try:
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").parquet(f"{tmp}/li.parquet")
+        timings["io_parquet_write"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{tmp}/li.parquet").write.format("noop") \
+            .mode("overwrite").save()
+        timings["io_parquet_read"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").option("header", True).csv(f"{tmp}/li.csv")
+        timings["io_csv_write"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        spark.read.option("header", True).option("inferSchema", True) \
+            .csv(f"{tmp}/li.csv").write.format("noop").mode("overwrite").save()
+        timings["io_csv_read_inferschema"] = round(time.perf_counter() - t0, 3)
+
+        rows_out["io_rows"] = n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -59,6 +95,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_total0, 3)
 
+    extra: dict[str, int] = {}
+    io_benchmarks(spark, sf_dir, timings, extra)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -66,6 +105,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        **extra,
     }))
     spark.stop()
 

@@ -46,14 +46,16 @@ def fill_mode(df: DataFrame, targets: list[str]) -> DataFrame:
 
 
 def nearest_neighbour(df: DataFrame, targets: list[str],
-                      sources: list[str]) -> DataFrame:
+                      sources: list[str],
+                      tiebreak: list[str] | None = None) -> DataFrame:
     """Exact NN imputation (rank-normalized L1 over sources).
 
     For each row with a missing target, find the donor row (target not
     null) minimizing sum(|src_i - donor_src_i| / range_i); ties broken
-    by donor order. Only null rows join donors — at 100 TB the null
-    fraction is what drives cost, and the donor side can be sampled or
-    LSH-bucketed without changing the API.
+    by ``tiebreak`` donor columns (default: donor ingest order). Only
+    null rows join donors — at 100 TB the null fraction is what drives
+    cost, and the donor side can be sampled or LSH-bucketed without
+    changing the API.
     """
     ranges = df.agg(*[
         (F.max(F.col(s)) - F.min(F.col(s))).alias(s) for s in sources
@@ -64,15 +66,20 @@ def nearest_neighbour(df: DataFrame, targets: list[str],
     out = base
     for t in targets:
         nulls = out.filter(F.col(t).isNull()).select(rid, *sources)
+        tb_src = tiebreak or []
         donors = out.filter(F.col(t).isNotNull()).select(
             F.col(rid).alias("__donor_rid__"), F.col(t).alias("__donor_val__"),
-            *[F.col(s).alias(f"__d_{s}__") for s in sources])
+            *[F.col(s).alias(f"__d_{s}__") for s in sources],
+            *[F.col(s).alias(f"__tb_{s}__") for s in tb_src if s not in sources])
         dist_terms = []
         for s in sources:
             rng = ranges[s] or 1
             dist_terms.append(F.abs(F.col(s) - F.col(f"__d_{s}__")) / F.lit(float(rng)))
         dist = reduce(Column.__add__, dist_terms)
-        w = Window.partitionBy(rid).orderBy(dist.asc(), F.col("__donor_rid__").asc())
+        tb_cols = ([F.col(f"__d_{s}__" if s in sources else f"__tb_{s}__").asc()
+                    for s in tb_src]
+                   if tb_src else [F.col("__donor_rid__").asc()])
+        w = Window.partitionBy(rid).orderBy(dist.asc(), *tb_cols)
         best = (nulls.join(donors, on=F.lit(True), how="left")
                 .withColumn("__rn__", F.row_number().over(w))
                 .filter(F.col("__rn__") == 1)

@@ -91,3 +91,25 @@ def test_table_facade_filter(spark):
     t = Table(spark.createDataFrame([(1, 10), (2, 20)], "a int, b int"))
     tr, fa = t.filter([{"column1": "a", "criteria": "==", "value2": 1}])
     assert len(tr) == 1 and len(fa) == 1
+
+
+def test_merge_where(spark):
+    """CASE merge drops both source columns (tablite/merge.py:7-50)."""
+    from tablite_spark.operators.merge import merge_where
+    df = spark.createDataFrame(
+        [(1, "l1", "r1"), (2, "l2", "r2"), (3, "l3", "r3")],
+        "k int, lft string, rgt string")
+    out = merge_where(df, "lft", "rgt", "m", F.col("k") <= 2)
+    assert out.columns == ["k", "m"]
+    rows = {r["k"]: r["m"] for r in out.collect()}
+    assert rows == {1: "l1", 2: "l2", 3: "r3"}
+
+
+def test_nearest_neighbour_tiebreak(spark):
+    """Equidistant donors resolve by the tiebreak column ascending."""
+    from tablite_spark.operators.imputation import nearest_neighbour
+    df = spark.createDataFrame(
+        [(1, 100.0), (2, None), (3, 300.0)], "k int, v double")
+    out = nearest_neighbour(df, ["v"], ["k"], tiebreak=["k"])
+    rows = {r["k"]: r["v"] for r in out.collect()}
+    assert rows[2] == 100.0  # k=1 and k=3 tie at distance 1; min k wins
