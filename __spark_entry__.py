@@ -566,6 +566,77 @@ def imputation_nn(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", F.round(F.col("bal"), 2).alias("bal"))
 
 
+def statistics_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Column.statistics str variant — stats over value lengths
+    (tablite/utils.py:188-398: strings are measured by length)."""
+    c = F.length(F.col("c_name"))
+    cust = _t(spark, sf, "customer")
+    return cust.agg(
+        F.min(c).alias("min_len"),
+        F.max(c).alias("max_len"),
+        F.round(F.avg(c), 4).alias("avg_len"),
+        F.count_distinct(F.col("c_name")).alias("distinct"),
+    )
+
+
+def index_rowids(spark: SparkSession, sf: str) -> DataFrame:
+    """Table.index: key tuple → row ids (tablite/base.py:1927-1965);
+    row-id lists serialized sorted so the value-hash is stable."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    return (o.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_list(
+                F.col("o_orderkey").cast("string")))).alias("row_ids")))
+
+
+def sort_unix_mixed(spark: SparkSession, sf: str) -> DataFrame:
+    """'unix' collation: None < bool < numeric < text
+    (tablite/sort_utils.py:176-207)."""
+    from tablite_spark.operators.sorting import _mixed_sort_key
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 4 == 0,
+               F.col("o_totalprice").cast("string"))
+         .when(F.col("o_orderkey") % 4 == 1, F.col("o_orderpriority"))
+         .when(F.col("o_orderkey") % 4 == 2,
+               F.when(F.col("o_orderkey") % 8 == 2, F.lit("true")).otherwise(F.lit("false")))
+         .alias("v"))
+    keys = [k.asc_nulls_first() for k in _mixed_sort_key("v", "unix")]
+    keys.append(F.col("o_orderkey").asc())
+    return o.select(
+        (F.row_number().over(W.orderBy(*keys)) - 1).alias("pos"),
+        "o_orderkey", "v")
+
+
+def xround_time_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """DataTypes.round on datetimes: 30-minute buckets
+    (tablite/datatypes.py:325-371)."""
+    from tablite_spark.functions.rounding import xround_ts
+    e = _t(spark, sf, "events")
+    return (e.select(xround_ts(F.col("ts"), 1800, up=False).alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("bucket", F.date_format("bucket", "yyyy-MM-dd HH:mm:ss")))
+
+
+def csv_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E CSV writer→reader proof (tablite from_file/to_csv,
+    tablite/core.py:50-218): export lineitem columns to CSV, re-read
+    with schema inference, aggregate — oracled against the parquet
+    source data, so any reader/writer corruption breaks the value hash."""
+    import tempfile
+
+    from tablite_spark.sources.io import read_csv
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    tmp = tempfile.mkdtemp(prefix="csv_rt_")
+    path = f"{tmp}/li_csv"
+    li.write.mode("overwrite").option("header", True).csv(path)
+    back = read_csv(spark, path)
+    return (back.groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
+
+
 # --------------------------------------------------------------------
 # pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------
@@ -709,6 +780,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_rows": reindex_rows,
         "imputation_mode": imputation_mode,
         "imputation_nn": imputation_nn,
+        "statistics_text": statistics_text,
+        "index_rowids": index_rowids,
+        "sort_unix_mixed": sort_unix_mixed,
+        "xround_time_buckets": xround_time_buckets,
+        "csv_roundtrip_agg": csv_roundtrip_agg,
         "token_count_bpe": token_count_bpe,
         "language_id_docs": language_id_docs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -902,6 +978,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, ROUND(COALESCE(c.bal, b.fill_bal), 2) AS bal
             FROM c LEFT JOIN (SELECT c_custkey, fill_bal FROM best WHERE rn = 1) b
             ON c.c_custkey = b.c_custkey
+        """,
+        "statistics_text": """
+            SELECT MIN(LENGTH(c_name)) AS min_len,
+                   MAX(LENGTH(c_name)) AS max_len,
+                   ROUND(AVG(LENGTH(c_name)), 4) AS avg_len,
+                   COUNT(DISTINCT c_name) AS distinct
+            FROM customer
+        """,
+        "index_rowids": """
+            SELECT o_orderstatus, o_orderpriority,
+                   array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') AS row_ids
+            FROM orders WHERE o_orderkey < 500
+            GROUP BY o_orderstatus, o_orderpriority
+        """,
+        "sort_unix_mixed": """
+            WITH m AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_totalprice AS VARCHAR)
+                            WHEN o_orderkey % 4 = 1 THEN o_orderpriority
+                            WHEN o_orderkey % 4 = 2 THEN
+                                CASE WHEN o_orderkey % 8 = 2 THEN 'true' ELSE 'false' END
+                       END AS v
+                FROM orders WHERE o_orderkey < 2000
+            ), k AS (
+                SELECT o_orderkey, v,
+                       LOWER(v) IN ('true','false') AS is_bool,
+                       TRY_CAST(v AS DOUBLE) AS num
+                FROM m
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY
+                       CASE WHEN v IS NULL THEN 0
+                            WHEN is_bool THEN 1
+                            WHEN num IS NOT NULL THEN 2
+                            ELSE 3 END ASC,
+                       CASE WHEN num IS NOT NULL AND NOT is_bool THEN num END ASC NULLS FIRST,
+                       CASE WHEN is_bool THEN CAST(LOWER(v) = 'true' AS INT) END ASC NULLS FIRST,
+                       CASE WHEN num IS NULL AND NOT is_bool THEN v END ASC NULLS FIRST,
+                       o_orderkey ASC) - 1 AS pos,
+                   o_orderkey, v
+            FROM k
+        """,
+        "xround_time_buckets": """
+            SELECT STRFTIME(time_bucket(INTERVAL 30 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "csv_roundtrip_agg": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n,
+                   CAST(SUM(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
+            FROM lineitem GROUP BY l_returnflag
         """,
         "token_count_bpe": """
             SELECT doc_id,
