@@ -566,6 +566,38 @@ def imputation_nn(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", F.round(F.col("bal"), 2).alias("bal"))
 
 
+def drop_duplicates_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Table.drop_duplicates on selected columns
+    (tablite/core.py:394-404)."""
+    from tablite_spark.operators.filters import drop_duplicates
+    li = _t(spark, sf, "lineitem").select("l_returnflag", "l_linestatus", "l_linenumber")
+    return drop_duplicates(li, "l_returnflag", "l_linestatus", "l_linenumber")
+
+
+def groupby_first_last(spark: SparkSession, sf: str) -> DataFrame:
+    """First/Last accumulators (nimlite/funcs/groupby.nim:155-182) made
+    deterministic over an explicit order: first/last order (by orderkey)
+    per customer."""
+    o = _t(spark, sf, "orders")
+    return (o.groupBy("o_custkey")
+            .agg(F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+                 F.max_by("o_totalprice", "o_orderkey").alias("last_price")))
+
+
+def date_range_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """date_range generator (tablite/utils.py:401-409) → F.sequence:
+    one row per day between orderdate and first shipdate."""
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 100)
+    li = _t(spark, sf, "lineitem").groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("ship"))
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    od = F.col("o_orderdate").cast("date")
+    sd = F.col("ship").cast("date")
+    days = F.sequence(F.least(od, sd), F.greatest(od, sd))
+    return (j.select("o_orderkey", F.explode(days).alias("day"))
+            .withColumn("day", F.date_format("day", "yyyy-MM-dd")))
+
+
 def statistics_text(spark: SparkSession, sf: str) -> DataFrame:
     """Column.statistics str variant — stats over value lengths
     (tablite/utils.py:188-398: strings are measured by length)."""
@@ -780,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_rows": reindex_rows,
         "imputation_mode": imputation_mode,
         "imputation_nn": imputation_nn,
+        "drop_duplicates": drop_duplicates_q,
+        "groupby_first_last": groupby_first_last,
+        "date_range_expand": date_range_expand,
         "statistics_text": statistics_text,
         "index_rowids": index_rowids,
         "sort_unix_mixed": sort_unix_mixed,
@@ -978,6 +1013,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, ROUND(COALESCE(c.bal, b.fill_bal), 2) AS bal
             FROM c LEFT JOIN (SELECT c_custkey, fill_bal FROM best WHERE rn = 1) b
             ON c.c_custkey = b.c_custkey
+        """,
+        "drop_duplicates": """
+            SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem
+        """,
+        "groupby_first_last": """
+            SELECT o_custkey,
+                   ARG_MIN(o_totalprice, o_orderkey) AS first_price,
+                   ARG_MAX(o_totalprice, o_orderkey) AS last_price
+            FROM orders GROUP BY o_custkey
+        """,
+        "date_range_expand": """
+            SELECT o_orderkey, STRFTIME(CAST(day AS DATE), '%Y-%m-%d') AS day
+            FROM (
+                SELECT o.o_orderkey,
+                       UNNEST(generate_series(
+                           LEAST(CAST(o.o_orderdate AS DATE), CAST(s.ship AS DATE)),
+                           GREATEST(CAST(o.o_orderdate AS DATE), CAST(s.ship AS DATE)),
+                           INTERVAL 1 DAY)) AS day
+                FROM orders o
+                JOIN (SELECT l_orderkey, MIN(l_shipdate) AS ship
+                      FROM lineitem GROUP BY l_orderkey) s
+                ON o.o_orderkey = s.l_orderkey
+                WHERE o.o_orderkey < 100
+            )
         """,
         "statistics_text": """
             SELECT MIN(LENGTH(c_name)) AS min_len,
