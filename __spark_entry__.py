@@ -566,6 +566,34 @@ def imputation_nn(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", F.round(F.col("bal"), 2).alias("bal"))
 
 
+def pivot_long(spark: SparkSession, sf: str) -> DataFrame:
+    """pivot(values_as_rows=True): wide pivot melted back to
+    (keys, function, value) rows (tablite/pivots.py:11-182)."""
+    from tablite_spark.operators.groupby import GroupBy, pivot
+    li = _t(spark, sf, "lineitem")
+    p = pivot(li, ["l_returnflag"], ["l_linestatus"],
+              [("l_quantity", GroupBy.sum)], values_as_rows=True)
+    return p.select("l_returnflag", "function",
+                    F.round(F.col("value"), 2).alias("value"))
+
+
+def sort_alphanumeric(spark: SparkSession, sf: str) -> DataFrame:
+    """'alphanumeric' collation: everything compared as text
+    (tablite/sort_utils.py:210-216)."""
+    from tablite_spark.operators.sorting import _mixed_sort_key
+    o = _t(spark, sf, "orders").filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0,
+               F.col("o_totalprice").cast("string"))
+         .when(F.col("o_orderkey") % 3 == 1, F.col("o_orderpriority"))
+         .alias("v"))
+    keys = [k.asc_nulls_first() for k in _mixed_sort_key("v", "alphanumeric")]
+    keys.append(F.col("o_orderkey").asc())
+    return o.select(
+        (F.row_number().over(W.orderBy(*keys)) - 1).alias("pos"),
+        "o_orderkey", "v")
+
+
 def drop_duplicates_q(spark: SparkSession, sf: str) -> DataFrame:
     """Table.drop_duplicates on selected columns
     (tablite/core.py:394-404)."""
@@ -812,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_rows": reindex_rows,
         "imputation_mode": imputation_mode,
         "imputation_nn": imputation_nn,
+        "pivot_long": pivot_long,
+        "sort_alphanumeric": sort_alphanumeric,
         "drop_duplicates": drop_duplicates_q,
         "groupby_first_last": groupby_first_last,
         "date_range_expand": date_range_expand,
@@ -1013,6 +1043,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, ROUND(COALESCE(c.bal, b.fill_bal), 2) AS bal
             FROM c LEFT JOIN (SELECT c_custkey, fill_bal FROM best WHERE rn = 1) b
             ON c.c_custkey = b.c_custkey
+        """,
+        "pivot_long": """
+            SELECT l_returnflag, 'l_linestatus=F' AS function,
+                   ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS value
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 'l_linestatus=O' AS function,
+                   ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2) AS value
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "sort_alphanumeric": """
+            WITH m AS (
+                SELECT o_orderkey,
+                       CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_totalprice AS VARCHAR)
+                            WHEN o_orderkey % 3 = 1 THEN o_orderpriority
+                       END AS v
+                FROM orders WHERE o_orderkey < 2000
+            )
+            SELECT ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST, o_orderkey ASC) - 1 AS pos,
+                   o_orderkey, v
+            FROM m
         """,
         "drop_duplicates": """
             SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber FROM lineitem

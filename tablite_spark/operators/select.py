@@ -49,7 +49,15 @@ def _clean_number(c: Column) -> Column:
     # EU form: dots as thousands + comma decimal
     eu = F.regexp_replace(F.regexp_replace(s, r"\.(?=\d{3}(\D|$))", ""), ",", ".")
     us = F.regexp_replace(s, r",(?=\d{3}(\D|$))", "")
-    looks_eu = s.rlike(r"^-?\d{1,3}(\.\d{3})+(,\d+)?$") | s.rlike(r"^-?\d+,\d+$")
+    # ambiguity rules (reference tries plain float() first,
+    # tablite/datatypes.py:453-503, so single-group forms read as US):
+    # "1,000" (comma + exactly 3 digits) → US thousands, not EU decimal;
+    # "5.125" (single dot + 3 digits) → US decimal, not EU thousands.
+    # EU wins only when unambiguous: ≥2 dot-groups, or dot-groups with a
+    # comma decimal, or comma with 1-2/4+ fraction digits.
+    looks_eu = (s.rlike(r"^-?\d{1,3}(\.\d{3}){2,}$")
+                | s.rlike(r"^-?\d{1,3}(\.\d{3})+,\d+$")
+                | s.rlike(r"^-?\d+,(\d{1,2}|\d{4,})$"))
     return F.when(looks_eu, eu).otherwise(us)
 
 
