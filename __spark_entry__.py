@@ -260,13 +260,16 @@ def lookup_first_match(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate", "l_linenumber")
     j = o.join(li, (o.o_orderkey == li.l_orderkey) & (li.l_shipdate >= o.o_orderdate), "left")
-    w = W.partitionBy("o_orderkey").orderBy(
-        F.col("l_shipdate").asc_nulls_last(), F.col("l_linenumber").asc_nulls_last())
-    return (j.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
+    # first match as min(struct) — partial-aggregable map-side, unlike a
+    # window rank which shuffles every matched pair
+    best = F.when(li.l_shipdate.isNotNull(),
+                  F.struct(li.l_shipdate.alias("sd"),
+                           li.l_linenumber.alias("ln")))
+    return (j.groupBy("o_orderkey")
+            .agg(F.min(best).alias("b"))
             .select("o_orderkey",
-                    F.col("l_shipdate").cast("date").alias("first_ship"),
-                    "l_linenumber"))
+                    F.col("b.sd").cast("date").alias("first_ship"),
+                    F.col("b.ln").alias("l_linenumber")))
 
 
 def pivot_wide(spark: SparkSession, sf: str) -> DataFrame:

@@ -109,20 +109,24 @@ _THETA_OPS: dict[str, Callable[[Column, Column], Column]] = {
 
 
 def lookup(left: DataFrame, right: DataFrame,
-           *criteria: tuple, keep_all: bool = True) -> DataFrame:
+           *criteria: tuple, all: bool = True) -> DataFrame:
     """First-match theta join (tablite/core.py:813-832,
     tablite/lookup.py:14-110).
 
     Each criterion is ``(left_operand, op, right_operand)`` where a
     string names a column on its side and any other value is a literal.
-    For every left row: attach the FIRST right row (in right's original
-    order) satisfying all criteria; unmatched → nulls.
+    ``all`` combines criteria with AND (the reference's ALL) vs OR
+    (ANY) — tablite/lookup.py:20 — NOT "keep all matches": the result
+    always attaches the FIRST right row (in right's original order)
+    per left row; unmatched → nulls.
 
     Scalable plan: tag both sides with row ids, non-equi join, then
-    ``row_number() over (partition by left_id order by right_id) = 1``.
-    When one criterion is an equality, Spark plans it as an equi join
-    with the rest as post-filters; pure-theta degrades to broadcast
-    nested loop — same asymptotics as the reference, but distributed.
+    take min(struct(right_id, right_row)) per left id — an aggregation,
+    so Spark does map-side partial combining (a window rank would
+    shuffle every matched pair). When one criterion is an equality,
+    Spark plans the join as equi with the rest as post-filters;
+    pure-theta degrades to broadcast nested loop — same asymptotics as
+    the reference's scan, but distributed.
     """
     lid, rid = "__lookup_lid__", "__lookup_rid__"
     Lw = left.withColumn(lid, F.monotonically_increasing_id()).alias("__l__")
@@ -136,20 +140,29 @@ def lookup(left: DataFrame, right: DataFrame,
             conds.append(F.udf(lambda a, b, f=op: bool(f(a, b)), "boolean")(lcol, rcol))
         else:
             conds.append(_THETA_OPS[op](lcol, rcol))
-    cond = reduce(Column.__and__, conds)
+    cond = reduce(Column.__and__ if all else Column.__or__, conds)
 
     joined = Lw.join(Rw, on=cond, how="left")
-    w = Window.partitionBy(F.col(f"__l__.{lid}")).orderBy(F.col(f"__r__.{rid}").asc_nulls_last())
-    ranked = joined.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1)
+    # first match = min over (right_id, payload) structs; unmatched rows
+    # contribute NULL (struct guarded on rid) so min() skips them
+    best_struct = F.when(
+        F.col(f"__r__.{rid}").isNotNull(),
+        F.struct(F.col(f"__r__.{rid}").alias("rid"),
+                 *[F.col(f"__r__.{c}").alias(f"c{i}")
+                   for i, c in enumerate(right.columns)]))
+    aggs = [F.first(F.col(f"__l__.{c}")).alias(f"l{i}")
+            for i, c in enumerate(left.columns)]
+    grouped = (joined.groupBy(F.col(f"__l__.{lid}"))
+               .agg(*aggs, F.min(best_struct).alias("__best__")))
 
     out, taken = [], []
-    for c in left.columns:
+    for i, c in enumerate(left.columns):
         n = unique_name(c, taken); taken.append(n)
-        out.append(F.col(f"__l__.{c}").alias(n))
-    for c in right.columns:
+        out.append(F.col(f"l{i}").alias(n))
+    for i, c in enumerate(right.columns):
         n = unique_name(c, taken); taken.append(n)
-        out.append(F.col(f"__r__.{c}").alias(n))
-    return ranked.select(*out)
+        out.append(F.col(f"__best__.c{i}").alias(n))
+    return grouped.select(*out)
 
 
 def match(left: DataFrame, right: DataFrame, keys: list[tuple[str, str]],

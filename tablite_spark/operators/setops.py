@@ -83,3 +83,16 @@ def frames_equal(a: DataFrame, b: DataFrame) -> bool:
     if a.schema != b.schema:
         return False
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def hstack_by_position(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Column assignment from another table (t['x'] = other['col'],
+    tablite/base.py:1161-1203): align by row position. Positional
+    alignment requires a total order — we use each frame's current
+    order via row index, one narrow shuffle per side. Extra rows on
+    either side follow python-zip-longest-with-None (the reference
+    pads short columns with None on read)."""
+    from tablite_spark.operators.sorting import with_row_index
+    ai = with_row_index(a, "__hs_idx__")
+    bi = with_row_index(b, "__hs_idx__")
+    return ai.join(bi, on="__hs_idx__", how="full").drop("__hs_idx__")

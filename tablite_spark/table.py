@@ -78,6 +78,12 @@ class Table:
         return self.df.count()
 
     def __getitem__(self, keys):
+        if isinstance(keys, int):
+            # t[3] → row tuple (tablite/base.py:1205-1287)
+            rows = self.df.offset(keys).limit(1).collect()
+            if not rows:
+                raise IndexError(keys)
+            return tuple(rows[0])
         if isinstance(keys, str):
             return Table(self.df.select(keys))
         if isinstance(keys, slice):
@@ -95,6 +101,42 @@ class Table:
 
     def __delitem__(self, name: str):
         self.df = self.df.drop(name)
+
+    def __setitem__(self, name: str, value):
+        """t['x'] = Column-expression | constant | Table column
+        (tablite/base.py:1161-1203). List assignment is intentionally
+        unsupported: positional writes don't exist on a distributed
+        frame — derive the column from expressions instead."""
+        if isinstance(value, Table):
+            if len(value.df.columns) != 1:
+                raise ValueError("assigning a Table requires exactly one column")
+            src = value.df.columns[0]
+            self.df = self.df.withColumn(name, F.col(src)) if src in self.df.columns \
+                else _setops.hstack_by_position(self.df, value.df.withColumnRenamed(src, name))
+        elif isinstance(value, F.Column):
+            self.df = self.df.withColumn(name, value)
+        elif isinstance(value, (list, tuple)):
+            raise TypeError(
+                "list assignment is not supported on a distributed table; "
+                "use a Column expression (e.g. t['x'] = F.col('a') * 2)")
+        else:
+            self.df = self.df.withColumn(name, F.lit(value))
+
+    @property
+    def rows(self):
+        """Row iterator (tablite/base.py:1294-1318) — streams partitions
+        to the driver via toLocalIterator, never materializing the whole
+        table."""
+        for r in self.df.toLocalIterator():
+            yield tuple(r)
+
+    def remove_all(self, column: str, *values) -> "Table":
+        """Column.remove_all as a row filter (tablite/base.py:870-885)."""
+        c = F.col(column)
+        cond = c.isin([v for v in values if v is not None])
+        if any(v is None for v in values):
+            cond = cond | c.isNull()
+        return Table(self.df.filter(~F.coalesce(cond, F.lit(False))))
 
     def rename(self, mapping: dict[str, str]) -> "Table":
         return Table(self.df.withColumnsRenamed(mapping))
@@ -174,7 +216,7 @@ class Table:
         return self.join(other, None, None, kind="cross", **kw)
 
     def lookup(self, other: "Table", *criteria, all: bool = True) -> "Table":
-        return Table(_joins.lookup(self.df, other.df, *criteria, keep_all=all))
+        return Table(_joins.lookup(self.df, other.df, *criteria, all=all))
 
     def match(self, other: "Table", *criteria, keep_left=None, keep_right=None) -> "Table":
         keys = [(lc, rc) for lc, op, rc in criteria]

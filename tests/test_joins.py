@@ -2,6 +2,7 @@
 null-key matching, collision renaming `_1`, merge_keys, lookup, match."""
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tablite_spark.operators.joins import join, lookup, match, unique_name
@@ -108,3 +109,25 @@ def test_match_attach_first(spark):
         [("a", 10), ("a", 20), ("b", 30)], "k string, v int")
     out = match(left, right, [("k", "k")])
     assert out.count() == 2  # one right row attached per left row
+
+
+def test_lookup_any_criteria(spark):
+    """all=False combines criteria with OR (tablite/lookup.py:20)."""
+    from tablite_spark.operators.joins import lookup
+    L = spark.createDataFrame([(1, 5), (2, 99)], "id int, x int")
+    R = spark.createDataFrame([(10, 5), (20, 50)], "rid int, y int")
+    got = lookup(L, R, ("x", "==", "y"), ("x", ">", "y"), all=False)
+    rows = {r["id"]: r["rid"] for r in got.collect()}
+    assert rows[1] == 10   # x==y on first right row
+    assert rows[2] == 10   # x>y matches both; first right row wins
+
+
+def test_table_setitem_and_rows(spark):
+    from tablite_spark import Table
+    t = Table(spark.createDataFrame([(1,), (2,)], "a int"))
+    t["b"] = F.col("a") * 10
+    t["c"] = 7
+    assert sorted(t.rows) == [(1, 10, 7), (2, 20, 7)]
+    import pytest as _pt
+    with _pt.raises(TypeError):
+        t["d"] = [1, 2]
