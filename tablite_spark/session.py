@@ -28,6 +28,8 @@ def get_spark(app_name: str = "tablite_spark", master: str | None = None) -> Spa
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.files.maxPartitionBytes", Config.MAX_PARTITION_BYTES)
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
