@@ -810,6 +810,18 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(d, "text", "doc_id")
 
 
+def ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: k-means inverted lists + n_probe cell scoring
+    (k-means init is seeded but iteration order is engine-specific →
+    rows-only check; recall vs brute force is tested in
+    tests/test_pipeline.py)."""
+    from tablite_spark.pipeline.similarity import ivf_topk
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
+                    n_lists=8, n_probe=4)
+
+
 def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k (seeded planes →
     deterministic but not SQL-expressible; rows-only check)."""
@@ -862,6 +874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_docs": simhash_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
         "groupby_accumulators": groupby_accumulators,
         "distinct_keys": distinct_keys,
         "unique_first": unique_first,

@@ -122,3 +122,63 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     j = j.filter(cond).withColumn("cos", cosine(F.col("v_a"), F.col("v_b")))
     return (j.filter(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round(F.col("cos"), 4).alias("cos")))
+
+
+def ivf_index(df: DataFrame, id_col: str, vec_col: str,
+              n_lists: int = 16, seed: int = 42):
+    """IVF coarse quantizer: k-means over the corpus; returns
+    (assigned_corpus, centroids). The corpus is scanned once for
+    training (Spark ML KMeans is itself distributed) and once for
+    assignment; the assignment column is the inverted-list key.
+
+    At 100 TB: train on a sample (`df.sample`), assign the full corpus,
+    and persist the assignment as a partition column so each query
+    probes only its lists' files (partition pruning on `ivf_list`).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = df.select(F.col(id_col).alias("nid"),
+                     _as_double(F.col(vec_col)).alias("cv"),
+                     array_to_vector(_as_double(F.col(vec_col))).alias("__features__"))
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__features__",
+                predictionCol="ivf_list")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("nid", "cv", "ivf_list")
+    centroids = [list(c) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             id_col: str = "id", vec_col: str = "vec",
+             n_lists: int = 16, n_probe: int = 4, seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: assign corpus to n_lists k-means cells,
+    score each query only against its n_probe nearest cells.
+
+    Plan shape: centroids are tiny (n_lists × dim) → the query-side
+    probe assignment is a literal-array expression; candidate
+    generation is an equi join on `ivf_list`; exact cosine only within
+    probed cells (~n_probe/n_lists of the corpus per query).
+    """
+    assigned, centroids = ivf_index(corpus, id_col, vec_col, n_lists, seed)
+
+    q = queries.select(F.col(id_col).alias("qid"),
+                       _as_double(F.col(vec_col)).alias("qv"))
+    # rank centroids per query by distance (computed as expressions over
+    # literal centroid arrays — no second k-means pass)
+    cells = []
+    for li, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in cvec])
+        d2 = F.aggregate(F.zip_with(F.col("qv"), lit, lambda a, b: (a - b) * (a - b)),
+                         F.lit(0.0), lambda acc, x: acc + x)
+        cells.append(F.struct(d2.alias("d2"), F.lit(li).alias("cell")))
+    probes = F.slice(F.array_sort(F.array(*cells)), 1, n_probe)
+    qp = q.withColumn("ivf_list", F.explode(F.transform(probes, lambda s: s.getField("cell"))))
+
+    cand = assigned.join(F.broadcast(qp), on="ivf_list") \
+                   .filter(F.col("nid") != F.col("qid"))
+    scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))

@@ -77,3 +77,25 @@ def stateful_running_total(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+def sliding_counts(events: DataFrame, ts_col: str = "ts",
+                   window: str = "1 hour", slide: str = "30 minutes",
+                   watermark: str = "2 hours",
+                   keys: list[str] | None = None) -> DataFrame:
+    """Sliding (hopping) windows — each event lands in window/slide
+    overlapping windows; watermark bounds state as with tumbling."""
+    keys = keys or []
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window, slide), *keys)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value")))
+
+
+def stream_dedup(events: DataFrame, keys: list[str],
+                 ts_col: str = "ts", watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup within the watermark horizon —
+    dropDuplicates over keys with bounded state (the streaming twin of
+    pipeline.dedup.exact_dedup)."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))

@@ -155,3 +155,20 @@ def test_multimodal_decode_plumbing(spark):
     by_id = {r["id"]: r["features"] for r in feats}
     assert len(by_id[1]) == 4
     assert abs(sum(by_id[1]) - 1.0) < 1e-6
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: results are valid neighbors and recall@5 vs brute force
+    is reasonable on clustered data."""
+    from tablite_spark.pipeline.similarity import brute_force_topk, ivf_topk
+    from tablite_spark.session import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, q, 5, id_col="vec_id", vec_col="embedding")
+    approx = ivf_topk(emb, q, 5, id_col="vec_id", vec_col="embedding",
+                      n_lists=8, n_probe=4)
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    a = {(r["qid"], r["nid"]) for r in approx.collect()}
+    assert len(a) == 25  # 5 queries x k=5
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall {recall}"

@@ -75,3 +75,36 @@ def test_stateful_running_total(spark, stream_dir, tmp_path):
     totals = {r["user_id"]: r["running_total"] for r in rows}
     assert totals[1] == 16.0
     assert totals[2] == 7.0
+
+
+def test_sliding_counts_stream(spark, stream_dir, tmp_path):
+    from tablite_spark.streaming.ops import sliding_counts
+    src = stream_from_directory(spark, stream_dir, SCHEMA)
+    agg = sliding_counts(src, window="1 hour", slide="30 minutes")
+    _run_to_completion(agg, tmp_path, "slide")
+    out = spark.sql("SELECT * FROM slide").collect()
+    by_start = {str(r["window"]["start"]): r["n"] for r in out}
+    # events at 00:00,00:05,00:10 land in both the 23:30 and 00:00 windows
+    assert by_start["2024-01-01 00:00:00"] == 3
+    assert by_start["2023-12-31 23:30:00"] == 3
+    assert by_start["2024-01-01 02:00:00"] == 1
+
+
+def test_stream_dedup(spark, tmp_path):
+    from tablite_spark.streaming.ops import stream_dedup
+    rows = [(1, "2024-01-01 00:00:00", 1, 10.0),
+            (1, "2024-01-01 00:00:00", 1, 10.0),   # exact dup
+            (2, "2024-01-01 00:10:00", 1, 5.0)]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, value double") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "dup_stream")
+    df.write.parquet(path)
+    src = stream_from_directory(spark, path, SCHEMA)
+    out = stream_dedup(src, ["event_id"])
+    q = (out.writeStream.format("memory").queryName("dedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
