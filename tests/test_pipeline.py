@@ -172,3 +172,17 @@ def test_ivf_topk_recall(spark):
     assert len(a) == 25  # 5 queries x k=5
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"recall {recall}"
+
+
+def test_blocked_near_dup_matches_expression_path(spark):
+    """Block-BLAS all-pairs cosine == per-pair expression version."""
+    from tablite_spark.pipeline.similarity import (
+        embedding_near_dup_blocked, embedding_near_dup_pairs,
+    )
+    from tablite_spark.session import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    expr = {(r["id_a"], r["id_b"]) for r in
+            embedding_near_dup_pairs(emb, "vec_id", "embedding", 0.35).collect()}
+    blocked = {(r["id_a"], r["id_b"]) for r in
+               embedding_near_dup_blocked(emb, "vec_id", "embedding", 0.35).collect()}
+    assert expr == blocked and len(expr) > 0
