@@ -700,6 +700,37 @@ def csv_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
 
 
+def json_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E JSON-lines writer→reader proof (tablite from_json/to_json,
+    tablite/import_utils.py:112-122): export nation to JSON, re-read,
+    aggregate against the parquet source."""
+    import tempfile
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="json_rt_")
+    path = f"{tmp}/nation_json"
+    n.write.mode("overwrite").json(path)
+    back = spark.read.json(path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.min("n_name").alias("first_name"))
+            .withColumn("n_regionkey", F.col("n_regionkey").cast("long")))
+
+
+def parquet_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """tpz-equivalent persistence proof (tablite/base.py:1350-1453):
+    save→load→aggregate matches the source."""
+    import tempfile
+    from tablite_spark.sources.io import load, save
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    tmp = tempfile.mkdtemp(prefix="pq_rt_")
+    save(li, f"{tmp}/li")
+    back = load(spark, f"{tmp}/li")
+    return (back.groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # --------------------------------------------------------------------
 # pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------
@@ -867,6 +898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sort_unix_mixed": sort_unix_mixed,
         "xround_time_buckets": xround_time_buckets,
         "csv_roundtrip_agg": csv_roundtrip_agg,
+        "json_roundtrip_agg": json_roundtrip_agg,
+        "parquet_roundtrip_agg": parquet_roundtrip_agg,
         "token_count_bpe": token_count_bpe,
         "language_id_docs": language_id_docs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1157,6 +1190,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
                    COUNT(*) AS n,
                    CAST(SUM(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "json_roundtrip_agg": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "parquet_roundtrip_agg": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
         """,
         "token_count_bpe": """

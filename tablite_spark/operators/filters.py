@@ -89,7 +89,20 @@ def normalize_expression(expression: str) -> str:
     m = _ALL_ANY_RE.match(expression)
     if m:
         joiner = " AND " if m.group(1) == "all" else " OR "
-        parts = [p.strip() for p in m.group(2).split(",") if p.strip()]
+        # split on top-level commas only — "all((f(a,b)>1, c<2))" must
+        # not break inside the call's argument list
+        parts, depth, cur = [], 0, []
+        for ch in m.group(2):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur)); cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        parts = [p.strip() for p in parts if p.strip()]
         return joiner.join(f"({p})" for p in parts)
     return expression
 

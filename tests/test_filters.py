@@ -113,3 +113,13 @@ def test_nearest_neighbour_tiebreak(spark):
     out = nearest_neighbour(df, ["v"], ["k"], tiebreak=["k"])
     rows = {r["k"]: r["v"] for r in out.collect()}
     assert rows[2] == 100.0  # k=1 and k=3 tie at distance 1; min k wins
+
+
+def test_expression_nested_commas(spark):
+    """all((f(a,b)>1, c<2)) must split only on top-level commas."""
+    from tablite_spark.operators.filters import normalize_expression
+    got = normalize_expression("all((greatest(a, b) > 1, c < 2))")
+    assert got == "(greatest(a, b) > 1) AND (c < 2)"
+    df = spark.createDataFrame([(5, 0, 1), (0, 0, 1), (5, 0, 9)], "a int, b int, c int")
+    out = df.filter(mask_from_string("all((greatest(a, b) > 1, c < 2))"))
+    assert out.count() == 1
