@@ -731,6 +731,115 @@ def parquet_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6-style filter+agg: every predicate must reach the parquet
+    scan as PushedFilters (plan-asserted in tests/test_plans.py)."""
+    li = _t(spark, sf, "lineitem")
+    return (li.filter(
+                (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-01-01")))
+                & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01")))
+                & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.06)
+                & (F.col("l_quantity") < 24))
+            .agg(_cents(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14-style: broadcast dim join + conditional aggregate."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1997-06-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-08-01"))))
+    part = _t(spark, sf, "part").select("p_partkey", "p_type")
+    disc = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0)
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg((F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))) / 100)
+                 .alias("promo_revenue"),
+                 (F.sum(disc) / 100).alias("total_revenue")))
+
+
+def q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18-style: agg-then-having, semi-joined back to orders and
+    customer. The big-side agg happens BEFORE the joins so only
+    qualifying orderkeys shuffle into the join."""
+    li = _t(spark, sf, "lineitem")
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_name")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+           .filter(F.col("total_qty") > 250))
+    return (big.join(orders, big.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_name", "o_orderkey", "o_totalprice", "total_qty"))
+
+
+def q4_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS subquery as a left-semi join, then count
+    by priority. (Testdata quirk: l_shipdate is mostly < o_orderdate,
+    so the predicate keeps the match selective.)"""
+    orders = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    j = orders.join(li, (orders.o_orderkey == li.l_orderkey)
+                    & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def count_value_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Column.count(item) — type-strict occurrence count
+    (tablite/base.py:1026-1072)."""
+    from tablite_spark.operators.stats import count_value
+    li = _t(spark, sf, "lineitem")
+    n = count_value(li, "l_returnflag", "R")
+    return spark.createDataFrame([(n,)], "n bigint")
+
+
+def unique_values_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Column.unique (tablite/base.py:956-979)."""
+    from tablite_spark.operators.stats import unique_values
+    return unique_values(_t(spark, sf, "part"), "p_brand")
+
+
+def is_sorted_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Table.is_sorted (tablite/sortation.py:165-177): nation is stored
+    ordered by n_nationkey (true) but not by n_name (false)."""
+    from tablite_spark.operators.sorting import is_sorted
+    nation = _t(spark, sf, "nation")
+    by_key = is_sorted(nation, {"n_nationkey": False})
+    by_name = is_sorted(nation, {"n_name": False})
+    return spark.createDataFrame([(by_key, by_name)],
+                                 "sorted_by_key boolean, sorted_by_name boolean")
+
+
+def remove_all_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Column.remove_all as row filter (tablite/base.py:870-885)."""
+    from tablite_spark.table import Table
+    nation = Table(_t(spark, sf, "nation"))
+    out = nation.remove_all("n_name", "CHINA", "FRANCE", "KENYA")
+    return out.df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+def pandas_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """pandas bridge both ways (tablite/import_utils.py:40-69,
+    export_utils.py:51-60) — Arrow transfer, then aggregate."""
+    from tablite_spark.sources.io import from_pandas, to_pandas
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    back = from_pandas(spark, to_pandas(n))
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum")))
+
+
+def json_columnar_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """tablite's column-major JSON codec ({"columns": {...}})
+    (tablite/import_utils.py:112-122, export_utils.py:139-143)."""
+    from tablite_spark.sources.io import read_json_columnar, to_json_columnar
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    back = read_json_columnar(spark, to_json_columnar(n))
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.min("n_name").alias("first_name")))
+
+
 # --------------------------------------------------------------------
 # pipeline operators (documents / embeddings)
 # --------------------------------------------------------------------
@@ -900,6 +1009,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "json_roundtrip_agg": json_roundtrip_agg,
         "parquet_roundtrip_agg": parquet_roundtrip_agg,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_large_orders": q18_large_orders,
+        "q4_priority_exists": q4_priority_exists,
+        "count_value": count_value_q,
+        "unique_values": unique_values_q,
+        "is_sorted": is_sorted_q,
+        "remove_all": remove_all_q,
+        "pandas_roundtrip_agg": pandas_roundtrip_agg,
+        "json_columnar_roundtrip": json_columnar_roundtrip,
         "token_count_bpe": token_count_bpe,
         "language_id_docs": language_id_docs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -1204,6 +1323,73 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "q6_forecast_revenue": """
+            SELECT SUM(ROUND(l_extendedprice * l_discount * 100, 0)) / 100 AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.06
+              AND l_quantity < 24
+        """,
+        "q14_promo_revenue": """
+            SELECT SUM(CASE WHEN p_type = 'PROMO'
+                            THEN ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                            ELSE 0.0 END) / 100 AS promo_revenue,
+                   SUM(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)) / 100 AS total_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate <  TIMESTAMP '1997-08-01'
+        """,
+        "q18_large_orders": """
+            SELECT c_name, o_orderkey, o_totalprice, total_qty
+            FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING ROUND(SUM(l_quantity), 2) > 250) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q4_priority_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "count_value": """
+            SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "unique_values": """
+            SELECT DISTINCT p_brand FROM part
+        """,
+        "is_sorted": """
+            WITH t AS (SELECT n_nationkey, n_name,
+                              row_number() OVER () AS rid FROM nation),
+                 l AS (SELECT n_nationkey, n_name,
+                              LAG(n_nationkey, 1, n_nationkey) OVER (ORDER BY rid) AS pk,
+                              LAG(n_name, 1, n_name) OVER (ORDER BY rid) AS pn
+                       FROM t)
+            SELECT BOOL_AND(n_nationkey >= pk) AS sorted_by_key,
+                   BOOL_AND(n_name >= pn) AS sorted_by_name
+            FROM l
+        """,
+        "remove_all": """
+            SELECT n_regionkey, COUNT(*) AS n
+            FROM nation
+            WHERE n_name NOT IN ('CHINA', 'FRANCE', 'KENYA')
+            GROUP BY n_regionkey
+        """,
+        "pandas_roundtrip_agg": """
+            SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum
+            FROM nation GROUP BY n_regionkey
+        """,
+        "json_columnar_roundtrip": """
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
         """,
         "token_count_bpe": """
             SELECT doc_id,
