@@ -80,13 +80,18 @@ def shingle_minhash(df: DataFrame, text_col: str, id_col: str,
     rnd = random.Random(42)
     perms = [(rnd.randrange(1, 1 << 31), rnd.randrange(0, 1 << 31))
              for _ in range(num_perm)]
+    # project the folded 32-bit x ONCE — inlining it into all num_perm
+    # agg expressions makes the Catalyst tree (and the generated agg
+    # class janino has to compile) ~8x bigger; plan compile alone was
+    # ~3s at 128 perms. With the projection each agg is a 3-node expr.
     x = (F.col("__h__").bitwiseAND(F.lit(0x7FFFFFFF))
          .bitwiseXOR(F.shiftrightunsigned(F.col("__h__"), 33))).cast("long")
+    proj = hashed.select(id_col, x.alias("__x__"))
     aggs = []
     for i, (a, b) in enumerate(perms):
-        hv = (x * F.lit(a) + F.lit(b)) % F.lit(MOD)
+        hv = (F.col("__x__") * F.lit(a) + F.lit(b)) % F.lit(MOD)
         aggs.append(F.min(hv).alias(f"mh_{i}"))
-    sig = hashed.groupBy(id_col).agg(*aggs)
+    sig = proj.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("minhash"))
 
 
@@ -102,15 +107,15 @@ def minhash_lsh_candidates(sig: DataFrame, id_col: str,
         first = sig.select(F.size("minhash").alias("n")).first()
         num_perm = first["n"] if first else Config.MINHASH_PERMUTATIONS
     rows_per_band = max(1, num_perm // bands)
-    band_cols = []
-    for b in range(bands):
-        seg = F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band)
-        # hash the band's slots as native longs (no string materialization)
-        band_cols.append(F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[seg.getItem(i) for i in range(rows_per_band)]).alias("bh")))
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b")) \
-                .select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    # one flat array of band hashes; posexplode yields (band, bh) with
+    # no struct materialization. Slots are indexed directly (minhash[i])
+    # — slicing a sub-array per slot would re-materialize rows_per_band
+    # arrays per band.
+    band_hashes = F.array(*[
+        F.xxhash64(*[F.col("minhash").getItem(b * rows_per_band + i)
+                     for i in range(rows_per_band)])
+        for b in range(bands)])
+    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
     a = banded.alias("a")
     b2 = banded.alias("b")
     pairs = (a.join(b2, (F.col("a.band") == F.col("b.band"))
