@@ -60,6 +60,43 @@ def test_topk_broadcasts_queries(spark, qs):
     assert broadcast_join_count(qs["embedding_topk"](spark, SF)) >= 1
 
 
+def test_q6_all_predicates_pushed(spark, qs):
+    """Q6: every predicate (date range, discount band, quantity) must
+    reach the parquet scan as a PushedFilter."""
+    pushed = " ".join(pushed_filters(qs["q6_forecast_revenue"](spark, SF)))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q6_column_pruning(spark, qs):
+    """Q6 touches 4 columns; the scan must not read more."""
+    schemas = read_schemas(qs["q6_forecast_revenue"](spark, SF))
+    assert len(schemas) == 1
+    assert schemas[0].count(":") <= 4, f"scan reads: {schemas[0]}"
+
+
+def test_q14_broadcasts_part_dim(spark, qs):
+    """Q14: the part dim must broadcast — no shuffle of lineitem."""
+    assert broadcast_join_count(qs["q14_promo_revenue"](spark, SF)) >= 1
+
+
+def test_q18_aggregates_before_join(spark, qs):
+    """Q18: the lineitem agg must run BEFORE the orders join, so only
+    qualifying orderkeys enter the join (partial agg ahead of the
+    first exchange in the lineitem branch)."""
+    import re
+
+    from tablite_spark.plans.audit import _formatted
+    s = _formatted(qs["q18_large_orders"](spark, SF))
+    assert "partial_sum" in s
+    # plan node ids are assigned children-first: the lineitem aggregate
+    # must have a smaller id than every join above it
+    agg_ids = [int(m) for m in re.findall(r"HashAggregate \((\d+)\)", s)]
+    join_ids = [int(m) for m in re.findall(r"Join \w+ \w+ \((\d+)\)", s)]
+    assert agg_ids and join_ids
+    assert min(agg_ids) < min(join_ids)
+
+
 def test_plan_report_keys(spark, qs):
     r = plan_report(qs["q1_pricing_summary"](spark, SF))
     assert set(r) == {"pushed_filters", "read_schemas", "broadcast_joins",
