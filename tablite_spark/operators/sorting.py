@@ -119,21 +119,41 @@ def with_row_index(df: DataFrame, name: str = "__row_id__",
     return tagged.withColumn(name, F.row_number().over(w) - 1)
 
 
-def slice_rows(df: DataFrame, start: int = 0, stop: int | None = None,
-               step: int = 1, order_by: list[str] | None = None) -> DataFrame:
-    """``t[start:stop:step]`` (tablite/base.py:1205-1287).
+def slice_rows(df: DataFrame, start: int | None = None,
+               stop: int | None = None, step: int | None = 1,
+               order_by: list[str] | None = None) -> DataFrame:
+    """``t[start:stop:step]`` (tablite/base.py:1205-1287), python list
+    slice semantics exactly — including negative bounds and steps
+    (reference tests/test_slice_rules.py).
 
     Fast paths: ``t[:n]`` → limit(n) (no shuffle); stepped/offset slices
     rank rows then filter — one narrow shuffle, arithmetic filter.
     """
+    step = 1 if step is None else step
     if step == 0:
         raise ValueError("slice step cannot be 0")
-    if step < 0:
-        raise NotImplementedError("negative step: reverse the sort instead")
-    if start == 0 and step == 1 and stop is not None and order_by is None:
+    if start in (None, 0) and step == 1 and stop is not None and stop >= 0 \
+            and order_by is None:
         return df.limit(stop)
     idx = "__slice_idx__"
     ranked = with_row_index(df, idx, order_by=order_by)
+    if (start is not None and start < 0) or (stop is not None and stop < 0) \
+            or step < 0:
+        # python-list slice parity (reference tests/test_slice_rules.py):
+        # negative bounds/steps need the row count to normalize — one
+        # cheap count() over the (columnar, pruned) scan, then the rows
+        # are selected by pure arithmetic on the row index; for step<0
+        # the result order is descending by index.
+        n = df.count()
+        first, last_excl, st = slice(start, stop, step).indices(n)
+        if st > 0:
+            cond = (F.col(idx) >= first) & (F.col(idx) < last_excl) \
+                & ((F.col(idx) - first) % st == 0)
+            return ranked.filter(cond).drop(idx)
+        cond = (F.col(idx) <= first) & (F.col(idx) > last_excl) \
+            & ((F.lit(first) - F.col(idx)) % (-st) == 0)
+        return ranked.filter(cond).orderBy(F.col(idx).desc()).drop(idx)
+    start = start or 0
     cond = F.col(idx) >= start
     if stop is not None:
         cond = cond & (F.col(idx) < stop)

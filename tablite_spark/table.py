@@ -88,14 +88,14 @@ class Table:
             return Table(self.df.select(keys))
         if isinstance(keys, slice):
             return Table(_sorting.slice_rows(
-                self.df, keys.start or 0, keys.stop, keys.step or 1))
+                self.df, keys.start, keys.stop, keys.step))
         if isinstance(keys, tuple):
             cols = [k for k in keys if isinstance(k, str)]
             slices = [k for k in keys if isinstance(k, slice)]
             out = self.df.select(*cols) if cols else self.df
             if slices:
                 s = slices[0]
-                out = _sorting.slice_rows(out, s.start or 0, s.stop, s.step or 1)
+                out = _sorting.slice_rows(out, s.start, s.stop, s.step)
             return Table(out)
         raise TypeError(f"unsupported key: {keys!r}")
 

@@ -68,6 +68,22 @@ def test_slice_head(spark):
     assert slice_rows(df, 0, 5).count() == 5
 
 
+@pytest.mark.parametrize("start,stop,step", [
+    (-10, None, 1), (0, -3, 1), (-30, -5, 3), (None, None, -1),
+    (-1, None, -1), (50, 10, -7), (-5, -30, -2), (90, None, 4),
+    (0, 200, 9), (-200, 150, 11),
+])
+def test_slice_python_list_parity(spark, start, stop, step):
+    """t[start:stop:step] must match python list slicing exactly,
+    including negative bounds and steps (reference
+    tests/test_slice_rules.py)."""
+    data = list(range(60))
+    df = spark.createDataFrame([(i,) for i in data], "x int")
+    out = slice_rows(df, start, stop, step, order_by=["x"])
+    expect = data[slice(start, stop, step)]
+    assert [r["x"] for r in out.collect()] == expect
+
+
 def test_with_row_index_order(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "x int")
     out = with_row_index(df, "rid", order_by=["x"]).collect()
