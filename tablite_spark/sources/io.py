@@ -10,7 +10,8 @@ tablite/import_utils.py:633-648 dispatch table; export_utils.py):
 - json column-major {"columns": {name: [...]}} (import_utils.py:112-122).
 - pandas bridge via Arrow (import_utils.py:40-69).
 - to_sql ANSI-92 script (export_utils.py:12-48).
-- xlsx/ods/html: optional — gated behind import-try (pandas engines
+- html: stdlib html.parser scrape (import_utils.py:125-174) + to_html
+  writer; xlsx/ods: gated behind import-try (pandas excel engines
   aren't in this container); the dispatch raises a clear error.
 
 Scale notes: the CSV reader is a single distributed scan with schema
@@ -22,6 +23,8 @@ from __future__ import annotations
 
 import pathlib
 from datetime import date, datetime
+from html import escape
+from html.parser import HTMLParser
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -124,15 +127,93 @@ def from_file(spark: SparkSession, path: str, **kwargs) -> DataFrame:
             raise NotImplementedError(
                 f"excel/ods ingest needs a pandas excel engine: {e}") from e
     if suffix in (".html", ".htm"):
-        try:
-            import pandas as pd
-            pdf = pd.read_html(path)[0]
-            return spark.createDataFrame(pdf)
-        except ImportError as e:
-            raise NotImplementedError(f"html ingest needs lxml/bs4: {e}") from e
+        return read_html(spark, path,
+                         guess_datatypes=kwargs.get("guess_datatypes", True))
     if suffix in (".h5", ".hdf5"):
         raise NotImplementedError("hdf5 ingest is out of Spark-native scope")
     raise ValueError(f"unsupported file type: {suffix}")
+
+
+class _TableScraper(HTMLParser):
+    """First-``<table>`` scrape: header from <th> (or the first row),
+    body from <td> — the reference's streaming <tr><th> reader
+    (tablite/import_utils.py:125-174), stdlib-only."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.rows: list[list[str]] = []
+        self.header: list[str] = []
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+        self._is_th = False
+        self._done = False
+
+    def handle_starttag(self, tag, attrs):
+        if self._done:
+            return
+        if tag == "tr":
+            self._row = []
+        elif tag in ("td", "th") and self._row is not None:
+            self._cell = []
+            self._is_th = tag == "th"
+
+    def handle_endtag(self, tag):
+        if self._done:
+            return
+        if tag in ("td", "th") and self._cell is not None:
+            text = "".join(self._cell).strip()
+            if self._is_th and not self.rows and self._row == []:
+                self.header.append(text)
+            else:
+                self._row.append(text)
+            self._cell = None
+            self._is_th = False
+        elif tag == "tr" and self._row is not None:
+            if self._row:
+                self.rows.append(self._row)
+            self._row = None
+        elif tag == "table":
+            self._done = True
+
+    def handle_data(self, data):
+        if self._cell is not None:
+            self._cell.append(data)
+
+
+def read_html(spark: SparkSession, path: str, *,
+              guess_datatypes: bool = True) -> DataFrame:
+    """HTML table ingest without pandas/lxml: stdlib ``html.parser``
+    scrape on the driver (HTML files are small-data by nature), then
+    ``createDataFrame`` + the same type-guessing pass the CSV reader
+    uses."""
+    p = _TableScraper()
+    with open(path, encoding="utf-8") as fh:
+        p.feed(fh.read())
+    if not p.header and p.rows:
+        p.header = [f"c{i}" for i in range(len(p.rows[0]))]
+    names = [h or f"c{i}" for i, h in enumerate(p.header)]
+    width = len(names)
+    rows = [tuple((r[i] if i < len(r) else None) or None for i in range(width))
+            for r in p.rows]
+    df = spark.createDataFrame(rows, schema=", ".join(f"`{n}` string" for n in names))
+    return apply_guessed_types(df) if guess_datatypes else df
+
+
+def to_html(df: DataFrame, path: str | None = None, limit: int = 10_000) -> str:
+    """HTML table writer (tablite/export_utils.py:108-136 via
+    ``_repr_html_``); driver-side by design — cap with ``limit``."""
+    rows = df.limit(limit).collect()
+    head = "".join(f"<th>{escape(c)}</th>" for c in df.columns)
+    body = "".join(
+        "<tr>" + "".join(
+            f"<td>{'' if v is None else escape(str(v))}</td>" for v in r)
+        + "</tr>" for r in rows)
+    html = (f"<table><thead><tr>{head}</tr></thead>"
+            f"<tbody>{body}</tbody></table>")
+    if path:
+        with open(path, "w", encoding="utf-8") as fh:
+            fh.write(html)
+    return html
 
 
 def get_headers(spark: SparkSession, path: str, linecount: int = 10, **kwargs):

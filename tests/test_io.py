@@ -97,3 +97,29 @@ def test_sql_script(spark):
     script = to_sql_script(df, "t")
     assert "CREATE TABLE t (a INTEGER, b TEXT);" in script
     assert "INSERT INTO t VALUES (1, 'o''x');" in script
+
+
+def test_html_roundtrip(spark, tmp_path):
+    from tablite_spark.sources.io import from_file, read_html, to_html
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta & <gamma>", 2.5), (3, None, None)],
+        "id bigint, name string, score double")
+    path = str(tmp_path / "t.html")
+    to_html(df, path)
+    back = read_html(spark, path)
+    assert back.columns == ["id", "name", "score"]
+    rows = sorted(back.collect(), key=lambda r: r["id"])
+    assert [r["name"] for r in rows] == ["alpha", "beta & <gamma>", None]
+    assert rows[0]["score"] == 1.5 and rows[2]["score"] is None
+    assert [r["id"] for r in rows] == [1, 2, 3]  # guessed back to ints
+    assert from_file(spark, path).count() == 3
+
+
+def test_html_headerless_table(spark, tmp_path):
+    from tablite_spark.sources.io import read_html
+    p = tmp_path / "bare.html"
+    p.write_text("<table><tr><td>7</td><td>x</td></tr>"
+                 "<tr><td>8</td><td>y</td></tr></table>")
+    df = read_html(spark, str(p), guess_datatypes=False)
+    assert df.columns == ["c0", "c1"]
+    assert df.count() == 2
