@@ -73,6 +73,59 @@ def table_diff(a: DataFrame, b: DataFrame, columns: list[str] | None = None) -> 
     return out.select("marker", *columns)
 
 
+def table_diff_lcs(a: DataFrame, b: DataFrame,
+                   columns: list[str] | None = None,
+                   max_rows: int = 100_000) -> DataFrame:
+    """Order-sensitive LCS diff — exact reference semantics
+    (tablite/diff.py:8-88): difflib.SequenceMatcher over row tuples,
+    marker columns ``1st``/``2nd`` with values ``=``(equal),
+    ``r``(replace, emits the second table's rows), insert → (``-``,
+    ``+``), delete → (``+``, ``-``).
+
+    LCS is inherently sequential, so this path collects to the driver
+    and is guarded by ``max_rows`` — at scale use :func:`table_diff`
+    (hash-join multiplicity diff) instead.
+    """
+    import difflib
+
+    columns = columns or [c for c in a.columns if c in b.columns]
+    for frame in (a, b):
+        missing = [c for c in columns if c not in frame.columns]
+        if missing:
+            raise ValueError(f"column '{missing[0]}' not found")
+    na, nb = a.count(), b.count()
+    if na > max_rows or nb > max_rows:
+        raise ValueError(
+            f"table_diff_lcs is driver-side; {max(na, nb)} rows exceeds "
+            f"max_rows={max_rows} — use table_diff for large tables")
+    t1 = [tuple(r) for r in a.select(columns).collect()]
+    t2 = [tuple(r) for r in b.select(columns).collect()]
+
+    def _unique(name: str) -> str:
+        while name in columns:
+            name += "_1"
+        return name
+
+    first, second = _unique("1st"), _unique("2nd")
+    out_rows = []
+    for opc, t1a, t1b, t2a, t2b in difflib.SequenceMatcher(
+            None, t1, t2).get_opcodes():
+        if opc == "insert":
+            out_rows += [r + ("-", "+") for r in t2[t2a:t2b]]
+        elif opc == "delete":
+            out_rows += [r + ("+", "-") for r in t1[t1a:t1b]]
+        elif opc == "equal":
+            out_rows += [r + ("=", "=") for r in t2[t2a:t2b]]
+        elif opc == "replace":
+            out_rows += [r + ("r", "r") for r in t2[t2a:t2b]]
+    spark = a.sparkSession
+    fields = [a.select(columns).schema[c] for c in columns]
+    from pyspark.sql.types import StringType, StructField, StructType
+    schema = StructType(fields + [StructField(first, StringType()),
+                                  StructField(second, StringType())])
+    return spark.createDataFrame(out_rows, schema)
+
+
 def frames_equal(a: DataFrame, b: DataFrame) -> bool:
     """``t1 == t2`` — multiset content equality (tablite/base.py:1320-1344).
     Reference compares column-by-column in order; here: same columns,

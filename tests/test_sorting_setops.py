@@ -140,3 +140,34 @@ def test_frames_equal(spark):
     assert frames_equal(a, b)
     c = spark.createDataFrame([(1, "x")], "n int, s string")
     assert not frames_equal(a, c)
+
+
+def test_table_diff_lcs_markers(spark):
+    """Reference marker semantics (tablite/diff.py:8-88): equal '=',
+    replace 'r' (second table's rows), insert ('-','+'), delete
+    ('+','-'), in opcode order."""
+    from tablite_spark.operators.setops import table_diff_lcs
+    a = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")],
+                              "k int, v string")
+    b = spark.createDataFrame([(1, "a"), (2, "X"), (4, "d"), (5, "e")],
+                              "k int, v string")
+    out = table_diff_lcs(a, b)
+    assert out.columns == ["k", "v", "1st", "2nd"]
+    got = [tuple(r) for r in out.collect()]
+    assert got == [
+        (1, "a", "=", "="),
+        (2, "X", "r", "r"),   # replace: emits b's row only
+        (4, "d", "=", "="),
+        (5, "e", "-", "+"),   # insert from b
+    ]
+    # delete: rows only in the first table carry ('+', '-')
+    out2 = table_diff_lcs(b, a)
+    got2 = [tuple(r) for r in out2.collect()]
+    assert (5, "e", "+", "-") in got2
+
+
+def test_table_diff_lcs_guard(spark):
+    from tablite_spark.operators.setops import table_diff_lcs
+    a = spark.range(100).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="max_rows"):
+        table_diff_lcs(a, a, max_rows=10)
