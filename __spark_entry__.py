@@ -569,6 +569,20 @@ def imputation_nn(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("c_custkey", F.round(F.col("bal"), 2).alias("bal"))
 
 
+def imputation_nn_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate NN imputation via random-hyperplane LSH buckets —
+    the 100 TB path (candidates from (table, bucket) equi joins, exact
+    re-rank within buckets, exact fallback). Rows-only check: the
+    bucketing is seeded but not SQL-expressible."""
+    from tablite_spark.operators.imputation import nearest_neighbour_lsh
+    c = _t(spark, sf, "customer").filter(F.col("c_custkey") < 300).select(
+        "c_custkey", "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(F.col("c_acctbal"), 2)).alias("bal"))
+    out = nearest_neighbour_lsh(c, ["bal"], ["c_custkey", "c_nationkey"])
+    return out.select("c_custkey", F.round(F.col("bal"), 2).alias("bal"))
+
+
 def pivot_long(spark: SparkSession, sf: str) -> DataFrame:
     """pivot(values_as_rows=True): wide pivot melted back to
     (keys, function, value) rows (tablite/pivots.py:11-182)."""
@@ -997,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_rows": reindex_rows,
         "imputation_mode": imputation_mode,
         "imputation_nn": imputation_nn,
+        "imputation_nn_lsh": imputation_nn_lsh,
         "pivot_long": pivot_long,
         "sort_alphanumeric": sort_alphanumeric,
         "drop_duplicates": drop_duplicates_q,

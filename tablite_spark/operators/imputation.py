@@ -90,6 +90,94 @@ def nearest_neighbour(df: DataFrame, targets: list[str],
     return out.drop(rid)
 
 
+def nearest_neighbour_lsh(df: DataFrame, targets: list[str],
+                          sources: list[str],
+                          n_tables: int = 4, n_bits: int = 6,
+                          seed: int = 42,
+                          tiebreak: list[str] | None = None) -> DataFrame:
+    """Approximate NN imputation — the 100 TB shape of
+    :func:`nearest_neighbour`.
+
+    Null rows and donors are bucketed by ``n_tables`` independent
+    random-hyperplane sign signatures over the range-normalized source
+    vector; candidate pairs come from an equi join on (table, bucket)
+    — never the full nulls x donors product. Exact rank-normalized L1
+    re-ranks candidates, so a bucket hit returns the true nearest
+    donor *within the probed buckets*. Rows with no candidate in any
+    table (rare for reasonable n_bits) fall back to the exact path.
+
+    Cost: donors are replicated n_tables times (narrow rows: sources +
+    value); the join key is (table, 64-bit bucket hash). Tune n_bits up
+    for bigger corpora (halves candidates per bucket per bit).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    ranges = df.agg(*[
+        (F.max(F.col(s)) - F.min(F.col(s))).alias(s) for s in sources
+    ]).first()
+
+    def norm(col_fn):
+        return [col_fn(s) / F.lit(float(ranges[s] or 1)) for s in sources]
+
+    # n_tables x n_bits fixed random hyperplanes (driver-side constants)
+    planes = [[[rnd.gauss(0, 1) for _ in sources] for _ in range(n_bits)]
+              for _ in range(n_tables)]
+
+    def bucket_cols(col_fn, prefix):
+        cols = []
+        for t_i, table in enumerate(planes):
+            bits = [
+                F.shiftleft(
+                    F.when(
+                        reduce(Column.__add__,
+                               [v * F.lit(w) for v, w in zip(norm(col_fn), plane)]) >= 0,
+                        F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                    b_i)
+                for b_i, plane in enumerate(table)]
+            cols.append(reduce(Column.bitwiseOR, bits).alias(f"{prefix}{t_i}"))
+        return cols
+
+    rid = "__nn_rid__"
+    base = df.withColumn(rid, F.monotonically_increasing_id())
+    out = base
+    for t in targets:
+        nulls = out.filter(F.col(t).isNull()).select(
+            rid, *sources, *bucket_cols(F.col, "__bq_"))
+        donors = out.filter(F.col(t).isNotNull()).select(
+            F.col(rid).alias("__donor_rid__"), F.col(t).alias("__donor_val__"),
+            *[F.col(s).alias(f"__d_{s}__") for s in sources],
+            *bucket_cols(lambda s: F.col(s), "__bd_"))
+        # explode both sides to (table, bucket) and equi join
+        nq = nulls.select(rid, *sources, F.posexplode(
+            F.array(*[F.col(f"__bq_{i}") for i in range(n_tables)])
+        ).alias("__tbl__", "__bkt__"))
+        dq = donors.select("__donor_rid__", "__donor_val__",
+                           *[F.col(f"__d_{s}__") for s in sources],
+                           F.posexplode(F.array(
+                               *[F.col(f"__bd_{i}") for i in range(n_tables)])
+                           ).alias("__tbl__", "__bkt__"))
+        cand = nq.join(dq, on=["__tbl__", "__bkt__"])
+        dist = reduce(Column.__add__, [
+            F.abs(F.col(s) - F.col(f"__d_{s}__")) / F.lit(float(ranges[s] or 1))
+            for s in sources])
+        w = Window.partitionBy(rid).orderBy(
+            dist.asc(), F.col("__donor_rid__").asc())
+        best = (cand.withColumn("__rn__", F.row_number().over(w))
+                .filter(F.col("__rn__") == 1)
+                .select(rid, F.col("__donor_val__").alias(f"__fill_{t}__")))
+        out = (out.join(best, on=rid, how="left")
+               .withColumn(t, F.coalesce(F.col(t), F.col(f"__fill_{t}__")))
+               .drop(f"__fill_{t}__"))
+    out = out.drop(rid)
+    # exact fallback for rows still null (no bucket collision in any table)
+    remaining = out.filter(
+        reduce(Column.__or__, [F.col(t).isNull() for t in targets])).count()
+    if remaining:
+        out = nearest_neighbour(out, targets, sources, tiebreak=tiebreak)
+    return out
+
+
 def imputation(df: DataFrame, targets: list[str], method: str = "carry_forward",
                sources: list[str] | None = None,
                order_by: list[str] | None = None) -> DataFrame:

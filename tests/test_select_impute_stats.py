@@ -119,3 +119,27 @@ def test_guess_types(spark):
         "i string, f string, d string, b string, s string")
     g = guess_types(df)
     assert g == {"i": "int", "f": "float", "d": "date", "b": "bool", "s": "str"}
+
+
+def test_nearest_neighbour_lsh_matches_exact(spark):
+    """On clustered data the LSH path must agree with the exact path
+    (true NN shares a bucket), and every null must be filled."""
+    import random
+
+    from tablite_spark.operators.imputation import (
+        nearest_neighbour, nearest_neighbour_lsh,
+    )
+    rnd = random.Random(7)
+    rows = []
+    for k in range(60):
+        cx, cy = (0.0, 0.0) if k % 2 == 0 else (100.0, 100.0)
+        v = None if k % 10 == 0 else float(k)
+        rows.append((k, v, cx + rnd.uniform(-1, 1), cy + rnd.uniform(-1, 1)))
+    df = spark.createDataFrame(rows, "k int, v double, x double, y double")
+    exact = {r["k"]: r["v"] for r in
+             nearest_neighbour(df, ["v"], ["x", "y"]).collect()}
+    approx = {r["k"]: r["v"] for r in
+              nearest_neighbour_lsh(df, ["v"], ["x", "y"]).collect()}
+    assert None not in approx.values()
+    agree = sum(exact[k] == approx[k] for k in exact)
+    assert agree >= 58, f"only {agree}/60 match exact NN"
