@@ -77,6 +77,17 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
             .csv(f"{tmp}/li.csv").write.format("noop").mode("overwrite").save()
         timings["io_csv_read_inferschema"] = round(time.perf_counter() - t0, 3)
 
+        t0 = time.perf_counter()
+        li.write.mode("overwrite").json(f"{tmp}/li.json")
+        timings["io_json_write"] = round(time.perf_counter() - t0, 3)
+
+        # explicit schema: the reference's from_json also knows its
+        # columns — without it Spark pays a full inference pre-pass
+        t0 = time.perf_counter()
+        spark.read.json(f"{tmp}/li.json", schema=li.schema) \
+            .write.format("noop").mode("overwrite").save()
+        timings["io_json_read"] = round(time.perf_counter() - t0, 3)
+
         rows_out["io_rows"] = n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
