@@ -41,6 +41,10 @@ def get_spark(app_name: str = "tablite_spark", master: str | None = None) -> Spa
         # parquet TIMESTAMP(NANOS) (e.g. pandas-written events tables) is
         # otherwise unreadable; read as long and convert (see load_tables)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # reference parity: CSV ingest supports Windows-1250 etc.
+        # (tablite text_reader encodings); Spark 4 gates non-UTF JVM
+        # charsets behind this flag
+        .config("spark.sql.legacy.javaCharsets", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -69,6 +69,16 @@ class Table:
     def to_sql(self, name: str) -> str:
         return _io.to_sql_script(self.df, name)
 
+    @classmethod
+    def from_html(cls, spark: SparkSession, path: str, **kwargs) -> "Table":
+        return cls(_io.read_html(spark, path, **kwargs))
+
+    def to_html(self, path: str | None = None) -> str:
+        return _io.to_html(self.df, path)
+
+    def _repr_html_(self) -> str:
+        return _io.to_html(self.df.limit(20))
+
     # ----------------------------------------------------- dict-like
     @property
     def columns(self) -> list[str]:

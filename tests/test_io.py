@@ -123,3 +123,22 @@ def test_html_headerless_table(spark, tmp_path):
     df = read_html(spark, str(p), guess_datatypes=False)
     assert df.columns == ["c0", "c1"]
     assert df.count() == 2
+
+
+@pytest.mark.parametrize("enc,spark_enc", [
+    ("utf-8-sig", "UTF-8"),
+    ("utf-16", "UTF-16"),
+    ("utf-16-le", "UTF-16LE"),
+    ("cp1250", "windows-1250"),
+])
+def test_read_csv_encodings(spark, tmp_path, enc, spark_enc):
+    """Encoding matrix parity (reference fixtures: utf8/utf8sig/
+    utf16le/be/win1250 — tests/test_filereader_formats.py)."""
+    p = tmp_path / f"enc_{enc}.csv"
+    text = "name;city\nBjörn;Łódź\nŽofie;Plzeň\n"
+    p.write_bytes(text.encode(enc))
+    df = read_csv(spark, str(p), delimiter=";", encoding=spark_enc,
+                  guess_datatypes=False)
+    rows = sorted(r["name"] for r in df.collect())
+    assert rows == ["Björn", "Žofie"]
+    assert df.columns == ["name", "city"]
