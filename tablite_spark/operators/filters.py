@@ -139,13 +139,21 @@ def filter_pass_fail(df: DataFrame, expressions: list[dict] | str,
 def any_all(df: DataFrame, criteria: dict[str, Any], mode: str = "all") -> DataFrame:
     """``Table.any(**kw)`` / ``Table.all(**kw)`` (tablite/core.py:441-481).
 
-    Values may be literals (equality) or python callables (slow path:
-    row-at-a-time UDF — kept for parity, documented as non-scalable).
+    Values may be literals (equality) or python callables. Callables
+    still run python per value (reference parity — arbitrary
+    predicates), but through an Arrow-batched pandas_udf: one
+    serialization round-trip per batch instead of per row (~10x less
+    overhead than a row UDF; still the documented slow path vs native
+    expressions).
     """
+    from pyspark.sql.functions import pandas_udf
+
     masks = []
     for col, v in criteria.items():
         if callable(v):
-            masks.append(F.udf(lambda x, f=v: bool(f(x)), "boolean")(F.col(col)))
+            def _batch(s, f=v):
+                return s.apply(lambda x, g=f: bool(g(x)))
+            masks.append(pandas_udf(_batch, "boolean")(F.col(col)))
         else:
             masks.append(F.col(col).eqNullSafe(F.lit(v)) if v is None else F.col(col) == F.lit(v))
     op = Column.__and__ if mode == "all" else Column.__or__

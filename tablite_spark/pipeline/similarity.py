@@ -195,7 +195,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
 def embedding_near_dup_blocked(df: DataFrame, id_col: str, vec_col: str,
                                threshold: float = 0.95,
-                               n_blocks: int = 8) -> DataFrame:
+                               n_blocks: int | None = None) -> DataFrame:
     """Exact all-pairs cosine near-dup via block-nested-loop with a
     BLAS kernel — the 100 TB shape of the full self-join.
 
@@ -213,6 +213,14 @@ def embedding_near_dup_blocked(df: DataFrame, id_col: str, vec_col: str,
 
     import numpy as np
     import pandas as pd
+
+    if n_blocks is None:
+        # ~8k vectors per block: a diagonal task is an 8k x 8k matmul
+        # (~4 GFLOP at dim 64 — subsecond with BLAS); replication factor
+        # and task count grow with corpus size, tiny corpora stay in
+        # one or two tasks instead of paying 36 near-empty ones.
+        n = df.count()
+        n_blocks = max(1, min(32, -(-n // 8000)))
 
     v = df.select(F.col(id_col).alias("vid"),
                   _unit(F.col(vec_col)).alias("uv"),
