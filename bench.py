@@ -89,6 +89,22 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         timings["io_json_read"] = round(time.perf_counter() - t0, 3)
 
         rows_out["io_rows"] = n
+
+        # BASELINE.md headline: tpz save/load of 1M rows of the
+        # reference's own 12-column synthetic_order_data (2.148 s /
+        # 0.922 s). Cache the generated frame first so the timing
+        # measures the sink/scan, as the reference's does.
+        from tablite_spark.datasets import synthetic_order_data
+        synth = synthetic_order_data(spark, 1_000_000).persist()
+        synth.count()
+        t0 = time.perf_counter()
+        synth.write.mode("overwrite").parquet(f"{tmp}/synth.parquet")
+        timings["synth_order_1m_save"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        spark.read.parquet(f"{tmp}/synth.parquet").write.format("noop") \
+            .mode("overwrite").save()
+        timings["synth_order_1m_load"] = round(time.perf_counter() - t0, 3)
+        synth.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -16,5 +16,7 @@ Quick start::
 from tablite_spark.session import get_spark, load_tables  # noqa: F401
 from tablite_spark.table import Table, GroupBy  # noqa: F401
 from tablite_spark.config import Config  # noqa: F401
+from tablite_spark.datasets import synthetic_order_data  # noqa: F401
+from tablite_spark.sources.io import get_headers  # noqa: F401
 
 __version__ = "0.1.0"

@@ -142,3 +142,30 @@ def test_read_csv_encodings(spark, tmp_path, enc, spark_enc):
     rows = sorted(r["name"] for r in df.collect())
     assert rows == ["Björn", "Žofie"]
     assert df.columns == ["name", "city"]
+
+
+def test_synthetic_order_data(spark):
+    """Distributed twin of the reference's benchmark table
+    (tablite/datasets.py:9-84): same 12 columns, ranges, determinism."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.datasets import synthetic_order_data
+    df = synthetic_order_data(spark, 1000)
+    assert df.columns == ["#", "1", "2", "3", "4", "5", "6", "7", "8",
+                          "9", "10", "11"]
+    assert df.count() == 1000
+    row = df.agg(
+        F.min("#").alias("lo"), F.max("#").alias("hi"),
+        F.min("3").alias("s_lo"), F.max("3").alias("s_hi"),
+        F.countDistinct("4").alias("bits"),
+        F.min("10").alias("v_lo"), F.max("10").alias("v_hi")).first()
+    assert row["lo"] == 1 and row["hi"] == 1000
+    assert 50_000 <= row["s_lo"] and row["s_hi"] <= 51_000
+    assert row["bits"] == 2
+    assert 0.01 <= row["v_lo"] and row["v_hi"] <= 2.5
+    assert {r["8"] for r in df.select("8").distinct().collect()} <= \
+        {"None", "0°", "6°", "21°"}
+    # seeded → deterministic across invocations
+    a = df.agg(F.sum("1")).first()[0]
+    b = synthetic_order_data(spark, 1000).agg(F.sum("1")).first()[0]
+    assert a == b
