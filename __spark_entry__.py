@@ -656,6 +656,16 @@ def statistics_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def statistics_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """Column.statistics on a temporal column (tablite/utils.py:188-398
+    maps date/time to numeric and back). Exact stats only — mode can
+    tie and mean/iqr cross approximate paths."""
+    from tablite_spark.operators.stats import statistics
+    li = _t(spark, sf, "lineitem")
+    s = statistics(li, "l_shipdate")
+    return s.select("min", "max", "median", "distinct", "non_null")
+
+
 def index_rowids(spark: SparkSession, sf: str) -> DataFrame:
     """Table.index: key tuple → row ids (tablite/base.py:1927-1965);
     row-id lists serialized sorted so the value-hash is stable."""
@@ -1018,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_first_last": groupby_first_last,
         "date_range_expand": date_range_expand,
         "statistics_text": statistics_text,
+        "statistics_dates": statistics_dates,
         "index_rowids": index_rowids,
         "sort_unix_mixed": sort_unix_mixed,
         "xround_time_buckets": xround_time_buckets,
@@ -1375,6 +1386,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "count_value": """
             SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "statistics_dates": """
+            SELECT MIN(l_shipdate) AS min,
+                   MAX(l_shipdate) AS max,
+                   CAST(to_timestamp(MEDIAN(epoch(l_shipdate))) AS TIMESTAMP) AS median,
+                   COUNT(DISTINCT l_shipdate) AS distinct,
+                   COUNT(l_shipdate) AS non_null
+            FROM lineitem
         """,
         "unique_values": """
             SELECT DISTINCT p_brand FROM part

@@ -15,8 +15,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+_TEMPORAL = {"date", "timestamp", "timestamp_ntz"}
+
+
 def statistics(df: DataFrame, column: str) -> DataFrame:
-    """One-row frame of summary statistics for a column."""
+    """One-row frame of summary statistics for a column.
+
+    Temporal columns follow the reference's rule (tablite/utils.py:
+    188-398): map to numeric (epoch seconds), aggregate, map the
+    order-statistics (min/max/mean/median/mode/iqr bounds) back to
+    timestamps; spread measures (stdev/iqr) stay numeric seconds and
+    ``sum`` is meaningless for instants so it is omitted (null).
+    """
+    dtype = dict(df.dtypes).get(column, "")
+    if dtype in _TEMPORAL:
+        c = F.unix_timestamp(F.col(column)).cast("double")
+        qs = F.percentile_approx(c, [0.25, 0.75], 100_000)
+        back = F.timestamp_seconds
+        return df.agg(
+            back(F.min(c)).alias("min"),
+            back(F.max(c)).alias("max"),
+            back(F.avg(c)).alias("mean"),
+            back(F.median(c)).alias("median"),
+            F.stddev_samp(c).alias("stdev"),
+            back(F.mode(c)).alias("mode"),
+            F.count_distinct(c).alias("distinct"),
+            back(qs.getItem(0)).alias("iqr_low"),
+            back(qs.getItem(1)).alias("iqr_high"),
+            (qs.getItem(1) - qs.getItem(0)).alias("iqr"),
+            F.lit(None).cast("double").alias("sum"),
+            F.count(F.lit(1)).alias("summary_rows"),
+            F.count(c).alias("non_null"),
+        )
     c = F.col(column)
     qs = F.percentile_approx(c, [0.25, 0.75], 100_000)
     return df.agg(
