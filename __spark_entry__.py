@@ -976,6 +976,17 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(d, "text", "doc_id")
 
 
+def simhash_near_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk banding +
+    bit_count(xor) verification (rows-only: xxhash64-seeded bits are
+    not SQL-portable; banding exactness is brute-force-verified in
+    tests/test_pipeline.py)."""
+    from tablite_spark.pipeline.dedup import simhash, simhash_near_dup_pairs
+    docs = _t(spark, sf, "documents")
+    sig = simhash(docs, "text", "doc_id")
+    return simhash_near_dup_pairs(sig, "doc_id", max_hamming=3)
+
+
 def ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """IVF ANN: k-means inverted lists + n_probe cell scoring
     (k-means init is seeded but iteration order is engine-specific →
@@ -1053,6 +1064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_docs": simhash_docs,
+        "simhash_near_dup_docs": simhash_near_dup_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "groupby_accumulators": groupby_accumulators,

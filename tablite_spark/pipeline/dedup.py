@@ -171,6 +171,41 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
     return agg.select(id_col, sh.alias("simhash"))
 
 
+def simhash_near_dup_pairs(sig: DataFrame, id_col: str,
+                           max_hamming: int = 3,
+                           sim_col: str = "simhash") -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, at scale.
+
+    Pigeonhole banding: split the 64-bit signature into
+    ``max_hamming + 1`` chunks — any pair within ``max_hamming`` bits
+    must agree on at least one whole chunk, so candidates come from an
+    equi join on (chunk_id, chunk_value), never an all-pairs scan.
+    Verification is ``bit_count(xor) <= max_hamming`` (one JVM
+    instruction per pair). Same shape as MinHash-LSH banding: linear
+    candidate volume for realistic dup rates, AQE splits hot chunks.
+    """
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    chunks = F.array(*[
+        F.shiftrightunsigned(F.col(sim_col), i * width)
+        .bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(n_chunks)])
+    banded = sig.select(F.col(id_col), F.col(sim_col),
+                        F.posexplode(chunks).alias("chunk", "cv"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+                    & (F.col("a.cv") == F.col("b.cv"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     F.bit_count(F.col(f"a.{sim_col}")
+                                 .bitwiseXOR(F.col(f"b.{sim_col}")))
+                     .alias("hamming"))
+             .filter(F.col("hamming") <= max_hamming)
+             .distinct())
+    return pairs
+
+
 def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, text_col: str,
                   id_col: str, n: int = 3) -> DataFrame:
     """Exact token-n-gram Jaccard for given row pairs (df_a x df_b must

@@ -186,3 +186,25 @@ def test_blocked_near_dup_matches_expression_path(spark):
     blocked = {(r["id_a"], r["id_b"]) for r in
                embedding_near_dup_blocked(emb, "vec_id", "embedding", 0.35).collect()}
     assert expr == blocked and len(expr) > 0
+
+
+def test_simhash_near_dup_pairs(spark):
+    """Pigeonhole banding must find exactly the pairs within the
+    hamming radius — verified against brute force."""
+    from itertools import combinations
+
+    from tablite_spark.pipeline.dedup import simhash_near_dup_pairs
+    sigs = [(1, 0b1111000011110000), (2, 0b1111000011110001),  # d=1
+            (3, 0b1111000011111111), (4, 0b0000111100001111),
+            (5, 0b1111000011110011)]                            # d(2,5)=1
+    df = spark.createDataFrame([(i, s) for i, s in sigs],
+                               "id bigint, simhash long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dup_pairs(df, "id", max_hamming=3).collect()}
+    expect = {}
+    for (ia, sa), (ib, sb) in combinations(sigs, 2):
+        d = bin(sa ^ sb).count("1")
+        if d <= 3:
+            expect[(ia, ib)] = d
+    assert got == expect
+    assert (1, 2) in got and got[(1, 2)] == 1
