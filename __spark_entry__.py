@@ -807,6 +807,37 @@ def q4_priority_exists(spark: SparkSession, sf: str) -> DataFrame:
     return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
 
 
+def q19_disjunctive_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19-style OR-of-ANDs over a broadcast part join — Catalyst
+    must push the common branches and prune the scan."""
+    li = _t(spark, sf, "lineitem")
+    part = _t(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+         & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20)
+           & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30)
+           & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 40)))
+    return (j.filter(cond)
+            .agg(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+def groupby_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP hierarchy totals — additive beyond the reference (its
+    groupby has no grouping sets; SURVEY §2.4 'not present')."""
+    li = _t(spark, sf, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                    "sum_qty", "n"))
+
+
 def count_value_q(spark: SparkSession, sf: str) -> DataFrame:
     """Column.count(item) — type-strict occurrence count
     (tablite/base.py:1026-1072)."""
@@ -1050,6 +1081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
         "q4_priority_exists": q4_priority_exists,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        "groupby_rollup": groupby_rollup,
         "count_value": count_value_q,
         "unique_values": unique_values_q,
         "is_sorted": is_sorted_q,
@@ -1398,6 +1431,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "count_value": """
             SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "q19_disjunctive_filter": """
+            SELECT SUM(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)) / 100 AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size <= 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size <= 30
+                   AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "groupby_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "statistics_dates": """
             SELECT MIN(l_shipdate) AS min,
