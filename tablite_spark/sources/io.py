@@ -11,8 +11,9 @@ tablite/import_utils.py:633-648 dispatch table; export_utils.py):
 - pandas bridge via Arrow (import_utils.py:40-69).
 - to_sql ANSI-92 script (export_utils.py:12-48).
 - html: stdlib html.parser scrape (import_utils.py:125-174) + to_html
-  writer; xlsx/ods: gated behind import-try (pandas excel engines
-  aren't in this container); the dispatch raises a clear error.
+  writer; xlsx: stdlib zip+SpreadsheetML reader/writer (sources/
+  xlsx.py); xls/ods: gated behind import-try (no pandas excel engine
+  in this container); the dispatch raises a clear error.
 
 Scale notes: the CSV reader is a single distributed scan with schema
 inference on a sample; start/limit use ``offset``/``limit`` on the
@@ -118,14 +119,17 @@ def from_file(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return read_parquet(spark, path)
     if suffix == ".json":
         return spark.read.json(path, multiLine=True)
-    if suffix in (".xlsx", ".xls", ".xlsm", ".ods"):
+    if suffix in (".xlsx", ".xlsm"):
+        from tablite_spark.sources.xlsx import read_xlsx
+        return read_xlsx(spark, path, **kwargs)
+    if suffix in (".xls", ".ods"):
         try:
             import pandas as pd
             pdf = pd.read_excel(path, sheet_name=kwargs.get("sheet", 0))
             return spark.createDataFrame(pdf)
         except ImportError as e:  # engine missing in container
             raise NotImplementedError(
-                f"excel/ods ingest needs a pandas excel engine: {e}") from e
+                f"xls/ods ingest needs a pandas excel engine: {e}") from e
     if suffix in (".html", ".htm"):
         return read_html(spark, path,
                          guess_datatypes=kwargs.get("guess_datatypes", True))

@@ -73,6 +73,10 @@ class Table:
     def from_html(cls, spark: SparkSession, path: str, **kwargs) -> "Table":
         return cls(_io.read_html(spark, path, **kwargs))
 
+    def to_xlsx(self, path: str, **kwargs) -> None:
+        from tablite_spark.sources.xlsx import to_xlsx
+        to_xlsx(self.df, path, **kwargs)
+
     def to_html(self, path: str | None = None) -> str:
         return _io.to_html(self.df, path)
 

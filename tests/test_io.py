@@ -169,3 +169,49 @@ def test_synthetic_order_data(spark):
     a = df.agg(F.sum("1")).first()[0]
     b = synthetic_order_data(spark, 1000).agg(F.sum("1")).first()[0]
     assert a == b
+
+
+def test_xlsx_roundtrip(spark, tmp_path):
+    """Stdlib xlsx writer→reader roundtrip (zip + SpreadsheetML):
+    strings (incl. XML-escapables), numbers, bools, nulls."""
+    from tablite_spark.sources.xlsx import read_xlsx, to_xlsx
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5, True), (2, "a<b&c>", 2.5, False),
+         (3, None, None, None)],
+        "id bigint, name string, score double, flag boolean")
+    path = str(tmp_path / "t.xlsx")
+    to_xlsx(df, path)
+    back = read_xlsx(spark, path)
+    assert back.columns == ["id", "name", "score", "flag"]
+    rows = sorted(back.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2, 3]
+    assert rows[1]["name"] == "a<b&c>"
+    assert rows[0]["score"] == 1.5 and rows[2]["score"] is None
+    from tablite_spark.sources.io import from_file
+    assert from_file(spark, path).count() == 3
+
+
+def test_xlsx_options(spark, tmp_path):
+    from tablite_spark.sources.xlsx import read_xlsx, to_xlsx
+    df = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(10)], "id bigint, s string")
+    path = str(tmp_path / "o.xlsx")
+    to_xlsx(df, path, sheet="Data")
+    sub = read_xlsx(spark, path, sheet="Data", columns=["s"],
+                    start=2, limit=3, guess_datatypes=False)
+    assert sub.columns == ["s"]
+    assert sub.count() == 3
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sheet not found"):
+        read_xlsx(spark, path, sheet="Nope")
+
+
+def test_excel_serial_to_timestamp(spark):
+    from pyspark.sql import functions as F
+
+    from tablite_spark.sources.xlsx import excel_serial_to_timestamp
+    df = spark.createDataFrame([(25569.0,), (44197.5,)], "serial double")
+    out = df.select(excel_serial_to_timestamp(F.col("serial")).alias("ts")) \
+        .collect()
+    assert str(out[0]["ts"]) == "1970-01-01 00:00:00"
+    assert str(out[1]["ts"]) == "2021-01-01 12:00:00"
