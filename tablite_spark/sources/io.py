@@ -12,8 +12,9 @@ tablite/import_utils.py:633-648 dispatch table; export_utils.py):
 - to_sql ANSI-92 script (export_utils.py:12-48).
 - html: stdlib html.parser scrape (import_utils.py:125-174) + to_html
   writer; xlsx: stdlib zip+SpreadsheetML reader/writer (sources/
-  xlsx.py); xls/ods: gated behind import-try (no pandas excel engine
-  in this container); the dispatch raises a clear error.
+  xlsx.py); ods: stdlib zip+OpenDocument reader (sources/ods.py);
+  legacy .xls: gated behind import-try (no pandas excel engine in
+  this container); the dispatch raises a clear error.
 
 Scale notes: the CSV reader is a single distributed scan with schema
 inference on a sample; start/limit use ``offset``/``limit`` on the
@@ -122,14 +123,17 @@ def from_file(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     if suffix in (".xlsx", ".xlsm"):
         from tablite_spark.sources.xlsx import read_xlsx
         return read_xlsx(spark, path, **kwargs)
-    if suffix in (".xls", ".ods"):
+    if suffix == ".ods":
+        from tablite_spark.sources.ods import read_ods
+        return read_ods(spark, path, **kwargs)
+    if suffix == ".xls":
         try:
             import pandas as pd
             pdf = pd.read_excel(path, sheet_name=kwargs.get("sheet", 0))
             return spark.createDataFrame(pdf)
         except ImportError as e:  # engine missing in container
             raise NotImplementedError(
-                f"xls/ods ingest needs a pandas excel engine: {e}") from e
+                f"legacy .xls ingest needs a pandas excel engine: {e}") from e
     if suffix in (".html", ".htm"):
         return read_html(spark, path,
                          guess_datatypes=kwargs.get("guess_datatypes", True))

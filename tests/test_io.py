@@ -215,3 +215,53 @@ def test_excel_serial_to_timestamp(spark):
         .collect()
     assert str(out[0]["ts"]) == "1970-01-01 00:00:00"
     assert str(out[1]["ts"]) == "2021-01-01 12:00:00"
+
+
+def _write_min_ods(path):
+    import zipfile
+    content = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+ xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+ xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+ xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">
+<office:body><office:spreadsheet>
+<table:table table:name="S1">
+<table:table-row>
+<table:table-cell office:value-type="string"><text:p>id</text:p></table:table-cell>
+<table:table-cell office:value-type="string"><text:p>name</text:p></table:table-cell>
+<table:table-cell office:value-type="string"><text:p>score</text:p></table:table-cell>
+</table:table-row>
+<table:table-row>
+<table:table-cell office:value-type="float" office:value="1"><text:p>1</text:p></table:table-cell>
+<table:table-cell office:value-type="string"><text:p>alpha</text:p></table:table-cell>
+<table:table-cell office:value-type="float" office:value="1.5"><text:p>1.5</text:p></table:table-cell>
+</table:table-row>
+<table:table-row>
+<table:table-cell office:value-type="float" office:value="2"><text:p>2</text:p></table:table-cell>
+<table:table-cell table:number-columns-repeated="2"/>
+</table:table-row>
+<table:table-row>
+<table:table-cell table:number-columns-repeated="16384"/>
+</table:table-row>
+</table:table>
+</office:spreadsheet></office:body></office:document-content>"""
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+
+
+def test_ods_reader(spark, tmp_path):
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.ods import read_ods
+    path = str(tmp_path / "t.ods")
+    _write_min_ods(path)
+    df = read_ods(spark, path)
+    assert df.columns == ["id", "name", "score"]
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == [1, 2]
+    assert rows[0]["name"] == "alpha" and rows[1]["name"] is None
+    assert rows[0]["score"] == 1.5
+    assert from_file(spark, path).count() == 2
+    import pytest as _pt
+    with _pt.raises(ValueError, match="sheet not found"):
+        read_ods(spark, path, sheet="Nope")
