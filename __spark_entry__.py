@@ -755,6 +755,25 @@ def parquet_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+def xlsx_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E xlsx writer→reader proof (stdlib SpreadsheetML,
+    tablite/import_utils.py:180-368 analogue): export nation, re-read
+    via from_file, aggregate against the parquet source."""
+    import tempfile
+
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.xlsx import to_xlsx
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="xlsx_rt_")
+    path = f"{tmp}/nation.xlsx"
+    to_xlsx(n, path)
+    back = from_file(spark, path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.min("n_name").alias("first_name")))
+
+
 def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6-style filter+agg: every predicate must reach the parquet
     scan as PushedFilters (plan-asserted in tests/test_plans.py)."""
@@ -1077,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "json_roundtrip_agg": json_roundtrip_agg,
         "parquet_roundtrip_agg": parquet_roundtrip_agg,
+        "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q14_promo_revenue": q14_promo_revenue,
         "q18_large_orders": q18_large_orders,
@@ -1394,6 +1414,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "xlsx_roundtrip_agg": """
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
         """,
         "q6_forecast_revenue": """
             SELECT SUM(ROUND(l_extendedprice * l_discount * 100, 0)) / 100 AS revenue,
