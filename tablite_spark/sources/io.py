@@ -231,10 +231,19 @@ def get_headers(spark: SparkSession, path: str, linecount: int = 10, **kwargs):
 
 
 def save(df: DataFrame, path: str, mode: str = "overwrite",
-         compression: str = "snappy") -> None:
+         compression: str = "snappy",
+         partition_by: list[str] | None = None) -> None:
     """tpz-equivalent persistence → parquet (tablite/base.py:1350-1453).
-    Snappy parquet ≈ zip-of-npy-pages with column-chunk dedup built in."""
-    df.write.mode(mode).option("compression", compression).parquet(path)
+    Snappy parquet ≈ zip-of-npy-pages with column-chunk dedup built in.
+
+    ``partition_by`` writes a hive-layout directory tree — at 100 TB
+    the layout IS the index: a filter on a partition column prunes
+    whole directories at planning time (PartitionFilters in the scan,
+    asserted in tests/test_plans.py) instead of reading footers."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
 
 
 def load(spark: SparkSession, path: str) -> DataFrame:

@@ -111,3 +111,21 @@ def test_partial_aggregation_happens(spark, qs):
     assert "partial_sum" in s
     # the partial-agg node is described before the Exchange node
     assert s.index("partial_sum") < s.index("(5) Exchange")
+
+
+def test_partitioned_save_prunes_partitions(spark, tmp_path, qs):
+    """A filter on the partition column must become a PartitionFilter
+    (directory pruning at plan time), not a data filter."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.plans.audit import _formatted
+    from tablite_spark.sources.io import load, save
+    li = spark.read.parquet(f"{SF}/lineitem.parquet") \
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+    path = str(tmp_path / "part_li")
+    save(li, path, partition_by=["l_returnflag"])
+    back = load(spark, path).filter(F.col("l_returnflag") == "R")
+    s = _formatted(back)
+    assert "PartitionFilters" in s
+    assert "l_returnflag" in s.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert back.count() > 0
