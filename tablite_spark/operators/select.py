@@ -70,15 +70,26 @@ def _cast_expr(c: Column, target: str) -> Column:
         return (F.when(s.isin("true", "yes", "1"), F.lit(True))
                 .when(s.isin("false", "no", "0"), F.lit(False)))
     if target == "int":
-        # floats with zero fraction are acceptable ints (casters.nim)
-        d = _clean_number(c.cast("string")).try_cast("double")
-        return F.when(d == F.floor(d), d.try_cast("long"))
+        s = _clean_number(c.cast("string"))
+        # direct long cast first — routing every int through double
+        # silently corrupts magnitudes above 2^53 (found by the
+        # hypothesis round-trip property in tests/test_datatype_zoo.py)
+        d = s.try_cast("double")
+        return F.coalesce(
+            s.try_cast("long"),
+            # floats with zero fraction are acceptable ints (casters.nim)
+            F.when(d == F.floor(d), d.try_cast("long")))
     if target == "float":
         return _clean_number(c.cast("string")).try_cast("double")
     if target == "datetime":
         s = F.trim(c.cast("string"))
         attempts = [F.try_to_timestamp(s, F.lit(fmt)) for fmt in DATETIME_FORMATS]
-        attempts.append(F.try_to_timestamp(s))
+        # the default parser accepts bare digit runs as a year
+        # ("25852" → year 25852, "-1000" → year -1000), which would
+        # claim integer columns as datetimes (found by hypothesis);
+        # only let it see strings with a separator BETWEEN digits
+        sep = s.rlike("[0-9][-/:][0-9]")
+        attempts.append(F.when(sep, F.try_to_timestamp(s)))
         return F.coalesce(*attempts)
     if target == "date":
         s = F.trim(c.cast("string"))

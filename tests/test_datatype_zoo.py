@@ -87,3 +87,110 @@ def test_date_roundtrip_property(spark, ds):
     p, f = column_select(df, [{"column": "v", "type": "date"}])
     assert f.count() == 0
     assert sorted(r["v"] for r in p.collect()) == sorted(ds)
+
+
+class TestInferenceRoundtripProperty:
+    """Hypothesis: any homogeneous column of rendered values must be
+    guessed back to its type and cast without data loss (reference
+    tests/test_datatype.py's zoo, generated instead of enumerated)."""
+
+    @staticmethod
+    def _roundtrip(spark, strings, expect_type, expect_values):
+        from tablite_spark.functions.inference import (
+            apply_guessed_types, guess_types,
+        )
+        df = spark.createDataFrame([(s,) for s in strings], "v string")
+        assert guess_types(df) == {"v": expect_type}
+        out = apply_guessed_types(df)
+        got = [r["v"] for r in out.collect()]
+        assert sorted(got, key=str) == sorted(expect_values, key=str)
+
+    def test_ints(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=20))
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        def run(xs):
+            self._roundtrip(spark, [str(x) for x in xs], "int", xs)
+        run()
+
+    def test_floats(self, spark):
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                                  width=64).filter(
+                                      lambda x: x != int(x) or abs(x) > 2**63),
+                        min_size=1, max_size=20))
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        def run(xs):
+            self._roundtrip(spark, [repr(x) for x in xs], "float", xs)
+        run()
+
+    def test_dates(self, spark):
+        from datetime import date
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(st.lists(st.dates(date(1900, 1, 1), date(2100, 1, 1)),
+                        min_size=1, max_size=20))
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        def run(ds):
+            self._roundtrip(spark, [d.isoformat() for d in ds], "date", ds)
+        run()
+
+    def test_datetimes(self, spark):
+        from datetime import datetime
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @given(st.lists(
+            st.datetimes(datetime(1900, 1, 1), datetime(2100, 1, 1))
+            .map(lambda d: d.replace(microsecond=0))
+            .filter(lambda d: (d.hour, d.minute, d.second) != (0, 0, 0)),
+            min_size=1, max_size=20))
+        @settings(max_examples=8, deadline=None,
+                  suppress_health_check=list(HealthCheck))
+        def run(ds):
+            self._roundtrip(spark, [d.isoformat(sep=" ") for d in ds],
+                            "datetime", ds)
+        run()
+
+
+def test_xround_numeric(spark):
+    """DataTypes.round parity (tablite/datatypes.py:325-371): round to
+    arbitrary multiple, up/down/nearest."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.functions.rounding import xround
+    df = spark.createDataFrame([(1,), (6,), (11,), (14,), (-7,)], "x int")
+    got = df.select(
+        xround(F.col("x"), 10).alias("near"),
+        xround(F.col("x"), 10, up=True).alias("up"),
+        xround(F.col("x"), 10, up=False).alias("down")).collect()
+    vals = {r["near"] for r in got}
+    by_x = {x: (r["near"], r["up"], r["down"])
+            for x, r in zip([1, 6, 11, 14, -7], got)}
+    assert by_x[1] == (0, 10, 0)
+    assert by_x[6] == (10, 10, 0)
+    assert by_x[14] == (10, 20, 10)
+    assert by_x[-7] == (-10, 0, -10)
+    assert vals <= {-10, 0, 10, 20}
+
+
+def test_xround_timestamp(spark):
+    from pyspark.sql import functions as F
+
+    from tablite_spark.functions.rounding import xround_ts
+    df = spark.createDataFrame(
+        [("2021-01-01 10:17:00",), ("2021-01-01 10:44:59",)], "s string") \
+        .select(F.to_timestamp("s").alias("ts"))
+    got = [str(r["b"]) for r in
+           df.select(xround_ts(F.col("ts"), 1800).alias("b")).collect()]
+    assert got == ["2021-01-01 10:30:00", "2021-01-01 10:30:00"]
