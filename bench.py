@@ -23,6 +23,11 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_revenue",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "groupby_rollup",
     "filter_pass",
     "groupby_accumulators",
     "join_inner",
