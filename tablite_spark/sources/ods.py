@@ -37,6 +37,59 @@ def _cell_value(cell) -> str | None:
     return "\n".join(texts) if texts else None
 
 
+_ODS_SHELL = """<?xml version="1.0" encoding="UTF-8"?>
+<office:document-content
+ xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+ xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+ xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+ office:version="1.2">
+<office:body><office:spreadsheet>
+<table:table table:name="{name}">
+{rows}
+</table:table>
+</office:spreadsheet></office:body></office:document-content>"""
+
+
+def _ods_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def to_ods(df: DataFrame, path: str, *, sheet: str = "Sheet1",
+           limit: int = 100_000) -> None:
+    """Single-sheet ODS writer (tablite/export_utils.py:108-136
+    analogue) — numbers/bools as typed cells, everything else as
+    strings. Driver-side, capped with ``limit``."""
+    collected = df.limit(limit).collect()
+
+    def cell(v):
+        if v is None:
+            return "<table:table-cell/>"
+        if isinstance(v, bool):
+            b = "true" if v else "false"
+            return (f'<table:table-cell office:value-type="boolean" '
+                    f'office:boolean-value="{b}"><text:p>{b}</text:p>'
+                    f"</table:table-cell>")
+        if isinstance(v, (int, float)):
+            return (f'<table:table-cell office:value-type="float" '
+                    f'office:value="{v}"><text:p>{v}</text:p>'
+                    f"</table:table-cell>")
+        t = _ods_escape(str(v))
+        return (f'<table:table-cell office:value-type="string">'
+                f"<text:p>{t}</text:p></table:table-cell>")
+
+    def row_xml(vals):
+        return ("<table:table-row>" + "".join(cell(v) for v in vals)
+                + "</table:table-row>")
+
+    body = [row_xml(df.columns)] + [row_xml(tuple(r)) for r in collected]
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype",
+                    "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", _ODS_SHELL.format(
+            name=_ods_escape(sheet), rows="\n".join(body)))
+
+
 def read_ods(spark: SparkSession, path: str, *,
              sheet: str | None = None,
              first_row_has_headers: bool = True,

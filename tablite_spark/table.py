@@ -77,6 +77,16 @@ class Table:
         from tablite_spark.sources.xlsx import to_xlsx
         to_xlsx(self.df, path, **kwargs)
 
+    def to_ods(self, path: str, **kwargs) -> None:
+        from tablite_spark.sources.ods import to_ods
+        to_ods(self.df, path, **kwargs)
+
+    def to_tsv(self, path: str, **kwargs) -> None:
+        _io.to_csv(self.df, path, sep="\t", **kwargs)
+
+    def to_text(self, path: str, **kwargs) -> None:
+        _io.to_csv(self.df, path, sep="|", **kwargs)
+
     def to_html(self, path: str | None = None) -> str:
         return _io.to_html(self.df, path)
 
@@ -179,6 +189,61 @@ class Table:
     def show(self, *a, **kw):
         return self.df.show(*a, **kw)
 
+    # ------------------------------------------- construction surface
+    def add_columns(self, *names: str) -> "Table":
+        """tablite ``add_columns`` (base.py:1618-1621): new all-null
+        columns."""
+        for n in names:
+            self.df = self.df.withColumn(n, F.lit(None).cast("string"))
+        return self
+
+    def add_column(self, name: str, data=None) -> "Table":
+        """``add_column`` (base.py:1623-1638): a constant or Column
+        expression; per-row python lists don't distribute — use
+        ``from_pandas`` for literal data."""
+        if isinstance(data, F.Column) or data is None:
+            self.df = self.df.withColumn(
+                name, data if data is not None
+                else F.lit(None).cast("string"))
+        else:
+            self.df = self.df.withColumn(name, F.lit(data))
+        return self
+
+    def add_rows(self, *rows) -> "Table":
+        """``add_rows`` (base.py:1539-1616): append literal rows (tuples
+        or dicts keyed by column)."""
+        spark = self.df.sparkSession
+        as_tuples = []
+        for r in rows:
+            if isinstance(r, dict):
+                as_tuples.append(tuple(r.get(c) for c in self.df.columns))
+            else:
+                as_tuples.append(tuple(r))
+        new = spark.createDataFrame(as_tuples, schema=self.df.schema)
+        self.df = self.df.unionByName(new)
+        return self
+
+    def clear(self) -> "Table":
+        """``clear`` (base.py:1346-1348): drop all rows, keep schema."""
+        self.df = self.df.limit(0)
+        return self
+
+    def items(self):
+        """``items`` (base.py:1151-1156): (name, values) pairs —
+        driver-side by definition; stream via rows for big tables."""
+        cols = self.df.columns
+        data = {c: [] for c in cols}
+        for r in self.rows:
+            for c, v in zip(cols, r):
+                data[c].append(v)
+        return data.items()
+
+    def nbytes(self) -> int:
+        """Approximate in-plan size (reference reports page bytes,
+        base.py:1134-1149); here: Catalyst's logical size estimate."""
+        return int(self.df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+
     # ------------------------------------------------------- filters
     def filter(self, expressions, filter_type: str = "all") -> tuple["Table", "Table"]:
         t, f = _filters.filter_pass_fail(self.df, expressions, filter_type)
@@ -255,6 +320,21 @@ class Table:
     def sort(self, mapping: dict[str, bool], sort_mode: str = "excel",
              mixed_columns=None) -> "Table":
         return Table(_sorting.sort(self.df, mapping, sort_mode, mixed_columns))
+
+    def sorted(self, mapping: dict[str, bool], sort_mode: str = "excel",
+               mixed_columns=None) -> "Table":
+        """Reference alias (tablite/core.py:425-432): sort returning a
+        new table — identical here, where sort never mutates."""
+        return self.sort(mapping, sort_mode, mixed_columns)
+
+    def sort_index(self, mapping: dict[str, bool],
+                   sort_mode: str = "excel") -> "Table":
+        """``sort_index`` (tablite/core.py:366-373): the permutation —
+        one (position, original_row_id) pair per row."""
+        rid = "__si_rid__"
+        tagged = _sorting.with_row_index(self.df, rid)
+        s = _sorting.sort(tagged, mapping, sort_mode)
+        return Table(s.select(F.col(rid).alias("row_id")))
 
     def is_sorted(self, mapping: dict[str, bool], sort_mode: str = "excel") -> bool:
         return _sorting.is_sorted(self.df, mapping, sort_mode)

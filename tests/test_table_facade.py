@@ -1,0 +1,76 @@
+"""Table facade parity surface: construction API, writers, sort
+aliases (reference: tablite/base.py, core.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tablite_spark import Table
+
+
+@pytest.fixture()
+def t(spark):
+    return Table(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"))
+
+
+def test_add_columns_and_column(spark, t):
+    t.add_columns("x", "y")
+    assert t.columns == ["k", "v", "x", "y"]
+    assert t.df.filter(F.col("x").isNull()).count() == 3
+    t.add_column("z", F.col("k") * 10)
+    assert [r["z"] for r in sorted(t.df.collect(), key=lambda r: r["k"])] \
+        == [10, 20, 30]
+    t.add_column("c", 7)
+    assert t.df.filter(F.col("c") == 7).count() == 3
+
+
+def test_add_rows(spark, t):
+    t.add_rows((4, "d"), {"k": 5, "v": "e"})
+    assert t.df.count() == 5
+    assert t.df.filter(F.col("v") == "e").first()["k"] == 5
+
+
+def test_clear_keeps_schema(spark, t):
+    t.clear()
+    assert t.df.count() == 0
+    assert t.columns == ["k", "v"]
+
+
+def test_items(spark, t):
+    d = dict(t.items())
+    assert sorted(d["k"]) == [1, 2, 3]
+    assert sorted(d["v"]) == ["a", "b", "c"]
+
+
+def test_nbytes_positive(spark, t):
+    assert t.nbytes() > 0
+
+
+def test_sorted_alias_and_sort_index(spark, t):
+    s = t.sorted({"k": True})
+    assert [r["k"] for r in s.df.collect()] == [3, 2, 1]
+    idx = t.sort_index({"k": True})
+    assert idx.columns == ["row_id"]
+    assert [r["row_id"] for r in idx.df.collect()] == [2, 1, 0]
+
+
+def test_ods_writer_roundtrip(spark, t, tmp_path):
+    path = str(tmp_path / "t.ods")
+    t.to_ods(path)
+    from tablite_spark.sources.ods import read_ods
+    back = read_ods(spark, path)
+    assert back.columns == ["k", "v"]
+    rows = sorted(back.collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == [1, 2, 3]
+    assert [r["v"] for r in rows] == ["a", "b", "c"]
+
+
+def test_tsv_text_writers(spark, t, tmp_path):
+    from tablite_spark.sources.io import read_csv
+    p1, p2 = str(tmp_path / "t_tsv"), str(tmp_path / "t_txt")
+    t.to_tsv(p1)
+    t.to_text(p2)
+    b1 = read_csv(spark, p1 + "/*.csv", delimiter="\t", guess_datatypes=False)
+    b2 = read_csv(spark, p2 + "/*.csv", delimiter="|", guess_datatypes=False)
+    assert b1.count() == 3 and b1.columns == ["k", "v"]
+    assert b2.count() == 3 and b2.columns == ["k", "v"]
