@@ -1026,6 +1026,30 @@ def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     return simhash(d, "text", "doc_id")
 
 
+def deterministic_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-membership sampling (pipeline/sampling.py): rerun- and
+    engine-stable — the DuckDB oracle reproduces the EXACT same subset
+    from the same md5 math."""
+    from tablite_spark.pipeline.sampling import deterministic_sample
+    o = _t(spark, sf, "orders")
+    s = deterministic_sample(o, "o_orderkey", 0.1)
+    return s.agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("key_sum"))
+
+
+def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum deterministic sampling (sampleBy semantics without
+    seed-dependence); counts per lang oracled exactly."""
+    from tablite_spark.pipeline.sampling import (
+        stratified_deterministic_sample,
+    )
+    docs = _t(spark, sf, "documents")
+    s = stratified_deterministic_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default=0.1)
+    return (s.groupBy("lang").agg(F.count(F.lit(1)).alias("n"),
+                                  F.sum("doc_id").alias("id_sum")))
+
+
 def simhash_near_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole chunk banding +
     bit_count(xor) verification (rows-only: xxhash64-seeded bits are
@@ -1118,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
+        "deterministic_sample_orders": deterministic_sample_orders,
+        "stratified_sample_docs": stratified_sample_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "groupby_accumulators": groupby_accumulators,
@@ -1475,6 +1501,21 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "deterministic_sample_orders": """
+            SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+            FROM orders
+            WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+                       AS UBIGINT) / 1152921504606846976.0 < 0.1
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum
+            FROM documents
+            WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) / 1152921504606846976.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                              ELSE 0.1 END
+            GROUP BY lang
         """,
         "statistics_dates": """
             SELECT MIN(l_shipdate) AS min,

@@ -1,0 +1,60 @@
+"""Deterministic sampling for training-data pipelines.
+
+``df.sample`` is seed-dependent on partitioning — rerunning after a
+repartition (or on a different engine) yields a different subset,
+which breaks dataset reproducibility. These operators decide
+membership from a HASH OF THE ROW KEY alone, so the same row is
+always in or out: stable across runs, partitionings, engines (md5 is
+md5 everywhere), and incremental appends — the property a 100 TB
+training-set builder actually needs (consistent holdout splits,
+resumable pipelines).
+
+Cost: one md5 per row, scan-only plan — no shuffle, no state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _unit_hash(key: Column) -> Column:
+    """Uniform [0, 1) from the first 15 hex digits of md5(key) — 60
+    bits, exactly representable in a double, portable everywhere."""
+    h = F.md5(key.cast("string"))
+    return (F.conv(F.substring(h, 1, 15), 16, 10).cast("double")
+            / F.lit(float(1 << 60)))
+
+
+def deterministic_sample(df: DataFrame, key_col: str,
+                         fraction: float, salt: str = "") -> Column | DataFrame:
+    """Keep ~``fraction`` of rows, membership decided by
+    md5(salt+key): rerun-stable and append-consistent. Change ``salt``
+    to draw an independent sample from the same keys."""
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    return df.filter(_unit_hash(key) < fraction)
+
+
+def stratified_deterministic_sample(df: DataFrame, key_col: str,
+                                    stratum_col: str,
+                                    fractions: dict, salt: str = "",
+                                    default: float = 0.0) -> DataFrame:
+    """Per-stratum fractions (``df.sampleBy`` semantics, deterministic).
+    Unlisted strata get ``default``."""
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    u = _unit_hash(key)
+    frac = F.lit(float(default))
+    for value, f in fractions.items():
+        frac = F.when(F.col(stratum_col) == value, F.lit(float(f))) \
+            .otherwise(frac)
+    return df.filter(u < frac)
+
+
+def train_holdout_split(df: DataFrame, key_col: str,
+                        holdout_fraction: float = 0.1,
+                        salt: str = "split") -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) with hash-disjoint membership — a row can never
+    migrate between splits as the corpus grows."""
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    u = _unit_hash(key)
+    return df.filter(u >= holdout_fraction), df.filter(u < holdout_fraction)

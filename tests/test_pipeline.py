@@ -208,3 +208,41 @@ def test_simhash_near_dup_pairs(spark):
             expect[(ia, ib)] = d
     assert got == expect
     assert (1, 2) in got and got[(1, 2)] == 1
+
+
+def test_deterministic_sample_stability(spark):
+    """Same rows in, same rows out — independent of partitioning; salt
+    draws an independent subset; splits are disjoint and exhaustive."""
+    from tablite_spark.pipeline.sampling import (
+        deterministic_sample, train_holdout_split,
+    )
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in deterministic_sample(df, "k", 0.2).collect()}
+    b = {r["k"] for r in
+         deterministic_sample(df.repartition(7), "k", 0.2).collect()}
+    assert a == b                       # partitioning-independent
+    assert 0.1 < len(a) / 2000 < 0.3    # ~fraction
+    c = {r["k"] for r in deterministic_sample(df, "k", 0.2, salt="s2").collect()}
+    assert c != a                       # independent draw
+    train, hold = train_holdout_split(df, "k", 0.25)
+    tr = {r["k"] for r in train.collect()}
+    ho = {r["k"] for r in hold.collect()}
+    assert tr.isdisjoint(ho) and len(tr) + len(ho) == 2000
+    # membership is append-consistent: a row keeps its split in a
+    # bigger corpus
+    train2, _ = train_holdout_split(df.limit(500), "k", 0.25)
+    assert {r["k"] for r in train2.collect()} <= tr
+
+
+def test_stratified_deterministic_sample(spark):
+    from tablite_spark.pipeline.sampling import (
+        stratified_deterministic_sample,
+    )
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = stratified_deterministic_sample(df, "k", "g", {"a": 0.5},
+                                          default=0.0)
+    got = out.groupBy("g").count().collect()
+    d = {r["g"]: r["count"] for r in got}
+    assert "b" not in d
+    assert 150 < d["a"] < 350
