@@ -220,7 +220,11 @@ def embedding_near_dup_blocked(df: DataFrame, id_col: str, vec_col: str,
         # and task count grow with corpus size, tiny corpora stay in
         # one or two tasks instead of paying 36 near-empty ones.
         n = df.count()
-        n_blocks = max(1, min(32, -(-n // 8000)))
+        # floor of 2: a single block funnels everything into one task
+        # AND one python worker (measured ~4x slower than 2+ blocks
+        # even at 2k vectors — no pipelining with the explode/shuffle
+        # stages); 2 blocks already gives 3 concurrent block-pairs.
+        n_blocks = max(2, min(32, -(-n // 8000)))
 
     v = df.select(F.col(id_col).alias("vid"),
                   _unit(F.col(vec_col)).alias("uv"),
