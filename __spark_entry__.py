@@ -480,6 +480,18 @@ def tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
             .withColumn("hour_start", F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss")))
 
 
+def hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch hopping (sliding) windows — native F.window with slide
+    (1h windows every 15min): each event lands in 4 overlapping
+    windows via Catalyst's Expand, no self-join."""
+    e = _t(spark, sf, "events")
+    return (e.groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("value") * 100, 0)) / 100).alias("val_sum"))
+            .select(F.col("window.start").alias("w_start"),
+                    "event_type", "n", "val_sum"))
+
+
 def merge_where_case(spark: SparkSession, sf: str) -> DataFrame:
     """Table.merge: CASE column merge dropping sources
     (tablite/merge.py:7-50)."""
@@ -1178,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_tables": diff_tables,
         "sessionize_events": sessionize_events,
         "tumbling_window": tumbling_window,
+        "hopping_window": hopping_window,
         "dedup_exact": dedup_exact,
         "text_stats": text_stats,
         "doc_fingerprint": doc_fingerprint,
@@ -1501,6 +1514,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
                    COUNT(*) AS n
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "hopping_window": """
+            SELECT ws AS w_start, event_type, COUNT(*) AS n,
+                   SUM(ROUND(value * 100, 0)) / 100 AS val_sum
+            FROM (SELECT e.*, u.ws
+                  FROM events e,
+                       LATERAL UNNEST(generate_series(
+                           time_bucket(INTERVAL '15 minutes', ts)
+                               - INTERVAL '45 minutes',
+                           time_bucket(INTERVAL '15 minutes', ts),
+                           INTERVAL '15 minutes')) AS u(ws))
+            GROUP BY ws, event_type
         """,
         "deterministic_sample_orders": """
             SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
