@@ -126,11 +126,15 @@ class Table:
     def __delitem__(self, name: str):
         self.df = self.df.drop(name)
 
+    _LIST_ASSIGN_LIMIT = 10_000_000
+
     def __setitem__(self, name: str, value):
-        """t['x'] = Column-expression | constant | Table column
-        (tablite/base.py:1161-1203). List assignment is intentionally
-        unsupported: positional writes don't exist on a distributed
-        frame — derive the column from expressions instead."""
+        """t['x'] = Column-expression | constant | Table column | list
+        (tablite/base.py:1161-1203). List assignment (the reference's
+        flagship ``t['A'] = [x*x for x in t['A']]`` idiom,
+        README.md:112) is positional: the list is zipped against row
+        order via an index join — driver-side data, so it is guarded by
+        ``_LIST_ASSIGN_LIMIT``. Prefer Column expressions at scale."""
         if isinstance(value, Table):
             if len(value.df.columns) != 1:
                 raise ValueError("assigning a Table requires exactly one column")
@@ -140,9 +144,23 @@ class Table:
         elif isinstance(value, F.Column):
             self.df = self.df.withColumn(name, value)
         elif isinstance(value, (list, tuple)):
-            raise TypeError(
-                "list assignment is not supported on a distributed table; "
-                "use a Column expression (e.g. t['x'] = F.col('a') * 2)")
+            if len(value) > self._LIST_ASSIGN_LIMIT:
+                raise ValueError(
+                    f"list assignment of {len(value)} values exceeds "
+                    f"{self._LIST_ASSIGN_LIMIT}; use a Column expression")
+            n = self.df.count()
+            if len(value) != n:
+                raise ValueError(
+                    f"length mismatch: {len(value)} values for {n} rows")
+            spark = self.df.sparkSession
+            col_df = spark.createDataFrame(
+                [(i, v) for i, v in enumerate(value)],
+                ["__la_idx__", name])
+            base = _sorting.with_row_index(
+                self.df.drop(name) if name in self.df.columns else self.df,
+                "__la_idx__")
+            self.df = (base.join(col_df, on="__la_idx__", how="left")
+                       .orderBy("__la_idx__").drop("__la_idx__"))
         else:
             self.df = self.df.withColumn(name, F.lit(value))
 

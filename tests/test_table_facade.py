@@ -74,3 +74,21 @@ def test_tsv_text_writers(spark, t, tmp_path):
     b2 = read_csv(spark, p2 + "/*.csv", delimiter="|", guess_datatypes=False)
     assert b1.count() == 3 and b1.columns == ["k", "v"]
     assert b2.count() == 3 and b2.columns == ["k", "v"]
+
+
+def test_list_assignment_positional(spark, t):
+    """The reference's flagship idiom (README.md:112):
+    t['A'] = [f(x) for x in t['A']]."""
+    squares = [r[0] ** 2 for r in t["k"].rows]
+    t["sq"] = squares
+    rows = sorted(t.df.collect(), key=lambda r: r["k"])
+    assert [r["sq"] for r in rows] == [1, 4, 9]
+    # overwrite an existing column positionally
+    t["v"] = ["x", "y", "z"]
+    rows = sorted(t.df.collect(), key=lambda r: r["k"])
+    assert [r["v"] for r in rows] == ["x", "y", "z"]
+
+
+def test_list_assignment_length_mismatch(spark, t):
+    with pytest.raises(ValueError, match="length mismatch"):
+        t["bad"] = [1, 2]
