@@ -869,6 +869,28 @@ def groupby_rollup(spark: SparkSession, sf: str) -> DataFrame:
                     "sum_qty", "n"))
 
 
+def groupby_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over two dims — all four grouping sets in one pass
+    (additive beyond the reference, like rollup)."""
+    o = _t(spark, sf, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100, 0)) / 100)
+                 .alias("price_sum"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+                    "n", "price_sum"))
+
+
+def window_ntile(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile bucketing per partition (analytic-function coverage)."""
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return o.select("o_orderkey", "o_orderstatus",
+                    F.ntile(4).over(w).alias("quartile"))
+
+
 def count_value_q(spark: SparkSession, sf: str) -> DataFrame:
     """Column.count(item) — type-strict occurrence count
     (tablite/base.py:1026-1072)."""
@@ -1139,6 +1161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_priority_exists": q4_priority_exists,
         "q19_disjunctive_filter": q19_disjunctive_filter,
         "groupby_rollup": groupby_rollup,
+        "groupby_cube": groupby_cube,
+        "window_ntile": window_ntile,
         "count_value": count_value_q,
         "unique_values": unique_values_q,
         "is_sorted": is_sorted_q,
@@ -1496,6 +1520,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "count_value": """
             SELECT COUNT(*) AS n FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "groupby_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS prio,
+                   COUNT(*) AS n,
+                   SUM(ROUND(o_totalprice * 100, 0)) / 100 AS price_sum
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "window_ntile": """
+            SELECT o_orderkey, o_orderstatus,
+                   NTILE(4) OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice ASC, o_orderkey ASC)
+                       AS quartile
+            FROM orders
         """,
         "q19_disjunctive_filter": """
             SELECT SUM(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)) / 100 AS revenue,
