@@ -225,8 +225,16 @@ def to_html(df: DataFrame, path: str | None = None, limit: int = 10_000) -> str:
 
 
 def get_headers(spark: SparkSession, path: str, linecount: int = 10, **kwargs):
-    """Peek first N rows (tablite/nimlite.py:52-69, tools.py:32-36)."""
-    df = read_csv(spark, path, guess_datatypes=False, **kwargs)
+    """Peek first N rows of ANY supported file type
+    (tablite/nimlite.py:52-69, tools.py:32-36 — the reference's
+    get_headers dispatches by suffix too)."""
+    suffix = pathlib.Path(path).suffix.lower()
+    if suffix in (".csv", ".tsv", ".txt", ".ssv"):
+        df = read_csv(spark, path, guess_datatypes=False, **kwargs)
+    else:
+        df = from_file(spark, path, guess_datatypes=False, **kwargs) \
+            if suffix in (".xlsx", ".xlsm", ".ods", ".html", ".htm") \
+            else from_file(spark, path, **kwargs)
     return [df.columns] + [list(r) for r in df.take(linecount)]
 
 

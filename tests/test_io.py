@@ -265,3 +265,13 @@ def test_ods_reader(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError, match="sheet not found"):
         read_ods(spark, path, sheet="Nope")
+
+
+def test_get_headers_other_formats(spark, tmp_path):
+    from tablite_spark.sources.io import get_headers
+    from tablite_spark.sources.xlsx import to_xlsx
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string")
+    xp = str(tmp_path / "h.xlsx")
+    to_xlsx(df, xp)
+    h = get_headers(spark, xp, linecount=1)
+    assert h[0] == ["k", "v"] and len(h) == 2
