@@ -128,6 +128,6 @@ def test_table_setitem_and_rows(spark):
     t["b"] = F.col("a") * 10
     t["c"] = 7
     assert sorted(t.rows) == [(1, 10, 7), (2, 20, 7)]
-    import pytest as _pt
-    with _pt.raises(TypeError):
-        t["d"] = [1, 2]
+    # positional list assignment (reference README idiom) is supported
+    t["d"] = [100, 200]
+    assert sorted(t.rows) == [(1, 10, 7, 100), (2, 20, 7, 200)]
