@@ -584,14 +584,22 @@ def imputation_nn(spark: SparkSession, sf: str) -> DataFrame:
 def imputation_nn_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate NN imputation via random-hyperplane LSH buckets —
     the 100 TB path (candidates from (table, bucket) equi joins, exact
-    re-rank within buckets, exact fallback). Rows-only check: the
-    bucketing is seeded but not SQL-expressible."""
+    re-rank within buckets, exact fallback).
+
+    EXACT-oracled by construction: every null row (odd custkey) has a
+    unique distance-0 donor (its even partner shares the same ``pair``
+    source value). Identical source vectors hash to identical buckets
+    in every LSH table, so the partner is always a candidate, and the
+    exact re-rank makes it the unique winner — LSH == exact NN here,
+    which DuckDB reproduces with a self-join on the pair key."""
     from tablite_spark.operators.imputation import nearest_neighbour_lsh
-    c = _t(spark, sf, "customer").filter(F.col("c_custkey") < 300).select(
-        "c_custkey", "c_nationkey",
-        F.when(F.col("c_custkey") % 10 == 0, F.lit(None).cast("double"))
+    c = _t(spark, sf, "customer").filter(
+        (F.col("c_custkey") >= 2) & (F.col("c_custkey") < 600)).select(
+        "c_custkey",
+        F.floor(F.col("c_custkey") / 2).cast("long").alias("pair"),
+        F.when(F.col("c_custkey") % 2 == 1, F.lit(None).cast("double"))
          .otherwise(F.round(F.col("c_acctbal"), 2)).alias("bal"))
-    out = nearest_neighbour_lsh(c, ["bal"], ["c_custkey", "c_nationkey"])
+    out = nearest_neighbour_lsh(c, ["bal"], ["pair"])
     return out.select("c_custkey", F.round(F.col("bal"), 2).alias("bal"))
 
 
@@ -731,7 +739,7 @@ def csv_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     li.write.mode("overwrite").option("header", True).csv(path)
     back = read_csv(spark, path)
     return (back.groupBy("l_returnflag")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            .agg(_cents(F.col("l_quantity")).alias("sum_qty"),
                  F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
 
@@ -1122,7 +1130,65 @@ def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order matters: the driver verifies entries in order with a
+    bounded per-round window (50 in round 1). Entries with no green
+    CORRECTNESS row yet come FIRST; already-green entries rotate to the
+    back so every query accumulates a hard correctness signal across
+    rounds."""
     return {
+        # --- never verified (round 1 positions 51-97) — highest value first
+        "join_inner": join_inner,
+        "join_left": join_left,
+        "join_outer_merge_keys": join_outer_merge_keys,
+        "join_cross": join_cross,
+        "join_semi": join_semi,
+        "join_anti": join_anti,
+        "join_nullsafe": join_nullsafe,
+        "lookup_first_match": lookup_first_match,
+        "column_select_pass": column_select_pass,
+        "column_select_fail": column_select_fail,
+        "concat_tables": concat_tables,
+        "stack_tables": stack_tables,
+        "repeat_table": repeat_table,
+        "diff_tables": diff_tables,
+        "slice_step": slice_step,
+        "replace_values": replace_values_q,
+        "drop_rows": drop_rows_q,
+        "pivot_wide": pivot_wide,
+        "melt_long": melt_long,
+        "window_topn": window_topn,
+        "window_running_sum": window_running_sum,
+        "window_lag": window_lag,
+        "groupby_accumulators": groupby_accumulators,
+        "distinct_keys": distinct_keys,
+        "unique_first": unique_first,
+        "imputation_ffill": imputation_ffill,
+        "imputation_mean": imputation_mean,
+        "statistics_summary": statistics_summary,
+        "histogram": histogram_q,
+        "xround_buckets": xround_buckets,
+        "sessionize_events": sessionize_events,
+        "tumbling_window": tumbling_window,
+        "hopping_window": hopping_window,
+        "dedup_exact": dedup_exact,
+        "deterministic_sample_orders": deterministic_sample_orders,
+        "stratified_sample_docs": stratified_sample_docs,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_docs": simhash_docs,
+        "simhash_near_dup_docs": simhash_near_dup_docs,
+        "text_stats": text_stats,
+        "doc_fingerprint": doc_fingerprint,
+        "quality_score": quality_score,
+        "embedding_topk": embedding_topk,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        "multimodal_decode": multimodal_decode,
+        "media_features": media_features,
+        # --- red in round 1, fixed this round
+        "csv_roundtrip_agg": csv_roundtrip_agg,
+        "pandas_roundtrip_agg": pandas_roundtrip_agg,
+        "imputation_nn_lsh": imputation_nn_lsh,
+        # --- green in round 1 (rotated to the back)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_revenue": q3_shipping_revenue,
         "q5_nation_revenue": q5_nation_revenue,
@@ -1140,7 +1206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_rows": reindex_rows,
         "imputation_mode": imputation_mode,
         "imputation_nn": imputation_nn,
-        "imputation_nn_lsh": imputation_nn_lsh,
         "pivot_long": pivot_long,
         "sort_alphanumeric": sort_alphanumeric,
         "drop_duplicates": drop_duplicates_q,
@@ -1151,7 +1216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_rowids": index_rowids,
         "sort_unix_mixed": sort_unix_mixed,
         "xround_time_buckets": xround_time_buckets,
-        "csv_roundtrip_agg": csv_roundtrip_agg,
         "json_roundtrip_agg": json_roundtrip_agg,
         "parquet_roundtrip_agg": parquet_roundtrip_agg,
         "xlsx_roundtrip_agg": xlsx_roundtrip_agg,
@@ -1167,59 +1231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_values": unique_values_q,
         "is_sorted": is_sorted_q,
         "remove_all": remove_all_q,
-        "pandas_roundtrip_agg": pandas_roundtrip_agg,
         "json_columnar_roundtrip": json_columnar_roundtrip,
         "token_count_bpe": token_count_bpe,
         "language_id_docs": language_id_docs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "near_dup_embeddings": near_dup_embeddings,
-        "multimodal_decode": multimodal_decode,
-        "media_features": media_features,
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "simhash_docs": simhash_docs,
-        "simhash_near_dup_docs": simhash_near_dup_docs,
-        "deterministic_sample_orders": deterministic_sample_orders,
-        "stratified_sample_docs": stratified_sample_docs,
-        "lsh_topk_embeddings": lsh_topk_embeddings,
-        "ivf_topk_embeddings": ivf_topk_embeddings,
-        "groupby_accumulators": groupby_accumulators,
-        "distinct_keys": distinct_keys,
-        "unique_first": unique_first,
-        "join_inner": join_inner,
-        "join_left": join_left,
-        "join_outer_merge_keys": join_outer_merge_keys,
-        "join_cross": join_cross,
-        "join_semi": join_semi,
-        "join_anti": join_anti,
-        "join_nullsafe": join_nullsafe,
-        "lookup_first_match": lookup_first_match,
-        "pivot_wide": pivot_wide,
-        "melt_long": melt_long,
-        "window_topn": window_topn,
-        "window_running_sum": window_running_sum,
-        "window_lag": window_lag,
-        "slice_step": slice_step,
-        "concat_tables": concat_tables,
-        "stack_tables": stack_tables,
-        "repeat_table": repeat_table,
-        "replace_values": replace_values_q,
-        "drop_rows": drop_rows_q,
-        "column_select_pass": column_select_pass,
-        "column_select_fail": column_select_fail,
-        "imputation_ffill": imputation_ffill,
-        "imputation_mean": imputation_mean,
-        "statistics_summary": statistics_summary,
-        "histogram": histogram_q,
-        "xround_buckets": xround_buckets,
-        "diff_tables": diff_tables,
-        "sessionize_events": sessionize_events,
-        "tumbling_window": tumbling_window,
-        "hopping_window": hopping_window,
-        "dedup_exact": dedup_exact,
-        "text_stats": text_stats,
-        "doc_fingerprint": doc_fingerprint,
-        "quality_score": quality_score,
-        "embedding_topk": embedding_topk,
     }
 
 
@@ -1368,6 +1384,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c LEFT JOIN (SELECT c_custkey, fill_bal FROM best WHERE rn = 1) b
             ON c.c_custkey = b.c_custkey
         """,
+        "imputation_nn_lsh": """
+            WITH c AS (
+                SELECT c_custkey,
+                       CASE WHEN c_custkey % 2 = 1 THEN NULL
+                            ELSE ROUND(c_acctbal, 2) END AS bal
+                FROM customer WHERE c_custkey >= 2 AND c_custkey < 600
+            )
+            SELECT n.c_custkey, ROUND(COALESCE(n.bal, d.bal), 2) AS bal
+            FROM c n LEFT JOIN c d
+            ON d.c_custkey = n.c_custkey - (n.c_custkey % 2) AND d.bal IS NOT NULL
+        """,
         "pivot_long": """
             SELECT l_returnflag, 'l_linestatus=F' AS function,
                    ROUND(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2) AS value
@@ -1460,7 +1487,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_roundtrip_agg": """
             SELECT l_returnflag,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   SUM(ROUND(l_quantity * 100, 0)) / 100 AS sum_qty,
                    COUNT(*) AS n,
                    CAST(SUM(l_orderkey + l_linenumber) AS BIGINT) AS key_sum
             FROM lineitem GROUP BY l_returnflag
@@ -1609,7 +1636,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY n_regionkey
         """,
         "pandas_roundtrip_agg": """
-            SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS key_sum
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
             FROM nation GROUP BY n_regionkey
         """,
         "json_columnar_roundtrip": """
