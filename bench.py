@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "groupby_accumulators",
     "join_inner",
     "join_left",
+    "slice_step",
     "lookup_first_match",
     "window_running_sum",
     "pivot_wide",
@@ -109,6 +110,16 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         spark.read.parquet(f"{tmp}/synth.parquet").write.format("noop") \
             .mode("overwrite").save()
         timings["synth_order_1m_load"] = round(time.perf_counter() - t0, 3)
+
+        # matched-shape JSON read: BASELINE.md's ~2.3M rows/s is a 1M-row
+        # in-memory decode; measure OUR 1M-row JSON-lines scan with an
+        # explicit schema so the ratio is apples-to-apples on row count.
+        synth.write.mode("overwrite").json(f"{tmp}/synth.json")
+        t0 = time.perf_counter()
+        spark.read.json(f"{tmp}/synth.json", schema=synth.schema) \
+            .write.format("noop").mode("overwrite").save()
+        timings["synth_json_1m_read"] = round(time.perf_counter() - t0, 3)
+        rows_out["synth_rows"] = 1_000_000
         synth.unpersist()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

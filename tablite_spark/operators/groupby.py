@@ -150,9 +150,11 @@ def transpose(df: DataFrame) -> DataFrame:
     (tablite/pivots.py:185-198). Inherently small-data: collects to the
     driver. Guarded so it cannot be misused on big frames.
     """
-    rows = df.collect()
-    if len(rows) > 10_000:
+    # guard BEFORE collecting — limit(n+1) keeps the probe bounded, so
+    # the driver OOM the guard prevents can't happen during the check
+    if df.limit(10_001).count() > 10_000:
         raise ValueError("transpose() is a small-data operator (<=10k rows)")
+    rows = df.collect()
     header_col = df.columns[0]
     other_cols = df.columns[1:]
     new_cols = [header_col] + [str(r[header_col]) for r in rows]

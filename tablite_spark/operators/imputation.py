@@ -27,12 +27,51 @@ from pyspark.sql import functions as F
 
 
 def carry_forward(df: DataFrame, targets: list[str], order_by: list[str]) -> DataFrame:
-    w = (Window.orderBy(*[F.col(c) for c in order_by])
+    """Forward-fill in global ``order_by`` order — scale-safe two-pass.
+
+    A single ``Window.orderBy`` would serialize the whole table through
+    one task. Instead: (1) range-partition on the order keys so
+    partition p's rows all precede partition p+1's; (2) forward-fill
+    WITHIN each partition (window partitioned by partition id —
+    distributed); (3) collect one row per partition (its last filled
+    value per target), compute each partition's carry-in on the driver
+    (|partitions| rows), and patch leading nulls via a broadcast map
+    literal. No row-level data ever converges on one task.
+
+    The range-partitioned frame is persisted so the boundary-collect
+    and the output compute the same partition ids.
+    """
+    pid = "__cf_pid__"
+    ocols = [F.col(c) for c in order_by]
+    part = (df.repartitionByRange(*ocols)
+            .withColumn(pid, F.spark_partition_id()))
+    w = (Window.partitionBy(pid).orderBy(*ocols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    out = df
+    filled = part
     for t in targets:
-        out = out.withColumn(t, F.last(F.col(t), ignorenulls=True).over(w))
-    return out
+        filled = filled.withColumn(t, F.last(F.col(t), ignorenulls=True).over(w))
+    filled = filled.persist()
+    # last filled value per partition = value on the max order-key row
+    order_struct = F.struct(*ocols)
+    lasts = (filled.groupBy(pid)
+             .agg(*[F.max_by(F.col(t), order_struct).alias(t) for t in targets])
+             .collect())
+    lasts.sort(key=lambda r: r[pid])
+    carry: dict[int, dict] = {}
+    running: dict[str, object] = {t: None for t in targets}
+    for r in lasts:
+        carry[r[pid]] = dict(running)
+        for t in targets:
+            if r[t] is not None:
+                running[t] = r[t]
+    out = filled
+    for t in targets:
+        entries = [(p, v[t]) for p, v in carry.items() if v[t] is not None]
+        if entries:
+            m = F.create_map(
+                *[x for p, v in entries for x in (F.lit(p), F.lit(v))])
+            out = out.withColumn(t, F.coalesce(F.col(t), m[F.col(pid)]))
+    return out.drop(pid)
 
 
 def fill_mean(df: DataFrame, targets: list[str]) -> DataFrame:

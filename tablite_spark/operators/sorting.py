@@ -104,19 +104,48 @@ def is_sorted(df: DataFrame, mapping: dict[str, bool],
     return bad == 0
 
 
+_MID_SUB_MASK = (1 << 33) - 1  # monotonically_increasing_id low 33 bits
+
+
 def with_row_index(df: DataFrame, name: str = "__row_id__",
                    order_by: list[str] | None = None) -> DataFrame:
-    """Stable 0-based row index. With ``order_by``: a global row_number
-    (single final shuffle). Without: zipWithIndex-style partition-offset
-    id — O(1) extra passes, preserves on-disk order, scales linearly."""
+    """Stable 0-based row index.
+
+    With ``order_by``: a global row_number (total order was explicitly
+    requested, so the single-reducer window is inherent).
+
+    Without: true zipWithIndex — ``monotonically_increasing_id`` packs
+    (partition id << 33 | in-partition offset), so one tiny count-agg
+    (|partitions| rows) yields cumulative offsets that are broadcast
+    back and added to the in-partition offset. No row ever crosses the
+    network; the extra cost is one count job, exactly like
+    ``RDD.zipWithIndex``. Preserves on-disk order and scales linearly
+    (this underpins slice/reindex/unique_index/positional setitem)."""
     if order_by:
         w = Window.orderBy(*[F.col(c) for c in order_by])
         return df.withColumn(name, F.row_number().over(w) - 1)
-    # monotonically_increasing_id preserves order within partitions and
-    # partition index in the high bits → order-preserving rank via sort
-    tagged = df.withColumn(name, F.monotonically_increasing_id())
-    w = Window.orderBy(F.col(name))
-    return tagged.withColumn(name, F.row_number().over(w) - 1)
+    mid = "__wri_mid__"
+    pid = "__wri_pid__"
+    tagged = df.withColumn(mid, F.monotonically_increasing_id())
+    counts = (tagged
+              .select(F.shiftrightunsigned(F.col(mid), 33).alias(pid))
+              .groupBy(pid).agg(F.count(F.lit(1)).alias("__wri_cnt__"))
+              .collect())
+    counts.sort(key=lambda r: r[pid])
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r[pid], acc))
+        acc += r["__wri_cnt__"]
+    if not offsets:  # empty frame: no rows to index
+        return df.withColumn(name, F.lit(None).cast("long"))
+    off_df = df.sparkSession.createDataFrame(
+        offsets, schema=f"{pid} long, __wri_off__ long")
+    sub = F.col(mid).bitwiseAND(F.lit(_MID_SUB_MASK))
+    return (tagged
+            .withColumn(pid, F.shiftrightunsigned(F.col(mid), 33))
+            .join(F.broadcast(off_df), pid)
+            .withColumn(name, F.col("__wri_off__") + sub)
+            .drop(pid, "__wri_off__", mid))
 
 
 def slice_rows(df: DataFrame, start: int | None = None,

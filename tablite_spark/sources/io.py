@@ -52,23 +52,32 @@ def read_csv(spark: SparkSession, path: str, *,
     (tablite/nimlite.py:71-198)."""
     suffix = pathlib.Path(path).suffix.lower()
     sep = delimiter or _DELIMS.get(suffix, ",")
-    reader = (spark.read
-              .option("header", first_row_has_headers)
-              .option("sep", sep)
-              .option("quote", text_qualifier or '"')
-              .option("escape", text_qualifier or '"')
-              .option("multiLine", True)
-              .option("mode", "PERMISSIVE")
-              .option("ignoreLeadingWhiteSpace", strip_leading_and_tailing_whitespace)
-              .option("ignoreTrailingWhiteSpace", strip_leading_and_tailing_whitespace))
-    if encoding:
-        reader = reader.option("encoding", encoding)
-    if newline:
-        reader = reader.option("lineSep", newline)
     if header_row_index:
-        # skip leading junk rows before the header
-        reader = reader.option("skipRows", header_row_index)
-    df = reader.csv(path)
+        # OSS Spark's CSV source has no skip-leading-lines option
+        # (unknown options are silently ignored), so junk preambles are
+        # dropped explicitly: read raw lines, index them (partition-
+        # offset, no global shuffle), parse past the preamble with the
+        # native from_csv. Line-based, so quoted embedded newlines are
+        # not supported together with header_row_index.
+        df = _read_csv_skip_lines(
+            spark, path, header_row_index, first_row_has_headers, sep,
+            text_qualifier or '"', encoding, newline,
+            strip_leading_and_tailing_whitespace)
+    else:
+        reader = (spark.read
+                  .option("header", first_row_has_headers)
+                  .option("sep", sep)
+                  .option("quote", text_qualifier or '"')
+                  .option("escape", text_qualifier or '"')
+                  .option("multiLine", True)
+                  .option("mode", "PERMISSIVE")
+                  .option("ignoreLeadingWhiteSpace", strip_leading_and_tailing_whitespace)
+                  .option("ignoreTrailingWhiteSpace", strip_leading_and_tailing_whitespace))
+        if encoding:
+            reader = reader.option("encoding", encoding)
+        if newline:
+            reader = reader.option("lineSep", newline)
+        df = reader.csv(path)
     if columns:
         df = df.select(*columns)
     if skip_empty in ("ANY", "ALL"):
@@ -80,6 +89,54 @@ def read_csv(spark: SparkSession, path: str, *,
     if guess_datatypes:
         df = apply_guessed_types(df)
     return df
+
+
+def _read_csv_skip_lines(spark: SparkSession, path: str, skip: int,
+                         first_row_has_headers: bool, sep: str,
+                         quote: str, encoding: str | None,
+                         newline: str | None, strip_ws: bool = True) -> DataFrame:
+    """CSV parse that drops ``skip`` leading junk lines first
+    (reference text_reader's header_row_index, tablite/nimlite.py:90).
+
+    Stays JVM-side: raw lines via the text source, 0-based line index
+    via partition-offset with_row_index (no single-partition exchange),
+    header promoted on the driver (one tiny first()), data rows parsed
+    with native ``from_csv``."""
+    import csv as _csv
+    import io as _io
+
+    from tablite_spark.operators.sorting import with_row_index
+
+    reader = spark.read
+    if newline:
+        reader = reader.option("lineSep", newline)
+    if encoding:
+        reader = reader.option("encoding", encoding)
+    lines = with_row_index(reader.text(path), "__line_no__")
+    if first_row_has_headers:
+        hdr = lines.filter(F.col("__line_no__") == skip).first()
+        if hdr is None:
+            raise ValueError(f"header_row_index={skip} is past end of {path}")
+        names = next(_csv.reader(_io.StringIO(hdr["value"]),
+                                 delimiter=sep, quotechar=quote))
+        first_data = skip + 1
+    else:
+        probe = lines.filter(F.col("__line_no__") == skip).first()
+        width = (len(next(_csv.reader(_io.StringIO(probe["value"]),
+                                      delimiter=sep, quotechar=quote)))
+                 if probe else 0)
+        names = [str(i) for i in range(width)]
+        first_data = skip
+    schema = ", ".join(f"`{n}` string" for n in names)
+    parsed = (lines.filter(F.col("__line_no__") >= first_data)
+              .select(F.from_csv(F.col("value"), schema,
+                                 {"sep": sep, "quote": quote,
+                                  "escape": quote,
+                                  "ignoreLeadingWhiteSpace": str(strip_ws).lower(),
+                                  "ignoreTrailingWhiteSpace": str(strip_ws).lower(),
+                                  "mode": "PERMISSIVE"}).alias("r"))
+              .select("r.*"))
+    return parsed
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -139,8 +139,22 @@ class Table:
             if len(value.df.columns) != 1:
                 raise ValueError("assigning a Table requires exactly one column")
             src = value.df.columns[0]
-            self.df = self.df.withColumn(name, F.col(src)) if src in self.df.columns \
-                else _setops.hstack_by_position(self.df, value.df.withColumnRenamed(src, name))
+            # The withColumn shortcut resolves `src` against SELF's
+            # frame, so it is only valid when `value` provably IS
+            # self's own column (t['x'] = t['a']); a foreign table
+            # whose column name collides must go positional.
+            same_self_col = False
+            if src in self.df.columns:
+                try:
+                    same_self_col = value.df.sameSemantics(self.df.select(src))
+                except Exception:
+                    same_self_col = False
+            if same_self_col:
+                self.df = self.df.withColumn(name, F.col(src))
+            else:
+                base = self.df.drop(name) if name in self.df.columns else self.df
+                self.df = _setops.hstack_by_position(
+                    base, value.df.withColumnRenamed(src, name))
         elif isinstance(value, F.Column):
             self.df = self.df.withColumn(name, value)
         elif isinstance(value, (list, tuple)):
@@ -184,9 +198,15 @@ class Table:
         return Table(self.df.withColumnsRenamed(mapping))
 
     def __eq__(self, other) -> bool:
+        """Content equality, like the reference's ``t1 == t2``
+        (tablite/base.py) — NOTE this runs two Spark jobs. ``__hash__``
+        stays identity-based so Tables remain usable in sets/dicts
+        without triggering jobs."""
         if not isinstance(other, Table):
             return NotImplemented
         return _setops.frames_equal(self.df, other.df)
+
+    __hash__ = object.__hash__
 
     def __add__(self, other: "Table") -> "Table":
         return Table(_setops.concat(self.df, other.df))

@@ -37,6 +37,26 @@ def test_read_csv_start_limit(spark, csv_path):
     assert df.count() == 1
 
 
+def test_read_csv_header_row_index(spark, tmp_path):
+    """Junk preamble before the real header (reference text_reader's
+    header_row_index) — must NOT silently treat junk as the header."""
+    p = tmp_path / "preamble.csv"
+    p.write_text("# report generated 2021\nsome,junk,line\na,b,c\n1,x,9\n2,y,8\n")
+    df = read_csv(spark, str(p), header_row_index=2)
+    assert df.columns == ["a", "b", "c"]
+    assert df.count() == 2
+    assert {r["a"] for r in df.collect()} == {1, 2}
+
+
+def test_read_csv_header_row_index_no_headers(spark, tmp_path):
+    p = tmp_path / "preamble2.csv"
+    p.write_text("junk\n10,20\n30,40\n")
+    df = read_csv(spark, str(p), header_row_index=1,
+                  first_row_has_headers=False, guess_datatypes=False)
+    assert df.columns == ["0", "1"]
+    assert df.count() == 2
+
+
 def test_read_tsv_delimiter(spark, tmp_path):
     p = tmp_path / "data.tsv"
     p.write_text("a\tb\n1\t2\n")

@@ -113,6 +113,32 @@ def test_partial_aggregation_happens(spark, qs):
     assert s.index("partial_sum") < s.index("(5) Exchange")
 
 
+def test_row_index_no_single_partition_exchange(spark, qs):
+    """with_row_index (no order_by) must be true zipWithIndex: offsets
+    are broadcast-joined, so the plan has NO SinglePartition exchange
+    and NO global window — the positional family (slice/reindex/
+    unique_index/setitem) stays distributed at 100 TB."""
+    from tablite_spark.operators.sorting import slice_rows, with_row_index
+    from tablite_spark.plans.audit import _formatted
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity")
+    for df in (with_row_index(li, "rid"), slice_rows(li, 2, 2000, 3)):
+        s = _formatted(df)
+        assert "Exchange SinglePartition" not in s, s
+        assert "Window" not in s, s
+        assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+
+
+def test_row_index_values(spark):
+    """Index is 0..n-1 in on-disk order, across multiple partitions."""
+    from tablite_spark.operators.sorting import with_row_index
+    li = (spark.read.parquet(f"{SF}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber").repartition(7))
+    out = with_row_index(li, "rid")
+    rows = out.select("rid").collect()
+    assert sorted(r["rid"] for r in rows) == list(range(li.count()))
+
+
 def test_partitioned_save_prunes_partitions(spark, tmp_path, qs):
     """A filter on the partition column must become a PartitionFilter
     (directory pruning at plan time), not a data filter."""

@@ -24,6 +24,26 @@ def test_add_columns_and_column(spark, t):
     assert t.df.filter(F.col("c") == 7).count() == 3
 
 
+def test_setitem_foreign_table_name_collision(spark, t):
+    """t['v'] = other['v'] must copy OTHER's data even when the source
+    column name collides with one of t's own columns."""
+    other = Table(spark.createDataFrame(
+        [("X",), ("Y",), ("Z",)], "v string"))
+    t["v"] = other["v"]
+    assert sorted(r["v"] for r in t.df.collect()) == ["X", "Y", "Z"]
+    assert t.df.count() == 3
+
+
+def test_setitem_own_column_copy(spark, t):
+    t["w"] = t["v"]
+    rows = sorted(t.df.collect(), key=lambda r: r["k"])
+    assert [r["w"] for r in rows] == [r["v"] for r in rows]
+
+
+def test_table_hashable(spark, t):
+    assert len({t, t}) == 1  # identity hash, no Spark job
+
+
 def test_add_rows(spark, t):
     t.add_rows((4, "d"), {"k": 5, "v": "e"})
     assert t.df.count() == 5
