@@ -133,6 +133,11 @@ def main() -> None:
     # warm the JVM + parquet footers so per-query numbers measure the
     # queries, not JIT/session startup
     force(qs["q1_pricing_summary"](spark, sf_dir))
+    # spin up the python worker pool (one interpreter per core) so the
+    # first pandas-UDF query measures the operator, not 32 forks
+    par = spark.sparkContext.defaultParallelism
+    force(spark.range(par * 4).repartition(par)
+          .mapInPandas(lambda it: it, "id long"))
 
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()

@@ -53,6 +53,11 @@ def shingle_minhash(df: DataFrame, text_col: str, id_col: str,
     """
     num_perm = num_perm or Config.MINHASH_PERMUTATIONS
     k = shingle_size or Config.SHINGLE_SIZE
+    # spread docs across cores when the source arrives under-partitioned
+    # (small files); at scale the scan is already wide and this no-ops
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     tokens = F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " ")
     n_sh = F.greatest(F.size(tokens) - F.lit(k - 1), F.lit(1))
     # k-gram windows WITHOUT per-shingle array slicing: zip k shifted
@@ -80,19 +85,51 @@ def shingle_minhash(df: DataFrame, text_col: str, id_col: str,
     rnd = random.Random(42)
     perms = [(rnd.randrange(1, 1 << 31), rnd.randrange(0, 1 << 31))
              for _ in range(num_perm)]
-    # project the folded 32-bit x ONCE — inlining it into all num_perm
-    # agg expressions makes the Catalyst tree (and the generated agg
-    # class janino has to compile) ~8x bigger; plan compile alone was
-    # ~3s at 128 perms. With the projection each agg is a 3-node expr.
+    # project the folded 32-bit x ONCE (num_perm copies of the fold
+    # would blow up the expression tree)
     x = (F.col("__h__").bitwiseAND(F.lit(0x7FFFFFFF))
          .bitwiseXOR(F.shiftrightunsigned(F.col("__h__"), 33))).cast("long")
     proj = hashed.select(id_col, x.alias("__x__"))
-    aggs = []
-    for i, (a, b) in enumerate(perms):
-        hv = (F.col("__x__") * F.lit(a) + F.lit(b)) % F.lit(MOD)
-        aggs.append(F.min(hv).alias(f"mh_{i}"))
-    sig = proj.groupBy(id_col).agg(*aggs)
-    return sig.select(id_col, F.array(*[f"mh_{i}" for i in range(num_perm)]).alias("minhash"))
+
+    # The permutation-min step runs as a ZERO-SHUFFLE vectorized numpy
+    # kernel: explode keeps every shingle row in its document's
+    # partition, so per-partition grouped mins ARE the exact per-doc
+    # signature — mapInPandas needs no exchange at all. This replaced a
+    # groupBy(id) with num_perm min-aggs, which paid (a) a docs×128×8B
+    # shuffle and (b) ~4 s of janino compile for the 128-field agg
+    # class per session. Arithmetic is identical int64 (a*x+b < 2^62,
+    # no overflow), so signatures — and all downstream dedup results —
+    # are bit-identical to the agg formulation.
+    import numpy as np
+    import pandas as pd
+
+    a_np = np.array([p[0] for p in perms], dtype=np.int64)[:, None]
+    b_np = np.array([p[1] for p in perms], dtype=np.int64)[:, None]
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"`{id_col}` {id_type}, minhash array<bigint>"
+
+    def compute(batches):
+        acc: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            xs = pdf["__x__"].to_numpy(dtype=np.int64)
+            codes, uniq = pd.factorize(pdf[id_col].to_numpy())
+            order = np.argsort(codes, kind="stable")
+            sorted_codes = codes[order]
+            starts = np.flatnonzero(
+                np.r_[True, sorted_codes[1:] != sorted_codes[:-1]])
+            hv = (a_np * xs[None, order] + b_np) % MOD
+            mins = np.minimum.reduceat(hv, starts, axis=1)
+            for gi, u in enumerate(uniq[sorted_codes[starts]]):
+                prev = acc.get(u)
+                m = mins[:, gi]
+                acc[u] = m if prev is None else np.minimum(prev, m)
+        if acc:
+            yield pd.DataFrame({id_col: list(acc.keys()),
+                                "minhash": [v.tolist() for v in acc.values()]})
+
+    return proj.mapInPandas(compute, schema=schema)
 
 
 def minhash_lsh_candidates(sig: DataFrame, id_col: str,
