@@ -107,8 +107,52 @@ def normalize_expression(expression: str) -> str:
     return expression
 
 
-def mask_from_string(expression: str) -> Column:
-    return F.expr(normalize_expression(expression))
+def mask_from_string(expression: str, df: DataFrame | None = None,
+                     namespace: dict | None = None) -> Column:
+    """String-expression mask. Fast path: Spark SQL (`F.expr`) — fully
+    pushed down. Fallback (reference parity, tablite/utils.py:55-83):
+    python-syntax expressions the SQL dialect rejects (``**``, python
+    builtins, user functions via ``namespace``) are AST-compiled into
+    ``f(<referenced columns>)`` and evaluated through an Arrow-batched
+    pandas UDF — the documented slow path, only taken when SQL can't
+    express the predicate."""
+    try:
+        mask = F.expr(normalize_expression(expression))
+        if df is not None:
+            df.select(mask)  # force analysis → unresolved names/functions raise
+        return mask
+    except Exception:
+        if df is None:
+            raise
+        return python_expression_mask(df, expression, namespace)
+
+
+def python_expression_mask(df: DataFrame, expression: str,
+                           namespace: dict | None = None) -> Column:
+    """Compile a python expression over column names into a row
+    predicate (tablite/utils.py:55-83 semantics: referenced columns
+    become function parameters; other names resolve from ``namespace``
+    or builtins)."""
+    import ast
+
+    from pyspark.sql.functions import pandas_udf
+
+    tree = ast.parse(expression, mode="eval")
+    names = {n.id for n in ast.walk(tree) if isinstance(n, ast.Name)}
+    cols = [c for c in df.columns if c in names]
+    if not cols:
+        raise ValueError(
+            f"expression {expression!r} references no columns of {df.columns}")
+    src = f"def __f__({', '.join(cols)}):\n    return {expression}"
+    ns = dict(namespace or {})
+    exec(compile(ast.parse(src), "<expression>", "exec"), ns)
+    f = ns["__f__"]
+
+    def _batch(*series, _f=f):
+        import pandas as pd
+        return pd.Series([bool(_f(*vals)) for vals in zip(*series)])
+
+    return pandas_udf(_batch, "boolean")(*[F.col(c) for c in cols])
 
 
 def filter_pass_fail(df: DataFrame, expressions: list[dict] | str,
@@ -126,7 +170,7 @@ def filter_pass_fail(df: DataFrame, expressions: list[dict] | str,
     Spark's equivalent is plan reuse via persist, not a custom sink.)
     """
     if isinstance(expressions, str):
-        mask = mask_from_string(expressions)
+        mask = mask_from_string(expressions, df)
     else:
         mask = mask_from_expressions(df, expressions, filter_type)
     if single_pass:

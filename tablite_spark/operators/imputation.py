@@ -219,8 +219,20 @@ def nearest_neighbour_lsh(df: DataFrame, targets: list[str],
 
 def imputation(df: DataFrame, targets: list[str], method: str = "carry_forward",
                sources: list[str] | None = None,
-               order_by: list[str] | None = None) -> DataFrame:
-    if method in ("carry_forward", "ffill"):
+               order_by: list[str] | None = None,
+               missing=None) -> DataFrame:
+    """Reference dispatcher (tablite/core.py:857-904). ``missing``:
+    values treated as missing in the targets (nulled before filling),
+    matching the reference's ``missing`` iterable."""
+    if isinstance(targets, str):
+        targets = [targets]
+    if missing:
+        vals = [v for v in missing if v is not None]
+        for t in targets:
+            c = F.col(t)
+            if vals:
+                df = df.withColumn(t, F.when(c.isin(vals), F.lit(None)).otherwise(c))
+    if method in ("carry_forward", "ffill", "carry forward"):
         if not order_by:
             raise ValueError("carry_forward needs order_by columns on a distributed frame")
         return carry_forward(df, targets, order_by)
@@ -228,7 +240,7 @@ def imputation(df: DataFrame, targets: list[str], method: str = "carry_forward",
         return fill_mean(df, targets)
     if method == "mode":
         return fill_mode(df, targets)
-    if method in ("nearest_neighbour", "nn"):
+    if method in ("nearest_neighbour", "nn", "nearest neighbour"):
         if not sources:
             raise ValueError("nearest_neighbour needs source columns")
         return nearest_neighbour(df, targets, sources)

@@ -52,6 +52,28 @@ def _mixed_sort_key(col: str, mode: str) -> list[Column]:
     return [rank, F.when(is_num, num), bool_key, F.when(~is_num & ~is_bool, c)]
 
 
+def detect_mixed_columns(df: DataFrame, cols: list[str]) -> set[str]:
+    """Derive which string-typed columns carry MIXED values (some but
+    not all parse as numeric/bool) — the reference derives this from
+    its per-column dtype census (tablite/base.py:927-938); Spark
+    columns are single-typed, so mixedness lives inside string columns
+    and is probed with ONE column-pruned agg pass over the candidates.
+    """
+    dtypes = dict(df.dtypes)
+    scols = [c for c in cols if dtypes.get(c) == "string"]
+    if not scols:
+        return set()
+    aggs = []
+    for c in scols:
+        col = F.col(c)
+        numish = col.try_cast("double").isNotNull() \
+            | F.lower(col).isin("true", "false")
+        aggs.append(F.count(col).alias(f"__n_{c}"))
+        aggs.append(F.count(F.when(numish, 1)).alias(f"__m_{c}"))
+    r = df.agg(*aggs).first()
+    return {c for c in scols if 0 < r[f"__m_{c}"] < r[f"__n_{c}"]}
+
+
 def sort(df: DataFrame, mapping: dict[str, bool], sort_mode: str = "excel",
          mixed_columns: set[str] | None = None) -> DataFrame:
     """``Table.sort({col: reverse, ...}, sort_mode)``
@@ -60,10 +82,14 @@ def sort(df: DataFrame, mapping: dict[str, bool], sort_mode: str = "excel",
     Typed columns degrade to plain asc/desc with null placement per
     mode (excel: nulls last; unix: nulls first). ``mixed_columns``
     flags string columns that carry mixed values and need the
-    cross-type struct key.
+    cross-type struct key; ``None`` (default) auto-detects them via
+    :func:`detect_mixed_columns` (one probe agg over the string sort
+    columns — pass an explicit ``set()`` to skip the probe).
     """
     if sort_mode not in SORT_MODES:
         raise ValueError(f"sort_mode {sort_mode!r} not in {SORT_MODES}")
+    if mixed_columns is None and sort_mode != "alphanumeric":
+        mixed_columns = detect_mixed_columns(df, list(mapping))
     mixed_columns = mixed_columns or set()
     order = []
     for col, reverse in mapping.items():

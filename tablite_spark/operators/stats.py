@@ -47,6 +47,29 @@ def statistics(df: DataFrame, column: str) -> DataFrame:
             F.count(F.lit(1)).alias("summary_rows"),
             F.count(c).alias("non_null"),
         )
+    base = dtype.split("(")[0]
+    if base not in {"tinyint", "smallint", "int", "bigint", "float",
+                    "double", "decimal"}:
+        # text/boolean/binary: order statistics by the type's own
+        # ordering; arithmetic measures are meaningless → null
+        # (reference utils.py:188-398 branches per-type the same way)
+        c = F.col(column)
+        null_d = F.lit(None).cast("double")
+        return df.agg(
+            F.min(c).alias("min"),
+            F.max(c).alias("max"),
+            null_d.alias("mean"),
+            null_d.alias("median"),
+            null_d.alias("stdev"),
+            F.mode(c).alias("mode"),
+            F.count_distinct(c).alias("distinct"),
+            null_d.alias("iqr_low"),
+            null_d.alias("iqr_high"),
+            null_d.alias("iqr"),
+            null_d.alias("sum"),
+            F.count(F.lit(1)).alias("summary_rows"),
+            F.count(c).alias("non_null"),
+        )
     c = F.col(column)
     qs = F.percentile_approx(c, [0.25, 0.75], 100_000)
     return df.agg(

@@ -109,7 +109,7 @@ class Table:
                 raise IndexError(keys)
             return tuple(rows[0])
         if isinstance(keys, str):
-            return Table(self.df.select(keys))
+            return ColumnView(self.df.select(keys), keys)
         if isinstance(keys, slice):
             return Table(_sorting.slice_rows(
                 self.df, keys.start, keys.stop, keys.step))
@@ -287,8 +287,12 @@ class Table:
         t, f = _filters.filter_pass_fail(self.df, expressions, filter_type)
         return Table(t), Table(f)
 
-    def expression(self, expression: str) -> "Table":
-        return Table(self.df.filter(_filters.mask_from_string(expression)))
+    def expression(self, expression: str, namespace: dict | None = None) -> "Table":
+        """Filter by a string expression — SQL fast path, python-AST
+        pandas-UDF fallback for python-only syntax (incl. user
+        functions passed via ``namespace``)."""
+        return Table(self.df.filter(
+            _filters.mask_from_string(expression, self.df, namespace)))
 
     def any(self, **criteria) -> "Table":
         return Table(_filters.any_all(self.df, criteria, "any"))
@@ -394,10 +398,14 @@ class Table:
         p, f = _select.column_select(self.df, cols)
         return Table(p), Table(f)
 
-    def imputation(self, targets, method: str = "carry_forward",
+    def replace_missing_values(self, *args, **kwargs):
+        """Reference parity (tablite/core.py:854): points at imputation."""
+        raise AttributeError("See imputation")
+
+    def imputation(self, targets, missing=None, method: str = "carry_forward",
                    sources=None, order_by=None) -> "Table":
         return Table(_imputation.imputation(self.df, targets, method,
-                                            sources, order_by))
+                                            sources, order_by, missing=missing))
 
     def diff(self, other: "Table", columns=None) -> "Table":
         return Table(_setops.table_diff(self.df, other.df, columns))
@@ -416,3 +424,41 @@ class Table:
 
     def types(self) -> dict:
         return _stats.type_census(self.df)
+
+
+class ColumnView(Table):
+    """Single-column view returned by ``t['a']`` — the reference's
+    Column-object surface (tablite/base.py Column): ``t['a'].
+    statistics()``, ``.unique()``, ``.histogram()``, ``.count(v)``,
+    ``.remove_all(*values)``, iteration over values. It IS a Table
+    (one column), so every Table operation still applies."""
+
+    def __init__(self, df: DataFrame, name: str):
+        super().__init__(df)
+        self._name = name
+
+    @property
+    def name(self) -> str:
+        return self._name
+
+    def statistics(self) -> dict:
+        return _stats.statistics_dict(self.df, self._name)
+
+    def unique(self) -> "Table":
+        return Table(_stats.unique_values(self.df, self._name))
+
+    def histogram(self) -> "Table":
+        return Table(_stats.histogram(self.df, self._name))
+
+    def count(self, value) -> int:
+        return _stats.count_value(self.df, self._name, value)
+
+    def remove_all(self, *values) -> "Table":
+        return Table.remove_all(self, self._name, *values)
+
+    def __iter__(self):
+        for r in self.df.toLocalIterator():
+            yield r[self._name]
+
+    def to_list(self) -> list:
+        return [r[self._name] for r in self.df.toLocalIterator()]

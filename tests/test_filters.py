@@ -123,3 +123,39 @@ def test_expression_nested_commas(spark):
     df = spark.createDataFrame([(5, 0, 1), (0, 0, 1), (5, 0, 9)], "a int, b int, c int")
     out = df.filter(mask_from_string("all((greatest(a, b) > 1, c < 2))"))
     assert out.count() == 1
+
+
+def test_expression_python_fallback(spark):
+    """Python-only syntax (** operator, builtins) that Spark SQL can't
+    parse falls back to the AST-compiled pandas-UDF path
+    (reference tablite/utils.py:55-83)."""
+    t = Table(spark.createDataFrame([(1, 4), (2, 3), (3, 1)], "a int, b int"))
+    out = t.expression("(a ** 2) > b")
+    assert sorted(r["a"] for r in out.df.collect()) == [2, 3]
+
+
+def test_expression_user_function_namespace(spark):
+    t = Table(spark.createDataFrame([(1, 4), (2, 3), (5, 1)], "a int, b int"))
+    out = t.expression("f(a, b) > 4", namespace={"f": lambda x, y: x + y})
+    assert sorted(r["a"] for r in out.df.collect()) == [1, 2, 5]
+
+
+def test_expression_sql_path_still_fast(spark):
+    t = Table(spark.createDataFrame([(1,), (5,)], "a int"))
+    assert [r["a"] for r in t.expression("a > 2").df.collect()] == [5]
+
+
+def test_imputation_missing_values(spark):
+    """Reference `missing` iterable: listed sentinels are treated as
+    nulls before filling."""
+    t = Table(spark.createDataFrame(
+        [(1, "x"), (2, "N/A"), (3, "x"), (4, "x")], "k int, v string"))
+    out = t.imputation(["v"], missing=["N/A"], method="mode")
+    assert [r["v"] for r in sorted(out.df.collect(), key=lambda r: r["k"])] \
+        == ["x", "x", "x", "x"]
+
+
+def test_replace_missing_values_points_at_imputation(spark):
+    t = Table(spark.createDataFrame([(1,)], "k int"))
+    with pytest.raises(AttributeError, match="imputation"):
+        t.replace_missing_values(["k"])

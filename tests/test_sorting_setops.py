@@ -50,6 +50,26 @@ def test_sort_mixed_column_unix(spark):
     assert [r["v"] for r in out] == [None, "true", "2", "10", "banana"]
 
 
+def test_sort_mixed_autodetect(spark):
+    """mixed_columns omitted → derived from a content census, like the
+    reference derives mixedness from its dtype census."""
+    df = spark.createDataFrame(
+        [("banana",), ("10",), ("true",), (None,), ("2",), ("apple",)],
+        "v string")
+    out = sort(df, {"v": False}, "excel").collect()
+    assert [r["v"] for r in out] == ["2", "10", "apple", "banana", "true", None]
+
+
+def test_sort_pure_text_not_flagged_mixed(spark):
+    from tablite_spark.operators.sorting import detect_mixed_columns
+    df = spark.createDataFrame([("b",), ("a",), ("7",)], "v string")
+    # all-text and all-numeric string columns are NOT mixed
+    assert detect_mixed_columns(df.filter(F.col("v") != "7"), ["v"]) == set()
+    df_num = spark.createDataFrame([("1",), ("2",)], "v string")
+    assert detect_mixed_columns(df_num, ["v"]) == set()
+    assert detect_mixed_columns(df, ["v"]) == {"v"}
+
+
 def test_is_sorted(spark):
     df = spark.createDataFrame([(1,), (2,), (3,)], "x int").coalesce(1)
     assert is_sorted(df, {"x": False})

@@ -112,3 +112,26 @@ def test_list_assignment_positional(spark, t):
 def test_list_assignment_length_mismatch(spark, t):
     with pytest.raises(ValueError, match="length mismatch"):
         t["bad"] = [1, 2]
+
+
+def test_column_view_surface(spark, t):
+    """t['v'] is the reference's Column object: statistics/unique/
+    histogram/count/iteration directly on the column."""
+    cv = t["v"]
+    assert cv.name == "v"
+    stats = cv.statistics()
+    assert stats["summary_rows"] == 3
+    assert stats["min"] == "a" and stats["max"] == "c"
+    assert sorted(cv.unique().df.toPandas()["v"]) == ["a", "b", "c"]
+    assert cv.count("a") == 1
+    hist = cv.histogram().df.collect()
+    assert len(hist) == 3
+    assert sorted(cv) == ["a", "b", "c"]
+    assert sorted(cv.to_list()) == ["a", "b", "c"]
+
+
+def test_column_view_is_table(spark, t):
+    from tablite_spark.table import ColumnView
+    cv = t["k"]
+    assert isinstance(cv, ColumnView)
+    assert cv.df.count() == 3
