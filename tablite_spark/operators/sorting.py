@@ -105,28 +105,50 @@ def sort(df: DataFrame, mapping: dict[str, bool], sort_mode: str = "excel",
     return df.orderBy(*order)
 
 
+def _pair_in_order(mapping: dict[str, bool], sort_mode: str,
+                   prev_prefix: str, cur_prefix: str) -> Column:
+    """Lexicographic 'prev row may precede cur row' predicate under the
+    per-key direction and the mode's null placement (excel: nulls last
+    on asc; unix/alphanumeric: nulls first on asc) — built from the
+    last key backwards: ok_k = strictly_before_k OR (eq_k AND ok_k+1).
+    """
+    nulls_last_asc = sort_mode == "excel"
+    ok = F.lit(True)
+    for col, reverse in reversed(list(mapping.items())):
+        p, c = F.col(f"{prev_prefix}{col}"), F.col(f"{cur_prefix}{col}")
+        eq = p.eqNullSafe(c)
+        asc_before = (
+            ((c.isNull() & ~p.isNull()) if nulls_last_asc
+             else (p.isNull() & ~c.isNull()))
+            | F.coalesce(p < c, F.lit(False)))
+        desc_before = (
+            ((p.isNull() & ~c.isNull()) if nulls_last_asc
+             else (c.isNull() & ~p.isNull()))
+            | F.coalesce(p > c, F.lit(False)))
+        before = desc_before if reverse else asc_before
+        ok = before | (eq & ok)
+    return ok
+
+
 def is_sorted(df: DataFrame, mapping: dict[str, bool],
               sort_mode: str = "excel") -> bool:
     """``Table.is_sorted`` (tablite/sortation.py:165-177).
 
-    Check: in the SORTED frame, the original row position must be
-    non-decreasing (ties broken by original position, so equal keys
-    never flag). One shuffle + one lag scan; no driver collect.
-    """
+    Distributed total-order check: every adjacent row pair (by the
+    partition-offset row index) must satisfy the lexicographic
+    ordering. Adjacency comes from an equi join on ``rid == rid+1`` —
+    one hash shuffle of the PRUNED (rid, sort keys) projection, no
+    global single-task window."""
     rid = "__is_sorted_rid__"
-    tagged = with_row_index(df, rid)
-    # position each row would take after sorting (rid as tiebreaker);
-    # sorted ⟺ sort index == arange (the reference's exact check)
-    order = []
-    for col, reverse in mapping.items():
-        c = F.col(col)
-        if reverse:
-            order.append(c.desc_nulls_first() if sort_mode == "excel" else c.desc_nulls_last())
-        else:
-            order.append(c.asc_nulls_last() if sort_mode == "excel" else c.asc_nulls_first())
-    order.append(F.col(rid).asc())
-    pos = F.row_number().over(Window.orderBy(*order)) - 1
-    bad = tagged.withColumn("__pos__", pos).filter(F.col("__pos__") != F.col(rid)).count()
+    cols = list(dict.fromkeys(mapping))
+    tagged = with_row_index(df.select(*cols), rid)
+    prev = tagged.select(F.col(rid).alias("__rid__"),
+                         *[F.col(c).alias(f"__p_{c}") for c in cols])
+    cur = tagged.select((F.col(rid) - 1).alias("__rid__"),
+                        *[F.col(c).alias(f"__c_{c}") for c in cols])
+    ok = _pair_in_order(mapping, sort_mode, "__p_", "__c_")
+    bad = (prev.join(cur, "__rid__")
+           .filter(~F.coalesce(ok, F.lit(False))).count())
     return bad == 0
 
 

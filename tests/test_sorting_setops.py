@@ -77,6 +77,22 @@ def test_is_sorted(spark):
     assert not is_sorted(df2, {"x": False})
 
 
+def test_is_sorted_multikey_desc_nulls(spark):
+    """Comparator parity with sort(): desc second key, excel null
+    placement (nulls last on asc / first on desc)."""
+    rows = [(1, 9), (1, 5), (2, None), (2, 7), (3, 1)]
+    df = spark.createDataFrame(rows, "a int, b int").coalesce(1)
+    assert is_sorted(df, {"a": False, "b": True}, "excel")
+    assert not is_sorted(df, {"a": False, "b": False}, "excel")
+    # ties never flag
+    df2 = spark.createDataFrame([(1, 1), (1, 1)], "a int, b int").coalesce(1)
+    assert is_sorted(df2, {"a": False, "b": False})
+    # unix mode: nulls first on asc
+    df3 = spark.createDataFrame([(None,), (1,), (2,)], "a int").coalesce(1)
+    assert is_sorted(df3, {"a": False}, "unix")
+    assert not is_sorted(df3, {"a": False}, "excel")
+
+
 def test_slice_rows(spark):
     df = spark.createDataFrame([(i,) for i in range(100)], "x int")
     out = slice_rows(df, 10, 50, 7, order_by=["x"])
