@@ -1047,9 +1047,10 @@ def media_features(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     m = attach_media(d, "payload", "image/fake").drop("payload")
     feats = extract_image_features(m, dim=8)
-    return feats.select("doc_id",
-                        F.round(F.element_at("features", 1), 4).alias("f0"),
-                        F.round(F.element_at("features", 8), 4).alias("f7"))
+    return feats.select(
+        "doc_id",
+        F.round(F.element_at("features", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("features", 8).cast("double"), 4).alias("f7"))
 
 
 def minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -1697,6 +1698,23 @@ def oracle_sql() -> dict[str, str]:
                    64 + OCTET_LENGTH(ENCODE(text)) % 512 AS width,
                    64 + (OCTET_LENGTH(ENCODE(text)) * 7) % 512 AS height
             FROM documents
+        """,
+        "media_features": """
+            WITH ex AS (
+                SELECT doc_id, LENGTH(text) AS n,
+                       UNNEST(RANGE(1, LENGTH(text) + 1)) AS i, text
+                FROM documents
+            ), b AS (
+                SELECT doc_id, n,
+                       ORD(SUBSTRING(text, CAST(i AS INT), 1)) % 8 AS bkt
+                FROM ex
+            )
+            SELECT doc_id,
+                   ROUND(COUNT(*) FILTER (WHERE bkt = 0)
+                         / CAST(ANY_VALUE(n) AS DOUBLE), 4) AS f0,
+                   ROUND(COUNT(*) FILTER (WHERE bkt = 7)
+                         / CAST(ANY_VALUE(n) AS DOUBLE), 4) AS f7
+            FROM b GROUP BY doc_id
         """,
         "groupby_accumulators": """
             SELECT l_returnflag,
