@@ -195,8 +195,63 @@ def from_file(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         return read_html(spark, path,
                          guess_datatypes=kwargs.get("guess_datatypes", True))
     if suffix in (".h5", ".hdf5"):
-        raise NotImplementedError("hdf5 ingest is out of Spark-native scope")
+        return read_hdf5(spark, path, **kwargs)
     raise ValueError(f"unsupported file type: {suffix}")
+
+
+def read_hdf5(spark: SparkSession, path: str,
+              columns: list[str] | None = None) -> DataFrame:
+    """Reference hdf5 import (tablite/import_utils.py:72-109): one
+    dataset per column at the file root; byte/object columns are
+    decoded utf-8 and type-guessed. Gated on h5py (not in every
+    environment). hdf5 is a single-file driver-side format — for big
+    data the path is convert-once to parquet (``save``)."""
+    try:
+        import h5py
+    except ImportError as e:
+        raise NotImplementedError(
+            "hdf5 import requires h5py (pip install h5py)") from e
+    import pandas as pd
+
+    from tablite_spark.functions.inference import apply_guessed_types
+    cols = {}
+    needs_guess = []
+    with h5py.File(path, "r") as h5:
+        names = columns or list(h5.keys())
+        for name in names:
+            arr = h5[name][:]
+            if arr.dtype.kind in ("S", "O"):
+                cols[name] = [v.decode("utf-8") if isinstance(v, bytes) else v
+                              for v in arr]
+                needs_guess.append(name)
+            else:
+                cols[name] = arr.tolist()
+    df = spark.createDataFrame(pd.DataFrame(cols))
+    if needs_guess:
+        df = apply_guessed_types(df, columns=needs_guess)
+    return df
+
+
+def to_hdf5(df: DataFrame, path: str) -> None:
+    """Reference hdf5 export (tablite/export_utils.py:63-105): one
+    dataset per column; values h5py can't store natively are
+    stringified, like the reference's TypeError fallback. Gated on
+    h5py. Collects to the driver — hdf5 has no distributed writer;
+    at scale export parquet instead."""
+    try:
+        import h5py
+    except ImportError as e:
+        raise NotImplementedError(
+            "hdf5 export requires h5py (pip install h5py)") from e
+    pdf = df.toPandas()
+    with h5py.File(path, "w") as f:
+        for name in pdf.columns:
+            vals = pdf[name]
+            try:
+                f.create_dataset(name, data=vals.to_numpy())
+            except TypeError:
+                f.create_dataset(
+                    name, data=[str(v) for v in vals.tolist()])
 
 
 class _TableScraper(HTMLParser):

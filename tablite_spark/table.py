@@ -73,6 +73,13 @@ class Table:
     def from_html(cls, spark: SparkSession, path: str, **kwargs) -> "Table":
         return cls(_io.read_html(spark, path, **kwargs))
 
+    @classmethod
+    def from_hdf5(cls, spark: SparkSession, path: str, **kwargs) -> "Table":
+        return cls(_io.read_hdf5(spark, path, **kwargs))
+
+    def to_hdf5(self, path: str) -> None:
+        _io.to_hdf5(self.df, path)
+
     def to_xlsx(self, path: str, **kwargs) -> None:
         from tablite_spark.sources.xlsx import to_xlsx
         to_xlsx(self.df, path, **kwargs)

@@ -295,3 +295,23 @@ def test_get_headers_other_formats(spark, tmp_path):
     to_xlsx(df, xp)
     h = get_headers(spark, xp, linecount=1)
     assert h[0] == ["k", "v"] and len(h) == 2
+
+
+def test_hdf5_gated(spark, tmp_path):
+    """hdf5 round-trip mirrors the reference layout (one dataset per
+    column, stringify fallback, guess on re-import); skipped where
+    h5py is absent — the gate must raise NotImplementedError there."""
+    from tablite_spark.sources.io import read_hdf5, to_hdf5
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    p = str(tmp_path / "t.h5")
+    try:
+        import h5py  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="h5py"):
+            to_hdf5(df, p)
+        with pytest.raises(NotImplementedError, match="h5py"):
+            read_hdf5(spark, p)
+        return
+    to_hdf5(df, p)
+    back = read_hdf5(spark, p)
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
