@@ -74,6 +74,32 @@ def test_carry_forward(spark):
     assert vals == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0}
 
 
+def test_carry_forward_many_partitions_pandas_equiv(spark):
+    """Scale path (range partition + per-partition fill + boundary
+    carry) must equal a single-sequence pandas ffill, including runs of
+    nulls that span partition boundaries and an all-null prefix."""
+    import pandas as pd
+
+    vals = [None, None, 3.0] + [None] * 40 + [7.0] + [None] * 40 + [9.0, None]
+    pdf = pd.DataFrame({"i": range(len(vals)), "v": vals})
+    df = spark.createDataFrame(pdf).repartition(13)
+    out = carry_forward(df, ["v"], order_by=["i"])
+    got = {r["i"]: r["v"] for r in out.collect()}
+    expect = pdf.set_index("i")["v"].ffill()
+    for i in range(len(vals)):
+        e = expect.loc[i]
+        assert (got[i] is None and pd.isna(e)) or got[i] == e, (i, got[i], e)
+
+
+def test_carry_forward_multi_target_string(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 5.0), (3, None, None), (4, "d", 7.0)],
+        "i int, s string, v double").repartition(5)
+    out = carry_forward(df, ["s", "v"], order_by=["i"])
+    got = {r["i"]: (r["s"], r["v"]) for r in out.collect()}
+    assert got == {1: ("a", None), 2: ("a", 5.0), 3: ("a", 5.0), 4: ("d", 7.0)}
+
+
 def test_fill_mean(spark):
     df = spark.createDataFrame([(1.0,), (3.0,), (None,)], "v double")
     out = fill_mean(df, ["v"])
