@@ -1126,6 +1126,24 @@ def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_topk(emb, q, k=5, dim=dim, id_col="vec_id", vec_col="embedding")
 
 
+def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each error event picks the user's most recent click
+    at-or-before it (union + ordered carry — one shuffle, no join;
+    the reference's lookup-with-time-inequality shape, lookup.py:14-110).
+    Oracled against DuckDB's native ASOF LEFT JOIN."""
+    from tablite_spark.operators.joins import asof_join
+    e = _t(spark, sf, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"))
+    out = asof_join(errors, clicks, on="ts", by=["user_id"],
+                    right_cols=["click_id", "click_value"])
+    return out.select("event_id", "click_id",
+                      F.round(F.col("click_value"), 2).alias("click_value"))
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -1185,6 +1203,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "multimodal_decode": multimodal_decode,
         "media_features": media_features,
+        # --- new in round 2
+        "asof_join_events": asof_join_events,
         # --- red in round 1, fixed this round
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "pandas_roundtrip_agg": pandas_roundtrip_agg,
@@ -1384,6 +1404,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, ROUND(COALESCE(c.bal, b.fill_bal), 2) AS bal
             FROM c LEFT JOIN (SELECT c_custkey, fill_bal FROM best WHERE rn = 1) b
             ON c.c_custkey = b.c_custkey
+        """,
+        "asof_join_events": """
+            SELECT l.event_id, r.event_id AS click_id,
+                   ROUND(r.value, 2) AS click_value
+            FROM (SELECT * FROM events WHERE event_type = 'error') l
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+            ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
         "imputation_nn_lsh": """
             WITH c AS (

@@ -206,3 +206,50 @@ def match(left: DataFrame, right: DataFrame, keys: list[tuple[str, str]],
         n = unique_name(c, taken); taken.append(n)
         out.append(F.col(f"__r__.{c}").alias(n))
     return joined.select(*out)
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str,
+              by: list[str] | None = None,
+              direction: str = "backward",
+              right_cols: list[str] | None = None) -> DataFrame:
+    """As-of join: for each left row, the single right row with the
+    greatest ``on`` <= left's (``backward``) or smallest ``on`` >=
+    left's (``forward``), optionally within ``by`` groups.
+
+    The reference expresses this shape with ``lookup`` and inequality
+    criteria (README bus-timetable example; tablite/lookup.py:14-110) —
+    an O(n*m) scan there. Spark-first scalable form: NO join at all.
+    Tag both sides, union, and carry the last-seen right payload over a
+    window ordered by (time, side) within each ``by`` partition — right
+    rows sort before left rows at equal time, so ties match. ONE
+    shuffle on the group keys, linear in rows, no candidate blowup.
+
+    Ties among right rows with identical ``on`` resolve to the last in
+    window order (nondeterministic unless the time key is unique —
+    pass pre-deduplicated right for strict determinism).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    by = by or []
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(by) | {on}]
+    collide = set(right_cols) & set(left.columns)
+    if collide:
+        raise ValueError(f"right_cols collide with left columns: {collide}")
+    pay = F.struct(*[F.col(c) for c in right_cols])
+    r2 = right.select(*by, F.col(on).alias("__asof_t__"),
+                      F.lit(0).alias("__asof_src__"), pay.alias("__asof_pay__"))
+    l2 = left.withColumn("__asof_t__", F.col(on)) \
+             .withColumn("__asof_src__", F.lit(1))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    t_order = (F.col("__asof_t__").asc() if direction == "backward"
+               else F.col("__asof_t__").desc())
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy(t_order, F.col("__asof_src__").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = F.last(F.col("__asof_pay__"), ignorenulls=True).over(w)
+    out = (u.withColumn("__asof_pay__", carried)
+           .filter(F.col("__asof_src__") == 1))
+    return out.select(*left.columns,
+                      *[F.col(f"__asof_pay__.{c}").alias(c)
+                        for c in right_cols])

@@ -343,6 +343,13 @@ class Table:
     def cross_join(self, other, **kw) -> "Table":
         return self.join(other, None, None, kind="cross", **kw)
 
+    def asof_join(self, other: "Table", on: str, by=None,
+                  direction: str = "backward", right_cols=None) -> "Table":
+        """Nearest-in-time match (the reference's lookup-with-inequality
+        bus-timetable pattern) — scalable union+carry, no join node."""
+        return Table(_joins.asof_join(self.df, other.df, on, by,
+                                      direction, right_cols))
+
     def lookup(self, other: "Table", *criteria, all: bool = True) -> "Table":
         return Table(_joins.lookup(self.df, other.df, *criteria, all=all))
 

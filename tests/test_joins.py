@@ -131,3 +131,38 @@ def test_table_setitem_and_rows(spark):
     # positional list assignment (reference README idiom) is supported
     t["d"] = [100, 200]
     assert sorted(t.rows) == [(1, 10, 7, 100), (2, 20, 7, 200)]
+
+
+def test_asof_join_backward_forward(spark):
+    from tablite_spark.operators.joins import asof_join
+    left = spark.createDataFrame(
+        [(1, "u", 10), (2, "u", 25), (3, "v", 5)], "id int, k string, t int")
+    right = spark.createDataFrame(
+        [("u", 8, 100.0), ("u", 20, 200.0), ("u", 30, 300.0), ("w", 1, 9.0)],
+        "k string, t int, px double")
+    back = asof_join(left, right, on="t", by=["k"], right_cols=["px"])
+    got = {r["id"]: r["px"] for r in back.collect()}
+    # id1 t=10 → px@8; id2 t=25 → px@20; id3 'v' has no rows → null
+    assert got == {1: 100.0, 2: 200.0, 3: None}
+    fwd = asof_join(left, right, on="t", by=["k"], direction="forward",
+                    right_cols=["px"])
+    got_f = {r["id"]: r["px"] for r in fwd.collect()}
+    assert got_f == {1: 200.0, 2: 300.0, 3: None}
+
+
+def test_asof_join_equal_time_matches(spark):
+    from tablite_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 10)], "id int, t int")
+    right = spark.createDataFrame([(10, 5.0)], "t int, px double")
+    out = asof_join(left, right, on="t", by=[], right_cols=["px"])
+    assert out.first()["px"] == 5.0  # <= semantics: same instant matches
+
+
+def test_asof_join_collision_raises(spark):
+    import pytest as _pytest
+
+    from tablite_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, 10, 0.0)], "id int, t int, px double")
+    right = spark.createDataFrame([(10, 5.0)], "t int, px double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="t", by=[], right_cols=["px"])
