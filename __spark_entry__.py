@@ -1144,6 +1144,23 @@ def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("click_value"), 2).alias("click_value"))
 
 
+def range_join_prices(spark: SparkSession, sf: str) -> DataFrame:
+    """Binned range join: lineitem prices landing inside part retail-
+    price bands (equi join on bins + exact containment — never a
+    nested-loop). Oracled against DuckDB's BETWEEN join."""
+    from tablite_spark.operators.joins import range_join
+    li = _t(spark, sf, "lineitem").filter(F.col("l_orderkey") < 2000) \
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    bands = _t(spark, sf, "part").filter(F.col("p_partkey") <= 200).select(
+        "p_partkey",
+        (F.col("p_retailprice") * 10 - 50).alias("lo"),
+        (F.col("p_retailprice") * 10 + 50).alias("hi"))
+    out = range_join(li, bands, "l_extendedprice", "lo", "hi")
+    return (out.groupBy("p_partkey")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -1205,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": media_features,
         # --- new in round 2
         "asof_join_events": asof_join_events,
+        "range_join_prices": range_join_prices,
         # --- red in round 1, fixed this round
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "pandas_roundtrip_agg": pandas_roundtrip_agg,
@@ -1411,6 +1429,19 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "range_join_prices": """
+            SELECT b.p_partkey,
+                   COUNT(*) AS n_hits,
+                   CAST(SUM(l.l_orderkey + l.l_linenumber) AS BIGINT) AS key_sum
+            FROM (SELECT l_orderkey, l_linenumber, l_extendedprice
+                  FROM lineitem WHERE l_orderkey < 2000) l
+            JOIN (SELECT p_partkey,
+                         p_retailprice * 10 - 50 AS lo,
+                         p_retailprice * 10 + 50 AS hi
+                  FROM part WHERE p_partkey <= 200) b
+            ON l.l_extendedprice BETWEEN b.lo AND b.hi
+            GROUP BY b.p_partkey
         """,
         "imputation_nn_lsh": """
             WITH c AS (

@@ -253,3 +253,50 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     return out.select(*left.columns,
                       *[F.col(f"__asof_pay__.{c}").alias(c)
                         for c in right_cols])
+
+
+def range_join(left: DataFrame, right: DataFrame, value_col: str,
+               lo_col: str, hi_col: str, by: list[str] | None = None,
+               bin_width: float | None = None) -> DataFrame:
+    """Interval containment join: left rows where ``value_col`` falls in
+    right's ``[lo_col, hi_col]`` (the reference reaches this shape with
+    ``lookup`` over two inequality criteria — an O(n*m) scan).
+
+    OSS Spark plans a raw inequality join as a broadcast-nested-loop /
+    cartesian product; the scalable form bins the number line: each
+    right interval explodes to the bins it covers, left rows hash to
+    their bin, and an EQUI join on (by…, bin) + an exact containment
+    filter yields the result. Replication factor ≈ interval_width /
+    bin_width + 1; the default bin_width = mean interval width (one
+    tiny agg) keeps it ~2×. All hash-join machinery — AQE, skew
+    splitting, codegen — applies.
+    """
+    by = by or []
+    if bin_width is None:
+        est = right.agg(F.avg(F.col(hi_col) - F.col(lo_col))).first()[0]
+        bin_width = float(est) if est else 1.0
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    l2 = left.withColumn(
+        "__rj_bin__", F.floor(F.col(value_col) / F.lit(bin_width)).cast("long"))
+    r2 = right.withColumn(
+        "__rj_bin__", F.explode(F.sequence(
+            F.floor(F.col(lo_col) / F.lit(bin_width)).cast("long"),
+            F.floor(F.col(hi_col) / F.lit(bin_width)).cast("long"))))
+    L, R = l2.alias("__l__"), r2.alias("__r__")
+    cond = F.col("__l__.__rj_bin__") == F.col("__r__.__rj_bin__")
+    for k in by:
+        cond = cond & F.col(f"__l__.{k}").eqNullSafe(F.col(f"__r__.{k}"))
+    joined = (L.join(R, on=cond)
+              .filter((F.col(f"__l__.{value_col}") >= F.col(f"__r__.{lo_col}"))
+                      & (F.col(f"__l__.{value_col}") <= F.col(f"__r__.{hi_col}"))))
+    out, taken = [], []
+    for c in left.columns:
+        n = unique_name(c, taken); taken.append(n)
+        out.append(F.col(f"__l__.{c}").alias(n))
+    for c in right.columns:
+        if c in by:
+            continue
+        n = unique_name(c, taken); taken.append(n)
+        out.append(F.col(f"__r__.{c}").alias(n))
+    return joined.select(*out)

@@ -166,3 +166,39 @@ def test_asof_join_collision_raises(spark):
     right = spark.createDataFrame([(10, 5.0)], "t int, px double")
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="t", by=[], right_cols=["px"])
+
+
+def test_range_join_containment(spark):
+    from tablite_spark.operators.joins import range_join
+    left = spark.createDataFrame(
+        [(1, 5.0), (2, 15.0), (3, 25.0), (4, 10.0)], "id int, v double")
+    right = spark.createDataFrame(
+        [(100, 0.0, 10.0), (200, 10.0, 20.0), (300, 50.0, 60.0)],
+        "band int, lo double, hi double")
+    out = range_join(left, right, "v", "lo", "hi")
+    pairs = sorted((r["id"], r["band"]) for r in out.collect())
+    # inclusive bounds: v=10 hits both [0,10] and [10,20]
+    assert pairs == [(1, 100), (2, 200), (4, 100), (4, 200)]
+
+
+def test_range_join_by_keys_and_bins(spark):
+    from tablite_spark.operators.joins import range_join
+    left = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.0)], "k string, v double")
+    right = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "k string, lo double, hi double")
+    out = range_join(left, right, "v", "lo", "hi", by=["k"], bin_width=2.5)
+    assert [r["k"] for r in out.collect()] == ["a"]
+
+
+def test_range_join_is_equi_join_plan(spark):
+    """The plan must contain a hash/sort-merge EQUI join — never a
+    BroadcastNestedLoop/Cartesian — that's the whole point."""
+    from tablite_spark.operators.joins import range_join
+    from tablite_spark.plans.audit import _formatted
+    left = spark.range(1000).select(F.col("id"), (F.col("id") % 97).cast("double").alias("v"))
+    right = spark.range(50).select(F.col("id").alias("band"),
+                                   (F.col("id") * 2.0).alias("lo"),
+                                   (F.col("id") * 2.0 + 3.0).alias("hi"))
+    s = _formatted(range_join(left, right, "v", "lo", "hi", bin_width=3.0))
+    assert "NestedLoop" not in s and "Cartesian" not in s, s
