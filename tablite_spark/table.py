@@ -350,6 +350,13 @@ class Table:
         return Table(_joins.asof_join(self.df, other.df, on, by,
                                       direction, right_cols))
 
+    def range_join(self, other: "Table", value_col: str, lo_col: str,
+                   hi_col: str, by=None, bin_width=None) -> "Table":
+        """Value-in-interval join (the reference's lookup with two
+        inequalities) — binned equi join, never a nested loop."""
+        return Table(_joins.range_join(self.df, other.df, value_col,
+                                       lo_col, hi_col, by, bin_width))
+
     def lookup(self, other: "Table", *criteria, all: bool = True) -> "Table":
         return Table(_joins.lookup(self.df, other.df, *criteria, all=all))
 
