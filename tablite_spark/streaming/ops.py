@@ -99,3 +99,22 @@ def stream_dedup(events: DataFrame, keys: list[str],
     pipeline.dedup.exact_dedup)."""
     return (events.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def stream_interval_join(left: DataFrame, right: DataFrame,
+                         key: str, ts_col: str = "ts",
+                         watermark: str = "2 hours",
+                         within: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join: right events within ``within`` BEFORE
+    each left event on the same key. Both sides are watermarked so the
+    join state is bounded (Spark evicts right rows older than
+    left.ts - within once the watermark passes — the canonical bounded
+    stream-stream join shape)."""
+    lw = left.withWatermark(ts_col, watermark).alias("l")
+    rw = right.withWatermark(ts_col, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
+        & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, on=cond, how="inner")

@@ -108,3 +108,34 @@ def test_stream_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT event_id FROM dedup").collect()
     assert sorted(r["event_id"] for r in got) == [1, 2]
+
+
+def test_stream_interval_join(spark, tmp_path):
+    """Bounded stream-stream join: errors pick up clicks within the
+    preceding hour for the same user; watermarks bound both states."""
+    from tablite_spark.streaming.ops import stream_from_directory, stream_interval_join
+    clicks = [(10, "2024-01-01 00:00:00", 1, 1.0),
+              (11, "2024-01-01 00:30:00", 1, 2.0),
+              (12, "2024-01-01 00:00:00", 2, 3.0)]
+    errors = [(20, "2024-01-01 00:45:00", 1, 0.0),
+              (21, "2024-01-01 03:00:00", 2, 0.0)]
+    for name, rows in (("clicks", clicks), ("errors", errors)):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double") \
+            .withColumn("ts", F.to_timestamp("ts"))
+        df.write.parquet(str(tmp_path / name))
+    lsrc = stream_from_directory(spark, str(tmp_path / "errors"), SCHEMA)
+    rsrc = (stream_from_directory(spark, str(tmp_path / "clicks"), SCHEMA)
+            .select(F.col("event_id").alias("click_id"), "ts", "user_id",
+                    F.col("value").alias("click_value")))
+    j = stream_interval_join(lsrc, rsrc, key="user_id", within="1 hour")
+    q = (j.writeStream.format("memory").queryName("sj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM sj").collect()
+    pairs = sorted((r["event_id"], r["click_id"]) for r in out)
+    # error 20 (u1, 00:45) matches clicks 10 & 11; error 21 (u2, 03:00)
+    # is >1h after click 12 → no match
+    assert pairs == [(20, 10), (20, 11)]
