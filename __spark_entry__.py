@@ -1161,6 +1161,41 @@ def range_join_prices(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
 
 
+def redact_pii_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (emails/URLs/phones → [KIND] tokens). The corpus text
+    is synthetic prose, so PII spans are planted deterministically from
+    doc_id; md5 of the redacted text proves byte-exact redaction."""
+    from tablite_spark.pipeline.text import redact_pii
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or https://ex.co/"),
+                 F.col("doc_id").cast("string")).alias("text"))
+    out = redact_pii(d, "text")
+    return out.select("doc_id", F.md5(F.col("text")).alias("redacted_md5"))
+
+
+def repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-doc repetition metrics (Gopher-style dup token / dup
+    bigram fractions) — boilerplate/spam signal for corpus filtering."""
+    from tablite_spark.pipeline.text import repetition_metrics
+    d = _t(spark, sf, "documents")
+    out = repetition_metrics(d, "text", n=2)
+    return out.select(
+        "doc_id",
+        F.round(F.col("dup_token_frac"), 4).alias("dup_token_frac"),
+        F.round(F.col("dup_ngram_frac"), 4).alias("dup_ngram_frac"))
+
+
+def vocab_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary: top-50 unigrams by count (explode →
+    partial-agg → top-k), deterministic tiebreak on the token."""
+    from tablite_spark.pipeline.text import top_k_ngrams
+    d = _t(spark, sf, "documents")
+    return top_k_ngrams(d, "text", n=1, k=50)
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -1227,6 +1262,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 2 (verified locally; rotate into the window next round)
         "asof_join_events": asof_join_events,
         "range_join_prices": range_join_prices,
+        "redact_pii_docs": redact_pii_docs,
+        "repetition_docs": repetition_docs,
+        "vocab_top_ngrams": vocab_top_ngrams,
         # --- green in round 1 (rotated to the back)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_revenue": q3_shipping_revenue,
@@ -1429,6 +1467,52 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "redact_pii_docs": """
+            SELECT doc_id,
+                   MD5(regexp_replace(regexp_replace(regexp_replace(
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or https://ex.co/'
+                            || CAST(doc_id AS VARCHAR),
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                       'https?://[^\\s]+', '[URL]', 'g'),
+                       '\\+?\\d[\\d\\-\\s]{7,}\\d', '[PHONE]', 'g')
+                   ) AS redacted_md5
+            FROM documents
+        """,
+        "repetition_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(LOWER(TRIM(text)), '\\s+') AS l
+                FROM documents WHERE LENGTH(TRIM(text)) > 0
+            ), g AS (
+                SELECT doc_id,
+                       CAST(len(l) AS DOUBLE) AS n_tok,
+                       CAST(len(list_distinct(l)) AS DOUBLE) AS u_tok,
+                       CASE WHEN len(l) >= 2 THEN
+                           list_transform(range(1, len(l)),
+                                          i -> l[i] || ' ' || l[i + 1])
+                       ELSE l END AS grams
+                FROM t
+            )
+            SELECT doc_id,
+                   ROUND((n_tok - u_tok) / GREATEST(n_tok, 1.0), 4)
+                       AS dup_token_frac,
+                   ROUND((CAST(len(grams) AS DOUBLE)
+                          - CAST(len(list_distinct(grams)) AS DOUBLE))
+                         / GREATEST(CAST(len(grams) AS DOUBLE), 1.0), 4)
+                       AS dup_ngram_frac
+            FROM g
+        """,
+        "vocab_top_ngrams": """
+            SELECT ngram, COUNT(*) AS cnt
+            FROM (SELECT UNNEST(string_split_regex(LOWER(TRIM(text)), '\\s+'))
+                      AS ngram FROM documents)
+            WHERE ngram <> ''
+            GROUP BY ngram
+            ORDER BY cnt DESC, ngram ASC
+            LIMIT 50
         """,
         "range_join_prices": """
             SELECT b.p_partkey,

@@ -98,3 +98,64 @@ def language_id(df: DataFrame, text_col: str) -> DataFrame:
                         F.when(best.getField("score") > 0, best.getField("lang"))
                         .otherwise(F.lit("unknown")))
     return out
+
+
+# conservative, deterministic PII patterns — Spark and DuckDB share
+# RE2-compatible syntax for these (no lookarounds, no backrefs)
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?\d[\d\-\s]{7,}\d",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str,
+               kinds: list[str] | None = None,
+               out_col: str | None = None) -> DataFrame:
+    """Redact emails / URLs / phone-like spans with ``[KIND]`` tokens —
+    the standard pre-training scrub pass. Chained ``regexp_replace``
+    (whole-stage codegen, one scan); patterns are deliberately
+    lookaround-free so any RE2-class engine reproduces them."""
+    kinds = kinds or list(PII_PATTERNS)
+    c = F.col(text_col)
+    for k in kinds:
+        c = F.regexp_replace(c, PII_PATTERNS[k], f"[{k.upper()}]")
+    return df.withColumn(out_col or text_col, c)
+
+
+def repetition_metrics(df: DataFrame, text_col: str, n: int = 2) -> DataFrame:
+    """Within-document repetition (Gopher-style repetition filters):
+    fraction of duplicate tokens and duplicate token n-grams. High
+    values flag boilerplate/spam for removal before training. Pure
+    array expressions over one projection — no shuffle, no python."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_tok = F.size(toks).cast("double")
+    uniq_tok = F.size(F.array_distinct(toks)).cast("double")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(0), cnt - 1),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    n_gr = F.size(grams).cast("double")
+    uniq_gr = F.size(F.array_distinct(grams)).cast("double")
+    return (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .withColumns({
+                "dup_token_frac": (n_tok - uniq_tok) / F.greatest(n_tok, F.lit(1.0)),
+                "dup_ngram_frac": (n_gr - uniq_gr) / F.greatest(n_gr, F.lit(1.0)),
+            }))
+
+
+def top_k_ngrams(df: DataFrame, text_col: str, n: int = 1,
+                 k: int = 100) -> DataFrame:
+    """Corpus vocabulary: top-k token n-grams by document-spanning
+    count. Explode → hash-agg (map-side partial) → top-k; the classic
+    two-shuffle vocabulary build that scales linearly with tokens."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    if n == 1:
+        grams = toks
+    else:
+        cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        grams = F.transform(F.sequence(F.lit(0), cnt - 1),
+                            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ex = df.select(F.explode(grams).alias("ngram")).filter(F.col("ngram") != "")
+    counts = ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    return (counts.orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+            .limit(k))

@@ -246,3 +246,35 @@ def test_stratified_deterministic_sample(spark):
     d = {r["g"]: r["count"] for r in got}
     assert "b" not in d
     assert 150 < d["a"] < 350
+
+
+def test_redact_pii(spark):
+    from tablite_spark.pipeline.text import redact_pii
+    df = spark.createDataFrame(
+        [(1, "mail me at bob.smith+x@foo.co.uk or visit https://a.b/c?d=1 "
+             "or call +1 555-123 4567 now")],
+        "id int, text string")
+    out = redact_pii(df, "text").first()["text"]
+    assert "[EMAIL]" in out and "[URL]" in out and "[PHONE]" in out
+    assert "bob" not in out and "a.b" not in out and "555" not in out
+
+
+def test_repetition_metrics(spark):
+    from tablite_spark.pipeline.text import repetition_metrics
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all tokens here are unique")],
+        "id int, text string")
+    got = {r["id"]: (r["dup_token_frac"], r["dup_ngram_frac"])
+           for r in repetition_metrics(df, "text", n=2).collect()}
+    assert got[1] == (0.75, 2 / 3)  # 4 tokens 1 uniq; 3 bigrams 1 uniq
+    assert got[2] == (0.0, 0.0)
+
+
+def test_top_k_ngrams(spark):
+    from tablite_spark.pipeline.text import top_k_ngrams
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a b")], "id int, text string")
+    uni = top_k_ngrams(df, "text", n=1, k=2).collect()
+    assert [(r["ngram"], r["cnt"]) for r in uni] == [("a", 3), ("b", 3)]
+    bi = top_k_ngrams(df, "text", n=2, k=1).first()
+    assert bi["ngram"] in ("a b", "b a") and bi["cnt"] == 2
