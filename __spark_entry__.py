@@ -1196,6 +1196,17 @@ def vocab_top_ngrams(spark: SparkSession, sf: str) -> DataFrame:
     return top_k_ngrams(d, "text", n=1, k=50)
 
 
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance-weighted deterministic sampling (weight = doc length):
+    membership is a pure hash function — rerun/engine/append stable —
+    and DuckDB reproduces the exact subset."""
+    from tablite_spark.pipeline.sampling import weighted_deterministic_sample
+    d = _t(spark, sf, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("w"))
+    out = weighted_deterministic_sample(d, "doc_id", "w", 0.3, salt="ws")
+    return out.select("doc_id")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -1263,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events,
         "range_join_prices": range_join_prices,
         "redact_pii_docs": redact_pii_docs,
+        "weighted_sample_docs": weighted_sample_docs,
         "repetition_docs": repetition_docs,
         "vocab_top_ngrams": vocab_top_ngrams,
         # --- green in round 1 (rotated to the back)
@@ -1467,6 +1479,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "weighted_sample_docs": """
+            WITH d AS (
+                SELECT doc_id, CAST(LENGTH(text) AS DOUBLE) AS w
+                FROM documents
+            ), m AS (SELECT AVG(w) AS mw FROM d)
+            SELECT doc_id FROM d, m
+            WHERE CAST('0x' || substring(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS UBIGINT) / 1152921504606846976.0
+                  < LEAST(1.0, 0.3 * w / mw)
         """,
         "redact_pii_docs": """
             SELECT doc_id,

@@ -50,6 +50,25 @@ def stratified_deterministic_sample(df: DataFrame, key_col: str,
     return df.filter(u < frac)
 
 
+def weighted_deterministic_sample(df: DataFrame, key_col: str,
+                                  weight_col: str, target_fraction: float,
+                                  salt: str = "") -> DataFrame:
+    """Importance-weighted deterministic sampling: row kept iff
+    hash(salt+key) < target_fraction * weight / E[weight]. Rows with
+    weight w are kept proportionally to w (clamped at certainty), the
+    expected kept fraction is ``target_fraction``, and membership is
+    still a pure function of (salt, key, weight distribution) — rerun
+    and engine stable. One tiny agg for E[weight], then scan-only."""
+    mean_w = df.agg(F.avg(F.col(weight_col))).first()[0]
+    if not mean_w or mean_w <= 0:
+        raise ValueError(f"mean({weight_col}) must be positive, got {mean_w}")
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    p = F.least(F.lit(1.0),
+                F.lit(float(target_fraction)) * F.col(weight_col)
+                / F.lit(float(mean_w)))
+    return df.filter(_unit_hash(key) < p)
+
+
 def train_holdout_split(df: DataFrame, key_col: str,
                         holdout_fraction: float = 0.1,
                         salt: str = "split") -> tuple[DataFrame, DataFrame]:

@@ -278,3 +278,21 @@ def test_top_k_ngrams(spark):
     assert [(r["ngram"], r["cnt"]) for r in uni] == [("a", 3), ("b", 3)]
     bi = top_k_ngrams(df, "text", n=2, k=1).first()
     assert bi["ngram"] in ("a b", "b a") and bi["cnt"] == 2
+
+
+def test_weighted_sample_properties(spark):
+    from tablite_spark.pipeline.sampling import weighted_deterministic_sample
+    df = spark.createDataFrame(
+        [(i, 1.0 if i % 2 else 3.0) for i in range(2000)], "k long, w double")
+    out = weighted_deterministic_sample(df, "k", "w", 0.25, salt="t")
+    rows = out.collect()
+    # expected keep fraction ~0.25 overall
+    assert 0.18 < len(rows) / 2000 < 0.32
+    # heavy rows (w=3) kept ~3x as often as light rows (w=1)
+    heavy = sum(1 for r in rows if r["w"] == 3.0)
+    light = len(rows) - heavy
+    assert heavy > 2 * light
+    # deterministic: same call → identical subset
+    again = {r["k"] for r in
+             weighted_deterministic_sample(df, "k", "w", 0.25, salt="t").collect()}
+    assert again == {r["k"] for r in rows}
