@@ -1207,6 +1207,31 @@ def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window document chunking (40-token chunks, 8 overlap) —
+    single-scan explode, no shuffle; md5 proves byte-exact chunks."""
+    from tablite_spark.pipeline.text import chunk_documents
+    d = _t(spark, sf, "documents")
+    out = chunk_documents(d, "text", "doc_id", chunk_tokens=40, overlap=8)
+    return out.select("doc_id", "chunk_id",
+                      F.md5(F.col("chunk_text")).alias("chunk_md5"),
+                      "chunk_tokens")
+
+
+def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-decontamination: docs sharing 8-gram spans with a
+    probe set (here: the first 5 documents) meet in a posting-list
+    hash join on the n-gram — never docs x probes."""
+    from tablite_spark.pipeline.text import contamination_check
+    d = _t(spark, sf, "documents")
+    probes = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text"))
+    out = contamination_check(d, probes, "text", "doc_id",
+                              "probe_text", "probe_id", n=8)
+    return out.select("doc_id", "probe_id", "shared_grams",
+                      F.round(F.col("overlap"), 4).alias("overlap"))
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -1275,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_prices": range_join_prices,
         "redact_pii_docs": redact_pii_docs,
         "weighted_sample_docs": weighted_sample_docs,
+        "chunk_docs": chunk_docs,
+        "contamination_docs": contamination_docs,
         "repetition_docs": repetition_docs,
         "vocab_top_ngrams": vocab_top_ngrams,
         # --- green in round 1 (rotated to the back)
@@ -1479,6 +1506,48 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'error') l
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
             ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "chunk_docs": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
+                FROM documents WHERE LENGTH(TRIM(text)) > 0
+            ), c AS (
+                SELECT doc_id, l,
+                       GREATEST(CAST(CEIL((len(l) - 8) / 32.0) AS INT), 1) AS nc
+                FROM t
+            ), e AS (
+                SELECT doc_id, l, UNNEST(range(0, nc)) AS cid FROM c
+            )
+            SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+                   MD5(array_to_string(l[CAST(cid*32+1 AS INT) : CAST(cid*32+40 AS INT)], ' '))
+                       AS chunk_md5,
+                   CAST(len(l[CAST(cid*32+1 AS INT) : CAST(cid*32+40 AS INT)]) AS INT)
+                       AS chunk_tokens
+            FROM e
+        """,
+        "contamination_docs": """
+            WITH docs AS (
+                SELECT doc_id,
+                       string_split_regex(LOWER(TRIM(text)), '\\s+') AS l
+                FROM documents
+            ), gr AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(l) - 7, 1) + 1),
+                           i -> array_to_string(l[CAST(i AS INT) : CAST(i+7 AS INT)], ' ')))
+                       AS gs
+                FROM docs
+            ), dg AS (SELECT doc_id, UNNEST(gs) AS g FROM gr),
+            pg AS (SELECT doc_id AS probe_id, UNNEST(gs) AS g
+                   FROM gr WHERE doc_id < 5),
+            ps AS (SELECT doc_id AS probe_id, len(gs) AS n_probe
+                   FROM gr WHERE doc_id < 5)
+            SELECT dg.doc_id, pg.probe_id,
+                   COUNT(*) AS shared_grams,
+                   ROUND(COUNT(*) / CAST(ANY_VALUE(ps.n_probe) AS DOUBLE), 4)
+                       AS overlap
+            FROM dg JOIN pg USING (g) JOIN ps ON ps.probe_id = pg.probe_id
+            GROUP BY dg.doc_id, pg.probe_id
         """,
         "weighted_sample_docs": """
             WITH d AS (

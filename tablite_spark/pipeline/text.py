@@ -159,3 +159,71 @@ def top_k_ngrams(df: DataFrame, text_col: str, n: int = 1,
     counts = ex.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
     return (counts.orderBy(F.col("cnt").desc(), F.col("ngram").asc())
             .limit(k))
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 512,
+                    overlap: int = 0) -> DataFrame:
+    """Split documents into token-bounded chunks with optional overlap
+    — the pre-tokenization packing step of an LLM data pipeline.
+
+    One projection: token array → per-chunk slices via sequence +
+    transform → posexplode. Output: (id, chunk_id, chunk_text,
+    chunk_tokens). No shuffle; a 100 TB corpus chunks in a single
+    scan and rows stay in their input partitions.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)))
+    return (df.filter(F.length(F.trim(F.col(text_col))) > 0)
+            .select(F.col(id_col),
+                    F.posexplode(chunks).alias("chunk_id", "chunk_text"))
+            .withColumn("chunk_tokens",
+                        F.size(F.split(F.col("chunk_text"), r"\s+"))))
+
+
+def contamination_check(df: DataFrame, probes: DataFrame, text_col: str,
+                        id_col: str, probe_text_col: str,
+                        probe_id_col: str, n: int = 8) -> DataFrame:
+    """Benchmark-decontamination scan: for each (document, probe) pair
+    that shares at least one token n-gram, the fraction of the probe's
+    n-grams contained in the document.
+
+    Scale shape: both sides explode to (ngram → id) postings and meet
+    in a hash join on the n-gram — candidate pairs only, never
+    documents × probes. With long n-grams (n=8 default) shared grams
+    are rare, so the join output stays near-linear; a contaminated
+    pair surfaces with overlap ≈ 1.0.
+    """
+    def grams(c):
+        toks = F.split(F.lower(F.trim(c)), r"\s+")
+        cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(0), cnt - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+
+    doc_g = df.select(F.col(id_col).alias("doc_id_"),
+                      F.explode(grams(F.col(text_col))).alias("g"))
+    probe_sizes = probes.select(
+        F.col(probe_id_col).alias("probe_id_"),
+        F.size(grams(F.col(probe_text_col))).alias("n_probe_grams"))
+    probe_g = probes.select(F.col(probe_id_col).alias("probe_id_"),
+                            F.explode(grams(F.col(probe_text_col))).alias("g"))
+    hits = (doc_g.join(probe_g, "g")
+            .groupBy("doc_id_", "probe_id_")
+            .agg(F.count(F.lit(1)).alias("shared_grams")))
+    return (hits.join(F.broadcast(probe_sizes), "probe_id_")
+            .select(F.col("doc_id_").alias(id_col),
+                    F.col("probe_id_").alias(probe_id_col),
+                    "shared_grams",
+                    (F.col("shared_grams")
+                     / F.col("n_probe_grams").cast("double")).alias("overlap")))

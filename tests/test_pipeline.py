@@ -296,3 +296,36 @@ def test_weighted_sample_properties(spark):
     again = {r["k"] for r in
              weighted_deterministic_sample(df, "k", "w", 0.25, salt="t").collect()}
     assert again == {r["k"] for r in rows}
+
+
+def test_chunk_documents(spark):
+    from tablite_spark.pipeline.text import chunk_documents
+    text = " ".join(f"t{i}" for i in range(25))
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "id int, text string")
+    out = chunk_documents(df, "text", "id", chunk_tokens=10, overlap=2)
+    rows = sorted(out.collect(), key=lambda r: (r["id"], r["chunk_id"]))
+    d1 = [r for r in rows if r["id"] == 1]
+    # stride 8: chunks at 0,8,16 → ceil((25-2)/8)=3 chunks
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert d1[0]["chunk_text"].split() == [f"t{i}" for i in range(10)]
+    assert d1[1]["chunk_text"].split()[0] == "t8"  # overlap of 2
+    assert d1[2]["chunk_tokens"] == 9  # tail chunk truncates
+    d2 = [r for r in rows if r["id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_text"] == "short doc"
+
+
+def test_contamination_check(spark):
+    from tablite_spark.pipeline.text import contamination_check
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, shared + " iota kappa"), (2, "totally different words here "
+                                          "nothing in common at all")],
+        "id int, text string")
+    probes = spark.createDataFrame([(100, shared)], "pid int, ptext string")
+    out = contamination_check(docs, probes, "text", "id", "ptext", "pid", n=8)
+    rows = out.collect()
+    # probe has exactly one 8-gram; doc1 contains it, doc2 doesn't
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["id"] == 1 and r["pid"] == 100
+    assert r["shared_grams"] == 1 and r["overlap"] == 1.0
