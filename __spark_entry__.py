@@ -1232,6 +1232,36 @@ def contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("overlap"), 4).alias("overlap"))
 
 
+def pack_chunks_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: chunked docs assigned to 256-token packs per
+    source via a per-group prefix-scan window (distributes across
+    sources; deterministic order)."""
+    from tablite_spark.pipeline.text import chunk_documents, pack_chunks
+    d = _t(spark, sf, "documents")
+    ch = chunk_documents(d, "text", "doc_id", chunk_tokens=40, overlap=0)
+    src = d.select("doc_id", "source")
+    ch = ch.join(F.broadcast(src), "doc_id")
+    packed = pack_chunks(ch, "chunk_tokens", budget=256,
+                         by=["source"], order_by=["doc_id", "chunk_id"])
+    return (packed.groupBy("source", "pack_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum("chunk_tokens").alias("pack_tokens")))
+
+
+def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus reporting: docs, chars, tokens, language
+    spread — the dataset-card numbers, one partial-agg pass."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.length("text")).alias("n_chars"),
+                 F.sum(F.size(toks)).alias("n_tokens"),
+                 F.count_distinct(F.col("lang")).alias("n_langs"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id")))
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
@@ -1302,6 +1332,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "chunk_docs": chunk_docs,
         "contamination_docs": contamination_docs,
+        "pack_chunks_docs": pack_chunks_docs,
+        "corpus_manifest": corpus_manifest,
         "repetition_docs": repetition_docs,
         "vocab_top_ngrams": vocab_top_ngrams,
         # --- green in round 1 (rotated to the back)
@@ -1548,6 +1580,45 @@ def oracle_sql() -> dict[str, str]:
                        AS overlap
             FROM dg JOIN pg USING (g) JOIN ps ON ps.probe_id = pg.probe_id
             GROUP BY dg.doc_id, pg.probe_id
+        """,
+        "pack_chunks_docs": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS l
+                FROM documents WHERE LENGTH(TRIM(text)) > 0
+            ), c AS (
+                SELECT doc_id, l,
+                       GREATEST(CAST(CEIL(len(l) / 40.0) AS INT), 1) AS nc
+                FROM t
+            ), e AS (
+                SELECT doc_id, l, UNNEST(range(0, nc)) AS cid FROM c
+            ), ch AS (
+                SELECT e.doc_id, CAST(cid AS INT) AS chunk_id,
+                       CAST(len(l[CAST(cid*40+1 AS INT) : CAST(cid*40+40 AS INT)]) AS INT)
+                           AS chunk_tokens,
+                       d.source
+                FROM e JOIN documents d ON d.doc_id = e.doc_id
+            ), packed AS (
+                SELECT source, chunk_tokens,
+                       CAST(FLOOR((SUM(chunk_tokens) OVER (
+                                PARTITION BY source
+                                ORDER BY doc_id, chunk_id
+                                ROWS UNBOUNDED PRECEDING) - chunk_tokens)
+                            / 256.0) AS BIGINT) AS pack_id
+                FROM ch
+            )
+            SELECT source, pack_id, COUNT(*) AS n_chunks,
+                   CAST(SUM(chunk_tokens) AS BIGINT) AS pack_tokens
+            FROM packed GROUP BY source, pack_id
+        """,
+        "corpus_manifest": """
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+                   CAST(SUM(len(string_split_regex(TRIM(text), '\\s+'))) AS BIGINT)
+                       AS n_tokens,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   MIN(doc_id) AS min_doc_id,
+                   MAX(doc_id) AS max_doc_id
+            FROM documents GROUP BY source
         """,
         "weighted_sample_docs": """
             WITH d AS (

@@ -227,3 +227,30 @@ def contamination_check(df: DataFrame, probes: DataFrame, text_col: str,
                     "shared_grams",
                     (F.col("shared_grams")
                      / F.col("n_probe_grams").cast("double")).alias("overlap")))
+
+
+def pack_chunks(chunks: DataFrame, tokens_col: str,
+                budget: int, by: list[str] | None = None,
+                order_by: list[str] | None = None) -> DataFrame:
+    """Assign chunks to fixed-token-budget packs (sequence packing for
+    training batches): running token total in deterministic order →
+    pack_id = floor(cumsum_before / budget). Greedy in-order packing —
+    each pack holds consecutive chunks totalling <= ~budget (a chunk
+    larger than the budget gets its own pack).
+
+    Scale shape: the window partitions by ``by`` (e.g. source shard),
+    so packing distributes across groups; within a group the running
+    sum is the standard prefix-scan window. Deterministic given
+    ``order_by``.
+    """
+    from pyspark.sql import Window
+    by = by or []
+    order_by = order_by or []
+    if not order_by:
+        raise ValueError("pack_chunks needs order_by for determinism")
+    w = (Window.partitionBy(*by).orderBy(*order_by)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(F.col(tokens_col)).over(w)
+    before = cum - F.col(tokens_col)
+    return chunks.withColumn(
+        "pack_id", F.floor(before / F.lit(budget)).cast("long"))

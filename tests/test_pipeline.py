@@ -329,3 +329,18 @@ def test_contamination_check(spark):
     r = rows[0]
     assert r["id"] == 1 and r["pid"] == 100
     assert r["shared_grams"] == 1 and r["overlap"] == 1.0
+
+
+def test_pack_chunks(spark):
+    from tablite_spark.pipeline.text import pack_chunks
+    rows = [("s", i, 40) for i in range(10)]  # 400 tokens in order
+    df = spark.createDataFrame(rows, "src string, cid int, chunk_tokens int")
+    out = pack_chunks(df, "chunk_tokens", budget=100,
+                      by=["src"], order_by=["cid"])
+    got = {r["cid"]: r["pack_id"] for r in out.collect()}
+    # cumsum-before: 0,40,80,... → pack = floor(before/100)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 2,
+                   8: 3, 9: 3}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="order_by"):
+        pack_chunks(df, "chunk_tokens", budget=100, by=["src"])
