@@ -243,6 +243,67 @@ def simhash_near_dup_pairs(sig: DataFrame, id_col: str,
     return pairs
 
 
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Connected components over an undirected edge list → (id,
+    component) where component = the smallest node id reachable.
+
+    This is the missing piece between near-dup *pairs* (MinHash-LSH /
+    SimHash / embedding candidates) and actual dedup: duplicates are
+    transitive, so keeping one doc per *pair* under-deletes; clusters
+    need a global label.
+
+    Algorithm: hash-min label propagation. Each iteration every node
+    takes the min of its own label and its neighbours' labels — one
+    hash-partitioned join + groupBy per round, converging in
+    O(cluster diameter) rounds. Near-dup graphs have tiny diameters
+    (dup clusters are dense), so 3-5 rounds is typical; ``max_iter``
+    bounds pathological chains. Scale properties:
+
+    - State per round is (id, label) longs — never document payloads.
+    - ``localCheckpoint`` truncates the plan each round; without it the
+      iteration-N plan embeds all N-1 predecessors and Catalyst
+      analysis goes quadratic (cluster deployments can swap in
+      ``checkpoint()`` against a reliable dir for fault tolerance).
+    - Convergence check is an aggregate on the already-shuffled frame,
+      not a collect of labels.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst"))).distinct()
+    edges = edges.persist()
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("component", F.col("id")))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.src == labels.id)
+                 .select(F.col("dst").alias("id"), "component"))
+        new_labels = (neigh.unionByName(labels)
+                      .groupBy("id").agg(F.min("component").alias("component")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def cluster_dedup(df: DataFrame, pairs: DataFrame, id_col: str,
+                  max_iter: int = 25) -> DataFrame:
+    """Transitive near-dup removal: connected components over the
+    candidate pairs, keep the min-id document of every cluster.
+    Documents that appear in no pair survive untouched (left_anti on
+    the loser set — one narrow semi-join shuffle)."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    losers = cc.filter(F.col("id") != F.col("component")) \
+               .select(F.col("id").alias(id_col))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, text_col: str,
                   id_col: str, n: int = 3) -> DataFrame:
     """Exact token-n-gram Jaccard for given row pairs (df_a x df_b must

@@ -344,3 +344,25 @@ def test_pack_chunks(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="order_by"):
         pack_chunks(df, "chunk_tokens", budget=100, by=["src"])
+
+
+def test_connected_components_chain_and_singleton(spark):
+    from tablite_spark.pipeline.dedup import connected_components
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+    got = {r["id"]: r["component"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_dedup_transitive(spark):
+    from tablite_spark.pipeline.dedup import cluster_dedup
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string")
+    # 0~1 and 1~2 are pairs but 0~2 is not: pairwise keep-min would
+    # keep 2; transitive clustering must delete it too.
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"]
+                  for r in cluster_dedup(docs, pairs, "doc_id").collect())
+    assert kept == [0, 3, 4, 5]
