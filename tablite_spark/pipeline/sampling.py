@@ -69,6 +69,32 @@ def weighted_deterministic_sample(df: DataFrame, key_col: str,
     return df.filter(_unit_hash(key) < p)
 
 
+def quota_cap(df: DataFrame, key_col: str, group_col: str,
+              quota: int, salt: str = "") -> DataFrame:
+    """Cap every group at ``quota`` rows — the per-domain/per-source
+    cap every web-corpus recipe applies so one giant crawl host can't
+    dominate the mixture.
+
+    Which rows survive is decided by rank of md5(salt+key) *within the
+    group*: deterministic (rerun/engine-stable like every sampler
+    here), and unbiased — the hash order is uncorrelated with crawl
+    order, so the cap is a uniform subsample of each group rather than
+    "first N by ingest time".
+
+    Scale: one hash-partitioned window shuffle on ``group_col``.
+    Skewed domains are exactly the motivating case — AQE splits the
+    hot partitions; the state per row is (group, 60-bit hash) only.
+    """
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    from pyspark.sql import Window
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(_unit_hash(key),
+                                              F.col(key_col))
+    return (df.withColumn("__qrank__", F.row_number().over(w))
+            .filter(F.col("__qrank__") <= quota).drop("__qrank__"))
+
+
 def train_holdout_split(df: DataFrame, key_col: str,
                         holdout_fraction: float = 0.1,
                         salt: str = "split") -> tuple[DataFrame, DataFrame]:
