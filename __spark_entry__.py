@@ -466,7 +466,8 @@ def sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
                 w.rowsBetween(W.unboundedPreceding, W.currentRow))))
     return (sess.groupBy("user_id", "session_seq")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("session_value")))
+                 (F.sum(F.round(F.col("value") * 100, 0)) / 100)
+                 .alias("session_value")))
 
 
 def tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
@@ -1071,20 +1072,53 @@ def media_features(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.element_at("features", 8).cast("double"), 4).alias("f7"))
 
 
+def _dup_fixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Controlled dedup corpus derived from the documents table: each
+    doc_id gets a 30-token text whose tokens are UNIQUE to that doc
+    (pairwise token-disjoint docs → true Jaccard 0 between any two
+    distinct docs), and every doc_id % 4 == 0 gains an EXACT duplicate
+    at doc_id + 10_000_000. On this corpus, near-dup detection
+    (MinHash-LSH, SimHash) provably coincides with exact text dedup —
+    which DuckDB reproduces verbatim. That turns the hash pipelines
+    into exactly-oracle-able queries (the derived-invariant trick)."""
+    d = _t(spark, sf, "documents").select("doc_id")
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda j: F.concat(F.lit("tok"),
+                           (F.col("doc_id") * 1000 + j).cast("string"))))
+    base = d.select("doc_id", text.alias("text"))
+    dups = (base.filter(F.col("doc_id") % 4 == 0)
+            .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    return base.unionByName(dups)
+
+
 def minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup removal (shingle → signature → band join →
-    est-Jaccard filter). Hash-dependent → rows-only check; exactness is
-    covered by ngram_jaccard_pairs."""
+    est-Jaccard filter → anti-join), exactly oracled on the duplicate
+    fixture: exact duplicates have identical signatures (always found,
+    est-Jaccard 1), token-disjoint docs share no shingle so no band
+    collides — survivors == exact-dedup-keep-min-id, which the oracle
+    computes over the same constructed corpus."""
     from tablite_spark.pipeline.dedup import minhash_dedup
-    d = _t(spark, sf, "documents")
-    return minhash_dedup(d, "text", "doc_id", threshold=0.5).select("doc_id")
+    corpus = _dup_fixture(spark, sf)
+    return minhash_dedup(corpus, "text", "doc_id",
+                         threshold=0.8).select("doc_id")
 
 
 def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """64-bit SimHash signatures (hash-dependent → rows-only check)."""
+    """64-bit SimHash invariants, exactly oracled on the duplicate
+    fixture: simhash is a pure function of the token stream, so
+    duplicate texts share a signature, and (deterministic under the
+    fixed hash) pairwise token-disjoint texts get distinct ones —
+    distinct signatures == distinct texts."""
     from tablite_spark.pipeline.dedup import simhash
-    d = _t(spark, sf, "documents")
-    return simhash(d, "text", "doc_id")
+    corpus = _dup_fixture(spark, sf)
+    sig = simhash(corpus, "text", "doc_id")
+    joined = corpus.join(sig, "doc_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("simhash").alias("n_sigs"),
+        F.countDistinct("text").alias("n_texts"))
 
 
 def deterministic_sample_orders(spark: SparkSession, sf: str) -> DataFrame:
@@ -1112,36 +1146,86 @@ def stratified_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def simhash_near_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole chunk banding +
-    bit_count(xor) verification (rows-only: xxhash64-seeded bits are
-    not SQL-portable; banding exactness is brute-force-verified in
-    tests/test_pipeline.py)."""
+    """SimHash near-dup pairs (pigeonhole chunk banding +
+    bit_count(xor) verify), exactly oracled on the duplicate fixture:
+    the pair set must be precisely the planted exact-duplicate pairs
+    at hamming 0 — token-disjoint docs sit ~32 bits apart and can
+    never pass max_hamming=3."""
     from tablite_spark.pipeline.dedup import simhash, simhash_near_dup_pairs
-    docs = _t(spark, sf, "documents")
-    sig = simhash(docs, "text", "doc_id")
+    corpus = _dup_fixture(spark, sf)
+    sig = simhash(corpus, "text", "doc_id")
     return simhash_near_dup_pairs(sig, "doc_id", max_hamming=3)
 
 
 def ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN: k-means inverted lists + n_probe cell scoring
-    (k-means init is seeded but iteration order is engine-specific →
-    rows-only check; recall vs brute force is tested in
-    tests/test_pipeline.py)."""
-    from tablite_spark.pipeline.similarity import ivf_topk
+    """IVF ANN (seeded k-means inverted lists + n_probe cell scoring),
+    oracled via its deterministic recall floor: with fixed seeds the
+    approx result is a fixed set, so per-query overlap with the exact
+    brute-force top-k is a constant the oracle can assert."""
+    from tablite_spark.pipeline.similarity import (
+        brute_force_topk, ivf_topk, topk_recall,
+    )
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
-    return ivf_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
-                    n_lists=8, n_probe=4)
+    approx = ivf_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
+                      n_lists=8, n_probe=5)
+    exact = brute_force_topk(emb, q, k=5, id_col="vec_id",
+                             vec_col="embedding")
+    rec = topk_recall(approx, exact)
+    return (q.select(F.col("vec_id").alias("qid"))
+            .join(rec, "qid", "left")
+            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+                    .alias("recall_ok")))
 
 
 def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k (seeded planes →
-    deterministic but not SQL-expressible; rows-only check)."""
-    from tablite_spark.pipeline.similarity import lsh_topk
+    """Random-hyperplane LSH approximate top-k, oracled via its
+    deterministic recall floor (seeded planes → fixed approx set →
+    fixed overlap with the exact top-k)."""
+    from tablite_spark.pipeline.similarity import (
+        brute_force_topk, lsh_topk, topk_recall,
+    )
     emb = _t(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
     dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_topk(emb, q, k=5, dim=dim, id_col="vec_id", vec_col="embedding")
+    approx = lsh_topk(emb, q, k=5, dim=dim, id_col="vec_id",
+                      vec_col="embedding", bits=48, bands=12)
+    exact = brute_force_topk(emb, q, k=5, id_col="vec_id",
+                             vec_col="embedding")
+    rec = topk_recall(approx, exact)
+    return (q.select(F.col("vec_id").alias("qid"))
+            .join(rec, "qid", "left")
+            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+                    .alias("recall_ok")))
+
+
+def holdout_split_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-disjoint train/holdout split (pipeline/sampling.py:
+    train_holdout_split): a row can never migrate between splits as
+    the corpus grows. The DuckDB oracle reproduces the exact md5
+    membership, so per-split counts and key-sums match hash-exactly."""
+    from tablite_spark.pipeline.sampling import train_holdout_split
+    o = _t(spark, sf, "orders")
+    train, hold = train_holdout_split(o, "o_orderkey", 0.1)
+    tagged = (train.select(F.lit("train").alias("split"), "o_orderkey")
+              .unionByName(hold.select(F.lit("holdout").alias("split"),
+                                       "o_orderkey")))
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").alias("key_sum"))
+
+
+def quota_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quota cap (pipeline/sampling.py:quota_cap): at most
+    15 docs survive per source, chosen by md5-rank within the group —
+    the DuckDB oracle reproduces the exact same rank, so survivors
+    (and their id-sum) match hash-exactly."""
+    from tablite_spark.pipeline.sampling import quota_cap
+    d = _t(spark, sf, "documents")
+    capped = quota_cap(d, "doc_id", "source", 15)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"))
 
 
 def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
@@ -1291,7 +1375,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     back so every query accumulates a hard correctness signal across
     rounds."""
     return {
-        # --- never verified (round 1 positions 51-97) — highest value first
+        # --- round-2 additions, never inside the check window yet —
+        #     they MUST occupy the first slots this round
+        "asof_join_events": asof_join_events,
+        "range_join_prices": range_join_prices,
+        "redact_pii_docs": redact_pii_docs,
+        "weighted_sample_docs": weighted_sample_docs,
+        "chunk_docs": chunk_docs,
+        "contamination_docs": contamination_docs,
+        "pack_chunks_docs": pack_chunks_docs,
+        "corpus_manifest": corpus_manifest,
+        "repetition_docs": repetition_docs,
+        "vocab_top_ngrams": vocab_top_ngrams,
+        "dedup_clusters": dedup_clusters,
+        # --- red in round 2 (HUGEINT oracle casts fixed this round)
+        "sessionize_events": sessionize_events,
+        "deterministic_sample_orders": deterministic_sample_orders,
+        "stratified_sample_docs": stratified_sample_docs,
+        # --- ex-no_oracle rows, re-expressed with exact oracles
+        #     (dup-fixture invariants / deterministic recall floors)
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_docs": simhash_docs,
+        "simhash_near_dup_docs": simhash_near_dup_docs,
+        "lsh_topk_embeddings": lsh_topk_embeddings,
+        "ivf_topk_embeddings": ivf_topk_embeddings,
+        # --- new in round 3
+        "quota_cap_docs": quota_cap_docs,
+        "holdout_split_orders": holdout_split_orders,
+        # --- green in round 2 (rotate forward of round-1 greens so the
+        #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
         "join_left": join_left,
         "join_outer_merge_keys": join_outer_merge_keys,
@@ -1322,39 +1434,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "statistics_summary": statistics_summary,
         "histogram": histogram_q,
         "xround_buckets": xround_buckets,
-        "sessionize_events": sessionize_events,
         "tumbling_window": tumbling_window,
         "hopping_window": hopping_window,
         "dedup_exact": dedup_exact,
-        "deterministic_sample_orders": deterministic_sample_orders,
-        "stratified_sample_docs": stratified_sample_docs,
-        "minhash_dedup_docs": minhash_dedup_docs,
-        "simhash_docs": simhash_docs,
-        "simhash_near_dup_docs": simhash_near_dup_docs,
         "text_stats": text_stats,
         "doc_fingerprint": doc_fingerprint,
         "quality_score": quality_score,
         "embedding_topk": embedding_topk,
-        "lsh_topk_embeddings": lsh_topk_embeddings,
-        "ivf_topk_embeddings": ivf_topk_embeddings,
         "multimodal_decode": multimodal_decode,
         "media_features": media_features,
-        # --- red in round 1, fixed this round (inside the 50-window)
         "csv_roundtrip_agg": csv_roundtrip_agg,
         "pandas_roundtrip_agg": pandas_roundtrip_agg,
         "imputation_nn_lsh": imputation_nn_lsh,
-        # --- new in round 2 (verified locally; rotate into the window next round)
-        "asof_join_events": asof_join_events,
-        "range_join_prices": range_join_prices,
-        "redact_pii_docs": redact_pii_docs,
-        "weighted_sample_docs": weighted_sample_docs,
-        "chunk_docs": chunk_docs,
-        "contamination_docs": contamination_docs,
-        "pack_chunks_docs": pack_chunks_docs,
-        "corpus_manifest": corpus_manifest,
-        "repetition_docs": repetition_docs,
-        "vocab_top_ngrams": vocab_top_ngrams,
-        "dedup_clusters": dedup_clusters,
         # --- green in round 1 (rotated to the back)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_revenue": q3_shipping_revenue,
@@ -1917,13 +2008,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ws, event_type
         """,
         "deterministic_sample_orders": """
-            SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum
+            SELECT COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM orders
             WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
                        AS UBIGINT) / 1152921504606846976.0 < 0.1
         """,
         "stratified_sample_docs": """
-            SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum
+            SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
             FROM documents
             WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                        AS UBIGINT) / 1152921504606846976.0
@@ -2281,12 +2372,12 @@ def oracle_sql() -> dict[str, str]:
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             ), s AS (
                 SELECT user_id, value,
-                       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
                 FROM g
             )
             SELECT user_id, session_seq, COUNT(*) AS n_events,
-                   ROUND(SUM(value), 2) AS session_value
+                   SUM(ROUND(value * 100, 0)) / 100 AS session_value
             FROM s GROUP BY user_id, session_seq
         """,
         "tumbling_window": """
@@ -2343,5 +2434,70 @@ def oracle_sql() -> dict[str, str]:
                  )
             SELECT qid, nid, ROUND(cos, 4) AS cos, rn
             FROM scored WHERE rn <= 5
+        """,
+        # Derived-invariant oracles for the hash pipelines: the Spark
+        # side runs the real MinHash/SimHash machinery over a corpus
+        # where near-dup == exact-dup by construction (_dup_fixture);
+        # DuckDB reproduces the construction and the exact-dedup
+        # ground truth verbatim.
+        "minhash_dedup_docs": """
+            WITH corpus AS (
+                SELECT doc_id, doc_id AS text_key FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, doc_id AS text_key
+                FROM documents WHERE doc_id % 4 = 0
+            )
+            SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text_key
+        """,
+        "simhash_docs": """
+            WITH corpus AS (
+                SELECT doc_id, doc_id AS text_key FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000 AS doc_id, doc_id AS text_key
+                FROM documents WHERE doc_id % 4 = 0
+            )
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT text_key) AS n_sigs,
+                   COUNT(DISTINCT text_key) AS n_texts
+            FROM corpus
+        """,
+        "simhash_near_dup_docs": """
+            SELECT doc_id AS id_a, doc_id + 10000000 AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM documents WHERE doc_id % 4 = 0
+        """,
+        # ANN oracles assert the deterministic recall floor: with
+        # seeded hyperplanes / seeded k-means the approximate top-k is
+        # a fixed set, so overlap-with-exact >= floor is a constant.
+        "lsh_topk_embeddings": """
+            SELECT vec_id AS qid, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3
+        """,
+        "ivf_topk_embeddings": """
+            SELECT vec_id AS qid, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3
+        """,
+        "holdout_split_orders": """
+            WITH u AS (
+                SELECT o_orderkey,
+                       CAST(('0x' || substring(md5('split' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                            AS UBIGINT) / 1152921504606846976.0 AS h
+                FROM orders
+            )
+            SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
+                   COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+            FROM u GROUP BY 1
+        """,
+        "quota_cap_docs": """
+            WITH ranked AS (
+                SELECT source, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+                           CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                AS UBIGINT) / 1152921504606846976.0 ASC,
+                           doc_id ASC) AS rnk
+                FROM documents
+            )
+            SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM ranked WHERE rnk <= 15 GROUP BY source
         """,
     }

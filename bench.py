@@ -45,7 +45,28 @@ BENCH_QUERIES = [
     "near_dup_embeddings",
     "language_id_docs",
     "multimodal_decode",
+    "dedup_clusters",
+    "chunk_docs",
+    "contamination_docs",
+    "pack_chunks_docs",
 ]
+
+
+def _minhash_dedup_docs_real(spark, sf_dir: str):
+    """Bench twin of minhash_dedup_docs on the REAL documents table.
+    The queries() entry now runs on the oracle fixture corpus; the
+    bench keeps timing the original workload so BENCH_r03 stays
+    comparable with BENCH_r01/r02."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from tablite_spark.pipeline.dedup import minhash_dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_dedup(d, "text", "doc_id", threshold=0.5).select("doc_id")
+
+
+BENCH_OVERRIDES = {
+    "minhash_dedup_docs": _minhash_dedup_docs_real,
+}
 
 
 def force(df) -> None:
@@ -119,6 +140,29 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         spark.read.json(f"{tmp}/synth.json", schema=synth.schema) \
             .write.format("noop").mode("overwrite").save()
         timings["synth_json_1m_read"] = round(time.perf_counter() - t0, 3)
+
+        # the TRUE format twin of the reference's from_json (an
+        # in-memory column-major dict decode, BASELINE.md ~2.3M rows/s):
+        # parse the JSON string + columnar decode + one Arrow crossing.
+        # The JSON-lines scan above is a different (distributed, file)
+        # workload — both ratios are recorded.
+        import json as _json
+
+        from tablite_spark.sources.io import read_json_columnar
+        cols_pdf = synth.toPandas()
+
+        def _col(s):
+            if s.dtype.kind == "M":
+                return s.dt.strftime("%Y-%m-%d %H:%M:%S").tolist()
+            return s.tolist()
+
+        payload = _json.dumps(
+            {"columns": {c: _col(cols_pdf[c]) for c in cols_pdf.columns}})
+        del cols_pdf
+        t0 = time.perf_counter()
+        read_json_columnar(spark, payload).write.format("noop") \
+            .mode("overwrite").save()
+        timings["json_columnar_1m_read"] = round(time.perf_counter() - t0, 3)
         rows_out["synth_rows"] = 1_000_000
         synth.unpersist()
     finally:
@@ -142,10 +186,17 @@ def main() -> None:
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name in BENCH_QUERIES:
+        fn = BENCH_OVERRIDES.get(name) or qs[name]
         t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
+        force(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_total0, 3)
+    # the round-3 additions inflate the headline total; publish the
+    # subtotal over the round-2 query list so the trend stays readable
+    new_in_r3 = {"dedup_clusters", "chunk_docs", "contamination_docs",
+                 "pack_chunks_docs"}
+    r2_basis = round(sum(v for k, v in timings.items()
+                         if k not in new_in_r3), 3)
 
     extra: dict[str, int] = {}
     io_benchmarks(spark, sf_dir, timings, extra)
@@ -156,6 +207,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "r2_comparable_total": r2_basis,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extra,
     }))

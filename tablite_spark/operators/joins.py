@@ -224,9 +224,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     rows sort before left rows at equal time, so ties match. ONE
     shuffle on the group keys, linear in rows, no candidate blowup.
 
-    Ties among right rows with identical ``on`` resolve to the last in
-    window order (nondeterministic unless the time key is unique —
-    pass pre-deduplicated right for strict determinism).
+    Ties among right rows with identical ``on`` are resolved
+    INTERNALLY and deterministically: the right side is reduced to one
+    row per (by..., on) keeping the greatest payload struct (struct
+    comparison is lexicographic over ``right_cols``) — a
+    partial-aggregable groupBy, so tie handling never depends on
+    partition or arrival order.
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
@@ -237,8 +240,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     if collide:
         raise ValueError(f"right_cols collide with left columns: {collide}")
     pay = F.struct(*[F.col(c) for c in right_cols])
-    r2 = right.select(*by, F.col(on).alias("__asof_t__"),
-                      F.lit(0).alias("__asof_src__"), pay.alias("__asof_pay__"))
+    r2 = (right.select(*by, F.col(on).alias("__asof_t__"),
+                       pay.alias("__asof_pay__"))
+          .groupBy(*by, "__asof_t__")
+          .agg(F.max("__asof_pay__").alias("__asof_pay__"))
+          .withColumn("__asof_src__", F.lit(0)))
     l2 = left.withColumn("__asof_t__", F.col(on)) \
              .withColumn("__asof_src__", F.lit(1))
     u = l2.unionByName(r2, allowMissingColumns=True)

@@ -275,6 +275,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
+    changed = 1
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.src == labels.id)
                  .select(F.col("dst").alias("id"), "component"))
@@ -289,6 +290,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # returning partially-propagated labels would silently
+        # under-merge clusters (and under-delete in cluster_dedup)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations (graph diameter exceeds max_iter); raise "
+            f"max_iter — rounds cost one join+groupBy each")
     return labels
 
 

@@ -52,14 +52,23 @@ def stratified_deterministic_sample(df: DataFrame, key_col: str,
 
 def weighted_deterministic_sample(df: DataFrame, key_col: str,
                                   weight_col: str, target_fraction: float,
-                                  salt: str = "") -> DataFrame:
+                                  salt: str = "",
+                                  mean_weight: float | None = None) -> DataFrame:
     """Importance-weighted deterministic sampling: row kept iff
     hash(salt+key) < target_fraction * weight / E[weight]. Rows with
-    weight w are kept proportionally to w (clamped at certainty), the
-    expected kept fraction is ``target_fraction``, and membership is
-    still a pure function of (salt, key, weight distribution) — rerun
-    and engine stable. One tiny agg for E[weight], then scan-only."""
-    mean_w = df.agg(F.avg(F.col(weight_col))).first()[0]
+    weight w are kept proportionally to w (clamped at certainty), and
+    the expected kept fraction is ``target_fraction``.
+
+    Membership is a pure function of (salt, key, weight, E[weight]).
+    By default E[weight] is computed from ``df`` (one tiny agg, then
+    scan-only) — which means appending rows SHIFTS the mean and can
+    flip earlier rows' membership. For append-stable sampling, pin
+    ``mean_weight`` to a frozen value (e.g. the corpus mean at dataset
+    creation); membership is then invariant under append."""
+    if mean_weight is not None:
+        mean_w = float(mean_weight)
+    else:
+        mean_w = df.agg(F.avg(F.col(weight_col))).first()[0]
     if not mean_w or mean_w <= 0:
         raise ValueError(f"mean({weight_col}) must be positive, got {mean_w}")
     key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
@@ -84,6 +93,12 @@ def quota_cap(df: DataFrame, key_col: str, group_col: str,
     Scale: one hash-partitioned window shuffle on ``group_col``.
     Skewed domains are exactly the motivating case — AQE splits the
     hot partitions; the state per row is (group, 60-bit hash) only.
+
+    Precondition: ``key_col`` must be unique within each group. The
+    sort tuple is (hash(salt+key), key); duplicate keys collide on
+    both elements, so which physical duplicate survives the cap would
+    depend on partition order. With unique keys the result is fully
+    deterministic.
     """
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")

@@ -42,6 +42,30 @@ def _unit(vec):
     return F.transform(v, lambda x: x / n)
 
 
+def _topk_per_qid(scored: DataFrame, k: int) -> DataFrame:
+    """Two-phase per-query top-k over a (qid, nid, cos) frame.
+
+    A single ``row_number() over (partition by qid)`` ranks each
+    query's ENTIRE scored set in one task — with few queries that is a
+    handful of tasks ranking the whole corpus (the scale funnel). Phase
+    1 ranks within (qid, input-partition) — many balanced tasks — and
+    keeps k per salt; phase 2 ranks the ≤ k×n_partitions survivors
+    globally per qid. The ordering (cos desc, nid asc) is identical in
+    both phases, and a per-salt top-k under an ordering always contains
+    the global top-k, so the result is byte-identical to the
+    single-window form — only the plan changes.
+    """
+    order = [F.col("cos").desc(), F.col("nid").asc()]
+    w1 = Window.partitionBy("qid", "__salt__").orderBy(*order)
+    w2 = Window.partitionBy("qid").orderBy(*order)
+    return (scored.withColumn("__salt__", F.spark_partition_id())
+            .withColumn("__rn1__", F.row_number().over(w1))
+            .filter(F.col("__rn1__") <= k)
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= k)
+            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                      id_col: str = "id", vec_col: str = "vec") -> DataFrame:
     """Exact top-k: returns (qid, nid, cos, rn). Queries are broadcast;
@@ -52,10 +76,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
                       _unit(F.col(vec_col)).alias("cv"))
     scored = (c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
               .withColumn("cos", _dot(F.col("qv"), F.col("cv"))))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))
+    return _topk_per_qid(scored, k)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -109,10 +130,17 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int, dim: int,
             .filter(F.col("nid") != F.col("qid"))
             .select("qid", "qv", "nid", "cv").distinct())
     scored = cand.withColumn("cos", _dot(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))
+    return _topk_per_qid(scored, k)
+
+
+def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query overlap between an approximate and an exact top-k
+    result (both shaped (qid, nid, ...)): (qid, n_overlap). With
+    seeded planes / seeded k-means the overlap is deterministic, which
+    makes ANN quality itself an oracle-able quantity (recall floors)."""
+    return (approx.select("qid", "nid")
+            .join(exact.select("qid", "nid"), ["qid", "nid"])
+            .groupBy("qid").agg(F.count(F.lit(1)).alias("n_overlap")))
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
@@ -187,10 +215,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
     cand = assigned.join(F.broadcast(qp), on="ivf_list") \
                    .filter(F.col("nid") != F.col("qid"))
     scored = cand.withColumn("cos", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))
+    return _topk_per_qid(scored, k)
 
 
 def embedding_near_dup_blocked(df: DataFrame, id_col: str, vec_col: str,

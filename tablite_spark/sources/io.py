@@ -154,6 +154,12 @@ def read_json_columnar(spark: SparkSession, jsn: dict | str) -> DataFrame:
     cols = jsn["columns"]
     names = list(cols)
     n = max((len(v) for v in cols.values()), default=0)
+    if names and all(len(v) == n for v in cols.values()):
+        # equal-length columns (the normal case): hand the dict to
+        # pandas and cross into the JVM via ONE Arrow batch —
+        # millions of rows/s, vs per-row tuple pickling
+        import pandas as pd
+        return spark.createDataFrame(pd.DataFrame(cols, columns=names))
     rows = [tuple(cols[c][i] if i < len(cols[c]) else None for c in names)
             for i in range(n)]
     return spark.createDataFrame(rows, schema=names)

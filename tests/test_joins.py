@@ -158,6 +158,19 @@ def test_asof_join_equal_time_matches(spark):
     assert out.first()["px"] == 5.0  # <= semantics: same instant matches
 
 
+def test_asof_join_duplicate_timestamp_deterministic(spark):
+    """Tied right timestamps resolve internally to max(payload struct)
+    — the same winner regardless of partitioning or input order."""
+    from tablite_spark.operators.joins import asof_join
+    left = spark.createDataFrame([(1, "u", 10)], "id int, k string, t int")
+    rows = [("u", 8, 100.0), ("u", 8, 300.0), ("u", 8, 200.0)]
+    for perm in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+        right = spark.createDataFrame(perm, "k string, t int, px double")
+        out = asof_join(left, right.repartition(3), on="t", by=["k"],
+                        right_cols=["px"])
+        assert out.first()["px"] == 300.0
+
+
 def test_asof_join_collision_raises(spark):
     import pytest as _pytest
 

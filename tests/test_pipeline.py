@@ -298,6 +298,55 @@ def test_weighted_sample_properties(spark):
     assert again == {r["k"] for r in rows}
 
 
+def test_weighted_sample_pinned_mean_append_stable(spark):
+    """With mean_weight pinned, membership is invariant under append;
+    without it, the recomputed mean may flip earlier rows."""
+    from tablite_spark.pipeline.sampling import weighted_deterministic_sample
+    base = spark.createDataFrame(
+        [(i, 1.0 if i % 2 else 3.0) for i in range(1000)], "k long, w double")
+    extra = spark.createDataFrame(
+        [(i, 50.0) for i in range(1000, 1200)], "k long, w double")
+    pinned = 2.0  # frozen corpus mean at dataset creation
+    before = {r["k"] for r in weighted_deterministic_sample(
+        base, "k", "w", 0.25, salt="t", mean_weight=pinned).collect()}
+    after = {r["k"] for r in weighted_deterministic_sample(
+        base.union(extra), "k", "w", 0.25, salt="t",
+        mean_weight=pinned).collect()}
+    assert before == {k for k in after if k < 1000}
+
+
+def test_quota_cap_determinism_and_bound(spark):
+    from tablite_spark.pipeline.sampling import quota_cap
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(300)], "k long, g string")
+    out = quota_cap(df, "k", "g", 10)
+    rows = out.collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(r["g"], set()).add(r["k"])
+    assert all(len(v) == 10 for v in per_group.values())
+    # rerun on a different partitioning → identical survivors
+    again = {(r["g"], r["k"]) for r in
+             quota_cap(df.repartition(7), "k", "g", 10).collect()}
+    assert again == {(r["g"], r["k"]) for r in rows}
+    # groups under quota survive whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], "k long, g string")
+    assert quota_cap(small, "k", "g", 10).count() == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="quota"):
+        quota_cap(df, "k", "g", 0)
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest as _pytest
+    from tablite_spark.pipeline.dedup import connected_components
+    # chain 0-1-2-...-6 has diameter 6; 2 iterations cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=2)
+
+
 def test_chunk_documents(spark):
     from tablite_spark.pipeline.text import chunk_documents
     text = " ".join(f"t{i}" for i in range(25))
