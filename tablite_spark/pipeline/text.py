@@ -193,31 +193,55 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
 
 def contamination_check(df: DataFrame, probes: DataFrame, text_col: str,
                         id_col: str, probe_text_col: str,
-                        probe_id_col: str, n: int = 8) -> DataFrame:
+                        probe_id_col: str, n: int = 8,
+                        broadcast_probes: bool = True) -> DataFrame:
     """Benchmark-decontamination scan: for each (document, probe) pair
     that shares at least one token n-gram, the fraction of the probe's
     n-grams contained in the document.
 
-    Scale shape: both sides explode to (ngram → id) postings and meet
-    in a hash join on the n-gram — candidate pairs only, never
-    documents × probes. With long n-grams (n=8 default) shared grams
-    are rare, so the join output stays near-linear; a contaminated
-    pair surfaces with overlap ≈ 1.0.
+    Scale shape: both sides reduce each n-gram to a 64-bit hash of its
+    token window — postings are (long, id), never materialized 8-token
+    strings — and meet in a hash join on the gram hash: candidate pairs
+    only, never documents × probes. The probe side (a benchmark suite)
+    is small by construction, so its postings are BROADCAST
+    (``broadcast_probes=False`` opts out for huge probe sets): the doc
+    postings then never shuffle at all — the whole scan is one pass
+    over the corpus plus a tiny aggregation of the rare hits. With long
+    n-grams (n=8 default) shared grams are rare, so the join output
+    stays near-linear; a contaminated pair surfaces with overlap ≈ 1.0.
+    (64-bit gram hashing: collisions at ~n_grams²/2⁶⁴ — immaterial
+    against real contamination, which shares hundreds of grams.)
     """
-    def grams(c):
+    def gram_hashes(c):
         toks = F.split(F.lower(F.trim(c)), r"\s+")
         cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+        # zip n shifted copies of the token array and hash the n token
+        # fields per window — n array ops per DOC (not per gram), no
+        # string concat (same trick as dedup.shingle_minhash)
+        parts = [toks.alias("t0")]
+        for i in range(1, n):
+            parts.append(F.slice(toks, i + 1,
+                                 F.greatest(F.size(toks) - F.lit(i), F.lit(1)))
+                         .alias(f"t{i}"))
+        windows = F.slice(F.arrays_zip(*parts), 1, cnt)
         return F.array_distinct(F.transform(
-            F.sequence(F.lit(0), cnt - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
+            windows, lambda w: F.xxhash64(*[w[f"t{i}"] for i in range(n)])))
 
+    # spread docs across cores when the source arrives under-partitioned
+    # (small files); at scale the scan is already wide and this no-ops
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     doc_g = df.select(F.col(id_col).alias("doc_id_"),
-                      F.explode(grams(F.col(text_col))).alias("g"))
-    probe_sizes = probes.select(
+                      F.explode(gram_hashes(F.col(text_col))).alias("g"))
+    probe_grams = probes.select(
         F.col(probe_id_col).alias("probe_id_"),
-        F.size(grams(F.col(probe_text_col))).alias("n_probe_grams"))
-    probe_g = probes.select(F.col(probe_id_col).alias("probe_id_"),
-                            F.explode(grams(F.col(probe_text_col))).alias("g"))
+        gram_hashes(F.col(probe_text_col)).alias("gs"))
+    probe_sizes = probe_grams.select("probe_id_",
+                                     F.size("gs").alias("n_probe_grams"))
+    probe_g = probe_grams.select("probe_id_", F.explode("gs").alias("g"))
+    if broadcast_probes:
+        probe_g = F.broadcast(probe_g)
     hits = (doc_g.join(probe_g, "g")
             .groupBy("doc_id_", "probe_id_")
             .agg(F.count(F.lit(1)).alias("shared_grams")))
