@@ -196,19 +196,51 @@ def with_row_index(df: DataFrame, name: str = "__row_id__",
             .drop(pid, "__wri_off__", mid))
 
 
+_INDEXED_SLICE_MAX_HITS = 100_000
+
+
 def slice_rows(df: DataFrame, start: int | None = None,
                stop: int | None = None, step: int | None = 1,
-               order_by: list[str] | None = None) -> DataFrame:
+               order_by: list[str] | None = None,
+               index_col: str | None = None) -> DataFrame:
     """``t[start:stop:step]`` (tablite/base.py:1205-1287), python list
     slice semantics exactly — including negative bounds and steps
     (reference tests/test_slice_rules.py).
 
     Fast paths: ``t[:n]`` → limit(n) (no shuffle); stepped/offset slices
     rank rows then filter — one narrow shuffle, arithmetic filter.
+
+    ``index_col``: name of a PERSISTED dense 0-based row index column
+    (e.g. written by ``with_row_index`` before save). The slice then
+    never ranks: sparse slices (≤ ``_INDEXED_SLICE_MAX_HITS`` hits)
+    become an ``IN``-list predicate pushed into the parquet scan, where
+    row-group stats and page column-indexes prune everything but the
+    hit pages — O(hits) IO, the same pruning the reference gets from
+    its fixed-size page store (tablite benchmarks.ipynb cell 30: 20
+    hits in 50M rows without touching the other pages). Dense slices
+    fall back to an arithmetic range+modulo filter on the index column
+    — still a single scan with no ranking pass. Row count comes from
+    ``df.count()`` (metadata-only on parquet).
     """
     step = 1 if step is None else step
     if step == 0:
         raise ValueError("slice step cannot be 0")
+    if index_col is not None:
+        n = df.count()
+        first, last_excl, st = slice(start, stop, step).indices(n)
+        hits = range(first, last_excl, st)
+        c = F.col(index_col)
+        if len(hits) == 0:
+            return df.filter(F.lit(False))
+        if len(hits) <= _INDEXED_SLICE_MAX_HITS:
+            out = df.filter(c.isin(*hits))
+        elif st > 0:
+            out = df.filter((c >= first) & (c < last_excl)
+                            & ((c - first) % st == 0))
+        else:
+            out = df.filter((c <= first) & (c > last_excl)
+                            & ((F.lit(first) - c) % (-st) == 0))
+        return out.orderBy(c.desc()) if st < 0 else out
     if start in (None, 0) and step == 1 and stop is not None and stop >= 0 \
             and order_by is None:
         return df.limit(stop)

@@ -120,6 +120,26 @@ def test_slice_python_list_parity(spark, start, stop, step):
     assert [r["x"] for r in out.collect()] == expect
 
 
+@pytest.mark.parametrize("start,stop,step", [
+    (None, None, 7), (10, 50, 7), (-10, None, 1), (0, -3, 1),
+    (None, None, -1), (50, 10, -7), (90, None, 4), (5, 5, 1),
+])
+def test_slice_rows_indexed_parity(spark, start, stop, step):
+    """index_col fast path (persisted row index, no ranking pass) must
+    return exactly what the generic path returns — python slice
+    semantics included."""
+    data = list(range(60))
+    df = spark.createDataFrame([(i, i * 10) for i in data],
+                               "__row_id__ long, x int").repartition(5)
+    out = slice_rows(df, start, stop, step, index_col="__row_id__")
+    expect = data[slice(start, stop, step)]
+    got = [r["x"] for r in out.collect()]
+    if step is not None and step < 0:
+        assert got == [v * 10 for v in expect]
+    else:
+        assert sorted(got) == sorted(v * 10 for v in expect)
+
+
 def test_with_row_index_order(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "x int")
     out = with_row_index(df, "rid", order_by=["x"]).collect()
