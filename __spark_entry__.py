@@ -1228,6 +1228,61 @@ def quota_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"))
 
 
+def mixture_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixture rebalancing (pipeline/sampling.py:mixture_sample): the
+    corpus is down-sampled so language shares hit en/de/fr/es =
+    50/25/12.5/12.5 (zh dropped; shares exactly representable in
+    binary so both engines do identical IEEE arithmetic). Keep-rates
+    derive from the group counts; membership is md5-hash-exact, so
+    DuckDB reproduces the survivors verbatim."""
+    from tablite_spark.pipeline.sampling import mixture_sample
+    d = _t(spark, sf, "documents")
+    out = mixture_sample(d, "doc_id", "lang",
+                         {"en": 0.5, "de": 0.25, "fr": 0.125, "es": 0.125})
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"))
+
+
+def token_budget_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget cap (pipeline/sampling.py:token_budget_cap): each
+    source keeps docs in md5-hash order until 600 whitespace tokens are
+    consumed; the first over-budget doc is dropped, later docs that
+    still fit are kept. The DuckDB oracle replays the identical
+    cumulative-sum window."""
+    from tablite_spark.pipeline.sampling import token_budget_cap
+    d = _t(spark, sf, "documents").withColumn(
+        "n_tok", F.size(F.split(F.col("text"), " ")))
+    capped = token_budget_cap(d, "doc_id", "source", "n_tok", 600)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum("n_tok").alias("tok_sum"))
+
+
+def incremental_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (cross-snapshot) dedup
+    (pipeline/dedup.py:incremental_dedup): a constructed NEW batch —
+    exact re-crawls of every doc_id%5==1 doc (+1M ids), plus fresh
+    ' v2' variants of every doc_id%5==2 doc planted TWICE (+2M and +3M
+    ids) — is deduped against the full corpus. Survivors must be
+    exactly the +2M set: re-crawls die on the seen-hash anti-join,
+    the duplicated fresh texts keep their min id. Content-hash
+    equality == text equality here, which DuckDB replays verbatim."""
+    from tablite_spark.pipeline.dedup import incremental_dedup
+    d = _t(spark, sf, "documents")
+    recrawl = (d.filter(F.col("doc_id") % 5 == 1)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text"))
+    fresh_lo = (d.filter(F.col("doc_id") % 5 == 2)
+                .select((F.col("doc_id") + 2_000_000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" v2")).alias("text")))
+    fresh_hi = fresh_lo.select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                               "text")
+    new_batch = recrawl.unionByName(fresh_lo).unionByName(fresh_hi)
+    return incremental_dedup(new_batch, d, "text", "doc_id") \
+        .select("doc_id")
+
+
 def asof_join_events(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each error event picks the user's most recent click
     at-or-before it (union + ordered carry — one shuffle, no join;
@@ -1402,6 +1457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 3
         "quota_cap_docs": quota_cap_docs,
         "holdout_split_orders": holdout_split_orders,
+        "mixture_sample_docs": mixture_sample_docs,
+        "token_budget_docs": token_budget_docs,
+        "incremental_dedup_docs": incremental_dedup_docs,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
@@ -2487,6 +2545,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
                    COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM u GROUP BY 1
+        """,
+        "mixture_sample_docs": """
+            WITH counts AS (
+                SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+            ), shares(lang, share) AS (
+                VALUES ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.25 AS DOUBLE)),
+                       ('fr', CAST(0.125 AS DOUBLE)), ('es', CAST(0.125 AS DOUBLE))
+            ), n_total AS (
+                SELECT MIN(cnt / share) AS nt
+                FROM counts JOIN shares USING (lang) WHERE share > 0
+            ), rates AS (
+                SELECT lang, LEAST(CAST(1.0 AS DOUBLE),
+                                   share * (SELECT nt FROM n_total) / cnt) AS rate
+                FROM counts JOIN shares USING (lang)
+            )
+            SELECT d.lang, COUNT(*) AS n,
+                   CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+            FROM documents d JOIN rates r ON d.lang = r.lang
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                       AS UBIGINT) / 1152921504606846976.0 < r.rate
+            GROUP BY d.lang
+        """,
+        "token_budget_docs": """
+            WITH toks AS (
+                SELECT doc_id, source,
+                       len(string_split(text, ' ')) AS n_tok,
+                       CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS UBIGINT) / 1152921504606846976.0 AS h
+                FROM documents
+            ), runs AS (
+                SELECT source, doc_id, n_tok,
+                       SUM(n_tok) OVER (PARTITION BY source
+                           ORDER BY h ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_tok
+                FROM toks
+            )
+            SELECT source, COUNT(*) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+                   CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+            FROM runs WHERE run_tok <= 600 GROUP BY source
+        """,
+        "incremental_dedup_docs": """
+            WITH new_batch AS (
+                SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 5 = 1
+                UNION ALL
+                SELECT doc_id + 2000000 AS doc_id, text || ' v2' AS text
+                FROM documents WHERE doc_id % 5 = 2
+                UNION ALL
+                SELECT doc_id + 3000000 AS doc_id, text || ' v2' AS text
+                FROM documents WHERE doc_id % 5 = 2
+            ), fresh AS (
+                SELECT n.doc_id, n.text FROM new_batch n
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM documents s WHERE s.text = n.text)
+            )
+            SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY text
         """,
         "quota_cap_docs": """
             WITH ranked AS (

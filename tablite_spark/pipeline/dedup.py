@@ -312,6 +312,27 @@ def cluster_dedup(df: DataFrame, pairs: DataFrame, id_col: str,
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
+                      text_col: str, id_col: str) -> DataFrame:
+    """Dedup a NEW batch against an already-ingested corpus — the
+    every-snapshot shape of a growing training set: (1) drop new docs
+    whose content hash already exists in ``seen_df``; (2) exact-dedup
+    the survivors within the batch (keep min id).
+
+    Scale: both sides reduce to (hash) / (hash, id) projections before
+    any join — the anti-join and the in-batch groupBy shuffle 8-byte
+    hashes, never document payloads; at 100 TB ``seen_df`` is itself
+    just the hash column of the corpus manifest, not the corpus.
+    """
+    seen_h = seen_df.select(F.xxhash64(F.col(text_col)).alias("__h__")) \
+                    .distinct()
+    new_h = new_df.select(F.col(id_col),
+                          F.xxhash64(F.col(text_col)).alias("__h__"))
+    fresh = new_h.join(seen_h, "__h__", "left_anti")
+    winners = fresh.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+    return new_df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
 def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, text_col: str,
                   id_col: str, n: int = 3) -> DataFrame:
     """Exact token-n-gram Jaccard for given row pairs (df_a x df_b must

@@ -110,6 +110,83 @@ def quota_cap(df: DataFrame, key_col: str, group_col: str,
             .filter(F.col("__qrank__") <= quota).drop("__qrank__"))
 
 
+def mixture_sample(df: DataFrame, key_col: str, group_col: str,
+                   targets: dict, salt: str = "") -> DataFrame:
+    """Rebalance a corpus to target per-group proportions — the
+    "mixture weights" step of a training-data recipe (e.g. 30% web,
+    30% code, 40% books) applied by DOWN-sampling only.
+
+    For each group g with target share t_g: the largest feasible total
+    N = min over groups of count_g / t_g; keep-rate_g = t_g * N /
+    count_g (≤ 1). Membership per row is then the usual deterministic
+    md5(salt+key) < rate_g — rerun/engine-stable, and exactly
+    reproducible in SQL given the same counts.
+
+    Scale: one partial-agg count pass over (group), a broadcast of the
+    |groups|-row rate table, then a scan-only filter. No shuffle of
+    the data itself.
+
+    ``targets`` maps group value → target share; shares are normalized
+    to sum 1. Groups absent from ``targets`` are dropped (rate 0).
+    """
+    if not targets:
+        raise ValueError("targets must be a non-empty mapping")
+    total_share = float(sum(targets.values()))
+    if total_share <= 0:
+        raise ValueError("target shares must sum to a positive value")
+    shares = {k: float(v) / total_share for k, v in targets.items()}
+    counts = {r["g"]: r["n"] for r in
+              df.groupBy(F.col(group_col).alias("g"))
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    feasible = [counts[g] / s for g, s in shares.items()
+                if s > 0 and g in counts]
+    if not feasible:
+        return df.filter(F.lit(False))
+    n_total = min(feasible)
+    rate = F.lit(0.0)
+    for g, s in shares.items():
+        if g in counts and counts[g] > 0:
+            rate = F.when(F.col(group_col) == g,
+                          F.lit(min(1.0, s * n_total / counts[g]))) \
+                .otherwise(rate)
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    return df.filter(_unit_hash(key) < rate)
+
+
+def token_budget_cap(df: DataFrame, key_col: str, group_col: str,
+                     tokens_col: str, budget: int,
+                     salt: str = "") -> DataFrame:
+    """Cap every group at a TOKEN budget instead of a row quota: rows
+    are taken in md5(salt+key) hash order (an unbiased uniform order,
+    uncorrelated with ingest) until the group's running token total
+    would exceed ``budget``. The "N billion tokens per source" knob of
+    a dataset recipe, deterministic like every sampler here.
+
+    A row is kept iff cumsum(tokens) UP TO AND INCLUDING it is ≤
+    budget: the hash-ordered stream is truncated at the budget
+    boundary and the first over-budget row is dropped whole (partial
+    documents are worthless for training). Truncation is strict prefix
+    — the cumulative sum is monotone, so nothing after the first
+    overflow is kept; a best-fit repack would trade determinism
+    complexity for at most one document's worth of tokens.
+
+    Scale: one hash-partitioned window shuffle on ``group_col`` (AQE
+    splits skewed groups); state per row is (group, hash, tokens).
+
+    Precondition (as quota_cap): ``key_col`` unique per group.
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    from pyspark.sql import Window
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    w = (Window.partitionBy(group_col)
+         .orderBy(_unit_hash(key), F.col(key_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = F.sum(F.col(tokens_col)).over(w)
+    return (df.withColumn("__run_tok__", run)
+            .filter(F.col("__run_tok__") <= budget).drop("__run_tok__"))
+
+
 def train_holdout_split(df: DataFrame, key_col: str,
                         holdout_fraction: float = 0.1,
                         salt: str = "split") -> tuple[DataFrame, DataFrame]:

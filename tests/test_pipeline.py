@@ -337,6 +337,72 @@ def test_quota_cap_determinism_and_bound(spark):
         quota_cap(df, "k", "g", 0)
 
 
+def test_mixture_sample_shares(spark):
+    from tablite_spark.pipeline.sampling import mixture_sample
+    rows = [(i, "a" if i % 4 else "b") for i in range(4000)]  # 3000 a / 1000 b
+    df = spark.createDataFrame(rows, "k long, g string")
+    # target 50/50: b (1000) is the binding group -> N=2000, keep all b,
+    # keep-rate 1/3 for a
+    out = mixture_sample(df, "k", "g", {"a": 0.5, "b": 0.5})
+    by_g = {r["g"]: r["n"] for r in
+            out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_g["b"] == 1000
+    assert 800 < by_g["a"] < 1200  # hash-sampled at ~1/3 of 3000
+    # unlisted groups are dropped
+    assert mixture_sample(df, "k", "g", {"a": 1.0}).filter(
+        F.col("g") == "b").count() == 0
+    # deterministic: identical subset on rerun over any partitioning
+    again = {r["k"] for r in
+             mixture_sample(df.repartition(7), "k", "g",
+                            {"a": 0.5, "b": 0.5}).collect()}
+    assert again == {r["k"] for r in out.collect()}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixture_sample(df, "k", "g", {})
+
+
+def test_token_budget_cap_semantics(spark):
+    from pyspark.sql import functions as SF
+
+    from tablite_spark.pipeline.sampling import token_budget_cap
+    df = spark.createDataFrame(
+        [(i, "g", 10) for i in range(100)], "k long, g string, tok int")
+    out = token_budget_cap(df, "k", "g", "tok", 55)
+    # 10-token rows, budget 55 -> exactly 5 rows fit
+    assert out.count() == 5
+    # deterministic under repartition
+    again = {r["k"] for r in
+             token_budget_cap(df.repartition(9), "k", "g", "tok", 55).collect()}
+    assert again == {r["k"] for r in out.collect()}
+    # strict prefix truncation: the first over-budget row is dropped
+    # whole, and nothing after it survives (cumsum is monotone)
+    from tablite_spark.pipeline.sampling import _unit_hash
+    probe = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    hash_order = [r["k"] for r in
+                  probe.orderBy(_unit_hash(SF.col("k").cast("string")))
+                  .collect()]
+    remap = dict(zip(hash_order, (4, 100, 5)))
+    crafted = spark.createDataFrame(
+        [(k, "g", v) for k, v in remap.items()], "k long, g string, tok int")
+    kept = {r["k"] for r in
+            token_budget_cap(crafted, "k", "g", "tok", 9).collect()}
+    assert kept == {hash_order[0]}  # 4 fits; 100 busts; 5 is past the cut
+
+
+def test_incremental_dedup(spark):
+    from tablite_spark.pipeline.dedup import incremental_dedup
+    seen = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha"),            # re-crawl of seen -> dropped
+         (11, "gamma"), (12, "gamma"),  # fresh dup pair -> min id kept
+         (13, "delta")],           # fresh singleton -> kept
+        "id long, text string")
+    kept = sorted(r["id"] for r in
+                  incremental_dedup(new, seen, "text", "id").collect())
+    assert kept == [11, 13]
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest as _pytest
     from tablite_spark.pipeline.dedup import connected_components
