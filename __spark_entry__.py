@@ -1228,6 +1228,23 @@ def quota_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"))
 
 
+def unicode_sort_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """UCA-collated sort (operators/sorting.py:sort collation=...):
+    nation names gain accented prefixes, then rank under the ICU 'de'
+    collation — Spark's JVM-side ICU collator against DuckDB's ICU
+    'de' collation (both implement the Unicode Collation Algorithm the
+    reference reaches through pyUCA, sort_utils.py:222-264). The rank
+    column materializes the order so the order-insensitive driver
+    compare still proves the collation agrees."""
+    n = _t(spark, sf, "nation")
+    pfx = (F.when(F.col("n_nationkey") % 3 == 0, F.lit("Ä"))
+           .when(F.col("n_nationkey") % 3 == 1, F.lit("é"))
+           .otherwise(F.lit("a")))
+    named = n.select(F.concat(pfx, F.col("n_name")).alias("accented"))
+    w = W.orderBy(F.collate(F.col("accented"), "de"))
+    return named.select("accented", F.row_number().over(w).alias("rnk"))
+
+
 def mixture_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Mixture rebalancing (pipeline/sampling.py:mixture_sample): the
     corpus is down-sampled so language shares hit en/de/fr/es =
@@ -1460,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": mixture_sample_docs,
         "token_budget_docs": token_budget_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
+        "unicode_sort_rank": unicode_sort_rank,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
@@ -2545,6 +2563,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
                    COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM u GROUP BY 1
+        """,
+        "unicode_sort_rank": """
+            WITH named AS (
+                SELECT (CASE WHEN n_nationkey % 3 = 0 THEN 'Ä'
+                             WHEN n_nationkey % 3 = 1 THEN 'é'
+                             ELSE 'a' END) || n_name AS accented
+                FROM nation
+            )
+            SELECT accented,
+                   CAST(ROW_NUMBER() OVER (ORDER BY accented COLLATE de)
+                        AS INT) AS rnk
+            FROM named
         """,
         "mixture_sample_docs": """
             WITH counts AS (

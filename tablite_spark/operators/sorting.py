@@ -75,7 +75,8 @@ def detect_mixed_columns(df: DataFrame, cols: list[str]) -> set[str]:
 
 
 def sort(df: DataFrame, mapping: dict[str, bool], sort_mode: str = "excel",
-         mixed_columns: set[str] | None = None) -> DataFrame:
+         mixed_columns: set[str] | None = None,
+         collation: str | None = None) -> DataFrame:
     """``Table.sort({col: reverse, ...}, sort_mode)``
     (tablite/core.py:406-432).
 
@@ -85,16 +86,36 @@ def sort(df: DataFrame, mapping: dict[str, bool], sort_mode: str = "excel",
     cross-type struct key; ``None`` (default) auto-detects them via
     :func:`detect_mixed_columns` (one probe agg over the string sort
     columns — pass an explicit ``set()`` to skip the probe).
+
+    ``collation``: an ICU collation name (``"UNICODE"``,
+    ``"UNICODE_CI_AI"``, or a locale like ``"de"``) applied to string
+    sort keys. ``"UNICODE"`` is the Unicode Collation Algorithm root
+    order — the same ordering family the reference gets from pyUCA
+    (tablite/sort_utils.py:222-264) — but evaluated by Spark's
+    JVM-side ICU collator, so the sort stays codegen'd instead of
+    detouring through a Python UDF per comparison. Default ``None``
+    keeps binary UTF-8 order.
     """
     if sort_mode not in SORT_MODES:
         raise ValueError(f"sort_mode {sort_mode!r} not in {SORT_MODES}")
     if mixed_columns is None and sort_mode != "alphanumeric":
         mixed_columns = detect_mixed_columns(df, list(mapping))
     mixed_columns = mixed_columns or set()
+    dtypes = dict(df.dtypes)
+
+    def _collated(k: Column, name: str | None) -> Column:
+        if collation and (name is None or dtypes.get(name) == "string"):
+            return F.collate(k, collation)
+        return k
+
     order = []
     for col, reverse in mapping.items():
-        keys = (_mixed_sort_key(col, sort_mode)
-                if col in mixed_columns else [F.col(col)])
+        if col in mixed_columns:
+            keys = _mixed_sort_key(col, sort_mode)
+            # the text component of the struct key is the last element
+            keys = keys[:-1] + [_collated(keys[-1], None)]
+        else:
+            keys = [_collated(F.col(col), col)]
         for k in keys:
             if reverse:
                 order.append(k.desc_nulls_first() if sort_mode == "excel"

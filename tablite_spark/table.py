@@ -381,14 +381,15 @@ class Table:
 
     # ---------------------------------------------------------- sort
     def sort(self, mapping: dict[str, bool], sort_mode: str = "excel",
-             mixed_columns=None) -> "Table":
-        return Table(_sorting.sort(self.df, mapping, sort_mode, mixed_columns))
+             mixed_columns=None, collation: str | None = None) -> "Table":
+        return Table(_sorting.sort(self.df, mapping, sort_mode,
+                                   mixed_columns, collation=collation))
 
     def sorted(self, mapping: dict[str, bool], sort_mode: str = "excel",
-               mixed_columns=None) -> "Table":
+               mixed_columns=None, collation: str | None = None) -> "Table":
         """Reference alias (tablite/core.py:425-432): sort returning a
         new table — identical here, where sort never mutates."""
-        return self.sort(mapping, sort_mode, mixed_columns)
+        return self.sort(mapping, sort_mode, mixed_columns, collation)
 
     def sort_index(self, mapping: dict[str, bool],
                    sort_mode: str = "excel") -> "Table":

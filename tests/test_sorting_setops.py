@@ -140,6 +140,26 @@ def test_slice_rows_indexed_parity(spark, start, stop, step):
         assert sorted(got) == sorted(v * 10 for v in expect)
 
 
+def test_sort_unicode_collation(spark):
+    """collation='UNICODE' orders by the UCA root collation (ICU,
+    JVM-side) instead of binary UTF-8 — accents/case interleave the
+    way pyUCA orders them in the reference."""
+    from tablite_spark.operators.sorting import sort
+    df = spark.createDataFrame(
+        [("Zebra",), ("apple",), ("Äpfel",), ("éclair",), ("eclair",)],
+        "s string")
+    uca = [r["s"] for r in sort(df, {"s": False},
+                                collation="UNICODE").collect()]
+    assert uca == ["Äpfel", "apple", "eclair", "éclair", "Zebra"]
+    binary = [r["s"] for r in sort(df, {"s": False}).collect()]
+    assert binary == ["Zebra", "apple", "eclair", "Äpfel", "éclair"]
+    # non-string keys pass through untouched (collation applies only
+    # to string sort keys)
+    mixed = spark.createDataFrame([(2, "b"), (1, "a")], "k int, s string")
+    assert [r["k"] for r in sort(mixed, {"k": False},
+                                 collation="UNICODE").collect()] == [1, 2]
+
+
 def test_with_row_index_order(spark):
     df = spark.createDataFrame([(i,) for i in range(50)], "x int")
     out = with_row_index(df, "rid", order_by=["x"]).collect()
