@@ -1228,6 +1228,21 @@ def quota_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("doc_id").alias("id_sum"))
 
 
+def normalize_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical text normalization (pipeline/text.py:normalize_text):
+    every doc gains a DECOMPOSED-form prefix ('Cafe' + combining acute
+    U+0301 + ragged spaces); NFC + lowercase + whitespace collapse must
+    fold it to 'café ' exactly. The md5 of the normalized text proves
+    byte-exact agreement with DuckDB's nfc_normalize pipeline."""
+    from tablite_spark.pipeline.text import normalize_text
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(F.lit("Cafe\u0301   "), F.col("text")).alias("text"))
+    out = normalize_text(aug, "text")
+    return out.select("doc_id", F.md5("text_norm").alias("norm_md5"))
+
+
 def unicode_sort_rank(spark: SparkSession, sf: str) -> DataFrame:
     """UCA-collated sort (operators/sorting.py:sort collation=...):
     nation names gain accented prefixes, then rank under the ICU 'de'
@@ -1478,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_docs": token_budget_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
         "unicode_sort_rank": unicode_sort_rank,
+        "normalize_docs": normalize_docs,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
@@ -2563,6 +2579,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
                    COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM u GROUP BY 1
+        """,
+        "normalize_docs": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(
+                       lower(nfc_normalize('Cafe' || chr(769) || '   ' || text)),
+                       '\\s+', ' ', 'g'))) AS norm_md5
+            FROM documents
         """,
         "unicode_sort_rank": """
             WITH named AS (

@@ -9,6 +9,7 @@ one narrow scan.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -107,6 +108,42 @@ PII_PATTERNS = {
     "url": r"https?://[^\s]+",
     "phone": r"\+?\d[\d\-\s]{7,}\d",
 }
+
+
+def normalize_text(df: DataFrame, text_col: str, out_col: str = "text_norm",
+                   form: str = "NFC", lower: bool = True,
+                   collapse_ws: bool = True,
+                   strip_accents: bool = False) -> DataFrame:
+    """Canonical text normalization — the first stage of every dedup /
+    fingerprint pipeline (byte-different but canonically-equal texts
+    must hash identically): Unicode normalization (NFC/NFKC/NFD/NFKD),
+    optional casefold, whitespace collapse, optional accent stripping.
+
+    Unicode normalization has no JVM builtin, so it runs as ONE
+    Arrow-batched pandas UDF (``Series.str.normalize`` — vectorized,
+    no per-row Python); the case/whitespace steps stay JVM-side
+    expressions. Accent stripping = NFD + drop combining marks
+    (U+0300–U+036F), applied inside the same UDF batch.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: "pd.Series") -> "pd.Series":
+        out = s.str.normalize(form)
+        if strip_accents:
+            out = (out.str.normalize("NFD")
+                   .str.replace("[\u0300-\u036f]", "", regex=True)
+                   .str.normalize(form))
+        return out
+
+    c = _norm(F.col(text_col))
+    if lower:
+        c = F.lower(c)
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
 
 
 def redact_pii(df: DataFrame, text_col: str,

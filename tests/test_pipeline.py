@@ -389,6 +389,27 @@ def test_token_budget_cap_semantics(spark):
     assert kept == {hash_order[0]}  # 4 fits; 100 busts; 5 is past the cut
 
 
+def test_normalize_text(spark):
+    from tablite_spark.pipeline.text import normalize_text
+    df = spark.createDataFrame(
+        [(1, "Cafe\u0301  \t X"),   # decomposed accent + ragged ws
+         (2, "café x")],        # precomposed, already canonical
+        "id int, text string")
+    out = {r["id"]: r["text_norm"]
+           for r in normalize_text(df, "text").collect()}
+    assert out[1] == "café x"
+    assert out[1] == out[2]  # canonically-equal texts now hash-equal
+    stripped = {r["id"]: r["text_norm"] for r in
+                normalize_text(df, "text", strip_accents=True).collect()}
+    assert stripped[1] == "cafe x"
+    # NFKC folds compatibility chars (ﬁ ligature -> fi)
+    lig = spark.createDataFrame([(1, "ﬁn")], "id int, text string")
+    assert normalize_text(lig, "text", form="NFKC").first()["text_norm"] == "fin"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        normalize_text(df, "text", form="NFX")
+
+
 def test_incremental_dedup(spark):
     from tablite_spark.pipeline.dedup import incremental_dedup
     seen = spark.createDataFrame(
