@@ -159,6 +159,11 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         payload = _json.dumps(
             {"columns": {c: _col(cols_pdf[c]) for c in cols_pdf.columns}})
         del cols_pdf
+        # warm the Arrow createDataFrame path (first call pays JVM
+        # class-loading) so the timing measures the decode, like every
+        # other steady-state entry here
+        read_json_columnar(spark, '{"columns": {"a": [1, 2]}}') \
+            .write.format("noop").mode("overwrite").save()
         t0 = time.perf_counter()
         read_json_columnar(spark, payload).write.format("noop") \
             .mode("overwrite").save()
