@@ -1350,6 +1350,28 @@ def range_join_prices(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
 
 
+def interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of streaming/ops.py:stream_interval_join (the
+    dual-watermark stream-stream join): each error event pairs with
+    the same user's clicks at most one hour before it. Runs through
+    the binned range_join (operators/joins.py:264) — clicks become
+    [ts, ts+1h] validity intervals, errors hash to time bins, equi
+    join + exact containment. Oracled against DuckDB's BETWEEN join."""
+    from tablite_spark.operators.joins import range_join
+    e = _t(spark, sf, "events")
+    errors = (e.filter(F.col("event_type") == "error")
+              .select(F.col("event_id").alias("err_id"), "user_id",
+                      F.unix_timestamp("ts").cast("double").alias("err_ts")))
+    clicks = (e.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.unix_timestamp("ts").cast("double").alias("lo"),
+                      (F.unix_timestamp("ts") + 3600).cast("double").alias("hi")))
+    out = range_join(errors, clicks, "err_ts", "lo", "hi", by=["user_id"])
+    return (out.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.col("err_id") + F.col("click_id")).alias("pair_sum")))
+
+
 def redact_pii_docs(spark: SparkSession, sf: str) -> DataFrame:
     """PII scrub (emails/URLs/phones → [KIND] tokens). The corpus text
     is synthetic prose, so PII spans are planted deterministically from
@@ -1494,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": incremental_dedup_docs,
         "unicode_sort_rank": unicode_sort_rank,
         "normalize_docs": normalize_docs,
+        "interval_join_events": interval_join_events,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
@@ -2579,6 +2602,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
                    COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM u GROUP BY 1
+        """,
+        "interval_join_events": """
+            SELECT e.user_id, COUNT(*) AS n_pairs,
+                   CAST(SUM(e.event_id + c.event_id) AS BIGINT) AS pair_sum
+            FROM events e JOIN events c
+              ON e.user_id = c.user_id
+             AND e.event_type = 'error' AND c.event_type = 'click'
+             AND epoch(e.ts) >= epoch(c.ts)
+             AND epoch(e.ts) <= epoch(c.ts) + 3600
+            GROUP BY e.user_id
         """,
         "normalize_docs": """
             SELECT doc_id,
