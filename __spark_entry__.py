@@ -1350,6 +1350,22 @@ def range_join_prices(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
 
 
+def canonical_urls_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (pipeline/text.py:canonicalize_urls):
+    deterministically messy URLs (uppercase scheme/host, default port,
+    utm/fbclid params, fragment, trailing slash) built from doc_id
+    must canonicalize byte-identically in both engines."""
+    from tablite_spark.pipeline.text import canonicalize_urls
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("HTTPS://Example"), (F.col("doc_id") % 7).cast("string"),
+                   F.lit(".COM:443/Path/"), did,
+                   F.lit("/?utm_source=x&id="), did,
+                   F.lit("&utm_campaign=y&fbclid=abc#frag"))
+    aug = d.select("doc_id", url.alias("url"))
+    return canonicalize_urls(aug, "url").select("doc_id", "url_canon")
+
+
 def interval_join_events(spark: SparkSession, sf: str) -> DataFrame:
     """Batch twin of streaming/ops.py:stream_interval_join (the
     dual-watermark stream-stream join): each error event pairs with
@@ -1517,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_sort_rank": unicode_sort_rank,
         "normalize_docs": normalize_docs,
         "interval_join_events": interval_join_events,
+        "canonical_urls_docs": canonical_urls_docs,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
@@ -2602,6 +2619,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
                    COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM u GROUP BY 1
+        """,
+        "canonical_urls_docs": """
+            WITH raw AS (
+                SELECT doc_id,
+                       'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
+                       || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
+                       || '&utm_campaign=y&fbclid=abc#frag' AS url
+                FROM documents
+            ), s1 AS (
+                SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+            ), s2 AS (
+                SELECT doc_id,
+                       lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
+                       || regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', '') AS u
+                FROM s1
+            ), s3 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(u,
+                           '^(http://[^/?#:]*):80(/|\\?|$)', '\\1\\2'),
+                           '^(https://[^/?#:]*):443(/|\\?|$)', '\\1\\2') AS u
+                FROM s2
+            ), s4 AS (
+                SELECT doc_id,
+                       regexp_replace(u,
+                           '(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*&?',
+                           '', 'g') AS u
+                FROM s3
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(u,
+                       '[?&]+$', ''), '\\?&', '?'), '/+$', '') AS url_canon
+            FROM s4
         """,
         "interval_join_events": """
             SELECT e.user_id, COUNT(*) AS n_pairs,

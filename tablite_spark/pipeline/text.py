@@ -110,6 +110,38 @@ PII_PATTERNS = {
 }
 
 
+TRACKING_PARAMS = r"utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid"
+
+
+def canonicalize_urls(df: DataFrame, url_col: str,
+                      out_col: str = "url_canon") -> DataFrame:
+    """URL canonicalization for web-corpus dedup: byte-different URLs
+    that address the same resource must compare equal before URL-level
+    dedup or domain statistics.
+
+    Steps (all RE2-safe chained expressions — one scan, codegen'd,
+    reproducible by any RE2-class engine):
+      1. strip the fragment (``#…``)
+      2. lowercase scheme+authority ONLY (path/query stay case-exact)
+      3. drop default ports (``:80`` for http, ``:443`` for https)
+      4. remove tracking parameters (utm_*, fbclid, gclid, …)
+      5. clean dangling ``?``/``&`` and collapse ``?&`` → ``?``
+      6. strip trailing slashes from the path
+    """
+    c = F.col(url_col)
+    c = F.regexp_replace(c, r"#.*$", "")
+    head = F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    c = F.concat(F.lower(head), rest)
+    c = F.regexp_replace(c, r"^(http://[^/?#:]*):80(/|\?|$)", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/?#:]*):443(/|\?|$)", r"$1$2")
+    c = F.regexp_replace(c, rf"({TRACKING_PARAMS})=[^&#]*&?", "")
+    c = F.regexp_replace(c, r"[?&]+$", "")
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"/+$", "")
+    return df.withColumn(out_col, c)
+
+
 def normalize_text(df: DataFrame, text_col: str, out_col: str = "text_norm",
                    form: str = "NFC", lower: bool = True,
                    collapse_ws: bool = True,

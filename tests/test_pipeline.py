@@ -389,6 +389,24 @@ def test_token_budget_cap_semantics(spark):
     assert kept == {hash_order[0]}  # 4 fits; 100 busts; 5 is past the cut
 
 
+def test_canonicalize_urls(spark):
+    from tablite_spark.pipeline.text import canonicalize_urls
+    cases = [
+        (1, "HTTPS://Ex.COM:443/A/b/?utm_source=x&id=7&fbclid=z#f",
+            "https://ex.com/A/b/?id=7"),
+        (2, "http://EX.com:80/",            "http://ex.com"),
+        (3, "http://ex.com/p?utm_a=1",      "http://ex.com/p"),
+        (4, "https://ex.com/CaseKept/Path", "https://ex.com/CaseKept/Path"),
+        (5, "https://ex.com:8443/x",        "https://ex.com:8443/x"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases],
+                               "id int, url string")
+    got = {r["id"]: r["url_canon"]
+           for r in canonicalize_urls(df, "url").collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_normalize_text(spark):
     from tablite_spark.pipeline.text import normalize_text
     df = spark.createDataFrame(
