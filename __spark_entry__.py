@@ -795,6 +795,72 @@ def xlsx_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("n_name").alias("first_name")))
 
 
+def table_equality_check(spark: SparkSession, sf: str) -> DataFrame:
+    """Table ``==`` semantics (table.py:__eq__ →
+    setops.frames_equal): a copy must equal its source, a
+    value-perturbed twin must not, column order must not matter.
+    Hard-assertion oracle — the expected booleans are constants."""
+    from tablite_spark.table import Table
+    n = Table(_t(spark, sf, "nation"))
+    same = n == n.copy()
+    reordered = n == Table(n.df.select(*reversed(n.df.columns)))
+    perturbed = n == Table(
+        n.df.withColumn("n_nationkey", F.col("n_nationkey") + 1))
+    return spark.createDataFrame(
+        [("same", bool(same)), ("reordered", bool(reordered)),
+         ("perturbed", bool(perturbed))], "check string, eq boolean")
+
+
+def rename_reorder_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Rename / reorder / delete column surface (table.py:rename,
+    __getitem__ column projection, withColumnsRenamed pass-through) —
+    oracled as the equivalent SELECT-with-aliases."""
+    from tablite_spark.table import Table
+    t = Table(_t(spark, sf, "nation"))
+    t = t.rename({"n_name": "nation_name", "n_regionkey": "region_id"})
+    t = Table(t.df.select("region_id", "nation_name", "n_nationkey"))
+    t = Table(t.df.drop("n_nationkey"))
+    return t.df.groupBy("region_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("nation_name").alias("first_name"))
+
+
+def ods_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E OpenDocument writer→reader proof (stdlib zip+XML,
+    tablite/import_utils.py OpenDocument analogue): export nation,
+    re-read via from_file, aggregate against the parquet source."""
+    import tempfile
+
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.ods import to_ods
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="ods_rt_")
+    path = f"{tmp}/nation.ods"
+    to_ods(n, path)
+    back = from_file(spark, path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.min("n_name").alias("first_name")))
+
+
+def html_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E HTML writer→reader proof (stdlib html.parser scrape +
+    type re-guess; tablite/export_utils.py:108-136 analogue)."""
+    import tempfile
+
+    from tablite_spark.sources.io import read_html, to_html
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="html_rt_")
+    path = f"{tmp}/nation.html"
+    to_html(n, path)
+    back = read_html(spark, path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.min("n_name").alias("first_name")))
+
+
 def q6_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q6-style filter+agg: every predicate must reach the parquet
     scan as PushedFilters (plan-asserted in tests/test_plans.py)."""
@@ -1534,6 +1600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_docs": normalize_docs,
         "interval_join_events": interval_join_events,
         "canonical_urls_docs": canonical_urls_docs,
+        "ods_roundtrip_agg": ods_roundtrip_agg,
+        "html_roundtrip_agg": html_roundtrip_agg,
+        "table_equality_check": table_equality_check,
+        "rename_reorder_project": rename_reorder_project,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
@@ -2053,6 +2123,28 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         "xlsx_roundtrip_agg": """
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "table_equality_check": """
+            SELECT 'same' AS check, TRUE AS eq
+            UNION ALL SELECT 'reordered', TRUE
+            UNION ALL SELECT 'perturbed', FALSE
+        """,
+        "rename_reorder_project": """
+            SELECT n_regionkey AS region_id, COUNT(*) AS n,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "ods_roundtrip_agg": """
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "html_roundtrip_agg": """
             SELECT n_regionkey, COUNT(*) AS n,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name

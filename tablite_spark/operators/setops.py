@@ -128,11 +128,13 @@ def table_diff_lcs(a: DataFrame, b: DataFrame,
 
 def frames_equal(a: DataFrame, b: DataFrame) -> bool:
     """``t1 == t2`` — multiset content equality (tablite/base.py:1320-1344).
-    Reference compares column-by-column in order; here: same columns,
-    same row multiset (order-insensitive, which is the only stable
-    notion on a distributed frame)."""
-    if a.columns != b.columns:
+    The reference compares ``columns.keys()`` as a SET and looks
+    columns up by name (order-insensitive), so a column-reordered
+    table is equal; rows compare as a multiset (the only stable notion
+    on a distributed frame)."""
+    if set(a.columns) != set(b.columns):
         return False
+    b = b.select(*a.columns)  # align column order before schema/row compare
     if a.schema != b.schema:
         return False
     return a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
