@@ -795,6 +795,50 @@ def xlsx_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("n_name").alias("first_name")))
 
 
+def sql_script_md5(spark: SparkSession, sf: str) -> DataFrame:
+    """SQL script writer (sources/io.py:to_sql_script, the reference's
+    export_utils.py:12-48 ANSI-92 CREATE+INSERT export): the script
+    for key-ordered region must match, byte for byte, the script DuckDB
+    assembles from the same rows (md5 + line count)."""
+    from tablite_spark.sources.io import to_sql_script
+    import hashlib
+    r = _t(spark, sf, "region").orderBy("r_regionkey")
+    script = to_sql_script(r, "region_x")
+    h = hashlib.md5(script.encode()).hexdigest()
+    return spark.createDataFrame(
+        [(h, script.count("\n") + 1)], "script_md5 string, n_lines long")
+
+
+def get_headers_nation(spark: SparkSession, sf: str) -> DataFrame:
+    """get_headers file peek (sources/io.py:get_headers, the
+    reference's tools.py:32-36): header names of a written CSV, as
+    (position, column_name) rows — pinned by a hard-assertion oracle."""
+    import tempfile
+
+    from tablite_spark.sources.io import get_headers, to_csv
+    n = _t(spark, sf, "nation")
+    tmp = tempfile.mkdtemp(prefix="hdr_")
+    path = f"{tmp}/nation.csv"
+    to_csv(n, path)
+    headers = get_headers(spark, path, linecount=2)[0]
+    return spark.createDataFrame(
+        list(enumerate(headers)), "pos long, name string")
+
+
+def construction_api_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Table construction surface (table.py:add_columns/add_column/
+    add_rows/clear): build a frame from nothing via the facade, append
+    literal rows, aggregate. The oracle recomputes from VALUES."""
+    from tablite_spark.table import Table
+    t = Table(spark.createDataFrame([], "k int, v string"))
+    t = t.add_rows((1, "a"), (2, "b"), {"k": 3, "v": "a"})
+    t = t.add_column("w", F.col("k") * 10)
+    return t.df.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("k_sum"),
+        F.sum("w").alias("w_sum"))
+
+
 def table_equality_check(spark: SparkSession, sf: str) -> DataFrame:
     """Table ``==`` semantics (table.py:__eq__ →
     setops.frames_equal): a copy must equal its source, a
@@ -1604,6 +1648,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
         "rename_reorder_project": rename_reorder_project,
+        "sql_script_md5": sql_script_md5,
+        "get_headers_nation": get_headers_nation,
+        "construction_api_agg": construction_api_agg,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
         "join_inner": join_inner,
@@ -2127,6 +2174,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
+        """,
+        "sql_script_md5": """
+            SELECT md5('CREATE TABLE region_x (r_regionkey INTEGER, r_name TEXT);'
+                       || chr(10) ||
+                       string_agg('INSERT INTO region_x VALUES ('
+                                  || CAST(r_regionkey AS VARCHAR) || ', '''
+                                  || replace(r_name, '''', '''''') || ''');',
+                                  chr(10) ORDER BY r_regionkey)) AS script_md5,
+                   CAST(COUNT(*) + 1 AS BIGINT) AS n_lines
+            FROM region
+        """,
+        "get_headers_nation": """
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'n_nationkey'),
+                (CAST(1 AS BIGINT), 'n_name'),
+                (CAST(2 AS BIGINT), 'n_regionkey')) AS t(pos, name)
+        """,
+        "construction_api_agg": """
+            WITH t(k, v) AS (VALUES (1, 'a'), (2, 'b'), (3, 'a'))
+            SELECT v, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS k_sum,
+                   CAST(SUM(k * 10) AS BIGINT) AS w_sum
+            FROM t GROUP BY v
         """,
         "table_equality_check": """
             SELECT 'same' AS check, TRUE AS eq
