@@ -155,3 +155,44 @@ def test_partitioned_save_prunes_partitions(spark, tmp_path, qs):
     assert "PartitionFilters" in s
     assert "l_returnflag" in s.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert back.count() > 0
+
+
+def test_indexed_slice_pushes_in_filter(spark, tmp_path):
+    """slice_rows(index_col=...) must push the hit positions INTO the
+    parquet scan (In filter → row-group/page pruning, O(hits) IO) and
+    plan no Exchange at all."""
+    from tablite_spark.operators.sorting import slice_rows, with_row_index
+    from tablite_spark.plans.audit import _formatted
+    path = str(tmp_path / "idx")
+    with_row_index(spark.range(100_000).select(
+        F.col("id").alias("x"))).write.parquet(path)
+    back = spark.read.parquet(path)
+    out = slice_rows(back, None, None, 10_000, index_col="__row_id__")
+    s = _formatted(out)
+    assert "In(__row_id__" in s.split("PushedFilters", 1)[1].split("]", 1)[0]
+    assert shuffle_count(out) == 0
+    assert out.count() == 10
+
+
+def test_contamination_broadcasts_probe_postings(spark):
+    """The probe-side postings must broadcast so the corpus postings
+    never shuffle (join strategy, not SortMergeJoin)."""
+    from tablite_spark.pipeline.text import contamination_check
+    from tablite_spark.plans.audit import _formatted
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    probes = docs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    out = contamination_check(docs, probes, "text", "doc_id",
+                              "ptext", "pid", n=8)
+    s = _formatted(out)
+    assert "BroadcastHashJoin" in s
+    assert broadcast_join_count(out) >= 1
+
+
+def test_mixture_sample_scan_only(spark):
+    """mixture_sample's output plan is a scan + filter — the rate table
+    folds into the predicate, no shuffle of the data."""
+    from tablite_spark.pipeline.sampling import mixture_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = mixture_sample(docs, "doc_id", "lang", {"en": 0.5, "de": 0.5})
+    assert shuffle_count(out) == 0
