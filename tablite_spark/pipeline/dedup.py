@@ -77,13 +77,20 @@ def shingle_minhash(df: DataFrame, text_col: str, id_col: str,
         id_col, F.xxhash64(*[F.col(f"__w__.t{i}") for i in range(k)]).alias("__h__"))
 
     # deterministic permutation constants (seeded, not random at runtime).
-    # Arithmetic stays in LONGs (decimal math is ~30x slower in codegen):
-    # fold the 64-bit hash to 32 bits, draw a,b < 2^31 — then
-    # a*x + b < 2^63 never overflows a signed long.
-    MOD = (1 << 61) - 1
+    # The field modulus MUST match the folded-hash domain: h_i(x) =
+    # (a*x + b) mod M is only a (pairwise-independent) permutation when
+    # x, a, b all live in Z_M. With a larger modulus (an earlier
+    # version used 2^61-1 against 31-bit x) the product almost never
+    # wraps, h_i becomes near-monotone in x, every permutation's min
+    # collapses onto the globally smallest x, and token-disjoint docs
+    # with a shared small element read as near-dups (caught by a
+    # 200k-doc scale test: 260 false pairs at est_jaccard up to 0.96).
+    # M = 2^31 - 1 (Mersenne prime): a*x + b < 2^62 still fits a signed
+    # long, and the min-hash estimator is unbiased.
+    MOD = (1 << 31) - 1
     import random
     rnd = random.Random(42)
-    perms = [(rnd.randrange(1, 1 << 31), rnd.randrange(0, 1 << 31))
+    perms = [(rnd.randrange(1, MOD), rnd.randrange(0, MOD))
              for _ in range(num_perm)]
     # project the folded 32-bit x ONCE (num_perm copies of the fold
     # would blow up the expression tree)

@@ -389,6 +389,28 @@ def test_token_budget_cap_semantics(spark):
     assert kept == {hash_order[0]}  # 4 fits; 100 busts; 5 is past the cut
 
 
+def test_minhash_minwise_independence_at_scale(spark):
+    """Regression gate for the permutation-field bug: with a modulus
+    far larger than the folded-hash domain, h_i(x) = a*x+b barely
+    wraps, every permutation's min collapses onto the smallest folded
+    hash, and token-disjoint docs that share one small element read as
+    near-dups (260 false pairs / 200k docs before the fix). Post-fix
+    (M = 2^31-1 matching the fold domain) a 60k-doc corpus with 5%
+    planted exact dups must dedup EXACTLY the planted ones."""
+    from tablite_spark.pipeline.dedup import minhash_dedup
+    n_docs = 60_000
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    src = F.when((F.col("doc_id") % 20 == 0) & (F.col("doc_id") > 0),
+                 F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(60)),
+        lambda j: F.concat(F.lit("t"), (src * 1000 + j).cast("string"))))
+    corpus = base.select("doc_id", text.alias("text"))
+    survivors = minhash_dedup(corpus, "text", "doc_id", threshold=0.5).count()
+    planted = (n_docs - 1) // 20
+    assert survivors == n_docs - planted
+
+
 def test_canonicalize_urls(spark):
     from tablite_spark.pipeline.text import canonicalize_urls
     cases = [
