@@ -31,12 +31,23 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
             .filter(F.col("__rn__") == 1).drop("__rn__"))
 
 
+def _content_hash_cols(text_col: str) -> list:
+    """128-bit content identity: two independently-seeded xxhash64
+    halves (the extra literal perturbs the seed chain). One 64-bit
+    hash is NOT enough at corpus scale — ~10^11 documents give a
+    birthday expectation of hundreds of silent false merges at 2^64;
+    squaring the domain makes collisions astronomically unlikely while
+    the shuffle key stays 16 bytes."""
+    return [F.xxhash64(F.col(text_col)).alias("__h1__"),
+            F.xxhash64(F.col(text_col), F.lit(0x9E3779B9)).alias("__h2__")]
+
+
 def content_hash_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Exact dedup via 64-bit content hash — at scale, shuffle the
+    """Exact dedup via 128-bit content hash — at scale, shuffle the
     (hash, id) projection instead of raw documents, then semi-join the
     winners back. Two narrow shuffles, no wide rows in flight."""
-    h = df.select(F.xxhash64(F.col(text_col)).alias("__h__"), F.col(id_col))
-    winners = h.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+    h = df.select(*_content_hash_cols(text_col), F.col(id_col))
+    winners = h.groupBy("__h1__", "__h2__").agg(F.min(id_col).alias(id_col))
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
@@ -327,16 +338,16 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     the survivors within the batch (keep min id).
 
     Scale: both sides reduce to (hash) / (hash, id) projections before
-    any join — the anti-join and the in-batch groupBy shuffle 8-byte
-    hashes, never document payloads; at 100 TB ``seen_df`` is itself
-    just the hash column of the corpus manifest, not the corpus.
+    any join — the anti-join and the in-batch groupBy shuffle 16-byte
+    128-bit content hashes (see ``_content_hash_cols``), never document
+    payloads; at 100 TB ``seen_df`` is itself just the hash columns of
+    the corpus manifest, not the corpus.
     """
-    seen_h = seen_df.select(F.xxhash64(F.col(text_col)).alias("__h__")) \
-                    .distinct()
-    new_h = new_df.select(F.col(id_col),
-                          F.xxhash64(F.col(text_col)).alias("__h__"))
-    fresh = new_h.join(seen_h, "__h__", "left_anti")
-    winners = fresh.groupBy("__h__").agg(F.min(id_col).alias(id_col))
+    seen_h = seen_df.select(*_content_hash_cols(text_col)).distinct()
+    new_h = new_df.select(F.col(id_col), *_content_hash_cols(text_col))
+    fresh = new_h.join(seen_h, ["__h1__", "__h2__"], "left_anti")
+    winners = fresh.groupBy("__h1__", "__h2__") \
+                   .agg(F.min(id_col).alias(id_col))
     return new_df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
