@@ -1460,6 +1460,41 @@ def range_join_prices(spark: SparkSession, sf: str) -> DataFrame:
                  F.sum(F.col("l_orderkey") + F.col("l_linenumber")).alias("key_sum")))
 
 
+def png_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode (pipeline/png.py stdlib PNG codec +
+    multimodal.decode_images): each doc gets a genuine PNG whose
+    dimensions derive from doc_id; the decoded IHDR dimensions and the
+    true mean-red feature must match the arithmetic oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
+    from tablite_spark.pipeline.png import png_encode
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                w, h = 8 + int(did) % 5, 6 + int(did) % 3
+                # red channel 0 or 255 -> mean_red is exactly 0.0/1.0
+                # in float32, no rounding-boundary ambiguity vs the
+                # double-precision oracle
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = 255 * (int(did) % 2)
+                raws.append(png_encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    imgs = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(imgs, "raw", "image/png").drop("raw")
+    dims = decode_images(media)
+    feats = extract_image_features(media, dim=4).select(
+        "doc_id", F.element_at("features", 1).cast("double").alias("mean_red"))
+    return dims.select("doc_id", "width", "height").join(feats, "doc_id")
+
+
 def canonical_urls_docs(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (pipeline/text.py:canonicalize_urls):
     deterministically messy URLs (uppercase scheme/host, default port,
@@ -1644,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_docs": normalize_docs,
         "interval_join_events": interval_join_events,
         "canonical_urls_docs": canonical_urls_docs,
+        "png_decode_dims": png_decode_dims,
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
@@ -2780,6 +2816,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
                    COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM u GROUP BY 1
+        """,
+        "png_decode_dims": """
+            SELECT doc_id,
+                   CAST(8 + doc_id % 5 AS INT) AS width,
+                   CAST(6 + doc_id % 3 AS INT) AS height,
+                   CAST(doc_id % 2 AS DOUBLE) AS mean_red
+            FROM documents
         """,
         "canonical_urls_docs": """
             WITH raw AS (

@@ -41,21 +41,36 @@ def attach_media(df: DataFrame, data_col: str, mime: str) -> DataFrame:
     ))
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def _fake_decode_image(data: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for an image decoder (no PIL in this
-    container): derives a fake (width, height) from the byte content.
-    Replace with PIL.Image.open when available."""
+    """Deterministic stand-in for NON-PNG formats (no JPEG/WebP decoder
+    in this container): derives a fake (width, height) from the byte
+    content. Replace with PIL.Image.open when available."""
     if data is None:
         return (0, 0)
     h = len(data)
     return (64 + h % 512, 64 + (h * 7) % 512)
 
 
+def _decode_dims(data: bytes) -> tuple[int, int]:
+    """REAL decode for PNG payloads (stdlib codec, pipeline/png.py —
+    dimensions read from IHDR); deterministic fake for other formats."""
+    if data is not None and bytes(data).startswith(_PNG_MAGIC):
+        from tablite_spark.pipeline.png import png_header
+        w, h, _ = png_header(bytes(data))
+        return (w, h)
+    return _fake_decode_image(data)
+
+
 def decode_images(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Populate width/height via mapInPandas (Arrow batches).
 
-    The plumbing (schema preservation, batch iteration, null payloads)
-    is real and tested; only the pixel decode is stubbed.
+    PNG payloads decode for REAL (stdlib codec); other formats fall
+    back to the documented deterministic fake until a decoder library
+    is available. Plumbing (schema preservation, batch iteration, null
+    payloads) is identical either way.
     """
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != media_col] + [
@@ -68,7 +83,7 @@ def decode_images(df: DataFrame, media_col: str = "media") -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             dims = pdf[media_col].map(
-                lambda m: _fake_decode_image(m["data"] if m is not None else None))
+                lambda m: _decode_dims(m["data"] if m is not None else None))
             res = pdf[other_cols].copy()
             res["width"] = [d[0] for d in dims]
             res["height"] = [d[1] for d in dims]
@@ -79,14 +94,27 @@ def decode_images(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 def extract_image_features(df: DataFrame, media_col: str = "media",
                            dim: int = 8) -> DataFrame:
-    """Feature extraction stub: deterministic byte-histogram 'embedding'
-    per payload, emitted as array<float>. Real models plug into the
-    same mapInPandas shape (batched, Arrow)."""
+    """Image features as array<float>: PNG payloads decode for REAL
+    (stdlib codec) to a per-channel mean + normalized luminance
+    histogram; other payloads get the deterministic byte-histogram
+    stand-in. Real models plug into the same mapInPandas shape."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != media_col] + [
             T.StructField("features", T.ArrayType(T.FloatType())),
         ])
     other_cols = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def _png_features(data: bytes) -> list[float]:
+        import numpy as np
+
+        from tablite_spark.pipeline.png import png_decode
+        px = png_decode(data).astype(np.float64)
+        means = px.reshape(-1, px.shape[2]).mean(axis=0) / 255.0
+        lum = px.mean(axis=2).ravel()
+        n_hist = max(dim - len(means), 1)
+        hist, _ = np.histogram(lum, bins=n_hist, range=(0.0, 255.0))
+        vec = list(means) + list(hist / max(lum.size, 1))
+        return [float(v) for v in (vec + [0.0] * dim)[:dim]]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -95,6 +123,10 @@ def extract_image_features(df: DataFrame, media_col: str = "media",
                 data = m["data"] if m is not None else None
                 if not data:
                     feats.append([0.0] * dim)
+                    continue
+                data = bytes(data)
+                if data.startswith(_PNG_MAGIC):
+                    feats.append(_png_features(data))
                     continue
                 buckets = [0] * dim
                 for byte in data:
