@@ -1495,6 +1495,33 @@ def png_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
     return dims.select("doc_id", "width", "height").join(feats, "doc_id")
 
 
+def wav_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio metadata decode (multimodal.decode_audio — RIFF/WAVE
+    header parse): each doc gets a genuine mono 16-bit WAV whose length
+    derives from doc_id; decoded sample_rate/channels/duration_ms must
+    match the arithmetic oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_audio, wav_encode,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                n = 800 + (int(did) % 10) * 160  # 50ms + k*10ms @16kHz
+                raws.append(wav_encode(np.zeros(n, dtype="<i2"), 16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    wavs = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(wavs, "raw", "audio/wav").drop("raw")
+    return decode_audio(media).select(
+        "doc_id", "sample_rate", "channels", "duration_ms")
+
+
 def canonical_urls_docs(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (pipeline/text.py:canonicalize_urls):
     deterministically messy URLs (uppercase scheme/host, default port,
@@ -1680,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": interval_join_events,
         "canonical_urls_docs": canonical_urls_docs,
         "png_decode_dims": png_decode_dims,
+        "wav_decode_meta": wav_decode_meta,
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
@@ -2816,6 +2844,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN h < 0.1 THEN 'holdout' ELSE 'train' END AS split,
                    COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM u GROUP BY 1
+        """,
+        "wav_decode_meta": """
+            SELECT doc_id,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS channels,
+                   CAST((800 + (doc_id % 10) * 160) * 1000 / 16000 AS BIGINT)
+                       AS duration_ms
+            FROM documents
         """,
         "png_decode_dims": """
             SELECT doc_id,

@@ -140,6 +140,75 @@ def extract_image_features(df: DataFrame, media_col: str = "media",
     return df.mapInPandas(batches, schema=out_schema)
 
 
+_RIFF_MAGIC = b"RIFF"
+
+
+def wav_header(data: bytes) -> tuple[int, int, int, int]:
+    """(sample_rate, channels, bits, duration_ms) from a RIFF/WAVE
+    header — the public WAV container layout, stdlib struct only."""
+    import struct
+    if not data or data[:4] != _RIFF_MAGIC or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, ch, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if tag == b"fmt ":
+            _, ch, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8:pos + 24])
+        elif tag == b"data":
+            data_len = length
+        pos += 8 + length + (length & 1)
+    if not rate or not ch or not bits or data_len is None:
+        raise ValueError("incomplete WAV header")
+    n_frames = data_len // (ch * bits // 8)
+    return rate, ch, bits, n_frames * 1000 // rate
+
+
+def wav_encode(samples, sample_rate: int = 16_000) -> bytes:
+    """Encode int16 mono PCM samples as a WAV byte string (stdlib)."""
+    import struct
+
+    import numpy as np
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Populate (sample_rate, channels, duration_ms) — REAL for WAV
+    payloads (RIFF header parse, no audio lib needed); other formats
+    raise at the row level into nulls. Same Arrow-batched mapInPandas
+    shape as decode_images."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != media_col] + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+        ])
+    other_cols = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rates, chans, durs = [], [], []
+            for m in pdf[media_col]:
+                data = m["data"] if m is not None else None
+                try:
+                    rate, ch, _, dur = wav_header(bytes(data))
+                    rates.append(rate); chans.append(ch); durs.append(dur)
+                except (ValueError, TypeError):
+                    rates.append(None); chans.append(None); durs.append(None)
+            res = pdf[other_cols].copy()
+            res["sample_rate"] = pd.array(rates, dtype="Int32")
+            res["channels"] = pd.array(chans, dtype="Int32")
+            res["duration_ms"] = pd.array(durs, dtype="Int64")
+            yield res
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def sample_video_frames(df: DataFrame, media_col: str = "media",
                         every_ms: int = 1000) -> DataFrame:
     """Frame sampling stub: real decoders are not in this container."""

@@ -614,3 +614,21 @@ def test_decode_images_real_png(spark):
     f = extract_image_features(media, dim=4).first()["features"]
     assert abs(f[0] - 200 / 255) < 1e-6  # real channel mean: R
     assert abs(f[1]) < 1e-6 and abs(f[2]) < 1e-6  # G, B are zero
+
+
+def test_decode_audio_real_wav(spark):
+    import numpy as np
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_audio, wav_encode, wav_header,
+    )
+    data = wav_encode(np.zeros(8000, dtype="<i2"), 16_000)
+    assert wav_header(data) == (16_000, 1, 16, 500)
+    rows = [(1, bytearray(data)), (2, bytearray(b"notawav")), (3, None)]
+    df = spark.createDataFrame(rows, "id int, raw binary")
+    media = attach_media(df, "raw", "audio/wav").drop("raw")
+    got = {r["id"]: (r["sample_rate"], r["channels"], r["duration_ms"])
+           for r in decode_audio(media).collect()}
+    assert got[1] == (16_000, 1, 500)
+    assert got[2] == (None, None, None)
+    assert got[3] == (None, None, None)
