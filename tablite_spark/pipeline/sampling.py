@@ -90,9 +90,14 @@ def quota_cap(df: DataFrame, key_col: str, group_col: str,
     order, so the cap is a uniform subsample of each group rather than
     "first N by ingest time".
 
-    Scale: one hash-partitioned window shuffle on ``group_col``.
-    Skewed domains are exactly the motivating case — AQE splits the
-    hot partitions; the state per row is (group, 60-bit hash) only.
+    Scale: TWO-PHASE rank, because AQE's skew mitigation does not
+    apply to window functions — a single hot domain would otherwise
+    rank all its rows in one task. Phase 1 ranks within (group,
+    input-partition) — many balanced tasks — and keeps at most
+    ``quota`` per partition; phase 2 ranks the ≤ quota×n_partitions
+    survivors exactly. A per-partition top-``quota`` under a total
+    order always contains the global top-``quota``, so the result is
+    identical to the single-window form; only the plan changes.
 
     Precondition: ``key_col`` must be unique within each group. The
     sort tuple is (hash(salt+key), key); duplicate keys collide on
@@ -104,10 +109,15 @@ def quota_cap(df: DataFrame, key_col: str, group_col: str,
         raise ValueError(f"quota must be >= 1, got {quota}")
     from pyspark.sql import Window
     key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
-    w = Window.partitionBy(group_col).orderBy(_unit_hash(key),
-                                              F.col(key_col))
-    return (df.withColumn("__qrank__", F.row_number().over(w))
-            .filter(F.col("__qrank__") <= quota).drop("__qrank__"))
+    order = [_unit_hash(key), F.col(key_col)]
+    w1 = Window.partitionBy(group_col, "__qsalt__").orderBy(*order)
+    w2 = Window.partitionBy(group_col).orderBy(*order)
+    return (df.withColumn("__qsalt__", F.spark_partition_id())
+            .withColumn("__qr1__", F.row_number().over(w1))
+            .filter(F.col("__qr1__") <= quota)
+            .withColumn("__qrank__", F.row_number().over(w2))
+            .filter(F.col("__qrank__") <= quota)
+            .drop("__qsalt__", "__qr1__", "__qrank__"))
 
 
 def mixture_sample(df: DataFrame, key_col: str, group_col: str,
@@ -170,8 +180,13 @@ def token_budget_cap(df: DataFrame, key_col: str, group_col: str,
     overflow is kept; a best-fit repack would trade determinism
     complexity for at most one document's worth of tokens.
 
-    Scale: one hash-partitioned window shuffle on ``group_col`` (AQE
-    splits skewed groups); state per row is (group, hash, tokens).
+    Scale: one hash-partitioned window shuffle on ``group_col``; state
+    per row is (group, hash, tokens). A running sum needs the full
+    hash order per group, so (unlike ``quota_cap``) it cannot be
+    two-phased — a single hot group serializes through one task. For
+    genuinely skewed domains, either cap rows first (``quota_cap`` at
+    a generous quota, two-phase) or range-repartition on (group, hash)
+    and prefix-patch boundaries (the ``carry_forward`` shape).
 
     Precondition (as quota_cap): ``key_col`` unique per group.
     """
