@@ -189,10 +189,9 @@ def match(left: DataFrame, right: DataFrame, keys: list[tuple[str, str]],
         return left.join(right, on=cond, how="left_semi").select(*keep_left)
 
     rid = "__match_rid__"
-    r1 = (right.withColumn(rid, F.monotonically_increasing_id())
-          .withColumn("__rn__", F.row_number().over(
-              Window.partitionBy(*rkeys).orderBy(F.col(rid))))
-          .filter(F.col("__rn__") == 1).drop(rid, "__rn__"))
+    tagged = right.withColumn(rid, F.monotonically_increasing_id())
+    first = tagged.groupBy(*rkeys).agg(F.min(rid).alias(rid))
+    r1 = tagged.join(first.select(rid), on=rid, how="left_semi").drop(rid)
     L, R = left.alias("__l__"), r1.alias("__r__")
     cond = reduce(Column.__and__, [
         F.col(f"__l__.{lk}").eqNullSafe(F.col(f"__r__.{rk}")) for lk, rk in keys

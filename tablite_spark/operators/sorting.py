@@ -308,10 +308,13 @@ def reindex(df: DataFrame, index: list[int],
 
 def unique_index(df: DataFrame, keys: list[str],
                  order_by: list[str] | None = None) -> DataFrame:
-    """First-occurrence row per key tuple (tablite/base.py:1967-1989)
-    → ``row_number() over (partition by keys order by row_id) == 1``."""
+    """First-occurrence row per key tuple (tablite/base.py:1967-1989).
+
+    min(row_id) per key via a partial-aggregable groupBy + semi-join
+    on the winning row ids — map-side combine absorbs hot keys, where
+    a rank window would serialize each key's rows through one task."""
     idx = "__uidx__"
     ranked = with_row_index(df, idx, order_by=order_by)
-    w = Window.partitionBy(*keys).orderBy(F.col(idx))
-    return (ranked.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1).drop("__rn__", idx))
+    winners = ranked.groupBy(*keys).agg(F.min(idx).alias(idx))
+    return (ranked.join(winners.select(idx), on=idx, how="left_semi")
+            .drop(idx))

@@ -25,10 +25,12 @@ from tablite_spark.config import Config
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """Keep the row with the smallest ``id_col`` per key tuple —
-    deterministic keep-first. One shuffle on the key hash."""
-    w = Window.partitionBy(*keys).orderBy(F.col(id_col).asc())
-    return (df.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1).drop("__rn__"))
+    deterministic keep-first. A partial-aggregable groupBy (map-side
+    combine shrinks hot keys before the shuffle) + semi-join on the
+    winner ids — skew-proof, unlike a rank window (AQE cannot split a
+    window partition)."""
+    winners = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
 def _content_hash_cols(text_col: str) -> list:
