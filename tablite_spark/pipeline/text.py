@@ -334,7 +334,10 @@ def pack_chunks(chunks: DataFrame, tokens_col: str,
     Scale shape: the window partitions by ``by`` (e.g. source shard),
     so packing distributes across groups; within a group the running
     sum is the standard prefix-scan window. Deterministic given
-    ``order_by``.
+    ``order_by``. Like any running sum, a group's rows serialize
+    through one task (AQE cannot split window partitions) — choose
+    ``by`` so groups are shard-sized, or pre-split a hot group on a
+    derived sub-shard key and offset pack_ids per sub-shard.
     """
     from pyspark.sql import Window
     by = by or []
