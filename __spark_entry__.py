@@ -1325,6 +1325,21 @@ def holdout_split_orders(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("o_orderkey").alias("key_sum"))
 
 
+def shuffle_order_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle
+    (pipeline/sampling.py:deterministic_shuffle): the first 20 docs of
+    the seeded training order, with their epoch rank. DuckDB replays
+    the identical md5 ordering."""
+    from tablite_spark.pipeline.sampling import (
+        _unit_hash, deterministic_shuffle,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+    head = deterministic_shuffle(d, "doc_id", seed="epoch1").limit(20)
+    w = W.orderBy(_unit_hash(F.concat(F.lit("epoch1"),
+                                      F.col("doc_id").cast("string"))))
+    return head.select("doc_id", F.row_number().over(w).alias("rnk"))
+
+
 def quota_cap_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Per-source quota cap (pipeline/sampling.py:quota_cap): at most
     15 docs survive per source, chosen by md5-rank within the group —
@@ -1699,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 3
         "quota_cap_docs": quota_cap_docs,
         "holdout_split_orders": holdout_split_orders,
+        "shuffle_order_docs": shuffle_order_docs,
         "mixture_sample_docs": mixture_sample_docs,
         "token_budget_docs": token_budget_docs,
         "incremental_dedup_docs": incremental_dedup_docs,
@@ -2978,6 +2994,18 @@ def oracle_sql() -> dict[str, str]:
                     SELECT 1 FROM documents s WHERE s.text = n.text)
             )
             SELECT MIN(doc_id) AS doc_id FROM fresh GROUP BY text
+        """,
+        "shuffle_order_docs": """
+            WITH h AS (
+                SELECT doc_id,
+                       CAST(('0x' || substring(md5('epoch1' || CAST(doc_id AS VARCHAR)), 1, 15))
+                            AS UBIGINT) / 1152921504606846976.0 AS u
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY u ASC, doc_id ASC) AS INT) AS rnk
+            FROM h
+            ORDER BY u ASC, doc_id ASC LIMIT 20
         """,
         "quota_cap_docs": """
             WITH ranked AS (

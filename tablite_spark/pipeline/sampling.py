@@ -202,6 +202,22 @@ def token_budget_cap(df: DataFrame, key_col: str, group_col: str,
             .filter(F.col("__run_tok__") <= budget).drop("__run_tok__"))
 
 
+def deterministic_shuffle(df: DataFrame, key_col: str,
+                          seed: str = "") -> DataFrame:
+    """Reproducible corpus shuffle: order rows by md5(seed+key) — the
+    fixed "training order" step of a dataset recipe. Unlike
+    ``df.orderBy(rand(seed))`` the order survives repartitioning,
+    engine changes, and appends (a new row slots in by its hash
+    without moving existing neighbors' relative order).
+
+    Scale: Spark executes the orderBy as a range-partitioned sort —
+    sampled range boundaries, then a distributed sort, never a single
+    task. Change ``seed`` for an independent epoch order.
+    """
+    key = F.concat(F.lit(seed), F.col(key_col).cast("string"))
+    return df.orderBy(_unit_hash(key), F.col(key_col))
+
+
 def train_holdout_split(df: DataFrame, key_col: str,
                         holdout_fraction: float = 0.1,
                         salt: str = "split") -> tuple[DataFrame, DataFrame]:

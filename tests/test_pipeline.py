@@ -632,3 +632,21 @@ def test_decode_audio_real_wav(spark):
     assert got[1] == (16_000, 1, 500)
     assert got[2] == (None, None, None)
     assert got[3] == (None, None, None)
+
+
+def test_deterministic_shuffle(spark):
+    from tablite_spark.pipeline.sampling import deterministic_shuffle
+    df = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    order1 = [r["k"] for r in deterministic_shuffle(df, "k", "s").collect()]
+    # repartition-invariant
+    order2 = [r["k"] for r in
+              deterministic_shuffle(df.repartition(7), "k", "s").collect()]
+    assert order1 == order2 and sorted(order1) == list(range(500))
+    # different seed -> different epoch order
+    order3 = [r["k"] for r in deterministic_shuffle(df, "k", "s2").collect()]
+    assert order1 != order3
+    # append-stable: existing rows keep their relative order
+    extra = spark.createDataFrame([(i,) for i in range(500, 600)], "k long")
+    order4 = [r["k"] for r in
+              deterministic_shuffle(df.union(extra), "k", "s").collect()]
+    assert [k for k in order4 if k < 500] == order1
