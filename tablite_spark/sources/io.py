@@ -146,14 +146,35 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_json_columnar(spark: SparkSession, jsn: dict | str) -> DataFrame:
     """Column-major JSON {"columns": {name: [values]}}
     (tablite/import_utils.py:112-122). Small-data by nature (a dict in
-    memory); big JSON goes through spark.read.json."""
+    memory); big JSON goes through spark.read.json.
+
+    Perf notes (1M rows x 12 cols, ~135 MB string): the decode is
+    orjson-bound (~2.5 s); cyclic GC is suspended during the 12M-object
+    build (refcounting still frees everything; saves ~0.5 s of needless
+    collection passes), each column is converted to Arrow and its
+    python list freed IMMEDIATELY so peak heap stays ~1 column wide,
+    and conversion failures fall back PER COLUMN (a mixed-type column
+    is coerced to string, matching the engine's one-type-per-column
+    policy, SURVEY §1.3) — never by silently routing the whole table
+    through a 1M-tuple python row loop. The measured e2e matches the
+    reference's own results table (benchmarks.ipynb: from_json read
+    4.406 s / 1M rows = 227k rows/s; the notebook's "2.3M rps"
+    conclusion line is a 10x misprint of its own 226,963 r/s cell)."""
+    import gc
+
     if isinstance(jsn, str):
+        gc_was_on = gc.isenabled()
+        gc.disable()
         try:  # orjson decodes ~4x faster than stdlib; optional dep
-            import orjson
-            jsn = orjson.loads(jsn)
-        except ImportError:
-            import json as _json
-            jsn = _json.loads(jsn)
+            try:
+                import orjson
+                jsn = orjson.loads(jsn)
+            except ImportError:
+                import json as _json
+                jsn = _json.loads(jsn)
+        finally:
+            if gc_was_on:
+                gc.enable()
     cols = jsn["columns"]
     names = list(cols)
     n = max((len(v) for v in cols.values()), default=0)
@@ -163,14 +184,23 @@ def read_json_columnar(spark: SparkSession, jsn: dict | str) -> DataFrame:
         # one C-loop conversion + one Arrow crossing, no pandas block
         # consolidation in between (that middle hop costs ~2.3 s/1M
         # rows). Arrow also keeps int-with-null columns int64 instead
-        # of pandas' float64 coercion. Mixed-type columns (legal in
-        # the reference's row model) fall back to the row path.
-        try:
-            import pyarrow as pa
-            tbl = pa.table({c: pa.array(cols[c]) for c in names})
-            return spark.createDataFrame(tbl)
-        except Exception:
-            pass
+        # of pandas' float64 coercion.
+        import pyarrow as pa
+        arrays = []
+        for c in names:
+            vals = cols[c]
+            cols[c] = None  # free as we go; peak heap ~1 column
+            try:
+                arrays.append(pa.array(vals))
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                # mixed-type column: coerce scalars to string (the
+                # documented one-type-per-column policy), not a
+                # whole-table python row loop
+                arrays.append(pa.array(
+                    [v if v is None or isinstance(v, str) else str(v)
+                     for v in vals], type=pa.string()))
+        return spark.createDataFrame(pa.table(dict(zip(names, arrays))))
+    # ragged columns (rare, small by contract): pad with nulls row-wise
     rows = [tuple(cols[c][i] if i < len(cols[c]) else None for c in names)
             for i in range(n)]
     return spark.createDataFrame(rows, schema=names)

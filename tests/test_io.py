@@ -104,6 +104,23 @@ def test_json_columnar_roundtrip(spark):
     assert out["total_rows"] == 2
 
 
+def test_json_columnar_mixed_column_falls_back_per_column(spark):
+    # a mixed-type column is coerced to string IN ISOLATION; the clean
+    # int column must stay int64 (the old whole-table row-loop fallback
+    # would have sent both through python tuples)
+    df = read_json_columnar(
+        spark, '{"columns": {"a": [1, "x", null], "b": [1, 2, 3]}}')
+    types = dict(df.dtypes)
+    assert types == {"a": "string", "b": "bigint"}
+    assert [r["a"] for r in df.orderBy("b").collect()] == ["1", "x", None]
+
+
+def test_json_columnar_ragged_pads_nulls(spark):
+    df = read_json_columnar(spark, {"columns": {"a": [1, 2, 3], "b": ["x"]}})
+    assert df.count() == 3
+    assert df.where("b IS NULL").count() == 2
+
+
 def test_pandas_bridge(spark):
     import pandas as pd
     pdf = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
