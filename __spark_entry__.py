@@ -1403,9 +1403,10 @@ def mixture_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 def token_budget_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Token-budget cap (pipeline/sampling.py:token_budget_cap): each
-    source keeps docs in md5-hash order until 600 whitespace tokens are
-    consumed; the first over-budget doc is dropped, later docs that
-    still fit are kept. The DuckDB oracle replays the identical
+    source keeps the strict PREFIX of docs in md5-hash order whose
+    running token sum stays <= 600 — once one doc overflows the budget,
+    it and everything after it is dropped (no best-fit packing of later
+    smaller docs). The DuckDB oracle replays the identical
     cumulative-sum window."""
     from tablite_spark.pipeline.sampling import token_budget_cap
     d = _t(spark, sf, "documents").withColumn(
@@ -1541,14 +1542,16 @@ def canonical_urls_docs(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (pipeline/text.py:canonicalize_urls):
     deterministically messy URLs (uppercase scheme/host, default port,
     utm/fbclid params, fragment, trailing slash) built from doc_id
-    must canonicalize byte-identically in both engines."""
+    must canonicalize byte-identically in both engines. ``myfbclid``
+    is a boundary trap: a legit param whose name merely CONTAINS a
+    tracking-param name must survive (the strip is [?&]-anchored)."""
     from tablite_spark.pipeline.text import canonicalize_urls
     d = _t(spark, sf, "documents")
     did = F.col("doc_id").cast("string")
     url = F.concat(F.lit("HTTPS://Example"), (F.col("doc_id") % 7).cast("string"),
                    F.lit(".COM:443/Path/"), did,
                    F.lit("/?utm_source=x&id="), did,
-                   F.lit("&utm_campaign=y&fbclid=abc#frag"))
+                   F.lit("&utm_campaign=y&fbclid=abc&myfbclid=keep#frag"))
     aug = d.select("doc_id", url.alias("url"))
     return canonicalize_urls(aug, "url").select("doc_id", "url_canon")
 
@@ -2882,7 +2885,7 @@ def oracle_sql() -> dict[str, str]:
                        'HTTPS://Example' || CAST(doc_id % 7 AS VARCHAR)
                        || '.COM:443/Path/' || CAST(doc_id AS VARCHAR)
                        || '/?utm_source=x&id=' || CAST(doc_id AS VARCHAR)
-                       || '&utm_campaign=y&fbclid=abc#frag' AS url
+                       || '&utm_campaign=y&fbclid=abc&myfbclid=keep#frag' AS url
                 FROM documents
             ), s1 AS (
                 SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
@@ -2900,14 +2903,19 @@ def oracle_sql() -> dict[str, str]:
             ), s4 AS (
                 SELECT doc_id,
                        regexp_replace(u,
-                           '(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*&?',
-                           '', 'g') AS u
+                           '([?&])(utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid|mc_eid)=[^&#]*',
+                           '\\1', 'g') AS u
                 FROM s3
+            ), s5 AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(u,
+                           '&{2,}', '&', 'g'), '\\?&', '?') AS u
+                FROM s4
             )
             SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(u,
-                       '[?&]+$', ''), '\\?&', '?'), '/+$', '') AS url_canon
-            FROM s4
+                   regexp_replace(regexp_replace(u,
+                       '[?&]+$', ''), '/+$', '') AS url_canon
+            FROM s5
         """,
         "interval_join_events": """
             SELECT e.user_id, COUNT(*) AS n_pairs,

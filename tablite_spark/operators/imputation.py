@@ -101,7 +101,10 @@ def nearest_neighbour(df: DataFrame, targets: list[str],
     ]).first()
 
     rid = "__nn_rid__"
-    base = df.withColumn(rid, F.monotonically_increasing_id())
+    base = df.withColumn(rid, F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=True)  # pin ids: nulls/donors/join-back
+    # branches below each re-reference base; un-pinned, a task retry
+    # could re-evaluate the id assignment differently per branch
     out = base
     for t in targets:
         nulls = out.filter(F.col(t).isNull()).select(rid, *sources)
@@ -178,7 +181,10 @@ def nearest_neighbour_lsh(df: DataFrame, targets: list[str],
         return cols
 
     rid = "__nn_rid__"
-    base = df.withColumn(rid, F.monotonically_increasing_id())
+    base = df.withColumn(rid, F.monotonically_increasing_id()) \
+        .localCheckpoint(eager=True)  # pin ids: nulls/donors/join-back
+    # branches below each re-reference base; un-pinned, a task retry
+    # could re-evaluate the id assignment differently per branch
     out = base
     for t in targets:
         nulls = out.filter(F.col(t).isNull()).select(

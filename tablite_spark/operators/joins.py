@@ -189,7 +189,14 @@ def match(left: DataFrame, right: DataFrame, keys: list[tuple[str, str]],
         return left.join(right, on=cond, how="left_semi").select(*keep_left)
 
     rid = "__match_rid__"
-    tagged = right.withColumn(rid, F.monotonically_increasing_id())
+    # pin the id assignment: the groupBy branch and the semi-join branch
+    # below would otherwise re-evaluate monotonically_increasing_id
+    # independently — a task retry or scan-split change between the two
+    # evaluations silently drops/duplicates rows. localCheckpoint
+    # materializes the (small, lookup-side) tagged frame once so both
+    # branches read identical ids.
+    tagged = right.withColumn(
+        rid, F.monotonically_increasing_id()).localCheckpoint(eager=True)
     first = tagged.groupBy(*rkeys).agg(F.min(rid).alias(rid))
     r1 = tagged.join(first.select(rid), on=rid, how="left_semi").drop(rid)
     L, R = left.alias("__l__"), r1.alias("__r__")

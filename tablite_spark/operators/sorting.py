@@ -232,7 +232,11 @@ def slice_rows(df: DataFrame, start: int | None = None,
     rank rows then filter — one narrow shuffle, arithmetic filter.
 
     ``index_col``: name of a PERSISTED dense 0-based row index column
-    (e.g. written by ``with_row_index`` before save). The slice then
+    (e.g. written by ``with_row_index`` before save); mutually
+    exclusive with ``order_by`` (raises). Positive-step indexed slices
+    return UNORDERED rows (selection is a pushed-down predicate, not a
+    sort); negative steps orderBy the index descending for python slice
+    parity. The slice then
     never ranks: sparse slices (≤ ``_INDEXED_SLICE_MAX_HITS`` hits)
     become an ``IN``-list predicate pushed into the parquet scan, where
     row-group stats and page column-indexes prune everything but the
@@ -246,6 +250,14 @@ def slice_rows(df: DataFrame, start: int | None = None,
     step = 1 if step is None else step
     if step == 0:
         raise ValueError("slice step cannot be 0")
+    if index_col is not None and order_by:
+        # the indexed fast path selects by the PERSISTED index, so an
+        # order_by would be silently ignored (and positive-step results
+        # are intentionally unordered — pruning over sorting)
+        raise ValueError(
+            "slice_rows: order_by and index_col are mutually exclusive — "
+            "the indexed path slices by the persisted index; orderBy the "
+            "result explicitly if an output order is needed")
     if index_col is not None:
         n = df.count()
         first, last_excl, st = slice(start, stop, step).indices(n)
@@ -312,9 +324,17 @@ def unique_index(df: DataFrame, keys: list[str],
 
     min(row_id) per key via a partial-aggregable groupBy + semi-join
     on the winning row ids — map-side combine absorbs hot keys, where
-    a rank window would serialize each key's rows through one task."""
+    a rank window would serialize each key's rows through one task.
+
+    The ranked frame is pinned (eager localCheckpoint) before the
+    self-join: the groupBy branch and the semi-join branch would
+    otherwise re-evaluate the row-index assignment independently, and a
+    task retry between them could diverge the ids (silently dropping or
+    duplicating winners). The materialization cost is the price of a
+    deterministic first-occurrence answer."""
     idx = "__uidx__"
-    ranked = with_row_index(df, idx, order_by=order_by)
+    ranked = with_row_index(df, idx, order_by=order_by) \
+        .localCheckpoint(eager=True)
     winners = ranked.groupBy(*keys).agg(F.min(idx).alias(idx))
     return (ranked.join(winners.select(idx), on=idx, how="left_semi")
             .drop(idx))

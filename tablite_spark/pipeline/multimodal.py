@@ -59,8 +59,13 @@ def _decode_dims(data: bytes) -> tuple[int, int]:
     dimensions read from IHDR); deterministic fake for other formats."""
     if data is not None and bytes(data).startswith(_PNG_MAGIC):
         from tablite_spark.pipeline.png import png_header
-        w, h, _ = png_header(bytes(data))
-        return (w, h)
+        try:
+            w, h, _ = png_header(bytes(data))
+            return (w, h)
+        except Exception:
+            # corrupt/truncated IHDR in a web corpus must degrade to the
+            # deterministic fake, not fail the whole mapInPandas stage
+            pass
     return _fake_decode_image(data)
 
 
@@ -126,8 +131,11 @@ def extract_image_features(df: DataFrame, media_col: str = "media",
                     continue
                 data = bytes(data)
                 if data.startswith(_PNG_MAGIC):
-                    feats.append(_png_features(data))
-                    continue
+                    try:  # paletted/interlaced/corrupt PNG: byte fallback
+                        feats.append(_png_features(data))
+                        continue
+                    except Exception:
+                        pass
                 buckets = [0] * dim
                 for byte in data:
                     buckets[byte % dim] += 1
@@ -198,7 +206,11 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
                 try:
                     rate, ch, _, dur = wav_header(bytes(data))
                     rates.append(rate); chans.append(ch); durs.append(dur)
-                except (ValueError, TypeError):
+                except Exception:
+                    # ValueError (not WAV), TypeError (null payload), and
+                    # struct.error (truncated fmt chunk) all degrade to
+                    # null rows, as documented — one bad payload must not
+                    # fail the stage
                     rates.append(None); chans.append(None); durs.append(None)
             res = pdf[other_cols].copy()
             res["sample_rate"] = pd.array(rates, dtype="Int32")

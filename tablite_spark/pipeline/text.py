@@ -135,9 +135,14 @@ def canonicalize_urls(df: DataFrame, url_col: str,
     c = F.concat(F.lower(head), rest)
     c = F.regexp_replace(c, r"^(http://[^/?#:]*):80(/|\?|$)", r"$1$2")
     c = F.regexp_replace(c, r"^(https://[^/?#:]*):443(/|\?|$)", r"$1$2")
-    c = F.regexp_replace(c, rf"({TRACKING_PARAMS})=[^&#]*&?", "")
-    c = F.regexp_replace(c, r"[?&]+$", "")
+    # anchored to a [?&] boundary so ?myfbclid=… / ?xutm_source=… are
+    # NOT clipped; the separator is kept ($1) and duplicates collapsed,
+    # which also handles consecutive tracking params (non-overlapping
+    # matches can't reuse a consumed trailing '&')
+    c = F.regexp_replace(c, rf"([?&])({TRACKING_PARAMS})=[^&#]*", r"$1")
+    c = F.regexp_replace(c, r"&{2,}", "&")
     c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"[?&]+$", "")
     c = F.regexp_replace(c, r"/+$", "")
     return df.withColumn(out_col, c)
 

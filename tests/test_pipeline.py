@@ -420,6 +420,14 @@ def test_canonicalize_urls(spark):
         (3, "http://ex.com/p?utm_a=1",      "http://ex.com/p"),
         (4, "https://ex.com/CaseKept/Path", "https://ex.com/CaseKept/Path"),
         (5, "https://ex.com:8443/x",        "https://ex.com:8443/x"),  # non-default port kept
+        # boundary traps: param names that merely CONTAIN a tracking
+        # name must survive (the strip is [?&]-anchored)
+        (6, "http://ex.com/p?myfbclid=z",    "http://ex.com/p?myfbclid=z"),
+        (7, "http://ex.com/p?xutm_source=1", "http://ex.com/p?xutm_source=1"),
+        # consecutive tracking params collapse cleanly
+        (8, "http://ex.com/p?utm_a=1&utm_b=2&real=3", "http://ex.com/p?real=3"),
+        (9, "http://ex.com/p?a=1&utm_x=2&utm_y=3&b=4",
+            "http://ex.com/p?a=1&b=4"),
     ]
     df = spark.createDataFrame([(i, u) for i, u, _ in cases],
                                "id int, url string")
@@ -614,6 +622,49 @@ def test_decode_images_real_png(spark):
     f = extract_image_features(media, dim=4).first()["features"]
     assert abs(f[0] - 200 / 255) < 1e-6  # real channel mean: R
     assert abs(f[1]) < 1e-6 and abs(f[2]) < 1e-6  # G, B are zero
+
+
+def test_decode_images_corrupt_png_degrades(spark):
+    import numpy as np
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
+    from tablite_spark.pipeline.png import png_encode
+    good = png_encode(np.full((4, 4, 3), 9, dtype="uint8"))
+    # valid magic, garbage body: must degrade per-row, never fail the stage
+    corrupt = good[:16] + b"\x00" * 8
+    truncated = good[:12]
+    rows = [(1, bytearray(good)), (2, bytearray(corrupt)),
+            (3, bytearray(truncated))]
+    df = spark.createDataFrame(rows, "id int, raw binary")
+    media = attach_media(df, "raw", "image/png").drop("raw")
+    got = {r["id"]: (r["width"], r["height"])
+           for r in decode_images(media).collect()}
+    assert got[1] == (4, 4)
+    assert all(isinstance(v, int) for v in got[2] + got[3])  # fake dims
+    feats = extract_image_features(media, dim=4).collect()
+    assert len(feats) == 3  # stage survived; corrupt rows got byte-hist
+
+
+def test_decode_audio_truncated_riff_degrades(spark):
+    from tablite_spark.pipeline.multimodal import attach_media, decode_audio
+    # RIFF/WAVE magic but fmt chunk truncated mid-struct: struct.error
+    # must degrade to nulls, not kill the stage
+    bad = b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+    df = spark.createDataFrame([(1, bytearray(bad))], "id int, raw binary")
+    media = attach_media(df, "raw", "audio/wav").drop("raw")
+    r = decode_audio(media).first()
+    assert (r["sample_rate"], r["channels"], r["duration_ms"]) == (None,) * 3
+
+
+def test_slice_rows_rejects_order_by_with_index_col(spark):
+    import pytest
+
+    from tablite_spark.operators.sorting import slice_rows, with_row_index
+    df = with_row_index(spark.range(10).toDF("v"))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        slice_rows(df, 0, 5, 2, order_by=["v"], index_col="__row_id__")
 
 
 def test_decode_audio_real_wav(spark):
