@@ -78,6 +78,19 @@ def weighted_deterministic_sample(df: DataFrame, key_col: str,
     return df.filter(_unit_hash(key) < p)
 
 
+def _row_tiebreak(df: DataFrame) -> Column:
+    """Deterministic last-resort sort key: xxhash64 over every hashable
+    column. Makes survivorship under duplicate (group, key) pairs
+    partition-order-INDEPENDENT: physical duplicates that differ in
+    payload order deterministically by payload hash, and fully
+    identical rows are interchangeable (either choice yields the same
+    output multiset). Map columns aren't hashable in Spark and are
+    excluded — rows differing only in a map column still tie."""
+    cols = [F.col(f.name) for f in df.schema.fields
+            if not f.dataType.typeName().startswith("map")]
+    return F.xxhash64(*cols) if cols else F.lit(0)
+
+
 def quota_cap(df: DataFrame, key_col: str, group_col: str,
               quota: int, salt: str = "") -> DataFrame:
     """Cap every group at ``quota`` rows — the per-domain/per-source
@@ -99,17 +112,19 @@ def quota_cap(df: DataFrame, key_col: str, group_col: str,
     order always contains the global top-``quota``, so the result is
     identical to the single-window form; only the plan changes.
 
-    Precondition: ``key_col`` must be unique within each group. The
-    sort tuple is (hash(salt+key), key); duplicate keys collide on
-    both elements, so which physical duplicate survives the cap would
-    depend on partition order. With unique keys the result is fully
-    deterministic.
+    Duplicate (group, key) pairs: the sort tuple is (hash(salt+key),
+    key, xxhash64(full row)) — the third element breaks ties between
+    physical duplicates deterministically by payload, so survivorship
+    never depends on partition order (fully identical rows are
+    interchangeable; either yields the same output multiset). Unique
+    keys remain the recommended contract — with them the first two
+    elements already totally order each group.
     """
     if quota < 1:
         raise ValueError(f"quota must be >= 1, got {quota}")
     from pyspark.sql import Window
     key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
-    order = [_unit_hash(key), F.col(key_col)]
+    order = [_unit_hash(key), F.col(key_col), _row_tiebreak(df)]
     w1 = Window.partitionBy(group_col, "__qsalt__").orderBy(*order)
     w2 = Window.partitionBy(group_col).orderBy(*order)
     return (df.withColumn("__qsalt__", F.spark_partition_id())
@@ -180,26 +195,46 @@ def token_budget_cap(df: DataFrame, key_col: str, group_col: str,
     overflow is kept; a best-fit repack would trade determinism
     complexity for at most one document's worth of tokens.
 
-    Scale: one hash-partitioned window shuffle on ``group_col``; state
-    per row is (group, hash, tokens). A running sum needs the full
-    hash order per group, so (unlike ``quota_cap``) it cannot be
-    two-phased — a single hot group serializes through one task. For
-    genuinely skewed domains, either cap rows first (``quota_cap`` at
-    a generous quota, two-phase) or range-repartition on (group, hash)
-    and prefix-patch boundaries (the ``carry_forward`` shape).
+    Scale: TWO-PHASE, like ``quota_cap`` — AQE's skew mitigation does
+    not apply to window functions, so a single hot group must not push
+    all its rows through one task. Phase 1 runs the prefix-sum within
+    (group, input-partition) — many balanced tasks — keeping each
+    partition's ≤-budget prefix PLUS the first overflow row (keep iff
+    partition-local sum BEFORE the row ≤ budget). Phase 2 then runs
+    the exact global prefix-sum over the survivors only.
 
-    Precondition (as quota_cap): ``key_col`` unique per group.
+    Why this is exact: (no false negatives) a globally-kept row's
+    global predecessors all have cumsum ≤ budget, and each one's
+    partition-local cumsum is ≤ its global cumsum, so every global
+    predecessor survives phase 1 — phase 2's sum for the row equals
+    the true global sum. (no false positives) if a global predecessor
+    p of row s was dropped in phase 1, then p's partition-local
+    predecessors — all kept in phase 1 and all global predecessors of
+    s — already sum past the budget (the kept overflow row carries the
+    boundary mass), so phase 2's sum for s exceeds the budget too.
+    Survivors are ≤ budget tokens + 1 row per (group, partition), so
+    the phase-2 window runs over a budget-bounded remnant, never the
+    raw hot group.
+
+    Duplicate (group, key) pairs tie-break deterministically by
+    xxhash64(full row), as in ``quota_cap``.
     """
     if budget < 1:
         raise ValueError(f"budget must be >= 1, got {budget}")
     from pyspark.sql import Window
     key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
-    w = (Window.partitionBy(group_col)
-         .orderBy(_unit_hash(key), F.col(key_col))
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    run = F.sum(F.col(tokens_col)).over(w)
-    return (df.withColumn("__run_tok__", run)
-            .filter(F.col("__run_tok__") <= budget).drop("__run_tok__"))
+    order = [_unit_hash(key), F.col(key_col), _row_tiebreak(df)]
+    w1 = (Window.partitionBy(group_col, "__tbsalt__").orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w2 = (Window.partitionBy(group_col).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tok = F.col(tokens_col)
+    return (df.withColumn("__tbsalt__", F.spark_partition_id())
+            .withColumn("__run1__", F.sum(tok).over(w1))
+            .filter(F.col("__run1__") - tok <= budget)  # prefix + boundary row
+            .withColumn("__run_tok__", F.sum(tok).over(w2))
+            .filter(F.col("__run_tok__") <= budget)
+            .drop("__tbsalt__", "__run1__", "__run_tok__"))
 
 
 def deterministic_shuffle(df: DataFrame, key_col: str,

@@ -143,12 +143,25 @@ def topk_recall(approx: DataFrame, exact: DataFrame) -> DataFrame:
             .groupBy("qid").agg(F.count(F.lit(1)).alias("n_overlap")))
 
 
+_NEAR_DUP_CROSSJOIN_MAX_ROWS = 100_000
+
+
 def embedding_near_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                              threshold: float = 0.95,
                              partition_col: str | None = None) -> DataFrame:
     """Near-duplicate pairs by cosine. With a partition column (e.g. an
     LSH bucket or label), pairs are generated within partitions only —
-    the scalable pattern; without it, a guarded full self-join."""
+    the scalable pattern. Without one, the full self-join is GUARDED:
+    > 100k rows raises (an unpartitioned n² over more is never the
+    right plan — bucket with ``lsh_bucket``/``ivf_index`` first, or use
+    the blocked-BLAS ``embedding_near_dup`` kernel)."""
+    if partition_col is None:
+        n = df.count()
+        if n > _NEAR_DUP_CROSSJOIN_MAX_ROWS:
+            raise ValueError(
+                f"embedding_near_dup_pairs: {n} rows with no partition_col "
+                f"would cross-join n²; pass partition_col (LSH bucket / IVF "
+                f"list) above {_NEAR_DUP_CROSSJOIN_MAX_ROWS} rows")
     a = df.select(F.col(id_col).alias("id_a"), _unit(F.col(vec_col)).alias("v_a"),
                   *( [F.col(partition_col).alias("p")] if partition_col else []))
     b = df.select(F.col(id_col).alias("id_b"), _unit(F.col(vec_col)).alias("v_b"),

@@ -389,6 +389,67 @@ def test_token_budget_cap_semantics(spark):
     assert kept == {hash_order[0]}  # 4 fits; 100 busts; 5 is past the cut
 
 
+def test_token_budget_cap_two_phase_plan(spark):
+    """The prefix-sum must run as TWO windows — phase 1 partitioned by
+    (group, input-partition) so a hot group never serializes through a
+    single task — and still produce the exact single-window answer."""
+    from tablite_spark.pipeline.sampling import token_budget_cap
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 900 else f"g{i % 7}", 3) for i in range(1000)],
+        "k long, g string, tok int")
+    out = token_budget_cap(df, "k", "g", "tok", 60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__tbsalt__" in plan  # balanced phase-1 window present
+    # exact: 3-token rows, budget 60 -> 20 rows per group
+    counts = {r["g"]: r["n"] for r in
+              out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["hot"] == 20
+    # identical under any input partitioning
+    again = {(r["g"], r["k"]) for r in
+             token_budget_cap(df.repartition(13), "k", "g", "tok", 60)
+             .collect()}
+    assert again == {(r["g"], r["k"]) for r in out.collect()}
+
+
+def test_cap_duplicate_keys_deterministic(spark):
+    """Duplicate (group, key) pairs: survivorship must not depend on
+    partition order — the full-row hash tie-break orders payload-
+    distinct duplicates deterministically, and fully identical rows
+    are interchangeable."""
+    from tablite_spark.pipeline.sampling import quota_cap, token_budget_cap
+    rows = [(i % 20, "g", f"payload{i}") for i in range(200)]  # 10× dup keys
+    df = spark.createDataFrame(rows, "k long, g string, p string")
+    a = sorted((r["k"], r["p"]) for r in quota_cap(df, "k", "g", 7).collect())
+    b = sorted((r["k"], r["p"]) for r in
+               quota_cap(df.repartition(11), "k", "g", 7).collect())
+    assert a == b and len(a) == 7
+    dft = df.withColumn("tok", F.lit(5))
+    ta = sorted((r["k"], r["p"]) for r in
+                token_budget_cap(dft, "k", "g", "tok", 33).collect())
+    tb = sorted((r["k"], r["p"]) for r in
+                token_budget_cap(dft.repartition(11), "k", "g", "tok", 33)
+                .collect())
+    assert ta == tb and len(ta) == 6  # 5-token rows, budget 33 -> 6 rows
+
+
+def test_near_dup_pairs_guard(spark):
+    import pytest
+
+    from tablite_spark.pipeline.similarity import (
+        _NEAR_DUP_CROSSJOIN_MAX_ROWS, embedding_near_dup_pairs,
+    )
+    big = spark.range(_NEAR_DUP_CROSSJOIN_MAX_ROWS + 1).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("emb"))
+    with pytest.raises(ValueError, match="cross-join"):
+        embedding_near_dup_pairs(big, "doc_id", "emb")
+    # with a partition column the same size is fine (lazy, no count)
+    blocked = embedding_near_dup_pairs(
+        big.withColumn("b", F.col("doc_id") % 1000), "doc_id", "emb",
+        partition_col="b")
+    assert "id_a" in blocked.columns
+
+
 def test_minhash_minwise_independence_at_scale(spark):
     """Regression gate for the permutation-field bug: with a modulus
     far larger than the folded-hash domain, h_i(x) = a*x+b barely
