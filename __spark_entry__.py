@@ -1511,6 +1511,48 @@ def png_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
     return dims.select("doc_id", "width", "height").join(feats, "doc_id")
 
 
+def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode (pipeline/jpeg.py — pure stdlib+numpy
+    ITU-T T.81 codec + multimodal.decode_images): each doc gets a
+    genuine 4:2:0 JFIF with restart intervals whose dimensions derive
+    from doc_id; the decoded SOF dimensions and the (quantization-
+    rounded) mean-red feature must match the arithmetic oracle. The
+    dims intentionally straddle 16x16 MCU boundaries (odd widths,
+    partial edge blocks) so padding and subsampled reconstruction are
+    exercised, not just the header path."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.jpeg import jpeg_encode
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                w, h = 16 + int(did) % 9, 12 + int(did) % 5
+                # red 0 or 255: after 4:2:0 quantization the decoded
+                # mean-red is within a couple of 1/255 steps of exact,
+                # so round() recovers the planted bit losslessly
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = 255 * (int(did) % 2)
+                raws.append(jpeg_encode(px, quality=90, subsample="420",
+                                        restart_interval=2))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    imgs = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(imgs, "raw", "image/jpeg").drop("raw")
+    dims = decode_images(media)
+    feats = extract_image_features(media, dim=4).select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 0).cast("double")
+         .alias("mean_red_bit"))
+    return dims.select("doc_id", "width", "height").join(feats, "doc_id")
+
+
 def wav_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio metadata decode (multimodal.decode_audio — RIFF/WAVE
     header parse): each doc gets a genuine mono 16-bit WAV whose length
@@ -1726,6 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_events": interval_join_events,
         "canonical_urls_docs": canonical_urls_docs,
         "png_decode_dims": png_decode_dims,
+        "jpeg_decode_dims": jpeg_decode_dims,
         "wav_decode_meta": wav_decode_meta,
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -2870,6 +2913,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS channels,
                    CAST((800 + (doc_id % 10) * 160) * 1000 / 16000 AS BIGINT)
                        AS duration_ms
+            FROM documents
+        """,
+        "jpeg_decode_dims": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS INT) AS width,
+                   CAST(12 + doc_id % 5 AS INT) AS height,
+                   CAST(doc_id % 2 AS DOUBLE) AS mean_red_bit
             FROM documents
         """,
         "png_decode_dims": """

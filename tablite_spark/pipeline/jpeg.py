@@ -1,0 +1,564 @@
+"""Minimal real baseline-JPEG codec — stdlib + numpy only.
+
+Implements the public JPEG specification (ITU-T T.81 / ISO 10918-1)
+for the subset that dominates web corpora: baseline sequential DCT
+(SOF0), 8-bit, greyscale or YCbCr with 1x1/2x1/1x2/2x2 sampling
+factors, restart intervals, standard or custom Huffman tables. This
+makes the multimodal image path REAL for JPEG payloads in this
+container (no PIL needed): `decode_images` reads true dimensions from
+SOF and `extract_image_features` computes true pixel statistics.
+
+The encoder (used for test fixtures and roundtrips) writes baseline
+4:4:4 JFIF with the Annex K example quantization + Huffman tables.
+
+Not a general-purpose imaging library: progressive (SOF2),
+arithmetic coding, 12-bit, and CMYK raise ValueError.
+
+Reference parity note: the reference engine (root-11/tablite) has no
+multimodal surface; this exists for the training-data-pipeline north
+star, built from the public spec like pipeline/png.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+# JPEG Annex K example tables (part of the public spec).
+
+_QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32)
+
+_QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32)
+
+# zig-zag order: index i of this array = position in the scan stream,
+# value = position in row-major 8x8
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63], dtype=np.int32)
+
+# standard Huffman tables: (bits[1..16] counts, values)
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHROM = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+             list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+_AC_CHROM = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix: X = T @ x @ T.T."""
+    k = np.arange(8)
+    t = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    t[0] *= 1 / np.sqrt(2)
+    return t * 0.5
+
+
+_T = _dct_matrix()
+
+
+def _build_huffman_codes(bits, values):
+    """Canonical Huffman per T.81 Annex C: {symbol: (code, length)}."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_huffman_lut(bits, values):
+    """Decode map {(length, code): symbol}."""
+    lut, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lut[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+# ---------------------------------------------------------------- encode
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per T.81 F.1.2.1 (negative = ones-complement)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    amp = v if v > 0 else v + (1 << size) - 1
+    return size, amp
+
+
+def jpeg_encode(pixels: np.ndarray, quality: int = 75,
+                subsample: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode an (H, W) or (H, W, 3) uint8 array as baseline JFIF
+    (Annex K tables scaled by ``quality``; ``subsample`` = "444" or
+    "420" — 4:2:0 box-averages chroma 2x2 and interleaves 4 Y + Cb +
+    Cr blocks per 16x16 MCU, the common web-JPEG layout)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    grey = arr.ndim == 2
+    if grey:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"unsupported channel count {c}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444 or 420, got {subsample}")
+
+    # quality scaling (the public IJG formula)
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qlum = np.clip((_QUANT_LUM * scale + 50) // 100, 1, 255)
+    qchrom = np.clip((_QUANT_CHROM * scale + 50) // 100, 1, 255)
+
+    if c == 3:  # RGB -> YCbCr (JFIF)
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2]
+        cr = 128 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+        qtabs = [qlum, qchrom, qchrom]
+        tsel = [0, 1, 1]  # huffman table selector per component
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample == "420" \
+            else [(1, 1)] * 3
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        qtabs = [qlum]
+        tsel = [0]
+        samp = [(1, 1)]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def _pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        ph, pw = p.shape
+        return np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
+
+    # per-component plane at its own resolution, MCU-padded
+    comp_planes = []
+    for (sh, sv), plane in zip(samp, planes):
+        if (sh, sv) != (hmax, vmax):  # downsample by box average
+            fy, fx = vmax // sv, hmax // sh
+            p = _pad_to(plane, (h + fy - 1) // fy * fy,
+                        (w + fx - 1) // fx * fx)
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx) \
+                .mean(axis=(1, 3))
+        else:
+            p = plane
+        comp_planes.append(_pad_to(p, mcuy * sv * 8, mcux * sh * 8))
+
+    dc_codes = [_build_huffman_codes(*_DC_LUM), _build_huffman_codes(*_DC_CHROM)]
+    ac_codes = [_build_huffman_codes(*_AC_LUM), _build_huffman_codes(*_AC_CHROM)]
+
+    bw = _BitWriter()
+    dc_prev = [0] * len(planes)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+                dc_prev = [0] * len(planes)
+            mcu_i += 1
+            for ci, plane in enumerate(comp_planes):
+                sh, sv = samp[ci]
+                for v_i in range(sv):
+                    for h_i in range(sh):
+                        ys = (my * sv + v_i) * 8
+                        xs = (mx * sh + h_i) * 8
+                        block = plane[ys:ys + 8, xs:xs + 8]
+                        coeffs = _T @ (block - 128.0) @ _T.T
+                        qt = qtabs[ci].reshape(8, 8)
+                        quant = np.round(coeffs / qt).astype(np.int32)
+                        zz = quant.ravel()[_ZIGZAG]
+                        # DC
+                        diff = int(zz[0]) - dc_prev[ci]
+                        dc_prev[ci] = int(zz[0])
+                        size, amp = _magnitude(diff)
+                        code, length = dc_codes[tsel[ci]][size]
+                        bw.write(code, length)
+                        if size:
+                            bw.write(amp, size)
+                        # AC
+                        run = 0
+                        for i in range(1, 64):
+                            v = int(zz[i])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, length = ac_codes[tsel[ci]][0xF0]  # ZRL
+                                bw.write(code, length)
+                                run -= 16
+                            size, amp = _magnitude(v)
+                            code, length = ac_codes[tsel[ci]][(run << 4) | size]
+                            bw.write(code, length)
+                            bw.write(amp, size)
+                            run = 0
+                        if run:
+                            code, length = ac_codes[tsel[ci]][0x00]  # EOB
+                            bw.write(code, length)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = [b"\xff\xd8"]  # SOI
+    out.append(seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"))
+    out.append(seg(0xFFDB, b"\x00" + bytes(qlum[_ZIGZAG].astype(np.uint8))))
+    if c == 3:
+        out.append(seg(0xFFDB, b"\x01" + bytes(qchrom[_ZIGZAG].astype(np.uint8))))
+    comp = b"".join(
+        struct.pack("BBB", i + 1, samp[i][0] << 4 | samp[i][1],
+                    0 if i == 0 else 1)
+        for i in range(c))
+    out.append(seg(0xFFC0, struct.pack(">BHHB", 8, h, w, c) + comp))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    for cls, tid, (bits, values) in ((0, 0, _DC_LUM), (1, 0, _AC_LUM),
+                                     (0, 1, _DC_CHROM), (1, 1, _AC_CHROM)):
+        if c == 1 and tid == 1:
+            continue
+        out.append(seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits)
+                       + bytes(values)))
+    scomp = b"".join(struct.pack("BB", i + 1, 0 if i == 0 else 0x11)
+                     for i in range(c))
+    out.append(seg(0xFFDA, bytes([c]) + scomp + b"\x00\x3f\x00"))
+    out.append(bytes(bw.buf))
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------- decode
+
+_SOF_BASELINE = {0xC0, 0xC1}
+_SOF_UNSUPPORTED = {0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def jpeg_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the SOF marker without decoding."""
+    if not data or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        if marker in _SOF_BASELINE or marker in _SOF_UNSUPPORTED:
+            _, h, w, nc = struct.unpack(">BHHB", data[pos + 4:pos + 10])
+            return w, h, nc
+        pos += 2 + length
+    raise ValueError("no SOF marker found")
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with 0xFF00
+    unstuffing; stops at any real marker (caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None  # set when a non-stuffing marker is hit
+
+    def _fill(self) -> bool:
+        d, n = self.data, len(self.data)
+        if self.pos >= n:
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < n else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            return 0  # past-EOI padding, per spec tolerant decoders
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def skip_rst(self) -> None:
+        """Consume an RSTn marker at the current (aligned) position."""
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF \
+                and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            self.marker = None
+
+
+def _decode_huffman(br: _BitReader, lut: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = lut.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map magnitude bits to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode baseline sequential JPEG to (H, W, C) uint8 (C=1 or 3;
+    3 = RGB after JFIF YCbCr conversion)."""
+    if not data or data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qtabs: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None
+    pos, n = 2, len(data)
+    scan = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD8:
+            pos += 2
+            continue
+        (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + length]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.frombuffer(body, np.uint8, 64, off + 1).astype(np.int32)
+                dq = np.zeros(64, dtype=np.int32)
+                dq[_ZIGZAG] = tbl  # de-zigzag to row-major
+                qtabs[tq] = dq.reshape(8, 8)
+                off += 65
+        elif marker in _SOF_UNSUPPORTED:
+            raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0})")
+        elif marker in _SOF_BASELINE:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack("BBB", body[6 + 3 * i:9 + 3 * i])
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                values = list(body[off + 17:off + 17 + nv])
+                lut = _build_huffman_lut(bits, values)
+                (huff_ac if tc else huff_dc)[th] = lut
+                off += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            sel = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                sel.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            scan = {"sel": sel, "pos": pos + 2 + length}
+            break
+        pos += 2 + length
+    if frame is None or scan is None:
+        raise ValueError("incomplete JPEG (missing SOF/SOS)")
+
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise ValueError("sampling factors beyond 2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    by_id = {s["cs"]: s for s in scan["sel"]}
+    for c in comps:
+        s = by_id.get(c["id"])
+        if s is None:
+            raise ValueError("scan does not cover all components")
+        c["td"], c["ta"] = s["td"], s["ta"]
+        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        c["dc"] = 0
+
+    br = _BitReader(data, scan["pos"])
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count \
+                    and mcu_count % restart_interval == 0:
+                br.align()
+                br.skip_rst()
+                for c in comps:
+                    c["dc"] = 0
+            for c in comps:
+                for v_i in range(c["v"]):
+                    for h_i in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = _decode_huffman(br, huff_dc[c["td"]])
+                        diff = _extend(br.receive(size), size)
+                        c["dc"] += diff
+                        zz[0] = c["dc"]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman(br, huff_ac[c["ta"]])
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.receive(s), s)
+                            k += 1
+                        block = np.zeros(64, dtype=np.int32)
+                        block[_ZIGZAG] = zz
+                        coeffs = block.reshape(8, 8) * qtabs[c["tq"]]
+                        px = _T.T @ coeffs @ _T + 128.0
+                        ys = (my * c["v"] + v_i) * 8
+                        xs = (mx * c["h"] + h_i) * 8
+                        c["plane"][ys:ys + 8, xs:xs + 8] = px
+            mcu_count += 1
+
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        # upsample to full resolution (sample replication)
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        planes.append(p[:h, :w])
+
+    if len(planes) == 1:
+        out = planes[0][:, :, None]
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        out = np.stack([r, g, b], axis=2)
+    else:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

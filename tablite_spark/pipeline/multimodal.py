@@ -6,10 +6,12 @@ so partitioning, predicate pushdown on metadata, and column pruning all
 work on the typed part while payloads stay opaque bytes.
 
 Decode / feature-extract run as Arrow-batched pandas functions via
-``mapInPandas`` — the image/audio libraries are NOT in this container,
-so the decode kernels are deterministic fakes / NotImplementedError
-stubs behind real, tested Spark plumbing (schema, batching, partition
-shape). Swapping in PIL/librosa later changes ONE function body.
+``mapInPandas``. PNG (pipeline/png.py), baseline JPEG
+(pipeline/jpeg.py), and WAV decode for REAL — pure stdlib+numpy
+codecs, no imaging library needed. Other formats (WebP/GIF/video)
+remain deterministic fakes / NotImplementedError stubs behind the
+same tested Spark plumbing (schema, batching, partition shape);
+swapping in PIL/librosa later changes ONE function body.
 """
 
 from __future__ import annotations
@@ -42,11 +44,12 @@ def attach_media(df: DataFrame, data_col: str, mime: str) -> DataFrame:
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def _fake_decode_image(data: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for NON-PNG formats (no JPEG/WebP decoder
-    in this container): derives a fake (width, height) from the byte
+    """Deterministic stand-in for formats without a real decoder here
+    (WebP/GIF/…): derives a fake (width, height) from the byte
     content. Replace with PIL.Image.open when available."""
     if data is None:
         return (0, 0)
@@ -55,16 +58,22 @@ def _fake_decode_image(data: bytes) -> tuple[int, int]:
 
 
 def _decode_dims(data: bytes) -> tuple[int, int]:
-    """REAL decode for PNG payloads (stdlib codec, pipeline/png.py —
-    dimensions read from IHDR); deterministic fake for other formats."""
-    if data is not None and bytes(data).startswith(_PNG_MAGIC):
-        from tablite_spark.pipeline.png import png_header
+    """REAL decode for PNG (IHDR, pipeline/png.py) and JPEG (SOF,
+    pipeline/jpeg.py) payloads; deterministic fake for other formats.
+    Corrupt/truncated headers in a web corpus degrade to the fake —
+    they must never fail the whole mapInPandas stage."""
+    if data is not None:
+        b = bytes(data)
         try:
-            w, h, _ = png_header(bytes(data))
-            return (w, h)
+            if b.startswith(_PNG_MAGIC):
+                from tablite_spark.pipeline.png import png_header
+                w, h, _ = png_header(b)
+                return (w, h)
+            if b.startswith(_JPEG_MAGIC):
+                from tablite_spark.pipeline.jpeg import jpeg_header
+                w, h, _ = jpeg_header(b)
+                return (w, h)
         except Exception:
-            # corrupt/truncated IHDR in a web corpus must degrade to the
-            # deterministic fake, not fail the whole mapInPandas stage
             pass
     return _fake_decode_image(data)
 
@@ -72,10 +81,11 @@ def _decode_dims(data: bytes) -> tuple[int, int]:
 def decode_images(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Populate width/height via mapInPandas (Arrow batches).
 
-    PNG payloads decode for REAL (stdlib codec); other formats fall
-    back to the documented deterministic fake until a decoder library
-    is available. Plumbing (schema preservation, batch iteration, null
-    payloads) is identical either way.
+    PNG and baseline-JPEG payloads decode for REAL (stdlib+numpy
+    codecs); other formats fall back to the documented deterministic
+    fake until a decoder library is available. Plumbing (schema
+    preservation, batch iteration, null payloads) is identical either
+    way.
     """
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != media_col] + [
@@ -99,21 +109,22 @@ def decode_images(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 def extract_image_features(df: DataFrame, media_col: str = "media",
                            dim: int = 8) -> DataFrame:
-    """Image features as array<float>: PNG payloads decode for REAL
-    (stdlib codec) to a per-channel mean + normalized luminance
-    histogram; other payloads get the deterministic byte-histogram
-    stand-in. Real models plug into the same mapInPandas shape."""
+    """Image features as array<float>: PNG and baseline-JPEG payloads
+    decode for REAL (stdlib+numpy codecs) to a per-channel mean +
+    normalized luminance histogram; other payloads get the
+    deterministic byte-histogram stand-in. Real models plug into the
+    same mapInPandas shape."""
     out_schema = T.StructType(
         [f for f in df.schema.fields if f.name != media_col] + [
             T.StructField("features", T.ArrayType(T.FloatType())),
         ])
     other_cols = [f.name for f in df.schema.fields if f.name != media_col]
 
-    def _png_features(data: bytes) -> list[float]:
+    def _pixel_features(px) -> list[float]:
+        """Per-channel mean + normalized luminance histogram from a
+        decoded (H, W, C) uint8 array — shared by PNG and JPEG."""
         import numpy as np
-
-        from tablite_spark.pipeline.png import png_decode
-        px = png_decode(data).astype(np.float64)
+        px = px.astype(np.float64)
         means = px.reshape(-1, px.shape[2]).mean(axis=0) / 255.0
         lum = px.mean(axis=2).ravel()
         n_hist = max(dim - len(means), 1)
@@ -130,12 +141,17 @@ def extract_image_features(df: DataFrame, media_col: str = "media",
                     feats.append([0.0] * dim)
                     continue
                 data = bytes(data)
-                if data.startswith(_PNG_MAGIC):
-                    try:  # paletted/interlaced/corrupt PNG: byte fallback
-                        feats.append(_png_features(data))
+                try:  # corrupt/unsupported payloads: byte-hist fallback
+                    if data.startswith(_PNG_MAGIC):
+                        from tablite_spark.pipeline.png import png_decode
+                        feats.append(_pixel_features(png_decode(data)))
                         continue
-                    except Exception:
-                        pass
+                    if data.startswith(_JPEG_MAGIC):
+                        from tablite_spark.pipeline.jpeg import jpeg_decode
+                        feats.append(_pixel_features(jpeg_decode(data)))
+                        continue
+                except Exception:
+                    pass
                 buckets = [0] * dim
                 for byte in data:
                     buckets[byte % dim] += 1

@@ -666,6 +666,74 @@ def test_png_decode_all_filters():
     assert png_decode(data)[:, :, 0].tolist() == [[10, 20], [11, 21]]
 
 
+def test_jpeg_codec_roundtrip():
+    import numpy as np
+
+    from tablite_spark.pipeline.jpeg import (
+        jpeg_decode, jpeg_encode, jpeg_header,
+    )
+    g = np.linspace(0, 255, 21 * 13).reshape(13, 21).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, g // 2], axis=2)
+    for ss in ("444", "420"):
+        for ri in (0, 3):
+            data = jpeg_encode(rgb, quality=95, subsample=ss,
+                               restart_interval=ri)
+            assert jpeg_header(data) == (21, 13, 3)
+            dec = jpeg_decode(data)
+            assert dec.shape == (13, 21, 3)
+            err = np.abs(dec.astype(int) - rgb.astype(int)).mean()
+            # 444 is near-lossless at q95; 420 pays chroma subsampling
+            assert err < (2.0 if ss == "444" else 15.0), (ss, ri, err)
+    # greyscale
+    dg = jpeg_encode(g, quality=90)
+    assert jpeg_header(dg) == (21, 13, 1)
+    assert jpeg_decode(dg).shape == (13, 21, 1)
+    # solid color survives exactly (DC-only blocks)
+    solid = np.zeros((16, 24, 3), dtype=np.uint8)
+    solid[:, :, 0] = 200
+    dec = jpeg_decode(jpeg_encode(solid, 90, subsample="420"))
+    assert dec.reshape(-1, 3).mean(axis=0).tolist() == [200.0, 0.0, 0.0]
+
+
+def test_jpeg_rejects_progressive():
+    import struct
+
+    import pytest
+
+    from tablite_spark.pipeline.jpeg import jpeg_decode, jpeg_header
+    # minimal SOI + SOF2 (progressive) frame header
+    sof2 = struct.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00"
+    data = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2) + sof2
+            + b"\xff\xd9")
+    assert jpeg_header(data) == (4, 4, 1)  # header still readable
+    with pytest.raises(ValueError, match="SOF2"):
+        jpeg_decode(data)
+
+
+def test_decode_images_real_jpeg(spark):
+    import numpy as np
+
+    from tablite_spark.pipeline.jpeg import jpeg_encode
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
+    px = np.zeros((12, 20, 3), dtype=np.uint8)
+    px[:, :, 0] = 255
+    good = jpeg_encode(px, quality=90, subsample="420")
+    corrupt = good[:24] + b"\x00" * 8  # valid magic, garbage body
+    rows = [(1, bytearray(good)), (2, bytearray(corrupt))]
+    df = spark.createDataFrame(rows, "id int, raw binary")
+    media = attach_media(df, "raw", "image/jpeg").drop("raw")
+    got = {r["id"]: (r["width"], r["height"])
+           for r in decode_images(media).collect()}
+    assert got[1] == (20, 12)  # REAL dims from SOF
+    assert all(isinstance(v, int) for v in got[2])  # degraded to fake
+    feats = {r["id"]: r["features"]
+             for r in extract_image_features(media, dim=4).collect()}
+    assert abs(feats[1][0] - 1.0) < 0.02  # real mean-red ~ 1.0
+    assert len(feats[2]) == 4  # corrupt row got byte-hist, stage alive
+
+
 def test_decode_images_real_png(spark):
     import numpy as np
 
