@@ -1725,12 +1725,49 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------
 
+# Round-4 verification window: the driver checks the FIRST 50 entries
+# of queries(). Priority = (1) never-verified (jpeg_decode_dims is new),
+# (2) the 47 queries whose latest green is round 1 — the stalest,
+# several with code changed underneath since (dedup_exact plan,
+# de-windowed match/unique_index, 128-bit content hash, json columnar
+# rewrite), (3) queries whose implementation changed THIS round
+# (canonical_urls_docs regex, token_budget_cap two-phase). Everything
+# else was green in r2/r3 and rotates behind.
+_R4_WINDOW = [
+    "jpeg_decode_dims",
+    # --- r1-only greens (stalest first-class rotation set)
+    "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
+    "filter_pass", "filter_fail", "filter_any", "filter_expression",
+    "filter_substring_in", "filter_callable", "merge_where_case",
+    "groupby_mode", "groupby_product", "sort_mixed_excel",
+    "transpose_region", "reindex_rows", "imputation_mode",
+    "imputation_nn", "pivot_long", "sort_alphanumeric",
+    "drop_duplicates", "groupby_first_last", "date_range_expand",
+    "statistics_text", "statistics_dates", "index_rowids",
+    "sort_unix_mixed", "xround_time_buckets", "json_roundtrip_agg",
+    "parquet_roundtrip_agg", "xlsx_roundtrip_agg", "q6_forecast_revenue",
+    "q14_promo_revenue", "q18_large_orders", "q4_priority_exists",
+    "q19_disjunctive_filter", "groupby_rollup", "groupby_cube",
+    "window_ntile", "count_value", "unique_values", "is_sorted",
+    "remove_all", "json_columnar_roundtrip", "token_count_bpe",
+    "language_id_docs", "ngram_jaccard_pairs", "near_dup_embeddings",
+    # --- changed this round
+    "canonical_urls_docs", "token_budget_docs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50 in round 1). Entries with no green
-    CORRECTNESS row yet come FIRST; already-green entries rotate to the
-    back so every query accumulates a hard correctness signal across
-    rounds."""
+    bounded per-round window (50/round). ``_R4_WINDOW`` puts the
+    never-verified and stalest-green queries first; everything else
+    keeps its registration order behind them."""
+    d = _all_queries()
+    ordered = {k: d[k] for k in _R4_WINDOW if k in d}
+    ordered.update((k, v) for k, v in d.items() if k not in ordered)
+    return ordered
+
+
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-2 additions, never inside the check window yet —
         #     they MUST occupy the first slots this round
