@@ -888,6 +888,26 @@ def ods_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("n_name").alias("first_name")))
 
 
+def hdf5_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E HDF5 writer→reader proof. Uses h5py when installed, else
+    the stdlib hdf5lite codec (classic superblock-v0 format written
+    from the public spec, sources/hdf5lite.py) — reference layout is
+    one root dataset per column with stringify fallback + re-guess
+    (tablite/import_utils.py:72-109, export_utils.py:63-105)."""
+    import tempfile
+
+    from tablite_spark.sources.io import from_file, to_hdf5
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    tmp = tempfile.mkdtemp(prefix="hdf5_rt_")
+    path = f"{tmp}/nation.h5"
+    to_hdf5(n, path)
+    back = from_file(spark, path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.min("n_name").alias("first_name")))
+
+
 def html_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     """E2E HTML writer→reader proof (stdlib html.parser scrape +
     type re-guess; tablite/export_utils.py:108-136 analogue)."""
@@ -1808,6 +1828,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_dims": jpeg_decode_dims,
         "wav_decode_meta": wav_decode_meta,
         "ods_roundtrip_agg": ods_roundtrip_agg,
+        "hdf5_roundtrip_agg": hdf5_roundtrip_agg,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
         "rename_reorder_project": rename_reorder_project,
@@ -2371,6 +2392,12 @@ def oracle_sql() -> dict[str, str]:
             FROM nation GROUP BY n_regionkey
         """,
         "ods_roundtrip_agg": """
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "hdf5_roundtrip_agg": """
             SELECT n_regionkey, COUNT(*) AS n,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name

@@ -1,0 +1,345 @@
+"""Minimal pure-stdlib HDF5 codec (classic format) — the fallback
+behind ``read_hdf5`` / ``to_hdf5`` when h5py is absent.
+
+Implements the subset of the public HDF5 File Format Specification
+(https://docs.hdfgroup.org/hdf5/develop/_f_m_t3.html) that the
+reference's column-per-dataset layout needs
+(tablite/import_utils.py:72-109, tablite/export_utils.py:63-105):
+
+* superblock version 0, 8-byte offsets/lengths
+* one root group: v1 B-tree (single leaf) -> one SNOD symbol-table
+  node -> local heap for link names
+* one contiguous 1-D dataset per column, v1 object headers with
+  Dataspace / Datatype / Data Layout (v3) messages
+* datatypes: fixed-point (signed/unsigned 1/2/4/8), IEEE float
+  (4/8), fixed-length strings (ASCII or UTF-8 payload)
+
+The reader additionally tolerates object-header continuation blocks
+and skips unknown messages, so simple h5py-written files (contiguous,
+non-chunked, fixed-size types) read back too.  Chunked layouts,
+compression, vlen strings, nested groups, and attributes are out of
+scope and raise ``NotImplementedError`` — at scale the path is
+convert-once to parquet, exactly like the reference's ``.tpz``.
+
+Like ``png.py`` / ``jpeg.py`` / ``xlsx.py`` / ``ods.py`` this is an
+original from-spec implementation: the reference has no HDF5 codec of
+its own (it delegates to h5py).
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+_SIG = b"\x89HDF\r\n\x1a\n"
+# group-leaf K: a SNOD holds up to 2K entries => 1024 columns max.
+_LEAF_K = 512
+_INTERNAL_K = 16
+
+
+def _pad8(n: int) -> int:
+    return (n + 7) & ~7
+
+
+# ---------------------------------------------------------------- writer
+
+def _dt_message(arr: np.ndarray) -> tuple[bytes, int]:
+    """Datatype message body + element size for a 1-D numpy array."""
+    k = arr.dtype.kind
+    size = arr.dtype.itemsize
+    if k in ("i", "u"):
+        # class 0 fixed-point, version 1.  bit0 byte order (0=LE),
+        # bit3 signed.
+        bits = 0x08 if k == "i" else 0x00
+        body = struct.pack("<B3BI", 0x10, bits, 0, 0, size)
+        body += struct.pack("<HH", 0, size * 8)  # bit offset, precision
+        return body, size
+    if k == "f":
+        if size == 8:
+            exp_loc, exp_sz, man_sz, bias = 52, 11, 52, 1023
+        elif size == 4:
+            exp_loc, exp_sz, man_sz, bias = 23, 8, 23, 127
+        else:
+            raise NotImplementedError(f"float{size * 8} not supported")
+        # class 1 float: LE, mantissa-normalization=2 (implied msb),
+        # sign bit at position precision-1.
+        body = struct.pack("<BBBBI", 0x11, 0x20, size * 8 - 1, 0, size)
+        body += struct.pack("<HHBBBBI", 0, size * 8, exp_loc, exp_sz,
+                            0, man_sz, bias)
+        return body, size
+    if k == "S":
+        # class 3 string: null-pad (1) so short values read clean;
+        # charset UTF-8 (bit4) — ASCII is a subset.
+        body = struct.pack("<B3BI", 0x13, 0x01 | 0x10, 0, 0, size)
+        return body, size
+    raise TypeError(f"hdf5lite cannot store dtype {arr.dtype!r}")
+
+
+def _message(mtype: int, body: bytes) -> bytes:
+    padded = body + b"\x00" * (_pad8(len(body)) - len(body))
+    return struct.pack("<HHB3x", mtype, len(padded), 0) + padded
+
+
+def _object_header(n: int, dt_body: bytes,
+                   data_addr: int, data_size: int) -> bytes:
+    """v1 object header: Dataspace + Datatype + Layout(v3 contiguous)."""
+    space = struct.pack("<BBB5xQ", 1, 1, 0, n)
+    layout = struct.pack("<BBQQ", 3, 1, data_addr, data_size)
+    msgs = (_message(0x0001, space) + _message(0x0003, dt_body)
+            + _message(0x0008, layout))
+    return struct.pack("<BxHII4x", 1, 3, 1, len(msgs)) + msgs
+
+
+def _coerce(values) -> np.ndarray:
+    """Column -> storable 1-D array; non-native values stringified
+    (the reference's TypeError fallback, export_utils.py:99-101)."""
+    arr = np.asarray(values)
+    if arr.ndim != 1:
+        raise ValueError("hdf5lite stores 1-D columns only")
+    if arr.dtype.kind in ("i", "u", "f", "S"):
+        return arr
+    if arr.dtype.kind == "b":
+        return np.array([b"True" if v else b"False" for v in arr])
+    # str / object / datetime / mixed -> fixed-length utf-8 bytes
+    enc = [("None" if v is None else str(v)).encode("utf-8")
+           for v in arr.tolist()]
+    width = max((len(b) for b in enc), default=1) or 1
+    return np.array(enc, dtype=f"S{width}")
+
+
+def write(path: str, columns: dict) -> None:
+    """Write ``{name: 1-D array-like}`` as a classic-format HDF5 file
+    with one contiguous root-level dataset per column."""
+    if len(columns) > 2 * _LEAF_K:
+        raise NotImplementedError(
+            f"hdf5lite caps at {2 * _LEAF_K} columns per file")
+    names = sorted(columns)  # SNOD entries must sort by link name
+    arrays = {n: _coerce(columns[n]) for n in names}
+
+    # local heap data: offset 0 is the empty string (root link name
+    # and the B-tree's left key), then each dataset name.
+    heap = bytearray(b"\x00" * 8)
+    name_off = {}
+    for n in names:
+        name_off[n] = len(heap)
+        b = n.encode("utf-8") + b"\x00"
+        heap += b + b"\x00" * (_pad8(len(b)) - len(b))
+
+    out = bytearray()
+
+    def alloc(block: bytes) -> int:
+        addr = len(out)
+        out.extend(block)
+        out.extend(b"\x00" * (_pad8(len(out)) - len(out)))
+        return addr
+
+    out += b"\x00" * 96  # superblock, patched last
+
+    # datasets: object header then payload
+    header_addr = {}
+    for n in names:
+        arr = arrays[n]
+        dt_body, itemsize = _dt_message(arr)
+        payload = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+        raw = payload.tobytes()
+        # header precedes data; header length is deterministic
+        hdr = _object_header(len(arr), dt_body, 0, len(raw))
+        addr = len(out)
+        data_addr = addr + _pad8(len(hdr))
+        hdr = _object_header(len(arr), dt_body, data_addr, len(raw))
+        alloc(hdr)
+        assert len(out) == data_addr
+        alloc(raw)
+        header_addr[n] = addr
+
+    heap_data_addr = alloc(bytes(heap))
+    heap_hdr_addr = alloc(b"HEAP" + struct.pack(
+        "<B3xQQQ", 0, len(heap), UNDEF, heap_data_addr))
+
+    # SNOD with one 40-byte symbol-table entry per dataset
+    snod = bytearray(b"SNOD" + struct.pack("<BBH", 1, 0, len(names)))
+    for n in names:
+        snod += struct.pack("<QQII16x", name_off[n], header_addr[n], 0, 0)
+    snod += b"\x00" * (8 + 2 * _LEAF_K * 40 - len(snod))
+    snod_addr = alloc(bytes(snod))
+
+    # v1 B-tree: single leaf, keys are heap offsets (empty-string
+    # lower bound, greatest name upper bound)
+    btree = bytearray(b"TREE" + struct.pack("<BBHQQ", 0, 0, 1,
+                                            UNDEF, UNDEF))
+    btree += struct.pack("<QQQ", 0, snod_addr,
+                         name_off[names[-1]] if names else 0)
+    btree += b"\x00" * (24 + (2 * _LEAF_K + 1) * 8 - len(btree))
+    btree_addr = alloc(bytes(btree))
+
+    # root group object header: one Symbol Table message
+    st = _message(0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))
+    root_addr = alloc(struct.pack("<BxHII4x", 1, 1, 1, len(st)) + st)
+
+    sb = _SIG + struct.pack("<8B2H I", 0, 0, 0, 0, 0, 8, 8, 0,
+                            _LEAF_K, _INTERNAL_K, 0)
+    sb += struct.pack("<QQQQ", 0, UNDEF, len(out), UNDEF)
+    # root symbol-table entry, cache_type 1: scratch = btree + heap
+    sb += struct.pack("<QQII", 0, root_addr, 1, 0)
+    sb += struct.pack("<QQ", btree_addr, heap_hdr_addr)
+    out[: len(sb)] = sb
+
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+# ---------------------------------------------------------------- reader
+
+def _parse_messages(buf: memoryview, addr: int):
+    """Yield (type, body) from a v1 object header, following
+    continuation (0x0010) messages."""
+    ver, nmsg, _refs, hsize = struct.unpack_from("<BxHI I", buf, addr)
+    if ver != 1:
+        raise NotImplementedError(f"object header v{ver} not supported")
+    spans = [(addr + 16, addr + 16 + hsize)]
+    seen = 0
+    while spans and seen < nmsg:
+        pos, end = spans.pop(0)
+        while pos + 8 <= end and seen < nmsg:
+            mtype, msize, _flags = struct.unpack_from("<HHB3x", buf, pos)
+            body = bytes(buf[pos + 8: pos + 8 + msize])
+            seen += 1
+            pos += 8 + msize
+            if mtype == 0x0010:  # continuation: (offset, length)
+                o, ln = struct.unpack("<QQ", body[:16])
+                spans.append((o, o + ln))
+            else:
+                yield mtype, body
+
+
+def _parse_datatype(body: bytes):
+    cls_ver = body[0]
+    cls, ver = cls_ver & 0x0F, cls_ver >> 4
+    if ver not in (1, 2, 3):
+        raise NotImplementedError(f"datatype version {ver}")
+    bits = body[1] | (body[2] << 8) | (body[3] << 16)
+    (size,) = struct.unpack_from("<I", body, 4)
+    if cls == 0:
+        if bits & 0x01:
+            raise NotImplementedError("big-endian fixed-point")
+        return np.dtype(f"<{'i' if bits & 0x08 else 'u'}{size}")
+    if cls == 1:
+        if bits & 0x01:
+            raise NotImplementedError("big-endian float")
+        return np.dtype(f"<f{size}")
+    if cls == 3:
+        return np.dtype(f"S{size}")
+    raise NotImplementedError(f"datatype class {cls} not supported")
+
+
+def _read_dataset(buf: memoryview, addr: int) -> np.ndarray:
+    dims = dtype = layout = None
+    for mtype, body in _parse_messages(buf, addr):
+        if mtype == 0x0001:  # dataspace
+            ver = body[0]
+            if ver == 1:
+                ndim, flags = body[1], body[2]
+                off = 8
+            elif ver == 2:
+                ndim, flags = body[1], body[2]
+                off = 4
+            else:
+                raise NotImplementedError(f"dataspace v{ver}")
+            dims = struct.unpack_from(f"<{ndim}Q", body, off)
+        elif mtype == 0x0003:
+            dtype = _parse_datatype(body)
+        elif mtype == 0x0008:
+            ver = body[0]
+            if ver != 3:
+                raise NotImplementedError(f"data layout v{ver}")
+            if body[1] != 1:
+                raise NotImplementedError(
+                    "only contiguous layout supported (no chunking)")
+            layout = struct.unpack_from("<QQ", body, 2)
+    if dims is None or dtype is None or layout is None:
+        raise ValueError("dataset object header incomplete")
+    if len(dims) != 1:
+        raise NotImplementedError("only 1-D datasets supported")
+    data_addr, data_size = layout
+    n = dims[0]
+    if data_addr == UNDEF:
+        return np.zeros(n, dtype=dtype)
+    raw = bytes(buf[data_addr: data_addr + n * dtype.itemsize])
+    return np.frombuffer(raw, dtype=dtype).copy()
+
+
+def _heap_name(buf: memoryview, heap_hdr: int, offset: int) -> str:
+    sig = bytes(buf[heap_hdr: heap_hdr + 4])
+    if sig != b"HEAP":
+        raise ValueError("bad local heap signature")
+    (data_addr,) = struct.unpack_from("<Q", buf, heap_hdr + 24)
+    pos = data_addr + offset
+    end = pos
+    while buf[end] != 0:
+        end += 1
+    return bytes(buf[pos:end]).decode("utf-8")
+
+
+def _walk_btree(buf: memoryview, addr: int, heap_hdr: int, out: dict):
+    sig = bytes(buf[addr: addr + 4])
+    if sig == b"SNOD":
+        (nsym,) = struct.unpack_from("<H", buf, addr + 6)
+        pos = addr + 8
+        for _ in range(nsym):
+            name_off, hdr_addr = struct.unpack_from("<QQ", buf, pos)
+            out[_heap_name(buf, heap_hdr, name_off)] = hdr_addr
+            pos += 40
+        return
+    if sig != b"TREE":
+        raise ValueError(f"bad b-tree signature {sig!r}")
+    ntype, level, used = struct.unpack_from("<BBH", buf, addr + 4)
+    if ntype != 0:
+        raise ValueError("not a group b-tree")
+    pos = addr + 24
+    for _ in range(used):
+        (child,) = struct.unpack_from("<Q", buf, pos + 8)
+        if level == 0:
+            _walk_btree(buf, child, heap_hdr, out)  # child is a SNOD
+        else:
+            _walk_btree(buf, child, heap_hdr, out)
+        pos += 16
+
+
+def read(path: str, columns: list[str] | None = None) -> dict:
+    """Read root-level 1-D datasets -> ``{name: np.ndarray}``.
+    Fixed-length string data comes back as ``bytes`` arrays, like
+    h5py, for the caller's utf-8 decode + type re-guess."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = memoryview(data)
+    if bytes(buf[:8]) != _SIG:
+        raise ValueError("not an HDF5 file (bad signature)")
+    sb_ver = buf[8]
+    if sb_ver not in (0, 1):
+        raise NotImplementedError(
+            f"superblock v{sb_ver} not supported (classic format only)")
+    size_off, size_len = buf[13], buf[14]
+    if (size_off, size_len) != (8, 8):
+        raise NotImplementedError("only 8-byte offsets/lengths")
+    ste = 24 + 32 + (4 if sb_ver == 1 else 0)
+    root_hdr, cache_type = struct.unpack_from("<8xQI", buf, ste)
+    if cache_type == 1:
+        btree_addr, heap_addr = struct.unpack_from("<QQ", buf, ste + 24)
+    else:
+        btree_addr = heap_addr = None
+        for mtype, body in _parse_messages(buf, root_hdr):
+            if mtype == 0x0011:
+                btree_addr, heap_addr = struct.unpack("<QQ", body[:16])
+        if btree_addr is None:
+            raise NotImplementedError(
+                "root group has no symbol table (new-style group?)")
+    datasets: dict[str, int] = {}
+    _walk_btree(buf, btree_addr, heap_addr, datasets)
+    names = columns or sorted(datasets)
+    result = {}
+    for n in names:
+        if n not in datasets:
+            raise KeyError(f"no dataset {n!r} in {path}")
+        result[n] = _read_dataset(buf, datasets[n])
+    return result

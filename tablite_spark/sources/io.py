@@ -31,6 +31,7 @@ from html.parser import HTMLParser
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tablite_spark.config import Config
 from tablite_spark.functions.inference import apply_guessed_types
 
 _DELIMS = {".csv": ",", ".tsv": "\t", ".txt": "|", ".ssv": ";"}
@@ -250,29 +251,37 @@ def read_hdf5(spark: SparkSession, path: str,
               columns: list[str] | None = None) -> DataFrame:
     """Reference hdf5 import (tablite/import_utils.py:72-109): one
     dataset per column at the file root; byte/object columns are
-    decoded utf-8 and type-guessed. Gated on h5py (not in every
-    environment). hdf5 is a single-file driver-side format — for big
-    data the path is convert-once to parquet (``save``)."""
-    try:
-        import h5py
-    except ImportError as e:
-        raise NotImplementedError(
-            "hdf5 import requires h5py (pip install h5py)") from e
+    decoded utf-8 and type-guessed. Uses h5py when installed (full
+    format coverage); otherwise the stdlib ``hdf5lite`` codec reads
+    the classic contiguous-dataset subset. hdf5 is a single-file
+    driver-side format — for big data the path is convert-once to
+    parquet (``save``)."""
     import pandas as pd
 
     from tablite_spark.functions.inference import apply_guessed_types
     cols = {}
     needs_guess = []
-    with h5py.File(path, "r") as h5:
-        names = columns or list(h5.keys())
-        for name in names:
-            arr = h5[name][:]
-            if arr.dtype.kind in ("S", "O"):
-                cols[name] = [v.decode("utf-8") if isinstance(v, bytes) else v
-                              for v in arr]
-                needs_guess.append(name)
-            else:
-                cols[name] = arr.tolist()
+    try:
+        import h5py
+    except ImportError:
+        from tablite_spark.sources import hdf5lite
+        raw = hdf5lite.read(path, columns)
+    else:
+        raw = {}
+        with h5py.File(path, "r") as h5:
+            for name in columns or list(h5.keys()):
+                raw[name] = h5[name][:]
+    sentinels = Config.NONE_SENTINELS
+    for name, arr in raw.items():
+        if arr.dtype.kind in ("S", "O"):
+            vals = [v.decode("utf-8") if isinstance(v, bytes) else v
+                    for v in arr]
+            # reference from_hdf5 re-guesses stringified columns and
+            # its DataTypes.guess maps sentinel strings back to None
+            cols[name] = [None if v in sentinels else v for v in vals]
+            needs_guess.append(name)
+        else:
+            cols[name] = arr.tolist()
     df = spark.createDataFrame(pd.DataFrame(cols))
     if needs_guess:
         df = apply_guessed_types(df, columns=needs_guess)
@@ -282,15 +291,18 @@ def read_hdf5(spark: SparkSession, path: str,
 def to_hdf5(df: DataFrame, path: str) -> None:
     """Reference hdf5 export (tablite/export_utils.py:63-105): one
     dataset per column; values h5py can't store natively are
-    stringified, like the reference's TypeError fallback. Gated on
-    h5py. Collects to the driver — hdf5 has no distributed writer;
-    at scale export parquet instead."""
+    stringified, like the reference's TypeError fallback. Uses h5py
+    when installed; otherwise the stdlib ``hdf5lite`` codec writes
+    the classic contiguous-dataset subset. Collects to the driver —
+    hdf5 has no distributed writer; at scale export parquet
+    instead."""
+    pdf = df.toPandas()
     try:
         import h5py
-    except ImportError as e:
-        raise NotImplementedError(
-            "hdf5 export requires h5py (pip install h5py)") from e
-    pdf = df.toPandas()
+    except ImportError:
+        from tablite_spark.sources import hdf5lite
+        hdf5lite.write(path, {n: pdf[n].to_numpy() for n in pdf.columns})
+        return
     with h5py.File(path, "w") as f:
         for name in pdf.columns:
             vals = pdf[name]

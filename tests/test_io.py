@@ -314,21 +314,54 @@ def test_get_headers_other_formats(spark, tmp_path):
     assert h[0] == ["k", "v"] and len(h) == 2
 
 
-def test_hdf5_gated(spark, tmp_path):
+def test_hdf5_roundtrip(spark, tmp_path):
     """hdf5 round-trip mirrors the reference layout (one dataset per
-    column, stringify fallback, guess on re-import); skipped where
-    h5py is absent — the gate must raise NotImplementedError there."""
-    from tablite_spark.sources.io import read_hdf5, to_hdf5
-    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    column, stringify fallback, guess on re-import). Runs with h5py
+    when installed, else through the stdlib hdf5lite codec — the
+    path executes either way."""
+    from tablite_spark.sources.io import from_file, read_hdf5, to_hdf5
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", -0.5, False), (3, None, 2.0, True)],
+        "k int, v string, x double, b boolean")
     p = str(tmp_path / "t.h5")
-    try:
-        import h5py  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="h5py"):
-            to_hdf5(df, p)
-        with pytest.raises(NotImplementedError, match="h5py"):
-            read_hdf5(spark, p)
-        return
     to_hdf5(df, p)
     back = read_hdf5(spark, p)
-    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+    rows = sorted((r["k"], r["v"], r["x"], r["b"]) for r in back.collect())
+    assert rows == [(1, "a", 1.5, True), (2, "b", -0.5, False),
+                    (3, None, 2.0, True)]
+    # from_file dispatch hits the same path
+    assert from_file(spark, p).count() == 3
+
+
+def test_hdf5lite_format_invariants(tmp_path):
+    """Structural checks of the stdlib writer against the public HDF5
+    spec: signature, superblock v0, sorted SNOD entries, contiguous
+    layout — independent of the paired reader's happy path."""
+    import struct
+
+    import numpy as np
+
+    from tablite_spark.sources import hdf5lite
+    p = str(tmp_path / "s.h5")
+    hdf5lite.write(p, {"zz": np.arange(4), "aa": np.ones(4),
+                       "mm": ["x", "yy", None, "z"]})
+    raw = open(p, "rb").read()
+    assert raw[:8] == b"\x89HDF\r\n\x1a\n"
+    assert raw[8] == 0  # superblock v0
+    assert raw[13] == 8 and raw[14] == 8  # offset/length sizes
+    eof = struct.unpack_from("<Q", raw, 40)[0]
+    assert eof == len(raw)  # end-of-file address is exact
+    assert raw.count(b"SNOD") == 1 and raw.count(b"TREE") == 1
+    assert raw.count(b"HEAP") == 1
+    # reader sees names sorted; subset + missing-column contract
+    back = hdf5lite.read(p)
+    assert list(back) == ["aa", "mm", "zz"]
+    assert (hdf5lite.read(p, ["zz"])["zz"] == np.arange(4)).all()
+    with pytest.raises(KeyError):
+        hdf5lite.read(p, ["nope"])
+    # unsupported shapes raise, not corrupt
+    with pytest.raises(ValueError):
+        hdf5lite.write(str(tmp_path / "bad.h5"),
+                       {"m": np.ones((2, 2))})
+    with pytest.raises(ValueError):
+        hdf5lite.read(__file__)  # not an hdf5 file
