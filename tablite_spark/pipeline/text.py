@@ -43,8 +43,12 @@ def text_statistics(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def token_count(df: DataFrame, text_col: str,
-                mode: str = "whitespace") -> DataFrame:
-    """Token counting: whitespace or BPE-ish regex pieces."""
+                mode: str = "whitespace", *,
+                vocab: dict | None = None,
+                merges: list | None = None) -> DataFrame:
+    """Token counting: whitespace, BPE-ish regex pieces, or exact
+    byte-level BPE (``mode="bpe"`` with a GPT-2-style vocab+merges —
+    see pipeline/bpe.py)."""
     c = F.col(text_col)
     if mode == "whitespace":
         n = F.size(_tokens(c))
@@ -52,6 +56,12 @@ def token_count(df: DataFrame, text_col: str,
         # word pieces + digits + punctuation as separate tokens —
         # a cheap proxy for BPE token counts
         n = F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), 0))
+    elif mode == "bpe":
+        if vocab is None or merges is None:
+            raise ValueError("mode='bpe' needs vocab= and merges= "
+                             "(load with BPETokenizer.from_files)")
+        from tablite_spark.pipeline.bpe import token_count_bpe
+        return token_count_bpe(df, text_col, vocab, merges)
     else:
         raise ValueError(f"unknown token mode {mode!r}")
     return df.withColumn("n_tokens", n)

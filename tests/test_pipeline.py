@@ -830,3 +830,64 @@ def test_deterministic_shuffle(spark):
     order4 = [r["k"] for r in
               deterministic_shuffle(df.union(extra), "k", "s").collect()]
     assert [k for k in order4 if k < 500] == order1
+
+
+# ----------------------------------------------------------- byte-level BPE
+
+def test_bpe_train_and_count_hand_verified():
+    """Classic 'low' example, hand-traced: merges (o,w)->(l,ow)->
+    (G. low) give one token per whole word, sub-word split for
+    unseen suffixes."""
+    from tablite_spark.pipeline.bpe import BPETokenizer, train_bpe
+    vocab, merges = train_bpe(["low low low"], vocab_size=259)
+    assert merges == [("o", "w"), ("l", "ow"), ("Ġ", "low")]
+    tok = BPETokenizer(vocab, merges)
+    assert tok.count("low low") == 2          # "low" + " low"
+    assert tok.count("low lowx") == 3         # "low" + " low" + "x"
+    assert tok.count("wol") == 3              # no merge applies
+    assert tok.decode(tok.encode("low lowx wol")) == "low lowx wol"
+
+
+def test_bpe_roundtrip_unicode_and_gpt2_file_format(tmp_path):
+    """Byte alphabet covers every input: encode/decode is exact for
+    arbitrary unicode; GPT-2 vocab.json+merges.txt load path produces
+    the identical tokenizer."""
+    import json
+
+    from tablite_spark.pipeline.bpe import BPETokenizer, train_bpe
+    corpus = ["héllo wörld", "嗨 tokens everywhere", "emoji 🙂 too"]
+    vocab, merges = train_bpe(corpus, vocab_size=300)
+    tok = BPETokenizer(vocab, merges)
+    for s in corpus + ["never seen bytes: ƒ∂ß´∑ œ∅"]:
+        assert tok.decode(tok.encode(s)) == s
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    with open(vp, "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    with open(mp, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        f.writelines(f"{a} {b}\n" for a, b in merges)
+    tok2 = BPETokenizer.from_files(vp, mp)
+    for s in corpus:
+        assert tok2.encode(s) == tok.encode(s)
+
+
+def test_token_count_bpe_spark_matches_driver(spark):
+    """token_count(mode='bpe') on the documents table matches the
+    driver-side tokenizer row for row, and is partition-invariant."""
+    from tablite_spark.pipeline.bpe import BPETokenizer, train_bpe
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(50).cache())
+    sample = [r["text"] for r in docs.limit(10).collect()]
+    vocab, merges = train_bpe(sample, vocab_size=400)
+    tok = BPETokenizer(vocab, merges)
+    out = {r["doc_id"]: r["n_tokens"]
+           for r in token_count(docs, "text", mode="bpe",
+                                vocab=vocab, merges=merges).collect()}
+    expect = {r["doc_id"]: tok.count(r["text"]) for r in docs.collect()}
+    assert out == expect and len(out) == 50
+    repart = {r["doc_id"]: r["n_tokens"]
+              for r in token_count(docs.repartition(7), "text", mode="bpe",
+                                   vocab=vocab, merges=merges).collect()}
+    assert repart == expect
+    with pytest.raises(ValueError, match="vocab"):
+        token_count(docs, "text", mode="bpe")
