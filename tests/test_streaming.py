@@ -139,3 +139,46 @@ def test_stream_interval_join(spark, tmp_path):
     # error 20 (u1, 00:45) matches clicks 10 & 11; error 21 (u2, 03:00)
     # is >1h after click 12 → no match
     assert pairs == [(20, 10), (20, 11)]
+
+
+def test_watermark_bounds_state_across_microbatches(spark, tmp_path):
+    """Multi-micro-batch run (maxFilesPerTrigger=1): the watermark
+    must advance between batches, EVICT finalized window state (final
+    state size << total windows seen), and DROP a late arrival — the
+    metrics Spark exposes per batch make all three assertable."""
+    src = str(tmp_path / "wm_src")
+    for h in range(6):
+        rows = [(h * 10 + m, f"2024-01-01 {h:02d}:{m * 20:02d}:00", 1, 1.0)
+                for m in range(3)]
+        if h == 5:  # far-late arrival: watermark is hours ahead by now
+            rows.append((99, "2024-01-01 00:00:00", 1, 1.0))
+        (spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, value double")
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = tumbling_counts(stream, window="10 minutes",
+                          watermark="10 minutes")
+    q = (agg.writeStream.format("memory").queryName("wmstate")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    progress = q.recentProgress
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= 6  # one micro-batch per file
+    state_rows = [p["stateOperators"][0]["numRowsTotal"]
+                  for p in progress if p["stateOperators"]]
+    dropped = sum(p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+                  for p in progress if p["stateOperators"])
+    assert dropped == 1  # the h=5 late row never reached state
+    # 18 distinct windows streamed through; eviction keeps final state
+    # to the un-finalized tail only
+    assert state_rows[-1] <= 4 < 18
+    out = spark.sql(
+        "SELECT window.start AS s, n FROM wmstate ORDER BY s").collect()
+    assert 15 <= len(out) <= 18
+    first = [r for r in out if r["s"].strftime("%H:%M") == "00:00"]
+    assert first and first[0]["n"] == 1  # late duplicate was dropped
