@@ -164,10 +164,24 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         # other steady-state entry here
         read_json_columnar(spark, '{"columns": {"a": [1, 2]}}') \
             .write.format("noop").mode("overwrite").save()
+        # cold = first full-size call (pays allocator growth for the
+        # 12M-object decode); steady = second call, comparable to the
+        # other warmed entries. Stage breakdown (orjson decode /
+        # pa.array build / createDataFrame) is recorded so the e2e
+        # number is explainable: decode dominates and is heap-state
+        # sensitive (~1-2.5 s run to run), the Spark side is ~0.6 s.
         t0 = time.perf_counter()
         read_json_columnar(spark, payload).write.format("noop") \
             .mode("overwrite").save()
+        timings["json_columnar_1m_read_cold"] = round(
+            time.perf_counter() - t0, 3)
+        stages = {}
+        t0 = time.perf_counter()
+        read_json_columnar(spark, payload, _stages=stages) \
+            .write.format("noop").mode("overwrite").save()
         timings["json_columnar_1m_read"] = round(time.perf_counter() - t0, 3)
+        for k, v in stages.items():
+            timings[f"json_columnar_1m_{k}"] = round(v, 3)
         rows_out["synth_rows"] = 1_000_000
         synth.unpersist()
 

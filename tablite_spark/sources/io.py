@@ -144,25 +144,30 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def read_json_columnar(spark: SparkSession, jsn: dict | str) -> DataFrame:
+def read_json_columnar(spark: SparkSession, jsn: dict | str,
+                       _stages: dict | None = None) -> DataFrame:
     """Column-major JSON {"columns": {name: [values]}}
     (tablite/import_utils.py:112-122). Small-data by nature (a dict in
     memory); big JSON goes through spark.read.json.
 
     Perf notes (1M rows x 12 cols, ~135 MB string): the decode is
-    orjson-bound (~2.5 s); cyclic GC is suspended during the 12M-object
-    build (refcounting still frees everything; saves ~0.5 s of needless
-    collection passes), each column is converted to Arrow and its
-    python list freed IMMEDIATELY so peak heap stays ~1 column wide,
-    and conversion failures fall back PER COLUMN (a mixed-type column
-    is coerced to string, matching the engine's one-type-per-column
-    policy, SURVEY §1.3) — never by silently routing the whole table
-    through a 1M-tuple python row loop. The measured e2e matches the
-    reference's own results table (benchmarks.ipynb: from_json read
-    4.406 s / 1M rows = 227k rows/s; the notebook's "2.3M rps"
-    conclusion line is a 10x misprint of its own 226,963 r/s cell)."""
+    orjson-bound (1-2.5 s depending on process heap state); cyclic GC
+    is suspended during the 12M-object build (refcounting still frees
+    everything; saves ~0.5 s of needless collection passes), each
+    column is converted to Arrow and its python list freed IMMEDIATELY
+    so peak heap stays ~1 column wide, and conversion failures fall
+    back PER COLUMN (a mixed-type column is coerced to string,
+    matching the engine's one-type-per-column policy, SURVEY §1.3) —
+    never by silently routing the whole table through a 1M-tuple
+    python row loop. The measured e2e matches the reference's own
+    results table (benchmarks.ipynb: from_json read 4.406 s / 1M rows
+    = 227k rows/s; the notebook's "2.3M rps" conclusion line is a 10x
+    misprint of its own 226,963 r/s cell). Pass ``_stages={}`` to get
+    the per-stage wall times back (bench.py records them)."""
     import gc
+    import time as _time
 
+    _t0 = _time.perf_counter()
     if isinstance(jsn, str):
         gc_was_on = gc.isenabled()
         gc.disable()
@@ -176,6 +181,8 @@ def read_json_columnar(spark: SparkSession, jsn: dict | str) -> DataFrame:
         finally:
             if gc_was_on:
                 gc.enable()
+    if _stages is not None:
+        _stages["decode"] = _time.perf_counter() - _t0
     cols = jsn["columns"]
     names = list(cols)
     n = max((len(v) for v in cols.values()), default=0)
@@ -200,6 +207,12 @@ def read_json_columnar(spark: SparkSession, jsn: dict | str) -> DataFrame:
                 arrays.append(pa.array(
                     [v if v is None or isinstance(v, str) else str(v)
                      for v in vals], type=pa.string()))
+        if _stages is not None:
+            _t1 = _time.perf_counter()
+            _stages["arrow_build"] = _t1 - _t0 - _stages.get("decode", 0)
+            out = spark.createDataFrame(pa.table(dict(zip(names, arrays))))
+            _stages["create_df"] = _time.perf_counter() - _t1
+            return out
         return spark.createDataFrame(pa.table(dict(zip(names, arrays))))
     # ragged columns (rare, small by contract): pad with nulls row-wise
     rows = [tuple(cols[c][i] if i < len(cols[c]) else None for c in names)
