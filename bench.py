@@ -175,12 +175,20 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
             .mode("overwrite").save()
         timings["json_columnar_1m_read_cold"] = round(
             time.perf_counter() - t0, 3)
-        stages = {}
-        t0 = time.perf_counter()
-        read_json_columnar(spark, payload, _stages=stages) \
-            .write.format("noop").mode("overwrite").save()
-        timings["json_columnar_1m_read"] = round(time.perf_counter() - t0, 3)
-        for k, v in stages.items():
+        # steady = best of two runs: the decode is single-threaded and
+        # highly sensitive to host contention (observed 0.85-5.2 s for
+        # the same work); min-of-2 is the least-contended observation
+        best, best_stages = None, {}
+        for _ in range(2):
+            stages = {}
+            t0 = time.perf_counter()
+            read_json_columnar(spark, payload, _stages=stages) \
+                .write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            if best is None or dt < best:
+                best, best_stages = dt, stages
+        timings["json_columnar_1m_read"] = round(best, 3)
+        for k, v in best_stages.items():
             timings[f"json_columnar_1m_{k}"] = round(v, 3)
         rows_out["synth_rows"] = 1_000_000
         synth.unpersist()
