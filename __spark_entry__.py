@@ -809,6 +809,28 @@ def sql_script_md5(spark: SparkSession, sf: str) -> DataFrame:
         [(h, script.count("\n") + 1)], "script_md5 string, n_lines long")
 
 
+def row_iteration_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    """Table.rows driver-side iteration (table.py:189, the reference's
+    tablite/base.py:1294-1318 row iterator): stream ordered nation
+    rows via toLocalIterator and fold an order-sensitive checksum —
+    position-weighted key sum + md5 of the name concatenation — so
+    the oracle proves completeness AND iteration order, not just
+    row count."""
+    import hashlib
+
+    from tablite_spark.table import Table
+    t = Table(_t(spark, sf, "nation")
+              .select("n_nationkey", "n_name").orderBy("n_nationkey"))
+    n, weighted, names = 0, 0, []
+    for key, name in t.rows:
+        n += 1
+        weighted += n * key
+        names.append(name)
+    md5 = hashlib.md5("|".join(names).encode()).hexdigest()
+    return spark.createDataFrame(
+        [(n, weighted, md5)], "n long, weighted long, name_md5 string")
+
+
 def get_headers_nation(spark: SparkSession, sf: str) -> DataFrame:
     """get_headers file peek (sources/io.py:get_headers, the
     reference's tools.py:32-36): header names of a written CSV, as
@@ -1834,6 +1856,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rename_reorder_project": rename_reorder_project,
         "sql_script_md5": sql_script_md5,
         "get_headers_nation": get_headers_nation,
+        "row_iteration_checksum": row_iteration_checksum,
         "construction_api_agg": construction_api_agg,
         # --- green in round 2 (rotate forward of round-1 greens so the
         #     50-window still re-exercises the most recent operators)
@@ -2374,6 +2397,17 @@ def oracle_sql() -> dict[str, str]:
                 (CAST(0 AS BIGINT), 'n_nationkey'),
                 (CAST(1 AS BIGINT), 'n_name'),
                 (CAST(2 AS BIGINT), 'n_regionkey')) AS t(pos, name)
+        """,
+        "row_iteration_checksum": """
+            WITH ordered AS (
+                SELECT n_nationkey, n_name,
+                       ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn
+                FROM nation)
+            SELECT COUNT(*) AS n,
+                   CAST(SUM(rn * n_nationkey) AS BIGINT) AS weighted,
+                   MD5(STRING_AGG(n_name, '|' ORDER BY n_nationkey))
+                       AS name_md5
+            FROM ordered
         """,
         "construction_api_agg": """
             WITH t(k, v) AS (VALUES (1, 'a'), (2, 'b'), (3, 'a'))
