@@ -1595,6 +1595,53 @@ def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
     return dims.select("doc_id", "width", "height").join(feats, "doc_id")
 
 
+def video_frames_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL MJPEG-AVI frame sampling (pipeline/avi.py RIFF container
+    + pipeline/jpeg.py per-frame decode + multimodal.
+    sample_video_frames): every 5th doc gets a genuine AVI whose
+    frame count (3..6), dimensions (MCU-straddling, like
+    jpeg_decode_dims), and planted per-frame luminance bit derive
+    from doc_id; sampling at 200 ms of a 10 fps stream keeps every
+    2nd frame. The sampled-frame count, dims, last timestamp, and
+    quantization-rounded luma bits must match the arithmetic
+    oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.avi import avi_encode
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, sample_video_frames,
+    )
+    d = (_t(spark, sf, "documents").select("doc_id")
+         .where(F.col("doc_id") % 5 == 0))
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 9, 12 + did % 5
+                n = 3 + did % 4
+                frames = []
+                for i in range(n):
+                    px = np.full((h, w, 3),
+                                 255 * ((did + i) % 2), dtype=np.uint8)
+                    frames.append(px)
+                raws.append(avi_encode(frames, fps=10.0, quality=90))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    vids = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(vids, "raw", "video/x-msvideo").drop("raw")
+    sampled = sample_video_frames(media, every_ms=200)
+    return (sampled.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sampled"),
+                 F.max("width").alias("width"),
+                 F.max("height").alias("height"),
+                 F.max("t_ms").alias("max_t_ms"),
+                 F.sum(F.round(F.col("mean_luma") / 255.0, 0))
+                  .cast("long").alias("luma_bits")))
+
+
 def wav_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio metadata decode (multimodal.decode_audio — RIFF/WAVE
     header parse): each doc gets a genuine mono 16-bit WAV whose length
@@ -1848,6 +1895,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_urls_docs": canonical_urls_docs,
         "png_decode_dims": png_decode_dims,
         "jpeg_decode_dims": jpeg_decode_dims,
+        "video_frames_meta": video_frames_meta,
         "wav_decode_meta": wav_decode_meta,
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "hdf5_roundtrip_agg": hdf5_roundtrip_agg,
@@ -3019,6 +3067,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(12 + doc_id % 5 AS INT) AS height,
                    CAST(doc_id % 2 AS DOUBLE) AS mean_red_bit
             FROM documents
+        """,
+        "video_frames_meta": """
+            WITH base AS (
+                SELECT doc_id, 3 + doc_id % 4 AS n
+                FROM documents WHERE doc_id % 5 = 0
+            ), s AS (
+                SELECT doc_id, n, CAST((n - 1) // 2 + 1 AS BIGINT)
+                           AS n_sampled
+                FROM base)
+            SELECT doc_id, n_sampled,
+                   CAST(16 + doc_id % 9 AS INT) AS width,
+                   CAST(12 + doc_id % 5 AS INT) AS height,
+                   CAST(200 * (n_sampled - 1) AS BIGINT) AS max_t_ms,
+                   CAST(n_sampled * (doc_id % 2) AS BIGINT) AS luma_bits
+            FROM s
         """,
         "png_decode_dims": """
             SELECT doc_id,

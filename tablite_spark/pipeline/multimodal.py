@@ -7,11 +7,12 @@ work on the typed part while payloads stay opaque bytes.
 
 Decode / feature-extract run as Arrow-batched pandas functions via
 ``mapInPandas``. PNG (pipeline/png.py), baseline JPEG
-(pipeline/jpeg.py), and WAV decode for REAL — pure stdlib+numpy
-codecs, no imaging library needed. Other formats (WebP/GIF/video)
-remain deterministic fakes / NotImplementedError stubs behind the
+(pipeline/jpeg.py), WAV, and MJPEG-AVI video (pipeline/avi.py)
+decode for REAL — pure stdlib+numpy codecs, no imaging library
+needed. Other formats (WebP/GIF, temporally-compressed video)
+remain deterministic fakes / null-degrading fallbacks behind the
 same tested Spark plumbing (schema, batching, partition shape);
-swapping in PIL/librosa later changes ONE function body.
+swapping in PIL/pyav later changes ONE function body.
 """
 
 from __future__ import annotations
@@ -239,7 +240,68 @@ def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
 
 def sample_video_frames(df: DataFrame, media_col: str = "media",
                         every_ms: int = 1000) -> DataFrame:
-    """Frame sampling stub: real decoders are not in this container."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec library (e.g. pyav); "
-        "the mapInPandas plumbing mirrors decode_images")
+    """REAL frame sampling for MJPEG-AVI payloads (pipeline/avi.py
+    RIFF walk + pipeline/jpeg.py per-frame decode — pure stdlib+numpy;
+    MJPEG has no inter-frame state, which is what makes a from-scratch
+    decoder honest). Emits one row per sampled frame (~every
+    ``every_ms``): frame_idx, t_ms, dims, mean luminance. Temporal
+    codecs (H.26x/VP9/AV1) and corrupt payloads degrade to a single
+    null row, mirroring decode_images' per-row fallback contract.
+
+    Scale shape: mapInPandas over the media struct — each video
+    decodes independently inside its partition, no shuffle; the
+    explode happens worker-side so driver never sees frame data."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != media_col] + [
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("t_ms", T.LongType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("mean_luma", T.DoubleType()),
+        ])
+    other_cols = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def _sample(data) -> list[tuple]:
+        from tablite_spark.pipeline.avi import avi_frames, avi_header
+        from tablite_spark.pipeline.jpeg import jpeg_decode
+        null_row = (None, None, None, None, None)
+        if not data:
+            return [null_row]
+        try:
+            data = bytes(data)
+            w, h, n, fps, _dur = avi_header(data)
+            step = max(1, int(round(every_ms * fps / 1000.0)))
+            wanted = set(range(0, n, step))
+            rows = []
+            for i, payload in enumerate(avi_frames(data)):
+                if i not in wanted:
+                    continue
+                t_ms = int(round(i * 1000.0 / fps))
+                try:
+                    px = jpeg_decode(payload)
+                    luma = float(px.astype("float64").mean())
+                    rows.append((i, t_ms, px.shape[1], px.shape[0], luma))
+                except Exception:
+                    rows.append((i, t_ms, None, None, None))
+            return rows or [null_row]
+        except Exception:
+            return [null_row]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {c: [] for c in other_cols}
+            for extra in ("frame_idx", "t_ms", "width", "height",
+                          "mean_luma"):
+                out[extra] = []
+            for _, row in pdf.iterrows():
+                m = row[media_col]
+                frames = _sample(m["data"] if m is not None else None)
+                for fr in frames:
+                    for c in other_cols:
+                        out[c].append(row[c])
+                    for name, v in zip(("frame_idx", "t_ms", "width",
+                                        "height", "mean_luma"), fr):
+                        out[name].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=out_schema)

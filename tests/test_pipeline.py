@@ -891,3 +891,64 @@ def test_token_count_bpe_spark_matches_driver(spark):
     assert repart == expect
     with pytest.raises(ValueError, match="vocab"):
         token_count(docs, "text", mode="bpe")
+
+
+# ----------------------------------------------------------- MJPEG-AVI video
+
+def test_avi_container_roundtrip():
+    """RIFF/AVI writer <-> reader: header fields, frame payload count,
+    per-frame JPEG decodability, planted per-frame luma."""
+    import numpy as np
+
+    from tablite_spark.pipeline.avi import avi_encode, avi_frames, avi_header
+    from tablite_spark.pipeline.jpeg import jpeg_decode
+    frames = [np.full((24, 33, 3), 255 * (i % 2), dtype=np.uint8)
+              for i in range(5)]
+    raw = avi_encode(frames, fps=10.0, quality=90)
+    w, h, n, fps, dur = avi_header(raw)
+    assert (w, h, n, dur) == (33, 24, 5, 500) and abs(fps - 10.0) < 1e-9
+    payloads = list(avi_frames(raw))
+    assert len(payloads) == 5
+    for i, p in enumerate(payloads):
+        px = jpeg_decode(p)
+        assert px.shape == (24, 33, 3)
+        assert (px.mean() > 200) == (i % 2 == 1)
+    with pytest.raises(ValueError):
+        avi_header(b"RIFF\x00\x00\x00\x00WAVE")  # wav is not avi
+    with pytest.raises(ValueError):
+        avi_encode([], fps=10)
+
+
+def test_sample_video_frames_spark(spark):
+    """sample_video_frames: real MJPEG decode worker-side, sampling
+    stride from fps*every_ms, corrupt payloads -> single null row."""
+    import numpy as np
+
+    from tablite_spark.pipeline.avi import avi_encode
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, sample_video_frames,
+    )
+    frames = [np.full((16, 16, 3), 40 * i, dtype=np.uint8)
+              for i in range(6)]
+    good = avi_encode(frames, fps=10.0, quality=90)
+    rows = [(1, bytearray(good)), (2, bytearray(b"\x00garbage")), (3, None)]
+    df = spark.createDataFrame(rows, "vid_id long, raw binary")
+    out = sample_video_frames(
+        attach_media(df, "raw", "video/x-msvideo").drop("raw"),
+        every_ms=200).collect()
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r["vid_id"], []).append(r)
+    # stride 2 over 6 frames -> indices 0,2,4 at t=0,200,400
+    g = sorted(by_vid[1], key=lambda r: r["frame_idx"])
+    assert [(r["frame_idx"], r["t_ms"]) for r in g] == [
+        (0, 0), (2, 200), (4, 400)]
+    assert all(r["width"] == 16 and r["height"] == 16 for r in g)
+    lumas = [r["mean_luma"] for r in g]
+    assert abs(lumas[0] - 0) < 6 and abs(lumas[1] - 80) < 6 \
+        and abs(lumas[2] - 160) < 6
+    # corrupt and null payloads each degrade to one null row
+    for vid in (2, 3):
+        assert len(by_vid[vid]) == 1
+        assert by_vid[vid][0]["frame_idx"] is None
+        assert by_vid[vid][0]["mean_luma"] is None
