@@ -1823,7 +1823,9 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 # (canonical_urls_docs regex, token_budget_cap two-phase). Everything
 # else was green in r2/r3 and rotates behind.
 _R4_WINDOW = [
-    "jpeg_decode_dims",
+    # never-verified first: new this round
+    "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
+    "video_frames_meta",
     # --- r1-only greens (stalest first-class rotation set)
     "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
     "filter_pass", "filter_fail", "filter_any", "filter_expression",
@@ -1837,8 +1839,11 @@ _R4_WINDOW = [
     "parquet_roundtrip_agg", "xlsx_roundtrip_agg", "q6_forecast_revenue",
     "q14_promo_revenue", "q18_large_orders", "q4_priority_exists",
     "q19_disjunctive_filter", "groupby_rollup", "groupby_cube",
-    "window_ntile", "count_value", "unique_values", "is_sorted",
-    "remove_all", "json_columnar_roundtrip", "token_count_bpe",
+    "window_ntile", "is_sorted",
+    # (count_value / unique_values / remove_all: r1-green one-line
+    #  wrappers, rotated to the r5 window to make room for the three
+    #  new never-verified queries above)
+    "json_columnar_roundtrip", "token_count_bpe",
     "language_id_docs", "ngram_jaccard_pairs", "near_dup_embeddings",
     # --- changed this round
     "canonical_urls_docs", "token_budget_docs",
