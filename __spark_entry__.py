@@ -1244,6 +1244,48 @@ def _dup_fixture(spark: SparkSession, sf: str) -> DataFrame:
     return base.unionByName(dups)
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup:
+    k-means cells + within-cell cosine, keep-min-id), exactly oracled
+    via the derived-invariant trick (_dup_fixture's embedding
+    analogue): each vec_id gets a deterministic 3-hot vector in R^96
+    — distinct ids share at most 2 of 3 coordinates (cosine <= 2/3 <
+    0.9), planted duplicates at vec_id + 10M reuse the ORIGINAL id's
+    vector (cosine exactly 1, and identical points always land in the
+    same k-means cell) — so survivors provably equal exact
+    keep-min-id dedup, which DuckDB computes over the same
+    construction."""
+    from tablite_spark.pipeline.similarity import semantic_dedup
+    e = _t(spark, sf, "embeddings").select("vec_id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(95)),
+        lambda j: F.when(
+            (j.cast("long") == F.col("vec_id") % 32)
+            | (j.cast("long") == 32 + F.floor(F.col("vec_id") / 32) % 32)
+            | (j.cast("long") == 64 + F.floor(F.col("vec_id") / 1024) % 32),
+            F.lit(1.0)).otherwise(F.lit(0.0)))
+    base = e.select("vec_id", vec.alias("vec"))
+    dups = (base.filter(F.col("vec_id") % 4 == 0)
+            .select((F.col("vec_id") + 10_000_000).alias("vec_id"), "vec"))
+    corpus = base.unionByName(dups)
+    out = semantic_dedup(corpus, "vec_id", "vec",
+                         threshold=0.9, n_lists=8)
+    return out.select("vec_id")
+
+
+def perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-trigram LM perplexity quality scoring (text.
+    perplexity_score — the CCNet/Wenzek-2020 filter signal re-expressed
+    Spark-first: explode + broadcast model join + combinable groupBy,
+    no UDF). Scores are quantized to integer millinats
+    (floor(1000*ln p) per gram, summed) so distributed float
+    summation is order-independent and DuckDB replays the exact
+    training + scoring arithmetic."""
+    from tablite_spark.pipeline.text import perplexity_score
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return perplexity_score(d, "text", id_col="doc_id")
+
+
 def minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup removal (shingle → signature → band join →
     est-Jaccard filter → anti-join), exactly oracled on the duplicate
@@ -1825,7 +1867,7 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 _R4_WINDOW = [
     # never-verified first: new this round
     "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
-    "video_frames_meta",
+    "video_frames_meta", "semantic_dedup_embeddings", "perplexity_docs",
     # --- r1-only greens (stalest first-class rotation set)
     "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
     "filter_pass", "filter_fail", "filter_any", "filter_expression",
@@ -1833,16 +1875,17 @@ _R4_WINDOW = [
     "groupby_mode", "groupby_product", "sort_mixed_excel",
     "transpose_region", "reindex_rows", "imputation_mode",
     "imputation_nn", "pivot_long", "sort_alphanumeric",
-    "drop_duplicates", "groupby_first_last", "date_range_expand",
+    "drop_duplicates", "groupby_first_last",
     "statistics_text", "statistics_dates", "index_rowids",
     "sort_unix_mixed", "xround_time_buckets", "json_roundtrip_agg",
     "parquet_roundtrip_agg", "xlsx_roundtrip_agg", "q6_forecast_revenue",
     "q14_promo_revenue", "q18_large_orders", "q4_priority_exists",
     "q19_disjunctive_filter", "groupby_rollup", "groupby_cube",
-    "window_ntile", "is_sorted",
-    # (count_value / unique_values / remove_all: r1-green one-line
-    #  wrappers, rotated to the r5 window to make room for the three
-    #  new never-verified queries above)
+    "window_ntile",
+    # (count_value / unique_values / remove_all / is_sorted /
+    #  date_range_expand: r1-green one-line wrappers, rotated to the
+    #  r5 window to make room for the five new never-verified queries
+    #  above)
     "json_columnar_roundtrip", "token_count_bpe",
     "language_id_docs", "ngram_jaccard_pairs", "near_dup_embeddings",
     # --- changed this round
@@ -1883,6 +1926,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ex-no_oracle rows, re-expressed with exact oracles
         #     (dup-fixture invariants / deterministic recall floors)
         "minhash_dedup_docs": minhash_dedup_docs,
+        "semantic_dedup_embeddings": semantic_dedup_embeddings,
+        "perplexity_docs": perplexity_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
@@ -3018,6 +3063,49 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 4 = 0
             )
             SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text_key
+        """,
+        "semantic_dedup_embeddings": """
+            WITH corpus AS (
+                SELECT vec_id, vec_id AS vec_key FROM embeddings
+                UNION ALL
+                SELECT vec_id + 10000000 AS vec_id, vec_id AS vec_key
+                FROM embeddings WHERE vec_id % 4 = 0
+            )
+            SELECT MIN(vec_id) AS vec_id FROM corpus GROUP BY vec_key
+        """,
+        "perplexity_docs": """
+            WITH dd AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                           AS norm
+                FROM documents
+            ), dn AS (
+                SELECT doc_id, norm FROM dd WHERE length(norm) >= 3
+            ), grams AS (
+                SELECT doc_id, substr(norm, CAST(i AS INT), 3) AS gram
+                FROM (SELECT doc_id, norm,
+                             unnest(range(1, length(norm) - 1)) AS i
+                      FROM dn)
+            ), counts AS (
+                SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY gram
+            ), prefixes AS (
+                SELECT substr(gram, 1, 2) AS pfx, SUM(cnt) AS pcnt
+                FROM counts GROUP BY pfx
+            ), vocab AS (
+                SELECT COUNT(DISTINCT substr(norm, CAST(i AS INT), 1)) AS v
+                FROM (SELECT norm,
+                             unnest(range(1, length(norm) + 1)) AS i
+                      FROM dn)
+            )
+            SELECT g.doc_id, COUNT(*) AS n_ngrams,
+                   CAST(SUM(FLOOR(1000.0 * ln(
+                        (c.cnt + 0.5) / (p.pcnt + 0.5 * vocab.v))))
+                        AS BIGINT) AS millinats
+            FROM grams g
+            JOIN counts c ON g.gram = c.gram
+            JOIN prefixes p ON substr(g.gram, 1, 2) = p.pfx
+            CROSS JOIN vocab
+            GROUP BY g.doc_id
         """,
         "simhash_docs": """
             WITH corpus AS (

@@ -301,3 +301,38 @@ def embedding_near_dup_blocked(df: DataFrame, id_col: str, vec_col: str,
 
     return ex.groupBy("ba", "bb").applyInPandas(
         score, schema="id_a long, id_b long, cos double")
+
+
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   threshold: float = 0.9, n_lists: int = 16,
+                   seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, public): k-means-cluster the embedding space,
+    then inside each cluster drop every row whose cosine to a
+    LOWER-id row exceeds ``threshold``; survivors are the per-group
+    min-id representatives, mirroring the keep-min convention of the
+    text dedup family (pipeline/dedup.py).
+
+    Scale shape — the whole point of the paper's design: pairwise
+    cosine work is bounded PER CLUSTER, never a global all-pairs.
+    ``n_lists`` should grow with the corpus (N / n_lists vectors per
+    cluster); clustering itself is the distributed Spark ML KMeans
+    from ``ivf_index`` (train on a sample at 100 TB, assign the full
+    corpus, persist the cluster id as a partition column). The
+    within-cluster self-join is an equi join on the cluster id —
+    one shuffle, cluster-bounded fan-out.
+    """
+    assigned, _ = ivf_index(df, id_col, vec_col, n_lists, seed)
+    a = assigned.select(F.col("ivf_list").alias("cell"),
+                        F.col("nid").alias("id_a"),
+                        F.col("cv").alias("va"))
+    b = assigned.select(F.col("ivf_list").alias("cell"),
+                        F.col("nid").alias("id_b"),
+                        F.col("cv").alias("vb"))
+    dup_ids = (a.join(b, "cell")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .filter(cosine(F.col("va"), F.col("vb")) > threshold)
+                .select(F.col("id_b").alias("__dup_id__"))
+                .distinct())
+    return df.join(dup_ids, df[id_col] == dup_ids["__dup_id__"],
+                   "left_anti")

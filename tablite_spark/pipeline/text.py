@@ -365,3 +365,86 @@ def pack_chunks(chunks: DataFrame, tokens_col: str,
     before = cum - F.col(tokens_col)
     return chunks.withColumn(
         "pack_id", F.floor(before / F.lit(budget)).cast("long"))
+
+
+def _norm_for_lm(c):
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def char_ngram_model(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Character n-gram counts over normalized text — the model side
+    of ``perplexity_score`` (CCNet / Wenzek et al. 2020 train a KenLM
+    on clean text and filter by perplexity; a char-n-gram model is the
+    self-contained analogue). One scan → one combinable groupBy; the
+    model is at most |alphabet|^n rows, always broadcastable.
+
+    At 100 TB: train on a clean sample (`df.sample`), score the full
+    corpus — exactly the CCNet recipe."""
+    norm = _norm_for_lm(F.col(text_col))
+    grams = (df.select(norm.alias("norm"))
+             .filter(F.length("norm") >= n)
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(1), F.length("norm") - (n - 1)),
+                 lambda i: F.col("norm").substr(i, F.lit(n))))
+                 .alias("gram")))
+    return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def lm_vocab_size(df: DataFrame, text_col: str) -> int:
+    """Distinct characters in the normalized corpus (the smoothing
+    denominator's V). Single combinable aggregate."""
+    norm = _norm_for_lm(F.col(text_col))
+    chars = (df.select(norm.alias("norm"))
+             .select(F.explode(F.transform(
+                 F.sequence(F.lit(1), F.length("norm")),
+                 lambda i: F.col("norm").substr(i, F.lit(1))))
+                 .alias("ch")))
+    return chars.agg(F.countDistinct("ch")).first()[0]
+
+
+def perplexity_score(df: DataFrame, text_col: str,
+                     id_col: str = "doc_id", n: int = 3,
+                     alpha: float = 0.5,
+                     model: DataFrame | None = None,
+                     vocab_size: int | None = None) -> DataFrame:
+    """Char-n-gram LM quality score per document: the add-alpha
+    smoothed conditional log-likelihood sum, quantized to millinats
+    (``floor(1000 * ln p)``) so the result is an exact integer —
+    order-independent under distributed summation and replayable by
+    an independent SQL engine (no float-associativity drift).
+
+    Output: (id_col, n_ngrams, millinats). Lower |millinats|/n_ngrams
+    = more predictable text (CCNet keeps the low-perplexity tail).
+
+    Plan shape: explode n-grams (one scan, no UDF) → broadcast-join
+    the gram and prefix count tables (char-trigram model is bounded
+    by |alphabet|^3 — broadcastable by construction) → one combinable
+    groupBy per doc. Self-trains on ``df`` when ``model`` is None;
+    pass a ``char_ngram_model`` of a clean sample for the real CCNet
+    recipe. Unseen grams/prefixes degrade smoothly via the same
+    add-alpha formula."""
+    if model is None:
+        model = char_ngram_model(df, text_col, n)
+    if vocab_size is None:
+        vocab_size = lm_vocab_size(df, text_col)
+    prefixes = (model.groupBy(F.col("gram").substr(1, n - 1).alias("pfx"))
+                .agg(F.sum("cnt").alias("pcnt")))
+    norm = _norm_for_lm(F.col(text_col))
+    grams = (df.select(F.col(id_col), norm.alias("norm"))
+             .filter(F.length("norm") >= n)
+             .select(id_col, F.explode(F.transform(
+                 F.sequence(F.lit(1), F.length("norm") - (n - 1)),
+                 lambda i: F.col("norm").substr(i, F.lit(n))))
+                 .alias("gram")))
+    scored = (grams
+              .join(F.broadcast(model), "gram", "left")
+              .join(F.broadcast(prefixes),
+                    grams["gram"].substr(1, n - 1) == prefixes["pfx"],
+                    "left"))
+    p = ((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
+         / (F.coalesce(F.col("pcnt"), F.lit(0))
+            + F.lit(alpha) * F.lit(float(vocab_size))))
+    milli = F.floor(F.lit(1000.0) * F.log(p))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_ngrams"),
+                 F.sum(milli).cast("long").alias("millinats")))

@@ -952,3 +952,57 @@ def test_sample_video_frames_spark(spark):
         assert len(by_vid[vid]) == 1
         assert by_vid[vid][0]["frame_idx"] is None
         assert by_vid[vid][0]["mean_luma"] is None
+
+
+# ------------------------------------------- semantic dedup + LM quality
+
+def test_semantic_dedup_drops_only_planted_dups(spark):
+    """3-hot orthogonal-ish fixture: identical planted vectors are
+    removed (keep-min-id), distinct ids (cosine <= 2/3) all survive."""
+    from tablite_spark.pipeline.similarity import semantic_dedup
+    ids = list(range(40))
+    def vec(i):
+        v = [0.0] * 96
+        v[i % 32] = 1.0
+        v[32 + (i // 32) % 32] = 1.0
+        v[64 + (i // 1024) % 32] = 1.0
+        return v
+    rows = [(i, vec(i)) for i in ids]
+    rows += [(i + 10_000_000, vec(i)) for i in ids if i % 4 == 0]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    out = sorted(r["vec_id"]
+                 for r in semantic_dedup(df, "vec_id", "vec",
+                                         threshold=0.9,
+                                         n_lists=4).collect())
+    assert out == ids  # every planted dup gone, every base id kept
+    # threshold above 1 keeps everything (no pair can exceed it)
+    all_kept = semantic_dedup(df, "vec_id", "vec", threshold=1.1,
+                              n_lists=4).count()
+    assert all_kept == len(rows)
+
+
+def test_perplexity_score_ranks_and_unseen_grams(spark):
+    """Repetitive text scores closer to 0 millinats/gram than novel
+    text under a self-trained model; scoring NEW docs against an
+    external model exercises the unseen-gram smoothing path."""
+    from tablite_spark.pipeline.text import (
+        char_ngram_model, lm_vocab_size, perplexity_score,
+    )
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa aaaa"), (2, "zq xv jw kt bp md")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in perplexity_score(docs, "text").collect()}
+    per_gram_1 = out[1]["millinats"] / out[1]["n_ngrams"]
+    per_gram_2 = out[2]["millinats"] / out[2]["n_ngrams"]
+    assert per_gram_1 > per_gram_2  # less negative = more predictable
+    assert out[1]["n_ngrams"] == len("aaaa aaaa aaaa aaaa") - 2
+    # external model: score unseen text, all grams miss -> finite
+    # smoothed scores, no nulls/crash
+    model = char_ngram_model(docs, "text")
+    v = lm_vocab_size(docs, "text")
+    new = spark.createDataFrame([(9, "completely different")],
+                                "doc_id long, text string")
+    got = perplexity_score(new, "text", model=model,
+                           vocab_size=v).collect()
+    assert len(got) == 1 and got[0]["millinats"] < 0
+    assert got[0]["n_ngrams"] == len("completely different") - 2
