@@ -1244,6 +1244,28 @@ def _dup_fixture(spark: SparkSession, sf: str) -> DataFrame:
     return base.unionByName(dups)
 
 
+def line_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Line-level boilerplate removal (dedup.line_dedup — the CCNet
+    paragraph-dedup / Dolma line-dedup recipe): docs are given three
+    lines, with every doc_id % 3 == 0 sharing an identical footer
+    line; line_dedup(min_docs=2) must strip exactly that footer from
+    every carrier and keep all unique lines in order. DuckDB builds
+    the expected post-dedup text directly (md5 + kept-line count)."""
+    from tablite_spark.pipeline.dedup import line_dedup
+    d = _t(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    mid = F.when(F.col("doc_id") % 3 == 0, F.lit("-- shared footer --")) \
+           .otherwise(F.concat(F.lit("mid-"), sid))
+    text = F.concat(F.lit("line-"), sid, F.lit("-a\n"),
+                    mid, F.lit("\nline-"), sid, F.lit("-b"))
+    docs = d.select("doc_id", text.alias("text"))
+    out = line_dedup(docs, "text", "doc_id", min_docs=2)
+    return out.select("doc_id",
+                      F.md5("text_dedup").alias("text_md5"),
+                      F.col("n_lines_kept").cast("long")
+                       .alias("n_lines_kept"))
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.semantic_dedup:
     k-means cells + within-cell cosine, keep-min-id), exactly oracled
@@ -1868,6 +1890,7 @@ _R4_WINDOW = [
     # never-verified first: new this round
     "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
     "video_frames_meta", "semantic_dedup_embeddings", "perplexity_docs",
+    "line_dedup_docs",
     # --- r1-only greens (stalest first-class rotation set)
     "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
     "filter_pass", "filter_fail", "filter_any", "filter_expression",
@@ -1876,7 +1899,7 @@ _R4_WINDOW = [
     "transpose_region", "reindex_rows", "imputation_mode",
     "imputation_nn", "pivot_long", "sort_alphanumeric",
     "drop_duplicates", "groupby_first_last",
-    "statistics_text", "statistics_dates", "index_rowids",
+    "statistics_text", "statistics_dates",
     "sort_unix_mixed", "xround_time_buckets", "json_roundtrip_agg",
     "parquet_roundtrip_agg", "xlsx_roundtrip_agg", "q6_forecast_revenue",
     "q14_promo_revenue", "q18_large_orders", "q4_priority_exists",
@@ -1928,6 +1951,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_docs": minhash_dedup_docs,
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "perplexity_docs": perplexity_docs,
+        "line_dedup_docs": line_dedup_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
@@ -3063,6 +3087,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 4 = 0
             )
             SELECT MIN(doc_id) AS doc_id FROM corpus GROUP BY text_key
+        """,
+        "line_dedup_docs": """
+            SELECT doc_id,
+                   MD5(CASE WHEN doc_id % 3 = 0 THEN
+                         'line-' || CAST(doc_id AS VARCHAR) || '-a' ||
+                         chr(10) ||
+                         'line-' || CAST(doc_id AS VARCHAR) || '-b'
+                       ELSE
+                         'line-' || CAST(doc_id AS VARCHAR) || '-a' ||
+                         chr(10) || 'mid-' || CAST(doc_id AS VARCHAR) ||
+                         chr(10) ||
+                         'line-' || CAST(doc_id AS VARCHAR) || '-b'
+                       END) AS text_md5,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 3 END
+                        AS BIGINT) AS n_lines_kept
+            FROM documents
         """,
         "semantic_dedup_embeddings": """
             WITH corpus AS (

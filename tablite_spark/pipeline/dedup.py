@@ -371,3 +371,49 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, text_col: str,
     union = F.size(F.array_union("g_a", "g_b"))
     return pairs.select("id_a", "id_b",
                         (inter / F.greatest(union, F.lit(1))).alias("jaccard"))
+
+
+def line_dedup(df: DataFrame, text_col: str, id_col: str,
+               min_docs: int = 2,
+               out_col: str = "text_dedup") -> DataFrame:
+    """Line-level boilerplate removal — the CCNet paragraph-dedup /
+    Dolma line-dedup recipe (public): a line whose exact text appears
+    in >= ``min_docs`` DISTINCT documents is boilerplate (headers,
+    footers, cookie banners) and is dropped from EVERY document; the
+    remaining lines are stitched back in original order.
+
+    Plan shape at 100 TB: posexplode (one scan, no UDF) → the
+    boilerplate census groups by the 128-bit line hash
+    (``_content_hash_cols`` — payload-free 16-byte shuffle keys,
+    partial-aggregable countDistinct) → hash-anti-join the lines →
+    one combinable per-doc groupBy whose sort_array(struct(pos,line))
+    restores order worker-side. No window functions, no driver
+    collection, no all-pairs anything."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n"))
+         .alias("__pos__", "__line__"))
+    hashed = lines.select(
+        id_col, "__pos__", "__line__",
+        *[c.alias(n) for c, n in zip(_content_hash_cols("__line__"),
+                                     ("__h1__", "__h2__"))])
+    boiler = (hashed.groupBy("__h1__", "__h2__")
+              .agg(F.countDistinct(id_col).alias("__nd__"))
+              .filter(F.col("__nd__") >= min_docs)
+              .select("__h1__", "__h2__"))
+    kept = hashed.join(boiler, ["__h1__", "__h2__"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("__pos__", "__line__"))).alias("__ls__"))
+               .select(id_col,
+                       F.concat_ws("\n", F.transform(
+                           F.col("__ls__"),
+                           lambda s: s.getField("__line__")))
+                       .alias(out_col),
+                       F.size("__ls__").alias("n_lines_kept")))
+    # docs whose every line was boilerplate must survive as empty
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(out_col, F.lit("")).alias(out_col),
+                    F.coalesce("n_lines_kept", F.lit(0))
+                     .alias("n_lines_kept")))

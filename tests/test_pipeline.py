@@ -1006,3 +1006,30 @@ def test_perplexity_score_ranks_and_unseen_grams(spark):
                            vocab_size=v).collect()
     assert len(got) == 1 and got[0]["millinats"] < 0
     assert got[0]["n_ngrams"] == len("completely different") - 2
+
+
+def test_line_dedup_boilerplate(spark):
+    """Shared lines across >= min_docs docs vanish from every doc,
+    unique lines keep their order, and a doc that was ALL boilerplate
+    survives as an empty row (count 0)."""
+    from tablite_spark.pipeline.dedup import line_dedup
+    footer = "(c) example corp - all rights reserved"
+    rows = [
+        (1, f"alpha one\n{footer}\nbeta one"),
+        (2, f"alpha two\n{footer}\nbeta two"),
+        (3, "gamma\ndelta"),
+        (4, footer),  # nothing but boilerplate
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in line_dedup(df, "text", "doc_id", min_docs=2).collect()}
+    assert out[1]["text_dedup"] == "alpha one\nbeta one"
+    assert out[2]["text_dedup"] == "alpha two\nbeta two"
+    assert out[3]["text_dedup"] == "gamma\ndelta"
+    assert out[3]["n_lines_kept"] == 2
+    assert out[4]["text_dedup"] == "" and out[4]["n_lines_kept"] == 0
+    # min_docs above corpus size keeps everything intact
+    intact = {r["doc_id"]: r["text_dedup"]
+              for r in line_dedup(df, "text", "doc_id",
+                                  min_docs=99).collect()}
+    assert intact == {i: t for i, t in rows}
