@@ -49,6 +49,10 @@ BENCH_QUERIES = [
     "chunk_docs",
     "contamination_docs",
     "pack_chunks_docs",
+    # round-4 additions (excluded from r2_comparable_total)
+    "perplexity_docs",
+    "line_dedup_docs",
+    "semantic_dedup_embeddings",
 ]
 
 
@@ -64,8 +68,25 @@ def _minhash_dedup_docs_real(spark, sf_dir: str):
     return minhash_dedup(d, "text", "doc_id", threshold=0.5).select("doc_id")
 
 
+def _line_dedup_docs_real(spark, sf_dir: str):
+    """Bench twin on the REAL documents table (the queries() entry
+    runs on the constructed footer fixture for exact oracling)."""
+    from tablite_spark.pipeline.dedup import line_dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return line_dedup(d, "text", "doc_id")
+
+
+def _semantic_dedup_real(spark, sf_dir: str):
+    """Bench twin on the REAL embeddings table."""
+    from tablite_spark.pipeline.similarity import semantic_dedup
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup(e, "vec_id", "embedding", n_lists=16)
+
+
 BENCH_OVERRIDES = {
     "minhash_dedup_docs": _minhash_dedup_docs_real,
+    "line_dedup_docs": _line_dedup_docs_real,
+    "semantic_dedup_embeddings": _semantic_dedup_real,
 }
 
 
@@ -252,8 +273,10 @@ def main() -> None:
     # subtotal over the round-2 query list so the trend stays readable
     new_in_r3 = {"dedup_clusters", "chunk_docs", "contamination_docs",
                  "pack_chunks_docs"}
+    new_in_r4 = {"perplexity_docs", "line_dedup_docs",
+                 "semantic_dedup_embeddings"}
     r2_basis = round(sum(v for k, v in timings.items()
-                         if k not in new_in_r3), 3)
+                         if k not in new_in_r3 | new_in_r4), 3)
 
     extra: dict[str, int] = {}
     io_benchmarks(spark, sf_dir, timings, extra)

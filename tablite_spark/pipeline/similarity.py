@@ -323,6 +323,10 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     one shuffle, cluster-bounded fan-out.
     """
     assigned, _ = ivf_index(df, id_col, vec_col, n_lists, seed)
+    # pin the assignment: both self-join branches read the
+    # materialized (id, vec, cell) rows instead of re-running the
+    # KMeans transform + upstream scan twice
+    assigned = assigned.localCheckpoint()
     a = assigned.select(F.col("ivf_list").alias("cell"),
                         F.col("nid").alias("id_a"),
                         F.col("cv").alias("va"))

@@ -371,6 +371,18 @@ def _norm_for_lm(c):
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 
 
+def _char_ngrams(norm_col, n: int):
+    """Overlapping char n-grams in ONE linear regex pass: the
+    lookahead captures n chars at every position, the consumed "."
+    advances by one. O(len) per row JVM-side.  (Two rejected shapes:
+    ``transform(sequence, i -> substr(norm, i, n))`` is O(len^2) —
+    every substr re-scans UTF-8 boundaries from the string start —
+    and element_at over ``split(norm, '')`` is worse because
+    CollapseProject re-inlines the split into every element access.)"""
+    return F.regexp_extract_all(
+        norm_col, F.lit(f"(?=(.{{{n}}}))."), 1)
+
+
 def char_ngram_model(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     """Character n-gram counts over normalized text — the model side
     of ``perplexity_score`` (CCNet / Wenzek et al. 2020 train a KenLM
@@ -383,10 +395,8 @@ def char_ngram_model(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     norm = _norm_for_lm(F.col(text_col))
     grams = (df.select(norm.alias("norm"))
              .filter(F.length("norm") >= n)
-             .select(F.explode(F.transform(
-                 F.sequence(F.lit(1), F.length("norm") - (n - 1)),
-                 lambda i: F.col("norm").substr(i, F.lit(n))))
-                 .alias("gram")))
+             .select(F.explode(_char_ngrams(F.col("norm"), n))
+                     .alias("gram")))
     return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -395,10 +405,8 @@ def lm_vocab_size(df: DataFrame, text_col: str) -> int:
     denominator's V). Single combinable aggregate."""
     norm = _norm_for_lm(F.col(text_col))
     chars = (df.select(norm.alias("norm"))
-             .select(F.explode(F.transform(
-                 F.sequence(F.lit(1), F.length("norm")),
-                 lambda i: F.col("norm").substr(i, F.lit(1))))
-                 .alias("ch")))
+             .select(F.explode(F.split(F.col("norm"), "")).alias("ch"))
+             .filter(F.col("ch") != ""))
     return chars.agg(F.countDistinct("ch")).first()[0]
 
 
@@ -424,18 +432,26 @@ def perplexity_score(df: DataFrame, text_col: str,
     recipe. Unseen grams/prefixes degrade smoothly via the same
     add-alpha formula."""
     if model is None:
-        model = char_ngram_model(df, text_col, n)
+        # pin the (bounded-size) model so the corpus is scanned once
+        # for training: the vocab aggregate below and the broadcast
+        # join both read the materialized counts, not a re-run
+        model = char_ngram_model(df, text_col, n).localCheckpoint()
     if vocab_size is None:
-        vocab_size = lm_vocab_size(df, text_col)
+        # V from the model, not another corpus scan: every char of a
+        # doc with len >= n appears in at least one n-gram, so the
+        # distinct chars across gram positions equal the corpus
+        # alphabet — and the model is at most |alphabet|^n rows.
+        vocab_size = (model.select(F.explode(F.split(
+            F.col("gram"), "")).alias("ch"))
+            .filter(F.col("ch") != "")
+            .agg(F.countDistinct("ch")).first()[0])
     prefixes = (model.groupBy(F.col("gram").substr(1, n - 1).alias("pfx"))
                 .agg(F.sum("cnt").alias("pcnt")))
     norm = _norm_for_lm(F.col(text_col))
     grams = (df.select(F.col(id_col), norm.alias("norm"))
              .filter(F.length("norm") >= n)
-             .select(id_col, F.explode(F.transform(
-                 F.sequence(F.lit(1), F.length("norm") - (n - 1)),
-                 lambda i: F.col("norm").substr(i, F.lit(n))))
-                 .alias("gram")))
+             .select(id_col, F.explode(_char_ngrams(F.col("norm"), n))
+                     .alias("gram")))
     scored = (grams
               .join(F.broadcast(model), "gram", "left")
               .join(F.broadcast(prefixes),

@@ -196,3 +196,43 @@ def test_mixture_sample_scan_only(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     out = mixture_sample(docs, "doc_id", "lang", {"en": 0.5, "de": 0.5})
     assert shuffle_count(out) == 0
+
+
+def test_perplexity_broadcasts_model_no_sortmerge(spark):
+    """perplexity_score's gram and prefix model joins must broadcast
+    (the char-n-gram model is bounded by |alphabet|^n); a SortMergeJoin
+    on the exploded gram stream would shuffle corpus-scale rows."""
+    from tablite_spark.pipeline.text import perplexity_score
+    from tablite_spark.plans.audit import _formatted
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = perplexity_score(docs, "text", id_col="doc_id")
+    s = _formatted(out)
+    assert broadcast_join_count(out) >= 2
+    assert "SortMergeJoin" not in s
+
+
+def test_line_dedup_no_window_no_payload_shuffle(spark):
+    """line_dedup must plan zero Window nodes (the order-restoring
+    rebuild is a combinable groupBy, not a running window) and its
+    boilerplate census must aggregate partially (map-side combine on
+    the 128-bit hash keys)."""
+    from tablite_spark.pipeline.dedup import line_dedup
+    from tablite_spark.plans.audit import _formatted
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = line_dedup(docs, "text", "doc_id")
+    s = _formatted(out)
+    assert "Window" not in s
+    assert "partial_count(distinct" in s or "partial_count" in s
+
+
+def test_semantic_dedup_joins_on_cluster_cell(spark):
+    """semantic_dedup's pairwise stage must be an equi join keyed on
+    the k-means cell — cluster-bounded fan-out, never a CartesianProduct
+    / BroadcastNestedLoopJoin over the corpus."""
+    from tablite_spark.pipeline.similarity import semantic_dedup
+    from tablite_spark.plans.audit import _formatted
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semantic_dedup(emb, "vec_id", "embedding", n_lists=4)
+    s = _formatted(out)
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoop" not in s
