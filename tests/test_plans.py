@@ -225,10 +225,11 @@ def test_line_dedup_no_window_no_payload_shuffle(spark):
     assert "partial_count(distinct" in s or "partial_count" in s
 
 
-def test_semantic_dedup_joins_on_cluster_cell(spark):
-    """semantic_dedup's pairwise stage must be an equi join keyed on
-    the k-means cell — cluster-bounded fan-out, never a CartesianProduct
-    / BroadcastNestedLoopJoin over the corpus."""
+def test_semantic_dedup_cell_bounded_pairwise(spark):
+    """semantic_dedup's pairwise stage must be the cell-grouped BLAS
+    kernel (FlatMapGroupsInPandas after a groupBy-cell shuffle) —
+    cluster-bounded fan-out, never a CartesianProduct /
+    BroadcastNestedLoopJoin over the corpus."""
     from tablite_spark.pipeline.similarity import semantic_dedup
     from tablite_spark.plans.audit import _formatted
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
@@ -236,3 +237,4 @@ def test_semantic_dedup_joins_on_cluster_cell(spark):
     s = _formatted(out)
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoop" not in s
+    assert "FlatMapGroupsInPandas" in s
