@@ -1659,6 +1659,51 @@ def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
     return dims.select("doc_id", "width", "height").join(feats, "doc_id")
 
 
+def audio_features_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio DSP features (multimodal.extract_audio_features —
+    numpy rfft/RMS/zero-crossings, no audio lib): each doc gets a
+    0.2 s 16 kHz sine whose frequency (500·(1+id%8) Hz) and amplitude
+    (8000·(1+id%2)) derive from doc_id, phase-offset half a sample so
+    no sample quantizes to exactly zero. Invariants verified exact:
+    zero-crossings = 200·m − 1, round(centroid/500) = m,
+    round(rms·32768·√2/8000) = amplitude bit — all integers the
+    arithmetic oracle reproduces."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, extract_audio_features, wav_encode,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                f = 500 * (1 + did % 8)
+                amp = 8000 * (1 + did % 2)
+                k = np.arange(3200)
+                x = np.round(amp * np.sin(
+                    2 * np.pi * f * (k + 0.5) / 16000)).astype(np.int16)
+                raws.append(wav_encode(x, sample_rate=16000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    clips = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(clips, "raw", "audio/wav").drop("raw")
+    feats = extract_audio_features(media)
+    sqrt2 = 2.0 ** 0.5
+    return feats.select(
+        "doc_id",
+        F.col("sample_rate"),
+        F.col("duration_ms"),
+        F.col("zero_crossings"),
+        F.round(F.col("spectral_centroid_hz") / 500.0, 0)
+         .cast("long").alias("centroid_bucket"),
+        F.round(F.col("rms") * 32768.0 * sqrt2 / 8000.0, 0)
+         .cast("long").alias("amp_bit"))
+
+
 def video_frames_meta(spark: SparkSession, sf: str) -> DataFrame:
     """REAL MJPEG-AVI frame sampling (pipeline/avi.py RIFF container
     + pipeline/jpeg.py per-frame decode + multimodal.
@@ -1890,7 +1935,7 @@ _R4_WINDOW = [
     # never-verified first: new this round
     "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
     "video_frames_meta", "semantic_dedup_embeddings", "perplexity_docs",
-    "line_dedup_docs",
+    "line_dedup_docs", "audio_features_meta",
     # --- r1-only greens (stalest first-class rotation set)
     "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
     "filter_pass", "filter_fail", "filter_any", "filter_expression",
@@ -1899,7 +1944,7 @@ _R4_WINDOW = [
     "transpose_region", "reindex_rows", "imputation_mode",
     "imputation_nn", "pivot_long", "sort_alphanumeric",
     "drop_duplicates", "groupby_first_last",
-    "statistics_text", "statistics_dates",
+    "statistics_text",
     "sort_unix_mixed", "xround_time_buckets", "json_roundtrip_agg",
     "parquet_roundtrip_agg", "xlsx_roundtrip_agg", "q6_forecast_revenue",
     "q14_promo_revenue", "q18_large_orders", "q4_priority_exists",
@@ -1970,6 +2015,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_dims": png_decode_dims,
         "jpeg_decode_dims": jpeg_decode_dims,
         "video_frames_meta": video_frames_meta,
+        "audio_features_meta": audio_features_meta,
         "wav_decode_meta": wav_decode_meta,
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "hdf5_roundtrip_agg": hdf5_roundtrip_agg,
@@ -3199,6 +3245,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(16 + doc_id % 9 AS INT) AS width,
                    CAST(12 + doc_id % 5 AS INT) AS height,
                    CAST(doc_id % 2 AS DOUBLE) AS mean_red_bit
+            FROM documents
+        """,
+        "audio_features_meta": """
+            SELECT doc_id,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(200 AS BIGINT) AS duration_ms,
+                   CAST(200 * (1 + doc_id % 8) - 1 AS BIGINT)
+                       AS zero_crossings,
+                   CAST(1 + doc_id % 8 AS BIGINT) AS centroid_bucket,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS amp_bit
             FROM documents
         """,
         "video_frames_meta": """

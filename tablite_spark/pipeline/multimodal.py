@@ -202,6 +202,86 @@ def wav_encode(samples, sample_rate: int = 16_000) -> bytes:
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
 
 
+def wav_samples(data: bytes):
+    """(sample_rate, mono float64 samples in [-1, 1)) from a 16-bit
+    PCM RIFF/WAVE payload; multi-channel audio is mean-downmixed.
+    Raises on non-WAV / non-16-bit payloads (callers degrade to
+    nulls, same contract as wav_header)."""
+    import struct
+
+    import numpy as np
+    rate, ch, bits, _dur = wav_header(data)
+    if bits != 16:
+        raise ValueError(f"only 16-bit PCM supported, got {bits}")
+    pos = 12
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if tag == b"data":
+            raw = data[pos + 8:pos + 8 + length]
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+            if ch > 1:
+                x = x[: len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+            return rate, x / 32768.0
+        pos += 8 + length + (length & 1)
+    raise ValueError("WAV has no data chunk")
+
+
+def extract_audio_features(df: DataFrame,
+                           media_col: str = "media") -> DataFrame:
+    """REAL audio features for WAV payloads — numpy DSP, no audio
+    library: RMS level, peak, zero-crossing count, and FFT spectral
+    centroid (Hz). The training-data use is audio quality/energy
+    filtering (silence, clipping, bandwidth checks) before expensive
+    model-side processing. Same mapInPandas shape and null-degrading
+    contract as decode_audio; each clip transforms independently
+    inside its partition (one Arrow batch, one rfft per row)."""
+    import numpy as np
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != media_col] + [
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("peak", T.DoubleType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("spectral_centroid_hz", T.DoubleType()),
+        ])
+    other_cols = [f.name for f in df.schema.fields if f.name != media_col]
+    nulls = (None,) * 6
+
+    def _features(data) -> tuple:
+        try:
+            rate, x = wav_samples(bytes(data))
+            if len(x) == 0:
+                return nulls
+            dur_ms = len(x) * 1000 // rate
+            rms = float(np.sqrt(np.mean(x * x)))
+            peak = float(np.abs(x).max())
+            zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1])))
+            mag = np.abs(np.fft.rfft(x))
+            tot = mag.sum()
+            cent = float((mag * np.fft.rfftfreq(len(x), 1.0 / rate)).sum()
+                         / tot) if tot > 0 else 0.0
+            return rate, dur_ms, rms, peak, zc, cent
+        except Exception:
+            return nulls
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf[other_cols].copy()
+            feats = [_features(m["data"] if m is not None else None)
+                     for m in pdf[media_col]]
+            names = ("sample_rate", "duration_ms", "rms", "peak",
+                     "zero_crossings", "spectral_centroid_hz")
+            dtypes = ("Int32", "Int64", "Float64", "Float64",
+                      "Int64", "Float64")  # nullable: None stays null
+            for i, (name, dt) in enumerate(zip(names, dtypes)):
+                res[name] = pd.array([f[i] for f in feats], dtype=dt)
+            yield res
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def decode_audio(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Populate (sample_rate, channels, duration_ms) — REAL for WAV
     payloads (RIFF header parse, no audio lib needed); other formats

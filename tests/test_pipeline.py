@@ -1033,3 +1033,59 @@ def test_line_dedup_boilerplate(spark):
               for r in line_dedup(df, "text", "doc_id",
                                   min_docs=99).collect()}
     assert intact == {i: t for i, t in rows}
+
+
+def test_extract_audio_features_real_wav(spark):
+    """Known-signal DSP checks: sine frequency recovered by the
+    spectral centroid, exact zero-crossing count, RMS=A/sqrt(2),
+    peak=A; corrupt and non-16-bit payloads degrade to null rows."""
+    import numpy as np
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, extract_audio_features, wav_encode,
+    )
+    k = np.arange(3200)
+    sine = np.round(8000 * np.sin(
+        2 * np.pi * 1000 * (k + 0.5) / 16000)).astype(np.int16)
+    rows = [(1, bytearray(wav_encode(sine, 16000))),
+            (2, bytearray(b"RIFFxxxxWAVE")), (3, None)]
+    df = spark.createDataFrame(rows, "clip_id long, raw binary")
+    out = {r["clip_id"]: r for r in extract_audio_features(
+        attach_media(df, "raw", "audio/wav").drop("raw")).collect()}
+    g = out[1]
+    assert g["sample_rate"] == 16000 and g["duration_ms"] == 200
+    assert g["zero_crossings"] == 2 * 1000 * 3200 // 16000 - 1
+    assert abs(g["spectral_centroid_hz"] - 1000) < 5
+    assert abs(g["rms"] - (8000 / 32768) / np.sqrt(2)) < 1e-3
+    # sampling phase never lands on the exact crest: peak is
+    # cos(pi/16)*A for this f/rate ratio
+    assert 0.97 * 8000 / 32768 <= g["peak"] <= 8000 / 32768
+    for cid in (2, 3):
+        assert out[cid]["rms"] is None
+        assert out[cid]["zero_crossings"] is None
+
+
+def test_wav_samples_downmix_and_gates():
+    """wav_samples: stereo mean-downmix, non-16-bit raises."""
+    import struct
+
+    import numpy as np
+
+    from tablite_spark.pipeline.multimodal import wav_encode, wav_samples
+    mono = np.array([100, -100, 200, -200], dtype=np.int16)
+    rate, x = wav_samples(wav_encode(mono, 8000))
+    assert rate == 8000 and np.allclose(x * 32768, mono)
+    # hand-build a stereo wav: L = 2R
+    inter = np.array([200, 100, -200, -100], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    stereo = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+              + b"fmt " + struct.pack("<I", 16) + fmt
+              + b"data" + struct.pack("<I", 8) + inter.tobytes())
+    rate, x = wav_samples(stereo)
+    assert np.allclose(x * 32768, [150, -150])
+    bad_fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (b"RIFF" + struct.pack("<I", 36 + 2) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + bad_fmt
+           + b"data" + struct.pack("<I", 2) + b"\x00\x01")
+    with pytest.raises(ValueError, match="16-bit"):
+        wav_samples(bad)
