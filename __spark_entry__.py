@@ -1659,6 +1659,43 @@ def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
     return dims.select("doc_id", "width", "height").join(feats, "doc_id")
 
 
+def gif_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode (pipeline/gif.py — pure stdlib LZW with
+    variable code widths + multimodal dispatch): each doc gets a
+    genuine GIF89a whose dimensions derive from doc_id, every third
+    doc interlaced (4-pass row order), all pixels the planted red
+    bit. Palette decode is LOSSLESS so the mean-red feature recovers
+    the bit exactly — no quantization rounding needed."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.gif import gif_encode
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
+    d = _t(spark, sf, "documents").select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + did % 9, 12 + did % 5
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = 255 * (did % 2)
+                raws.append(gif_encode(px, interlace=(did % 3 == 0)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    imgs = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(imgs, "raw", "image/gif").drop("raw")
+    dims = decode_images(media)
+    feats = extract_image_features(media, dim=4).select(
+        "doc_id",
+        F.round(F.element_at("features", 1), 0).cast("double")
+         .alias("mean_red_bit"))
+    return dims.select("doc_id", "width", "height").join(feats, "doc_id")
+
+
 def audio_features_meta(spark: SparkSession, sf: str) -> DataFrame:
     """REAL audio DSP features (multimodal.extract_audio_features —
     numpy rfft/RMS/zero-crossings, no audio lib): each doc gets a
@@ -1935,14 +1972,14 @@ _R4_WINDOW = [
     # never-verified first: new this round
     "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
     "video_frames_meta", "semantic_dedup_embeddings", "perplexity_docs",
-    "line_dedup_docs", "audio_features_meta",
+    "line_dedup_docs", "audio_features_meta", "gif_decode_dims",
     # --- r1-only greens (stalest first-class rotation set)
     "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
     "filter_pass", "filter_fail", "filter_any", "filter_expression",
     "filter_substring_in", "filter_callable", "merge_where_case",
     "groupby_mode", "groupby_product", "sort_mixed_excel",
     "transpose_region", "reindex_rows", "imputation_mode",
-    "imputation_nn", "pivot_long", "sort_alphanumeric",
+    "imputation_nn", "pivot_long",
     "drop_duplicates", "groupby_first_last",
     "statistics_text",
     "sort_unix_mixed", "xround_time_buckets", "json_roundtrip_agg",
@@ -2016,6 +2053,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_decode_dims": jpeg_decode_dims,
         "video_frames_meta": video_frames_meta,
         "audio_features_meta": audio_features_meta,
+        "gif_decode_dims": gif_decode_dims,
         "wav_decode_meta": wav_decode_meta,
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "hdf5_roundtrip_agg": hdf5_roundtrip_agg,
@@ -3241,6 +3279,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "jpeg_decode_dims": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 9 AS INT) AS width,
+                   CAST(12 + doc_id % 5 AS INT) AS height,
+                   CAST(doc_id % 2 AS DOUBLE) AS mean_red_bit
+            FROM documents
+        """,
+        "gif_decode_dims": """
             SELECT doc_id,
                    CAST(16 + doc_id % 9 AS INT) AS width,
                    CAST(12 + doc_id % 5 AS INT) AS height,

@@ -50,17 +50,21 @@ _JPEG_MAGIC = b"\xff\xd8\xff"
 
 def _fake_decode_image(data: bytes) -> tuple[int, int]:
     """Deterministic stand-in for formats without a real decoder here
-    (WebP/GIF/…): derives a fake (width, height) from the byte
-    content. Replace with PIL.Image.open when available."""
+    (WebP/…): derives a fake (width, height) from the byte content.
+    Replace with PIL.Image.open when available."""
     if data is None:
         return (0, 0)
     h = len(data)
     return (64 + h % 512, 64 + (h * 7) % 512)
 
 
+_GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
 def _decode_dims(data: bytes) -> tuple[int, int]:
-    """REAL decode for PNG (IHDR, pipeline/png.py) and JPEG (SOF,
-    pipeline/jpeg.py) payloads; deterministic fake for other formats.
+    """REAL decode for PNG (IHDR, pipeline/png.py), JPEG (SOF,
+    pipeline/jpeg.py), and GIF (screen descriptor, pipeline/gif.py)
+    payloads; deterministic fake for other formats.
     Corrupt/truncated headers in a web corpus degrade to the fake —
     they must never fail the whole mapInPandas stage."""
     if data is not None:
@@ -74,6 +78,9 @@ def _decode_dims(data: bytes) -> tuple[int, int]:
                 from tablite_spark.pipeline.jpeg import jpeg_header
                 w, h, _ = jpeg_header(b)
                 return (w, h)
+            if b.startswith(_GIF_MAGICS):
+                from tablite_spark.pipeline.gif import gif_header
+                return gif_header(b)
         except Exception:
             pass
     return _fake_decode_image(data)
@@ -150,6 +157,10 @@ def extract_image_features(df: DataFrame, media_col: str = "media",
                     if data.startswith(_JPEG_MAGIC):
                         from tablite_spark.pipeline.jpeg import jpeg_decode
                         feats.append(_pixel_features(jpeg_decode(data)))
+                        continue
+                    if data.startswith(_GIF_MAGICS):
+                        from tablite_spark.pipeline.gif import gif_decode
+                        feats.append(_pixel_features(gif_decode(data)))
                         continue
                 except Exception:
                     pass

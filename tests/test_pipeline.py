@@ -1089,3 +1089,45 @@ def test_wav_samples_downmix_and_gates():
            + b"data" + struct.pack("<I", 2) + b"\x00\x01")
     with pytest.raises(ValueError, match="16-bit"):
         wav_samples(bad)
+
+
+def test_gif_codec_roundtrip():
+    """GIF LZW roundtrip: palettes up to 256 colors, dictionary-reset
+    stress (noise forces 4096-entry resets), interlaced row order,
+    >256-color and non-GIF gates."""
+    import numpy as np
+
+    from tablite_spark.pipeline.gif import gif_decode, gif_encode, gif_header
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (120, 130, 1), dtype=np.uint8).repeat(3, 2)
+    grad = (np.arange(16, dtype=np.uint8)[None, :, None]
+            .repeat(3, 2) * 17).repeat(9, axis=0)
+    for px in (noise, grad):
+        for il in (False, True):
+            raw = gif_encode(np.ascontiguousarray(px), interlace=il)
+            assert gif_header(raw) == (px.shape[1], px.shape[0])
+            assert (gif_decode(raw) == px).all()
+    with pytest.raises(ValueError, match="256"):
+        gif_encode(rng.integers(0, 256, (40, 40, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a GIF"):
+        gif_header(b"\x89PNG\r\n\x1a\nxxxx")
+
+
+def test_decode_images_real_gif(spark):
+    """GIF payloads decode for REAL through the multimodal dispatch:
+    true screen dims and lossless palette features."""
+    import numpy as np
+
+    from tablite_spark.pipeline.gif import gif_encode
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
+    px = np.zeros((10, 21, 3), dtype=np.uint8)
+    px[:, :, 0] = 255
+    rows = [(1, bytearray(gif_encode(px)))]
+    df = spark.createDataFrame(rows, "img_id long, raw binary")
+    media = attach_media(df, "raw", "image/gif").drop("raw")
+    d = decode_images(media).collect()[0]
+    assert (d["width"], d["height"]) == (21, 10)
+    f = extract_image_features(media, dim=4).collect()[0]["features"]
+    assert abs(f[0] - 1.0) < 1e-9 and abs(f[1]) < 1e-9  # exact red
