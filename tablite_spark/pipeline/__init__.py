@@ -1,1 +1,3 @@
-from tablite_spark.pipeline import dedup, similarity, text, multimodal  # noqa: F401
+from tablite_spark.pipeline import (  # noqa: F401
+    avi, bpe, dedup, gif, jpeg, multimodal, png, sampling, similarity, text,
+)
