@@ -323,8 +323,14 @@ def _kmeans_sample_train(df: DataFrame, id_col: str, vec_col: str,
         raise ValueError("kmeans needs a non-empty corpus")
     k = min(k, len(X))
     cents = X[:k].copy()  # hash order => deterministic seeding
+    xn = (X * X).sum(axis=1)
     for _ in range(iters):
-        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x·c: one BLAS matmul per
+        # iteration instead of an (n, k, dim) broadcast intermediate
+        # (that naive form allocates n*k*dim*8 bytes — 10 GB at the
+        # 65k-sample default with k=256)
+        d2 = xn[:, None] + (cents * cents).sum(axis=1)[None, :] \
+            - 2.0 * (X @ cents.T)
         lab = d2.argmin(axis=1)
         for c in range(k):
             m = lab == c
@@ -336,19 +342,38 @@ def _kmeans_sample_train(df: DataFrame, id_col: str, vec_col: str,
 def assign_cells(df: DataFrame, vec_col: str,
                  centroids: list[list[float]],
                  out_col: str = "cell") -> DataFrame:
-    """Nearest-centroid assignment as literal-array expressions (the
-    ivf_topk probe trick): no ML transform, no shuffle — one
-    codegen'd projection over the scan."""
-    v = _as_double(F.col(vec_col))
-    cells = []
-    for li, cvec in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in cvec])
-        d2 = F.aggregate(
-            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, x: acc + x)
-        cells.append(F.struct(d2.alias("d2"), F.lit(li).alias("cell")))
-    best = F.array_min(F.array(*cells)).getField("cell")
-    return df.withColumn(out_col, best)
+    """Nearest-centroid assignment — no shuffle either way. Small
+    codebooks (k·dim ≤ 2048) inline as literal-array expressions (the
+    ivf_topk probe trick, whole-stage codegen, zero Python); larger
+    ones switch to an Arrow-batched pandas UDF whose body is one BLAS
+    matmul + argmax per batch — the expression form is interpreted
+    per centroid and goes quadratic in k·dim."""
+    import numpy as np
+    import pandas as pd
+
+    k, dim = len(centroids), len(centroids[0])
+    if k * dim <= 2048:
+        v = _as_double(F.col(vec_col))
+        cells = []
+        for li, cvec in enumerate(centroids):
+            lit = F.array(*[F.lit(float(x)) for x in cvec])
+            d2 = F.aggregate(
+                F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            cells.append(F.struct(d2.alias("d2"), F.lit(li).alias("cell")))
+        best = F.array_min(F.array(*cells)).getField("cell")
+        return df.withColumn(out_col, best)
+
+    C = np.array(centroids, dtype=np.float64)
+    half_c2 = 0.5 * (C * C).sum(axis=1)
+
+    def _nearest_batch(s):
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        # argmin ||x-c||^2 == argmax (x·c - ||c||^2/2); ||x||^2 drops
+        return pd.Series((X @ C.T - half_c2).argmax(axis=1).astype("int32"))
+
+    _nearest = F.pandas_udf(_nearest_batch, "int")
+    return df.withColumn(out_col, _nearest(_as_double(F.col(vec_col))))
 
 
 def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
