@@ -910,6 +910,33 @@ def ods_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("n_name").alias("first_name")))
 
 
+def xls_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E legacy-.xls proof via the stdlib xlslite codec (OLE2
+    compound file + BIFF8 records, sources/xlslite.py — the
+    reference's .xls dispatch is tablite/import_utils.py:633-648):
+    write nation with the fixture writer, re-read through from_file
+    (xlrd absent in this container → xlslite path), aggregate against
+    the parquet source."""
+    import tempfile
+
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.xlslite import write_xls
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name",
+                                       "n_regionkey").orderBy("n_nationkey")
+    rows = [["n_nationkey", "n_name", "n_regionkey"]]
+    rows += [[float(r["n_nationkey"]), r["n_name"], float(r["n_regionkey"])]
+             for r in n.collect()]
+    tmp = tempfile.mkdtemp(prefix="xls_rt_")
+    path = f"{tmp}/nation.xls"
+    write_xls(path, rows)
+    back = from_file(spark, path)
+    return (back.groupBy(F.col("n_regionkey").cast("long")
+                          .alias("n_regionkey"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").cast("long").alias("key_sum"),
+                 F.min("n_name").alias("first_name")))
+
+
 def hdf5_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     """E2E HDF5 writer→reader proof. Uses h5py when installed, else
     the stdlib hdf5lite codec (classic superblock-v0 format written
@@ -1973,12 +2000,13 @@ _R4_WINDOW = [
     "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
     "video_frames_meta", "semantic_dedup_embeddings", "perplexity_docs",
     "line_dedup_docs", "audio_features_meta", "gif_decode_dims",
+    "xls_roundtrip_agg",
     # --- r1-only greens (stalest first-class rotation set)
     "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
     "filter_pass", "filter_fail", "filter_any", "filter_expression",
     "filter_substring_in", "filter_callable", "merge_where_case",
     "groupby_mode", "groupby_product", "sort_mixed_excel",
-    "transpose_region", "reindex_rows", "imputation_mode",
+    "transpose_region", "imputation_mode",
     "imputation_nn", "pivot_long",
     "drop_duplicates", "groupby_first_last",
     "statistics_text",
@@ -2057,6 +2085,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_decode_meta": wav_decode_meta,
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "hdf5_roundtrip_agg": hdf5_roundtrip_agg,
+        "xls_roundtrip_agg": xls_roundtrip_agg,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
         "rename_reorder_project": rename_reorder_project,
@@ -2639,6 +2668,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hdf5_roundtrip_agg": """
             SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "xls_roundtrip_agg": """
+            SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+                   COUNT(*) AS n,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey

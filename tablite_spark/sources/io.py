@@ -245,13 +245,14 @@ def from_file(spark: SparkSession, path: str, **kwargs) -> DataFrame:
         from tablite_spark.sources.ods import read_ods
         return read_ods(spark, path, **kwargs)
     if suffix == ".xls":
-        try:
+        try:  # full-fidelity engine when installed (xlrd handles XF
+            # date formats, BIFF5, exotic records)
+            import xlrd  # noqa: F401
             import pandas as pd
             pdf = pd.read_excel(path, sheet_name=kwargs.get("sheet", 0))
             return spark.createDataFrame(pdf)
-        except ImportError as e:  # engine missing in container
-            raise NotImplementedError(
-                f"legacy .xls ingest needs a pandas excel engine: {e}") from e
+        except ImportError:
+            return read_xls(spark, path, **kwargs)
     if suffix in (".html", ".htm"):
         return read_html(spark, path,
                          guess_datatypes=kwargs.get("guess_datatypes", True))
@@ -370,6 +371,37 @@ class _TableScraper(HTMLParser):
     def handle_data(self, data):
         if self._cell is not None:
             self._cell.append(data)
+
+
+def read_xls(spark: SparkSession, path: str, *,
+             sheet: str | int = 0,
+             guess_datatypes: bool = True, **_ignored) -> DataFrame:
+    """Legacy BIFF8 ``.xls`` ingest without xlrd: the stdlib
+    ``xlslite`` codec (OLE2 compound file walk + BIFF record parse,
+    reference dispatch tablite/import_utils.py:633-648) reads cell
+    values on the driver — .xls is a small-data format by
+    construction (65,536-row sheet cap) — then ``createDataFrame`` +
+    the CSV reader's type-guessing pass. Values only: date serials
+    surface as numbers (xlrd, when installed, takes precedence and
+    applies XF date formats)."""
+    from tablite_spark.sources.xlslite import read_xls as _read
+    book = _read(path)
+    if isinstance(sheet, int):
+        name = list(book)[sheet]
+    else:
+        name = sheet
+    rows = book[name]
+    if not rows:
+        raise ValueError(f"sheet {name!r} is empty")
+    header = [str(h) if h is not None else f"c{i}"
+              for i, h in enumerate(rows[0])]
+    width = len(header)
+    body = [tuple(
+        (None if i >= len(r) or r[i] is None else str(r[i]))
+        for i in range(width)) for r in rows[1:]]
+    df = spark.createDataFrame(
+        body, schema=", ".join(f"`{n}` string" for n in header))
+    return apply_guessed_types(df) if guess_datatypes else df
 
 
 def read_html(spark: SparkSession, path: str, *,

@@ -365,3 +365,46 @@ def test_hdf5lite_format_invariants(tmp_path):
                        {"m": np.ones((2, 2))})
     with pytest.raises(ValueError):
         hdf5lite.read(__file__)  # not an hdf5 file
+
+
+def test_xlslite_roundtrip_and_from_file(spark, tmp_path):
+    """Legacy .xls via the stdlib OLE2+BIFF8 codec: typed value
+    roundtrip (strings incl. unicode, doubles, bools, gaps), sheet
+    selection, and the from_file dispatch with type re-guess."""
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.xlslite import read_xls, write_xls
+    rows = [
+        ["name", "qty", "price", "active"],
+        ["alpha", 1.0, 2.5, True],
+        ["béta 嗨", 2.0, -0.125, False],
+        ["alpha", None, 1e9, True],
+    ]
+    p = str(tmp_path / "t.xls")
+    write_xls(p, rows, sheet="Data")
+    book = read_xls(p)
+    assert list(book) == ["Data"]
+    assert book["Data"][0] == rows[0]
+    assert book["Data"][2][0] == "béta 嗨"
+    assert book["Data"][3][1] is None and book["Data"][3][3] is True
+    df = from_file(spark, p)
+    got = sorted(((r["name"], r["qty"], r["price"], r["active"])
+                  for r in df.collect()),
+                 key=lambda t: (t[0], t[2]))
+    assert got == [("alpha", 1.0, 2.5, True), ("alpha", None, 1e9, True),
+                   ("béta 嗨", 2.0, -0.125, False)]
+
+
+def test_xlslite_cfb_structure(tmp_path):
+    """Compound-file invariants: OLE2 signature, 512-byte header,
+    sector count consistent with file size, non-OLE2 rejected."""
+    import struct
+
+    from tablite_spark.sources.xlslite import parse_xls, write_xls
+    p = str(tmp_path / "s.xls")
+    write_xls(p, [["a"], [1.0]])
+    raw = open(p, "rb").read()
+    assert raw[:8] == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    assert (len(raw) - 512) % 512 == 0  # whole sectors after header
+    assert struct.unpack_from("<H", raw, 30)[0] == 9  # 512-byte sectors
+    with pytest.raises(ValueError, match="OLE2"):
+        parse_xls(b"not a compound file at all----")
