@@ -37,12 +37,15 @@ from pyspark.sql import functions as F
 
 # simplified GPT-2 pre-tokenizer: contractions, letter runs, digit
 # runs, punctuation runs, whitespace (re has no \p{L}; \w-based
-# classes cover unicode letters)
+# classes cover unicode letters). The punctuation class must include
+# "_" explicitly: it is \w but neither letter nor digit, so a bare
+# [^\s\w] branch would silently DROP underscores from the encoding
+# (GPT-2's own [^\s\p{L}\p{N}] keeps them).
 _PRETOK = re.compile(
     r"'(?:[sdmt]|ll|ve|re)"
     r"| ?[^\W\d_]+"
     r"| ?\d+"
-    r"| ?[^\s\w]+"
+    r"| ?(?:[^\s\w]|_)+"
     r"|\s+(?!\S)|\s+")
 
 

@@ -1131,3 +1131,22 @@ def test_decode_images_real_gif(spark):
     assert (d["width"], d["height"]) == (21, 10)
     f = extract_image_features(media, dim=4).collect()[0]["features"]
     assert abs(f[0] - 1.0) < 1e-9 and abs(f[1]) < 1e-9  # exact red
+
+
+def test_bpe_pretokenizer_is_lossless():
+    """Every character of any input must land in exactly one
+    pre-token (caught a real bug: '_' is \\w but neither letter nor
+    digit, so a bare [^\\s\\w] punctuation class silently dropped
+    underscores from encodings)."""
+    import random
+
+    from tablite_spark.pipeline.bpe import _PRETOK, BPETokenizer, train_bpe
+    rng = random.Random(3)
+    pool = "ab _-__x.!?3 14_foo_bar '' can't  \t\n嗨🙂ƒ__"
+    for _ in range(200):
+        s = "".join(rng.choice(pool) for _ in range(rng.randint(0, 40)))
+        assert "".join(_PRETOK.findall(s)) == s, repr(s)
+    vocab, merges = train_bpe(["snake_case_names __init__ can't"], 300)
+    tok = BPETokenizer(vocab, merges)
+    for s in ("a_b", "__dunder__ method", "snake_case", "can't_stop", "_"):
+        assert tok.decode(tok.encode(s)) == s
