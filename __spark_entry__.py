@@ -1335,6 +1335,19 @@ def perplexity_docs(spark: SparkSession, sf: str) -> DataFrame:
     return perplexity_score(d, "text", id_col="doc_id")
 
 
+def vocab_shift_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-drift monitoring (text.vocab_divergence): JS divergence
+    between the token distributions of two document snapshots (docs
+    split by doc_id parity), add-alpha smoothed, each per-token term
+    quantized to integer micronats so the distributed sum is exact
+    and DuckDB replays the whole computation."""
+    from tablite_spark.pipeline.text import vocab_divergence
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") % 2 == 0)
+    b = d.filter(F.col("doc_id") % 2 == 1)
+    return vocab_divergence(a, b, "text")
+
+
 def minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-dup removal (shingle → signature → band join →
     est-Jaccard filter → anti-join), exactly oracled on the duplicate
@@ -2000,7 +2013,7 @@ _R4_WINDOW = [
     "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
     "video_frames_meta", "semantic_dedup_embeddings", "perplexity_docs",
     "line_dedup_docs", "audio_features_meta", "gif_decode_dims",
-    "xls_roundtrip_agg",
+    "xls_roundtrip_agg", "vocab_shift_docs",
     # --- r1-only greens (stalest first-class rotation set)
     "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
     "filter_pass", "filter_fail", "filter_any", "filter_expression",
@@ -2009,7 +2022,6 @@ _R4_WINDOW = [
     "transpose_region", "imputation_mode",
     "imputation_nn", "pivot_long",
     "drop_duplicates", "groupby_first_last",
-    "statistics_text",
     "sort_unix_mixed", "xround_time_buckets", "json_roundtrip_agg",
     "parquet_roundtrip_agg", "xlsx_roundtrip_agg", "q6_forecast_revenue",
     "q14_promo_revenue", "q18_large_orders", "q4_priority_exists",
@@ -2062,6 +2074,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "perplexity_docs": perplexity_docs,
         "line_dedup_docs": line_dedup_docs,
+        "vocab_shift_docs": vocab_shift_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
@@ -3199,6 +3212,49 @@ def oracle_sql() -> dict[str, str]:
         # where near-dup == exact-dup by construction (_dup_fixture);
         # DuckDB reproduces the construction and the exact-dedup
         # ground truth verbatim.
+        "vocab_shift_docs": """
+            WITH norm AS (
+                SELECT doc_id,
+                       lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+                           AS t
+                FROM documents
+            ), tk AS (
+                SELECT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split(t, ' ')) AS tok
+                    FROM norm)
+                WHERE tok <> ''
+            ), ca AS (
+                SELECT tok, COUNT(*) AS ca FROM tk
+                WHERE doc_id % 2 = 0 GROUP BY tok
+            ), cb AS (
+                SELECT tok, COUNT(*) AS cb FROM tk
+                WHERE doc_id % 2 = 1 GROUP BY tok
+            ), j AS (
+                SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+                FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok
+            ), tot AS (
+                SELECT SUM(ca) AS na, SUM(cb) AS nb,
+                       SUM(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS va,
+                       SUM(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS vb,
+                       COUNT(*) AS vu
+                FROM j
+            ), terms AS (
+                SELECT (j.ca + 0.5) / (t.na + 0.5 * t.vu) AS pa,
+                       (j.cb + 0.5) / (t.nb + 0.5 * t.vu) AS pb,
+                       (pa + pb) / 2.0 AS m,
+                       FLOOR(1000000.0 * (0.5 *
+                           (pa * ln(pa / m) + pb * ln(pb / m)))) AS q
+                FROM j CROSS JOIN tot t
+            )
+            SELECT CAST(t.va AS BIGINT) AS vocab_a,
+                   CAST(t.vb AS BIGINT) AS vocab_b,
+                   CAST(t.vu AS BIGINT) AS vocab_union,
+                   CAST(t.na AS BIGINT) AS n_tokens_a,
+                   CAST(t.nb AS BIGINT) AS n_tokens_b,
+                   CAST((SELECT SUM(q) FROM terms) AS BIGINT)
+                       AS js_micronats
+            FROM tot t
+        """,
         "minhash_dedup_docs": """
             WITH corpus AS (
                 SELECT doc_id, doc_id AS text_key FROM documents

@@ -464,3 +464,54 @@ def perplexity_score(df: DataFrame, text_col: str,
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_ngrams"),
                  F.sum(milli).cast("long").alias("millinats")))
+
+
+def vocab_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
+                     alpha: float = 0.5) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots — the
+    Jensen-Shannon divergence over whitespace-token frequencies with
+    add-alpha smoothing, the standard monitoring signal for "did this
+    month's crawl change under me".  Per-token JS terms are quantized
+    to integer micronats (floor(1e6·x)) before summation so the
+    distributed sum is order-independent and SQL-replayable, like
+    ``perplexity_score``.
+
+    Output: one row (vocab_a, vocab_b, vocab_union, n_tokens_a,
+    n_tokens_b, js_micronats).
+
+    Plan shape: each side is one scan → explode → combinable token
+    count; the union is a full outer join on the token (bounded by
+    vocabulary, not corpus, size); scalars (totals, union size) are
+    one aggregate row; the final term sum is a second combinable
+    aggregate. No UDFs, no windows, nothing driver-side but three
+    scalars."""
+    def counts(df, name):
+        toks = F.split(_norm_for_lm(F.col(text_col)), " ")
+        return (df.select(F.explode(toks).alias("tok"))
+                .filter(F.col("tok") != "")
+                .groupBy("tok").agg(F.count(F.lit(1)).alias(name)))
+    joined = counts(df_a, "ca").join(counts(df_b, "cb"), "tok", "full_outer") \
+        .select(F.coalesce("ca", F.lit(0)).alias("ca"),
+                F.coalesce("cb", F.lit(0)).alias("cb"))
+    # pin: the scalar pass and the term sum both read the joined
+    # vocabulary table (bounded by vocab size) instead of re-running
+    # the two corpus scans
+    joined = joined.localCheckpoint()
+    tot = joined.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb"),
+        F.sum((F.col("ca") > 0).cast("long")).alias("va"),
+        F.sum((F.col("cb") > 0).cast("long")).alias("vb"),
+        F.count(F.lit(1)).alias("vu")).first()
+    na, nb, vu = float(tot["na"]), float(tot["nb"]), int(tot["vu"])
+    pa = (F.col("ca") + F.lit(alpha)) / F.lit(na + alpha * vu)
+    pb = (F.col("cb") + F.lit(alpha)) / F.lit(nb + alpha * vu)
+    m = (pa + pb) / F.lit(2.0)
+    term = F.lit(0.5) * (pa * F.log(pa / m) + pb * F.log(pb / m))
+    return joined.agg(
+        F.lit(tot["va"]).alias("vocab_a"),
+        F.lit(tot["vb"]).alias("vocab_b"),
+        F.lit(vu).cast("long").alias("vocab_union"),
+        F.lit(int(na)).cast("long").alias("n_tokens_a"),
+        F.lit(int(nb)).cast("long").alias("n_tokens_b"),
+        F.sum(F.floor(F.lit(1e6) * term)).cast("long")
+         .alias("js_micronats"))

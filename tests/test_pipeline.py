@@ -1150,3 +1150,24 @@ def test_bpe_pretokenizer_is_lossless():
     tok = BPETokenizer(vocab, merges)
     for s in ("a_b", "__dunder__ method", "snake_case", "can't_stop", "_"):
         assert tok.decode(tok.encode(s)) == s
+
+
+def test_vocab_divergence(spark):
+    """JS divergence properties: ~0 for identical corpora, larger for
+    disjoint vocabularies, symmetric, correct scalar outputs."""
+    from tablite_spark.pipeline.text import vocab_divergence
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string")
+    z = spark.createDataFrame(
+        [(3, "epsilon zeta eta"), (4, "zeta eta theta")],
+        "doc_id long, text string")
+    same = vocab_divergence(a, a, "text").first()
+    assert same["vocab_a"] == same["vocab_b"] == 4
+    assert same["n_tokens_a"] == same["n_tokens_b"] == 6
+    assert abs(same["js_micronats"]) <= 4  # floor() of ~0 terms
+    far = vocab_divergence(a, z, "text").first()
+    assert far["vocab_union"] == 8
+    assert far["js_micronats"] > 100_000  # disjoint => large divergence
+    rev = vocab_divergence(z, a, "text").first()
+    assert rev["js_micronats"] == far["js_micronats"]  # symmetric
