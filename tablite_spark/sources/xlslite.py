@@ -332,19 +332,14 @@ def _biff_workbook(sheet: str, rows: list[list]) -> bytes:
     return head + ws
 
 
-def _cfb_wrap(stream_name: str, stream: bytes) -> bytes:
-    """Single-stream compound file; the stream is padded to the 4096
-    mini-stream cutoff so no mini-FAT is required."""
-    stream = stream + b"\x00" * max(0, 4096 - len(stream))
-    n_stream_sects = (len(stream) + 511) // 512
-    stream += b"\x00" * (n_stream_sects * 512 - len(stream))
-    # sector layout: [0..n-1] stream, [n] directory, [n+1] FAT
-    dir_sect = n_stream_sects
-    fat_sect = n_stream_sects + 1
-    fat = list(range(1, n_stream_sects)) + [ENDOFCHAIN]  # stream chain
-    fat += [ENDOFCHAIN]  # directory
-    fat += [0xFFFFFFFD]  # FAT sector marks itself
-    fat += [FREESECT] * (128 - len(fat))
+def _cfb_wrap(stream_name: str, stream: bytes,
+              force_mini: bool = False) -> bytes:
+    """Single-stream compound file. Default: the stream is padded to
+    the 4096 mini-stream cutoff so no mini-FAT is required.  With
+    ``force_mini`` (stream must be < 4096 bytes) it is stored in the
+    root entry's mini-stream through a real mini-FAT — small
+    real-world .xls files use this layout, and it exercises the
+    reader's mini-FAT branch."""
 
     def dirent(name: str, etype: int, start: int, size: int,
                child: int = 0xFFFFFFFF) -> bytes:
@@ -356,19 +351,58 @@ def _cfb_wrap(stream_name: str, stream: bytes) -> bytes:
         e += struct.pack("<IQ", start, size)
         return e
 
+    def header(n_fat: int, dir_sect: int, minifat_sect: int,
+               n_minifat: int, fat_sect: int) -> bytes:
+        h = _CFB_SIG + b"\x00" * 16
+        h += struct.pack("<HHHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6, 0)
+        h += b"\x00" * 4  # remainder of the 6-byte reserved field
+        h += struct.pack("<IIIIII", 0, n_fat, dir_sect, 0, 4096,
+                         minifat_sect)
+        h += struct.pack("<II", n_minifat, ENDOFCHAIN)
+        h += struct.pack("<I", 0)
+        h += struct.pack("<I", fat_sect) + b"\xff" * 4 * 108
+        assert len(h) == 512, len(h)
+        return h
+
+    if force_mini:
+        if len(stream) >= 4096:
+            raise ValueError("force_mini needs a stream < 4096 bytes")
+        size = len(stream)
+        n_mini = (size + 63) // 64
+        container = stream + b"\x00" * (n_mini * 64 - size)
+        n_cont_sects = (len(container) + 511) // 512
+        container += b"\x00" * (n_cont_sects * 512 - len(container))
+        # sectors: [0..k-1] mini container, [k] mini-FAT, [k+1] dir,
+        # [k+2] FAT
+        minifat_sect, dir_sect = n_cont_sects, n_cont_sects + 1
+        fat_sect = n_cont_sects + 2
+        minifat = list(range(1, n_mini)) + [ENDOFCHAIN]
+        minifat += [FREESECT] * (128 - len(minifat))
+        fat = list(range(1, n_cont_sects)) + [ENDOFCHAIN]  # container
+        fat += [ENDOFCHAIN, ENDOFCHAIN, 0xFFFFFFFD]  # minifat, dir, fat
+        fat += [FREESECT] * (128 - len(fat))
+        directory = dirent("Root Entry", 5, 0, len(container), child=1)
+        directory += dirent(stream_name, 2, 0, size)
+        directory += b"\x00" * (512 - 256)
+        return (header(1, dir_sect, minifat_sect, 1, fat_sect)
+                + container + struct.pack("<128I", *minifat)
+                + directory + struct.pack("<128I", *fat))
+
+    stream = stream + b"\x00" * max(0, 4096 - len(stream))
+    n_stream_sects = (len(stream) + 511) // 512
+    stream += b"\x00" * (n_stream_sects * 512 - len(stream))
+    # sector layout: [0..n-1] stream, [n] directory, [n+1] FAT
+    dir_sect = n_stream_sects
+    fat_sect = n_stream_sects + 1
+    fat = list(range(1, n_stream_sects)) + [ENDOFCHAIN]  # stream chain
+    fat += [ENDOFCHAIN]  # directory
+    fat += [0xFFFFFFFD]  # FAT sector marks itself
+    fat += [FREESECT] * (128 - len(fat))
     directory = dirent("Root Entry", 5, ENDOFCHAIN, 0, child=1)
     directory += dirent(stream_name, 2, 0, len(stream))
     directory += b"\x00" * (512 - 256)
-    header = _CFB_SIG + b"\x00" * 16
-    header += struct.pack("<HHHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6, 0)
-    header += b"\x00" * 4  # remainder of the 6-byte reserved field
-    header += struct.pack("<IIIIII", 0, 1, dir_sect, 0, 4096, ENDOFCHAIN)
-    header += struct.pack("<II", 0, ENDOFCHAIN)
-    header += struct.pack("<I", 0)
-    header += struct.pack("<I", fat_sect) + b"\xff" * 4 * 108
-    assert len(header) == 512, len(header)
     body = stream + directory + struct.pack("<128I", *fat)
-    return header + body
+    return header(1, dir_sect, ENDOFCHAIN, 0, fat_sect) + body
 
 
 def write_xls(path: str, rows: list[list], sheet: str = "Sheet1") -> None:

@@ -408,3 +408,21 @@ def test_xlslite_cfb_structure(tmp_path):
     assert struct.unpack_from("<H", raw, 30)[0] == 9  # 512-byte sectors
     with pytest.raises(ValueError, match="OLE2"):
         parse_xls(b"not a compound file at all----")
+
+
+def test_xlslite_mini_stream_path(tmp_path):
+    """Streams < 4096 bytes in real compound files live in the root
+    entry's mini-stream behind a mini-FAT; the reader must follow
+    that chain (small real-world .xls files use this layout)."""
+    from tablite_spark.sources.xlslite import (
+        _biff_workbook, _cfb_wrap, parse_xls,
+    )
+    rows = [["a", "b"], ["x", 1.5], ["yy", -2.0]]
+    wb = _biff_workbook("S", rows)
+    assert len(wb) < 4096
+    mini = _cfb_wrap("Workbook", wb, force_mini=True)
+    assert parse_xls(mini)["S"] == rows
+    # both container layouts decode identically
+    assert parse_xls(_cfb_wrap("Workbook", wb))["S"] == rows
+    with pytest.raises(ValueError, match="4096"):
+        _cfb_wrap("Workbook", wb + b"\x00" * 4096, force_mini=True)
