@@ -222,26 +222,43 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         # becomes an IN-list scan that row-group stats + page column
         # indexes prune to O(hits) IO.
         from tablite_spark.operators.sorting import slice_rows, with_row_index
-        t0 = time.perf_counter()
-        with_row_index(synthetic_order_data(spark, 50_000_000)) \
-            .write.mode("overwrite") \
-            .option("parquet.block.size", 16 * 1024 * 1024) \
-            .parquet(f"{tmp}/s50m.parquet")
-        timings["synth_order_50m_save"] = round(time.perf_counter() - t0, 3)
+
+        # Every 50M entry is min-of-2 with per-run loadavg stamps: the
+        # r4 driver record showed these single-shot timings swinging
+        # 1.8-3.8x on UNCHANGED, plan-gated code (host load-average ~7
+        # observed in PLANS.md); min-of-2 takes the least-contended
+        # observation and the stamps make residual contention provable
+        # instead of arguable. `<name>_runs` keeps both raw timings.
+        def min_of_2(name: str, fn) -> None:
+            runs, loads = [], []
+            for _ in range(2):
+                loads.append(round(os.getloadavg()[0], 2))
+                t0 = time.perf_counter()
+                fn()
+                runs.append(round(time.perf_counter() - t0, 3))
+            timings[name] = min(runs)
+            timings[f"{name}_runs"] = runs  # type: ignore[assignment]
+            timings[f"{name}_loadavg"] = loads  # type: ignore[assignment]
+
+        def _save():
+            with_row_index(synthetic_order_data(spark, 50_000_000)) \
+                .write.mode("overwrite") \
+                .option("parquet.block.size", 16 * 1024 * 1024) \
+                .parquet(f"{tmp}/s50m.parquet")
+        min_of_2("synth_order_50m_save", _save)
         big = spark.read.parquet(f"{tmp}/s50m.parquet")
-        t0 = time.perf_counter()
-        big.write.format("noop").mode("overwrite").save()
-        timings["synth_order_50m_load"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        slice_rows(big, None, None, 2_500_000, index_col="__row_id__") \
-            .write.format("noop").mode("overwrite").save()
-        timings["slice_step_50m_indexed"] = round(time.perf_counter() - t0, 3)
+        min_of_2("synth_order_50m_load",
+                 lambda: big.write.format("noop").mode("overwrite").save())
+        min_of_2("slice_step_50m_indexed",
+                 lambda: slice_rows(big, None, None, 2_500_000,
+                                    index_col="__row_id__")
+                 .write.format("noop").mode("overwrite").save())
         # the no-index path (rank + filter) at the same scale, for the
         # honest O(n)-scan comparison
-        t0 = time.perf_counter()
-        slice_rows(big.drop("__row_id__"), None, None, 2_500_000) \
-            .write.format("noop").mode("overwrite").save()
-        timings["slice_step_50m_scan"] = round(time.perf_counter() - t0, 3)
+        min_of_2("slice_step_50m_scan",
+                 lambda: slice_rows(big.drop("__row_id__"),
+                                    None, None, 2_500_000)
+                 .write.format("noop").mode("overwrite").save())
         rows_out["matched_scale_rows"] = 50_000_000
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -286,6 +303,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "queries": timings,
         "r2_comparable_total": r2_basis,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

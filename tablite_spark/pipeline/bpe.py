@@ -19,8 +19,16 @@ GPT-2 byte-to-unicode variant) from scratch:
 
 The container has no tiktoken/tokenizers wheel, so exactness against
 a published vocab is exercised with vocabularies produced by
-``train_bpe`` (the algorithm, not a fixture, is the contract); any
-real GPT-2-format vocab/merges pair drops in unchanged.
+``train_bpe`` (the algorithm, not a fixture, is the contract). A real
+GPT-2-format vocab/merges pair loads unchanged (same file format),
+but segmentation is GPT-2-COMPATIBLE, not byte-identical: ``_PRETOK``
+approximates GPT-2's pre-tokenizer with stdlib ``re`` (no
+``\\p{L}``/``\\p{N}`` classes, no uppercase contraction forms), so
+token boundaries — and therefore counts fed to
+``token_budget_cap``/``pack_chunks`` — can diverge from
+tiktoken/HF on some inputs (non-Latin scripts, ``'S``-style
+contractions). Within a vocab produced by ``train_bpe`` the
+encode/decode round-trip is exact (fuzz-tested).
 
 No reference analogue: tablite has no tokenizer (this is part of the
 LLM-pipeline extension surface).

@@ -375,7 +375,8 @@ def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, text_col: str,
 
 def line_dedup(df: DataFrame, text_col: str, id_col: str,
                min_docs: int = 2,
-               out_col: str = "text_dedup") -> DataFrame:
+               out_col: str = "text_dedup",
+               min_line_chars: int = 1) -> DataFrame:
     """Line-level boilerplate removal — the CCNet paragraph-dedup /
     Dolma line-dedup recipe (public): a line whose exact text appears
     in >= ``min_docs`` DISTINCT documents is boilerplate (headers,
@@ -388,7 +389,16 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
     partial-aggregable countDistinct) → hash-anti-join the lines →
     one combinable per-doc groupBy whose sort_array(struct(pos,line))
     restores order worker-side. No window functions, no driver
-    collection, no all-pairs anything."""
+    collection, no all-pairs anything.
+
+    Lines whose trimmed length is below ``min_line_chars`` (default:
+    empty / whitespace-only lines) are excluded from the boilerplate
+    census and therefore ALWAYS kept — otherwise blank lines, which
+    appear in nearly every real document, would be declared
+    boilerplate and every paragraph break in the corpus would
+    collapse. CCNet/Dolma line-dedup operates on non-trivial lines
+    for the same reason; raise ``min_line_chars`` to also protect
+    very short lines."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n"))
@@ -397,7 +407,10 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
         id_col, "__pos__", "__line__",
         *[c.alias(n) for c, n in zip(_content_hash_cols("__line__"),
                                      ("__h1__", "__h2__"))])
-    boiler = (hashed.groupBy("__h1__", "__h2__")
+    boiler = (hashed
+              .filter(F.length(F.trim(F.col("__line__")))
+                      >= min_line_chars)
+              .groupBy("__h1__", "__h2__")
               .agg(F.countDistinct(id_col).alias("__nd__"))
               .filter(F.col("__nd__") >= min_docs)
               .select("__h1__", "__h2__"))

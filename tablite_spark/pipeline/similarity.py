@@ -306,16 +306,24 @@ def embedding_near_dup_blocked(df: DataFrame, id_col: str, vec_col: str,
 def _kmeans_sample_train(df: DataFrame, id_col: str, vec_col: str,
                          k: int, seed: int = 42,
                          sample_n: int = 65_536,
-                         iters: int = 15) -> list[list[float]]:
+                         iters: int = 15,
+                         normalize: bool = False) -> list[list[float]]:
     """Seeded sample → driver-side numpy Lloyd's → centroid list.
     The sample is the ``sample_n`` rows with the smallest
     xxhash64(id, seed) — deterministic under any partitioning (one
     TakeOrdered pass). This is the 100 TB division of labour stated
     on ivf_index (train on a sample, assign the full corpus) made
     explicit, and it sidesteps Spark ML's per-iteration job overhead
-    (measured 5.5 s → 0.6 s on 2k vectors at local scale)."""
+    (measured 5.5 s → 0.6 s on 2k vectors at local scale).
+
+    ``normalize=True`` trains on L2-unit vectors — required when the
+    caller assigns unit vectors to the resulting centroids (as
+    semantic_dedup does): training raw but assigning normalized mixes
+    metric spaces, and varying-norm near-duplicates can land in
+    different cells and survive dedup."""
     import numpy as np
-    rows = (df.select(_as_double(F.col(vec_col)).alias("v"))
+    prep = _unit if normalize else _as_double
+    rows = (df.select(prep(F.col(vec_col)).alias("v"))
             .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
             .limit(sample_n).collect())
     X = np.array([r["v"] for r in rows], dtype=np.float64)
@@ -400,7 +408,8 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
     import numpy as np
     import pandas as pd
 
-    centroids = _kmeans_sample_train(df, id_col, vec_col, n_lists, seed)
+    centroids = _kmeans_sample_train(df, id_col, vec_col, n_lists, seed,
+                                     normalize=True)
     assigned = assign_cells(
         df.select(F.col(id_col).alias("nid"),
                   _unit(F.col(vec_col)).alias("uv")),

@@ -400,21 +400,24 @@ def char_ngram_model(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     return grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def lm_vocab_size(df: DataFrame, text_col: str) -> int:
-    """Distinct characters in the normalized corpus (the smoothing
-    denominator's V). Single combinable aggregate."""
-    norm = _norm_for_lm(F.col(text_col))
-    chars = (df.select(norm.alias("norm"))
-             .select(F.explode(F.split(F.col("norm"), "")).alias("ch"))
-             .filter(F.col("ch") != ""))
-    return chars.agg(F.countDistinct("ch")).first()[0]
+def lm_vocab_size(model: DataFrame) -> int:
+    """Distinct characters across a ``char_ngram_model``'s grams (the
+    smoothing denominator's V). Reads the MODEL, not the corpus:
+    every char of a doc long enough to produce n-grams appears in at
+    least one gram, so the distinct chars over gram positions equal
+    the corpus alphabet — and the model is at most |alphabet|^n rows,
+    orders of magnitude smaller than an O(corpus) char-explode."""
+    return (model.select(F.explode(F.split(F.col("gram"), "")).alias("ch"))
+            .filter(F.col("ch") != "")
+            .agg(F.countDistinct("ch")).first()[0])
 
 
 def perplexity_score(df: DataFrame, text_col: str,
                      id_col: str = "doc_id", n: int = 3,
                      alpha: float = 0.5,
                      model: DataFrame | None = None,
-                     vocab_size: int | None = None) -> DataFrame:
+                     vocab_size: int | None = None,
+                     broadcast_max_rows: int = 10_000_000) -> DataFrame:
     """Char-n-gram LM quality score per document: the add-alpha
     smoothed conditional log-likelihood sum, quantized to millinats
     (``floor(1000 * ln p)``) so the result is an exact integer —
@@ -424,38 +427,51 @@ def perplexity_score(df: DataFrame, text_col: str,
     Output: (id_col, n_ngrams, millinats). Lower |millinats|/n_ngrams
     = more predictable text (CCNet keeps the low-perplexity tail).
 
-    Plan shape: explode n-grams (one scan, no UDF) → broadcast-join
-    the gram and prefix count tables (char-trigram model is bounded
-    by |alphabet|^3 — broadcastable by construction) → one combinable
-    groupBy per doc. Self-trains on ``df`` when ``model`` is None;
-    pass a ``char_ngram_model`` of a clean sample for the real CCNet
-    recipe. Unseen grams/prefixes degrade smoothly via the same
-    add-alpha formula."""
+    Plan shape: explode n-grams (one scan, no UDF) → join the gram
+    and prefix count tables → one combinable groupBy per doc. The
+    join is broadcast when the model fits (|alphabet|^3 for
+    alphabetic scripts: thousands-to-millions of rows), but GATED on
+    a measured row count: a CJK corpus has a ~20k-char alphabet whose
+    char-trigram census can exceed 10^8 rows, and broadcasting that
+    would OOM the driver and every executor. Above
+    ``broadcast_max_rows`` the hint is dropped and the gram join
+    runs as a shuffle join (the prefix table, |alphabet|^2, is still
+    broadcast — it cannot exceed ~4·10^8 even for CJK and is usually
+    tiny; it shares the gate for safety). Self-trains on ``df`` when
+    ``model`` is None; pass a ``char_ngram_model`` of a clean sample
+    for the real CCNet recipe. Unseen grams/prefixes degrade smoothly
+    via the same add-alpha formula."""
     if model is None:
         # pin the (bounded-size) model so the corpus is scanned once
         # for training: the vocab aggregate below and the broadcast
         # join both read the materialized counts, not a re-run
         model = char_ngram_model(df, text_col, n).localCheckpoint()
+    else:
+        # pin a user-passed model too: row-count gate + vocab
+        # aggregate + join would otherwise re-run its plan 3x
+        model = model.localCheckpoint()
+    n_model_rows = model.count()
     if vocab_size is None:
-        # V from the model, not another corpus scan: every char of a
-        # doc with len >= n appears in at least one n-gram, so the
-        # distinct chars across gram positions equal the corpus
-        # alphabet — and the model is at most |alphabet|^n rows.
-        vocab_size = (model.select(F.explode(F.split(
-            F.col("gram"), "")).alias("ch"))
-            .filter(F.col("ch") != "")
-            .agg(F.countDistinct("ch")).first()[0])
+        vocab_size = lm_vocab_size(model)
     prefixes = (model.groupBy(F.col("gram").substr(1, n - 1).alias("pfx"))
                 .agg(F.sum("cnt").alias("pcnt")))
+    if n_model_rows <= broadcast_max_rows:
+        model, prefixes = F.broadcast(model), F.broadcast(prefixes)
+    else:
+        import logging
+        logging.getLogger(__name__).warning(
+            "perplexity_score: model has %d rows (> broadcast_max_rows"
+            "=%d); falling back to shuffle joins", n_model_rows,
+            broadcast_max_rows)
     norm = _norm_for_lm(F.col(text_col))
     grams = (df.select(F.col(id_col), norm.alias("norm"))
              .filter(F.length("norm") >= n)
              .select(id_col, F.explode(_char_ngrams(F.col("norm"), n))
                      .alias("gram")))
     scored = (grams
-              .join(F.broadcast(model), "gram", "left")
-              .join(F.broadcast(prefixes),
-                    grams["gram"].substr(1, n - 1) == prefixes["pfx"],
+              .join(model, "gram", "left")
+              .join(prefixes,
+                    grams["gram"].substr(1, n - 1) == F.col("pfx"),
                     "left"))
     p = ((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha))
          / (F.coalesce(F.col("pcnt"), F.lit(0))

@@ -123,10 +123,13 @@ def _biff_records(stream: bytes, pos: int = 0):
 
 
 def _read_unicode(buf: bytes, pos: int, cch: int,
-                  continues: list[bytes]) -> str:
+                  continues: list[bytes]) -> tuple[str, bytes, int]:
     """XLUnicodeRichExtendedString body (after cch+grbit), possibly
     spilling into CONTINUE chunks that each restate the compression
-    flag. ``continues`` is consumed in place."""
+    flag. ``continues`` is consumed in place. Returns
+    ``(text, active_buf, pos)`` — the caller resumes parsing at
+    ``pos`` inside ``active_buf`` (which may be a CONTINUE chunk, not
+    the buffer passed in)."""
     grbit = buf[pos]
     pos += 1
     rich = grbit & 0x08

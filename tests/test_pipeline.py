@@ -981,6 +981,32 @@ def test_semantic_dedup_drops_only_planted_dups(spark):
     assert all_kept == len(rows)
 
 
+def test_semantic_dedup_varying_norms(spark):
+    """Scaled duplicates (cosine exactly 1, wildly different norms)
+    must be caught: centroids are trained on the SAME L2-normalized
+    vectors that are assigned, so a duplicate pair can never straddle
+    a cell boundary because of its magnitude. (Training raw but
+    assigning normalized — the pre-round-5 bug — clusters in
+    inconsistent metric spaces and lets such pairs survive.)"""
+    import random
+
+    from tablite_spark.pipeline.similarity import semantic_dedup
+    rng = random.Random(7)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(30)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # each duplicate is the base vector scaled by 0.01x .. 100x
+    scales = {i: rng.choice([0.01, 0.1, 10.0, 100.0])
+              for i in range(0, 30, 3)}
+    rows += [(i + 1000, [x * scales[i] for x in base[i]])
+             for i in range(0, 30, 3)]
+    df = spark.createDataFrame(rows, "vec_id long, vec array<double>")
+    out = sorted(r["vec_id"]
+                 for r in semantic_dedup(df, "vec_id", "vec",
+                                         threshold=0.999,
+                                         n_lists=5).collect())
+    assert out == list(range(30))
+
+
 def test_perplexity_score_ranks_and_unseen_grams(spark):
     """Repetitive text scores closer to 0 millinats/gram than novel
     text under a self-trained model; scoring NEW docs against an
@@ -999,13 +1025,36 @@ def test_perplexity_score_ranks_and_unseen_grams(spark):
     # external model: score unseen text, all grams miss -> finite
     # smoothed scores, no nulls/crash
     model = char_ngram_model(docs, "text")
-    v = lm_vocab_size(docs, "text")
+    v = lm_vocab_size(model)
     new = spark.createDataFrame([(9, "completely different")],
                                 "doc_id long, text string")
     got = perplexity_score(new, "text", model=model,
                            vocab_size=v).collect()
     assert len(got) == 1 and got[0]["millinats"] < 0
     assert got[0]["n_ngrams"] == len("completely different") - 2
+
+
+def test_perplexity_broadcast_gate_switches_to_shuffle_join(spark):
+    """A model above broadcast_max_rows must NOT be broadcast (a CJK
+    char-trigram census can reach 10^8 rows — broadcasting it OOMs
+    the cluster). With the gate forced to 0 the gram join becomes a
+    shuffle join, and the scores are identical to the broadcast
+    path — same math, different physical plan."""
+    from tablite_spark.pipeline.text import perplexity_score
+    # a modestly wide synthetic alphabet (320 distinct chars) so the
+    # model is non-trivial without being slow
+    docs = spark.createDataFrame(
+        [(i, "".join(chr(0x4E00 + (i * 7 + j) % 320) for j in range(40)))
+         for i in range(30)],
+        "doc_id long, text string")
+    bc = {r["doc_id"]: (r["n_ngrams"], r["millinats"])
+          for r in perplexity_score(docs, "text").collect()}
+    gated = perplexity_score(docs, "text", broadcast_max_rows=0)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    sh = {r["doc_id"]: (r["n_ngrams"], r["millinats"])
+          for r in gated.collect()}
+    assert sh == bc
 
 
 def test_line_dedup_boilerplate(spark):
@@ -1033,6 +1082,30 @@ def test_line_dedup_boilerplate(spark):
               for r in line_dedup(df, "text", "doc_id",
                                   min_docs=99).collect()}
     assert intact == {i: t for i, t in rows}
+
+
+def test_line_dedup_preserves_blank_lines(spark):
+    """Empty / whitespace-only lines appear in nearly every real
+    document; they must never be counted as boilerplate (that would
+    collapse paragraph breaks corpus-wide). min_line_chars also
+    shields very short lines when raised."""
+    from tablite_spark.pipeline.dedup import line_dedup
+    rows = [
+        (1, "para one\n\npara two\n\n---"),
+        (2, "intro\n\nbody\n\n---"),
+        (3, "solo\n\nend\n\n---"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text_dedup"]
+           for r in line_dedup(df, "text", "doc_id", min_docs=2).collect()}
+    # blank lines survive; the shared "---" separator is boilerplate
+    assert out[1] == "para one\n\npara two\n"
+    assert out[2] == "intro\n\nbody\n"
+    # raising min_line_chars also protects the short "---" line
+    kept = {r["doc_id"]: r["text_dedup"]
+            for r in line_dedup(df, "text", "doc_id", min_docs=2,
+                                min_line_chars=4).collect()}
+    assert kept == {i: t for i, t in rows}
 
 
 def test_extract_audio_features_real_wav(spark):
