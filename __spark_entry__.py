@@ -2000,51 +2000,48 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------
 
-# Round-4 verification window: the driver checks the FIRST 50 entries
-# of queries(). Priority = (1) never-verified (jpeg_decode_dims is new),
-# (2) the 47 queries whose latest green is round 1 — the stalest,
-# several with code changed underneath since (dedup_exact plan,
-# de-windowed match/unique_index, 128-bit content hash, json columnar
-# rewrite), (3) queries whose implementation changed THIS round
-# (canonical_urls_docs regex, token_budget_cap two-phase). Everything
-# else was green in r2/r3 and rotates behind.
-_R4_WINDOW = [
-    # never-verified first: new this round
-    "jpeg_decode_dims", "hdf5_roundtrip_agg", "row_iteration_checksum",
-    "video_frames_meta", "semantic_dedup_embeddings", "perplexity_docs",
-    "line_dedup_docs", "audio_features_meta", "gif_decode_dims",
-    "xls_roundtrip_agg", "vocab_shift_docs",
-    # --- r1-only greens (stalest first-class rotation set)
-    "q1_pricing_summary", "q3_shipping_revenue", "q5_nation_revenue",
-    "filter_pass", "filter_fail", "filter_any", "filter_expression",
-    "filter_substring_in", "filter_callable", "merge_where_case",
-    "groupby_mode", "groupby_product", "sort_mixed_excel",
-    "transpose_region", "imputation_mode",
-    "imputation_nn", "pivot_long",
-    "drop_duplicates", "groupby_first_last",
-    "sort_unix_mixed", "xround_time_buckets", "json_roundtrip_agg",
-    "parquet_roundtrip_agg", "xlsx_roundtrip_agg", "q6_forecast_revenue",
-    "q14_promo_revenue", "q18_large_orders", "q4_priority_exists",
-    "q19_disjunctive_filter", "groupby_rollup", "groupby_cube",
-    "window_ntile",
-    # (count_value / unique_values / remove_all / is_sorted /
-    #  date_range_expand: r1-green one-line wrappers, rotated to the
-    #  r5 window to make room for the five new never-verified queries
-    #  above)
-    "json_columnar_roundtrip", "token_count_bpe",
-    "language_id_docs", "ngram_jaccard_pairs", "near_dup_embeddings",
-    # --- changed this round
-    "canonical_urls_docs", "token_budget_docs",
+# Round-5 verification window: the driver checks the FIRST 50 entries
+# of queries(). After round 4 every registered query's LATEST check is
+# green, so priority is pure staleness + change: (1) the 10 queries
+# whose latest green is still round 1, (2) all 30 round-2-latest
+# queries — together the 40 stalest, leaving no query older than two
+# rounds after this window runs, (3) the three queries whose
+# implementation changed THIS round (semantic_dedup k-means
+# normalization, perplexity broadcast gate + model-sourced vocab,
+# line_dedup blank-line census filter), (4) the 7 alphabetically
+# first round-3 queries to fill the window.
+_R5_WINDOW = [
+    # --- latest green = r1 (stalest)
+    "count_value", "date_range_expand", "index_rowids", "is_sorted",
+    "reindex_rows", "remove_all", "sort_alphanumeric",
+    "statistics_dates", "statistics_text", "unique_values",
+    # --- latest green = r2
+    "csv_roundtrip_agg", "dedup_exact", "diff_tables", "distinct_keys",
+    "doc_fingerprint", "drop_rows", "embedding_topk",
+    "groupby_accumulators", "histogram", "hopping_window",
+    "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
+    "media_features", "melt_long", "multimodal_decode",
+    "pandas_roundtrip_agg", "pivot_wide", "quality_score",
+    "repeat_table", "replace_values", "slice_step",
+    "statistics_summary", "text_stats", "tumbling_window",
+    "unique_first", "window_lag", "window_running_sum", "window_topn",
+    "xround_buckets",
+    # --- implementation changed in round 5
+    "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
+    # --- r3 fill
+    "asof_join_events", "chunk_docs", "column_select_fail",
+    "column_select_pass", "concat_tables", "construction_api_agg",
+    "contamination_docs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R4_WINDOW`` puts the
-    never-verified and stalest-green queries first; everything else
-    keeps its registration order behind them."""
+    bounded per-round window (50/round). ``_R5_WINDOW`` puts the
+    stalest-green and changed-this-round queries first; everything
+    else keeps its registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R4_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R5_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 
