@@ -11,8 +11,13 @@ SOF and `extract_image_features` computes true pixel statistics.
 The encoder (used for test fixtures and roundtrips) writes baseline
 4:4:4 JFIF with the Annex K example quantization + Huffman tables.
 
-Not a general-purpose imaging library: progressive (SOF2),
-arithmetic coding, 12-bit, and CMYK raise ValueError.
+Not a general-purpose imaging library: full pixel decode of
+progressive (SOF2), arithmetic coding, 12-bit, and CMYK raises
+ValueError — but ``jpeg_header`` parses dimensions from EVERY SOF
+variant (all share the SOF0 frame-header layout), so
+``decode_images`` still reports real width/height for progressive
+JPEGs (~10% of web corpora); only ``extract_image_features``
+degrades to its byte-histogram fallback for them.
 
 Reference parity note: the reference engine (root-11/tablite) has no
 multimodal surface; this exists for the training-data-pipeline north

@@ -381,9 +381,10 @@ def read_xls(spark: SparkSession, path: str, *,
     reference dispatch tablite/import_utils.py:633-648) reads cell
     values on the driver — .xls is a small-data format by
     construction (65,536-row sheet cap) — then ``createDataFrame`` +
-    the CSV reader's type-guessing pass. Values only: date serials
-    surface as numbers (xlrd, when installed, takes precedence and
-    applies XF date formats)."""
+    the CSV reader's type-guessing pass. Cells whose XF carries a
+    date format (builtin ifmt ranges or a ymdhs custom format) come
+    back as timestamps, like the xlrd path (which still takes
+    precedence when installed)."""
     from tablite_spark.sources.xlslite import read_xls as _read
     book = _read(path)
     if isinstance(sheet, int):

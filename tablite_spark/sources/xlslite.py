@@ -16,13 +16,18 @@ Two public formats are involved (both Microsoft-published):
   single-sheet workbook (BOF, BOUNDSHEET, SST, LABELSST/NUMBER,
   EOF) for fixtures and round-trip tests.
 
-Scope: cell VALUES only — no XF/FORMAT parsing, so date serials
-surface as numbers (documented; the reference's xls path delegates
-to pandas/xlrd which has the same value-level model at its core).
-Original from-spec implementation like hdf5lite/png/jpeg/gif.
+Scope: cell values plus MINIMAL number-format awareness — XF/FORMAT
+records are parsed just enough to classify date-formatted cells
+(builtin date ifmt ranges + a ymdhs heuristic over custom format
+strings, the xlrd approach) and convert their serials to
+``datetime.datetime`` via the shared Excel epoch (1899-12-30, or
+1904-01-01 under DATEMODE).  Fonts, colors, alignment and the rest
+of the XF payload are ignored.  Original from-spec implementation
+like hdf5lite/png/jpeg/gif.
 """
 from __future__ import annotations
 
+import datetime as _dt
 import struct
 
 ENDOFCHAIN = 0xFFFFFFFE
@@ -197,12 +202,58 @@ def _rk_value(rk: int) -> float:
     return val / 100.0 if mul else val
 
 
+# Builtin BIFF number-format ids that render as dates/times
+# ([MS-XLS] 2.4.126; same classification xlrd uses): 14-22 date/time,
+# 27-36 locale date variants, 45-47 elapsed-time, 50-58 more locale
+# variants.
+_DATE_IFMTS = (set(range(14, 23)) | set(range(27, 37))
+               | {45, 46, 47} | set(range(50, 59)))
+
+
+def _is_date_format(fmt: str) -> bool:
+    """ymdhs heuristic over a custom format string with quoted
+    literals, [bracket] sections and backslash escapes stripped —
+    the minimal classification trick xlrd popularized."""
+    out: list[str] = []
+    i, n = 0, len(fmt)
+    while i < n:
+        ch = fmt[i]
+        if ch == '"':
+            j = fmt.find('"', i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "[":
+            j = fmt.find("]", i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "\\":
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    t = "".join(out).lower().replace("general", "")
+    return any(c in t for c in "ymdhs")
+
+
+def _serial_to_datetime(serial: float, date1904: bool) -> _dt.datetime:
+    """Excel day serial → datetime. Epoch 1899-12-30 folds in the
+    fictional 1900-02-29 for post-1900 dates (matches
+    xlsx.excel_serial_to_timestamp); rounded to the millisecond to
+    suppress binary-fraction noise in the serial."""
+    base = _dt.datetime(1904, 1, 1) if date1904 \
+        else _dt.datetime(1899, 12, 30)
+    return base + _dt.timedelta(milliseconds=round(serial * 86_400_000))
+
+
 def parse_xls(data: bytes) -> dict[str, list[list]]:
     """{sheet_name: rows} — row-major cell values (str/float/bool/
-    None), trailing missing cells trimmed per row."""
+    datetime/None), trailing missing cells trimmed per row. Numeric
+    cells whose XF carries a date format come back as
+    ``datetime.datetime``."""
     wb = _cfb_stream_any(data, ("Workbook", "Book"))
     sheets: list[tuple[str, int]] = []
     sst: list[str] = []
+    xf_ifmts: list[int] = []
+    custom_fmts: dict[int, str] = {}
+    date1904 = False
     records = list(_biff_records(wb))
     for i, (rid, body, _pos) in enumerate(records):
         if rid == 0x0085:  # BOUNDSHEET
@@ -220,6 +271,25 @@ def parse_xls(data: bytes) -> dict[str, list[list]]:
                 else:
                     break
             sst = _parse_sst(body, cont_run)
+        elif rid == 0x00E0:  # XF: only ifmt (offset 2) matters here
+            xf_ifmts.append(struct.unpack_from("<H", body, 2)[0])
+        elif rid == 0x041E:  # FORMAT: custom number-format string
+            (ifmt,) = struct.unpack_from("<H", body, 0)
+            cch, grbit = struct.unpack_from("<HB", body, 2)
+            raw = body[5: 5 + cch * (2 if grbit & 1 else 1)]
+            custom_fmts[ifmt] = raw.decode(
+                "utf-16-le" if grbit & 1 else "latin-1")
+        elif rid == 0x0022:  # DATEMODE (1904 date system)
+            date1904 = bool(struct.unpack_from("<H", body, 0)[0])
+
+    def _cell_num(v: float, ixfe: int):
+        if ixfe < len(xf_ifmts):
+            ifmt = xf_ifmts[ixfe]
+            if (ifmt in custom_fmts and _is_date_format(custom_fmts[ifmt])
+                    ) or (ifmt not in custom_fmts and ifmt in _DATE_IFMTS):
+                return _serial_to_datetime(v, date1904)
+        return v
+
     out: dict[str, list[list]] = {}
     for name, spos in sheets:
         cells: dict[tuple[int, int], object] = {}
@@ -230,19 +300,19 @@ def parse_xls(data: bytes) -> dict[str, list[list]]:
                 r, c, _xf, isst = struct.unpack_from("<HHHI", body, 0)
                 cells[(r, c)] = sst[isst] if isst < len(sst) else None
             elif rid == 0x0203:  # NUMBER
-                r, c, _xf = struct.unpack_from("<HHH", body, 0)
+                r, c, xf = struct.unpack_from("<HHH", body, 0)
                 (v,) = struct.unpack_from("<d", body, 6)
-                cells[(r, c)] = v
+                cells[(r, c)] = _cell_num(v, xf)
             elif rid == 0x027E:  # RK
-                r, c, _xf, rk = struct.unpack_from("<HHHI", body, 0)
-                cells[(r, c)] = _rk_value(rk)
+                r, c, xf, rk = struct.unpack_from("<HHHI", body, 0)
+                cells[(r, c)] = _cell_num(_rk_value(rk), xf)
             elif rid == 0x00BD:  # MULRK
                 r, c0 = struct.unpack_from("<HH", body, 0)
                 n = (len(body) - 6) // 6
                 for j in range(n):
-                    (rk,) = struct.unpack_from(
-                        "<I", body, 4 + 6 * j + 2)
-                    cells[(r, c0 + j)] = _rk_value(rk)
+                    xf, rk = struct.unpack_from(
+                        "<HI", body, 4 + 6 * j)
+                    cells[(r, c0 + j)] = _cell_num(_rk_value(rk), xf)
             elif rid == 0x0205:  # BOOLERR
                 r, c, _xf, val, is_err = struct.unpack_from(
                     "<HHHBB", body, 0)
@@ -254,11 +324,11 @@ def parse_xls(data: bytes) -> dict[str, list[list]]:
                 cells[(r, c)] = raw.decode(
                     "utf-16-le" if grbit & 1 else "latin-1")
             elif rid == 0x0006:  # FORMULA: cached numeric result only
-                r, c, _xf = struct.unpack_from("<HHH", body, 0)
+                r, c, xf = struct.unpack_from("<HHH", body, 0)
                 raw = body[6:14]
                 if raw[6:8] != b"\xff\xff":
                     (v,) = struct.unpack("<d", raw)
-                    cells[(r, c)] = v
+                    cells[(r, c)] = _cell_num(v, xf)
         if cells:
             max_r = max(r for r, _ in cells)
             max_c = max(c for _, c in cells)
@@ -301,6 +371,15 @@ def _biff_workbook(sheet: str, rows: list[list]) -> bytes:
             elif isinstance(v, (int, float)):
                 cell_recs.append(_rec(0x0203, struct.pack(
                     "<HHHd", r, c, 15, float(v))))
+            elif isinstance(v, (_dt.datetime, _dt.date)):
+                # XF 16 (ifmt 22, m/d/yy h:mm) marks the cell as a
+                # date so the reader converts the serial back
+                if not isinstance(v, _dt.datetime):
+                    v = _dt.datetime(v.year, v.month, v.day)
+                serial = (v - _dt.datetime(1899, 12, 30)) \
+                    / _dt.timedelta(days=1)
+                cell_recs.append(_rec(0x0203, struct.pack(
+                    "<HHHd", r, c, 16, serial)))
             else:
                 s = str(v)
                 if s not in sidx:
@@ -325,10 +404,19 @@ def _biff_workbook(sheet: str, rows: list[list]) -> bytes:
 
     # BOUNDSHEET carries the worksheet BOF offset: build once with a
     # placeholder to learn the globals length, then with the real one
+    # minimal XF table: 15 style XFs + XF 15 (default cell, General)
+    # + XF 16 (date cell, builtin ifmt 22 "m/d/yy h:mm") — cells
+    # reference ixfe 15/16 above. Only ifmt at offset 2 is meaningful
+    # to readers of this subset; style XFs carry the fStyle flag.
+    def _xf(ifmt: int, style: bool) -> bytes:
+        return _rec(0x00E0, struct.pack(
+            "<HHH", 0, ifmt, 0xFFF5 if style else 0x0001) + b"\x00" * 14)
+    xf_recs = b"".join([_xf(0, True)] * 15) + _xf(0, False) + _xf(22, False)
+
     def globals_part(offset: int) -> bytes:
         bsheet = _rec(0x0085, struct.pack(
             "<IBBBB", offset, 0, 0, len(sheet), 1) + sheet_raw)
-        return (bof_wb + bsheet + _rec(0x00FC, sst_body)
+        return (bof_wb + xf_recs + bsheet + _rec(0x00FC, sst_body)
                 + _rec(0x000A, b""))
 
     head = globals_part(len(globals_part(0)))

@@ -394,6 +394,47 @@ def test_xlslite_roundtrip_and_from_file(spark, tmp_path):
                    ("béta 嗨", 2.0, -0.125, False)]
 
 
+def test_xlslite_date_cells(spark, tmp_path):
+    """XF/FORMAT date handling: datetime values write as serials
+    under a date XF and read back as datetimes (not floats); the
+    from_file path re-guesses them into a timestamp column; the
+    custom-format classifier follows the ymdhs-outside-literals
+    heuristic."""
+    import datetime as dt
+
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.xlslite import (
+        _is_date_format, read_xls, write_xls,
+    )
+    d1 = dt.datetime(2020, 5, 17, 10, 30, 15)
+    d2 = dt.datetime(1999, 12, 31, 23, 59, 59)
+    rows = [
+        ["label", "when", "amount"],
+        ["a", d1, 12.5],
+        ["b", d2, -3.0],
+        ["c", dt.date(2001, 2, 3), 0.25],
+    ]
+    p = str(tmp_path / "d.xls")
+    write_xls(p, rows, sheet="Data")
+    back = read_xls(p)["Data"]
+    assert back[1] == ["a", d1, 12.5]
+    assert back[2] == ["b", d2, -3.0]
+    assert back[3] == ["c", dt.datetime(2001, 2, 3), 0.25]
+    df = from_file(spark, p)
+    types = dict(df.dtypes)
+    assert types["when"] == "timestamp", types
+    assert types["amount"] == "double", types
+    got = {r["label"]: r["when"] for r in df.collect()}
+    assert got == {"a": d1, "b": d2, "c": dt.datetime(2001, 2, 3)}
+    # custom-format classifier: ymdhs only outside literals/brackets
+    assert _is_date_format("yyyy-mm-dd")
+    assert _is_date_format("[h]:mm:ss")
+    assert _is_date_format(r"d\h")  # escaped h, real d
+    assert not _is_date_format('0.00" hrs"')  # h only inside literal
+    assert not _is_date_format("#,##0.00")
+    assert not _is_date_format("General")
+
+
 def test_xlslite_cfb_structure(tmp_path):
     """Compound-file invariants: OLE2 signature, 512-byte header,
     sector count consistent with file size, non-OLE2 rejected."""

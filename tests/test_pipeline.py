@@ -710,6 +710,26 @@ def test_jpeg_rejects_progressive():
         jpeg_decode(data)
 
 
+def test_decode_images_progressive_jpeg_dims(spark):
+    """Progressive JPEG (SOF2, ~10% of web JPEGs): full pixel decode
+    is out of scope, but the SOF2 frame header carries dimensions in
+    the same layout as SOF0, so decode_images must report the REAL
+    width/height — not the deterministic fake, and never a null row."""
+    import struct
+
+    from tablite_spark.pipeline.multimodal import attach_media, decode_images
+    sof2 = struct.pack(">BHHB", 8, 240, 320, 3) \
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    payload = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2)
+               + sof2 + b"\xff\xd9")
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "img_id long, raw binary")
+    media = attach_media(df, "raw", "image/jpeg").drop("raw")
+    out = decode_images(media).collect()
+    assert len(out) == 1
+    assert (out[0]["width"], out[0]["height"]) == (320, 240)
+
+
 def test_decode_images_real_jpeg(spark):
     import numpy as np
 
