@@ -15,11 +15,15 @@ reference's column-per-dataset layout needs
   (4/8), fixed-length strings (ASCII or UTF-8 payload)
 
 The reader additionally tolerates object-header continuation blocks
-and skips unknown messages, so simple h5py-written files (contiguous,
-non-chunked, fixed-size types) read back too.  Chunked layouts,
-compression, vlen strings, nested groups, and attributes are out of
-scope and raise ``NotImplementedError`` — at scale the path is
-convert-once to parquet, exactly like the reference's ``.tpz``.
+and skips unknown messages, and since round 5 handles the storage
+layouts h5py actually emits for real files: compact (inline) data,
+CHUNKED layout via the v1 raw-data-chunk B-tree, and the builtin
+filter pipeline — deflate (zlib), shuffle, fletcher32 (checksum
+stripped, not verified).  The writer can emit chunked/deflated
+datasets too (``chunk_rows=`` / ``compress=``).  Still out of scope
+(``NotImplementedError``): vlen strings, nested groups, attributes,
+big-endian payloads, v2+ B-trees — at scale the path is convert-once
+to parquet, exactly like the reference's ``.tpz``.
 
 Like ``png.py`` / ``jpeg.py`` / ``xlsx.py`` / ``ods.py`` this is an
 original from-spec implementation: the reference has no HDF5 codec of
@@ -91,6 +95,29 @@ def _object_header(n: int, dt_body: bytes,
     return struct.pack("<BxHII4x", 1, 3, 1, len(msgs)) + msgs
 
 
+def _object_header_chunked(n: int, dt_body: bytes, bt_addr: int,
+                           chunk_rows: int, itemsize: int,
+                           gzip_level: int | None) -> bytes:
+    """v1 object header: Dataspace + Datatype [+ Filter Pipeline]
+    + Layout(v3 chunked, ndim+1 dims with the element size last)."""
+    space = struct.pack("<BBB5xQ", 1, 1, 0, n)
+    layout = (struct.pack("<BBB", 3, 2, 2)
+              + struct.pack("<Q", bt_addr)
+              + struct.pack("<II", chunk_rows, itemsize))
+    msgs = _message(0x0001, space) + _message(0x0003, dt_body)
+    nmsg = 3
+    if gzip_level is not None:
+        # v1 pipeline, one filter: deflate(id 1), 1 client value
+        # (the level), padded to an even count
+        filt = (struct.pack("<BB6x", 1, 1)
+                + struct.pack("<HHHH", 1, 0, 0, 1)
+                + struct.pack("<I4x", gzip_level))
+        msgs += _message(0x000B, filt)
+        nmsg += 1
+    msgs += _message(0x0008, layout)
+    return struct.pack("<BxHII4x", 1, nmsg, 1, len(msgs)) + msgs
+
+
 def _coerce(values) -> np.ndarray:
     """Column -> storable 1-D array; non-native values stringified
     (the reference's TypeError fallback, export_utils.py:99-101)."""
@@ -108,9 +135,15 @@ def _coerce(values) -> np.ndarray:
     return np.array(enc, dtype=f"S{width}")
 
 
-def write(path: str, columns: dict) -> None:
+def write(path: str, columns: dict, *,
+          chunk_rows: int | None = None,
+          compress: bool | int = False) -> None:
     """Write ``{name: 1-D array-like}`` as a classic-format HDF5 file
-    with one contiguous root-level dataset per column."""
+    with one root-level dataset per column — contiguous by default,
+    chunked when ``chunk_rows`` is set or ``compress`` is truthy
+    (deflate level 4, or the given int level). Chunked datasets use a
+    single-leaf v1 chunk B-tree, so ``chunk_rows`` is raised if
+    needed to keep a dataset at ≤ 32 chunks."""
     if len(columns) > 2 * _LEAF_K:
         raise NotImplementedError(
             f"hdf5lite caps at {2 * _LEAF_K} columns per file")
@@ -136,22 +169,58 @@ def write(path: str, columns: dict) -> None:
 
     out += b"\x00" * 96  # superblock, patched last
 
-    # datasets: object header then payload
+    gzip_level: int | None = None
+    if compress:
+        gzip_level = 4 if compress is True else int(compress)
+    chunking = chunk_rows is not None or gzip_level is not None
+
+    # datasets: object header then payload (contiguous), or chunks →
+    # chunk B-tree → object header (chunked)
     header_addr = {}
     for n in names:
         arr = arrays[n]
         dt_body, itemsize = _dt_message(arr)
         payload = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
         raw = payload.tobytes()
-        # header precedes data; header length is deterministic
-        hdr = _object_header(len(arr), dt_body, 0, len(raw))
-        addr = len(out)
-        data_addr = addr + _pad8(len(hdr))
-        hdr = _object_header(len(arr), dt_body, data_addr, len(raw))
-        alloc(hdr)
-        assert len(out) == data_addr
-        alloc(raw)
-        header_addr[n] = addr
+        if chunking:
+            import math
+            import zlib
+            nrows = len(arr)
+            crows = chunk_rows or 65_536
+            if nrows > 32 * crows:
+                crows = math.ceil(nrows / 32)
+            chunk_meta = []  # (row_offset, stored_nbytes, addr)
+            for off in range(0, nrows, crows):
+                blob = raw[off * itemsize: (off + crows) * itemsize]
+                if len(blob) < crows * itemsize:  # chunks are whole
+                    blob += b"\x00" * (crows * itemsize - len(blob))
+                if gzip_level is not None:
+                    blob = zlib.compress(blob, gzip_level)
+                chunk_meta.append((off, len(blob), alloc(blob)))
+            if chunk_meta:
+                node = bytearray(b"TREE" + struct.pack(
+                    "<BBHQQ", 1, 0, len(chunk_meta), UNDEF, UNDEF))
+                for off, nbytes, caddr in chunk_meta:
+                    node += struct.pack("<IIQQQ", nbytes, 0, off, 0,
+                                        caddr)
+                # rightmost key: first element offset beyond the data
+                node += struct.pack("<IIQQ", 0, 0,
+                                    len(chunk_meta) * crows, itemsize)
+                bt_addr = alloc(bytes(node))
+            else:
+                bt_addr = UNDEF
+            header_addr[n] = alloc(_object_header_chunked(
+                nrows, dt_body, bt_addr, crows, itemsize, gzip_level))
+        else:
+            # header precedes data; header length is deterministic
+            hdr = _object_header(len(arr), dt_body, 0, len(raw))
+            addr = len(out)
+            data_addr = addr + _pad8(len(hdr))
+            hdr = _object_header(len(arr), dt_body, data_addr, len(raw))
+            alloc(hdr)
+            assert len(out) == data_addr
+            alloc(raw)
+            header_addr[n] = addr
 
     heap_data_addr = alloc(bytes(heap))
     heap_hdr_addr = alloc(b"HEAP" + struct.pack(
@@ -233,8 +302,88 @@ def _parse_datatype(body: bytes):
     raise NotImplementedError(f"datatype class {cls} not supported")
 
 
+def _parse_filters(body: bytes) -> list[tuple[int, int, tuple]]:
+    """Filter Pipeline message (0x000B) → [(id, flags, client_vals)].
+    v1 pads names to 8 and client values to even counts; v2 drops the
+    padding and omits name_len for builtin (<256) filters."""
+    ver, nf = body[0], body[1]
+    filters: list[tuple[int, int, tuple]] = []
+    if ver == 1:
+        pos = 8
+        for _ in range(nf):
+            fid, nlen, flags, ncv = struct.unpack_from("<HHHH", body, pos)
+            pos += 8 + _pad8(nlen)
+            cvals = struct.unpack_from(f"<{ncv}I", body, pos)
+            pos += 4 * ncv + (4 if ncv % 2 else 0)
+            filters.append((fid, flags, cvals))
+    elif ver == 2:
+        pos = 2
+        for _ in range(nf):
+            (fid,) = struct.unpack_from("<H", body, pos)
+            pos += 2
+            nlen = 0
+            if fid >= 256:
+                (nlen,) = struct.unpack_from("<H", body, pos)
+                pos += 2
+            flags, ncv = struct.unpack_from("<HH", body, pos)
+            pos += 4 + nlen
+            cvals = struct.unpack_from(f"<{ncv}I", body, pos)
+            pos += 4 * ncv
+            filters.append((fid, flags, cvals))
+    else:
+        raise NotImplementedError(f"filter pipeline v{ver}")
+    return filters
+
+
+def _walk_chunk_btree(buf: memoryview, addr: int, ndim_plus: int,
+                      out: list) -> None:
+    """v1 B-tree (node type 1, raw data chunks): collect
+    (element_offset, stored_nbytes, filter_mask, chunk_addr)."""
+    sig = bytes(buf[addr: addr + 4])
+    if sig != b"TREE":
+        raise ValueError(f"bad chunk b-tree signature {sig!r}")
+    ntype, level, used = struct.unpack_from("<BBH", buf, addr + 4)
+    if ntype != 1:
+        raise ValueError("not a chunk b-tree")
+    key_size = 8 + 8 * ndim_plus
+    pos = addr + 24
+    for _ in range(used):
+        nbytes, mask = struct.unpack_from("<II", buf, pos)
+        offs = struct.unpack_from(f"<{ndim_plus}Q", buf, pos + 8)
+        (child,) = struct.unpack_from("<Q", buf, pos + key_size)
+        if level > 0:
+            _walk_chunk_btree(buf, child, ndim_plus, out)
+        else:
+            out.append((offs[0], nbytes, mask, child))
+        pos += key_size + 8
+
+
+def _defilter(raw: bytes, filters: list, mask: int,
+              itemsize: int) -> bytes:
+    """Undo the filter pipeline in reverse application order.
+    Supported: deflate (1), shuffle (2), fletcher32 (3, checksum
+    stripped without verification — corruption surfaces as a numpy
+    size mismatch downstream)."""
+    import zlib
+    for i in range(len(filters) - 1, -1, -1):
+        if mask & (1 << i):
+            continue  # writer skipped this filter for this chunk
+        fid = filters[i][0]
+        if fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:
+            raw = (np.frombuffer(raw, np.uint8)
+                   .reshape(itemsize, -1).T.tobytes())
+        elif fid == 3:
+            raw = raw[:-4]
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid}")
+    return raw
+
+
 def _read_dataset(buf: memoryview, addr: int) -> np.ndarray:
-    dims = dtype = layout = None
+    dims = dtype = contiguous = chunked = compact = None
+    filters: list[tuple[int, int, tuple]] = []
     for mtype, body in _parse_messages(buf, addr):
         if mtype == 0x0001:  # dataspace
             ver = body[0]
@@ -249,20 +398,53 @@ def _read_dataset(buf: memoryview, addr: int) -> np.ndarray:
             dims = struct.unpack_from(f"<{ndim}Q", body, off)
         elif mtype == 0x0003:
             dtype = _parse_datatype(body)
+        elif mtype == 0x000B:
+            filters = _parse_filters(body)
         elif mtype == 0x0008:
             ver = body[0]
             if ver != 3:
                 raise NotImplementedError(f"data layout v{ver}")
-            if body[1] != 1:
-                raise NotImplementedError(
-                    "only contiguous layout supported (no chunking)")
-            layout = struct.unpack_from("<QQ", body, 2)
-    if dims is None or dtype is None or layout is None:
+            clazz = body[1]
+            if clazz == 0:  # compact: data inline in the message
+                (csize,) = struct.unpack_from("<H", body, 2)
+                compact = body[4: 4 + csize]
+            elif clazz == 1:
+                contiguous = struct.unpack_from("<QQ", body, 2)
+            elif clazz == 2:  # chunked: B-tree of filtered chunks
+                ndim_plus = body[2]
+                (bt_addr,) = struct.unpack_from("<Q", body, 3)
+                cdims = struct.unpack_from(f"<{ndim_plus}I", body, 11)
+                chunked = (bt_addr, cdims)
+            else:
+                raise NotImplementedError(f"data layout class {clazz}")
+    if dims is None or dtype is None \
+            or (contiguous is None and chunked is None and compact is None):
         raise ValueError("dataset object header incomplete")
     if len(dims) != 1:
         raise NotImplementedError("only 1-D datasets supported")
-    data_addr, data_size = layout
     n = dims[0]
+    if compact is not None:
+        return np.frombuffer(compact[:n * dtype.itemsize],
+                             dtype=dtype).copy()
+    if chunked is not None:
+        bt_addr, cdims = chunked
+        chunk_rows = cdims[0]
+        outarr = np.zeros(n, dtype=dtype)
+        if bt_addr == UNDEF:
+            return outarr
+        chunks: list[tuple[int, int, int, int]] = []
+        _walk_chunk_btree(buf, bt_addr, len(cdims), chunks)
+        for off0, nbytes, mask, caddr in chunks:
+            raw = _defilter(bytes(buf[caddr: caddr + nbytes]),
+                            filters, mask, dtype.itemsize)
+            take = min(chunk_rows, n - off0)
+            if take <= 0:
+                continue
+            arr = np.frombuffer(raw[:chunk_rows * dtype.itemsize],
+                                dtype=dtype)
+            outarr[off0: off0 + take] = arr[:take]
+        return outarr
+    data_addr, data_size = contiguous
     if data_addr == UNDEF:
         return np.zeros(n, dtype=dtype)
     raw = bytes(buf[data_addr: data_addr + n * dtype.itemsize])
