@@ -141,6 +141,35 @@ def test_stream_interval_join(spark, tmp_path):
     assert pairs == [(20, 10), (20, 11)]
 
 
+def test_stateful_state_carries_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState continuity: with one file per
+    micro-batch, the per-user GroupState must ACCUMULATE across
+    batches (update-mode emissions 1 → 3 → 6), not reset — the
+    property the single-batch test cannot see."""
+    src = str(tmp_path / "st_src")
+    for b, v in enumerate([1.0, 2.0, 3.0]):
+        (spark.createDataFrame(
+            [(b, f"2024-01-01 00:{b:02d}:00", 7, v)],
+            "event_id long, ts string, user_id long, value double")
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_running_total(stream)
+    q = (out.writeStream.format("memory").queryName("st_carry")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(batches) == 3  # one micro-batch per file
+    rows = spark.sql(
+        "SELECT running_total FROM st_carry ORDER BY running_total"
+    ).collect()
+    assert [r["running_total"] for r in rows] == [1.0, 3.0, 6.0]
+
+
 def test_watermark_bounds_state_across_microbatches(spark, tmp_path):
     """Multi-micro-batch run (maxFilesPerTrigger=1): the watermark
     must advance between batches, EVICT finalized window state (final
