@@ -957,6 +957,58 @@ def hdf5_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("n_name").alias("first_name")))
 
 
+def hdf5_chunked_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E proof of the round-5 hdf5lite CHUNKED+deflate path (v1
+    chunk B-tree, filter pipeline — sources/hdf5lite.py): orders is
+    written with explicit chunk_rows so every dataset spans many
+    chunks with a partial tail, compressed, re-read through the
+    public reader, and aggregated against the parquet source."""
+    import tempfile
+
+    from tablite_spark.sources import hdf5lite
+    from tablite_spark.sources.io import read_hdf5
+    o = _t(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    pdf = o.toPandas()
+    path = tempfile.mkdtemp(prefix="hdf5_ck_") + "/orders.h5"
+    hdf5lite.write(path, {c: pdf[c].to_numpy() for c in pdf.columns},
+                   chunk_rows=1024, compress=True)
+    back = read_hdf5(spark, path)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_orderkey").cast("long")).alias("key_sum"),
+                 F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+def xls_dates_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E proof of the round-5 xlslite XF date handling: order dates
+    write as serials under a date XF, read back through from_file as
+    a guessed TIMESTAMP column (not floats), and aggregate per year
+    against the parquet source."""
+    import datetime as dt
+    import tempfile
+
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.xlslite import write_xls
+    o = (_t(spark, sf, "orders")
+         .filter(F.col("o_orderkey") % 97 == 0)
+         .select("o_orderkey", "o_orderdate").orderBy("o_orderkey"))
+    rows: list[list] = [["okey", "odate"]]
+    rows += [[float(r["o_orderkey"]),
+              dt.datetime(r["o_orderdate"].year, r["o_orderdate"].month,
+                          r["o_orderdate"].day)]
+             for r in o.collect()]
+    path = tempfile.mkdtemp(prefix="xls_dt_") + "/dates.xls"
+    write_xls(path, rows)
+    back = from_file(spark, path)
+    return (back.groupBy(F.year("odate").alias("yr"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("odate").alias("first_dt"),
+                 F.max("odate").alias("last_dt"),
+                 F.sum(F.col("okey").cast("long")).alias("key_sum")))
+
+
 def html_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     """E2E HTML writer→reader proof (stdlib html.parser scrape +
     type re-guess; tablite/export_utils.py:108-136 analogue)."""
@@ -2008,9 +2060,12 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 # rounds after this window runs, (3) the three queries whose
 # implementation changed THIS round (semantic_dedup k-means
 # normalization, perplexity broadcast gate + model-sourced vocab,
-# line_dedup blank-line census filter), (4) the 7 alphabetically
-# first round-3 queries to fill the window.
+# line_dedup blank-line census filter), (4) round-3 fills. The two
+# queries NEW in round 5 (chunked-hdf5 and xls-date roundtrips) are
+# never-verified and go first.
 _R5_WINDOW = [
+    # --- new in round 5 (never verified)
+    "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
     "reindex_rows", "remove_all", "sort_alphanumeric",
@@ -2030,8 +2085,7 @@ _R5_WINDOW = [
     "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
     # --- r3 fill
     "asof_join_events", "chunk_docs", "column_select_fail",
-    "column_select_pass", "concat_tables", "construction_api_agg",
-    "contamination_docs",
+    "column_select_pass", "concat_tables",
 ]
 
 
@@ -2096,6 +2150,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ods_roundtrip_agg": ods_roundtrip_agg,
         "hdf5_roundtrip_agg": hdf5_roundtrip_agg,
         "xls_roundtrip_agg": xls_roundtrip_agg,
+        "hdf5_chunked_roundtrip_agg": hdf5_chunked_roundtrip_agg,
+        "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
         "rename_reorder_project": rename_reorder_project,
@@ -2688,6 +2744,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
+        """,
+        "hdf5_chunked_roundtrip_agg": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "xls_dates_roundtrip": """
+            SELECT CAST(year(o_orderdate) AS INT) AS yr,
+                   COUNT(*) AS n,
+                   CAST(MIN(o_orderdate) AS TIMESTAMP) AS first_dt,
+                   CAST(MAX(o_orderdate) AS TIMESTAMP) AS last_dt,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+            FROM orders WHERE o_orderkey % 97 = 0
+            GROUP BY yr
         """,
         "html_roundtrip_agg": """
             SELECT n_regionkey, COUNT(*) AS n,
