@@ -302,29 +302,40 @@ def read_hdf5(spark: SparkSession, path: str,
     return df
 
 
-def to_hdf5(df: DataFrame, path: str) -> None:
+def to_hdf5(df: DataFrame, path: str, *,
+            chunk_rows: int | None = None,
+            compress: bool | int = False) -> None:
     """Reference hdf5 export (tablite/export_utils.py:63-105): one
     dataset per column; values h5py can't store natively are
     stringified, like the reference's TypeError fallback. Uses h5py
-    when installed; otherwise the stdlib ``hdf5lite`` codec writes
-    the classic contiguous-dataset subset. Collects to the driver —
-    hdf5 has no distributed writer; at scale export parquet
+    when installed; otherwise the stdlib ``hdf5lite`` codec. Datasets
+    are contiguous by default; ``chunk_rows``/``compress`` switch to
+    chunked (deflated) storage on either backend. Collects to the
+    driver — hdf5 has no distributed writer; at scale export parquet
     instead."""
     pdf = df.toPandas()
     try:
         import h5py
     except ImportError:
         from tablite_spark.sources import hdf5lite
-        hdf5lite.write(path, {n: pdf[n].to_numpy() for n in pdf.columns})
+        hdf5lite.write(path, {n: pdf[n].to_numpy() for n in pdf.columns},
+                       chunk_rows=chunk_rows, compress=compress)
         return
+    kw = {}
+    if chunk_rows is not None:
+        kw["chunks"] = (chunk_rows,)
+    if compress:
+        kw["compression"] = "gzip"
+        if compress is not True:
+            kw["compression_opts"] = int(compress)
     with h5py.File(path, "w") as f:
         for name in pdf.columns:
             vals = pdf[name]
             try:
-                f.create_dataset(name, data=vals.to_numpy())
+                f.create_dataset(name, data=vals.to_numpy(), **kw)
             except TypeError:
                 f.create_dataset(
-                    name, data=[str(v) for v in vals.tolist()])
+                    name, data=[str(v) for v in vals.tolist()], **kw)
 
 
 class _TableScraper(HTMLParser):
