@@ -1345,6 +1345,32 @@ def line_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
                        .alias("n_lines_kept"))
 
 
+def substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact substring dedup (dedup.substring_dedup — the Lee et al.
+    2022 k-gram-anchor recipe): every doc_id % 3 == 0 embeds the same
+    5-token run between otherwise doc-unique tokens;
+    substring_dedup(k=5) must excise exactly that run from every
+    carrier and leave non-carriers (all-unique 5-token docs)
+    untouched. DuckDB builds the expected post-dedup text directly
+    (md5 + kept-token count)."""
+    from tablite_spark.pipeline.dedup import substring_dedup
+    d = _t(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    carrier = F.concat(F.lit("a"), sid, F.lit(" b"), sid,
+                       F.lit(" sh0 sh1 sh2 sh3 sh4 c"), sid,
+                       F.lit(" d"), sid)
+    plain = F.concat(F.lit("a"), sid, F.lit(" b"), sid, F.lit(" c"),
+                     sid, F.lit(" d"), sid, F.lit(" e"), sid)
+    docs = d.select("doc_id",
+                    F.when(F.col("doc_id") % 3 == 0, carrier)
+                     .otherwise(plain).alias("text"))
+    out = substring_dedup(docs, "text", "doc_id", k=5, min_docs=2)
+    return out.select("doc_id",
+                      F.md5("text_dedup").alias("text_md5"),
+                      F.col("n_tokens_kept").cast("long")
+                       .alias("n_tokens_kept"))
+
+
 def semantic_dedup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup (similarity.semantic_dedup:
     k-means cells + within-cell cosine, keep-min-id), exactly oracled
@@ -2066,6 +2092,7 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 _R5_WINDOW = [
     # --- new in round 5 (never verified)
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
+    "substring_dedup_docs",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
     "reindex_rows", "remove_all", "sort_alphanumeric",
@@ -2085,7 +2112,7 @@ _R5_WINDOW = [
     "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
     # --- r3 fill
     "asof_join_events", "chunk_docs", "column_select_fail",
-    "column_select_pass", "concat_tables",
+    "column_select_pass",
 ]
 
 
@@ -2125,6 +2152,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_embeddings": semantic_dedup_embeddings,
         "perplexity_docs": perplexity_docs,
         "line_dedup_docs": line_dedup_docs,
+        "substring_dedup_docs": substring_dedup_docs,
         "vocab_shift_docs": vocab_shift_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
@@ -2744,6 +2772,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
+        """,
+        "substring_dedup_docs": """
+            SELECT doc_id,
+                   MD5(CASE WHEN doc_id % 3 = 0 THEN
+                         'a' || CAST(doc_id AS VARCHAR) ||
+                         ' b' || CAST(doc_id AS VARCHAR) ||
+                         ' c' || CAST(doc_id AS VARCHAR) ||
+                         ' d' || CAST(doc_id AS VARCHAR)
+                       ELSE
+                         'a' || CAST(doc_id AS VARCHAR) ||
+                         ' b' || CAST(doc_id AS VARCHAR) ||
+                         ' c' || CAST(doc_id AS VARCHAR) ||
+                         ' d' || CAST(doc_id AS VARCHAR) ||
+                         ' e' || CAST(doc_id AS VARCHAR)
+                       END) AS text_md5,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 5 END
+                        AS BIGINT) AS n_tokens_kept
+            FROM documents
         """,
         "hdf5_chunked_roundtrip_agg": """
             SELECT o_orderstatus, COUNT(*) AS n,

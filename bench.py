@@ -228,7 +228,10 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         # 1.8-3.8x on UNCHANGED, plan-gated code (host load-average ~7
         # observed in PLANS.md); min-of-2 takes the least-contended
         # observation and the stamps make residual contention provable
-        # instead of arguable. `<name>_runs` keeps both raw timings.
+        # instead of arguable. Raw runs + loadavgs land in the
+        # top-level `bench_meta` key — `queries` stays {name: sec}.
+        meta = rows_out.setdefault("bench_meta", {})
+
         def min_of_2(name: str, fn) -> None:
             runs, loads = [], []
             for _ in range(2):
@@ -237,8 +240,7 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
                 fn()
                 runs.append(round(time.perf_counter() - t0, 3))
             timings[name] = min(runs)
-            timings[f"{name}_runs"] = runs  # type: ignore[assignment]
-            timings[f"{name}_loadavg"] = loads  # type: ignore[assignment]
+            meta[name] = {"runs": runs, "loadavg": loads}
 
         def _save():
             with_row_index(synthetic_order_data(spark, 50_000_000)) \

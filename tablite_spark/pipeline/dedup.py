@@ -437,3 +437,78 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                     F.coalesce(out_col, F.lit("")).alias(out_col),
                     F.coalesce("n_lines_kept", F.lit(0))
                      .alias("n_lines_kept")))
+
+
+def substring_dedup(df: DataFrame, text_col: str, id_col: str,
+                    k: int = 20, min_docs: int = 2,
+                    out_col: str = "text_dedup") -> DataFrame:
+    """Exact substring (token-span) deduplication — the k-gram-anchor
+    form of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499, public): any run of
+    ``k`` consecutive tokens whose exact sequence appears in >=
+    ``min_docs`` DISTINCT documents is duplicated text (license
+    boilerplate, templated paragraphs, quoted passages) and every
+    token covered by such a window is removed from every document;
+    the survivors are stitched back in original order. A maximal
+    shared span of m >= k tokens is covered exactly (all its windows
+    are shared), while spans shorter than k are never touched — the
+    paper's suffix-array criterion restated as a window census.
+
+    Plan shape at 100 TB (the line_dedup recipe one level down):
+    tokenize once → k shifted array slices zip into per-position
+    windows (O(k) array ops per DOC, the shingle_minhash trick, no
+    per-window string concat) → census groups by the window's 128-bit
+    hash (16-byte shuffle keys, partial-aggregable countDistinct) →
+    shared window starts explode into covered positions (volume
+    bounded by matched spans × k, not corpus size) → anti-join +
+    one combinable per-doc groupBy rebuilds the text. No windows
+    (analytic), no driver collection, no all-pairs anything.
+    """
+    toks = F.split(F.trim(F.regexp_replace(
+        F.col(text_col), r"\s+", " ")), " ")
+    base = df.select(F.col(id_col), toks.alias("__t__"))
+    n = F.size("__t__")
+    n_win = n - F.lit(k - 1)
+    # k shifted copies → arrays_zip → the j-th struct holds tokens
+    # j..j+k-1; slice to the valid window count
+    parts = [F.col("__t__").alias("w0")]
+    for i in range(1, k):
+        parts.append(F.slice(F.col("__t__"), i + 1,
+                             F.greatest(n - F.lit(i), F.lit(1)))
+                     .alias(f"w{i}"))
+    windows = F.slice(F.arrays_zip(*parts), 1, F.greatest(n_win, F.lit(0)))
+    wins = (base.filter(n >= k)
+            .select(id_col, F.posexplode(windows).alias("__j__", "__w__"))
+            .select(id_col, "__j__",
+                    F.xxhash64(*[F.col(f"__w__.w{i}") for i in range(k)])
+                    .alias("__h1__"),
+                    F.xxhash64(F.lit(0x9E3779B9),
+                               *[F.col(f"__w__.w{i}") for i in range(k)])
+                    .alias("__h2__")))
+    shared = (wins.groupBy("__h1__", "__h2__")
+              .agg(F.countDistinct(id_col).alias("__nd__"))
+              .filter(F.col("__nd__") >= min_docs)
+              .select("__h1__", "__h2__"))
+    covered = (wins.join(shared, ["__h1__", "__h2__"], "left_semi")
+               .select(id_col, F.explode(F.sequence(
+                   F.col("__j__"), F.col("__j__") + F.lit(k - 1)))
+                   .alias("__pos__"))
+               .distinct())
+    tokens = base.select(
+        id_col, F.posexplode("__t__").alias("__pos__", "__tok__"))
+    kept = tokens.join(covered, [id_col, "__pos__"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_sort(F.collect_list(
+                   F.struct("__pos__", "__tok__"))).alias("__ts__"))
+               .select(id_col,
+                       F.concat_ws(" ", F.transform(
+                           F.col("__ts__"),
+                           lambda s: s.getField("__tok__")))
+                       .alias(out_col),
+                       F.size("__ts__").alias("n_tokens_kept")))
+    # fully-covered docs must survive as empty rows
+    return (df.select(id_col).join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(out_col, F.lit("")).alias(out_col),
+                    F.coalesce("n_tokens_kept", F.lit(0))
+                     .alias("n_tokens_kept")))

@@ -1128,6 +1128,41 @@ def test_line_dedup_preserves_blank_lines(spark):
     assert kept == {i: t for i, t in rows}
 
 
+def test_substring_dedup_exact_spans(spark):
+    """Lee-et-al-style exact substring dedup: a shared k-token run is
+    removed exactly (windows overlapping into doc-unique tokens don't
+    leak coverage), shorter shared runs survive, docs shorter than k
+    are untouched, and a fully-duplicated doc becomes empty."""
+    from tablite_spark.pipeline.dedup import substring_dedup
+    shared5 = "s0 s1 s2 s3 s4"          # == k, removed
+    shared4 = "t0 t1 t2 t3"             # < k, kept
+    rows = [
+        (1, f"a1 b1 {shared5} c1 {shared4} d1"),
+        (2, f"a2 {shared5} b2 c2 {shared4}"),
+        (3, "a3 b3 c3"),                # shorter than k
+        (4, shared5),                   # nothing but the shared run
+        (5, f"x5 {shared5}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in substring_dedup(df, "text", "doc_id", k=5).collect()}
+    assert out[1]["text_dedup"] == f"a1 b1 c1 {shared4} d1"
+    assert out[2]["text_dedup"] == f"a2 b2 c2 {shared4}"
+    assert out[3]["text_dedup"] == "a3 b3 c3"
+    assert out[4]["text_dedup"] == "" and out[4]["n_tokens_kept"] == 0
+    assert out[5]["text_dedup"] == "x5"
+    assert out[1]["n_tokens_kept"] == 8
+    # a LONGER shared run (m > k) is covered end-to-end: every token
+    # of the 7-token run sits inside some shared 5-window
+    longer = "u0 u1 u2 u3 u4 u5 u6"
+    df2 = spark.createDataFrame(
+        [(1, f"p1 {longer} q1"), (2, f"p2 {longer} q2")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text_dedup"]
+           for r in substring_dedup(df2, "text", "doc_id", k=5).collect()}
+    assert got == {1: "p1 q1", 2: "p2 q2"}
+
+
 def test_extract_audio_features_real_wav(spark):
     """Known-signal DSP checks: sine frequency recovered by the
     spectral centroid, exact zero-crossing count, RMS=A/sqrt(2),
