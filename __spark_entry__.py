@@ -1345,6 +1345,17 @@ def line_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
                        .alias("n_lines_kept"))
 
 
+def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rule-based quality filter (text.gopher_rules, Rae et
+    al. 2021 Appendix A) over the REAL documents table — not a
+    synthetic fixture: every rule is integer cross-multiplication
+    arithmetic, so DuckDB replays the full computation bit-for-bit
+    from the same parquet."""
+    from tablite_spark.pipeline.text import gopher_rules
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return gopher_rules(d, "text", "doc_id", min_words=50)
+
+
 def substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact substring dedup (dedup.substring_dedup — the Lee et al.
     2022 k-gram-anchor recipe): every doc_id % 3 == 0 embeds the same
@@ -2092,7 +2103,7 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 _R5_WINDOW = [
     # --- new in round 5 (never verified)
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
-    "substring_dedup_docs",
+    "substring_dedup_docs", "gopher_quality_docs",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
     "reindex_rows", "remove_all", "sort_alphanumeric",
@@ -2112,7 +2123,6 @@ _R5_WINDOW = [
     "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
     # --- r3 fill
     "asof_join_events", "chunk_docs", "column_select_fail",
-    "column_select_pass",
 ]
 
 
@@ -2153,6 +2163,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_docs": perplexity_docs,
         "line_dedup_docs": line_dedup_docs,
         "substring_dedup_docs": substring_dedup_docs,
+        "gopher_quality_docs": gopher_quality_docs,
         "vocab_shift_docs": vocab_shift_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
@@ -2772,6 +2783,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
+        """,
+        "gopher_quality_docs": """
+            WITH d AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   w -> w <> '') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(COALESCE(list_sum(list_transform(
+                           words, w -> length(w))), 0) AS BIGINT)
+                           AS total_chars,
+                       CAST(length(text) -
+                            length(replace(text, '#', ''))
+                            AS BIGINT) AS n_hash,
+                       CAST((length(text) -
+                             length(replace(text, '...', ''))) / 3
+                            + length(text) -
+                              length(replace(text, '…', ''))
+                            AS BIGINT) AS n_ell,
+                       CAST(len(list_filter(lines,
+                           l -> starts_with(ltrim(l), '-')
+                             OR starts_with(ltrim(l), '*')
+                             OR starts_with(ltrim(l), '•')))
+                           AS BIGINT) AS bullet,
+                       CAST(len(list_filter(lines,
+                           l -> rtrim(l) LIKE '%...'
+                             OR rtrim(l) LIKE '%…'))
+                           AS BIGINT) AS ell_end,
+                       CAST(len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           AS BIGINT) AS alpha,
+                       CAST(len(list_distinct(list_filter(words,
+                           w -> lower(w) IN ('the','be','to','of',
+                                             'and','that','have',
+                                             'with'))))
+                           AS BIGINT) AS n_func
+                FROM d
+            )
+            SELECT doc_id, n_words, n_lines,
+                   (n_words >= 50 AND n_words <= 100000)
+                       AS r_word_count,
+                   (3 * n_words <= total_chars
+                    AND total_chars <= 10 * n_words)
+                       AS r_mean_word_len,
+                   (10 * (n_hash + n_ell) <= n_words)
+                       AS r_symbol_ratio,
+                   (10 * bullet <= 9 * n_lines) AS r_bullet_lines,
+                   (10 * ell_end <= 3 * n_lines) AS r_ellipsis_lines,
+                   (10 * alpha >= 8 * n_words) AS r_alpha_words,
+                   (n_func >= 2) AS r_func_words,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (3 * n_words <= total_chars
+                         AND total_chars <= 10 * n_words)
+                    AND (10 * (n_hash + n_ell) <= n_words)
+                    AND (10 * bullet <= 9 * n_lines)
+                    AND (10 * ell_end <= 3 * n_lines)
+                    AND (10 * alpha >= 8 * n_words)
+                    AND (n_func >= 2)) AS passes
+            FROM m
         """,
         "substring_dedup_docs": """
             SELECT doc_id,

@@ -90,6 +90,73 @@ def quality_scores(df: DataFrame, text_col: str) -> DataFrame:
                           "quality": quality}))
 
 
+def gopher_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
+                 min_words: int = 50,
+                 max_words: int = 100_000) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A, public — the recipe MassiveText and
+    most open-data pipelines reuse): per-document structural rules
+    whose conjunction is the keep/drop signal.
+
+    Every rule is evaluated as an INTEGER cross-multiplication
+    (e.g. mean word length in [3,10] ⇔ 3·n_words ≤ total_chars ≤
+    10·n_words), so the output is exact under any summation order and
+    replayable bit-for-bit by an independent SQL engine — no float
+    ratios anywhere. Pure built-in expressions over one scan: no
+    shuffle, no UDF, trivially 100 TB-safe.
+
+    Rules: word count bounds; mean word length 3-10; symbol-to-word
+    ratio ≤ 0.1 ('#' and ellipsis); ≤ 90% of lines bullet-led; ≤ 30%
+    of lines ellipsis-ended; ≥ 80% of words with an alphabetic char;
+    ≥ 2 distinct English function words present."""
+    c = F.col(text_col)
+    words = F.filter(F.split(F.trim(c), r"\s+"),
+                     lambda w: w != F.lit(""))
+    lines = F.split(c, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    total_chars = F.aggregate(words, F.lit(0).cast("long"),
+                              lambda a, w: a + F.length(w))
+    # replace-based occurrence counts — identical non-overlapping
+    # leftmost semantics in Spark and DuckDB
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = ((F.length(c) - F.length(F.replace(c, F.lit("..."),
+                                               F.lit("")))) / F.lit(3)
+             + F.length(c) - F.length(F.replace(c, F.lit("…"),
+                                                F.lit("")))).cast("long")
+    n_sym = (n_hash + n_ell).cast("long")
+    bullet = F.size(F.filter(
+        lines, lambda l: F.ltrim(l).startswith("-")
+        | F.ltrim(l).startswith("*")
+        | F.ltrim(l).startswith("•"))).cast("long")
+    ell_end = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...")
+        | F.rtrim(l).endswith("…"))).cast("long")
+    alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    func_words = ("the", "be", "to", "of", "and", "that", "have",
+                  "with")
+    n_func = F.size(F.array_distinct(F.filter(
+        words, lambda w: F.lower(w).isin(*func_words)))).cast("long")
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (3 * n_words <= total_chars)
+        & (total_chars <= 10 * n_words),
+        "r_symbol_ratio": 10 * n_sym <= n_words,
+        "r_bullet_lines": 10 * bullet <= 9 * n_lines,
+        "r_ellipsis_lines": 10 * ell_end <= 3 * n_lines,
+        "r_alpha_words": 10 * alpha >= 8 * n_words,
+        "r_func_words": n_func >= 2,
+    }
+    passes = None
+    for r in rules.values():
+        passes = r if passes is None else (passes & r)
+    return df.select(
+        F.col(id_col), n_words.alias("n_words"), n_lines.alias("n_lines"),
+        *[v.alias(k) for k, v in rules.items()],
+        passes.alias("passes"))
+
+
 def language_id(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-marker language heuristic: score = count of language
     markers among tokens; predicted = argmax (ties → language order)."""

@@ -1027,6 +1027,40 @@ def test_semantic_dedup_varying_norms(spark):
     assert out == list(range(30))
 
 
+def test_gopher_rules_per_rule(spark):
+    """Each Gopher rule trips on a doc constructed to violate exactly
+    it (all integer cross-multiplications — no float ratios)."""
+    from tablite_spark.pipeline.text import gopher_rules
+    good = "the cat sat with the dog and that was good to see " * 5
+    rows = [
+        (1, good),                                   # passes all
+        (2, "the cat sat with a dog"),               # too few words
+        (3, ("a " * 30 + good)),                     # mean word len < 3
+        (4, good + " " + "# " * 20),                 # symbol ratio
+        (5, "- a\n- b\n- c\n- d\n- e\n- f\n- g\n- h\n- i\n- j"),
+        (6, ("so... " * 10).strip()),                # n/a: one line
+        (7, good.replace("the", "123").replace("that", "456")
+             .replace("and", "789").replace("with", "000")
+             .replace("to", "111")),                 # no func words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in gopher_rules(df, "text", min_words=20).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["r_word_count"]
+    assert not out[3]["r_mean_word_len"] and out[1]["r_mean_word_len"]
+    assert not out[4]["r_symbol_ratio"] and out[1]["r_symbol_ratio"]
+    assert not out[5]["r_bullet_lines"] and out[1]["r_bullet_lines"]
+    assert not out[7]["r_func_words"] and out[1]["r_func_words"]
+    # ellipsis-ended lines: 10 one-line docs would need a multi-line
+    # construction; check the line counter directly
+    ml = spark.createDataFrame(
+        [(8, "keep this line\nbut this trails...\nand this one…\nok")],
+        "doc_id long, text string")
+    r8 = gopher_rules(ml, "text", min_words=1).collect()[0]
+    assert not r8["r_ellipsis_lines"]  # 2 of 4 lines > 30%
+
+
 def test_perplexity_score_ranks_and_unseen_grams(spark):
     """Repetitive text scores closer to 0 millinats/gram than novel
     text under a self-trained model; scoring NEW docs against an
