@@ -1356,6 +1356,33 @@ def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_rules(d, "text", "doc_id", min_words=50)
 
 
+def c4_clean_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning rules (text.c4_rules, Raffel et al. 2020 §2.2):
+    six constructed lines per doc exercise every line filter
+    (terminal punctuation, 3-word minimum, javascript), plus
+    doc_id-dependent lorem-ipsum / curly-brace page poisons; DuckDB
+    builds the expected cleaned text and flags directly."""
+    from tablite_spark.pipeline.text import c4_rules
+    d = _t(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    base = F.concat(
+        F.lit("The value "), sid, F.lit(" is good.\n"),
+        F.lit("short.\n"),
+        F.lit("no terminal punct here\n"),
+        F.lit("Javascript required to view.\n"),
+        F.lit("Totally fine sentence number "), sid, F.lit("!\n"),
+        F.lit("Is this kept as well?"))
+    poison = F.when(F.col("doc_id") % 5 == 0,
+                    F.lit("\ncode block { }"))\
+        .when(F.col("doc_id") % 7 == 0, F.lit("\nsee lorem ipsum."))\
+        .otherwise(F.lit(""))
+    docs = d.select("doc_id", F.concat(base, poison).alias("text"))
+    out = c4_rules(docs, "text", "doc_id")
+    return out.select("doc_id",
+                      F.md5("text_clean").alias("clean_md5"),
+                      "n_lines_kept", "keep_page")
+
+
 def substring_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact substring dedup (dedup.substring_dedup — the Lee et al.
     2022 k-gram-anchor recipe): every doc_id % 3 == 0 embeds the same
@@ -2104,6 +2131,7 @@ _R5_WINDOW = [
     # --- new in round 5 (never verified)
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
     "substring_dedup_docs", "gopher_quality_docs",
+    "c4_clean_docs",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
     "reindex_rows", "remove_all", "sort_alphanumeric",
@@ -2122,7 +2150,7 @@ _R5_WINDOW = [
     # --- implementation changed in round 5
     "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
     # --- r3 fill
-    "asof_join_events", "chunk_docs", "column_select_fail",
+    "asof_join_events", "chunk_docs",
 ]
 
 
@@ -2164,6 +2192,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "substring_dedup_docs": substring_dedup_docs,
         "gopher_quality_docs": gopher_quality_docs,
+        "c4_clean_docs": c4_clean_docs,
         "vocab_shift_docs": vocab_shift_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
@@ -2847,6 +2876,28 @@ def oracle_sql() -> dict[str, str]:
                     AND (10 * alpha >= 8 * n_words)
                     AND (n_func >= 2)) AS passes
             FROM m
+        """,
+        "c4_clean_docs": """
+            SELECT doc_id,
+                   MD5(CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0
+                       THEN
+                         'The value ' || CAST(doc_id AS VARCHAR) ||
+                         ' is good.' || chr(10) ||
+                         'Totally fine sentence number ' ||
+                         CAST(doc_id AS VARCHAR) || '!' || chr(10) ||
+                         'Is this kept as well?' || chr(10) ||
+                         'see lorem ipsum.'
+                       ELSE
+                         'The value ' || CAST(doc_id AS VARCHAR) ||
+                         ' is good.' || chr(10) ||
+                         'Totally fine sentence number ' ||
+                         CAST(doc_id AS VARCHAR) || '!' || chr(10) ||
+                         'Is this kept as well?'
+                       END) AS clean_md5,
+                   CAST(CASE WHEN doc_id % 5 <> 0 AND doc_id % 7 = 0
+                        THEN 4 ELSE 3 END AS BIGINT) AS n_lines_kept,
+                   (doc_id % 5 <> 0 AND doc_id % 7 <> 0) AS keep_page
+            FROM documents
         """,
         "substring_dedup_docs": """
             SELECT doc_id,

@@ -157,6 +157,41 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
         passes.alias("passes"))
 
 
+def c4_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
+             min_kept_lines: int = 3) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2,
+    public): keep only lines that end in terminal punctuation, have
+    >= 3 words, and don't mention javascript; drop the whole page
+    when fewer than ``min_kept_lines`` lines survive, or the RAW page
+    contains "lorem ipsum" or a curly brace (the paper's
+    code/boilerplate tells).
+
+    Output: (id_col, text_clean, n_lines_kept, keep_page). Pure
+    built-in higher-order expressions over one scan — no shuffle, no
+    UDF; every predicate is exact string arithmetic an independent
+    SQL engine replays bit-for-bit."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+
+    def _kept(l):
+        t = F.rtrim(l)
+        endp = (t.endswith(".") | t.endswith("!") | t.endswith("?")
+                | t.endswith('"'))
+        words = F.size(F.filter(F.split(F.trim(l), r"\s+"),
+                                lambda w: w != F.lit("")))
+        return endp & (words >= 3) & ~F.lower(l).contains("javascript")
+
+    kept_lines = F.filter(lines, _kept)
+    n_kept = F.size(kept_lines).cast("long")
+    page_ok = ((n_kept >= min_kept_lines)
+               & ~F.lower(c).contains("lorem ipsum")
+               & ~c.contains("{"))
+    return df.select(F.col(id_col),
+                     F.concat_ws("\n", kept_lines).alias("text_clean"),
+                     n_kept.alias("n_lines_kept"),
+                     page_ok.alias("keep_page"))
+
+
 def language_id(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-marker language heuristic: score = count of language
     markers among tokens; predicted = argmax (ties → language order)."""

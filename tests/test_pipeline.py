@@ -1027,6 +1027,30 @@ def test_semantic_dedup_varying_norms(spark):
     assert out == list(range(30))
 
 
+def test_c4_rules_line_and_page_filters(spark):
+    """C4 cleaning: terminal-punctuation/word-count/javascript line
+    filters, then lorem-ipsum/curly-brace/min-lines page filters."""
+    from tablite_spark.pipeline.text import c4_rules
+    good = ("This line is fine.\nAnother good line here!\n"
+            'Quoted line stays."')
+    rows = [
+        (1, good),
+        (2, good + "\nno terminal punct\nshort.\nJavascript needed."),
+        (3, "One good line only."),                    # < 3 kept
+        (4, good + "\nsee lorem ipsum text."),         # page word
+        (5, good + "\nvar x = {1};"),                  # curly brace
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_rules(df, "text").collect()}
+    assert out[1]["keep_page"] and out[1]["text_clean"] == good
+    # the three junk lines are stripped but the page survives
+    assert out[2]["keep_page"] and out[2]["text_clean"] == good
+    assert out[2]["n_lines_kept"] == 3
+    assert not out[3]["keep_page"] and out[3]["n_lines_kept"] == 1
+    assert not out[4]["keep_page"]  # lorem ipsum anywhere on the page
+    assert not out[5]["keep_page"]  # curly brace => code page
+
+
 def test_gopher_rules_per_rule(spark):
     """Each Gopher rule trips on a doc constructed to violate exactly
     it (all integer cross-multiplications — no float ratios)."""
