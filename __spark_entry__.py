@@ -1356,6 +1356,17 @@ def gopher_quality_docs(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_rules(d, "text", "doc_id", min_words=50)
 
 
+def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher repetition signals (text.gopher_repetition) over the
+    REAL documents table: duplicate line/para censuses and
+    top-{2,3,4}-gram char masses are all integer arithmetic, so
+    DuckDB replays the full computation (including the max-struct
+    tie-break) from the same parquet."""
+    from tablite_spark.pipeline.text import gopher_repetition
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return gopher_repetition(d, "text", "doc_id")
+
+
 def c4_clean_docs(spark: SparkSession, sf: str) -> DataFrame:
     """C4 cleaning rules (text.c4_rules, Raffel et al. 2020 §2.2):
     six constructed lines per doc exercise every line filter
@@ -2131,7 +2142,7 @@ _R5_WINDOW = [
     # --- new in round 5 (never verified)
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
     "substring_dedup_docs", "gopher_quality_docs",
-    "c4_clean_docs",
+    "c4_clean_docs", "gopher_repetition_docs",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
     "reindex_rows", "remove_all", "sort_alphanumeric",
@@ -2150,7 +2161,7 @@ _R5_WINDOW = [
     # --- implementation changed in round 5
     "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
     # --- r3 fill
-    "asof_join_events", "chunk_docs",
+    "asof_join_events",
 ]
 
 
@@ -2193,6 +2204,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_docs": substring_dedup_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "c4_clean_docs": c4_clean_docs,
+        "gopher_repetition_docs": gopher_repetition_docs,
         "vocab_shift_docs": vocab_shift_docs,
         "simhash_docs": simhash_docs,
         "simhash_near_dup_docs": simhash_near_dup_docs,
@@ -2876,6 +2888,90 @@ def oracle_sql() -> dict[str, str]:
                     AND (10 * alpha >= 8 * n_words)
                     AND (n_func >= 2)) AS passes
             FROM m
+        """,
+        "gopher_repetition_docs": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   x -> x <> '') AS words,
+                       string_split(text, chr(10)) AS lines,
+                       string_split(text, chr(10) || chr(10)) AS paras
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(len(list_distinct(lines)) AS BIGINT)
+                           AS n_uniq_lines,
+                       CAST(COALESCE(list_sum(list_transform(lines,
+                           x -> length(x))), 0) AS BIGINT) AS line_chars,
+                       CAST(COALESCE(list_sum(list_transform(
+                           list_distinct(lines), x -> length(x))), 0)
+                           AS BIGINT) AS uniq_line_chars,
+                       CAST(len(paras) AS BIGINT) AS n_paras,
+                       CAST(len(list_distinct(paras)) AS BIGINT)
+                           AS n_uniq_paras,
+                       CAST(COALESCE(list_sum(list_transform(paras,
+                           x -> length(x))), 0) AS BIGINT) AS para_chars,
+                       CAST(COALESCE(list_sum(list_transform(
+                           list_distinct(paras), x -> length(x))), 0)
+                           AS BIGINT) AS uniq_para_chars,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                FROM w
+            ), g AS (
+                SELECT doc_id, n,
+                       array_to_string(words[i:i+n-1], ' ') AS gram
+                FROM w, UNNEST([2, 3, 4]) AS t(n),
+                     UNNEST(range(1, len(words) - n + 2)) AS r(i)
+                WHERE len(words) >= n
+            ), cnts AS (
+                SELECT doc_id, n, gram, COUNT(*) AS cnt
+                FROM g GROUP BY ALL
+            ), pertop AS (
+                SELECT doc_id, n,
+                       max(struct_pack(c := cnt, l := length(gram),
+                                       g := gram)) AS t
+                FROM cnts GROUP BY doc_id, n
+            ), tops AS (
+                SELECT doc_id,
+                       MAX(CASE WHEN n = 2 THEN
+                           CAST(t.c * t.l AS BIGINT) END) AS top2_chars,
+                       MAX(CASE WHEN n = 3 THEN
+                           CAST(t.c * t.l AS BIGINT) END) AS top3_chars,
+                       MAX(CASE WHEN n = 4 THEN
+                           CAST(t.c * t.l AS BIGINT) END) AS top4_chars
+                FROM pertop GROUP BY doc_id
+            )
+            SELECT b.doc_id, n_lines, n_uniq_lines, line_chars,
+                   uniq_line_chars, n_paras, n_uniq_paras, para_chars,
+                   uniq_para_chars, n_chars,
+                   COALESCE(top2_chars, 0) AS top2_chars,
+                   COALESCE(top3_chars, 0) AS top3_chars,
+                   COALESCE(top4_chars, 0) AS top4_chars,
+                   (10 * (n_lines - n_uniq_lines) <= 3 * n_lines)
+                       AS r_dup_lines,
+                   (10 * (n_paras - n_uniq_paras) <= 3 * n_paras)
+                       AS r_dup_paras,
+                   (5 * (line_chars - uniq_line_chars) <= line_chars)
+                       AS r_dup_line_chars,
+                   (5 * (para_chars - uniq_para_chars) <= para_chars)
+                       AS r_dup_para_chars,
+                   (5 * COALESCE(top2_chars, 0) <= n_chars) AS r_top2,
+                   (50 * COALESCE(top3_chars, 0) <= 9 * n_chars)
+                       AS r_top3,
+                   (25 * COALESCE(top4_chars, 0) <= 4 * n_chars)
+                       AS r_top4,
+                   ((10 * (n_lines - n_uniq_lines) <= 3 * n_lines)
+                    AND (10 * (n_paras - n_uniq_paras) <= 3 * n_paras)
+                    AND (5 * (line_chars - uniq_line_chars)
+                         <= line_chars)
+                    AND (5 * (para_chars - uniq_para_chars)
+                         <= para_chars)
+                    AND (5 * COALESCE(top2_chars, 0) <= n_chars)
+                    AND (50 * COALESCE(top3_chars, 0) <= 9 * n_chars)
+                    AND (25 * COALESCE(top4_chars, 0) <= 4 * n_chars))
+                       AS passes
+            FROM base b LEFT JOIN tops USING (doc_id)
         """,
         "c4_clean_docs": """
             SELECT doc_id,

@@ -157,6 +157,105 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
         passes.alias("passes"))
 
 
+def gopher_repetition(df: DataFrame, text_col: str,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1, public): within-document duplicate
+    line / paragraph fractions (by count and by character mass) and
+    the top word-{2,3,4}-gram character fractions, with the paper's
+    thresholds evaluated as INTEGER cross-multiplications (0.30 /
+    0.30 / 0.20 / 0.20 / 0.20 / 0.18 / 0.16) — no float ratios, so an
+    independent SQL engine replays every number bit-for-bit.
+
+    Plan shape: the line/paragraph census is pure array expressions
+    (no shuffle); the top-n-gram search tags each n and explodes once
+    → ONE combinable groupBy(doc, n, gram) + one groupBy(doc, n)
+    max-struct (deterministic tie-break: count, then gram length,
+    then binary gram order) + conditional aggregation back to one row
+    per doc. Two narrow shuffles total, no UDF, no window functions.
+    n-gram char mass uses ``count * len(gram)`` over a
+    ``length(text)`` denominator — the common public reading of the
+    paper's "fraction of characters contained within" phrasing."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    paras = F.split(c, "\n\n")
+    words = F.filter(F.split(F.trim(c), r"\s+"),
+                     lambda w: w != F.lit(""))
+
+    def _chars(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda a, x: a + F.length(x))
+
+    base = df.select(
+        F.col(id_col), c.alias("__text__"), words.alias("__w__"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("n_uniq_lines"),
+        _chars(lines).alias("line_chars"),
+        _chars(F.array_distinct(lines)).alias("uniq_line_chars"),
+        F.size(paras).cast("long").alias("n_paras"),
+        F.size(F.array_distinct(paras)).cast("long").alias("n_uniq_paras"),
+        _chars(paras).alias("para_chars"),
+        _chars(F.array_distinct(paras)).alias("uniq_para_chars"),
+        F.length(c).cast("long").alias("n_chars"))
+
+    n_words = F.size("__w__")
+    grams = None
+    for n in (2, 3, 4):
+        g = F.when(
+            n_words >= n,
+            F.transform(F.sequence(F.lit(1), n_words - F.lit(n - 1)),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(F.col("__w__"), i, n)))
+        ).otherwise(F.array().cast("array<string>"))
+        tagged = F.transform(g, lambda x: F.struct(
+            F.lit(n).alias("n"), x.alias("gram")))
+        grams = tagged if grams is None else F.concat(grams, tagged)
+    exploded = base.select(id_col, F.explode(grams).alias("__g__")) \
+        .select(id_col, F.col("__g__.n").alias("__n__"),
+                F.col("__g__.gram").alias("__gram__"))
+    counts = (exploded.groupBy(id_col, "__n__", "__gram__")
+              .agg(F.count(F.lit(1)).alias("__cnt__")))
+    tops = (counts.groupBy(id_col, "__n__")
+            .agg(F.max(F.struct(F.col("__cnt__").alias("c"),
+                                F.length("__gram__").alias("l"),
+                                F.col("__gram__").alias("g")))
+                 .alias("__top__"))
+            .groupBy(id_col)
+            .agg(*[F.max(F.when(F.col("__n__") == n,
+                                F.col("__top__.c").cast("long")
+                                * F.col("__top__.l").cast("long")))
+                   .alias(f"top{n}_chars") for n in (2, 3, 4)]))
+    j = base.drop("__text__", "__w__").join(tops, id_col, "left") \
+        .na.fill({f"top{n}_chars": 0 for n in (2, 3, 4)})
+    r = {
+        # dup_frac <= 0.30  <=>  10*(n - uniq) <= 3*n
+        "r_dup_lines": 10 * (F.col("n_lines") - F.col("n_uniq_lines"))
+        <= 3 * F.col("n_lines"),
+        "r_dup_paras": 10 * (F.col("n_paras") - F.col("n_uniq_paras"))
+        <= 3 * F.col("n_paras"),
+        # char_frac <= 0.20  <=>  5*(chars - uniq_chars) <= chars
+        "r_dup_line_chars": 5 * (F.col("line_chars")
+                                 - F.col("uniq_line_chars"))
+        <= F.col("line_chars"),
+        "r_dup_para_chars": 5 * (F.col("para_chars")
+                                 - F.col("uniq_para_chars"))
+        <= F.col("para_chars"),
+        # 0.20 / 0.18 / 0.16 over length(text)
+        "r_top2": 5 * F.col("top2_chars") <= F.col("n_chars"),
+        "r_top3": 50 * F.col("top3_chars") <= 9 * F.col("n_chars"),
+        "r_top4": 25 * F.col("top4_chars") <= 4 * F.col("n_chars"),
+    }
+    passes = None
+    for v in r.values():
+        passes = v if passes is None else (passes & v)
+    return j.select(id_col, "n_lines", "n_uniq_lines", "line_chars",
+                    "uniq_line_chars", "n_paras", "n_uniq_paras",
+                    "para_chars", "uniq_para_chars", "n_chars",
+                    "top2_chars", "top3_chars", "top4_chars",
+                    *[v.alias(k) for k, v in r.items()],
+                    passes.alias("passes"))
+
+
 def c4_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
              min_kept_lines: int = 3) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2,

@@ -1051,6 +1051,39 @@ def test_c4_rules_line_and_page_filters(spark):
     assert not out[5]["keep_page"]  # curly brace => code page
 
 
+def test_gopher_repetition_signals(spark):
+    """Within-doc repetition: duplicate line/paragraph count + char
+    fractions and top-{2,3,4}-gram char mass, with integer-exact
+    threshold booleans."""
+    from tablite_spark.pipeline.text import gopher_repetition
+    # doc 1 is LONG and unique: the top-n-gram rules compare one
+    # gram's char mass against the whole doc, so only docs past the
+    # Gopher word-count filter can meaningfully pass them
+    clean = "\n".join(" ".join(f"w{i}x{j}" for j in range(10))
+                      for i in range(3))
+    rows = [
+        (1, clean),                                          # clean
+        (2, "same line\nsame line\nsame line\nother one"),   # dup lines
+        (3, "go go go go go go go go go stop"),              # top-2gram
+        (4, "para one x\n\npara one x\n\npara two y"),       # dup paras
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(df, "text").collect()}
+    assert out[1]["passes"]
+    assert out[1]["n_lines"] == 3 and out[1]["n_uniq_lines"] == 3
+    # doc 2: 4 lines, 2 unique -> dup frac 0.5 > 0.3
+    assert out[2]["n_lines"] == 4 and out[2]["n_uniq_lines"] == 2
+    assert not out[2]["r_dup_lines"] and not out[2]["passes"]
+    # doc 3: "go go" occurs 8x overlapping, 8*5=40 chars of 32... the
+    # top-2-gram mass is cnt*len - assert the raw numbers
+    assert out[3]["top2_chars"] == 8 * len("go go")
+    assert not out[3]["r_top2"]
+    # doc 4: 3 paras, 2 unique -> dup para frac 1/3 > 0.3; lines are
+    # 5 (blank separators) and all distinct except the repeated text
+    assert out[4]["n_paras"] == 3 and out[4]["n_uniq_paras"] == 2
+    assert not out[4]["r_dup_paras"]
+
+
 def test_gopher_rules_per_rule(spark):
     """Each Gopher rule trips on a doc constructed to violate exactly
     it (all integer cross-multiplications — no float ratios)."""
