@@ -232,13 +232,19 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         # top-level `bench_meta` key — `queries` stays {name: sec}.
         meta = rows_out.setdefault("bench_meta", {})
 
-        def min_of_2(name: str, fn) -> None:
+        # wall-time guard: if the first run is already very slow the
+        # host is badly contended and a second run would both waste
+        # minutes and risk the driver's overall bench timeout — keep
+        # the single (stamped) observation instead.
+        def min_of_2(name: str, fn, rerun_below: float = 90.0) -> None:
             runs, loads = [], []
             for _ in range(2):
                 loads.append(round(os.getloadavg()[0], 2))
                 t0 = time.perf_counter()
                 fn()
                 runs.append(round(time.perf_counter() - t0, 3))
+                if runs[0] >= rerun_below:
+                    break
             timings[name] = min(runs)
             meta[name] = {"runs": runs, "loadavg": loads}
 

@@ -152,6 +152,32 @@ def shingle_minhash(df: DataFrame, text_col: str, id_col: str,
     return proj.mapInPandas(compute, schema=schema)
 
 
+def optimal_lsh_params(threshold: float, num_perm: int = 128,
+                       fp_weight: float = 0.5) -> tuple[int, int]:
+    """(bands, rows_per_band) minimizing the weighted false-positive
+    + false-negative probability mass for the banding S-curve
+    P(candidate | jaccard=s) = 1 - (1 - s^r)^b — the standard
+    numerical search every MinHash-LSH implementation ships
+    (datasketch's `_optimal_param`, public). Feed the result to
+    ``minhash_lsh_candidates(bands=...)`` /
+    ``shingle_minhash(num_perm=...)`` when tuning a corpus-specific
+    threshold; the defaults in ``Config`` suit the 0.8 regime."""
+    steps = 1000
+    best, best_err = (1, num_perm), float("inf")
+    for b in range(1, num_perm + 1):
+        r = num_perm // b
+        if r == 0:
+            break
+        fp = sum(1.0 - (1.0 - ((i / steps) ** r)) ** b
+                 for i in range(int(threshold * steps))) / steps
+        fn = sum((1.0 - ((i / steps) ** r)) ** b
+                 for i in range(int(threshold * steps), steps)) / steps
+        err = fp * fp_weight + fn * (1.0 - fp_weight)
+        if err < best_err:
+            best, best_err = (b, r), err
+    return best
+
+
 def minhash_lsh_candidates(sig: DataFrame, id_col: str,
                            bands: int | None = None,
                            num_perm: int | None = None) -> DataFrame:

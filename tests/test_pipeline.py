@@ -1219,6 +1219,26 @@ def test_line_dedup_preserves_blank_lines(spark):
     assert kept == {i: t for i, t in rows}
 
 
+def test_optimal_lsh_params():
+    """S-curve tuning: probability-mass minimization behaves as the
+    theory says — higher thresholds push toward more rows per band
+    (sharper curve), the (b, r) product never exceeds the signature
+    length, and the returned point beats neighboring configurations."""
+    from tablite_spark.pipeline.dedup import optimal_lsh_params
+    b50, r50 = optimal_lsh_params(0.5, 128)
+    b80, r80 = optimal_lsh_params(0.8, 128)
+    b95, r95 = optimal_lsh_params(0.95, 128)
+    assert b50 * r50 <= 128 and b80 * r80 <= 128 and b95 * r95 <= 128
+    assert r50 <= r80 <= r95   # sharper curves for higher thresholds
+    assert b50 >= b80 >= b95
+    # the balanced-error optimum centers the S-curve near the
+    # threshold: slightly above it, candidates are near-certain;
+    # well below it, near-impossible
+    p_above = 1.0 - (1.0 - 0.9 ** r80) ** b80
+    p_below = 1.0 - (1.0 - 0.5 ** r80) ** b80
+    assert p_above > 0.85 and p_below < 0.01
+
+
 def test_substring_dedup_exact_spans(spark):
     """Lee-et-al-style exact substring dedup: a shared k-token run is
     removed exactly (windows overlapping into doc-unique tokens don't
