@@ -1561,6 +1561,28 @@ def ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("recall_ok")))
 
 
+def pq_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (similarity.pq_topk — Jégou et al.
+    2011 codebooks + ADC lookup-table scoring + exact refine),
+    oracled via its deterministic recall floor like the IVF/LSH
+    twins: seeded sample-trained codebooks make the approx set a
+    fixed function of the data."""
+    from tablite_spark.pipeline.similarity import (
+        brute_force_topk, pq_topk, topk_recall,
+    )
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    approx = pq_topk(emb, q, k=5, id_col="vec_id", vec_col="embedding",
+                     m=8, n_codes=256, refine=4)
+    exact = brute_force_topk(emb, q, k=5, id_col="vec_id",
+                             vec_col="embedding")
+    rec = topk_recall(approx, exact)
+    return (q.select(F.col("vec_id").alias("qid"))
+            .join(rec, "qid", "left")
+            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+                    .alias("recall_ok")))
+
+
 def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k, oracled via its
     deterministic recall floor (seeded planes → fixed approx set →
@@ -2143,6 +2165,7 @@ _R5_WINDOW = [
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
     "substring_dedup_docs", "gopher_quality_docs",
     "c4_clean_docs", "gopher_repetition_docs",
+    "pq_topk_embeddings",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
     "reindex_rows", "remove_all", "sort_alphanumeric",
@@ -2160,8 +2183,6 @@ _R5_WINDOW = [
     "xround_buckets",
     # --- implementation changed in round 5
     "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
-    # --- r3 fill
-    "asof_join_events",
 ]
 
 
@@ -2210,6 +2231,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup_docs": simhash_near_dup_docs,
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
+        "pq_topk_embeddings": pq_topk_embeddings,
         # --- new in round 3
         "quota_cap_docs": quota_cap_docs,
         "holdout_split_orders": holdout_split_orders,
@@ -3685,6 +3707,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 3
         """,
         "ivf_topk_embeddings": """
+            SELECT vec_id AS qid, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3
+        """,
+        "pq_topk_embeddings": """
             SELECT vec_id AS qid, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 3
         """,

@@ -431,3 +431,137 @@ def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
                .distinct())
     return df.join(dup_ids, df[id_col] == dup_ids["__dup_id__"],
                    "left_anti")
+
+
+# ---------------------------------------------------------------- PQ
+
+def pq_train(df: DataFrame, id_col: str, vec_col: str,
+             m: int = 8, n_codes: int = 256, seed: int = 42,
+             sample_n: int = 65_536, iters: int = 15) -> list:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search", public): split the
+    L2-normalized vector into ``m`` contiguous subspaces and run
+    Lloyd's independently in each, on the same seeded
+    smallest-xxhash64 sample ``_kmeans_sample_train`` uses. Returns a
+    list of m (n_codes × dim/m) codebooks.
+
+    At 100 TB this is the standard memory story for vector search:
+    m bytes per vector (m=8 → 8 bytes) instead of 4·dim — a 96-dim
+    float corpus compresses 48×, so billions of codes fit where raw
+    vectors never could; training stays a driver-side sample job."""
+    import numpy as np
+    rows = (df.select(_unit(F.col(vec_col)).alias("v"))
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(sample_n).collect())
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("pq_train needs a non-empty corpus")
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub].copy()
+        k = min(n_codes, len(S))
+        cents = S[:k].copy()
+        sn = (S * S).sum(axis=1)
+        for _ in range(iters):
+            d2 = sn[:, None] + (cents * cents).sum(axis=1)[None, :] \
+                - 2.0 * (S @ cents.T)
+            lab = d2.argmin(axis=1)
+            for c in range(k):
+                msk = lab == c
+                if msk.any():
+                    cents[c] = S[msk].mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: list, out_col: str = "pq_code") -> DataFrame:
+    """(id, pq_code array<int>): per-subspace nearest-centroid codes
+    via one Arrow-batched pandas UDF whose body is one BLAS matmul +
+    argmin per subspace per batch — no shuffle, scan-local."""
+    import numpy as np
+    import pandas as pd
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    dsub = books[0].shape[1]
+    half_c2 = [0.5 * (b * b).sum(axis=1) for b in books]
+
+    def _enc(s):
+        X = np.stack(s.to_numpy()).astype(np.float64)
+        codes = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            codes[:, j] = (S @ books[j].T - half_c2[j]).argmax(axis=1)
+        return pd.Series(list(codes))
+
+    enc = F.pandas_udf(_enc, "array<int>")
+    return df.select(F.col(id_col).alias("nid"),
+                     enc(_unit(F.col(vec_col))).alias(out_col))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+            id_col: str = "id", vec_col: str = "vec",
+            m: int = 8, n_codes: int = 256, seed: int = 42,
+            refine: int = 0) -> DataFrame:
+    """PQ approximate top-k by asymmetric distance computation (ADC):
+    each query precomputes an m × n_codes lookup table of subspace
+    dot products against the codebooks, and scoring a corpus vector
+    is m TABLE LOOKUPS over its byte codes — no float vector ever
+    touched at scan time. ``refine > 0`` re-scores the top
+    ``refine·k`` ADC candidates with exact cosine (a semi-join back
+    to the raw vectors — the standard IVF-PQ refine step) so the
+    final ranking error is bounded by candidate recall only.
+
+    Plan shape: codebooks train on a driver-side sample; encoding and
+    ADC scoring are scan-local Arrow batches (zero shuffles before
+    ranking); ranking reuses the salted two-phase top-k. The query
+    set is collected and shipped in the UDF closure — the same
+    small-query contract as brute_force_topk's broadcast."""
+    import numpy as np
+    import pandas as pd
+
+    books = pq_train(corpus, id_col, vec_col, m=m, n_codes=n_codes,
+                     seed=seed)
+    codes = pq_encode(corpus, id_col, vec_col, books)
+    qrows = (queries.select(F.col(id_col).alias("qid"),
+                            _unit(F.col(vec_col)).alias("qv"))
+             .collect())
+    qids = np.array([r["qid"] for r in qrows])
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    dsub = books[0].shape[1]
+    # LUT[q, j, c] = dot(q_subspace_j, centroid_c_of_book_j)
+    lut = np.stack([Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                    for j in range(m)], axis=1)
+
+    def _adc(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["pq_code"].to_numpy())  # (n, m)
+            n = len(C)
+            scores = np.zeros((len(qids), n))
+            for j in range(m):
+                scores += lut[:, j, C[:, j]]
+            nid = pdf["nid"].to_numpy()
+            out = pd.DataFrame({
+                "qid": np.repeat(qids, n),
+                "nid": np.tile(nid, len(qids)),
+                "cos": scores.ravel()})
+            yield out[out["qid"] != out["nid"]]
+
+    scored = codes.mapInPandas(_adc, "qid long, nid long, cos double")
+    if not refine:
+        return _topk_per_qid(scored, k)
+    cand = _topk_per_qid(scored, k * refine).select("qid", "nid")
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      _unit(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("qid"),
+                       _unit(F.col(vec_col)).alias("qv"))
+    exact = (cand.join(c, "nid").join(F.broadcast(q), "qid")
+             .withColumn("cos", _dot(F.col("qv"), F.col("cv")))
+             .select("qid", "nid", "cos"))
+    return _topk_per_qid(exact, k)

@@ -1219,6 +1219,46 @@ def test_line_dedup_preserves_blank_lines(spark):
     assert kept == {i: t for i, t in rows}
 
 
+def test_pq_topk_recall_and_refine(spark):
+    """Product quantization: codes are valid per-subspace indices,
+    ADC top-k overlaps the exact top-k (deterministic under seeds),
+    and the refine step re-scores candidates with EXACT cosine so
+    refined scores match brute-force values."""
+    import random
+
+    from tablite_spark.pipeline.similarity import (
+        brute_force_topk, pq_encode, pq_topk, pq_train, topk_recall,
+    )
+    rng = random.Random(3)
+    # clustered corpus: 10 well-separated centers, 8 points each —
+    # true neighbors share a cluster, so ADC ranking is meaningful
+    # (i.i.d. gaussian noise has no neighbor structure to recover)
+    centers = [[rng.gauss(0, 1) * 5 for _ in range(16)] for _ in range(10)]
+    rows = [(c * 8 + j, [x + rng.gauss(0, 0.3) for x in centers[c]])
+            for c in range(10) for j in range(8)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    books = pq_train(df, "id", "vec", m=4, n_codes=16)
+    assert len(books) == 4 and books[0].shape == (16, 4)
+    codes = pq_encode(df, "id", "vec", books).collect()
+    assert len(codes) == 80
+    assert all(0 <= c < 16 for r in codes for c in r["pq_code"])
+    q = df.filter(F.col("id") < 3)
+    exact = brute_force_topk(df, q, k=5)
+    approx = pq_topk(df, q, k=5, m=4, n_codes=16)
+    rec = {r["qid"]: r["n_overlap"]
+           for r in topk_recall(approx, exact).collect()}
+    assert all(rec.get(i, 0) >= 3 for i in range(3)), rec
+    # refine: exact cosines on the surviving candidates — the top-1
+    # match brute force exactly when the candidate set contains it
+    refined = pq_topk(df, q, k=5, m=4, n_codes=16, refine=4)
+    ex1 = {r["qid"]: (r["nid"], r["cos"])
+           for r in exact.collect() if r["rn"] == 1}
+    rf1 = {r["qid"]: (r["nid"], r["cos"])
+           for r in refined.collect() if r["rn"] == 1}
+    hits = sum(1 for k2 in ex1 if rf1.get(k2) == ex1[k2])
+    assert hits >= 2, (ex1, rf1)
+
+
 def test_optimal_lsh_params():
     """S-curve tuning: probability-mass minimization behaves as the
     theory says — higher thresholds push toward more rows per band
