@@ -520,7 +520,15 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     ADC scoring are scan-local Arrow batches (zero shuffles before
     ranking); ranking reuses the salted two-phase top-k. The query
     set is collected and shipped in the UDF closure — the same
-    small-query contract as brute_force_topk's broadcast."""
+    small-query contract as brute_force_topk's broadcast.
+
+    Sizing ``refine``: ADC resolves BETWEEN quantization cells, not
+    within them — near-identical vectors share a code word and tie
+    under ADC, so if a query's true neighbors live in one tight
+    cluster, ``refine·k`` must exceed that cluster's population for
+    the exact re-rank to recover the true ordering (measured at 200k
+    vectors / 100-member clusters: refine=4 → recall@10 ≈ 0.4,
+    refine=12 → 1.0)."""
     import numpy as np
     import pandas as pd
 
