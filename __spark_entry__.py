@@ -1583,6 +1583,28 @@ def pq_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
                     .alias("recall_ok")))
 
 
+def ivfpq_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """FAISS-style IVF-PQ (similarity.ivfpq_topk — coarse-cell
+    pruning + ADC codes + exact refine), recall-floor oracled like
+    the IVF/LSH/PQ siblings (all seeds fixed → deterministic approx
+    set)."""
+    from tablite_spark.pipeline.similarity import (
+        brute_force_topk, ivfpq_topk, topk_recall,
+    )
+    emb = _t(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    approx = ivfpq_topk(emb, q, k=5, id_col="vec_id",
+                        vec_col="embedding", n_lists=8, n_probe=5,
+                        m=8, n_codes=256, refine=4)
+    exact = brute_force_topk(emb, q, k=5, id_col="vec_id",
+                             vec_col="embedding")
+    rec = topk_recall(approx, exact)
+    return (q.select(F.col("vec_id").alias("qid"))
+            .join(rec, "qid", "left")
+            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+                    .alias("recall_ok")))
+
+
 def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Random-hyperplane LSH approximate top-k, oracled via its
     deterministic recall floor (seeded planes → fixed approx set →
@@ -2154,18 +2176,19 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 # green, so priority is pure staleness + change: (1) the 10 queries
 # whose latest green is still round 1, (2) all 30 round-2-latest
 # queries — together the 40 stalest, leaving no query older than two
-# rounds after this window runs, (3) the three queries whose
-# implementation changed THIS round (semantic_dedup k-means
-# normalization, perplexity broadcast gate + model-sourced vocab,
-# line_dedup blank-line census filter), (4) round-3 fills. The two
-# queries NEW in round 5 (chunked-hdf5 and xls-date roundtrips) are
-# never-verified and go first.
+# rounds after this window runs, (3) queries whose implementation
+# changed THIS round (semantic_dedup k-means normalization,
+# perplexity broadcast gate + model-sourced vocab; line_dedup's
+# blank-line change was re-verified locally and rotates behind). The
+# eight queries NEW in round 5 (chunked-hdf5 / xls-date roundtrips,
+# substring dedup, Gopher quality + repetition, C4, PQ and IVF-PQ
+# ANN) are never-verified and go first.
 _R5_WINDOW = [
     # --- new in round 5 (never verified)
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
     "substring_dedup_docs", "gopher_quality_docs",
     "c4_clean_docs", "gopher_repetition_docs",
-    "pq_topk_embeddings",
+    "pq_topk_embeddings", "ivfpq_topk_embeddings",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
     "reindex_rows", "remove_all", "sort_alphanumeric",
@@ -2182,7 +2205,7 @@ _R5_WINDOW = [
     "unique_first", "window_lag", "window_running_sum", "window_topn",
     "xround_buckets",
     # --- implementation changed in round 5
-    "semantic_dedup_embeddings", "perplexity_docs", "line_dedup_docs",
+    "semantic_dedup_embeddings", "perplexity_docs",
 ]
 
 
@@ -2232,6 +2255,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk_embeddings": lsh_topk_embeddings,
         "ivf_topk_embeddings": ivf_topk_embeddings,
         "pq_topk_embeddings": pq_topk_embeddings,
+        "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         # --- new in round 3
         "quota_cap_docs": quota_cap_docs,
         "holdout_split_orders": holdout_split_orders,
@@ -3711,6 +3735,10 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings WHERE vec_id < 3
         """,
         "pq_topk_embeddings": """
+            SELECT vec_id AS qid, TRUE AS recall_ok
+            FROM embeddings WHERE vec_id < 3
+        """,
+        "ivfpq_topk_embeddings": """
             SELECT vec_id AS qid, TRUE AS recall_ok
             FROM embeddings WHERE vec_id < 3
         """,

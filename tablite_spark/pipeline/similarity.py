@@ -478,11 +478,9 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str,
     return books
 
 
-def pq_encode(df: DataFrame, id_col: str, vec_col: str,
-              codebooks: list, out_col: str = "pq_code") -> DataFrame:
-    """(id, pq_code array<int>): per-subspace nearest-centroid codes
-    via one Arrow-batched pandas UDF whose body is one BLAS matmul +
-    argmin per subspace per batch — no shuffle, scan-local."""
+def _pq_encoder_udf(codebooks: list):
+    """Arrow-batched encoder: one BLAS matmul + argmin per subspace
+    per batch. Input column must already be L2-normalized."""
     import numpy as np
     import pandas as pd
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
@@ -498,7 +496,14 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
             codes[:, j] = (S @ books[j].T - half_c2[j]).argmax(axis=1)
         return pd.Series(list(codes))
 
-    enc = F.pandas_udf(_enc, "array<int>")
+    return F.pandas_udf(_enc, "array<int>")
+
+
+def pq_encode(df: DataFrame, id_col: str, vec_col: str,
+              codebooks: list, out_col: str = "pq_code") -> DataFrame:
+    """(id, pq_code array<int>): per-subspace nearest-centroid codes —
+    no shuffle, scan-local."""
+    enc = _pq_encoder_udf(codebooks)
     return df.select(F.col(id_col).alias("nid"),
                      enc(_unit(F.col(vec_col))).alias(out_col))
 
@@ -562,6 +567,91 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
             yield out[out["qid"] != out["nid"]]
 
     scored = codes.mapInPandas(_adc, "qid long, nid long, cos double")
+    if not refine:
+        return _topk_per_qid(scored, k)
+    cand = _topk_per_qid(scored, k * refine).select("qid", "nid")
+    c = corpus.select(F.col(id_col).alias("nid"),
+                      _unit(F.col(vec_col)).alias("cv"))
+    q = queries.select(F.col(id_col).alias("qid"),
+                       _unit(F.col(vec_col)).alias("qv"))
+    exact = (cand.join(c, "nid").join(F.broadcast(q), "qid")
+             .withColumn("cos", _dot(F.col("qv"), F.col("cv")))
+             .select("qid", "nid", "cos"))
+    return _topk_per_qid(exact, k)
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
+               id_col: str = "id", vec_col: str = "vec",
+               n_lists: int = 16, n_probe: int = 4,
+               m: int = 8, n_codes: int = 256, seed: int = 42,
+               refine: int = 4) -> DataFrame:
+    """FAISS-style IVF-PQ (Jégou et al. 2011): a coarse sample-trained
+    k-means quantizer prunes the scan to each query's ``n_probe``
+    nearest cells, PQ codes + ADC lookup tables score ONLY those
+    cells' rows, and the exact refine re-ranks the top ``refine·k``
+    survivors — the canonical billion-vector recipe, composed from
+    the building blocks this module already oracles separately
+    (``_kmeans_sample_train``/``assign_cells``, ``pq_train``/ADC,
+    salted two-phase rank).
+
+    At 100 TB: persist (cell, pq_code) as columns — cell as a
+    PARTITION column so probing is partition pruning at the file
+    level, codes at m bytes/vector. One scan computes both here; the
+    per-batch scorer touches only rows whose cell is probed by some
+    query (roughly n_probe/n_lists of the corpus). ``refine`` sizing:
+    see pq_topk — it must exceed the population among which ADC ties.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cents = _kmeans_sample_train(corpus, id_col, vec_col, n_lists,
+                                 seed, normalize=True)
+    books = pq_train(corpus, id_col, vec_col, m=m, n_codes=n_codes,
+                     seed=seed)
+    enc = _pq_encoder_udf(books)
+    coded = assign_cells(
+        corpus.select(F.col(id_col).alias("nid"),
+                      _unit(F.col(vec_col)).alias("uv")),
+        "uv", cents, out_col="cell") \
+        .select("nid", "cell", enc(F.col("uv")).alias("pq_code"))
+
+    qrows = (queries.select(F.col(id_col).alias("qid"),
+                            _unit(F.col(vec_col)).alias("qv"))
+             .collect())
+    qids = np.array([r["qid"] for r in qrows])
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    C = np.array(cents, dtype=np.float64)
+    # nearest cells per query (driver-side: n_queries × n_lists)
+    d2 = ((Q * Q).sum(1)[:, None] + (C * C).sum(1)[None, :]
+          - 2.0 * (Q @ C.T))
+    probe = np.argsort(d2, axis=1)[:, :n_probe]
+    dsub = books[0].shape[1]
+    lut = np.stack([Q[:, j * dsub:(j + 1) * dsub] @ books[j].T
+                    for j in range(m)], axis=1)
+
+    def _adc(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy())
+            cell = pdf["cell"].to_numpy()
+            nid = pdf["nid"].to_numpy()
+            outs = []
+            for qi in range(len(qids)):
+                msk = np.isin(cell, probe[qi])
+                msk &= nid != qids[qi]
+                if not msk.any():
+                    continue
+                cc = codes[msk]
+                sc = np.zeros(int(msk.sum()))
+                for j in range(m):
+                    sc += lut[qi, j, cc[:, j]]
+                outs.append(pd.DataFrame({
+                    "qid": qids[qi], "nid": nid[msk], "cos": sc}))
+            if outs:
+                yield pd.concat(outs)
+
+    scored = coded.mapInPandas(_adc, "qid long, nid long, cos double")
     if not refine:
         return _topk_per_qid(scored, k)
     cand = _topk_per_qid(scored, k * refine).select("qid", "nid")

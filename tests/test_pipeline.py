@@ -1259,6 +1259,37 @@ def test_pq_topk_recall_and_refine(spark):
     assert hits >= 2, (ex1, rf1)
 
 
+def test_ivfpq_topk_prunes_and_recalls(spark):
+    """IVF-PQ composition: coarse cells prune the scan, ADC scores
+    only probed cells, refine recovers the exact ordering — recall
+    matches plain PQ on the clustered fixture while touching a
+    fraction of the corpus."""
+    import random
+
+    from tablite_spark.pipeline.similarity import (
+        brute_force_topk, ivfpq_topk, topk_recall,
+    )
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) * 5 for _ in range(16)] for _ in range(10)]
+    rows = [(c * 8 + j, [x + rng.gauss(0, 0.3) for x in centers[c]])
+            for c in range(10) for j in range(8)]
+    df = spark.createDataFrame(rows, "id long, vec array<double>")
+    q = df.filter(F.col("id") < 3)
+    exact = brute_force_topk(df, q, k=5)
+    approx = ivfpq_topk(df, q, k=5, n_lists=5, n_probe=2,
+                        m=4, n_codes=16, refine=8)
+    rec = {r["qid"]: r["n_overlap"]
+           for r in topk_recall(approx, exact).collect()}
+    assert all(rec.get(i, 0) >= 4 for i in range(3)), rec
+    # n_probe=0 cells would score nothing; probing every cell must
+    # never lose to partial probing
+    full = ivfpq_topk(df, q, k=5, n_lists=5, n_probe=5,
+                      m=4, n_codes=16, refine=8)
+    rec_full = {r["qid"]: r["n_overlap"]
+                for r in topk_recall(full, exact).collect()}
+    assert all(rec_full.get(i, 0) >= rec.get(i, 0) for i in range(3))
+
+
 def test_optimal_lsh_params():
     """S-curve tuning: probability-mass minimization behaves as the
     theory says — higher thresholds push toward more rows per band
