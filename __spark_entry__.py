@@ -1367,6 +1367,18 @@ def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_repetition(d, "text", "doc_id")
 
 
+def gopher_dup_ngrams_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-n-gram character coverage (n=5..10,
+    text.gopher_dup_ngram_coverage — the second half of Gopher's
+    repetition table) over the REAL documents table; DuckDB replays
+    the positional-coverage arithmetic (grouping by the gram STRING,
+    which is equality-equivalent to the xxhash64 key Spark censuses
+    on) from the same parquet."""
+    from tablite_spark.pipeline.text import gopher_dup_ngram_coverage
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return gopher_dup_ngram_coverage(d, "text", "doc_id")
+
+
 def c4_clean_docs(spark: SparkSession, sf: str) -> DataFrame:
     """C4 cleaning rules (text.c4_rules, Raffel et al. 2020 §2.2):
     six constructed lines per doc exercise every line filter
@@ -2177,17 +2189,18 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 # whose latest green is still round 1, (2) all 30 round-2-latest
 # queries — together the 40 stalest, leaving no query older than two
 # rounds after this window runs, (3) queries whose implementation
-# changed THIS round (semantic_dedup k-means normalization,
-# perplexity broadcast gate + model-sourced vocab; line_dedup's
-# blank-line change was re-verified locally and rotates behind). The
-# eight queries NEW in round 5 (chunked-hdf5 / xls-date roundtrips,
-# substring dedup, Gopher quality + repetition, C4, PQ and IVF-PQ
-# ANN) are never-verified and go first.
+# changed THIS round (semantic_dedup k-means normalization;
+# perplexity's broadcast gate and line_dedup's blank-line change were
+# re-verified locally against the oracle and rotate behind). The nine
+# queries NEW in round 5 (chunked-hdf5 / xls-date roundtrips,
+# substring dedup, Gopher quality + repetition + dup-ngram coverage,
+# C4, PQ and IVF-PQ ANN) are never-verified and go first.
 _R5_WINDOW = [
     # --- new in round 5 (never verified)
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
     "substring_dedup_docs", "gopher_quality_docs",
     "c4_clean_docs", "gopher_repetition_docs",
+    "gopher_dup_ngrams_docs",
     "pq_topk_embeddings", "ivfpq_topk_embeddings",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
@@ -2205,7 +2218,7 @@ _R5_WINDOW = [
     "unique_first", "window_lag", "window_running_sum", "window_topn",
     "xround_buckets",
     # --- implementation changed in round 5
-    "semantic_dedup_embeddings", "perplexity_docs",
+    "semantic_dedup_embeddings",
 ]
 
 
@@ -2247,6 +2260,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_docs,
         "substring_dedup_docs": substring_dedup_docs,
         "gopher_quality_docs": gopher_quality_docs,
+        "gopher_dup_ngrams_docs": gopher_dup_ngrams_docs,
         "c4_clean_docs": c4_clean_docs,
         "gopher_repetition_docs": gopher_repetition_docs,
         "vocab_shift_docs": vocab_shift_docs,
@@ -3018,6 +3032,77 @@ def oracle_sql() -> dict[str, str]:
                     AND (25 * COALESCE(top4_chars, 0) <= 4 * n_chars))
                        AS passes
             FROM base b LEFT JOIN tops USING (doc_id)
+        """,
+        "gopher_dup_ngrams_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   x -> x <> '') AS words
+                FROM documents
+            ), base AS (
+                SELECT doc_id,
+                       CAST(COALESCE(list_sum(list_transform(
+                           words, x -> length(x))), 0) AS BIGINT)
+                           AS word_chars
+                FROM w
+            ), gstarts AS (
+                SELECT doc_id, n, i - 1 AS j,
+                       array_to_string(words[i:i+n-1], ' ') AS gram
+                FROM w, UNNEST([5, 6, 7, 8, 9, 10]) AS t(n),
+                     UNNEST(range(1, len(words) - n + 2)) AS r(i)
+                WHERE len(words) >= n
+            ), dupkeys AS (
+                SELECT doc_id, n, gram
+                FROM gstarts GROUP BY ALL HAVING COUNT(*) > 1
+            ), dstarts AS (
+                SELECT g.doc_id, g.n, g.j
+                FROM gstarts g
+                JOIN dupkeys USING (doc_id, n, gram)
+            ), covered AS (
+                SELECT DISTINCT doc_id, n, j + k AS p
+                FROM dstarts, UNNEST(range(0, n)) AS u(k)
+            ), toks AS (
+                SELECT doc_id, i - 1 AS p, length(words[i]) AS l
+                FROM w, UNNEST(range(1, len(words) + 1)) AS r(i)
+            ), per AS (
+                SELECT c.doc_id,
+                       SUM(CASE WHEN c.n = 5 THEN t.l ELSE 0 END) d5,
+                       SUM(CASE WHEN c.n = 6 THEN t.l ELSE 0 END) d6,
+                       SUM(CASE WHEN c.n = 7 THEN t.l ELSE 0 END) d7,
+                       SUM(CASE WHEN c.n = 8 THEN t.l ELSE 0 END) d8,
+                       SUM(CASE WHEN c.n = 9 THEN t.l ELSE 0 END) d9,
+                       SUM(CASE WHEN c.n = 10 THEN t.l ELSE 0 END) d10
+                FROM covered c JOIN toks t USING (doc_id, p)
+                GROUP BY c.doc_id
+            )
+            SELECT b.doc_id, word_chars,
+                   CAST(COALESCE(d5, 0) AS BIGINT) AS dup5_chars,
+                   CAST(COALESCE(d6, 0) AS BIGINT) AS dup6_chars,
+                   CAST(COALESCE(d7, 0) AS BIGINT) AS dup7_chars,
+                   CAST(COALESCE(d8, 0) AS BIGINT) AS dup8_chars,
+                   CAST(COALESCE(d9, 0) AS BIGINT) AS dup9_chars,
+                   CAST(COALESCE(d10, 0) AS BIGINT) AS dup10_chars,
+                   (100 * COALESCE(d5, 0) <= 15 * word_chars)
+                       AS r_dup5,
+                   (100 * COALESCE(d6, 0) <= 14 * word_chars)
+                       AS r_dup6,
+                   (100 * COALESCE(d7, 0) <= 13 * word_chars)
+                       AS r_dup7,
+                   (100 * COALESCE(d8, 0) <= 12 * word_chars)
+                       AS r_dup8,
+                   (100 * COALESCE(d9, 0) <= 11 * word_chars)
+                       AS r_dup9,
+                   (100 * COALESCE(d10, 0) <= 10 * word_chars)
+                       AS r_dup10,
+                   ((100 * COALESCE(d5, 0) <= 15 * word_chars)
+                    AND (100 * COALESCE(d6, 0) <= 14 * word_chars)
+                    AND (100 * COALESCE(d7, 0) <= 13 * word_chars)
+                    AND (100 * COALESCE(d8, 0) <= 12 * word_chars)
+                    AND (100 * COALESCE(d9, 0) <= 11 * word_chars)
+                    AND (100 * COALESCE(d10, 0) <= 10 * word_chars))
+                       AS passes
+            FROM base b LEFT JOIN per ON b.doc_id = per.doc_id
         """,
         "c4_clean_docs": """
             SELECT doc_id,

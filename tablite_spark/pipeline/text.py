@@ -256,6 +256,87 @@ def gopher_repetition(df: DataFrame, text_col: str,
                     passes.alias("passes"))
 
 
+def gopher_dup_ngram_coverage(df: DataFrame, text_col: str,
+                              id_col: str = "doc_id",
+                              n_values: tuple = (5, 6, 7, 8, 9, 10)
+                              ) -> DataFrame:
+    """The other half of Gopher's repetition table (Rae et al. 2021
+    Appendix A1): for each n in 5..10, the fraction of characters
+    covered by word n-grams that occur MORE THAN ONCE within the same
+    document (thresholds 0.15/0.14/0.13/0.12/0.11/0.10). "Covered" is
+    positional — a word position inside ANY duplicated n-gram window
+    counts once, exactly the mark-the-characters reading public
+    implementations use — so the numerator is the char mass of
+    covered word positions, an integer both engines compute
+    identically (inter-word whitespace excluded).
+
+    Plan shape (the substring_dedup coverage machinery, per-doc):
+    tagged (n, start-position, gram-hash) explode → within-doc census
+    groupBy(doc, n, hash) → duplicated starts explode into covered
+    positions → distinct → join word lengths → one combinable groupBy
+    back to a row per doc. Gram identity uses xxhash64 of the joined
+    gram (collision odds ~n_grams²/2⁶⁴ per doc — irrelevant at
+    document scale). Thresholds again as integer
+    cross-multiplications."""
+    c = F.col(text_col)
+    words = F.filter(F.split(F.trim(c), r"\s+"),
+                     lambda w: w != F.lit(""))
+    base = df.select(F.col(id_col), words.alias("__w__"),
+                     F.aggregate(words, F.lit(0).cast("long"),
+                                 lambda a, w: a + F.length(w))
+                     .alias("word_chars"))
+    n_words = F.size("__w__")
+    tagged = None
+    for n in n_values:
+        g = F.when(
+            n_words >= n,
+            F.transform(F.sequence(F.lit(1), n_words - F.lit(n - 1)),
+                        lambda i: F.struct(
+                            F.lit(n).alias("n"),
+                            (i - 1).alias("j"),
+                            F.xxhash64(F.concat_ws(
+                                " ", F.slice(F.col("__w__"), i, n)))
+                            .alias("h")))
+        ).otherwise(F.array().cast(
+            "array<struct<n:int,j:int,h:bigint>>"))
+        tagged = g if tagged is None else F.concat(tagged, g)
+    grams = base.select(id_col, F.explode(tagged).alias("__g__")) \
+        .select(id_col, "__g__.n", "__g__.j", "__g__.h")
+    dup_keys = (grams.groupBy(id_col, "n", "h")
+                .agg(F.count(F.lit(1)).alias("__cnt__"))
+                .filter(F.col("__cnt__") > 1)
+                .select(id_col, "n", "h"))
+    dup_starts = grams.join(dup_keys, [id_col, "n", "h"], "left_semi") \
+        .select(id_col, "n", "j")
+    covered = (dup_starts
+               .select(id_col, "n",
+                       F.explode(F.sequence(
+                           F.col("j"), F.col("j") + F.col("n") - 1))
+                       .alias("p"))
+               .distinct())
+    toks = base.select(
+        id_col, F.posexplode("__w__").alias("p", "__tok__")) \
+        .select(id_col, "p", F.length("__tok__").alias("__len__"))
+    per_n = (covered.join(toks, [id_col, "p"])
+             .groupBy(id_col)
+             .agg(*[F.sum(F.when(F.col("n") == n, F.col("__len__"))
+                          .otherwise(F.lit(0))).cast("long")
+                    .alias(f"dup{n}_chars") for n in n_values]))
+    out = base.select(id_col, "word_chars").join(per_n, id_col, "left") \
+        .na.fill({f"dup{n}_chars": 0 for n in n_values})
+    # thresholds 0.15 .. 0.10: frac <= t  <=>  100*dup <= 100t*chars
+    th = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
+    rules = {f"r_dup{n}": 100 * F.col(f"dup{n}_chars")
+             <= th[n] * F.col("word_chars") for n in n_values}
+    passes = None
+    for v in rules.values():
+        passes = v if passes is None else (passes & v)
+    return out.select(id_col, "word_chars",
+                      *[F.col(f"dup{n}_chars") for n in n_values],
+                      *[v.alias(k) for k, v in rules.items()],
+                      passes.alias("passes"))
+
+
 def c4_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
              min_kept_lines: int = 3) -> DataFrame:
     """C4 cleaning rules (Raffel et al. 2020, arXiv:1910.10683 §2.2,

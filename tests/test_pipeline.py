@@ -1027,6 +1027,34 @@ def test_semantic_dedup_varying_norms(spark):
     assert out == list(range(30))
 
 
+def test_gopher_dup_ngram_coverage(spark):
+    """Positional coverage of within-doc duplicated n-grams: a doc
+    with a 5-gram repeated twice covers exactly those 10 positions at
+    n=5 (overlap-deduplicated), a clean doc covers none, and the
+    thresholds trip as integer comparisons."""
+    from tablite_spark.pipeline.text import gopher_dup_ngram_coverage
+    run = "p q r s t"
+    clean = " ".join(f"u{i}" for i in range(30))
+    rows = [
+        (1, clean),
+        (2, f"{run} a b c {run} d e f"),      # 5-gram dup, 2 windows
+        (3, f"{run} {run} {run} x"),          # overlapping coverage
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in gopher_dup_ngram_coverage(df, "text").collect()}
+    assert out[1]["dup5_chars"] == 0 and out[1]["passes"]
+    # doc 2: positions 0-4 and 8-12 covered at n=5 -> 10 single-char
+    # words = 10 chars; word_chars = 16
+    assert out[2]["dup5_chars"] == 10 and out[2]["word_chars"] == 16
+    assert not out[2]["r_dup5"] and not out[2]["passes"]
+    # doc 3: "p q r s t" x3 + x -> the repeated 5-gram covers ALL 15
+    # run positions once (overlaps don't double-count)
+    assert out[3]["dup5_chars"] == 15
+    # longer duplicated n-grams exist too (e.g. the 10-gram repeats)
+    assert out[3]["dup10_chars"] > 0
+
+
 def test_c4_rules_line_and_page_filters(spark):
     """C4 cleaning: terminal-punctuation/word-count/javascript line
     filters, then lorem-ipsum/curly-brace/min-lines page filters."""
