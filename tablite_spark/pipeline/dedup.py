@@ -522,7 +522,11 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
                .distinct())
     tokens = base.select(
         id_col, F.posexplode("__t__").alias("__pos__", "__tok__"))
-    kept = tokens.join(covered, [id_col, "__pos__"], "left_anti")
+    # covered scales with the corpus (doc_id-keyed): forbid a
+    # statically mis-estimated broadcast (explode fan-out defeats
+    # planning-time size estimates; see gopher_dup_ngram_coverage)
+    kept = tokens.join(covered.hint("merge"),
+                       [id_col, "__pos__"], "left_anti")
     rebuilt = (kept.groupBy(id_col)
                .agg(F.array_sort(F.collect_list(
                    F.struct("__pos__", "__tok__"))).alias("__ts__"))
@@ -533,7 +537,7 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
                        .alias(out_col),
                        F.size("__ts__").alias("n_tokens_kept")))
     # fully-covered docs must survive as empty rows
-    return (df.select(id_col).join(rebuilt, id_col, "left")
+    return (df.select(id_col).join(rebuilt.hint("merge"), id_col, "left")
             .select(id_col,
                     F.coalesce(out_col, F.lit("")).alias(out_col),
                     F.coalesce("n_tokens_kept", F.lit(0))

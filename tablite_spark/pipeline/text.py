@@ -225,7 +225,11 @@ def gopher_repetition(df: DataFrame, text_col: str,
                                 F.col("__top__.c").cast("long")
                                 * F.col("__top__.l").cast("long")))
                    .alias(f"top{n}_chars") for n in (2, 3, 4)]))
-    j = base.drop("__text__", "__w__").join(tops, id_col, "left") \
+    # tops is one row per doc — corpus-scaling, never broadcastable;
+    # pin sort-merge (see gopher_dup_ngram_coverage on why estimates
+    # can get this wrong after explodes)
+    j = base.drop("__text__", "__w__") \
+        .join(tops.hint("merge"), id_col, "left") \
         .na.fill({f"top{n}_chars": 0 for n in (2, 3, 4)})
     r = {
         # dup_frac <= 0.30  <=>  10*(n - uniq) <= 3*n
@@ -302,11 +306,18 @@ def gopher_dup_ngram_coverage(df: DataFrame, text_col: str,
         tagged = g if tagged is None else F.concat(tagged, g)
     grams = base.select(id_col, F.explode(tagged).alias("__g__")) \
         .select(id_col, "__g__.n", "__g__.j", "__g__.h")
+    # every join side below carries doc_id and therefore scales WITH
+    # the corpus — none is ever safely broadcastable, but Catalyst's
+    # planning-time estimates don't account for explode fan-out and
+    # can pick a static broadcast that OOMs (reproduced at 200k docs
+    # under a default-memory driver). The merge hints pin sort-merge;
+    # AQE still handles skew within them.
     dup_keys = (grams.groupBy(id_col, "n", "h")
                 .agg(F.count(F.lit(1)).alias("__cnt__"))
                 .filter(F.col("__cnt__") > 1)
                 .select(id_col, "n", "h"))
-    dup_starts = grams.join(dup_keys, [id_col, "n", "h"], "left_semi") \
+    dup_starts = grams.join(dup_keys.hint("merge"),
+                            [id_col, "n", "h"], "left_semi") \
         .select(id_col, "n", "j")
     covered = (dup_starts
                .select(id_col, "n",
@@ -317,12 +328,13 @@ def gopher_dup_ngram_coverage(df: DataFrame, text_col: str,
     toks = base.select(
         id_col, F.posexplode("__w__").alias("p", "__tok__")) \
         .select(id_col, "p", F.length("__tok__").alias("__len__"))
-    per_n = (covered.join(toks, [id_col, "p"])
+    per_n = (covered.join(toks.hint("merge"), [id_col, "p"])
              .groupBy(id_col)
              .agg(*[F.sum(F.when(F.col("n") == n, F.col("__len__"))
                           .otherwise(F.lit(0))).cast("long")
                     .alias(f"dup{n}_chars") for n in n_values]))
-    out = base.select(id_col, "word_chars").join(per_n, id_col, "left") \
+    out = base.select(id_col, "word_chars") \
+        .join(per_n.hint("merge"), id_col, "left") \
         .na.fill({f"dup{n}_chars": 0 for n in n_values})
     # thresholds 0.15 .. 0.10: frac <= t  <=>  100*dup <= 100t*chars
     th = {5: 15, 6: 14, 7: 13, 8: 12, 9: 11, 10: 10}
