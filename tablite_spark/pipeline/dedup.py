@@ -457,8 +457,12 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                            lambda s: s.getField("__line__")))
                        .alias(out_col),
                        F.size("__ls__").alias("n_lines_kept")))
-    # docs whose every line was boilerplate must survive as empty
-    return (df.select(id_col).join(rebuilt, id_col, "left")
+    # docs whose every line was boilerplate must survive as empty.
+    # rebuilt carries one FULL-TEXT row per doc — corpus-scaling and
+    # never safely broadcastable; pin sort-merge (posexplode fan-out
+    # defeats planning-time size estimates, see substring_dedup)
+    return (df.select(id_col).join(rebuilt.hint("merge"),
+                                   id_col, "left")
             .select(id_col,
                     F.coalesce(out_col, F.lit("")).alias(out_col),
                     F.coalesce("n_lines_kept", F.lit(0))
