@@ -238,3 +238,29 @@ def test_semantic_dedup_cell_bounded_pairwise(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoop" not in s
     assert "FlatMapGroupsInPandas" in s
+
+
+def test_quality_filters_scan_only(spark, qs):
+    """Gopher rules and C4 cleaning are pure expression pipelines:
+    zero exchanges, zero joins — one documents scan each."""
+    for name in ("gopher_quality_docs", "c4_clean_docs"):
+        r = plan_report(qs[name](spark, SF))
+        assert r["shuffles"] == 0, (name, r)
+        assert r["broadcast_joins"] == 0, (name, r)
+
+
+def test_census_ops_never_broadcast_doc_keyed_sides(spark, qs):
+    """The round-5 merge-hint hardening, CI-pinned: planning-time
+    estimates ignore explode fan-out, so without explicit hints
+    Catalyst can statically broadcast a doc_id-keyed side that
+    scales with the corpus (reproduced OOM at 200k docs).
+    gopher_repetition / dup-ngram coverage must plan ZERO broadcast
+    joins; substring_dedup may broadcast only its doc-free
+    shared-window census (bounded by content diversity), never more."""
+    assert broadcast_join_count(
+        qs["gopher_repetition_docs"](spark, SF)) == 0
+    assert broadcast_join_count(
+        qs["gopher_dup_ngrams_docs"](spark, SF)) == 0
+    assert broadcast_join_count(
+        qs["substring_dedup_docs"](spark, SF)) <= 1
+    assert broadcast_join_count(qs["line_dedup_docs"](spark, SF)) <= 1
