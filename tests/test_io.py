@@ -420,6 +420,68 @@ def test_hdf5lite_chunked_and_compressed(tmp_path):
     assert (got2 == vals).all()
 
 
+def test_hdf5lite_chunked_roundtrip_fuzz(tmp_path):
+    """Property fuzz over the chunked writer/reader: any (array,
+    chunk_rows, compression) combination round-trips exactly —
+    partial tail chunks, single-chunk layouts, and deflate included."""
+    import numpy as np
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tablite_spark.sources import hdf5lite
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        n=st.integers(min_value=1, max_value=500),
+        chunk_rows=st.integers(min_value=1, max_value=97),
+        compress=st.sampled_from([False, True, 9]),
+        kind=st.sampled_from(["i8", "i4", "u2", "f8", "f4"]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(n, chunk_rows, compress, kind, seed):
+        rng = np.random.default_rng(seed)
+        if kind.startswith("f"):
+            arr = rng.standard_normal(n).astype(kind)
+        else:
+            arr = rng.integers(-1000 if kind.startswith("i") else 0,
+                               1000, size=n).astype(kind)
+        p = str(tmp_path / f"fz_{seed % 7}.h5")
+        hdf5lite.write(p, {"x": arr}, chunk_rows=chunk_rows,
+                       compress=compress)
+        back = hdf5lite.read(p)["x"]
+        assert back.dtype == arr.dtype and (back == arr).all()
+
+    roundtrip()
+
+
+def test_xlslite_date_roundtrip_fuzz(tmp_path):
+    """Property fuzz over XF date serials: arbitrary datetimes down
+    to second precision survive the write→parse cycle exactly (the
+    reader rounds serial float noise to the millisecond)."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from tablite_spark.sources.xlslite import read_xls, write_xls
+
+    @settings(max_examples=25, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(
+        st.datetimes(min_value=dt.datetime(1900, 3, 1),
+                     max_value=dt.datetime(2200, 1, 1))
+        .map(lambda d: d.replace(microsecond=0)),
+        min_size=1, max_size=20))
+    def roundtrip(dts):
+        p = str(tmp_path / "fz.xls")
+        write_xls(p, [["when"]] + [[d] for d in dts])
+        back = read_xls(p)["Sheet1"]
+        assert [r[0] for r in back[1:]] == dts
+
+    roundtrip()
+
+
 def test_xlslite_roundtrip_and_from_file(spark, tmp_path):
     """Legacy .xls via the stdlib OLE2+BIFF8 codec: typed value
     roundtrip (strings incl. unicode, doubles, bools, gaps), sheet
