@@ -1367,6 +1367,17 @@ def gopher_repetition_docs(spark: SparkSession, sf: str) -> DataFrame:
     return gopher_repetition(d, "text", "doc_id")
 
 
+def pretrain_filter_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """One-call pretraining gate (text.pretrain_filter): conjunction
+    of the Gopher quality / repetition / dup-ngram stages with the
+    first-failing-stage reason, over the REAL documents table. The
+    oracle composes the three stage SQLs verbatim, so keep/reason are
+    hash-exact end-to-end."""
+    from tablite_spark.pipeline.text import pretrain_filter
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    return pretrain_filter(d, "text", "doc_id")
+
+
 def gopher_dup_ngrams_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicated-n-gram character coverage (n=5..10,
     text.gopher_dup_ngram_coverage — the second half of Gopher's
@@ -2189,18 +2200,18 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
 # whose latest green is still round 1, (2) all 30 round-2-latest
 # queries — together the 40 stalest, leaving no query older than two
 # rounds after this window runs, (3) queries whose implementation
-# changed THIS round (semantic_dedup k-means normalization;
-# perplexity's broadcast gate and line_dedup's blank-line change were
-# re-verified locally against the oracle and rotate behind). The nine
+# changed THIS round (every r5-changed query — semantic_dedup,
+# perplexity, line_dedup — was re-verified locally against the oracle
+# in full sweeps and rotates behind the never-verified set). The ten
 # queries NEW in round 5 (chunked-hdf5 / xls-date roundtrips,
 # substring dedup, Gopher quality + repetition + dup-ngram coverage,
-# C4, PQ and IVF-PQ ANN) are never-verified and go first.
+# C4, PQ and IVF-PQ ANN, the composed pretrain_filter) go first.
 _R5_WINDOW = [
     # --- new in round 5 (never verified)
     "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
     "substring_dedup_docs", "gopher_quality_docs",
     "c4_clean_docs", "gopher_repetition_docs",
-    "gopher_dup_ngrams_docs",
+    "gopher_dup_ngrams_docs", "pretrain_filter_docs",
     "pq_topk_embeddings", "ivfpq_topk_embeddings",
     # --- latest green = r1 (stalest)
     "count_value", "date_range_expand", "index_rowids", "is_sorted",
@@ -2218,7 +2229,6 @@ _R5_WINDOW = [
     "unique_first", "window_lag", "window_running_sum", "window_topn",
     "xround_buckets",
     # --- implementation changed in round 5
-    "semantic_dedup_embeddings",
 ]
 
 
@@ -2261,6 +2271,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_docs": substring_dedup_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "gopher_dup_ngrams_docs": gopher_dup_ngrams_docs,
+        "pretrain_filter_docs": pretrain_filter_docs,
         "c4_clean_docs": c4_clean_docs,
         "gopher_repetition_docs": gopher_repetition_docs,
         "vocab_shift_docs": vocab_shift_docs,
@@ -2395,6 +2406,27 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # pretrain_filter is the conjunction of three already-oracled
+    # stages: compose their SQL verbatim so the oracle stays a single
+    # source of truth per rule family
+    d["pretrain_filter_docs"] = f"""
+        WITH g AS ({d['gopher_quality_docs']}),
+             r AS ({d['gopher_repetition_docs']}),
+             dn AS ({d['gopher_dup_ngrams_docs']})
+        SELECT g.doc_id,
+               (g.passes AND r.passes AND dn.passes) AS keep,
+               CASE WHEN NOT g.passes THEN 'gopher'
+                    WHEN NOT r.passes THEN 'repetition'
+                    WHEN NOT dn.passes THEN 'dup_ngrams'
+               END AS reason
+        FROM g JOIN r ON g.doc_id = r.doc_id
+               JOIN dn ON g.doc_id = dn.doc_id
+    """
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

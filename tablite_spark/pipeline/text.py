@@ -384,6 +384,54 @@ def c4_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
                      page_ok.alias("keep_page"))
 
 
+def pretrain_filter(df: DataFrame, text_col: str,
+                    id_col: str = "doc_id",
+                    stages: tuple = ("gopher", "repetition",
+                                     "dup_ngrams"),
+                    min_words: int = 50) -> DataFrame:
+    """One-call pretraining quality gate: the conjunction of the
+    rule families this module implements — ``gopher``
+    (:func:`gopher_rules`), ``repetition``
+    (:func:`gopher_repetition`), ``dup_ngrams``
+    (:func:`gopher_dup_ngram_coverage`) and optionally ``c4``
+    (:func:`c4_rules` page filter; off by default because it
+    requires line structure). Returns (id, keep, reason) where
+    ``reason`` names the FIRST failing stage in ``stages`` order
+    (null when kept) — the per-stage attrition report every
+    data-pipeline dashboard wants.
+
+    Plan shape: each stage is its own already-scale-audited subplan;
+    the combiner is id-keyed sort-merge joins (corpus-scaling sides,
+    never broadcast — same rationale as the census operators'
+    merge hints)."""
+    builders = {
+        "gopher": lambda: gopher_rules(
+            df, text_col, id_col, min_words=min_words)
+        .select(id_col, F.col("passes").alias("__p_gopher__")),
+        "repetition": lambda: gopher_repetition(df, text_col, id_col)
+        .select(id_col, F.col("passes").alias("__p_repetition__")),
+        "dup_ngrams": lambda: gopher_dup_ngram_coverage(
+            df, text_col, id_col)
+        .select(id_col, F.col("passes").alias("__p_dup_ngrams__")),
+        "c4": lambda: c4_rules(df, text_col, id_col)
+        .select(id_col, F.col("keep_page").alias("__p_c4__")),
+    }
+    unknown = [s for s in stages if s not in builders]
+    if unknown:
+        raise ValueError(f"unknown pretrain_filter stages: {unknown}")
+    out = df.select(id_col)
+    for s in stages:
+        out = out.join(builders[s]().hint("merge"), id_col, "left")
+    keep = None
+    reason = None
+    for s in reversed(stages):
+        p = F.coalesce(F.col(f"__p_{s}__"), F.lit(False))
+        keep = p if keep is None else (p & keep)
+        reason = F.when(~p, F.lit(s)).otherwise(reason)
+    return out.select(id_col, keep.alias("keep"),
+                      reason.alias("reason"))
+
+
 def language_id(df: DataFrame, text_col: str) -> DataFrame:
     """Stopword-marker language heuristic: score = count of language
     markers among tokens; predicted = argmax (ties → language order)."""

@@ -1112,6 +1112,32 @@ def test_gopher_repetition_signals(spark):
     assert not out[4]["r_dup_paras"]
 
 
+def test_pretrain_filter_composes_with_reasons(spark):
+    """The one-call gate: keep = conjunction of stages, reason = the
+    FIRST failing stage in order, null reason when kept."""
+    from tablite_spark.pipeline.text import pretrain_filter
+    # non-repetitive, function-word-bearing, 3-10 char mean: passes
+    good = ("the quick dog and that other cat have walked with " +
+            " ".join(f"word{i}" for i in range(50)))
+    rows = [
+        (1, good),
+        (2, "too short to pass the word count"),   # fails gopher
+        # function words + length pass gopher; the repeated 2-gram
+        # dominates the character mass -> fails repetition
+        (3, "the dog and " + ("spam ham " * 60).strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in pretrain_filter(df, "text", min_words=20).collect()}
+    assert out[1]["keep"] and out[1]["reason"] is None
+    assert not out[2]["keep"] and out[2]["reason"] == "gopher"
+    assert not out[3]["keep"] and out[3]["reason"] == "repetition"
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown"):
+        pretrain_filter(df, "text", stages=("nope",))
+
+
 def test_gopher_rules_per_rule(spark):
     """Each Gopher rule trips on a doc constructed to violate exactly
     it (all integer cross-multiplications — no float ratios)."""
