@@ -484,6 +484,15 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
     are shared), while spans shorter than k are never touched — the
     paper's suffix-array criterion restated as a window census.
 
+    LOSSY NORMALIZATION (by design): tokenization collapses ALL
+    whitespace — newlines included — to single spaces, so every
+    surviving document comes back single-line with runs of blanks
+    squeezed, even documents that contained no duplicated span.
+    Run substring_dedup AFTER line-structured stages (line_dedup,
+    c4_rules, gopher page filters), never before them. Empty and
+    whitespace-only documents tokenize to zero tokens and report
+    ``n_tokens_kept = 0``.
+
     Plan shape at 100 TB (the line_dedup recipe one level down):
     tokenize once → k shifted array slices zip into per-position
     windows (O(k) array ops per DOC, the shingle_minhash trick, no
@@ -494,8 +503,11 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
     one combinable per-doc groupBy rebuilds the text. No windows
     (analytic), no driver collection, no all-pairs anything.
     """
-    toks = F.split(F.trim(F.regexp_replace(
-        F.col(text_col), r"\s+", " ")), " ")
+    # filter('' ...) drops the [''] that split() yields for empty /
+    # whitespace-only docs, so they count as 0 tokens, not 1
+    toks = F.filter(F.split(F.trim(F.regexp_replace(
+        F.col(text_col), r"\s+", " ")), " "),
+        lambda w: w != "")
     base = df.select(F.col(id_col), toks.alias("__t__"))
     n = F.size("__t__")
     n_win = n - F.lit(k - 1)

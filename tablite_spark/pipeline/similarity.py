@@ -501,10 +501,12 @@ def _pq_encoder_udf(codebooks: list):
 
 def pq_encode(df: DataFrame, id_col: str, vec_col: str,
               codebooks: list, out_col: str = "pq_code") -> DataFrame:
-    """(id, pq_code array<int>): per-subspace nearest-centroid codes —
-    no shuffle, scan-local."""
+    """(<id_col>, pq_code array<int>): per-subspace nearest-centroid
+    codes — no shuffle, scan-local. The id column keeps its caller
+    name so the output composes with the other similarity operators
+    keyed on ``id_col``."""
     enc = _pq_encoder_udf(codebooks)
-    return df.select(F.col(id_col).alias("nid"),
+    return df.select(F.col(id_col),
                      enc(_unit(F.col(vec_col))).alias(out_col))
 
 
@@ -539,7 +541,8 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
 
     books = pq_train(corpus, id_col, vec_col, m=m, n_codes=n_codes,
                      seed=seed)
-    codes = pq_encode(corpus, id_col, vec_col, books)
+    codes = (pq_encode(corpus, id_col, vec_col, books)
+             .withColumnRenamed(id_col, "nid"))
     qrows = (queries.select(F.col(id_col).alias("qid"),
                             _unit(F.col(vec_col)).alias("qv"))
              .collect())

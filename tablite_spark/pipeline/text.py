@@ -776,10 +776,11 @@ def perplexity_score(df: DataFrame, text_col: str,
     a measured row count: a CJK corpus has a ~20k-char alphabet whose
     char-trigram census can exceed 10^8 rows, and broadcasting that
     would OOM the driver and every executor. Above
-    ``broadcast_max_rows`` the hint is dropped and the gram join
-    runs as a shuffle join (the prefix table, |alphabet|^2, is still
-    broadcast — it cannot exceed ~4·10^8 even for CJK and is usually
-    tiny; it shares the gate for safety). Self-trains on ``df`` when
+    ``broadcast_max_rows`` the hint is dropped for BOTH the gram and
+    the prefix joins, and both run as shuffle joins (the prefix
+    table, |alphabet|^2, is usually far smaller, but it shares the
+    gate for safety rather than keeping its own). Self-trains on
+    ``df`` when
     ``model`` is None; pass a ``char_ngram_model`` of a clean sample
     for the real CCNet recipe. Unseen grams/prefixes degrade smoothly
     via the same add-alpha formula."""

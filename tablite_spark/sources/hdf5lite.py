@@ -17,13 +17,26 @@ reference's column-per-dataset layout needs
 The reader additionally tolerates object-header continuation blocks
 and skips unknown messages, and since round 5 handles the storage
 layouts h5py actually emits for real files: compact (inline) data,
-CHUNKED layout via the v1 raw-data-chunk B-tree, and the builtin
+CHUNKED layout via the v1 raw-data-chunk B-tree, the builtin
 filter pipeline — deflate (zlib), shuffle, fletcher32 (checksum
-stripped, not verified).  The writer can emit chunked/deflated
-datasets too (``chunk_rows=`` / ``compress=``).  Still out of scope
-(``NotImplementedError``): vlen strings, nested groups, attributes,
+stripped, not verified) — and, since round 6, VARIABLE-LENGTH
+strings (datatype class 9 resolved through GCOL global-heap
+collections — h5py's default layout for Python ``str`` datasets).
+The writer can emit chunked/deflated datasets too (``chunk_rows=`` /
+``compress=``).  Still out of scope (``NotImplementedError``):
+vlen WRITE, vlen sequences (non-string), nested groups, attributes,
 big-endian payloads, v2+ B-trees — at scale the path is convert-once
 to parquet, exactly like the reference's ``.tpz``.
+
+INTEROP CAVEAT: h5py is absent from this container, so files this
+writer produces (including the chunked/deflated variant, whose
+rightmost B-tree key encodes (nchunks*chunk_rows, itemsize) offsets)
+are proven readable only by this module's own reader plus the
+committed byte fixtures; ``tests/test_io.py`` carries h5py-gated
+(skipif) cross-reader/cross-writer tests so interop is exercised
+automatically wherever h5py IS available. The vlen READ path is
+additionally pinned against a committed fixture whose bytes follow
+the published spec layout h5py emits.
 
 Like ``png.py`` / ``jpeg.py`` / ``xlsx.py`` / ``ods.py`` this is an
 original from-spec implementation: the reference has no HDF5 codec of
@@ -137,13 +150,19 @@ def _coerce(values) -> np.ndarray:
 
 def write(path: str, columns: dict, *,
           chunk_rows: int | None = None,
-          compress: bool | int = False) -> None:
+          compress: bool | int = False,
+          vlen_strings: bool = False) -> None:
     """Write ``{name: 1-D array-like}`` as a classic-format HDF5 file
     with one root-level dataset per column — contiguous by default,
     chunked when ``chunk_rows`` is set or ``compress`` is truthy
     (deflate level 4, or the given int level). Chunked datasets use a
     single-leaf v1 chunk B-tree, so ``chunk_rows`` is raised if
-    needed to keep a dataset at ≤ 32 chunks."""
+    needed to keep a dataset at ≤ 32 chunks. With
+    ``vlen_strings=True`` string columns are stored as
+    variable-length strings through a GCOL global-heap collection —
+    the layout h5py emits for Python ``str`` datasets — instead of
+    fixed-length ``S{width}``; vlen datasets are always contiguous
+    (the chunking/compress options apply to the other columns)."""
     if len(columns) > 2 * _LEAF_K:
         raise NotImplementedError(
             f"hdf5lite caps at {2 * _LEAF_K} columns per file")
@@ -179,6 +198,49 @@ def write(path: str, columns: dict, *,
     header_addr = {}
     for n in names:
         arr = arrays[n]
+        if vlen_strings and arr.dtype.kind == "S":
+            # variable-length string dataset: payloads go to one GCOL
+            # global-heap collection (object header: index u2,
+            # refcount u2, reserved u4, size u8, data padded to 8;
+            # index 0 = trailing free space); the dataset's raw data
+            # is a 16-byte (length u4, collection address u8, object
+            # index u4) reference per element. NOTE: numpy S-arrays
+            # strip trailing NULs, so values genuinely ending in
+            # \\x00 lose them — same caveat as the fixed-length path.
+            # the heap object index is u2, so one collection holds at
+            # most 65535 objects — split into multiple GCOLs (h5py
+            # does the same, just with 4 KiB collections)
+            vals = arr.tolist()
+            refs: list[tuple[int, int, int]] = []  # (len, addr, idx)
+
+            def flush_gcol(batch: list) -> None:
+                gc = bytearray(b"GCOL" + struct.pack("<B3xQ", 1, 0))
+                for i, s in enumerate(batch, start=1):
+                    gc += struct.pack("<HHIQ", i, 1, 0, len(s))
+                    gc += s + b"\x00" * (_pad8(len(s)) - len(s))
+                gc += struct.pack("<HHIQ", 0, 0, 0, 0)
+                struct.pack_into("<Q", gc, 8, len(gc))
+                gcol_addr = alloc(bytes(gc))
+                refs.extend((len(s), gcol_addr, i)
+                            for i, s in enumerate(batch, start=1))
+
+            for start in range(0, len(vals), 65535):
+                flush_gcol(vals[start: start + 65535])
+            raw = b"".join(struct.pack("<IQI", ln, gaddr, i)
+                           for ln, gaddr, i in refs)
+            # class 9 vlen v1: type=string (bits 0-3), charset UTF-8
+            # (bits 8-11), element size 16; base type = 1-byte string
+            dt_body = (struct.pack("<B3BI", 0x19, 0x01, 0x01, 0, 16)
+                       + struct.pack("<B3BI", 0x13, 0x00, 0, 0, 1))
+            hdr = _object_header(len(arr), dt_body, 0, len(raw))
+            addr = len(out)
+            data_addr = addr + _pad8(len(hdr))
+            hdr = _object_header(len(arr), dt_body, data_addr, len(raw))
+            alloc(hdr)
+            assert len(out) == data_addr
+            alloc(raw)
+            header_addr[n] = addr
+            continue
         dt_body, itemsize = _dt_message(arr)
         payload = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
         raw = payload.tobytes()
@@ -299,6 +361,19 @@ def _parse_datatype(body: bytes):
         return np.dtype(f"<f{size}")
     if cls == 3:
         return np.dtype(f"S{size}")
+    if cls == 9:
+        # variable-length (class 9): bits 0-3 give the vlen type
+        # (1 = string). The disk element is 16 bytes — 4-byte byte
+        # length + global heap ID (8-byte GCOL collection address +
+        # 4-byte object index); payloads live in global-heap
+        # collections. h5py writes Python ``str`` datasets this way
+        # by default, so this is the most common third-party layout.
+        if bits & 0x0F == 1:
+            return np.dtype([("len", "<u4"), ("addr", "<u8"),
+                             ("idx", "<u4")],
+                            metadata={"vlen_str": True})
+        raise NotImplementedError(
+            "variable-length sequences (non-string) not supported")
     raise NotImplementedError(f"datatype class {cls} not supported")
 
 
@@ -381,6 +456,48 @@ def _defilter(raw: bytes, filters: list, mask: int,
     return raw
 
 
+def _gheap_objects(buf: memoryview, addr: int, cache: dict) -> dict:
+    """Parse one GCOL global-heap collection → {object index: bytes}.
+    Header: signature, version, 8-byte collection size; objects are
+    (index u2, refcount u2, reserved u4, size u8, data padded to 8);
+    object index 0 describes the trailing free space and terminates
+    the scan."""
+    objs = cache.get(addr)
+    if objs is not None:
+        return objs
+    if bytes(buf[addr: addr + 4]) != b"GCOL":
+        raise ValueError("bad global heap signature")
+    (csize,) = struct.unpack_from("<Q", buf, addr + 8)
+    end = addr + csize
+    pos = addr + 16
+    objs = {}
+    while pos + 16 <= end:
+        (idx,) = struct.unpack_from("<H", buf, pos)
+        (osize,) = struct.unpack_from("<Q", buf, pos + 8)
+        if idx == 0:
+            break
+        objs[idx] = bytes(buf[pos + 16: pos + 16 + osize])
+        pos += 16 + _pad8(osize)
+    cache[addr] = objs
+    return objs
+
+
+def _resolve_vlen(buf: memoryview, recs: np.ndarray) -> np.ndarray:
+    """(len, GCOL address, object index) records → object array of
+    bytes (collections parsed once, cached). Null/zero references
+    (never-written elements) resolve to b''."""
+    cache: dict = {}
+    out = np.empty(len(recs), dtype=object)
+    for i in range(len(recs)):
+        ln, gaddr, idx = recs[i]
+        if gaddr in (0, UNDEF) or idx == 0:
+            out[i] = b""
+        else:
+            out[i] = _gheap_objects(buf, int(gaddr),
+                                    cache)[int(idx)][:int(ln)]
+    return out
+
+
 def _read_dataset(buf: memoryview, addr: int) -> np.ndarray:
     dims = dtype = contiguous = chunked = compact = None
     filters: list[tuple[int, int, tuple]] = []
@@ -424,31 +541,34 @@ def _read_dataset(buf: memoryview, addr: int) -> np.ndarray:
         raise NotImplementedError("only 1-D datasets supported")
     n = dims[0]
     if compact is not None:
-        return np.frombuffer(compact[:n * dtype.itemsize],
-                             dtype=dtype).copy()
-    if chunked is not None:
+        arr = np.frombuffer(compact[:n * dtype.itemsize],
+                            dtype=dtype).copy()
+    elif chunked is not None:
         bt_addr, cdims = chunked
         chunk_rows = cdims[0]
-        outarr = np.zeros(n, dtype=dtype)
-        if bt_addr == UNDEF:
-            return outarr
-        chunks: list[tuple[int, int, int, int]] = []
-        _walk_chunk_btree(buf, bt_addr, len(cdims), chunks)
-        for off0, nbytes, mask, caddr in chunks:
-            raw = _defilter(bytes(buf[caddr: caddr + nbytes]),
-                            filters, mask, dtype.itemsize)
-            take = min(chunk_rows, n - off0)
-            if take <= 0:
-                continue
-            arr = np.frombuffer(raw[:chunk_rows * dtype.itemsize],
-                                dtype=dtype)
-            outarr[off0: off0 + take] = arr[:take]
-        return outarr
-    data_addr, data_size = contiguous
-    if data_addr == UNDEF:
-        return np.zeros(n, dtype=dtype)
-    raw = bytes(buf[data_addr: data_addr + n * dtype.itemsize])
-    return np.frombuffer(raw, dtype=dtype).copy()
+        arr = np.zeros(n, dtype=dtype)
+        if bt_addr != UNDEF:
+            chunks: list[tuple[int, int, int, int]] = []
+            _walk_chunk_btree(buf, bt_addr, len(cdims), chunks)
+            for off0, nbytes, mask, caddr in chunks:
+                raw = _defilter(bytes(buf[caddr: caddr + nbytes]),
+                                filters, mask, dtype.itemsize)
+                take = min(chunk_rows, n - off0)
+                if take <= 0:
+                    continue
+                carr = np.frombuffer(raw[:chunk_rows * dtype.itemsize],
+                                     dtype=dtype)
+                arr[off0: off0 + take] = carr[:take]
+    else:
+        data_addr, data_size = contiguous
+        if data_addr == UNDEF:
+            arr = np.zeros(n, dtype=dtype)
+        else:
+            raw = bytes(buf[data_addr: data_addr + n * dtype.itemsize])
+            arr = np.frombuffer(raw, dtype=dtype).copy()
+    if dtype.metadata and dtype.metadata.get("vlen_str"):
+        return _resolve_vlen(buf, arr)
+    return arr
 
 
 def _heap_name(buf: memoryview, heap_hdr: int, offset: int) -> str:

@@ -304,22 +304,26 @@ def read_hdf5(spark: SparkSession, path: str,
 
 def to_hdf5(df: DataFrame, path: str, *,
             chunk_rows: int | None = None,
-            compress: bool | int = False) -> None:
+            compress: bool | int = False,
+            vlen_strings: bool = False) -> None:
     """Reference hdf5 export (tablite/export_utils.py:63-105): one
     dataset per column; values h5py can't store natively are
     stringified, like the reference's TypeError fallback. Uses h5py
     when installed; otherwise the stdlib ``hdf5lite`` codec. Datasets
     are contiguous by default; ``chunk_rows``/``compress`` switch to
-    chunked (deflated) storage on either backend. Collects to the
-    driver — hdf5 has no distributed writer; at scale export parquet
-    instead."""
+    chunked (deflated) storage on either backend.
+    ``vlen_strings=True`` stores string columns variable-length
+    (h5py's native default for str data; opt-in GCOL layout on the
+    stdlib codec). Collects to the driver — hdf5 has no distributed
+    writer; at scale export parquet instead."""
     pdf = df.toPandas()
     try:
         import h5py
     except ImportError:
         from tablite_spark.sources import hdf5lite
         hdf5lite.write(path, {n: pdf[n].to_numpy() for n in pdf.columns},
-                       chunk_rows=chunk_rows, compress=compress)
+                       chunk_rows=chunk_rows, compress=compress,
+                       vlen_strings=vlen_strings)
         return
     kw = {}
     if chunk_rows is not None:
