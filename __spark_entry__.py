@@ -1564,10 +1564,10 @@ def simhash_near_dup_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (seeded k-means inverted lists + n_probe cell scoring),
-    oracled via its deterministic recall floor: with fixed seeds the
-    approx result is a fixed set, so per-query overlap with the exact
-    brute-force top-k is a constant the oracle can assert."""
+    """IVF ANN (seeded k-means inverted lists + n_probe cell
+    scoring). With fixed seeds the approx result is a fixed set; the
+    oracle pins those ids and DuckDB recomputes the exact top-5 and
+    the overlap itself (_ann_overlap_oracle)."""
     from tablite_spark.pipeline.similarity import (
         brute_force_topk, ivf_topk, topk_recall,
     )
@@ -1580,16 +1580,20 @@ def ivf_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     rec = topk_recall(approx, exact)
     return (q.select(F.col("vec_id").alias("qid"))
             .join(rec, "qid", "left")
-            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+            .select("qid",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) >= 3)
                     .alias("recall_ok")))
 
 
 def pq_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (similarity.pq_topk — Jégou et al.
-    2011 codebooks + ADC lookup-table scoring + exact refine),
-    oracled via its deterministic recall floor like the IVF/LSH
-    twins: seeded sample-trained codebooks make the approx set a
-    fixed function of the data."""
+    2011 codebooks + ADC lookup-table scoring + exact refine).
+    Seeded sample-trained codebooks make the approx set a fixed
+    function of the data; the oracle pins those ids and DuckDB
+    recomputes the exact top-5 and the overlap itself
+    (_ann_overlap_oracle)."""
     from tablite_spark.pipeline.similarity import (
         brute_force_topk, pq_topk, topk_recall,
     )
@@ -1602,15 +1606,19 @@ def pq_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     rec = topk_recall(approx, exact)
     return (q.select(F.col("vec_id").alias("qid"))
             .join(rec, "qid", "left")
-            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+            .select("qid",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) >= 3)
                     .alias("recall_ok")))
 
 
 def ivfpq_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """FAISS-style IVF-PQ (similarity.ivfpq_topk — coarse-cell
-    pruning + ADC codes + exact refine), recall-floor oracled like
-    the IVF/LSH/PQ siblings (all seeds fixed → deterministic approx
-    set)."""
+    pruning + ADC codes + exact refine). All seeds fixed →
+    deterministic approx set; the oracle pins those ids and DuckDB
+    recomputes the exact top-5 and the overlap itself
+    (_ann_overlap_oracle)."""
     from tablite_spark.pipeline.similarity import (
         brute_force_topk, ivfpq_topk, topk_recall,
     )
@@ -1624,14 +1632,18 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     rec = topk_recall(approx, exact)
     return (q.select(F.col("vec_id").alias("qid"))
             .join(rec, "qid", "left")
-            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+            .select("qid",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) >= 3)
                     .alias("recall_ok")))
 
 
 def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-k, oracled via its
-    deterministic recall floor (seeded planes → fixed approx set →
-    fixed overlap with the exact top-k)."""
+    """Random-hyperplane LSH approximate top-k. Seeded planes make
+    the approx set a fixed function of the data; the oracle pins
+    those ids and DuckDB independently recomputes the exact top-5
+    and the overlap count (_ann_overlap_oracle)."""
     from tablite_spark.pipeline.similarity import (
         brute_force_topk, lsh_topk, topk_recall,
     )
@@ -1645,7 +1657,10 @@ def lsh_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     rec = topk_recall(approx, exact)
     return (q.select(F.col("vec_id").alias("qid"))
             .join(rec, "qid", "left")
-            .select("qid", (F.coalesce("n_overlap", F.lit(0)) >= 3)
+            .select("qid",
+                    F.coalesce("n_overlap", F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    (F.coalesce("n_overlap", F.lit(0)) >= 3)
                     .alias("recall_ok")))
 
 
@@ -2403,6 +2418,43 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "near_dup_embeddings": near_dup_embeddings,
     }
+
+
+def _ann_overlap_oracle(pairs: str) -> str:
+    """Independent oracle for the four approximate-NN queries (round
+    6, VERDICT r5 item 2): the engine's approximate neighbor ids are
+    a deterministic function of the sf0.01 embeddings table (seeded
+    hyperplanes / k-means / PQ codebooks — verified stable across
+    partition counts and thread counts), so they are PINNED here as
+    literals and DuckDB recomputes the exact cosine top-5 AND the
+    overlap count itself. A bug that degraded both the engine's
+    brute-force and its recall join identically would previously
+    have passed the old ``SELECT TRUE`` form; it now fails because
+    the exact side is DuckDB's own. The pinned ids apply at sf0.01,
+    the driver's correctness scale."""
+    return f"""
+        WITH approx(qid, nid) AS (VALUES {pairs}),
+             q AS (SELECT vec_id AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 3),
+             scored AS (
+                 SELECT q.qid, e.vec_id AS nid,
+                        ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                            list_dot_product(q.qv, e.embedding)
+                            / (SQRT(list_dot_product(q.qv, q.qv))
+                               * SQRT(list_dot_product(e.embedding,
+                                                       e.embedding))) DESC,
+                            e.vec_id ASC) AS rn
+                 FROM q CROSS JOIN embeddings e
+                 WHERE e.vec_id <> q.qid),
+             exact AS (SELECT qid, nid FROM scored WHERE rn <= 5)
+        SELECT q.qid,
+               CAST(COUNT(e.nid) AS BIGINT) AS n_overlap,
+               COUNT(e.nid) >= 3 AS recall_ok
+        FROM q
+        LEFT JOIN approx a ON a.qid = q.qid
+        LEFT JOIN exact e ON e.qid = a.qid AND e.nid = a.nid
+        GROUP BY q.qid
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3842,23 +3894,26 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         # ANN oracles assert the deterministic recall floor: with
         # seeded hyperplanes / seeded k-means the approximate top-k is
-        # a fixed set, so overlap-with-exact >= floor is a constant.
-        "lsh_topk_embeddings": """
-            SELECT vec_id AS qid, TRUE AS recall_ok
-            FROM embeddings WHERE vec_id < 3
-        """,
-        "ivf_topk_embeddings": """
-            SELECT vec_id AS qid, TRUE AS recall_ok
-            FROM embeddings WHERE vec_id < 3
-        """,
-        "pq_topk_embeddings": """
-            SELECT vec_id AS qid, TRUE AS recall_ok
-            FROM embeddings WHERE vec_id < 3
-        """,
-        "ivfpq_topk_embeddings": """
-            SELECT vec_id AS qid, TRUE AS recall_ok
-            FROM embeddings WHERE vec_id < 3
-        """,
+        # a fixed set; since round 6 the oracle is INDEPENDENT — the
+        # engine's approx ids are pinned as literals and DuckDB
+        # recomputes the exact top-5 and the overlap itself (see
+        # _ann_overlap_oracle).
+        "lsh_topk_embeddings": _ann_overlap_oracle(
+            "(0,73),(0,334),(0,365),(0,387),(0,423),"
+            "(1,27),(1,64),(1,195),(1,386),(1,407),"
+            "(2,112),(2,117),(2,145),(2,320),(2,418)"),
+        "ivf_topk_embeddings": _ann_overlap_oracle(
+            "(0,7),(0,73),(0,334),(0,365),(0,423),"
+            "(1,27),(1,64),(1,124),(1,386),(1,407),"
+            "(2,117),(2,145),(2,188),(2,320),(2,450)"),
+        "pq_topk_embeddings": _ann_overlap_oracle(
+            "(0,73),(0,334),(0,365),(0,387),(0,423),"
+            "(1,27),(1,64),(1,124),(1,386),(1,407),"
+            "(2,112),(2,117),(2,145),(2,188),(2,450)"),
+        "ivfpq_topk_embeddings": _ann_overlap_oracle(
+            "(0,73),(0,320),(0,365),(0,387),(0,423),"
+            "(1,64),(1,195),(1,386),(1,402),(1,407),"
+            "(2,112),(2,117),(2,145),(2,188),(2,450)"),
         "holdout_split_orders": """
             WITH u AS (
                 SELECT o_orderkey,

@@ -53,6 +53,14 @@ BENCH_QUERIES = [
     "perplexity_docs",
     "line_dedup_docs",
     "semantic_dedup_embeddings",
+    # round-5 operators, benched from round 6 (excluded from
+    # r2_comparable_total): the newest, least-burned-in code gets a
+    # tracked cost so regressions are visible
+    "substring_dedup_docs",
+    "gopher_quality_docs",
+    "pretrain_filter_docs",
+    "pq_topk_embeddings",
+    "ivfpq_topk_embeddings",
 ]
 
 
@@ -83,15 +91,97 @@ def _semantic_dedup_real(spark, sf_dir: str):
     return semantic_dedup(e, "vec_id", "embedding", n_lists=16)
 
 
+def _substring_dedup_real(spark, sf_dir: str):
+    """Bench twin on the REAL documents table (the queries() entry
+    runs on the constructed carrier-token fixture for exact
+    oracling); k=20 is the operator default / paper shape."""
+    from tablite_spark.pipeline.dedup import substring_dedup
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dedup(d, "text", "doc_id", k=20) \
+        .select("doc_id", "n_tokens_kept")
+
+
+def _gopher_quality_real(spark, sf_dir: str):
+    """Bench twin on the REAL documents table (queries() entry uses
+    the integer-arithmetic fixture for bit-exact oracling)."""
+    from tablite_spark.pipeline.text import gopher_rules
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(d, "text", "doc_id")
+
+
+def _pretrain_filter_real(spark, sf_dir: str):
+    """Bench twin: the full composed gate on the REAL documents."""
+    from tablite_spark.pipeline.text import pretrain_filter
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pretrain_filter(d, "text", "doc_id")
+
+
+def _pq_topk_real(spark, sf_dir: str):
+    """Bench twin: PQ ANN over the REAL embeddings (8 queries,
+    k=10, ADC + exact refine — the queries() entry is a 3-query
+    recall check)."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.similarity import pq_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    return pq_topk(e, q, k=10, id_col="vec_id", vec_col="embedding",
+                   m=8, n_codes=256, refine=4)
+
+
+def _ivfpq_topk_real(spark, sf_dir: str):
+    """Bench twin: IVF-PQ ANN (coarse-cell pruning over ADC codes)
+    on the REAL embeddings."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.similarity import ivfpq_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 8)
+    return ivfpq_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
+
+
 BENCH_OVERRIDES = {
     "minhash_dedup_docs": _minhash_dedup_docs_real,
     "line_dedup_docs": _line_dedup_docs_real,
     "semantic_dedup_embeddings": _semantic_dedup_real,
+    "substring_dedup_docs": _substring_dedup_real,
+    "gopher_quality_docs": _gopher_quality_real,
+    "pretrain_filter_docs": _pretrain_filter_real,
+    "pq_topk_embeddings": _pq_topk_real,
+    "ivfpq_topk_embeddings": _ivfpq_topk_real,
 }
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def min_of_2(name: str, fn, timings: dict, meta: dict,
+             rerun_below: float = 60.0) -> None:
+    """Record min-of-2 with per-run loadavg stamps for EVERY bench
+    entry (round-6 discipline, extending the r5 50M/json treatment
+    to the whole set): single-shot numbers on this host swing up to
+    ~3x under ambient contention (loadavg 7-24 observed on unchanged,
+    plan-gated code in r4/r5); the min is the least-contended
+    observation and the stamps make residual contention provable
+    instead of arguable. Raw runs + loadavgs land in the top-level
+    ``bench_meta`` key — ``queries`` stays {name: sec}.
+
+    Wall-time guard: if the first run already exceeds
+    ``rerun_below`` seconds the host is badly contended (or the
+    entry is genuinely huge) and a second run would risk the
+    driver's overall bench timeout — keep the single stamped
+    observation."""
+    runs, loads = [], []
+    for _ in range(2):
+        loads.append(round(os.getloadavg()[0], 2))
+        t0 = time.perf_counter()
+        fn()
+        runs.append(round(time.perf_counter() - t0, 3))
+        if runs[0] >= rerun_below:
+            break
+    timings[name] = min(runs)
+    meta[name] = {"runs": runs, "loadavg": loads}
 
 
 def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
@@ -105,36 +195,36 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n = li.count()
+    meta = rows_out.setdefault("bench_meta", {})
     tmp = tempfile.mkdtemp(prefix="bench_io_")
     try:
-        t0 = time.perf_counter()
-        li.write.mode("overwrite").parquet(f"{tmp}/li.parquet")
-        timings["io_parquet_write"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        spark.read.parquet(f"{tmp}/li.parquet").write.format("noop") \
-            .mode("overwrite").save()
-        timings["io_parquet_read"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        li.write.mode("overwrite").option("header", True).csv(f"{tmp}/li.csv")
-        timings["io_csv_write"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        spark.read.option("header", True).option("inferSchema", True) \
-            .csv(f"{tmp}/li.csv").write.format("noop").mode("overwrite").save()
-        timings["io_csv_read_inferschema"] = round(time.perf_counter() - t0, 3)
-
-        t0 = time.perf_counter()
-        li.write.mode("overwrite").json(f"{tmp}/li.json")
-        timings["io_json_write"] = round(time.perf_counter() - t0, 3)
+        min_of_2("io_parquet_write",
+                 lambda: li.write.mode("overwrite")
+                 .parquet(f"{tmp}/li.parquet"), timings, meta)
+        min_of_2("io_parquet_read",
+                 lambda: spark.read.parquet(f"{tmp}/li.parquet")
+                 .write.format("noop").mode("overwrite").save(),
+                 timings, meta)
+        min_of_2("io_csv_write",
+                 lambda: li.write.mode("overwrite")
+                 .option("header", True).csv(f"{tmp}/li.csv"),
+                 timings, meta)
+        min_of_2("io_csv_read_inferschema",
+                 lambda: spark.read.option("header", True)
+                 .option("inferSchema", True).csv(f"{tmp}/li.csv")
+                 .write.format("noop").mode("overwrite").save(),
+                 timings, meta)
+        min_of_2("io_json_write",
+                 lambda: li.write.mode("overwrite")
+                 .json(f"{tmp}/li.json"), timings, meta)
 
         # explicit schema: the reference's from_json also knows its
         # columns — without it Spark pays a full inference pre-pass
-        t0 = time.perf_counter()
-        spark.read.json(f"{tmp}/li.json", schema=li.schema) \
-            .write.format("noop").mode("overwrite").save()
-        timings["io_json_read"] = round(time.perf_counter() - t0, 3)
+        min_of_2("io_json_read",
+                 lambda: spark.read.json(f"{tmp}/li.json",
+                                         schema=li.schema)
+                 .write.format("noop").mode("overwrite").save(),
+                 timings, meta)
 
         rows_out["io_rows"] = n
 
@@ -145,22 +235,23 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         from tablite_spark.datasets import synthetic_order_data
         synth = synthetic_order_data(spark, 1_000_000).persist()
         synth.count()
-        t0 = time.perf_counter()
-        synth.write.mode("overwrite").parquet(f"{tmp}/synth.parquet")
-        timings["synth_order_1m_save"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        spark.read.parquet(f"{tmp}/synth.parquet").write.format("noop") \
-            .mode("overwrite").save()
-        timings["synth_order_1m_load"] = round(time.perf_counter() - t0, 3)
+        min_of_2("synth_order_1m_save",
+                 lambda: synth.write.mode("overwrite")
+                 .parquet(f"{tmp}/synth.parquet"), timings, meta)
+        min_of_2("synth_order_1m_load",
+                 lambda: spark.read.parquet(f"{tmp}/synth.parquet")
+                 .write.format("noop").mode("overwrite").save(),
+                 timings, meta)
 
         # matched-shape JSON read: BASELINE.md's ~2.3M rows/s is a 1M-row
         # in-memory decode; measure OUR 1M-row JSON-lines scan with an
         # explicit schema so the ratio is apples-to-apples on row count.
         synth.write.mode("overwrite").json(f"{tmp}/synth.json")
-        t0 = time.perf_counter()
-        spark.read.json(f"{tmp}/synth.json", schema=synth.schema) \
-            .write.format("noop").mode("overwrite").save()
-        timings["synth_json_1m_read"] = round(time.perf_counter() - t0, 3)
+        min_of_2("synth_json_1m_read",
+                 lambda: spark.read.json(f"{tmp}/synth.json",
+                                         schema=synth.schema)
+                 .write.format("noop").mode("overwrite").save(),
+                 timings, meta)
 
         # the TRUE format twin of the reference's from_json (an
         # in-memory column-major dict decode, BASELINE.md ~2.3M rows/s):
@@ -200,15 +291,19 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         # highly sensitive to host contention (observed 0.85-5.2 s for
         # the same work); min-of-2 is the least-contended observation
         best, best_stages = None, {}
+        runs, loads = [], []
         for _ in range(2):
             stages = {}
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             read_json_columnar(spark, payload, _stages=stages) \
                 .write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
+            runs.append(round(dt, 3))
             if best is None or dt < best:
                 best, best_stages = dt, stages
         timings["json_columnar_1m_read"] = round(best, 3)
+        meta["json_columnar_1m_read"] = {"runs": runs, "loadavg": loads}
         for k, v in best_stages.items():
             timings[f"json_columnar_1m_{k}"] = round(v, 3)
         rows_out["synth_rows"] = 1_000_000
@@ -223,50 +318,29 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         # indexes prune to O(hits) IO.
         from tablite_spark.operators.sorting import slice_rows, with_row_index
 
-        # Every 50M entry is min-of-2 with per-run loadavg stamps: the
-        # r4 driver record showed these single-shot timings swinging
-        # 1.8-3.8x on UNCHANGED, plan-gated code (host load-average ~7
-        # observed in PLANS.md); min-of-2 takes the least-contended
-        # observation and the stamps make residual contention provable
-        # instead of arguable. Raw runs + loadavgs land in the
-        # top-level `bench_meta` key — `queries` stays {name: sec}.
-        meta = rows_out.setdefault("bench_meta", {})
-
-        # wall-time guard: if the first run is already very slow the
-        # host is badly contended and a second run would both waste
-        # minutes and risk the driver's overall bench timeout — keep
-        # the single (stamped) observation instead.
-        def min_of_2(name: str, fn, rerun_below: float = 90.0) -> None:
-            runs, loads = [], []
-            for _ in range(2):
-                loads.append(round(os.getloadavg()[0], 2))
-                t0 = time.perf_counter()
-                fn()
-                runs.append(round(time.perf_counter() - t0, 3))
-                if runs[0] >= rerun_below:
-                    break
-            timings[name] = min(runs)
-            meta[name] = {"runs": runs, "loadavg": loads}
-
         def _save():
             with_row_index(synthetic_order_data(spark, 50_000_000)) \
                 .write.mode("overwrite") \
                 .option("parquet.block.size", 16 * 1024 * 1024) \
                 .parquet(f"{tmp}/s50m.parquet")
-        min_of_2("synth_order_50m_save", _save)
+        min_of_2("synth_order_50m_save", _save, timings, meta,
+                 rerun_below=90.0)
         big = spark.read.parquet(f"{tmp}/s50m.parquet")
         min_of_2("synth_order_50m_load",
-                 lambda: big.write.format("noop").mode("overwrite").save())
+                 lambda: big.write.format("noop").mode("overwrite").save(),
+                 timings, meta, rerun_below=90.0)
         min_of_2("slice_step_50m_indexed",
                  lambda: slice_rows(big, None, None, 2_500_000,
                                     index_col="__row_id__")
-                 .write.format("noop").mode("overwrite").save())
+                 .write.format("noop").mode("overwrite").save(),
+                 timings, meta, rerun_below=90.0)
         # the no-index path (rank + filter) at the same scale, for the
         # honest O(n)-scan comparison
         min_of_2("slice_step_50m_scan",
                  lambda: slice_rows(big.drop("__row_id__"),
                                     None, None, 2_500_000)
-                 .write.format("noop").mode("overwrite").save())
+                 .write.format("noop").mode("overwrite").save(),
+                 timings, meta, rerun_below=90.0)
         rows_out["matched_scale_rows"] = 50_000_000
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -287,23 +361,30 @@ def main() -> None:
           .mapInPandas(lambda it: it, "id long"))
 
     timings: dict[str, float] = {}
-    t_total0 = time.perf_counter()
+    extra: dict = {}
+    meta = extra.setdefault("bench_meta", {})
     for name in BENCH_QUERIES:
         fn = BENCH_OVERRIDES.get(name) or qs[name]
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-    total = round(time.perf_counter() - t_total0, 3)
-    # the round-3 additions inflate the headline total; publish the
+        min_of_2(name, lambda fn=fn: force(fn(spark, sf_dir)),
+                 timings, meta, rerun_below=30.0)
+    # `value` = sum of the recorded (min) per-query timings — the
+    # min-of-2 analogue of the old single-shot loop wall time, so
+    # cross-round totals stay comparable in meaning (steady-state
+    # per-query cost) while shedding contention noise
+    total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
+    # additions after round 2 inflate the headline total; publish the
     # subtotal over the round-2 query list so the trend stays readable
     new_in_r3 = {"dedup_clusters", "chunk_docs", "contamination_docs",
                  "pack_chunks_docs"}
     new_in_r4 = {"perplexity_docs", "line_dedup_docs",
                  "semantic_dedup_embeddings"}
+    new_in_r6 = {"substring_dedup_docs", "gopher_quality_docs",
+                 "pretrain_filter_docs", "pq_topk_embeddings",
+                 "ivfpq_topk_embeddings"}
     r2_basis = round(sum(v for k, v in timings.items()
-                         if k not in new_in_r3 | new_in_r4), 3)
+                         if k not in new_in_r3 | new_in_r4 | new_in_r6),
+                     3)
 
-    extra: dict[str, int] = {}
     io_benchmarks(spark, sf_dir, timings, extra)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -311,6 +392,7 @@ def main() -> None:
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
+        "timing_mode": "min_of_2_per_query",
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "queries": timings,
         "r2_comparable_total": r2_basis,
