@@ -2205,55 +2205,102 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def hdf5_vlen_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Variable-length-string HDF5 roundtrip (round 6): nation's
+    string columns written VLEN (datatype class 9 via GCOL
+    global-heap collections — h5py's default layout for str data,
+    sources/hdf5lite.py) through to_hdf5(vlen_strings=True), read
+    back, aggregated — including a name-length sum so the vlen
+    payload bytes themselves are verified, not just the row count."""
+    import tempfile
+
+    from tablite_spark.sources.io import read_hdf5, to_hdf5
+    n = _t(spark, sf, "nation")
+    tmp = tempfile.mkdtemp(prefix="hdf5_vlen_")
+    path = f"{tmp}/nation.h5"
+    to_hdf5(n, path, vlen_strings=True)
+    back = read_hdf5(spark, path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").cast("long").alias("key_sum"),
+                 F.min("n_name").alias("first_name"),
+                 F.sum(F.length("n_name")).cast("long")
+                  .alias("name_chars")))
+
+
+def salted_join_equivalence(spark: SparkSession, sf: str) -> DataFrame:
+    """operators.skew.salted_join result-equivalence oracle (VERDICT
+    r5 item 4): a power-law fact (90% of lineitem rows share fk=1,
+    some fk NULL) left-joined to a dim with DUPLICATE keys — the
+    salted rewrite must reproduce DuckDB's plain left join row for
+    row, pinning exactly the subtle-rewrite hazards (null keys under
+    how='left', duplicate matches, hot-key fan-out/merge)."""
+    from tablite_spark.operators.skew import salted_join
+    li = _t(spark, sf, "lineitem")
+    fact = li.select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_orderkey") % 97 == 0,
+               F.lit(None).cast("long"))
+         .when(F.col("l_orderkey") % 10 < 9, F.lit(1).cast("long"))
+         .otherwise(F.col("l_suppkey").cast("long")).alias("fk"))
+    sup = _t(spark, sf, "supplier")
+    dim = (sup.filter(F.col("s_suppkey") < 100)
+           .unionAll(sup.filter(F.col("s_suppkey") < 5))
+           .select(F.col("s_suppkey").cast("long").alias("s_suppkey"),
+                   "s_name"))
+    out = salted_join(fact, dim, "fk", "s_suppkey", n_salts=8,
+                      how="left")
+    return out.select("l_orderkey", "l_linenumber", "fk", "s_name")
+
+
 # --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 
-# Round-5 verification window: the driver checks the FIRST 50 entries
-# of queries(). After round 4 every registered query's LATEST check is
-# green, so priority is pure staleness + change: (1) the 10 queries
-# whose latest green is still round 1, (2) all 30 round-2-latest
-# queries — together the 40 stalest, leaving no query older than two
-# rounds after this window runs, (3) queries whose implementation
-# changed THIS round (every r5-changed query — semantic_dedup,
-# perplexity, line_dedup — was re-verified locally against the oracle
-# in full sweeps and rotates behind the never-verified set). The ten
-# queries NEW in round 5 (chunked-hdf5 / xls-date roundtrips,
-# substring dedup, Gopher quality + repetition + dup-ngram coverage,
-# C4, PQ and IVF-PQ ANN, the composed pretrain_filter) go first.
-_R5_WINDOW = [
-    # --- new in round 5 (never verified)
-    "hdf5_chunked_roundtrip_agg", "xls_dates_roundtrip",
-    "substring_dedup_docs", "gopher_quality_docs",
-    "c4_clean_docs", "gopher_repetition_docs",
-    "gopher_dup_ngrams_docs", "pretrain_filter_docs",
-    "pq_topk_embeddings", "ivfpq_topk_embeddings",
-    # --- latest green = r1 (stalest)
-    "count_value", "date_range_expand", "index_rowids", "is_sorted",
-    "reindex_rows", "remove_all", "sort_alphanumeric",
-    "statistics_dates", "statistics_text", "unique_values",
-    # --- latest green = r2
-    "csv_roundtrip_agg", "dedup_exact", "diff_tables", "distinct_keys",
-    "doc_fingerprint", "drop_rows", "embedding_topk",
-    "groupby_accumulators", "histogram", "hopping_window",
-    "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
-    "media_features", "melt_long", "multimodal_decode",
-    "pandas_roundtrip_agg", "pivot_wide", "quality_score",
-    "repeat_table", "replace_values", "slice_step",
-    "statistics_summary", "text_stats", "tumbling_window",
-    "unique_first", "window_lag", "window_running_sum", "window_topn",
-    "xround_buckets",
-    # --- implementation changed in round 5
+# Round-6 verification window: the driver checks the FIRST 50 entries
+# of queries(). Every registered query's latest check is green after
+# r5, so priority is (1) the 2 queries NEW in round 6 (vlen-HDF5
+# roundtrip, salted-join equivalence), then (2) ALL 48 queries whose
+# latest green is round 3 — the entire stale tail, so after this
+# window runs no query's latest check is older than round 4 (the
+# rotation target VERDICT r5 item 3 set). Queries whose ORACLE got
+# strengthened this round without a Spark-side change (pq/ivfpq ANN —
+# now DuckDB-recomputed overlap, see _ann_overlap_oracle) were
+# re-verified locally via tools/check_oracle.py at sf0.01 and rotate
+# behind the stale set (they are r5-green, 1 round old at r6 close);
+# lsh/ivf ANN got the same oracle strengthening AND are in the stale
+# set, so the driver re-checks those two directly.
+_R6_WINDOW = [
+    # --- new in round 6 (never verified)
+    "hdf5_vlen_roundtrip", "salted_join_equivalence",
+    # --- latest green = r3 (the whole stale tail, 48 queries)
+    "asof_join_events", "chunk_docs", "column_select_fail",
+    "column_select_pass", "concat_tables", "construction_api_agg",
+    "contamination_docs", "corpus_manifest", "dedup_clusters",
+    "deterministic_sample_orders", "get_headers_nation",
+    "holdout_split_orders", "html_roundtrip_agg",
+    "incremental_dedup_docs", "interval_join_events",
+    "ivf_topk_embeddings", "join_anti", "join_cross", "join_inner",
+    "join_left", "join_nullsafe", "join_outer_merge_keys",
+    "join_semi", "lookup_first_match", "lsh_topk_embeddings",
+    "minhash_dedup_docs", "mixture_sample_docs", "normalize_docs",
+    "ods_roundtrip_agg", "pack_chunks_docs", "png_decode_dims",
+    "quota_cap_docs", "range_join_prices", "redact_pii_docs",
+    "rename_reorder_project", "repetition_docs", "sessionize_events",
+    "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
+    "sql_script_md5", "stack_tables", "stratified_sample_docs",
+    "table_equality_check", "unicode_sort_rank", "vocab_top_ngrams",
+    "wav_decode_meta", "weighted_sample_docs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R5_WINDOW`` puts the
-    stalest-green and changed-this-round queries first; everything
-    else keeps its registration order behind them."""
+    bounded per-round window (50/round). ``_R6_WINDOW`` puts the
+    never-verified and stalest-green queries first; everything else
+    keeps its registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R5_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R6_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 
@@ -2317,6 +2364,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdf5_roundtrip_agg": hdf5_roundtrip_agg,
         "xls_roundtrip_agg": xls_roundtrip_agg,
         "hdf5_chunked_roundtrip_agg": hdf5_chunked_roundtrip_agg,
+        # --- new in round 6
+        "hdf5_vlen_roundtrip": hdf5_vlen_roundtrip,
+        "salted_join_equivalence": salted_join_equivalence,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
@@ -3234,6 +3284,29 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(MIN(o_totalprice), 2) AS min_price,
                    ROUND(MAX(o_totalprice), 2) AS max_price
             FROM orders GROUP BY o_orderstatus
+        """,
+        "hdf5_vlen_roundtrip": """
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name,
+                   CAST(SUM(LENGTH(n_name)) AS BIGINT) AS name_chars
+            FROM nation GROUP BY n_regionkey
+        """,
+        "salted_join_equivalence": """
+            WITH fact AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                            WHEN l_orderkey % 10 < 9 THEN 1
+                            ELSE l_suppkey END AS fk
+                FROM lineitem),
+            dim AS (
+                SELECT s_suppkey, s_name FROM supplier
+                WHERE s_suppkey < 100
+                UNION ALL
+                SELECT s_suppkey, s_name FROM supplier
+                WHERE s_suppkey < 5)
+            SELECT f.l_orderkey, f.l_linenumber, f.fk, d.s_name
+            FROM fact f LEFT JOIN dim d ON f.fk = d.s_suppkey
         """,
         "xls_dates_roundtrip": """
             SELECT CAST(year(o_orderdate) AS INT) AS yr,
