@@ -21,14 +21,17 @@ The container has no tiktoken/tokenizers wheel, so exactness against
 a published vocab is exercised with vocabularies produced by
 ``train_bpe`` (the algorithm, not a fixture, is the contract). A real
 GPT-2-format vocab/merges pair loads unchanged (same file format),
-but segmentation is GPT-2-COMPATIBLE, not byte-identical: ``_PRETOK``
-approximates GPT-2's pre-tokenizer with stdlib ``re`` (no
-``\\p{L}``/``\\p{N}`` classes, no uppercase contraction forms), so
-token boundaries — and therefore counts fed to
-``token_budget_cap``/``pack_chunks`` — can diverge from
-tiktoken/HF on some inputs (non-Latin scripts, ``'S``-style
-contractions). Within a vocab produced by ``train_bpe`` the
-encode/decode round-trip is exact (fuzz-tested).
+and since round 6 segmentation is EXACT: ``_pretok()`` expands the
+published pattern's ``\\p{L}``/``\\p{N}`` classes from
+``unicodedata`` (stdlib ``re`` has none), so pre-token boundaries —
+and therefore counts fed to ``token_budget_cap``/``pack_chunks`` —
+are byte-identical to the published GPT-2 pre-tokenizer, including
+its quirks (lowercase-only contractions, combining marks splitting
+Indic clusters, 'No'-category characters like '²' tokenizing as
+numbers). Adversarial non-Latin/contraction fixtures + a
+full-Unicode-plane lossless fuzz pin this. Within a vocab produced
+by ``train_bpe`` the encode/decode round-trip is exact
+(fuzz-tested).
 
 No reference analogue: tablite has no tokenizer (this is part of the
 LLM-pipeline extension surface).
@@ -43,18 +46,62 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# simplified GPT-2 pre-tokenizer: contractions, letter runs, digit
-# runs, punctuation runs, whitespace (re has no \p{L}; \w-based
-# classes cover unicode letters). The punctuation class must include
-# "_" explicitly: it is \w but neither letter nor digit, so a bare
-# [^\s\w] branch would silently DROP underscores from the encoding
-# (GPT-2's own [^\s\p{L}\p{N}] keeps them).
-_PRETOK = re.compile(
-    r"'(?:[sdmt]|ll|ve|re)"
-    r"| ?[^\W\d_]+"
-    r"| ?\d+"
-    r"| ?(?:[^\s\w]|_)+"
-    r"|\s+(?!\S)|\s+")
+@lru_cache(maxsize=None)
+def _char_class(prefix: str) -> str:
+    """Regex character-class body matching every codepoint whose
+    Unicode general category starts with ``prefix`` ('L' → ``\\p{L}``,
+    'N' → ``\\p{N}``), generated from ``unicodedata`` as contiguous
+    ranges — stdlib ``re`` has no ``\\p{}`` classes, so this is how
+    the published pattern becomes expressible exactly."""
+    import sys
+    import unicodedata
+    ranges: list[tuple[int, int]] = []
+    start = prev = None
+    for cp in range(sys.maxunicode + 1):
+        if unicodedata.category(chr(cp)).startswith(prefix):
+            if start is None:
+                start = prev = cp
+            elif cp == prev + 1:
+                prev = cp
+            else:
+                ranges.append((start, prev))
+                start = prev = cp
+    ranges.append((start, prev))
+    return "".join(
+        re.escape(chr(a)) if a == b
+        else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
+        for a, b in ranges)
+
+
+@lru_cache(maxsize=1)
+def _pretok() -> re.Pattern:
+    """The EXACT published GPT-2 pre-tokenizer pattern
+    (``'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+|
+    ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+``) with the ``\\p{}``
+    classes expanded from ``unicodedata`` — upgraded in round 6 from
+    a ``\\w``-based approximation that mis-classed ``No``/``Nl``
+    characters ('²', '½', 'Ⅻ') as letters. Lowercase-only
+    contractions ARE the published behavior (the GPT-2 pattern is
+    case-sensitive; "CAN'T" splits as CAN / ' / T there too).
+    Combining marks (category M) fall to the punctuation branch —
+    also the published behavior for e.g. Devanagari. Compiled
+    lazily: the one-time Unicode table scan costs ~0.35 s per
+    interpreter, paid only when BPE is actually used."""
+    letters, numbers = _char_class("L"), _char_class("N")
+    return re.compile(
+        r"'(?:[sdmt]|ll|ve|re)"
+        rf"| ?[{letters}]+"
+        rf"| ?[{numbers}]+"
+        rf"| ?[^\s{letters}{numbers}]+"
+        r"|\s+(?!\S)|\s+")
+
+
+def __getattr__(name: str):
+    # keep `from bpe import _PRETOK` working without paying the
+    # Unicode scan at module import (PEP 562 lazy attribute)
+    if name == "_PRETOK":
+        return _pretok()
+    raise AttributeError(name)
 
 
 @lru_cache(maxsize=1)
@@ -134,7 +181,7 @@ class BPETokenizer:
     def encode(self, text: str) -> list[int]:
         ids = []
         unk = self.vocab.get("<unk>")
-        for m in _PRETOK.findall(text):
+        for m in _pretok().findall(text):
             mapped = "".join(self._b2u[b] for b in m.encode("utf-8"))
             for piece in self._bpe(mapped):
                 i = self.vocab.get(piece, unk)
@@ -163,7 +210,7 @@ def train_bpe(texts, vocab_size: int) -> tuple[dict[str, int],
     b2u = bytes_to_unicode()
     word_freq: dict[tuple[str, ...], int] = {}
     for text in texts:
-        for m in _PRETOK.findall(text):
+        for m in _pretok().findall(text):
             w = tuple(b2u[b] for b in m.encode("utf-8"))
             word_freq[w] = word_freq.get(w, 0) + 1
     vocab_toks = [b2u[b] for b in range(256)]

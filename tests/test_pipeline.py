@@ -1516,6 +1516,54 @@ def test_bpe_pretokenizer_is_lossless():
         assert tok.decode(tok.encode(s)) == s
 
 
+def test_bpe_pretokenizer_exact_gpt2_segmentation():
+    """The expanded-\\p{} pattern must reproduce the published GPT-2
+    pre-tokenizer byte-for-byte on its known quirk cases: No/Nl
+    characters are numbers (not letters), contractions are
+    lowercase-only, combining marks split Indic clusters, CJK rides
+    the letter branch, and leading-space attachment follows the
+    ' ?' prefixes."""
+    from tablite_spark.pipeline.bpe import _PRETOK
+
+    cases = {
+        "Hello world": ["Hello", " world"],
+        "can't": ["can", "'t"],
+        "CAN'T": ["CAN", "'", "T"],          # case-sensitive branch
+        "I'll we've": ["I", "'ll", " we", "'ve"],
+        "x²y": ["x", "²", "y"],              # No → number, not letter
+        "½cup": ["½", "cup"],
+        "xⅫ3": ["x", "Ⅻ3"],                 # Nl+Nd = one \p{N} run
+        "日本語123": ["日本語", "123"],
+        "देव": ["द", "े", "व"],               # Mn mark splits cluster
+        "a_b": ["a", "_", "b"],              # _ is punctuation
+        "  x": [" ", " x"],                  # \s+(?!\S) lookahead
+        "tab\t\tend": ["tab", "\t", "\t", "end"],
+    }
+    for text, want in cases.items():
+        assert _PRETOK.findall(text) == want, (text, _PRETOK.findall(text))
+
+
+def test_bpe_pretokenizer_unicode_plane_lossless():
+    """Full-Unicode-plane fuzz: any string — any category, any
+    plane, surrogates excluded — re-joins losslessly from its
+    pre-tokens (every character lands in exactly one branch)."""
+    import random
+    import sys
+
+    from tablite_spark.pipeline.bpe import _PRETOK
+    rng = random.Random(6)
+
+    def rand_char():
+        while True:
+            cp = rng.randrange(sys.maxunicode + 1)
+            if not 0xD800 <= cp <= 0xDFFF:
+                return chr(cp)
+
+    for _ in range(300):
+        s = "".join(rand_char() for _ in range(rng.randint(0, 60)))
+        assert "".join(_PRETOK.findall(s)) == s, repr(s)
+
+
 def test_vocab_divergence(spark):
     """JS divergence properties: ~0 for identical corpora, larger for
     disjoint vocabularies, symmetric, correct scalar outputs."""
