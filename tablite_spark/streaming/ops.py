@@ -104,12 +104,27 @@ def stream_dedup(events: DataFrame, keys: list[str],
 def stream_interval_join(left: DataFrame, right: DataFrame,
                          key: str, ts_col: str = "ts",
                          watermark: str = "2 hours",
-                         within: str = "1 hour") -> DataFrame:
-    """Stream-stream inner join: right events within ``within`` BEFORE
-    each left event on the same key. Both sides are watermarked so the
-    join state is bounded (Spark evicts right rows older than
-    left.ts - within once the watermark passes — the canonical bounded
-    stream-stream join shape)."""
+                         within: str = "1 hour",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream interval join: right events within ``within``
+    BEFORE each left event on the same key. Both sides are
+    watermarked so the join state is bounded (Spark evicts right
+    rows older than left.ts - within once the watermark passes — the
+    canonical bounded stream-stream join shape).
+
+    ``how`` extends to the outer forms (``leftOuter`` /
+    ``rightOuter`` / ``fullOuter``): an unmatched row is held in
+    state until the watermark proves no match can still arrive, THEN
+    emitted null-padded — so outer results trail the watermark by
+    design, and a query that stops before a further micro-batch
+    advances the watermark never sees the trailing nulls (exercised
+    in tests/test_streaming.py::test_stream_outer_interval_join).
+    The time-range condition plus both watermarks are exactly what
+    Spark requires for outer stream-stream joins to be able to
+    finalize state."""
+    allowed = ("inner", "leftOuter", "rightOuter", "fullOuter")
+    if how not in allowed:
+        raise ValueError(f"how must be one of {allowed}, got {how!r}")
     lw = left.withWatermark(ts_col, watermark).alias("l")
     rw = right.withWatermark(ts_col, watermark).alias("r")
     cond = (
@@ -117,4 +132,4 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
         & (F.col(f"r.{ts_col}") <= F.col(f"l.{ts_col}"))
         & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {within}"))
     )
-    return lw.join(rw, on=cond, how="inner")
+    return lw.join(rw, on=cond, how=how)

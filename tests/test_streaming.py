@@ -211,3 +211,72 @@ def test_watermark_bounds_state_across_microbatches(spark, tmp_path):
     assert 15 <= len(out) <= 18
     first = [r for r in out if r["s"].strftime("%H:%M") == "00:00"]
     assert first and first[0]["n"] == 1  # late duplicate was dropped
+
+
+def test_stream_outer_interval_join(spark, tmp_path):
+    """Left-outer stream-stream interval join with watermark-forced
+    null emission (round 6): an unmatched left row must be HELD while
+    a match could still arrive, and emitted null-padded only in a
+    micro-batch AFTER the watermark passes its horizon — asserted
+    per-batch via foreachBatch snapshots across 3 file-per-trigger
+    micro-batches."""
+    from tablite_spark.streaming.ops import (
+        stream_from_directory, stream_interval_join,
+    )
+    edir, cdir = str(tmp_path / "errors"), str(tmp_path / "clicks")
+    batches = [
+        # A: e20 matches c10; e21 (u3) has no click anywhere
+        ([(20, "2024-01-01 00:45:00", 1, 0.0),
+          (21, "2024-01-01 00:50:00", 3, 0.0)],
+         [(10, "2024-01-01 00:00:00", 1, 1.0)]),
+        # B: hours later — advances both watermarks past e21's horizon
+        ([(22, "2024-01-01 05:30:00", 9, 0.0)],
+         [(11, "2024-01-01 05:00:00", 9, 2.0)]),
+        # C: later still — the batch in which e21's null row can emit
+        ([(23, "2024-01-01 09:00:00", 8, 0.0)],
+         [(12, "2024-01-01 08:30:00", 8, 3.0)]),
+    ]
+    for errs, clks in batches:
+        for d, rows in ((edir, errs), (cdir, clks)):
+            (spark.createDataFrame(
+                rows,
+                "event_id long, ts string, user_id long, value double")
+             .withColumn("ts", F.to_timestamp("ts"))
+             .coalesce(1).write.mode("append").parquet(d))
+        time.sleep(1.1)  # distinct mtimes => deterministic file order
+    lsrc = (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(edir))
+    rsrc = (spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1).parquet(cdir)
+            .select(F.col("event_id").alias("click_id"), "ts", "user_id",
+                    F.col("value").alias("click_value")))
+    j = stream_interval_join(lsrc, rsrc, key="user_id",
+                             watermark="30 minutes", within="1 hour",
+                             how="leftOuter")
+    snapshots: list[list[tuple]] = []
+
+    def _capture(batch_df, batch_id):
+        snapshots.append(sorted(
+            (r["event_id"], r["click_id"])
+            for r in batch_df.select("l.event_id", "click_id").collect()))
+
+    q = (j.writeStream.foreachBatch(_capture)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_oj"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    nonempty = [s for s in snapshots if s]
+    flat = sorted(p for s in snapshots for p in s)
+    # every match found, and the unmatched left row emitted null-padded
+    assert flat == [(20, 10), (21, None), (22, 11), (23, 12)], snapshots
+    # the null-padded row must NOT be in the first emitting batch
+    # (its match horizon was still open) ...
+    assert (21, None) not in nonempty[0], snapshots
+    # ... and must appear only after the batch that advanced the
+    # watermark past 00:50 + 30min — i.e. strictly later than the
+    # batch that emitted e20's match
+    first_match_batch = next(i for i, s in enumerate(snapshots)
+                             if (20, 10) in s)
+    null_batch = next(i for i, s in enumerate(snapshots)
+                      if (21, None) in s)
+    assert null_batch > first_match_batch, snapshots
