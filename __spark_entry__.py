@@ -1867,18 +1867,23 @@ def png_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
-    """REAL baseline-JPEG decode (pipeline/jpeg.py — pure stdlib+numpy
-    ITU-T T.81 codec + multimodal.decode_images): each doc gets a
-    genuine 4:2:0 JFIF with restart intervals whose dimensions derive
-    from doc_id; the decoded SOF dimensions and the (quantization-
-    rounded) mean-red feature must match the arithmetic oracle. The
-    dims intentionally straddle 16x16 MCU boundaries (odd widths,
-    partial edge blocks) so padding and subsampled reconstruction are
-    exercised, not just the header path."""
+    """REAL JPEG decode (pipeline/jpeg.py — pure stdlib+numpy ITU-T
+    T.81 codec + multimodal.decode_images): each doc gets a genuine
+    JFIF whose dimensions derive from doc_id — doc_id % 3 == 0 docs
+    PROGRESSIVE (SOF2: spectral selection + successive approximation
+    + EOB runs, round 6), the rest baseline 4:2:0 with restart
+    intervals. The decoded SOF dimensions and the (quantization-
+    rounded) mean-red feature must match the arithmetic oracle —
+    which only holds if both entropy paths reconstruct real pixels.
+    The dims intentionally straddle 16x16 MCU boundaries (odd
+    widths, partial edge blocks) so padding and subsampled
+    reconstruction are exercised, not just the header path."""
     import numpy as np
     import pandas as pd
 
-    from tablite_spark.pipeline.jpeg import jpeg_encode
+    from tablite_spark.pipeline.jpeg import (
+        jpeg_encode, jpeg_encode_progressive,
+    )
     from tablite_spark.pipeline.multimodal import (
         attach_media, decode_images, extract_image_features,
     )
@@ -1889,13 +1894,17 @@ def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
             raws = []
             for did in pdf["doc_id"]:
                 w, h = 16 + int(did) % 9, 12 + int(did) % 5
-                # red 0 or 255: after 4:2:0 quantization the decoded
+                # red 0 or 255: after quantization the decoded
                 # mean-red is within a couple of 1/255 steps of exact,
                 # so round() recovers the planted bit losslessly
                 px = np.zeros((h, w, 3), dtype=np.uint8)
                 px[:, :, 0] = 255 * (int(did) % 2)
-                raws.append(jpeg_encode(px, quality=90, subsample="420",
-                                        restart_interval=2))
+                if int(did) % 3 == 0:
+                    raws.append(jpeg_encode_progressive(px, quality=90))
+                else:
+                    raws.append(jpeg_encode(px, quality=90,
+                                            subsample="420",
+                                            restart_interval=2))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
 
     imgs = d.mapInPandas(encode, schema="doc_id long, raw binary")

@@ -1,23 +1,29 @@
-"""Minimal real baseline-JPEG codec — stdlib + numpy only.
+"""Minimal real JPEG codec — stdlib + numpy only.
 
 Implements the public JPEG specification (ITU-T T.81 / ISO 10918-1)
 for the subset that dominates web corpora: baseline sequential DCT
-(SOF0), 8-bit, greyscale or YCbCr with 1x1/2x1/1x2/2x2 sampling
-factors, restart intervals, standard or custom Huffman tables. This
-makes the multimodal image path REAL for JPEG payloads in this
-container (no PIL needed): `decode_images` reads true dimensions from
-SOF and `extract_image_features` computes true pixel statistics.
+(SOF0/1) AND, since round 6, PROGRESSIVE DCT (SOF2) — spectral
+selection, successive approximation (DC and AC refinement scans),
+EOB runs, interleaved and non-interleaved scans — 8-bit, greyscale
+or YCbCr with 1x1/2x1/1x2/2x2 sampling factors, restart intervals,
+standard or custom Huffman tables. Both paths share one engine:
+scans accumulate into per-component coefficient planes, then a
+single vectorized dequantize+IDCT reconstructs pixels. This makes
+the multimodal image path REAL for JPEG payloads in this container
+(no PIL needed): `decode_images` reads true dimensions from SOF and
+`extract_image_features` computes true pixel statistics — including
+for progressive files (~10% of web JPEGs), which previously fell
+back to the byte histogram.
 
-The encoder (used for test fixtures and roundtrips) writes baseline
-4:4:4 JFIF with the Annex K example quantization + Huffman tables.
+The encoders (used for test fixtures and roundtrips) write baseline
+4:4:4/4:2:0 JFIF with the Annex K tables (``jpeg_encode``) and
+progressive 4:4:4 with a full scan script
+(``jpeg_encode_progressive``).
 
-Not a general-purpose imaging library: full pixel decode of
-progressive (SOF2), arithmetic coding, 12-bit, and CMYK raises
-ValueError — but ``jpeg_header`` parses dimensions from EVERY SOF
-variant (all share the SOF0 frame-header layout), so
-``decode_images`` still reports real width/height for progressive
-JPEGs (~10% of web corpora); only ``extract_image_features``
-degrades to its byte-histogram fallback for them.
+Not a general-purpose imaging library: arithmetic coding, 12-bit,
+hierarchical, lossless, and CMYK raise ValueError — ``jpeg_header``
+still parses dimensions from EVERY SOF variant (all share the SOF0
+frame-header layout).
 
 Reference parity note: the reference engine (root-11/tablite) has no
 multimodal surface; this exists for the training-data-pipeline north
@@ -418,9 +424,163 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _refine_nonzero(br: _BitReader, coef, k: int, se: int, p1: int,
+                    m1: int) -> None:
+    """Correction-bit pass (T.81 G.1.2.3): one bit per already-nonzero
+    coefficient in k..se; a 1-bit nudges the magnitude by 1 at the
+    current approximation level (skipped if this pass already set
+    that bit)."""
+    while k <= se:
+        c = coef[k]
+        if c:
+            if br.read_bit() and (c & p1) == 0:
+                coef[k] = c + (p1 if c > 0 else m1)
+        k += 1
+
+
+def _decode_scan(data: bytes, pos: int, comps: list, sel: list,
+                 ss: int, se: int, ah: int, al: int,
+                 huff_dc: dict, huff_ac: dict,
+                 restart_interval: int, mcux: int, mcuy: int,
+                 progressive: bool) -> int:
+    """Decode one entropy-coded scan into the components' ZIGZAG-order
+    coefficient planes; returns the stream position after the scan.
+    Handles all four progressive scan kinds (first/refinement ×
+    DC/AC) plus baseline sequential as the ss=0..se=63, ah=al=0
+    degenerate case, with restart intervals in MCU units
+    (interleaved) or data units (single-component scans)."""
+    br = _BitReader(data, pos)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for c in sel:
+        c["pred"] = 0
+
+    def decode_block(c, coef) -> None:
+        nonlocal eobrun
+        if not progressive:
+            size = _decode_huffman(br, huff_dc[c["td"]])
+            c["pred"] += _extend(br.receive(size), size)
+            coef[0] = c["pred"]
+            k = 1
+            while k <= 63:
+                rs = _decode_huffman(br, huff_ac[c["ta"]])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                coef[k] = _extend(br.receive(s), s)
+                k += 1
+        elif ss == 0:
+            if ah == 0:  # first DC scan
+                size = _decode_huffman(br, huff_dc[c["td"]])
+                c["pred"] += _extend(br.receive(size), size)
+                coef[0] = c["pred"] << al
+            else:  # DC refinement: one raw bit per block
+                if br.read_bit():
+                    coef[0] |= p1
+        elif ah == 0:  # first AC scan (with EOB runs)
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _decode_huffman(br, huff_ac[c["ta"]])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.receive(r)
+                        break
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC index overflow")
+                    coef[k] = _extend(br.receive(s), s) << al
+                    k += 1
+        else:  # AC refinement (T.81 G.1.2.3)
+            if eobrun > 0:
+                eobrun -= 1
+                _refine_nonzero(br, coef, ss, se, p1, m1)
+                return
+            k = ss
+            while k <= se:
+                rs = _decode_huffman(br, huff_ac[c["ta"]])
+                r, s = rs >> 4, rs & 0xF
+                val = 0
+                if s:
+                    val = p1 if br.read_bit() else m1
+                elif r < 15:
+                    eobrun = (1 << r)
+                    if r:
+                        eobrun += br.receive(r)
+                    break
+                # advance over r zero-HISTORY positions, emitting a
+                # correction bit at each nonzero-history one passed
+                while k <= se:
+                    c0 = coef[k]
+                    if c0:
+                        if br.read_bit() and (c0 & p1) == 0:
+                            coef[k] = c0 + (p1 if c0 > 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[k] = val
+                k += 1
+            if eobrun > 0:
+                _refine_nonzero(br, coef, k, se, p1, m1)
+                eobrun -= 1
+
+    def units():
+        if len(sel) == 1:  # non-interleaved: the comp's own raster
+            c = sel[0]
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    yield ((c, by, bx),)
+        else:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    yield tuple(
+                        (c, my * c["v"] + vi, mx * c["h"] + hi)
+                        for c in sel
+                        for vi in range(c["v"])
+                        for hi in range(c["h"]))
+
+    count = 0
+    for unit in units():
+        if restart_interval and count and count % restart_interval == 0:
+            br.align()
+            br.skip_rst()
+            eobrun = 0
+            for c in sel:
+                c["pred"] = 0
+        for c, by, bx in unit:
+            decode_block(c, c["coefs"][by, bx])
+        count += 1
+    # re-align and swallow a trailing RST so pos lands on the next
+    # real marker
+    br.align()
+    br.skip_rst()
+    return br.pos
+
+
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline sequential JPEG to (H, W, C) uint8 (C=1 or 3;
-    3 = RGB after JFIF YCbCr conversion)."""
+    """Decode baseline-sequential (SOF0/1) or PROGRESSIVE (SOF2, since
+    round 6) JPEG to (H, W, C) uint8 (C=1 or 3; 3 = RGB after JFIF
+    YCbCr conversion). Both paths share one engine: every scan
+    accumulates into per-component zigzag-order coefficient planes
+    (progressive spectral-selection bands and successive-approximation
+    bits land in the same planes across scans), then a single
+    vectorized dequantize + IDCT pass reconstructs the pixels."""
     if not data or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qtabs: dict[int, np.ndarray] = {}
@@ -428,8 +588,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     restart_interval = 0
     frame = None
+    progressive = False
+    mcux = mcuy = 0
     pos, n = 2, len(data)
-    scan = None
+    saw_scan = False
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -452,9 +614,10 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 dq[_ZIGZAG] = tbl  # de-zigzag to row-major
                 qtabs[tq] = dq.reshape(8, 8)
                 off += 65
-        elif marker in _SOF_UNSUPPORTED:
+        elif marker in _SOF_UNSUPPORTED and marker != 0xC2:
             raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0})")
-        elif marker in _SOF_BASELINE:
+        elif marker in _SOF_BASELINE or marker == 0xC2:
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -462,7 +625,20 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = struct.unpack("BBB", body[6 + 3 * i:9 + 3 * i])
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax not in (1, 2) or vmax not in (1, 2):
+                raise ValueError("sampling factors beyond 2 unsupported")
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                cw = (w * c["h"] + hmax - 1) // hmax
+                ch = (h * c["v"] + vmax - 1) // vmax
+                c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+                c["coefs"] = np.zeros(
+                    (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+            frame = {"h": h, "w": w, "comps": comps,
+                     "hmax": hmax, "vmax": vmax}
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -476,80 +652,45 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            by_id = {c["id"]: c for c in frame["comps"]}
             sel = []
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
-                sel.append({"cs": cs, "td": tdta >> 4, "ta": tdta & 0xF})
-            scan = {"sel": sel, "pos": pos + 2 + length}
-            break
+                c = by_id.get(cs)
+                if c is None:
+                    raise ValueError("scan references unknown component")
+                c["td"], c["ta"] = tdta >> 4, tdta & 0xF
+                sel.append(c)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            pos = _decode_scan(data, pos + 2 + length, frame["comps"],
+                               sel, ss, se, ah, al, huff_dc, huff_ac,
+                               restart_interval, mcux, mcuy,
+                               progressive)
+            saw_scan = True
+            continue
         pos += 2 + length
-    if frame is None or scan is None:
+    if frame is None or not saw_scan:
         raise ValueError("incomplete JPEG (missing SOF/SOS)")
 
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax not in (1, 2) or vmax not in (1, 2):
-        raise ValueError("sampling factors beyond 2 unsupported")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    by_id = {s["cs"]: s for s in scan["sel"]}
-    for c in comps:
-        s = by_id.get(c["id"])
-        if s is None:
-            raise ValueError("scan does not cover all components")
-        c["td"], c["ta"] = s["td"], s["ta"]
-        c["plane"] = np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
-        c["dc"] = 0
-
-    br = _BitReader(data, scan["pos"])
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count \
-                    and mcu_count % restart_interval == 0:
-                br.align()
-                br.skip_rst()
-                for c in comps:
-                    c["dc"] = 0
-            for c in comps:
-                for v_i in range(c["v"]):
-                    for h_i in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        size = _decode_huffman(br, huff_dc[c["td"]])
-                        diff = _extend(br.receive(size), size)
-                        c["dc"] += diff
-                        zz[0] = c["dc"]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huffman(br, huff_ac[c["ta"]])
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            zz[k] = _extend(br.receive(s), s)
-                            k += 1
-                        block = np.zeros(64, dtype=np.int32)
-                        block[_ZIGZAG] = zz
-                        coeffs = block.reshape(8, 8) * qtabs[c["tq"]]
-                        px = _T.T @ coeffs @ _T + 128.0
-                        ys = (my * c["v"] + v_i) * 8
-                        xs = (mx * c["h"] + h_i) * 8
-                        c["plane"][ys:ys + 8, xs:xs + 8] = px
-            mcu_count += 1
-
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
-        p = c["plane"]
-        # upsample to full resolution (sample replication)
+        zz = c["coefs"]
+        nat = np.zeros_like(zz)
+        nat[..., _ZIGZAG] = zz  # zigzag -> natural, all blocks at once
+        bh, bw = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(bh, bw, 8, 8) * qtabs[c["tq"]]
+        px = np.einsum("ij,abjk,kl->abil", _T.T, blocks, _T) + 128.0
+        p = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         if c["h"] < hmax:
             p = np.repeat(p, hmax // c["h"], axis=1)
         if c["v"] < vmax:
@@ -567,3 +708,247 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     else:
         raise ValueError(f"unsupported component count {len(planes)}")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# custom AC Huffman table for progressive scans: the Annex K AC
+# tables lack the EOBn symbols (r<<4, r>0) progressive EOB runs
+# need, so fixtures use a flat canonical table covering all 256
+# symbols (255 at 9 bits + 1 at 10 — valid Kraft, no all-ones code).
+_AC_PROG_BITS = [0] * 8 + [255, 1] + [0] * 6
+_AC_PROG_VALUES = list(range(256))
+
+
+def jpeg_encode_progressive(pixels: np.ndarray,
+                            quality: int = 75) -> bytes:
+    """Progressive (SOF2) encoder — greyscale or 4:4:4 colour, used
+    for fixtures and roundtrip tests (the decoder additionally
+    handles subsampled progressive files). Scan script exercises
+    every progressive scan kind: interleaved first DC at Al=1, first
+    AC per component in two spectral bands at Al=1 (EOB runs + ZRL),
+    DC refinement (raw bits), then AC refinement of both bands at
+    Al=0 (correction bits + refined EOB runs). Refinement correction
+    bits are emitted per ZRL segment — exactly the bits the
+    decoder's 16-zero-history advance consumes."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    grey = arr.ndim == 2
+    if grey:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if c not in (1, 3):
+        raise ValueError(f"unsupported channel count {c}")
+    q = max(1, min(100, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qlum = np.clip((_QUANT_LUM * scale + 50) // 100, 1, 255)
+    qchrom = np.clip((_QUANT_CHROM * scale + 50) // 100, 1, 255)
+    if c == 3:
+        rgb = arr.astype(np.float64)
+        y = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        cb = 128 - 0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] \
+            + 0.5 * rgb[:, :, 2]
+        cr = 128 + 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] \
+            - 0.081312 * rgb[:, :, 2]
+        planes = [y, cb, cr]
+        qts = [qlum, qchrom, qchrom]
+        tsel = [0, 1, 1]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+        qts = [qlum]
+        tsel = [0]
+
+    bh, bwn = (h + 7) // 8, (w + 7) // 8
+    coefs = []  # per comp: (bh, bwn, 64) int32, ZIGZAG order
+    for qt, plane in zip(qts, planes):
+        p = np.pad(plane, ((0, bh * 8 - h), (0, bwn * 8 - w)),
+                   mode="edge")
+        blocks = p.reshape(bh, 8, bwn, 8).transpose(0, 2, 1, 3) - 128.0
+        cf = np.einsum("ij,abjk,kl->abil", _T, blocks, _T.T)
+        quant = np.round(cf / qt.reshape(8, 8)).astype(np.int32)
+        coefs.append(quant.reshape(bh, bwn, 64)[:, :, _ZIGZAG])
+
+    dc_codes = [_build_huffman_codes(*_DC_LUM),
+                _build_huffman_codes(*_DC_CHROM)]
+    acp = _build_huffman_codes(_AC_PROG_BITS, _AC_PROG_VALUES)
+
+    def scan_bytes(fn) -> bytes:
+        bwr = _BitWriter()
+        fn(bwr)
+        bwr.flush()
+        return bytes(bwr.buf)
+
+    def dc_first(bwr):  # Ss=0 Se=0 Ah=0 Al=1 (arithmetic shift)
+        prev = [0] * c
+        for by in range(bh):
+            for bx in range(bwn):
+                for ci in range(c):
+                    v = int(coefs[ci][by, bx, 0]) >> 1
+                    diff = v - prev[ci]
+                    prev[ci] = v
+                    size, amp = _magnitude(diff)
+                    code, ln = dc_codes[tsel[ci]][size]
+                    bwr.write(code, ln)
+                    if size:
+                        bwr.write(amp, size)
+
+    def dc_refine(bwr):  # Ah=1 Al=0: one raw bit per block
+        for by in range(bh):
+            for bx in range(bwn):
+                for ci in range(c):
+                    bwr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+
+    def ac_first(ci, ss, se, al):
+        def fn(bwr):
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, ln = acp[r << 4]
+                    bwr.write(code, ln)
+                    if r:
+                        bwr.write(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bwn):
+                    band = coefs[ci][by, bx, ss:se + 1]
+                    vals = [(abs(int(v)) >> al) * (1 if v >= 0 else -1)
+                            for v in band]
+                    nz = [i for i, v in enumerate(vals) if v]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    run = 0
+                    for i in range(nz[-1] + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = acp[0xF0]  # ZRL
+                            bwr.write(code, ln)
+                            run -= 16
+                        size, amp = _magnitude(v)
+                        code, ln = acp[(run << 4) | size]
+                        bwr.write(code, ln)
+                        bwr.write(amp, size)
+                        run = 0
+                    if nz[-1] < len(vals) - 1:
+                        eobrun = 1
+            flush_eob()
+        return fn
+
+    def ac_refine(ci, ss, se, al):
+        def fn(bwr):
+            eobrun = 0
+            eob_bits: list[int] = []
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    code, ln = acp[r << 4]
+                    bwr.write(code, ln)
+                    if r:
+                        bwr.write(eobrun - (1 << r), r)
+                    for b in eob_bits:
+                        bwr.write(b, 1)
+                    eob_bits.clear()
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bwn):
+                    band = [int(v) for v in coefs[ci][by, bx, ss:se + 1]]
+                    absv = [abs(v) >> al for v in band]
+                    newly = [i for i, a in enumerate(absv) if a == 1]
+                    if not newly:
+                        eobrun += 1
+                        eob_bits.extend(a & 1 for a in absv if a > 1)
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    # region: positions since the last emitted symbol
+                    # — 'z' (zero history) or a history correction bit
+                    region: list = []
+                    for i in range(newly[-1] + 1):
+                        a = absv[i]
+                        if a == 0:
+                            region.append("z")
+                        elif a > 1:
+                            region.append(a & 1)
+                        else:  # newly nonzero: emit ZRLs segment-wise
+                            zcount = sum(1 for e in region if e == "z")
+                            while zcount > 15:
+                                code, ln = acp[0xF0]
+                                bwr.write(code, ln)
+                                taken = 0
+                                while taken < 16:
+                                    e = region.pop(0)
+                                    if e == "z":
+                                        taken += 1
+                                    else:
+                                        bwr.write(e, 1)
+                                zcount -= 16
+                            code, ln = acp[(zcount << 4) | 1]
+                            bwr.write(code, ln)
+                            bwr.write(1 if band[i] > 0 else 0, 1)
+                            for e in region:
+                                if e != "z":
+                                    bwr.write(e, 1)
+                            region = []
+                    if newly[-1] < len(absv) - 1:
+                        eobrun += 1
+                        eob_bits.extend(
+                            absv[i] & 1
+                            for i in range(newly[-1] + 1, len(absv))
+                            if absv[i] > 1)
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+        return fn
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        hdr = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            hdr += struct.pack("BB", ci + 1, (tsel[ci] << 4) | 0)
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, hdr)
+
+    out = [b"\xff\xd8",
+           seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+           seg(0xFFDB, b"\x00" + bytes(qlum[_ZIGZAG].astype(np.uint8)))]
+    if c == 3:
+        out.append(seg(0xFFDB,
+                       b"\x01" + bytes(qchrom[_ZIGZAG].astype(np.uint8))))
+    comp = b"".join(struct.pack("BBB", i + 1, 0x11, 0 if i == 0 else 1)
+                    for i in range(c))
+    out.append(seg(0xFFC2, struct.pack(">BHHB", 8, h, w, c) + comp))
+    for cls, tid, (bits, values) in (
+            (0, 0, _DC_LUM), (0, 1, _DC_CHROM),
+            (1, 0, (_AC_PROG_BITS, _AC_PROG_VALUES))):
+        if c == 1 and tid == 1:
+            continue
+        out.append(seg(0xFFC4, bytes([cls << 4 | tid]) + bytes(bits)
+                       + bytes(values)))
+    all_ids = list(range(c))
+    out.append(sos(all_ids, 0, 0, 0, 1))
+    out.append(scan_bytes(dc_first))
+    for ci in range(c):
+        for band in ((1, 5), (6, 63)):
+            out.append(sos([ci], band[0], band[1], 0, 1))
+            out.append(scan_bytes(ac_first(ci, band[0], band[1], 1)))
+    out.append(sos(all_ids, 0, 0, 1, 0))
+    out.append(scan_bytes(dc_refine))
+    for ci in range(c):
+        for band in ((1, 5), (6, 63)):
+            out.append(sos([ci], band[0], band[1], 1, 0))
+            out.append(scan_bytes(ac_refine(ci, band[0], band[1], 0)))
+    out.append(b"\xff\xd9")
+    return b"".join(out)

@@ -695,39 +695,104 @@ def test_jpeg_codec_roundtrip():
     assert dec.reshape(-1, 3).mean(axis=0).tolist() == [200.0, 0.0, 0.0]
 
 
-def test_jpeg_rejects_progressive():
-    import struct
+def test_jpeg_progressive_roundtrip():
+    """Progressive (SOF2) pixel decode (round 6): the full scan
+    script — interleaved first DC at Al=1, spectral-selection AC
+    bands with EOB runs, DC refinement bits, AC refinement
+    correction bits — reconstructs the SAME pixels as the baseline
+    encoding of the same image (the coefficient planes are
+    identical; only encoder-side float rounding may flip a
+    quantization boundary, hence atol=1)."""
+    import numpy as np
 
-    import pytest
+    from tablite_spark.pipeline.jpeg import (
+        jpeg_decode, jpeg_encode, jpeg_encode_progressive, jpeg_header,
+    )
+    rng = np.random.default_rng(42)
+    for shape, q in (((24, 17, 3), 90), ((13, 21, 3), 75),
+                     ((9, 9), 85), ((16, 40), 60)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        prog = jpeg_encode_progressive(img, quality=q)
+        base = jpeg_encode(img if img.ndim == 3 else img, quality=q)
+        wh = (shape[1], shape[0], shape[2] if len(shape) == 3 else 1)
+        assert jpeg_header(prog) == wh
+        dp, db = jpeg_decode(prog), jpeg_decode(base)
+        assert dp.shape == db.shape
+        assert np.abs(dp.astype(int) - db.astype(int)).max() <= 1, (shape, q)
 
-    from tablite_spark.pipeline.jpeg import jpeg_decode, jpeg_header
-    # minimal SOI + SOF2 (progressive) frame header
-    sof2 = struct.pack(">BHHB", 8, 4, 4, 1) + b"\x01\x11\x00"
-    data = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2) + sof2
-            + b"\xff\xd9")
-    assert jpeg_header(data) == (4, 4, 1)  # header still readable
-    with pytest.raises(ValueError, match="SOF2"):
-        jpeg_decode(data)
+    # sparse image: long zero runs + all-zero bands force the EOBRUN
+    # and ZRL paths in both first and refinement AC scans
+    sparse = np.zeros((40, 40), dtype=np.uint8)
+    sparse[3, 5] = 255
+    sparse[25, 31] = 180
+    dp = jpeg_decode(jpeg_encode_progressive(sparse, quality=50))
+    db = jpeg_decode(jpeg_encode(sparse, quality=50))
+    assert np.abs(dp.astype(int) - db.astype(int)).max() <= 1
+    # solid color: DC-only progressive stream decodes exactly
+    solid = np.full((16, 24, 3), 77, dtype=np.uint8)
+    assert (jpeg_decode(jpeg_encode_progressive(solid, 90)) == 77).all()
+
+
+def test_jpeg_progressive_roundtrip_fuzz():
+    """Property fuzz over the progressive codec: any (shape, quality,
+    seed, channels) decodes to within one quantization-boundary
+    rounding of the baseline encoding of the same image."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from tablite_spark.pipeline.jpeg import (
+        jpeg_decode, jpeg_encode, jpeg_encode_progressive,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           q=st.integers(30, 95), chans=st.sampled_from([1, 3]),
+           seed=st.integers(0, 2**31 - 1))
+    def roundtrip(h, w, q, chans, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if chans == 1 else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        dp = jpeg_decode(jpeg_encode_progressive(img, quality=q))
+        db = jpeg_decode(jpeg_encode(img, quality=q))
+        assert np.abs(dp.astype(int) - db.astype(int)).max() <= 1
+
+    roundtrip()
 
 
 def test_decode_images_progressive_jpeg_dims(spark):
-    """Progressive JPEG (SOF2, ~10% of web JPEGs): full pixel decode
-    is out of scope, but the SOF2 frame header carries dimensions in
-    the same layout as SOF0, so decode_images must report the REAL
-    width/height — not the deterministic fake, and never a null row."""
+    """Progressive JPEG (SOF2, ~10% of web JPEGs) through the Spark
+    multimodal path: decode_images reports the real SOF dimensions
+    even for a truncated scanless stream, and — since the round-6
+    progressive decoder — extract_image_features computes REAL pixel
+    statistics for a full progressive payload instead of the byte
+    histogram."""
     import struct
 
-    from tablite_spark.pipeline.multimodal import attach_media, decode_images
+    import numpy as np
+
+    from tablite_spark.pipeline.jpeg import jpeg_encode_progressive
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features,
+    )
     sof2 = struct.pack(">BHHB", 8, 240, 320, 3) \
         + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-    payload = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2)
-               + sof2 + b"\xff\xd9")
-    df = spark.createDataFrame([(1, bytearray(payload))],
-                               "img_id long, raw binary")
+    headeronly = (b"\xff\xd8" + struct.pack(">HH", 0xFFC2, len(sof2) + 2)
+                  + sof2 + b"\xff\xd9")
+    red = np.zeros((12, 20, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    full = jpeg_encode_progressive(red, quality=90)
+    df = spark.createDataFrame(
+        [(1, bytearray(headeronly)), (2, bytearray(full))],
+        "img_id long, raw binary")
     media = attach_media(df, "raw", "image/jpeg").drop("raw")
-    out = decode_images(media).collect()
-    assert len(out) == 1
-    assert (out[0]["width"], out[0]["height"]) == (320, 240)
+    dims = {r["img_id"]: (r["width"], r["height"])
+            for r in decode_images(media).collect()}
+    assert dims[1] == (320, 240)
+    assert dims[2] == (20, 12)
+    feats = {r["img_id"]: r["features"]
+             for r in extract_image_features(media, dim=4).collect()}
+    assert abs(feats[2][0] - 1.0) < 0.02  # real mean-red from SOF2 scans
 
 
 def test_decode_images_real_jpeg(spark):
