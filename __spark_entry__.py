@@ -1870,9 +1870,10 @@ def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
     """REAL JPEG decode (pipeline/jpeg.py — pure stdlib+numpy ITU-T
     T.81 codec + multimodal.decode_images): each doc gets a genuine
     JFIF whose dimensions derive from doc_id — doc_id % 3 == 0 docs
-    PROGRESSIVE (SOF2: spectral selection + successive approximation
-    + EOB runs, round 6), the rest baseline 4:2:0 with restart
-    intervals. The decoded SOF dimensions and the (quantization-
+    PROGRESSIVE 4:2:0 with restart intervals (SOF2: spectral
+    selection + successive approximation + EOB runs + subsampled
+    non-interleaved chroma scans, round 6), the rest baseline 4:2:0
+    with restart intervals. The decoded SOF dimensions and the (quantization-
     rounded) mean-red feature must match the arithmetic oracle —
     which only holds if both entropy paths reconstruct real pixels.
     The dims intentionally straddle 16x16 MCU boundaries (odd
@@ -1900,7 +1901,9 @@ def jpeg_decode_dims(spark: SparkSession, sf: str) -> DataFrame:
                 px = np.zeros((h, w, 3), dtype=np.uint8)
                 px[:, :, 0] = 255 * (int(did) % 2)
                 if int(did) % 3 == 0:
-                    raws.append(jpeg_encode_progressive(px, quality=90))
+                    raws.append(jpeg_encode_progressive(
+                        px, quality=90, subsample="420",
+                        restart_interval=2))
                 else:
                     raws.append(jpeg_encode(px, quality=90,
                                             subsample="420",

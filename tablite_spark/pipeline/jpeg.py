@@ -17,8 +17,10 @@ back to the byte histogram.
 
 The encoders (used for test fixtures and roundtrips) write baseline
 4:4:4/4:2:0 JFIF with the Annex K tables (``jpeg_encode``) and
-progressive 4:4:4 with a full scan script
-(``jpeg_encode_progressive``).
+progressive 4:4:4/4:2:0 with a full scan script and optional
+restart intervals (``jpeg_encode_progressive``) — so the decoder's
+subsampled non-interleaved traversal and RST handling are
+roundtrip-tested, not just spec-derived.
 
 Not a general-purpose imaging library: arithmetic coding, 12-bit,
 hierarchical, lossless, and CMYK raise ValueError — ``jpeg_header``
@@ -718,15 +720,21 @@ _AC_PROG_BITS = [0] * 8 + [255, 1] + [0] * 6
 _AC_PROG_VALUES = list(range(256))
 
 
-def jpeg_encode_progressive(pixels: np.ndarray,
-                            quality: int = 75) -> bytes:
-    """Progressive (SOF2) encoder — greyscale or 4:4:4 colour, used
-    for fixtures and roundtrip tests (the decoder additionally
-    handles subsampled progressive files). Scan script exercises
-    every progressive scan kind: interleaved first DC at Al=1, first
-    AC per component in two spectral bands at Al=1 (EOB runs + ZRL),
-    DC refinement (raw bits), then AC refinement of both bands at
-    Al=0 (correction bits + refined EOB runs). Refinement correction
+def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 75,
+                            subsample: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """Progressive (SOF2) encoder — greyscale, 4:4:4, or 4:2:0
+    colour (``subsample="420"``: box-averaged chroma, 4 Y + Cb + Cr
+    blocks per 16x16 MCU in the DC scans, chroma AC scans walking
+    the component's OWN non-interleaved block raster — the common
+    web-JPEG progressive layout). Used for fixtures and roundtrip
+    tests. Scan script exercises every progressive scan kind:
+    interleaved first DC at Al=1, first AC per component in two
+    spectral bands at Al=1 (EOB runs + ZRL), DC refinement (raw
+    bits), then AC refinement of both bands at Al=0 (correction
+    bits + refined EOB runs). ``restart_interval`` plants RSTn
+    markers every N MCUs (DC scans) / N data units (AC scans),
+    resetting DC predictors and EOB runs. Refinement correction
     bits are emitted per ZRL segment — exactly the bits the
     decoder's 16-zero-history advance consumes."""
     arr = np.asarray(pixels, dtype=np.uint8)
@@ -736,6 +744,8 @@ def jpeg_encode_progressive(pixels: np.ndarray,
     h, w, c = arr.shape
     if c not in (1, 3):
         raise ValueError(f"unsupported channel count {c}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444 or 420, got {subsample}")
     q = max(1, min(100, int(quality)))
     scale = 5000 // q if q < 50 else 200 - 2 * q
     qlum = np.clip((_QUANT_LUM * scale + 50) // 100, 1, 255)
@@ -750,20 +760,43 @@ def jpeg_encode_progressive(pixels: np.ndarray,
         planes = [y, cb, cr]
         qts = [qlum, qchrom, qchrom]
         tsel = [0, 1, 1]
+        samp = [(2, 2), (1, 1), (1, 1)] if subsample == "420" \
+            else [(1, 1)] * 3
     else:
         planes = [arr[:, :, 0].astype(np.float64)]
         qts = [qlum]
         tsel = [0]
+        samp = [(1, 1)]
 
-    bh, bwn = (h + 7) // 8, (w + 7) // 8
-    coefs = []  # per comp: (bh, bwn, 64) int32, ZIGZAG order
-    for qt, plane in zip(qts, planes):
-        p = np.pad(plane, ((0, bh * 8 - h), (0, bwn * 8 - w)),
-                   mode="edge")
-        blocks = p.reshape(bh, 8, bwn, 8).transpose(0, 2, 1, 3) - 128.0
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    def _pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        ph, pw = p.shape
+        return np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
+
+    coefs = []   # per comp: (mcuy*sv, mcux*sh, 64) int32, ZIGZAG order
+    nonint = []  # per comp: (bh, bw) non-interleaved block dims
+    for (sh, sv), qt, plane in zip(samp, qts, planes):
+        if (sh, sv) != (hmax, vmax):  # downsample by box average
+            fy, fx = vmax // sv, hmax // sh
+            p = _pad_to(plane, (h + fy - 1) // fy * fy,
+                        (w + fx - 1) // fx * fx)
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx) \
+                .mean(axis=(1, 3))
+        else:
+            p = plane
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        nonint.append(((ch + 7) // 8, (cw + 7) // 8))
+        p = _pad_to(p, mcuy * sv * 8, mcux * sh * 8)
+        gy, gx = mcuy * sv, mcux * sh
+        blocks = p.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3) - 128.0
         cf = np.einsum("ij,abjk,kl->abil", _T, blocks, _T.T)
         quant = np.round(cf / qt.reshape(8, 8)).astype(np.int32)
-        coefs.append(quant.reshape(bh, bwn, 64)[:, :, _ZIGZAG])
+        coefs.append(quant.reshape(gy, gx, 64)[:, :, _ZIGZAG])
 
     dc_codes = [_build_huffman_codes(*_DC_LUM),
                 _build_huffman_codes(*_DC_CHROM)]
@@ -775,25 +808,55 @@ def jpeg_encode_progressive(pixels: np.ndarray,
         bwr.flush()
         return bytes(bwr.buf)
 
+    def write_rst(bwr, i: int) -> None:
+        bwr.flush()
+        bwr.buf += bytes([0xFF, 0xD0 + i % 8])
+
     def dc_first(bwr):  # Ss=0 Se=0 Ah=0 Al=1 (arithmetic shift)
         prev = [0] * c
-        for by in range(bh):
-            for bx in range(bwn):
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i \
+                        and mcu_i % restart_interval == 0:
+                    write_rst(bwr, mcu_i // restart_interval - 1)
+                    prev = [0] * c
+                mcu_i += 1
                 for ci in range(c):
-                    v = int(coefs[ci][by, bx, 0]) >> 1
-                    diff = v - prev[ci]
-                    prev[ci] = v
-                    size, amp = _magnitude(diff)
-                    code, ln = dc_codes[tsel[ci]][size]
-                    bwr.write(code, ln)
-                    if size:
-                        bwr.write(amp, size)
+                    sh, sv = samp[ci]
+                    for vi in range(sv):
+                        for hi in range(sh):
+                            v = int(coefs[ci][my * sv + vi,
+                                              mx * sh + hi, 0]) >> 1
+                            diff = v - prev[ci]
+                            prev[ci] = v
+                            size, amp = _magnitude(diff)
+                            code, ln = dc_codes[tsel[ci]][size]
+                            bwr.write(code, ln)
+                            if size:
+                                bwr.write(amp, size)
 
     def dc_refine(bwr):  # Ah=1 Al=0: one raw bit per block
-        for by in range(bh):
-            for bx in range(bwn):
+        mcu_i = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu_i \
+                        and mcu_i % restart_interval == 0:
+                    write_rst(bwr, mcu_i // restart_interval - 1)
+                mcu_i += 1
                 for ci in range(c):
-                    bwr.write(int(coefs[ci][by, bx, 0]) & 1, 1)
+                    sh, sv = samp[ci]
+                    for vi in range(sv):
+                        for hi in range(sh):
+                            bwr.write(int(coefs[ci][my * sv + vi,
+                                                    mx * sh + hi, 0]) & 1,
+                                      1)
+
+    def ac_blocks(ci):
+        """Non-interleaved data-unit raster with restart markers —
+        the traversal the decoder uses for single-component scans."""
+        bh_i, bw_i = nonint[ci]
+        return [(by, bx) for by in range(bh_i) for bx in range(bw_i)]
 
     def ac_first(ci, ss, se, al):
         def fn(bwr):
@@ -809,35 +872,38 @@ def jpeg_encode_progressive(pixels: np.ndarray,
                         bwr.write(eobrun - (1 << r), r)
                     eobrun = 0
 
-            for by in range(bh):
-                for bx in range(bwn):
-                    band = coefs[ci][by, bx, ss:se + 1]
-                    vals = [(abs(int(v)) >> al) * (1 if v >= 0 else -1)
-                            for v in band]
-                    nz = [i for i, v in enumerate(vals) if v]
-                    if not nz:
-                        eobrun += 1
-                        if eobrun == 0x7FFF:
-                            flush_eob()
-                        continue
+            for bi, (by, bx) in enumerate(ac_blocks(ci)):
+                if restart_interval and bi \
+                        and bi % restart_interval == 0:
                     flush_eob()
-                    run = 0
-                    for i in range(nz[-1] + 1):
-                        v = vals[i]
-                        if v == 0:
-                            run += 1
-                            continue
-                        while run > 15:
-                            code, ln = acp[0xF0]  # ZRL
-                            bwr.write(code, ln)
-                            run -= 16
-                        size, amp = _magnitude(v)
-                        code, ln = acp[(run << 4) | size]
+                    write_rst(bwr, bi // restart_interval - 1)
+                band = coefs[ci][by, bx, ss:se + 1]
+                vals = [(abs(int(v)) >> al) * (1 if v >= 0 else -1)
+                        for v in band]
+                nz = [i for i, v in enumerate(vals) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = acp[0xF0]  # ZRL
                         bwr.write(code, ln)
-                        bwr.write(amp, size)
-                        run = 0
-                    if nz[-1] < len(vals) - 1:
-                        eobrun = 1
+                        run -= 16
+                    size, amp = _magnitude(v)
+                    code, ln = acp[(run << 4) | size]
+                    bwr.write(code, ln)
+                    bwr.write(amp, size)
+                    run = 0
+                if nz[-1] < len(vals) - 1:
+                    eobrun = 1
             flush_eob()
         return fn
 
@@ -859,55 +925,58 @@ def jpeg_encode_progressive(pixels: np.ndarray,
                     eob_bits.clear()
                     eobrun = 0
 
-            for by in range(bh):
-                for bx in range(bwn):
-                    band = [int(v) for v in coefs[ci][by, bx, ss:se + 1]]
-                    absv = [abs(v) >> al for v in band]
-                    newly = [i for i, a in enumerate(absv) if a == 1]
-                    if not newly:
-                        eobrun += 1
-                        eob_bits.extend(a & 1 for a in absv if a > 1)
-                        if eobrun == 0x7FFF:
-                            flush_eob()
-                        continue
+            for bi, (by, bx) in enumerate(ac_blocks(ci)):
+                if restart_interval and bi \
+                        and bi % restart_interval == 0:
                     flush_eob()
-                    # region: positions since the last emitted symbol
-                    # — 'z' (zero history) or a history correction bit
-                    region: list = []
-                    for i in range(newly[-1] + 1):
-                        a = absv[i]
-                        if a == 0:
-                            region.append("z")
-                        elif a > 1:
-                            region.append(a & 1)
-                        else:  # newly nonzero: emit ZRLs segment-wise
-                            zcount = sum(1 for e in region if e == "z")
-                            while zcount > 15:
-                                code, ln = acp[0xF0]
-                                bwr.write(code, ln)
-                                taken = 0
-                                while taken < 16:
-                                    e = region.pop(0)
-                                    if e == "z":
-                                        taken += 1
-                                    else:
-                                        bwr.write(e, 1)
-                                zcount -= 16
-                            code, ln = acp[(zcount << 4) | 1]
+                    write_rst(bwr, bi // restart_interval - 1)
+                band = [int(v) for v in coefs[ci][by, bx, ss:se + 1]]
+                absv = [abs(v) >> al for v in band]
+                newly = [i for i, a in enumerate(absv) if a == 1]
+                if not newly:
+                    eobrun += 1
+                    eob_bits.extend(a & 1 for a in absv if a > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                # region: positions since the last emitted symbol —
+                # 'z' (zero history) or a history correction bit
+                region: list = []
+                for i in range(newly[-1] + 1):
+                    a = absv[i]
+                    if a == 0:
+                        region.append("z")
+                    elif a > 1:
+                        region.append(a & 1)
+                    else:  # newly nonzero: emit ZRLs segment-wise
+                        zcount = sum(1 for e in region if e == "z")
+                        while zcount > 15:
+                            code, ln = acp[0xF0]
                             bwr.write(code, ln)
-                            bwr.write(1 if band[i] > 0 else 0, 1)
-                            for e in region:
-                                if e != "z":
+                            taken = 0
+                            while taken < 16:
+                                e = region.pop(0)
+                                if e == "z":
+                                    taken += 1
+                                else:
                                     bwr.write(e, 1)
-                            region = []
-                    if newly[-1] < len(absv) - 1:
-                        eobrun += 1
-                        eob_bits.extend(
-                            absv[i] & 1
-                            for i in range(newly[-1] + 1, len(absv))
-                            if absv[i] > 1)
-                        if eobrun == 0x7FFF:
-                            flush_eob()
+                            zcount -= 16
+                        code, ln = acp[(zcount << 4) | 1]
+                        bwr.write(code, ln)
+                        bwr.write(1 if band[i] > 0 else 0, 1)
+                        for e in region:
+                            if e != "z":
+                                bwr.write(e, 1)
+                        region = []
+                if newly[-1] < len(absv) - 1:
+                    eobrun += 1
+                    eob_bits.extend(
+                        absv[i] & 1
+                        for i in range(newly[-1] + 1, len(absv))
+                        if absv[i] > 1)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
             flush_eob()
         return fn
 
@@ -927,9 +996,13 @@ def jpeg_encode_progressive(pixels: np.ndarray,
     if c == 3:
         out.append(seg(0xFFDB,
                        b"\x01" + bytes(qchrom[_ZIGZAG].astype(np.uint8))))
-    comp = b"".join(struct.pack("BBB", i + 1, 0x11, 0 if i == 0 else 1)
-                    for i in range(c))
+    comp = b"".join(
+        struct.pack("BBB", i + 1, samp[i][0] << 4 | samp[i][1],
+                    0 if i == 0 else 1)
+        for i in range(c))
     out.append(seg(0xFFC2, struct.pack(">BHHB", 8, h, w, c) + comp))
+    if restart_interval:
+        out.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
     for cls, tid, (bits, values) in (
             (0, 0, _DC_LUM), (0, 1, _DC_CHROM),
             (1, 0, (_AC_PROG_BITS, _AC_PROG_VALUES))):

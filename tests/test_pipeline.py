@@ -732,6 +732,18 @@ def test_jpeg_progressive_roundtrip():
     solid = np.full((16, 24, 3), 77, dtype=np.uint8)
     assert (jpeg_decode(jpeg_encode_progressive(solid, 90)) == 77).all()
 
+    # 4:2:0 subsampled progressive (the common web layout: chroma AC
+    # scans walk the component's own non-interleaved raster; luma
+    # blocks interleave 4-per-MCU in the DC scans) and restart
+    # intervals (RSTn resets DC predictors AND EOB runs) — with odd
+    # dims so MCU padding rows/cols are exercised too
+    img = rng.integers(0, 256, (37, 29, 3)).astype(np.uint8)
+    for ri in (0, 3):
+        dp = jpeg_decode(jpeg_encode_progressive(
+            img, 85, subsample="420", restart_interval=ri))
+        db = jpeg_decode(jpeg_encode(img, 85, subsample="420"))
+        assert np.abs(dp.astype(int) - db.astype(int)).max() <= 1, ri
+
 
 def test_jpeg_progressive_roundtrip_fuzz():
     """Property fuzz over the progressive codec: any (shape, quality,
@@ -748,13 +760,18 @@ def test_jpeg_progressive_roundtrip_fuzz():
     @settings(max_examples=15, deadline=None)
     @given(h=st.integers(1, 40), w=st.integers(1, 40),
            q=st.integers(30, 95), chans=st.sampled_from([1, 3]),
+           ss=st.sampled_from(["444", "420"]),
+           ri=st.sampled_from([0, 2, 5]),
            seed=st.integers(0, 2**31 - 1))
-    def roundtrip(h, w, q, chans, seed):
+    def roundtrip(h, w, q, chans, ss, ri, seed):
         rng = np.random.default_rng(seed)
         shape = (h, w) if chans == 1 else (h, w, 3)
+        if chans == 1:
+            ss = "444"  # subsampling is a colour concept
         img = rng.integers(0, 256, shape).astype(np.uint8)
-        dp = jpeg_decode(jpeg_encode_progressive(img, quality=q))
-        db = jpeg_decode(jpeg_encode(img, quality=q))
+        dp = jpeg_decode(jpeg_encode_progressive(
+            img, quality=q, subsample=ss, restart_interval=ri))
+        db = jpeg_decode(jpeg_encode(img, quality=q, subsample=ss))
         assert np.abs(dp.astype(int) - db.astype(int)).max() <= 1
 
     roundtrip()
