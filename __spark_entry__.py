@@ -2217,6 +2217,20 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def zorder_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering key (operators/layout.py, round
+    6): the 16-bit interleave of (user_id, event-time) over events,
+    normalized by the module's pure bit-shift arithmetic — no float
+    division anywhere, so DuckDB replays the identical key
+    bit-for-bit from the same parquet (min/max + shift widths
+    computed in SQL). Row-level hash match pins every interleaved
+    bit of every row."""
+    from tablite_spark.operators.layout import zorder_key
+    e = _t(spark, sf, "events")
+    return (zorder_key(e, ["user_id", "ts"], bits=8, out_col="z")
+            .select("event_id", F.col("z").cast("long").alias("z")))
+
+
 def hdf5_vlen_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """Variable-length-string HDF5 roundtrip (round 6): nation's
     string columns written VLEN (datatype class 9 via GCOL
@@ -2275,7 +2289,10 @@ def salted_join_equivalence(spark: SparkSession, sf: str) -> DataFrame:
 # roundtrip, salted-join equivalence), then (2) ALL 48 queries whose
 # latest green is round 3 — the entire stale tail, so after this
 # window runs no query's latest check is older than round 4 (the
-# rotation target VERDICT r5 item 3 set). Queries whose ORACLE got
+# rotation target VERDICT r5 item 3 set). The THIRD new r6 query
+# (zorder_events) exceeds the 50-slot budget and rotates to the r7
+# window; it was verified locally via tools/check_oracle.py at
+# sf0.01 (bit-exact over 10,000 rows). Queries whose ORACLE got
 # strengthened this round without a Spark-side change (pq/ivfpq ANN —
 # now DuckDB-recomputed overlap, see _ann_overlap_oracle) were
 # re-verified locally via tools/check_oracle.py at sf0.01 and rotate
@@ -2379,6 +2396,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 6
         "hdf5_vlen_roundtrip": hdf5_vlen_roundtrip,
         "salted_join_equivalence": salted_join_equivalence,
+        "zorder_events": zorder_events,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
@@ -2480,6 +2498,39 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "near_dup_embeddings": near_dup_embeddings,
     }
+
+
+def _zorder_oracle(bits: int = 8) -> str:
+    """DuckDB twin of operators/layout.zorder_key over events
+    (user_id, ts): min/max + shift widths computed in SQL
+    (ceil(log2(rng+1)) == bit_length(rng) exactly — log2 of a power
+    of two is exact in IEEE double), then the identical shift/mask
+    bit interleave, term by term. Everything integer/bitwise, so the
+    comparison is bit-exact, not tolerance-based."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((nu >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((nt >> {b}) & 1) << {2 * b + 1})")
+    interleave = " | ".join(terms)
+    return f"""
+        WITH stats AS (
+            SELECT MIN(user_id) AS mnu, MAX(user_id) AS mxu,
+                   MIN(epoch_us(ts)) AS mnt, MAX(epoch_us(ts)) AS mxt
+            FROM events),
+        p AS (
+            SELECT mnu, mnt,
+                   GREATEST(0, CAST(CEIL(LOG2(GREATEST(mxu - mnu, 0) + 1))
+                                    AS INT) - {bits}) AS su,
+                   GREATEST(0, CAST(CEIL(LOG2(GREATEST(mxt - mnt, 0) + 1))
+                                    AS INT) - {bits}) AS sv
+            FROM stats),
+        n AS (
+            SELECT e.event_id,
+                   (COALESCE(e.user_id, p.mnu) - p.mnu) >> p.su AS nu,
+                   (COALESCE(epoch_us(e.ts), p.mnt) - p.mnt) >> p.sv AS nt
+            FROM events e CROSS JOIN p)
+        SELECT event_id, CAST({interleave} AS BIGINT) AS z FROM n
+    """
 
 
 def _ann_overlap_oracle(pairs: str) -> str:
@@ -3297,6 +3348,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(MAX(o_totalprice), 2) AS max_price
             FROM orders GROUP BY o_orderstatus
         """,
+        "zorder_events": _zorder_oracle(),
         "hdf5_vlen_roundtrip": """
             SELECT n_regionkey, COUNT(*) AS n,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,

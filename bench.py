@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "pretrain_filter_docs",
     "pq_topk_embeddings",
     "ivfpq_topk_embeddings",
+    # round-6 operator
+    "zorder_events",
 ]
 
 
@@ -380,7 +382,7 @@ def main() -> None:
                  "semantic_dedup_embeddings"}
     new_in_r6 = {"substring_dedup_docs", "gopher_quality_docs",
                  "pretrain_filter_docs", "pq_topk_embeddings",
-                 "ivfpq_topk_embeddings"}
+                 "ivfpq_topk_embeddings", "zorder_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6),
                      3)
