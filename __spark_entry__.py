@@ -2217,6 +2217,33 @@ def corpus_manifest(spark: SparkSession, sf: str) -> DataFrame:
                  F.max("doc_id").alias("max_doc_id")))
 
 
+def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (text.pack_sequences, round
+    6 — the GPT-pretraining layout): documents tokenized by an
+    ARITHMETIC id scheme both engines can compute (length*131 +
+    1-based position % 127 — BPE ids are pytest-tested separately,
+    tokenize_bpe), EOS 0 after each doc, packed into exact 64-token
+    windows with documents crossing boundaries. DuckDB rebuilds the
+    identical global token stream with a row_number and replays the
+    windowing; the array hash pins every token of every sequence,
+    and n_docs pins the boundary-crossing accounting."""
+    from tablite_spark.pipeline.text import pack_sequences
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "")
+    ids = F.transform(
+        toks, lambda t, i: (F.length(t) * 131 + (i + 1) % 127)
+        .cast("int"))
+    docs = d.select("doc_id", ids.alias("ids"))
+    out = pack_sequences(docs, "ids", "doc_id", seq_len=64, eos_id=0)
+    # scalarize the array for the driver's value-hash comparator
+    return out.select(
+        "seq_id",
+        F.md5(F.concat_ws(",", F.transform(
+            "input_ids", lambda x: x.cast("string")))).alias("ids_md5"),
+        "n_docs")
+
+
 def zorder_events(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (operators/layout.py, round
     6): the 16-bit interleave of (user_id, event-time) over events,
@@ -2397,6 +2424,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdf5_vlen_roundtrip": hdf5_vlen_roundtrip,
         "salted_join_equivalence": salted_join_equivalence,
         "zorder_events": zorder_events,
+        "pack_sequences_docs": pack_sequences_docs,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
@@ -3349,6 +3377,38 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "zorder_events": _zorder_oracle(),
+        "pack_sequences_docs": """
+            WITH lists AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS l
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, generate_subscripts(l, 1) AS i,
+                       CAST(LENGTH(unnest(l)) * 131
+                            + (generate_subscripts(l, 1) % 127)
+                            AS INT) AS id
+                FROM lists
+                UNION ALL
+                SELECT doc_id, 2147483647 AS i, 0 AS id
+                FROM documents
+            ),
+            stream AS (
+                SELECT doc_id, id,
+                       ROW_NUMBER() OVER (ORDER BY doc_id, i) - 1
+                           AS pos
+                FROM toks
+            )
+            SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
+                   MD5(string_agg(CAST(id AS VARCHAR), ','
+                                  ORDER BY pos)) AS ids_md5,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM stream
+            GROUP BY seq_id
+            HAVING COUNT(*) = 64
+        """,
         "hdf5_vlen_roundtrip": """
             SELECT n_regionkey, COUNT(*) AS n,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,

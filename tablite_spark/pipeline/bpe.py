@@ -244,6 +244,27 @@ def train_bpe(texts, vocab_size: int) -> tuple[dict[str, int],
     return vocab, merges
 
 
+def tokenize_bpe(df: DataFrame, text_col: str,
+                 vocab: dict[str, int],
+                 merges: list[tuple[str, str]],
+                 out_col: str = "token_ids") -> DataFrame:
+    """Full BPE encoding → ``out_col`` array<int> (the trainer-facing
+    sibling of :func:`token_count_bpe`, same Arrow-batched transport
+    and per-executor tokenizer reuse). NULL text encodes to an empty
+    array. Feed the result to ``text.pack_sequences`` for the
+    concat-and-chunk training layout."""
+    state: dict[str, BPETokenizer] = {}
+
+    @F.pandas_udf("array<int>")
+    def _ids(s: pd.Series) -> pd.Series:
+        tok = state.get("t")
+        if tok is None:
+            tok = state["t"] = BPETokenizer(vocab, merges)
+        return s.map(lambda v: [] if v is None else tok.encode(v))
+
+    return df.withColumn(out_col, _ids(F.col(text_col)))
+
+
 def token_count_bpe(df: DataFrame, text_col: str,
                     vocab: dict[str, int],
                     merges: list[tuple[str, str]]) -> DataFrame:

@@ -709,6 +709,78 @@ def pack_chunks(chunks: DataFrame, tokens_col: str,
         "pack_id", F.floor(before / F.lit(budget)).cast("long"))
 
 
+def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
+                   seq_len: int, eos_id: int | None = None,
+                   drop_last: bool = True) -> DataFrame:
+    """Concat-and-chunk sequence packing — the GPT-pretraining
+    layout: documents (token-id arrays, e.g. from
+    ``bpe.tokenize_bpe``) are concatenated in ascending ``id_col``
+    order (optionally with ``eos_id`` appended to each document) and
+    the resulting token stream is cut into EXACT ``seq_len`` windows,
+    documents crossing window boundaries. Maximal utilization, zero
+    padding; the final partial window is dropped when ``drop_last``
+    (the standard recipe) else kept short. Returns
+    (seq_id, input_ids array<int>, n_docs) where ``n_docs`` counts
+    the documents contributing to the window.
+
+    Plan shape at 100 TB: the global token offsets come from a
+    TWO-PHASE prefix sum (range-partition by id → per-partition token
+    totals, a |partitions|-row collect → cumulative offsets broadcast
+    back + a per-partition window that parallelizes across
+    partitions) — the ``with_row_index`` recipe, never a single
+    global window task. The explode/groupBy that follows moves the
+    token stream once, keyed by dense sequence ids; that volume IS
+    the output, so it is inherent, not overhead."""
+    from pyspark.sql import Window
+    spark = df.sparkSession
+    base = df.select(F.col(id_col), F.col(ids_col))
+    if eos_id is not None:
+        base = base.withColumn(
+            ids_col, F.concat(F.col(ids_col),
+                              F.array(F.lit(int(eos_id)).cast("int"))))
+    base = base.withColumn("__nt__", F.size(ids_col))
+    part = (base.repartitionByRange(F.col(id_col))
+            .withColumn("__pid__", F.spark_partition_id()))
+    sums = (part.groupBy("__pid__")
+            .agg(F.sum("__nt__").alias("__s__")).collect())
+    sums.sort(key=lambda r: r["__pid__"])
+    offsets, acc = [], 0
+    for r in sums:
+        offsets.append((int(r["__pid__"]), acc))
+        acc += int(r["__s__"])
+    total = acc
+    out_schema = ("seq_id long, input_ids array<int>, n_docs long")
+    if not offsets or total == 0:
+        return spark.createDataFrame([], out_schema)
+    off_df = spark.createDataFrame(offsets, "__pid__ int, __off__ long")
+    w = (Window.partitionBy("__pid__").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    withoff = (part.join(F.broadcast(off_df), "__pid__")
+               .withColumn("__cum__", F.sum("__nt__").over(w))
+               .withColumn("__start__", F.col("__off__")
+                           + F.col("__cum__") - F.col("__nt__")))
+    pos = F.col("__start__") + F.col("__i__")
+    toks = (withoff
+            .select(id_col, "__start__",
+                    F.posexplode(ids_col).alias("__i__", "__tok__"))
+            .select(id_col, pos.alias("__pos__"), "__tok__"))
+    seqs = (toks.withColumn(
+                "__seq__",
+                F.floor(F.col("__pos__") / F.lit(seq_len)).cast("long"))
+            .groupBy("__seq__")
+            .agg(F.array_sort(F.collect_list(
+                     F.struct("__pos__", "__tok__"))).alias("__ts__"),
+                 F.countDistinct(F.col(id_col)).alias("n_docs"))
+            .select(F.col("__seq__").alias("seq_id"),
+                    F.transform("__ts__",
+                                lambda s: s.getField("__tok__"))
+                     .alias("input_ids"),
+                    F.col("n_docs").cast("long").alias("n_docs")))
+    if drop_last and total % seq_len:
+        seqs = seqs.filter(F.col("seq_id") < total // seq_len)
+    return seqs
+
+
 def _norm_for_lm(c):
     return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
 

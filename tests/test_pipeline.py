@@ -1646,6 +1646,65 @@ def test_bpe_pretokenizer_unicode_plane_lossless():
         assert "".join(_PRETOK.findall(s)) == s, repr(s)
 
 
+def test_pack_sequences_matches_reference(spark):
+    """Concat-and-chunk packing equals the obvious single-threaded
+    reference: same windows, same token order, same n_docs, tail
+    dropped (or kept with drop_last=False), across the two-phase
+    distributed prefix sum."""
+    from tablite_spark.pipeline.text import pack_sequences
+    rows = [(i, list(range(i * 10, i * 10 + (3 + i % 4))))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = {r["seq_id"]: r for r in pack_sequences(
+        df, "ids", "doc_id", seq_len=8, eos_id=-1).collect()}
+    stream = []
+    for i, ids in sorted(rows):
+        stream += [(i, t) for t in ids + [-1]]
+    exp: dict = {}
+    for p, (d, t) in enumerate(stream):
+        exp.setdefault(p // 8, []).append((d, t))
+    exp = {s: v for s, v in exp.items() if len(v) == 8}
+    assert set(out) == set(exp)
+    for s, v in exp.items():
+        assert out[s]["input_ids"] == [t for _, t in v]
+        assert out[s]["n_docs"] == len({d for d, _ in v})
+    # tail kept when requested; empty input -> empty output
+    out2 = pack_sequences(df, "ids", "doc_id", seq_len=8, eos_id=-1,
+                          drop_last=False).collect()
+    assert len(out2) == len(exp) + 1
+    assert pack_sequences(df.filter("doc_id < 0"), "ids", "doc_id",
+                          8).count() == 0
+
+
+def test_tokenize_bpe_pack_end_to_end(spark):
+    """tokenize_bpe → pack_sequences: token conservation (every BPE
+    id of every doc lands in exactly one window slot, plus one EOS
+    per doc, minus the dropped tail) and a decoded window re-reads
+    as real corpus text."""
+    from tablite_spark.pipeline.bpe import (
+        BPETokenizer, tokenize_bpe, train_bpe,
+    )
+    from tablite_spark.pipeline.text import pack_sequences
+    texts = [f"doc {i} says hello world number {i} again and again"
+             for i in range(20)]
+    vocab, merges = train_bpe(texts, 400)
+    eos = max(vocab.values()) + 1
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    ids = tokenize_bpe(df, "text", vocab, merges)
+    n_total = sum(r["n"] for r in
+                  ids.select(F.size("token_ids").alias("n")).collect())
+    seqs = pack_sequences(ids, "token_ids", "doc_id", seq_len=16,
+                          eos_id=eos).collect()
+    stream_len = n_total + len(texts)
+    assert len(seqs) == stream_len // 16
+    assert all(len(r["input_ids"]) == 16 for r in seqs)
+    tok = BPETokenizer(vocab, merges)
+    first = min(seqs, key=lambda r: r["seq_id"])
+    decoded = tok.decode([i for i in first["input_ids"] if i != eos])
+    assert decoded.startswith("doc 0 says hello world")
+
+
 def test_vocab_divergence(spark):
     """JS divergence properties: ~0 for identical corpora, larger for
     disjoint vocabularies, symmetric, correct scalar outputs."""

@@ -32,8 +32,9 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf[c] = pdf[c].astype("datetime64[us]").astype(str).replace("NaT", None)
         elif pdf[c].dtype == object:
             pdf[c] = pdf[c].map(
-                lambda v: None if v is None or (not isinstance(v, (list, tuple, dict))
-                                                and pd.isna(v)) else str(v))
+                lambda v: str(list(v)) if isinstance(v, np.ndarray)
+                else None if v is None or (not isinstance(v, (list, tuple, dict))
+                                           and pd.isna(v)) else str(v))
     pdf = pdf.sort_values(by=list(pdf.columns), na_position="last",
                           kind="mergesort").reset_index(drop=True)
     return pdf
