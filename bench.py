@@ -61,8 +61,9 @@ BENCH_QUERIES = [
     "pretrain_filter_docs",
     "pq_topk_embeddings",
     "ivfpq_topk_embeddings",
-    # round-6 operator
+    # round-6 operators
     "zorder_events",
+    "pack_sequences_docs",
 ]
 
 
@@ -142,7 +143,26 @@ def _ivfpq_topk_real(spark, sf_dir: str):
     return ivfpq_topk(e, q, k=10, id_col="vec_id", vec_col="embedding")
 
 
+def _pack_sequences_real(spark, sf_dir: str):
+    """Bench twin: concat-and-chunk packing of the REAL documents
+    table into 512-token training windows (whitespace token ids —
+    the queries() entry uses arithmetic ids for bit-exact oracling;
+    the token VOLUME moved per row is identical)."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.text import pack_sequences
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "")
+    ids = F.transform(toks,
+                      lambda t: F.length(t).cast("int"))
+    docs = d.select("doc_id", ids.alias("ids"))
+    return pack_sequences(docs, "ids", "doc_id", seq_len=512,
+                          eos_id=0)
+
+
 BENCH_OVERRIDES = {
+    "pack_sequences_docs": _pack_sequences_real,
     "minhash_dedup_docs": _minhash_dedup_docs_real,
     "line_dedup_docs": _line_dedup_docs_real,
     "semantic_dedup_embeddings": _semantic_dedup_real,

@@ -723,25 +723,30 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
     (seq_id, input_ids array<int>, n_docs) where ``n_docs`` counts
     the documents contributing to the window.
 
-    Plan shape at 100 TB: the global token offsets come from a
-    TWO-PHASE prefix sum (range-partition by id → per-partition token
-    totals, a |partitions|-row collect → cumulative offsets broadcast
-    back + a per-partition window that parallelizes across
-    partitions) — the ``with_row_index`` recipe, never a single
-    global window task. The explode/groupBy that follows moves the
-    token stream once, keyed by dense sequence ids; that volume IS
-    the output, so it is inherent, not overhead."""
-    from pyspark.sql import Window
+    Plan shape at 100 TB: a two-phase distributed prefix sum with
+    ZERO window nodes. Range-partition + sort-within-partitions puts
+    the corpus in global ``id_col`` order; exploding AFTER that sort
+    means ``monotonically_increasing_id`` (partition id << 33 |
+    in-partition row offset — the ``with_row_index`` recipe) hands
+    each token its in-partition STREAM offset directly, so the global
+    position is just a broadcast-joined per-partition base + the mid
+    low bits. The only token-volume exchanges are the range
+    repartition (inherent: the layout is a global order) and the
+    groupBy on dense sequence ids (inherent: that volume IS the
+    output). Per-partition totals cost one tiny doc-level count job
+    (|partitions| rows collected), exactly like ``RDD.zipWithIndex``."""
     spark = df.sparkSession
     base = df.select(F.col(id_col), F.col(ids_col))
     if eos_id is not None:
         base = base.withColumn(
             ids_col, F.concat(F.col(ids_col),
                               F.array(F.lit(int(eos_id)).cast("int"))))
-    base = base.withColumn("__nt__", F.size(ids_col))
     part = (base.repartitionByRange(F.col(id_col))
-            .withColumn("__pid__", F.spark_partition_id()))
-    sums = (part.groupBy("__pid__")
+            .sortWithinPartitions(id_col))
+    sums = (part
+            .select(F.spark_partition_id().alias("__pid__"),
+                    F.size(ids_col).alias("__nt__"))
+            .groupBy("__pid__")
             .agg(F.sum("__nt__").alias("__s__")).collect())
     sums.sort(key=lambda r: r["__pid__"])
     offsets, acc = [], 0
@@ -753,17 +758,18 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
     if not offsets or total == 0:
         return spark.createDataFrame([], out_schema)
     off_df = spark.createDataFrame(offsets, "__pid__ int, __off__ long")
-    w = (Window.partitionBy("__pid__").orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    withoff = (part.join(F.broadcast(off_df), "__pid__")
-               .withColumn("__cum__", F.sum("__nt__").over(w))
-               .withColumn("__start__", F.col("__off__")
-                           + F.col("__cum__") - F.col("__nt__")))
-    pos = F.col("__start__") + F.col("__i__")
-    toks = (withoff
-            .select(id_col, "__start__",
-                    F.posexplode(ids_col).alias("__i__", "__tok__"))
-            .select(id_col, pos.alias("__pos__"), "__tok__"))
+    mid = F.col("__mid__")
+    toks = (part
+            .select(id_col, F.posexplode(ids_col).alias("__i__", "__tok__"))
+            .withColumn("__mid__", F.monotonically_increasing_id())
+            .withColumn("__pid__",
+                        F.shiftrightunsigned(mid, 33).cast("int"))
+            .join(F.broadcast(off_df), "__pid__")
+            .select(id_col,
+                    (F.col("__off__")
+                     + mid.bitwiseAND(F.lit((1 << 33) - 1)))
+                    .alias("__pos__"),
+                    "__tok__"))
     seqs = (toks.withColumn(
                 "__seq__",
                 F.floor(F.col("__pos__") / F.lit(seq_len)).cast("long"))

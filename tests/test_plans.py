@@ -264,3 +264,20 @@ def test_census_ops_never_broadcast_doc_keyed_sides(spark, qs):
     assert broadcast_join_count(
         qs["substring_dedup_docs"](spark, SF)) <= 1
     assert broadcast_join_count(qs["line_dedup_docs"](spark, SF)) <= 1
+
+
+def test_pack_sequences_two_shuffles_no_window(spark, qs):
+    """Concat-and-chunk packing must move the token stream exactly
+    twice (range repartition for the global order + the output
+    groupBy) with NO window node and NO SinglePartition exchange —
+    the global prefix sum comes from the monotonically_increasing_id
+    bit-pack + a broadcast-joined per-partition base, so the layout
+    stays distributed at 100 TB."""
+    from tablite_spark.plans.audit import _formatted
+    df = qs["pack_sequences_docs"](spark, SF)
+    s = _formatted(df)
+    assert "Exchange SinglePartition" not in s
+    assert "Window" not in s, s
+    r = plan_report(df)
+    assert r["shuffles"] == 2, r
+    assert r["broadcast_joins"] == 1, r
