@@ -723,30 +723,52 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
     (seq_id, input_ids array<int>, n_docs) where ``n_docs`` counts
     the documents contributing to the window.
 
-    Plan shape at 100 TB: a two-phase distributed prefix sum with
-    ZERO window nodes. Range-partition + sort-within-partitions puts
-    the corpus in global ``id_col`` order; exploding AFTER that sort
-    means ``monotonically_increasing_id`` (partition id << 33 |
-    in-partition row offset — the ``with_row_index`` recipe) hands
-    each token its in-partition STREAM offset directly, so the global
-    position is just a broadcast-joined per-partition base + the mid
-    low bits. The only token-volume exchanges are the range
-    repartition (inherent: the layout is a global order) and the
-    groupBy on dense sequence ids (inherent: that volume IS the
-    output). Per-partition totals cost one tiny doc-level count job
-    (|partitions| rows collected), exactly like ``RDD.zipWithIndex``."""
+    Plan shape at 100 TB: a two-phase distributed prefix sum whose
+    bucketing is a PURE FUNCTION of the id value. Spark's own range
+    exchange cannot anchor a two-job prefix sum: the RangePartitioner
+    seeds its bound-sampling with the RDD id, so two evaluations of
+    the same plan draw DIFFERENT bounds (a 1M-doc validation run
+    reproduced mis-stitched windows). Instead the driver computes
+    range bounds once (one approxQuantile pass for numeric ids, a
+    seeded sample otherwise), derives ``__pid__`` deterministically
+    from ``id_col``, and the per-bucket token totals (a tiny
+    |buckets|-row agg job) broadcast back as cumulative bases; a
+    window PARTITIONED BY the bucket (hash exchange — deterministic,
+    unlike range) supplies the within-bucket running sum. The only
+    token-volume exchanges are that bucket exchange and the output
+    groupBy on dense sequence ids — both inherent. Assumes non-null,
+    unique ``id_col`` (ties would make stream positions ambiguous —
+    the same assumption any total order needs)."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import NumericType
     spark = df.sparkSession
     base = df.select(F.col(id_col), F.col(ids_col))
     if eos_id is not None:
         base = base.withColumn(
             ids_col, F.concat(F.col(ids_col),
                               F.array(F.lit(int(eos_id)).cast("int"))))
-    part = (base.repartitionByRange(F.col(id_col))
-            .sortWithinPartitions(id_col))
-    sums = (part
-            .select(F.spark_partition_id().alias("__pid__"),
-                    F.size(ids_col).alias("__nt__"))
-            .groupBy("__pid__")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if isinstance(df.schema[id_col].dataType, NumericType):
+        qs = [i / n_part for i in range(1, n_part)]
+        bounds = base.stat.approxQuantile(id_col, qs, 0.01)
+    else:
+        cnt = base.select(id_col).count()
+        frac = min(1.0, (n_part * 200) / max(cnt, 1))
+        samp = sorted(r[0] for r in base.select(id_col)
+                      .sample(False, frac, seed=13).collect())
+        bounds = [samp[int(len(samp) * i / n_part)]
+                  for i in range(1, n_part)] if samp else []
+    bounds = sorted(set(bounds))
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.aggregate(
+            barr, F.lit(0),
+            lambda a, b: a + F.when(F.col(id_col) >= b, 1).otherwise(0))
+    else:
+        pid = F.lit(0)
+    tagged = base.withColumn("__pid__", pid).withColumn(
+        "__nt__", F.size(ids_col))
+    sums = (tagged.groupBy("__pid__")
             .agg(F.sum("__nt__").alias("__s__")).collect())
     sums.sort(key=lambda r: r["__pid__"])
     offsets, acc = [], 0
@@ -758,30 +780,41 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
     if not offsets or total == 0:
         return spark.createDataFrame([], out_schema)
     off_df = spark.createDataFrame(offsets, "__pid__ int, __off__ long")
-    mid = F.col("__mid__")
-    toks = (part
-            .select(id_col, F.posexplode(ids_col).alias("__i__", "__tok__"))
-            .withColumn("__mid__", F.monotonically_increasing_id())
-            .withColumn("__pid__",
-                        F.shiftrightunsigned(mid, 33).cast("int"))
-            .join(F.broadcast(off_df), "__pid__")
-            .select(id_col,
-                    (F.col("__off__")
-                     + mid.bitwiseAND(F.lit((1 << 33) - 1)))
-                    .alias("__pos__"),
-                    "__tok__"))
+    w = (Window.partitionBy("__pid__").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pos = F.col("__start__") + F.col("__i__")
+    toks = (tagged.join(F.broadcast(off_df), "__pid__")
+            .withColumn("__cum__", F.sum("__nt__").over(w))
+            .withColumn("__start__", F.col("__off__")
+                        + F.col("__cum__") - F.col("__nt__"))
+            .select("__start__",
+                    F.posexplode(ids_col).alias("__i__", "__tok__"))
+            .select(pos.alias("__pos__"), "__tok__",
+                    (F.col("__i__") == 0).alias("__ds__")))
+    # n_docs without countDistinct: docs are CONTIGUOUS in the
+    # stream, so distinct docs in a window = docs STARTING in it
+    # (their first token, __ds__) + 1 if the window opens mid-doc
+    # (its first slot, pos % seq_len == 0, is a non-first token).
+    # countDistinct would plan a second full-token-volume exchange
+    # on (seq, doc) — this form stays a one-exchange combinable agg
+    # and doc_id never enters the shuffle payload.
     seqs = (toks.withColumn(
                 "__seq__",
                 F.floor(F.col("__pos__") / F.lit(seq_len)).cast("long"))
             .groupBy("__seq__")
             .agg(F.array_sort(F.collect_list(
                      F.struct("__pos__", "__tok__"))).alias("__ts__"),
-                 F.countDistinct(F.col(id_col)).alias("n_docs"))
+                 F.sum(F.when(F.col("__ds__"), 1).otherwise(0))
+                  .alias("__nstart__"),
+                 F.max(F.when((F.col("__pos__") % seq_len == 0)
+                              & ~F.col("__ds__"), 1).otherwise(0))
+                  .alias("__open__"))
             .select(F.col("__seq__").alias("seq_id"),
                     F.transform("__ts__",
                                 lambda s: s.getField("__tok__"))
                      .alias("input_ids"),
-                    F.col("n_docs").cast("long").alias("n_docs")))
+                    (F.col("__nstart__") + F.col("__open__"))
+                    .cast("long").alias("n_docs")))
     if drop_last and total % seq_len:
         seqs = seqs.filter(F.col("seq_id") < total // seq_len)
     return seqs

@@ -268,16 +268,17 @@ def test_census_ops_never_broadcast_doc_keyed_sides(spark, qs):
 
 def test_pack_sequences_two_shuffles_no_window(spark, qs):
     """Concat-and-chunk packing must move the token stream exactly
-    twice (range repartition for the global order + the output
-    groupBy) with NO window node and NO SinglePartition exchange —
-    the global prefix sum comes from the monotonically_increasing_id
-    bit-pack + a broadcast-joined per-partition base, so the layout
-    stays distributed at 100 TB."""
+    twice — the deterministic-bucket exchange feeding the
+    PARTITIONED prefix-sum window, and the output groupBy on dense
+    sequence ids — with NO SinglePartition exchange anywhere (the
+    prefix sum is per-bucket with broadcast-joined cumulative bases,
+    never a global window task), and n_docs must come from the
+    combinable boundary-count agg, not a countDistinct (which would
+    plan a third full-token-volume exchange on (seq, doc))."""
     from tablite_spark.plans.audit import _formatted
     df = qs["pack_sequences_docs"](spark, SF)
     s = _formatted(df)
     assert "Exchange SinglePartition" not in s
-    assert "Window" not in s, s
     r = plan_report(df)
     assert r["shuffles"] == 2, r
     assert r["broadcast_joins"] == 1, r
