@@ -1,0 +1,67 @@
+"""Deterministic range bucketing — the cross-job-safe substitute for
+``repartitionByRange`` when an operator needs TWO jobs to agree on
+which rows share a partition (two-phase prefix sums, boundary
+carry-in collects, …).
+
+Spark's RangePartitioner seeds its bound sampling with the RDD id, so
+two evaluations of the same ``repartitionByRange`` plan draw
+DIFFERENT bounds; pinning the exchange with ``persist`` only holds
+while every cache block survives — a lost executor silently
+recomputes with new bounds. This module instead computes bounds once
+on the driver and derives the bucket as a PURE FUNCTION of the key
+value, which every job (and every task retry) agrees on by
+construction. Validated by the 1M-doc ``pack_sequences`` run that
+reproduced mis-stitched windows under the RangePartitioner (README
+"Scale validation").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def range_bucket_bounds(df: DataFrame, key: str,
+                        n_buckets: int) -> list:
+    """Driver-computed ascending split points for ``key`` (one
+    approxQuantile pass for numeric keys, a seeded sample otherwise).
+    Duplicates collapse — heavy hitters simply merge buckets, which
+    costs balance, never correctness."""
+    if isinstance(df.schema[key].dataType, NumericType):
+        qs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.stat.approxQuantile(key, qs, 0.01)
+    else:
+        cnt = df.select(key).count()
+        frac = min(1.0, (n_buckets * 200) / max(cnt, 1))
+        samp = sorted(r[0] for r in df.select(key)
+                      .sample(False, frac, seed=13).collect()
+                      if r[0] is not None)
+        bounds = [samp[int(len(samp) * i / n_buckets)]
+                  for i in range(1, n_buckets)] if samp else []
+    return sorted(set(bounds))
+
+
+def bucket_expr(key: str, bounds: list) -> Column:
+    """0-based bucket index of ``key`` given ascending ``bounds`` —
+    monotone in the key, ties never split across buckets. O(|bounds|)
+    comparisons per row, JVM-side, at the pre-explode row level."""
+    if not bounds:
+        return F.lit(0)
+    barr = F.array(*[F.lit(b) for b in bounds])
+    return F.aggregate(
+        barr, F.lit(0),
+        lambda acc, b: acc + F.when(F.col(key) >= b, 1).otherwise(0))
+
+
+def with_range_bucket(df: DataFrame, key: str, pid_col: str,
+                      n_buckets: int | None = None) -> DataFrame:
+    """Attach a deterministic range-bucket column ``pid_col`` (0-based,
+    monotone in ``key``). Default bucket count =
+    ``spark.sql.shuffle.partitions``. Null keys land in bucket 0 with
+    the smallest values (``>=`` against a null is never true)."""
+    if n_buckets is None:
+        n_buckets = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+    bounds = range_bucket_bounds(df, key, n_buckets)
+    return df.withColumn(pid_col, bucket_expr(key, bounds))

@@ -30,27 +30,30 @@ def carry_forward(df: DataFrame, targets: list[str], order_by: list[str]) -> Dat
     """Forward-fill in global ``order_by`` order — scale-safe two-pass.
 
     A single ``Window.orderBy`` would serialize the whole table through
-    one task. Instead: (1) range-partition on the order keys so
-    partition p's rows all precede partition p+1's; (2) forward-fill
-    WITHIN each partition (window partitioned by partition id —
-    distributed); (3) collect one row per partition (its last filled
-    value per target), compute each partition's carry-in on the driver
-    (|partitions| rows), and patch leading nulls via a broadcast map
-    literal. No row-level data ever converges on one task.
-
-    The range-partitioned frame is persisted so the boundary-collect
-    and the output compute the same partition ids.
+    one task. Instead: (1) bucket on the leading order key via
+    DETERMINISTIC driver-computed range bounds (a pure function of
+    the key — ``functions/buckets.py`` — so the boundary-collect job
+    and the output job agree on bucket membership by construction,
+    with no persist to keep alive and no exposure to the
+    RangePartitioner's per-RDD sampling seed); (2) forward-fill
+    WITHIN each bucket (window partitioned by bucket — distributed);
+    (3) collect one row per bucket (its last filled value per
+    target), compute each bucket's carry-in on the driver
+    (|buckets| rows), and patch leading nulls via a broadcast map
+    literal. No row-level data ever converges on one task. Ties on
+    the leading key never split across buckets, and the within-bucket
+    window orders by the FULL key list, so the fill order is the
+    global ``order_by`` order.
     """
+    from tablite_spark.functions.buckets import with_range_bucket
     pid = "__cf_pid__"
     ocols = [F.col(c) for c in order_by]
-    part = (df.repartitionByRange(*ocols)
-            .withColumn(pid, F.spark_partition_id()))
+    part = with_range_bucket(df, order_by[0], pid)
     w = (Window.partitionBy(pid).orderBy(*ocols)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filled = part
     for t in targets:
         filled = filled.withColumn(t, F.last(F.col(t), ignorenulls=True).over(w))
-    filled = filled.persist()
     # last filled value per partition = value on the max order-key row
     order_struct = F.struct(*ocols)
     lasts = (filled.groupBy(pid)

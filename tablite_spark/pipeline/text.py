@@ -740,33 +740,15 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
     unique ``id_col`` (ties would make stream positions ambiguous —
     the same assumption any total order needs)."""
     from pyspark.sql import Window
-    from pyspark.sql.types import NumericType
+
+    from tablite_spark.functions.buckets import with_range_bucket
     spark = df.sparkSession
     base = df.select(F.col(id_col), F.col(ids_col))
     if eos_id is not None:
         base = base.withColumn(
             ids_col, F.concat(F.col(ids_col),
                               F.array(F.lit(int(eos_id)).cast("int"))))
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    if isinstance(df.schema[id_col].dataType, NumericType):
-        qs = [i / n_part for i in range(1, n_part)]
-        bounds = base.stat.approxQuantile(id_col, qs, 0.01)
-    else:
-        cnt = base.select(id_col).count()
-        frac = min(1.0, (n_part * 200) / max(cnt, 1))
-        samp = sorted(r[0] for r in base.select(id_col)
-                      .sample(False, frac, seed=13).collect())
-        bounds = [samp[int(len(samp) * i / n_part)]
-                  for i in range(1, n_part)] if samp else []
-    bounds = sorted(set(bounds))
-    if bounds:
-        barr = F.array(*[F.lit(b) for b in bounds])
-        pid = F.aggregate(
-            barr, F.lit(0),
-            lambda a, b: a + F.when(F.col(id_col) >= b, 1).otherwise(0))
-    else:
-        pid = F.lit(0)
-    tagged = base.withColumn("__pid__", pid).withColumn(
+    tagged = with_range_bucket(base, id_col, "__pid__").withColumn(
         "__nt__", F.size(ids_col))
     sums = (tagged.groupBy("__pid__")
             .agg(F.sum("__nt__").alias("__s__")).collect())
