@@ -2244,6 +2244,32 @@ def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
         "n_docs")
 
 
+def bucketed_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-free co-located join (operators/bucketing.py, round
+    6): orders and customer are written once bucketed on the join
+    key (hash(key) % 4 files), then joined with ZERO exchanges —
+    the bucketed scans' hash partitioning feeds sort-merge join
+    directly (plan-gated in tests/test_bucketing.py). The revenue-
+    by-segment values must equal DuckDB's plain join, proving
+    co-location changes the PLAN, never the result."""
+    import tempfile
+
+    from tablite_spark.operators.bucketing import (
+        bucketed_join, save_bucketed,
+    )
+    tmp = tempfile.mkdtemp(prefix="q_bkt_")
+    save_bucketed(_t(spark, sf, "orders"), "q_bkt_orders",
+                  ["o_custkey"], 4, path=f"{tmp}/orders")
+    save_bucketed(_t(spark, sf, "customer"), "q_bkt_customer",
+                  ["c_custkey"], 4, path=f"{tmp}/customer")
+    j = bucketed_join(spark, "q_bkt_orders", "q_bkt_customer",
+                      on=[F.col("o_custkey") == F.col("c_custkey")])
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.countDistinct("o_custkey").alias("n_custs")))
+
+
 def zorder_events(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (operators/layout.py, round
     6): the 16-bit interleave of (user_id, event-time) over events,
@@ -2424,6 +2450,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdf5_vlen_roundtrip": hdf5_vlen_roundtrip,
         "salted_join_equivalence": salted_join_equivalence,
         "zorder_events": zorder_events,
+        "bucketed_join_revenue": bucketed_join_revenue,
         "pack_sequences_docs": pack_sequences_docs,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -3377,6 +3404,14 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "zorder_events": _zorder_oracle(),
+        "bucketed_join_revenue": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(DISTINCT o_custkey) AS n_custs
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
         "pack_sequences_docs": """
             WITH lists AS (
                 SELECT doc_id,
