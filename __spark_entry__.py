@@ -2270,6 +2270,23 @@ def bucketed_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
                  F.countDistinct("o_custkey").alias("n_custs")))
 
 
+def bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword retrieval (pipeline/retrieval.py, round 6 —
+    beyond reference): top-5 documents for three literal topic
+    probes. Posting-list pipeline: ONE token-volume shuffle builds
+    (doc, term, tf); query terms and the query-term df subset
+    broadcast-join into it, so only docs sharing a probe term are
+    scored. Deterministic ranking (score rounded to 6 dp, ties by
+    doc_id) lets DuckDB reproduce the exact rows with the same
+    Robertson idf / Lucene non-negative form."""
+    from tablite_spark.pipeline.retrieval import bm25_search
+    d = _t(spark, sf, "documents")
+    qs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "customer query batch"),
+         (3, "vector scan merge")], "qid long, qtext string")
+    return bm25_search(d, qs, k=5)
+
+
 def zorder_events(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (operators/layout.py, round
     6): the 16-bit interleave of (user_id, event-time) over events,
@@ -2451,6 +2468,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_equivalence": salted_join_equivalence,
         "zorder_events": zorder_events,
         "bucketed_join_revenue": bucketed_join_revenue,
+        "bm25_search_docs": bm25_search_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -3404,6 +3422,54 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "zorder_events": _zorder_oracle(),
+        "bm25_search_docs": """
+            WITH q(qid, qtext) AS (
+                VALUES (1, 'spark window agg'),
+                       (2, 'customer query batch'),
+                       (3, 'vector scan merge')),
+            toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'), x -> x <> ''))
+                           AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, SUM(tf) AS dl
+                   FROM tf GROUP BY doc_id),
+            consts AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, COUNT(*) AS df
+                    FROM tf GROUP BY term),
+            qt AS (SELECT DISTINCT qid,
+                          unnest(list_filter(regexp_split_to_array(
+                              lower(qtext), '[^a-z0-9]+'),
+                              x -> x <> '')) AS term
+                   FROM q),
+            scored AS (
+                SELECT qt.qid, tf.doc_id,
+                       ROUND(SUM(
+                           ln(1 + (consts.n - dft.df + 0.5)
+                                  / (dft.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                             / consts.avgdl))), 6)
+                           AS score
+                FROM tf
+                JOIN qt USING (term)
+                JOIN dft USING (term)
+                JOIN dl USING (doc_id), consts
+                GROUP BY qt.qid, tf.doc_id
+            )
+            SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+                   CAST(rank AS INT) AS rank, score
+            FROM (SELECT qid, doc_id,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY score DESC, doc_id) AS rank,
+                         score
+                  FROM scored)
+            WHERE rank <= 5
+        """,
         "bucketed_join_revenue": """
             SELECT c_mktsegment,
                    COUNT(*) AS n_orders,

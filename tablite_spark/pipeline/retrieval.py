@@ -1,0 +1,103 @@
+"""Keyword retrieval over document corpora — BM25 (Robertson/
+Sparck Jones probabilistic relevance) as a posting-list pipeline.
+
+A training-data pipeline needs retrieval for targeted curation
+(find documents matching a topic probe), decontamination triage, and
+quality auditing. This implements the standard BM25 ranking function
+Spark-first: one token-volume shuffle builds the (doc, term, tf)
+posting frame; document lengths, document frequencies, and the
+corpus constants all derive from that frame with SMALLER follow-up
+aggregations; the (tiny) query term set broadcast-joins INTO the
+postings so only documents sharing a query term are ever scored or
+moved — never a docs × queries product.
+
+Scale path at 100 TB: the posting frame is the inverted index. Build
+it once with ``build_postings`` and pass it to repeated
+``bm25_search(postings=...)`` calls (the reference engine's analogue
+is its sorted-page column index; tablite core has no retrieval op —
+this is a beyond-reference capability).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT),
+                    lambda t: t != "")
+
+
+def build_postings(docs: DataFrame, text_col: str,
+                   id_col: str) -> DataFrame:
+    """(id, term, tf, dl) posting frame — the inverted index. One
+    token-volume shuffle (the groupBy that builds term frequencies);
+    per-document length joins back from a re-aggregation of the tf
+    frame itself (distinct terms per doc — far smaller than the
+    token stream)."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(_tokens(F.col(text_col))).alias("term"))
+    tf = (toks.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, id_col)
+
+
+def bm25_search(docs: DataFrame | None, queries: DataFrame,
+                text_col: str = "text", id_col: str = "doc_id",
+                qid_col: str = "qid", qtext_col: str = "qtext",
+                k: int = 10, k1: float = 1.2, b: float = 0.75,
+                postings: DataFrame | None = None) -> DataFrame:
+    """Top-``k`` documents per query under BM25.
+
+    Returns (qid, id, rank, score) with ``score`` rounded to 6
+    decimals and ties broken by ascending id — fully deterministic,
+    so an independent engine reproduces the exact ranking.
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))`` (the
+    Lucene-standard non-negative form);
+    ``score = Σ idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Pass a prebuilt ``postings`` frame (from :func:`build_postings`)
+    to amortize the index across query batches; else it is built
+    from ``docs``."""
+    if postings is None:
+        postings = build_postings(docs, text_col, id_col)
+    stats = postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
+    consts = stats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl")).first()
+    n_docs, avgdl = int(consts["n"]), float(consts["avgdl"] or 0.0)
+    if n_docs == 0:
+        return queries.sparkSession.createDataFrame(
+            [], f"{qid_col} long, {id_col} long, rank int, score double")
+    df_t = (postings.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df")))
+    qterms = (queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(_tokens(F.col(qtext_col))))
+        .alias("term")).distinct())
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
+                              + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    denom = (F.col("tf") + F.lit(k1)
+             * (F.lit(1.0 - b) + F.lit(b) * F.col("dl")
+                / F.lit(avgdl or 1.0)))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    scored = (postings
+              .join(F.broadcast(qterms), "term")
+              .join(F.broadcast(df_t.join(
+                  F.broadcast(qterms.select("term").distinct()),
+                  "term")), "term")
+              .groupBy(qid_col, id_col)
+              .agg(F.round(F.sum(contrib), 6).alias("score")))
+    w = (Window.partitionBy(qid_col)
+         .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "rank", "score"))

@@ -1724,3 +1724,50 @@ def test_vocab_divergence(spark):
     assert far["js_micronats"] > 100_000  # disjoint => large divergence
     rev = vocab_divergence(z, a, "text").first()
     assert rev["js_micronats"] == far["js_micronats"]  # symmetric
+
+
+def test_bm25_tiny_corpus_handchecked(spark):
+    """BM25 on a 4-doc corpus against hand-derived properties: the
+    doc containing both query terms outranks single-term docs; a
+    term-free doc never appears; prebuilt postings give identical
+    results to the docs path."""
+    from tablite_spark.pipeline.retrieval import (
+        bm25_search, build_postings,
+    )
+    docs = spark.createDataFrame(
+        [(1, "cat sat on the mat"),
+         (2, "cat cat cat chased the dog"),
+         (3, "dog barked at the cat"),
+         (4, "fish swim in water")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame([(1, "cat dog")], "qid long, qtext string")
+    out = bm25_search(docs, qs, k=10).collect()
+    by_rank = {r["rank"]: r for r in out}
+    got_ids = {r["doc_id"] for r in out}
+    assert 4 not in got_ids
+    assert got_ids == {1, 2, 3}
+    # both-term docs (2, 3) outrank the cat-only doc 1
+    assert {by_rank[1]["doc_id"], by_rank[2]["doc_id"]} == {2, 3}
+    assert by_rank[3]["doc_id"] == 1
+    post = build_postings(docs, "text", "doc_id")
+    out2 = bm25_search(None, qs, k=10, postings=post).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out))
+
+
+def test_bm25_plan_broadcasts_queries_not_corpus(spark):
+    """Plan gate: the query-term side and its df subset broadcast;
+    the posting build is the only token-volume groupBy; no
+    SinglePartition exchange (the per-qid ranking window partitions
+    by qid)."""
+    from tablite_spark.pipeline.retrieval import bm25_search
+    from tablite_spark.plans import plan_report
+    from tablite_spark.plans.audit import _formatted
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    qs = spark.createDataFrame([(1, "spark window agg")],
+                               "qid long, qtext string")
+    df = bm25_search(docs, qs, k=5)
+    r = plan_report(df)
+    s = _formatted(df)
+    assert r["broadcast_joins"] >= 2, r
+    assert "Exchange SinglePartition" not in s, s
