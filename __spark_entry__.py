@@ -2287,6 +2287,34 @@ def bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_search(d, qs, k=5)
 
 
+def column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass sketch profile (operators/stats.py:
+    profile_columns, round 6): n / nulls / HLL++ distinct / min /
+    max / mean for four lineitem columns in ONE aggregation job —
+    the 100 TB data-profiling pass where per-column exact
+    countDistincts would each cost a shuffle. The HLL estimate
+    cannot be replayed by another engine, so the oracle contract is:
+    exact fields must MATCH DuckDB exactly, and `distinct_ok` is
+    computed HONESTLY Spark-side (|HLL − exact| ≤ 3·rsd·exact,
+    exact via countDistinct in this validation query only) while
+    DuckDB pins the expectation TRUE — a sketch drifting out of
+    bound flips the value and reddens the row."""
+    from tablite_spark.operators.stats import profile_columns
+    li = _t(spark, sf, "lineitem")
+    cols = ["l_orderkey", "l_quantity", "l_returnflag",
+            "l_linestatus"]
+    prof = profile_columns(li, cols, rsd=0.05)
+    exact = li.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]).first()
+    ex_df = spark.createDataFrame(
+        [(c, int(exact[c])) for c in cols], "column string, ex long")
+    return (prof.join(F.broadcast(ex_df), "column")
+            .select("column", "n", "n_nulls", "min", "max",
+                    F.round("mean", 6).alias("mean_r"),
+                    (F.abs(F.col("approx_distinct") - F.col("ex"))
+                     <= 0.15 * F.col("ex")).alias("distinct_ok")))
+
+
 def zorder_events(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (operators/layout.py, round
     6): the 16-bit interleave of (user_id, event-time) over events,
@@ -2469,6 +2497,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_events": zorder_events,
         "bucketed_join_revenue": bucketed_join_revenue,
         "bm25_search_docs": bm25_search_docs,
+        "column_profile": column_profile,
         "pack_sequences_docs": pack_sequences_docs,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -3422,6 +3451,36 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "zorder_events": _zorder_oracle(),
+        "column_profile": """
+            SELECT 'l_orderkey' AS "column", COUNT(*) AS n,
+                   COUNT(*) - COUNT(l_orderkey) AS n_nulls,
+                   CAST(MIN(l_orderkey) AS VARCHAR) AS min,
+                   CAST(MAX(l_orderkey) AS VARCHAR) AS max,
+                   ROUND(AVG(CAST(l_orderkey AS DOUBLE)), 6) AS mean_r,
+                   TRUE AS distinct_ok
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', COUNT(*),
+                   COUNT(*) - COUNT(l_quantity),
+                   CAST(MIN(l_quantity) AS VARCHAR),
+                   CAST(MAX(l_quantity) AS VARCHAR),
+                   ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6), TRUE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_returnflag', COUNT(*),
+                   COUNT(*) - COUNT(l_returnflag),
+                   CAST(MIN(l_returnflag) AS VARCHAR),
+                   CAST(MAX(l_returnflag) AS VARCHAR),
+                   CAST(NULL AS DOUBLE), TRUE
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_linestatus', COUNT(*),
+                   COUNT(*) - COUNT(l_linestatus),
+                   CAST(MIN(l_linestatus) AS VARCHAR),
+                   CAST(MAX(l_linestatus) AS VARCHAR),
+                   CAST(NULL AS DOUBLE), TRUE
+            FROM lineitem
+        """,
         "bm25_search_docs": """
             WITH q(qid, qtext) AS (
                 VALUES (1, 'spark window agg'),

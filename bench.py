@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     # round-6 operators
     "zorder_events",
     "pack_sequences_docs",
+    "bm25_search_docs",
+    "bucketed_join_revenue",
 ]
 
 

@@ -127,3 +127,47 @@ def type_census(df: DataFrame) -> dict:
             census["NoneType"] = total - nn
         out[field.name] = census
     return out
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None,
+                    rsd: float = 0.05) -> DataFrame:
+    """Single-pass sketch profile of many columns at once — the
+    100 TB data-profiling pass (long format: one row per column with
+    n, n_nulls, approx_distinct, min, max, mean).
+
+    ``approx_distinct`` is HyperLogLog++ at relative standard
+    deviation ``rsd`` (Spark's approx_count_distinct) — a bounded,
+    mergeable sketch where an exact countDistinct per column would
+    cost one full shuffle EACH. Everything is computed in ONE
+    aggregation job with map-side partials; min/max/mean are exact.
+    Non-numeric columns report null mean. Beyond the reference
+    (tablite computes exact distincts per column page); the sketch
+    error bound is pinned by tests and the ``column_profile``
+    oracle's within-bound check."""
+    cols = columns or df.columns
+    dtypes = dict(df.dtypes)
+    numeric = {"tinyint", "smallint", "int", "bigint", "float",
+               "double"} | {d for d in dtypes.values()
+                            if d.startswith("decimal")}
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{c}__nulls"),
+            F.approx_count_distinct(col, rsd).alias(f"{c}__ad"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            (F.avg(col.cast("double"))
+             if dtypes.get(c) in numeric else F.lit(None).cast("double")
+             ).alias(f"{c}__mean"),
+        ]
+    row = df.agg(*aggs).first()
+    out = [(c, int(row[f"{c}__n"]), int(row[f"{c}__nulls"]),
+            int(row[f"{c}__ad"]), row[f"{c}__min"], row[f"{c}__max"],
+            float(row[f"{c}__mean"]) if row[f"{c}__mean"] is not None
+            else None) for c in cols]
+    return df.sparkSession.createDataFrame(
+        out, "column string, n long, n_nulls long, "
+             "approx_distinct long, min string, max string, "
+             "mean double")

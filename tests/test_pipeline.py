@@ -1771,3 +1771,26 @@ def test_bm25_plan_broadcasts_queries_not_corpus(spark):
     s = _formatted(df)
     assert r["broadcast_joins"] >= 2, r
     assert "Exchange SinglePartition" not in s, s
+
+
+def test_pack_sequences_append_stable(spark):
+    """Training-resume property: appending NEW documents with ids
+    above every existing id leaves every previously-complete window
+    bit-identical (positions depend only on the global id order, not
+    on bucket bounds), and extends the stream with new windows."""
+    from tablite_spark.pipeline.text import pack_sequences
+    old = [(i, list(range(i * 10, i * 10 + (3 + i % 4))))
+           for i in range(50)]
+    new = old + [(i, [i, i + 1, i + 2]) for i in range(50, 80)]
+    df_old = spark.createDataFrame(old, "doc_id long, ids array<int>")
+    df_new = spark.createDataFrame(new, "doc_id long, ids array<int>")
+    w_old = {r["seq_id"]: (r["input_ids"], r["n_docs"]) for r in
+             pack_sequences(df_old, "ids", "doc_id", 16, eos_id=-1)
+             .collect()}
+    w_new = {r["seq_id"]: (r["input_ids"], r["n_docs"]) for r in
+             pack_sequences(df_new, "ids", "doc_id", 16, eos_id=-1)
+             .collect()}
+    assert set(w_old) <= set(w_new)
+    for s, v in w_old.items():
+        assert w_new[s] == v, s
+    assert len(w_new) > len(w_old)

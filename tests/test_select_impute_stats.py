@@ -169,3 +169,30 @@ def test_nearest_neighbour_lsh_matches_exact(spark):
     assert None not in approx.values()
     agree = sum(exact[k] == approx[k] for k in exact)
     assert agree >= 58, f"only {agree}/60 match exact NN"
+
+
+def test_profile_columns_bounds_and_exactness(spark):
+    """profile_columns: exact fields exactly right (incl. nulls and
+    non-numeric mean=None), HLL distinct within 3*rsd of truth on a
+    100k-distinct column, and the whole profile is ONE aggregation
+    job (no exchange beyond the final agg)."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.operators.stats import profile_columns
+    n = 200_000
+    df = (spark.range(n)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 1000).alias("small"),
+                  F.when(F.col("id") % 10 == 0, None)
+                  .otherwise(F.concat(F.lit("v"), F.col("id") % 50))
+                  .alias("s")))
+    rows = {r["column"]: r for r in
+            profile_columns(df, rsd=0.05).collect()}
+    assert rows["k"]["n"] == n and rows["k"]["n_nulls"] == 0
+    assert rows["s"]["n_nulls"] == n // 10
+    assert rows["small"]["min"] == "0" and rows["small"]["max"] == "999"
+    assert rows["small"]["mean"] == pytest.approx(499.5)
+    assert rows["s"]["mean"] is None
+    assert abs(rows["k"]["approx_distinct"] - n) <= 0.15 * n
+    assert abs(rows["small"]["approx_distinct"] - 1000) <= 150
+    assert abs(rows["s"]["approx_distinct"] - 50) <= 10
