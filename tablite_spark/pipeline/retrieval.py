@@ -45,8 +45,11 @@ def build_postings(docs: DataFrame, text_col: str,
         F.explode(_tokens(F.col(text_col))).alias("term"))
     tf = (toks.groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    return tf.join(dl, id_col)
+    # dl via an unordered window over the tf frame — one (small,
+    # distinct-terms-sized) exchange on id, instead of a groupBy +
+    # join-back that would shuffle the frame twice
+    w = Window.partitionBy(id_col)
+    return tf.withColumn("dl", F.sum("tf").over(w))
 
 
 def bm25_search(docs: DataFrame | None, queries: DataFrame,
@@ -77,12 +80,15 @@ def bm25_search(docs: DataFrame | None, queries: DataFrame,
     if n_docs == 0:
         return queries.sparkSession.createDataFrame(
             [], f"{qid_col} long, {id_col} long, rank int, score double")
-    df_t = (postings.groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df")))
     qterms = (queries.select(
         F.col(qid_col),
         F.explode(F.array_distinct(_tokens(F.col(qtext_col))))
         .alias("term")).distinct())
+    qterm_set = qterms.select("term").distinct()
+    # df only for QUERY terms: semi-join BEFORE the count so the
+    # term groupBy shuffles matching postings only
+    df_t = (postings.join(F.broadcast(qterm_set), "term")
+            .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
     idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df")
                               + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
     denom = (F.col("tf") + F.lit(k1)
@@ -91,9 +97,7 @@ def bm25_search(docs: DataFrame | None, queries: DataFrame,
     contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
     scored = (postings
               .join(F.broadcast(qterms), "term")
-              .join(F.broadcast(df_t.join(
-                  F.broadcast(qterms.select("term").distinct()),
-                  "term")), "term")
+              .join(F.broadcast(df_t), "term")
               .groupBy(qid_col, id_col)
               .agg(F.round(F.sum(contrib), 6).alias("score")))
     w = (Window.partitionBy(qid_col)

@@ -1771,6 +1771,10 @@ def test_bm25_plan_broadcasts_queries_not_corpus(spark):
     s = _formatted(df)
     assert r["broadcast_joins"] >= 2, r
     assert "Exchange SinglePartition" not in s, s
+    # dl comes from a window over the tf frame (no join-back) and
+    # df_t semi-joins query terms BEFORE counting; regression above
+    # this count means a shuffle crept back in (first draft: 10)
+    assert r["shuffles"] <= 7, r
 
 
 def test_pack_sequences_append_stable(spark):
