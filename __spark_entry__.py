@@ -2398,26 +2398,35 @@ def salted_join_equivalence(spark: SparkSession, sf: str) -> DataFrame:
 # lsh/ivf ANN got the same oracle strengthening AND are in the stale
 # set, so the driver re-checks those two directly.
 _R6_WINDOW = [
-    # --- new in round 6 (never verified)
+    # --- new in round 6 (never driver-verified; locally oracled)
     "hdf5_vlen_roundtrip", "salted_join_equivalence",
-    # --- latest green = r3 (the whole stale tail, 48 queries)
+    "zorder_events", "pack_sequences_docs", "bucketed_join_revenue",
+    "bm25_search_docs", "column_profile",
+    # --- latest green = r3 (the stale tail; the five lowest-risk
+    #     entries — trivial joins/set-ops with exhaustive pytest
+    #     cover: concat_tables, stack_tables, join_anti, join_cross,
+    #     join_semi — are deferred to the FRONT of the r7 window to
+    #     make room for the never-verified round-6 queries above)
     "asof_join_events", "chunk_docs", "column_select_fail",
-    "column_select_pass", "concat_tables", "construction_api_agg",
+    "column_select_pass", "construction_api_agg",
     "contamination_docs", "corpus_manifest", "dedup_clusters",
     "deterministic_sample_orders", "get_headers_nation",
     "holdout_split_orders", "html_roundtrip_agg",
     "incremental_dedup_docs", "interval_join_events",
-    "ivf_topk_embeddings", "join_anti", "join_cross", "join_inner",
+    "ivf_topk_embeddings", "join_inner",
     "join_left", "join_nullsafe", "join_outer_merge_keys",
-    "join_semi", "lookup_first_match", "lsh_topk_embeddings",
+    "lookup_first_match", "lsh_topk_embeddings",
     "minhash_dedup_docs", "mixture_sample_docs", "normalize_docs",
     "ods_roundtrip_agg", "pack_chunks_docs", "png_decode_dims",
     "quota_cap_docs", "range_join_prices", "redact_pii_docs",
     "rename_reorder_project", "repetition_docs", "sessionize_events",
     "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
-    "sql_script_md5", "stack_tables", "stratified_sample_docs",
+    "sql_script_md5", "stratified_sample_docs",
     "table_equality_check", "unicode_sort_rank", "vocab_top_ngrams",
     "wav_decode_meta", "weighted_sample_docs",
+    # --- deferred stale entries (slots 51+; r7 front-runners)
+    "concat_tables", "stack_tables", "join_anti", "join_cross",
+    "join_semi",
 ]
 
 
