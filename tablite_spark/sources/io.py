@@ -490,6 +490,48 @@ def load(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def save_sharded(df: DataFrame, path: str, target_mb: int = 512,
+                 compression: str = "snappy",
+                 sample_rows: int = 10_000) -> dict:
+    """Write parquet with SIZE-TARGETED output files — the
+    operational lever at 100 TB, where uncontrolled writes produce
+    either the small-files problem (a shuffle stage with 10k tasks →
+    10k tiny files per partition key, metadata-bound scans) or
+    multi-GB files no executor can read-ahead efficiently.
+
+    Per-row on-disk bytes are estimated from a driver-side sample
+    (Arrow-serialized then snappy-parquet-written in memory is
+    overkill; the uncompressed in-memory estimate × a 0.4 parquet
+    compression factor tracks within 2× in practice, which is enough
+    to land files inside the 100 MB–1 GB sweet spot). The write uses
+    ``maxRecordsPerFile`` (per-task file rolling, no extra shuffle)
+    plus a coalesce when the frame has far more partitions than
+    target files (coalesce is shuffle-FREE).
+
+    Returns {"rows_per_file": n, "n_files": k} for observability.
+    """
+    import math
+    est = df.limit(sample_rows).toPandas()
+    if len(est) == 0:
+        df.write.mode("overwrite").option(
+            "compression", compression).parquet(path)
+        return {"rows_per_file": 0, "n_files": 0}
+    mem = float(est.memory_usage(index=False, deep=True).sum())
+    bytes_per_row = max(mem / len(est) * 0.4, 1.0)
+    rows_per_file = max(int(target_mb * 1024 * 1024 / bytes_per_row),
+                        1)
+    n_rows = df.count()
+    n_files = max(math.ceil(n_rows / rows_per_file), 1)
+    out = df
+    if df.rdd.getNumPartitions() > 4 * n_files:
+        out = df.coalesce(n_files)
+    (out.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", rows_per_file)
+        .parquet(path))
+    return {"rows_per_file": rows_per_file, "n_files": n_files}
+
+
 def to_csv(df: DataFrame, path: str, sep: str | None = None,
            mode: str = "overwrite") -> None:
     suffix = pathlib.Path(path).suffix.lower()

@@ -133,3 +133,33 @@ def stream_interval_join(left: DataFrame, right: DataFrame,
         & (F.col(f"r.{ts_col}") >= F.col(f"l.{ts_col}") - F.expr(f"INTERVAL {within}"))
     )
     return lw.join(rw, on=cond, how=how)
+
+
+def exactly_once_parquet_sink(stream: DataFrame, path: str,
+                              checkpoint: str,
+                              trigger_once: bool = True):
+    """Exactly-once parquet sink via idempotent ``foreachBatch``.
+
+    Structured Streaming's contract is at-least-once delivery of each
+    micro-batch to ``foreachBatch`` — a task/driver retry can replay
+    a batch id. Writing each batch to its own hive partition
+    ``batch_id=N`` with mode=overwrite makes the replay IDEMPOTENT
+    (the rewrite replaces exactly the prior attempt's files, never
+    appends beside them), which upgrades the pipeline to effective
+    exactly-once without any external transaction log. Downstream
+    reads the directory tree as ordinary partitioned parquet — and
+    can partition-prune on ``batch_id`` for incremental consumption.
+
+    Returns the started StreamingQuery; with ``trigger_once`` (the
+    batch-style backfill trigger) the caller can ``awaitTermination``
+    for a drain-and-stop run.
+    """
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{path}/batch_id={batch_id}"))
+
+    writer = (stream.writeStream.foreachBatch(_write)
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

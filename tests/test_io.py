@@ -708,3 +708,28 @@ def test_xlslite_mini_stream_path(tmp_path):
     assert parse_xls(_cfb_wrap("Workbook", wb))["S"] == rows
     with pytest.raises(ValueError, match="4096"):
         _cfb_wrap("Workbook", wb + b"\x00" * 4096, force_mini=True)
+
+
+def test_save_sharded_targets_file_size(spark, tmp_path):
+    """save_sharded lands output files near the target size: a ~18MB
+    uncompressible frame at target_mb=2 produces multiple files, none
+    over ~2x target, all rows intact; a tiny frame stays one file."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tablite_spark.sources.io import load, save_sharded
+    df = (spark.range(200_000)
+          .withColumn("payload", F.sha2(F.col("id").cast("string"), 256)))
+    p = str(tmp_path / "sharded")
+    info = save_sharded(df, p, target_mb=2)
+    files = glob.glob(f"{p}/*.parquet")
+    assert len(files) >= 3, (info, len(files))
+    sizes = [os.path.getsize(f) for f in files]
+    assert max(sizes) <= 2 * 2 * 1024 * 1024, sizes
+    assert load(spark, p).count() == 200_000
+    # tiny frame -> single file
+    p2 = str(tmp_path / "tiny")
+    save_sharded(spark.range(10), p2, target_mb=64)
+    assert len(glob.glob(f"{p2}/*.parquet")) == 1
