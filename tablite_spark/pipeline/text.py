@@ -109,6 +109,16 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
     ratio ≤ 0.1 ('#' and ellipsis); ≤ 90% of lines bullet-led; ≤ 30%
     of lines ellipsis-ended; ≥ 80% of words with an alphabetic char;
     ≥ 2 distinct English function words present."""
+    cols = _gopher_columns(text_col, min_words, max_words)
+    return df.select(F.col(id_col),
+                     *[v.alias(k) for k, v in cols.items()])
+
+
+def _gopher_columns(text_col: str, min_words: int,
+                    max_words: int) -> dict:
+    """The Gopher rule expressions as named Columns (ordered dict) —
+    shared by :func:`gopher_rules` and :func:`pretrain_filter`, which
+    inlines ``passes`` on its base scan instead of joining."""
     c = F.col(text_col)
     words = F.filter(F.split(F.trim(c), r"\s+"),
                      lambda w: w != F.lit(""))
@@ -151,10 +161,10 @@ def gopher_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
     passes = None
     for r in rules.values():
         passes = r if passes is None else (passes & r)
-    return df.select(
-        F.col(id_col), n_words.alias("n_words"), n_lines.alias("n_lines"),
-        *[v.alias(k) for k, v in rules.items()],
-        passes.alias("passes"))
+    out = {"n_words": n_words, "n_lines": n_lines}
+    out.update(rules)
+    out["passes"] = passes
+    return out
 
 
 def gopher_repetition(df: DataFrame, text_col: str,
@@ -362,6 +372,14 @@ def c4_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
     built-in higher-order expressions over one scan — no shuffle, no
     UDF; every predicate is exact string arithmetic an independent
     SQL engine replays bit-for-bit."""
+    cols = _c4_columns(text_col, min_kept_lines)
+    return df.select(F.col(id_col),
+                     *[v.alias(k) for k, v in cols.items()])
+
+
+def _c4_columns(text_col: str, min_kept_lines: int) -> dict:
+    """The C4 cleaning expressions as named Columns — shared by
+    :func:`c4_rules` and :func:`pretrain_filter`."""
     c = F.col(text_col)
     lines = F.split(c, "\n")
 
@@ -378,10 +396,8 @@ def c4_rules(df: DataFrame, text_col: str, id_col: str = "doc_id",
     page_ok = ((n_kept >= min_kept_lines)
                & ~F.lower(c).contains("lorem ipsum")
                & ~c.contains("{"))
-    return df.select(F.col(id_col),
-                     F.concat_ws("\n", kept_lines).alias("text_clean"),
-                     n_kept.alias("n_lines_kept"),
-                     page_ok.alias("keep_page"))
+    return {"text_clean": F.concat_ws("\n", kept_lines),
+            "n_lines_kept": n_kept, "keep_page": page_ok}
 
 
 def pretrain_filter(df: DataFrame, text_col: str,
@@ -400,28 +416,35 @@ def pretrain_filter(df: DataFrame, text_col: str,
     (null when kept) — the per-stage attrition report every
     data-pipeline dashboard wants.
 
-    Plan shape: each stage is its own already-scale-audited subplan;
-    the combiner is id-keyed sort-merge joins (corpus-scaling sides,
-    never broadcast — same rationale as the census operators'
-    merge hints)."""
-    builders = {
-        "gopher": lambda: gopher_rules(
-            df, text_col, id_col, min_words=min_words)
-        .select(id_col, F.col("passes").alias("__p_gopher__")),
+    Plan shape: the NARROW stages (gopher, c4 — pure expressions)
+    are inlined as columns on the base scan, costing zero joins and
+    zero shuffles; only the census stages (repetition, dup_ngrams —
+    which end in a groupBy back to doc ids) join in, id-keyed
+    sort-merge (corpus-scaling sides, never broadcast — same
+    rationale as the census operators' merge hints), and their
+    groupBy outputs are already hash-partitioned on the id so the
+    merge join adds sorts, not exchanges."""
+    narrow = {
+        "gopher": lambda: _gopher_columns(
+            text_col, min_words, 100_000)["passes"],
+        "c4": lambda: _c4_columns(text_col, 3)["keep_page"],
+    }
+    wide = {
         "repetition": lambda: gopher_repetition(df, text_col, id_col)
         .select(id_col, F.col("passes").alias("__p_repetition__")),
         "dup_ngrams": lambda: gopher_dup_ngram_coverage(
             df, text_col, id_col)
         .select(id_col, F.col("passes").alias("__p_dup_ngrams__")),
-        "c4": lambda: c4_rules(df, text_col, id_col)
-        .select(id_col, F.col("keep_page").alias("__p_c4__")),
     }
-    unknown = [s for s in stages if s not in builders]
+    unknown = [s for s in stages if s not in narrow and s not in wide]
     if unknown:
         raise ValueError(f"unknown pretrain_filter stages: {unknown}")
-    out = df.select(id_col)
+    out = df.select(
+        id_col, *[narrow[s]().alias(f"__p_{s}__")
+                  for s in stages if s in narrow])
     for s in stages:
-        out = out.join(builders[s]().hint("merge"), id_col, "left")
+        if s in wide:
+            out = out.join(wide[s]().hint("merge"), id_col, "left")
     keep = None
     reason = None
     for s in reversed(stages):
