@@ -172,6 +172,45 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # pad with 1s
 
 
+def _quantize_planes(planes, samp, qts, h, w, hmax, vmax,
+                     mcux, mcuy):
+    """Batched DCT + quantization shared by BOTH encoders, so their
+    quantized coefficients are bit-identical by construction. (A
+    per-block ``_T @ b @ _T.T`` and a batched einsum can disagree by
+    one ulp, which flips ``np.round`` exactly at a .5 boundary — the
+    progressive fuzz test caught a DC differing between the two
+    encode paths for the same image.)
+
+    Returns (coefs, nonint): per component a (mcuy*sv, mcux*sh, 64)
+    int32 array in ZIGZAG order, and its non-interleaved (bh, bw)
+    block dims."""
+    def _pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+        ph, pw = p.shape
+        return np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
+
+    coefs, nonint = [], []
+    for (sh, sv), qt, plane in zip(samp, qts, planes):
+        if (sh, sv) != (hmax, vmax):  # downsample by box average
+            fy, fx = vmax // sv, hmax // sh
+            p = _pad_to(plane, (h + fy - 1) // fy * fy,
+                        (w + fx - 1) // fx * fx)
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx) \
+                .mean(axis=(1, 3))
+        else:
+            p = plane
+        cw = (w * sh + hmax - 1) // hmax
+        ch = (h * sv + vmax - 1) // vmax
+        nonint.append(((ch + 7) // 8, (cw + 7) // 8))
+        p = _pad_to(p, mcuy * sv * 8, mcux * sh * 8)
+        gy, gx = mcuy * sv, mcux * sh
+        blocks = p.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3) - 128.0
+        cf = np.einsum("ij,abjk,kl->abil", _T, blocks, _T.T)
+        quant = np.round(
+            cf / np.asarray(qt).reshape(8, 8)).astype(np.int32)
+        coefs.append(quant.reshape(gy, gx, 64)[:, :, _ZIGZAG])
+    return coefs, nonint
+
+
 def _magnitude(v: int) -> tuple[int, int]:
     """(size, amplitude bits) per T.81 F.1.2.1 (negative = ones-complement)."""
     if v == 0:
@@ -227,22 +266,8 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 75,
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    def _pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
-        ph, pw = p.shape
-        return np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
-
-    # per-component plane at its own resolution, MCU-padded
-    comp_planes = []
-    for (sh, sv), plane in zip(samp, planes):
-        if (sh, sv) != (hmax, vmax):  # downsample by box average
-            fy, fx = vmax // sv, hmax // sh
-            p = _pad_to(plane, (h + fy - 1) // fy * fy,
-                        (w + fx - 1) // fx * fx)
-            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx) \
-                .mean(axis=(1, 3))
-        else:
-            p = plane
-        comp_planes.append(_pad_to(p, mcuy * sv * 8, mcux * sh * 8))
+    coefs, _ = _quantize_planes(planes, samp, qtabs, h, w,
+                                hmax, vmax, mcux, mcuy)
 
     dc_codes = [_build_huffman_codes(*_DC_LUM), _build_huffman_codes(*_DC_CHROM)]
     ac_codes = [_build_huffman_codes(*_AC_LUM), _build_huffman_codes(*_AC_CHROM)]
@@ -257,17 +282,11 @@ def jpeg_encode(pixels: np.ndarray, quality: int = 75,
                 bw.buf += bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
                 dc_prev = [0] * len(planes)
             mcu_i += 1
-            for ci, plane in enumerate(comp_planes):
+            for ci in range(len(planes)):
                 sh, sv = samp[ci]
                 for v_i in range(sv):
                     for h_i in range(sh):
-                        ys = (my * sv + v_i) * 8
-                        xs = (mx * sh + h_i) * 8
-                        block = plane[ys:ys + 8, xs:xs + 8]
-                        coeffs = _T @ (block - 128.0) @ _T.T
-                        qt = qtabs[ci].reshape(8, 8)
-                        quant = np.round(coeffs / qt).astype(np.int32)
-                        zz = quant.ravel()[_ZIGZAG]
+                        zz = coefs[ci][my * sv + v_i, mx * sh + h_i]
                         # DC
                         diff = int(zz[0]) - dc_prev[ci]
                         dc_prev[ci] = int(zz[0])
@@ -773,30 +792,8 @@ def jpeg_encode_progressive(pixels: np.ndarray, quality: int = 75,
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
 
-    def _pad_to(p: np.ndarray, th: int, tw: int) -> np.ndarray:
-        ph, pw = p.shape
-        return np.pad(p, ((0, th - ph), (0, tw - pw)), mode="edge")
-
-    coefs = []   # per comp: (mcuy*sv, mcux*sh, 64) int32, ZIGZAG order
-    nonint = []  # per comp: (bh, bw) non-interleaved block dims
-    for (sh, sv), qt, plane in zip(samp, qts, planes):
-        if (sh, sv) != (hmax, vmax):  # downsample by box average
-            fy, fx = vmax // sv, hmax // sh
-            p = _pad_to(plane, (h + fy - 1) // fy * fy,
-                        (w + fx - 1) // fx * fx)
-            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx) \
-                .mean(axis=(1, 3))
-        else:
-            p = plane
-        cw = (w * sh + hmax - 1) // hmax
-        ch = (h * sv + vmax - 1) // vmax
-        nonint.append(((ch + 7) // 8, (cw + 7) // 8))
-        p = _pad_to(p, mcuy * sv * 8, mcux * sh * 8)
-        gy, gx = mcuy * sv, mcux * sh
-        blocks = p.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3) - 128.0
-        cf = np.einsum("ij,abjk,kl->abil", _T, blocks, _T.T)
-        quant = np.round(cf / qt.reshape(8, 8)).astype(np.int32)
-        coefs.append(quant.reshape(gy, gx, 64)[:, :, _ZIGZAG])
+    coefs, nonint = _quantize_planes(planes, samp, qts, h, w,
+                                     hmax, vmax, mcux, mcuy)
 
     dc_codes = [_build_huffman_codes(*_DC_LUM),
                 _build_huffman_codes(*_DC_CHROM)]
