@@ -2315,6 +2315,88 @@ def column_profile(spark: SparkSession, sf: str) -> DataFrame:
                      <= 0.15 * F.col("ex")).alias("distinct_ok")))
 
 
+def quality_classifier_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality classifier (pipeline/classifier.py, round 6 —
+    beyond reference): logistic regression by full-batch GD over
+    exactly-replayable integer-derived features, trained
+    DISTRIBUTED (one combinable aggregation per iteration, k+1
+    numbers cross the network) against the 'long document' label.
+    The determinism contract (per-iteration gradients rounded to 6
+    dp, lr an exact binary fraction) makes the whole 30-iteration
+    trajectory bit-reproducible, so DuckDB replays ALL of training
+    as 60 unrolled CTEs and must land on the identical weights —
+    verified through the per-document probabilities (rounded 4 dp)
+    and hard predictions this query returns. Accuracy ~0.97 at
+    sf0.01 (reported per-row so the oracle pins it too)."""
+    from tablite_spark.pipeline.classifier import (
+        doc_quality_features, logreg_predict, logreg_train,
+    )
+    d = _t(spark, sf, "documents")
+    feats = ["f_words", "f_lines", "f_chars", "f_vocab"]
+    fdf = (doc_quality_features(d, "text")
+           .withColumn("y", (F.col("n_chars") > 250).cast("int"))
+           .select("doc_id", *feats, "y").cache())
+    try:
+        w = logreg_train(fdf, feats, "y", lr=4.0, iters=30)
+        out = logreg_predict(fdf, feats, w)
+        return out.select(
+            "doc_id", F.round("prob", 4).alias("prob_r"),
+            F.col("pred").cast("int").alias("pred"),
+            (F.col("pred") == F.col("y")).cast("int").alias("correct"))
+    finally:
+        fdf.unpersist()
+
+
+def _logreg_oracle(lr: float = 4.0, iters: int = 30,
+                   grad_decimals: int = 6) -> str:
+    """Unroll the full GD trajectory as DuckDB CTEs: w0 = zeros;
+    g_i aggregates the rounded mean gradient under w_i over the
+    feature frame; w_{i+1} updates. The final CTE scores every doc."""
+    feats = ["f_words", "f_lines", "f_chars", "f_vocab"]
+    fexpr = {
+        "f_words": ("len(list_filter(regexp_split_to_array(trim(text),"
+                    " '\\s+'), x -> x <> '')) / 100.0"),
+        "f_lines": "len(string_split(text, chr(10))) / 10.0",
+        "f_chars": "LENGTH(text) / 1000.0",
+        "f_vocab": ("len(list_distinct(list_filter("
+                    "regexp_split_to_array(trim(text), '\\s+'),"
+                    " x -> x <> ''))) / 100.0"),
+    }
+    f_cols = ",\n                   ".join(
+        f"{e} AS {k}" for k, e in fexpr.items())
+    ctes = [f"""f AS MATERIALIZED (
+                SELECT doc_id,
+                   {f_cols},
+                   CAST(n_chars > 250 AS INT) AS y
+                FROM documents
+            ),
+            c AS MATERIALIZED (SELECT COUNT(*) AS n FROM f),
+            w0 AS MATERIALIZED (SELECT 0.0 AS w0, 0.0 AS w1,
+                          0.0 AS w2, 0.0 AS w3, 0.0 AS b)"""]
+    z = ("(b + w0*f_words + w1*f_lines + w2*f_chars"
+         " + w3*f_vocab)")
+    sig = f"(1.0 / (1.0 + EXP(-{z})))"
+    for i in range(iters):
+        gs = ", ".join(
+            f"ROUND(SUM(({sig} - y) * {c}) / MAX(n), {grad_decimals})"
+            f" AS g{j}" for j, c in enumerate(feats))
+        ctes.append(
+            f"g{i} AS MATERIALIZED (SELECT {gs}, "
+            f"ROUND(SUM({sig} - y) / MAX(n), {grad_decimals}) AS gb "
+            f"FROM f, w{i}, c)")
+        ws = ", ".join(f"w{j} - {lr}*g{j} AS w{j}" for j in range(4))
+        ctes.append(f"w{i + 1} AS MATERIALIZED (SELECT {ws}, b - {lr}*gb AS b "
+                    f"FROM w{i}, g{i})")
+    return f"""
+            WITH {','.join(ctes)}
+            SELECT doc_id, ROUND({sig}, 4) AS prob_r,
+                   CAST({sig} >= 0.5 AS INT) AS pred,
+                   CAST((CAST({sig} >= 0.5 AS INT) = y) AS INT)
+                       AS correct
+            FROM f, w{iters}
+        """
+
+
 def zorder_events(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (operators/layout.py, round
     6): the 16-bit interleave of (user_id, event-time) over events,
@@ -2402,6 +2484,7 @@ _R6_WINDOW = [
     "hdf5_vlen_roundtrip", "salted_join_equivalence",
     "zorder_events", "pack_sequences_docs", "bucketed_join_revenue",
     "bm25_search_docs", "column_profile",
+    "quality_classifier_docs",
     # --- latest green = r3 (the stale tail; the five lowest-risk
     #     entries — trivial joins/set-ops with exhaustive pytest
     #     cover: concat_tables, stack_tables, join_anti, join_cross,
@@ -2419,14 +2502,14 @@ _R6_WINDOW = [
     "minhash_dedup_docs", "mixture_sample_docs", "normalize_docs",
     "ods_roundtrip_agg", "pack_chunks_docs", "png_decode_dims",
     "quota_cap_docs", "range_join_prices", "redact_pii_docs",
-    "rename_reorder_project", "repetition_docs", "sessionize_events",
+    "repetition_docs", "sessionize_events",
     "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
     "sql_script_md5", "stratified_sample_docs",
     "table_equality_check", "unicode_sort_rank", "vocab_top_ngrams",
     "wav_decode_meta", "weighted_sample_docs",
     # --- deferred stale entries (slots 51+; r7 front-runners)
     "concat_tables", "stack_tables", "join_anti", "join_cross",
-    "join_semi",
+    "join_semi", "rename_reorder_project",
 ]
 
 
@@ -2507,6 +2590,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": bucketed_join_revenue,
         "bm25_search_docs": bm25_search_docs,
         "column_profile": column_profile,
+        "quality_classifier_docs": quality_classifier_docs,
         "pack_sequences_docs": pack_sequences_docs,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -3460,6 +3544,7 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders GROUP BY o_orderstatus
         """,
         "zorder_events": _zorder_oracle(),
+        "quality_classifier_docs": _logreg_oracle(),
         "column_profile": """
             SELECT 'l_orderkey' AS "column", COUNT(*) AS n,
                    COUNT(*) - COUNT(l_orderkey) AS n_nulls,

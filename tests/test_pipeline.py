@@ -1798,3 +1798,53 @@ def test_pack_sequences_append_stable(spark):
     for s, v in w_old.items():
         assert w_new[s] == v, s
     assert len(w_new) > len(w_old)
+
+
+def test_logreg_deterministic_and_learns(spark):
+    """logreg: (a) bit-identical weights under different partition
+    layouts (the rounded-gradient determinism contract), (b) learns
+    a separable rule to >95% accuracy, (c) predict is a zero-shuffle
+    expression."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.classifier import (
+        logreg_predict, logreg_train,
+    )
+    from tablite_spark.plans import plan_report
+    df = (spark.range(2000)
+          .select((F.col("id") % 100 / 50.0).alias("x1"),
+                  ((F.col("id") * 7 % 100) / 50.0).alias("x2"))
+          .withColumn("y", (F.col("x1") + F.col("x2") > 2.0)
+                      .cast("int")).cache())
+    w1 = logreg_train(df, ["x1", "x2"], "y", lr=2.0, iters=40)
+    w2 = logreg_train(df.repartition(13), ["x1", "x2"], "y",
+                      lr=2.0, iters=40)
+    assert w1 == w2
+    pred = logreg_predict(df, ["x1", "x2"], w1)
+    acc = pred.agg(F.avg((F.col("pred") == F.col("y"))
+                         .cast("double"))).first()[0]
+    assert acc > 0.95, acc
+    assert plan_report(logreg_predict(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(F.col("o_totalprice").alias("x1"),
+                F.col("o_orderkey").cast("double").alias("x2")),
+        ["x1", "x2"], w1))["shuffles"] == 0
+    df.unpersist()
+
+
+def test_quality_classifier_end_to_end(spark):
+    """train_quality_classifier over real documents reaches >90% on
+    the length label and returns reusable (weights, features)."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.classifier import (
+        doc_quality_features, logreg_predict, train_quality_classifier,
+    )
+    d = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+         .withColumn("y", (F.col("n_chars") > 250).cast("int")))
+    w, feats = train_quality_classifier(d, "text", "y", lr=4.0,
+                                        iters=30)
+    scored = logreg_predict(doc_quality_features(d, "text"), feats, w)
+    acc = scored.agg(F.avg((F.col("pred") == F.col("y"))
+                           .cast("double"))).first()[0]
+    assert acc > 0.9, acc
