@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "pack_sequences_docs",
     "bm25_search_docs",
     "bucketed_join_revenue",
+    "quality_classifier_docs",
 ]
 
 
