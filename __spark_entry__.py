@@ -2397,6 +2397,55 @@ def _logreg_oracle(lr: float = 4.0, iters: int = 30,
         """
 
 
+def pretrain_e2e_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END pretraining pipeline as ONE declarative plan
+    (round 6 flagship composition): fixture corpus with planted
+    quality failures (doc_id%5==0 keeps the raw text, which fails
+    the Gopher function-words rule) and planted exact duplicates
+    (doc_id%7==3 copies its predecessor's text) → Gopher quality
+    gate (min_words=10) → exact-hash dedup (first doc per md5 text
+    wins) → arithmetic tokenization → concat-and-chunk packing into
+    64-token training windows. Every stage is individually oracled
+    elsewhere; THIS oracle replays the whole composition in DuckDB
+    and must reproduce every token of every window (per-window md5)
+    plus the boundary-crossing n_docs — proving the stages compose
+    without order/boundary bugs."""
+    from tablite_spark.pipeline.text import gopher_rules, pack_sequences
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    boost = F.concat(F.col("text"),
+                     F.lit(" of the and that have with"))
+    c0 = d.select("doc_id",
+                  F.when(F.col("doc_id") % 5 == 0, F.col("text"))
+                  .otherwise(boost).alias("text"))
+    prev = c0.select((F.col("doc_id") + 1).alias("doc_id"),
+                     F.col("text").alias("prev_text"))
+    c1 = (c0.join(prev.hint("merge"), "doc_id", "left")
+          .select("doc_id",
+                  F.when((F.col("doc_id") % 7 == 3)
+                         & F.col("prev_text").isNotNull(),
+                         F.col("prev_text"))
+                  .otherwise(F.col("text")).alias("text")))
+    g = (gopher_rules(c1, "text", "doc_id", min_words=10)
+         .filter("passes").select("doc_id"))
+    kept = c1.join(g.hint("merge"), "doc_id", "left_semi")
+    firsts = (kept.groupBy(F.md5("text").alias("__h__"))
+              .agg(F.min("doc_id").alias("doc_id")))
+    corpus = kept.join(firsts.select("doc_id").hint("merge"),
+                       "doc_id", "left_semi")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "")
+    ids = F.transform(
+        toks, lambda t, i: (F.length(t) * 131 + (i + 1) % 127)
+        .cast("int"))
+    out = pack_sequences(corpus.select("doc_id", ids.alias("ids")),
+                         "ids", "doc_id", seq_len=64, eos_id=0)
+    return out.select(
+        "seq_id",
+        F.md5(F.concat_ws(",", F.transform(
+            "input_ids", lambda x: x.cast("string")))).alias("ids_md5"),
+        "n_docs")
+
+
 def zorder_events(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering key (operators/layout.py, round
     6): the 16-bit interleave of (user_id, event-time) over events,
@@ -2484,14 +2533,14 @@ _R6_WINDOW = [
     "hdf5_vlen_roundtrip", "salted_join_equivalence",
     "zorder_events", "pack_sequences_docs", "bucketed_join_revenue",
     "bm25_search_docs", "column_profile",
-    "quality_classifier_docs",
+    "quality_classifier_docs", "pretrain_e2e_docs",
     # --- latest green = r3 (the stale tail; the five lowest-risk
     #     entries — trivial joins/set-ops with exhaustive pytest
     #     cover: concat_tables, stack_tables, join_anti, join_cross,
     #     join_semi — are deferred to the FRONT of the r7 window to
     #     make room for the never-verified round-6 queries above)
     "asof_join_events", "chunk_docs", "column_select_fail",
-    "column_select_pass", "construction_api_agg",
+    "column_select_pass",
     "contamination_docs", "corpus_manifest", "dedup_clusters",
     "deterministic_sample_orders", "get_headers_nation",
     "holdout_split_orders", "html_roundtrip_agg",
@@ -2509,7 +2558,7 @@ _R6_WINDOW = [
     "wav_decode_meta", "weighted_sample_docs",
     # --- deferred stale entries (slots 51+; r7 front-runners)
     "concat_tables", "stack_tables", "join_anti", "join_cross",
-    "join_semi", "rename_reorder_project",
+    "join_semi", "rename_reorder_project", "construction_api_agg",
 ]
 
 
@@ -2592,6 +2641,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_profile": column_profile,
         "quality_classifier_docs": quality_classifier_docs,
         "pack_sequences_docs": pack_sequences_docs,
+        "pretrain_e2e_docs": pretrain_e2e_docs,
         "xls_dates_roundtrip": xls_dates_roundtrip,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
@@ -2783,7 +2833,115 @@ def oracle_sql() -> dict[str, str]:
         FROM g JOIN r ON g.doc_id = r.doc_id
                JOIN dn ON g.doc_id = dn.doc_id
     """
+    # end-to-end pipeline: fixture -> gopher gate -> exact dedup ->
+    # tokenize -> pack, replaying pack_sequences_docs' windowing SQL
+    # over the composed corpus
+    pack_sql = d["pack_sequences_docs"].strip()
+    assert pack_sql.startswith("WITH ")
+    assert pack_sql.count("FROM documents") == 2
+    pack_body = pack_sql[len("WITH "):].replace("FROM documents",
+                                                "FROM corpus")
+    d["pretrain_e2e_docs"] = f"""
+        WITH c0 AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text
+                        ELSE text || ' of the and that have with'
+                   END AS text
+            FROM documents
+        ),
+        c1 AS MATERIALIZED (
+            SELECT a.doc_id,
+                   CASE WHEN a.doc_id % 7 = 3 AND b.text IS NOT NULL
+                        THEN b.text ELSE a.text END AS text
+            FROM c0 a LEFT JOIN c0 b ON b.doc_id = a.doc_id - 1
+        ),
+        g AS MATERIALIZED (
+            SELECT doc_id FROM ({_gopher_sql('c1', 10)}) WHERE passes
+        ),
+        kept AS MATERIALIZED (
+            SELECT c1.* FROM c1 JOIN g USING (doc_id)
+        ),
+        firsts AS MATERIALIZED (
+            SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+        ),
+        corpus AS MATERIALIZED (
+            SELECT kept.* FROM kept JOIN firsts USING (doc_id)
+        ),
+        {pack_body}
+    """
     return d
+
+
+def _gopher_sql(source: str = "documents",
+                min_words: int = 50) -> str:
+    """Gopher-rules oracle SQL, parametrized over the source
+    relation and word-count floor — single source of truth for
+    gopher_quality_docs, the pretrain_filter composition, and the
+    end-to-end pipeline oracle."""
+    return """
+            WITH d AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(trim(text),
+                                                         '\\s+'),
+                                   w -> w <> '') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM {source}
+            ), m AS (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       CAST(len(lines) AS BIGINT) AS n_lines,
+                       CAST(COALESCE(list_sum(list_transform(
+                           words, w -> length(w))), 0) AS BIGINT)
+                           AS total_chars,
+                       CAST(length(text) -
+                            length(replace(text, '#', ''))
+                            AS BIGINT) AS n_hash,
+                       CAST((length(text) -
+                             length(replace(text, '...', ''))) / 3
+                            + length(text) -
+                              length(replace(text, '…', ''))
+                            AS BIGINT) AS n_ell,
+                       CAST(len(list_filter(lines,
+                           l -> starts_with(ltrim(l), '-')
+                             OR starts_with(ltrim(l), '*')
+                             OR starts_with(ltrim(l), '•')))
+                           AS BIGINT) AS bullet,
+                       CAST(len(list_filter(lines,
+                           l -> rtrim(l) LIKE '%...'
+                             OR rtrim(l) LIKE '%…'))
+                           AS BIGINT) AS ell_end,
+                       CAST(len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]')))
+                           AS BIGINT) AS alpha,
+                       CAST(len(list_distinct(list_filter(words,
+                           w -> lower(w) IN ('the','be','to','of',
+                                             'and','that','have',
+                                             'with'))))
+                           AS BIGINT) AS n_func
+                FROM d
+            )
+            SELECT doc_id, n_words, n_lines,
+                   (n_words >= {min_words} AND n_words <= 100000)
+                       AS r_word_count,
+                   (3 * n_words <= total_chars
+                    AND total_chars <= 10 * n_words)
+                       AS r_mean_word_len,
+                   (10 * (n_hash + n_ell) <= n_words)
+                       AS r_symbol_ratio,
+                   (10 * bullet <= 9 * n_lines) AS r_bullet_lines,
+                   (10 * ell_end <= 3 * n_lines) AS r_ellipsis_lines,
+                   (10 * alpha >= 8 * n_words) AS r_alpha_words,
+                   (n_func >= 2) AS r_func_words,
+                   ((n_words >= {min_words} AND n_words <= 100000)
+                    AND (3 * n_words <= total_chars
+                         AND total_chars <= 10 * n_words)
+                    AND (10 * (n_hash + n_ell) <= n_words)
+                    AND (10 * bullet <= 9 * n_lines)
+                    AND (10 * ell_end <= 3 * n_lines)
+                    AND (10 * alpha >= 8 * n_words)
+                    AND (n_func >= 2)) AS passes
+            FROM m
+        """.format(source=source, min_words=min_words)
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -3277,70 +3435,7 @@ def _oracle_sql_base() -> dict[str, str]:
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
         """,
-        "gopher_quality_docs": """
-            WITH d AS (
-                SELECT doc_id, text,
-                       list_filter(regexp_split_to_array(trim(text),
-                                                         '\\s+'),
-                                   w -> w <> '') AS words,
-                       string_split(text, chr(10)) AS lines
-                FROM documents
-            ), m AS (
-                SELECT doc_id,
-                       CAST(len(words) AS BIGINT) AS n_words,
-                       CAST(len(lines) AS BIGINT) AS n_lines,
-                       CAST(COALESCE(list_sum(list_transform(
-                           words, w -> length(w))), 0) AS BIGINT)
-                           AS total_chars,
-                       CAST(length(text) -
-                            length(replace(text, '#', ''))
-                            AS BIGINT) AS n_hash,
-                       CAST((length(text) -
-                             length(replace(text, '...', ''))) / 3
-                            + length(text) -
-                              length(replace(text, '…', ''))
-                            AS BIGINT) AS n_ell,
-                       CAST(len(list_filter(lines,
-                           l -> starts_with(ltrim(l), '-')
-                             OR starts_with(ltrim(l), '*')
-                             OR starts_with(ltrim(l), '•')))
-                           AS BIGINT) AS bullet,
-                       CAST(len(list_filter(lines,
-                           l -> rtrim(l) LIKE '%...'
-                             OR rtrim(l) LIKE '%…'))
-                           AS BIGINT) AS ell_end,
-                       CAST(len(list_filter(words,
-                           w -> regexp_matches(w, '[A-Za-z]')))
-                           AS BIGINT) AS alpha,
-                       CAST(len(list_distinct(list_filter(words,
-                           w -> lower(w) IN ('the','be','to','of',
-                                             'and','that','have',
-                                             'with'))))
-                           AS BIGINT) AS n_func
-                FROM d
-            )
-            SELECT doc_id, n_words, n_lines,
-                   (n_words >= 50 AND n_words <= 100000)
-                       AS r_word_count,
-                   (3 * n_words <= total_chars
-                    AND total_chars <= 10 * n_words)
-                       AS r_mean_word_len,
-                   (10 * (n_hash + n_ell) <= n_words)
-                       AS r_symbol_ratio,
-                   (10 * bullet <= 9 * n_lines) AS r_bullet_lines,
-                   (10 * ell_end <= 3 * n_lines) AS r_ellipsis_lines,
-                   (10 * alpha >= 8 * n_words) AS r_alpha_words,
-                   (n_func >= 2) AS r_func_words,
-                   ((n_words >= 50 AND n_words <= 100000)
-                    AND (3 * n_words <= total_chars
-                         AND total_chars <= 10 * n_words)
-                    AND (10 * (n_hash + n_ell) <= n_words)
-                    AND (10 * bullet <= 9 * n_lines)
-                    AND (10 * ell_end <= 3 * n_lines)
-                    AND (10 * alpha >= 8 * n_words)
-                    AND (n_func >= 2)) AS passes
-            FROM m
-        """,
+        "gopher_quality_docs": _gopher_sql(),
         "gopher_repetition_docs": """
             WITH w AS (
                 SELECT doc_id, text,
