@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "bm25_search_docs",
     "bucketed_join_revenue",
     "quality_classifier_docs",
+    "pretrain_e2e_docs",
 ]
 
 

@@ -282,3 +282,16 @@ def test_pack_sequences_two_shuffles_no_window(spark, qs):
     r = plan_report(df)
     assert r["shuffles"] == 2, r
     assert r["broadcast_joins"] == 1, r
+
+
+def test_pretrain_e2e_stays_distributed(spark, qs):
+    """The full filter->dedup->tokenize->pack composition must plan
+    with NO SinglePartition exchange and no broadcast of any
+    corpus-scaling side (the one broadcast is pack's |buckets|-row
+    offset frame)."""
+    from tablite_spark.plans.audit import _formatted
+    df = qs["pretrain_e2e_docs"](spark, SF)
+    s = _formatted(df)
+    assert "Exchange SinglePartition" not in s
+    r = plan_report(df)
+    assert r["broadcast_joins"] <= 1, r
