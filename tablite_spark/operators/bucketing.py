@@ -53,9 +53,13 @@ def save_bucketed(df: DataFrame, table: str, keys: list[str],
                   n_buckets: int, sort_by: list[str] | None = None,
                   path: str | None = None) -> None:
     """Write ``df`` as a bucketed+sorted parquet table. ``sort_by``
-    defaults to ``keys`` so bucket files are merge-join-ready without
-    a per-task sort. ``path`` pins an explicit location (else the
-    session warehouse dir)."""
+    defaults to ``keys`` so each bucket FILE is locally sorted.
+    Note Spark still plans a defensive in-partition Sort under a
+    merge join unless every bucket holds exactly one file (it cannot
+    prove sortedness across multiple files per bucket); the win this
+    module gates on is the absence of EXCHANGES — the sort is local,
+    cheap on pre-sorted runs, and never moves data. ``path`` pins an
+    explicit location (else the session warehouse dir)."""
     w = (df.write.format("parquet").mode("overwrite")
          .bucketBy(n_buckets, *keys).sortBy(*(sort_by or keys)))
     if path is not None:
