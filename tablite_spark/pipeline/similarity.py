@@ -666,3 +666,37 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
              .withColumn("cos", _dot(F.col("qv"), F.col("cv")))
              .select("qid", "nid", "cos"))
     return _topk_per_qid(exact, k)
+
+
+def pq_save_index(spark, books: list, path: str) -> None:
+    """Persist PQ codebooks as parquet — the train-ONCE half of the
+    100 TB vector-search story (training is a driver-side sample job;
+    encoding/search are scan-local). Layout: one row per (book,
+    code) centroid with its float vector, so any engine can read it
+    back. Pair with ``pq_encode`` output saved alongside to make the
+    whole index durable."""
+    import numpy as np
+    rows = [(j, c, [float(x) for x in books[j][c]])
+            for j in range(len(books))
+            for c in range(books[j].shape[0])]
+    (spark.createDataFrame(
+        rows, "book int, code int, centroid array<double>")
+     .repartition(1)
+     .write.mode("overwrite").parquet(path))
+
+
+def pq_load_index(spark, path: str) -> list:
+    """Load codebooks written by :func:`pq_save_index` — returns the
+    same ``list[np.ndarray]`` shape ``pq_train`` produces, for use
+    with ``pq_encode``/ADC search in a DIFFERENT session (no
+    retraining)."""
+    import numpy as np
+    rows = spark.read.parquet(path).collect()
+    n_books = 1 + max(r["book"] for r in rows)
+    books = []
+    for j in range(n_books):
+        cs = sorted((r for r in rows if r["book"] == j),
+                    key=lambda r: r["code"])
+        books.append(np.array([r["centroid"] for r in cs],
+                              dtype=np.float64))
+    return books

@@ -734,7 +734,8 @@ def pack_chunks(chunks: DataFrame, tokens_col: str,
 
 def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
                    seq_len: int, eos_id: int | None = None,
-                   drop_last: bool = True) -> DataFrame:
+                   drop_last: bool = True,
+                   boundaries: bool = False) -> DataFrame:
     """Concat-and-chunk sequence packing — the GPT-pretraining
     layout: documents (token-id arrays, e.g. from
     ``bpe.tokenize_bpe``) are concatenated in ascending ``id_col``
@@ -744,7 +745,13 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
     padding; the final partial window is dropped when ``drop_last``
     (the standard recipe) else kept short. Returns
     (seq_id, input_ids array<int>, n_docs) where ``n_docs`` counts
-    the documents contributing to the window.
+    the documents contributing to the window. With
+    ``boundaries=True`` an extra ``doc_starts array<int>`` column
+    lists the within-window offsets where a NEW document begins
+    (ascending; excludes offset 0 when the window opens mid-doc) —
+    exactly what block-diagonal attention masking / position-id reset
+    needs during training. Computed in the SAME combinable
+    aggregation, no extra shuffle.
 
     Plan shape at 100 TB: a two-phase distributed prefix sum whose
     bucketing is a PURE FUNCTION of the id value. Spark's own range
@@ -813,13 +820,20 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
                   .alias("__nstart__"),
                  F.max(F.when((F.col("__pos__") % seq_len == 0)
                               & ~F.col("__ds__"), 1).otherwise(0))
-                  .alias("__open__"))
+                  .alias("__open__"),
+                 F.array_sort(F.collect_list(F.when(
+                     F.col("__ds__"),
+                     (F.col("__pos__") % seq_len).cast("int"))))
+                  .alias("__dstarts__"))
             .select(F.col("__seq__").alias("seq_id"),
                     F.transform("__ts__",
                                 lambda s: s.getField("__tok__"))
                      .alias("input_ids"),
                     (F.col("__nstart__") + F.col("__open__"))
-                    .cast("long").alias("n_docs")))
+                    .cast("long").alias("n_docs"),
+                    F.col("__dstarts__").alias("doc_starts")))
+    if not boundaries:
+        seqs = seqs.drop("doc_starts")
     if drop_last and total % seq_len:
         seqs = seqs.filter(F.col("seq_id") < total // seq_len)
     return seqs

@@ -1848,3 +1848,59 @@ def test_quality_classifier_end_to_end(spark):
     acc = scored.agg(F.avg((F.col("pred") == F.col("y"))
                            .cast("double"))).first()[0]
     assert acc > 0.9, acc
+
+
+def test_pack_sequences_doc_boundaries(spark):
+    """boundaries=True emits the within-window offsets where a new
+    document begins — ascending, excluding slot 0 iff the window
+    opens mid-doc — matching the serial reference; needed for
+    block-diagonal attention masks / position-id resets."""
+    from tablite_spark.pipeline.text import pack_sequences
+    rows = [(i, list(range(i * 10, i * 10 + (3 + i % 4))))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>")
+    out = {r["seq_id"]: r for r in pack_sequences(
+        df, "ids", "doc_id", 8, eos_id=-1, boundaries=True).collect()}
+    stream = []
+    for i, ids in sorted(rows):
+        first = True
+        for t in ids + [-1]:
+            stream.append((i, t, first))
+            first = False
+    for s, r in out.items():
+        window = stream[s * 8:(s + 1) * 8]
+        exp = [off for off, (_, _, st) in enumerate(window) if st]
+        assert r["doc_starts"] == exp, (s, r["doc_starts"], exp)
+        # consistency with n_docs: starts + mid-doc opener
+        opener = 0 if (window[0][2]) else 1
+        assert r["n_docs"] == len(exp) + opener
+    # default output keeps the original schema
+    cols = pack_sequences(df, "ids", "doc_id", 8).columns
+    assert cols == ["seq_id", "input_ids", "n_docs"]
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    """pq_save_index/pq_load_index: codebooks survive a parquet
+    roundtrip bit-exactly, and encoding with the loaded index equals
+    encoding with the in-memory one — the train-once-reuse-forever
+    contract."""
+    import numpy as np
+
+    from tablite_spark.pipeline.similarity import (
+        pq_encode, pq_load_index, pq_save_index, pq_train,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_train(e, "vec_id", "embedding", m=4, n_codes=16)
+    p = str(tmp_path / "pq_index")
+    pq_save_index(spark, books, p)
+    loaded = pq_load_index(spark, p)
+    assert len(loaded) == len(books)
+    for a, b in zip(books, loaded):
+        assert np.array_equal(a, b)
+    c1 = {r["nid"]: list(r["pq_code"]) for r in
+          pq_encode(e, "vec_id", "embedding", books)
+          .withColumnRenamed("vec_id", "nid").collect()}
+    c2 = {r["nid"]: list(r["pq_code"]) for r in
+          pq_encode(e, "vec_id", "embedding", loaded)
+          .withColumnRenamed("vec_id", "nid").collect()}
+    assert c1 == c2

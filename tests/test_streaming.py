@@ -313,3 +313,39 @@ def test_exactly_once_sink_idempotent_on_replay(spark, tmp_path):
     # partition pruning on batch_id is available to consumers
     assert spark.read.parquet(out).filter("batch_id = 0").count() == 5
     assert len(glob.glob(f"{out}/batch_id=*")) >= 1
+
+
+def test_classifier_scores_streams_unchanged(spark, tmp_path):
+    """logreg_predict is a pure expression, so the SAME weights gate
+    a Structured Stream with no code changes — the quality
+    classifier works at ingest time, not just batch."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.classifier import (
+        logreg_predict, logreg_train,
+    )
+    batch = (spark.range(500)
+             .select((F.col("id") % 100 / 50.0).alias("x1"),
+                     ((F.col("id") * 7 % 100) / 50.0).alias("x2"))
+             .withColumn("y", (F.col("x1") + F.col("x2") > 2.0)
+                         .cast("int")))
+    w = logreg_train(batch, ["x1", "x2"], "y", lr=2.0, iters=30)
+    src = tmp_path / "clsrc"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(
+        '{"x1": %f, "x2": %f}' % (i % 100 / 50.0, i * 7 % 100 / 50.0)
+        for i in range(200)))
+    stream = (spark.readStream.schema("x1 double, x2 double")
+              .json(str(src)))
+    scored = logreg_predict(stream, ["x1", "x2"], w)
+    q = (scored.writeStream.format("memory")
+         .queryName("cls_stream").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM cls_stream").collect()
+    assert len(got) == 200
+    exp = logreg_predict(
+        spark.read.schema("x1 double, x2 double").json(str(src)),
+        ["x1", "x2"], w).collect()
+    assert sorted((r["x1"], r["x2"], r["pred"]) for r in got) == \
+        sorted((r["x1"], r["x2"], r["pred"]) for r in exp)
