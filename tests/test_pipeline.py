@@ -1904,3 +1904,28 @@ def test_pq_index_roundtrip(spark, tmp_path):
           pq_encode(e, "vec_id", "embedding", loaded)
           .withColumnRenamed("vec_id", "nid").collect()}
     assert c1 == c2
+
+
+def test_dup_ngram_arrow_expr_parity(spark):
+    """The zero-shuffle arrow census must equal the all-JVM
+    expression census field-for-field — including the hostile
+    cases: NBSP (Java \\s is ASCII-only; python str.split() would
+    diverge), null text (null census, rules null), empty text,
+    sub-n docs, and overlapping duplicated runs."""
+    from tablite_spark.pipeline.text import gopher_dup_ngram_coverage
+    rows = [(0, "a b c d e a b c d e a b c d e"),
+            (1, "one two three four five six seven "
+                "one two three four five six seven"),
+            (2, ""), (3, None), (4, "only four words here"),
+            (5, "p q r s t u p q r s t u p q r s t u v w"),
+            (6, "x " * 30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: tuple(r) for r in gopher_dup_ngram_coverage(
+        d, "text", "doc_id", impl="expr").collect()}
+    b = {r["doc_id"]: tuple(r) for r in gopher_dup_ngram_coverage(
+        d, "text", "doc_id", impl="arrow").collect()}
+    assert a == b
+    from tablite_spark.plans import plan_report
+    assert plan_report(gopher_dup_ngram_coverage(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text", "doc_id"))["shuffles"] == 0
