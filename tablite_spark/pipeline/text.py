@@ -168,7 +168,8 @@ def _gopher_columns(text_col: str, min_words: int,
 
 
 def gopher_repetition(df: DataFrame, text_col: str,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      impl: str = "arrow") -> DataFrame:
     """Gopher repetition-removal signals (Rae et al. 2021,
     arXiv:2112.11446 Appendix A1, public): within-document duplicate
     line / paragraph fractions (by count and by character mass) and
@@ -185,7 +186,17 @@ def gopher_repetition(df: DataFrame, text_col: str,
     per doc. Two narrow shuffles total, no UDF, no window functions.
     n-gram char mass uses ``count * len(gram)`` over a
     ``length(text)`` denominator — the common public reading of the
-    paper's "fraction of characters contained within" phrasing."""
+    paper's "fraction of characters contained within" phrasing.
+
+    ``impl``: the top-n-gram search is per-document-independent, so
+    the default ``"arrow"`` path computes it as a zero-shuffle
+    Arrow-batched struct column (same rationale, parity contract and
+    ASCII-\s tokenization as ``gopher_dup_ngram_coverage``); the
+    line/paragraph census is narrow expressions in BOTH impls.
+    ``impl="expr"`` keeps the all-JVM explode + two-groupBy search.
+    The lexicographic (count, len, gram) tie-break reduces to
+    max-by-(count, len) for the returned product, so the two paths
+    agree exactly."""
     c = F.col(text_col)
     lines = F.split(c, "\n")
     paras = F.split(c, "\n\n")
@@ -220,6 +231,13 @@ def gopher_repetition(df: DataFrame, text_col: str,
         tagged = F.transform(g, lambda x: F.struct(
             F.lit(n).alias("n"), x.alias("gram")))
         grams = tagged if grams is None else F.concat(grams, tagged)
+    if impl == "arrow":
+        j = (base.withColumn("__t__", _top_ngram_census("__text__"))
+             .drop("__text__", "__w__")
+             .select("*", "__t__.*").drop("__t__"))
+        return _repetition_rules(j, id_col)
+    if impl != "expr":
+        raise ValueError(f"impl must be 'arrow' or 'expr', got {impl!r}")
     exploded = base.select(id_col, F.explode(grams).alias("__g__")) \
         .select(id_col, F.col("__g__.n").alias("__n__"),
                 F.col("__g__.gram").alias("__gram__"))
@@ -241,6 +259,10 @@ def gopher_repetition(df: DataFrame, text_col: str,
     j = base.drop("__text__", "__w__") \
         .join(tops.hint("merge"), id_col, "left") \
         .na.fill({f"top{n}_chars": 0 for n in (2, 3, 4)})
+    return _repetition_rules(j, id_col)
+
+
+def _repetition_rules(j: DataFrame, id_col: str) -> DataFrame:
     r = {
         # dup_frac <= 0.30  <=>  10*(n - uniq) <= 3*n
         "r_dup_lines": 10 * (F.col("n_lines") - F.col("n_uniq_lines"))
@@ -268,6 +290,75 @@ def gopher_repetition(df: DataFrame, text_col: str,
                     "top2_chars", "top3_chars", "top4_chars",
                     *[v.alias(k) for k, v in r.items()],
                     passes.alias("passes"))
+
+
+def _repetition_passes_col(text_col: str):
+    """Gopher repetition `passes` as one narrow Column: line/para
+    census as array expressions + the arrow top-ngram census struct —
+    lets pretrain_filter inline the stage with zero joins/shuffles."""
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    paras = F.split(c, "\n\n")
+
+    def _chars(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda a, x: a + F.length(x))
+
+    n_lines = F.size(lines).cast("long")
+    n_uniq_lines = F.size(F.array_distinct(lines)).cast("long")
+    line_chars = _chars(lines)
+    uniq_line_chars = _chars(F.array_distinct(lines))
+    n_paras = F.size(paras).cast("long")
+    n_uniq_paras = F.size(F.array_distinct(paras)).cast("long")
+    para_chars = _chars(paras)
+    uniq_para_chars = _chars(F.array_distinct(paras))
+    n_chars = F.length(c).cast("long")
+    tc = _top_ngram_census(text_col)
+    rules = [
+        10 * (n_lines - n_uniq_lines) <= 3 * n_lines,
+        10 * (n_paras - n_uniq_paras) <= 3 * n_paras,
+        5 * (line_chars - uniq_line_chars) <= line_chars,
+        5 * (para_chars - uniq_para_chars) <= para_chars,
+        5 * tc.getField("top2_chars") <= n_chars,
+        50 * tc.getField("top3_chars") <= 9 * n_chars,
+        25 * tc.getField("top4_chars") <= 4 * n_chars,
+    ]
+    passes = None
+    for r in rules:
+        passes = r if passes is None else (passes & r)
+    return passes
+
+
+def _top_ngram_census(text_col: str):
+    """Arrow-batched per-document top word-{2,3,4}-gram char mass
+    (count x gram length of the (count, len)-max gram) — scan-local,
+    zero shuffle; tokenizes on Java's ASCII \\s class for exact
+    expression-path/oracle parity. Null/short docs report 0, the
+    expression path's left-join + fill semantics."""
+    import re
+
+    ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    @F.pandas_udf("struct<top2_chars:long,top3_chars:long,"
+                  "top4_chars:long>")
+    def _t(s: "pd.Series") -> "pd.DataFrame":
+        out = {f"top{n}_chars": [] for n in (2, 3, 4)}
+        for text in s:
+            ws = [] if text is None else \
+                [w for w in ws_re.split(text) if w]
+            for n in (2, 3, 4):
+                best = 0
+                if len(ws) >= n:
+                    cnt: dict = {}
+                    for j in range(len(ws) - n + 1):
+                        g = " ".join(ws[j:j + n])
+                        cnt[g] = cnt.get(g, 0) + 1
+                    c, l = max((c, len(g)) for g, c in cnt.items())
+                    best = c * l
+                out[f"top{n}_chars"].append(best)
+        return pd.DataFrame(out)
+
+    return _t(F.col(text_col))
 
 
 def gopher_dup_ngram_coverage(df: DataFrame, text_col: str,
@@ -513,14 +604,13 @@ def pretrain_filter(df: DataFrame, text_col: str,
         "gopher": lambda: _gopher_columns(
             text_col, min_words, 100_000)["passes"],
         "c4": lambda: _c4_columns(text_col, 3)["keep_page"],
-        # the arrow census made dup_ngrams scan-local too: compute
-        # passes from the struct column inline, no id-keyed join
+        # the arrow censuses made the census stages scan-local too:
+        # passes computed inline from struct columns, no id-keyed
+        # joins — the whole default gate is ONE zero-shuffle scan
         "dup_ngrams": lambda: _dup_ngram_passes_col(text_col),
+        "repetition": lambda: _repetition_passes_col(text_col),
     }
-    wide = {
-        "repetition": lambda: gopher_repetition(df, text_col, id_col)
-        .select(id_col, F.col("passes").alias("__p_repetition__")),
-    }
+    wide: dict = {}
     unknown = [s for s in stages if s not in narrow and s not in wide]
     if unknown:
         raise ValueError(f"unknown pretrain_filter stages: {unknown}")

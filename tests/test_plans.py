@@ -295,3 +295,15 @@ def test_pretrain_e2e_stays_distributed(spark, qs):
     assert "Exchange SinglePartition" not in s
     r = plan_report(df)
     assert r["broadcast_joins"] <= 1, r
+
+
+def test_pretrain_filter_scan_only(spark, qs):
+    """The default pretraining gate (gopher + repetition +
+    dup_ngrams) is ONE zero-shuffle scan: every stage's passes
+    column — including both arrow censuses — is narrow, so the
+    composed filter plans no exchange and no join at any corpus
+    size."""
+    r = plan_report(qs["pretrain_filter_docs"](spark, SF))
+    assert r["shuffles"] == 0, r
+    assert r["broadcast_joins"] == 0, r
+    assert len(r["read_schemas"]) == 1, r
