@@ -1929,3 +1929,28 @@ def test_dup_ngram_arrow_expr_parity(spark):
     assert plan_report(gopher_dup_ngram_coverage(
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
         "text", "doc_id"))["shuffles"] == 0
+
+
+def test_repetition_arrow_expr_parity(spark):
+    """gopher_repetition arrow vs expr: field-for-field equality on
+    hostile docs (ties between grams, null/empty/one-word text,
+    duplicate lines/paras, long repeats) and on the real corpus."""
+    from tablite_spark.pipeline.text import gopher_repetition
+    rows = [(0, "a b a b a b a b longer test gram gram gram"),
+            (1, "one two three one two three one two four"),
+            (2, ""), (3, None), (4, "w"),
+            (5, "line1\nline1\nline2\n\npara\n\npara"),
+            (6, "xy " * 40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: tuple(r) for r in gopher_repetition(
+        d, "text", "doc_id", impl="expr").collect()}
+    b = {r["doc_id"]: tuple(r) for r in gopher_repetition(
+        d, "text", "doc_id", impl="arrow").collect()}
+    assert a == b
+    real = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet")
+    ra = {r["doc_id"]: tuple(r) for r in gopher_repetition(
+        real, "text", "doc_id", impl="expr").collect()}
+    rb = {r["doc_id"]: tuple(r) for r in gopher_repetition(
+        real, "text", "doc_id", impl="arrow").collect()}
+    assert ra == rb
