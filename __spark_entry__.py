@@ -2410,7 +2410,9 @@ def pretrain_e2e_docs(spark: SparkSession, sf: str) -> DataFrame:
     and must reproduce every token of every window (per-window md5)
     plus the boundary-crossing n_docs — proving the stages compose
     without order/boundary bugs."""
-    from tablite_spark.pipeline.text import gopher_rules, pack_sequences
+    from tablite_spark.pipeline.text import (
+        _gopher_columns, pack_sequences,
+    )
     d = _t(spark, sf, "documents").select("doc_id", "text")
     boost = F.concat(F.col("text"),
                      F.lit(" of the and that have with"))
@@ -2425,9 +2427,9 @@ def pretrain_e2e_docs(spark: SparkSession, sf: str) -> DataFrame:
                          & F.col("prev_text").isNotNull(),
                          F.col("prev_text"))
                   .otherwise(F.col("text")).alias("text")))
-    g = (gopher_rules(c1, "text", "doc_id", min_words=10)
-         .filter("passes").select("doc_id"))
-    kept = c1.join(g.hint("merge"), "doc_id", "left_semi")
+    # the gopher gate is a NARROW predicate — filter in place, no
+    # id-keyed semi-join (one less SMJ sort+exchange pair)
+    kept = c1.filter(_gopher_columns("text", 10, 100_000)["passes"])
     firsts = (kept.groupBy(F.md5("text").alias("__h__"))
               .agg(F.min("doc_id").alias("doc_id")))
     corpus = kept.join(firsts.select("doc_id").hint("merge"),
