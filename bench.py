@@ -68,6 +68,8 @@ BENCH_QUERIES = [
     "bucketed_join_revenue",
     "quality_classifier_docs",
     "pretrain_e2e_docs",
+    "gopher_repetition_docs",
+    "gopher_dup_ngrams_docs",
 ]
 
 
@@ -165,8 +167,26 @@ def _pack_sequences_real(spark, sf_dir: str):
                           eos_id=0)
 
 
+def _gopher_repetition_real(spark, sf_dir: str):
+    """Bench twin on the REAL documents table (arrow census default
+    since round 6 — tracks the zero-shuffle path's cost)."""
+    from tablite_spark.pipeline.text import gopher_repetition
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_repetition(d, "text", "doc_id")
+
+
+def _gopher_dup_ngrams_real(spark, sf_dir: str):
+    """Bench twin on the REAL documents table (arrow census default
+    since round 6)."""
+    from tablite_spark.pipeline.text import gopher_dup_ngram_coverage
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_dup_ngram_coverage(d, "text", "doc_id")
+
+
 BENCH_OVERRIDES = {
     "pack_sequences_docs": _pack_sequences_real,
+    "gopher_repetition_docs": _gopher_repetition_real,
+    "gopher_dup_ngrams_docs": _gopher_dup_ngrams_real,
     "minhash_dedup_docs": _minhash_dedup_docs_real,
     "line_dedup_docs": _line_dedup_docs_real,
     "semantic_dedup_embeddings": _semantic_dedup_real,
