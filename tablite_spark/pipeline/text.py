@@ -592,14 +592,13 @@ def pretrain_filter(df: DataFrame, text_col: str,
     (null when kept) — the per-stage attrition report every
     data-pipeline dashboard wants.
 
-    Plan shape: the NARROW stages (gopher, c4 — pure expressions)
-    are inlined as columns on the base scan, costing zero joins and
-    zero shuffles; only the census stages (repetition, dup_ngrams —
-    which end in a groupBy back to doc ids) join in, id-keyed
-    sort-merge (corpus-scaling sides, never broadcast — same
-    rationale as the census operators' merge hints), and their
-    groupBy outputs are already hash-partitioned on the id so the
-    merge join adds sorts, not exchanges."""
+    Plan shape: since the arrow censuses, EVERY stage's passes
+    column is narrow — gopher and c4 as pure expressions, repetition
+    and dup_ngrams as zero-shuffle Arrow-batched struct columns — so
+    the whole composed gate is ONE scan with zero joins and zero
+    exchanges at any corpus size (plan-gated in
+    tests/test_plans.py::test_pretrain_filter_scan_only). Measured
+    sf0.1: 1.6 s steady vs 7.6 s for the join-composed form."""
     narrow = {
         "gopher": lambda: _gopher_columns(
             text_col, min_words, 100_000)["passes"],
