@@ -513,7 +513,7 @@ def pq_encode(df: DataFrame, id_col: str, vec_col: str,
 def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
             id_col: str = "id", vec_col: str = "vec",
             m: int = 8, n_codes: int = 256, seed: int = 42,
-            refine: int = 0) -> DataFrame:
+            refine: int = 0, books: list | None = None) -> DataFrame:
     """PQ approximate top-k by asymmetric distance computation (ADC):
     each query precomputes an m × n_codes lookup table of subspace
     dot products against the codebooks, and scoring a corpus vector
@@ -529,6 +529,10 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     set is collected and shipped in the UDF closure — the same
     small-query contract as brute_force_topk's broadcast.
 
+    Pass ``books`` (e.g. from :func:`pq_load_index`) to reuse a
+    trained index across sessions/batches — training is the dominant
+    per-call cost at small scale and pure overhead to repeat.
+
     Sizing ``refine``: ADC resolves BETWEEN quantization cells, not
     within them — near-identical vectors share a code word and tie
     under ADC, so if a query's true neighbors live in one tight
@@ -539,8 +543,9 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     import numpy as np
     import pandas as pd
 
-    books = pq_train(corpus, id_col, vec_col, m=m, n_codes=n_codes,
-                     seed=seed)
+    if books is None:
+        books = pq_train(corpus, id_col, vec_col, m=m,
+                         n_codes=n_codes, seed=seed)
     codes = (pq_encode(corpus, id_col, vec_col, books)
              .withColumnRenamed(id_col, "nid"))
     qrows = (queries.select(F.col(id_col).alias("qid"),

@@ -1954,3 +1954,25 @@ def test_repetition_arrow_expr_parity(spark):
     rb = {r["doc_id"]: tuple(r) for r in gopher_repetition(
         real, "text", "doc_id", impl="arrow").collect()}
     assert ra == rb
+
+
+def test_pq_topk_with_prebuilt_index(spark, tmp_path):
+    """pq_topk(books=...) with a persisted index returns identical
+    results to the self-training path (same seed), skipping the
+    per-call training cost."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.similarity import (
+        pq_load_index, pq_save_index, pq_topk, pq_train,
+    )
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3)
+    books = pq_train(e, "vec_id", "embedding", m=4, n_codes=16)
+    p = str(tmp_path / "idx")
+    pq_save_index(spark, books, p)
+    a = pq_topk(e, q, k=5, id_col="vec_id", vec_col="embedding",
+                m=4, n_codes=16, refine=4).collect()
+    b = pq_topk(e, q, k=5, id_col="vec_id", vec_col="embedding",
+                m=4, n_codes=16, refine=4,
+                books=pq_load_index(spark, p)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
