@@ -1976,3 +1976,40 @@ def test_pq_topk_with_prebuilt_index(spark, tmp_path):
                 m=4, n_codes=16, refine=4,
                 books=pq_load_index(spark, p)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_resize_images_real_pixels(spark):
+    """resize_images: REAL decode->box-average->re-encode through the
+    pure-python codecs. A 2x2-block image resized to 2x2 recovers the
+    block means (within JPEG quantization); PNG output is lossless-
+    exact; null / non-image payloads yield null media, never a task
+    failure; zero shuffles."""
+    import numpy as np
+
+    from tablite_spark.pipeline.jpeg import jpeg_encode
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, resize_images,
+    )
+    from tablite_spark.pipeline.png import png_decode, png_encode
+    from tablite_spark.plans import plan_report
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[:16, :16] = 200; img[:16, 16:] = 50
+    img[16:, :16] = 100; img[16:, 16:] = 250
+    rows = [(0, bytearray(jpeg_encode(img, quality=95))),
+            (1, bytearray(png_encode(img))),
+            (2, None), (3, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    m = attach_media(df, "data", "image/mixed")
+    out = resize_images(m, width=2, height=2, out_format="png")
+    assert plan_report(out)["shuffles"] == 0
+    got = {r["id"]: r["media"] for r in out.collect()}
+    assert got[2] is None and got[3] is None
+    exp = np.array([[[200] * 3, [50] * 3], [[100] * 3, [250] * 3]],
+                   dtype=np.uint8)
+    # png path: box means are exact
+    assert np.array_equal(png_decode(bytes(got[1]["data"])), exp)
+    # jpeg input decodes within quantization of the block means
+    dec = png_decode(bytes(got[0]["data"])).astype(int)
+    assert np.abs(dec - exp.astype(int)).max() <= 12
+    assert got[0]["mime"] == "image/png"
+    assert (got[0]["width"], got[0]["height"]) == (2, 2)
