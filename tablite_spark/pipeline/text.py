@@ -909,7 +909,9 @@ def pack_chunks(chunks: DataFrame, tokens_col: str,
 def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
                    seq_len: int, eos_id: int | None = None,
                    drop_last: bool = True,
-                   boundaries: bool = False) -> DataFrame:
+                   boundaries: bool = False,
+                   mask_col: str | None = None,
+                   eos_mask: int = 0) -> DataFrame:
     """Concat-and-chunk sequence packing — the GPT-pretraining
     layout: documents (token-id arrays, e.g. from
     ``bpe.tokenize_bpe``) are concatenated in ascending ``id_col``
@@ -925,7 +927,12 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
     (ascending; excludes offset 0 when the window opens mid-doc) —
     exactly what block-diagonal attention masking / position-id reset
     needs during training. Computed in the SAME combinable
-    aggregation, no extra shuffle.
+    aggregation, no extra shuffle. With ``mask_col`` (a per-doc
+    array the SAME length as ``ids_col``, e.g. an SFT loss mask with
+    0 over prompt tokens and 1 over completion tokens) an aligned
+    ``loss_mask array<int>`` rides the same explode/groupBy —
+    appended EOS slots get ``eos_mask`` — so instruction-tuning
+    batches pack with their masks in one pass.
 
     Plan shape at 100 TB: a two-phase distributed prefix sum whose
     bucketing is a PURE FUNCTION of the id value. Spark's own range
@@ -947,11 +954,19 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
 
     from tablite_spark.functions.buckets import with_range_bucket
     spark = df.sparkSession
-    base = df.select(F.col(id_col), F.col(ids_col))
+    cols = [F.col(id_col), F.col(ids_col)]
+    if mask_col is not None:
+        cols.append(F.col(mask_col))
+    base = df.select(*cols)
     if eos_id is not None:
         base = base.withColumn(
             ids_col, F.concat(F.col(ids_col),
                               F.array(F.lit(int(eos_id)).cast("int"))))
+        if mask_col is not None:
+            base = base.withColumn(
+                mask_col, F.concat(F.col(mask_col),
+                                   F.array(F.lit(int(eos_mask))
+                                           .cast("int"))))
     tagged = with_range_bucket(base, id_col, "__pid__").withColumn(
         "__nt__", F.size(ids_col))
     sums = (tagged.groupBy("__pid__")
@@ -974,8 +989,17 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
             .withColumn("__start__", F.col("__off__")
                         + F.col("__cum__") - F.col("__nt__"))
             .select("__start__",
-                    F.posexplode(ids_col).alias("__i__", "__tok__"))
-            .select(pos.alias("__pos__"), "__tok__",
+                    F.posexplode(
+                        F.arrays_zip(F.col(ids_col), F.col(mask_col))
+                        if mask_col is not None else
+                        F.transform(F.col(ids_col),
+                                    lambda t: F.struct(t.alias("t"))))
+                    .alias("__i__", "__z__"))
+            .select(pos.alias("__pos__"),
+                    F.col("__z__")[ids_col if mask_col is not None
+                                   else "t"].alias("__tok__"),
+                    (F.col("__z__")[mask_col] if mask_col is not None
+                     else F.lit(None).cast("int")).alias("__msk__"),
                     (F.col("__i__") == 0).alias("__ds__")))
     # n_docs without countDistinct: docs are CONTIGUOUS in the
     # stream, so distinct docs in a window = docs STARTING in it
@@ -989,7 +1013,8 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
                 F.floor(F.col("__pos__") / F.lit(seq_len)).cast("long"))
             .groupBy("__seq__")
             .agg(F.array_sort(F.collect_list(
-                     F.struct("__pos__", "__tok__"))).alias("__ts__"),
+                     F.struct("__pos__", "__tok__", "__msk__")))
+                  .alias("__ts__"),
                  F.sum(F.when(F.col("__ds__"), 1).otherwise(0))
                   .alias("__nstart__"),
                  F.max(F.when((F.col("__pos__") % seq_len == 0)
@@ -1005,9 +1030,14 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
                      .alias("input_ids"),
                     (F.col("__nstart__") + F.col("__open__"))
                     .cast("long").alias("n_docs"),
-                    F.col("__dstarts__").alias("doc_starts")))
+                    F.col("__dstarts__").alias("doc_starts"),
+                    F.transform("__ts__",
+                                lambda z: z.getField("__msk__"))
+                     .alias("loss_mask")))
     if not boundaries:
         seqs = seqs.drop("doc_starts")
+    if mask_col is None:
+        seqs = seqs.drop("loss_mask")
     if drop_last and total % seq_len:
         seqs = seqs.filter(F.col("seq_id") < total // seq_len)
     return seqs

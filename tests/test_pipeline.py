@@ -2013,3 +2013,32 @@ def test_resize_images_real_pixels(spark):
     assert np.abs(dec - exp.astype(int)).max() <= 12
     assert got[0]["mime"] == "image/png"
     assert (got[0]["width"], got[0]["height"]) == (2, 2)
+
+
+def test_pack_sequences_loss_mask_alignment(spark):
+    """mask_col packs an aligned loss_mask: every window slot's mask
+    is the mask of the token in that slot (prompt=0 completion=1 SFT
+    layout), EOS slots get eos_mask, across window boundaries."""
+    from tablite_spark.pipeline.text import pack_sequences
+    rows = []
+    for i in range(12):
+        p, c = 2 + i % 3, 3 + i % 4   # prompt / completion lengths
+        ids = list(range(i * 100, i * 100 + p + c))
+        mask = [0] * p + [1] * c
+        rows.append((i, ids, mask))
+    df = spark.createDataFrame(rows, "doc_id long, ids array<int>, "
+                                     "mask array<int>")
+    out = pack_sequences(df, "ids", "doc_id", 8, eos_id=-1,
+                         mask_col="mask", eos_mask=0).collect()
+    tok2mask = {}
+    for i, ids, mask in rows:
+        for t, m in zip(ids, mask):
+            tok2mask[t] = m
+        tok2mask[-1] = 0
+    for r in out:
+        assert len(r["input_ids"]) == len(r["loss_mask"]) == 8
+        for t, m in zip(r["input_ids"], r["loss_mask"]):
+            assert m == tok2mask[t], (r["seq_id"], t, m)
+    # without mask_col the column is absent
+    assert "loss_mask" not in pack_sequences(
+        df, "ids", "doc_id", 8).columns
