@@ -478,3 +478,56 @@ def resize_images(df: DataFrame, media_col: str = "media",
             yield res
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def resample_audio(df: DataFrame, media_col: str = "media",
+                   target_rate: int = 16_000) -> DataFrame:
+    """REAL audio resampling over Arrow batches: 16-bit PCM WAV
+    payloads decode through the stdlib codec, resample to
+    ``target_rate`` by linear interpolation on the continuous-time
+    sample grid (numpy.interp — the standard cheap resampler; no
+    anti-alias filter, which matters only for heavy downsampling of
+    near-Nyquist content), and re-encode as 16-bit mono WAV. The
+    media struct is replaced (new data/mime + rate/duration_ms
+    metadata); null / non-WAV / non-PCM payloads yield a null struct
+    rather than failing the batch. One mapInPandas pass, scan-local,
+    zero shuffles — the audio twin of :func:`resize_images`."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != media_col] + [
+            T.StructField(media_col, T.StructType([
+                T.StructField("data", T.BinaryType()),
+                T.StructField("mime", T.StringType()),
+                T.StructField("sample_rate", T.IntegerType()),
+                T.StructField("duration_ms", T.IntegerType()),
+            ])),
+        ])
+    other_cols = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def _one(m):
+        if m is None or m["data"] is None:
+            return None
+        try:
+            rate, x = wav_samples(bytes(m["data"]))
+            if rate == target_rate:
+                y = x
+            else:
+                n_out = max(int(round(len(x) * target_rate / rate)), 1)
+                t_out = np.arange(n_out) * (rate / target_rate)
+                y = np.interp(t_out, np.arange(len(x)), x)
+            pcm = np.clip(np.round(y * 32768.0), -32768, 32767)
+            data = wav_encode(pcm.astype("<i2"), target_rate)
+            return {"data": data, "mime": "audio/wav",
+                    "sample_rate": target_rate,
+                    "duration_ms": len(y) * 1000 // target_rate}
+        except Exception:
+            return None
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            res = pdf[other_cols].copy()
+            res[media_col] = pdf[media_col].map(_one)
+            yield res
+
+    return df.mapInPandas(batches, schema=out_schema)

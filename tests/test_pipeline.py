@@ -2042,3 +2042,35 @@ def test_pack_sequences_loss_mask_alignment(spark):
     # without mask_col the column is absent
     assert "loss_mask" not in pack_sequences(
         df, "ids", "doc_id", 8).columns
+
+
+def test_resample_audio_preserves_signal(spark):
+    """resample_audio 48k -> 16k: a 440 Hz sine keeps its duration,
+    frequency (zero-crossing count) and amplitude through linear-
+    interpolation resampling; junk/null payloads yield null media;
+    zero shuffles."""
+    import numpy as np
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, resample_audio, wav_encode, wav_samples,
+    )
+    from tablite_spark.plans import plan_report
+    sr = 48_000
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    rows = [(0, bytearray(wav_encode(sine, sr))),
+            (1, None), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "id long, data binary")
+    out = resample_audio(attach_media(df, "data", "audio/wav"),
+                         target_rate=16_000)
+    assert plan_report(out)["shuffles"] == 0
+    got = {r["id"]: r["media"] for r in out.collect()}
+    assert got[1] is None and got[2] is None
+    m = got[0]
+    assert m["sample_rate"] == 16_000
+    assert abs(m["duration_ms"] - 500) <= 1
+    rate, y = wav_samples(bytes(m["data"]))
+    assert rate == 16_000 and abs(len(y) - 8000) <= 1
+    zc = int(np.sum(np.abs(np.diff(np.signbit(y)))))
+    assert abs(zc - 440) <= 2, zc  # 440 cycles in 0.5 s -> ~440 zc
+    assert 0.45 <= float(np.abs(y).max()) <= 0.55
