@@ -592,7 +592,8 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
                id_col: str = "id", vec_col: str = "vec",
                n_lists: int = 16, n_probe: int = 4,
                m: int = 8, n_codes: int = 256, seed: int = 42,
-               refine: int = 4) -> DataFrame:
+               refine: int = 4, books: list | None = None,
+               cents=None) -> DataFrame:
     """FAISS-style IVF-PQ (Jégou et al. 2011): a coarse sample-trained
     k-means quantizer prunes the scan to each query's ``n_probe``
     nearest cells, PQ codes + ADC lookup tables score ONLY those
@@ -608,14 +609,18 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int,
     per-batch scorer touches only rows whose cell is probed by some
     query (roughly n_probe/n_lists of the corpus). ``refine`` sizing:
     see pq_topk — it must exceed the population among which ADC ties.
+    Pass ``books``/``cents`` (e.g. codebooks via pq_load_index, coarse
+    centroids persisted the same way) to reuse a trained index.
     """
     import numpy as np
     import pandas as pd
 
-    cents = _kmeans_sample_train(corpus, id_col, vec_col, n_lists,
-                                 seed, normalize=True)
-    books = pq_train(corpus, id_col, vec_col, m=m, n_codes=n_codes,
-                     seed=seed)
+    if cents is None:
+        cents = _kmeans_sample_train(corpus, id_col, vec_col,
+                                     n_lists, seed, normalize=True)
+    if books is None:
+        books = pq_train(corpus, id_col, vec_col, m=m,
+                         n_codes=n_codes, seed=seed)
     enc = _pq_encoder_udf(books)
     coded = assign_cells(
         corpus.select(F.col(id_col).alias("nid"),
