@@ -100,8 +100,20 @@ def bm25_search(docs: DataFrame | None, queries: DataFrame,
               .join(F.broadcast(df_t), "term")
               .groupBy(qid_col, id_col)
               .agg(F.round(F.sum(contrib), 6).alias("score")))
-    w = (Window.partitionBy(qid_col)
-         .orderBy(F.col("score").desc(), F.col(id_col).asc()))
-    return (scored.withColumn("rank", F.row_number().over(w))
+    # two-phase top-k (the similarity-module pattern): a bare
+    # row_number over (partition by qid) ranks each query's ENTIRE
+    # scored set in one task — a stopword-like probe term matches the
+    # whole corpus and funnels it into ≤|queries| tasks. Phase 1
+    # keeps k per (qid, input partition) — balanced; phase 2 ranks
+    # the ≤ k·n_partitions survivors. A per-salt top-k under an
+    # ordering always contains the global top-k, so the result is
+    # identical to the single-window form.
+    order = [F.col("score").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(qid_col, "__salt__").orderBy(*order)
+    w2 = Window.partitionBy(qid_col).orderBy(*order)
+    return (scored.withColumn("__salt__", F.spark_partition_id())
+            .withColumn("__rn1__", F.row_number().over(w1))
+            .filter(F.col("__rn1__") <= k)
+            .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select(qid_col, id_col, "rank", "score"))

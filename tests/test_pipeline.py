@@ -1772,9 +1772,13 @@ def test_bm25_plan_broadcasts_queries_not_corpus(spark):
     assert r["broadcast_joins"] >= 2, r
     assert "Exchange SinglePartition" not in s, s
     # dl comes from a window over the tf frame (no join-back) and
-    # df_t semi-joins query terms BEFORE counting; regression above
-    # this count means a shuffle crept back in (first draft: 10)
-    assert r["shuffles"] <= 7, r
+    # df_t semi-joins query terms BEFORE counting (first draft: 10).
+    # The 8th exchange is the two-phase rank's balanced salt window —
+    # it EXISTS so that a stopword-like probe can't funnel the whole
+    # scored corpus into <=|queries| ranking tasks; the per-qid
+    # window after it moves only k-per-salt survivors.
+    assert r["shuffles"] <= 8, r
+    assert "__salt__" in s, "two-phase rank missing"
 
 
 def test_pack_sequences_append_stable(spark):
