@@ -261,3 +261,33 @@ def train_holdout_split(df: DataFrame, key_col: str,
     key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
     u = _unit_hash(key)
     return df.filter(u >= holdout_fraction), df.filter(u < holdout_fraction)
+
+
+def cluster_holdout_split(df: DataFrame, id_col: str,
+                          components: DataFrame,
+                          holdout_fraction: float = 0.1,
+                          salt: str = "split"
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe (train, holdout): membership is hashed on the
+    NEAR-DUP CLUSTER id, not the document id, so near-duplicate
+    documents can never straddle the split — the standard
+    train/eval contamination hazard a plain per-document hash split
+    does not cover (a holdout doc's near-twin in train is leakage).
+
+    ``components`` is (id, component) from
+    ``dedup.connected_components`` over any candidate-pair frame
+    (MinHash-LSH, SimHash, exact fingerprint groups…). Documents
+    absent from ``components`` are singleton clusters keyed by their
+    own id. Membership stays hash-deterministic (rerun/append-stable,
+    same contract as ``train_holdout_split``); the only data motion
+    is one id-keyed left join of the (small) components frame.
+    """
+    comp = components.select(F.col("id").alias(id_col),
+                             F.col("component").alias("__cl__"))
+    tagged = (df.join(comp, id_col, "left")
+              .withColumn("__cl__", F.coalesce(F.col("__cl__"),
+                                               F.col(id_col))))
+    key = F.concat(F.lit(salt), F.col("__cl__").cast("string"))
+    u = _unit_hash(key)
+    return (tagged.filter(u >= holdout_fraction).drop("__cl__"),
+            tagged.filter(u < holdout_fraction).drop("__cl__"))

@@ -2078,3 +2078,39 @@ def test_resample_audio_preserves_signal(spark):
     zc = int(np.sum(np.abs(np.diff(np.signbit(y)))))
     assert abs(zc - 440) <= 2, zc  # 440 cycles in 0.5 s -> ~440 zc
     assert 0.45 <= float(np.abs(y).max()) <= 0.55
+
+
+def test_cluster_holdout_split_no_neardup_leakage(spark):
+    """cluster_holdout_split: every planted near-dup pair lands
+    wholly in train or wholly in holdout (zero straddling clusters),
+    the split is disjoint+complete, and singleton docs split by
+    their own id hash — while the plain per-doc split DOES straddle
+    some planted pair (demonstrating the hazard)."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.dedup import (
+        connected_components, minhash_lsh_candidates, shingle_minhash,
+    )
+    from tablite_spark.pipeline.sampling import (
+        cluster_holdout_split, train_holdout_split,
+    )
+    base = [(i, " ".join(f"w{i}x{j}" for j in range(30)))
+            for i in range(300)]
+    dups = [(1000 + i, base[i][1]) for i in range(0, 300, 3)]
+    df = spark.createDataFrame(base + dups, "doc_id long, text string")
+    sig = shingle_minhash(df, "text", "doc_id")
+    cc = connected_components(minhash_lsh_candidates(sig, "doc_id"))
+    train, hold = cluster_holdout_split(df, "doc_id", cc, 0.3)
+    t_ids = {r["doc_id"] for r in train.collect()}
+    h_ids = {r["doc_id"] for r in hold.collect()}
+    assert t_ids.isdisjoint(h_ids)
+    assert t_ids | h_ids == {r[0] for r in base + dups}
+    assert len(h_ids) > 10  # the 30% hash split actually holds out
+    straddle = sum((i in t_ids) != (1000 + i in t_ids)
+                   for i in range(0, 300, 3))
+    assert straddle == 0, straddle
+    # the hazard is real: the per-doc split straddles some pair
+    tr2, _ = train_holdout_split(df, "doc_id", 0.3)
+    t2 = {r["doc_id"] for r in tr2.collect()}
+    assert sum((i in t2) != (1000 + i in t2)
+               for i in range(0, 300, 3)) > 0
