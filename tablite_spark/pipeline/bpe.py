@@ -283,3 +283,19 @@ def token_count_bpe(df: DataFrame, text_col: str,
         return s.map(lambda v: 0 if v is None else tok.count(v))
 
     return df.withColumn("n_tokens", _n(F.col(text_col)))
+
+
+def save_bpe_files(vocab: dict[str, int],
+                   merges: list[tuple[str, str]],
+                   vocab_path: str, merges_path: str) -> None:
+    """Write a (vocab, merges) pair — e.g. from :func:`train_bpe` —
+    in the standard GPT-2 file format ``BPETokenizer.from_files``
+    (and the HF/tiktoken ecosystem) reads back: ``vocab.json`` as
+    ``{token: id}``, ``merges.txt`` one space-separated pair per
+    line under a ``#version`` header."""
+    with open(vocab_path, "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    with open(merges_path, "w", encoding="utf-8") as f:
+        f.write("#version: 0.2\n")
+        for a, b in merges:
+            f.write(f"{a} {b}\n")

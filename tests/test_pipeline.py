@@ -2114,3 +2114,22 @@ def test_cluster_holdout_split_no_neardup_leakage(spark):
     t2 = {r["doc_id"] for r in tr2.collect()}
     assert sum((i in t2) != (1000 + i in t2)
                for i in range(0, 300, 3)) > 0
+
+
+def test_bpe_files_roundtrip(spark, tmp_path):
+    """train_bpe -> save_bpe_files -> BPETokenizer.from_files: the
+    reloaded tokenizer encodes identically to the in-memory one over
+    corpus text (GPT-2 file-format round-trip)."""
+    from tablite_spark.pipeline.bpe import (
+        BPETokenizer, save_bpe_files, train_bpe,
+    )
+    texts = [f"hello world number {i} of the corpus" for i in range(30)]
+    vocab, merges = train_bpe(texts, 350)
+    vp, mp = str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt")
+    save_bpe_files(vocab, merges, vp, mp)
+    a = BPETokenizer(vocab, merges)
+    b = BPETokenizer.from_files(vp, mp)
+    for t in texts + ["unseen text with ünïcode 🎉"]:
+        ea, eb = a.encode(t), b.encode(t)
+        assert ea == eb, t
+        assert b.decode(eb) == t
