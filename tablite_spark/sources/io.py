@@ -486,8 +486,17 @@ def save(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
-def load(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def load(spark: SparkSession, path: str,
+         merge_schema: bool = False) -> DataFrame:
+    """Read parquet back. ``merge_schema=True`` unions the schemas of
+    all files (corpus snapshots that gained columns over time read as
+    one frame, older files null-padded) — Spark reads every footer
+    for this, so leave it off for schema-stable datasets where the
+    single-footer fast path matters."""
+    r = spark.read
+    if merge_schema:
+        r = r.option("mergeSchema", "true")
+    return r.parquet(path)
 
 
 def save_sharded(df: DataFrame, path: str, target_mb: int = 512,

@@ -733,3 +733,23 @@ def test_save_sharded_targets_file_size(spark, tmp_path):
     p2 = str(tmp_path / "tiny")
     save_sharded(spark.range(10), p2, target_mb=64)
     assert len(glob.glob(f"{p2}/*.parquet")) == 1
+
+
+def test_load_merge_schema_across_snapshots(spark, tmp_path):
+    """merge_schema=True reads heterogeneous snapshot files as one
+    union schema with null-padding for the older files; default read
+    keeps the fast single-footer path."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.sources.io import load
+    p = str(tmp_path / "corpus")
+    spark.range(5).select(F.col("id").alias("doc_id")) \
+        .write.parquet(p + "/snap=1")
+    spark.range(5, 8).select(F.col("id").alias("doc_id"),
+                             F.lit("en").alias("lang")) \
+        .write.parquet(p + "/snap=2")
+    merged = load(spark, p, merge_schema=True)
+    assert set(merged.columns) >= {"doc_id", "lang"}
+    rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
+    assert len(rows) == 8
+    assert rows[0] is None and rows[6] == "en"
