@@ -1,0 +1,66 @@
+"""Deterministic range bucketing (functions/buckets.py) — the
+cross-job-safe substitute for repartitionByRange that pack_sequences
+and carry_forward build on."""
+
+from pyspark.sql import functions as F
+
+from tablite_spark.functions.buckets import (
+    bucket_expr, range_bucket_bounds, with_range_bucket,
+)
+
+
+def test_bucket_assignment_deterministic_across_jobs(spark):
+    """The same frame evaluated twice (different downstream plans,
+    different partition layouts) assigns every row the same bucket —
+    the property RangePartitioner lacks (its bound sampling is seeded
+    by the RDD id)."""
+    df = spark.range(100_000).select((F.col("id") * 7 % 91_000)
+                                     .alias("k"))
+    b = with_range_bucket(df, "k", "pid", n_buckets=32)
+    a1 = {r["k"]: r["pid"] for r in b.collect()}
+    a2 = {r["k"]: r["pid"] for r in
+          b.repartition(17).collect()}
+    assert a1 == a2
+
+
+def test_bucket_monotone_and_balanced(spark):
+    """Buckets are monotone in the key (every row of bucket p sorts
+    before every row of bucket p+1) and roughly balanced on uniform
+    data (quantile bounds)."""
+    df = spark.range(50_000).select(F.col("id").alias("k"))
+    b = with_range_bucket(df, "k", "pid", n_buckets=16)
+    rows = (b.groupBy("pid").agg(F.min("k").alias("mn"),
+                                 F.max("k").alias("mx"),
+                                 F.count("*").alias("n")).collect())
+    rows.sort(key=lambda r: r["pid"])
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["mx"] < cur["mn"]
+    ns = [r["n"] for r in rows]
+    assert max(ns) <= 3 * min(ns), ns
+
+
+def test_bucket_nulls_and_strings(spark):
+    """Null keys land in bucket 0; the non-numeric (seeded-sample)
+    path buckets strings monotonically."""
+    df = spark.createDataFrame(
+        [(None,), ("apple",), ("banana",), ("cherry",), ("date",)]
+        * 200, "k string")
+    b = with_range_bucket(df, "k", "pid", n_buckets=4)
+    got = {r["k"]: r["pid"] for r in b.distinct().collect()}
+    assert got[None] == 0
+    vals = [got[k] for k in ("apple", "banana", "cherry", "date")]
+    assert vals == sorted(vals)
+
+
+def test_bucket_expr_heavy_hitter_merges_not_splits(spark):
+    """A heavy-hitter key collapses duplicate bounds — balance
+    degrades, monotonicity and tie-cohesion never do (all rows of
+    the hot key share one bucket)."""
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, 42).otherwise(F.col("id"))
+        .alias("k"))
+    bounds = range_bucket_bounds(df, "k", 8)
+    assert bounds == sorted(set(bounds))
+    b = df.withColumn("pid", bucket_expr("k", bounds))
+    hot = b.filter(F.col("k") == 42).select("pid").distinct().count()
+    assert hot == 1
