@@ -434,7 +434,7 @@ def main() -> None:
     io_benchmarks(spark, sf_dir, timings, extra)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
@@ -444,7 +444,38 @@ def main() -> None:
         "r2_comparable_total": r2_basis,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extra,
-    }))
+    }
+    # The driver captures only the LAST 2000 chars of stdout and
+    # json-parses the final line: round 6's per-query ``bench_meta``
+    # (runs + loadavg stamps) grew the line to ~6.4 KB and the official
+    # BENCH_r06 record came back ``parsed: null``. The full record
+    # (including bench_meta) now goes to a committed side file; the
+    # printed line carries the headline set only and is compact-encoded
+    # with a hard length guard so the driver can always parse it.
+    meta_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_META",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_META_r07.json"))
+    try:
+        with open(meta_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the printed line still stands alone
+    compact = dict(payload)
+    compact.pop("bench_meta", None)
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: shed 3rd decimals first
+        compact["queries"] = {k: round(v, 2)
+                              for k, v in compact["queries"].items()}
+        line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and compact["queries"]:
+        # last resort: drop the fastest entries; totals keep the record
+        drop = min(compact["queries"], key=compact["queries"].get)
+        del compact["queries"][drop]
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

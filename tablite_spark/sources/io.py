@@ -258,6 +258,9 @@ def from_file(spark: SparkSession, path: str, **kwargs) -> DataFrame:
                          guess_datatypes=kwargs.get("guess_datatypes", True))
     if suffix in (".h5", ".hdf5"):
         return read_hdf5(spark, path, **kwargs)
+    if suffix == ".tpz":
+        from tablite_spark.sources.tpz import load_tpz
+        return load_tpz(spark, path, **kwargs)
     raise ValueError(f"unsupported file type: {suffix}")
 
 

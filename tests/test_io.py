@@ -753,3 +753,107 @@ def test_load_merge_schema_across_snapshots(spark, tmp_path):
     rows = {r["doc_id"]: r["lang"] for r in merged.collect()}
     assert len(rows) == 8
     assert rows[0] is None and rows[6] == "en"
+
+
+# ----------------------------------------------------------------- tpz
+def test_tpz_roundtrip_mixed_and_nulls(spark, tmp_path):
+    """Native .tpz archive (reference tablite/base.py:1350-1453):
+    save→load roundtrip across int/float/str/bool/date/timestamp
+    columns with None-bearing rows and a unicode column name."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.tpz import load_tpz, save_tpz
+    rows = [
+        Row(k=1, x=1.5, s="alpha", ok=True,
+            d=dt.date(2020, 1, 1), t=dt.datetime(2020, 1, 1, 12, 30),
+            列=10),
+        Row(k=2, x=None, s=None, ok=False,
+            d=None, t=None, 列=None),
+        Row(k=3, x=-2.25, s="βeta", ok=None,
+            d=dt.date(1999, 12, 31), t=dt.datetime(2024, 6, 1, 0, 0, 1),
+            列=30),
+    ]
+    df = spark.createDataFrame(rows)
+    path = save_tpz(df, str(tmp_path / "t.tpz"), page_rows=2)
+    back = load_tpz(spark, path)
+    assert back.columns == df.columns
+    got = sorted(back.collect(), key=lambda r: r["k"])
+    assert [r["k"] for r in got] == [1, 2, 3]
+    assert got[1]["x"] is None and got[1]["s"] is None
+    assert got[0]["s"] == "alpha" and got[2]["s"] == "βeta"
+    assert got[0]["d"] == dt.date(2020, 1, 1)
+    assert got[2]["t"] == dt.datetime(2024, 6, 1, 0, 0, 1)
+    assert got[2]["列"] == 30 and got[1]["列"] is None
+    # suffix dispatch
+    assert from_file(spark, path).count() == 3
+
+
+def test_tpz_page_repeats_and_column_subset(spark, tmp_path):
+    """A page listed twice in the manifest repeats its rows in order
+    (reference dedups storage for t *= n); column subset loads only
+    the requested pages."""
+    import io as _bio
+    import zipfile
+
+    import numpy as np
+
+    from tablite_spark.sources.tpz import _parse_manifest, load_tpz
+    p = tmp_path / "rep.tpz"
+    with zipfile.ZipFile(p, "w") as zf:
+        b = _bio.BytesIO(); np.save(b, np.array([1, 2, 3]))
+        zf.writestr("1.npy", b.getvalue())
+        b = _bio.BytesIO(); np.save(b, np.array(["a", "b", "c"]))
+        zf.writestr("2.npy", b.getvalue())
+        zf.writestr("table.yml",
+                    "columns:\n  k:\n    pages: [1.npy, 1.npy]\n"
+                    "  s:\n    pages: [2.npy, 2.npy]\n")
+    df = load_tpz(spark, str(p))
+    assert [r["k"] for r in df.collect()] == [1, 2, 3, 1, 2, 3]
+    sub = load_tpz(spark, str(p), columns=["s"])
+    assert sub.columns == ["s"] and sub.count() == 6
+    # fallback manifest parser (no-yaml path) agrees with pyyaml
+    import yaml
+    text = yaml.safe_dump(
+        {"columns": {"列 1": {"pages": ["1.npy", "1.npy"]},
+                     "s": {"pages": ["2.npy"]}}},
+        sort_keys=False, allow_unicode=True, default_flow_style=None)
+    try:
+        import builtins
+        real_import = builtins.__import__
+
+        def no_yaml(name, *a, **kw):
+            if name == "yaml":
+                raise ImportError("forced")
+            return real_import(name, *a, **kw)
+        builtins.__import__ = no_yaml
+        parsed = _parse_manifest(text)
+    finally:
+        builtins.__import__ = real_import
+    assert parsed == {"列 1": ["1.npy", "1.npy"], "s": ["2.npy"]}
+
+
+def test_tpz_mixed_type_column_stringifies(spark, tmp_path):
+    """SURVEY §1.3 deviation: a genuinely mixed page lands as one
+    string column (values stringified, None kept)."""
+    import io as _bio
+    import zipfile
+
+    import numpy as np
+
+    from tablite_spark.sources.tpz import load_tpz
+    p = tmp_path / "mix.tpz"
+    with zipfile.ZipFile(p, "w") as zf:
+        b = _bio.BytesIO()
+        np.save(b, np.array([1, "two", 3.5, None], dtype=object),
+                allow_pickle=True)
+        zf.writestr("1.npy", b.getvalue())
+        zf.writestr("table.yml", "columns:\n  m:\n    pages: [1.npy]\n")
+    got = [r["m"] for r in load_tpz(spark, str(p)).collect()]
+    assert got == ["1", "two", "3.5", None]
+    # allow_pickle=False rejects the object page
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_tpz(spark, str(p), allow_pickle=False)
