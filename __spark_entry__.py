@@ -910,6 +910,33 @@ def ods_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("n_name").alias("first_name")))
 
 
+def tpz_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """E2E native ``.tpz`` archive proof (reference
+    tablite/base.py:1350-1453 Table.save/load — zip of table.yml +
+    .npy pages): export nation with a None-bearing string column and
+    a float column (mixed page dtypes: long + '<U' unicode + pickled
+    object-with-None + float64), re-read via from_file suffix
+    dispatch, aggregate against the parquet source."""
+    import tempfile
+
+    from tablite_spark.sources.io import from_file
+    from tablite_spark.sources.tpz import save_tpz
+    n = (_t(spark, sf, "nation")
+         .select("n_nationkey", "n_name", "n_regionkey",
+                 F.when(F.col("n_nationkey") % 3 != 0,
+                        F.upper(F.col("n_name"))).alias("maybe_comment"),
+                 (F.col("n_nationkey") * 1.5).alias("score")))
+    tmp = tempfile.mkdtemp(prefix="tpz_rt_")
+    path = save_tpz(n, f"{tmp}/nation.tpz", page_rows=7)
+    back = from_file(spark, path)
+    return (back.groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"),
+                 F.count("maybe_comment").alias("comments_kept"),
+                 F.sum("score").alias("score_sum"),
+                 F.min("n_name").alias("first_name")))
+
+
 def xls_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     """E2E legacy-.xls proof via the stdlib xlslite codec (OLE2
     compound file + BIFF8 records, sources/xlslite.py — the
@@ -2076,6 +2103,118 @@ def wav_decode_meta(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "sample_rate", "channels", "duration_ms")
 
 
+def resize_images_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL resize pipeline proof (multimodal.resize_images, round 6):
+    each doc gets a genuine solid-color PNG (red level (doc_id*37)%256,
+    size straddling non-integer box ratios), runs decode → numpy
+    box-average resize → PNG re-encode inside ONE mapInPandas pass,
+    then a SECOND independent decode reads back the output dims and
+    mean red. Box-averaging a solid color is exact, so the planted red
+    level must survive the full codec→resample→codec chain bit-exactly
+    — a constant-only oracle would not catch a channel swap, a
+    stride bug, or resample drift; the per-doc varying level does."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, decode_images, extract_image_features, resize_images,
+    )
+    from tablite_spark.pipeline.png import png_encode
+    d = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < 2000)
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                w, h = 9 + int(did) % 5, 7 + int(did) % 3
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = (int(did) * 37) % 256
+                raws.append(png_encode(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    imgs = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(imgs, "raw", "image/png").drop("raw")
+    small = resize_images(media, width=4, height=4, out_format="png")
+    dims = decode_images(small).select("doc_id", "width", "height")
+    red = extract_image_features(small, dim=4).select(
+        "doc_id",
+        F.round(F.element_at("features", 1).cast("double") * 255)
+         .cast("long").alias("red_level"))
+    return dims.join(red, "doc_id")
+
+
+def resample_audio_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL resample pipeline proof (multimodal.resample_audio, round
+    6): each doc gets a genuine 8 kHz mono PCM WAV holding a constant
+    level (doc_id*131)%32768; resample to 16 kHz (np.interp — exact on
+    a constant), re-encode, then an independent decode verifies the
+    new rate, the doubled duration, and the bit-exact surviving level.
+    Catches rate-metadata-only fakes: duration_ms and the level both
+    come from the RESAMPLED payload, not the input."""
+    import numpy as np
+    import pandas as pd
+
+    from tablite_spark.pipeline.multimodal import (
+        attach_media, resample_audio, wav_encode, wav_samples,
+    )
+    d = _t(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") < 2000)
+
+    def encode(batches):
+        for pdf in batches:
+            raws = []
+            for did in pdf["doc_id"]:
+                n = 160 + (int(did) % 7) * 40  # multiple of 8
+                v = (int(did) * 131) % 32768
+                raws.append(wav_encode(np.full(n, v, dtype="<i2"), 8_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "raw": raws})
+
+    wavs = d.mapInPandas(encode, schema="doc_id long, raw binary")
+    media = attach_media(wavs, "raw", "audio/wav").drop("raw")
+    out = resample_audio(media, target_rate=16_000)
+
+    def verify(batches):
+        for pdf in batches:
+            rows = []
+            for did, m in zip(pdf["doc_id"], pdf["media"]):
+                rate, x = wav_samples(bytes(m["data"]))
+                pcm = np.round(x * 32768.0).astype(int)
+                rows.append((int(did), int(m["sample_rate"]),
+                             int(m["duration_ms"]),
+                             int(pcm.max()), int(pcm.min()),
+                             len(pcm)))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "sample_rate", "duration_ms",
+                "level_max", "level_min", "n_samples"])
+
+    return out.mapInPandas(
+        verify, schema="doc_id long, sample_rate long, duration_ms long,"
+                       " level_max long, level_min long, n_samples long")
+
+
+def cluster_holdout_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe cluster holdout (pipeline/sampling.py:266
+    cluster_holdout_split): near-dup clusters from n-gram-Jaccard →
+    connected components, split hashed on the CLUSTER id so near-twins
+    never straddle train/eval. Returns each doc's side — the oracle
+    replays the recursive-CTE components AND the md5 cluster-hash
+    membership, so a doc-keyed (leaky) split hash-mismatches."""
+    from tablite_spark.pipeline.dedup import (
+        connected_components, ngram_jaccard,
+    )
+    from tablite_spark.pipeline.sampling import cluster_holdout_split
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    pairs = (ngram_jaccard(d, d, "text", "doc_id", n=3)
+             .filter(F.col("jaccard") >= 0.2))
+    cc = connected_components(pairs)
+    train, hold = cluster_holdout_split(
+        d.select("doc_id"), "doc_id", cc, holdout_fraction=0.3)
+    return (train.select("doc_id", F.lit("train").alias("side"))
+            .unionByName(hold.select("doc_id",
+                                     F.lit("holdout").alias("side"))))
+
+
 def canonical_urls_docs(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization (pipeline/text.py:canonicalize_urls):
     deterministically messy URLs (uppercase scheme/host, default port,
@@ -2645,6 +2784,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_docs": pack_sequences_docs,
         "pretrain_e2e_docs": pretrain_e2e_docs,
         "xls_dates_roundtrip": xls_dates_roundtrip,
+        # --- new in round 7
+        "tpz_roundtrip_agg": tpz_roundtrip_agg,
+        "resize_images_agg": resize_images_agg,
+        "resample_audio_meta": resample_audio_meta,
+        "cluster_holdout_docs": cluster_holdout_docs,
         "html_roundtrip_agg": html_roundtrip_agg,
         "table_equality_check": table_equality_check,
         "rename_reorder_project": rename_reorder_project,
@@ -3421,6 +3565,70 @@ def _oracle_sql_base() -> dict[str, str]:
         "ods_roundtrip_agg": """
             SELECT n_regionkey, COUNT(*) AS n,
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   MIN(n_name) AS first_name
+            FROM nation GROUP BY n_regionkey
+        """,
+        "resize_images_agg": """
+            SELECT doc_id,
+                   CAST(4 AS INT) AS width,
+                   CAST(4 AS INT) AS height,
+                   (doc_id * 37) % 256 AS red_level
+            FROM documents WHERE doc_id < 2000
+        """,
+        "resample_audio_meta": """
+            SELECT doc_id,
+                   16000 AS sample_rate,
+                   20 + (doc_id % 7) * 5 AS duration_ms,
+                   (doc_id * 131) % 32768 AS level_max,
+                   (doc_id * 131) % 32768 AS level_min,
+                   320 + (doc_id % 7) * 80 AS n_samples
+            FROM documents WHERE doc_id < 2000
+        """,
+        "cluster_holdout_docs": """
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents WHERE doc_id < 60
+            ), g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(0, GREATEST(LENGTH(toks) - 2, 1) - 1),
+                           i -> array_to_string(toks[i+1:i+3], ' '))) AS grams
+                FROM d
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE CAST(LENGTH(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / GREATEST(LENGTH(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.2
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach(id, label) AS (
+                SELECT DISTINCT src, src FROM edges
+                UNION
+                SELECT e.dst, r.label
+                FROM reach r JOIN edges e ON e.src = r.id
+            ), labeled AS (
+                SELECT d.doc_id,
+                       COALESCE(cc.component, d.doc_id) AS component
+                FROM d LEFT JOIN (
+                    SELECT id, MIN(label) AS component FROM reach GROUP BY id
+                ) cc ON cc.id = d.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN CAST(('0x' || substring(md5('split' ||
+                                  CAST(component AS VARCHAR)), 1, 15))
+                             AS UBIGINT) / 1152921504606846976.0 < 0.3
+                        THEN 'holdout' ELSE 'train' END AS side
+            FROM labeled
+        """,
+        "tpz_roundtrip_agg": """
+            SELECT n_regionkey, COUNT(*) AS n,
+                   CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+                   COUNT(CASE WHEN n_nationkey % 3 <> 0
+                              THEN UPPER(n_name) END) AS comments_kept,
+                   SUM(n_nationkey * 1.5) AS score_sum,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
         """,
