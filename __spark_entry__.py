@@ -1538,6 +1538,56 @@ def minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
                          threshold=0.8).select("doc_id")
 
 
+def incremental_minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """NEW-batch-vs-corpus NEAR-dup dedup against a PERSISTED band
+    table (dedup.minhash_save_index / incremental_minhash_dedup — the
+    pq_save_index pattern applied to MinHash-LSH). Derived-invariant
+    fixture: the corpus is the pairwise-token-disjoint _dup_fixture
+    base; the new batch holds (A) exact dups of corpus docs where
+    doc_id%5==0 (identical signatures → every band collides → est
+    Jaccard 1 → dropped by the CORPUS probe), (B) fresh docs in a
+    disjoint token namespace (no shared shingle with anything →
+    kept), and (C) exact in-batch dups of B where doc_id%6==0
+    (dropped by the in-batch pass, min id wins). Survivors provably ==
+    B, which DuckDB reproduces arithmetically. The index round-trips
+    through parquet save/load inside the query, so the DURABLE path
+    is what gets oracled."""
+    import tempfile
+
+    from tablite_spark.pipeline.dedup import (
+        incremental_minhash_dedup, minhash_save_index, shingle_minhash,
+    )
+    corpus = _dup_fixture(spark, sf).filter(F.col("doc_id") < 10_000_000)
+    idx = tempfile.mkdtemp(prefix="mh_idx_") + "/index"
+    minhash_save_index(shingle_minhash(corpus, "text", "doc_id"),
+                       "doc_id", idx)
+
+    base_ids = _t(spark, sf, "documents").select("doc_id")
+    corpus_text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda j: F.concat(F.lit("tok"),
+                           (F.col("doc_id") * 1000 + j).cast("string"))))
+    fresh_text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda j: F.concat(F.lit("ntok"),
+                           (F.col("doc_id") * 1000 + j).cast("string"))))
+    # two-step selects: compute text from the ORIGINAL doc_id first —
+    # a same-name alias in one select would shadow it via lateral
+    # column alias resolution and silently break the dup construction
+    a = (base_ids.filter(F.col("doc_id") % 5 == 0)
+         .select("doc_id", corpus_text.alias("text"))
+         .select((F.col("doc_id") + 20_000_000).alias("doc_id"), "text"))
+    b = (base_ids.select("doc_id", fresh_text.alias("text"))
+         .select((F.col("doc_id") + 30_000_000).alias("doc_id"), "text"))
+    c = (base_ids.filter(F.col("doc_id") % 6 == 0)
+         .select("doc_id", fresh_text.alias("text"))
+         .select((F.col("doc_id") + 40_000_000).alias("doc_id"), "text"))
+    batch = a.unionByName(b).unionByName(c)
+    out = incremental_minhash_dedup(batch, "text", "doc_id", idx,
+                                    threshold=0.8)
+    return out.select("doc_id")
+
+
 def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash invariants, exactly oracled on the duplicate
     fixture: simhash is a pure function of the token stream, so
@@ -2787,6 +2837,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 7
         "tpz_roundtrip_agg": tpz_roundtrip_agg,
         "resize_images_agg": resize_images_agg,
+        "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "resample_audio_meta": resample_audio_meta,
         "cluster_holdout_docs": cluster_holdout_docs,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -3567,6 +3618,9 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
                    MIN(n_name) AS first_name
             FROM nation GROUP BY n_regionkey
+        """,
+        "incremental_minhash_dedup_docs": """
+            SELECT doc_id + 30000000 AS doc_id FROM documents
         """,
         "resize_images_agg": """
             SELECT doc_id,

@@ -178,13 +178,13 @@ def optimal_lsh_params(threshold: float, num_perm: int = 128,
     return best
 
 
-def minhash_lsh_candidates(sig: DataFrame, id_col: str,
-                           bands: int | None = None,
-                           num_perm: int | None = None) -> DataFrame:
-    """Band the signatures and self-join on (band, band_hash) buckets.
-    Returns candidate pairs (id_a < id_b). The join is on a tiny
-    (band_id, hash) key — LSH keeps candidate volume ~linear for
-    realistic dup rates; AQE handles hot buckets via skew splitting."""
+def minhash_bands(sig: DataFrame, id_col: str,
+                  bands: int | None = None,
+                  num_perm: int | None = None) -> DataFrame:
+    """(id, band, bh) banded projection of a signature frame — the
+    join-ready LSH index rows. Shared by the in-corpus self-join
+    (:func:`minhash_lsh_candidates`) and the persisted-index probe
+    (:func:`incremental_minhash_dedup`)."""
     bands = bands or Config.MINHASH_BANDS
     if num_perm is None:
         first = sig.select(F.size("minhash").alias("n")).first()
@@ -198,7 +198,18 @@ def minhash_lsh_candidates(sig: DataFrame, id_col: str,
         F.xxhash64(*[F.col("minhash").getItem(b * rows_per_band + i)
                      for i in range(rows_per_band)])
         for b in range(bands)])
-    banded = sig.select(F.col(id_col), F.posexplode(band_hashes).alias("band", "bh"))
+    return sig.select(F.col(id_col),
+                      F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def minhash_lsh_candidates(sig: DataFrame, id_col: str,
+                           bands: int | None = None,
+                           num_perm: int | None = None) -> DataFrame:
+    """Band the signatures and self-join on (band, band_hash) buckets.
+    Returns candidate pairs (id_a < id_b). The join is on a tiny
+    (band_id, hash) key — LSH keeps candidate volume ~linear for
+    realistic dup rates; AQE handles hot buckets via skew splitting."""
+    banded = minhash_bands(sig, id_col, bands, num_perm)
     a = banded.alias("a")
     b2 = banded.alias("b")
     pairs = (a.join(b2, (F.col("a.band") == F.col("b.band"))
@@ -384,6 +395,119 @@ def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
     winners = fresh.groupBy("__h1__", "__h2__") \
                    .agg(F.min(id_col).alias(id_col))
     return new_df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+def minhash_save_index(sig: DataFrame, id_col: str, path: str,
+                       bands: int | None = None,
+                       num_perm: int | None = None,
+                       mode: str = "overwrite") -> None:
+    """Persist a MinHash corpus index: ``{path}/signatures`` (id,
+    minhash) and ``{path}/bands`` (band, bh, id) as parquet, plus a
+    one-row ``{path}/meta`` (num_perm, bands) so probes band NEW
+    batches with the SAME parameters — a probe banded differently
+    would silently miss every corpus collision.
+
+    This is the ``pq_save_index`` pattern applied to near-dup dedup:
+    signatures are computed ONCE per corpus snapshot (the expensive
+    shingle scan) and every future ingestion batch probes the durable
+    band table instead of re-reading 100 TB of corpus text. ``bands``
+    is written sorted by (band, bh) within files so parquet min/max
+    row-group pruning narrows the probe join's scan.
+
+    ``mode="append"`` grows the index in place after a batch is
+    accepted (see :func:`incremental_minhash_dedup`)."""
+    if num_perm is None:
+        first = sig.select(F.size("minhash").alias("n")).first()
+        num_perm = first["n"] if first else Config.MINHASH_PERMUTATIONS
+    bands = bands or Config.MINHASH_BANDS
+    sig.select(F.col(id_col).alias("id"), "minhash") \
+        .write.mode(mode).parquet(f"{path}/signatures")
+    (minhash_bands(sig, id_col, bands, num_perm)
+     .select(F.col(id_col).alias("id"), "band", "bh")
+     .sortWithinPartitions("band", "bh")
+     .write.mode(mode).parquet(f"{path}/bands"))
+    spark = sig.sparkSession
+    if mode == "overwrite":
+        (spark.createDataFrame([(int(num_perm), int(bands))],
+                               "num_perm int, bands int")
+         .repartition(1).write.mode("overwrite").parquet(f"{path}/meta"))
+
+
+def minhash_load_index(spark, path: str):
+    """Load a :func:`minhash_save_index` directory → (signatures,
+    bands, meta) where signatures/bands are lazy DataFrames (nothing
+    is collected — the probe join streams against the parquet) and
+    meta is {"num_perm": int, "bands": int}."""
+    meta_row = spark.read.parquet(f"{path}/meta").first()
+    return (spark.read.parquet(f"{path}/signatures"),
+            spark.read.parquet(f"{path}/bands"),
+            {"num_perm": meta_row["num_perm"], "bands": meta_row["bands"]})
+
+
+def incremental_minhash_dedup(new_df: DataFrame, text_col: str,
+                              id_col: str, index_path: str,
+                              threshold: float = 0.8,
+                              update_index: bool = False) -> DataFrame:
+    """NEAR-dup dedup of a NEW batch against a persisted corpus index
+    — the 100 TB ingestion-loop shape :func:`incremental_dedup` covers
+    only for EXACT hashes. Steps:
+
+    1. signature the new batch (one shingle scan over the BATCH only);
+    2. probe the durable band table: new bands ⋈ corpus bands on
+       (band, bh) → candidate (new_id, corpus_id) pairs;
+    3. score candidates on est-Jaccard via the stored corpus
+       signatures (no corpus text touched — the index IS the corpus
+       here); drop new docs at/above ``threshold``;
+    4. in-batch near-dup pass over the survivors (keep min id) — a
+       batch can duplicate itself, not just the corpus;
+    5. optionally append the accepted docs' signatures/bands to the
+       index (``update_index=True``), keeping the loop incremental.
+
+    Scale: every join key is a (band, bh) 16-byte pair or an id; the
+    corpus side is the band/signature projection (~1 KB/doc), never
+    documents; candidate volume stays ~linear by the LSH S-curve.
+    """
+    spark = new_df.sparkSession
+    _, corpus_bands, meta = minhash_load_index(spark, index_path)
+    corpus_sig = spark.read.parquet(f"{index_path}/signatures")
+    new_sig = shingle_minhash(new_df, text_col, id_col,
+                              num_perm=meta["num_perm"]).localCheckpoint()
+    new_bands = minhash_bands(new_sig, id_col, bands=meta["bands"],
+                              num_perm=meta["num_perm"])
+    cand = (new_bands.alias("n")
+            .join(corpus_bands.alias("c"),
+                  (F.col("n.band") == F.col("c.band"))
+                  & (F.col("n.bh") == F.col("c.bh")))
+            .select(F.col(f"n.{id_col}").alias("new_id"),
+                    F.col("c.id").alias("corpus_id"))
+            .distinct())
+    scored = (cand
+              .join(new_sig.select(F.col(id_col).alias("new_id"),
+                                   F.col("minhash").alias("mh_a")), "new_id")
+              .join(corpus_sig.select(F.col("id").alias("corpus_id"),
+                                      F.col("minhash").alias("mh_b")),
+                    "corpus_id"))
+    matches = F.size(F.filter(F.zip_with("mh_a", "mh_b",
+                                         lambda x, y: x == y),
+                              lambda m: m))
+    dup_vs_corpus = (scored
+                     .filter((matches / F.size("mh_a")) >= threshold)
+                     .select(F.col("new_id").alias(id_col)).distinct())
+    fresh_sig = new_sig.join(dup_vs_corpus, id_col, "left_anti")
+    in_batch = minhash_lsh_candidates(fresh_sig, id_col,
+                                      bands=meta["bands"],
+                                      num_perm=meta["num_perm"])
+    in_batch_losers = (minhash_jaccard(fresh_sig, in_batch, id_col)
+                       .filter(F.col("est_jaccard") >= threshold)
+                       .select(F.col("id_b").alias(id_col)).distinct())
+    keep_ids = (fresh_sig.join(in_batch_losers, id_col, "left_anti")
+                .localCheckpoint())  # pin BEFORE the index mutates
+    survivors = new_df.join(keep_ids.select(id_col), id_col, "left_semi")
+    if update_index:
+        minhash_save_index(keep_ids, id_col, index_path,
+                           bands=meta["bands"], num_perm=meta["num_perm"],
+                           mode="append")
+    return survivors
 
 
 def ngram_jaccard(df_a: DataFrame, df_b: DataFrame, text_col: str,

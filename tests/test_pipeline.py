@@ -2133,3 +2133,54 @@ def test_bpe_files_roundtrip(spark, tmp_path):
         ea, eb = a.encode(t), b.encode(t)
         assert ea == eb, t
         assert b.decode(eb) == t
+
+
+def test_incremental_minhash_index_roundtrip(spark, tmp_path):
+    """Persisted MinHash index (save→load→probe) + update_index
+    append: batch2's dup of a batch1 SURVIVOR is caught only because
+    the accepted docs' signatures/bands were appended to the index."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.dedup import (
+        incremental_minhash_dedup, minhash_load_index,
+        minhash_save_index, shingle_minhash,
+    )
+
+    def doc(i, prefix="tok"):
+        return " ".join(f"{prefix}{i * 1000 + j}" for j in range(1, 31))
+
+    corpus = spark.createDataFrame(
+        [(i, doc(i)) for i in range(20)], "doc_id long, text string")
+    idx = str(tmp_path / "index")
+    minhash_save_index(shingle_minhash(corpus, "text", "doc_id"),
+                       "doc_id", idx)
+    sig, bands, meta = minhash_load_index(spark, idx)
+    assert meta == {"num_perm": 128, "bands": 32}
+    assert sig.count() == 20 and bands.count() == 20 * 32
+
+    # batch1: one corpus dup (dropped), one fresh (kept, id 101), one
+    # in-batch dup of the fresh doc (dropped, larger id loses)
+    batch1 = spark.createDataFrame(
+        [(100, doc(5)), (101, doc(900, "new")), (102, doc(900, "new"))],
+        "doc_id long, text string")
+    out1 = incremental_minhash_dedup(batch1, "text", "doc_id", idx,
+                                     update_index=True)
+    assert sorted(r["doc_id"] for r in out1.collect()) == [101]
+    # index grew by exactly the accepted doc
+    sig2, bands2, _ = minhash_load_index(spark, idx)
+    assert sig2.count() == 21 and bands2.count() == 21 * 32
+
+    # batch2: dup of batch1's survivor — only catchable via the append
+    batch2 = spark.createDataFrame(
+        [(200, doc(900, "new")), (201, doc(901, "new"))],
+        "doc_id long, text string")
+    out2 = incremental_minhash_dedup(batch2, "text", "doc_id", idx)
+    assert sorted(r["doc_id"] for r in out2.collect()) == [201]
+
+    # near-dup (not exact) across the index: 29/30 shared tokens
+    near = doc(901, "new").rsplit(" ", 1)[0] + " zzz"
+    batch3 = spark.createDataFrame(
+        [(300, near)], "doc_id long, text string")
+    # batch2 was NOT appended (update_index default False) -> 901 absent
+    assert incremental_minhash_dedup(
+        batch3, "text", "doc_id", idx).count() == 1
