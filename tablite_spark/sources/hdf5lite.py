@@ -99,26 +99,31 @@ def _message(mtype: int, body: bytes) -> bytes:
 
 
 def _object_header(n: int, dt_body: bytes,
-                   data_addr: int, data_size: int) -> bytes:
-    """v1 object header: Dataspace + Datatype + Layout(v3 contiguous)."""
+                   data_addr: int, data_size: int,
+                   extra: list[bytes] = ()) -> bytes:
+    """v1 object header: Dataspace + Datatype + Layout(v3 contiguous)
+    [+ extra pre-built messages, e.g. attributes]."""
     space = struct.pack("<BBB5xQ", 1, 1, 0, n)
     layout = struct.pack("<BBQQ", 3, 1, data_addr, data_size)
     msgs = (_message(0x0001, space) + _message(0x0003, dt_body)
-            + _message(0x0008, layout))
-    return struct.pack("<BxHII4x", 1, 3, 1, len(msgs)) + msgs
+            + _message(0x0008, layout) + b"".join(extra))
+    return struct.pack("<BxHII4x", 1, 3 + len(extra), 1,
+                       len(msgs)) + msgs
 
 
 def _object_header_chunked(n: int, dt_body: bytes, bt_addr: int,
                            chunk_rows: int, itemsize: int,
-                           gzip_level: int | None) -> bytes:
+                           gzip_level: int | None,
+                           extra: list[bytes] = ()) -> bytes:
     """v1 object header: Dataspace + Datatype [+ Filter Pipeline]
-    + Layout(v3 chunked, ndim+1 dims with the element size last)."""
+    + Layout(v3 chunked, ndim+1 dims with the element size last)
+    [+ extra pre-built messages]."""
     space = struct.pack("<BBB5xQ", 1, 1, 0, n)
     layout = (struct.pack("<BBB", 3, 2, 2)
               + struct.pack("<Q", bt_addr)
               + struct.pack("<II", chunk_rows, itemsize))
     msgs = _message(0x0001, space) + _message(0x0003, dt_body)
-    nmsg = 3
+    nmsg = 3 + len(extra)
     if gzip_level is not None:
         # v1 pipeline, one filter: deflate(id 1), 1 client value
         # (the level), padded to an even count
@@ -127,8 +132,28 @@ def _object_header_chunked(n: int, dt_body: bytes, bt_addr: int,
                 + struct.pack("<I4x", gzip_level))
         msgs += _message(0x000B, filt)
         nmsg += 1
-    msgs += _message(0x0008, layout)
+    msgs += _message(0x0008, layout) + b"".join(extra)
     return struct.pack("<BxHII4x", 1, nmsg, 1, len(msgs)) + msgs
+
+
+def _attr_message(name: str, value) -> bytes:
+    """Attribute message (0x000C, v1): scalar (rank 0) for plain
+    python scalars, rank-1 for list/tuple values. Types go through
+    the same ``_coerce``/``_dt_message`` path as dataset payloads."""
+    is_seq = isinstance(value, (list, tuple, np.ndarray))
+    arr = _coerce(list(value) if is_seq else [value])
+    dt_body, _ = _dt_message(arr)
+    if is_seq:
+        ds = struct.pack("<BBB5xQ", 1, 1, 0, len(arr))
+    else:
+        ds = struct.pack("<BBB5x", 1, 0, 0)
+    nb = name.encode("utf-8") + b"\x00"
+    body = struct.pack("<BxHHH", 1, len(nb), len(dt_body), len(ds))
+    body += nb + b"\x00" * (_pad8(len(nb)) - len(nb))
+    body += dt_body + b"\x00" * (_pad8(len(dt_body)) - len(dt_body))
+    body += ds + b"\x00" * (_pad8(len(ds)) - len(ds))
+    body += arr.astype(arr.dtype.newbyteorder("<"), copy=False).tobytes()
+    return _message(0x000C, body)
 
 
 def _coerce(values) -> np.ndarray:
@@ -151,7 +176,8 @@ def _coerce(values) -> np.ndarray:
 def write(path: str, columns: dict, *,
           chunk_rows: int | None = None,
           compress: bool | int = False,
-          vlen_strings: bool = False) -> None:
+          vlen_strings: bool = False,
+          attrs: dict | None = None) -> None:
     """Write ``{name: 1-D array-like}`` as a classic-format HDF5 file
     with one root-level dataset per column — contiguous by default,
     chunked when ``chunk_rows`` is set or ``compress`` is truthy
@@ -162,21 +188,47 @@ def write(path: str, columns: dict, *,
     variable-length strings through a GCOL global-heap collection —
     the layout h5py emits for Python ``str`` datasets — instead of
     fixed-length ``S{width}``; vlen datasets are always contiguous
-    (the chunking/compress options apply to the other columns)."""
-    if len(columns) > 2 * _LEAF_K:
-        raise NotImplementedError(
-            f"hdf5lite caps at {2 * _LEAF_K} columns per file")
+    (the chunking/compress options apply to the other columns).
+
+    Names may contain ``/`` to place datasets inside REAL nested
+    groups (classic symbol-table groups — ``{"g/sub/x": [...]}``
+    creates group ``g`` holding group ``sub`` holding dataset ``x``),
+    matching what :func:`read` walks back out. ``attrs`` is an
+    optional ``{object path: {attr name: value}}`` map — path ``""``
+    targets the root group, a group path targets the group, a column
+    name targets the dataset; values may be scalars or flat lists of
+    int/float/str (read back by :func:`read_attrs`)."""
     names = sorted(columns)  # SNOD entries must sort by link name
     arrays = {n: _coerce(columns[n]) for n in names}
 
-    # local heap data: offset 0 is the empty string (root link name
-    # and the B-tree's left key), then each dataset name.
-    heap = bytearray(b"\x00" * 8)
-    name_off = {}
+    # path tree: leaves hold the full column path, dicts are groups
+    tree: dict = {}
+    group_paths: set[str] = set()
     for n in names:
-        name_off[n] = len(heap)
-        b = n.encode("utf-8") + b"\x00"
-        heap += b + b"\x00" * (_pad8(len(b)) - len(b))
+        parts = n.split("/")
+        if any(not p for p in parts):
+            raise ValueError(f"bad dataset path {n!r}")
+        node, walked = tree, []
+        for p in parts[:-1]:
+            walked.append(p)
+            nxt = node.setdefault(p, {})
+            if not isinstance(nxt, dict):
+                raise ValueError(
+                    f"{'/'.join(walked)!r} is both a dataset and a group")
+            group_paths.add("/".join(walked))
+            node = nxt
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(f"{n!r} is both a dataset and a group")
+        node[parts[-1]] = n
+
+    attr_msgs: dict[str, list[bytes]] = {}
+    for objpath, kv in (attrs or {}).items():
+        if objpath != "" and objpath not in columns \
+                and objpath not in group_paths:
+            raise KeyError(f"attrs target {objpath!r} is neither a "
+                           f"column nor a group")
+        attr_msgs[objpath] = [_attr_message(k, v)
+                              for k, v in sorted(kv.items())]
 
     out = bytearray()
 
@@ -198,6 +250,7 @@ def write(path: str, columns: dict, *,
     header_addr = {}
     for n in names:
         arr = arrays[n]
+        extra = attr_msgs.get(n, [])
         if vlen_strings and arr.dtype.kind == "S":
             # variable-length string dataset: payloads go to one GCOL
             # global-heap collection (object header: index u2,
@@ -232,10 +285,11 @@ def write(path: str, columns: dict, *,
             # (bits 8-11), element size 16; base type = 1-byte string
             dt_body = (struct.pack("<B3BI", 0x19, 0x01, 0x01, 0, 16)
                        + struct.pack("<B3BI", 0x13, 0x00, 0, 0, 1))
-            hdr = _object_header(len(arr), dt_body, 0, len(raw))
+            hdr = _object_header(len(arr), dt_body, 0, len(raw), extra)
             addr = len(out)
             data_addr = addr + _pad8(len(hdr))
-            hdr = _object_header(len(arr), dt_body, data_addr, len(raw))
+            hdr = _object_header(len(arr), dt_body, data_addr, len(raw),
+                                 extra)
             alloc(hdr)
             assert len(out) == data_addr
             alloc(raw)
@@ -272,41 +326,77 @@ def write(path: str, columns: dict, *,
             else:
                 bt_addr = UNDEF
             header_addr[n] = alloc(_object_header_chunked(
-                nrows, dt_body, bt_addr, crows, itemsize, gzip_level))
+                nrows, dt_body, bt_addr, crows, itemsize, gzip_level,
+                extra))
         else:
             # header precedes data; header length is deterministic
-            hdr = _object_header(len(arr), dt_body, 0, len(raw))
+            hdr = _object_header(len(arr), dt_body, 0, len(raw), extra)
             addr = len(out)
             data_addr = addr + _pad8(len(hdr))
-            hdr = _object_header(len(arr), dt_body, data_addr, len(raw))
+            hdr = _object_header(len(arr), dt_body, data_addr, len(raw),
+                                 extra)
             alloc(hdr)
             assert len(out) == data_addr
             alloc(raw)
             header_addr[n] = addr
 
-    heap_data_addr = alloc(bytes(heap))
-    heap_hdr_addr = alloc(b"HEAP" + struct.pack(
-        "<B3xQQQ", 0, len(heap), UNDEF, heap_data_addr))
+    def _group_block(entries: dict[str, int],
+                     extra: list[bytes]) -> tuple[int, int, int]:
+        """Classic symbol-table group: local heap + one SNOD + v1
+        B-tree + object header (Symbol Table message [+ attribute
+        messages]). Returns (header, btree, heap header) addresses —
+        root needs the latter two for the superblock scratch."""
+        if len(entries) > 2 * _LEAF_K:
+            raise NotImplementedError(
+                f"hdf5lite caps at {2 * _LEAF_K} links per group")
+        gnames = sorted(entries)
+        # heap offset 0 is the empty string (the B-tree's left key)
+        heap = bytearray(b"\x00" * 8)
+        name_off = {}
+        for g in gnames:
+            name_off[g] = len(heap)
+            b = g.encode("utf-8") + b"\x00"
+            heap += b + b"\x00" * (_pad8(len(b)) - len(b))
+        heap_data_addr = alloc(bytes(heap))
+        heap_hdr_addr = alloc(b"HEAP" + struct.pack(
+            "<B3xQQQ", 0, len(heap), UNDEF, heap_data_addr))
+        # SNOD with one 40-byte symbol-table entry per link
+        snod = bytearray(b"SNOD" + struct.pack("<BBH", 1, 0,
+                                               len(gnames)))
+        for g in gnames:
+            snod += struct.pack("<QQII16x", name_off[g], entries[g],
+                                0, 0)
+        snod += b"\x00" * (8 + 2 * _LEAF_K * 40 - len(snod))
+        snod_addr = alloc(bytes(snod))
+        # v1 B-tree: single leaf, keys are heap offsets (empty-string
+        # lower bound, greatest name upper bound)
+        btree = bytearray(b"TREE" + struct.pack("<BBHQQ", 0, 0, 1,
+                                                UNDEF, UNDEF))
+        btree += struct.pack("<QQQ", 0, snod_addr,
+                             name_off[gnames[-1]] if gnames else 0)
+        btree += b"\x00" * (24 + (2 * _LEAF_K + 1) * 8 - len(btree))
+        btree_addr = alloc(bytes(btree))
+        st = _message(0x0011, struct.pack("<QQ", btree_addr,
+                                          heap_hdr_addr))
+        msgs = st + b"".join(extra)
+        hdr_addr = alloc(struct.pack("<BxHII4x", 1, 1 + len(extra), 1,
+                                     len(msgs)) + msgs)
+        return hdr_addr, btree_addr, heap_hdr_addr
 
-    # SNOD with one 40-byte symbol-table entry per dataset
-    snod = bytearray(b"SNOD" + struct.pack("<BBH", 1, 0, len(names)))
-    for n in names:
-        snod += struct.pack("<QQII16x", name_off[n], header_addr[n], 0, 0)
-    snod += b"\x00" * (8 + 2 * _LEAF_K * 40 - len(snod))
-    snod_addr = alloc(bytes(snod))
+    def _build(subtree: dict, prefix: str) -> dict[str, int]:
+        entries = {}
+        for name, sub in subtree.items():
+            p = prefix + name
+            if isinstance(sub, dict):
+                child = _build(sub, p + "/")
+                entries[name] = _group_block(child,
+                                             attr_msgs.get(p, []))[0]
+            else:
+                entries[name] = header_addr[sub]
+        return entries
 
-    # v1 B-tree: single leaf, keys are heap offsets (empty-string
-    # lower bound, greatest name upper bound)
-    btree = bytearray(b"TREE" + struct.pack("<BBHQQ", 0, 0, 1,
-                                            UNDEF, UNDEF))
-    btree += struct.pack("<QQQ", 0, snod_addr,
-                         name_off[names[-1]] if names else 0)
-    btree += b"\x00" * (24 + (2 * _LEAF_K + 1) * 8 - len(btree))
-    btree_addr = alloc(bytes(btree))
-
-    # root group object header: one Symbol Table message
-    st = _message(0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))
-    root_addr = alloc(struct.pack("<BxHII4x", 1, 1, 1, len(st)) + st)
+    root_addr, btree_addr, heap_hdr_addr = _group_block(
+        _build(tree, ""), attr_msgs.get("", []))
 
     sb = _SIG + struct.pack("<8B2H I", 0, 0, 0, 0, 0, 8, 8, 0,
                             _LEAF_K, _INTERNAL_K, 0)
@@ -608,13 +698,25 @@ def _walk_btree(buf: memoryview, addr: int, heap_hdr: int, out: dict):
         pos += 16
 
 
-def read(path: str, columns: list[str] | None = None) -> dict:
-    """Read root-level 1-D datasets -> ``{name: np.ndarray}``.
-    Fixed-length string data comes back as ``bytes`` arrays, like
-    h5py, for the caller's utf-8 decode + type re-guess."""
-    with open(path, "rb") as f:
-        data = f.read()
-    buf = memoryview(data)
+def _group_links(buf: memoryview, hdr_addr: int) -> dict | None:
+    """If the object header at ``hdr_addr`` is a GROUP (carries a
+    Symbol Table message, type 0x0011), return its {link name: child
+    header addr} map; else None (it's a dataset)."""
+    st = None
+    for mtype, body in _parse_messages(buf, hdr_addr):
+        if mtype == 0x0011:
+            st = struct.unpack("<QQ", body[:16])
+            break
+    if st is None:
+        return None
+    links: dict[str, int] = {}
+    _walk_btree(buf, st[0], st[1], links)
+    return links
+
+
+def _root_links(buf: memoryview) -> tuple[dict, int]:
+    """{root link name: header addr} plus the root object header
+    address (for root attributes)."""
     if bytes(buf[:8]) != _SIG:
         raise ValueError("not an HDF5 file (bad signature)")
     sb_ver = buf[8]
@@ -628,16 +730,41 @@ def read(path: str, columns: list[str] | None = None) -> dict:
     root_hdr, cache_type = struct.unpack_from("<8xQI", buf, ste)
     if cache_type == 1:
         btree_addr, heap_addr = struct.unpack_from("<QQ", buf, ste + 24)
-    else:
-        btree_addr = heap_addr = None
-        for mtype, body in _parse_messages(buf, root_hdr):
-            if mtype == 0x0011:
-                btree_addr, heap_addr = struct.unpack("<QQ", body[:16])
-        if btree_addr is None:
-            raise NotImplementedError(
-                "root group has no symbol table (new-style group?)")
+        links: dict[str, int] = {}
+        _walk_btree(buf, btree_addr, heap_addr, links)
+        return links, root_hdr
+    links = _group_links(buf, root_hdr)
+    if links is None:
+        raise NotImplementedError(
+            "root group has no symbol table (new-style group?)")
+    return links, root_hdr
+
+
+def _collect_datasets(buf: memoryview, links: dict, prefix: str,
+                      out: dict) -> None:
+    """Depth-first walk: datasets land as ``group/.../name`` paths
+    (root-level names stay plain)."""
+    for name, hdr in sorted(links.items()):
+        child = _group_links(buf, hdr)
+        if child is None:
+            out[prefix + name] = hdr
+        else:
+            _collect_datasets(buf, child, f"{prefix}{name}/", out)
+
+
+def read(path: str, columns: list[str] | None = None) -> dict:
+    """Read 1-D datasets -> ``{name: np.ndarray}``. Datasets inside
+    (arbitrarily nested) classic-format groups are walked recursively
+    and named ``group/subgroup/dataset`` — the column naming a
+    flat-table import of a third-party multi-group file wants.
+    Fixed-length string data comes back as ``bytes`` arrays, like
+    h5py, for the caller's utf-8 decode + type re-guess."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = memoryview(data)
+    links, _root_hdr = _root_links(buf)
     datasets: dict[str, int] = {}
-    _walk_btree(buf, btree_addr, heap_addr, datasets)
+    _collect_datasets(buf, links, "", datasets)
     names = columns or sorted(datasets)
     result = {}
     for n in names:
@@ -645,3 +772,79 @@ def read(path: str, columns: list[str] | None = None) -> dict:
             raise KeyError(f"no dataset {n!r} in {path}")
         result[n] = _read_dataset(buf, datasets[n])
     return result
+
+
+def _parse_attribute(body: bytes):
+    """Attribute message (0x000C, v1) -> (name, python value).
+    Supports scalar and 1-D values of the fixed-point / float /
+    fixed-string classes ``_parse_datatype`` covers."""
+    ver = body[0]
+    if ver != 1:
+        raise NotImplementedError(f"attribute message v{ver}")
+    name_sz, dt_sz, ds_sz = struct.unpack_from("<HHH", body, 2)
+    pos = 8
+    name = bytes(body[pos: pos + name_sz]).split(b"\x00")[0].decode("utf-8")
+    pos += _pad8(name_sz)
+    dtype = _parse_datatype(body[pos: pos + dt_sz])
+    pos += _pad8(dt_sz)
+    ds = body[pos: pos + ds_sz]
+    ds_ver, rank = ds[0], ds[1]
+    if ds_ver == 1:
+        dims = struct.unpack_from(f"<{rank}Q", ds, 8)
+    elif ds_ver == 2:
+        dims = struct.unpack_from(f"<{rank}Q", ds, 4)
+    else:
+        raise NotImplementedError(f"attribute dataspace v{ds_ver}")
+    pos += _pad8(ds_sz)
+    n = 1
+    for d in dims:
+        n *= d
+    arr = np.frombuffer(body, dtype=dtype, count=n, offset=pos)
+
+    def _py(v):
+        if isinstance(v, bytes):
+            return v.rstrip(b"\x00").decode("utf-8")
+        if isinstance(v, (np.integer,)):
+            return int(v)
+        if isinstance(v, (np.floating,)):
+            return float(v)
+        return v
+
+    vals = [_py(v) for v in arr.tolist()]
+    return name, (vals[0] if rank == 0 else vals)
+
+
+def read_attrs(path: str) -> dict:
+    """{object path: {attr name: value}} for the root group (path
+    ``""``), every group, and every dataset — only objects that carry
+    at least one attribute message appear. Complements :func:`read`
+    for third-party files whose units/provenance ride on attributes."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = memoryview(data)
+    links, root_hdr = _root_links(buf)
+    out: dict[str, dict] = {}
+
+    def _attrs_of(hdr: int) -> dict:
+        found = {}
+        for mtype, body in _parse_messages(buf, hdr):
+            if mtype == 0x000C:
+                k, v = _parse_attribute(body)
+                found[k] = v
+        return found
+
+    def _walk(links: dict, prefix: str) -> None:
+        for name, hdr in sorted(links.items()):
+            a = _attrs_of(hdr)
+            objpath = prefix + name
+            if a:
+                out[objpath] = a
+            child = _group_links(buf, hdr)
+            if child is not None:
+                _walk(child, objpath + "/")
+
+    root_attrs = _attrs_of(root_hdr)
+    if root_attrs:
+        out[""] = root_attrs
+    _walk(links, "")
+    return out

@@ -857,3 +857,76 @@ def test_tpz_mixed_type_column_stringifies(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         load_tpz(spark, str(p), allow_pickle=False)
+
+
+def test_hdf5lite_nested_groups_and_attrs(spark, tmp_path):
+    """Round 7: classic symbol-table GROUPS (nested) + ATTRIBUTE
+    messages through the stdlib codec — the 'h5py file from a
+    stranger' layout. Datasets inside groups surface as
+    group/subgroup/name columns; read_attrs returns per-object attr
+    dicts (scalars and flat lists)."""
+    import numpy as np
+
+    from tablite_spark.sources import hdf5lite as h5
+    from tablite_spark.sources.io import from_file
+    p = str(tmp_path / "nested.h5")
+    h5.write(p, {"meta/version": [3, 3, 3], "g/sub/x": [1.5, 2.5, -4.0],
+                 "g/y": ["a", "bb", "ccc"], "top": [7, 8, 9]},
+             attrs={"": {"title": "corpus", "n": 42},
+                    "g": {"kind": "grp", "weights": [0.25, 0.75]},
+                    "g/sub/x": {"units": "m", "scale": 2.5}})
+    r = h5.read(p)
+    assert sorted(r) == ["g/sub/x", "g/y", "meta/version", "top"]
+    assert r["g/sub/x"].tolist() == [1.5, 2.5, -4.0]
+    assert r["g/y"].tolist() == [b"a", b"bb", b"ccc"]
+    a = h5.read_attrs(p)
+    assert a[""] == {"title": "corpus", "n": 42}
+    assert a["g"] == {"kind": "grp", "weights": [0.25, 0.75]}
+    assert a["g/sub/x"] == {"units": "m", "scale": 2.5}
+    # column subset by path; missing path raises
+    assert list(h5.read(p, ["g/y"])) == ["g/y"]
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        h5.read(p, ["g/missing"])
+    # spark-side read keeps the path column names
+    df = from_file(spark, p)
+    assert set(df.columns) == {"g/sub/x", "g/y", "meta/version", "top"}
+    assert df.count() == 3
+    # chunked+compressed datasets inside groups work too
+    p2 = str(tmp_path / "nested_chunked.h5")
+    h5.write(p2, {"grp/big": np.arange(10_000)}, compress=6,
+             attrs={"grp/big": {"rows": 10_000}})
+    assert h5.read(p2)["grp/big"].tolist() == list(range(10_000))
+    assert h5.read_attrs(p2)["grp/big"] == {"rows": 10_000}
+
+
+def test_hdf5lite_nested_h5py_interop(tmp_path):
+    """h5py-gated two-way interop for nested groups/attrs: files the
+    stdlib codec writes must read via h5py with identical structure,
+    and h5py-written nested files must read via the stdlib codec.
+    Skips where h5py isn't installed (this container)."""
+    import pytest as _pytest
+    h5py = _pytest.importorskip("h5py")
+    import numpy as np
+
+    from tablite_spark.sources import hdf5lite as h5
+    ours = str(tmp_path / "ours.h5")
+    h5.write(ours, {"g/sub/x": [1.5, 2.5], "g/y": [1, 2], "top": [9]},
+             attrs={"": {"title": "t"}, "g": {"k": 7},
+                    "g/sub/x": {"units": "m"}})
+    with h5py.File(ours, "r") as f:
+        assert f["g/sub/x"][:].tolist() == [1.5, 2.5]
+        assert f["g"]["y"][:].tolist() == [1, 2]
+        assert f.attrs["title"] in ("t", b"t")
+        assert f["g"].attrs["k"] == 7
+        assert f["g/sub/x"].attrs["units"] in ("m", b"m")
+    theirs = str(tmp_path / "theirs.h5")
+    with h5py.File(theirs, "w", libver="earliest") as f:
+        grp = f.create_group("outer/inner")
+        grp.create_dataset("v", data=np.array([3.0, 4.0]))
+        f["outer"].attrs["note"] = "hello"
+        f.create_dataset("flat", data=np.arange(5))
+    r = h5.read(theirs)
+    assert r["outer/inner/v"].tolist() == [3.0, 4.0]
+    assert r["flat"].tolist() == [0, 1, 2, 3, 4]
+    assert h5.read_attrs(theirs)["outer"]["note"] in ("hello", b"hello")
