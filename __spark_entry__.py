@@ -2719,47 +2719,46 @@ def salted_join_equivalence(spark: SparkSession, sf: str) -> DataFrame:
 # behind the stale set (they are r5-green, 1 round old at r6 close);
 # lsh/ivf ANN got the same oracle strengthening AND are in the stale
 # set, so the driver re-checks those two directly.
-_R6_WINDOW = [
-    # --- new in round 6 (never driver-verified; locally oracled)
-    "hdf5_vlen_roundtrip", "salted_join_equivalence",
-    "zorder_events", "pack_sequences_docs", "bucketed_join_revenue",
-    "bm25_search_docs", "column_profile",
-    "quality_classifier_docs", "pretrain_e2e_docs",
-    # --- latest green = r3 (the stale tail; the five lowest-risk
-    #     entries — trivial joins/set-ops with exhaustive pytest
-    #     cover: concat_tables, stack_tables, join_anti, join_cross,
-    #     join_semi — are deferred to the FRONT of the r7 window to
-    #     make room for the never-verified round-6 queries above)
-    "asof_join_events", "chunk_docs", "column_select_fail",
-    "column_select_pass",
-    "contamination_docs", "corpus_manifest", "dedup_clusters",
-    "deterministic_sample_orders", "get_headers_nation",
-    "holdout_split_orders", "html_roundtrip_agg",
-    "incremental_dedup_docs", "interval_join_events",
-    "ivf_topk_embeddings", "join_inner",
-    "join_left", "join_nullsafe", "join_outer_merge_keys",
-    "lookup_first_match", "lsh_topk_embeddings",
-    "minhash_dedup_docs", "mixture_sample_docs", "normalize_docs",
-    "ods_roundtrip_agg", "pack_chunks_docs", "png_decode_dims",
-    "quota_cap_docs", "range_join_prices", "redact_pii_docs",
-    "repetition_docs", "sessionize_events",
-    "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
-    "sql_script_md5", "stratified_sample_docs",
-    "table_equality_check", "unicode_sort_rank", "vocab_top_ngrams",
-    "wav_decode_meta", "weighted_sample_docs",
-    # --- deferred stale entries (slots 51+; r7 front-runners)
+_R7_WINDOW = [
+    # --- latest green = r3: the seven entries round 6 deferred, at
+    #     the FRONT as promised (VERDICT r6 item 2) — after this
+    #     window runs nothing in the registry is staler than r4
     "concat_tables", "stack_tables", "join_anti", "join_cross",
     "join_semi", "rename_reorder_project", "construction_api_agg",
+    # --- new in round 7 (never driver-verified; locally oracled via
+    #     tools/check_oracle.py at sf0.01)
+    "tpz_roundtrip_agg", "resize_images_agg", "resample_audio_meta",
+    "cluster_holdout_docs", "incremental_minhash_dedup_docs",
+    # --- latest green = r4 (oldest remaining tail; 50-slot budget
+    #     takes the first 38 of these — the rest lead the r8 window)
+    "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
+    "filter_any", "filter_callable", "filter_expression",
+    "filter_fail", "filter_pass", "filter_substring_in",
+    "gif_decode_dims", "groupby_cube", "groupby_first_last",
+    "groupby_mode", "groupby_product", "groupby_rollup",
+    "hdf5_roundtrip_agg", "imputation_mode", "imputation_nn",
+    "jpeg_decode_dims", "json_columnar_roundtrip",
+    "json_roundtrip_agg", "language_id_docs", "line_dedup_docs",
+    "merge_where_case", "near_dup_embeddings", "ngram_jaccard_pairs",
+    "parquet_roundtrip_agg", "perplexity_docs", "pivot_long",
+    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_filter",
+    "q1_pricing_summary", "q3_shipping_revenue", "q4_priority_exists",
+    "q5_nation_revenue", "q6_forecast_revenue",
+    "row_iteration_checksum", "semantic_dedup_embeddings",
+    "sort_mixed_excel", "sort_unix_mixed", "token_budget_docs",
+    "token_count_bpe", "transpose_region", "video_frames_meta",
+    "vocab_shift_docs", "window_ntile", "xls_roundtrip_agg",
+    "xlsx_roundtrip_agg", "xround_time_buckets",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R6_WINDOW`` puts the
+    bounded per-round window (50/round). ``_R7_WINDOW`` puts the
     never-verified and stalest-green queries first; everything else
     keeps its registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R6_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R7_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 
