@@ -1297,6 +1297,39 @@ def dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
                     F.coalesce("component", "doc_id").alias("component")))
 
 
+def cluster_dedup_keep_best_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-BEST cluster dedup (dedup.cluster_dedup_keep_best —
+    production curation keeps the highest-quality member of each
+    near-dup cluster, not the min id). Derived-invariant fixture:
+    pairwise-token-disjoint base docs (ids 0..59) gain exact
+    duplicates at +100 (id%3==0) and +200 (id%5==0), so the true
+    clusters are exactly {i} ∪ {i+100}? ∪ {i+200}? and Jaccard pairs
+    exist only inside them. Quality (doc_id*7)%13 varies WITHIN a
+    cluster (7 and 13 coprime), so the argmax winner is usually NOT
+    the min id — keep-min-id would hash-mismatch. DuckDB reproduces
+    the winner set arithmetically."""
+    from tablite_spark.pipeline.dedup import (
+        cluster_dedup_keep_best, ngram_jaccard,
+    )
+    ids = _t(spark, sf, "documents").select("doc_id") \
+        .filter(F.col("doc_id") < 60)
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(30)),
+        lambda j: F.concat(F.lit("tok"),
+                           (F.col("doc_id") * 1000 + j).cast("string"))))
+    base = ids.select("doc_id", text.alias("text"))
+    dup1 = (base.filter(F.col("doc_id") % 3 == 0)
+            .select((F.col("doc_id") + 100).alias("doc_id"), "text"))
+    dup2 = (base.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 200).alias("doc_id"), "text"))
+    corpus = (base.unionByName(dup1).unionByName(dup2)
+              .withColumn("quality", (F.col("doc_id") * 7) % 13))
+    pairs = (ngram_jaccard(corpus, corpus, "text", "doc_id", n=3)
+             .filter(F.col("jaccard") >= 0.2))
+    out = cluster_dedup_keep_best(corpus, pairs, "doc_id", "quality")
+    return out.select("doc_id", "quality")
+
+
 def near_dup_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.4), via the
     block-nested-loop BLAS kernel (exact; equivalence with the
@@ -2729,6 +2762,7 @@ _R7_WINDOW = [
     #     tools/check_oracle.py at sf0.01)
     "tpz_roundtrip_agg", "resize_images_agg", "resample_audio_meta",
     "cluster_holdout_docs", "incremental_minhash_dedup_docs",
+    "cluster_dedup_keep_best_docs",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
     #     takes the first 38 of these — the rest lead the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
@@ -2837,6 +2871,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpz_roundtrip_agg": tpz_roundtrip_agg,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
+        "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
         "resample_audio_meta": resample_audio_meta,
         "cluster_holdout_docs": cluster_holdout_docs,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -3620,6 +3655,23 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "incremental_minhash_dedup_docs": """
             SELECT doc_id + 30000000 AS doc_id FROM documents
+        """,
+        "cluster_dedup_keep_best_docs": """
+            WITH base AS (
+                SELECT doc_id AS i FROM documents WHERE doc_id < 60
+            ), members AS (
+                SELECT i, i AS doc_id FROM base
+                UNION ALL SELECT i, i + 100 FROM base WHERE i % 3 = 0
+                UNION ALL SELECT i, i + 200 FROM base WHERE i % 5 = 0
+            ), scored AS (
+                SELECT i, doc_id, (doc_id * 7) % 13 AS quality
+                FROM members
+            ), ranked AS (
+                SELECT doc_id, quality, ROW_NUMBER() OVER (
+                    PARTITION BY i ORDER BY quality DESC, doc_id ASC
+                ) AS rn FROM scored
+            )
+            SELECT doc_id, quality FROM ranked WHERE rn = 1
         """,
         "resize_images_agg": """
             SELECT doc_id,

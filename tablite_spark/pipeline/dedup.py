@@ -376,6 +376,43 @@ def cluster_dedup(df: DataFrame, pairs: DataFrame, id_col: str,
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def cluster_dedup_keep_best(df: DataFrame, pairs: DataFrame,
+                            id_col: str, score_col: str,
+                            max_iter: int = 25) -> DataFrame:
+    """Transitive near-dup removal keeping the HIGHEST-``score_col``
+    document of every cluster (ties → smallest id) — what production
+    curation actually wants: when near-duplicates differ in quality
+    (cleaner extraction, fewer boilerplate lines), keep-min-id throws
+    away the better copy ~half the time; keep-best retains it.
+
+    Scale shape: components over the candidate pairs (hash-min
+    rounds), then ONE narrow join of (id, component) against the
+    (id, score) projection and a partial-aggregable
+    ``max(struct(score, -id))`` per component — no window over
+    document payloads, no skew hazard (a hot cluster reduces
+    map-side). Survivor set = per-cluster argmax ∪ documents in no
+    pair (anti-join on the clustered-loser ids). Requires a numeric
+    ``id_col`` (the tie-break negates it inside the struct max)."""
+    id_type = dict(df.dtypes)[id_col]
+    if id_type not in ("tinyint", "smallint", "int", "bigint",
+                      "float", "double"):
+        raise TypeError(f"cluster_dedup_keep_best needs a numeric id "
+                        f"column for the tie-break; got {id_type}")
+    cc = connected_components(pairs, max_iter=max_iter)
+    scored = (cc.withColumnRenamed("id", id_col)
+              .join(df.select(id_col, score_col), id_col))
+    # argmax via max(struct): score desc, then id asc (negate id so
+    # the struct max picks the smallest id among score ties)
+    winners = (scored.groupBy("component")
+               .agg(F.max(F.struct(F.col(score_col).alias("s"),
+                                   (-F.col(id_col)).alias("nid")))
+                    .alias("w"))
+               .select((-F.col("w.nid")).alias(id_col)))
+    losers = (cc.select(F.col("id").alias(id_col))
+              .join(winners, id_col, "left_anti"))
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def incremental_dedup(new_df: DataFrame, seen_df: DataFrame,
                       text_col: str, id_col: str) -> DataFrame:
     """Dedup a NEW batch against an already-ingested corpus — the

@@ -2184,3 +2184,33 @@ def test_incremental_minhash_index_roundtrip(spark, tmp_path):
     # batch2 was NOT appended (update_index default False) -> 901 absent
     assert incremental_minhash_dedup(
         batch3, "text", "doc_id", idx).count() == 1
+
+
+def test_cluster_dedup_keep_best(spark):
+    """Keep-best retains the highest-score member per component (tie
+    -> min id), keeps no-pair docs untouched, and differs from
+    keep-min-id when quality is not monotone in id."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.dedup import (
+        cluster_dedup, cluster_dedup_keep_best,
+    )
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0),   # cluster A: best=2 (tie 2<3)
+         (10, 1.0), (11, 7.0),           # cluster B: best=11
+         (99, 0.0)],                     # singleton: kept
+        "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    best = sorted(r["doc_id"] for r in
+                  cluster_dedup_keep_best(df, pairs, "doc_id", "q")
+                  .collect())
+    assert best == [2, 11, 99], best
+    keep_min = sorted(r["doc_id"] for r in
+                      cluster_dedup(df, pairs, "doc_id").collect())
+    assert keep_min == [1, 10, 99], keep_min  # provably different
+    # non-numeric id -> clear error
+    sdf = df.select(F.col("doc_id").cast("string").alias("doc_id"), "q")
+    import pytest as _pytest
+    with _pytest.raises(TypeError):
+        cluster_dedup_keep_best(sdf, pairs, "doc_id", "q")
