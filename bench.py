@@ -68,6 +68,10 @@ BENCH_QUERIES = [
     "bucketed_join_revenue",
     "quality_classifier_docs",
     "pretrain_e2e_docs",
+    # round-7 operators (excluded from r2_comparable_total): the
+    # newest, least-burned-in code gets a tracked cost
+    "incremental_minhash_dedup_docs",
+    "cluster_dedup_keep_best_docs",
     "gopher_repetition_docs",
     "gopher_dup_ngrams_docs",
 ]
@@ -426,10 +430,20 @@ def main() -> None:
                  "semantic_dedup_embeddings"}
     new_in_r6 = {"substring_dedup_docs", "gopher_quality_docs",
                  "pretrain_filter_docs", "pq_topk_embeddings",
-                 "ivfpq_topk_embeddings", "zorder_events"}
+                 "ivfpq_topk_embeddings", "zorder_events",
+                 # these five were benched from r6 but missing from
+                 # the exclusion set, quietly inflating
+                 # r2_comparable_total — fixed in r7 (the r6/r7
+                 # records' r2 subtotals are therefore not directly
+                 # comparable; per-query rows are)
+                 "pack_sequences_docs", "bm25_search_docs",
+                 "bucketed_join_revenue", "quality_classifier_docs",
+                 "pretrain_e2e_docs"}
+    new_in_r7 = {"incremental_minhash_dedup_docs",
+                 "cluster_dedup_keep_best_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
-                         if k not in new_in_r3 | new_in_r4 | new_in_r6),
-                     3)
+                         if k not in new_in_r3 | new_in_r4 | new_in_r6
+                         | new_in_r7), 3)
 
     io_benchmarks(spark, sf_dir, timings, extra)
 
@@ -464,6 +478,13 @@ def main() -> None:
         pass  # read-only checkout: the printed line still stands alone
     compact = dict(payload)
     compact.pop("bench_meta", None)
+    # stage breakdowns (json_columnar_1m_decode/arrow_build/...) are
+    # diagnostics, not headline timings — meta file only
+    compact["queries"] = {
+        k: v for k, v in compact["queries"].items()
+        if not (k.startswith("json_columnar_1m_")
+                and k not in ("json_columnar_1m_read",
+                              "json_columnar_1m_read_cold"))}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # belt-and-braces: shed 3rd decimals first
         compact["queries"] = {k: round(v, 2)

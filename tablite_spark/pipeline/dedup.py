@@ -511,10 +511,15 @@ def incremental_minhash_dedup(new_df: DataFrame, text_col: str,
                               num_perm=meta["num_perm"]).localCheckpoint()
     new_bands = minhash_bands(new_sig, id_col, bands=meta["bands"],
                               num_perm=meta["num_perm"])
+    # self-matches excluded: a REPLAYED batch (streaming retry, rerun
+    # after a crash) probes an index that already holds its own
+    # appended signatures — without the id guard every replayed doc
+    # would read as a dup of itself and silently vanish
     cand = (new_bands.alias("n")
             .join(corpus_bands.alias("c"),
                   (F.col("n.band") == F.col("c.band"))
-                  & (F.col("n.bh") == F.col("c.bh")))
+                  & (F.col("n.bh") == F.col("c.bh"))
+                  & (F.col(f"n.{id_col}") != F.col("c.id")))
             .select(F.col(f"n.{id_col}").alias("new_id"),
                     F.col("c.id").alias("corpus_id"))
             .distinct())

@@ -163,3 +163,45 @@ def exactly_once_parquet_sink(stream: DataFrame, path: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_dedup(stream: DataFrame, text_col: str,
+                             id_col: str, index_path: str,
+                             out_path: str, checkpoint: str,
+                             threshold: float = 0.8,
+                             trigger_once: bool = True):
+    """Streaming ingestion-loop dedup: each micro-batch is NEAR-dup
+    deduplicated against the persisted MinHash index
+    (``pipeline.dedup.incremental_minhash_dedup``), survivors land in
+    ``out_path/batch_id=N`` (idempotent partition overwrite — the
+    exactly-once sink pattern), and the accepted docs' signatures/
+    bands append to the index so later batches dedup against them.
+
+    Delivery semantics: the survivor OUTPUT is exactly-once (a batch
+    replay overwrites its own partition). The index APPEND is
+    at-least-once — a replay can append the same signatures twice —
+    which is deliberately harmless: duplicate (id, minhash) index rows
+    produce duplicate candidate pairs that collapse in the probe's
+    ``distinct()``, and self-matches are excluded by id, so a replayed
+    batch neither drops its own docs nor changes any dedup verdict;
+    the only cost is index bytes (compact with a periodic
+    ``minhash_save_index(distinct signatures, mode="overwrite")``).
+
+    The index must exist before the query starts (build it from the
+    seed corpus with ``minhash_save_index``) — batch 0 of a greenfield
+    stream can seed it from an empty frame.
+    """
+    from tablite_spark.pipeline.dedup import incremental_minhash_dedup
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        kept = incremental_minhash_dedup(
+            batch_df, text_col, id_col, index_path,
+            threshold=threshold, update_index=True)
+        (kept.write.mode("overwrite")
+         .parquet(f"{out_path}/batch_id={batch_id}"))
+
+    writer = (stream.writeStream.foreachBatch(_write)
+              .option("checkpointLocation", checkpoint))
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

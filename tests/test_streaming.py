@@ -349,3 +349,65 @@ def test_classifier_scores_streams_unchanged(spark, tmp_path):
         ["x1", "x2"], w).collect()
     assert sorted((r["x1"], r["x2"], r["pred"]) for r in got) == \
         sorted((r["x1"], r["x2"], r["pred"]) for r in exp)
+
+
+def test_stream_incremental_dedup(spark, tmp_path):
+    """Streaming ingestion dedup against the persisted MinHash index:
+    batch 1 drops a corpus dup and appends its survivors' signatures;
+    batch 2's dup of a batch-1 survivor is caught only via that
+    append; a REPLAY of the drained stream (fresh checkpoint, same
+    index) neither drops its own docs (self-match guard) nor changes
+    the survivor output (idempotent partition overwrite)."""
+    import json
+
+    from tablite_spark.pipeline.dedup import (
+        minhash_save_index, shingle_minhash,
+    )
+    from tablite_spark.streaming.ops import stream_incremental_dedup
+
+    def doc(i, prefix="tok"):
+        return " ".join(f"{prefix}{i * 1000 + j}" for j in range(1, 31))
+
+    corpus = spark.createDataFrame(
+        [(i, doc(i)) for i in range(10)], "doc_id long, text string")
+    idx = str(tmp_path / "index")
+    minhash_save_index(shingle_minhash(corpus, "text", "doc_id"),
+                       "doc_id", idx)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows1 = [(100, doc(3)),            # corpus dup -> dropped
+             (101, doc(500, "new"))]   # fresh -> kept + indexed
+    (src / "b1.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t}) for i, t in rows1))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(str(src)))
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = stream_incremental_dedup(stream, "text", "doc_id", idx,
+                                 out, ckpt)
+    q.awaitTermination(120)
+    kept1 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out).collect())
+    assert kept1 == [101], kept1
+
+    # batch 2: dup of batch-1 survivor (catchable only via append)
+    # plus a fresh doc
+    rows2 = [(200, doc(500, "new")), (201, doc(501, "new"))]
+    (src / "b2.json").write_text("\n".join(
+        json.dumps({"doc_id": i, "text": t}) for i, t in rows2))
+    q = stream_incremental_dedup(stream, "text", "doc_id", idx,
+                                 out, ckpt)
+    q.awaitTermination(120)
+    kept2 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out).collect())
+    assert kept2 == [101, 201], kept2
+
+    # full replay with a FRESH checkpoint: the index already holds
+    # 101/201's signatures, but self-matches are id-excluded and the
+    # batch partitions overwrite in place -> same survivors
+    q = stream_incremental_dedup(stream, "text", "doc_id", idx,
+                                 out, str(tmp_path / "ckpt2"))
+    q.awaitTermination(120)
+    kept3 = sorted(r["doc_id"]
+                   for r in spark.read.parquet(out).collect())
+    assert kept3 == [101, 201], kept3
