@@ -2466,6 +2466,33 @@ def pack_sequences_docs(spark: SparkSession, sf: str) -> DataFrame:
         "n_docs")
 
 
+def pack_sequences_sft_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """SFT-packing path of text.pack_sequences — ``mask_col`` AND
+    ``boundaries`` together (the combined path the round-7 10M-doc
+    burn-in exercises; this row makes it driver-gated too): same
+    arithmetic token scheme as pack_sequences_docs plus a
+    position-parity loss mask and doc-start offsets. DuckDB rebuilds
+    the stream and replays windows, masks (EOS slots masked 0) and
+    per-window start-offset lists; the three md5 columns pin every
+    token, every mask bit, and every boundary of every window."""
+    from tablite_spark.pipeline.text import pack_sequences
+    d = _t(spark, sf, "documents")
+    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda t: t != "")
+    ids = F.transform(
+        toks, lambda t, i: (F.length(t) * 131 + (i + 1) % 127)
+        .cast("int"))
+    mask = F.transform(toks, lambda t, i: ((i + 1) % 2).cast("int"))
+    docs = d.select("doc_id", ids.alias("ids"), mask.alias("mask"))
+    out = pack_sequences(docs, "ids", "doc_id", seq_len=64, eos_id=0,
+                         boundaries=True, mask_col="mask", eos_mask=0)
+    s = lambda c: F.md5(F.concat_ws(",", F.transform(  # noqa: E731
+        c, lambda x: x.cast("string"))))
+    return out.select("seq_id", s("input_ids").alias("ids_md5"),
+                      s("loss_mask").alias("mask_md5"),
+                      s("doc_starts").alias("starts_md5"), "n_docs")
+
+
 def bucketed_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Shuffle-free co-located join (operators/bucketing.py, round
     6): orders and customer are written once bucketed on the join
@@ -2762,7 +2789,7 @@ _R7_WINDOW = [
     #     tools/check_oracle.py at sf0.01)
     "tpz_roundtrip_agg", "resize_images_agg", "resample_audio_meta",
     "cluster_holdout_docs", "incremental_minhash_dedup_docs",
-    "cluster_dedup_keep_best_docs",
+    "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
     #     takes the first 38 of these — the rest lead the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
@@ -2872,6 +2899,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
+        "pack_sequences_sft_docs": pack_sequences_sft_docs,
         "resample_audio_meta": resample_audio_meta,
         "cluster_holdout_docs": cluster_holdout_docs,
         "html_roundtrip_agg": html_roundtrip_agg,
@@ -3655,6 +3683,52 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "incremental_minhash_dedup_docs": """
             SELECT doc_id + 30000000 AS doc_id FROM documents
+        """,
+        "pack_sequences_sft_docs": """
+            WITH lists AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '') AS l
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, generate_subscripts(l, 1) AS i,
+                       CAST(LENGTH(unnest(l)) * 131
+                            + (generate_subscripts(l, 1) % 127)
+                            AS INT) AS id,
+                       CAST(generate_subscripts(l, 1) % 2 AS INT)
+                           AS msk
+                FROM lists
+                UNION ALL
+                SELECT doc_id, 2147483647 AS i, 0 AS id, 0 AS msk
+                FROM documents
+            ),
+            stream AS (
+                SELECT doc_id, id, msk,
+                       ROW_NUMBER() OVER (ORDER BY doc_id, i) - 1
+                           AS pos
+                FROM toks
+            ),
+            marked AS (
+                SELECT *, CASE WHEN pos = MIN(pos) OVER (
+                              PARTITION BY doc_id) THEN 1 ELSE 0
+                          END AS is_start
+                FROM stream
+            )
+            SELECT CAST(pos // 64 AS BIGINT) AS seq_id,
+                   MD5(string_agg(CAST(id AS VARCHAR), ','
+                                  ORDER BY pos)) AS ids_md5,
+                   MD5(string_agg(CAST(msk AS VARCHAR), ','
+                                  ORDER BY pos)) AS mask_md5,
+                   MD5(COALESCE(string_agg(
+                       CASE WHEN is_start = 1
+                            THEN CAST(pos % 64 AS VARCHAR) END, ','
+                       ORDER BY pos), '')) AS starts_md5,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM marked
+            GROUP BY seq_id
+            HAVING COUNT(*) = 64
         """,
         "cluster_dedup_keep_best_docs": """
             WITH base AS (
