@@ -307,3 +307,45 @@ def test_pretrain_filter_scan_only(spark, qs):
     assert r["shuffles"] == 0, r
     assert r["broadcast_joins"] == 0, r
     assert len(r["read_schemas"]) == 1, r
+
+
+def test_incremental_minhash_probe_shape(spark, tmp_path, qs):
+    """The persisted-index probe must stay an equi-join pipeline:
+    no cartesian/nested-loop pairing of batch x corpus, no
+    SinglePartition funnel anywhere — the properties that keep a
+    100 TB ingestion loop alive."""
+    from tablite_spark.pipeline.dedup import (
+        incremental_minhash_dedup, minhash_save_index, shingle_minhash,
+    )
+    from tablite_spark.plans.audit import _formatted
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"t{i * 100 + j}" for j in range(30)))
+         for i in range(50)], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    minhash_save_index(shingle_minhash(corpus, "text", "doc_id"),
+                       "doc_id", idx)
+    batch = spark.createDataFrame(
+        [(1000 + i, " ".join(f"n{i * 100 + j}" for j in range(30)))
+         for i in range(10)], "doc_id long, text string")
+    out = incremental_minhash_dedup(batch, "text", "doc_id", idx)
+    s = _formatted(out)
+    assert "CartesianProduct" not in s, s[:1500]
+    assert "BroadcastNestedLoopJoin" not in s, s[:1500]
+    assert "Exchange SinglePartition" not in s, s[:1500]
+
+
+def test_cluster_dedup_keep_best_no_window(spark):
+    """Keep-best argmax must plan as a partial-aggregable
+    max(struct) groupBy, NEVER a ranking window over document-keyed
+    rows (a hot near-dup cluster would funnel into one task; the agg
+    form reduces map-side)."""
+    from tablite_spark.pipeline.dedup import cluster_dedup_keep_best
+    from tablite_spark.plans.audit import _formatted
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 98, 2)], "id_a long, id_b long")
+    out = cluster_dedup_keep_best(df, pairs, "doc_id", "q")
+    s = _formatted(out)
+    assert "Window" not in s, s[:1500]
+    assert "Exchange SinglePartition" not in s, s[:1500]
