@@ -1621,6 +1621,70 @@ def incremental_minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed k-means (pipeline/clustering.py) over the REAL
+    embeddings table — Lloyd's with integer-quantized vectors so the
+    ENTIRE training trajectory (md5-seeded init, every assignment,
+    every floor-mean centroid update, 3 rounds, k=4) is bit-exact
+    and engine-neutral. The oracle re-derives seeds, assignments and
+    centroid updates itself as unrolled DuckDB CTEs — a wrong
+    tie-break, a float drift, or a mis-carried empty cell all
+    hash-mismatch. Per iteration the Spark plan is ONE combinable
+    aggregation (k×(dim+1) integer sums cross the network); the
+    assignment is a pure zero-shuffle expression."""
+    from tablite_spark.pipeline.clustering import kmeans_cells
+    emb = _t(spark, sf, "embeddings")
+    out = kmeans_cells(emb, "embedding", "vec_id", k=4, iters=3)
+    return out.select(F.col("cell").cast("long").alias("cell"),
+                      "n_points", "centroid_csv")
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 3, dim: int = 64,
+                       scale: int = 1048576) -> str:
+    """Unrolled-CTE DuckDB replay of kmeans_cells — the
+    quality_classifier pattern (replay every iteration) applied to
+    clustering. Must mirror clustering.py exactly: floor(x·scale+.5)
+    quantize, (md5(id), id) seed order, struct-min (dist, j)
+    tie-break, floor(sum/n) centroid update, empty cells carry."""
+    parts = [f"""q AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE)*{scale}.0+0.5) AS BIGINT)) AS qv
+  FROM embeddings)""",
+             f"""c0 AS (
+  SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1 AS j,
+         qv AS cv
+  FROM q QUALIFY (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) <= {k})"""]
+
+    def assign(name: str, cin: str) -> str:
+        return f"""{name} AS (
+  SELECT q.vec_id, min(struct_pack(d := dd.dist, j := c.j)).j AS cell
+  FROM q, {cin} c,
+  LATERAL (SELECT list_sum(list_transform(list_zip(q.qv, c.cv),
+                    p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist) dd
+  GROUP BY q.vec_id)"""
+
+    for it in range(iters):
+        parts.append(assign(f"a{it}", f"c{it}"))
+        parts.append(f"""n{it + 1} AS (
+  SELECT cell AS j, list(CAST(floor(sx / n) AS BIGINT) ORDER BY i) AS cv
+  FROM (SELECT a.cell, t.i, CAST(sum(q.qv[CAST(t.i AS INT)+1]) AS DOUBLE) AS sx,
+               CAST(count(*) AS DOUBLE) AS n
+        FROM a{it} a JOIN q USING (vec_id), range({dim}) t(i)
+        GROUP BY a.cell, t.i)
+  GROUP BY cell)""")
+        parts.append(f"""c{it + 1} AS (
+  SELECT c{it}.j, COALESCE(n{it + 1}.cv, c{it}.cv) AS cv
+  FROM c{it} LEFT JOIN n{it + 1} ON c{it}.j = n{it + 1}.j)""")
+    parts.append(assign("af", f"c{iters}"))
+    parts.append(
+        "cnt AS (SELECT cell, count(*) AS n_points FROM af GROUP BY cell)")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT c{iters}.j AS cell, CAST(COALESCE(cnt.n_points, 0) AS BIGINT) AS n_points,
+       array_to_string(list_transform(c{iters}.cv, v -> CAST(v AS VARCHAR)), ',')
+         AS centroid_csv
+FROM c{iters} LEFT JOIN cnt ON c{iters}.j = cnt.cell""")
+
+
 def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash invariants, exactly oracled on the duplicate
     fixture: simhash is a pure function of the token stream, so
@@ -2790,6 +2854,7 @@ _R7_WINDOW = [
     "tpz_roundtrip_agg", "resize_images_agg", "resample_audio_meta",
     "cluster_holdout_docs", "incremental_minhash_dedup_docs",
     "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
+    "kmeans_embeddings",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
     #     takes the first 38 of these — the rest lead the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
@@ -2898,6 +2963,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpz_roundtrip_agg": tpz_roundtrip_agg,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
+        "kmeans_embeddings": kmeans_embeddings,
         "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
         "pack_sequences_sft_docs": pack_sequences_sft_docs,
         "resample_audio_meta": resample_audio_meta,
@@ -3684,6 +3750,7 @@ def _oracle_sql_base() -> dict[str, str]:
         "incremental_minhash_dedup_docs": """
             SELECT doc_id + 30000000 AS doc_id FROM documents
         """,
+        "kmeans_embeddings": _kmeans_oracle_sql(),
         "pack_sequences_sft_docs": """
             WITH lists AS (
                 SELECT doc_id,

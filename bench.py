@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     # newest, least-burned-in code gets a tracked cost
     "incremental_minhash_dedup_docs",
     "cluster_dedup_keep_best_docs",
+    "kmeans_embeddings",
     "gopher_repetition_docs",
     "gopher_dup_ngrams_docs",
 ]
@@ -440,7 +441,7 @@ def main() -> None:
                  "bucketed_join_revenue", "quality_classifier_docs",
                  "pretrain_e2e_docs"}
     new_in_r7 = {"incremental_minhash_dedup_docs",
-                 "cluster_dedup_keep_best_docs"}
+                 "cluster_dedup_keep_best_docs", "kmeans_embeddings"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7), 3)

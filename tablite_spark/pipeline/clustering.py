@@ -1,0 +1,161 @@
+"""Distributed k-means — Lloyd's algorithm, Spark-first and exactly
+replayable (the ``logreg_train`` recipe applied to clustering).
+
+Why this exists: the ANN family (``similarity.ivf_index`` /
+``pq_train``) trains its codebooks on a driver-side sample — the
+right call for codebooks, where a 65k sample statistically suffices.
+But corpus CURATION jobs (topic balancing, cluster-aware mixture
+weights, SemDeDup-style pruning at full fidelity) want centroids fit
+on the WHOLE corpus, which means Lloyd's iterations as distributed
+aggregations, not a driver loop over a sample.
+
+Shape per iteration (the classifier pattern, `classifier.py`):
+
+- **assign** is a pure codegen expression — the k centroids ride
+  into the plan as literal arrays, each row computes k quantized
+  squared distances and takes the struct-min. ZERO shuffles, zero
+  Python.
+- **update** is ONE combinable aggregation job: ``groupBy(cell)``
+  with ``k × (dim+1)`` integer sums; only ``k·dim`` longs cross the
+  network. The driver floors the means and feeds them back as
+  literals.
+
+At 100 TB the per-iteration cost is therefore ``iters`` scans of the
+(narrow) quantized-vector column — the same plan Spark MLlib's
+KMeans runs, minus its random init and float drift.
+
+DETERMINISM CONTRACT: all arithmetic is INTEGER. Vectors are
+quantized up front (``floor(x·scale + 0.5)`` — identical IEEE
+double ops in any engine), so distances and per-cell sums are exact
+BIGINTs whose distributed summation order cannot matter. Centroid
+update uses ``floor(sum / count)`` on doubles — exact while
+``|sum| < 2^53`` (a corpus of 1e9 docs at |q|≤3e5 sums to ~3e14:
+fine; the guard is documented, not hidden). Seeding is the k rows
+with the smallest ``(md5(id), id)`` — rerun-stable, engine-neutral,
+and independently replayable: the ``kmeans_embeddings`` oracle
+re-derives seeds, every assignment, and every centroid update as
+unrolled DuckDB CTEs and must land on identical centroids and cell
+sizes.
+
+Reference parity: the reference engine has no clustering operator —
+this is a beyond-reference capability for the training-data
+pipeline (cluster-balanced sampling per e.g. DoReMi/D4 public
+recipes).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_vectors", "kmeans_fit", "kmeans_assign",
+           "kmeans_cells"]
+
+#: quantization scale — 2^20 keeps unit-ish embedding components
+#: integer-exact to ~1e-6 while leaving 40+ bits of headroom for
+#: squared-distance sums at dim ≤ 4096.
+DEFAULT_SCALE = 1 << 20
+
+
+def quantize_vectors(df: DataFrame, vec_col: str,
+                     scale: int = DEFAULT_SCALE,
+                     out_col: str = "qv") -> DataFrame:
+    """``array<float>`` → ``array<bigint>`` via
+    ``floor(x·scale + 0.5)`` (round-half-up — floor of a double is
+    bit-identical across engines, unlike round()'s mode zoo)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(float(scale))
+                                      + F.lit(0.5)).cast("long")))
+
+
+def _sq_dist(qv: Column, centroid: list[int]) -> Column:
+    """Exact integer squared distance to a literal centroid."""
+    lit_c = F.array(*[F.lit(int(c)) for c in centroid])
+    diffs = F.zip_with(qv, lit_c, lambda x, c: (x - c) * (x - c))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def _assign_expr(qv: Column, centroids: list[list[int]]) -> Column:
+    """argmin over centroids as a struct-min — ties break to the
+    LOWEST cell id, exactly as the oracle's ``min(struct(d, j))``."""
+    cands = [F.struct(_sq_dist(qv, c).alias("d"),
+                      F.lit(j).alias("j"))
+             for j, c in enumerate(centroids)]
+    return F.array_sort(F.array(*cands))[0]["j"]
+
+
+def kmeans_fit(df: DataFrame, vec_col: str, id_col: str,
+               k: int = 8, iters: int = 3,
+               scale: int = DEFAULT_SCALE) -> list[list[int]]:
+    """Fit k centroids (quantized ints) by ``iters`` Lloyd rounds.
+
+    Seeds = the k rows with smallest ``(md5(id), id)``; an empty
+    cell keeps its previous centroid (documented, oracle-replayed).
+    Returns the centroid list — feed to :func:`kmeans_assign`."""
+    q = quantize_vectors(df, vec_col, scale).select(
+        F.col(id_col).alias("__id__"), "qv")
+    seed_rows = (q.orderBy(F.md5(F.col("__id__").cast("string")),
+                           "__id__")
+                 .limit(k).select("qv").collect())
+    centroids = [list(r["qv"]) for r in seed_rows]
+    if not centroids:
+        return []
+    dim = len(centroids[0])
+    q = q.localCheckpoint()  # quantize once, scan per iteration
+    try:
+        for _ in range(iters):
+            cell = _assign_expr(F.col("qv"), centroids)
+            sums = (q.groupBy(cell.alias("cell"))
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}")
+                           for i in range(dim)])
+                    .collect())
+            by_cell = {r["cell"]: r for r in sums}
+            centroids = [
+                [int(math.floor(by_cell[j][f"s{i}"] / by_cell[j]["n"]))
+                 for i in range(dim)]
+                if j in by_cell else centroids[j]  # empty cell carries
+                for j in range(len(centroids))]
+    finally:
+        q.unpersist()
+    return centroids
+
+
+def kmeans_assign(df: DataFrame, vec_col: str,
+                  centroids: list[list[int]],
+                  scale: int = DEFAULT_SCALE,
+                  cell_col: str = "cell") -> DataFrame:
+    """Attach the nearest-centroid cell id — a pure expression over
+    the quantized vector, zero shuffles (plan-gated)."""
+    q = quantize_vectors(df, vec_col, scale, out_col="__qv__")
+    out = q.withColumn(cell_col, _assign_expr(F.col("__qv__"),
+                                              centroids))
+    return out.drop("__qv__")
+
+
+def kmeans_cells(df: DataFrame, vec_col: str, id_col: str,
+                 k: int = 8, iters: int = 3,
+                 scale: int = DEFAULT_SCALE) -> DataFrame:
+    """Fit + final assignment → one row per cell:
+    ``(cell, n_points, centroid_csv)`` where centroid_csv is the
+    comma-joined quantized centroid (engine-neutral string form).
+    Cells left empty by the final assignment still appear with
+    ``n_points = 0`` — their centroid is real state the next round
+    of Lloyd's would use."""
+    spark = df.sparkSession
+    centroids = kmeans_fit(df, vec_col, id_col, k=k, iters=iters,
+                           scale=scale)
+    counts = (kmeans_assign(df, vec_col, centroids, scale)
+              .groupBy("cell").agg(F.count(F.lit(1)).alias("n_points")))
+    cent_df = spark.createDataFrame(
+        [(j, ",".join(str(v) for v in c))
+         for j, c in enumerate(centroids)],
+        "cell int, centroid_csv string")
+    return (cent_df.join(counts, "cell", "left")
+            .select("cell",
+                    F.coalesce("n_points", F.lit(0)).alias("n_points"),
+                    "centroid_csv"))

@@ -2214,3 +2214,78 @@ def test_cluster_dedup_keep_best(spark):
     import pytest as _pytest
     with _pytest.raises(TypeError):
         cluster_dedup_keep_best(sdf, pairs, "doc_id", "q")
+
+
+# ---------------------------------------------------------------- clustering
+
+def _serial_kmeans(points: dict, k: int, iters: int, scale: int = 1 << 20):
+    """Independent serial reference for kmeans_fit: same contract
+    (md5-seeded init, struct-min tie-break, floor-mean update, empty
+    cells carry), written against plain Python so a Spark-side bug
+    can't mirror itself."""
+    import hashlib
+    import math
+
+    q = {i: [math.floor(x * scale + 0.5) for x in v]
+         for i, v in points.items()}
+    order = sorted(q, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(q[i]) for i in order[:k]]
+
+    def nearest(v):
+        best = None
+        for j, c in enumerate(cents):
+            d = sum((a - b) * (a - b) for a, b in zip(v, c))
+            if best is None or (d, j) < best:
+                best = (d, j)
+        return best[1]
+
+    for _ in range(iters):
+        cells = {}
+        for i, v in q.items():
+            cells.setdefault(nearest(v), []).append(v)
+        cents = [
+            [math.floor(sum(col) / len(vs)) for col in zip(*vs)]
+            if (vs := cells.get(j)) else cents[j]
+            for j in range(len(cents))]
+    assign = {i: nearest(v) for i, v in q.items()}
+    return cents, assign
+
+
+def test_kmeans_matches_serial_reference(spark):
+    """Distributed Lloyd's == the serial reference, bit-exact: two
+    offset blobs plus stragglers, every centroid component and every
+    final assignment identical."""
+    from tablite_spark.pipeline.clustering import kmeans_assign, kmeans_fit
+    pts = {}
+    for i in range(40):
+        pts[i] = [0.01 * (i % 7), 0.02 * (i % 5), -0.01 * i]
+    for i in range(40, 70):
+        pts[i] = [5.0 + 0.01 * (i % 3), -4.0, 2.0 + 0.005 * i]
+    exp_cents, exp_assign = _serial_kmeans(pts, k=3, iters=3)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, "embedding", "vec_id", k=3, iters=3)
+    assert cents == exp_cents
+    got = {r["vec_id"]: r["cell"]
+           for r in kmeans_assign(df, "embedding", cents).collect()}
+    assert got == exp_assign
+    # the blobs actually separate (sanity that the fixture is real)
+    assert len({got[i] for i in range(40)} & {got[i] for i in range(40, 70)}) == 0
+
+
+def test_kmeans_empty_cell_carries_seed(spark):
+    """Duplicate seeds force every point into the lower cell (ties
+    break to the lowest j); the starved cell must CARRY its seed
+    centroid, not collapse to zeros, and still report n_points=0."""
+    from tablite_spark.pipeline.clustering import kmeans_cells
+    df = spark.createDataFrame(
+        [(i, [1.0, -1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    out = {r["cell"]: r for r in
+           kmeans_cells(df, "embedding", "vec_id", k=2, iters=2).collect()}
+    scale = 1 << 20
+    seed_csv = f"{scale},{-scale}"
+    assert out[0]["n_points"] == 6 and out[0]["centroid_csv"] == seed_csv
+    assert out[1]["n_points"] == 0 and out[1]["centroid_csv"] == seed_csv

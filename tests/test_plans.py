@@ -349,3 +349,18 @@ def test_cluster_dedup_keep_best_no_window(spark):
     s = _formatted(out)
     assert "Window" not in s, s[:1500]
     assert "Exchange SinglePartition" not in s, s[:1500]
+
+
+def test_kmeans_assign_zero_shuffle(spark):
+    """kmeans_assign is a pure expression — the centroids ride in as
+    literals, so attaching the cell id to 100 TB of vectors must add
+    ZERO exchanges (and the per-iteration update in kmeans_fit is a
+    single partial-aggregable groupBy over it)."""
+    from tablite_spark.pipeline.clustering import kmeans_assign
+    from tablite_spark.plans.audit import _formatted
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, "embedding", [[0, 0], [1 << 20, 1 << 20]])
+    s = _formatted(out)
+    assert "Exchange" not in s, s[:1500]
