@@ -1685,6 +1685,29 @@ SELECT c{iters}.j AS cell, CAST(COALESCE(cnt.n_points, 0) AS BIGINT) AS n_points
 FROM c{iters} LEFT JOIN cnt ON c{iters}.j = cnt.cell""")
 
 
+def preference_pairs_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """DPO preference-pair distillation (pipeline/preference.py) over
+    the REAL documents table: responses = documents grouped into
+    prompts by doc_id % 97, scored by an exact integer signal
+    (length % 997 — ties occur and exercise the tie-break). One
+    combinable max/min(struct) groupBy — no window (plan-gated), no
+    join-back for texts. The oracle replays the argmax/argmin structs
+    and the margin filter; a wrong tie-break or a lost text flips an
+    md5."""
+    from tablite_spark.pipeline.preference import build_preference_pairs
+    d = _t(spark, sf, "documents")
+    resp = d.select((F.col("doc_id") % 97).alias("prompt_id"),
+                    F.col("doc_id"), "text",
+                    (F.length("text") % 997).cast("long").alias("score"))
+    pairs = build_preference_pairs(resp, "prompt_id", "doc_id", "text",
+                                   "score", margin=50.0)
+    return pairs.select(
+        "prompt_id", "chosen_id", "rejected_id",
+        F.md5("chosen_text").alias("chosen_md5"),
+        F.md5("rejected_text").alias("rejected_md5"),
+        F.col("pair_margin").cast("long").alias("pair_margin"))
+
+
 def simhash_docs(spark: SparkSession, sf: str) -> DataFrame:
     """64-bit SimHash invariants, exactly oracled on the duplicate
     fixture: simhash is a pure function of the token stream, so
@@ -2854,7 +2877,7 @@ _R7_WINDOW = [
     "tpz_roundtrip_agg", "resize_images_agg", "resample_audio_meta",
     "cluster_holdout_docs", "incremental_minhash_dedup_docs",
     "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
-    "kmeans_embeddings",
+    "kmeans_embeddings", "preference_pairs_docs",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
     #     takes the first 38 of these — the rest lead the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
@@ -2964,6 +2987,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
+        "preference_pairs_docs": preference_pairs_docs,
         "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
         "pack_sequences_sft_docs": pack_sequences_sft_docs,
         "resample_audio_meta": resample_audio_meta,
@@ -3751,6 +3775,27 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id + 30000000 AS doc_id FROM documents
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "preference_pairs_docs": """
+            WITH resp AS (
+                SELECT doc_id % 97 AS prompt_id, doc_id, text,
+                       CAST(length(text) % 997 AS BIGINT) AS score
+                FROM documents
+            ),
+            agg AS (
+                SELECT prompt_id,
+                       max(struct_pack(s := score, negid := -doc_id,
+                                       t := text)) AS ch,
+                       min(struct_pack(s := score, id := doc_id,
+                                       t := text)) AS rj
+                FROM resp GROUP BY prompt_id
+            )
+            SELECT prompt_id, -(ch.negid) AS chosen_id,
+                   rj.id AS rejected_id,
+                   md5(ch.t) AS chosen_md5, md5(rj.t) AS rejected_md5,
+                   ch.s - rj.s AS pair_margin
+            FROM agg
+            WHERE ch.s - rj.s >= 50 AND -(ch.negid) != rj.id
+        """,
         "pack_sequences_sft_docs": """
             WITH lists AS (
                 SELECT doc_id,

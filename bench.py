@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "incremental_minhash_dedup_docs",
     "cluster_dedup_keep_best_docs",
     "kmeans_embeddings",
+    "preference_pairs_docs",
     "gopher_repetition_docs",
     "gopher_dup_ngrams_docs",
 ]
@@ -441,7 +442,8 @@ def main() -> None:
                  "bucketed_join_revenue", "quality_classifier_docs",
                  "pretrain_e2e_docs"}
     new_in_r7 = {"incremental_minhash_dedup_docs",
-                 "cluster_dedup_keep_best_docs", "kmeans_embeddings"}
+                 "cluster_dedup_keep_best_docs", "kmeans_embeddings",
+                 "preference_pairs_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7), 3)

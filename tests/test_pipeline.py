@@ -2289,3 +2289,44 @@ def test_kmeans_empty_cell_carries_seed(spark):
     seed_csv = f"{scale},{-scale}"
     assert out[0]["n_points"] == 6 and out[0]["centroid_csv"] == seed_csv
     assert out[1]["n_points"] == 0 and out[1]["centroid_csv"] == seed_csv
+
+
+# ---------------------------------------------------------------- preference
+
+def test_preference_pairs_semantics(spark):
+    """chosen = argmax(score, tie→min id), rejected = argmin(score,
+    tie→min id); all-tied prompts drop; texts ride the structs."""
+    from tablite_spark.pipeline.preference import build_preference_pairs
+    rows = [
+        # prompt 1: clear winner/loser + a tie at the top (ids 11,12)
+        (1, 11, "resp-a", 9.0), (1, 12, "resp-b", 9.0),
+        (1, 13, "resp-c", 1.0),
+        # prompt 2: all responses tie -> no pair
+        (2, 21, "x", 5.0), (2, 22, "y", 5.0),
+        # prompt 3: margin too small at margin=2
+        (3, 31, "p", 4.0), (3, 32, "q", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, doc_id long, text string, score double")
+    out = {r["prompt_id"]: r for r in build_preference_pairs(
+        df, "prompt_id", "doc_id", "text", "score", margin=2.0).collect()}
+    assert set(out) == {1}
+    assert out[1]["chosen_id"] == 11 and out[1]["chosen_text"] == "resp-a"
+    assert out[1]["rejected_id"] == 13 and out[1]["rejected_text"] == "resp-c"
+    assert out[1]["pair_margin"] == 8.0
+
+
+def test_preference_pairs_len_ratio_debias(spark):
+    """max_len_ratio drops length-confounded pairs, cross-multiplied
+    so a zero-length rejected response can't sneak through as Inf."""
+    from tablite_spark.pipeline.preference import build_preference_pairs
+    rows = [
+        (1, 1, "a" * 100, 9.0), (1, 2, "b" * 10, 1.0),   # ratio 10 -> drop
+        (2, 3, "c" * 30, 9.0), (2, 4, "d" * 20, 1.0),    # ratio 1.5 -> keep
+        (3, 5, "e" * 50, 9.0), (3, 6, "", 1.0),          # empty -> drop
+    ]
+    df = spark.createDataFrame(
+        rows, "prompt_id long, doc_id long, text string, score double")
+    out = build_preference_pairs(df, "prompt_id", "doc_id", "text",
+                                 "score", max_len_ratio=2.0).collect()
+    assert [r["prompt_id"] for r in out] == [2]

@@ -364,3 +364,20 @@ def test_kmeans_assign_zero_shuffle(spark):
     out = kmeans_assign(df, "embedding", [[0, 0], [1 << 20, 1 << 20]])
     s = _formatted(out)
     assert "Exchange" not in s, s[:1500]
+
+
+def test_preference_pairs_no_window_single_shuffle(spark):
+    """Pair distillation must be ONE combinable groupBy on the prompt
+    key — never a ranking window (a hot prompt with millions of
+    sampled responses would funnel into one task) and never a second
+    exchange to join texts back."""
+    from tablite_spark.pipeline.preference import build_preference_pairs
+    from tablite_spark.plans.audit import _formatted
+    df = spark.createDataFrame(
+        [(i % 5, i, f"t{i}", float(i % 3)) for i in range(50)],
+        "prompt_id long, doc_id long, text string, score double")
+    out = build_preference_pairs(df, "prompt_id", "doc_id", "text",
+                                 "score", margin=1.0)
+    s = _formatted(out)
+    assert "Window" not in s, s[:1500]
+    assert shuffle_count(out) == 1, s[:1500]
