@@ -2623,6 +2623,32 @@ def bm25_search_docs(spark: SparkSession, sf: str) -> DataFrame:
     return bm25_search(d, qs, k=5)
 
 
+def hybrid_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (retrieval.py:rrf_fuse — beyond reference):
+    BM25 top-20 for three literal topic probes FUSED with exact
+    dense-cosine top-20 for three embedding probes (qid = vec_id+1,
+    vec_id < 3; brute_force_topk's nid != qid self-guard is part of
+    the replayed contract) via reciprocal-rank fusion in integer
+    micro-units, so the fused score is an exact BIGINT and the
+    oracle replays BOTH underlying rankings and the fusion
+    arithmetic bit-for-bit. Top-10 per qid, ties by doc_id."""
+    from tablite_spark.pipeline.retrieval import bm25_search, rrf_fuse
+    from tablite_spark.pipeline.similarity import brute_force_topk
+    d = _t(spark, sf, "documents")
+    emb = _t(spark, sf, "embeddings")
+    qs = spark.createDataFrame(
+        [(1, "spark window agg"), (2, "customer query batch"),
+         (3, "vector scan merge")], "qid long, qtext string")
+    sparse = bm25_search(d, qs, k=20).select("qid", "doc_id", "rank")
+    qvec = (emb.filter(F.col("vec_id") < 3)
+            .select((F.col("vec_id") + 1).alias("vec_id"), "embedding"))
+    dense = (brute_force_topk(emb, qvec, k=20, id_col="vec_id",
+                              vec_col="embedding")
+             .select("qid", F.col("nid").alias("doc_id"),
+                     F.col("rn").alias("rank")))
+    return rrf_fuse([sparse, dense], k=10)
+
+
 def column_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Single-pass sketch profile (operators/stats.py:
     profile_columns, round 6): n / nulls / HLL++ distinct / min /
@@ -2877,7 +2903,7 @@ _R7_WINDOW = [
     "tpz_roundtrip_agg", "resize_images_agg", "resample_audio_meta",
     "cluster_holdout_docs", "incremental_minhash_dedup_docs",
     "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
-    "kmeans_embeddings", "preference_pairs_docs",
+    "kmeans_embeddings", "preference_pairs_docs", "hybrid_search_docs",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
     #     takes the first 38 of these — the rest lead the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
@@ -2988,6 +3014,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
         "preference_pairs_docs": preference_pairs_docs,
+        "hybrid_search_docs": hybrid_search_docs,
         "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
         "pack_sequences_sft_docs": pack_sequences_sft_docs,
         "resample_audio_meta": resample_audio_meta,
@@ -3775,6 +3802,93 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id + 30000000 AS doc_id FROM documents
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "hybrid_search_docs": """
+            WITH q(qid, qtext) AS (
+                VALUES (1, 'spark window agg'),
+                       (2, 'customer query batch'),
+                       (3, 'vector scan merge')),
+            toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'), x -> x <> ''))
+                           AS term
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, SUM(tf) AS dl
+                   FROM tf GROUP BY doc_id),
+            consts AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+            dft AS (SELECT term, COUNT(*) AS df
+                    FROM tf GROUP BY term),
+            qt AS (SELECT DISTINCT qid,
+                          unnest(list_filter(regexp_split_to_array(
+                              lower(qtext), '[^a-z0-9]+'),
+                              x -> x <> '')) AS term
+                   FROM q),
+            bscored AS (
+                SELECT qt.qid, tf.doc_id,
+                       ROUND(SUM(
+                           ln(1 + (consts.n - dft.df + 0.5)
+                                  / (dft.df + 0.5))
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                             / consts.avgdl))), 6)
+                           AS score
+                FROM tf
+                JOIN qt USING (term)
+                JOIN dft USING (term)
+                JOIN dl USING (doc_id), consts
+                GROUP BY qt.qid, tf.doc_id
+            ),
+            sparse AS (
+                SELECT qid, doc_id, rank
+                FROM (SELECT qid, doc_id,
+                             ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY score DESC, doc_id) AS rank
+                      FROM bscored)
+                WHERE rank <= 20
+            ),
+            qv AS (SELECT vec_id + 1 AS qid, embedding AS qv
+                   FROM embeddings WHERE vec_id < 3),
+            dscored AS (
+                SELECT qv.qid, e.vec_id AS doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY qv.qid ORDER BY
+                           list_dot_product(qv.qv, e.embedding)
+                           / (SQRT(list_dot_product(qv.qv, qv.qv))
+                              * SQRT(list_dot_product(e.embedding,
+                                                      e.embedding)))
+                               DESC,
+                           e.vec_id ASC) AS rank
+                FROM qv CROSS JOIN embeddings e
+                WHERE e.vec_id <> qv.qid
+            ),
+            dense AS (SELECT qid, doc_id, rank FROM dscored
+                      WHERE rank <= 20),
+            contrib AS (
+                SELECT qid, doc_id,
+                       CAST(floor(1000000000000.0 / (60 + rank))
+                            AS BIGINT) AS c
+                FROM sparse
+                UNION ALL
+                SELECT qid, doc_id,
+                       CAST(floor(1000000000000.0 / (60 + rank))
+                            AS BIGINT) AS c
+                FROM dense
+            ),
+            fused AS (SELECT qid, doc_id, SUM(c) AS rrf_score,
+                             COUNT(*) AS n_sources
+                      FROM contrib GROUP BY qid, doc_id)
+            SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+                   CAST(rank AS INT) AS rank,
+                   CAST(rrf_score AS BIGINT) AS rrf_score,
+                   CAST(n_sources AS BIGINT) AS n_sources
+            FROM (SELECT qid, doc_id, rrf_score, n_sources,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                             ORDER BY rrf_score DESC, doc_id) AS rank
+                  FROM fused)
+            WHERE rank <= 10
+        """,
         "preference_pairs_docs": """
             WITH resp AS (
                 SELECT doc_id % 97 AS prompt_id, doc_id, text,

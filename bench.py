@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "cluster_dedup_keep_best_docs",
     "kmeans_embeddings",
     "preference_pairs_docs",
+    "hybrid_search_docs",
     "gopher_repetition_docs",
     "gopher_dup_ngrams_docs",
 ]
@@ -443,7 +444,7 @@ def main() -> None:
                  "pretrain_e2e_docs"}
     new_in_r7 = {"incremental_minhash_dedup_docs",
                  "cluster_dedup_keep_best_docs", "kmeans_embeddings",
-                 "preference_pairs_docs"}
+                 "preference_pairs_docs", "hybrid_search_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7), 3)

@@ -117,3 +117,45 @@ def bm25_search(docs: DataFrame | None, queries: DataFrame,
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select(qid_col, id_col, "rank", "score"))
+
+
+def rrf_fuse(rankings: list[DataFrame], qid_col: str = "qid",
+             id_col: str = "doc_id", rank_col: str = "rank",
+             k: int = 10, k0: int = 60,
+             unit: int = 10 ** 12) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N per-query
+    rankings — the standard hybrid-retrieval combiner (BM25 + dense
+    ANN, or any mix). Each input needs (qid, id, rank) columns.
+
+    Contribution is computed in INTEGER micro-units —
+    ``floor(unit / (k0 + rank))`` — so the fused score is an exact
+    BIGINT sum: distributed summation order cannot matter and an
+    independent engine replays it bit-for-bit (the float form
+    ``Σ 1/(k0+rank)`` is associativity-sensitive with 3+ sources).
+    Monotone in each rank, so the ordering matches float RRF except
+    on sub-micro-unit near-ties, where THIS is the defined
+    semantic. Ties break by ascending id.
+
+    Returns (qid, id, rank, rrf_score, n_sources). Plan shape: one
+    union (no shuffle) → ONE combinable groupBy on (qid, id) → the
+    salted two-phase top-k that survives adversarial probes matching
+    the whole corpus (the ``bm25_search`` pattern)."""
+    from functools import reduce
+
+    contrib = F.floor(F.lit(float(unit))
+                      / (F.lit(k0) + F.col(rank_col))).cast("long")
+    parts = [r.select(F.col(qid_col), F.col(id_col),
+                      contrib.alias("__c__")) for r in rankings]
+    u = reduce(DataFrame.unionByName, parts)
+    fused = (u.groupBy(qid_col, id_col)
+             .agg(F.sum("__c__").alias("rrf_score"),
+                  F.count(F.lit(1)).alias("n_sources")))
+    order = [F.col("rrf_score").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy(qid_col, "__salt__").orderBy(*order)
+    w2 = Window.partitionBy(qid_col).orderBy(*order)
+    return (fused.withColumn("__salt__", F.spark_partition_id())
+            .withColumn("__rn1__", F.row_number().over(w1))
+            .filter(F.col("__rn1__") <= k)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(qid_col, id_col, "rank", "rrf_score", "n_sources"))

@@ -2330,3 +2330,40 @@ def test_preference_pairs_len_ratio_debias(spark):
     out = build_preference_pairs(df, "prompt_id", "doc_id", "text",
                                  "score", max_len_ratio=2.0).collect()
     assert [r["prompt_id"] for r in out] == [2]
+
+
+# ---------------------------------------------------------------- hybrid RRF
+
+def test_rrf_fuse_semantics(spark):
+    """Integer-unit RRF: doc in both rankings outranks single-source
+    docs; exact micro-unit sums; ties break by id."""
+    from tablite_spark.pipeline.retrieval import rrf_fuse
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "qid long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], "qid long, doc_id long, rank int")
+    out = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    u = 10 ** 12
+    # doc 11: rank 2 in a + rank 1 in b
+    assert out[11]["rrf_score"] == u // 62 + u // 61
+    assert out[11]["n_sources"] == 2 and out[11]["rank"] == 1
+    assert out[10]["rrf_score"] == u // 61 and out[10]["n_sources"] == 1
+    # 10 (rank1 in a) beats 13 (rank2 in b); 12 last
+    assert [out[d]["rank"] for d in (11, 10, 13, 12)] == [1, 2, 3, 4]
+
+
+def test_rrf_fuse_tie_breaks_by_id(spark):
+    """Identical contributions → ascending doc_id order."""
+    from tablite_spark.pipeline.retrieval import rrf_fuse
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 7, 1)], "qid long, doc_id long, rank int")
+    # two rankings each give rank 1 to a different doc
+    b = spark.createDataFrame(
+        [(1, 7, 1), (1, 20, 1)], "qid long, doc_id long, rank int")
+    out = rrf_fuse([a.limit(1).union(a.limit(0)),  # only (1,20,1)
+                    b.limit(0).union(b)], k=10).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    # doc 7 and doc 20 both end with u//61 (+20 gets one more from a)
+    assert by_rank[0]["doc_id"] == 20  # two sources
+    assert by_rank[1]["doc_id"] == 7

@@ -381,3 +381,22 @@ def test_preference_pairs_no_window_single_shuffle(spark):
     s = _formatted(out)
     assert "Window" not in s, s[:1500]
     assert shuffle_count(out) == 1, s[:1500]
+
+
+def test_rrf_fuse_salted_topk_no_funnel(spark):
+    """Fusion must keep the salted two-phase top-k: no
+    SinglePartition exchange, and the (qid, doc_id) groupBy stays
+    partial-aggregable so a probe matching the whole corpus never
+    funnels one query's candidates into one task before phase 1."""
+    from tablite_spark.pipeline.retrieval import rrf_fuse
+    from tablite_spark.plans.audit import _formatted
+    a = spark.createDataFrame(
+        [(i % 3, i, 1 + i % 20) for i in range(60)],
+        "qid long, doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(i % 3, i + 1, 1 + i % 20) for i in range(60)],
+        "qid long, doc_id long, rank int")
+    out = rrf_fuse([a, b], k=5)
+    s = _formatted(out)
+    assert "Exchange SinglePartition" not in s, s[:1500]
+    assert "partial" in s.lower(), s[:1500]
