@@ -1,13 +1,15 @@
 """Distributed k-means — Lloyd's algorithm, Spark-first and exactly
 replayable (the ``logreg_train`` recipe applied to clustering).
 
-Why this exists: the ANN family (``similarity.ivf_index`` /
-``pq_train``) trains its codebooks on a driver-side sample — the
-right call for codebooks, where a 65k sample statistically suffices.
-But corpus CURATION jobs (topic balancing, cluster-aware mixture
-weights, SemDeDup-style pruning at full fidelity) want centroids fit
-on the WHOLE corpus, which means Lloyd's iterations as distributed
-aggregations, not a driver loop over a sample.
+Why this exists alongside ``similarity.ivf_index`` (which wraps
+Spark ML KMeans — also distributed) and ``pq_train`` (sample-trained
+codebooks): corpus CURATION decisions (cluster-balanced mixture
+weights, leakage-safe splits keyed on cluster membership, SemDeDup
+pruning audits) need centroids that are REPRODUCIBLE — rerun-stable,
+engine-neutral, and independently checkable — which float k-means
+cannot promise (its result depends on float summation order and the
+library's init). This implementation makes the whole trajectory
+exact integer arithmetic, at the same distributed plan shape.
 
 Shape per iteration (the classifier pattern, `classifier.py`):
 
