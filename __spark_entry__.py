@@ -2649,6 +2649,20 @@ def hybrid_search_docs(spark: SparkSession, sf: str) -> DataFrame:
     return rrf_fuse([sparse, dense], k=10)
 
 
+def hard_negatives_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (similarity.py:hard_negatives — beyond
+    reference, DPR recipe): per probe vector, the 5 most-similar
+    corpus vectors with a DIFFERENT label (same-label = positive,
+    null-distinct semantics). Exclusion evaluates inline in the one
+    broadcast-join corpus scan; ranking is the salted two-phase
+    top-k. The oracle recomputes the full cross-label ranking."""
+    from tablite_spark.pipeline.similarity import hard_negatives
+    emb = _t(spark, sf, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    return hard_negatives(emb, probes, k=5, id_col="vec_id",
+                          vec_col="embedding", label_col="label")
+
+
 def column_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Single-pass sketch profile (operators/stats.py:
     profile_columns, round 6): n / nulls / HLL++ distinct / min /
@@ -2904,8 +2918,10 @@ _R7_WINDOW = [
     "cluster_holdout_docs", "incremental_minhash_dedup_docs",
     "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
     "kmeans_embeddings", "preference_pairs_docs", "hybrid_search_docs",
+    "hard_negatives_embeddings",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
-    #     takes the first 38 of these — the rest lead the r8 window)
+    #     takes the first 35 of these after the three new round-7
+    #     ops above — the rest lead the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
     "filter_any", "filter_callable", "filter_expression",
     "filter_fail", "filter_pass", "filter_substring_in",
@@ -3015,6 +3031,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_embeddings": kmeans_embeddings,
         "preference_pairs_docs": preference_pairs_docs,
         "hybrid_search_docs": hybrid_search_docs,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
         "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
         "pack_sequences_sft_docs": pack_sequences_sft_docs,
         "resample_audio_meta": resample_audio_meta,
@@ -3802,6 +3819,30 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id + 30000000 AS doc_id FROM documents
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "hard_negatives_embeddings": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv,
+                              label AS qlabel
+                       FROM embeddings WHERE vec_id < 3),
+            scored AS (
+                SELECT q.qid, e.vec_id AS nid, e.label AS nlabel,
+                       list_dot_product(q.qv, e.embedding)
+                       / (SQRT(list_dot_product(q.qv, q.qv))
+                          * SQRT(list_dot_product(e.embedding,
+                                                  e.embedding))) AS cos,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                           list_dot_product(q.qv, e.embedding)
+                           / (SQRT(list_dot_product(q.qv, q.qv))
+                              * SQRT(list_dot_product(e.embedding,
+                                                      e.embedding)))
+                               DESC,
+                           e.vec_id ASC) AS rn
+                FROM q CROSS JOIN embeddings e
+                WHERE e.vec_id <> q.qid
+                  AND e.label IS DISTINCT FROM q.qlabel
+            )
+            SELECT qid, nid, ROUND(cos, 4) AS cos, rn, nlabel
+            FROM scored WHERE rn <= 5
+        """,
         "hybrid_search_docs": """
             WITH q(qid, qtext) AS (
                 VALUES (1, 'spark window agg'),

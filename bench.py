@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "kmeans_embeddings",
     "preference_pairs_docs",
     "hybrid_search_docs",
+    "hard_negatives_embeddings",
     "gopher_repetition_docs",
     "gopher_dup_ngrams_docs",
 ]
@@ -444,7 +445,8 @@ def main() -> None:
                  "pretrain_e2e_docs"}
     new_in_r7 = {"incremental_minhash_dedup_docs",
                  "cluster_dedup_keep_best_docs", "kmeans_embeddings",
-                 "preference_pairs_docs", "hybrid_search_docs"}
+                 "preference_pairs_docs", "hybrid_search_docs",
+                 "hard_negatives_embeddings"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7), 3)

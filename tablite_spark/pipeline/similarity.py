@@ -42,7 +42,7 @@ def _unit(vec):
     return F.transform(v, lambda x: x / n)
 
 
-def _topk_per_qid(scored: DataFrame, k: int) -> DataFrame:
+def _topk_per_qid(scored: DataFrame, k: int, keep: tuple = ()) -> DataFrame:
     """Two-phase per-query top-k over a (qid, nid, cos) frame.
 
     A single ``row_number() over (partition by qid)`` ranks each
@@ -63,7 +63,8 @@ def _topk_per_qid(scored: DataFrame, k: int) -> DataFrame:
             .filter(F.col("__rn1__") <= k)
             .withColumn("rn", F.row_number().over(w2))
             .filter(F.col("rn") <= k)
-            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn"))
+            .select("qid", "nid", F.round(F.col("cos"), 4).alias("cos"), "rn",
+                    *keep))
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
@@ -77,6 +78,45 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     scored = (c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
               .withColumn("cos", _dot(F.col("qv"), F.col("cv"))))
     return _topk_per_qid(scored, k)
+
+
+def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int,
+                   id_col: str = "id", vec_col: str = "vec",
+                   label_col: str | None = None,
+                   exclude: DataFrame | None = None) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding training
+    (public recipe: DPR, Karpukhin et al. 2020 — train with the
+    highest-scoring NON-relevant items): per query, the ``k``
+    most-cosine-similar corpus items that are NOT positives.
+
+    Positives are excluded two ways, composable: ``label_col`` makes
+    same-label items positive (the standard supervised-contrastive
+    setup), and/or ``exclude`` supplies explicit (qid, nid) pairs
+    (e.g. a relevance-judgment table) removed by a payload-free
+    anti-join.
+
+    Plan shape at 100 TB: queries broadcast into ONE corpus scan
+    (exclusion predicates evaluate inline — excluded rows never
+    materialize), then the salted two-phase top-k. Returns
+    (qid, nid, cos, rn[, nlabel])."""
+    q_cols = [F.col(id_col).alias("qid"), _unit(F.col(vec_col)).alias("qv")]
+    c_cols = [F.col(id_col).alias("nid"), _unit(F.col(vec_col)).alias("cv")]
+    keep: tuple = ()
+    if label_col is not None:
+        q_cols.append(F.col(label_col).alias("qlabel"))
+        c_cols.append(F.col(label_col).alias("nlabel"))
+        keep = ("nlabel",)
+    q = queries.select(*q_cols)
+    c = corpus.select(*c_cols)
+    cond = F.col("nid") != F.col("qid")
+    if label_col is not None:
+        cond = cond & ~F.col("nlabel").eqNullSafe(F.col("qlabel"))
+    scored = (c.join(F.broadcast(q), cond)
+              .withColumn("cos", _dot(F.col("qv"), F.col("cv"))))
+    if exclude is not None:
+        scored = scored.join(exclude.select("qid", "nid"),
+                             ["qid", "nid"], "left_anti")
+    return _topk_per_qid(scored, k, keep=keep)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:

@@ -2367,3 +2367,45 @@ def test_rrf_fuse_tie_breaks_by_id(spark):
     # doc 7 and doc 20 both end with u//61 (+20 gets one more from a)
     assert by_rank[0]["doc_id"] == 20  # two sources
     assert by_rank[1]["doc_id"] == 7
+
+
+# ------------------------------------------------------------ hard negatives
+
+def test_hard_negatives_label_and_exclude(spark):
+    """Same-label items and explicitly-excluded pairs never appear;
+    the top-k ranks by cosine among what remains."""
+    from tablite_spark.pipeline.similarity import hard_negatives
+    # 1-hot-ish vectors: cos(q, n) = overlap of their hot dims
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),   # query
+        (1, [1.0, 0.1, 0.0], "a"),   # near-dup but SAME label -> excluded
+        (2, [1.0, 0.2, 0.0], "b"),   # hardest cross-label negative
+        (3, [0.9, 0.5, 0.0], "b"),   # second
+        (4, [0.0, 0.0, 1.0], "b"),   # orthogonal
+        (5, [1.0, 0.0, 0.1], "c"),   # would rank 1st but explicitly excluded
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    probes = emb.filter(F.col("vec_id") == 0)
+    excl = spark.createDataFrame([(0, 5)], "qid long, nid long")
+    out = hard_negatives(emb, probes, k=2, id_col="vec_id",
+                         vec_col="embedding", label_col="label",
+                         exclude=excl).collect()
+    got = [(r["nid"], r["rn"], r["nlabel"]) for r in
+           sorted(out, key=lambda r: r["rn"])]
+    assert got == [(2, 1, "b"), (3, 2, "b")], got
+
+
+def test_hard_negatives_null_label_is_distinct(spark):
+    """NULL labels are DISTINCT from everything (null-safe semantics):
+    a null-labeled item is a valid negative for any query, and a
+    null-labeled query excludes nothing by label."""
+    from tablite_spark.pipeline.similarity import hard_negatives
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, [1.0, 0.01], None),
+         (2, [0.0, 1.0], "a")],
+        "vec_id long, embedding array<double>, label string")
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = hard_negatives(emb, probes, k=5, id_col="vec_id",
+                         vec_col="embedding", label_col="label").collect()
+    assert [r["nid"] for r in out] == [1]  # 2 shares label 'a'; 1 is null
