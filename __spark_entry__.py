@@ -2920,8 +2920,9 @@ _R7_WINDOW = [
     "kmeans_embeddings", "preference_pairs_docs", "hybrid_search_docs",
     "hard_negatives_embeddings",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
-    #     takes the first 35 of these after the three new round-7
-    #     ops above — the rest lead the r8 window)
+    #     takes the first 32 of these after the 18 front entries
+    #     above (7 r3-stale + 11 new round-7 ops) — the rest lead
+    #     the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
     "filter_any", "filter_callable", "filter_expression",
     "filter_fail", "filter_pass", "filter_substring_in",
