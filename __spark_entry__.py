@@ -2663,6 +2663,62 @@ def hard_negatives_embeddings(spark: SparkSession, sf: str) -> DataFrame:
                           vec_col="embedding", label_col="label")
 
 
+def pagerank_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PageRank (pipeline/graph.py — beyond reference,
+    web-graph quality prior): 3 damped power iterations over the
+    supplier→part multigraph from lineitem (part nodes offset by 1M
+    to disjoin the id spaces; every part node is DANGLING, so the
+    uniform redistribution path carries real mass). Integer
+    micro-unit ranks make every iteration bit-reproducible; the
+    oracle replays all three as unrolled DuckDB CTEs."""
+    from tablite_spark.pipeline.graph import pagerank
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                      (F.col("l_partkey") + 1_000_000).cast("long")
+                      .alias("dst"))
+    return pagerank(edges, "src", "dst", iters=3)
+
+
+def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85,
+                         unit: int = 10 ** 12) -> str:
+    """Unrolled-CTE DuckDB replay of pagerank_lineitem — must mirror
+    graph.py exactly: floor(unit/N) init, per-edge floor(rank/outdeg),
+    floor(d·Σ) damping, floor(d·dangling/N) uniform redistribution,
+    identical left-assoc float expressions."""
+    u = f"{float(unit):.1f}"
+    parts = [f"""e AS (SELECT l_suppkey AS src,
+                1000000 + l_partkey AS dst FROM lineitem)""",
+             """nodes0 AS (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e
+                 UNION ALL SELECT dst FROM e))""",
+             """odeg AS (SELECT src AS node, COUNT(*) AS outdeg
+                FROM e GROUP BY src)""",
+             """nodes AS (SELECT n.node, COALESCE(o.outdeg, 0) AS outdeg
+                FROM nodes0 n LEFT JOIN odeg o ON n.node = o.node)""",
+             "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+             f"""r0 AS (SELECT node, outdeg,
+                CAST(floor({u} / nn.n) AS BIGINT) AS rank
+                FROM nodes, nn)"""]
+    for it in range(iters):
+        parts.append(f"""d{it} AS (SELECT COALESCE(SUM(rank), 0) AS s
+                FROM r{it} WHERE outdeg = 0)""")
+        parts.append(f"""c{it} AS (SELECT e.dst AS node,
+                SUM(CAST(floor(CAST(r.rank AS DOUBLE) / r.outdeg)
+                         AS BIGINT)) AS s
+                FROM e JOIN r{it} r ON e.src = r.node
+                WHERE r.outdeg > 0 GROUP BY e.dst)""")
+        parts.append(f"""r{it + 1} AS (SELECT n.node, n.outdeg,
+                CAST(floor((1.0 - {damping}) * {u} / nn.n) AS BIGINT)
+                + CAST(floor({damping} * d{it}.s / nn.n) AS BIGINT)
+                + CAST(floor({damping} * CAST(COALESCE(c.s, 0)
+                                              AS DOUBLE)) AS BIGINT)
+                    AS rank
+                FROM nodes n LEFT JOIN c{it} c ON n.node = c.node,
+                     nn, d{it})""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, rank FROM r{iters}")
+
+
 def column_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Single-pass sketch profile (operators/stats.py:
     profile_columns, round 6): n / nulls / HLL++ distinct / min /
@@ -2918,10 +2974,10 @@ _R7_WINDOW = [
     "cluster_holdout_docs", "incremental_minhash_dedup_docs",
     "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
     "kmeans_embeddings", "preference_pairs_docs", "hybrid_search_docs",
-    "hard_negatives_embeddings",
+    "hard_negatives_embeddings", "pagerank_lineitem",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
-    #     takes the first 32 of these after the 18 front entries
-    #     above (7 r3-stale + 11 new round-7 ops) — the rest lead
+    #     takes the first 31 of these after the 19 front entries
+    #     above (7 r3-stale + 12 new round-7 ops) — the rest lead
     #     the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
     "filter_any", "filter_callable", "filter_expression",
@@ -3033,6 +3089,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs_docs": preference_pairs_docs,
         "hybrid_search_docs": hybrid_search_docs,
         "hard_negatives_embeddings": hard_negatives_embeddings,
+        "pagerank_lineitem": pagerank_lineitem,
         "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
         "pack_sequences_sft_docs": pack_sequences_sft_docs,
         "resample_audio_meta": resample_audio_meta,
@@ -3820,6 +3877,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id + 30000000 AS doc_id FROM documents
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
+        "pagerank_lineitem": _pagerank_oracle_sql(),
         "hard_negatives_embeddings": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv,
                               label AS qlabel

@@ -1,0 +1,90 @@
+"""Distributed PageRank — power iteration, Spark-first and exactly
+replayable (the ``kmeans``/``logreg`` determinism discipline applied
+to graphs).
+
+Why a training-data engine ships PageRank: web-corpus curation uses
+link-graph centrality as a document quality prior (public recipes:
+Common Crawl's harmonic-centrality host ranking, OpenWebText's
+karma thresholds) — "pages many pages point to" survive the gate,
+isolated spam islands don't.
+
+Semantics (standard damped PageRank over a MULTIGRAPH — parallel
+edges each carry mass; ``outdeg`` = out-EDGE count):
+
+    r_{t+1}(v) = base + dang_share
+                 + floor(d · Σ_{u→v} floor(r_t(u) / outdeg(u)))
+
+with all ranks in integer micro-units of ``unit`` (initial rank
+``floor(unit / N)``), ``base = floor((1-d)·unit / N)`` and
+``dang_share = floor(d · Σ_{dangling} r_t / N)`` — dangling mass is
+redistributed uniformly, the textbook treatment. Every floor() is a
+plain IEEE-double op identical in any engine, every sum is an exact
+BIGINT sum, so the whole trajectory is bit-reproducible and the
+``pagerank_lineitem`` oracle replays all iterations as unrolled
+DuckDB CTEs. (Mass is not exactly conserved — each floor sheds
+< 1 micro-unit — which is the price of engine-neutral exactness and
+irrelevant at unit = 1e12.)
+
+Plan shape per iteration (the industry-standard PageRank shape):
+ONE edges ⋈ ranks join on src (edges can be pre-partitioned on src
+once and reused every iteration), ONE combinable groupBy(dst), one
+tiny scalar agg for dangling mass, and a ranks-rebuild join on the
+node frame. State = the (node, outdeg, rank) frame, never the
+corpus. Per-iteration results are localCheckpoint-pinned so the
+lineage does not grow with ``iters`` (the connected-components
+pattern).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(edges: DataFrame, src_col: str, dst_col: str,
+             iters: int = 5, damping: float = 0.85,
+             unit: int = 10 ** 12) -> DataFrame:
+    """Return (node, rank) in integer micro-units after ``iters``
+    damped power iterations. Nodes = distinct(src ∪ dst)."""
+    src = F.col(src_col).alias("node")
+    dst = F.col(dst_col).alias("node")
+    nodes = (edges.select(src).unionByName(edges.select(dst))
+             .distinct())
+    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
+    base_nodes = (nodes.join(outdeg, "node", "left")
+                  .select("node", F.coalesce("outdeg", F.lit(0))
+                          .alias("outdeg"))
+                  .localCheckpoint())
+    n = base_nodes.count()
+    if n == 0:
+        return base_nodes.select("node", F.lit(0).alias("rank"))
+    d = float(damping)
+    base = math.floor((1.0 - d) * unit / n)
+    ranks = base_nodes.withColumn(
+        "rank", F.lit(int(math.floor(unit / n))).cast("long"))
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+    for _ in range(iters):
+        dang = ranks.filter(F.col("outdeg") == 0) \
+                    .agg(F.sum("rank")).first()[0] or 0
+        dang_share = math.floor(d * dang / n)
+        per_edge = ranks.filter(F.col("outdeg") > 0).select(
+            F.col("node").alias("src"),
+            F.floor(F.col("rank") / F.col("outdeg")).cast("long")
+            .alias("c"))
+        contribs = (e.join(per_edge, "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("c").alias("s")))
+        ranks = (base_nodes.join(contribs, "node", "left")
+                 .select("node", "outdeg",
+                         (F.lit(base + dang_share)
+                          + F.floor(F.lit(d)
+                                    * F.coalesce(F.col("s"), F.lit(0))
+                                    .cast("double")).cast("long"))
+                         .alias("rank"))
+                 .localCheckpoint())
+    return ranks.select("node", "rank")

@@ -2409,3 +2409,57 @@ def test_hard_negatives_null_label_is_distinct(spark):
     out = hard_negatives(emb, probes, k=5, id_col="vec_id",
                          vec_col="embedding", label_col="label").collect()
     assert [r["nid"] for r in out] == [1]  # 2 shares label 'a'; 1 is null
+
+
+# ---------------------------------------------------------------- pagerank
+
+def _serial_pagerank(edges, iters=3, d=0.85, unit=10 ** 12):
+    """Independent serial reference mirroring the graph.py contract."""
+    import math
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out = {}
+    for u, _ in edges:
+        out[u] = out.get(u, 0) + 1
+    n = len(nodes)
+    r = {v: math.floor(unit / n) for v in nodes}
+    base = math.floor((1.0 - d) * unit / n)
+    for _ in range(iters):
+        dang = sum(r[v] for v in nodes if out.get(v, 0) == 0)
+        share = math.floor(d * dang / n)
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += math.floor(r[u] / out[u])
+        r = {v: base + share + math.floor(d * float(s[v]))
+             for v in nodes}
+    return r
+
+
+def test_pagerank_matches_serial_reference(spark):
+    """Distributed == serial, bit-exact, on a graph with a hub, a
+    cycle, parallel edges, and dangling nodes."""
+    from tablite_spark.pipeline.graph import pagerank
+    edges = ([(1, 9), (2, 9), (3, 9), (4, 9)]      # star into hub 9
+             + [(9, 1)]                            # hub points back
+             + [(5, 6), (6, 7), (7, 5)]            # 3-cycle
+             + [(8, 9), (8, 9)]                    # parallel edges
+             + [(10, 11)])                         # 11 dangling
+    exp = _serial_pagerank(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, "src", "dst", iters=3).collect()}
+    assert got == exp
+    # the hub outranks every spoke
+    assert got[9] == max(got.values())
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    """Two nodes, one edge, sink dangling: without redistribution the
+    sink's mass would leak each round. Total mass must stay within
+    iters·N micro-units of the full unit (each floor sheds < 1)."""
+    from tablite_spark.pipeline.graph import pagerank
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, "src", "dst", iters=10).collect()}
+    total = sum(got.values())
+    assert abs(total - 10 ** 12) < 10 * 2 * 4  # iters*N*(floors per rank)
+    assert got[2] > got[1]  # the sink receives 1's mass plus its share
