@@ -2719,6 +2719,28 @@ def _pagerank_oracle_sql(iters: int = 3, damping: float = 0.85,
             + f"\nSELECT node, rank FROM r{iters}")
 
 
+def snapshot_diff_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus version diff (dedup.snapshot_diff — beyond reference,
+    dataset versioning): old = documents; new = documents with
+    doc_id%7==0 rewritten, doc_id%11==0 dropped, and a 9000000+ id
+    band appended. Content-hash classification over ONE payload-free
+    full-outer join; the oracle replays the same construction and
+    hash compare. Counts per status are closed-form in the fixture."""
+    from tablite_spark.pipeline.dedup import snapshot_diff
+    d = _t(spark, sf, "documents")
+    old = d.select("doc_id", "text")
+    changed = (F.col("doc_id") % 7 == 0)
+    new = (d.filter(F.col("doc_id") % 11 != 0)
+           .select("doc_id",
+                   F.when(changed, F.concat(F.lit("v2 "), F.col("text")))
+                   .otherwise(F.col("text")).alias("text"))
+           .unionByName(
+               d.filter(F.col("doc_id") % 13 == 0)
+               .select((F.col("doc_id") + 9_000_000).alias("doc_id"),
+                       "text")))
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
 def column_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Single-pass sketch profile (operators/stats.py:
     profile_columns, round 6): n / nulls / HLL++ distinct / min /
@@ -2975,9 +2997,10 @@ _R7_WINDOW = [
     "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
     "kmeans_embeddings", "preference_pairs_docs", "hybrid_search_docs",
     "hard_negatives_embeddings", "pagerank_lineitem",
+    "snapshot_diff_docs",
     # --- latest green = r4 (oldest remaining tail; 50-slot budget
-    #     takes the first 31 of these after the 19 front entries
-    #     above (7 r3-stale + 12 new round-7 ops) — the rest lead
+    #     takes the first 30 of these after the 20 front entries
+    #     above (7 r3-stale + 13 new round-7 ops) — the rest lead
     #     the r8 window)
     "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
     "filter_any", "filter_callable", "filter_expression",
@@ -3090,6 +3113,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_search_docs": hybrid_search_docs,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "pagerank_lineitem": pagerank_lineitem,
+        "snapshot_diff_docs": snapshot_diff_docs,
         "cluster_dedup_keep_best_docs": cluster_dedup_keep_best_docs,
         "pack_sequences_sft_docs": pack_sequences_sft_docs,
         "resample_audio_meta": resample_audio_meta,
@@ -3878,6 +3902,26 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "kmeans_embeddings": _kmeans_oracle_sql(),
         "pagerank_lineitem": _pagerank_oracle_sql(),
+        "snapshot_diff_docs": """
+            WITH old AS (SELECT doc_id, text FROM documents),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN 'v2 ' || text ELSE text END AS text
+                FROM documents WHERE doc_id % 11 <> 0
+                UNION ALL
+                SELECT doc_id + 9000000 AS doc_id, text
+                FROM documents WHERE doc_id % 13 = 0
+            ),
+            oh AS (SELECT doc_id, md5(text) AS h FROM old),
+            nh AS (SELECT doc_id, md5(text) AS h FROM new)
+            SELECT COALESCE(oh.doc_id, nh.doc_id) AS doc_id,
+                   CASE WHEN oh.h IS NULL THEN 'added'
+                        WHEN nh.h IS NULL THEN 'removed'
+                        WHEN oh.h = nh.h THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+        """,
         "hard_negatives_embeddings": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv,
                               label AS qlabel

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "hybrid_search_docs",
     "hard_negatives_embeddings",
     "pagerank_lineitem",
+    "snapshot_diff_docs",
     "gopher_repetition_docs",
     "gopher_dup_ngrams_docs",
 ]
@@ -447,7 +448,8 @@ def main() -> None:
     new_in_r7 = {"incremental_minhash_dedup_docs",
                  "cluster_dedup_keep_best_docs", "kmeans_embeddings",
                  "preference_pairs_docs", "hybrid_search_docs",
-                 "hard_negatives_embeddings", "pagerank_lineitem"}
+                 "hard_negatives_embeddings", "pagerank_lineitem",
+                 "snapshot_diff_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7), 3)

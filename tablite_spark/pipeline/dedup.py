@@ -724,3 +724,28 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
                     F.coalesce(out_col, F.lit("")).alias(out_col),
                     F.coalesce("n_tokens_kept", F.lit(0))
                      .alias("n_tokens_kept")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
+                  text_col: str) -> DataFrame:
+    """Corpus version diff: classify every doc id across two corpus
+    snapshots as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged`` by CONTENT hash (md5 of the text), so a renamed
+    file or re-shuffled partition layout never reads as a change.
+
+    Dataset versioning is routine in training pipelines (what moved
+    between crawl N and crawl N+1 decides what re-tokenizes and what
+    invalidates downstream caches). Plan shape at 100 TB: both sides
+    project to (id, 16-byte hash) BEFORE the one full-outer join on
+    id — document payloads never shuffle. Returns (id, status)."""
+    oh = old.select(F.col(id_col),
+                    F.md5(F.col(text_col)).alias("__old_h__"))
+    nh = new.select(F.col(id_col),
+                    F.md5(F.col(text_col)).alias("__new_h__"))
+    j = oh.join(nh, id_col, "full_outer")
+    status = (F.when(F.col("__old_h__").isNull(), F.lit("added"))
+              .when(F.col("__new_h__").isNull(), F.lit("removed"))
+              .when(F.col("__old_h__") == F.col("__new_h__"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select(id_col, status.alias("status"))

@@ -2463,3 +2463,20 @@ def test_pagerank_dangling_mass_redistributed(spark):
     total = sum(got.values())
     assert abs(total - 10 ** 12) < 10 * 2 * 4  # iters*N*(floors per rank)
     assert got[2] > got[1]  # the sink receives 1's mass plus its share
+
+
+# ------------------------------------------------------------- snapshot diff
+
+def test_snapshot_diff_statuses(spark):
+    """added / removed / changed / unchanged each classified by
+    CONTENT hash, not row position."""
+    from tablite_spark.pipeline.dedup import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    # reordered rows; 2 rewritten; 3 dropped; 4 added
+    new = spark.createDataFrame(
+        [(4, "d"), (2, "B2"), (1, "a")], "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "added"}

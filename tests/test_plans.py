@@ -400,3 +400,24 @@ def test_rrf_fuse_salted_topk_no_funnel(spark):
     s = _formatted(out)
     assert "Exchange SinglePartition" not in s, s[:1500]
     assert "partial" in s.lower(), s[:1500]
+
+
+def test_snapshot_diff_payload_free_join(spark):
+    """Both snapshots project to (id, md5) BEFORE the full-outer
+    join — the exchanged rows must not carry the text payload."""
+    from tablite_spark.pipeline.dedup import snapshot_diff
+    from tablite_spark.plans.audit import _formatted
+    old = spark.createDataFrame(
+        [(i, "x" * 100) for i in range(50)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i + 1, "y" * 100) for i in range(50)], "doc_id long, text string")
+    s = _formatted(snapshot_diff(old, new, "doc_id", "text"))
+    assert "Exchange SinglePartition" not in s
+    ex_blocks = [b for b in s.split("\n\n")
+                 if b.startswith("(") and "Exchange" in b.splitlines()[0]]
+    assert ex_blocks, s[:800]
+    for b in ex_blocks:
+        input_line = next(l for l in b.splitlines()
+                          if l.startswith("Input"))
+        assert "text#" not in input_line, b
+        assert "_h__" in input_line, b
