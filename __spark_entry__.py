@@ -928,7 +928,7 @@ def tpz_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  (F.col("n_nationkey") * 1.5).alias("score")))
     tmp = tempfile.mkdtemp(prefix="tpz_rt_")
     path = save_tpz(n, f"{tmp}/nation.tpz", page_rows=7)
-    back = from_file(spark, path)
+    back = from_file(spark, path, allow_pickle=True)  # trusted: we wrote it
     return (back.groupBy("n_regionkey")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum("n_nationkey").alias("key_sum"),

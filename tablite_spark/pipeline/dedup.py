@@ -452,7 +452,27 @@ def minhash_save_index(sig: DataFrame, id_col: str, path: str,
     row-group pruning narrows the probe join's scan.
 
     ``mode="append"`` grows the index in place after a batch is
-    accepted (see :func:`incremental_minhash_dedup`)."""
+    accepted (see :func:`incremental_minhash_dedup`). An append
+    ALWAYS validates against the stored ``{path}/meta``: band rows
+    written with different num_perm/bands than the index records
+    would never collide with the corpus in future probes (silent
+    under-dedup), so a mismatch raises instead of writing; omitted
+    parameters are inherited from the stored meta."""
+    spark = sig.sparkSession
+    if mode == "append":
+        meta_row = spark.read.parquet(f"{path}/meta").first()
+        stored_np, stored_b = meta_row["num_perm"], meta_row["bands"]
+        if num_perm is not None and num_perm != stored_np:
+            raise ValueError(
+                f"num_perm={num_perm} != index meta num_perm={stored_np} "
+                f"at {path}: appended docs would be banded differently "
+                f"and never collide in probes")
+        if bands is not None and bands != stored_b:
+            raise ValueError(
+                f"bands={bands} != index meta bands={stored_b} at "
+                f"{path}: appended docs would be banded differently "
+                f"and never collide in probes")
+        num_perm, bands = stored_np, stored_b
     if num_perm is None:
         first = sig.select(F.size("minhash").alias("n")).first()
         num_perm = first["n"] if first else Config.MINHASH_PERMUTATIONS
@@ -463,7 +483,6 @@ def minhash_save_index(sig: DataFrame, id_col: str, path: str,
      .select(F.col(id_col).alias("id"), "band", "bh")
      .sortWithinPartitions("band", "bh")
      .write.mode(mode).parquet(f"{path}/bands"))
-    spark = sig.sparkSession
     if mode == "overwrite":
         (spark.createDataFrame([(int(num_perm), int(bands))],
                                "num_perm int, bands int")

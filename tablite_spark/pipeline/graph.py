@@ -68,6 +68,7 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
         "rank", F.lit(int(math.floor(unit / n))).cast("long"))
     e = edges.select(F.col(src_col).alias("src"),
                      F.col(dst_col).alias("dst"))
+    prev_ckpt: DataFrame | None = None  # last iteration's checkpoint
     for _ in range(iters):
         dang = ranks.filter(F.col("outdeg") == 0) \
                     .agg(F.sum("rank")).first()[0] or 0
@@ -86,5 +87,15 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                                     * F.coalesce(F.col("s"), F.lit(0))
                                     .cast("double")).cast("long"))
                          .alias("rank"))
-                 .localCheckpoint())
+                 .localCheckpoint())  # eager: materialized here
+        # the new checkpoint no longer references the previous one's
+        # blocks — free them, or cached RDDs grow linearly with iters
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = ranks
+    if iters > 0:
+        # the final ranks checkpoint is self-contained; base_nodes'
+        # blocks are no longer reachable from it (iters=0 returns the
+        # initial frame, which still reads base_nodes' blocks)
+        base_nodes.unpersist()
     return ranks.select("node", "rank")

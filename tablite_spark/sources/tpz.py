@@ -172,13 +172,17 @@ def _column_to_series(vals: list):
 
 def load_tpz(spark: SparkSession, path: str,
              columns: list[str] | None = None,
-             allow_pickle: bool = True) -> DataFrame:
+             allow_pickle: bool = False) -> DataFrame:
     """Read a reference ``.tpz`` archive into a DataFrame
     (tablite/base.py:1420-1453 ``Table.load`` parity).
 
-    ``allow_pickle`` mirrors the reference's ``np.load(...,
-    allow_pickle=True)``; pass ``False`` to reject object-dtype pages
-    from untrusted archives (numeric/unicode pages still load).
+    ``allow_pickle`` defaults to ``False``: a ``.tpz`` from an
+    untrusted source must not execute arbitrary pickles on open
+    (``np.load`` object pages are full pickle streams). Numeric /
+    unicode pages load either way; archives holding object pages —
+    any reference column containing ``None`` — need an explicit
+    ``allow_pickle=True`` opt-in for TRUSTED archives, which is how
+    the reference itself always loads (tablite/base.py:1447).
     """
     import pandas as pd
 
@@ -229,6 +233,11 @@ def save_tpz(df: DataFrame, path: str, page_rows: int = 1_000_000,
     and dates land as object pages of ``datetime``/``date`` (what the
     reference stores); integers/floats/bools as native-dtype pages;
     strings as unicode pages (no pickle needed on read-back).
+
+    Exactness: nullable INTEGER columns are written as object pages
+    of Python ``int``/``None`` (what the reference stores) — never as
+    a float64 fallback, which would silently corrupt values above
+    2^53 and degrade long→double on reload.
     """
     p = pathlib.Path(path)
     if p.suffix != ".tpz":
@@ -247,11 +256,22 @@ def save_tpz(df: DataFrame, path: str, page_rows: int = 1_000_000,
                    for v in series]
             return np.array(out, dtype=object)
         vals = series.tolist()
-        vals = [None if v is None or (isinstance(v, float) and v != v)
-                else v for v in vals]
+        def _py(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return None
+            if isinstance(v, np.bool_):
+                return bool(v)
+            if isinstance(v, np.integer):
+                return int(v)
+            if isinstance(v, np.floating):
+                return float(v)
+            return v
+        vals = [_py(v) for v in vals]
         if all(isinstance(v, str) for v in vals) and vals:
             return np.array(vals)  # '<U' page, loads without pickle
-        return np.array(vals, dtype=object)
+        out = np.empty(len(vals), dtype=object)
+        out[:] = vals  # plain python ints survive > 2^53 exactly
+        return out
 
     with zipfile.ZipFile(p, "w", compression=compression,
                          compresslevel=compresslevel) as zf:
@@ -267,7 +287,9 @@ def save_tpz(df: DataFrame, path: str, page_rows: int = 1_000_000,
 
         import pandas as pd
         for batch in df.toArrow().to_batches(max_chunksize=page_rows):
-            buf.append(batch.to_pandas())
+            # integer_object_nulls: an int column with nulls lands as
+            # object int/None — NOT float64, which corrupts > 2^53
+            buf.append(batch.to_pandas(integer_object_nulls=True))
             buffered += batch.num_rows
             while buffered >= page_rows:
                 whole = pd.concat(buf, ignore_index=True)

@@ -778,7 +778,7 @@ def test_tpz_roundtrip_mixed_and_nulls(spark, tmp_path):
     ]
     df = spark.createDataFrame(rows)
     path = save_tpz(df, str(tmp_path / "t.tpz"), page_rows=2)
-    back = load_tpz(spark, path)
+    back = load_tpz(spark, path, allow_pickle=True)
     assert back.columns == df.columns
     got = sorted(back.collect(), key=lambda r: r["k"])
     assert [r["k"] for r in got] == [1, 2, 3]
@@ -787,8 +787,33 @@ def test_tpz_roundtrip_mixed_and_nulls(spark, tmp_path):
     assert got[0]["d"] == dt.date(2020, 1, 1)
     assert got[2]["t"] == dt.datetime(2024, 6, 1, 0, 0, 1)
     assert got[2]["列"] == 30 and got[1]["列"] is None
-    # suffix dispatch
-    assert from_file(spark, path).count() == 3
+    # suffix dispatch (trusted archive -> explicit pickle opt-in)
+    assert from_file(spark, path, allow_pickle=True).count() == 3
+
+
+def test_tpz_nullable_int_exact_above_2_53(spark, tmp_path):
+    """A nullable LONG column must round-trip bit-exact: the Arrow→
+    pandas float64 fallback would corrupt values above 2^53 and
+    silently degrade long→double on reload. The writer emits object
+    pages of python int/None instead (what the reference stores)."""
+    from pyspark.sql import Row
+
+    from tablite_spark.sources.tpz import load_tpz, save_tpz
+    big = 2 ** 60 + 1          # not representable in float64
+    odd = 2 ** 53 + 1          # the first int float64 cannot hold
+    df = spark.createDataFrame(
+        [Row(k=1, v=big), Row(k=2, v=None), Row(k=3, v=odd),
+         Row(k=4, v=-big)], "k long, v long")
+    path = save_tpz(df, str(tmp_path / "big.tpz"), page_rows=3)
+    back = load_tpz(spark, path, allow_pickle=True)
+    assert dict(back.dtypes)["v"] == "bigint"  # long, not double
+    got = {r["k"]: r["v"] for r in back.collect()}
+    assert got == {1: big, 2: None, 3: odd, 4: -big}
+    # a null-free long column still lands as a native i8 page (no
+    # pickle needed): loads fine with the safe default
+    df2 = spark.createDataFrame([Row(k=1, v=big)], "k long, v long")
+    p2 = save_tpz(df2, str(tmp_path / "nat.tpz"))
+    assert load_tpz(spark, p2).collect()[0]["v"] == big
 
 
 def test_tpz_page_repeats_and_column_subset(spark, tmp_path):
@@ -851,12 +876,13 @@ def test_tpz_mixed_type_column_stringifies(spark, tmp_path):
                 allow_pickle=True)
         zf.writestr("1.npy", b.getvalue())
         zf.writestr("table.yml", "columns:\n  m:\n    pages: [1.npy]\n")
-    got = [r["m"] for r in load_tpz(spark, str(p)).collect()]
+    got = [r["m"] for r in
+           load_tpz(spark, str(p), allow_pickle=True).collect()]
     assert got == ["1", "two", "3.5", None]
-    # allow_pickle=False rejects the object page
+    # DEFAULT rejects the object page (untrusted-archive safety)
     import pytest as _pytest
     with _pytest.raises(ValueError):
-        load_tpz(spark, str(p), allow_pickle=False)
+        load_tpz(spark, str(p))
 
 
 def test_hdf5lite_nested_groups_and_attrs(spark, tmp_path):

@@ -2186,6 +2186,40 @@ def test_incremental_minhash_index_roundtrip(spark, tmp_path):
         batch3, "text", "doc_id", idx).count() == 1
 
 
+def test_minhash_append_validates_stored_meta(spark, tmp_path):
+    """mode='append' with num_perm/bands differing from the index's
+    recorded meta must RAISE — mismatched banding writes rows that
+    never collide in future probes (silent under-dedup); omitted
+    parameters inherit the stored values."""
+    import pytest as _pytest
+
+    from tablite_spark.pipeline.dedup import (
+        minhash_load_index, minhash_save_index, shingle_minhash,
+    )
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i * 100 + j}" for j in range(30)))
+         for i in range(6)], "doc_id long, text string")
+    idx = str(tmp_path / "idx")
+    sig64 = shingle_minhash(corpus, "text", "doc_id", num_perm=64)
+    minhash_save_index(sig64, "doc_id", idx, bands=16, num_perm=64)
+    more = spark.createDataFrame(
+        [(100, " ".join(f"x{j}" for j in range(30)))],
+        "doc_id long, text string")
+    sig_more = shingle_minhash(more, "text", "doc_id", num_perm=64)
+    with _pytest.raises(ValueError, match="num_perm"):
+        minhash_save_index(sig_more, "doc_id", idx, num_perm=128,
+                           bands=16, mode="append")
+    with _pytest.raises(ValueError, match="bands"):
+        minhash_save_index(sig_more, "doc_id", idx, num_perm=64,
+                           bands=32, mode="append")
+    # defaults (None) inherit the stored 64/16 — Config's 128/32 must
+    # NOT leak in just because the caller omitted the parameters
+    minhash_save_index(sig_more, "doc_id", idx, mode="append")
+    sig, bands, meta = minhash_load_index(spark, idx)
+    assert meta == {"num_perm": 64, "bands": 16}
+    assert sig.count() == 7 and bands.count() == 7 * 16
+
+
 def test_cluster_dedup_keep_best(spark):
     """Keep-best retains the highest-score member per component (tie
     -> min id), keeps no-pair docs untouched, and differs from
@@ -2463,6 +2497,24 @@ def test_pagerank_dangling_mass_redistributed(spark):
     total = sum(got.values())
     assert abs(total - 10 ** 12) < 10 * 2 * 4  # iters*N*(floors per rank)
     assert got[2] > got[1]  # the sink receives 1's mass plus its share
+
+
+def test_pagerank_checkpoint_blocks_bounded(spark):
+    """Per-iteration localCheckpoints must be unpersisted as they are
+    superseded — cached RDD blocks may not grow linearly with iters
+    (a 50-iteration run on a 100 TB graph would otherwise pin 50
+    copies of the rank state in executor storage)."""
+    from tablite_spark.pipeline.graph import pagerank
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "src long, dst long")
+    out = pagerank(df, "src", "dst", iters=8)
+    assert out.count() > 0
+    after = jsc.getPersistentRDDs().size()
+    # only the FINAL ranks checkpoint may remain (8 iterations would
+    # otherwise leave 9+ pinned frames: base_nodes + one per round)
+    assert after - before <= 1
 
 
 # ------------------------------------------------------------- snapshot diff
