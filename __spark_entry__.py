@@ -937,6 +937,33 @@ def tpz_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
                  F.min("n_name").alias("first_name")))
 
 
+def tpz_reference_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Migration-interop proof over an archive our OWN writer did NOT
+    produce: ``tests/fixtures/reference_table.tpz`` is byte-assembled
+    to the reference writer's exact output (tablite/base.py:1350-1418
+    — its yaml.safe_dump manifest, ``{pid}-{n}.npy`` page naming,
+    object pages pickled as ``tablite.datatypes.MetaArray`` ndarray
+    subclasses, a page repeated within a column and one shared by two
+    columns incl. the duplicate zip member; generator:
+    tools/make_reference_tpz_fixture.py). Plain ``np.load`` cannot
+    open its object pages without tablite installed — reading it
+    end-to-end exercises the restricted-unpickler MetaArray shim.
+    The oracle is the literal cell values, so every column round-trips
+    bit-exact (incl. a 2^60+1 long the float64 fallback would corrupt).
+    """
+    import pathlib
+
+    from tablite_spark.sources.io import from_file
+    fixture = (pathlib.Path(__file__).resolve().parent
+               / "tests" / "fixtures" / "reference_table.tpz")
+    df = from_file(spark, str(fixture), allow_pickle=True)
+    return df.select(
+        "n_key", "name", "maybe_note", "amount", "score", "ok",
+        "created", F.col("day").alias("day_col"),
+        F.col("列 tag").alias("tag"), "dup_a", "dup_b",
+    ).orderBy("n_key")
+
+
 def xls_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     """E2E legacy-.xls proof via the stdlib xlslite codec (OLE2
     compound file + BIFF8 records, sources/xlslite.py — the
@@ -3106,6 +3133,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xls_dates_roundtrip": xls_dates_roundtrip,
         # --- new in round 7
         "tpz_roundtrip_agg": tpz_roundtrip_agg,
+        # --- new in round 8
+        "tpz_reference_read": tpz_reference_read,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -4171,6 +4200,30 @@ def _oracle_sql_base() -> dict[str, str]:
                              AS UBIGINT) / 1152921504606846976.0 < 0.3
                         THEN 'holdout' ELSE 'train' END AS side
             FROM labeled
+        """,
+        "tpz_reference_read": """
+            SELECT * FROM (VALUES
+              (1, 'alpha',   'x',  1152921504606846977, 0.5,  TRUE,
+               TIMESTAMP '2021-01-01 00:00:00', DATE '2020-01-01',
+               'red',   10, 10),
+              (2, 'bravo',   NULL, NULL,                1.25, FALSE,
+               TIMESTAMP '2021-01-01 07:00:00', DATE '2020-01-02',
+               'green', 20, 20),
+              (3, 'charlie', 'y',  3,                   -3.5, TRUE,
+               TIMESTAMP '2021-01-01 14:00:00', DATE '2020-01-03',
+               'blue',  30, 30),
+              (4, 'delta',   NULL, 4,                   2.0,  FALSE,
+               TIMESTAMP '2021-01-01 21:00:00', DATE '2020-01-04',
+               'red',   40, 40),
+              (5, 'écho',    'z',  NULL,                4.75, TRUE,
+               TIMESTAMP '2021-01-02 04:00:00', DATE '2020-01-05',
+               'green', 50, 50),
+              (6, 'foxtrot', NULL, -7,                  10.0, FALSE,
+               TIMESTAMP '2021-01-02 11:00:00', DATE '2020-01-06',
+               'blue',  60, 60)
+            ) AS t(n_key, name, maybe_note, amount, score, ok,
+                   created, day_col, tag, dup_a, dup_b)
+            ORDER BY n_key
         """,
         "tpz_roundtrip_agg": """
             SELECT n_regionkey, COUNT(*) AS n,

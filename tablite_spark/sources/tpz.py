@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import io as _io
 import pathlib
+import pickle
 import re
 import zipfile
 
@@ -128,6 +129,91 @@ def _dump_manifest(cols: dict[str, list[str]]) -> str:
 
 
 # ---------------------------------------------------------------- load
+class _MetaArrayShim(np.ndarray):
+    """Stand-in for the reference's ``tablite.datatypes.MetaArray``
+    (an ndarray subclass carrying a ``metadata`` dict — reference
+    tablite/datatypes.py:805). The reference's object pages are
+    written by ``np.save(MetaArray(...), allow_pickle=True)``, so the
+    embedded pickle stream names the SUBCLASS: a plain
+    ``np.load`` without tablite installed dies with
+    ModuleNotFoundError. This shim receives those pickles instead
+    (the metadata dict is not part of ndarray pickle state, so
+    nothing is lost)."""
+
+
+#: pickle globals a ``.tpz`` object page may legitimately reference:
+#: numpy's array/scalar reconstruction plus the plain data classes the
+#: reference stores (tablite/datatypes.py pytype zoo). Anything else —
+#: os.system, subprocess, arbitrary classes — is refused, so
+#: ``allow_pickle=True`` on this reader is NOT the arbitrary-code-
+#: execution hazard raw ``np.load(allow_pickle=True)`` is.
+_SAFE_PICKLE_GLOBALS = {
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("numpy", "int8"), ("numpy", "int16"), ("numpy", "int32"),
+    ("numpy", "int64"), ("numpy", "uint64"),
+    ("numpy", "float16"), ("numpy", "float32"), ("numpy", "float64"),
+    ("numpy", "bool_"), ("numpy", "str_"), ("numpy", "datetime64"),
+    ("numpy", "timedelta64"),
+    ("datetime", "date"), ("datetime", "datetime"),
+    ("datetime", "time"), ("datetime", "timedelta"),
+    ("datetime", "timezone"),
+    ("zoneinfo", "ZoneInfo"),
+    ("pytz", "_UTC"), ("pytz", "_p"),  # tz-aware datetime payloads
+    ("decimal", "Decimal"),
+    ("_codecs", "encode"),
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if name == "MetaArray" and module.split(".", 1)[0] == "tablite":
+            return _MetaArrayShim
+        if (module, name) in _SAFE_PICKLE_GLOBALS:
+            import importlib
+            return getattr(importlib.import_module(module), name)
+        raise pickle.UnpicklingError(
+            f"{module}.{name} is not an allowed global in a .tpz "
+            f"object page (data classes only)")
+
+
+def _load_page_array(raw: bytes, allow_pickle: bool,
+                     member: str) -> np.ndarray:
+    """Decode one ``.npy`` zip member. Non-object pages go through
+    ``np.load(allow_pickle=False)`` (pure buffer decode). Object
+    pages — the reference's mixed/None-bearing columns — are
+    unpickled through :class:`_RestrictedUnpickler` so that (a) real
+    reference archives load WITHOUT tablite installed and (b) a
+    malicious archive cannot name executable globals."""
+    from numpy.lib import format as npf
+    bio = _io.BytesIO(raw)
+    version = npf.read_magic(bio)
+    if version == (1, 0):
+        _, _, dtype = npf.read_array_header_1_0(bio)
+    elif version == (2, 0):
+        _, _, dtype = npf.read_array_header_2_0(bio)
+    else:  # future npy versions: defer entirely to numpy
+        dtype = np.dtype(object)
+        bio = None
+    if not dtype.hasobject and bio is not None:
+        return np.load(_io.BytesIO(raw), allow_pickle=False,
+                       fix_imports=False)
+    if not allow_pickle:
+        raise ValueError(
+            f"object page {member!r} requires allow_pickle=True "
+            f"(trusted archives only; unpickling is restricted to "
+            f"data classes)")
+    if bio is None:
+        return np.load(_io.BytesIO(raw), allow_pickle=True,
+                       fix_imports=False)
+    arr = _RestrictedUnpickler(bio).load()
+    return np.asarray(arr, dtype=object)
+
+
 def _column_to_series(vals: list):
     """One-inferred-type-per-column materialization (SURVEY §1.3
     documented deviation: the reference keeps mixed python types per
@@ -153,8 +239,11 @@ def _column_to_series(vals: list):
         return pd.Series([None if v is None else bool(v) for v in vals],
                          dtype="object"), "boolean"
     if kinds <= {int, bool, np.integer}:
+        # object int/None, NOT pandas Int64: the non-Arrow
+        # createDataFrame path degrades Int64-with-nulls to float64,
+        # corrupting values above 2^53
         return pd.Series([None if v is None else int(v) for v in vals],
-                         dtype="Int64"), "long"
+                         dtype="object"), "long"
     if kinds <= {int, float, bool, np.integer, np.floating}:
         return pd.Series([None if v is None else float(v) for v in vals],
                          dtype="float64"), "double"
@@ -200,9 +289,8 @@ def load_tpz(spark: SparkSession, path: str,
             vals: list = []
             for page in pages:
                 if page not in page_cache:
-                    arr = np.load(_io.BytesIO(zf.read(page)),
-                                  allow_pickle=allow_pickle,
-                                  fix_imports=False)
+                    arr = _load_page_array(zf.read(page),
+                                           allow_pickle, page)
                     page_cache[page] = arr.tolist()
                 vals.extend(page_cache[page])
             page_cache.clear()
@@ -248,10 +336,18 @@ def save_tpz(df: DataFrame, path: str, page_rows: int = 1_000_000,
     buf: list = []  # pandas DataFrames awaiting a page cut
     buffered = 0
 
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+
     def _page_array(series) -> np.ndarray:
         if series.dtype.kind in ("i", "f", "b"):
             return series.to_numpy()
         if series.dtype.kind == "M":  # datetime64 → objects like the ref
+            if getattr(series.dtype, "tz", None) is not None:
+                # store NAIVE session-wall-clock datetimes (what the
+                # reference stores; also keeps tz classes out of the
+                # pickle stream so the restricted reader accepts it)
+                series = series.dt.tz_convert(session_tz) \
+                               .dt.tz_localize(None)
             out = [None if v is None or v != v else v.to_pydatetime()
                    for v in series]
             return np.array(out, dtype=object)
@@ -259,6 +355,11 @@ def save_tpz(df: DataFrame, path: str, page_rows: int = 1_000_000,
         def _py(v):
             if v is None or (isinstance(v, float) and v != v):
                 return None
+            import datetime as _dt
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                from zoneinfo import ZoneInfo
+                return v.astimezone(ZoneInfo(session_tz)) \
+                        .replace(tzinfo=None)
             if isinstance(v, np.bool_):
                 return bool(v)
             if isinstance(v, np.integer):

@@ -791,6 +791,80 @@ def test_tpz_roundtrip_mixed_and_nulls(spark, tmp_path):
     assert from_file(spark, path, allow_pickle=True).count() == 3
 
 
+def test_tpz_reference_written_archive(spark):
+    """Interop over an archive our own writer did NOT produce:
+    tests/fixtures/reference_table.tpz is byte-assembled to the
+    reference writer's output (tools/make_reference_tpz_fixture.py) —
+    MetaArray-pickled object pages, {pid}-{n}.npy naming, a repeated
+    page, a column-shared page with its duplicate zip member."""
+    import datetime as dt
+    import io as _bio
+    import pathlib
+    import zipfile
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tablite_spark.sources.tpz import load_tpz
+    fix = str(pathlib.Path(__file__).parent / "fixtures"
+              / "reference_table.tpz")
+    # the object pages are REAL reference-style MetaArray pickles:
+    # plain np.load cannot open them without tablite installed
+    with zipfile.ZipFile(fix) as zf:
+        import yaml
+        man = yaml.safe_load(zf.read("table.yml"))
+        note_page = man["columns"]["maybe_note"]["pages"][0]
+        with _pytest.raises(ModuleNotFoundError):
+            np.load(_bio.BytesIO(zf.read(note_page)), allow_pickle=True)
+        assert man["columns"]["dup_a"]["pages"] == \
+            man["columns"]["dup_b"]["pages"]  # shared page
+        tag_pages = man["columns"]["列 tag"]["pages"]
+        assert len(tag_pages) == 2 and len(set(tag_pages)) == 1
+    df = load_tpz(spark, fix, allow_pickle=True)
+    rows = sorted(df.collect(), key=lambda r: r["n_key"])
+    assert len(rows) == 6
+    assert rows[0]["amount"] == 2 ** 60 + 1   # exact long, not double
+    assert rows[1]["amount"] is None
+    assert rows[4]["name"] == "écho"
+    assert rows[0]["created"] == dt.datetime(2021, 1, 1)
+    assert rows[5]["day"] == dt.date(2020, 1, 6)
+    assert [r["列 tag"] for r in rows] == \
+        ["red", "green", "blue", "red", "green", "blue"]
+    assert all(r["dup_a"] == r["dup_b"] for r in rows)
+
+
+def test_tpz_restricted_unpickler_rejects_executable_globals(
+        spark, tmp_path):
+    """Even with allow_pickle=True, an object page naming a non-data
+    global (the classic os.system reduce payload) must be REFUSED —
+    allow_pickle on this reader is not arbitrary code execution."""
+    import io as _bio
+    import pickle
+    import zipfile
+
+    import numpy as np
+    import pytest as _pytest
+
+    from tablite_spark.sources.tpz import load_tpz
+
+    class Evil:
+        def __reduce__(self):
+            import os
+            return (os.system, ("true",))
+
+    # hand-build an .npy object page whose pickle smuggles the payload
+    bio = _bio.BytesIO()
+    arr = np.empty(1, dtype=object)
+    arr[0] = Evil()
+    np.save(bio, arr, allow_pickle=True)
+    p = tmp_path / "evil.tpz"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("1.npy", bio.getvalue())
+        zf.writestr("table.yml", "columns:\n  c:\n    pages: [1.npy]\n")
+    with _pytest.raises(pickle.UnpicklingError, match="not an allowed"):
+        load_tpz(spark, str(p), allow_pickle=True)
+
+
 def test_tpz_nullable_int_exact_above_2_53(spark, tmp_path):
     """A nullable LONG column must round-trip bit-exact: the Arrow→
     pandas float64 fallback would corrupt values above 2^53 and
