@@ -1648,6 +1648,89 @@ def incremental_minhash_dedup_docs(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id")
 
 
+def stream_incremental_dedup_docs(spark: SparkSession,
+                                  sf: str) -> DataFrame:
+    """The STREAMING ingestion-loop dedup entry point itself
+    (streaming.ops.stream_incremental_dedup), driver-oracled: a real
+    file-source stream drains with availableNow through foreachBatch,
+    one file per micro-batch in pinned mtime order. Derived-invariant
+    fixture across TWO batches:
+
+    - seed index = the pairwise-token-disjoint _dup_fixture corpus;
+    - batch 1: (A, +20M) exact dups of corpus docs where id%5==0 →
+      dropped by the corpus probe; (B, +30M) fresh docs in a disjoint
+      'ntok' namespace → kept; (C, +40M) in-batch dups of B where
+      id%6==0 → dropped, min id wins;
+    - batch 2: (D, +50M) exact dups of BATCH 1's survivors where
+      id%7==0 — droppable ONLY because batch 1's accepted signatures
+      were appended to the durable index between micro-batches (the
+      cross-batch property that distinguishes the streaming loop from
+      its batch twin); (E, +60M) fresh 'mtok' docs → kept.
+
+    Survivors are provably B ∪ E = every doc_id +30M and +60M, which
+    DuckDB reproduces arithmetically. Exactly-once shape: survivors
+    land in per-batch hive partitions (idempotent overwrite)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tablite_spark.pipeline.dedup import (
+        minhash_save_index, shingle_minhash,
+    )
+    from tablite_spark.streaming.ops import stream_incremental_dedup
+
+    corpus = _dup_fixture(spark, sf).filter(F.col("doc_id") < 10_000_000)
+    root = tempfile.mkdtemp(prefix="sid_")
+    idx = f"{root}/index"
+    minhash_save_index(shingle_minhash(corpus, "text", "doc_id"),
+                       "doc_id", idx)
+
+    base_ids = _t(spark, sf, "documents").select("doc_id")
+
+    def ns_text(prefix: str):
+        return F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda j: F.concat(F.lit(prefix),
+                               (F.col("doc_id") * 1000 + j)
+                               .cast("string"))))
+
+    def shifted(df, text_col, shift):
+        return (df.select("doc_id", text_col.alias("text"))
+                .select((F.col("doc_id") + shift).alias("doc_id"),
+                        "text"))
+
+    a = shifted(base_ids.filter(F.col("doc_id") % 5 == 0),
+                ns_text("tok"), 20_000_000)
+    b = shifted(base_ids, ns_text("ntok"), 30_000_000)
+    c = shifted(base_ids.filter(F.col("doc_id") % 6 == 0),
+                ns_text("ntok"), 40_000_000)
+    d = shifted(base_ids.filter(F.col("doc_id") % 7 == 0),
+                ns_text("ntok"), 50_000_000)
+    e = shifted(base_ids, ns_text("mtok"), 60_000_000)
+    batch1 = a.unionByName(b).unionByName(c)
+    batch2 = d.unionByName(e)
+
+    src = f"{root}/src"
+    os.makedirs(src)
+    for i, bdf in enumerate([batch1, batch2]):
+        stage = f"{root}/stage{i}"
+        bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copy(part, dst)
+        t = 1_700_000_000 + i * 600  # pin micro-batch order by mtime
+        os.utime(dst, (t, t))
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = stream_incremental_dedup(
+        stream, "text", "doc_id", idx, out_path=f"{root}/out",
+        checkpoint=f"{root}/ckpt", threshold=0.8)
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out").select("doc_id")
+
+
 def kmeans_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed k-means (pipeline/clustering.py) over the REAL
     embeddings table — Lloyd's with integer-quantized vectors so the
@@ -3135,6 +3218,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpz_roundtrip_agg": tpz_roundtrip_agg,
         # --- new in round 8
         "tpz_reference_read": tpz_reference_read,
+        "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -4200,6 +4284,16 @@ def _oracle_sql_base() -> dict[str, str]:
                              AS UBIGINT) / 1152921504606846976.0 < 0.3
                         THEN 'holdout' ELSE 'train' END AS side
             FROM labeled
+        """,
+        "stream_incremental_dedup_docs": """
+            -- survivors of the two-micro-batch streaming dedup loop:
+            -- batch1's fresh 'ntok' docs (+30M) and batch2's fresh
+            -- 'mtok' docs (+60M); corpus dups, in-batch dups, and
+            -- batch2's dups-of-batch1-survivors all drop (the last
+            -- only because the index append ran between batches)
+            SELECT doc_id + 30000000 AS doc_id FROM documents
+            UNION ALL
+            SELECT doc_id + 60000000 AS doc_id FROM documents
         """,
         "tpz_reference_read": """
             SELECT * FROM (VALUES
