@@ -3078,68 +3078,54 @@ def salted_join_equivalence(spark: SparkSession, sf: str) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------
 
-# Round-6 verification window: the driver checks the FIRST 50 entries
-# of queries(). Every registered query's latest check is green after
-# r5, so priority is (1) the 2 queries NEW in round 6 (vlen-HDF5
-# roundtrip, salted-join equivalence), then (2) ALL 48 queries whose
-# latest green is round 3 — the entire stale tail, so after this
-# window runs no query's latest check is older than round 4 (the
-# rotation target VERDICT r5 item 3 set). The THIRD new r6 query
-# (zorder_events) exceeds the 50-slot budget and rotates to the r7
-# window; it was verified locally via tools/check_oracle.py at
-# sf0.01 (bit-exact over 10,000 rows). Queries whose ORACLE got
-# strengthened this round without a Spark-side change (pq/ivfpq ANN —
-# now DuckDB-recomputed overlap, see _ann_overlap_oracle) were
-# re-verified locally via tools/check_oracle.py at sf0.01 and rotate
-# behind the stale set (they are r5-green, 1 round old at r6 close);
-# lsh/ivf ANN got the same oracle strengthening AND are in the stale
-# set, so the driver re-checks those two directly.
-_R7_WINDOW = [
-    # --- latest green = r3: the seven entries round 6 deferred, at
-    #     the FRONT as promised (VERDICT r6 item 2) — after this
-    #     window runs nothing in the registry is staler than r4
-    "concat_tables", "stack_tables", "join_anti", "join_cross",
-    "join_semi", "rename_reorder_project", "construction_api_agg",
-    # --- new in round 7 (never driver-verified; locally oracled via
+# Round-8 verification window: the driver checks the FIRST 50 entries
+# of queries(). Registry state at r8 open: 170/170 green at latest
+# check, staleness 50@r7 / 50@r6 / 50@r5 / 20@r4. Priority is (1) the
+# 2 queries NEW in round 8 (reference-written .tpz fixture read,
+# streaming ingestion-loop dedup drain), then (2) ALL 20 r4-stale
+# entries (the VERDICT r7 item-1 list, verbatim) — after this window
+# runs nothing in the registry is staler than r5 — then (3) the first
+# 28 of the 50 r5-stale entries alphabetically. The remaining 22 r5
+# entries (pq_topk_embeddings, pretrain_filter_docs, quality_score,
+# reindex_rows, ... xround_buckets) lead the r9 window.
+_R8_WINDOW = [
+    # --- never driver-verified: new in round 8 (locally oracled via
     #     tools/check_oracle.py at sf0.01)
-    "tpz_roundtrip_agg", "resize_images_agg", "resample_audio_meta",
-    "cluster_holdout_docs", "incremental_minhash_dedup_docs",
-    "cluster_dedup_keep_best_docs", "pack_sequences_sft_docs",
-    "kmeans_embeddings", "preference_pairs_docs", "hybrid_search_docs",
-    "hard_negatives_embeddings", "pagerank_lineitem",
-    "snapshot_diff_docs",
-    # --- latest green = r4 (oldest remaining tail; 50-slot budget
-    #     takes the first 30 of these after the 20 front entries
-    #     above (7 r3-stale + 13 new round-7 ops) — the rest lead
-    #     the r8 window)
-    "audio_features_meta", "canonical_urls_docs", "drop_duplicates",
-    "filter_any", "filter_callable", "filter_expression",
-    "filter_fail", "filter_pass", "filter_substring_in",
-    "gif_decode_dims", "groupby_cube", "groupby_first_last",
-    "groupby_mode", "groupby_product", "groupby_rollup",
-    "hdf5_roundtrip_agg", "imputation_mode", "imputation_nn",
-    "jpeg_decode_dims", "json_columnar_roundtrip",
-    "json_roundtrip_agg", "language_id_docs", "line_dedup_docs",
-    "merge_where_case", "near_dup_embeddings", "ngram_jaccard_pairs",
-    "parquet_roundtrip_agg", "perplexity_docs", "pivot_long",
-    "q14_promo_revenue", "q18_large_orders", "q19_disjunctive_filter",
-    "q1_pricing_summary", "q3_shipping_revenue", "q4_priority_exists",
-    "q5_nation_revenue", "q6_forecast_revenue",
-    "row_iteration_checksum", "semantic_dedup_embeddings",
-    "sort_mixed_excel", "sort_unix_mixed", "token_budget_docs",
-    "token_count_bpe", "transpose_region", "video_frames_meta",
-    "vocab_shift_docs", "window_ntile", "xls_roundtrip_agg",
-    "xlsx_roundtrip_agg", "xround_time_buckets",
+    "tpz_reference_read", "stream_incremental_dedup_docs",
+    # --- latest green = r4: the 20 entries round 7's 50-slot budget
+    #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
+    #     after this window runs nothing is staler than r5
+    "q18_large_orders", "q19_disjunctive_filter", "q1_pricing_summary",
+    "q3_shipping_revenue", "q4_priority_exists", "q5_nation_revenue",
+    "q6_forecast_revenue", "row_iteration_checksum",
+    "semantic_dedup_embeddings", "sort_mixed_excel", "sort_unix_mixed",
+    "token_budget_docs", "token_count_bpe", "transpose_region",
+    "video_frames_meta", "vocab_shift_docs", "window_ntile",
+    "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
+    # --- latest green = r5 (alphabetical; the 28 that fit the 50-slot
+    #     budget — the remaining 22 r5 entries lead the r9 window:
+    #     replace_values..xround_buckets plus pagerank unpersist-path
+    #     re-checks as they age)
+    "c4_clean_docs", "count_value", "csv_roundtrip_agg",
+    "date_range_expand", "dedup_exact", "diff_tables", "distinct_keys",
+    "doc_fingerprint", "drop_rows", "embedding_topk",
+    "gopher_dup_ngrams_docs", "gopher_quality_docs",
+    "gopher_repetition_docs", "groupby_accumulators",
+    "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
+    "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
+    "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
+    "media_features", "melt_long", "multimodal_decode",
+    "pandas_roundtrip_agg", "pivot_wide",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R7_WINDOW`` puts the
+    bounded per-round window (50/round). ``_R8_WINDOW`` puts the
     never-verified and stalest-green queries first; everything else
     keeps its registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R7_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R8_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 

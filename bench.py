@@ -402,6 +402,50 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def probe_benchmarks(spark, sf_dir: str, timings: dict,
+                     extra: dict) -> None:
+    """Steady-state cost attribution for the incremental dedup loop
+    (VERDICT r7 item 4): ``incremental_minhash_dedup_docs`` times
+    one-time index CONSTRUCTION plus the probe (right for proving the
+    durable path, wrong for drift tracking — 8.7 s in r7, dominated
+    by the build). This entry times the PROBE ONLY against a
+    PRE-BUILT index — the ingestion-loop steady state, where the
+    corpus index already exists and each batch pays signature + band
+    join + in-batch pass. Batch = 10% of documents, half exact dups
+    of corpus docs, half fresh."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.dedup import (
+        incremental_minhash_dedup, minhash_save_index, shingle_minhash,
+    )
+    meta = extra.setdefault("bench_meta", {})
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="bench_probe_")
+    idx = f"{tmp}/index"
+    try:
+        # untimed: the one-time corpus index build
+        minhash_save_index(shingle_minhash(d, "text", "doc_id"),
+                           "doc_id", idx)
+        dup = (d.filter(F.col("doc_id") % 20 == 0)
+               .select((F.col("doc_id") + 10_000_000).alias("doc_id"),
+                       "text"))
+        fresh = (d.filter(F.col("doc_id") % 20 == 1)
+                 .select((F.col("doc_id") + 20_000_000).alias("doc_id"),
+                         F.reverse("text").alias("text")))
+        batch = dup.unionByName(fresh).persist()
+        batch.count()
+        min_of_2("incremental_minhash_probe_docs",
+                 lambda: force(incremental_minhash_dedup(
+                     batch, "text", "doc_id", idx).select("doc_id")),
+                 timings, meta, rerun_below=30.0)
+        batch.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -455,6 +499,7 @@ def main() -> None:
                          | new_in_r7), 3)
 
     io_benchmarks(spark, sf_dir, timings, extra)
+    probe_benchmarks(spark, sf_dir, timings, extra)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -478,7 +523,7 @@ def main() -> None:
     meta_path = os.environ.get(
         "SPARK_GRAFT_BENCH_META",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_META_r07.json"))
+                     "BENCH_META_r08.json"))
     try:
         with open(meta_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
@@ -487,19 +532,25 @@ def main() -> None:
         pass  # read-only checkout: the printed line still stands alone
     compact = dict(payload)
     compact.pop("bench_meta", None)
-    # stage breakdowns (json_columnar_1m_decode/arrow_build/...) are
-    # diagnostics, not headline timings — meta file only
+    # recorded in the meta file; shed here so the full headline set
+    # fits the driver's 2000-char stdout window without truncation
+    compact.pop("timing_mode", None)
+    compact.pop("loadavg_end", None)
+    # stage breakdowns (json_columnar_1m_decode/arrow_build/...) and
+    # the cold-JVM json_columnar first-call artifact are diagnostics,
+    # not headline timings — meta file only (VERDICT r7 item 7: the
+    # cold row once pushed the line over 1900 chars and the truncation
+    # fallback shed REAL timings)
     compact["queries"] = {
         k: v for k, v in compact["queries"].items()
         if not (k.startswith("json_columnar_1m_")
-                and k not in ("json_columnar_1m_read",
-                              "json_columnar_1m_read_cold"))}
+                and k != "json_columnar_1m_read")}
+    # 2-decimal rounding up front: at 60+ headline rows the 3rd
+    # decimal is what used to overflow the driver's 1900-char window
+    compact["queries"] = {k: round(v, 2)
+                          for k, v in compact["queries"].items()}
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # belt-and-braces: shed 3rd decimals first
-        compact["queries"] = {k: round(v, 2)
-                              for k, v in compact["queries"].items()}
-        line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1900 and compact["queries"]:
+    while len(line) > 1960 and compact["queries"]:
         # last resort: drop the fastest entries; totals keep the record
         drop = min(compact["queries"], key=compact["queries"].get)
         del compact["queries"][drop]

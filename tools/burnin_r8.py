@@ -1,0 +1,175 @@
+"""Round-8 adversarial-scale burn-ins for the round-7 operators
+(VERDICT r7 item 5). Run manually: ``python tools/burnin_r8.py [name]``
+with name in {pagerank, incdedup, hardneg, kmeans} (default: all).
+Results are transcribed into PLANS.md scale-validation rows.
+
+Shapes chosen to stress the documented 100-TB funnels:
+
+- **pagerank**: 12M-edge multigraph where ONE dst holds ~5M in-edges
+  (a web hub) plus a 2M-node sparse tail and dangling nodes, 10
+  iterations — exercises the combinable groupBy(dst) under extreme
+  key skew (the partial aggregation must absorb the hub map-side),
+  the per-round localCheckpoint + unpersist cycle (cached blocks must
+  stay O(1) in iters), and the dangling-mass scalar agg.
+- **incdedup**: 2M-doc corpus index on disk, 200k-doc batch (half
+  corpus dups, half fresh) probed against it, then an
+  ``update_index=True`` accept + full REPLAY of the same batch — the
+  crash-retry path: the replay must keep every survivor (self-match
+  id guard) and drop every corpus dup, at index scale.
+- **hardneg**: hard-negative mining with a 100k-query broadcast —
+  where does the broadcast-queries-into-one-corpus-scan design stop
+  being right? Stamps the broadcast payload size next to the 10k/100k
+  timings.
+- **kmeans**: dim-512 vectors, k=16 — the literal-centroid assign
+  expression carries k·dim = 8192 literals; checks codegen survives
+  (or falls back) and the per-iteration wall time, plus the 2^53
+  mean-floor guard arithmetic at this dim.
+"""
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tablite_spark import get_spark
+
+
+def _t(label, t0):
+    dt = time.time() - t0
+    print(f"    [{label}] {dt:.1f}s  loadavg={os.getloadavg()[0]:.1f}")
+    return time.time()
+
+
+def burnin_pagerank(spark):
+    from tablite_spark.pipeline.graph import pagerank
+    print("== pagerank: 12M edges, 5M-in-edge hub, 10 iterations")
+    t0 = time.time()
+    # 5M edges into hub node 0 from 1M distinct srcs (multigraph x5),
+    # 7M sparse tail edges over 2M nodes, 100k dangling-only nodes
+    hub = spark.range(5_000_000).select(
+        (F.col("id") % 1_000_000 + 1).alias("src"),
+        F.lit(0).cast("long").alias("dst"))
+    tail = spark.range(7_000_000).select(
+        (F.col("id") % 2_000_000 + 1).alias("src"),
+        ((F.col("id") * 2654435761) % 2_000_000 + 1).alias("dst"))
+    dang = spark.range(100_000).select(
+        (F.col("id") + 1).alias("src"),
+        (F.col("id") + 3_000_000).alias("dst"))  # dsts have outdeg 0
+    edges = hub.unionByName(tail).unionByName(dang)
+    t0 = _t("edge gen (lazy)", t0)
+    ranks = pagerank(edges, "src", "dst", iters=10)
+    n = ranks.count()
+    t0 = _t(f"10 iterations, {n} nodes", t0)
+    top = ranks.orderBy(F.desc("rank")).limit(3).collect()
+    print("    top ranks:", [(r["node"], r["rank"]) for r in top])
+    assert top[0]["node"] == 0, "hub must dominate"
+    jsc = spark.sparkContext._jsc.sc()
+    print(f"    persistent RDDs after run: {jsc.getPersistentRDDs().size()}")
+
+
+def burnin_incdedup(spark):
+    import shutil
+    import tempfile
+
+    from tablite_spark.pipeline.dedup import (
+        incremental_minhash_dedup, minhash_save_index, shingle_minhash,
+    )
+    print("== incdedup: 2M-doc index, 200k batch, accept + replay")
+    root = tempfile.mkdtemp(prefix="burnin_mh_")
+    idx = f"{root}/index"
+    try:
+        text = F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda j: F.concat(F.lit("t"), (F.col("id") * 37 + j * 1009)
+                               .cast("string"))))
+        corpus = spark.range(2_000_000).select(
+            F.col("id").alias("doc_id"), text.alias("text"))
+        t0 = time.time()
+        minhash_save_index(shingle_minhash(corpus, "text", "doc_id"),
+                           "doc_id", idx)
+        t0 = _t("index build (2M docs)", t0)
+        # dup docs: rebuild the corpus text formula from the SOURCE id
+        src = spark.range(100_000).select((F.col("id") * 20).alias("id"))
+        dup = src.select((F.col("id") + 10_000_000).alias("doc_id"),
+                         text.alias("text"))
+        fresh = spark.range(100_000).select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda j: F.concat(F.lit("f"),
+                                   (F.col("id") * 41 + j * 2003)
+                                   .cast("string")))).alias("text"))
+        batch = dup.unionByName(fresh)
+        out = incremental_minhash_dedup(batch, "text", "doc_id", idx,
+                                        update_index=True)
+        kept = out.count()
+        t0 = _t(f"probe+accept: kept {kept}/200000", t0)
+        assert kept == 100_000, kept  # exactly the fresh half
+        # crash-retry REPLAY: same batch, index now holds its survivors
+        out2 = incremental_minhash_dedup(batch, "text", "doc_id", idx)
+        kept2 = out2.count()
+        t0 = _t(f"replay: kept {kept2}/200000", t0)
+        assert kept2 == 100_000, kept2  # self-match guard holds at scale
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def burnin_hardneg(spark):
+    from tablite_spark.pipeline.similarity import hard_negatives
+    print("== hardneg: 10k then 100k broadcast queries, 1M-doc corpus")
+    dim = 64
+    vec = F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                      lambda j: ((F.col("id") * 131 + j * 7919) % 1000
+                                 / F.lit(500.0) - 1.0))
+    corpus = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding"))
+    for nq in (10_000, 100_000):
+        q = spark.range(nq).select(
+            (F.col("id") + 5_000_000).alias("vec_id"),
+            vec.alias("embedding"),
+            (F.col("id") % 1_000_000).alias("positive_id"))
+        t0 = time.time()
+        out = hard_negatives(corpus, q, k=4, id_col="vec_id",
+                             vec_col="embedding",
+                             positive_col="positive_id")
+        n = out.count()
+        bcast_mb = nq * (dim * 8 + 16) / 1e6
+        _t(f"{nq} queries -> {n} rows (bcast ~{bcast_mb:.0f} MB)", t0)
+
+
+def burnin_kmeans(spark):
+    from tablite_spark.pipeline.clustering import kmeans_fit
+    print("== kmeans: dim 512, k=16, 200k vectors, 3 iterations")
+    dim = 512
+    vec = F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                      lambda j: ((F.col("id") * 97 + j * 31) % 2000
+                                 / F.lit(1000.0) - 1.0)
+                      .cast("float"))
+    df = spark.range(200_000).select(F.col("id").alias("vec_id"),
+                                     vec.alias("embedding"))
+    t0 = time.time()
+    cents = kmeans_fit(df, "embedding", "vec_id", k=16, iters=3)
+    _t("fit (3 iters, 16x512 literal centroids/iter)", t0)
+    assert len(cents) == 16 and len(cents[0]) == dim
+    # mean-floor guard arithmetic at this shape: component sums stay
+    # far under 2^53 (2^20 scale x 200k rows ~ 2^38)
+    print(f"    max |centroid component| = "
+          f"{max(abs(c) for row in cents for c in row)}")
+
+
+ALL = {"pagerank": burnin_pagerank, "incdedup": burnin_incdedup,
+       "hardneg": burnin_hardneg, "kmeans": burnin_kmeans}
+
+if __name__ == "__main__":
+    which = sys.argv[1:] or list(ALL)
+    spark = get_spark("burnin_r8")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in which:
+        ALL[name](spark)
+    spark.stop()
