@@ -964,6 +964,38 @@ def tpz_reference_read(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("n_key")
 
 
+def hdf5_foreign_read(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-layout HDF5 interop: ``tests/fixtures/foreign_layout.h5``
+    is byte-assembled (tools/make_foreign_h5_fixture.py) with the
+    structures libhdf5/h5py emit but our own writer never does —
+    cache_type-0 root entry, level-1 group B-tree over two SNOD
+    leaves, NIL/fill/mtime messages in permuted order, an object
+    header split by a continuation block, a two-level chunk B-tree
+    under a shuffle+deflate pipeline, null-terminated fixed strings,
+    vlen strings spanning two GCOL collections, a deferred-allocation
+    dataset, a compact dataset, nested groups and rank-0 attributes.
+    Returns one row per dataset (name, n, agg) where agg is an exact
+    integer/string digest; the oracle pins all values literally, so a
+    reader regression on ANY of those structures flips the hash."""
+    import os
+
+    from tablite_spark.sources import hdf5lite
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests", "fixtures", "foreign_layout.h5")
+    data = hdf5lite.read(p)
+    rows = []
+    for name in sorted(data):
+        arr = data[name]
+        if arr.dtype.kind in ("i", "u"):
+            agg = str(int(arr.sum()))
+        elif arr.dtype.kind == "f":
+            agg = str(int(round(float(arr.sum()) * 4)))  # exact quarters
+        else:  # fixed S / vlen object bytes
+            agg = "|".join(v.decode() for v in arr.tolist())
+        rows.append((name, len(arr), agg))
+    return spark.createDataFrame(rows, "name string, n long, agg string")
+
+
 def xls_roundtrip_agg(spark: SparkSession, sf: str) -> DataFrame:
     """E2E legacy-.xls proof via the stdlib xlslite codec (OLE2
     compound file + BIFF8 records, sources/xlslite.py — the
@@ -3081,17 +3113,18 @@ def salted_join_equivalence(spark: SparkSession, sf: str) -> DataFrame:
 # Round-8 verification window: the driver checks the FIRST 50 entries
 # of queries(). Registry state at r8 open: 170/170 green at latest
 # check, staleness 50@r7 / 50@r6 / 50@r5 / 20@r4. Priority is (1) the
-# 2 queries NEW in round 8 (reference-written .tpz fixture read,
-# streaming ingestion-loop dedup drain), then (2) ALL 20 r4-stale
+# 3 queries NEW in round 8 (reference-written .tpz fixture read,
+# streaming ingestion-loop dedup drain, foreign-layout HDF5 read), then (2) ALL 20 r4-stale
 # entries (the VERDICT r7 item-1 list, verbatim) — after this window
 # runs nothing in the registry is staler than r5 — then (3) the first
-# 28 of the 50 r5-stale entries alphabetically. The remaining 22 r5
-# entries (pq_topk_embeddings, pretrain_filter_docs, quality_score,
-# reindex_rows, ... xround_buckets) lead the r9 window.
+# 27 of the 50 r5-stale entries alphabetically. The remaining 23 r5
+# entries (pivot_wide, pq_topk_embeddings, pretrain_filter_docs,
+# quality_score, reindex_rows, ... xround_buckets) lead the r9 window.
 _R8_WINDOW = [
     # --- never driver-verified: new in round 8 (locally oracled via
     #     tools/check_oracle.py at sf0.01)
     "tpz_reference_read", "stream_incremental_dedup_docs",
+    "hdf5_foreign_read",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3115,7 +3148,7 @@ _R8_WINDOW = [
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
     "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
     "media_features", "melt_long", "multimodal_decode",
-    "pandas_roundtrip_agg", "pivot_wide",
+    "pandas_roundtrip_agg",
 ]
 
 
@@ -3205,6 +3238,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in round 8
         "tpz_reference_read": tpz_reference_read,
         "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
+        "hdf5_foreign_read": hdf5_foreign_read,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -4270,6 +4304,18 @@ def _oracle_sql_base() -> dict[str, str]:
                              AS UBIGINT) / 1152921504606846976.0 < 0.3
                         THEN 'holdout' ELSE 'train' END AS side
             FROM labeled
+        """,
+        "hdf5_foreign_read": """
+            SELECT * FROM (VALUES
+              ('a_long',  10, '55'),
+              ('b_float', 10, '45'),
+              ('c_chunk', 10, '1045'),
+              ('d_str',   10, 'alpha|bee|gamma|dd|epsil|zeta|eta|theta|iota|kappa'),
+              ('e_vlen',  10, 'v0-|v1-x|v2-xx|v3-xxx|v4-xxxx|v5-|v6-x|v7-xx|v8-xxx|v9-xxxx'),
+              ('f_zero',   7, '0'),
+              ('g_compact', 10, '145'),
+              ('grp/sub/h_nested', 3, '18')
+            ) AS t(name, n, agg)
         """,
         "stream_incremental_dedup_docs": """
             -- survivors of the two-micro-batch streaming dedup loop:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tablite_spark.config import Config
+from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -350,6 +351,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
                    .join(labels.alias("o"), "id")
                    .filter(F.col("n.component") != F.col("o.component"))
                    .limit(1).count())
+        # the superseded round's label blocks are dead once the
+        # convergence join above has run — release them now, or the
+        # loop pins one (id, label) copy per round until the
+        # ContextCleaner happens to run (plans.lifecycle)
+        unpersist_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -42,6 +42,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
+
 __all__ = ["pagerank"]
 
 
@@ -89,13 +91,16 @@ def pagerank(edges: DataFrame, src_col: str, dst_col: str,
                          .alias("rank"))
                  .localCheckpoint())  # eager: materialized here
         # the new checkpoint no longer references the previous one's
-        # blocks — free them, or cached RDDs grow linearly with iters
+        # blocks — free them DETERMINISTICALLY, or one copy of the
+        # rank state stays pinned in executor storage per iteration
+        # (DataFrame.unpersist is a silent no-op on checkpointed
+        # frames; see plans.lifecycle)
         if prev_ckpt is not None:
-            prev_ckpt.unpersist()
+            unpersist_local_checkpoint(prev_ckpt)
         prev_ckpt = ranks
     if iters > 0:
         # the final ranks checkpoint is self-contained; base_nodes'
         # blocks are no longer reachable from it (iters=0 returns the
         # initial frame, which still reads base_nodes' blocks)
-        base_nodes.unpersist()
+        unpersist_local_checkpoint(base_nodes)
     return ranks.select("node", "rank")

@@ -494,6 +494,48 @@ def test_hdf5lite_vlen_roundtrip(tmp_path):
     assert (b3["n"] == 0).all()
 
 
+def test_hdf5lite_foreign_layout_fixture():
+    """Committed byte-assembled file using the layouts libhdf5 emits
+    but OUR writer never does (tools/make_foreign_h5_fixture.py):
+    cache_type-0 root, level-1 group B-tree over two SNOD leaves,
+    NIL/fill/mtime messages with permuted order, a header split by a
+    continuation, a two-level chunk B-tree with shuffle+deflate,
+    null-TERM fixed strings, vlen strings across two GCOLs, a
+    deferred-allocation (UNDEF) dataset, a compact dataset, nested
+    groups, scalar (rank-0) + 1-D attributes. The closest available
+    stand-in for h5py-written bytes in an h5py-less container."""
+    import os
+
+    import numpy as np
+
+    from tablite_spark.sources import hdf5lite
+
+    p = os.path.join(os.path.dirname(__file__), "fixtures",
+                     "foreign_layout.h5")
+    d = hdf5lite.read(p)
+    assert sorted(d) == ["a_long", "b_float", "c_chunk", "d_str",
+                         "e_vlen", "f_zero", "g_compact",
+                         "grp/sub/h_nested"]
+    assert d["a_long"].tolist() == list(range(1, 11))
+    assert np.allclose(d["b_float"], np.arange(10) * 0.25)
+    assert d["b_float"].dtype == np.float32
+    assert d["c_chunk"].tolist() == list(range(100, 110))
+    assert d["d_str"].tolist()[:3] == [b"alpha", b"bee", b"gamma"]
+    assert [v.decode() for v in d["e_vlen"]][:3] == \
+        ["v0-", "v1-x", "v2-xx"]
+    assert d["f_zero"].tolist() == [0] * 7
+    assert d["g_compact"].tolist() == list(range(10, 20))
+    assert d["grp/sub/h_nested"].tolist() == [5, 6, 7]
+    # column-subset read still walks the foreign B-tree correctly
+    sub = hdf5lite.read(p, columns=["c_chunk"])
+    assert list(sub) == ["c_chunk"] and sub["c_chunk"][0] == 100
+    assert hdf5lite.read_attrs(p) == {
+        "": {"creator": "libhdf5-like"},
+        "a_long": {"units": "m", "factors": [1, 2, 3]},
+        "grp": {"level": 2},
+    }
+
+
 def test_hdf5lite_vlen_committed_fixture():
     """The committed GCOL fixture pins today's byte layout: any
     future reader change must still decode these exact bytes (the

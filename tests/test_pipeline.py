@@ -2309,6 +2309,39 @@ def test_kmeans_matches_serial_reference(spark):
     assert len({got[i] for i in range(40)} & {got[i] for i in range(40, 70)}) == 0
 
 
+def test_kmeans_numpy_assign_bit_identical(spark):
+    """The high-dim Arrow numpy assign kernel must agree with the
+    literal-expression path bit-for-bit — including argmin TIES
+    (both break to the lowest cell id) — and a full fit must produce
+    identical centroids whichever path the k·dim gate picks."""
+    import tablite_spark.pipeline.clustering as cl
+
+    # dim 48, k=6 -> k*dim=288: expression path by default; force the
+    # numpy path by dropping the gate and compare
+    rows = []
+    for i in range(300):
+        rows.append((i, [((i * 31 + j * 7) % 41) / 20.0 - 1.0
+                         for j in range(48)]))
+    # exact duplicates of centroid-bound points force distance ties
+    rows += [(1000 + i, rows[i][1]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    old = cl._NUMPY_ASSIGN_CELLS
+    try:
+        cl._NUMPY_ASSIGN_CELLS = 10 ** 9  # expression path
+        cents_expr = cl.kmeans_fit(df, "embedding", "vec_id", k=6, iters=3)
+        a_expr = {r["vec_id"]: r["cell"] for r in
+                  cl.kmeans_assign(df, "embedding", cents_expr).collect()}
+        cl._NUMPY_ASSIGN_CELLS = 0  # numpy path
+        cents_np = cl.kmeans_fit(df, "embedding", "vec_id", k=6, iters=3)
+        a_np = {r["vec_id"]: r["cell"] for r in
+                cl.kmeans_assign(df, "embedding", cents_np).collect()}
+    finally:
+        cl._NUMPY_ASSIGN_CELLS = old
+    assert cents_np == cents_expr
+    assert a_np == a_expr
+
+
 def test_kmeans_empty_cell_carries_seed(spark):
     """Duplicate seeds force every point into the lower cell (ties
     break to the lowest j); the starved cell must CARRY its seed
@@ -2497,6 +2530,29 @@ def test_pagerank_dangling_mass_redistributed(spark):
     total = sum(got.values())
     assert abs(total - 10 ** 12) < 10 * 2 * 4  # iters*N*(floors per rank)
     assert got[2] > got[1]  # the sink receives 1's mass plus its share
+
+
+def test_unpersist_local_checkpoint_releases_blocks(spark):
+    """DataFrame.unpersist is a silent no-op on localCheckpointed
+    frames (RDD-level persistence, not CacheManager) — the lifecycle
+    helper must release the blocks deterministically, and a frame
+    derived from a LIVE checkpoint must still compute after an OLD
+    checkpoint is released."""
+    from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    a = spark.range(100).localCheckpoint()
+    b = a.selectExpr("id * 2 AS id").localCheckpoint()
+    assert jsc.getPersistentRDDs().size() == before + 2
+    # the documented no-op, pinned so a Spark behavior change surfaces
+    a.unpersist()
+    assert jsc.getPersistentRDDs().size() == before + 2
+    assert unpersist_local_checkpoint(a) is True
+    assert jsc.getPersistentRDDs().size() == before + 1
+    assert b.count() == 100  # b's checkpoint is self-contained
+    assert unpersist_local_checkpoint(b) is True
+    assert jsc.getPersistentRDDs().size() == before
+    assert unpersist_local_checkpoint(spark.range(3)) is False
 
 
 def test_pagerank_checkpoint_blocks_bounded(spark):

@@ -132,12 +132,13 @@ def burnin_hardneg(spark):
     for nq in (10_000, 100_000):
         q = spark.range(nq).select(
             (F.col("id") + 5_000_000).alias("vec_id"),
-            vec.alias("embedding"),
-            (F.col("id") % 1_000_000).alias("positive_id"))
+            vec.alias("embedding"))
+        excl = spark.range(nq).select(
+            (F.col("id") + 5_000_000).alias("qid"),
+            (F.col("id") % 1_000_000).alias("nid"))
         t0 = time.time()
         out = hard_negatives(corpus, q, k=4, id_col="vec_id",
-                             vec_col="embedding",
-                             positive_col="positive_id")
+                             vec_col="embedding", exclude=excl)
         n = out.count()
         bcast_mb = nq * (dim * 8 + 16) / 1e6
         _t(f"{nq} queries -> {n} rows (bcast ~{bcast_mb:.0f} MB)", t0)
