@@ -3107,6 +3107,74 @@ def salted_join_equivalence(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# round-8 additions: time-series bars, funnels, phrase search,
+# Bloom-prefiltered decontamination
+# --------------------------------------------------------------------
+
+def ohlc_resample_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Hourly OHLC bars per event_type — ONE combinable groupBy
+    (min_by/max_by carry one pair per partial state; no windows, no
+    self-joins). Values go through exact integer cents so open/high/
+    low/close/sum are order-proof; open/close ties are broken by a
+    lexicographic (ts, event_id) key identical in both engines."""
+    from tablite_spark.operators.timeseries import ohlc_resample
+    e = (_t(spark, sf, "events")
+         .withColumn("cents", F.round(F.col("value") * 100, 0)
+                     .cast("long")))
+    out = ohlc_resample(e, "ts", "cents", every="1 hour",
+                        by=["event_type"], tiebreak="event_id")
+    return out.select(
+        "event_type", "bucket_start",
+        (F.col("open") / 100).alias("open"),
+        (F.col("high") / 100).alias("high"),
+        (F.col("low") / 100).alias("low"),
+        (F.col("close") / 100).alias("close"),
+        "n_events",
+        (F.col("sum_value") / 100).alias("sum_value"))
+
+
+def funnel_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: per user the earliest
+    completion of each step STRICTLY after the previous step's time.
+    Per step: selective filter + combinable conditional-min groupBy +
+    user-keyed join — never a window over the event stream."""
+    from tablite_spark.operators.timeseries import funnel
+    return funnel(_t(spark, sf, "events"),
+                  ["view", "click", "purchase"])
+
+
+def phrase_search_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact phrase search ("table table" — the duplicate-word case:
+    one posting votes for BOTH phrase indexes, and overlapping
+    occurrences each count) via positional-postings anchor voting:
+    posexplode cut to the phrase's tokens, then two combinable
+    groupBys — no positional join chain, no windows."""
+    from tablite_spark.pipeline.retrieval import phrase_search
+    out = phrase_search(_t(spark, sf, "documents"), "text", "doc_id",
+                        "table table")
+    return out.select("doc_id", "n_matches",
+                      F.col("first_pos").cast("long").alias("first_pos"))
+
+
+def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination with a broadcast Bloom prefilter —
+    byte-identical output to the exact gram join (the filter only
+    prunes the explode; FPs die in the confirm join), but corpus
+    grams are filtered map-side in one Arrow pass BEFORE exploding,
+    so the join input is the rare-hit sliver, not the token stream.
+    Probes here: docs 5..14 (disjoint from contamination_docs')."""
+    from tablite_spark.pipeline.text import bloom_decontaminate
+    d = _t(spark, sf, "documents")
+    probes = (d.filter((F.col("doc_id") >= 5) & (F.col("doc_id") < 15))
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.col("text").alias("probe_text")))
+    out = bloom_decontaminate(d, probes, "text", "doc_id",
+                              "probe_text", "probe_id", n=8)
+    return out.select("doc_id", "probe_id", "shared_grams",
+                      F.round(F.col("overlap"), 4).alias("overlap"))
+
+
+# --------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------
 
@@ -3124,7 +3192,8 @@ _R8_WINDOW = [
     # --- never driver-verified: new in round 8 (locally oracled via
     #     tools/check_oracle.py at sf0.01)
     "tpz_reference_read", "stream_incremental_dedup_docs",
-    "hdf5_foreign_read",
+    "hdf5_foreign_read", "ohlc_resample_events", "funnel_events",
+    "phrase_search_docs", "bloom_contamination_docs",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3135,8 +3204,10 @@ _R8_WINDOW = [
     "token_budget_docs", "token_count_bpe", "transpose_region",
     "video_frames_meta", "vocab_shift_docs", "window_ntile",
     "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 28 that fit the 50-slot
-    #     budget — the remaining 22 r5 entries lead the r9 window:
+    # --- latest green = r5 (alphabetical; the 23 that fit the 50-slot
+    #     budget after the 7 never-verified r8 queries — the remaining
+    #     27 r5 entries lead the r9 window: media_features, melt_long,
+    #     multimodal_decode, pandas_roundtrip_agg,
     #     replace_values..xround_buckets plus pagerank unpersist-path
     #     re-checks as they age)
     "c4_clean_docs", "count_value", "csv_roundtrip_agg",
@@ -3147,8 +3218,6 @@ _R8_WINDOW = [
     "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
     "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
-    "media_features", "melt_long", "multimodal_decode",
-    "pandas_roundtrip_agg",
 ]
 
 
@@ -3239,6 +3308,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpz_reference_read": tpz_reference_read,
         "stream_incremental_dedup_docs": stream_incremental_dedup_docs,
         "hdf5_foreign_read": hdf5_foreign_read,
+        "ohlc_resample_events": ohlc_resample_events,
+        "funnel_events": funnel_events,
+        "phrase_search_docs": phrase_search_docs,
+        "bloom_contamination_docs": bloom_contamination_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -4326,6 +4399,88 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id + 30000000 AS doc_id FROM documents
             UNION ALL
             SELECT doc_id + 60000000 AS doc_id FROM documents
+        """,
+        "ohlc_resample_events": """
+            WITH e AS (
+                SELECT event_type, ts,
+                       CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+                           lpad(CAST(event_id AS VARCHAR), 12, '0')
+                           AS okey
+                FROM events
+            )
+            SELECT event_type,
+                   time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+                   arg_min(cents, okey) / 100.0 AS open,
+                   MAX(cents) / 100.0 AS high,
+                   MIN(cents) / 100.0 AS low,
+                   arg_max(cents, okey) / 100.0 AS close,
+                   COUNT(*) AS n_events,
+                   SUM(cents) / 100.0 AS sum_value
+            FROM e
+            GROUP BY event_type, time_bucket(INTERVAL '1 hour', ts)
+        """,
+        "funnel_events": """
+            WITH s0 AS (
+                SELECT user_id, MIN(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s1 AS (
+                SELECT e.user_id, MIN(ts) AS t_click
+                FROM events e JOIN s0 USING (user_id)
+                WHERE event_type = 'click' AND ts > t_view
+                GROUP BY e.user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(ts) AS t_purchase
+                FROM events e JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND ts > t_click
+                GROUP BY e.user_id
+            )
+            SELECT s0.user_id, t_view, t_click, t_purchase
+            FROM s0 LEFT JOIN s1 USING (user_id)
+                    LEFT JOIN s2 USING (user_id)
+        """,
+        "phrase_search_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(LOWER(text),
+                                                      '[^a-z0-9]+'),
+                                   x -> x <> '') AS toks
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       list_filter(range(1, GREATEST(len(toks) - 1, 0) + 1),
+                                   a -> toks[a] = 'table'
+                                        AND toks[a + 1] = 'table')
+                           AS anchors
+                FROM t
+            )
+            SELECT doc_id, len(anchors) AS n_matches,
+                   CAST(anchors[1] - 1 AS BIGINT) AS first_pos
+            FROM m WHERE len(anchors) > 0
+        """,
+        "bloom_contamination_docs": """
+            WITH docs AS (
+                SELECT doc_id,
+                       string_split_regex(LOWER(TRIM(text)), '\\s+') AS l
+                FROM documents
+            ), gr AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, GREATEST(len(l) - 7, 1) + 1),
+                           i -> array_to_string(l[CAST(i AS INT) : CAST(i+7 AS INT)], ' ')))
+                       AS gs
+                FROM docs
+            ), dg AS (SELECT doc_id, UNNEST(gs) AS g FROM gr),
+            pg AS (SELECT doc_id AS probe_id, UNNEST(gs) AS g
+                   FROM gr WHERE doc_id >= 5 AND doc_id < 15),
+            ps AS (SELECT doc_id AS probe_id, len(gs) AS n_probe
+                   FROM gr WHERE doc_id >= 5 AND doc_id < 15)
+            SELECT dg.doc_id, pg.probe_id,
+                   COUNT(*) AS shared_grams,
+                   ROUND(COUNT(*) / CAST(ANY_VALUE(ps.n_probe) AS DOUBLE), 4)
+                       AS overlap
+            FROM dg JOIN pg USING (g) JOIN ps ON ps.probe_id = pg.probe_id
+            GROUP BY dg.doc_id, pg.probe_id
         """,
         "tpz_reference_read": """
             SELECT * FROM (VALUES

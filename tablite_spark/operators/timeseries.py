@@ -1,0 +1,111 @@
+"""Time-series resampling and event-funnel analytics (beyond the
+reference: the reference's date handling stops at ``xround`` timestamp
+bucketing — see ``/root/reference/tablite/redux.py`` filters and
+``tools/xround``; a telemetry/market table at 100 TB needs first-class
+bucketed OHLC bars and ordered funnels, so they're first-class here).
+
+Both operators are single-groupBy / few-join shapes with NO window
+functions: a window over a hot (symbol) or hot (user) partition would
+serialize that key through one task, while ``min_by``/``max_by`` and
+conditional ``min`` aggregates are combinable — partial aggregation
+absorbs hot keys map-side and only (group, 2×value) pairs shuffle.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["ohlc_resample", "funnel"]
+
+
+def _order_key(ts_col: str, tiebreak: str | None):
+    """Lexicographic total-order key for min_by/max_by ties.
+
+    A microsecond-formatted timestamp string, optionally extended with
+    a zero-padded unique id, orders identically in every engine (and
+    in a DuckDB oracle via strftime %f + lpad) — unlike struct
+    ordering, which DuckDB's arg_min/arg_max don't accept.
+    """
+    key = F.date_format(F.col(ts_col), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    if tiebreak is not None:
+        key = F.concat(key, F.lit("|"),
+                       F.lpad(F.col(tiebreak).cast("string"), 12, "0"))
+    return key
+
+
+def ohlc_resample(df: DataFrame, ts_col: str, val_col: str,
+                  every: str = "1 hour",
+                  by: list[str] | None = None,
+                  tiebreak: str | None = None) -> DataFrame:
+    """Resample an event stream into OHLC bars: per ``by``-group and
+    ``every``-sized time bucket, the first (open), max (high), min
+    (low) and last (close) value, plus row count and sum.
+
+    Scale shape: ONE combinable groupBy — ``min_by``/``max_by`` keep a
+    single (key, value) pair per partial state, so a hot symbol or a
+    hot hour aggregates map-side and the shuffle carries one row per
+    (group, bucket). No window functions, no self-joins: the classic
+    "first/last per bucket" formulations (row_number over a bucket
+    window, or a min-ts self-join) respectively serialize hot buckets
+    through one task and scan twice. Bucket edges come from
+    ``F.window`` (epoch-aligned tumbling), so at 100 TB the bar
+    boundaries are a pure row-local function — bars for different
+    time ranges land in different shuffle partitions and partition
+    pruning on a date-partitioned source still applies.
+
+    ``tiebreak``: unique column breaking equal-timestamp ties so
+    open/close are deterministic under any partitioning (without it,
+    ties resolve arbitrarily — fine for data with unique timestamps).
+    """
+    by = list(by or [])
+    key = _order_key(ts_col, tiebreak)
+    v = F.col(val_col)
+    out = (df.groupBy(*by, F.window(ts_col, every).alias("w"))
+             .agg(F.min_by(v, key).alias("open"),
+                  F.max(v).alias("high"),
+                  F.min(v).alias("low"),
+                  F.max_by(v, key).alias("close"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.sum(v).alias("sum_value")))
+    return out.select(*by, F.col("w.start").alias("bucket_start"),
+                      "open", "high", "low", "close", "n_events",
+                      "sum_value")
+
+
+def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
+           user_col: str = "user_id",
+           type_col: str = "event_type") -> DataFrame:
+    """Ordered funnel: per user, the earliest time each successive
+    step was completed STRICTLY AFTER the previous step's time
+    (view -> click -> purchase). Returns one row per user who
+    completed step 0, with a nullable ``t_<step>`` timestamp per step
+    (null = dropped out at that step).
+
+    Scale shape: per step, a highly selective ``type = step`` filter
+    (scan-pruned on a type-partitioned source) then a combinable
+    conditional-min groupBy(user); successive steps join on the user
+    key. Every shuffle in the chain is hash(user) — with AQE the
+    exchange is reused across stages, so the funnel costs one scan +
+    one user-keyed shuffle per step, never a window over the event
+    stream (a per-user ordered window would serialize hot users and
+    carry the full event payload; here only (user, timestamp) pairs
+    move). Depth-k funnels are k tiny frames, not k passes over the
+    events table — each post-filter frame is |users| rows.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    ts, u = F.col(ts_col), F.col(user_col)
+    cols = [f"t_{s}" for s in steps]
+    cur = (events.filter(F.col(type_col) == steps[0])
+           .groupBy(u.alias("user_id_"))
+           .agg(F.min(ts).alias(cols[0])))
+    for i, s in enumerate(steps[1:], 1):
+        ev = (events.filter(F.col(type_col) == s)
+              .select(u.alias("user_id_"), ts.alias("ts_")))
+        nxt = (ev.join(cur.select("user_id_", F.col(cols[i - 1])
+                                  .alias("prev_")), "user_id_")
+               .filter(F.col("ts_") > F.col("prev_"))
+               .groupBy("user_id_")
+               .agg(F.min("ts_").alias(cols[i])))
+        cur = cur.join(nxt, "user_id_", "left")
+    return cur.withColumnRenamed("user_id_", user_col)

@@ -21,6 +21,7 @@ this is a beyond-reference capability).
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -159,3 +160,55 @@ def rrf_fuse(rankings: list[DataFrame], qid_col: str = "qid",
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k)
             .select(qid_col, id_col, "rank", "rrf_score", "n_sources"))
+
+
+def phrase_search(docs: DataFrame, text_col: str, id_col: str,
+                  phrase: str) -> DataFrame:
+    """Exact phrase search via positional-postings anchor voting.
+
+    Tokenization matches ``build_postings`` (lowercase, alphanumeric
+    runs). A posting of phrase-word *i* at position *p* votes for
+    anchor *p − i*; an anchor that collects ALL word indexes 0..n−1 is
+    an exact occurrence. Returns one row per matching document:
+    (id, n_matches, first_pos) with 0-based first occurrence.
+
+    Scale shape: positions come from ONE posexplode whose output is
+    immediately cut by ``token ∈ phrase`` — only the phrase's (rare)
+    tokens survive the scan, so the shuffled volume is the phrase's
+    posting lists, not the corpus token stream. Matching is then ONE
+    combinable groupBy(doc, anchor) + ONE groupBy(doc): no positional
+    self-joins (the textbook n−1 join chain re-shuffles a posting
+    list per word), no windows, no driver state. Repeated words in
+    the phrase are handled by letting a posting vote once per index
+    the word occupies (a CASE-built literal index array — phrase
+    length is tiny, the expression is row-local).
+    """
+    words = [t for t in re.split(_TOKEN_SPLIT, phrase.lower()) if t]
+    if not words:
+        raise ValueError("phrase has no tokens")
+    n = len(words)
+    idx_of = {}
+    for i, w in enumerate(words):
+        idx_of.setdefault(w, []).append(i)
+    # token -> array of phrase indexes it occupies (literal CASE chain)
+    expr = F.lit(None).cast("array<int>")
+    for w, idxs in idx_of.items():
+        expr = F.when(F.col("tok") == w,
+                      F.array(*[F.lit(i) for i in idxs])).otherwise(expr)
+    posting = (docs.select(F.col(id_col).alias("id_"),
+                           F.posexplode(_tokens(F.col(text_col)))
+                           .alias("pos", "tok"))
+               .filter(F.col("tok").isin(list(idx_of))))
+    votes = (posting.select("id_", "pos",
+                            F.explode(expr).alias("i"))
+             .select("id_", (F.col("pos") - F.col("i")).alias("anchor"),
+                     "i")
+             .filter(F.col("anchor") >= 0))
+    anchors = (votes.groupBy("id_", "anchor")
+               .agg(F.count_distinct("i").alias("n_idx"))
+               .filter(F.col("n_idx") == n))
+    return (anchors.groupBy("id_")
+            .agg(F.count(F.lit(1)).alias("n_matches"),
+                 F.min("anchor").alias("first_pos"))
+            .select(F.col("id_").alias(id_col), "n_matches",
+                    "first_pos"))

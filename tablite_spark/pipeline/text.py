@@ -835,31 +835,48 @@ def contamination_check(df: DataFrame, probes: DataFrame, text_col: str,
     (64-bit gram hashing: collisions at ~n_grams²/2⁶⁴ — immaterial
     against real contamination, which shares hundreds of grams.)
     """
-    def gram_hashes(c):
-        toks = F.split(F.lower(F.trim(c)), r"\s+")
-        cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-        # zip n shifted copies of the token array and hash the n token
-        # fields per window — n array ops per DOC (not per gram), no
-        # string concat (same trick as dedup.shingle_minhash)
-        parts = [toks.alias("t0")]
-        for i in range(1, n):
-            parts.append(F.slice(toks, i + 1,
-                                 F.greatest(F.size(toks) - F.lit(i), F.lit(1)))
-                         .alias(f"t{i}"))
-        windows = F.slice(F.arrays_zip(*parts), 1, cnt)
-        return F.array_distinct(F.transform(
-            windows, lambda w: F.xxhash64(*[w[f"t{i}"] for i in range(n)])))
+    doc_g = _respread(df).select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(_gram_hashes(F.col(text_col), n)).alias("g"))
+    probe_grams = probes.select(
+        F.col(probe_id_col).alias("probe_id_"),
+        _gram_hashes(F.col(probe_text_col), n).alias("gs"))
+    return _confirm_overlap(doc_g, probe_grams, id_col, probe_id_col,
+                            broadcast_probes)
 
-    # spread docs across cores when the source arrives under-partitioned
-    # (small files); at scale the scan is already wide and this no-ops
+
+def _gram_hashes(c, n: int):
+    """Distinct 64-bit hashes of the token n-gram windows of ``c`` —
+    zip n shifted copies of the token array and hash the n token
+    fields per window: n array ops per DOC (not per gram), no string
+    concat (same trick as dedup.shingle_minhash)."""
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    parts = [toks.alias("t0")]
+    for i in range(1, n):
+        parts.append(F.slice(toks, i + 1,
+                             F.greatest(F.size(toks) - F.lit(i), F.lit(1)))
+                     .alias(f"t{i}"))
+    windows = F.slice(F.arrays_zip(*parts), 1, cnt)
+    return F.array_distinct(F.transform(
+        windows, lambda w: F.xxhash64(*[w[f"t{i}"] for i in range(n)])))
+
+
+def _respread(df: DataFrame) -> DataFrame:
+    """Spread docs across cores when the source arrives
+    under-partitioned (small files); at scale the scan is already
+    wide and this no-ops."""
     spark = df.sparkSession
     if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    doc_g = df.select(F.col(id_col).alias("doc_id_"),
-                      F.explode(gram_hashes(F.col(text_col))).alias("g"))
-    probe_grams = probes.select(
-        F.col(probe_id_col).alias("probe_id_"),
-        gram_hashes(F.col(probe_text_col)).alias("gs"))
+    return df
+
+
+def _confirm_overlap(doc_g: DataFrame, probe_grams: DataFrame,
+                     id_col: str, probe_id_col: str,
+                     broadcast_probes: bool) -> DataFrame:
+    """Shared exact-confirm tail: join candidate doc grams against the
+    probe postings, count shared grams, normalize by probe size."""
     probe_sizes = probe_grams.select("probe_id_",
                                      F.size("gs").alias("n_probe_grams"))
     probe_g = probe_grams.select("probe_id_", F.explode("gs").alias("g"))
@@ -874,6 +891,86 @@ def contamination_check(df: DataFrame, probes: DataFrame, text_col: str,
                     "shared_grams",
                     (F.col("shared_grams")
                      / F.col("n_probe_grams").cast("double")).alias("overlap")))
+
+
+def bloom_decontaminate(df: DataFrame, probes: DataFrame, text_col: str,
+                        id_col: str, probe_text_col: str,
+                        probe_id_col: str, n: int = 8,
+                        bits_per_gram: int = 12, num_hashes: int = 7,
+                        broadcast_probes: bool = True) -> DataFrame:
+    """``contamination_check`` with a broadcast **Bloom prefilter** —
+    the output is IDENTICAL (exact): the Bloom filter only prunes,
+    false positives are removed by the exact confirm join and false
+    negatives are impossible (every probe gram is in the filter).
+
+    Why it exists: ``contamination_check`` explodes EVERY corpus gram
+    into the broadcast join — one row per token per document crosses
+    the operator even though shared grams are vanishingly rare. Here
+    the probe suite's distinct gram hashes (driver-bounded: a
+    benchmark suite, like the PQ codebook sample) build an m-bit Bloom
+    filter (``bits_per_gram``·grams bits rounded to a power of two;
+    with 12 bits/gram and 7 probes FP ≈ 1e-3). The filter broadcasts
+    as raw bits — 1B probe grams ≈ 1.5 GB of bitmap vs 8+ GB of
+    join-side hash table — and each document filters its gram ARRAY
+    through it in one Arrow-vectorized numpy pass BEFORE exploding.
+    The explode then emits only true hits plus ~0.1% FPs, and the
+    exact join runs over that sliver. At 100 TB this converts the
+    dominant cost (shuffle-exploding ~10¹³ gram rows into a join)
+    into a map-side array filter with near-zero join input.
+
+    Double hashing (Kirsch–Mitzenmacher): position_i = h₁ + i·h₂ mod m
+    over the gram's single xxhash64 — no extra hash passes.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    probe_grams = probes.select(
+        F.col(probe_id_col).alias("probe_id_"),
+        _gram_hashes(F.col(probe_text_col), n).alias("gs"))
+    gset = (probe_grams.select(F.explode("gs").alias("g")).distinct()
+            .toPandas()["g"].to_numpy())
+    m = 64
+    while m < max(len(gset), 1) * bits_per_gram:
+        m <<= 1
+    mask = np.uint64(m - 1)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    h = gset.astype(np.uint64)
+    h1, h2 = h & mask, (h >> np.uint64(33)) | np.uint64(1)
+    for i in range(num_hashes):
+        pos = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)))
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(bits.tobytes())
+    k = num_hashes
+
+    @pandas_udf("array<long>")
+    def _bloom_keep(gs: pd.Series) -> pd.Series:
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        lens = gs.map(lambda a: 0 if a is None else len(a)).to_numpy()
+        if lens.sum() == 0:
+            return pd.Series([[] for _ in lens])
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in gs if a is not None
+             and len(a)]).astype(np.uint64)
+        f1, f2 = flat & mask, (flat >> np.uint64(33)) | np.uint64(1)
+        keep = np.ones(len(flat), dtype=bool)
+        for i in range(k):
+            pos = (f1 + np.uint64(i) * f2) & mask
+            keep &= (bm[(pos >> np.uint64(3)).astype(np.int64)]
+                     >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
+        flat_signed = flat.astype(np.int64)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return pd.Series([flat_signed[offs[j]:offs[j + 1]][
+            keep[offs[j]:offs[j + 1]]].tolist() for j in range(len(lens))])
+
+    doc_g = _respread(df).select(
+        F.col(id_col).alias("doc_id_"),
+        F.explode(_bloom_keep(_gram_hashes(F.col(text_col), n))).alias("g"))
+    return _confirm_overlap(doc_g, probe_grams, id_col, probe_id_col,
+                            broadcast_probes)
 
 
 def pack_chunks(chunks: DataFrame, tokens_col: str,

@@ -1,0 +1,158 @@
+"""OHLC resampling, funnels, phrase search, Bloom decontamination
+(round-8 additions — beyond the reference, which has no time-series
+or retrieval operators; cited: the reference's closest surface is
+``xround`` timestamp bucketing, ``/root/reference/tablite/redux.py``).
+"""
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from tablite_spark.operators.timeseries import funnel, ohlc_resample
+
+
+def _ts(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1, 0, m, s, us)
+
+
+def test_ohlc_basic_and_ties(spark):
+    rows = [
+        # bucket 00:00: open=5 (earliest), close=9 (latest), ties on
+        # the SAME timestamp broken by event_id (id 1 < id 2)
+        ("a", _ts(1), 1, 5),
+        ("a", _ts(2), 1, 40),
+        ("a", _ts(3), 1, -7),
+        ("a", _ts(59, 59), 1, 9),
+        # same-ts tie at minute 30: event_id 1 wins open, 2 wins close
+        ("b", _ts(30), 1, 100),
+        ("b", _ts(30), 2, 200),
+        # bucket 01:00
+        ("a", dt.datetime(2024, 1, 1, 1, 5), 1, 77),
+    ]
+    df = spark.createDataFrame(rows, "sym string, ts timestamp, "
+                                     "event_id long, v long")
+    out = {(r["sym"], r["bucket_start"].hour): r
+           for r in ohlc_resample(df, "ts", "v", "1 hour", by=["sym"],
+                                  tiebreak="event_id").collect()}
+    a0 = out[("a", 0)]
+    assert (a0["open"], a0["high"], a0["low"], a0["close"]) == (5, 40, -7, 9)
+    assert a0["n_events"] == 4 and a0["sum_value"] == 47
+    b0 = out[("b", 0)]
+    assert (b0["open"], b0["close"]) == (100, 200)
+    assert out[("a", 1)]["open"] == 77
+
+
+def test_ohlc_no_window_in_plan(spark):
+    df = spark.createDataFrame([("a", _ts(1), 1, 5)],
+                               "sym string, ts timestamp, "
+                               "event_id long, v long")
+    plan = ohlc_resample(df, "ts", "v", "1 hour", by=["sym"],
+                         tiebreak="event_id")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Window" not in plan  # combinable agg only
+
+
+def test_funnel_plan_no_window_no_cartesian(spark):
+    """The funnel must stay a filter + combinable-min + user-keyed
+    join chain: a Window over the event stream would serialize hot
+    users through one task, and a cartesian/BNL join would explode at
+    corpus scale."""
+    df = spark.createDataFrame([(1, "view", _ts(1))],
+                               "user_id long, event_type string, "
+                               "ts timestamp")
+    plan = funnel(df, ["view", "click", "purchase"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_phrase_search_plan_no_join_no_window(spark):
+    """Anchor voting is two combinable groupBys over ONE posexplode —
+    the textbook positional n−1 self-join chain (re-shuffling a
+    posting list per phrase word) must not appear."""
+    from tablite_spark.pipeline.retrieval import phrase_search
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = phrase_search(df, "text", "doc_id", "a b c")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # u1 completes the funnel (view < click < purchase)
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2: purchase BEFORE click -> stops at click
+        (2, "view", _ts(1)), (2, "purchase", _ts(2)), (2, "click", _ts(5)),
+        # u3: click before view -> the later view has no click after it
+        (3, "click", _ts(1)), (3, "view", _ts(4)),
+        # u4 never views (clicks don't create a funnel entry)
+        (4, "click", _ts(1)),
+        # u1's SECOND view later must not shift t_view (min semantics)
+        (1, "view", _ts(9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+    out = {r["user_id"]: r for r in
+           funnel(df, ["view", "click", "purchase"]).collect()}
+    assert set(out) == {1, 2, 3}  # u4 dropped before the funnel
+    assert out[1]["t_view"] == _ts(1) and out[1]["t_purchase"] == _ts(3)
+    assert out[2]["t_click"] == _ts(5) and out[2]["t_purchase"] is None
+    assert out[3]["t_click"] is None and out[3]["t_purchase"] is None
+
+
+def test_phrase_search_overlaps_and_dup_words(spark):
+    from tablite_spark.pipeline.retrieval import phrase_search
+    rows = [
+        (1, "x table table y"),          # one match at pos 1
+        (2, "table table table"),        # overlapping: anchors 0 and 1
+        (3, "table x table"),            # no adjacent pair
+        (4, "Table, TABLE!"),            # case/punct-insensitive
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           phrase_search(df, "text", "doc_id", "table table").collect()}
+    assert set(out) == {1, 2, 4}
+    assert (out[1]["n_matches"], out[1]["first_pos"]) == (1, 1)
+    assert (out[2]["n_matches"], out[2]["first_pos"]) == (2, 0)
+    assert out[4]["n_matches"] == 1
+
+
+def test_phrase_search_three_words(spark):
+    from tablite_spark.pipeline.retrieval import phrase_search
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b"), (3, "c a b c")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           phrase_search(df, "text", "doc_id", "a b c").collect()}
+    assert set(out) == {1, 3}
+    assert out[3]["first_pos"] == 1
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    from tablite_spark.pipeline.text import (bloom_decontaminate,
+                                             contamination_check)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 13 + j) % 40}" for j in range(30)))
+         for i in range(60)],
+        "doc_id long, text string")
+    probes = (docs.filter(F.col("doc_id") < 3)
+              .select(F.col("doc_id").alias("probe_id"),
+                      F.col("text").alias("probe_text")))
+    args = (docs, probes, "text", "doc_id", "probe_text", "probe_id")
+    exact = {(r["doc_id"], r["probe_id"]): (r["shared_grams"], r["overlap"])
+             for r in contamination_check(*args, n=4).collect()}
+    bloom = {(r["doc_id"], r["probe_id"]): (r["shared_grams"], r["overlap"])
+             for r in bloom_decontaminate(*args, n=4).collect()}
+    assert exact and bloom == exact  # identical output incl. overlaps
+
+
+def test_bloom_decontaminate_empty_probes(spark):
+    from tablite_spark.pipeline.text import bloom_decontaminate
+    docs = spark.createDataFrame([(1, "a b c d e f")],
+                                 "doc_id long, text string")
+    probes = docs.filter("doc_id < 0").select(
+        F.col("doc_id").alias("probe_id"), F.col("text").alias("probe_text"))
+    out = bloom_decontaminate(docs, probes, "text", "doc_id",
+                              "probe_text", "probe_id", n=3)
+    assert out.count() == 0
