@@ -1315,6 +1315,22 @@ def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
+def batched_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-k via the BLAS-batched kernel
+    (`similarity.batched_topk`): one numpy matmul per (arrow batch,
+    query block) + boundary-tie-complete per-batch candidate cut +
+    the salted two-phase rank — byte-identical contract to
+    brute_force_topk but ~100x past 10^8 query-corpus pairs, where
+    the pair-materializing catalyst join hits its quadratic wall.
+    Distinct query set / k from embedding_topk so the two rows verify
+    the two paths independently."""
+    from tablite_spark.pipeline.similarity import batched_topk
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 10))
+    return batched_topk(emb, queries_df, k=7,
+                        id_col="vec_id", vec_col="embedding")
+
+
 def token_count_bpe(spark: SparkSession, sf: str) -> DataFrame:
     """BPE-ish regex token counting (word pieces + digits + punct)."""
     from tablite_spark.pipeline.text import token_count
@@ -3194,6 +3210,7 @@ _R8_WINDOW = [
     "tpz_reference_read", "stream_incremental_dedup_docs",
     "hdf5_foreign_read", "ohlc_resample_events", "funnel_events",
     "phrase_search_docs", "bloom_contamination_docs",
+    "batched_topk_embeddings",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3204,10 +3221,11 @@ _R8_WINDOW = [
     "token_budget_docs", "token_count_bpe", "transpose_region",
     "video_frames_meta", "vocab_shift_docs", "window_ntile",
     "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 23 that fit the 50-slot
-    #     budget after the 7 never-verified r8 queries — the remaining
-    #     27 r5 entries lead the r9 window: media_features, melt_long,
-    #     multimodal_decode, pandas_roundtrip_agg,
+    # --- latest green = r5 (alphabetical; the 22 that fit the 50-slot
+    #     budget after the 8 never-verified r8 queries — the remaining
+    #     28 r5 entries lead the r9 window: ivfpq_topk_embeddings,
+    #     media_features, melt_long, multimodal_decode,
+    #     pandas_roundtrip_agg,
     #     replace_values..xround_buckets plus pagerank unpersist-path
     #     re-checks as they age)
     "c4_clean_docs", "count_value", "csv_roundtrip_agg",
@@ -3217,7 +3235,7 @@ _R8_WINDOW = [
     "gopher_repetition_docs", "groupby_accumulators",
     "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
-    "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
+    "index_rowids", "is_sorted",
 ]
 
 
@@ -3312,6 +3330,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_events": funnel_events,
         "phrase_search_docs": phrase_search_docs,
         "bloom_contamination_docs": bloom_contamination_docs,
+        "batched_topk_embeddings": batched_topk_embeddings,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5379,6 +5398,25 @@ def _oracle_sql_base() -> dict[str, str]:
                             AS DOUBLE) AS sw
                 FROM documents WHERE LENGTH(TRIM(text)) > 0
             )
+        """,
+        "batched_topk_embeddings": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       WHERE vec_id >= 3 AND vec_id < 10),
+                 scored AS (
+                     SELECT q.qid, e.vec_id AS nid,
+                            list_dot_product(q.qv, e.embedding)
+                            / (SQRT(list_dot_product(q.qv, q.qv))
+                               * SQRT(list_dot_product(e.embedding, e.embedding))) AS cos,
+                            ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                                list_dot_product(q.qv, e.embedding)
+                                / (SQRT(list_dot_product(q.qv, q.qv))
+                                   * SQRT(list_dot_product(e.embedding, e.embedding))) DESC,
+                                e.vec_id ASC) AS rn
+                     FROM q CROSS JOIN embeddings e
+                     WHERE e.vec_id <> q.qid
+                 )
+            SELECT qid, nid, ROUND(cos, 4) AS cos, rn
+            FROM scored WHERE rn <= 7
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3),

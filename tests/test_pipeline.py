@@ -89,6 +89,71 @@ def test_brute_force_topk(spark):
     assert [r["nid"] for r in rows] == [3, 1]
 
 
+def test_batched_topk_matches_brute(spark):
+    """The BLAS-batched exact path must reproduce brute_force_topk
+    row-for-row (ranks AND rounded cosines) on real-shaped data,
+    including across query-block tiling boundaries."""
+    import random
+
+    from tablite_spark.pipeline.similarity import (
+        _batched_candidates, _topk_per_qid, batched_topk,
+    )
+    rnd = random.Random(11)
+    vecs = [(i, [rnd.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 7)
+    key = lambda rows: sorted((r["qid"], r["rn"], r["nid"], r["cos"])
+                              for r in rows)
+    exact = key(brute_force_topk(df, q, k=5, id_col="vec_id",
+                                 vec_col="embedding").collect())
+    fast = key(batched_topk(df, q, k=5, id_col="vec_id",
+                            vec_col="embedding").collect())
+    assert fast == exact
+    # query_block smaller than the query count: tiling must not change
+    # anything
+    tiled = key(_topk_per_qid(
+        _batched_candidates(df, q, 5, "vec_id", "embedding",
+                            query_block=3), 5).collect())
+    assert tiled == exact
+
+
+def test_batched_topk_boundary_ties(spark):
+    """Duplicate corpus vectors tie exactly at the top-k boundary; the
+    per-batch candidate cut must keep ALL boundary ties so the final
+    (cos desc, nid asc) rank is exact."""
+    from tablite_spark.pipeline.similarity import batched_topk
+    rows = [(0, [1.0, 0.0])] + [(i, [0.6, 0.8]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = batched_topk(df, df.filter(F.col("vec_id") == 0), k=2,
+                       id_col="vec_id", vec_col="embedding").collect()
+    assert [(r["nid"], r["rn"]) for r in
+            sorted(out, key=lambda r: r["rn"])] == [(1, 1), (2, 2)]
+
+
+def test_hard_negatives_batched_matches_catalyst(spark):
+    """batched=True must reproduce the catalyst path exactly,
+    label-exclusion (null-safe) and explicit exclude pairs included."""
+    import random
+
+    from tablite_spark.pipeline.similarity import hard_negatives
+    rnd = random.Random(13)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)],
+             rnd.choice(["a", "b", None])) for i in range(120)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string")
+    probes = emb.filter(F.col("vec_id") < 6)
+    excl = spark.createDataFrame(
+        [(0, 17), (0, 23), (3, 42)], "qid long, nid long")
+    kw = dict(id_col="vec_id", vec_col="embedding", label_col="label",
+              exclude=excl)
+    key = lambda rows: sorted(
+        (r["qid"], r["rn"], r["nid"], r["cos"], r["nlabel"]) for r in rows)
+    ref = key(hard_negatives(emb, probes, k=4, **kw).collect())
+    fast = key(hard_negatives(emb, probes, k=4, batched=True,
+                              **kw).collect())
+    assert fast == ref and len(ref) > 0
+
+
 def test_lsh_topk_recall(spark):
     import random
     rnd = random.Random(7)

@@ -121,15 +121,24 @@ def burnin_incdedup(spark):
 
 
 def burnin_hardneg(spark):
+    """The original shape (catalyst path, 10k queries x 1M corpus)
+    answered the burn-in question by FAILING it: the broadcast-NLJ +
+    per-pair higher-order-dot plan materializes 10^10 pair rows and
+    finished 0/32 tasks in 20 min — the quadratic wall sits near 10^8
+    pairs. That finding drove the BLAS-batched kernel
+    (similarity._batched_candidates); this burn-in now measures the
+    catalyst path at a sub-wall shape (1k x 1M = 10^9... still heavy;
+    1k) for a baseline, then the batched path at 10k and 100k."""
     from tablite_spark.pipeline.similarity import hard_negatives
-    print("== hardneg: 10k then 100k broadcast queries, 1M-doc corpus")
+    print("== hardneg: catalyst 1k baseline, batched 10k/100k; 1M corpus")
     dim = 64
     vec = F.transform(F.sequence(F.lit(1), F.lit(dim)),
                       lambda j: ((F.col("id") * 131 + j * 7919) % 1000
                                  / F.lit(500.0) - 1.0))
     corpus = spark.range(1_000_000).select(
         F.col("id").alias("vec_id"), vec.alias("embedding"))
-    for nq in (10_000, 100_000):
+
+    def run(nq, batched, label):
         q = spark.range(nq).select(
             (F.col("id") + 5_000_000).alias("vec_id"),
             vec.alias("embedding"))
@@ -138,10 +147,19 @@ def burnin_hardneg(spark):
             (F.col("id") % 1_000_000).alias("nid"))
         t0 = time.time()
         out = hard_negatives(corpus, q, k=4, id_col="vec_id",
-                             vec_col="embedding", exclude=excl)
+                             vec_col="embedding", exclude=excl,
+                             batched=batched)
         n = out.count()
         bcast_mb = nq * (dim * 8 + 16) / 1e6
-        _t(f"{nq} queries -> {n} rows (bcast ~{bcast_mb:.0f} MB)", t0)
+        _t(f"{label}: {nq} queries -> {n} rows (bcast ~{bcast_mb:.0f} MB)",
+           t0)
+        return n
+
+    n_cat = run(1_000, False, "catalyst")
+    n_bat = run(1_000, True, "batched")
+    assert n_cat == n_bat == 4_000, (n_cat, n_bat)  # same exact output
+    run(10_000, True, "batched")
+    run(100_000, True, "batched")
 
 
 def burnin_kmeans(spark):
