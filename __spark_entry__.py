@@ -1315,6 +1315,21 @@ def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
+def retention_cohorts_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events table: users
+    cohorted by the epoch-aligned week of their first event; each
+    (cohort, period) counts distinct users active that many weeks
+    later. One combinable min groupBy(user) + a user-keyed join + one
+    count_distinct groupBy — no windows, no per-user sequence state
+    (a hot cohort never funnels into one task)."""
+    from tablite_spark.operators.timeseries import retention_cohorts
+    out = retention_cohorts(_t(spark, sf, "events"), "ts", "user_id",
+                            "1 week")
+    return out.select(F.col("cohort_start").cast("timestamp")
+                      .alias("cohort_start"),
+                      "period", "n_users")
+
+
 def batched_topk_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Exact cosine top-k via the BLAS-batched kernel
     (`similarity.batched_topk`): one numpy matmul per (arrow batch,
@@ -3210,7 +3225,7 @@ _R8_WINDOW = [
     "tpz_reference_read", "stream_incremental_dedup_docs",
     "hdf5_foreign_read", "ohlc_resample_events", "funnel_events",
     "phrase_search_docs", "bloom_contamination_docs",
-    "batched_topk_embeddings",
+    "batched_topk_embeddings", "retention_cohorts_events",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3221,11 +3236,11 @@ _R8_WINDOW = [
     "token_budget_docs", "token_count_bpe", "transpose_region",
     "video_frames_meta", "vocab_shift_docs", "window_ntile",
     "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 22 that fit the 50-slot
-    #     budget after the 8 never-verified r8 queries — the remaining
-    #     28 r5 entries lead the r9 window: ivfpq_topk_embeddings,
-    #     media_features, melt_long, multimodal_decode,
-    #     pandas_roundtrip_agg,
+    # --- latest green = r5 (alphabetical; the 21 that fit the 50-slot
+    #     budget after the 9 never-verified r8 queries — the remaining
+    #     29 r5 entries lead the r9 window: is_sorted,
+    #     ivfpq_topk_embeddings, media_features, melt_long,
+    #     multimodal_decode, pandas_roundtrip_agg,
     #     replace_values..xround_buckets plus pagerank unpersist-path
     #     re-checks as they age)
     "c4_clean_docs", "count_value", "csv_roundtrip_agg",
@@ -3235,7 +3250,7 @@ _R8_WINDOW = [
     "gopher_repetition_docs", "groupby_accumulators",
     "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
-    "index_rowids", "is_sorted",
+    "index_rowids",
 ]
 
 
@@ -3331,6 +3346,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_docs": phrase_search_docs,
         "bloom_contamination_docs": bloom_contamination_docs,
         "batched_topk_embeddings": batched_topk_embeddings,
+        "retention_cohorts_events": retention_cohorts_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5398,6 +5414,25 @@ def _oracle_sql_base() -> dict[str, str]:
                             AS DOUBLE) AS sw
                 FROM documents WHERE LENGTH(TRIM(text)) > 0
             )
+        """,
+        "retention_cohorts_events": """
+            WITH cohort AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '7 days', MIN(ts),
+                                   TIMESTAMP '1970-01-01') AS cohort_start
+                FROM events GROUP BY user_id
+            ), active AS (
+                SELECT DISTINCT user_id,
+                       time_bucket(INTERVAL '7 days', ts,
+                                   TIMESTAMP '1970-01-01') AS bucket
+                FROM events
+            )
+            SELECT c.cohort_start,
+                   CAST(date_diff('second', c.cohort_start, a.bucket)
+                        / 604800 AS BIGINT) AS period,
+                   COUNT(DISTINCT a.user_id) AS n_users
+            FROM active a JOIN cohort c USING (user_id)
+            GROUP BY c.cohort_start, period
         """,
         "batched_topk_embeddings": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "funnel_events",
     "phrase_search_docs",
     "bloom_contamination_docs",
+    "batched_topk_embeddings",
 ]
 
 
@@ -501,7 +502,8 @@ def main() -> None:
                  "hard_negatives_embeddings", "pagerank_lineitem",
                  "snapshot_diff_docs"}
     new_in_r8 = {"ohlc_resample_events", "funnel_events",
-                 "phrase_search_docs", "bloom_contamination_docs"}
+                 "phrase_search_docs", "bloom_contamination_docs",
+                 "batched_topk_embeddings"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8), 3)

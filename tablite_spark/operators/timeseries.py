@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["ohlc_resample", "funnel"]
+__all__ = ["ohlc_resample", "funnel", "retention_cohorts"]
 
 
 def _order_key(ts_col: str, tiebreak: str | None):
@@ -109,3 +109,47 @@ def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
                .agg(F.min("ts_").alias(cols[i])))
         cur = cur.join(nxt, "user_id_", "left")
     return cur.withColumnRenamed("user_id_", user_col)
+
+
+def retention_cohorts(events: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      every: str = "1 week") -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the time bucket
+    of their FIRST event; for each (cohort_start, period) the matrix
+    counts the distinct cohort users active ``period`` buckets after
+    their cohort bucket (period 0 = the cohort bucket itself, so its
+    count is the cohort size).
+
+    Scale shape: cohorting is ONE combinable min(ts) groupBy(user);
+    activity buckets are a row-local ``F.window``; the join back is
+    user-keyed (hash, AQE-reusable with the groupBy exchange); the
+    matrix is one count_distinct(user) groupBy over (cohort, period)
+    rows that carry only ids — no event payloads, no window
+    functions, no per-user sequence state. A 100M-user cohort and a
+    3-user cohort cost the same plan; count_distinct shuffles
+    (cohort, period, user) once which partial aggregation already
+    deduplicated map-side.
+
+    ``every`` must be a fixed-length interval (weeks/days/hours —
+    calendar months vary in length and don't form an epoch-aligned
+    grid; use days for month-ish cohorts).
+    """
+    bucket = F.window(F.col(ts_col), every)["start"]
+    first = (events.groupBy(F.col(user_col).alias("user_"))
+             .agg(F.min(ts_col).alias("first_ts_")))
+    cohort = first.select(
+        "user_", F.window(F.col("first_ts_"), every)["start"]
+        .alias("cohort_start"))
+    active = events.select(F.col(user_col).alias("user_"),
+                           bucket.alias("bucket_")).distinct()
+    # bucket length in seconds, derived from `every` via a probe
+    # window (end - start) so callers never restate it
+    probe = F.window(F.lit("2000-06-15 12:00:00").cast("timestamp"), every)
+    blen = F.unix_timestamp(probe["end"]) - F.unix_timestamp(probe["start"])
+    joined = (active.join(cohort, "user_")
+              .withColumn("period",
+                          ((F.unix_timestamp("bucket_")
+                            - F.unix_timestamp("cohort_start"))
+                           / blen).cast("long")))
+    return (joined.groupBy("cohort_start", "period")
+            .agg(F.count_distinct("user_").alias("n_users")))

@@ -100,6 +100,40 @@ def test_funnel_strict_order(spark):
     assert out[3]["t_click"] is None and out[3]["t_purchase"] is None
 
 
+def test_retention_cohorts(spark):
+    from tablite_spark.operators.timeseries import retention_cohorts
+    d = dt.datetime
+    rows = [
+        # u1 first in week of 2024-01-04 (thu-aligned spark weeks),
+        # active again 1 and 3 weeks later
+        (1, d(2024, 1, 5)), (1, d(2024, 1, 12)), (1, d(2024, 1, 26)),
+        # u2 same cohort, only the first week
+        (2, d(2024, 1, 6)),
+        # u3 next cohort, active next week too
+        (3, d(2024, 1, 11)), (3, d(2024, 1, 18)),
+        # u1 twice in one bucket must count once
+        (1, d(2024, 1, 5, 9)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r["cohort_start"].date().isoformat(), r["period"]): r["n_users"]
+           for r in retention_cohorts(df, "ts", "user_id",
+                                      "1 week").collect()}
+    assert out[("2024-01-04", 0)] == 2      # u1 + u2
+    assert out[("2024-01-04", 1)] == 1      # u1
+    assert out[("2024-01-04", 3)] == 1      # u1
+    assert out[("2024-01-11", 0)] == 1      # u3
+    assert out[("2024-01-11", 1)] == 1      # u3
+    assert ("2024-01-04", 2) not in out
+    # day-sized buckets: the bucket-length probe must yield 86400 s
+    day = {(r["cohort_start"].date().isoformat(), r["period"]): r["n_users"]
+           for r in retention_cohorts(df, "ts", "user_id",
+                                      "1 day").collect()}
+    assert day[("2024-01-05", 7)] == 1      # u1 a week after day-cohort
+    plan = retention_cohorts(df, "ts", "user_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
 def test_phrase_search_overlaps_and_dup_words(spark):
     from tablite_spark.pipeline.retrieval import phrase_search
     rows = [
