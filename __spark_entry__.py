@@ -1315,6 +1315,26 @@ def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
+def bpe_train_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE vocabulary training (`bpe.train_bpe_distributed`
+    — corpus-wide word census then one combinable pair-count groupBy +
+    one argmax row + a row-local merge fold per round, word table
+    localCheckpoint-pinned with deterministic release). Fixture is
+    derived-invariant: three single-word doc classes whose merge
+    sequence is closed-form, INCLUDING a second-round merge ('a'+'ab')
+    whose pair only exists because round 1 created it — the oracle
+    replays the counts from the band definition; the interacting
+    semantics are additionally pinned against the serial `train_bpe`
+    in pytest."""
+    from tablite_spark.pipeline.bpe import train_bpe_distributed
+    d = _t(spark, sf, "documents")
+    fixture = d.select(
+        F.when(F.col("doc_id") % 10 < 5, F.lit("aab"))
+         .when(F.col("doc_id") % 10 < 8, F.lit("cd"))
+         .otherwise(F.lit("pqrs")).alias("text"))
+    return train_bpe_distributed(fixture, "text", 3)
+
+
 def retention_cohorts_events(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly cohort retention matrix over the events table: users
     cohorted by the epoch-aligned week of their first event; each
@@ -3226,6 +3246,7 @@ _R8_WINDOW = [
     "hdf5_foreign_read", "ohlc_resample_events", "funnel_events",
     "phrase_search_docs", "bloom_contamination_docs",
     "batched_topk_embeddings", "retention_cohorts_events",
+    "bpe_train_docs",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3236,10 +3257,10 @@ _R8_WINDOW = [
     "token_budget_docs", "token_count_bpe", "transpose_region",
     "video_frames_meta", "vocab_shift_docs", "window_ntile",
     "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 21 that fit the 50-slot
-    #     budget after the 9 never-verified r8 queries — the remaining
-    #     29 r5 entries lead the r9 window: is_sorted,
-    #     ivfpq_topk_embeddings, media_features, melt_long,
+    # --- latest green = r5 (alphabetical; the 20 that fit the 50-slot
+    #     budget after the 10 never-verified r8 queries — the
+    #     remaining 30 r5 entries lead the r9 window: index_rowids,
+    #     is_sorted, ivfpq_topk_embeddings, media_features, melt_long,
     #     multimodal_decode, pandas_roundtrip_agg,
     #     replace_values..xround_buckets plus pagerank unpersist-path
     #     re-checks as they age)
@@ -3250,7 +3271,6 @@ _R8_WINDOW = [
     "gopher_repetition_docs", "groupby_accumulators",
     "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
-    "index_rowids",
 ]
 
 
@@ -3347,6 +3367,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination_docs": bloom_contamination_docs,
         "batched_topk_embeddings": batched_topk_embeddings,
         "retention_cohorts_events": retention_cohorts_events,
+        "bpe_train_docs": bpe_train_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5414,6 +5435,20 @@ def _oracle_sql_base() -> dict[str, str]:
                             AS DOUBLE) AS sw
                 FROM documents WHERE LENGTH(TRIM(text)) > 0
             )
+        """,
+        "bpe_train_docs": """
+            WITH n AS (
+                SELECT COUNT(*) FILTER (WHERE doc_id % 10 < 5) AS n1,
+                       COUNT(*) FILTER (WHERE doc_id % 10 >= 5
+                                        AND doc_id % 10 < 8) AS n2
+                FROM documents
+            )
+            SELECT CAST(1 AS INTEGER) AS merge_rank, 'a' AS mleft,
+                   'b' AS mright, n1 AS pair_count FROM n
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'a', 'ab', n1 FROM n
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'c', 'd', n2 FROM n
         """,
         "retention_cohorts_events": """
             WITH cohort AS (

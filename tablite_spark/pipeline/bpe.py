@@ -299,3 +299,109 @@ def save_bpe_files(vocab: dict[str, int],
         f.write("#version: 0.2\n")
         for a, b in merges:
             f.write(f"{a} {b}\n")
+
+
+def train_bpe_distributed(df: DataFrame, text_col: str, n_merges: int,
+                          min_word_freq: int = 1) -> DataFrame:
+    """Distributed BPE vocabulary training — the 100 TB path that
+    ``train_bpe`` (driver-side, sample-level) documents but doesn't
+    provide: learn the merge table from the ENTIRE corpus, not a
+    sample.
+
+    Same algorithm and the same determinism contract as
+    :func:`train_bpe` (GPT-2 byte→unicode remap + exact ``_pretok``
+    segmentation; ties broken max-count, then SHORTEST merged string,
+    then lexicographically LARGEST pair — asserted equal in
+    ``tests/test_pipeline.py``). Returns a DataFrame
+    ``(merge_rank, mleft, mright, pair_count)`` with one row per
+    learned merge, in merge order.
+
+    Scale shape — the classic division BPE training admits:
+
+    * ONE corpus-sized pass: pre-tokenize (Arrow-batched pandas UDF,
+      the exact GPT-2 regex has no Java-regex equivalent) + one
+      combinable ``groupBy(word)`` count. 100 TB of text reduces to
+      a word-frequency table bounded by the DISTINCT word count
+      (~10⁶–10⁷ rows for natural language — Heaps' law), which is
+      what every later step runs on; corpus text is never re-read.
+    * Per merge: one combinable pair-count ``groupBy`` over the word
+      table (adjacent symbol pairs weighted by word freq — partial
+      aggregation absorbs hot pairs map-side), ONE argmax row to the
+      driver (``orderBy().first()`` = TakeOrdered, no full sort),
+      and a row-local ``F.aggregate`` fold applying the merge
+      leftmost-greedy inside each word (whole-symbol equality, so a
+      token produced by this merge never re-matches as its own left
+      side — byte-identical to the serial pass). The word table is
+      ``localCheckpoint``-pinned each round with deterministic
+      release of the previous round's blocks (the pagerank pattern),
+      so plans and executor storage stay O(1) in ``n_merges``.
+
+    The merge loop is inherently sequential (each argmax depends on
+    the previous merge) — like the classifier's GD, cost is
+    ~(1 pair-census job + 1 checkpoint) × n_merges over the SMALL
+    word table, independent of corpus size after the first pass.
+    ``min_word_freq`` prunes the word-table tail (hapaxes can't win
+    merges over a real corpus but can triple the table size).
+    """
+    from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
+
+    b2u = bytes_to_unicode()
+
+    @F.pandas_udf("array<string>")
+    def _words(s: pd.Series) -> pd.Series:
+        pat = _pretok()
+        return s.map(lambda t: [] if t is None else
+                     ["".join(b2u[b] for b in m.encode("utf-8"))
+                      for m in pat.findall(t)])
+
+    words = (df.select(F.explode(_words(F.col(text_col))).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    if min_word_freq > 1:
+        words = words.filter(F.col("freq") >= min_word_freq)
+    # symbols start as single characters of the remapped word
+    words = words.select(
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1))).alias("sym"))
+    words = words.localCheckpoint()
+    prev = words
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        pairs = (words
+                 .filter(F.size("sym") > 1)
+                 .select("freq", F.explode(F.transform(
+                     F.sequence(F.lit(1), F.size("sym") - 1),
+                     lambda i: F.struct(
+                         F.element_at("sym", i).alias("l"),
+                         F.element_at("sym", i + F.lit(1)).alias("r"))))
+                     .alias("p"))
+                 .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                 .agg(F.sum("freq").alias("c")))
+        best = (pairs.orderBy(F.col("c").desc(),
+                              F.length(F.concat("l", "r")).asc(),
+                              F.col("l").desc(), F.col("r").desc())
+                .first())
+        if best is None:
+            break
+        a, b, cnt = best["l"], best["r"], int(best["c"])
+        merges.append((r, a, b, cnt))
+        ab = a + b
+        fold = F.aggregate(
+            "sym", F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(ab)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        words = words.select("freq", fold.alias("sym")).localCheckpoint()
+        unpersist_local_checkpoint(prev)
+        prev = words
+    unpersist_local_checkpoint(prev)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, mleft string, mright string, "
+                "pair_count long")

@@ -1015,6 +1015,61 @@ def test_bpe_train_and_count_hand_verified():
     assert tok.decode(tok.encode("low lowx wol")) == "low lowx wol"
 
 
+def test_bpe_train_distributed_matches_serial(spark):
+    """The distributed trainer must learn the IDENTICAL merge
+    sequence as the serial train_bpe — same pretokenization, same
+    tie-break (count desc, shortest merged string, lexicographically
+    largest pair), same leftmost-greedy merge application, including
+    merges over symbols earlier merges created and overlapping-pair
+    words ('aaa')."""
+    from tablite_spark.pipeline.bpe import train_bpe, train_bpe_distributed
+    texts = (["the cat sat on the mat", "the dog ate the cat food",
+              "aaa banana bandana", "the the the"] * 3
+             + ["unique words here", "aab aab ab"])
+    _, serial = train_bpe(texts, 256 + 10)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = train_bpe_distributed(df, "text", 10).collect()
+    dist = [(r["mleft"], r["mright"]) for r in
+            sorted(out, key=lambda r: r["merge_rank"])]
+    assert dist == serial
+    assert [r["merge_rank"] for r in
+            sorted(out, key=lambda r: r["merge_rank"])] == list(range(1, 11))
+
+
+def test_bpe_train_distributed_releases_checkpoints(spark):
+    """The per-merge localCheckpoint chain must not leak executor
+    storage: after the call returns, no checkpoint blocks remain
+    (the pagerank deterministic-release pattern)."""
+    from tablite_spark.pipeline.bpe import train_bpe_distributed
+    df = spark.createDataFrame([("ababab",)] * 4, "text string")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    train_bpe_distributed(df, "text", 3).collect()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before
+
+
+def test_bpe_train_distributed_learned_vocab_encodes(spark, tmp_path):
+    """Learned merges round-trip through the GPT-2 file format and
+    drive BPETokenizer encode/decode exactly."""
+    from tablite_spark.pipeline.bpe import (
+        BPETokenizer, bytes_to_unicode, save_bpe_files,
+        train_bpe_distributed,
+    )
+    df = spark.createDataFrame([("low low low",)] * 2, "text string")
+    merges = [(r["mleft"], r["mright"]) for r in sorted(
+        train_bpe_distributed(df, "text", 3).collect(),
+        key=lambda r: r["merge_rank"])]
+    assert merges == [("o", "w"), ("l", "ow"), ("Ġ", "low")]
+    toks = [bytes_to_unicode()[b] for b in range(256)] \
+        + [a + b for a, b in merges]
+    vocab = {t: i for i, t in enumerate(toks)}
+    vp, mp = str(tmp_path / "v.json"), str(tmp_path / "m.txt")
+    save_bpe_files(vocab, merges, vp, mp)
+    tok = BPETokenizer.from_files(vp, mp)
+    assert tok.count("low low") == 2
+    assert tok.decode(tok.encode("low lowx")) == "low lowx"
+
+
 def test_bpe_roundtrip_unicode_and_gpt2_file_format(tmp_path):
     """Byte alphabet covers every input: encode/decode is exact for
     arbitrary unicode; GPT-2 vocab.json+merges.txt load path produces
