@@ -182,8 +182,36 @@ def burnin_kmeans(spark):
           f"{max(abs(c) for row in cents for c in row)}")
 
 
+def burnin_bpe(spark):
+    """Distributed BPE training at corpus scale: 1M docs x 12 words
+    from a 50k-distinct-word population -> the census must reduce
+    12M word occurrences to a 50k-row table in one combinable pass,
+    then 30 merge rounds must hold a flat per-round cost (pair census
+    + argmax + fold + checkpoint over the SMALL table) with O(1)
+    cached blocks."""
+    from tablite_spark.pipeline.bpe import train_bpe_distributed
+    print("== bpe: 1M docs, ~50k distinct words, 30 merges")
+    text = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda j: F.concat(F.lit("w"),
+                           ((F.col("id") * 31 + j * 7) % 50_000)
+                           .cast("string"))))
+    docs = spark.range(1_000_000).select(text.alias("text"))
+    t0 = time.time()
+    merges = train_bpe_distributed(docs, "text", 30)
+    rows = merges.collect()
+    _t(f"census + 30 merges -> {len(rows)} merges", t0)
+    assert len(rows) == 30
+    # digits dominate: the first merges glue digit pairs
+    print("    first merges:",
+          [(r["mleft"], r["mright"]) for r in rows[:5]])
+    jsc = spark.sparkContext._jsc.sc()
+    print(f"    persistent RDDs after run: {jsc.getPersistentRDDs().size()}")
+
+
 ALL = {"pagerank": burnin_pagerank, "incdedup": burnin_incdedup,
-       "hardneg": burnin_hardneg, "kmeans": burnin_kmeans}
+       "hardneg": burnin_hardneg, "kmeans": burnin_kmeans,
+       "bpe": burnin_bpe}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(ALL)
