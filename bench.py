@@ -564,15 +564,15 @@ def main() -> None:
     # decimal is what used to overflow the driver's 1900-char window
     compact["queries"] = {k: round(v, 2)
                           for k, v in compact["queries"].items()}
-    # 1990 + newline fits the driver's last-2000-chars stdout window
+    # 1995 + newline fits the driver's last-2000-chars stdout window
     # (nothing prints after this line; Spark logs go to stderr)
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1990:
+    if len(line) > 1995:
         # shed the DERIVED subtotal before any real timing — it stays
         # in the committed meta file
         compact.pop("r2_comparable_total", None)
         line = json.dumps(compact, separators=(",", ":"))
-    while len(line) > 1990 and compact["queries"]:
+    while len(line) > 1995 and compact["queries"]:
         # last resort: drop the fastest entries; totals keep the record
         drop = min(compact["queries"], key=compact["queries"].get)
         del compact["queries"][drop]
