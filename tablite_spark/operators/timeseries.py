@@ -12,7 +12,7 @@ absorbs hot keys map-side and only (group, 2×value) pairs shuffle.
 """
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ohlc_resample", "funnel", "retention_cohorts"]

@@ -35,6 +35,35 @@ def tumbling_counts(events: DataFrame, ts_col: str = "ts",
                  F.sum("value").alias("total_value")))
 
 
+def streaming_ohlc(events: DataFrame, ts_col: str = "ts",
+                   val_col: str = "value", every: str = "1 hour",
+                   watermark: str = "2 hours",
+                   by: list[str] | None = None,
+                   tiebreak: str | None = None) -> DataFrame:
+    """Watermarked streaming OHLC bars — the streaming form of
+    ``operators.timeseries.ohlc_resample`` (the oracled batch twin:
+    same combinable min_by/max_by/min/max/count/sum state, same
+    deterministic (ts, id) open/close tie key). State is one row per
+    (group, bucket) bounded by the watermark horizon; late rows
+    beyond it are dropped, bars finalize (append mode) when the
+    watermark passes the bucket end."""
+    from tablite_spark.operators.timeseries import _order_key
+    by = list(by or [])
+    key = _order_key(ts_col, tiebreak)
+    v = F.col(val_col)
+    out = (events.withWatermark(ts_col, watermark)
+           .groupBy(*by, F.window(F.col(ts_col), every).alias("w"))
+           .agg(F.min_by(v, key).alias("open"),
+                F.max(v).alias("high"),
+                F.min(v).alias("low"),
+                F.max_by(v, key).alias("close"),
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(v).alias("sum_value")))
+    return out.select(*by, F.col("w.start").alias("bucket_start"),
+                      "open", "high", "low", "close", "n_events",
+                      "sum_value")
+
+
 def session_aggregate(events: DataFrame, ts_col: str = "ts",
                       gap: str = "30 minutes",
                       watermark: str = "2 hours",

@@ -54,6 +54,29 @@ def test_tumbling_counts_stream(spark, stream_dir, tmp_path):
     assert by_start["2024-01-01 02:00:00"] == 1
 
 
+def test_streaming_ohlc_matches_batch_twin(spark, stream_dir, tmp_path):
+    """Streaming OHLC bars (complete mode over an availableNow drain)
+    must equal the oracled batch twin on the same rows — same
+    combinable state, same (ts, event_id) open/close tie key."""
+    from tablite_spark.operators.timeseries import ohlc_resample
+    from tablite_spark.streaming.ops import streaming_ohlc
+    src = stream_from_directory(spark, stream_dir, SCHEMA)
+    bars = streaming_ohlc(src, every="1 hour", tiebreak="event_id")
+    _run_to_completion(bars, tmp_path, "ohlc")
+    got = {str(r["bucket_start"]):
+           (r["open"], r["high"], r["low"], r["close"],
+            r["n_events"], r["sum_value"])
+           for r in spark.sql("SELECT * FROM ohlc").collect()}
+    batch = spark.read.parquet(stream_dir)
+    want = {str(r["bucket_start"]):
+            (r["open"], r["high"], r["low"], r["close"],
+             r["n_events"], r["sum_value"])
+            for r in ohlc_resample(batch, "ts", "value", "1 hour",
+                                   tiebreak="event_id").collect()}
+    assert got == want and len(got) == 2
+    assert got["2024-01-01 00:00:00"] == (10.0, 10.0, 5.0, 5.0, 3, 22.0)
+
+
 def test_session_window_stream(spark, stream_dir, tmp_path):
     src = stream_from_directory(spark, stream_dir, SCHEMA)
     agg = session_aggregate(src, gap="30 minutes")
