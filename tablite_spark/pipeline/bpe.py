@@ -11,11 +11,14 @@ GPT-2 byte-to-unicode variant) from scratch:
   + ``merges.txt`` (ranked merge pairs) and encodes exactly: byte ->
   unicode remap, pre-tokenize, greedy lowest-rank merges.
 * ``train_bpe`` — the classic training loop (iterated best-pair
-  merge over a word-frequency table).  Tokenizer training is a
-  sample-level task even at 100 TB corpora (industry practice trains
-  on <=10 GB samples); the word-frequency table it consumes can be
-  built distributed via ``vocab_top_ngrams``-style aggregation and
-  collected, so only the merge loop is driver-side.
+  merge over a word-frequency table), driver-side for sample-level
+  training (industry practice often trains on <=10 GB samples).
+* ``train_bpe_distributed`` — the same algorithm with the corpus
+  census AND the merge loop distributed (one combinable word count
+  over the corpus, then per merge one pair-count groupBy over the
+  distinct-word table + a row-local merge fold); learns from the
+  ENTIRE corpus and is asserted merge-for-merge equal to
+  ``train_bpe``.
 
 The container has no tiktoken/tokenizers wheel, so exactness against
 a published vocab is exercised with vocabularies produced by
