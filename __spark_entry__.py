@@ -1315,6 +1315,24 @@ def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
+def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance self-join of customer names at d=1 via PassJoin
+    segment blocking (`operators/fuzzy.py`): explode to (length,
+    segment, text) keys -> equi join -> levenshtein verify — never a
+    cross join (plan-gated), no false negatives (pigeonhole). The
+    18-char names share a 9-char prefix, the adversarial hot-key
+    shape; the oracle recomputes ground truth with a brute-force
+    DuckDB cross join, so ANY candidate miss mismatches."""
+    from tablite_spark.operators.fuzzy import fuzzy_join
+    c = _t(spark, sf, "customer")
+    out = fuzzy_join(c, c, "c_name", "c_name", max_distance=1,
+                     left_id="c_custkey", right_id="c_custkey")
+    return (out.filter(F.col("l_id") < F.col("r_id"))
+            .select(F.col("l_id").cast("long").alias("l_id"),
+                    F.col("r_id").cast("long").alias("r_id"),
+                    F.col("dist").cast("int").alias("dist")))
+
+
 def bpe_train_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE vocabulary training (`bpe.train_bpe_distributed`
     — corpus-wide word census then one combinable pair-count groupBy +
@@ -3246,7 +3264,7 @@ _R8_WINDOW = [
     "hdf5_foreign_read", "ohlc_resample_events", "funnel_events",
     "phrase_search_docs", "bloom_contamination_docs",
     "batched_topk_embeddings", "retention_cohorts_events",
-    "bpe_train_docs",
+    "bpe_train_docs", "fuzzy_join_customers",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3257,20 +3275,22 @@ _R8_WINDOW = [
     "token_budget_docs", "token_count_bpe", "transpose_region",
     "video_frames_meta", "vocab_shift_docs", "window_ntile",
     "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 20 that fit the 50-slot
-    #     budget after the 10 never-verified r8 queries — the
-    #     remaining 30 r5 entries lead the r9 window: index_rowids,
-    #     is_sorted, ivfpq_topk_embeddings, media_features, melt_long,
+    # --- latest green = r5 (alphabetical; the 19 that fit the 50-slot
+    #     budget after the 11 never-verified r8 queries — the
+    #     remaining 31 r5 entries lead the r9 window:
+    #     imputation_nn_lsh, index_rowids, is_sorted,
+    #     ivfpq_topk_embeddings, media_features, melt_long,
     #     multimodal_decode, pandas_roundtrip_agg,
     #     replace_values..xround_buckets plus pagerank unpersist-path
-    #     re-checks as they age)
+    #     re-checks as they age; ALL 130 out-of-window entries were
+    #     locally oracle-swept green on r8 code — see PLANS.md)
     "c4_clean_docs", "count_value", "csv_roundtrip_agg",
     "date_range_expand", "dedup_exact", "diff_tables", "distinct_keys",
     "doc_fingerprint", "drop_rows", "embedding_topk",
     "gopher_dup_ngrams_docs", "gopher_quality_docs",
     "gopher_repetition_docs", "groupby_accumulators",
     "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
-    "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
+    "imputation_ffill", "imputation_mean",
 ]
 
 
@@ -3368,6 +3388,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batched_topk_embeddings": batched_topk_embeddings,
         "retention_cohorts_events": retention_cohorts_events,
         "bpe_train_docs": bpe_train_docs,
+        "fuzzy_join_customers": fuzzy_join_customers,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5435,6 +5456,14 @@ def _oracle_sql_base() -> dict[str, str]:
                             AS DOUBLE) AS sw
                 FROM documents WHERE LENGTH(TRIM(text)) > 0
             )
+        """,
+        "fuzzy_join_customers": """
+            SELECT a.c_custkey AS l_id, b.c_custkey AS r_id,
+                   CAST(levenshtein(a.c_name, b.c_name) AS INTEGER)
+                       AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "bpe_train_docs": """
             WITH n AS (

@@ -1,0 +1,125 @@
+"""Edit-distance fuzzy join (record linkage / entity resolution —
+beyond the reference: tablite's joins are exact-key only; linking
+dirty catalogs at 100 TB needs a similarity join that never goes
+all-pairs).
+
+EXACT semantics via segment blocking (the PassJoin recipe, Li et al.
+2011, public): split every left string into ``d+1`` contiguous
+segments — if ``edit_distance(L, R) <= d`` then by pigeonhole at
+least one segment of L appears in R VERBATIM, shifted by at most
+``d`` positions. Candidates are therefore an equi join on
+``(left_length, segment_index, segment_text)`` against the right
+side's enumerated substrings of the matching segment geometry, and a
+final JVM-side ``levenshtein`` pass keeps true pairs. No false
+negatives (the pigeonhole guarantee), no cross join — the plan is
+explode → hash join → filter, all codegen expressions.
+
+Scale shape: each left row emits ``d+1`` keys; each right row emits
+``(2d+1) lengths × (d+1) segments × (≤2d+1) positions`` keys (~45 at
+d=2) — linear in rows, constant per row. Hot segments (shared
+prefixes like "Customer#000") degrade blocking toward the true pair
+volume, which is the data's intrinsic output size, not an artifact;
+AQE's skew-join handles the hot keys. Strings of length ``<= d``
+route through a bounded short-string block (anything within distance
+d of them has length ``<= 2d``).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fuzzy_join"]
+
+
+def _seg_start(length, i, parts):
+    # 1-based start of segment i in a string of `length` chars split
+    # into `parts` even segments (floor geometry, matches both sides)
+    return F.floor(length * i / parts) + 1
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_col: str, right_col: str,
+               max_distance: int = 1,
+               left_id: str | None = None,
+               right_id: str | None = None) -> DataFrame:
+    """All (left, right) pairs with ``levenshtein <= max_distance``.
+
+    Returns ``(l_id, r_id, l_val, r_val, dist)`` (the id columns are
+    the value columns when ``left_id``/``right_id`` are omitted).
+    Exact — verified against a brute-force cross join in tests and
+    against a DuckDB cross-join oracle.
+    """
+    d = int(max_distance)
+    if d < 0:
+        raise ValueError("max_distance must be >= 0")
+    parts = d + 1
+    lid = left_id or left_col
+    rid = right_id or right_col
+    lv, rv = F.col("l_val"), F.col("r_val")
+
+    l0 = (left.select(F.col(lid).alias("l_id"),
+                      F.col(left_col).alias("l_val"))
+          .filter(lv.isNotNull()))
+    r0 = (right.select(F.col(rid).alias("r_id"),
+                       F.col(right_col).alias("r_val"))
+          .filter(rv.isNotNull()))
+
+    ln, rn = F.length(lv), F.length(rv)
+
+    # --- left: one key per segment; short strings get a fixed key
+    segs = F.transform(
+        F.sequence(F.lit(0), F.lit(d)),
+        lambda i: F.struct(
+            ln.alias("klen"), i.alias("kseg"),
+            lv.substr(_seg_start(ln, i, parts),
+                      _seg_start(ln, i + 1, parts) - _seg_start(ln, i, parts))
+            .alias("ktext")))
+    l_keys = l0.select(
+        "l_id", "l_val",
+        F.explode(F.when(ln <= d, F.array(F.struct(
+            F.lit(-1).cast("bigint").alias("klen"),
+            F.lit(-1).alias("kseg"), F.lit("").alias("ktext"))))
+            .otherwise(segs)).alias("k"))
+
+    # --- right: substrings matching every compatible left geometry
+    def right_keys_expr():
+        lmin = F.greatest(rn - d, F.lit(parts))  # normal path: len > d
+        lmax = rn + d
+        per_len = F.transform(
+            F.sequence(lmin, lmax),
+            lambda L: F.flatten(F.transform(
+                F.sequence(F.lit(0), F.lit(d)),
+                lambda i: _positions(L, i))))
+        return F.flatten(F.when(lmin <= lmax, per_len)
+                         .otherwise(F.array().cast(
+                             "array<array<struct<klen:bigint,"
+                             "kseg:int,ktext:string>>>")))
+
+    def _positions(L, i):
+        s = _seg_start(L, i, parts)
+        slen = _seg_start(L, i + 1, parts) - s
+        pmin = F.greatest(s - d, F.lit(1))
+        pmax = F.least(rn - slen + 1, s + d)
+        return (F.when((slen > 0) & (pmin <= pmax), F.transform(
+            F.sequence(pmin, pmax),
+            lambda p: F.struct(L.cast("bigint").alias("klen"),
+                               i.cast("int").alias("kseg"),
+                               rv.substr(p, slen).alias("ktext"))))
+            .otherwise(F.array().cast(
+                "array<struct<klen:bigint,kseg:int,ktext:string>>")))
+
+    short_r = F.array(F.struct(F.lit(-1).cast("bigint").alias("klen"),
+                               F.lit(-1).alias("kseg"),
+                               F.lit("").alias("ktext")))
+    r_all = F.when(rn <= 2 * d,
+                   F.concat(short_r, right_keys_expr())) \
+        .otherwise(right_keys_expr())
+    r_keys = r0.select("r_id", "r_val",
+                       F.explode(F.array_distinct(r_all)).alias("k"))
+
+    cand = (l_keys.join(r_keys, l_keys["k"] == r_keys["k"])
+            .select("l_id", "l_val", "r_id", "r_val")
+            .dropDuplicates(["l_id", "r_id"]))
+    return (cand.withColumn("dist", F.levenshtein(lv, rv))
+            .filter(F.col("dist") <= d)
+            .select("l_id", "r_id", "l_val", "r_val", "dist"))

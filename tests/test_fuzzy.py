@@ -1,0 +1,72 @@
+"""Edit-distance fuzzy join (PassJoin segment blocking) — exactness
+vs brute force, adversarial shapes, and the no-cross-join plan gate.
+Beyond the reference (tablite joins are exact-key only)."""
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from tablite_spark.operators.fuzzy import fuzzy_join
+
+
+def _brute(spark, df, d):
+    return {(r["a"], r["b"]) for r in
+            df.alias("x").crossJoin(df.selectExpr("w as w2").alias("y"))
+            .select(F.col("w").alias("a"), F.col("w2").alias("b"),
+                    F.levenshtein("w", "w2").alias("dd"))
+            .filter(F.col("dd") <= d).collect()}
+
+
+@pytest.mark.parametrize("d", [0, 1, 2])
+def test_fuzzy_join_matches_brute_force(spark, d):
+    rnd = random.Random(5)
+    base = ["table", "spark", "fuzzy", "join", "distance", "a", "ab",
+            "", "record"]
+    words = set()
+    for w in base:
+        words.add(w)
+        for _ in range(6):
+            x = list(w)
+            op = rnd.choice(["ins", "del", "sub"])
+            if op == "ins" or not x:
+                x.insert(rnd.randrange(len(x) + 1), rnd.choice("abcdef"))
+            elif op == "del":
+                del x[rnd.randrange(len(x))]
+            else:
+                x[rnd.randrange(len(x))] = rnd.choice("abcdef")
+            words.add("".join(x))
+    df = spark.createDataFrame([(w,) for w in sorted(words)], "w string")
+    got = {(r["l_id"], r["r_id"]) for r in
+           fuzzy_join(df, df, "w", "w", max_distance=d).collect()}
+    assert got == _brute(spark, df, d)
+
+
+def test_fuzzy_join_shared_prefix_and_ids(spark):
+    """Customer#-style shared prefixes (hot blocking keys) must stay
+    exact; distinct id columns ride through."""
+    rows = [(i, f"Customer#{i:04d}") for i in range(50)]
+    df = spark.createDataFrame(rows, "cid long, name string")
+    out = fuzzy_join(df, df, "name", "name", max_distance=1,
+                     left_id="cid", right_id="cid").collect()
+    got = {(r["l_id"], r["r_id"]) for r in out}
+    # distance<=1 == ids whose 4-digit forms differ in <=1 position
+    want = {(i, j) for i in range(50) for j in range(50)
+            if sum(a != b for a, b in
+                   zip(f"{i:04d}", f"{j:04d}")) <= 1}
+    assert got == want
+    assert all(r["dist"] in (0, 1) for r in out)
+
+
+def test_fuzzy_join_no_cross_join_in_plan(spark):
+    """The candidate stage must be an equi join on segment keys —
+    never a cartesian/BNL product."""
+    df = spark.createDataFrame([("abc",), ("abd",)], "w string")
+    plan = fuzzy_join(df, df, "w", "w", 1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_fuzzy_join_nulls_dropped(spark):
+    df = spark.createDataFrame([("abc",), (None,)], "w string")
+    out = fuzzy_join(df, df, "w", "w", 1).collect()
+    assert {(r["l_val"], r["r_val"]) for r in out} == {("abc", "abc")}
