@@ -1315,6 +1315,24 @@ def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
+def interpolate_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Series alignment: each error event gets the user's click-value
+    linearly interpolated at the error's timestamp (two asof passes —
+    union + ordered carry, one group-keyed shuffle each — then a
+    row-local lerp; null outside the sampled range). Oracled against
+    DuckDB's native ASOF joins both directions + the same IEEE lerp."""
+    from tablite_spark.operators.timeseries import interpolate_at
+    e = _t(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    out = interpolate_at(clicks, errors, "ts", "value",
+                         by=["user_id"], method="linear")
+    return out.select("event_id",
+                      F.round(F.col("value"), 4).alias("value"))
+
+
 def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join of customer names at d=1 via PassJoin
     segment blocking (`operators/fuzzy.py`): explode to (length,
@@ -3264,7 +3282,7 @@ _R8_WINDOW = [
     "hdf5_foreign_read", "ohlc_resample_events", "funnel_events",
     "phrase_search_docs", "bloom_contamination_docs",
     "batched_topk_embeddings", "retention_cohorts_events",
-    "bpe_train_docs", "fuzzy_join_customers",
+    "bpe_train_docs", "fuzzy_join_customers", "interpolate_events",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3275,14 +3293,14 @@ _R8_WINDOW = [
     "token_budget_docs", "token_count_bpe", "transpose_region",
     "video_frames_meta", "vocab_shift_docs", "window_ntile",
     "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 19 that fit the 50-slot
-    #     budget after the 11 never-verified r8 queries — the
-    #     remaining 31 r5 entries lead the r9 window:
+    # --- latest green = r5 (alphabetical; the 18 that fit the 50-slot
+    #     budget after the 12 never-verified r8 queries — the
+    #     remaining 32 r5 entries lead the r9 window: imputation_mean,
     #     imputation_nn_lsh, index_rowids, is_sorted,
     #     ivfpq_topk_embeddings, media_features, melt_long,
     #     multimodal_decode, pandas_roundtrip_agg,
     #     replace_values..xround_buckets plus pagerank unpersist-path
-    #     re-checks as they age; ALL 130 out-of-window entries were
+    #     re-checks as they age; ALL out-of-window entries were
     #     locally oracle-swept green on r8 code — see PLANS.md)
     "c4_clean_docs", "count_value", "csv_roundtrip_agg",
     "date_range_expand", "dedup_exact", "diff_tables", "distinct_keys",
@@ -3290,7 +3308,7 @@ _R8_WINDOW = [
     "gopher_dup_ngrams_docs", "gopher_quality_docs",
     "gopher_repetition_docs", "groupby_accumulators",
     "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
-    "imputation_ffill", "imputation_mean",
+    "imputation_ffill",
 ]
 
 
@@ -3389,6 +3407,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts_events": retention_cohorts_events,
         "bpe_train_docs": bpe_train_docs,
         "fuzzy_join_customers": fuzzy_join_customers,
+        "interpolate_events": interpolate_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5456,6 +5475,34 @@ def _oracle_sql_base() -> dict[str, str]:
                             AS DOUBLE) AS sw
                 FROM documents WHERE LENGTH(TRIM(text)) > 0
             )
+        """,
+        "interpolate_events": """
+            WITH s AS (
+                SELECT user_id, ts, MAX(value) AS v FROM events
+                WHERE event_type = 'click' GROUP BY user_id, ts
+            ), t AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'error'
+            ), b AS (
+                SELECT t.event_id, t.ts, s.ts AS pts, s.v AS pv
+                FROM t ASOF LEFT JOIN s
+                  ON t.user_id = s.user_id AND s.ts <= t.ts
+            ), f AS (
+                SELECT t.event_id, s.ts AS nts, s.v AS nv
+                FROM t ASOF LEFT JOIN s
+                  ON t.user_id = s.user_id AND s.ts >= t.ts
+            )
+            SELECT b.event_id,
+                   ROUND(CASE
+                       WHEN pts IS NULL OR nts IS NULL THEN NULL
+                       WHEN pts = nts THEN pv
+                       ELSE pv + (nv - pv) *
+                            ((CAST(epoch_us(b.ts) AS DOUBLE)
+                              - CAST(epoch_us(pts) AS DOUBLE))
+                             / (CAST(epoch_us(nts) AS DOUBLE)
+                                - CAST(epoch_us(pts) AS DOUBLE)))
+                   END, 4) AS value
+            FROM b JOIN f USING (event_id)
         """,
         "fuzzy_join_customers": """
             SELECT a.c_custkey AS l_id, b.c_custkey AS r_id,

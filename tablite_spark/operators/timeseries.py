@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ohlc_resample", "funnel", "retention_cohorts"]
+__all__ = ["ohlc_resample", "funnel", "retention_cohorts",
+           "interpolate_at"]
 
 
 def _order_key(ts_col: str, tiebreak: str | None):
@@ -153,3 +154,66 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
                            / blen).cast("long")))
     return (joined.groupBy("cohort_start", "period")
             .agg(F.count_distinct("user_").alias("n_users")))
+
+
+def interpolate_at(series: DataFrame, targets: DataFrame,
+                   ts_col: str, val_col: str,
+                   by: list[str] | None = None,
+                   method: str = "linear") -> DataFrame:
+    """Align a sampled series onto target timestamps: for every target
+    row, the series value interpolated at the target's ``ts_col``
+    (per ``by`` group) — sensor fusion / market-data alignment.
+
+    ``method="linear"``: straight line between the nearest sample
+    at-or-before and at-or-after the target (a sample exactly at the
+    target returns its value); null when either side is missing.
+    ``method="locf"``: last observation carried forward (null before
+    the first sample).
+
+    Scale shape: two :func:`~tablite_spark.operators.joins.asof_join`
+    passes (backward + forward) — each is the union + ordered-carry
+    form, ONE shuffle on the group keys, no join candidate blowup —
+    then a row-local lerp. Duplicate samples at one (group, ts)
+    deduplicate to max(value) inside asof_join (deterministic under
+    any partitioning; mirrored in the oracle).
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    from tablite_spark.operators.joins import asof_join
+    by = list(by or [])
+    is_ts = isinstance(series.schema[ts_col].dataType,
+                       (TimestampType, TimestampNTZType))
+    # NTZ first casts through the session-UTC timestamp (unix_micros
+    # accepts only TIMESTAMP); all three operands use the same path so
+    # the lerp deltas are exact
+    num = (lambda c: F.unix_micros(c.cast("timestamp")).cast("double")) \
+        if is_ts else (lambda c: c.cast("double"))
+
+    prev = series.select(*by, ts_col,
+                         F.col(ts_col).alias("__prev_ts__"),
+                         F.col(val_col).alias("__prev_val__"))
+    out = asof_join(targets, prev, on=ts_col, by=by,
+                    direction="backward",
+                    right_cols=["__prev_ts__", "__prev_val__"])
+    if method == "locf":
+        return (out.withColumn("value", F.col("__prev_val__")
+                               .cast("double"))
+                .drop("__prev_ts__", "__prev_val__"))
+    if method != "linear":
+        raise ValueError("method must be 'linear' or 'locf'")
+    nxt = series.select(*by, ts_col,
+                        F.col(ts_col).alias("__next_ts__"),
+                        F.col(val_col).alias("__next_val__"))
+    out = asof_join(out, nxt, on=ts_col, by=by, direction="forward",
+                    right_cols=["__next_ts__", "__next_val__"])
+    t = num(F.col(ts_col))
+    t0, t1 = num(F.col("__prev_ts__")), num(F.col("__next_ts__"))
+    v0 = F.col("__prev_val__").cast("double")
+    v1 = F.col("__next_val__").cast("double")
+    val = (F.when(F.col("__prev_ts__").isNull()
+                  | F.col("__next_ts__").isNull(), F.lit(None))
+           .when(F.col("__prev_ts__") == F.col("__next_ts__"), v0)
+           .otherwise(v0 + (v1 - v0) * ((t - t0) / (t1 - t0))))
+    return (out.withColumn("value", val)
+            .drop("__prev_ts__", "__prev_val__",
+                  "__next_ts__", "__next_val__"))

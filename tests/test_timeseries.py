@@ -134,6 +134,35 @@ def test_retention_cohorts(spark):
     assert "Window" not in plan
 
 
+def test_interpolate_at_linear_locf_and_edges(spark):
+    from tablite_spark.operators.timeseries import interpolate_at
+    series = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(10), 20.0), (1, _ts(10), 30.0),
+         (2, _ts(5), 100.0)],
+        "user_id long, ts timestamp, value double")
+    targets = spark.createDataFrame(
+        [(1, 1, _ts(5)),    # halfway 10..30 (dup sample at t=10 -> max)
+         (2, 1, _ts(10)),   # exactly at a sample
+         (3, 1, _ts(15)),   # past the last sample -> null (linear)
+         (4, 2, _ts(1)),    # before the first sample -> null
+         (5, 3, _ts(5))],   # unknown group -> null
+        "tid long, user_id long, ts timestamp")
+    lin = {r["tid"]: r["value"] for r in interpolate_at(
+        series, targets, "ts", "value", by=["user_id"]).collect()}
+    assert lin[1] == 20.0          # 10 + (30-10) * 0.5
+    assert lin[2] == 30.0          # dup ts dedups to max(value)
+    assert lin[3] is None and lin[4] is None and lin[5] is None
+    locf = {r["tid"]: r["value"] for r in interpolate_at(
+        series, targets, "ts", "value", by=["user_id"],
+        method="locf").collect()}
+    assert locf[3] == 30.0 and locf[4] is None
+    # numeric (non-timestamp) axis
+    s2 = spark.createDataFrame([(0, 0.0), (4, 8.0)], "x long, v double")
+    t2 = spark.createDataFrame([(9, 3)], "tid long, x long")
+    out2 = interpolate_at(s2, t2, "x", "v").collect()
+    assert out2[0]["value"] == 6.0
+
+
 def test_phrase_search_overlaps_and_dup_words(spark):
     from tablite_spark.pipeline.retrieval import phrase_search
     rows = [
