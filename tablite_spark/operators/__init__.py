@@ -8,5 +8,6 @@ names with the modules themselves, e.g. ``groupby.groupby``.)
 """
 
 from tablite_spark.operators import (  # noqa: F401
-    filters, groupby, imputation, joins, select, setops, sorting, stats,
+    filters, fuzzy, groupby, imputation, joins, select, setops, sorting,
+    stats, timeseries,
 )

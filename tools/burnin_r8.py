@@ -1,7 +1,8 @@
 """Round-8 adversarial-scale burn-ins for the round-7 operators
-(VERDICT r7 item 5). Run manually: ``python tools/burnin_r8.py [name]``
-with name in {pagerank, incdedup, hardneg, kmeans} (default: all).
-Results are transcribed into PLANS.md scale-validation rows.
+(VERDICT r7 item 5) plus the round-8 BPE trainer. Run manually:
+``python tools/burnin_r8.py [name]`` with name in {pagerank, incdedup,
+hardneg, kmeans, bpe} (default: all). Results are transcribed into
+PLANS.md scale-validation rows.
 
 Shapes chosen to stress the documented 100-TB funnels:
 
