@@ -210,9 +210,40 @@ def burnin_bpe(spark):
     print(f"    persistent RDDs after run: {jsc.getPersistentRDDs().size()}")
 
 
+def burnin_fuzzy(spark):
+    """PassJoin fuzzy join at 2M strings (1M originals + 1M planted
+    one-edit mutants), d=1: the segment-blocked candidate join must
+    stay linear-ish (no cross join) AND find EVERY planted pair — a
+    million-pair no-false-negative check of the pigeonhole blocking."""
+    from tablite_spark.operators.fuzzy import fuzzy_join
+    print("== fuzzy: 2M strings (1M + 1M one-edit mutants), d=1")
+    # diverse ~11-char strings: base-26 digits of a spread-out id
+    val = (F.col("id") * 2654435761) % 100_000_000_000
+    chars = F.transform(
+        F.sequence(F.lit(0), F.lit(7)),
+        lambda j: F.char(F.lit(97) + ((val / F.pow(F.lit(26), j))
+                                      .cast("long") % 26)))
+    s = F.concat(F.lit("w"), F.concat_ws("", chars))
+    base = spark.range(1_000_000).select(
+        F.col("id").alias("sid"), s.alias("w"))
+    # mutant: substitute the LAST char with a char outside a-z ('0')
+    mut = base.select((F.col("sid") + 5_000_000).alias("sid"),
+                      F.concat(F.substring("w", 1, 8), F.lit("0"))
+                      .alias("w"))
+    both = base.unionByName(mut)
+    t0 = time.time()
+    out = fuzzy_join(both, both, "w", "w", max_distance=1,
+                     left_id="sid", right_id="sid")
+    planted = out.filter(
+        (F.col("r_id") - F.col("l_id") == 5_000_000)
+        & (F.col("dist") == 1)).count()
+    _t(f"planted pairs found: {planted}/1000000", t0)
+    assert planted == 1_000_000, planted
+
+
 ALL = {"pagerank": burnin_pagerank, "incdedup": burnin_incdedup,
        "hardneg": burnin_hardneg, "kmeans": burnin_kmeans,
-       "bpe": burnin_bpe}
+       "bpe": burnin_bpe, "fuzzy": burnin_fuzzy}
 
 if __name__ == "__main__":
     which = sys.argv[1:] or list(ALL)
