@@ -163,6 +163,19 @@ def test_interpolate_at_linear_locf_and_edges(spark):
     assert out2[0]["value"] == 6.0
 
 
+def test_interpolate_at_plan_no_cartesian(spark):
+    """Both asof passes are the union + ordered-carry form — no
+    inequality join may degrade to a cartesian/BNL product."""
+    from tablite_spark.operators.timeseries import interpolate_at
+    s = spark.createDataFrame([(1, _ts(0), 1.0)],
+                              "user_id long, ts timestamp, value double")
+    t = spark.createDataFrame([(1, 1, _ts(1))],
+                              "tid long, user_id long, ts timestamp")
+    plan = interpolate_at(s, t, "ts", "value", by=["user_id"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_phrase_search_overlaps_and_dup_words(spark):
     from tablite_spark.pipeline.retrieval import phrase_search
     rows = [
