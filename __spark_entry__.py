@@ -1315,6 +1315,18 @@ def embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
                             id_col="vec_id", vec_col="embedding")
 
 
+def trigram_substring_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring search via trigram posting intersection (the pg_trgm
+    recipe): candidates = docs containing EVERY needle trigram (one
+    combinable groupBy == n_trigrams), then an id-keyed join back for
+    the exact contains confirm — never a full-corpus LIKE scan when a
+    durable index (build_trigram_index) is supplied. The oracle is a
+    brute-force LIKE, so any candidate miss mismatches."""
+    from tablite_spark.pipeline.retrieval import substring_search
+    return substring_search(_t(spark, sf, "documents"), "text",
+                            "doc_id", "the table")
+
+
 def interpolate_events(spark: SparkSession, sf: str) -> DataFrame:
     """Series alignment: each error event gets the user's click-value
     linearly interpolated at the error's timestamp (two asof passes —
@@ -3283,6 +3295,7 @@ _R8_WINDOW = [
     "phrase_search_docs", "bloom_contamination_docs",
     "batched_topk_embeddings", "retention_cohorts_events",
     "bpe_train_docs", "fuzzy_join_customers", "interpolate_events",
+    "trigram_substring_docs",
     # --- latest green = r4: the 20 entries round 7's 50-slot budget
     #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
     #     after this window runs nothing is staler than r5
@@ -3293,10 +3306,10 @@ _R8_WINDOW = [
     "token_budget_docs", "token_count_bpe", "transpose_region",
     "video_frames_meta", "vocab_shift_docs", "window_ntile",
     "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 18 that fit the 50-slot
-    #     budget after the 12 never-verified r8 queries — the
-    #     remaining 32 r5 entries lead the r9 window: imputation_mean,
-    #     imputation_nn_lsh, index_rowids, is_sorted,
+    # --- latest green = r5 (alphabetical; the 17 that fit the 50-slot
+    #     budget after the 13 never-verified r8 queries — the
+    #     remaining 33 r5 entries lead the r9 window: imputation_ffill,
+    #     imputation_mean, imputation_nn_lsh, index_rowids, is_sorted,
     #     ivfpq_topk_embeddings, media_features, melt_long,
     #     multimodal_decode, pandas_roundtrip_agg,
     #     replace_values..xround_buckets plus pagerank unpersist-path
@@ -3308,7 +3321,6 @@ _R8_WINDOW = [
     "gopher_dup_ngrams_docs", "gopher_quality_docs",
     "gopher_repetition_docs", "groupby_accumulators",
     "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
-    "imputation_ffill",
 ]
 
 
@@ -3408,6 +3420,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train_docs": bpe_train_docs,
         "fuzzy_join_customers": fuzzy_join_customers,
         "interpolate_events": interpolate_events,
+        "trigram_substring_docs": trigram_substring_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5475,6 +5488,14 @@ def _oracle_sql_base() -> dict[str, str]:
                             AS DOUBLE) AS sw
                 FROM documents WHERE LENGTH(TRIM(text)) > 0
             )
+        """,
+        "trigram_substring_docs": """
+            SELECT doc_id,
+                   CAST((length(text) - length(replace(text,
+                        'the table', ''))) / 9 AS BIGINT)
+                       AS n_occurrences
+            FROM documents
+            WHERE contains(text, 'the table')
         """,
         "interpolate_events": """
             WITH s AS (

@@ -212,3 +212,71 @@ def phrase_search(docs: DataFrame, text_col: str, id_col: str,
                  F.min("anchor").alias("first_pos"))
             .select(F.col("id_").alias(id_col), "n_matches",
                     "first_pos"))
+
+
+def build_trigram_index(docs: DataFrame, text_col: str, id_col: str,
+                        path: str) -> None:
+    """Persist a character-trigram posting table for
+    :func:`substring_search` — the pg_trgm recipe (public), Spark-
+    first: one corpus pass explodes each document's DISTINCT trigrams
+    (row-local array ops), and the (trigram, id) postings land in
+    parquet sorted within files by trigram so a probe's predicate
+    pushdown reads only its trigrams' row groups. At 100 TB the
+    index is the thing that turns ``LIKE '%needle%'`` from a full
+    corpus scan into a few posting-list reads."""
+    tri = F.when(F.length(text_col) >= 3, F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(text_col) - 2),
+        lambda i: F.col(text_col).substr(i, F.lit(3))))) \
+        .otherwise(F.array().cast("array<string>"))
+    (docs.select(F.col(id_col).alias("doc_id"),
+                 F.explode(tri).alias("tri"))
+     .repartition("tri").sortWithinPartitions("tri")
+     .write.mode("overwrite").parquet(path))
+
+
+def substring_search(docs: DataFrame, text_col: str, id_col: str,
+                     needle: str,
+                     postings: DataFrame | None = None) -> DataFrame:
+    """All documents containing ``needle`` as a raw substring, with
+    occurrence counts: ``(id, n_occurrences)``.
+
+    The pg_trgm plan: a match must contain EVERY trigram of the
+    needle, so candidates are the posting-list intersection — one
+    combinable groupBy(doc) counting distinct matched trigrams,
+    ``== n_trigrams`` — then one id-keyed join back to the text for
+    the exact ``contains`` confirm (trigram containment is necessary,
+    not sufficient: "abcde" vs needle "abcde" scattered). Never a
+    full-corpus LIKE scan when ``postings`` (from
+    :func:`build_trigram_index`) is supplied; without it the postings
+    are derived inline (one corpus pass — still no per-needle rescan
+    when searching many needles over one cached derivation).
+
+    Needles shorter than 3 characters have no trigrams — those fall
+    back to the direct scan filter (selective short needles are rare
+    and an index can't help them).
+    """
+    tris = sorted({needle[i:i + 3] for i in range(len(needle) - 2)})
+    occ = ((F.length(text_col)
+            - F.length(F.replace(F.col(text_col), F.lit(needle))))
+           / len(needle)).cast("long")
+    if not tris:
+        return (docs.filter(F.col(text_col).contains(needle))
+                .select(F.col(id_col).alias("doc_id"),
+                        occ.alias("n_occurrences")))
+    if postings is None:
+        tri = F.when(F.length(text_col) >= 3,
+                     F.array_distinct(F.transform(
+                         F.sequence(F.lit(1), F.length(text_col) - 2),
+                         lambda i: F.col(text_col).substr(i, F.lit(3))))) \
+            .otherwise(F.array().cast("array<string>"))
+        postings = docs.select(F.col(id_col).alias("doc_id"),
+                               F.explode(tri).alias("tri"))
+    cand = (postings.filter(F.col("tri").isin(tris))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("tri").alias("n_tri"))
+            .filter(F.col("n_tri") == len(tris))
+            .select("doc_id"))
+    return (cand.join(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col)), "doc_id")
+            .filter(F.col(text_col).contains(needle))
+            .select("doc_id", occ.alias("n_occurrences")))

@@ -70,3 +70,33 @@ def test_fuzzy_join_nulls_dropped(spark):
     df = spark.createDataFrame([("abc",), (None,)], "w string")
     out = fuzzy_join(df, df, "w", "w", 1).collect()
     assert {(r["l_val"], r["r_val"]) for r in out} == {("abc", "abc")}
+
+
+def test_trigram_substring_search(spark, tmp_path):
+    """pg_trgm-style substring search: inline AND durable-index paths
+    must equal brute-force LIKE, including the scattered-trigram
+    false-positive case the confirm join exists for."""
+    from tablite_spark.pipeline.retrieval import (
+        build_trigram_index, substring_search,
+    )
+    rows = [(1, "the table stands"), (2, "tablets on the shelf"),
+            # contains every trigram of "table" (tab/abl/ble) but NOT
+            # the substring itself -> candidate, killed by confirm
+            (3, "tabx ably blez"),
+            (4, "table table table"), (5, ""), (6, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {(1, 1), (2, 1), (4, 3)}
+    got = {(r["doc_id"], r["n_occurrences"]) for r in
+           substring_search(df, "text", "doc_id", "table").collect()}
+    assert got == want
+    idx_path = str(tmp_path / "trgm")
+    build_trigram_index(df, "text", "doc_id", idx_path)
+    idx = spark.read.parquet(idx_path)
+    got2 = {(r["doc_id"], r["n_occurrences"]) for r in
+            substring_search(df, "text", "doc_id", "table",
+                             postings=idx).collect()}
+    assert got2 == want
+    # short-needle fallback (no trigrams): direct scan
+    short = {r["doc_id"] for r in
+             substring_search(df, "text", "doc_id", "on").collect()}
+    assert short == {2}
