@@ -46,8 +46,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
     Returns ``(l_id, r_id, l_val, r_val, dist)`` (the id columns are
     the value columns when ``left_id``/``right_id`` are omitted).
-    Exact — verified against a brute-force cross join in tests and
-    against a DuckDB cross-join oracle.
+    Id columns need not be unique keys: candidate dedup runs on
+    ``(l_id, r_id, l_val, r_val)``, so distinct value pairs that
+    happen to share an id pair all survive. (Identical
+    ``(id, value)`` input rows still collapse to one output pair —
+    row multiplicity is not preserved.) Exact — verified against a
+    brute-force cross join in tests and against a DuckDB cross-join
+    oracle.
     """
     d = int(max_distance)
     if d < 0:
@@ -117,9 +122,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     r_keys = r0.select("r_id", "r_val",
                        F.explode(F.array_distinct(r_all)).alias("k"))
 
+    # dedup on ids AND values: if id columns are not unique keys, two
+    # distinct (l_val, r_val) pairs can share an (l_id, r_id) — keying
+    # the dedup on ids alone would collapse them and keep an arbitrary
+    # survivor, silently breaking the all-pairs contract.
     cand = (l_keys.join(r_keys, l_keys["k"] == r_keys["k"])
             .select("l_id", "l_val", "r_id", "r_val")
-            .dropDuplicates(["l_id", "r_id"]))
+            .dropDuplicates(["l_id", "r_id", "l_val", "r_val"]))
     return (cand.withColumn("dist", F.levenshtein(lv, rv))
             .filter(F.col("dist") <= d)
             .select("l_id", "r_id", "l_val", "r_val", "dist"))

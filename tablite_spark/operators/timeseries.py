@@ -75,7 +75,9 @@ def ohlc_resample(df: DataFrame, ts_col: str, val_col: str,
 
 def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
            user_col: str = "user_id",
-           type_col: str = "event_type") -> DataFrame:
+           type_col: str = "event_type",
+           single_scan: bool = False,
+           _materialize: bool = True) -> DataFrame:
     """Ordered funnel: per user, the earliest time each successive
     step was completed STRICTLY AFTER the previous step's time
     (view -> click -> purchase). Returns one row per user who
@@ -83,33 +85,65 @@ def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
     (null = dropped out at that step).
 
     Scale shape: per step, a highly selective ``type = step`` filter
-    (scan-pruned on a type-partitioned source) then a combinable
-    conditional-min groupBy(user); successive steps join on the user
-    key. Every shuffle in the chain is hash(user) — with AQE the
-    exchange is reused across stages, so the funnel costs one scan +
-    one user-keyed shuffle per step, never a window over the event
-    stream (a per-user ordered window would serialize hot users and
-    carry the full event payload; here only (user, timestamp) pairs
-    move). Depth-k funnels are k tiny frames, not k passes over the
-    events table — each post-filter frame is |users| rows.
+    then a combinable conditional-min groupBy(user); successive steps
+    join on the user key. Every shuffle in the chain is hash(user) —
+    with AQE the exchange is reused across stages — and only
+    (user, timestamp) pairs move, never the event payload or a
+    per-user ordered window (which would serialize hot users).
+
+    Source-scan cost: the default lazy plan filters the events frame
+    once per step — each branch pushes ``type = step`` into the scan,
+    so on a type-partitioned (or dictionary-filtered parquet) source
+    every branch reads only its own step's rows and the total IO is
+    one logical pass. On an UNPARTITIONED source that is k physical
+    scans; pass ``single_scan=True`` to project+filter
+    ``type IN steps → (user, type, ts)`` once into a spilled cache
+    and feed every step from it — one scan of the relation total.
+    That path is EAGER (the chain materializes via localCheckpoint so
+    the cache can be released deterministically before returning; the
+    pinned result is one narrow row per step-0 user — release it with
+    :func:`tablite_spark.plans.lifecycle.unpersist_local_checkpoint`
+    when done).
     """
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
     ts, u = F.col(ts_col), F.col(user_col)
     cols = [f"t_{s}" for s in steps]
-    cur = (events.filter(F.col(type_col) == steps[0])
-           .groupBy(u.alias("user_id_"))
-           .agg(F.min(ts).alias(cols[0])))
+    base = None
+    if single_scan and len(steps) > 1:
+        from pyspark import StorageLevel
+        base = (events.filter(F.col(type_col).isin(list(steps)))
+                .select(u.alias("user_id_"),
+                        F.col(type_col).alias("type_"),
+                        ts.alias("ts_"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
+
+        def step_events(s):
+            return base.filter(F.col("type_") == s) \
+                       .select("user_id_", "ts_")
+    else:
+        def step_events(s):
+            return (events.filter(F.col(type_col) == s)
+                    .select(u.alias("user_id_"), ts.alias("ts_")))
+
+    cur = (step_events(steps[0])
+           .groupBy("user_id_")
+           .agg(F.min("ts_").alias(cols[0])))
     for i, s in enumerate(steps[1:], 1):
-        ev = (events.filter(F.col(type_col) == s)
-              .select(u.alias("user_id_"), ts.alias("ts_")))
-        nxt = (ev.join(cur.select("user_id_", F.col(cols[i - 1])
-                                  .alias("prev_")), "user_id_")
+        nxt = (step_events(s)
+               .join(cur.select("user_id_", F.col(cols[i - 1])
+                                .alias("prev_")), "user_id_")
                .filter(F.col("ts_") > F.col("prev_"))
                .groupBy("user_id_")
                .agg(F.min("ts_").alias(cols[i])))
         cur = cur.join(nxt, "user_id_", "left")
-    return cur.withColumnRenamed("user_id_", user_col)
+    cur = cur.withColumnRenamed("user_id_", user_col)
+    if base is not None and _materialize:
+        cur = cur.localCheckpoint()
+        base.unpersist()
+    # _materialize=False is the plan-gate hook: returns the lazy
+    # cache-fed chain (caller owns unpersisting the base).
+    return cur
 
 
 def retention_cohorts(events: DataFrame, ts_col: str = "ts",
@@ -159,10 +193,15 @@ def retention_cohorts(events: DataFrame, ts_col: str = "ts",
 def interpolate_at(series: DataFrame, targets: DataFrame,
                    ts_col: str, val_col: str,
                    by: list[str] | None = None,
-                   method: str = "linear") -> DataFrame:
+                   method: str = "linear",
+                   out_col: str = "value") -> DataFrame:
     """Align a sampled series onto target timestamps: for every target
     row, the series value interpolated at the target's ``ts_col``
     (per ``by`` group) — sensor fusion / market-data alignment.
+    The result lands in ``out_col`` (default ``"value"``); if
+    ``targets`` already carries a column of that name — likely for
+    sensor/market target frames — a ValueError names the collision
+    instead of silently overwriting it, mirroring asof_join's guard.
 
     ``method="linear"``: straight line between the nearest sample
     at-or-before and at-or-after the target (a sample exactly at the
@@ -181,6 +220,11 @@ def interpolate_at(series: DataFrame, targets: DataFrame,
 
     from tablite_spark.operators.joins import asof_join
     by = list(by or [])
+    if out_col in targets.columns:
+        raise ValueError(
+            f"targets already has a column named {out_col!r}; pass "
+            f"out_col=<fresh name> so the interpolated value does not "
+            f"overwrite it")
     is_ts = isinstance(series.schema[ts_col].dataType,
                        (TimestampType, TimestampNTZType))
     # NTZ first casts through the session-UTC timestamp (unix_micros
@@ -196,7 +240,7 @@ def interpolate_at(series: DataFrame, targets: DataFrame,
                     direction="backward",
                     right_cols=["__prev_ts__", "__prev_val__"])
     if method == "locf":
-        return (out.withColumn("value", F.col("__prev_val__")
+        return (out.withColumn(out_col, F.col("__prev_val__")
                                .cast("double"))
                 .drop("__prev_ts__", "__prev_val__"))
     if method != "linear":
@@ -214,6 +258,6 @@ def interpolate_at(series: DataFrame, targets: DataFrame,
                   | F.col("__next_ts__").isNull(), F.lit(None))
            .when(F.col("__prev_ts__") == F.col("__next_ts__"), v0)
            .otherwise(v0 + (v1 - v0) * ((t - t0) / (t1 - t0))))
-    return (out.withColumn("value", val)
+    return (out.withColumn(out_col, val)
             .drop("__prev_ts__", "__prev_val__",
                   "__next_ts__", "__next_val__"))

@@ -36,10 +36,16 @@ def _as_double(vec):
 def _unit(vec):
     """L2-normalize ONCE per row so pairwise cosine degrades to a dot
     product — at n² pair volume, per-pair norm recomputation dominates
-    runtime (observed 28s → ~8s on the sf0.1 near-dup bench)."""
+    runtime (observed 28s → ~8s on the sf0.1 near-dup bench).
+
+    A zero-norm vector has no direction: it normalizes to NULL (under
+    ANSI mode x/0 throws, it never was a silent NaN), so any cosine
+    against it is NULL and every consumer excludes it — filters/
+    thresholds reject NULL, `_topk_per_qid` drops it explicitly. This
+    matches the BLAS kernel, which maps the NaN scores to -inf."""
     v = _as_double(vec)
     n = _norm2(v)
-    return F.transform(v, lambda x: x / n)
+    return F.when(n != 0, F.transform(v, lambda x: x / n))
 
 
 def _topk_per_qid(scored: DataFrame, k: int, keep: tuple = ()) -> DataFrame:
@@ -54,10 +60,22 @@ def _topk_per_qid(scored: DataFrame, k: int, keep: tuple = ()) -> DataFrame:
     both phases, and a per-salt top-k under an ordering always contains
     the global top-k, so the result is byte-identical to the
     single-window form — only the plan changes.
+
+    Zero-norm semantics (uniform across the catalyst and BLAS paths):
+    a zero-norm vector has no direction, so its cosine against
+    anything is undefined (0/0 = NaN) — such pairs are EXCLUDED here
+    rather than letting Spark's NaN-sorts-greatest rank them first.
+    A zero-norm query therefore returns no rows; a zero-norm corpus
+    row is never a neighbor. The batched kernel enforces the same
+    contract by mapping NaN scores to -inf before candidate selection.
     """
     order = [F.col("cos").desc(), F.col("nid").asc()]
     w1 = Window.partitionBy("qid", "__salt__").orderBy(*order)
     w2 = Window.partitionBy("qid").orderBy(*order)
+    # NULL = zero-norm pair (see _unit); NaN only from pre-normalized
+    # caller input — both are "undefined cosine", both excluded
+    c = F.col("cos").cast("double")
+    scored = scored.filter(c.isNotNull() & ~F.isnan(c))
     return (scored.withColumn("__salt__", F.spark_partition_id())
             .withColumn("__rn1__", F.row_number().over(w1))
             .filter(F.col("__rn1__") <= k)
@@ -168,6 +186,12 @@ def _batched_candidates(corpus: DataFrame, queries: DataFrame, m: int,
                     cnull = pd.isna(clab)[:, None]
                     qnull = pd.isna(ql)[None, :]
                     S[same | (cnull & qnull)] = -np.inf
+                # zero-norm rows score NaN (0/0); np.partition sorts
+                # NaN as LARGEST, so one NaN per column would poison
+                # kth and `S >= kth` would drop every finite candidate
+                # in the batch. Map NaN -> -inf: undefined cosines are
+                # excluded, matching _topk_per_qid's catalyst filter.
+                S[np.isnan(S)] = -np.inf
                 if rows > m:
                     kth = np.partition(S, rows - m, axis=0)[rows - m]
                     keep = (S >= kth[None, :]) & (S != -np.inf)

@@ -100,3 +100,20 @@ def test_trigram_substring_search(spark, tmp_path):
     short = {r["doc_id"] for r in
              substring_search(df, "text", "doc_id", "on").collect()}
     assert short == {2}
+
+
+def test_fuzzy_join_duplicate_ids_keep_distinct_value_pairs(spark):
+    """ADVICE r8: when id columns are not unique keys, distinct
+    (l_val, r_val) pairs sharing an (l_id, r_id) must ALL survive —
+    dedup runs on ids AND values."""
+    left = spark.createDataFrame(
+        [(7, "cat"), (7, "car")], "gid long, name string")
+    right = spark.createDataFrame(
+        [(9, "cat"), (9, "cab")], "gid long, name string")
+    out = fuzzy_join(left, right, "name", "name", max_distance=1,
+                     left_id="gid", right_id="gid")
+    got = {(r["l_val"], r["r_val"], r["dist"]) for r in out.collect()}
+    # every (l_id, r_id) is (7, 9); four value pairs are all <= 1 edit
+    assert got == {("cat", "cat", 0), ("cat", "cab", 1),
+                   ("car", "cat", 1), ("car", "cab", 1)}
+    assert {(r["l_id"], r["r_id"]) for r in out.collect()} == {(7, 9)}

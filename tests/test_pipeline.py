@@ -2708,3 +2708,37 @@ def test_snapshot_diff_statuses(spark):
            for r in snapshot_diff(old, new, "doc_id", "text").collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "added"}
+
+
+def test_topk_zero_norm_vectors_excluded_both_paths(spark):
+    """ADVICE r8: zero-norm vectors have undefined cosine (0/0=NaN).
+    Contract: such pairs are EXCLUDED in BOTH scoring paths — a
+    zero-norm query returns no rows, a zero-norm corpus row is never
+    a neighbor — instead of NaN poisoning np.partition's kth cut
+    (batched) or NaN-sorts-greatest ranking it first (catalyst)."""
+    import random
+
+    from tablite_spark.pipeline.similarity import (
+        batched_topk, brute_force_topk,
+    )
+    rnd = random.Random(17)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(6)]) for i in range(40)]
+    rows += [(100, [0.0] * 6), (101, [0.0] * 6)]  # zero-norm corpus rows
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter((F.col("vec_id") < 3) | (F.col("vec_id") == 100))
+    key = lambda out: sorted((r["qid"], r["rn"], r["nid"], r["cos"])
+                             for r in out.collect())
+    exact = key(brute_force_topk(df, q, k=38, id_col="vec_id",
+                                 vec_col="embedding"))
+    fast = key(batched_topk(df, q, k=38, id_col="vec_id",
+                            vec_col="embedding"))
+    assert fast == exact
+    qids = {t[0] for t in exact}
+    nids = {t[2] for t in exact}
+    assert 100 not in qids and not ({100, 101} & nids)
+    # finite candidates must survive a batch that contains zero-norm
+    # rows even when k < corpus size (the kth-cut poisoning case)
+    small = key(batched_topk(df, q, k=3, id_col="vec_id",
+                             vec_col="embedding"))
+    assert {t[0] for t in small} == {0, 1, 2}
+    assert all(t[3] == t[3] for t in small)  # no NaN survives

@@ -232,3 +232,53 @@ def test_bloom_decontaminate_empty_probes(spark):
     out = bloom_decontaminate(docs, probes, "text", "doc_id",
                               "probe_text", "probe_id", n=3)
     assert out.count() == 0
+
+
+def test_funnel_single_scan_matches_and_plan(spark, tmp_path):
+    """single_scan=True must (a) reproduce the lazy path byte-for-byte
+    and (b) feed every step from the spilled cache — each FileScan in
+    the lazy chain's plan must sit under an InMemoryRelation (cache
+    population), never as a bare per-step scan of the source."""
+    rows = [
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        (2, "view", _ts(1)), (2, "purchase", _ts(2)), (2, "click", _ts(5)),
+        (3, "other", _ts(1)), (3, "view", _ts(2)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+    p = str(tmp_path / "ev.parquet")
+    df.write.parquet(p)
+    ev = spark.read.parquet(p)
+    steps = ["view", "click", "purchase"]
+    lazy = sorted(map(tuple, funnel(ev, steps).collect()))
+    eager = sorted(map(tuple, funnel(ev, steps, single_scan=True).collect()))
+    assert eager == lazy
+
+    chain = funnel(ev, steps, single_scan=True, _materialize=False)
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    try:
+        # every source scan is the cached relation's child (the plan
+        # string inlines it once per InMemoryTableScan) — no bare scan
+        assert plan.count("InMemoryTableScan") > 0
+        assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
+        assert sorted(map(tuple, chain.collect())) == lazy
+    finally:
+        spark.catalog.clearCache()  # release the _materialize=False base
+
+
+def test_interpolate_at_out_col_guard(spark):
+    """ADVICE r8: interpolate_at must not silently overwrite a
+    pre-existing 'value' column on targets — raise on collision,
+    honor out_col otherwise."""
+    from tablite_spark.operators.timeseries import interpolate_at
+    series = spark.createDataFrame(
+        [(1, _ts(0), 10.0), (1, _ts(10), 20.0)],
+        "user_id long, ts timestamp, value double")
+    tgt_clash = spark.createDataFrame(
+        [(1, 1, _ts(5), 99.0)],
+        "tid long, user_id long, ts timestamp, value double")
+    with pytest.raises(ValueError, match="value"):
+        interpolate_at(series, tgt_clash, "ts", "value", by=["user_id"])
+    out = interpolate_at(series, tgt_clash, "ts", "value",
+                         by=["user_id"], out_col="interp").collect()
+    assert out[0]["interp"] == 15.0 and out[0]["value"] == 99.0
