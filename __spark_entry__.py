@@ -1345,6 +1345,77 @@ def interpolate_events(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("value"), 4).alias("value"))
 
 
+def ema_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user EMA over click values (adjust=False recurrence, seed =
+    first value, alpha=0.25 — exactly representable so the float op
+    sequence is engine-independent). Grouped applyInPandas with the
+    pandas C ewm kernel — the documented custom-op path for an
+    order-dependent recurrence with no numerically-safe codegen
+    rewrite. Oracle: a DuckDB RECURSIVE CTE running the identical
+    0.75*e + 0.25*x recurrence in (ts, event_id) order."""
+    from tablite_spark.operators.timeseries import ema_smooth
+    e = _t(spark, sf, "events").filter(
+        (F.col("event_type") == "click") & F.col("value").isNotNull())
+    out = ema_smooth(e, "ts", "value", by=["user_id"], alpha=0.25,
+                     tiebreak=["event_id"])
+    # UNROUNDED on purpose: the recurrence is bitwise identical across
+    # pandas/DuckDB (verified), while ROUND itself is not (Spark
+    # HALF_UP on the decimal expansion vs DuckDB's scaled-binary
+    # rounding disagree on 4-decimal knife-edges like 28.49125)
+    return out.select("user_id", "event_id", "ema")
+
+
+def dsir_weights_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) of every document
+    toward the French-language subset: hashed uni+bigram bag-of-ngram
+    log-likelihood ratio, integer micronats. The md5-prefix bucket
+    function and the add-1-smoothed log ratios are replayed verbatim
+    by the DuckDB oracle."""
+    from tablite_spark.pipeline.selection import dsir_weights
+    d = _t(spark, sf, "documents")
+    return dsir_weights(d, d.filter(F.col("lang") == "fr"),
+                        "text", "doc_id", buckets=256)
+
+
+def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 most-target-like docs by DSIR weight (deterministic
+    rank: weight desc, doc_id asc; salted two-phase top-k — no global
+    single-task sort)."""
+    from tablite_spark.pipeline.selection import dsir_select
+    d = _t(spark, sf, "documents")
+    return dsir_select(d, d.filter(F.col("lang") == "fr"),
+                       "text", "doc_id", k=50, buckets=256)
+
+
+def pca_covariance_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding table via
+    per-partition numpy Gram partials (O(dim²) rows emitted per
+    partition, one combinable groupBy — no row ever shuffles).
+    Oracle: DuckDB avg(e_i·e_j) − avg(e_i)·avg(e_j) per cell with
+    float32→double promotion matching numpy's."""
+    from tablite_spark.pipeline.decomp import covariance_matrix
+    emb = _t(spark, sf, "embeddings")
+    return covariance_matrix(emb, "embedding", 64).select(
+        "i", "j", F.round(F.col("cov"), 4).alias("cov"))
+
+
+def pca_project_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-4 principal components fitted on the driver (64×64 eigh on
+    the distributed covariance, sign-normalized) and projected back
+    over the corpus in one broadcast matmul pass. Eigendecomposition
+    is genuinely non-SQL — driver records the rows-only check; the
+    covariance input is exact-oracled by pca_covariance_embeddings
+    and component properties are pytest-asserted
+    (tests/test_selection_decomp.py)."""
+    from tablite_spark.pipeline.decomp import pca_fit, pca_project
+    emb = _t(spark, sf, "embeddings")
+    comps, _ = pca_fit(emb, "embedding", 64, 4)
+    p = pca_project(emb, comps, "vec_id", "embedding")
+    return p.select("vec_id",
+                    *[F.round(F.element_at("proj", i + 1), 4)
+                      .alias(f"pc{i}") for i in range(4)])
+
+
 def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join of customer names at d=1 via PassJoin
     segment blocking (`operators/fuzzy.py`): explode to (length,
@@ -3277,60 +3348,49 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------
 
-# Round-8 verification window: the driver checks the FIRST 50 entries
-# of queries(). Registry state at r8 open: 170/170 green at latest
-# check, staleness 50@r7 / 50@r6 / 50@r5 / 20@r4. Priority is (1) the
-# 3 queries NEW in round 8 (reference-written .tpz fixture read,
-# streaming ingestion-loop dedup drain, foreign-layout HDF5 read), then (2) ALL 20 r4-stale
-# entries (the VERDICT r7 item-1 list, verbatim) — after this window
-# runs nothing in the registry is staler than r5 — then (3) the first
-# 27 of the 50 r5-stale entries alphabetically. The remaining 23 r5
-# entries (pivot_wide, pq_topk_embeddings, pretrain_filter_docs,
-# quality_score, reindex_rows, ... xround_buckets) lead the r9 window.
-_R8_WINDOW = [
-    # --- never driver-verified: new in round 8 (locally oracled via
-    #     tools/check_oracle.py at sf0.01)
-    "tpz_reference_read", "stream_incremental_dedup_docs",
-    "hdf5_foreign_read", "ohlc_resample_events", "funnel_events",
-    "phrase_search_docs", "bloom_contamination_docs",
-    "batched_topk_embeddings", "retention_cohorts_events",
-    "bpe_train_docs", "fuzzy_join_customers", "interpolate_events",
-    "trigram_substring_docs",
-    # --- latest green = r4: the 20 entries round 7's 50-slot budget
-    #     deferred, at the FRONT as promised (VERDICT r7 item 1) —
-    #     after this window runs nothing is staler than r5
-    "q18_large_orders", "q19_disjunctive_filter", "q1_pricing_summary",
-    "q3_shipping_revenue", "q4_priority_exists", "q5_nation_revenue",
-    "q6_forecast_revenue", "row_iteration_checksum",
-    "semantic_dedup_embeddings", "sort_mixed_excel", "sort_unix_mixed",
-    "token_budget_docs", "token_count_bpe", "transpose_region",
-    "video_frames_meta", "vocab_shift_docs", "window_ntile",
-    "xls_roundtrip_agg", "xlsx_roundtrip_agg", "xround_time_buckets",
-    # --- latest green = r5 (alphabetical; the 17 that fit the 50-slot
-    #     budget after the 13 never-verified r8 queries — the
-    #     remaining 33 r5 entries lead the r9 window: imputation_ffill,
-    #     imputation_mean, imputation_nn_lsh, index_rowids, is_sorted,
-    #     ivfpq_topk_embeddings, media_features, melt_long,
-    #     multimodal_decode, pandas_roundtrip_agg,
-    #     replace_values..xround_buckets plus pagerank unpersist-path
-    #     re-checks as they age; ALL out-of-window entries were
-    #     locally oracle-swept green on r8 code — see PLANS.md)
-    "c4_clean_docs", "count_value", "csv_roundtrip_agg",
-    "date_range_expand", "dedup_exact", "diff_tables", "distinct_keys",
-    "doc_fingerprint", "drop_rows", "embedding_topk",
-    "gopher_dup_ngrams_docs", "gopher_quality_docs",
-    "gopher_repetition_docs", "groupby_accumulators",
-    "hdf5_chunked_roundtrip_agg", "histogram", "hopping_window",
+# Round-9 verification window: the driver checks the FIRST 50 entries
+# of queries(). Registry state at r9 open (CORRECTNESS_r01..r08
+# merged): 183/183 green at latest check, staleness 50@r8 / 50@r7 /
+# 50@r6 / 33@r5, nothing never-checked. Priority is (1) the 5 queries
+# NEW in round 9 (locally oracled via tools/check_oracle.py), (2) ALL
+# 33 r5-stale entries (the VERDICT r8 item-1 list), so after this
+# window runs nothing in the registry is staler than r6, then (3) the
+# first 12 of the 50 r6-stale entries alphabetically. The remaining
+# 38 r6 entries (hdf5_vlen_roundtrip ... zorder_events) lead the r10
+# window. ALL out-of-window entries are locally oracle-swept green on
+# r9 code — committed as SWEEP_r09.json.
+_R9_WINDOW = [
+    # --- never driver-verified: new in round 9
+    "ema_events", "dsir_weights_docs", "dsir_select_docs",
+    "pca_covariance_embeddings", "pca_project_embeddings",
+    # --- latest green = r5 (all 33; alphabetical)
+    "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
+    "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
+    "media_features", "melt_long", "multimodal_decode",
+    "pandas_roundtrip_agg", "pivot_wide", "pq_topk_embeddings",
+    "pretrain_filter_docs", "quality_score", "reindex_rows",
+    "remove_all", "repeat_table", "replace_values", "slice_step",
+    "sort_alphanumeric", "statistics_dates", "statistics_summary",
+    "statistics_text", "substring_dedup_docs", "text_stats",
+    "tumbling_window", "unique_first", "unique_values", "window_lag",
+    "window_running_sum", "window_topn", "xls_dates_roundtrip",
+    "xround_buckets",
+    # --- latest green = r6 (first 12 alphabetically)
+    "asof_join_events", "bm25_search_docs", "bucketed_join_revenue",
+    "chunk_docs", "column_profile", "column_select_fail",
+    "column_select_pass", "contamination_docs", "corpus_manifest",
+    "dedup_clusters", "deterministic_sample_orders",
+    "get_headers_nation",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R8_WINDOW`` puts the
-    never-verified and stalest-green queries first; everything else
-    keeps its registration order behind them."""
+    bounded per-round window (50/round). ``_R9_WINDOW`` puts the
+    stalest-green queries first; everything else keeps its
+    registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R8_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R9_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 
@@ -3421,6 +3481,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join_customers": fuzzy_join_customers,
         "interpolate_events": interpolate_events,
         "trigram_substring_docs": trigram_substring_docs,
+        # --- round-9 additions
+        "ema_events": ema_events,
+        "dsir_weights_docs": dsir_weights_docs,
+        "dsir_select_docs": dsir_select_docs,
+        "pca_covariance_embeddings": pca_covariance_embeddings,
+        "pca_project_embeddings": pca_project_embeddings,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5532,6 +5598,140 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "ema_events": """
+            WITH RECURSIVE ordered AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+                WHERE event_type = 'click' AND value IS NOT NULL
+            ), ema AS (
+                SELECT user_id, event_id, rn, value AS e
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.user_id, o.event_id, o.rn,
+                       0.75 * ema.e + 0.25 * o.value
+                FROM ema JOIN ordered o
+                  ON o.user_id = ema.user_id AND o.rn = ema.rn + 1
+            )
+            SELECT user_id, event_id, e AS ema FROM ema
+        """,
+        "dsir_weights_docs": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(lower(text),
+                                          '[^a-z0-9 ]', ' ', 'g'),
+                           ' +'), t -> t != '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, lang,
+                       list_concat(tk, CASE WHEN len(tk) >= 2 THEN
+                           list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])
+                           ELSE [] END) AS gs
+                FROM toks
+            ), g AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(u.g), 1, 8)) AS UBIGINT)
+                           % 256 AS b
+                FROM grams, unnest(gs) AS u(g)
+            ), rawc AS (
+                SELECT b, count(*) AS c FROM g GROUP BY b
+            ), tgtc AS (
+                SELECT b, count(*) AS c FROM g WHERE lang = 'fr'
+                GROUP BY b
+            ), tot AS (
+                SELECT (SELECT sum(c) FROM rawc) AS tr,
+                       (SELECT coalesce(sum(c), 0) FROM tgtc) AS tt
+            ), lam AS (
+                SELECT r.b, CAST(floor(1e6 * (
+                        ln((coalesce(t.c, 0) + 1)
+                           / CAST(tot.tt + 256 AS DOUBLE))
+                      - ln((r.c + 1)
+                           / CAST(tot.tr + 256 AS DOUBLE))))
+                    AS BIGINT) AS lam
+                FROM rawc r LEFT JOIN tgtc t USING (b), tot
+            ), w AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                       sum(lam.lam) AS s
+                FROM g JOIN lam USING (b) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(w.n_grams, 0) AS n_grams,
+                   CAST(coalesce(w.s, 0) AS BIGINT) AS dsir_micro
+            FROM documents d LEFT JOIN w USING (doc_id)
+        """,
+        "dsir_select_docs": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(lower(text),
+                                          '[^a-z0-9 ]', ' ', 'g'),
+                           ' +'), t -> t != '') AS tk
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, lang,
+                       list_concat(tk, CASE WHEN len(tk) >= 2 THEN
+                           list_transform(range(1, len(tk)),
+                               i -> tk[i] || ' ' || tk[i + 1])
+                           ELSE [] END) AS gs
+                FROM toks
+            ), g AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(u.g), 1, 8)) AS UBIGINT)
+                           % 256 AS b
+                FROM grams, unnest(gs) AS u(g)
+            ), rawc AS (
+                SELECT b, count(*) AS c FROM g GROUP BY b
+            ), tgtc AS (
+                SELECT b, count(*) AS c FROM g WHERE lang = 'fr'
+                GROUP BY b
+            ), tot AS (
+                SELECT (SELECT sum(c) FROM rawc) AS tr,
+                       (SELECT coalesce(sum(c), 0) FROM tgtc) AS tt
+            ), lam AS (
+                SELECT r.b, CAST(floor(1e6 * (
+                        ln((coalesce(t.c, 0) + 1)
+                           / CAST(tot.tt + 256 AS DOUBLE))
+                      - ln((r.c + 1)
+                           / CAST(tot.tr + 256 AS DOUBLE))))
+                    AS BIGINT) AS lam
+                FROM rawc r LEFT JOIN tgtc t USING (b), tot
+            ), w AS (
+                SELECT g.doc_id, count(*) AS n_grams,
+                       sum(lam.lam) AS s
+                FROM g JOIN lam USING (b) GROUP BY g.doc_id
+            ), full_w AS (
+                SELECT d.doc_id,
+                       coalesce(w.n_grams, 0) AS n_grams,
+                       CAST(coalesce(w.s, 0) AS BIGINT) AS dsir_micro
+                FROM documents d LEFT JOIN w USING (doc_id)
+            )
+            SELECT doc_id, n_grams, dsir_micro,
+                   CAST(row_number() OVER (ORDER BY dsir_micro DESC,
+                                           doc_id ASC) AS INTEGER)
+                       AS rank
+            FROM full_w
+            ORDER BY dsir_micro DESC, doc_id ASC
+            LIMIT 50
+        """,
+        "pca_covariance_embeddings": """
+            WITH pairs AS (
+                SELECT CAST(i.i AS INTEGER) AS i,
+                       CAST(j.j AS INTEGER) AS j
+                FROM range(0, 64) i(i), range(0, 64) j(j)
+                WHERE j.j >= i.i
+            )
+            SELECT p.i, p.j,
+                   ROUND(avg(CAST(e.embedding[p.i + 1] AS DOUBLE)
+                             * CAST(e.embedding[p.j + 1] AS DOUBLE))
+                         - avg(CAST(e.embedding[p.i + 1] AS DOUBLE))
+                         * avg(CAST(e.embedding[p.j + 1] AS DOUBLE)),
+                         4) AS cov
+            FROM pairs p, embeddings e
+            GROUP BY p.i, p.j
         """,
         "bpe_train_docs": """
             WITH n AS (

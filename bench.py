@@ -87,7 +87,27 @@ BENCH_QUERIES = [
     "phrase_search_docs",
     "bloom_contamination_docs",
     "batched_topk_embeddings",
+    # round-8 tail, promoted from meta-only stamps to the compact
+    # line in round 9 (VERDICT r8 item 3; excluded from
+    # r2_comparable_total). trigram_substring_docs joins them from
+    # probe_benchmarks (probe-only against a pre-built index).
+    "retention_cohorts_events",
+    "bpe_train_docs",
+    "interpolate_events",
+    "fuzzy_join_diverse_110k",
 ]
+
+# Stable sub-second rows moved OUT of the printed compact line to make
+# room for the round-8/9 entries above (the driver parses only the
+# last 2000 stdout chars). They are still measured every round with
+# min-of-2 + loadavg stamps and recorded under ``queries`` in the
+# committed BENCH_META file — nothing stops being tracked, only the
+# driver-visible line is curated. Chosen for 3 rounds of flat history
+# (r7→r8 spread <0.3 s) and no VERDICT drift mention.
+COMPACT_LINE_SHED = {
+    "lookup_first_match", "doc_fingerprint", "groupby_rollup",
+    "embedding_topk", "language_id_docs", "multimodal_decode",
+}
 
 
 def _minhash_dedup_docs_real(spark, sf_dir: str):
@@ -452,6 +472,27 @@ def probe_benchmarks(spark, sf_dir: str, timings: dict,
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # trigram substring search, probe-only (VERDICT r8 item 3): the
+    # queries() entry derives postings inline (one corpus pass per
+    # run) — the steady state worth drift-tracking is a probe against
+    # the DURABLE index, where each needle costs a few posting-list
+    # reads + the id-keyed confirm join.
+    from tablite_spark.pipeline.retrieval import (
+        build_trigram_index, substring_search,
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tmp = tempfile.mkdtemp(prefix="bench_trigram_")
+    try:
+        build_trigram_index(d, "text", "doc_id", f"{tmp}/idx")  # untimed
+        postings = spark.read.parquet(f"{tmp}/idx")
+        min_of_2("trigram_substring_docs",
+                 lambda: force(substring_search(
+                     d, "text", "doc_id", "the table",
+                     postings=postings)),
+                 timings, meta, rerun_below=30.0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def _fuzzy_join_diverse(spark, sf_dir: str):
     """Bench twin for the fuzzy join on DIVERSE strings (100k + 10k
@@ -479,27 +520,7 @@ def _fuzzy_join_diverse(spark, sf_dir: str):
                       left_id="sid", right_id="sid")
 
 
-def meta_only_benchmarks(spark, sf_dir: str, extra: dict) -> None:
-    """Drift-tracked timings for operators whose rows don't fit the
-    compact line's 2000-char driver window: recorded ONLY under
-    ``bench_meta.meta_only_queries`` in the committed meta file
-    (min-of-2 + loadavg stamps like every other entry). These are
-    real oracled operators; the compact line's ``queries`` stays
-    the stable headline set."""
-    qs = entry_mod.queries()
-    meta = extra.setdefault("bench_meta", {})
-    timings: dict[str, float] = {}
-    entries = {
-        "retention_cohorts_events": qs["retention_cohorts_events"],
-        "bpe_train_docs": qs["bpe_train_docs"],
-        "fuzzy_join_diverse_110k": _fuzzy_join_diverse,
-        "interpolate_events": qs["interpolate_events"],
-    }
-    for name, fn in entries.items():
-        min_of_2(name, lambda fn=fn: force(fn(spark, sf_dir)),
-                 timings, meta, rerun_below=60.0)
-    meta["meta_only_queries"] = {k: round(v, 3)
-                                 for k, v in timings.items()}
+BENCH_OVERRIDES["fuzzy_join_diverse_110k"] = _fuzzy_join_diverse
 
 
 def main() -> None:
@@ -553,13 +574,14 @@ def main() -> None:
     new_in_r8 = {"ohlc_resample_events", "funnel_events",
                  "phrase_search_docs", "bloom_contamination_docs",
                  "batched_topk_embeddings"}
+    new_in_r9 = {"retention_cohorts_events", "bpe_train_docs",
+                 "interpolate_events", "fuzzy_join_diverse_110k"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
-                         | new_in_r7 | new_in_r8), 3)
+                         | new_in_r7 | new_in_r8 | new_in_r9), 3)
 
     io_benchmarks(spark, sf_dir, timings, extra)
     probe_benchmarks(spark, sf_dir, timings, extra)
-    meta_only_benchmarks(spark, sf_dir, extra)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
@@ -583,7 +605,7 @@ def main() -> None:
     meta_path = os.environ.get(
         "SPARK_GRAFT_BENCH_META",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_META_r08.json"))
+                     "BENCH_META_r09.json"))
     try:
         with open(meta_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
@@ -610,6 +632,10 @@ def main() -> None:
         k: v for k, v in compact["queries"].items()
         if not (k.startswith("json_columnar_1m_")
                 and k != "json_columnar_1m_read")}
+    # curated shed set (see COMPACT_LINE_SHED) — still measured and
+    # recorded in the meta file's full ``queries`` every round
+    compact["queries"] = {k: v for k, v in compact["queries"].items()
+                          if k not in COMPACT_LINE_SHED}
     # 2-decimal rounding up front: at 60+ headline rows the 3rd
     # decimal is what used to overflow the driver's 1900-char window
     compact["queries"] = {k: round(v, 2)

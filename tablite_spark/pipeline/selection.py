@@ -1,0 +1,127 @@
+"""Data Selection via Importance Resampling (DSIR) — pretraining-data
+selection toward a target domain (public recipe: Xie et al. 2023,
+arXiv:2302.03169, the method behind many "select web data that looks
+like Wikipedia/books" pipelines; beyond the reference, which has no
+corpus-selection surface).
+
+Per document, the importance weight is ``log p_target(doc) -
+log p_raw(doc)`` under bag-of-hashed-ngram unigram+bigram language
+models: ``w(d) = Σ_g count_d(g) · λ(bucket(g))`` where ``λ(b) =
+log p_target(b) − log p_raw(b)`` with add-1 smoothing over ``B``
+hash buckets. High-weight docs look like the target distribution.
+
+Spark-first plan, 100 TB shape:
+
+1. Two distribution passes (target corpus, raw corpus): one scan each
+   → row-local gram array → explode → combinable ``groupBy(bucket)``
+   count. Partial aggregation collapses each task to ≤ B rows, so the
+   shuffle is ~B × partitions rows regardless of corpus size.
+2. The λ table is B rows — computed as one B-row frame and BROADCAST
+   into the scoring pass.
+3. Scoring pass: one more raw-corpus scan → explode → broadcast-join
+   λ → combinable ``groupBy(doc)`` integer sum. Raw is scanned twice
+   (stats, then apply) — inherent to any global-statistics-then-score
+   operator, same shape as the quality classifier's GD passes.
+
+Exactness / oracle: the bucket function is ``int(md5(gram)[:8], 16)
+% B`` (hex-prefix of md5 — identical in Spark ``conv(substr(md5))``
+and DuckDB ``('0x' || substr(md5))::UBIGINT``), and λ is quantized to
+integer micronats (``floor(1e6·ln)``, the vocab_divergence /
+perplexity_score discipline) so per-doc sums are order-independent
+integers replayable by an independent SQL engine.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dsir_weights", "dsir_select"]
+
+
+def _grams(text_col: str):
+    """Row-local unigram+bigram array over whitespace tokens of the
+    lowercased, punctuation-stripped text (same normalization as
+    vocab_divergence so corpus statistics line up across operators).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")
+    toks = F.filter(F.split(norm, r" +"), lambda t: t != "")
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                          F.element_at(toks, i + 2)))) \
+        .otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bi)
+
+
+def _bucket(col, buckets: int):
+    """First 8 hex chars of md5 as an integer, mod ``buckets`` —
+    deterministic and reproducible in DuckDB as
+    ``('0x' || substr(md5(g), 1, 8))::UBIGINT % buckets``."""
+    return (F.conv(F.substring(F.md5(col), 1, 8), 16, 10)
+            .cast("long") % buckets)
+
+
+def _bucket_counts(df: DataFrame, text_col: str,
+                   buckets: int) -> DataFrame:
+    return (df.select(F.explode(_grams(text_col)).alias("g"))
+            .select(_bucket(F.col("g"), buckets).alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
+                 id_col: str, buckets: int = 512) -> DataFrame:
+    """Per-raw-document DSIR importance weight toward ``target``.
+
+    Returns ``(id_col, n_grams, dsir_micro)`` where ``dsir_micro`` is
+    the integer-micronat log importance weight (bigger = more
+    target-like); docs with no grams weigh 0.
+    """
+    spark = raw.sparkSession
+    grid = spark.range(buckets).select(F.col("id").alias("b"))
+    rc = _bucket_counts(raw, text_col, buckets)
+    tc = _bucket_counts(target, text_col, buckets)
+    # totals: one scalar row each (combinable sums)
+    tr = rc.agg(F.sum("c")).first()[0] or 0
+    tt = tc.agg(F.sum("c")).first()[0] or 0
+    lam = (grid.join(rc.withColumnRenamed("c", "cr"), "b", "left")
+           .join(tc.withColumnRenamed("c", "ct"), "b", "left")
+           .select("b", F.floor(1e6 * (
+               F.log((F.coalesce("ct", F.lit(0)) + 1)
+                     / F.lit(float(tt + buckets)))
+               - F.log((F.coalesce("cr", F.lit(0)) + 1)
+                       / F.lit(float(tr + buckets)))))
+               .cast("long").alias("lam")))
+    per_gram = (raw.select(F.col(id_col),
+                           F.explode(_grams(text_col)).alias("g"))
+                .select(id_col, _bucket(F.col("g"), buckets).alias("b")))
+    scored = (per_gram.join(F.broadcast(lam), "b")
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.sum("lam").alias("dsir_micro")))
+    return (raw.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                    F.coalesce("dsir_micro", F.lit(0))
+                    .alias("dsir_micro")))
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, text_col: str,
+                id_col: str, k: int, buckets: int = 512) -> DataFrame:
+    """The ``k`` most target-like raw docs by DSIR weight
+    (deterministic rank: weight desc, id asc — the paper's Gumbel
+    noise is for statistical de-duplication of the selection, not
+    needed for a reproducible top-k). Salted two-phase top-k, same
+    plan discipline as ``_topk_per_qid``: no global single-task sort.
+    """
+    from pyspark.sql import Window
+    w = dsir_weights(raw, target, text_col, id_col, buckets)
+    order = [F.col("dsir_micro").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy("__salt__").orderBy(*order)
+    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return (w.withColumn("__salt__", F.spark_partition_id())
+            .withColumn("__r1__", F.row_number().over(w1))
+            .filter(F.col("__r1__") <= k)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "n_grams", "dsir_micro", "rank"))

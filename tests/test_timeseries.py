@@ -282,3 +282,43 @@ def test_interpolate_at_out_col_guard(spark):
     out = interpolate_at(series, tgt_clash, "ts", "value",
                          by=["user_id"], out_col="interp").collect()
     assert out[0]["interp"] == 15.0 and out[0]["value"] == 99.0
+
+
+def test_ema_smooth_matches_pandas_and_handles_nulls(spark):
+    """ema_smooth must reproduce the exact adjust=False recurrence
+    (seed = first value), skip nulls without advancing the state, and
+    respect the (ts, tiebreak) order under any input order."""
+    import pandas as pd
+
+    from tablite_spark.operators.timeseries import ema_smooth
+    rows = [
+        (1, _ts(0), 10, 8.0), (1, _ts(1), 11, 16.0),
+        (1, _ts(2), 12, None), (1, _ts(3), 13, 4.0),
+        # equal ts -> event_id breaks the tie
+        (2, _ts(0), 21, 1.0), (2, _ts(0), 20, 3.0), (2, _ts(1), 22, 5.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double") \
+        .orderBy(F.rand(7))  # scramble input order
+    out = {(r["user_id"], r["event_id"]): r["ema"] for r in
+           ema_smooth(df, "ts", "value", by=["user_id"], alpha=0.25,
+                      tiebreak=["event_id"]).collect()}
+    # user 1: 8 -> .75*8+.25*16=10 -> null (state carries) -> .75*10+.25*4=8.5
+    assert out[(1, 10)] == 8.0 and out[(1, 11)] == 10.0
+    assert out[(1, 12)] is None and out[(1, 13)] == 8.5
+    # user 2: order (20, 21, 22) by (ts, event_id): 3 -> 2.5 -> 3.125
+    assert out[(2, 20)] == 3.0 and out[(2, 21)] == 2.5
+    assert out[(2, 22)] == 3.125
+    # cross-check the whole thing against pandas' C kernel
+    pdf = pd.DataFrame(rows, columns=["u", "ts", "eid", "v"]) \
+        .sort_values(["u", "ts", "eid"])
+    for u, g in pdf.groupby("u"):
+        e = g["v"].ewm(alpha=0.25, adjust=False, ignore_na=True).mean()
+        for eid, v, ev in zip(g["eid"], g["v"], e):
+            want = None if pd.isna(v) else ev
+            assert out[(u, eid)] == want
+    with pytest.raises(ValueError, match="group key"):
+        ema_smooth(df, "ts", "value", by=[])
+    with pytest.raises(ValueError, match="ema"):
+        ema_smooth(df.withColumn("ema", F.lit(0.0)), "ts", "value",
+                   by=["user_id"])

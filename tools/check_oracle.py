@@ -4,7 +4,12 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same parquet tables, compares row count, schema
 (column names), and order-insensitive values. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` writes the per-query verdicts as a committed artifact
+(SWEEP_r0N.json) so a full-registry sweep is auditable, not prose:
+{"_sweep": {sf_dir, n_pass, n_fail, n_rows_only},
+ "<query>": {"status": "pass|fail|rows_only", "rows": N, "err": ...}}
 """
 
 from __future__ import annotations
@@ -76,8 +81,14 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("oracle_check")
     con = duckdb.connect()
     for t in TABLES:
@@ -118,6 +129,27 @@ def main():
     print(f"\n=== FAIL ({len(failed)}) ===")
     for name, msg in failed:
         print(f"  {name}: {msg[:600]}")
+    if json_out:
+        import json
+        import os
+        import time
+        rec = {"_sweep": {
+            "sf_dir": sf_dir,
+            "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "n_pass": len(passed), "n_fail": len(failed),
+            "n_rows_only": len(rows_only),
+        }}
+        for name, n in passed:
+            rec[name] = {"status": "pass", "rows": n}
+        for name, n in rows_only:
+            rec[name] = {"status": "rows_only", "rows": n}
+        for name, msg in failed:
+            rec[name] = {"status": "fail", "err": msg[:400]}
+        with open(json_out, "w") as fh:
+            json.dump(rec, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"\nwrote {json_out}")
     spark.stop()
     sys.exit(1 if failed else 0)
 
