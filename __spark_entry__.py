@@ -1387,6 +1387,15 @@ def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
                        "text", "doc_id", k=50, buckets=256)
 
 
+def ab_welch_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Welch's t-test between event types over `value`: one
+    combinable groupBy pass (n/mean/var_samp) + a broadcast self-join
+    of the |groups|-row summary. Oracle: the same closed formula in
+    DuckDB SQL."""
+    from tablite_spark.operators.stats import ab_welch
+    return ab_welch(_t(spark, sf, "events"), "event_type", "value")
+
+
 def pca_covariance_embeddings(spark: SparkSession, sf: str) -> DataFrame:
     """Upper-triangle covariance matrix of the embedding table via
     per-partition numpy Gram partials (O(dim²) rows emitted per
@@ -3351,18 +3360,19 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # Round-9 verification window: the driver checks the FIRST 50 entries
 # of queries(). Registry state at r9 open (CORRECTNESS_r01..r08
 # merged): 183/183 green at latest check, staleness 50@r8 / 50@r7 /
-# 50@r6 / 33@r5, nothing never-checked. Priority is (1) the 5 queries
+# 50@r6 / 33@r5, nothing never-checked. Priority is (1) the 6 queries
 # NEW in round 9 (locally oracled via tools/check_oracle.py), (2) ALL
 # 33 r5-stale entries (the VERDICT r8 item-1 list), so after this
 # window runs nothing in the registry is staler than r6, then (3) the
-# first 12 of the 50 r6-stale entries alphabetically. The remaining
-# 38 r6 entries (hdf5_vlen_roundtrip ... zorder_events) lead the r10
+# first 11 of the 50 r6-stale entries alphabetically. The remaining
+# 39 r6 entries (get_headers_nation ... zorder_events) lead the r10
 # window. ALL out-of-window entries are locally oracle-swept green on
 # r9 code — committed as SWEEP_r09.json.
 _R9_WINDOW = [
     # --- never driver-verified: new in round 9
     "ema_events", "dsir_weights_docs", "dsir_select_docs",
     "pca_covariance_embeddings", "pca_project_embeddings",
+    "ab_welch_events",
     # --- latest green = r5 (all 33; alphabetical)
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
     "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
@@ -3375,12 +3385,11 @@ _R9_WINDOW = [
     "tumbling_window", "unique_first", "unique_values", "window_lag",
     "window_running_sum", "window_topn", "xls_dates_roundtrip",
     "xround_buckets",
-    # --- latest green = r6 (first 12 alphabetically)
+    # --- latest green = r6 (first 11 alphabetically)
     "asof_join_events", "bm25_search_docs", "bucketed_join_revenue",
     "chunk_docs", "column_profile", "column_select_fail",
     "column_select_pass", "contamination_docs", "corpus_manifest",
     "dedup_clusters", "deterministic_sample_orders",
-    "get_headers_nation",
 ]
 
 
@@ -3482,6 +3491,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_events": interpolate_events,
         "trigram_substring_docs": trigram_substring_docs,
         # --- round-9 additions
+        "ab_welch_events": ab_welch_events,
         "ema_events": ema_events,
         "dsir_weights_docs": dsir_weights_docs,
         "dsir_select_docs": dsir_select_docs,
@@ -5598,6 +5608,24 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "ab_welch_events": """
+            WITH g AS (
+                SELECT event_type AS g, count(*) AS n,
+                       avg(value) AS m, var_samp(value) AS v
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1 HAVING count(*) >= 2
+            )
+            SELECT a.g AS g_a, b.g AS g_b, a.n AS na, b.n AS nb,
+                   ROUND(a.m, 4) AS mean_a, ROUND(b.m, 4) AS mean_b,
+                   ROUND((a.m - b.m)
+                         / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+                   ROUND((a.v / a.n + b.v / b.n)
+                         * (a.v / a.n + b.v / b.n)
+                         / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                            + (b.v / b.n) * (b.v / b.n) / (b.n - 1)),
+                         2) AS dof
+            FROM g a JOIN g b ON a.g < b.g
         """,
         "ema_events": """
             WITH RECURSIVE ordered AS (

@@ -478,17 +478,18 @@ def probe_benchmarks(spark, sf_dir: str, timings: dict,
     # the DURABLE index, where each needle costs a few posting-list
     # reads + the id-keyed confirm join.
     from tablite_spark.pipeline.retrieval import (
-        build_trigram_index, substring_search,
+        build_trigram_index, load_trigram_index, substring_search,
     )
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     tmp = tempfile.mkdtemp(prefix="bench_trigram_")
     try:
         build_trigram_index(d, "text", "doc_id", f"{tmp}/idx")  # untimed
-        postings = spark.read.parquet(f"{tmp}/idx")
+        postings, tri_df = load_trigram_index(spark, f"{tmp}/idx")
         min_of_2("trigram_substring_docs",
                  lambda: force(substring_search(
                      d, "text", "doc_id", "the table",
-                     postings=postings)),
+                     postings=postings, tri_df=tri_df,
+                     max_probe_trigrams=3)),
                  timings, meta, rerun_below=30.0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -171,3 +171,39 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None,
         out, "column string, n long, n_nulls long, "
              "approx_distinct long, min string, max string, "
              "mean double")
+
+
+def ab_welch(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Pairwise Welch's t-test over the groups of ``group_col``:
+    one row per unordered group pair (g_a < g_b) with means, the
+    Welch t statistic and the Welch–Satterthwaite degrees of freedom
+    — the standard unequal-variance A/B comparison (public formula).
+
+    Scale shape: the corpus collapses to ONE combinable
+    groupBy(group) pass (n, mean, var_samp — all partial-aggregating,
+    so a 100 TB variant column costs one scan + a |groups|-row
+    shuffle); the pairing is a broadcast self-join of the tiny
+    per-group summary. NULL values are excluded per standard
+    aggregate semantics; groups need n >= 2 for a variance.
+    """
+    g = (df.filter(F.col(val_col).isNotNull())
+         .groupBy(F.col(group_col).alias("g"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.avg(val_col).alias("m"),
+              F.var_samp(val_col).alias("v"))
+         .filter(F.col("n") >= 2))
+    a = g.select(F.col("g").alias("g_a"), F.col("n").alias("na"),
+                 F.col("m").alias("ma"), F.col("v").alias("va"))
+    b = g.select(F.col("g").alias("g_b"), F.col("n").alias("nb"),
+                 F.col("m").alias("mb"), F.col("v").alias("vb"))
+    sa = F.col("va") / F.col("na")
+    sb = F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
+    dof = ((sa + sb) * (sa + sb)
+           / (sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1)))
+    return (a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
+            .select("g_a", "g_b", "na", "nb",
+                    F.round(F.col("ma"), 4).alias("mean_a"),
+                    F.round(F.col("mb"), 4).alias("mean_b"),
+                    F.round(t, 4).alias("t_stat"),
+                    F.round(dof, 2).alias("dof")))

@@ -220,23 +220,44 @@ def build_trigram_index(docs: DataFrame, text_col: str, id_col: str,
     :func:`substring_search` — the pg_trgm recipe (public), Spark-
     first: one corpus pass explodes each document's DISTINCT trigrams
     (row-local array ops), and the (trigram, id) postings land in
-    parquet sorted within files by trigram so a probe's predicate
-    pushdown reads only its trigrams' row groups. At 100 TB the
-    index is the thing that turns ``LIKE '%needle%'`` from a full
-    corpus scan into a few posting-list reads."""
+    ``{path}/postings`` sorted within files by trigram so a probe's
+    predicate pushdown reads only its trigrams' row groups. A second
+    tiny table ``{path}/df`` records each trigram's document
+    frequency — the probe-time selectivity statistic that lets
+    :func:`substring_search` skip HOT trigram posting lists (the
+    round-9 10M-doc burn-in showed a needle containing 'the ' paying
+    a 30M-row intersection, 35× a brute scan; probing only the
+    rarest trigrams turned it back into a few small posting reads).
+    At 100 TB the index is the thing that turns ``LIKE '%needle%'``
+    from a full corpus scan into a few posting-list reads."""
     tri = F.when(F.length(text_col) >= 3, F.array_distinct(F.transform(
         F.sequence(F.lit(1), F.length(text_col) - 2),
         lambda i: F.col(text_col).substr(i, F.lit(3))))) \
         .otherwise(F.array().cast("array<string>"))
-    (docs.select(F.col(id_col).alias("doc_id"),
-                 F.explode(tri).alias("tri"))
-     .repartition("tri").sortWithinPartitions("tri")
-     .write.mode("overwrite").parquet(path))
+    post = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(tri).alias("tri")))
+    (post.repartition("tri").sortWithinPartitions("tri")
+     .write.mode("overwrite").parquet(f"{path}/postings"))
+    # doc frequency per trigram: re-derived from the written postings
+    # (one read of the sorted files, combinable count — cheaper than
+    # a second corpus pass)
+    (docs.sparkSession.read.parquet(f"{path}/postings")
+     .groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+     .write.mode("overwrite").parquet(f"{path}/df"))
+
+
+def load_trigram_index(spark, path: str):
+    """(postings, df) frames for an index written by
+    :func:`build_trigram_index`."""
+    return (spark.read.parquet(f"{path}/postings"),
+            spark.read.parquet(f"{path}/df"))
 
 
 def substring_search(docs: DataFrame, text_col: str, id_col: str,
                      needle: str,
-                     postings: DataFrame | None = None) -> DataFrame:
+                     postings: DataFrame | None = None,
+                     tri_df: DataFrame | None = None,
+                     max_probe_trigrams: int = 0) -> DataFrame:
     """All documents containing ``needle`` as a raw substring, with
     occurrence counts: ``(id, n_occurrences)``.
 
@@ -254,8 +275,26 @@ def substring_search(docs: DataFrame, text_col: str, id_col: str,
     Needles shorter than 3 characters have no trigrams — those fall
     back to the direct scan filter (selective short needles are rare
     and an index can't help them).
+
+    Hot-trigram pruning (round-9 burn-in fix): a needle containing a
+    corpus-hot trigram ('the ') would drag that trigram's near-corpus-
+    sized posting list through the intersection. With ``tri_df`` (the
+    index's document-frequency table) and ``max_probe_trigrams=k``,
+    only the k LOWEST-df needle trigrams are intersected — a superset
+    of the true candidates, and the exact ``contains`` confirm makes
+    the result identical, so pruning trades candidate volume for
+    posting IO with no correctness cost. The df lookup collects at
+    most len(needle) rows (contract-bounded).
     """
     tris = sorted({needle[i:i + 3] for i in range(len(needle) - 2)})
+    if tris and tri_df is not None and 0 < max_probe_trigrams < len(tris):
+        dfs = {r["tri"]: r["df"] for r in
+               tri_df.filter(F.col("tri").isin(tris)).collect()}
+        # a needle trigram absent from the index ⇒ no doc contains it
+        # ⇒ empty result, cheapest possible probe (df 0 sorts first)
+        tris = sorted(tris, key=lambda t: (dfs.get(t, 0), t))[
+            :max_probe_trigrams]
+        tris = sorted(tris)
     occ = ((F.length(text_col)
             - F.length(F.replace(F.col(text_col), F.lit(needle))))
            / len(needle)).cast("long")

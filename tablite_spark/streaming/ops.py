@@ -108,6 +108,60 @@ def stateful_running_total(events: DataFrame) -> DataFrame:
     ))
 
 
+_EMA_STATE = T.StructType([T.StructField("ema", T.DoubleType())])
+_EMA_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ema", T.DoubleType()),
+])
+_EMA_ALPHA = 0.25
+
+
+def _ema_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    e = state.get[0] if state.exists else None
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    pdf = (pd.concat(parts, ignore_index=True)
+           .sort_values(["ts", "event_id"], kind="mergesort"))
+    ids, emas = [], []
+    for eid, v in zip(pdf["event_id"], pdf["value"]):
+        if pd.isna(v):
+            ids.append(eid)
+            emas.append(None)
+            continue
+        e = float(v) if e is None else \
+            (1.0 - _EMA_ALPHA) * e + _EMA_ALPHA * float(v)
+        ids.append(eid)
+        emas.append(e)
+    if e is not None:
+        state.update((e,))
+    yield pd.DataFrame({"user_id": key[0], "event_id": ids,
+                        "ema": emas})
+
+
+def streaming_ema(events: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`tablite_spark.operators.timeseries.
+    ema_smooth` (alpha=0.25, adjust=False, nulls pass through without
+    advancing state): per-user EMA continued ACROSS micro-batches via
+    ``applyInPandasWithState`` — the state is one double per user, so
+    a 100M-user stream carries 800 MB of state, partitioned by key.
+    Rows are ordered (ts, event_id) WITHIN each micro-batch; like
+    every incremental operator here, cross-batch order is the
+    ingestion contract (an out-of-order arrival belongs to the
+    watermarked variants, not an EMA whose algebra is sequential).
+    An availableNow drain over a static directory reproduces the
+    batch operator exactly (tests/test_streaming.py)."""
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _ema_fn,
+        outputStructType=_EMA_OUT,
+        stateStructType=_EMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))
+
+
 def sliding_counts(events: DataFrame, ts_col: str = "ts",
                    window: str = "1 hour", slide: str = "30 minutes",
                    watermark: str = "2 hours",

@@ -77,7 +77,7 @@ def test_trigram_substring_search(spark, tmp_path):
     must equal brute-force LIKE, including the scattered-trigram
     false-positive case the confirm join exists for."""
     from tablite_spark.pipeline.retrieval import (
-        build_trigram_index, substring_search,
+        build_trigram_index, load_trigram_index, substring_search,
     )
     rows = [(1, "the table stands"), (2, "tablets on the shelf"),
             # contains every trigram of "table" (tab/abl/ble) but NOT
@@ -91,11 +91,25 @@ def test_trigram_substring_search(spark, tmp_path):
     assert got == want
     idx_path = str(tmp_path / "trgm")
     build_trigram_index(df, "text", "doc_id", idx_path)
-    idx = spark.read.parquet(idx_path)
+    idx, tri_df = load_trigram_index(spark, idx_path)
     got2 = {(r["doc_id"], r["n_occurrences"]) for r in
             substring_search(df, "text", "doc_id", "table",
                              postings=idx).collect()}
     assert got2 == want
+    # hot-trigram pruning: intersecting only the rarest trigrams must
+    # stay exact (the confirm join guarantees it) — here for needle
+    # "the table" the hot 'the' posting is skipped at k=2
+    got3 = {(r["doc_id"], r["n_occurrences"]) for r in
+            substring_search(df, "text", "doc_id", "the table",
+                             postings=idx, tri_df=tri_df,
+                             max_probe_trigrams=2).collect()}
+    assert got3 == {(1, 1)}
+    # a needle trigram absent from the index ⇒ provably no match;
+    # pruning keeps the df=0 trigram and the probe is empty
+    got4 = substring_search(df, "text", "doc_id", "zzzq table",
+                            postings=idx, tri_df=tri_df,
+                            max_probe_trigrams=2).collect()
+    assert got4 == []
     # short-needle fallback (no trigrams): direct scan
     short = {r["doc_id"] for r in
              substring_search(df, "text", "doc_id", "on").collect()}

@@ -196,3 +196,29 @@ def test_profile_columns_bounds_and_exactness(spark):
     assert abs(rows["k"]["approx_distinct"] - n) <= 0.15 * n
     assert abs(rows["small"]["approx_distinct"] - 1000) <= 150
     assert abs(rows["s"]["approx_distinct"] - 50) <= 10
+
+
+def test_ab_welch_matches_manual_formula(spark):
+    """Pairwise Welch t/dof must match a hand-rolled numpy
+    computation; n<2 groups and null values are excluded."""
+    import numpy as np
+
+    from tablite_spark.operators.stats import ab_welch
+    rows = ([("a", float(v)) for v in [10, 12, 9, 11, 13]]
+            + [("b", float(v)) for v in [20, 19, 22, 21]]
+            + [("c", 5.0)]           # n=1 -> dropped
+            + [("a", None), ("b", None)])
+    df = spark.createDataFrame(rows, "variant string, value double")
+    out = {(r["g_a"], r["g_b"]): r for r in
+           ab_welch(df, "variant", "value").collect()}
+    assert set(out) == {("a", "b")}
+    a = np.array([10, 12, 9, 11, 13], float)
+    b = np.array([20, 19, 22, 21], float)
+    sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    t = (a.mean() - b.mean()) / np.sqrt(sa + sb)
+    dof = (sa + sb) ** 2 / (sa ** 2 / (len(a) - 1)
+                            + sb ** 2 / (len(b) - 1))
+    r = out[("a", "b")]
+    assert (r["na"], r["nb"]) == (5, 4)
+    assert r["t_stat"] == round(t, 4) and r["dof"] == round(dof, 2)
+    assert r["mean_a"] == 11.0 and r["mean_b"] == 20.5

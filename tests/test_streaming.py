@@ -434,3 +434,47 @@ def test_stream_incremental_dedup(spark, tmp_path):
     kept3 = sorted(r["doc_id"]
                    for r in spark.read.parquet(out).collect())
     assert kept3 == [101, 201], kept3
+
+
+def test_streaming_ema_matches_batch_twin(spark, stream_dir, tmp_path):
+    """Streaming EMA (stateful, cross-batch continuation) must equal
+    the batch ema_smooth on the same rows after a two-batch drain —
+    the state seed carries batch 1's final EMA into batch 2."""
+    from tablite_spark.operators.timeseries import ema_smooth
+    from tablite_spark.streaming.ops import streaming_ema
+    # own directory with ONE file per micro-batch and ordered mtimes:
+    # the EMA ingestion contract is in-order arrival, so the harness
+    # must not let Spark split a batch's rows across arbitrary files
+    stream_dir = str(tmp_path / "ema_stream")
+    first = [(1, "2024-01-01 00:00:00", 1, 10.0),
+             (2, "2024-01-01 00:10:00", 1, 5.0),
+             (3, "2024-01-01 02:00:00", 1, 1.0),
+             (4, "2024-01-01 00:05:00", 2, 7.0)]
+    more = [(5, "2024-01-01 03:00:00", 1, 3.0),
+            (6, "2024-01-01 03:30:00", 3, 9.0),
+            (7, "2024-01-01 04:00:00", 1, None)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double") \
+        .withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+    mk(first).write.parquet(stream_dir)
+    time.sleep(1.1)  # distinct mtime => deterministic file order
+    mk(more).write.mode("append").parquet(stream_dir)
+
+    src = (spark.readStream.schema(SCHEMA)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false").parquet(stream_dir))
+    out_df = streaming_ema(src)
+    q = (out_df.writeStream.format("memory").queryName("sema")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ckpt_sema"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["event_id"]): r["ema"]
+           for r in spark.sql("SELECT * FROM sema").collect()}
+    batch = spark.read.parquet(stream_dir)
+    want = {(r["user_id"], r["event_id"]): r["ema"]
+            for r in ema_smooth(batch, "ts", "value", by=["user_id"],
+                                alpha=0.25,
+                                tiebreak=["event_id"]).collect()}
+    assert got == want and len(got) == 7
+    assert got[(1, 7)] is None  # null rides through, state unharmed
