@@ -233,9 +233,102 @@ def burnin_interp(spark):
           f"all in-range lerps exact through the dup storm")
 
 
+def burnin_dsir(spark):
+    from tablite_spark.pipeline.selection import dsir_weights
+    print("== dsir: 2M raw docs / 100k target docs, B=10k buckets")
+    t0 = time.time()
+    # two disjoint vocabularies; every 20th raw doc speaks the target
+    # vocabulary -> DSIR must rank ALL of them above every other doc
+    tgt_text = F.concat(F.lit("alpha beta gamma delta w"),
+                        (F.col("id") % 997).cast("string"))
+    raw_text = F.when(F.col("id") % 20 == 0, tgt_text).otherwise(
+        F.concat(F.lit("foo bar baz qux w"),
+                 (F.col("id") % 997).cast("string")))
+    raw = spark.range(2_000_000).select(F.col("id").alias("doc_id"),
+                                        raw_text.alias("text"))
+    target = spark.range(100_000).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        tgt_text.alias("text"))
+    w = dsir_weights(raw, target, "text", "doc_id", buckets=10_000)
+    # min weight among planted target-like docs vs max among the rest
+    agg = w.agg(
+        F.min(F.when(F.col("doc_id") % 20 == 0, F.col("dsir_micro")))
+        .alias("min_t"),
+        F.max(F.when(F.col("doc_id") % 20 != 0, F.col("dsir_micro")))
+        .alias("max_o"),
+        F.count(F.lit(1)).alias("n")).first()
+    t0 = _t("dsir 2M docs (two corpus passes + scoring pass)", t0)
+    assert agg["n"] == 2_000_000
+    assert agg["min_t"] > agg["max_o"], agg
+    print(f"    separation: min(target-like)={agg['min_t']} > "
+          f"max(other)={agg['max_o']} over 2M docs")
+
+
+def burnin_pca(spark):
+    from tablite_spark.pipeline.decomp import covariance_matrix
+    print("== pca: covariance of 1M vectors, dim=128 "
+          "(Gram partials vs catalyst expressions)")
+    t0 = time.time()
+    dim = 128
+    vec = F.array(*[
+        F.sin(F.col("id") * (0.001 * (i + 1))) for i in range(dim)])
+    df = spark.range(1_000_000).select(F.col("id").alias("vec_id"),
+                                       vec.alias("embedding"))
+    cov = {(r["i"], r["j"]): r["cov"] for r in
+           covariance_matrix(df, "embedding", dim).collect()}
+    t0 = _t("covariance 1M x 128 (8256 cells)", t0)
+    assert len(cov) == dim * (dim + 1) // 2
+    # exactness of the partial-sum machinery: 3 cells vs a direct
+    # catalyst aggregate over the same data
+    for (i, j) in [(0, 0), (3, 97), (127, 127)]:
+        chk = df.select(
+            (F.element_at("embedding", i + 1)
+             * F.element_at("embedding", j + 1)).alias("xy"),
+            F.element_at("embedding", i + 1).alias("x"),
+            F.element_at("embedding", j + 1).alias("y")) \
+            .agg((F.avg("xy") - F.avg("x") * F.avg("y"))
+                 .alias("c")).first()["c"]
+        assert abs(cov[(i, j)] - chk) < 1e-9, (i, j, cov[(i, j)], chk)
+    t0 = _t("3-cell catalyst cross-check", t0)
+    print("    8256 cells, spot cells match catalyst to <1e-9")
+
+
+def burnin_ema(spark):
+    from tablite_spark.operators.timeseries import ema_smooth
+    print("== ema: 20M rows, 1 key = 20% of rows (4M-row sequential "
+          "chain through one task)")
+    t0 = time.time()
+    df = spark.range(20_000_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+         .otherwise(F.col("id") % 100_000 + 1).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000)
+                            + F.col("id") / 1000.0).alias("ts"),
+        (F.col("id") % 221).cast("double").alias("value"))
+    out = ema_smooth(df, "ts", "value", by=["user_id"],
+                     alpha=0.25, tiebreak=["event_id"])
+    agg = out.agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("ema").alias("s")).first()
+    t0 = _t("ema 20M rows, hot key 4M", t0)
+    assert agg["n"] == 20_000_000
+    # the steady-state EMA of value=id%221 over the hot key's own
+    # subsequence is bounded by the value range — sanity, plus an
+    # exact replay of one SMALL key's chain
+    small = out.filter(F.col("user_id") == 7).collect()
+    rows = (df.filter(F.col("user_id") == 7)
+            .orderBy("ts", "event_id").collect())
+    e = None
+    for r, got in zip(rows, sorted(small, key=lambda x: x["event_id"])):
+        e = r["value"] if e is None else 0.75 * e + 0.25 * r["value"]
+        assert got["ema"] == e, (r["event_id"], got["ema"], e)
+    print(f"    {agg['n']} rows, key-7 chain exact "
+          f"({len(small)} steps), hot key absorbed")
+
+
 ALL = {"trigram": burnin_trigram, "ohlc": burnin_ohlc,
        "retention": burnin_retention, "funnel": burnin_funnel,
-       "interp": burnin_interp}
+       "interp": burnin_interp, "dsir": burnin_dsir,
+       "pca": burnin_pca, "ema": burnin_ema}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
