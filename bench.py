@@ -95,6 +95,12 @@ BENCH_QUERIES = [
     "bpe_train_docs",
     "interpolate_events",
     "fuzzy_join_diverse_110k",
+    # round-9 operators (excluded from r2_comparable_total): the
+    # newest, least-burned-in code gets a tracked cost
+    "ema_events",
+    "dsir_weights_docs",
+    "pca_covariance_embeddings",
+    "ab_welch_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -107,6 +113,8 @@ BENCH_QUERIES = [
 COMPACT_LINE_SHED = {
     "lookup_first_match", "doc_fingerprint", "groupby_rollup",
     "embedding_topk", "language_id_docs", "multimodal_decode",
+    "filter_pass", "chunk_docs", "text_stats", "dedup_exact",
+    "sessionize_events",
 }
 
 
@@ -576,7 +584,9 @@ def main() -> None:
                  "phrase_search_docs", "bloom_contamination_docs",
                  "batched_topk_embeddings"}
     new_in_r9 = {"retention_cohorts_events", "bpe_train_docs",
-                 "interpolate_events", "fuzzy_join_diverse_110k"}
+                 "interpolate_events", "fuzzy_join_diverse_110k",
+                 "ema_events", "dsir_weights_docs",
+                 "pca_covariance_embeddings", "ab_welch_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9), 3)

@@ -277,16 +277,22 @@ def ema_smooth(df: DataFrame, ts_col: str, val_col: str,
     needs ``(1-alpha)^(-j)`` factors that overflow float64 after a
     few thousand rows, so there is no numerically-safe whole-stage
     codegen formulation. This is the documented custom-operator path:
-    grouped ``applyInPandas`` with the recurrence evaluated by
-    pandas' C ``ewm`` kernel, one Arrow batch per group — never a
+    the recurrence runs in pandas' C ``ewm`` kernel — never a
     row-at-a-time UDF.
 
-    Scale shape: ONE shuffle (hash on the group keys); each group is
-    processed independently, so parallelism = number of groups. A
-    single pathologically hot key serializes ITS OWN rows through one
-    task — inherent to any per-key order-dependent recurrence — while
-    every other key proceeds in parallel; payload is only the
-    projected (keys, ts, tiebreak, value) columns.
+    Scale shape: ONE shuffle (hash-repartition on the group keys,
+    groups co-located), then ``mapInPandas`` with ONE Arrow pass per
+    partition and an in-process pandas groupby — not per-group
+    ``applyInPandas``: measured 5.0 s vs 0.79 s warm on the sf0.1
+    events shape (150 small groups; the per-group plan's fixed
+    serialization/launch overhead dominates small groups, while at
+    20M rows / 100k groups both forms are kernel-bound at ~24 s).
+    A single pathologically hot key serializes ITS OWN rows through
+    one task — inherent to any per-key order-dependent recurrence —
+    while every other key proceeds in parallel; payload is only the
+    projected (keys, ts, tiebreak, value) columns, and the
+    per-partition buffer equals what the per-group form already held
+    for its largest group.
 
     Rows with NULL ``val_col`` pass through with a NULL ``out_col``
     and do NOT advance the recurrence (ewm ``ignore_na`` off-grid
@@ -312,14 +318,26 @@ def ema_smooth(df: DataFrame, ts_col: str, val_col: str,
     schema = StructType(list(proj.schema.fields)
                         + [StructField(out_col, DoubleType())])
     a = float(alpha)
+    keys = list(by)
 
-    def ema(pdf):
+    def ema(batches):
         import numpy as np
-        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        import pandas as pd
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) \
+            .sort_values(keys + order_cols, kind="mergesort")
         v = pdf[val_col].astype("float64")
-        e = v.where(v.notna()).ewm(alpha=a, adjust=False,
-                                   ignore_na=True).mean()
+        masked = v.where(v.notna())
+        # dropna=False: a NULL group key is its own group, matching
+        # Spark groupBy semantics
+        e = masked.groupby([pdf[k] for k in keys], sort=False,
+                           dropna=False) \
+            .transform(lambda s: s.ewm(alpha=a, adjust=False,
+                                       ignore_na=True).mean())
         pdf[out_col] = np.where(v.notna(), e, np.nan)
-        return pdf
+        yield pdf
 
-    return proj.groupBy(*by).applyInPandas(ema, schema)
+    return proj.repartition(*[F.col(k) for k in keys]) \
+        .mapInPandas(ema, schema)

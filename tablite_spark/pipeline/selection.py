@@ -38,20 +38,29 @@ from pyspark.sql import functions as F
 __all__ = ["dsir_weights", "dsir_select"]
 
 
-def _grams(text_col: str):
-    """Row-local unigram+bigram array over whitespace tokens of the
-    lowercased, punctuation-stripped text (same normalization as
-    vocab_divergence so corpus statistics line up across operators).
-    """
+def _gram_rows(df: DataFrame, text_col: str, keep: list[str]):
+    """(keep..., g) — one row per unigram+bigram occurrence over
+    whitespace tokens of the lowercased, punctuation-stripped text
+    (same normalization as vocab_divergence so corpus statistics line
+    up across operators).
+
+    The token array is materialized as a REAL column before the
+    bigram ``transform`` references it: inlining the split+filter
+    expression into the lambda makes Catalyst RE-TOKENIZE the whole
+    text once per bigram element (no common-subexpression elimination
+    inside higher-order functions) — measured 20 s for 5k docs at
+    sf0.1; bound-attribute form is ~40×."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]", " ")
     toks = F.filter(F.split(norm, r" +"), lambda t: t != "")
+    tk = F.col("__tk__")
     bi = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
-                                          F.element_at(toks, i + 2)))) \
+        F.size(tk) >= 2,
+        F.transform(F.sequence(F.lit(0), F.size(tk) - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(tk, i + 1),
+                                          F.element_at(tk, i + 2)))) \
         .otherwise(F.array().cast("array<string>"))
-    return F.concat(toks, bi)
+    return (df.select(*keep, toks.alias("__tk__"))
+            .select(*keep, F.explode(F.concat(tk, bi)).alias("g")))
 
 
 def _bucket(col, buckets: int):
@@ -64,7 +73,7 @@ def _bucket(col, buckets: int):
 
 def _bucket_counts(df: DataFrame, text_col: str,
                    buckets: int) -> DataFrame:
-    return (df.select(F.explode(_grams(text_col)).alias("g"))
+    return (_gram_rows(df, text_col, [])
             .select(_bucket(F.col("g"), buckets).alias("b"))
             .groupBy("b").agg(F.count(F.lit(1)).alias("c")))
 
@@ -77,23 +86,29 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
     the integer-micronat log importance weight (bigger = more
     target-like); docs with no grams weigh 0.
     """
+    import math
     spark = raw.sparkSession
-    grid = spark.range(buckets).select(F.col("id").alias("b"))
-    rc = _bucket_counts(raw, text_col, buckets)
-    tc = _bucket_counts(target, text_col, buckets)
-    # totals: one scalar row each (combinable sums)
-    tr = rc.agg(F.sum("c")).first()[0] or 0
-    tt = tc.agg(F.sum("c")).first()[0] or 0
-    lam = (grid.join(rc.withColumnRenamed("c", "cr"), "b", "left")
-           .join(tc.withColumnRenamed("c", "ct"), "b", "left")
-           .select("b", F.floor(1e6 * (
-               F.log((F.coalesce("ct", F.lit(0)) + 1)
-                     / F.lit(float(tt + buckets)))
-               - F.log((F.coalesce("cr", F.lit(0)) + 1)
-                       / F.lit(float(tr + buckets)))))
-               .cast("long").alias("lam")))
-    per_gram = (raw.select(F.col(id_col),
-                           F.explode(_grams(text_col)).alias("g"))
+    # ONE pass per corpus: the bucket-count tables are <= `buckets`
+    # rows by construction (contract-bounded collect — the λ model IS
+    # a B-row table), so λ is computed driver-side instead of chaining
+    # Catalyst re-computations of the count frames for totals + the
+    # grid join (measured: the lazy formulation re-scanned the raw
+    # corpus 3×; this shape scans raw twice total — stats + scoring —
+    # which is the floor for any global-statistics-then-score op).
+    if buckets > 1_000_000:
+        raise ValueError("buckets > 1e6 breaks the driver-side λ "
+                         "table contract; shard the feature space")
+    rc = {r["b"]: r["c"] for r in
+          _bucket_counts(raw, text_col, buckets).collect()}
+    tc = {r["b"]: r["c"] for r in
+          _bucket_counts(target, text_col, buckets).collect()}
+    tr, tt = sum(rc.values()), sum(tc.values())
+    lam_rows = [(b, math.floor(1e6 * (
+        math.log((tc.get(b, 0) + 1) / (tt + buckets))
+        - math.log((rc.get(b, 0) + 1) / (tr + buckets)))))
+        for b in range(buckets)]
+    lam = spark.createDataFrame(lam_rows, "b long, lam long")
+    per_gram = (_gram_rows(raw, text_col, [id_col])
                 .select(id_col, _bucket(F.col("g"), buckets).alias("b")))
     scored = (per_gram.join(F.broadcast(lam), "b")
               .groupBy(id_col)
