@@ -42,10 +42,21 @@ def _unit(vec):
     ANSI mode x/0 throws, it never was a silent NaN), so any cosine
     against it is NULL and every consumer excludes it — filters/
     thresholds reject NULL, `_topk_per_qid` drops it explicitly. This
-    matches the BLAS kernel, which maps the NaN scores to -inf."""
+    matches the BLAS kernel, which maps the NaN scores to -inf.
+
+    The norm rides in as ``array_repeat(n, size(v))`` — an expression
+    ARGUMENT, evaluated once per row — and the division lambda only
+    touches bound variables: Catalyst does no common-subexpression
+    elimination inside higher-order-function lambdas, so the naive
+    ``transform(v, x -> x / norm2(v))`` re-evaluates the aggregate
+    norm per element — O(dim²) per row, measured 20× slower at
+    dim 64 / 2M rows. (A nested struct-bound-lambda form is equally
+    fast but cannot be EVALUATED as a Python-UDF argument — Spark
+    INTERNAL_ERROR — while this flat form can.)"""
     v = _as_double(vec)
     n = _norm2(v)
-    return F.when(n != 0, F.transform(v, lambda x: x / n))
+    return F.when(n != 0, F.zip_with(v, F.array_repeat(n, F.size(v)),
+                                     lambda x, nn: x / nn))
 
 
 def _topk_per_qid(scored: DataFrame, k: int, keep: tuple = ()) -> DataFrame:
