@@ -306,6 +306,8 @@ def ema_smooth(df: DataFrame, ts_col: str, val_col: str,
         raise ValueError("ema_smooth needs at least one group key "
                          "(a global EMA is a single sequential "
                          "stream — repartition it by a real key)")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if out_col in df.columns:
         raise ValueError(f"df already has a column named {out_col!r}")
     tb = list(tiebreak or [])

@@ -140,3 +140,19 @@ def test_covariance_dim_guard(spark):
     df, _ = _vecs(spark, n=5)
     with pytest.raises(ValueError, match="driver-collect"):
         covariance_matrix(df, "embedding", 2000)
+
+
+def test_dsir_empty_target_and_buckets_guard(spark):
+    """An empty target corpus is a valid (degenerate) model: every
+    bucket smooths to 1/(0+B), weights are finite and favor docs with
+    FEWER raw-common grams; the buckets cap guards the driver-side
+    lambda-table collect."""
+    raw = _docs(spark)
+    empty = raw.filter(F.col("doc_id") < 0)
+    out = {r["doc_id"]: r["dsir_micro"] for r in
+           dsir_weights(raw, empty, "text", "doc_id",
+                        buckets=32).collect()}
+    assert len(out) == 7 and out[5] == 0 and out[6] == 0
+    assert all(isinstance(v, int) for v in out.values())
+    with pytest.raises(ValueError, match="buckets"):
+        dsir_weights(raw, empty, "text", "doc_id", buckets=2_000_000)

@@ -322,3 +322,17 @@ def test_ema_smooth_matches_pandas_and_handles_nulls(spark):
     with pytest.raises(ValueError, match="ema"):
         ema_smooth(df.withColumn("ema", F.lit(0.0)), "ts", "value",
                    by=["user_id"])
+
+
+def test_ema_smooth_alpha_bounds(spark):
+    from tablite_spark.operators.timeseries import ema_smooth
+    df = spark.createDataFrame([(1, _ts(0), 1, 1.0)],
+                               "user_id long, ts timestamp, "
+                               "event_id long, value double")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="alpha"):
+            ema_smooth(df, "ts", "value", by=["user_id"], alpha=bad)
+    # alpha=1.0 degenerates to the value itself
+    out = ema_smooth(df, "ts", "value", by=["user_id"],
+                     alpha=1.0).collect()
+    assert out[0]["ema"] == 1.0
