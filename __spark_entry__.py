@@ -1387,6 +1387,19 @@ def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
                        "text", "doc_id", k=50, buckets=256)
 
 
+def tfidf_keywords_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document: integer-micronat idf per
+    TERM (floor(1e6·ln((N+1)/(df+1)))), so the per-doc scores are
+    exact integers; the df table derives from the tf frame
+    (vocab-bounded — no second corpus scan); the final top-k is a
+    doc-partitioned row_number (millions of small partitions, no hot
+    key). Oracle: DuckDB replays tf, df, the quantized idf and the
+    ranked cut."""
+    from tablite_spark.pipeline.text import tfidf_keywords
+    return tfidf_keywords(_t(spark, sf, "documents"), "text",
+                          "doc_id", k=3)
+
+
 def ab_welch_events(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise Welch's t-test between event types over `value`: one
     combinable groupBy pass (n/mean/var_samp) + a broadcast self-join
@@ -3360,19 +3373,19 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # Round-9 verification window: the driver checks the FIRST 50 entries
 # of queries(). Registry state at r9 open (CORRECTNESS_r01..r08
 # merged): 183/183 green at latest check, staleness 50@r8 / 50@r7 /
-# 50@r6 / 33@r5, nothing never-checked. Priority is (1) the 6 queries
+# 50@r6 / 33@r5, nothing never-checked. Priority is (1) the 7 queries
 # NEW in round 9 (locally oracled via tools/check_oracle.py), (2) ALL
 # 33 r5-stale entries (the VERDICT r8 item-1 list), so after this
 # window runs nothing in the registry is staler than r6, then (3) the
-# first 11 of the 50 r6-stale entries alphabetically. The remaining
-# 39 r6 entries (get_headers_nation ... zorder_events) lead the r10
-# window. ALL out-of-window entries are locally oracle-swept green on
-# r9 code — committed as SWEEP_r09.json.
+# first 10 of the 50 r6-stale entries alphabetically. The remaining
+# 40 r6 entries (deterministic_sample_orders ... zorder_events) lead
+# the r10 window. ALL out-of-window entries are locally oracle-swept
+# green on r9 code — committed as SWEEP_r09.json.
 _R9_WINDOW = [
     # --- never driver-verified: new in round 9
     "ema_events", "dsir_weights_docs", "dsir_select_docs",
     "pca_covariance_embeddings", "pca_project_embeddings",
-    "ab_welch_events",
+    "ab_welch_events", "tfidf_keywords_docs",
     # --- latest green = r5 (all 33; alphabetical)
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
     "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
@@ -3385,11 +3398,11 @@ _R9_WINDOW = [
     "tumbling_window", "unique_first", "unique_values", "window_lag",
     "window_running_sum", "window_topn", "xls_dates_roundtrip",
     "xround_buckets",
-    # --- latest green = r6 (first 11 alphabetically)
+    # --- latest green = r6 (first 10 alphabetically)
     "asof_join_events", "bm25_search_docs", "bucketed_join_revenue",
     "chunk_docs", "column_profile", "column_select_fail",
     "column_select_pass", "contamination_docs", "corpus_manifest",
-    "dedup_clusters", "deterministic_sample_orders",
+    "dedup_clusters",
 ]
 
 
@@ -3491,6 +3504,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_events": interpolate_events,
         "trigram_substring_docs": trigram_substring_docs,
         # --- round-9 additions
+        "tfidf_keywords_docs": tfidf_keywords_docs,
         "ab_welch_events": ab_welch_events,
         "ema_events": ema_events,
         "dsir_weights_docs": dsir_weights_docs,
@@ -5608,6 +5622,37 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "tfidf_keywords_docs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(
+                           regexp_replace(lower(text),
+                                          '[^a-z0-9 ]', ' ', 'g'),
+                           ' +'), t -> t != '') AS tk
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, u.t AS term, count(*) AS tf
+                FROM toks, unnest(tk) AS u(t)
+                GROUP BY 1, 2
+            ), dft AS (
+                SELECT term, count(*) AS dfc FROM tf GROUP BY 1
+            ), n AS (
+                SELECT count(*) AS n FROM documents
+            ), s AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * CAST(floor(1e6 * ln(
+                           CAST(n.n + 1 AS DOUBLE)
+                           / CAST(dft.dfc + 1 AS DOUBLE)))
+                           AS BIGINT) AS score_micro
+                FROM tf JOIN dft USING (term), n
+            )
+            SELECT doc_id, term, score_micro, rank FROM (
+                SELECT s.*, CAST(row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_micro DESC, term ASC) AS INTEGER)
+                    AS rank
+                FROM s) WHERE rank <= 3
         """,
         "ab_welch_events": """
             WITH g AS (

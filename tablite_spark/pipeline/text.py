@@ -1305,3 +1305,50 @@ def vocab_divergence(df_a: DataFrame, df_b: DataFrame, text_col: str,
         F.lit(int(nb)).cast("long").alias("n_tokens_b"),
         F.sum(F.floor(F.lit(1e6) * term)).cast("long")
          .alias("js_micronats"))
+
+
+def tfidf_keywords(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 3) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf — the classic
+    corpus-statistics summarizer (salient-term extraction for
+    dataset cards, topic tagging, retrieval debugging).
+
+    ``score_micro = tf · floor(1e6 · ln((N+1)/(df+1)))`` — the idf is
+    quantized to integer micronats once per TERM, so per-doc scores
+    are exact integers, order-independent, and replayable by an
+    independent SQL engine (the vocab_divergence / DSIR discipline).
+    Terms are whitespace tokens of the lowercased, punct-stripped
+    text (the DSIR normalization); add-1 smoothing keeps corpus-wide
+    terms finite. Rank ties break on the term string.
+
+    Plan shape: one scan → explode → combinable groupBy(doc, term)
+    for tf; df(term) is a second combinable groupBy OVER THE TF
+    FRAME (vocab-bounded, no second corpus scan); the idf join is
+    term-keyed (merge-hinted on the corpus-scaling tf side — the
+    explode-fan-out broadcast trap); the final top-k is a
+    row_number window partitioned by DOC — millions of small
+    partitions, no hot key, payload (doc, term, score) only.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]",
+                            " ")
+    toks = F.filter(F.split(norm, r" +"), lambda t: t != "")
+    tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
+          .groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
+    n_docs = df.count()  # one scalar
+    idf = dft.select(
+        "term",
+        F.floor(F.lit(1e6) * F.log(
+            F.lit(float(n_docs + 1)) / (F.col("dfc") + F.lit(1))
+            .cast("double"))).cast("long").alias("idf_micro"))
+    scored = (tf.hint("merge").join(idf, "term")
+              .select(id_col, "term",
+                      (F.col("tf") * F.col("idf_micro"))
+                      .alias("score_micro")))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "term", "score_micro", "rank"))

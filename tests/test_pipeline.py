@@ -2742,3 +2742,36 @@ def test_topk_zero_norm_vectors_excluded_both_paths(spark):
                              vec_col="embedding"))
     assert {t[0] for t in small} == {0, 1, 2}
     assert all(t[3] == t[3] for t in small)  # no NaN survives
+
+
+def test_tfidf_keywords_reference_implementation(spark):
+    """Top-k tf-idf must equal a pure-python replay (same integer
+    micronat idf, same (score desc, term asc) tie order); zero-token
+    docs produce no rows."""
+    import math
+
+    from tablite_spark.pipeline.text import tfidf_keywords
+    rows = [(0, "apple banana apple cherry"),
+            (1, "banana cherry cherry date"),
+            (2, "apple apple apple"),
+            (3, "!!!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    texts = {r[0]: [t for t in r[1].lower().split() if t.isalnum()]
+             for r in rows}
+    n = len(rows)
+    dfc = {}
+    for toks in texts.values():
+        for t in set(toks):
+            dfc[t] = dfc.get(t, 0) + 1
+    idf = {t: math.floor(1e6 * math.log((n + 1) / (c + 1)))
+           for t, c in dfc.items()}
+    want = {}
+    for d, toks in texts.items():
+        sc = sorted(((toks.count(t) * idf[t], t) for t in set(toks)),
+                    key=lambda x: (-x[0], x[1]))[:2]
+        for r, (s, t) in enumerate(sc, 1):
+            want[(d, t)] = (s, r)
+    got = {(r["doc_id"], r["term"]): (r["score_micro"], r["rank"])
+           for r in tfidf_keywords(df, "text", "doc_id", k=2).collect()}
+    assert got == want
+    assert not any(d == 3 for d, _ in got)
