@@ -1387,6 +1387,40 @@ def dsir_select_docs(spark: SparkSession, sf: str) -> DataFrame:
                        "text", "doc_id", k=50, buckets=256)
 
 
+def winnow_fps_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, Schleimer et al. 2003) of the
+    first 20 documents: char-8-gram md5-prefix hashes, window-4
+    rightmost-min selection — every selected (fp, pos) replayed
+    bit-for-bit by DuckDB list ops (the hash is the DSIR md5 recipe,
+    so selection ORDER is engine-independent)."""
+    from tablite_spark.pipeline.dedup import winnow_fingerprints
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") < 20)
+    return winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+
+
+def winnow_matches_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-100 partial-copy candidate pairs by shared winnowing
+    fingerprints (k=12, window=6, boilerplate fingerprints in >25
+    docs dropped before pairing — the MOSS too-common cut, so a hot
+    fingerprint can never fan out quadratically). Deterministic rank
+    (shared desc, id_a, id_b) via the salted two-phase top-k."""
+    from pyspark.sql import Window
+
+    from tablite_spark.pipeline.dedup import winnow_matches
+    m = winnow_matches(_t(spark, sf, "documents"), "text", "doc_id",
+                       k=12, window=6, max_df=25)
+    order = [F.col("shared_fps").desc(), F.col("id_a").asc(),
+             F.col("id_b").asc()]
+    w1 = Window.partitionBy("__salt__").orderBy(*order)
+    w2 = Window.partitionBy(F.lit(1)).orderBy(*order)
+    return (m.withColumn("__salt__", F.spark_partition_id())
+            .withColumn("__r1__", F.row_number().over(w1))
+            .filter(F.col("__r1__") <= 100)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= 100)
+            .select("id_a", "id_b", "shared_fps", "rank"))
+
+
 def tfidf_keywords_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 tf-idf keywords per document: integer-micronat idf per
     TERM (floor(1e6·ln((N+1)/(df+1)))), so the per-doc scores are
@@ -3373,19 +3407,20 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # Round-9 verification window: the driver checks the FIRST 50 entries
 # of queries(). Registry state at r9 open (CORRECTNESS_r01..r08
 # merged): 183/183 green at latest check, staleness 50@r8 / 50@r7 /
-# 50@r6 / 33@r5, nothing never-checked. Priority is (1) the 7 queries
+# 50@r6 / 33@r5, nothing never-checked. Priority is (1) the 9 queries
 # NEW in round 9 (locally oracled via tools/check_oracle.py), (2) ALL
 # 33 r5-stale entries (the VERDICT r8 item-1 list), so after this
 # window runs nothing in the registry is staler than r6, then (3) the
-# first 10 of the 50 r6-stale entries alphabetically. The remaining
-# 40 r6 entries (deterministic_sample_orders ... zorder_events) lead
-# the r10 window. ALL out-of-window entries are locally oracle-swept
-# green on r9 code — committed as SWEEP_r09.json.
+# first 8 of the 50 r6-stale entries alphabetically. The remaining
+# 42 r6 entries (corpus_manifest ... zorder_events) lead the r10
+# window. ALL out-of-window entries are locally oracle-swept green
+# on r9 code — committed as SWEEP_r09.json.
 _R9_WINDOW = [
     # --- never driver-verified: new in round 9
     "ema_events", "dsir_weights_docs", "dsir_select_docs",
     "pca_covariance_embeddings", "pca_project_embeddings",
-    "ab_welch_events", "tfidf_keywords_docs",
+    "ab_welch_events", "tfidf_keywords_docs", "winnow_fps_docs",
+    "winnow_matches_docs",
     # --- latest green = r5 (all 33; alphabetical)
     "imputation_ffill", "imputation_mean", "imputation_nn_lsh",
     "index_rowids", "is_sorted", "ivfpq_topk_embeddings",
@@ -3398,11 +3433,10 @@ _R9_WINDOW = [
     "tumbling_window", "unique_first", "unique_values", "window_lag",
     "window_running_sum", "window_topn", "xls_dates_roundtrip",
     "xround_buckets",
-    # --- latest green = r6 (first 10 alphabetically)
+    # --- latest green = r6 (first 8 alphabetically)
     "asof_join_events", "bm25_search_docs", "bucketed_join_revenue",
     "chunk_docs", "column_profile", "column_select_fail",
-    "column_select_pass", "contamination_docs", "corpus_manifest",
-    "dedup_clusters",
+    "column_select_pass", "contamination_docs",
 ]
 
 
@@ -3504,6 +3538,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interpolate_events": interpolate_events,
         "trigram_substring_docs": trigram_substring_docs,
         # --- round-9 additions
+        "winnow_fps_docs": winnow_fps_docs,
+        "winnow_matches_docs": winnow_matches_docs,
         "tfidf_keywords_docs": tfidf_keywords_docs,
         "ab_welch_events": ab_welch_events,
         "ema_events": ema_events,
@@ -5622,6 +5658,78 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM customer a JOIN customer b
               ON a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+        "winnow_fps_docs": r"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+                FROM documents WHERE doc_id < 20
+            ), g AS (
+                SELECT doc_id, CASE WHEN length(s) >= 8 THEN
+                    list_transform(range(1, length(s) - 8 + 2),
+                                   i -> substr(s, i, 8))
+                    ELSE [] END AS gs
+                FROM nrm
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(gs, x ->
+                           CAST(('0x' || substr(md5(x), 1, 8))
+                                AS UBIGINT)) AS hs
+                FROM g
+            ), wins AS (
+                SELECT doc_id,
+                       list_transform(
+                           range(0, greatest(len(hs) - 4 + 1, 0)),
+                           p -> {
+                               'fp': list_min(hs[p+1:p+4]),
+                               'pos': p + 4 - list_position(
+                                   list_reverse(hs[p+1:p+4]),
+                                   list_min(hs[p+1:p+4]))
+                           }) AS ws
+                FROM h
+            )
+            SELECT DISTINCT doc_id, CAST(u.w.fp AS BIGINT) AS fp,
+                   CAST(u.w.pos AS INTEGER) AS pos
+            FROM wins, UNNEST(ws) AS u(w)
+        """,
+        "winnow_matches_docs": r"""
+            WITH nrm AS (
+                SELECT doc_id,
+                       regexp_replace(lower(text), '\s+', ' ', 'g') AS s
+                FROM documents
+            ), g AS (
+                SELECT doc_id, CASE WHEN length(s) >= 12 THEN
+                    list_transform(range(1, length(s) - 12 + 2),
+                                   i -> substr(s, i, 12))
+                    ELSE [] END AS gs
+                FROM nrm
+            ), h AS (
+                SELECT doc_id,
+                       list_transform(gs, x ->
+                           CAST(('0x' || substr(md5(x), 1, 8))
+                                AS UBIGINT)) AS hs
+                FROM g
+            ), fps AS (
+                SELECT DISTINCT doc_id, CAST(u.f AS BIGINT) AS fp
+                FROM h, UNNEST(list_transform(
+                    range(0, greatest(len(hs) - 6 + 1, 0)),
+                    p -> list_min(hs[p+1:p+6]))) AS u(f)
+            ), keep AS (
+                SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 25
+            ), pruned AS (
+                SELECT doc_id, fp FROM fps JOIN keep USING (fp)
+            ), pairs AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS shared_fps
+                FROM pruned a JOIN pruned b
+                  ON a.fp = b.fp AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, shared_fps, rank FROM (
+                SELECT pairs.*, CAST(row_number() OVER (
+                    ORDER BY shared_fps DESC, id_a ASC, id_b ASC)
+                    AS INTEGER) AS rank
+                FROM pairs) WHERE rank <= 100
         """,
         "tfidf_keywords_docs": """
             WITH toks AS (

@@ -774,3 +774,94 @@ def snapshot_diff(old: DataFrame, new: DataFrame, id_col: str,
                     F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return j.select(id_col, status.alias("status"))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
+                        k: int = 5, window: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    2003 — the MOSS algorithm, public): hash every char ``k``-gram of
+    the normalized text, slide a ``window`` over the hash sequence,
+    and keep each window's MINIMUM hash (rightmost on ties — "robust
+    winnowing"). Guarantees: any shared substring of length
+    ``k + window - 1`` yields at least one shared fingerprint, and
+    selected density is ~2/(window+1) — position-robust partial-copy
+    detection that exact-hash and shingle-set methods miss.
+
+    Returns ``(id_col, fp, pos)`` — one row per selected fingerprint
+    (distinct per doc), ``pos`` the 0-based gram offset.
+
+    Exactness/oracle: the hash is the md5-hex-prefix integer (the
+    DSIR bucket recipe) — selection order is therefore replayable
+    bit-for-bit by DuckDB list ops, unlike xxhash64. Plan shape: all
+    arrays are materialized COLUMNS before any lambda references
+    them (Catalyst does no CSE inside higher-order-function lambdas —
+    the round-9 `_unit`/DSIR lesson), so the per-row cost is
+    O(len·window); one scan, zero shuffles before the explode.
+    """
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    grams = F.when(
+        F.length("__nrm__") >= k,
+        F.transform(F.sequence(F.lit(1), F.length("__nrm__") - (k - 1)),
+                    lambda i: F.col("__nrm__").substr(i, F.lit(k)))) \
+        .otherwise(F.array().cast("array<string>"))
+    hashes = F.transform(
+        "__grams__",
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        .cast("long"))
+    h = F.col("__h__")
+    # per window start p (0-based): min hash, rightmost tie — min
+    # over struct(hash, -pos) orders (hash asc, pos desc). Windows
+    # come from `window` SHIFTED SLICES zipped together (the
+    # _gram_hashes trick): every sub-expression is total on short /
+    # empty inputs, which matters because codegen's subexpression
+    # elimination can evaluate projection expressions inside the
+    # FILTER stage before the size guard is checked — element_at /
+    # descending-sequence forms threw there on short docs.
+    cnt = F.greatest(F.size(h) - F.lit(window - 1), F.lit(0))
+    shifted = [F.slice(h, j + 1,
+                       F.greatest(F.size(h) - F.lit(j), F.lit(0)))
+               .alias(f"h{j}") for j in range(window)]
+    win = F.transform(
+        F.slice(F.arrays_zip(*shifted), 1, cnt),
+        lambda s, p: F.array_min(F.array(*[
+            F.struct(s[f"h{j}"].alias("fp"),
+                     (-(p + j)).alias("negpos"))
+            for j in range(window)])))
+    sel = (df.select(F.col(id_col), norm.alias("__nrm__"))
+           .select(id_col, grams.alias("__grams__"))
+           .select(id_col, hashes.alias("__h__"))
+           .select(id_col, F.array_distinct(win).alias("__w__"))
+           .select(id_col, F.explode("__w__").alias("s"))
+           .select(id_col, F.col("s.fp").alias("fp"),
+                   (-F.col("s.negpos")).cast("int").alias("pos")))
+    return sel
+
+
+def winnow_matches(df: DataFrame, text_col: str, id_col: str,
+                   k: int = 5, window: int = 4,
+                   max_df: int = 1000) -> DataFrame:
+    """Cross-document partial-copy candidates by shared winnowing
+    fingerprints: ``(id_a, id_b, shared_fps)`` for id_a < id_b, the
+    MOSS match stage. ``max_df`` drops fingerprints shared by more
+    than that many docs (boilerplate k-grams — MOSS's own
+    "too-common" cut) BEFORE pairing, so a corpus-hot fingerprint
+    can never fan out quadratically; the cut is part of the operator
+    contract and mirrored by the oracle.
+
+    Plan: fingerprints (one scan) → distinct (doc, fp) → combinable
+    df(fp) census → hot-fp filter → fp-keyed self-join (candidates
+    bounded by true sharing) → combinable pair count.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, window) \
+        .select(F.col(id_col).alias("__id__"), "fp").distinct()
+    censu = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__dfc__"))
+    keep = censu.filter(F.col("__dfc__") <= max_df).select("fp")
+    pruned = fps.join(keep, "fp")
+    a = pruned.select(F.col("__id__").alias("id_a"), "fp")
+    b = pruned.select(F.col("__id__").alias("id_b"), "fp")
+    return (a.join(b, "fp")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared_fps")))

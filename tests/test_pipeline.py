@@ -2775,3 +2775,60 @@ def test_tfidf_keywords_reference_implementation(spark):
            for r in tfidf_keywords(df, "text", "doc_id", k=2).collect()}
     assert got == want
     assert not any(d == 3 for d, _ in got)
+
+
+def _winnow_ref(text, k, w):
+    import hashlib
+    import re
+    norm = re.sub(r"\s+", " ", text.lower())
+    grams = [norm[i:i + k] for i in range(len(norm) - k + 1)]
+    h = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+         for g in grams]
+    if len(h) < w:
+        return set()
+    out = set()
+    for p in range(len(h) - w + 1):
+        win = h[p:p + w]
+        m = min(win)
+        pos = p + (len(win) - 1 - win[::-1].index(m))  # rightmost min
+        out.add((m, pos))
+    return out
+
+
+def test_winnow_fingerprints_reference(spark):
+    """Robust winnowing must match a pure-python MOSS reference:
+    rightmost-min tie rule, ~2/(w+1) density, k+w-1 shared-substring
+    guarantee."""
+    from tablite_spark.pipeline.dedup import (
+        winnow_fingerprints, winnow_matches,
+    )
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox jumped high"),
+        (2, "zzzz"),                     # shorter than k+w-1 -> empty
+        (3, "THE  QUICK   Brown fox"),   # ws+case normalize
+        (4, "completely different content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w = 5, 4
+    got = {}
+    for r in winnow_fingerprints(df, "text", "doc_id",
+                                 k=k, window=w).collect():
+        got.setdefault(r["doc_id"], set()).add((r["fp"], r["pos"]))
+    for d, text in rows:
+        want = _winnow_ref(text, k, w)
+        assert got.get(d, set()) == want, d
+    # shared-substring guarantee: docs 0 and 3 share "quick brown fox"
+    # (len 15 >= k+w-1=8) -> at least one common fingerprint value
+    fps0 = {fp for fp, _ in got[0]}
+    fps3 = {fp for fp, _ in got[3]}
+    assert fps0 & fps3
+    m = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in
+         winnow_matches(df, "text", "doc_id", k=k,
+                        window=w).collect()}
+    assert (0, 3) in m and m[(0, 3)] >= 1
+    assert not any(4 in pair for pair in m)  # no spurious matches
+    # max_df cut: with max_df=1 every fp shared by 2+ docs drops
+    m1 = winnow_matches(df, "text", "doc_id", k=k, window=w,
+                        max_df=1).collect()
+    assert m1 == []
