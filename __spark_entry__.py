@@ -5673,7 +5673,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ), h AS (
                 SELECT doc_id,
                        list_transform(gs, x ->
-                           CAST(('0x' || substr(md5(x), 1, 8))
+                           CAST(('0x' || substr(md5(x), 1, 15))
                                 AS UBIGINT)) AS hs
                 FROM g
             ), wins AS (
@@ -5706,7 +5706,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ), h AS (
                 SELECT doc_id,
                        list_transform(gs, x ->
-                           CAST(('0x' || substr(md5(x), 1, 8))
+                           CAST(('0x' || substr(md5(x), 1, 15))
                                 AS UBIGINT)) AS hs
                 FROM g
             ), fps AS (

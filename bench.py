@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "dsir_weights_docs",
     "pca_covariance_embeddings",
     "ab_welch_events",
+    "tfidf_keywords_docs",
+    "winnow_matches_docs",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -114,7 +116,8 @@ COMPACT_LINE_SHED = {
     "lookup_first_match", "doc_fingerprint", "groupby_rollup",
     "embedding_topk", "language_id_docs", "multimodal_decode",
     "filter_pass", "chunk_docs", "text_stats", "dedup_exact",
-    "sessionize_events",
+    "sessionize_events", "contamination_docs", "pack_chunks_docs",
+    "snapshot_diff_docs",
 }
 
 
@@ -586,7 +589,8 @@ def main() -> None:
     new_in_r9 = {"retention_cohorts_events", "bpe_train_docs",
                  "interpolate_events", "fuzzy_join_diverse_110k",
                  "ema_events", "dsir_weights_docs",
-                 "pca_covariance_embeddings", "ab_welch_events"}
+                 "pca_covariance_embeddings", "ab_welch_events",
+                 "tfidf_keywords_docs", "winnow_matches_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9), 3)

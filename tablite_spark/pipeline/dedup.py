@@ -806,9 +806,13 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
         F.transform(F.sequence(F.lit(1), F.length("__nrm__") - (k - 1)),
                     lambda i: F.col("__nrm__").substr(i, F.lit(k)))) \
         .otherwise(F.array().cast("array<string>"))
+    # 15 hex chars = 60 bits: a 32-bit (8-hex) fp space measured ~2.2M
+    # birthday-collision pairs at 5M docs (75M selected fps); 60 bits
+    # puts the expected collision count at ~0.002 while still fitting
+    # BOTH a Spark signed long and a DuckDB BIGINT exactly.
     hashes = F.transform(
         "__grams__",
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
         .cast("long"))
     h = F.col("__h__")
     # per window start p (0-based): min hash, rightmost tie — min
@@ -852,16 +856,22 @@ def winnow_matches(df: DataFrame, text_col: str, id_col: str,
 
     Plan: fingerprints (one scan) → distinct (doc, fp) → combinable
     df(fp) census → hot-fp filter → fp-keyed self-join (candidates
-    bounded by true sharing) → combinable pair count.
+    bounded by true sharing) → combinable pair count. Every join side
+    here SCALES WITH THE CORPUS (the fingerprint table is ~2/(w+1)
+    of all grams), so both joins carry explicit merge hints —
+    planning-time size estimates don't see explode fan-out, and at a
+    5M-doc burn-in Catalyst statically broadcast the 70M-row
+    fingerprint side and OOMed the driver (the round-5 merge-hint
+    lesson, re-learned live).
     """
     fps = winnow_fingerprints(df, text_col, id_col, k, window) \
         .select(F.col(id_col).alias("__id__"), "fp").distinct()
     censu = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__dfc__"))
     keep = censu.filter(F.col("__dfc__") <= max_df).select("fp")
-    pruned = fps.join(keep, "fp")
+    pruned = fps.hint("merge").join(keep, "fp")
     a = pruned.select(F.col("__id__").alias("id_a"), "fp")
     b = pruned.select(F.col("__id__").alias("id_b"), "fp")
-    return (a.join(b, "fp")
+    return (a.hint("merge").join(b, "fp")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("shared_fps")))

@@ -2782,7 +2782,7 @@ def _winnow_ref(text, k, w):
     import re
     norm = re.sub(r"\s+", " ", text.lower())
     grams = [norm[i:i + k] for i in range(len(norm) - k + 1)]
-    h = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+    h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
          for g in grams]
     if len(h) < w:
         return set()
@@ -2832,3 +2832,32 @@ def test_winnow_fingerprints_reference(spark):
     m1 = winnow_matches(df, "text", "doc_id", k=k, window=w,
                         max_df=1).collect()
     assert m1 == []
+
+
+def test_winnow_matches_boilerplate_cut_semantics(spark):
+    """MOSS semantics: a match living ENTIRELY in boilerplate (every
+    shared fingerprint appears in > max_df docs) is deliberately not
+    reported; raising max_df restores it. Found by the 5M-doc
+    burn-in, where template-worded planted passages vanished under
+    the too-common cut."""
+    from tablite_spark.pipeline.dedup import winnow_matches
+    boiler = "this footer appears everywhere in the corpus verbatim"
+    rows = [(i, f"unique{i:03d} " * 4 + boiler) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in
+            winnow_matches(df, "text", "doc_id", k=8, window=4,
+                           max_df=6).collect()}
+    assert len(kept) == 15  # all C(6,2) pairs share the footer
+    # the cut censuses SELECTED fingerprints: footer fps selected in
+    # all 6 docs drop at max_df=5, so every surviving pair loses
+    # shared mass (boundary-window fps selected in <= 5 docs may
+    # legitimately remain — window alignment near each doc's unique
+    # prefix differs, faithful MOSS census semantics)
+    cut = {(r["id_a"], r["id_b"]): r["shared_fps"] for r in
+           winnow_matches(df, "text", "doc_id", k=8, window=4,
+                          max_df=5).collect()}
+    assert sum(cut.values()) < sum(kept.values())
+    assert all(cut[p] < kept[p] for p in cut)
+    # fps unique to one doc can never pair
+    assert winnow_matches(df, "text", "doc_id", k=8, window=4,
+                          max_df=1).collect() == []

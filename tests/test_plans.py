@@ -421,3 +421,18 @@ def test_snapshot_diff_payload_free_join(spark):
                           if l.startswith("Input"))
         assert "text#" not in input_line, b
         assert "_h__" in input_line, b
+
+
+def test_winnow_matches_no_broadcast(spark):
+    """Every join side in the winnowing match stage scales with the
+    corpus (fingerprints are ~2/(w+1) of all grams) — planning-time
+    stats don't see explode fan-out, and an unhinted plan statically
+    broadcast the 70M-row fingerprint side at a 5M-doc burn-in and
+    OOMed. Both joins must stay sort-merge."""
+    from tablite_spark.pipeline.dedup import winnow_matches
+    df = spark.createDataFrame([(1, "abcdefgh " * 4), (2, "x")],
+                               "doc_id long, text string")
+    m = winnow_matches(df, "text", "doc_id", k=5, window=4)
+    assert broadcast_join_count(m) == 0
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan

@@ -325,10 +325,60 @@ def burnin_ema(spark):
           f"({len(small)} steps), hot key absorbed")
 
 
+def burnin_winnow(spark):
+    from tablite_spark.pipeline.dedup import winnow_matches
+    print("== winnow: 5M docs, 2500 planted partial-copy pairs "
+          "(unique 40+-char shared passage per pair)")
+    t0 = time.time()
+    n, npairs = 5_000_000, 2_500
+    # every doc: unique filler; docs i and i+n/2 (i < npairs) also
+    # embed the SAME per-pair passage (>= k+w-1 chars), so winnowing
+    # MUST surface exactly those pairs
+    half = n // 2
+    pid = F.when(F.col("id") < npairs, F.col("id")) \
+        .when((F.col("id") >= half) & (F.col("id") < half + npairs),
+              F.col("id") - half)
+    # the shared passage is fully PAIR-UNIQUE (md5 of the pair id):
+    # a template-worded passage ("shared passage number <i>") fails
+    # the burn-in legitimately — the winnowing guarantee selects the
+    # window-min gram, which lands on a TEMPLATE gram for many pairs,
+    # and template grams appear in all 5000 planted docs so the
+    # max_df too-common cut removes them (MOSS semantics: matches
+    # living entirely in boilerplate are deliberately not reported).
+    passage = F.when(pid.isNotNull(), F.concat(
+        F.lit(" "), F.md5(F.concat(F.lit("pair"), pid.cast("string"))),
+        F.lit(" "))).otherwise(F.lit(" "))
+    # filler = two md5 hex blocks per doc (64 high-entropy chars, no
+    # shared template): two earlier fixtures used "doc <n> filler <m>"
+    # templates, and the TEMPLATE/number-prefix boundary 12-grams were
+    # genuinely shared by ≤25 docs each — 26–43M TRUE similar pairs
+    # (output size is the data's similarity volume, a correct answer
+    # to a bad fixture, with the max_df cut bounding the hot grams as
+    # designed). Hex docs share nothing but the planted passages.
+    text = F.concat(
+        F.md5(F.col("id").cast("string")),
+        passage,
+        F.md5((F.col("id") * 7 + 3).cast("string")))
+    docs = spark.range(n).select(F.col("id").alias("doc_id"),
+                                 text.alias("text"))
+    m = winnow_matches(docs, "text", "doc_id", k=12, window=6,
+                       max_df=25)
+    agg = m.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(((F.col("id_b") - F.col("id_a") == half)
+               & (F.col("id_a") < npairs)).cast("long"))
+        .alias("planted")).first()
+    t0 = _t("winnow_matches 5M docs", t0)
+    assert agg["planted"] == npairs, agg
+    print(f"    all {npairs} planted pairs found; "
+          f"{agg['total'] - npairs} incidental pairs")
+
+
 ALL = {"trigram": burnin_trigram, "ohlc": burnin_ohlc,
        "retention": burnin_retention, "funnel": burnin_funnel,
        "interp": burnin_interp, "dsir": burnin_dsir,
-       "pca": burnin_pca, "ema": burnin_ema}
+       "pca": burnin_pca, "ema": burnin_ema,
+       "winnow": burnin_winnow}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
