@@ -355,10 +355,14 @@ def burnin_winnow(spark):
     # (output size is the data's similarity volume, a correct answer
     # to a bad fixture, with the max_df cut bounding the hot grams as
     # designed). Hex docs share nothing but the planted passages.
+    # disjoint hash-input namespaces ("h"/"t" prefixes): a previous
+    # fixture used md5(id) and md5(7id+3), so doc i's tail block
+    # EQUALLED doc 7i+3's head block — 714,296 (= 5M/7) genuinely
+    # shared 32-char blocks reported as pairs, correctly
     text = F.concat(
-        F.md5(F.col("id").cast("string")),
+        F.md5(F.concat(F.lit("h"), F.col("id").cast("string"))),
         passage,
-        F.md5((F.col("id") * 7 + 3).cast("string")))
+        F.md5(F.concat(F.lit("t"), F.col("id").cast("string"))))
     docs = spark.range(n).select(F.col("id").alias("doc_id"),
                                  text.alias("text"))
     m = winnow_matches(docs, "text", "doc_id", k=12, window=6,
