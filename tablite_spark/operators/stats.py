@@ -198,12 +198,126 @@ def ab_welch(df: DataFrame, group_col: str, val_col: str) -> DataFrame:
                  F.col("m").alias("mb"), F.col("v").alias("vb"))
     sa = F.col("va") / F.col("na")
     sb = F.col("vb") / F.col("nb")
-    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
-    dof = ((sa + sb) * (sa + sb)
-           / (sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1)))
+    # Degenerate pairs where BOTH samples are constant (va = vb = 0)
+    # have no defined t / dof; under ANSI mode the bare division
+    # throws DIVIDE_BY_ZERO and aborts the whole query, so emit NULL
+    # for those pairs instead (mirrored in the DuckDB oracle).
+    ok = (sa + sb) > 0
+    t = F.when(ok, (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb))
+    dof = F.when(ok, (sa + sb) * (sa + sb)
+                 / (sa * sa / (F.col("na") - 1)
+                    + sb * sb / (F.col("nb") - 1)))
     return (a.join(F.broadcast(b), F.col("g_a") < F.col("g_b"))
             .select("g_a", "g_b", "na", "nb",
                     F.round(F.col("ma"), 4).alias("mean_a"),
                     F.round(F.col("mb"), 4).alias("mean_b"),
                     F.round(t, 4).alias("t_stat"),
                     F.round(dof, 2).alias("dof")))
+
+
+def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pearson correlation matrix over numeric columns: one row per
+    unordered pair (col_a < by list position) with the pairwise-
+    complete observation count and the correlation — the standard
+    feature-screening / leakage-audit scan (beyond the reference,
+    whose stats stop at per-column summaries).
+
+    Scale shape: ONE combinable aggregation pass — ``F.corr`` is a
+    declarative partial-merging aggregate (map-side Gram partials,
+    exactly the PCA covariance discipline but expression-only), so a
+    100 TB table costs one scan and a k(k-1)/2-expression single-row
+    shuffle; the long (col_a, col_b, n, corr) layout is an inline
+    explode of that one row, never a per-pair job. Rows where either
+    column is NULL are excluded pairwise (Spark and standard SQL
+    ``corr`` agree); a zero-variance side yields NULL (Spark's NaN is
+    normalized to match SQL semantics).
+    """
+    if len(cols) < 2:
+        raise ValueError("pairwise_corr needs at least two columns")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        c = F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
+        aggs.append(F.when(~F.isnan(c), c).alias(f"c__{a}__{b}"))
+        aggs.append(F.count(F.when(F.col(a).isNotNull()
+                                   & F.col(b).isNotNull(), 1))
+                    .alias(f"n__{a}__{b}"))
+    one = df.agg(*aggs)
+    structs = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                        F.col(f"n__{a}__{b}").alias("n"),
+                        F.col(f"c__{a}__{b}").alias("corr"))
+               for a, b in pairs]
+    return (one.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.col_a", "p.col_b", "p.n", "p.corr"))
+
+
+def group_quantiles(df: DataFrame, keys: list[str], val_col: str,
+                    qs: list[float], exact: bool = True,
+                    accuracy: int = 10000) -> DataFrame:
+    """Per-group quantiles of ``val_col`` at the given fractions:
+    long rows (keys..., q, value) with linear interpolation between
+    order statistics (SQL ``percentile_cont`` semantics — matches
+    DuckDB ``quantile_cont`` exactly, so the exact path is
+    value-level oracled). NULL values are excluded.
+
+    Scale shape: one groupBy pass either way. ``exact=True`` buffers
+    each group's values in a spill-aware ObjectHashAggregate
+    (``F.percentile``) — the right tool when groups are bounded
+    (per-day metrics, per-type telemetry). For 100 TB groups use
+    ``exact=False``: ``F.approx_percentile`` keeps a combinable
+    Greenwald-Khanna sketch per group (error 1/accuracy), constant
+    memory per group, fully map-side-merging — the documented scale
+    valve, same contract split as exact-vs-LSH imputation.
+    """
+    arr = F.array(*[F.lit(float(q)) for q in qs])
+    v = F.col(val_col).cast("double")
+    agg = (F.percentile(v, arr) if exact
+           else F.approx_percentile(v, arr, F.lit(accuracy)))
+    g = df.groupBy(*[F.col(k) for k in keys]).agg(agg.alias("qv_"))
+    qlits = F.array(*[F.lit(float(q)) for q in qs])
+    return (g.select(*keys, F.posexplode("qv_").alias("pos_", "value"))
+            .withColumn("q", F.element_at(qlits, F.col("pos_") + 1))
+            .drop("pos_")
+            .select(*keys, "q", "value"))
+
+
+def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Mutual information (nats) between two discrete columns, plus
+    both marginal entropies — the standard dependence screen for
+    categorical features / leakage detection. Rows with a NULL on
+    either side are excluded. Returns ONE row
+    (n, mi_nats, h_x, h_y) at full double precision.
+
+    Scale shape: the corpus collapses in ONE combinable
+    groupBy(x, y) count; every later term is computed ON the joint
+    frame (|X|·|Y| rows — bounded by the columns' categorical
+    cardinality, never by corpus size): marginals are window sums
+    over the joint (two hash shuffles of the tiny joint, no
+    driver-side collect), N is a lazy broadcast scalar (the tfidf
+    ReusedExchange discipline), and the final MI/entropy reduction
+    is one single-row aggregate. Nothing about the plan changes
+    between 60k rows and 100 TB except the one corpus scan.
+    """
+    from pyspark.sql import Window
+    x, y = F.col(x_col), F.col(y_col)
+    j = (df.filter(x.isNotNull() & y.isNotNull())
+         .groupBy(x.alias("x_"), y.alias("y_"))
+         .agg(F.count(F.lit(1)).alias("nxy")))
+    # pruning barrier (see tfidf_keywords): keep the scalar branch's
+    # subplan canonically identical so the joint exchange is reused
+    n1 = j.agg(F.sum(F.when(F.col("nxy") >= 1, F.col("nxy")))
+               .alias("n_"))
+    nx = F.sum("nxy").over(Window.partitionBy("x_"))
+    ny = F.sum("nxy").over(Window.partitionBy("y_"))
+    wide = (j.withColumn("nx", nx).withColumn("ny", ny)
+            .crossJoin(F.broadcast(n1)))
+    nn = F.col("n_").cast("double")
+    pxy = F.col("nxy") / nn
+    mi = F.sum(pxy * F.log(F.col("nxy") * nn
+                           / (F.col("nx") * F.col("ny"))))
+    # entropy from per-cell marginal shares: sum_xy p(x,y)*ln p(x) =
+    # sum_x p(x) ln p(x), so H(X) needs no second marginal frame
+    hx = -F.sum(pxy * F.log(F.col("nx") / nn))
+    hy = -F.sum(pxy * F.log(F.col("ny") / nn))
+    return wide.agg(F.max("n_").alias("n"), mi.alias("mi_nats"),
+                    hx.alias("h_x"), hy.alias("h_y"))

@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["ohlc_resample", "funnel", "retention_cohorts",
-           "interpolate_at", "ema_smooth"]
+           "interpolate_at", "ema_smooth", "rolling_agg",
+           "state_intervals"]
 
 
 def _order_key(ts_col: str, tiebreak: str | None):
@@ -103,7 +104,9 @@ def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
     the cache can be released deterministically before returning; the
     pinned result is one narrow row per step-0 user — release it with
     :func:`tablite_spark.plans.lifecycle.unpersist_local_checkpoint`
-    when done).
+    when done). With ``_materialize=False`` the returned lazy chain
+    carries ``funnel_base`` / ``funnel_unpersist()`` attributes so
+    the caller can release the pinned base directly.
     """
     if len(steps) < 1:
         raise ValueError("funnel needs at least one step")
@@ -141,8 +144,14 @@ def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
     if base is not None and _materialize:
         cur = cur.localCheckpoint()
         base.unpersist()
-    # _materialize=False is the plan-gate hook: returns the lazy
-    # cache-fed chain (caller owns unpersisting the base).
+    elif base is not None:
+        # _materialize=False is the plan-gate hook: returns the lazy
+        # cache-fed chain. The caller owns releasing the pinned base
+        # — hand them the handle (``result.funnel_unpersist()``)
+        # so they never have to clearCache() the whole catalog.
+        cur.funnel_base = base
+        cur.funnel_unpersist = lambda blocking=False: \
+            base.unpersist(blocking)
     return cur
 
 
@@ -343,3 +352,92 @@ def ema_smooth(df: DataFrame, ts_col: str, val_col: str,
 
     return proj.repartition(*[F.col(k) for k in keys]) \
         .mapInPandas(ema, schema)
+
+
+_UNIT_US = {"second": 1_000_000, "minute": 60_000_000,
+            "hour": 3_600_000_000, "day": 86_400_000_000}
+
+
+def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
+                by: list[str], window: str,
+                funcs: tuple[str, ...] = ("avg", "min", "max",
+                                          "count")) -> DataFrame:
+    """Trailing time-range rolling aggregates: for every row, the
+    aggregate of ``val_col`` over the rows of the same ``by`` group
+    whose timestamp lies in ``[ts - window, ts]`` (inclusive both
+    ends — SQL ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT
+    ROW`` semantics, so duplicate timestamps are frame PEERS and the
+    result is deterministic under any tie order). ``window`` is a
+    fixed-length interval like ``'15 minutes'`` (seconds/minutes/
+    hours/days — calendar months don't form a fixed grid).
+
+    Scale shape: one hash(by) shuffle, then a VALUE-RANGE window
+    frame over microsecond epochs — Spark's RangeFrame advances two
+    pointers monotonically per partition (O(n) amortized, JVM-side,
+    no UDF, no per-row rescan) and spills through
+    ExternalAppendOnlyUnsafeRowArray. The per-key ordered pass is
+    inherent to trailing-window semantics (the EMA contract); keys
+    are independent so 100M keys parallelize across executors.
+    """
+    n, unit = window.split()
+    unit = unit.rstrip("s")
+    if unit not in _UNIT_US:
+        raise ValueError(f"rolling_agg window unit must be one of "
+                         f"{sorted(_UNIT_US)} (fixed-length), got "
+                         f"{unit!r}")
+    span_us = int(n) * _UNIT_US[unit]
+    from pyspark.sql import Window
+    w = (Window.partitionBy(*[F.col(k) for k in by])
+         .orderBy(F.unix_micros(F.col(ts_col)))
+         .rangeBetween(-span_us, 0))
+    v = F.col(val_col)
+    out = df
+    for f in funcs:
+        agg = {"avg": F.avg, "min": F.min, "max": F.max,
+               "sum": F.sum,
+               "count": lambda c: F.count(c)}[f](v)
+        out = out.withColumn(f"roll_{f}", agg.over(w))
+    return out
+
+
+def state_intervals(df: DataFrame, key_col: str, state_col: str,
+                    ts_col: str, tiebreak: str | None = None) -> DataFrame:
+    """Collapse an observation log into SCD2-style validity
+    intervals: per key, consecutive observations with the SAME state
+    merge into one row (key, state, valid_from, valid_to, n_obs),
+    ``valid_to`` = the next interval's start (NULL while current) —
+    the classic gaps-and-islands history builder for dimension
+    snapshots / status streams.
+
+    Scale shape: one hash(key) shuffle reused by every stage (two
+    lag/lead windows and one combinable groupBy, all keyed on
+    ``key_col``); only (key, state, ts) triples move. The island id
+    is a running sum of change flags — revisiting a state after an
+    interruption starts a NEW interval (unlike a groupBy(key, state)
+    which would merge non-adjacent runs). Duplicate timestamps are
+    ordered by ``tiebreak`` when given (pass one on real feeds —
+    without it ties fall back to state order for determinism).
+    """
+    from pyspark.sql import Window
+    order = [F.col(ts_col)]
+    order.append(F.col(tiebreak) if tiebreak else F.col(state_col))
+    wseq = Window.partitionBy(key_col).orderBy(*order)
+    changed = F.when(
+        F.lag(state_col).over(wseq).eqNullSafe(F.col(state_col)),
+        0).otherwise(1)
+    runs = (df.select(key_col, state_col, ts_col,
+                      *( [tiebreak] if tiebreak else [] ))
+            .withColumn("island_",
+                        F.sum(changed).over(
+                            wseq.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow))))
+    iv = (runs.groupBy(key_col, "island_")
+          .agg(F.first(state_col).alias("state"),
+               F.min(ts_col).alias("valid_from"),
+               F.count(F.lit(1)).alias("n_obs")))
+    wkey = Window.partitionBy(key_col).orderBy("island_")
+    return (iv.withColumn("valid_to",
+                          F.lead("valid_from").over(wkey))
+            .drop("island_")
+            .select(key_col, "state", "valid_from", "valid_to",
+                    "n_obs"))

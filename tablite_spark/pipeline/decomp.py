@@ -11,8 +11,11 @@ Scale shape (the only one that works at 100 TB embeddings):
    ``syrk``-shaped) and its coordinate sums in numpy, then emits only
    the dim(dim+1)/2 upper-triangle rows + dim sum rows + a count row
    — ``mapInPandas`` output is O(dim²) PER PARTITION, independent of
-   row count. One combinable groupBy(i, j) sum finishes it. No row
-   ever shuffles; no per-pair expression evaluates row-at-a-time.
+   row count. One combinable groupBy(i, j) sum finishes it; the
+   ≤ dim(dim+1)/2 + dim + 1 grouped rows (contract-bounded) collect
+   once and assemble driver-side, so the corpus is scanned EXACTLY
+   once per call (fit included). No row ever shuffles; no per-pair
+   expression evaluates row-at-a-time.
 2. ``pca_fit``: collect the dim×dim covariance (bounded: dim ≤ 1024
    enforced — 8 MB of float64; an embedding table's dim is a model
    constant, not data-dependent), ``numpy.linalg.eigh`` on the
@@ -37,12 +40,11 @@ __all__ = ["covariance_matrix", "pca_fit", "pca_project"]
 _MAX_DIM = 1024  # driver collect ceiling: dim² float64 ≤ 8 MB
 
 
-def covariance_matrix(df: DataFrame, vec_col: str,
-                      dim: int) -> DataFrame:
-    """Population covariance of an ``array<float/double>`` column:
-    rows ``(i, j, cov)`` for the upper triangle ``i <= j`` (0-based),
-    ``cov = E[x_i x_j] - E[x_i] E[x_j]``. Rows whose vector is null
-    or mis-sized are EXCLUDED (counted out of n)."""
+def _cov_upper(df: DataFrame, vec_col: str, dim: int):
+    """ONE corpus scan -> upper-triangle covariance as numpy arrays
+    ``(gi, gj, cov)`` (empty arrays when no valid vectors). Shared by
+    :func:`covariance_matrix` and :func:`pca_fit` so neither pays the
+    Gram pass twice."""
     if dim > _MAX_DIM:
         raise ValueError(f"dim={dim} exceeds the driver-collect "
                          f"contract ({_MAX_DIM}); reduce first")
@@ -68,25 +70,45 @@ def covariance_matrix(df: DataFrame, vec_col: str,
                "s": np.concatenate([gram[iu, ju], sums, [float(n)]])}
         yield pd.DataFrame(out)
 
+    # The grouped partials are at most dim(dim+1)/2 + dim + 1 rows
+    # (contract-bounded by _MAX_DIM: ~525k rows / 12 MB at dim=1024),
+    # so finish driver-side in numpy after ONE corpus scan — the
+    # previous eager .first() for n plus a lazily-recomputed return
+    # frame paid the Gram pass twice.
+    import numpy as np
     agg = (df.select(vec_col).mapInPandas(partials, "i int, j int, s double")
-           .groupBy("i", "j").agg(F.sum("s").alias("s")))
-    n = F.max(F.when((F.col("i") == -1) & (F.col("j") == -1), F.col("s")))
-    one = agg.agg(n.alias("n")).first()
-    total = float(one["n"] or 0.0)
+           .groupBy("i", "j").agg(F.sum("s").alias("s")).toPandas())
+    nmask = (agg["i"] == -1) & (agg["j"] == -1)
+    total = float(agg.loc[nmask, "s"].max()) if nmask.any() else 0.0
+    empty = (np.array([], dtype="int32"), np.array([], dtype="int32"),
+             np.array([], dtype="float64"))
     if total == 0:
-        return df.sparkSession.createDataFrame(
-            [], "i int, j int, cov double")
-    means = (agg.filter((F.col("j") == -1) & (F.col("i") >= 0))
-             .select("i", (F.col("s") / total).alias("m")))
-    return (agg.filter(F.col("j") >= 0)
-            .join(F.broadcast(means.withColumnRenamed("i", "ii")
-                              .withColumnRenamed("m", "mi")),
-                  F.col("i") == F.col("ii"))
-            .join(F.broadcast(means.withColumnRenamed("i", "jj")
-                              .withColumnRenamed("m", "mj")),
-                  F.col("j") == F.col("jj"))
-            .select("i", "j", (F.col("s") / total
-                               - F.col("mi") * F.col("mj")).alias("cov")))
+        return empty
+    smask = (agg["j"] == -1) & (agg["i"] >= 0)
+    mean = np.zeros(dim)
+    mean[agg.loc[smask, "i"].to_numpy()] = \
+        agg.loc[smask, "s"].to_numpy() / total
+    gmask = agg["j"] >= 0
+    gi = agg.loc[gmask, "i"].to_numpy().astype("int32")
+    gj = agg.loc[gmask, "j"].to_numpy().astype("int32")
+    cov = agg.loc[gmask, "s"].to_numpy() / total - mean[gi] * mean[gj]
+    return gi, gj, cov
+
+
+def covariance_matrix(df: DataFrame, vec_col: str,
+                      dim: int) -> DataFrame:
+    """Population covariance of an ``array<float/double>`` column:
+    rows ``(i, j, cov)`` for the upper triangle ``i <= j`` (0-based),
+    ``cov = E[x_i x_j] - E[x_i] E[x_j]``. Rows whose vector is null
+    or mis-sized are EXCLUDED (counted out of n)."""
+    import pandas as pd
+    gi, gj, cov = _cov_upper(df, vec_col, dim)
+    spark = df.sparkSession
+    if not len(gi):
+        return spark.createDataFrame([], "i int, j int, cov double")
+    out = pd.DataFrame({"i": gi, "j": gj, "cov": cov})
+    return spark.createDataFrame(out.sort_values(["i", "j"]),
+                                 "i int, j int, cov double")
 
 
 def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
@@ -97,11 +119,10 @@ def pca_fit(df: DataFrame, vec_col: str, dim: int, k: int):
     each row's largest-|coordinate| entry is made positive, removing
     the eigenvector sign ambiguity across BLAS builds."""
     import numpy as np
-    rows = covariance_matrix(df, vec_col, dim).collect()
+    gi, gj, cov = _cov_upper(df, vec_col, dim)
     C = np.zeros((dim, dim))
-    for r in rows:
-        C[r["i"], r["j"]] = r["cov"]
-        C[r["j"], r["i"]] = r["cov"]
+    C[gi, gj] = cov
+    C[gj, gi] = cov
     vals, vecs = np.linalg.eigh(C)
     order = np.argsort(vals)[::-1][:k]
     comps = vecs[:, order].T.copy()

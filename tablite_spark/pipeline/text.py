@@ -1322,12 +1322,27 @@ def tfidf_keywords(df: DataFrame, text_col: str, id_col: str,
     terms finite. Rank ties break on the term string.
 
     Plan shape: one scan → explode → combinable groupBy(doc, term)
-    for tf; df(term) is a second combinable groupBy OVER THE TF
-    FRAME (vocab-bounded, no second corpus scan); the idf join is
-    term-keyed (merge-hinted on the corpus-scaling tf side — the
-    explode-fan-out broadcast trap); the final top-k is a
-    row_number window partitioned by DOC — millions of small
-    partitions, no hot key, payload (doc, term, score) only.
+    for tf; df(term) AND N (tokenized-doc count) are lazy aggregates
+    OVER THE TF FRAME, so all three consumers hang off tf's single
+    shuffle and Spark's ReusedExchange materializes the corpus
+    scan + explode + partial-agg EXACTLY ONCE per job (the previous
+    eager ``df.count()`` was a separate job that re-scanned the
+    source, and the un-shared dft branch re-tokenized the corpus a
+    second time inside the main job — ADVICE r9). The
+    ``F.when(tf >= 1, id)`` forms below are pruning barriers:
+    ``tf >= 1`` always holds, but the column reference stops
+    Catalyst pruning a different column set into each branch's copy
+    of the tf subplan — canonical-plan equality is what ReusedExchange
+    keys on (verified: 0 extra Generate materializations, plan-gated
+    in tests). The idf join is term-keyed (merge-hinted on the
+    corpus-scaling tf side — the explode-fan-out broadcast trap);
+    the final top-k is a row_number window partitioned by DOC —
+    millions of small partitions, no hot key, payload
+    (doc, term, score) only.
+
+    N counts TOKENIZED documents (≥ 1 term); a doc whose text
+    normalizes to nothing contributes no tf rows and is likewise
+    outside the df() universe, so idf stays self-consistent.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9 ]",
                             " ")
@@ -1335,13 +1350,15 @@ def tfidf_keywords(df: DataFrame, text_col: str, id_col: str,
     tf = (df.select(F.col(id_col), F.explode(toks).alias("term"))
           .groupBy(id_col, "term")
           .agg(F.count(F.lit(1)).alias("tf")))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfc"))
-    n_docs = df.count()  # one scalar
-    idf = dft.select(
+    barrier = F.when(F.col("tf") >= 1, F.col(id_col))
+    dft = tf.groupBy("term").agg(F.count(barrier).alias("dfc"))
+    nd = tf.agg(F.count_distinct(barrier).alias("nd"))
+    idf = dft.crossJoin(F.broadcast(nd)).select(
         "term",
         F.floor(F.lit(1e6) * F.log(
-            F.lit(float(n_docs + 1)) / (F.col("dfc") + F.lit(1))
-            .cast("double"))).cast("long").alias("idf_micro"))
+            (F.col("nd") + F.lit(1)).cast("double")
+            / (F.col("dfc") + F.lit(1)).cast("double")))
+        .cast("long").alias("idf_micro"))
     scored = (tf.hint("merge").join(idf, "term")
               .select(id_col, "term",
                       (F.col("tf") * F.col("idf_micro"))

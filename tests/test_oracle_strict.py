@@ -1,0 +1,78 @@
+"""Round-10 hash-discipline guards (VERDICT r9 items 1 + 3).
+
+The r9 driver window exposed a class of flake the local sweep could
+not see: values numerically equal but representation-different
+(DuckDB ``ROUND(x, 4)`` preserves IEEE ``-0.0`` where Spark
+``F.round`` canonicalizes to ``+0.0``), passing ``allclose`` yet
+failing the driver's hash compare.  These tests pin (a) the strict
+compare mode in tools/check_oracle.py that makes the flake die
+locally, and (b) that no ``-0.0`` survives in the outputs of the
+rounded-float registry queries that can approach zero from below.
+"""
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_oracle import compare  # noqa: E402
+
+
+def test_strict_compare_folds_and_flags_signed_zero():
+    a = pd.DataFrame({"x": [0.0, 1.25, -2.5]})
+    b = pd.DataFrame({"x": [-0.0, 1.25, -2.5]})
+    # default (allclose) mode: -0.0 == 0.0, no problem reported
+    assert compare(a, b) == []
+    # strict mode: equality still holds after canonicalization, but
+    # the bare -0.0 on the duck side is flagged as hash-unstable
+    problems = compare(a, b, strict=True)
+    assert any("-0.0" in p and "duck" in p for p in problems)
+    sa = pd.DataFrame({"x": [-0.0, 1.0]})
+    assert any("spark" in p for p in compare(sa, sa.abs(), strict=True))
+
+
+def test_strict_compare_rejects_sub_tolerance_drift():
+    a = pd.DataFrame({"x": [1.0, 2.0]})
+    b = pd.DataFrame({"x": [1.0 + 1e-12, 2.0]})
+    assert compare(a, b) == []            # inside allclose atol
+    assert compare(a, b, strict=True)     # exact mode catches it
+
+
+def test_strict_compare_nan_and_null_still_equal():
+    a = pd.DataFrame({"x": [float("nan"), None, 3.5]})
+    b = pd.DataFrame({"x": [float("nan"), None, 3.5]})
+    assert compare(a, b, strict=True) == []
+
+
+def test_spark_round_canonicalizes_negative_zero(spark):
+    """The engine-side half of the r9 finding: F.round of a tiny
+    negative that rounds to zero must yield +0.0, so canonicalizing
+    the oracle side ('ROUND(...) + 0') is sufficient."""
+    from pyspark.sql import functions as F
+    out = (spark.range(1)
+           .select(F.round(F.lit(-1e-9), 4).alias("r"),
+                   F.round(F.lit(-0.0), 4).alias("z"))
+           .first())
+    assert not np.signbit(out["r"]) and not np.signbit(out["z"])
+
+
+@pytest.mark.parametrize("qname", [
+    "pca_covariance_embeddings", "pca_project_embeddings",
+    "ab_welch_events", "ema_events",
+])
+def test_no_negative_zero_in_rounded_query_outputs(spark, qname):
+    """No -0.0 may survive in any float column of the registry
+    queries whose rounded values can approach zero from below
+    (VERDICT r9 item 1 done-criterion). Registry-wide enforcement is
+    the strict sweep (SWEEP_r10.json); these are the known-risk
+    entries, checked at sf0.001 for speed."""
+    import __spark_entry__ as entry
+    pdf = entry.queries()[qname](spark, "/root/testdata/sf0.001").toPandas()
+    for c in pdf.columns:
+        if pd.api.types.is_float_dtype(pdf[c]):
+            arr = pdf[c].to_numpy(dtype="float64", na_value=1.0)
+            assert not ((arr == 0) & np.signbit(arr)).any(), \
+                f"{qname}.{c} contains -0.0"

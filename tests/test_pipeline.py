@@ -2758,7 +2758,9 @@ def test_tfidf_keywords_reference_implementation(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     texts = {r[0]: [t for t in r[1].lower().split() if t.isalnum()]
              for r in rows}
-    n = len(rows)
+    # r10: N counts TOKENIZED docs (lazily derived from the tf frame
+    # so the corpus is scanned once — doc 3 normalizes to nothing)
+    n = sum(1 for toks in texts.values() if toks)
     dfc = {}
     for toks in texts.values():
         for t in set(toks):
@@ -2775,6 +2777,27 @@ def test_tfidf_keywords_reference_implementation(spark):
            for r in tfidf_keywords(df, "text", "doc_id", k=2).collect()}
     assert got == want
     assert not any(d == 3 for d, _ in got)
+
+
+def test_tfidf_single_scan_reused_exchange(spark):
+    """ADVICE r9: tf-idf must materialize the scan+explode+partial-agg
+    pipeline ONCE — the df() and N branches consume tf's exchange via
+    ReusedExchange (the F.when pruning barriers keep the three
+    branches' tf subplans canonically identical). Gate: the executed
+    plan reuses at least two exchanges and the pre-execution physical
+    plan contains exactly one Generate (explode) materialization."""
+    from tablite_spark.pipeline.text import tfidf_keywords
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 3} delta") for i in range(40)],
+        "doc_id long, text string")
+    out = tfidf_keywords(df, "text", "doc_id", k=2)
+    assert len(out.collect()) > 0
+    # under AQE the reuse decision lands in the FINAL adaptive plan
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 2, plan[:2000]
 
 
 def _winnow_ref(text, k, w):

@@ -222,3 +222,115 @@ def test_ab_welch_matches_manual_formula(spark):
     assert (r["na"], r["nb"]) == (5, 4)
     assert r["t_stat"] == round(t, 4) and r["dof"] == round(dof, 2)
     assert r["mean_a"] == 11.0 and r["mean_b"] == 20.5
+
+
+def test_ab_welch_degenerate_constant_pair(spark):
+    """ADVICE r9: a pair of groups that are EACH constant-valued
+    (both sample variances 0) must yield NULL t_stat/dof instead of
+    an ANSI DIVIDE_BY_ZERO that aborts the whole query; other pairs
+    must survive intact."""
+    from tablite_spark.operators.stats import ab_welch
+    rows = ([("a", 5.0)] * 3 + [("b", 7.0)] * 4
+            + [("c", float(v)) for v in [1, 2, 3, 4]])
+    df = spark.createDataFrame(rows, "variant string, value double")
+    out = {(r["g_a"], r["g_b"]): r for r in
+           ab_welch(df, "variant", "value").collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    deg = out[("a", "b")]
+    assert deg["t_stat"] is None and deg["dof"] is None
+    assert deg["mean_a"] == 5.0 and deg["mean_b"] == 7.0
+    for pair in [("a", "c"), ("b", "c")]:
+        assert out[pair]["t_stat"] is not None
+        assert out[pair]["dof"] is not None
+
+
+def test_pairwise_corr_matches_numpy(spark):
+    """Correlation matrix must equal numpy corrcoef on the pairwise-
+    complete rows; constant columns yield NULL (not NaN); nulls are
+    excluded pairwise."""
+    import numpy as np
+
+    from tablite_spark.operators.stats import pairwise_corr
+    rows = [(1.0, 2.0, 5.0), (2.0, 4.1, 5.0), (3.0, 5.9, 5.0),
+            (4.0, 8.2, 5.0), (None, 1.0, 5.0), (5.0, None, 5.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r for r in
+           pairwise_corr(df, ["x", "y", "z"]).collect()}
+    assert set(out) == {("x", "y"), ("x", "z"), ("y", "z")}
+    xy = out[("x", "y")]
+    a = np.array([1, 2, 3, 4.0]); b = np.array([2, 4.1, 5.9, 8.2])
+    assert xy["n"] == 4
+    assert abs(xy["corr"] - np.corrcoef(a, b)[0, 1]) < 1e-12
+    # z is constant -> zero variance -> NULL, and never NaN
+    assert out[("x", "z")]["corr"] is None
+    assert out[("y", "z")]["corr"] is None
+    assert out[("x", "z")]["n"] == 5
+
+
+def test_group_quantiles_exact_matches_numpy(spark):
+    """exact=True must reproduce numpy's linear interpolation
+    (percentile_cont semantics) per group; exact=False (GK sketch)
+    must land within the accuracy bound."""
+    import numpy as np
+
+    from tablite_spark.operators.stats import group_quantiles
+    vals = {"a": [1.0, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+            "b": [10.0, 30, 20]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs]
+    rows += [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.25, 0.5, 0.9]
+    out = {(r["g"], r["q"]): r["value"] for r in
+           group_quantiles(df, ["g"], "v", qs).collect()}
+    for g, vs in vals.items():
+        for q in qs:
+            want = float(np.percentile(vs, q * 100,
+                                       method="linear"))
+            assert abs(out[(g, q)] - want) < 1e-12, (g, q)
+    approx = {(r["g"], r["q"]): r["value"] for r in
+              group_quantiles(df, ["g"], "v", qs,
+                              exact=False).collect()}
+    for k, v in approx.items():
+        # GK at accuracy=10000 on tiny groups returns an exact
+        # order statistic adjacent to the true quantile
+        assert abs(v - out[k]) <= 1.0
+
+
+def test_mutual_information_matches_formula(spark):
+    """MI and entropies must equal the closed-form replay; an
+    independent pair gives MI 0, a deterministic copy gives
+    MI == H(X)."""
+    import math
+
+    from tablite_spark.operators.stats import mutual_information
+    # x uniform over {0,1}, y = x (fully dependent)
+    rows = [(i % 2, i % 2) for i in range(8)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    r = mutual_information(df, "x", "y").first()
+    assert r["n"] == 8
+    assert abs(r["mi_nats"] - math.log(2)) < 1e-12
+    assert abs(r["h_x"] - math.log(2)) < 1e-12
+    # independent: every (x, y) cell equally likely
+    rows2 = [(i % 2, (i // 2) % 2) for i in range(8)]
+    df2 = spark.createDataFrame(rows2, "x int, y int")
+    r2 = mutual_information(df2, "x", "y").first()
+    assert abs(r2["mi_nats"]) < 1e-12
+    # nulls excluded
+    rows3 = rows + [(None, 1), (1, None)]
+    df3 = spark.createDataFrame(rows3, "x int, y int")
+    assert mutual_information(df3, "x", "y").first()["n"] == 8
+
+
+def test_mutual_information_single_scan_reused_exchange(spark):
+    """The N branch must reuse the joint groupBy exchange (the tfidf
+    pruning-barrier discipline) — one corpus materialization."""
+    from tablite_spark.operators.stats import mutual_information
+    df = spark.createDataFrame(
+        [(i % 3, i % 5) for i in range(200)], "x int, y int")
+    out = mutual_information(df, "x", "y")
+    out.collect()
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "isFinalPlan=true" in plan
+    assert plan.count("ReusedExchange") >= 1, plan[:2000]

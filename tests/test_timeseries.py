@@ -263,7 +263,11 @@ def test_funnel_single_scan_matches_and_plan(spark, tmp_path):
         assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
         assert sorted(map(tuple, chain.collect())) == lazy
     finally:
-        spark.catalog.clearCache()  # release the _materialize=False base
+        # ADVICE r9: the lazy chain carries its own release handle so
+        # callers never have to clearCache() unrelated caches
+        assert chain.funnel_base.storageLevel.useMemory
+        chain.funnel_unpersist(blocking=True)
+        assert not chain.funnel_base.storageLevel.useMemory
 
 
 def test_interpolate_at_out_col_guard(spark):
@@ -336,3 +340,64 @@ def test_ema_smooth_alpha_bounds(spark):
     out = ema_smooth(df, "ts", "value", by=["user_id"],
                      alpha=1.0).collect()
     assert out[0]["ema"] == 1.0
+
+
+def test_rolling_agg_matches_pandas(spark):
+    """Trailing range-window rolling aggregates must equal pandas'
+    time-based rolling (closed='both' ~ inclusive frame ends),
+    including duplicate-timestamp peers aggregating together."""
+    import pandas as pd
+
+    from tablite_spark.operators.timeseries import rolling_agg
+    rows = [
+        (1, _ts(0), 10.0), (1, _ts(5), 20.0), (1, _ts(5), 30.0),
+        (1, _ts(11), 40.0), (1, _ts(30), 50.0),
+        (2, _ts(2), 5.0), (2, _ts(3), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = rolling_agg(df, "ts", "v", ["k"], "10 seconds",
+                      funcs=("avg", "count", "sum"))
+    got = {(r["k"], r["ts"], r["v"]): (r["roll_avg"], r["roll_count"],
+                                       r["roll_sum"])
+           for r in out.collect()}
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    for (k, ts, v), (avg, cnt, s) in got.items():
+        win = pdf[(pdf.k == k) & (pdf.ts <= ts)
+                  & (pdf.ts >= ts - pd.Timedelta(seconds=10))]
+        assert cnt == len(win)
+        assert abs(s - win.v.sum()) < 1e-9
+        assert abs(avg - win.v.mean()) < 1e-9
+    # duplicate timestamps are peers: BOTH t=5 rows see both values
+    assert got[(1, _ts(5), 20.0)] == got[(1, _ts(5), 30.0)]
+
+
+def test_rolling_agg_rejects_calendar_units(spark):
+    from tablite_spark.operators.timeseries import rolling_agg
+    df = spark.createDataFrame([(1, _ts(0), 1.0)],
+                               "k int, ts timestamp, v double")
+    import pytest
+    with pytest.raises(ValueError, match="fixed-length"):
+        rolling_agg(df, "ts", "v", ["k"], "1 month")
+
+
+def test_state_intervals_gaps_and_islands(spark):
+    """Consecutive same-state runs collapse; a revisited state after
+    an interruption starts a NEW interval; valid_to chains to the
+    next interval's start (NULL for the open interval)."""
+    from tablite_spark.operators.timeseries import state_intervals
+    rows = [
+        (1, "new", _ts(0)), (1, "new", _ts(10)),
+        (1, "active", _ts(20)), (1, "new", _ts(30)),
+        (1, "new", _ts(40)),
+        (2, "active", _ts(5)),
+    ]
+    df = spark.createDataFrame(rows, "k int, state string, ts timestamp")
+    out = sorted(((r["k"], r["state"], r["valid_from"], r["valid_to"],
+                   r["n_obs"]) for r in
+                  state_intervals(df, "k", "state", "ts").collect()))
+    assert out == [
+        (1, "active", _ts(20), _ts(30), 1),
+        (1, "new", _ts(0), _ts(20), 2),
+        (1, "new", _ts(30), None, 2),
+        (2, "active", _ts(5), None, 1),
+    ]

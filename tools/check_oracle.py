@@ -4,7 +4,16 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
 on DuckDB over the same parquet tables, compares row count, schema
 (column names), and order-insensitive values. Usage:
 
-    python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+    python tools/check_oracle.py [--json OUT.json] [--strict] [sf_dir] [query ...]
+
+``--strict`` replaces the float tolerance (``allclose(atol=1e-9)``,
+under which ``-0.0 == 0.0`` and 1e-12 drift passes) with the driver's
+hash discipline: floats are canonicalized (``-0.0`` folded to
+``+0.0``) then compared for EXACT value equality — the class of
+divergence the r9 driver window exposed on ``pca_covariance``
+(DuckDB ``ROUND`` preserves the IEEE sign of a negative that rounds
+to zero; Spark ``F.round`` canonicalizes) fails locally instead of
+surviving to a driver round.
 
 ``--json`` writes the per-query verdicts as a committed artifact
 (SWEEP_r0N.json) so a full-registry sweep is auditable, not prose:
@@ -45,7 +54,8 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
-def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame,
+            strict: bool = False) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
@@ -61,8 +71,26 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         if (pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv)
                 and (pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv))):
             av, bv = av.astype("float64"), bv.astype("float64")
-            ok = np.allclose(av.fillna(1e300), bv.fillna(1e300),
-                             rtol=0, atol=1e-9, equal_nan=True)
+            if strict:
+                # a bare -0.0 on EITHER side is itself a finding —
+                # it is exactly the class the r9 driver window
+                # exposed (hash-different, value-equal)
+                for side, s in (("spark", av), ("duck", bv)):
+                    arr = s.to_numpy()
+                    neg0 = int(((arr == 0) & np.signbit(arr)).sum())
+                    if neg0:
+                        problems.append(
+                            f"column {c!r}: {neg0} -0.0 cells on the "
+                            f"{side} side (hash-unstable)")
+                # driver-hash discipline: fold -0.0 to +0.0 (x + 0.0
+                # is the IEEE canonicalization), then EXACT equality
+                an = av.to_numpy() + 0.0
+                bn = bv.to_numpy() + 0.0
+                ok = np.array_equal(an, bn, equal_nan=True)
+                av, bv = pd.Series(an), pd.Series(bn)
+            else:
+                ok = np.allclose(av.fillna(1e300), bv.fillna(1e300),
+                                 rtol=0, atol=1e-9, equal_nan=True)
         else:
             ok = av.astype(str).equals(bv.astype(str))
         if not ok:
@@ -87,6 +115,9 @@ def main():
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i:i + 2]
+    strict = "--strict" in argv
+    if strict:
+        argv.remove("--strict")
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark("oracle_check")
@@ -114,7 +145,7 @@ def main():
         except Exception:
             failed.append((name, "DUCKDB ERROR:\n" + traceback.format_exc(limit=3)))
             continue
-        problems = compare(spark_pdf, duck_pdf)
+        problems = compare(spark_pdf, duck_pdf, strict=strict)
         if problems:
             failed.append((name, "; ".join(problems)))
         else:
@@ -135,6 +166,7 @@ def main():
         import time
         rec = {"_sweep": {
             "sf_dir": sf_dir,
+            "strict": strict,
             "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
             "loadavg": [round(x, 2) for x in os.getloadavg()],
             "n_pass": len(passed), "n_fail": len(failed),
