@@ -1473,6 +1473,79 @@ def pca_project_embeddings(spark: SparkSession, sf: str) -> DataFrame:
                       .alias(f"pc{i}") for i in range(4)])
 
 
+def corr_matrix_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures in
+    ONE combinable aggregation pass (F.corr partial-merges map-side —
+    the PCA Gram discipline, expression-only); the long layout is an
+    inline explode of the single agg row. Oracle: DuckDB corr() per
+    pair."""
+    from tablite_spark.operators.stats import pairwise_corr
+    li = _t(spark, sf, "lineitem")
+    out = pairwise_corr(li, ["l_quantity", "l_extendedprice",
+                             "l_discount", "l_tax"])
+    return out.select("col_a", "col_b", "n",
+                      F.round(F.col("corr"), 4).alias("corr"))
+
+
+def group_quantiles_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-event-type quantiles (percentile_cont linear
+    interpolation) of `value` — one spill-aware ObjectHashAggregate
+    groupBy; the combinable GK-sketch path is the documented 100 TB
+    valve (pytest-pinned within its accuracy bound). Oracle: DuckDB
+    quantile_cont over the same groups."""
+    from tablite_spark.operators.stats import group_quantiles
+    ev = _t(spark, sf, "events")
+    out = group_quantiles(ev, ["event_type"], "value",
+                          [0.25, 0.5, 0.75, 0.95], exact=True)
+    return out.select("event_type", "q",
+                      F.round(F.col("value"), 4).alias("value"))
+
+
+def mutual_info_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual information + marginal entropies between the documents
+    table's lang and source columns: one combinable groupBy(x, y)
+    corpus pass, marginals as window sums OVER THE JOINT (cardinality-
+    bounded, never corpus-bounded), N as a lazy reused-exchange
+    scalar. Oracle: the same closed formula in DuckDB window SQL."""
+    from tablite_spark.operators.stats import mutual_information
+    docs = _t(spark, sf, "documents")
+    out = mutual_information(docs, "lang", "source")
+    return out.select("n",
+                      F.round(F.col("mi_nats"), 4).alias("mi_nats"),
+                      F.round(F.col("h_x"), 4).alias("h_x"),
+                      F.round(F.col("h_y"), 4).alias("h_y"))
+
+
+def rolling_avg_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 15-minute rolling avg/count/sum of click values per
+    user: one hash(user) shuffle, a VALUE-RANGE window frame over
+    microsecond epochs (two monotone pointers per partition, O(n)
+    amortized, JVM-side) — duplicate timestamps are frame peers so
+    the result is deterministic under any tie order. Oracle: DuckDB
+    RANGE BETWEEN INTERVAL 15 MINUTES PRECEDING AND CURRENT ROW."""
+    from tablite_spark.operators.timeseries import rolling_agg
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "click")
+    out = rolling_agg(ev, "ts", "value", ["user_id"], "15 minutes",
+                      funcs=("avg", "count", "sum"))
+    return out.select("event_id",
+                      F.round(F.col("roll_avg"), 4).alias("roll_avg"),
+                      F.col("roll_count"),
+                      F.round(F.col("roll_sum"), 4).alias("roll_sum"))
+
+
+def state_intervals_events(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 gaps-and-islands collapse of each user's event-type runs
+    into validity intervals: one hash(user) shuffle reused by both
+    windows and the combinable groupBy; revisited states start NEW
+    intervals. Oracle: the same lag/running-sum/lead chain in DuckDB
+    SQL."""
+    from tablite_spark.operators.timeseries import state_intervals
+    ev = _t(spark, sf, "events")
+    return state_intervals(ev, "user_id", "event_type", "ts",
+                           tiebreak="event_id")
+
+
+
 def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join of customer names at d=1 via PassJoin
     segment blocking (`operators/fuzzy.py`): explode to (length,
@@ -3436,10 +3509,12 @@ _R10_WINDOW = [
     "sql_script_md5", "stratified_sample_docs", "table_equality_check",
     "unicode_sort_rank", "vocab_top_ngrams", "wav_decode_meta",
     "weighted_sample_docs", "zorder_events",
-    # --- remaining slots: oldest r7 entries (alphabetical)
-    "audio_features_meta", "canonical_urls_docs",
-    "cluster_dedup_keep_best_docs", "cluster_holdout_docs",
-    "concat_tables", "construction_api_agg",
+    # --- never driver-verified: new in round 10
+    "corr_matrix_lineitem", "group_quantiles_events",
+    "mutual_info_docs", "rolling_avg_events",
+    "state_intervals_events",
+    # --- remaining slot: oldest r7 entry (alphabetical)
+    "audio_features_meta",
 ]
 
 
@@ -3550,6 +3625,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select_docs": dsir_select_docs,
         "pca_covariance_embeddings": pca_covariance_embeddings,
         "pca_project_embeddings": pca_project_embeddings,
+        # --- round-10 additions
+        "corr_matrix_lineitem": corr_matrix_lineitem,
+        "group_quantiles_events": group_quantiles_events,
+        "mutual_info_docs": mutual_info_docs,
+        "rolling_avg_events": rolling_avg_events,
+        "state_intervals_events": state_intervals_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -5872,6 +5953,118 @@ def _oracle_sql_base() -> dict[str, str]:
                     ORDER BY score_micro DESC, term ASC) AS INTEGER)
                     AS rank
                 FROM s) WHERE rank <= 3
+        """,
+        "corr_matrix_lineitem": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   count(CASE WHEN l_quantity IS NOT NULL
+                              AND l_extendedprice IS NOT NULL THEN 1 END) AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+                   count(CASE WHEN l_quantity IS NOT NULL
+                              AND l_discount IS NOT NULL THEN 1 END) AS n,
+                   ROUND(corr(l_quantity, l_discount), 4) + 0 AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b,
+                   count(CASE WHEN l_quantity IS NOT NULL
+                              AND l_tax IS NOT NULL THEN 1 END) AS n,
+                   ROUND(corr(l_quantity, l_tax), 4) + 0 AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                   count(CASE WHEN l_extendedprice IS NOT NULL
+                              AND l_discount IS NOT NULL THEN 1 END) AS n,
+                   ROUND(corr(l_extendedprice, l_discount), 4) + 0 AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b,
+                   count(CASE WHEN l_extendedprice IS NOT NULL
+                              AND l_tax IS NOT NULL THEN 1 END) AS n,
+                   ROUND(corr(l_extendedprice, l_tax), 4) + 0 AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount' AS col_a, 'l_tax' AS col_b,
+                   count(CASE WHEN l_discount IS NOT NULL
+                              AND l_tax IS NOT NULL THEN 1 END) AS n,
+                   ROUND(corr(l_discount, l_tax), 4) + 0 AS corr
+            FROM lineitem
+        """,
+        "group_quantiles_events": """
+            SELECT event_type, q, ROUND(val, 4) + 0 AS value
+            FROM (
+                SELECT event_type,
+                       unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+                       unnest(quantile_cont(value,
+                           [0.25, 0.5, 0.75, 0.95])) AS val
+                FROM events GROUP BY event_type)
+        """,
+        "mutual_info_docs": """
+            WITH j AS (
+                SELECT lang AS x_, source AS y_, count(*) AS nxy
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT nxy,
+                       sum(nxy) OVER (PARTITION BY x_) AS nx,
+                       sum(nxy) OVER (PARTITION BY y_) AS ny,
+                       sum(nxy) OVER () AS n
+                FROM j
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   ROUND(sum(CAST(nxy AS DOUBLE) / n
+                             * ln(CAST(nxy AS DOUBLE) * n
+                                  / (CAST(nx AS DOUBLE) * ny))),
+                         4) + 0 AS mi_nats,
+                   ROUND(-sum(CAST(nxy AS DOUBLE) / n
+                              * ln(CAST(nx AS DOUBLE) / n)),
+                         4) + 0 AS h_x,
+                   ROUND(-sum(CAST(nxy AS DOUBLE) / n
+                              * ln(CAST(ny AS DOUBLE) / n)),
+                         4) + 0 AS h_y
+            FROM m
+        """,
+        "rolling_avg_events": """
+            SELECT event_id,
+                   ROUND(avg(value) OVER w, 4) + 0 AS roll_avg,
+                   count(value) OVER w AS roll_count,
+                   ROUND(sum(value) OVER w, 4) + 0 AS roll_sum
+            FROM events WHERE event_type = 'click'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 15 MINUTES PRECEDING
+                         AND CURRENT ROW)
+        """,
+        "state_intervals_events": """
+            WITH o AS (
+                SELECT user_id, event_type, ts, event_id,
+                       CASE WHEN lag(event_type) OVER w
+                                 IS NOT DISTINCT FROM event_type
+                            THEN 0 ELSE 1 END AS chg
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            ), r AS (
+                SELECT user_id, event_type, ts, event_id,
+                       sum(chg) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS island
+                FROM o
+            ), iv AS (
+                SELECT user_id, island,
+                       min(event_type) AS state,
+                       min(ts) AS valid_from,
+                       count(*) AS n_obs
+                FROM r GROUP BY 1, 2
+            )
+            SELECT user_id, state, valid_from,
+                   lead(valid_from) OVER (PARTITION BY user_id
+                                          ORDER BY island)
+                       AS valid_to,
+                   n_obs
+            FROM iv
         """,
         "ab_welch_events": """
             WITH g AS (

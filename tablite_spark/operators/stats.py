@@ -237,10 +237,21 @@ def pairwise_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     aggs = []
     for a, b in pairs:
-        c = F.corr(F.col(a).cast("double"), F.col(b).cast("double"))
-        aggs.append(F.when(~F.isnan(c), c).alias(f"c__{a}__{b}"))
-        aggs.append(F.count(F.when(F.col(a).isNotNull()
-                                   & F.col(b).isNotNull(), 1))
+        # F.corr itself divides unguarded — a zero-variance side is a
+        # DIVIDE_BY_ZERO under ANSI mode (the ab_welch class), so
+        # build the ratio from guarded combinable co-moments instead:
+        # covar_samp / (stddev·stddev) with the division applied in
+        # the post-aggregation projection only when both variances
+        # are positive (the (n-1) factors cancel exactly).
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        both_a = F.when(cb.isNotNull(), ca)   # pairwise deletion
+        both_b = F.when(ca.isNotNull(), cb)
+        cov = F.covar_samp(both_a, both_b)
+        va, vb = F.var_samp(both_a), F.var_samp(both_b)
+        c = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+        aggs.append(c.alias(f"c__{a}__{b}"))
+        aggs.append(F.count(F.when(ca.isNotNull()
+                                   & cb.isNotNull(), 1))
                     .alias(f"n__{a}__{b}"))
     one = df.agg(*aggs)
     structs = [F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),

@@ -387,17 +387,23 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
                          f"{unit!r}")
     span_us = int(n) * _UNIT_US[unit]
     from pyspark.sql import Window
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # unix_micros only accepts TIMESTAMP; reinterpreting NTZ in
+        # the session zone is monotone (UTC sessions — a DST zone
+        # would fold an hour; the frame is a pure ts difference so
+        # only rows inside a fold window could shift)
+        ts = ts.cast("timestamp")
     w = (Window.partitionBy(*[F.col(k) for k in by])
-         .orderBy(F.unix_micros(F.col(ts_col)))
+         .orderBy(F.unix_micros(ts))
          .rangeBetween(-span_us, 0))
     v = F.col(val_col)
-    out = df
-    for f in funcs:
-        agg = {"avg": F.avg, "min": F.min, "max": F.max,
-               "sum": F.sum,
-               "count": lambda c: F.count(c)}[f](v)
-        out = out.withColumn(f"roll_{f}", agg.over(w))
-    return out
+    makers = {"avg": F.avg, "min": F.min, "max": F.max,
+              "sum": F.sum, "count": F.count}
+    # one select -> ONE Window operator for all aggregates (chained
+    # withColumn would stack a Window node per function)
+    rolls = [makers[f](v).over(w).alias(f"roll_{f}") for f in funcs]
+    return df.select("*", *rolls)
 
 
 def state_intervals(df: DataFrame, key_col: str, state_col: str,
