@@ -103,6 +103,17 @@ BENCH_QUERIES = [
     "ab_welch_events",
     "tfidf_keywords_docs",
     "winnow_matches_docs",
+    # round-10: the r9 tail promoted (winnow fingerprint-only steady
+    # state, distinct from the match stage; dsir top-k selection,
+    # expected to inherit the weights row's cost model) plus the five
+    # round-10 operators (excluded from r2_comparable_total)
+    "winnow_fps_docs",
+    "dsir_select_docs",
+    "corr_matrix_lineitem",
+    "group_quantiles_events",
+    "mutual_info_docs",
+    "rolling_avg_events",
+    "state_intervals_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -118,6 +129,12 @@ COMPACT_LINE_SHED = {
     "filter_pass", "chunk_docs", "text_stats", "dedup_exact",
     "sessionize_events", "contamination_docs", "pack_chunks_docs",
     "snapshot_diff_docs",
+    # rotated out in round 10 to fit the round-10 rows (flat r7-r9
+    # history, spread < 0.2 s, no VERDICT drift mention; none are
+    # BASELINE.md comparison rows):
+    "gopher_quality_docs", "gopher_dup_ngrams_docs", "join_inner",
+    "join_left", "preference_pairs_docs", "window_running_sum",
+    "slice_step", "q6_forecast_revenue",
 }
 
 
@@ -591,9 +608,14 @@ def main() -> None:
                  "ema_events", "dsir_weights_docs",
                  "pca_covariance_embeddings", "ab_welch_events",
                  "tfidf_keywords_docs", "winnow_matches_docs"}
+    new_in_r10 = {"winnow_fps_docs", "dsir_select_docs",
+                  "corr_matrix_lineitem", "group_quantiles_events",
+                  "mutual_info_docs", "rolling_avg_events",
+                  "state_intervals_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
-                         | new_in_r7 | new_in_r8 | new_in_r9), 3)
+                         | new_in_r7 | new_in_r8 | new_in_r9
+                         | new_in_r10), 3)
 
     io_benchmarks(spark, sf_dir, timings, extra)
     probe_benchmarks(spark, sf_dir, timings, extra)
@@ -620,7 +642,7 @@ def main() -> None:
     meta_path = os.environ.get(
         "SPARK_GRAFT_BENCH_META",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_META_r09.json"))
+                     "BENCH_META_r10.json"))
     try:
         with open(meta_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)

@@ -791,52 +791,45 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     (distinct per doc), ``pos`` the 0-based gram offset.
 
     Exactness/oracle: the hash is the md5-hex-prefix integer (the
-    DSIR bucket recipe) — selection order is therefore replayable
-    bit-for-bit by DuckDB list ops, unlike xxhash64. Plan shape: all
-    arrays are materialized COLUMNS before any lambda references
-    them (Catalyst does no CSE inside higher-order-function lambdas —
-    the round-9 `_unit`/DSIR lesson), so the per-row cost is
-    O(len·window); one scan, zero shuffles before the explode.
+    DSIR bucket recipe) — replayable bit-for-bit by DuckDB list ops,
+    unlike xxhash64. Plan shape: normalization is a JVM expression;
+    gram hashing AND window-min selection run in ONE Arrow kernel
+    pass (one scan, zero shuffles before the explode). Hashing moved
+    kernel-side in round 10: the previous
+    ``F.transform(sequence, substr(i, k))`` gram build is QUADRATIC
+    in document length (``UTF8String.substring`` walks char offsets
+    from the string start, and higher-order-function lambdas never
+    enter codegen anyway) — a 3 MB document costs ~4.5e12 byte steps
+    JVM-side (the r10 bigdoc burn-in ran >25 min without finishing
+    one pass) vs O(len) here (the same burn-in: ~2 min for 200 such
+    docs, receipt in PLANS.md).
     """
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    grams = F.when(
-        F.length("__nrm__") >= k,
-        F.transform(F.sequence(F.lit(1), F.length("__nrm__") - (k - 1)),
-                    lambda i: F.col("__nrm__").substr(i, F.lit(k)))) \
-        .otherwise(F.array().cast("array<string>"))
     # 15 hex chars = 60 bits: a 32-bit (8-hex) fp space measured ~2.2M
     # birthday-collision pairs at 5M docs (75M selected fps); 60 bits
     # puts the expected collision count at ~0.002 while still fitting
     # BOTH a Spark signed long and a DuckDB BIGINT exactly.
-    hashes = F.transform(
-        "__grams__",
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10)
-        .cast("long"))
-    # per window start p (0-based): min hash, rightmost tie. The
-    # normalization / gram / md5-hash steps stay JVM expressions; the
-    # window-min SELECTION runs as a numpy kernel over one Arrow pass
-    # — a pure-expression form (transform over arrays_zip'd shifted
-    # slices building struct(hash, -pos) + array_min) is interpreted,
-    # not codegen'd, and measured ~20 µs per window-struct: 165 s for
-    # 5k docs vs ~2 s here. numpy sliding-window min + rightmost
-    # argmin over int64 is exact, so the oracle is untouched.
-    hdf = (df.select(F.col(id_col), norm.alias("__nrm__"))
-           .select(id_col, grams.alias("__grams__"))
-           .select(id_col, hashes.alias("__h__")))
+    hdf = df.select(F.col(id_col), norm.alias("__nrm__"))
     idt = df.select(id_col).schema[id_col].dataType.simpleString()
 
     def select_mins(batches):
+        import hashlib
+
         import numpy as np
         import pandas as pd
         for pdf in batches:
             ids, fps, poss = [], [], []
-            for did, hs in zip(pdf[id_col], pdf["__h__"]):
-                n = 0 if hs is None else len(hs)
+            for did, txt in zip(pdf[id_col], pdf["__nrm__"]):
+                n = 0 if txt is None else len(txt) - (k - 1)
                 if n < window:
                     continue
-                a = np.asarray(hs, dtype=np.int64)
+                md5 = hashlib.md5
+                a = np.fromiter(
+                    (int(md5(txt[i:i + k].encode("utf-8"))
+                         .hexdigest()[:15], 16) for i in range(n)),
+                    dtype=np.int64, count=n)
                 sw = np.lib.stride_tricks.sliding_window_view(
                     a, window)
                 mins = sw.min(axis=1)
