@@ -361,7 +361,8 @@ _UNIT_US = {"second": 1_000_000, "minute": 60_000_000,
 def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
                 by: list[str], window: str,
                 funcs: tuple[str, ...] = ("avg", "min", "max",
-                                          "count")) -> DataFrame:
+                                          "count"),
+                engine: str = "kernel") -> DataFrame:
     """Trailing time-range rolling aggregates: for every row, the
     aggregate of ``val_col`` over the rows of the same ``by`` group
     whose timestamp lies in ``[ts - window, ts]`` (inclusive both
@@ -371,13 +372,23 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
     fixed-length interval like ``'15 minutes'`` (seconds/minutes/
     hours/days — calendar months don't form a fixed grid).
 
-    Scale shape: one hash(by) shuffle, then a VALUE-RANGE window
-    frame over microsecond epochs — Spark's RangeFrame advances two
-    pointers monotonically per partition (O(n) amortized, JVM-side,
-    no UDF, no per-row rescan) and spills through
-    ExternalAppendOnlyUnsafeRowArray. The per-key ordered pass is
-    inherent to trailing-window semantics (the EMA contract); keys
-    are independent so 100M keys parallelize across executors.
+    Scale shape / why not a plain window expression: Spark evaluates
+    a SLIDING frame by REBUILDING the aggregate buffer for every row
+    (aggregates have no retraction), so the expression form is
+    O(rows x frame-width) per key — the r10 burn-in's hot key
+    (4M rows, ~720k-row frames) is ~3e12 row-adds and never
+    finishes. The default ``engine='kernel'`` is ONE hash(by)
+    shuffle then one Arrow pass per co-located partition (the EMA
+    discipline): per key, rows collapse to per-TIMESTAMP partials
+    (peers aggregate once by construction), sum/count roll by
+    cumulative-sum differencing and min/max by pandas' monotonic-
+    deque time rolling — O(n log n) per key, independent of frame
+    width. ``engine='window'`` keeps the pure-expression JVM form:
+    correct, zero-UDF, and fine when frames are guaranteed narrow
+    (tens of rows); both paths are tested equal.
+
+    NULL values never contribute; a frame whose values are all NULL
+    yields NULL aggregates (count 0) — standard SQL frame semantics.
     """
     n, unit = window.split()
     unit = unit.rstrip("s")
@@ -386,24 +397,95 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
                          f"{sorted(_UNIT_US)} (fixed-length), got "
                          f"{unit!r}")
     span_us = int(n) * _UNIT_US[unit]
-    from pyspark.sql import Window
-    ts = F.col(ts_col)
-    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
-        # unix_micros only accepts TIMESTAMP; reinterpreting NTZ in
-        # the session zone is monotone (UTC sessions — a DST zone
-        # would fold an hour; the frame is a pure ts difference so
-        # only rows inside a fold window could shift)
-        ts = ts.cast("timestamp")
-    w = (Window.partitionBy(*[F.col(k) for k in by])
-         .orderBy(F.unix_micros(ts))
-         .rangeBetween(-span_us, 0))
-    v = F.col(val_col)
-    makers = {"avg": F.avg, "min": F.min, "max": F.max,
+    makers = ("avg", "min", "max", "sum", "count")
+    for f in funcs:
+        if f not in makers:
+            raise ValueError(f"unknown rolling func {f!r}")
+    if engine == "window":
+        from pyspark.sql import Window
+        ts = F.col(ts_col)
+        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+            # unix_micros only accepts TIMESTAMP; reinterpreting NTZ
+            # in the session zone is monotone (UTC sessions)
+            ts = ts.cast("timestamp")
+        w = (Window.partitionBy(*[F.col(k) for k in by])
+             .orderBy(F.unix_micros(ts))
+             .rangeBetween(-span_us, 0))
+        mk = {"avg": F.avg, "min": F.min, "max": F.max,
               "sum": F.sum, "count": F.count}
-    # one select -> ONE Window operator for all aggregates (chained
-    # withColumn would stack a Window node per function)
-    rolls = [makers[f](v).over(w).alias(f"roll_{f}") for f in funcs]
-    return df.select("*", *rolls)
+        v = F.col(val_col)
+        # one select -> ONE Window operator for all aggregates
+        rolls = [mk[f](v).over(w).alias(f"roll_{f}") for f in funcs]
+        return df.select("*", *rolls)
+    if engine != "kernel":
+        raise ValueError(f"engine must be 'kernel' or 'window', "
+                         f"got {engine!r}")
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"roll_{f}",
+                       LongType() if f == "count" else DoubleType())
+           for f in funcs])
+    keys = list(by)
+
+    def roll(batches):
+        import numpy as np
+        import pandas as pd
+        parts = [p for p in batches if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        i8 = (pd.to_datetime(pdf[ts_col]).to_numpy()
+              .astype("datetime64[us]").astype("int64"))
+        vals = pdf[val_col].to_numpy(dtype="float64", na_value=np.nan)
+        out = {f: np.empty(len(pdf)) for f in funcs}
+        groups = (pdf.groupby(keys, sort=False, dropna=False).indices
+                  if keys else {(): np.arange(len(pdf))})
+        for idxs in groups.values():
+            t = i8[idxs]
+            v = vals[idxs]
+            u, inv = np.unique(t, return_inverse=True)
+            m = ~np.isnan(v)
+            cnts = np.bincount(inv[m], minlength=len(u))
+            ccnt = np.concatenate(([0], np.cumsum(cnts)))
+            lo = np.searchsorted(u, u - span_us, side="left")
+            pos = np.arange(len(u))
+            rc = ccnt[pos + 1] - ccnt[lo]
+            res = {}
+            if {"sum", "avg"} & set(funcs):
+                sums = np.bincount(inv[m], weights=v[m],
+                                   minlength=len(u))
+                cs = np.concatenate(([0.0], np.cumsum(sums)))
+                rs = np.where(rc > 0, cs[pos + 1] - cs[lo], np.nan)
+                res["sum"] = rs
+                res["avg"] = np.where(rc > 0, rs / rc, np.nan)
+            for f, seed, red in (("min", np.inf, np.minimum),
+                                 ("max", -np.inf, np.maximum)):
+                if f not in funcs:
+                    continue
+                per_ts = np.full(len(u), seed)
+                red.at(per_ts, inv[m], v[m])
+                s = pd.Series(np.where(cnts > 0, per_ts, np.nan),
+                              index=pd.to_datetime(u, unit="us"))
+                r = s.rolling(pd.Timedelta(microseconds=span_us),
+                              closed="both", min_periods=1)
+                res[f] = (r.min() if f == "min"
+                          else r.max()).to_numpy()
+            res["count"] = rc.astype("float64")
+            for f in funcs:
+                out[f][idxs] = res[f][inv]
+        for f in funcs:
+            col = out[f]
+            pdf[f"roll_{f}"] = (pd.array(col, dtype="Int64")
+                                if f == "count" else col)
+        yield pdf[[fld.name for fld in schema.fields]]
+
+    shuffled = (df.repartition(*[F.col(k) for k in keys])
+                if keys else df.coalesce(1))
+    return shuffled.mapInPandas(roll, schema)
 
 
 def state_intervals(df: DataFrame, key_col: str, state_col: str,

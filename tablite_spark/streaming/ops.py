@@ -162,6 +162,67 @@ def streaming_ema(events: DataFrame) -> DataFrame:
     ))
 
 
+_SI_STATE = T.StructType([
+    T.StructField("state", T.StringType()),
+    T.StructField("valid_from", T.TimestampType()),
+    T.StructField("n_obs", T.LongType()),
+])
+_SI_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("state", T.StringType()),
+    T.StructField("valid_from", T.TimestampType()),
+    T.StructField("valid_to", T.TimestampType()),
+    T.StructField("n_obs", T.LongType()),
+])
+
+
+def _si_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    cur, vfrom, nobs = (state.get if state.exists
+                        else (None, None, 0))
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    pdf = (pd.concat(parts, ignore_index=True)
+           .sort_values(["ts", "event_id"], kind="mergesort"))
+    out = []
+    for ts, st in zip(pdf["ts"], pdf["event_type"]):
+        if cur is None:
+            cur, vfrom, nobs = st, ts, 1
+        elif st == cur:
+            nobs += 1
+        else:
+            out.append((key[0], cur, vfrom, ts, nobs))
+            cur, vfrom, nobs = st, ts, 1
+    state.update((cur, vfrom, int(nobs)))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "state",
+                                         "valid_from", "valid_to",
+                                         "n_obs"])
+
+
+def streaming_state_changes(events: DataFrame) -> DataFrame:
+    """Streaming twin of :func:`tablite_spark.operators.timeseries.
+    state_intervals`: per-user SCD2 interval CLOSE events, emitted
+    the moment a state change supersedes the open interval —
+    ``applyInPandasWithState`` with (state, valid_from, n_obs) as
+    the per-key state (one small tuple per key, partitioned by key,
+    exactly the EMA twin's footprint story). The still-open interval
+    lives only in state; an availableNow drain over a static
+    directory therefore reproduces the batch operator's CLOSED rows
+    (valid_to IS NOT NULL) exactly, which the StreamingQuery test
+    asserts. Rows are ordered (ts, event_id) within each micro-batch;
+    cross-batch order is the ingestion contract, as with every
+    sequential-algebra incremental operator here."""
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _si_fn,
+        outputStructType=_SI_OUT,
+        stateStructType=_SI_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))
+
+
 def sliding_counts(events: DataFrame, ts_col: str = "ts",
                    window: str = "1 hour", slide: str = "30 minutes",
                    watermark: str = "2 hours",

@@ -478,3 +478,53 @@ def test_streaming_ema_matches_batch_twin(spark, stream_dir, tmp_path):
                                 tiebreak=["event_id"]).collect()}
     assert got == want and len(got) == 7
     assert got[(1, 7)] is None  # null rides through, state unharmed
+
+
+def test_streaming_state_changes_matches_batch_twin(spark, tmp_path):
+    """Streaming SCD2 interval-close events (stateful, cross-batch
+    continuation) must equal the batch state_intervals' CLOSED rows
+    after a two-batch drain — including a run that spans the batch
+    boundary (batch 1 ends in 'new', batch 2 continues it, so the
+    close event carries observations from BOTH batches)."""
+    from tablite_spark.operators.timeseries import state_intervals
+    from tablite_spark.streaming.ops import streaming_state_changes
+    stream_dir = str(tmp_path / "si_stream")
+    first = [(1, "2024-01-01 00:00:00", 1, "new"),
+             (2, "2024-01-01 00:10:00", 1, "new"),
+             (3, "2024-01-01 00:20:00", 1, "active"),
+             (4, "2024-01-01 00:05:00", 2, "active")]
+    more = [(5, "2024-01-01 01:00:00", 1, "active"),
+            (6, "2024-01-01 01:30:00", 1, "new"),
+            (7, "2024-01-01 02:00:00", 2, "closed")]
+    schema = ("event_id long, ts string, user_id long, "
+              "event_type string")
+    mk = lambda rows: spark.createDataFrame(rows, schema) \
+        .withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+    mk(first).write.parquet(stream_dir)
+    time.sleep(1.1)
+    mk(more).write.mode("append").parquet(stream_dir)
+
+    si_schema = ("event_id long, ts timestamp, user_id long, "
+                 "event_type string")
+    src = (spark.readStream.schema(si_schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false").parquet(stream_dir))
+    q = (streaming_state_changes(src)
+         .writeStream.format("memory").queryName("ssi")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ssi"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+            r["n_obs"]) for r in spark.sql("SELECT * FROM ssi").collect()}
+    batch = spark.read.parquet(stream_dir)
+    closed = {(r["user_id"], r["state"], r["valid_from"],
+               r["valid_to"], r["n_obs"]) for r in
+              state_intervals(batch, "user_id", "event_type", "ts",
+                              tiebreak="event_id").collect()
+              if r["valid_to"] is not None}
+    assert got == closed and len(got) == 3
+    # the cross-batch 'active' run for user 1 closed with n_obs=2
+    # (one observation from each batch)
+    assert any(u == 1 and s == "active" and n == 2
+               for u, s, _, _, n in got)

@@ -401,3 +401,34 @@ def test_state_intervals_gaps_and_islands(spark):
         (1, "new", _ts(30), None, 2),
         (2, "active", _ts(5), None, 1),
     ]
+
+
+def test_rolling_agg_kernel_equals_window_engine(spark):
+    """The O(n) kernel (default) and the pure-expression window
+    engine must agree exactly — including null values, duplicate
+    timestamps, all-null frames, and a null group key."""
+    import random
+
+    from tablite_spark.operators.timeseries import rolling_agg
+    rnd = random.Random(42)
+    rows = []
+    for i in range(400):
+        k = rnd.choice([1, 2, 3, None])
+        v = None if rnd.random() < 0.2 else round(rnd.uniform(-5, 5), 3)
+        rows.append((i, k, _ts(rnd.randrange(2), rnd.randrange(60)), v))
+    df = spark.createDataFrame(
+        rows, "rid int, k int, ts timestamp, v double").repartition(7)
+    funcs = ("avg", "min", "max", "sum", "count")
+    a = {r["rid"]: tuple(r[f"roll_{f}"] for f in funcs) for r in
+         rolling_agg(df, "ts", "v", ["k"], "30 seconds",
+                     funcs=funcs).collect()}
+    b = {r["rid"]: tuple(r[f"roll_{f}"] for f in funcs) for r in
+         rolling_agg(df, "ts", "v", ["k"], "30 seconds",
+                     funcs=funcs, engine="window").collect()}
+    assert set(a) == set(b) and len(a) == 400
+    for rid in a:
+        for x, y in zip(a[rid], b[rid]):
+            if x is None or y is None:
+                assert x == y, (rid, a[rid], b[rid])
+            else:
+                assert abs(x - y) < 1e-9, (rid, a[rid], b[rid])
