@@ -1546,6 +1546,22 @@ def state_intervals_events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 
+def outliers_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type z-score outliers over `value` (|x - mean| >
+    3*stddev_samp): one combinable groupBy collapses the corpus to a
+    |groups|-row summary, joined back UNHINTED so AQE broadcasts at
+    runtime (and a 100M-group variant degrades to a keyed join
+    instead of a forced-broadcast OOM). Oracle: the same fence in
+    DuckDB SQL."""
+    from tablite_spark.operators.stats import group_outliers
+    ev = _t(spark, sf, "events")
+    out = group_outliers(ev, ["event_type"], "value",
+                         method="zscore", threshold=3.0)
+    return (out.filter(F.col("is_outlier"))
+            .select("event_id", "event_type",
+                    F.round(F.col("value"), 4).alias("value")))
+
+
 def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join of customer names at d=1 via PassJoin
     segment blocking (`operators/fuzzy.py`): explode to (length,
@@ -3513,8 +3529,7 @@ _R10_WINDOW = [
     "corr_matrix_lineitem", "group_quantiles_events",
     "mutual_info_docs", "rolling_avg_events",
     "state_intervals_events",
-    # --- remaining slot: oldest r7 entry (alphabetical)
-    "audio_features_meta",
+    "outliers_events",
 ]
 
 
@@ -3631,6 +3646,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info_docs": mutual_info_docs,
         "rolling_avg_events": rolling_avg_events,
         "state_intervals_events": state_intervals_events,
+        "outliers_events": outliers_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6065,6 +6081,19 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS valid_to,
                    n_obs
             FROM iv
+        """,
+        "outliers_events": """
+            WITH s AS (
+                SELECT event_type, avg(value) AS m,
+                       stddev_samp(value) AS sd
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   ROUND(e.value, 4) + 0 AS value
+            FROM events e JOIN s USING (event_type)
+            WHERE e.value IS NOT NULL AND s.sd > 0
+              AND abs(e.value - s.m) > 3.0 * s.sd
         """,
         "ab_welch_events": """
             WITH g AS (

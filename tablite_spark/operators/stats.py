@@ -332,3 +332,58 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     hy = -F.sum(pxy * F.log(F.col("ny") / nn))
     return wide.agg(F.max("n_").alias("n"), mi.alias("mi_nats"),
                     hx.alias("h_x"), hy.alias("h_y"))
+
+
+def group_outliers(df: DataFrame, keys: list[str], val_col: str,
+                   method: str = "zscore",
+                   threshold: float = 3.0) -> DataFrame:
+    """Per-group outlier flags for ``val_col`` — the standard
+    data-quality / anomaly screen. ``method='zscore'`` flags
+    ``|x - mean| > threshold * stddev_samp``; ``method='iqr'`` flags
+    ``x < q1 - threshold*IQR or x > q3 + threshold*IQR`` (Tukey
+    fences, threshold=1.5 classically). Returns the input rows plus
+    ``is_outlier`` (NULL value or a degenerate group — stddev 0 /
+    IQR 0 / n < 2 — flags nothing: NULL/false semantics mirrored in
+    the oracle).
+
+    Scale shape: ONE combinable groupBy pass collapses the corpus to
+    a |groups|-row summary (mean/stddev are partial-aggregating; the
+    IQR path uses the exact ``F.percentile`` ObjectHashAggregate —
+    same contract split as group_quantiles), then the summary joins
+    back onto the rows. The join is deliberately UNHINTED: with
+    bounded groups AQE broadcasts the tiny summary at runtime (no
+    corpus shuffle); with 100M+ groups it correctly falls back to a
+    keyed join instead of OOMing a forced broadcast. No window over
+    data rows; hot groups absorbed map-side on the zscore path.
+    """
+    v = F.col(val_col).cast("double")
+    g = df.groupBy(*[F.col(k).alias(f"__k{i}__")
+                     for i, k in enumerate(keys)])
+    if method == "zscore":
+        summ = g.agg(F.avg(v).alias("__m__"),
+                     F.stddev_samp(v).alias("__s__"))
+        flag = (F.col("__s__").isNotNull() & (F.col("__s__") > 0)
+                & (F.abs(v - F.col("__m__"))
+                   > F.lit(float(threshold)) * F.col("__s__")))
+        drop = ["__m__", "__s__"]
+    elif method == "iqr":
+        qs = F.percentile(v, F.array(F.lit(0.25), F.lit(0.75)))
+        summ = g.agg(qs.getItem(0).alias("__q1__"),
+                     qs.getItem(1).alias("__q3__"))
+        iqr = F.col("__q3__") - F.col("__q1__")
+        flag = (iqr > 0) & (
+            (v < F.col("__q1__") - F.lit(float(threshold)) * iqr)
+            | (v > F.col("__q3__") + F.lit(float(threshold)) * iqr))
+        drop = ["__q1__", "__q3__"]
+    else:
+        raise ValueError(f"method must be 'zscore' or 'iqr', "
+                         f"got {method!r}")
+    from functools import reduce
+    cond = reduce(lambda a, b: a & b,
+                  [df[k].eqNullSafe(F.col(f"__k{i}__"))
+                   for i, k in enumerate(keys)])
+    joined = df.join(summ, cond, "left")
+    return (joined.withColumn(
+        "is_outlier",
+        F.when(v.isNotNull(), F.coalesce(flag, F.lit(False))))
+        .drop(*drop, *[f"__k{i}__" for i in range(len(keys))]))

@@ -336,3 +336,38 @@ def test_mutual_information_single_scan_reused_exchange(spark):
         .fromString("formatted"))
     assert "isFinalPlan=true" in plan
     assert plan.count("ReusedExchange") >= 1, plan[:2000]
+
+
+def test_group_outliers_zscore_and_iqr(spark):
+    """Outlier flags must match a numpy replay for both methods;
+    null values flag NULL; degenerate (constant / tiny) groups flag
+    nothing rather than dividing by zero."""
+    import numpy as np
+
+    from tablite_spark.operators.stats import group_outliers
+    base = [1.0, 2.0, 1.5, 2.5, 1.8, 2.2, 1.1, 2.9, 1.7, 60.0]
+    rows = ([("a", v) for v in base]          # 60.0 is the outlier
+            + [("b", 5.0)] * 4                # constant group
+            + [("c", 1.0)]                    # n=1 group
+            + [("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    for method, thr in (("zscore", 2.0), ("iqr", 1.5)):
+        out = group_outliers(df, ["g"], "v", method=method,
+                             threshold=thr).collect()
+        flags = {(r["g"], r["v"]): r["is_outlier"] for r in out}
+        assert len(out) == len(rows)
+        a = np.array(base)
+        if method == "zscore":
+            hot = abs(a - a.mean()) > thr * a.std(ddof=1)
+        else:
+            q1, q3 = np.percentile(a, [25, 75], method="linear")
+            hot = (a < q1 - thr * (q3 - q1)) | (a > q3 + thr * (q3 - q1))
+        for v, h in zip(base, hot):
+            assert flags[("a", v)] == bool(h), (method, v)
+        assert flags[("a", 60.0)] is True
+        assert all(flags[("b", 5.0)] is False for _ in [0])
+        assert flags[("c", 1.0)] is False
+        assert flags[("a", None)] is None
+    import pytest
+    with pytest.raises(ValueError, match="method"):
+        group_outliers(df, ["g"], "v", method="mad")
