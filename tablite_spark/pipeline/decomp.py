@@ -26,9 +26,12 @@ Scale shape (the only one that works at 100 TB embeddings):
 
 Oracle: the covariance itself is plain SQL (``avg(e[i]*e[j]) -
 avg(e[i])*avg(e[j])`` per cell) — the driver checks it EXACTLY; the
-eigendecomposition is genuinely non-SQL (driver records the weaker
-rows-only check for projection queries; pytest asserts orthonormality,
-eigenvalue order, and projection-variance == eigenvalue).
+projection is ALSO value-level oracled since r10 by pinning the
+deterministic fitted components as SQL literals (stable: eigenvalue
+gaps >> aggregation-order noise; see ``_pca_project_oracle`` in
+``__spark_entry__.py``), with pytest additionally asserting
+orthonormality, eigenvalue order, and projection-variance ==
+eigenvalue.
 """
 from __future__ import annotations
 

@@ -230,10 +230,15 @@ def build_trigram_index(docs: DataFrame, text_col: str, id_col: str,
     rarest trigrams turned it back into a few small posting reads).
     At 100 TB the index is the thing that turns ``LIKE '%needle%'``
     from a full corpus scan into a few posting-list reads."""
-    tri = F.when(F.length(text_col) >= 3, F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.length(text_col) - 2),
-        lambda i: F.col(text_col).substr(i, F.lit(3))))) \
-        .otherwise(F.array().cast("array<string>"))
+    # one LINEAR regex pass per row: the lookahead captures 3 chars at
+    # every position while the consumed '.' advances one; (?s) lets
+    # '.' cross newlines in raw text. The transform(sequence,
+    # substr(i, 3)) form is O(len^2) — UTF8String.substring re-walks
+    # char offsets from the string start per gram (the r10 winnowing
+    # bigdoc finding) — and HOF lambdas never codegen anyway.
+    tri = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col),
+                             F.lit(r"(?s)(?=(.{3}))."), 1))
     post = (docs.select(F.col(id_col).alias("doc_id"),
                         F.explode(tri).alias("tri")))
     (post.repartition("tri").sortWithinPartitions("tri")
@@ -303,11 +308,10 @@ def substring_search(docs: DataFrame, text_col: str, id_col: str,
                 .select(F.col(id_col).alias("doc_id"),
                         occ.alias("n_occurrences")))
     if postings is None:
-        tri = F.when(F.length(text_col) >= 3,
-                     F.array_distinct(F.transform(
-                         F.sequence(F.lit(1), F.length(text_col) - 2),
-                         lambda i: F.col(text_col).substr(i, F.lit(3))))) \
-            .otherwise(F.array().cast("array<string>"))
+        # linear lookahead-regex gram pass (see build_trigram_index)
+        tri = F.array_distinct(
+            F.regexp_extract_all(F.col(text_col),
+                                 F.lit(r"(?s)(?=(.{3}))."), 1))
         postings = docs.select(F.col(id_col).alias("doc_id"),
                                F.explode(tri).alias("tri"))
     cand = (postings.filter(F.col("tri").isin(tris))

@@ -156,3 +156,34 @@ def test_dsir_empty_target_and_buckets_guard(spark):
     assert all(isinstance(v, int) for v in out.values())
     with pytest.raises(ValueError, match="buckets"):
         dsir_weights(raw, empty, "text", "doc_id", buckets=2_000_000)
+
+
+def test_pca_fit_stable_across_partitionings(spark):
+    """The r10 pca_project oracle PINS the fitted components as SQL
+    literals, so the fit must be reproducible however the corpus is
+    partitioned: the grouped Gram partials may merge in any order
+    (ulp-level sum differences), but eigenvalue gaps dwarf that
+    noise and the sign normalization must never flip. Gate: rounded
+    projections identical at 1/4/13 partitions."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from tablite_spark.pipeline.decomp import pca_fit, pca_project
+    dim = 16
+    vec = F.array(*[F.sin(F.col("id") * (0.01 * (i + 1)) + i)
+                    for i in range(dim)])
+    base = spark.range(2000).select(F.col("id").alias("vec_id"),
+                                    vec.alias("embedding"))
+    outs = []
+    for parts in (1, 4, 13):
+        df = base.repartition(parts)
+        comps, _ = pca_fit(df, "embedding", dim, 3)
+        p = pca_project(df, comps, "vec_id", "embedding")
+        rows = p.select("vec_id",
+                        *[F.round(F.element_at("proj", i + 1), 4)
+                          .alias(f"pc{i}") for i in range(3)]).collect()
+        outs.append(sorted(map(tuple, rows)))
+    assert outs[0] == outs[1] == outs[2]
+    # and no -0.0 anywhere in the rounded projections
+    flat = np.array([v for row in outs[0] for v in row[1:]])
+    assert not ((flat == 0) & np.signbit(flat)).any()
