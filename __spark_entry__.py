@@ -1562,6 +1562,21 @@ def outliers_events(spark: SparkSession, sf: str) -> DataFrame:
                     F.round(F.col("value"), 4).alias("value")))
 
 
+def jaccard_join_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT token-set Jaccard self-join at t=0.8 over a 150-doc
+    subset (the full synthetic corpus is template-generated and
+    genuinely carries ~30k >=0.8 pairs — the winnow burn-in lesson);
+    PPJoin prefix filtering: only each doc's rarest
+    |S|-ceil(t|S|)+1 tokens enter the candidate join (pigeonhole-
+    complete, no false negatives), exact array_intersect verify.
+    jaccard = exact-int division, bit-identical cross-engine, no
+    rounding needed. Oracle: brute-force DuckDB list_intersect over
+    all pairs of the subset."""
+    from tablite_spark.pipeline.dedup import jaccard_join
+    docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
+    return jaccard_join(docs, "text", "doc_id", threshold=0.8)
+
+
 def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join of customer names at d=1 via PassJoin
     segment blocking (`operators/fuzzy.py`): explode to (length,
@@ -3500,12 +3515,14 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # 50@r8 / 50@r7 / 42@r6; the two non-green rows are the PCA pair
 # (signed-zero hash flake + no_oracle), both FIXED this round
 # (canonicalized oracle; pinned-components projection oracle).
-# Priority: (1) the two PCA re-checks, (2) queries NEW in round 10,
-# (3) ALL 42 r6-stale entries (the r9 window comment's named list),
-# so nothing in the registry ends staler than r7, (4) the oldest r7
-# entries fill the remaining slots. ALL out-of-window entries are
-# locally oracle-swept green on r10 code in STRICT hash mode —
-# committed as SWEEP_r10.json.
+# Priority: (1) the two PCA re-checks, (2) the 7 queries NEW in
+# round 10 (corr/quantiles/MI/rolling/intervals/outliers/jaccard —
+# never driver-verified), (3) 41 of the 42 r6-stale entries (the r9
+# window comment's named list; zorder_events yields its slot to the
+# new jaccard_join_docs and stays green in the committed strict
+# sweep), so nothing else in the registry ends staler than r7. ALL
+# out-of-window entries are locally oracle-swept green on r10 code
+# in STRICT hash mode — committed as SWEEP_r10.json.
 _R10_WINDOW = [
     # --- red in the r9 window, fixed this round
     "pca_covariance_embeddings", "pca_project_embeddings",
@@ -3524,12 +3541,12 @@ _R10_WINDOW = [
     "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
     "sql_script_md5", "stratified_sample_docs", "table_equality_check",
     "unicode_sort_rank", "vocab_top_ngrams", "wav_decode_meta",
-    "weighted_sample_docs", "zorder_events",
+    "weighted_sample_docs",
     # --- never driver-verified: new in round 10
     "corr_matrix_lineitem", "group_quantiles_events",
     "mutual_info_docs", "rolling_avg_events",
     "state_intervals_events",
-    "outliers_events",
+    "outliers_events", "jaccard_join_docs",
 ]
 
 
@@ -3647,6 +3664,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_avg_events": rolling_avg_events,
         "state_intervals_events": state_intervals_events,
         "outliers_events": outliers_events,
+        "jaccard_join_docs": jaccard_join_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6081,6 +6099,28 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS valid_to,
                    n_obs
             FROM iv
+        """,
+        "jaccard_join_docs": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_distinct(list_filter(
+                           regexp_split_to_array(
+                               regexp_replace(lower(text),
+                                              '[^a-z0-9 ]', ' ', 'g'),
+                               ' +'), t -> t != '')) AS tk
+                FROM documents WHERE doc_id % 10 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT)
+                       AS n_common,
+                   CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                   / (len(a.tk) + len(b.tk)
+                      - len(list_intersect(a.tk, b.tk))) AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(a.tk) > 0 AND len(b.tk) > 0
+              AND CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                  / (len(a.tk) + len(b.tk)
+                     - len(list_intersect(a.tk, b.tk))) >= 0.8
         """,
         "outliers_events": """
             WITH s AS (

@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "mutual_info_docs",
     "rolling_avg_events",
     "state_intervals_events",
+    "outliers_events",
+    "jaccard_join_docs",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -134,7 +136,8 @@ COMPACT_LINE_SHED = {
     # BASELINE.md comparison rows):
     "gopher_quality_docs", "gopher_dup_ngrams_docs", "join_inner",
     "join_left", "preference_pairs_docs", "window_running_sum",
-    "slice_step", "q6_forecast_revenue",
+    "slice_step", "q6_forecast_revenue", "q14_promo_revenue",
+    "zorder_events",
 }
 
 
@@ -611,7 +614,8 @@ def main() -> None:
     new_in_r10 = {"winnow_fps_docs", "dsir_select_docs",
                   "corr_matrix_lineitem", "group_quantiles_events",
                   "mutual_info_docs", "rolling_avg_events",
-                  "state_intervals_events"}
+                  "state_intervals_events", "outliers_events",
+                  "jaccard_join_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -2884,3 +2884,55 @@ def test_winnow_matches_boilerplate_cut_semantics(spark):
     # fps unique to one doc can never pair
     assert winnow_matches(df, "text", "doc_id", k=8, window=4,
                           max_df=1).collect() == []
+
+
+def test_jaccard_join_exact_vs_bruteforce(spark):
+    """PPJoin-style prefix filtering must lose NO pair above the
+    threshold (pigeonhole completeness) and report exact
+    intersection/union sizes — verified against a brute-force python
+    replay over a corpus with shared boilerplate (hot tokens that
+    must not fan out) and graded overlaps around the threshold."""
+    import itertools
+    import random
+
+    from tablite_spark.pipeline.dedup import jaccard_join
+    rnd = random.Random(9)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(80):
+        # every doc shares boilerplate tokens; bodies overlap randomly
+        body = rnd.sample(vocab, rnd.randrange(4, 16))
+        rows.append((i, "the a of " + " ".join(body)))
+    rows.append((900, ""))      # no tokens -> pairs with nothing
+    rows.append((901, "!!!"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    got = {(r["id_a"], r["id_b"]): (r["n_common"],
+                                    round(r["jaccard"], 9))
+           for r in jaccard_join(df, "text", "doc_id",
+                                 threshold=t).collect()}
+    sets = {i: set(("the a of " + txt.split("of ", 1)[-1]).split())
+            if False else set(txt.lower().split())
+            for i, txt in rows if txt.split()}
+    sets = {i: {w for w in s if w.isalnum()} for i, s in sets.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        un = len(sets[a] | sets[b])
+        if un and inter / un >= t:
+            want[(a, b)] = (inter, round(inter / un, 9))
+    assert got == want and len(want) > 3
+    assert not any(900 in p or 901 in p for p in got)
+
+
+def test_jaccard_join_plan_no_cartesian_no_broadcast(spark):
+    from tablite_spark.pipeline.dedup import jaccard_join
+    df = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
+                               "doc_id long, text string")
+    out = jaccard_join(df, "text", "doc_id", threshold=0.4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" not in plan  # every side merge-hinted
+    rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert rows == {(1, 2): 0.5}
