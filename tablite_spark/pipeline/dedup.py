@@ -935,13 +935,18 @@ def jaccard_join(df: DataFrame, text_col: str, id_col: str,
     prefix = (tok.hint("merge").join(dfc, "__t__")
               .withColumn("__r__", F.row_number().over(w))
               .filter(F.col("__r__") <= plen)
-              .select("__id__", "__t__"))
-    a = prefix.select(F.col("__id__").alias("id_a"),
-                      F.col("__t__"))
-    b = prefix.select(F.col("__id__").alias("id_b"),
-                      F.col("__t__"))
+              .select("__id__", "__t__", "__n__"))
+    a = prefix.select(F.col("__id__").alias("id_a"), F.col("__t__"),
+                      F.col("__n__").alias("__na__"))
+    b = prefix.select(F.col("__id__").alias("id_b"), F.col("__t__"),
+                      F.col("__n__").alias("__nb__"))
+    # PPJoin length filter: Jaccard >= t forces t <= min/max of the
+    # set sizes — prune size-mismatched candidates INSIDE the join
+    # before the distinct/verify stages see them
     cand = (a.hint("merge").join(b.hint("merge"), "__t__")
-            .filter(F.col("id_a") < F.col("id_b"))
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.least("__na__", "__nb__")
+                       >= F.lit(t) * F.greatest("__na__", "__nb__")))
             .select("id_a", "id_b").distinct())
     sa = base.select(F.col("__id__").alias("id_a"),
                      F.col("__tk__").alias("__ta__"))

@@ -264,10 +264,59 @@ def burnin_r10ops(spark):
           f"MI exact at 400k joint cells")
 
 
+
+
+def burnin_jaccard(spark):
+    from tablite_spark.pipeline.dedup import jaccard_join
+    print("== jaccard join: 500k docs (~30 tokens from a 500k vocab "
+          "+ universal boilerplate), 1000 planted ~0.82 pairs at "
+          "t=0.8")
+    t0 = time.time()
+    # body: 30 tokens drawn deterministically; boilerplate tokens
+    # appear in EVERY doc (df = 500k — must never enter a prefix)
+    body = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.concat(F.lit("tok"), F.conv(F.substring(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("-"),
+                           i.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 500_000))
+    # planted twin: same seed, 3 of 30 tokens perturbed -> jaccard
+    # = 27 / 33 = 0.818 >= 0.8
+    twin = F.transform(
+        F.sequence(F.lit(0), F.lit(29)),
+        lambda i: F.when(i < 3, F.concat(F.lit("alt"), i.cast("string"),
+                                         F.lit("x"),
+                                         F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("tok"), F.conv(F.substring(
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit("-"),
+                           i.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 500_000)))
+    base = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 499_000, F.col("id") - 499_000 + 7)
+         .otherwise(F.col("id") + 7).alias("seed"))
+    text = F.concat(
+        F.lit("the of and a to in "),
+        F.array_join(F.when(F.col("doc_id") >= 499_000, twin)
+                     .otherwise(body), " "))
+    df = base.select("doc_id", text.alias("text")).repartition(32)
+    out = jaccard_join(df, "text", "doc_id", threshold=0.8)
+    planted = out.filter((F.col("id_b") - F.col("id_a")) == 499_000)
+    n_planted = planted.count()
+    n_total = out.count()
+    t0 = _t("jaccard 500k docs, t=0.8 (prefix+length filter)", t0)
+    assert n_planted == 1000, n_planted
+    # random 30-token bodies from a 500k vocab can't reach 0.8
+    assert n_total - n_planted < 20, n_total
+    print(f"    {n_planted}/1000 planted pairs found, "
+          f"{n_total - n_planted} incidental; boilerplate df=500k "
+          f"never entered a prefix")
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["winnow_cliff", "winnow_bigdoc",
                              "dsir_edge", "ema_edge", "pca_dim",
-                             "r10ops"]
+                             "r10ops", "jaccard"]
     spark = get_spark("burnin_r10")
     spark.sparkContext.setLogLevel("ERROR")
     for n in names:
