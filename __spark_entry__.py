@@ -1577,6 +1577,18 @@ def jaccard_join_docs(spark: SparkSession, sf: str) -> DataFrame:
     return jaccard_join(docs, "text", "doc_id", threshold=0.8)
 
 
+def path_ngrams_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 3-step user journeys: one hash(user) shuffle, n-grams
+    built row-locally from lead() (never a per-user collect_list — a
+    hot user's history would materialize as one array), combinable
+    global path count, ordered limit over the tiny distinct-path
+    frame. Oracle: the same lead-window chain in DuckDB."""
+    from tablite_spark.operators.timeseries import path_ngrams
+    ev = _t(spark, sf, "events")
+    return path_ngrams(ev, "user_id", "event_type", "ts", n=3, k=20,
+                       tiebreak="event_id")
+
+
 def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join of customer names at d=1 via PassJoin
     segment blocking (`operators/fuzzy.py`): explode to (length,
@@ -3515,14 +3527,15 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # 50@r8 / 50@r7 / 42@r6; the two non-green rows are the PCA pair
 # (signed-zero hash flake + no_oracle), both FIXED this round
 # (canonicalized oracle; pinned-components projection oracle).
-# Priority: (1) the two PCA re-checks, (2) the 7 queries NEW in
-# round 10 (corr/quantiles/MI/rolling/intervals/outliers/jaccard —
-# never driver-verified), (3) 41 of the 42 r6-stale entries (the r9
-# window comment's named list; zorder_events yields its slot to the
-# new jaccard_join_docs and stays green in the committed strict
-# sweep), so nothing else in the registry ends staler than r7. ALL
-# out-of-window entries are locally oracle-swept green on r10 code
-# in STRICT hash mode — committed as SWEEP_r10.json.
+# Priority: (1) the two PCA re-checks, (2) the 8 queries NEW in
+# round 10 (corr/quantiles/MI/rolling/intervals/outliers/jaccard/
+# path-ngrams — never driver-verified), (3) 40 of the 42 r6-stale
+# entries (the r9 window comment's named list; zorder_events and
+# weighted_sample_docs yield their slots to the new entries and stay
+# green in the committed strict sweep), so nothing else in the
+# registry ends staler than r7. ALL out-of-window entries are
+# locally oracle-swept green on r10 code in STRICT hash mode —
+# committed as SWEEP_r10.json.
 _R10_WINDOW = [
     # --- red in the r9 window, fixed this round
     "pca_covariance_embeddings", "pca_project_embeddings",
@@ -3541,12 +3554,12 @@ _R10_WINDOW = [
     "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
     "sql_script_md5", "stratified_sample_docs", "table_equality_check",
     "unicode_sort_rank", "vocab_top_ngrams", "wav_decode_meta",
-    "weighted_sample_docs",
     # --- never driver-verified: new in round 10
     "corr_matrix_lineitem", "group_quantiles_events",
     "mutual_info_docs", "rolling_avg_events",
     "state_intervals_events",
     "outliers_events", "jaccard_join_docs",
+    "path_ngrams_events",
 ]
 
 
@@ -3665,6 +3678,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "state_intervals_events": state_intervals_events,
         "outliers_events": outliers_events,
         "jaccard_join_docs": jaccard_join_docs,
+        "path_ngrams_events": path_ngrams_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6099,6 +6113,30 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS valid_to,
                    n_obs
             FROM iv
+        """,
+        "path_ngrams_events": """
+            WITH p AS (
+                SELECT event_type AS s0,
+                       lead(event_type, 1) OVER w AS s1,
+                       lead(event_type, 2) OVER w AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            ), c AS (
+                SELECT concat_ws(' -> ', s0, s1, s2) AS path,
+                       count(*) AS n_occurrences
+                FROM p
+                WHERE s0 IS NOT NULL AND s1 IS NOT NULL
+                  AND s2 IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT path, n_occurrences,
+                   CAST(row_number() OVER (
+                       ORDER BY n_occurrences DESC, path ASC)
+                       AS INTEGER) AS rank
+            FROM c
+            ORDER BY n_occurrences DESC, path ASC
+            LIMIT 20
         """,
         "jaccard_join_docs": """
             WITH s AS (

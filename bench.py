@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "state_intervals_events",
     "outliers_events",
     "jaccard_join_docs",
+    "path_ngrams_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -615,7 +616,7 @@ def main() -> None:
                   "corr_matrix_lineitem", "group_quantiles_events",
                   "mutual_info_docs", "rolling_avg_events",
                   "state_intervals_events", "outliers_events",
-                  "jaccard_join_docs"}
+                  "jaccard_join_docs", "path_ngrams_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["ohlc_resample", "funnel", "retention_cohorts",
            "interpolate_at", "ema_smooth", "rolling_agg",
-           "state_intervals"]
+           "state_intervals", "path_ngrams"]
 
 
 def _order_key(ts_col: str, tiebreak: str | None):
@@ -529,3 +529,49 @@ def state_intervals(df: DataFrame, key_col: str, state_col: str,
             .drop("island_")
             .select(key_col, "state", "valid_from", "valid_to",
                     "n_obs"))
+
+
+def path_ngrams(events: DataFrame, key_col: str, state_col: str,
+                ts_col: str, n: int = 3, k: int = 20,
+                tiebreak: str | None = None) -> DataFrame:
+    """Top-``k`` most frequent length-``n`` event paths (consecutive
+    event-type sequences per key, ordered by time) — the classic
+    user-journey / clickstream-mining query. Returns
+    ``(path, n_occurrences, rank)`` with ``path`` the arrow-joined
+    sequence; ties rank by path string for determinism.
+
+    Scale shape: ONE hash(key) shuffle; the n-gram at each row is
+    built ROW-LOCALLY from ``lead(state, 1..n-1)`` over the per-key
+    window (never a per-key collect_list — a hot user's whole
+    history would materialize as one array), then a combinable
+    global count groupBy absorbs duplicate paths map-side and only
+    (path, count) rows shuffle; the final top-k is one ordered
+    limit over the tiny distinct-path frame. Duplicate timestamps
+    order by ``tiebreak`` when given.
+    """
+    if n < 2:
+        raise ValueError("path_ngrams needs n >= 2")
+    from pyspark.sql import Window
+    order = [F.col(ts_col)]
+    order.append(F.col(tiebreak) if tiebreak else F.col(state_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = [F.col(state_col)] + [F.lead(state_col, i).over(w)
+                                  for i in range(1, n)]
+    path = F.concat_ws(" -> ", *steps)
+    # a NULL state BREAKS the chain: every n-gram touching it is
+    # dropped (filtering nulls up front would splice the neighbors
+    # together and fabricate a transition that never happened)
+    from functools import reduce
+    complete = reduce(lambda a, b: a & b,
+                      [s.isNotNull() for s in steps])
+    return (events
+            .select(F.when(complete, path).alias("path"))
+            .filter(F.col("path").isNotNull())
+            .groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(),
+                     F.col("path").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.col("n_occurrences").desc(),
+                               F.col("path").asc()))))

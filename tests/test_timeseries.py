@@ -432,3 +432,33 @@ def test_rolling_agg_kernel_equals_window_engine(spark):
                 assert x == y, (rid, a[rid], b[rid])
             else:
                 assert abs(x - y) < 1e-9, (rid, a[rid], b[rid])
+
+
+def test_path_ngrams_reference(spark):
+    """Top path n-grams must equal a pure-python sliding-window
+    replay; null states excluded; ties rank by path string."""
+    from tablite_spark.operators.timeseries import path_ngrams
+    rows = [
+        (1, _ts(0), "a"), (1, _ts(1), "b"), (1, _ts(2), "c"),
+        (1, _ts(3), "a"), (1, _ts(4), "b"),
+        (2, _ts(0), "a"), (2, _ts(1), "b"), (2, _ts(2), "c"),
+        (3, _ts(0), "x"), (3, _ts(1), None), (3, _ts(2), "y"),
+        (4, _ts(0), "only"),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, s string")
+    got = [(r["path"], r["n_occurrences"], r["rank"]) for r in
+           path_ngrams(df, "k", "s", "ts", n=2, k=10).collect()]
+    seqs = {}
+    for k in (1, 2, 3):
+        states = [s for kk, _, s in rows if kk == k]
+        for i in range(len(states) - 1):
+            if states[i] is None or states[i + 1] is None:
+                continue   # a null state BREAKS the chain
+            p = f"{states[i]} -> {states[i + 1]}"
+            seqs[p] = seqs.get(p, 0) + 1
+    want = sorted(seqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    want = [(p, c, i + 1) for i, (p, c) in enumerate(want)]
+    assert got == want
+    assert ("a -> b", 3, 1) == got[0]
+    # the null state must not fabricate an 'x -> y' path
+    assert not any(p == "x -> y" for p, _, _ in got)
