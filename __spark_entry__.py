@@ -1589,6 +1589,20 @@ def path_ngrams_events(spark: SparkSession, sf: str) -> DataFrame:
                        tiebreak="event_id")
 
 
+def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Spearman rank correlation over lineitem measures: tie-average
+    ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
+    in-bucket running sums + |buckets|-row driver offsets — never a
+    global-order window), then one guarded Pearson-on-ranks agg.
+    Oracle: DuckDB rank() + tie-count average ranks and corr()."""
+    from tablite_spark.operators.stats import spearman_corr
+    li = _t(spark, sf, "lineitem")
+    out = spearman_corr(li, ["l_quantity", "l_extendedprice",
+                             "l_discount"])
+    return out.select("col_a", "col_b", "n",
+                      F.round(F.col("rho"), 4).alias("rho"))
+
+
 def fuzzy_join_customers(spark: SparkSession, sf: str) -> DataFrame:
     """Edit-distance self-join of customer names at d=1 via PassJoin
     segment blocking (`operators/fuzzy.py`): explode to (length,
@@ -3527,15 +3541,21 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # 50@r8 / 50@r7 / 42@r6; the two non-green rows are the PCA pair
 # (signed-zero hash flake + no_oracle), both FIXED this round
 # (canonicalized oracle; pinned-components projection oracle).
-# Priority: (1) the two PCA re-checks, (2) the 8 queries NEW in
+# Priority: (1) the two PCA re-checks, (2) the 9 queries NEW in
 # round 10 (corr/quantiles/MI/rolling/intervals/outliers/jaccard/
-# path-ngrams — never driver-verified), (3) 40 of the 42 r6-stale
-# entries (the r9 window comment's named list; zorder_events and
-# weighted_sample_docs yield their slots to the new entries and stay
-# green in the committed strict sweep), so nothing else in the
-# registry ends staler than r7. ALL out-of-window entries are
-# locally oracle-swept green on r10 code in STRICT hash mode —
-# committed as SWEEP_r10.json.
+# path-ngrams/spearman — never driver-verified), (3) 39 of the 42
+# r6-stale entries (the r9 window comment's named list;
+# zorder_events, weighted_sample_docs and wav_decode_meta yield
+# their slots to the new entries and stay green in the committed
+# strict sweep), so nothing else in the registry ends staler than
+# r7. ALL out-of-window entries are locally oracle-swept green on
+# r10 code in STRICT hash mode — committed as SWEEP_r10.json.
+#
+# r11 rotation front (post-r10 staleness, assuming this window
+# greens: 3@r6 / 50@r7 / 50@r8 / 48@r9): the three r6 leftovers
+# (wav_decode_meta, weighted_sample_docs, zorder_events) plus the
+# 47 oldest r7 entries (alphabetical from audio_features_meta) fill
+# the next window, leaving nothing staler than r8.
 _R10_WINDOW = [
     # --- red in the r9 window, fixed this round
     "pca_covariance_embeddings", "pca_project_embeddings",
@@ -3553,13 +3573,13 @@ _R10_WINDOW = [
     "salted_join_equivalence", "sessionize_events",
     "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
     "sql_script_md5", "stratified_sample_docs", "table_equality_check",
-    "unicode_sort_rank", "vocab_top_ngrams", "wav_decode_meta",
+    "unicode_sort_rank", "vocab_top_ngrams",
     # --- never driver-verified: new in round 10
     "corr_matrix_lineitem", "group_quantiles_events",
     "mutual_info_docs", "rolling_avg_events",
     "state_intervals_events",
     "outliers_events", "jaccard_join_docs",
-    "path_ngrams_events",
+    "path_ngrams_events", "spearman_corr_lineitem",
 ]
 
 
@@ -3679,6 +3699,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_events": outliers_events,
         "jaccard_join_docs": jaccard_join_docs,
         "path_ngrams_events": path_ngrams_events,
+        "spearman_corr_lineitem": spearman_corr_lineitem,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6113,6 +6134,34 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS valid_to,
                    n_obs
             FROM iv
+        """,
+        "spearman_corr_lineitem": """
+            WITH base AS (
+                SELECT l_quantity, l_extendedprice, l_discount
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL
+            ), r AS (
+                SELECT rank() OVER (ORDER BY l_quantity) + (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rq,
+                       rank() OVER (ORDER BY l_extendedprice) + (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS rp,
+                       rank() OVER (ORDER BY l_discount) + (count(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS rd
+                FROM base
+            )
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   count(*) AS n,
+                   ROUND(corr(rq, rp), 4) + 0 AS rho
+            FROM r
+            UNION ALL
+            SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+                   count(*) AS n,
+                   ROUND(corr(rq, rd), 4) + 0 AS rho
+            FROM r
+            UNION ALL
+            SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+                   count(*) AS n,
+                   ROUND(corr(rp, rd), 4) + 0 AS rho
+            FROM r
         """,
         "path_ngrams_events": """
             WITH p AS (

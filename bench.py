@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "outliers_events",
     "jaccard_join_docs",
     "path_ngrams_events",
+    "spearman_corr_lineitem",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -138,7 +139,8 @@ COMPACT_LINE_SHED = {
     "gopher_quality_docs", "gopher_dup_ngrams_docs", "join_inner",
     "join_left", "preference_pairs_docs", "window_running_sum",
     "slice_step", "q6_forecast_revenue", "q14_promo_revenue",
-    "zorder_events",
+    "zorder_events", "line_dedup_docs", "dedup_clusters",
+    "hard_negatives_embeddings",
 }
 
 
@@ -616,7 +618,8 @@ def main() -> None:
                   "corr_matrix_lineitem", "group_quantiles_events",
                   "mutual_info_docs", "rolling_avg_events",
                   "state_intervals_events", "outliers_events",
-                  "jaccard_join_docs", "path_ngrams_events"}
+                  "jaccard_join_docs", "path_ngrams_events",
+                  "spearman_corr_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -387,3 +387,83 @@ def group_outliers(df: DataFrame, keys: list[str], val_col: str,
         "is_outlier",
         F.when(v.isNotNull(), F.coalesce(flag, F.lit(False))))
         .drop(*drop, *[f"__k{i}__" for i in range(len(keys))]))
+
+
+def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Spearman rank correlation matrix (tie-aware average ranks,
+    LISTWISE deletion — rows with any NULL among ``cols`` are
+    excluded so every pair ranks the same population): one row per
+    unordered pair (col_a, col_b, n, rho). The robust companion to
+    :func:`pairwise_corr` (Pearson) for monotone-but-nonlinear
+    dependence and outlier-heavy columns.
+
+    Scale shape — the textbook trap here is ranking via a GLOBAL
+    ``Window.orderBy`` (serializes the corpus through one task).
+    Instead, per column: a combinable distinct-value count groupBy,
+    then a DISTRIBUTED prefix sum over the value-ordered counts —
+    deterministic driver-computed range buckets
+    (``functions/buckets.py``, the carry_forward discipline), an
+    in-bucket running sum window, and a |buckets|-row driver collect
+    whose offsets broadcast back as a map literal. Average ranks
+    join back value-keyed (merge-hinted — the rank frame scales with
+    DISTINCT values), and the Pearson-on-ranks reduction is ONE
+    combinable aggregation with the same guarded co-moments as
+    pairwise_corr. No row-level data ever converges on one task.
+    """
+    if len(cols) < 2:
+        raise ValueError("spearman_corr needs at least two columns")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import with_range_bucket
+    base = df.select(*cols).filter(
+        reduce(lambda a, b: a & b,
+               [F.col(c).isNotNull() for c in cols]))
+
+    def avg_ranks(c):
+        vc = (base.groupBy(F.col(c).alias("__v__"))
+              .agg(F.count(F.lit(1)).alias("__c__")))
+        vc = with_range_bucket(vc, "__v__", "__p__")
+        w = (Window.partitionBy("__p__").orderBy("__v__")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.currentRow))
+        vc = vc.withColumn("__cum__", F.sum("__c__").over(w))
+        tot = (vc.groupBy("__p__").agg(F.sum("__c__").alias("__t__"))
+               .collect())                       # |buckets| rows
+        tot.sort(key=lambda r: r["__p__"])
+        off, run = {}, 0
+        for r in tot:
+            off[r["__p__"]] = run
+            run += r["__t__"]
+        omap = F.create_map(*[x for p, o in off.items()
+                              for x in (F.lit(p), F.lit(o))])
+        # strictly-smaller count = offset + cum - c; average rank of
+        # a tie group of size c starting at min_rank is
+        # min_rank + (c - 1)/2
+        rank = (omap[F.col("__p__")] + F.col("__cum__")
+                - F.col("__c__") + (F.col("__c__") + 1) / 2.0)
+        return vc.select(F.col("__v__").alias(c),
+                         rank.alias(f"__r_{c}__"))
+
+    ranked = base
+    for c in cols:
+        ranked = ranked.hint("merge").join(
+            avg_ranks(c).hint("merge"), c)
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        ra, rb = F.col(f"__r_{a}__"), F.col(f"__r_{b}__")
+        cov = F.covar_samp(ra, rb)
+        va, vb = F.var_samp(ra), F.var_samp(rb)
+        rho = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+        aggs.append(rho.alias(f"c__{a}__{b}"))
+    aggs.append(F.count(F.lit(1)).alias("__n__"))
+    one = ranked.agg(*aggs)
+    structs = [F.struct(F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col("__n__").alias("n"),
+                        F.col(f"c__{a}__{b}").alias("rho"))
+               for a, b in pairs]
+    return (one.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.col_a", "p.col_b", "p.n", "p.rho"))

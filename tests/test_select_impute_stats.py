@@ -371,3 +371,47 @@ def test_group_outliers_zscore_and_iqr(spark):
     import pytest
     with pytest.raises(ValueError, match="method"):
         group_outliers(df, ["g"], "v", method="mad")
+
+
+def test_spearman_corr_matches_numpy_with_ties(spark):
+    """Spearman rho must equal a numpy tie-average-rank replay
+    (pearson of average ranks), with listwise null deletion and a
+    perfectly monotone nonlinear pair giving rho == 1."""
+    import numpy as np
+
+    def avg_ranks(a):
+        order = np.argsort(a, kind="mergesort")
+        ranks = np.empty(len(a), dtype=float)
+        sa = a[order]
+        i = 0
+        while i < len(a):
+            j = i
+            while j + 1 < len(a) and sa[j + 1] == sa[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    from tablite_spark.operators.stats import spearman_corr
+    x = [1.0, 2.0, 2.0, 3.0, 5.0, 8.0, 8.0, 9.0]
+    y = [float(v) ** 3 for v in x]          # monotone -> rho 1
+    z = [4.0, 1.0, 7.0, 2.0, 2.0, 9.0, 3.0, 5.0]
+    rows = list(zip(x, y, z)) + [(None, 1.0, 1.0), (1.0, None, 2.0)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r for r in
+           spearman_corr(df, ["x", "y", "z"]).collect()}
+    assert all(r["n"] == 8 for r in out.values())
+    assert abs(out[("x", "y")]["rho"] - 1.0) < 1e-12
+    xa, za = np.array(x), np.array(z)
+    rx, rz = avg_ranks(xa), avg_ranks(za)
+    want = (np.cov(rx, rz, ddof=1)[0, 1]
+            / (rx.std(ddof=1) * rz.std(ddof=1)))
+    assert abs(out[("x", "z")]["rho"] - want) < 1e-12
+    # determinism across partitionings (the distributed prefix-sum
+    # must not depend on physical layout); same column set — listwise
+    # deletion means a different cols list ranks a different
+    # population
+    out5 = {(r["col_a"], r["col_b"]): r["rho"] for r in
+            spearman_corr(df.repartition(5),
+                          ["x", "y", "z"]).collect()}
+    assert abs(out5[("x", "z")] - want) < 1e-12
