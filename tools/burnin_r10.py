@@ -313,10 +313,36 @@ def burnin_jaccard(spark):
           f"never entered a prefix")
 
 
+
+
+def burnin_spearman(spark):
+    from tablite_spark.operators.stats import spearman_corr
+    print("== spearman: 20M rows, one ALL-DISTINCT column (20M-row "
+          "rank frame) x one 100-category column")
+    t0 = time.time()
+    df = spark.range(20_000_000).select(
+        (F.col("id") * 2654435761 % 2**31).cast("double").alias("x"),
+        (F.col("id") % 100).cast("double").alias("y"),
+        # z is a monotone transform of x -> rho(x, z) must be 1.0
+        ((F.col("id") * 2654435761 % 2**31) / 7.0 + 3.0)
+        .alias("z"))
+    out = {(r["col_a"], r["col_b"]): r for r in
+           spearman_corr(df, ["x", "y", "z"]).collect()}
+    t0 = _t("spearman 20M rows, all-distinct rank frame", t0)
+    assert out[("x", "z")]["n"] == 20_000_000
+    assert abs(out[("x", "z")]["rho"] - 1.0) < 1e-9, out[("x", "z")]
+    # x-hash vs id%100: no monotone relation -> |rho| near 0
+    assert abs(out[("x", "y")]["rho"]) < 0.01, out[("x", "y")]
+    print(f"    rho(x, monotone(x)) = {out[('x','z')]['rho']:.12f}; "
+          f"rho(x, y) = {out[('x','y')]['rho']:.6f}; no global-order "
+          f"window anywhere (20M distinct ranks via bucketed prefix "
+          f"sums)")
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["winnow_cliff", "winnow_bigdoc",
                              "dsir_edge", "ema_edge", "pca_dim",
-                             "r10ops", "jaccard"]
+                             "r10ops", "jaccard", "spearman"]
     spark = get_spark("burnin_r10")
     spark.sparkContext.setLogLevel("ERROR")
     for n in names:
