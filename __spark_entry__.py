@@ -6216,9 +6216,13 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM events WHERE value IS NOT NULL
                 GROUP BY 1
             )
+            -- null-safe join: Spark's eqNullSafe gives a NULL-keyed
+            -- group real fences, so the oracle must match it rather
+            -- than JOIN USING (which drops NULL keys)
             SELECT e.event_id, e.event_type,
                    ROUND(e.value, 4) + 0 AS value
-            FROM events e JOIN s USING (event_type)
+            FROM events e JOIN s
+              ON e.event_type IS NOT DISTINCT FROM s.event_type
             WHERE e.value IS NOT NULL AND s.sd > 0
               AND abs(e.value - s.m) > 3.0 * s.sd
         """,

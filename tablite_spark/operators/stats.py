@@ -279,12 +279,20 @@ def group_quantiles(df: DataFrame, keys: list[str], val_col: str,
     Greenwald-Khanna sketch per group (error 1/accuracy), constant
     memory per group, fully map-side-merging — the documented scale
     valve, same contract split as exact-vs-LSH imputation.
+
+    A group whose values are ALL NULL survives with NULL at every
+    requested fraction (the percentile aggregate returns NULL; we
+    coalesce it to an array of NULLs so posexplode keeps the group)
+    — matching SQL percentile_cont and DuckDB's zipped-unnest
+    padding, so the group never silently disappears.
     """
     arr = F.array(*[F.lit(float(q)) for q in qs])
     v = F.col(val_col).cast("double")
     agg = (F.percentile(v, arr) if exact
            else F.approx_percentile(v, arr, F.lit(accuracy)))
-    g = df.groupBy(*[F.col(k) for k in keys]).agg(agg.alias("qv_"))
+    nulls = F.array(*[F.lit(None).cast("double") for _ in qs])
+    g = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.coalesce(agg, nulls).alias("qv_"))
     qlits = F.array(*[F.lit(float(q)) for q in qs])
     return (g.select(*keys, F.posexplode("qv_").alias("pos_", "value"))
             .withColumn("q", F.element_at(qlits, F.col("pos_") + 1))
@@ -324,8 +332,12 @@ def mutual_information(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             .crossJoin(F.broadcast(n1)))
     nn = F.col("n_").cast("double")
     pxy = F.col("nxy") / nn
+    # nx*ny as long*long would ARITHMETIC_OVERFLOW under ANSI once
+    # marginals exceed ~3e9 (nx*ny > 2^63) — cast to double FIRST,
+    # mirroring the oracle's CAST(nx AS DOUBLE) * ny
     mi = F.sum(pxy * F.log(F.col("nxy") * nn
-                           / (F.col("nx") * F.col("ny"))))
+                           / (F.col("nx").cast("double")
+                              * F.col("ny"))))
     # entropy from per-cell marginal shares: sum_xy p(x,y)*ln p(x) =
     # sum_x p(x) ln p(x), so H(X) needs no second marginal frame
     hx = -F.sum(pxy * F.log(F.col("nx") / nn))
@@ -344,7 +356,10 @@ def group_outliers(df: DataFrame, keys: list[str], val_col: str,
     fences, threshold=1.5 classically). Returns the input rows plus
     ``is_outlier`` (NULL value or a degenerate group — stddev 0 /
     IQR 0 / n < 2 — flags nothing: NULL/false semantics mirrored in
-    the oracle).
+    the oracle). Group keys join back with ``eqNullSafe``, so a
+    NULL-keyed group is a REAL group with real fences — any SQL
+    oracle must join ``IS NOT DISTINCT FROM``, never ``USING``
+    (which silently drops NULL keys).
 
     Scale shape: ONE combinable groupBy pass collapses the corpus to
     a |groups|-row summary (mean/stddev are partial-aggregating; the
@@ -409,6 +424,14 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     DISTINCT values), and the Pearson-on-ranks reduction is ONE
     combinable aggregation with the same guarded co-moments as
     pairwise_corr. No row-level data ever converges on one task.
+
+    The listwise-filtered projection is PERSISTED (memory+disk,
+    k numeric columns per row — spill-safe) for the duration of the
+    call: the k per-column censuses and the final rank-join all read
+    the cache, so an expensive upstream plan is computed exactly
+    ONCE instead of k+1 times. The result (≤ k(k-1)/2 pair rows —
+    contract-bounded) is assembled driver-side, the covariance_matrix
+    discipline, so the cache is released before returning.
     """
     if len(cols) < 2:
         raise ValueError("spearman_corr needs at least two columns")
@@ -416,10 +439,14 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
 
     from pyspark.sql import Window
 
+    from pyspark import StorageLevel
+
     from tablite_spark.functions.buckets import with_range_bucket
     base = df.select(*cols).filter(
         reduce(lambda a, b: a & b,
                [F.col(c).isNotNull() for c in cols]))
+    # one upstream computation for k censuses + the final rank join
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     def avg_ranks(c):
         vc = (base.groupBy(F.col(c).alias("__v__"))
@@ -446,24 +473,30 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
         return vc.select(F.col("__v__").alias(c),
                          rank.alias(f"__r_{c}__"))
 
-    ranked = base
-    for c in cols:
-        ranked = ranked.hint("merge").join(
-            avg_ranks(c).hint("merge"), c)
-    aggs = []
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
-    for a, b in pairs:
-        ra, rb = F.col(f"__r_{a}__"), F.col(f"__r_{b}__")
-        cov = F.covar_samp(ra, rb)
-        va, vb = F.var_samp(ra), F.var_samp(rb)
-        rho = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
-        aggs.append(rho.alias(f"c__{a}__{b}"))
-    aggs.append(F.count(F.lit(1)).alias("__n__"))
-    one = ranked.agg(*aggs)
-    structs = [F.struct(F.lit(a).alias("col_a"),
-                        F.lit(b).alias("col_b"),
-                        F.col("__n__").alias("n"),
-                        F.col(f"c__{a}__{b}").alias("rho"))
-               for a, b in pairs]
-    return (one.select(F.explode(F.array(*structs)).alias("p"))
-            .select("p.col_a", "p.col_b", "p.n", "p.rho"))
+    try:
+        ranked = base
+        for c in cols:
+            ranked = ranked.hint("merge").join(
+                avg_ranks(c).hint("merge"), c)
+        aggs = []
+        for a, b in pairs:
+            ra, rb = F.col(f"__r_{a}__"), F.col(f"__r_{b}__")
+            cov = F.covar_samp(ra, rb)
+            va, vb = F.var_samp(ra), F.var_samp(rb)
+            rho = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+            aggs.append(rho.alias(f"c__{a}__{b}"))
+        aggs.append(F.count(F.lit(1)).alias("__n__"))
+        row = ranked.agg(*aggs).collect()[0]   # exactly ONE row
+    finally:
+        base.unpersist()
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+    schema = StructType([StructField("col_a", StringType()),
+                         StructField("col_b", StringType()),
+                         StructField("n", LongType(), False),
+                         StructField("rho", DoubleType())])
+    data = [(a, b, row["__n__"], row[f"c__{a}__{b}"])
+            for a, b in pairs]
+    return df.sparkSession.createDataFrame(data, schema)

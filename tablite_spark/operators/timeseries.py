@@ -380,10 +380,10 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
     finishes. The default ``engine='kernel'`` is ONE hash(by)
     shuffle then one Arrow pass per co-located partition (the EMA
     discipline): per key, rows collapse to per-TIMESTAMP partials
-    (peers aggregate once by construction), sum/count roll by
-    cumulative-sum differencing and min/max by pandas' monotonic-
-    deque time rolling — O(n log n) per key, independent of frame
-    width. ``engine='window'`` keeps the pure-expression JVM form:
+    (peers aggregate once by construction), count rolls by exact
+    integer cumulative-sum differencing, sum/min/max by pandas'
+    time rolling (Kahan-compensated sum / monotonic-deque min-max)
+    — O(n log n) per key, independent of frame width. ``engine='window'`` keeps the pure-expression JVM form:
     correct, zero-UDF, and fine when frames are guaranteed narrow
     (tens of rows); both paths are tested equal.
 
@@ -456,10 +456,20 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
             rc = ccnt[pos + 1] - ccnt[lo]
             res = {}
             if {"sum", "avg"} & set(funcs):
+                # NOT prefix-sum differencing (cs[pos+1]-cs[lo]):
+                # cancellation error there grows with the running
+                # prefix magnitude, so late frames over long or
+                # mixed-sign series drift. pandas' time-rolling sum
+                # is Kahan-compensated add/evict (same C kernel
+                # family as the min/max path) — per-frame error
+                # stays O(frame), independent of series length.
                 sums = np.bincount(inv[m], weights=v[m],
                                    minlength=len(u))
-                cs = np.concatenate(([0.0], np.cumsum(sums)))
-                rs = np.where(rc > 0, cs[pos + 1] - cs[lo], np.nan)
+                s = pd.Series(sums,
+                              index=pd.to_datetime(u, unit="us"))
+                r = s.rolling(pd.Timedelta(microseconds=span_us),
+                              closed="both", min_periods=1).sum()
+                rs = np.where(rc > 0, r.to_numpy(), np.nan)
                 res["sum"] = rs
                 res["avg"] = np.where(rc > 0, rs / rc, np.nan)
             for f, seed, red in (("min", np.inf, np.minimum),

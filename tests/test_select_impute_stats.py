@@ -415,3 +415,58 @@ def test_spearman_corr_matches_numpy_with_ties(spark):
             spearman_corr(df.repartition(5),
                           ["x", "y", "z"]).collect()}
     assert abs(out5[("x", "z")] - want) < 1e-12
+
+
+def test_group_quantiles_all_null_group_survives(spark):
+    """A group whose values are ALL NULL must survive with NULL at
+    every requested fraction (SQL percentile_cont / DuckDB
+    zipped-unnest padding), not silently disappear — on both the
+    exact and the GK-sketch path."""
+    from tablite_spark.operators.stats import group_quantiles
+    rows = ([("a", float(v)) for v in range(1, 5)]
+            + [("dead", None), ("dead", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [0.25, 0.5, 0.75]
+    for exact in (True, False):
+        out = group_quantiles(df, ["g"], "v", qs, exact=exact)
+        got = {(r["g"], r["q"]): r["value"] for r in out.collect()}
+        assert len(got) == 2 * len(qs), (exact, got)
+        for q in qs:
+            assert got[("dead", q)] is None, (exact, q)
+            assert got[("a", q)] is not None, (exact, q)
+
+
+def test_mutual_information_marginal_product_in_double(spark):
+    """The MI log argument's nx*ny product must be computed in
+    DOUBLE — a long*long product ARITHMETIC_OVERFLOWs under ANSI
+    once marginal counts exceed ~3e9 (nx*ny > 2^63)."""
+    from tablite_spark.operators.stats import mutual_information
+    df = spark.createDataFrame(
+        [(i % 3, i % 5) for i in range(60)], "x int, y int")
+    out = mutual_information(df, "x", "y")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "cast(nx" in analyzed.lower(), analyzed[:3000]
+
+
+def test_spearman_upstream_computed_once(spark):
+    """spearman_corr persists its listwise projection: an expensive
+    upstream plan must be computed exactly ONCE (cache fill), not
+    k+1 times (k censuses + the rank join). Counted behaviorally
+    with a per-partition accumulator in a mapInPandas source."""
+    from tablite_spark.operators.stats import spearman_corr
+    acc = spark.sparkContext.accumulator(0)
+    src = spark.range(0, 2000, 1, 4).selectExpr(
+        "cast(id % 97 as double) as x",
+        "cast((id * 31) % 89 as double) as y",
+        "cast((id * 7) % 13 as double) as z")
+
+    def counting(batches):
+        acc.add(1)
+        for b in batches:
+            yield b
+
+    counted = src.mapInPandas(counting, src.schema)
+    out = spearman_corr(counted, ["x", "y", "z"]).collect()
+    assert len(out) == 3
+    # one pass over 4 source partitions — not (k+1)*4 = 16
+    assert acc.value == 4, acc.value

@@ -462,3 +462,29 @@ def test_path_ngrams_reference(spark):
     assert ("a -> b", 3, 1) == got[0]
     # the null state must not fabricate an 'x -> y' path
     assert not any(p == "x -> y" for p, _, _ in got)
+
+
+def test_rolling_sum_immune_to_prefix_cancellation(spark):
+    """Frame sums must NOT be computed by prefix-sum differencing:
+    a huge cancelling head (±1e15) would poison every later frame's
+    sum with ~0.1-magnitude error. The compensated time-rolling
+    kernel keeps per-frame error at machine epsilon of the frame."""
+    import datetime as dt
+
+    from tablite_spark.operators.timeseries import rolling_agg
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0, 1e15),
+            ("k", t0 + dt.timedelta(minutes=1), -1e15)]
+    tail_t = [t0 + dt.timedelta(hours=1, minutes=i)
+              for i in range(30)]
+    rows += [("k", t, 0.1) for t in tail_t]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = rolling_agg(df, "ts", "v", ["k"], "10 minutes",
+                      funcs=("sum", "avg", "count"))
+    got = {r["ts"]: (r["roll_sum"], r["roll_count"])
+           for r in out.collect()}
+    lo = dt.timedelta(minutes=10)
+    for t in tail_t:
+        frame = [0.1 for t2 in tail_t if t - lo <= t2 <= t]
+        assert got[t][1] == len(frame)
+        assert abs(got[t][0] - sum(frame)) < 1e-9, (t, got[t])
