@@ -1589,6 +1589,102 @@ def path_ngrams_events(spark: SparkSession, sf: str) -> DataFrame:
                        tiebreak="event_id")
 
 
+def ks_test_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the click and view
+    value distributions: distributed ECDFs via per-value census +
+    range-bucketed prefix sums (the spearman discipline — never a
+    global-order window), sup-difference as ONE combinable max,
+    asymptotic Kolmogorov-series p-value (100 terms, evaluated
+    identically by both engines; rounding margin pinned in pytest).
+    Oracle: DuckDB window cumulative ECDFs + the same series."""
+    from tablite_spark.operators.stats import ks_test_2sample
+    ev = _t(spark, sf, "events")
+    out = ks_test_2sample(ev, "event_type", "value", "click", "view")
+    return out.select("n_a", "n_b",
+                      F.round(F.col("d_stat"), 4).alias("d_stat"),
+                      F.round(F.col("p_value"), 4).alias("p_value"))
+
+
+def chi2_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-squared independence test + Cramér's V between documents
+    lang and source — the frequentist twin of mutual_info_docs: ONE
+    combinable groupBy(x, y) corpus pass, marginals as window sums
+    over the cardinality-bounded joint, N/|X|/|Y| on a lazy
+    ReusedExchange scalar branch, expected counts formed double*long
+    (never the ANSI-overflow long*long). Oracle: the same closed
+    formula in DuckDB window SQL."""
+    from tablite_spark.operators.stats import chi2_independence
+    docs = _t(spark, sf, "documents")
+    out = chi2_independence(docs, "lang", "source")
+    return out.select("n", "dof",
+                      F.round(F.col("chi2"), 4).alias("chi2"),
+                      F.round(F.col("cramers_v"), 4)
+                      .alias("cramers_v"))
+
+
+def equidepth_hist_events(spark: SparkSession, sf: str) -> DataFrame:
+    """10-bucket equi-depth histogram of events.value: exact
+    percentile_cont edges in one spill-aware ObjectHashAggregate
+    (GK-sketch valve for 100 TB), bins-1 edges collected driver-side
+    (bounded), then a pure JVM O(bins) bucket expression into one
+    combinable groupBy. Edge ties go to the LOWER bucket on both
+    engines. Oracle: DuckDB quantile_cont edges + the same strict->
+    comparisons."""
+    from tablite_spark.operators.stats import equi_depth_histogram
+    ev = _t(spark, sf, "events")
+    out = equi_depth_histogram(ev, "value", bins=10)
+    return out.select("bin", F.round(F.col("lo"), 4).alias("lo"),
+                      F.round(F.col("hi"), 4).alias("hi"), "n_rows")
+
+
+def heavy_hitters_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT heavy-hitter tokens (frequency > 1% of corpus tokens)
+    via two-pass Misra-Gries: per-partition bounded counters whose
+    candidate union is pigeonhole-COMPLETE, then an exact count of
+    candidates only — no stage ever shuffles the full token domain
+    (the 100 TB story for unbounded-cardinality columns; plain
+    groupBy would shuffle every distinct token). Oracle: brute-force
+    DuckDB GROUP BY HAVING over all tokens."""
+    from tablite_spark.operators.frequency import heavy_hitters
+    docs = _t(spark, sf, "documents")
+    tok = (docs.select(F.explode(F.split(F.lower(F.col("text")),
+                                         "[^a-z0-9]+")).alias("tok"))
+           .filter(F.col("tok") != ""))
+    out = heavy_hitters(tok, "tok", phi=0.01)
+    return out.select(F.col("value").alias("token"), "cnt",
+                      F.round(F.col("share"), 6).alias("share"))
+
+
+def markov_events(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences: one hash(user) shuffle for the lead() window, then a
+    combinable groupBy collapsing to the |states|^2 frame with
+    row-normalizing window sums over that bounded frame. Oracle:
+    DuckDB lead() + counts."""
+    from tablite_spark.operators.timeseries import markov_transitions
+    ev = _t(spark, sf, "events")
+    out = markov_transitions(ev, "user_id", "event_type", "ts",
+                             tiebreak="event_id")
+    return out.select("state", "next_state", "n",
+                      F.round(F.col("p"), 4).alias("p"))
+
+
+def target_encode_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free 5-fold out-of-fold target encoding of
+    o_orderpriority against o_totalprice (smoothing 20 toward the
+    fold-excluded global mean; folds = pmod(o_orderkey, 5), engine-
+    portable): ONE combinable groupBy(cat, fold) summary, window
+    totals over the bounded summary, null-safe AQE-broadcast join
+    back. Oracle: the same window algebra in DuckDB SQL."""
+    from tablite_spark.pipeline.features import target_encode
+    o = _t(spark, sf, "orders")
+    out = target_encode(o, "o_orderpriority", "o_totalprice",
+                        "o_orderkey", folds=5, smoothing=20.0)
+    return out.select("o_orderkey", "o_orderpriority",
+                      F.round(F.col("o_orderpriority_te"), 4)
+                      .alias("te"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -3700,6 +3796,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_join_docs": jaccard_join_docs,
         "path_ngrams_events": path_ngrams_events,
         "spearman_corr_lineitem": spearman_corr_lineitem,
+        # --- round-11 additions
+        "ks_test_events": ks_test_events,
+        "chi2_docs": chi2_docs,
+        "equidepth_hist_events": equidepth_hist_events,
+        "heavy_hitters_docs": heavy_hitters_docs,
+        "markov_events": markov_events,
+        "target_encode_orders": target_encode_orders,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6162,6 +6265,151 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(*) AS n,
                    ROUND(corr(rp, rd), 4) + 0 AS rho
             FROM r
+        """,
+        "ks_test_events": """
+            WITH s AS (
+                SELECT value AS v,
+                       count(*) FILTER (event_type = 'click') AS ca,
+                       count(*) FILTER (event_type = 'view') AS cb
+                FROM events
+                WHERE value IS NOT NULL
+                  AND event_type IN ('click', 'view')
+                GROUP BY 1
+            ), c AS (
+                SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+                       sum(cb) OVER (ORDER BY v) AS cum_b,
+                       sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+                FROM s
+            ), d AS (
+                SELECT max(abs(cum_a / na - cum_b / nb)) AS dd,
+                       max(na) AS na, max(nb) AS nb
+                FROM c
+            ), lam AS (
+                SELECT dd, na, nb,
+                       dd * sqrt(CAST(na AS DOUBLE) * nb
+                                 / (na + nb)) AS l
+                FROM d
+            )
+            SELECT CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b,
+                   ROUND(dd, 4) + 0 AS d_stat,
+                   ROUND(least(1.0, greatest(0.0,
+                       2 * (SELECT sum(
+                            CASE WHEN j % 2 = 1 THEN 1.0
+                                 ELSE -1.0 END
+                            * exp(-2.0 * j * j * l * l))
+                            FROM range(1, 101) t(j)))), 4) + 0
+                       AS p_value
+            FROM lam
+        """,
+        "chi2_docs": """
+            WITH j AS (
+                SELECT lang AS x_, source AS y_, count(*) AS nxy
+                FROM documents
+                WHERE lang IS NOT NULL AND source IS NOT NULL
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT nxy,
+                       sum(nxy) OVER (PARTITION BY x_) AS nx,
+                       sum(nxy) OVER (PARTITION BY y_) AS ny,
+                       sum(nxy) OVER () AS n,
+                       count(DISTINCT x_) OVER () AS kx,
+                       count(DISTINCT y_) OVER () AS ky
+                FROM j
+            )
+            SELECT CAST(max(n) AS BIGINT) AS n,
+                   CAST((max(kx) - 1) * (max(ky) - 1) AS BIGINT)
+                       AS dof,
+                   ROUND(sum((nxy - CAST(nx AS DOUBLE) * ny / n)
+                             * (nxy - CAST(nx AS DOUBLE) * ny / n)
+                             / (CAST(nx AS DOUBLE) * ny / n)),
+                         4) + 0 AS chi2,
+                   CASE WHEN least(max(kx) - 1, max(ky) - 1) >= 1
+                   THEN ROUND(sqrt(
+                       sum((nxy - CAST(nx AS DOUBLE) * ny / n)
+                           * (nxy - CAST(nx AS DOUBLE) * ny / n)
+                           / (CAST(nx AS DOUBLE) * ny / n))
+                       / (CAST(max(n) AS DOUBLE)
+                          * least(max(kx) - 1, max(ky) - 1))),
+                       4) + 0
+                   END AS cramers_v
+            FROM m
+        """,
+        "equidepth_hist_events": """
+            WITH e AS (
+                SELECT quantile_cont(value,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                    AS ed
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT CAST(len(list_filter(ed, x -> value > x))
+                        AS INTEGER) AS bin,
+                   ROUND(min(value), 4) + 0 AS lo,
+                   ROUND(max(value), 4) + 0 AS hi,
+                   count(*) AS n_rows
+            FROM events CROSS JOIN e
+            WHERE value IS NOT NULL
+            GROUP BY 1
+        """,
+        "heavy_hitters_docs": """
+            WITH t AS (
+                SELECT unnest(string_split_regex(lower(text),
+                    '[^a-z0-9]+')) AS tok
+                FROM documents
+            ), f AS (
+                SELECT tok, count(*) AS cnt FROM t
+                WHERE tok <> '' GROUP BY 1
+            ), n AS (SELECT sum(cnt) AS n FROM f)
+            SELECT tok AS token, cnt,
+                   ROUND(cnt / CAST(n.n AS DOUBLE), 6) + 0 AS share
+            FROM f, n
+            WHERE cnt > CAST(0.01 AS DOUBLE) * n.n
+        """,
+        "markov_events": """
+            WITH p AS (
+                SELECT event_type AS state,
+                       lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_state
+                FROM events
+            )
+            SELECT state, next_state, count(*) AS n,
+                   ROUND(count(*) / CAST(sum(count(*)) OVER
+                       (PARTITION BY state) AS DOUBLE), 4) + 0 AS p
+            FROM p
+            WHERE state IS NOT NULL AND next_state IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "target_encode_orders": """
+            WITH s AS (
+                SELECT o_orderpriority AS cat, o_orderkey % 5 AS f,
+                       sum(o_totalprice) AS s,
+                       count(o_totalprice) AS c
+                FROM orders GROUP BY 1, 2
+            ), w AS (
+                SELECT *,
+                       COALESCE(sum(s) OVER (PARTITION BY cat), 0)
+                           AS ts,
+                       sum(c) OVER (PARTITION BY cat) AS tc,
+                       COALESCE(sum(s) OVER (PARTITION BY f), 0)
+                           AS fs,
+                       sum(c) OVER (PARTITION BY f) AS fc,
+                       sum(s) OVER () AS gs, sum(c) OVER () AS gc
+                FROM s
+            ), e AS (
+                SELECT cat, f,
+                       ((ts - COALESCE(s, 0))
+                        + 20.0 * (CASE WHEN gc - fc > 0 THEN
+                            (COALESCE(gs, 0) - fs)
+                            / CAST(gc - fc AS DOUBLE)
+                            ELSE 0 END))
+                       / (CAST(tc - c AS DOUBLE) + 20.0) AS te
+                FROM w
+            )
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   ROUND(e.te, 4) + 0 AS te
+            FROM orders o LEFT JOIN e
+              ON o.o_orderpriority IS NOT DISTINCT FROM e.cat
+             AND (o.o_orderkey % 5) IS NOT DISTINCT FROM e.f
         """,
         "path_ngrams_events": """
             WITH p AS (

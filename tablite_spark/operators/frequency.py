@@ -1,0 +1,103 @@
+"""Exact distributed heavy hitters with bounded memory.
+
+Beyond the reference (tablite has no frequency-sketch surface): the
+training-data-pipeline staple for unbounded-cardinality columns —
+heavy tokens, heavy URLs, heavy n-grams — where a plain
+``groupBy(col).count()`` would shuffle the ENTIRE distinct domain.
+
+Two-pass Misra-Gries: pass 1 keeps at most ``capacity`` counters per
+partition (candidate recall is GUARANTEED by pigeonhole — see
+:func:`heavy_hitters`), pass 2 exact-counts only the candidates. The
+result is EXACT (not approximate), yet no stage ever holds more than
+``capacity`` keys per task or shuffles more than
+``capacity × partitions`` candidate rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+
+def heavy_hitters(df: DataFrame, col: str, phi: float,
+                  capacity: int | None = None) -> DataFrame:
+    """All values of ``col`` whose frequency exceeds ``phi``·N
+    (N = non-null rows), EXACTLY, with bounded state: rows
+    (value, cnt, share) — NULLs excluded, nothing else dropped.
+
+    Guarantee: pass 1 runs Misra-Gries with ``capacity`` ≥ ⌈1/phi⌉
+    counters per partition, so any item with partition count
+    > n_p/(capacity+1) survives that partition. If a global heavy
+    hitter (count > phi·N ≥ N/(capacity+1)) survived NO partition,
+    its total count would be ≤ Σ_p n_p/(capacity+1) = N/(capacity+1)
+    — contradiction. So the candidate union is COMPLETE and pass 2's
+    exact count over candidates only never misses a true hitter.
+
+    Scale shape: two corpus scans (inherent to exact answers with
+    bounded memory). Pass 1 is one Arrow ``mapInPandas`` emitting
+    ≤ capacity+1 rows per partition (candidates + a per-partition
+    total row, so N needs no third scan); it is persisted for the
+    two bounded reads (N, distinct candidates) and RELEASED before
+    pass 2 — the candidate set (≤ capacity × partitions values,
+    exactly what pass 2 must broadcast anyway, so driver residency
+    adds no new memory class; pick phi/capacity accordingly) comes
+    back as a local relation. Pass 2 broadcast-joins the candidates
+    (explicit hint — the filter side is bounded BY CONSTRUCTION, no
+    AQE guess needed) and the exact groupBy shuffles only candidate
+    rows; N is a pinned literal from the pass-1 totals, not a
+    separate driver ``.count()`` job over the corpus. The batched
+    decrement (subtract the (len-capacity)-th smallest count from
+    every counter when the table overflows) removes ≥ d·(capacity+1)
+    observations per round, preserving the classic MG bound.
+    """
+    if not (0 < phi < 1):
+        raise ValueError(f"phi must be in (0, 1), got {phi}")
+    cap = capacity if capacity is not None else max(1, int(1 / phi))
+    if cap < int(1 / phi):
+        raise ValueError(f"capacity {cap} < 1/phi — recall guarantee "
+                         f"would break; need >= {int(1 / phi)}")
+    vtype = df.schema[col].dataType
+    schema = StructType([StructField("value", vtype),
+                         StructField("is_total", BooleanType(), False),
+                         StructField("cnt", LongType(), False)])
+
+    def mg(batches):
+        import pandas as pd
+        counters: dict = {}
+        seen = 0
+        for b in batches:
+            vc = b[col].value_counts(dropna=True)
+            seen += int(vc.sum())
+            for val, c in vc.items():
+                counters[val] = counters.get(val, 0) + int(c)
+            if len(counters) > cap:
+                counts = sorted(counters.values())
+                d = counts[len(counters) - cap - 1]
+                counters = {v: c - d for v, c in counters.items()
+                            if c - d > 0}
+        out = [(v, False, c) for v, c in counters.items()]
+        out.append((None, True, seen))
+        yield pd.DataFrame(out, columns=["value", "is_total", "cnt"])
+
+    from pyspark import StorageLevel
+    pass1 = (df.select(col).mapInPandas(mg, schema)
+             .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        n = (pass1.filter(F.col("is_total"))
+             .agg(F.sum("cnt").alias("n_")).collect()[0]["n_"]) or 0
+        cand_rows = (pass1.filter(~F.col("is_total"))
+                     .select(F.col("value").alias(col)).distinct()
+                     .collect())
+    finally:
+        pass1.unpersist()
+    spark = df.sparkSession
+    cands = spark.createDataFrame(
+        cand_rows, StructType([StructField(col, vtype)]))
+    exact = (df.select(col).filter(F.col(col).isNotNull())
+             .join(F.broadcast(cands), col)
+             .groupBy(col).agg(F.count(F.lit(1)).alias("cnt")))
+    return (exact
+            .filter(F.col("cnt") > F.lit(float(phi) * n))
+            .select(F.col(col).alias("value"), "cnt",
+                    (F.col("cnt") / F.lit(float(n))).alias("share")))

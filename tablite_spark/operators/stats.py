@@ -500,3 +500,167 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     data = [(a, b, row["__n__"], row[f"c__{a}__{b}"])
             for a, b in pairs]
     return df.sparkSession.createDataFrame(data, schema)
+
+
+def ks_test_2sample(df: DataFrame, group_col: str, val_col: str,
+                    group_a, group_b, terms: int = 100) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between the ``val_col``
+    distributions of two groups: ONE row (n_a, n_b, d_stat, p_value)
+    where ``d_stat`` = sup over pooled observed values of
+    |F_a(x) - F_b(x)| (ties counted, right-continuous ECDFs) and
+    ``p_value`` is the asymptotic Kolmogorov series
+    2·Σ_{j≥1} (-1)^{j-1} exp(-2 j² λ²), λ = D·sqrt(n_a·n_b/(n_a+n_b)),
+    truncated at ``terms`` (the tail is < exp(-2(terms+1)²λ²) —
+    far below double epsilon for any λ of practical interest).
+
+    Scale shape — the textbook trap is a GLOBAL ``Window.orderBy``
+    cumulative count (serializes the corpus through one task). Like
+    :func:`spearman_corr`: one combinable per-value census groupBy,
+    then a DISTRIBUTED prefix sum over value order (deterministic
+    driver range buckets + in-bucket running sums + a |buckets|-row
+    offset collect that also yields n_a/n_b for free), and the sup
+    is ONE combinable max. ECDF differences are formed directly in
+    double (each cum/n is exact-rounded IEEE, values in [0,1]) —
+    never as a cum_a·n_b - cum_b·n_a integer product, which would
+    ARITHMETIC_OVERFLOW under ANSI once n_a·n_b exceeds 2^63.
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import with_range_bucket
+    g, v = F.col(group_col), F.col(val_col)
+    base = df.filter(v.isNotNull() & g.isin([group_a, group_b]))
+    cens = (base.groupBy(v.alias("__v__"))
+            .agg(F.count(F.when(g == F.lit(group_a), 1))
+                 .alias("__ca__"),
+                 F.count(F.when(g == F.lit(group_b), 1))
+                 .alias("__cb__")))
+    cens = with_range_bucket(cens, "__v__", "__p__")
+    w = (Window.partitionBy("__p__").orderBy("__v__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cens = (cens.withColumn("__cuma__", F.sum("__ca__").over(w))
+                .withColumn("__cumb__", F.sum("__cb__").over(w)))
+    tot = (cens.groupBy("__p__")
+           .agg(F.sum("__ca__").alias("__ta__"),
+                F.sum("__cb__").alias("__tb__"))
+           .collect())                          # |buckets| rows
+    tot.sort(key=lambda r: r["__p__"])
+    offa, offb, run_a, run_b = {}, {}, 0, 0
+    for r in tot:
+        offa[r["__p__"]], offb[r["__p__"]] = run_a, run_b
+        run_a += r["__ta__"]
+        run_b += r["__tb__"]
+    na, nb = run_a, run_b
+    if na == 0 or nb == 0:
+        raise ValueError(
+            f"ks_test_2sample: group {'a' if na == 0 else 'b'} has "
+            f"no non-null values")
+    oma = F.create_map(*[x for p, o in offa.items()
+                         for x in (F.lit(p), F.lit(o))])
+    omb = F.create_map(*[x for p, o in offb.items()
+                         for x in (F.lit(p), F.lit(o))])
+    fa = (oma[F.col("__p__")] + F.col("__cuma__")) / F.lit(float(na))
+    fb = (omb[F.col("__p__")] + F.col("__cumb__")) / F.lit(float(nb))
+    one = cens.agg(F.max(F.abs(fa - fb)).alias("__d__"))
+    lam = (F.col("__d__")
+           * F.sqrt(F.lit(float(na)) * F.lit(float(nb))
+                    / F.lit(float(na + nb))))
+    sgn = lambda j: F.when(j % 2 == 1, F.lit(1.0)).otherwise(-1.0)
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(terms))), F.lit(0.0),
+        lambda acc, j: acc + sgn(j) * F.exp(
+            F.lit(-2.0) * (j * j).cast("double") * lam * lam))
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
+    return one.select(F.lit(na).cast("long").alias("n_a"),
+                      F.lit(nb).cast("long").alias("n_b"),
+                      F.col("__d__").alias("d_stat"),
+                      p.alias("p_value"))
+
+
+def chi2_independence(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Pearson chi-squared test of independence between two discrete
+    columns, plus Cramér's V effect size: ONE row
+    (n, dof, chi2, cramers_v). Rows with a NULL on either side are
+    excluded; dof = (|X|-1)(|Y|-1); V = sqrt(chi2 / (n·min(|X|-1,
+    |Y|-1))), NULL when either column is constant (dof 0).
+
+    Scale shape — the :func:`mutual_information` discipline: the
+    corpus collapses in ONE combinable groupBy(x, y); marginals are
+    window sums OVER THE JOINT (|X|·|Y| rows, cardinality-bounded);
+    N and the distinct counts ride a lazy broadcast scalar branch
+    whose subplan is canonically identical to the main branch so the
+    joint exchange is REUSED (one corpus materialization, plan-gated
+    in tests). Expected counts form as double·long — never the
+    long·long nx*ny product that overflows past 2^63 under ANSI.
+    """
+    from pyspark.sql import Window
+    x, y = F.col(x_col), F.col(y_col)
+    j = (df.filter(x.isNotNull() & y.isNotNull())
+         .groupBy(x.alias("x_"), y.alias("y_"))
+         .agg(F.count(F.lit(1)).alias("nxy")))
+    # scalar branch references every joint column so Catalyst prunes
+    # both branches identically -> ReusedExchange (tfidf discipline)
+    n1 = j.agg(F.sum(F.when(F.col("nxy") >= 1, F.col("nxy")))
+               .alias("n_"),
+               F.countDistinct("x_").alias("kx_"),
+               F.countDistinct("y_").alias("ky_"))
+    nx = F.sum("nxy").over(Window.partitionBy("x_"))
+    ny = F.sum("nxy").over(Window.partitionBy("y_"))
+    wide = (j.withColumn("nx", nx).withColumn("ny", ny)
+            .crossJoin(F.broadcast(n1)))
+    nn = F.col("n_").cast("double")
+    e = F.col("nx").cast("double") * F.col("ny") / nn
+    cell = (F.col("nxy") - e) * (F.col("nxy") - e) / e
+    mindim = F.least(F.col("kx_") - 1, F.col("ky_") - 1)
+    out = wide.agg(
+        F.max("n_").alias("n"),
+        ((F.max("kx_") - 1) * (F.max("ky_") - 1)).alias("dof"),
+        F.sum(cell).alias("chi2"),
+        F.when(F.max(mindim) >= 1,
+               F.sqrt(F.sum(cell)
+                      / (F.max(F.col("n_")).cast("double")
+                         * F.max(mindim))))
+        .alias("cramers_v"))
+    return out
+
+
+def equi_depth_histogram(df: DataFrame, col: str, bins: int = 10,
+                         exact: bool = True,
+                         accuracy: int = 10000) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram of ``col`` — the
+    optimizer-statistics companion to the equal-width
+    :func:`histogram`: ``bins`` buckets split at the exact
+    percentile_cont edges, one row per non-empty bucket
+    (bin, lo, hi, n_rows) where lo/hi are the ACTUAL min/max values
+    landing in the bucket. A value equal to an edge goes to the
+    LOWER bucket (edges computed with linear interpolation, so ties
+    at edges are deterministic on both engines). NULLs excluded.
+
+    Scale shape: edge computation is one aggregate —
+    ``exact=True`` buffers via the spill-aware ObjectHashAggregate
+    (``F.percentile``), ``exact=False`` is the combinable GK-sketch
+    valve (same contract split as :func:`group_quantiles`); the
+    bins-1 edges collect driver-side (bounded by ``bins``), then
+    bucketing is a pure JVM-side O(bins) expression per row into one
+    combinable groupBy. Two corpus scans total (edges, then counts)
+    — inherent to data-dependent bucket bounds.
+    """
+    if bins < 2:
+        raise ValueError("equi_depth_histogram needs bins >= 2")
+    v = F.col(col).cast("double")
+    qs = F.array(*[F.lit(i / bins) for i in range(1, bins)])
+    agg = (F.percentile(v, qs) if exact
+           else F.approx_percentile(v, qs, F.lit(accuracy)))
+    row = df.filter(v.isNotNull()).agg(agg.alias("e")).collect()[0]
+    edges = row["e"]
+    if edges is None:
+        raise ValueError(f"equi_depth_histogram: column {col!r} has "
+                         f"no non-null values")
+    earr = F.array(*[F.lit(float(e)) for e in edges])
+    idx = F.aggregate(
+        earr, F.lit(0),
+        lambda acc, e: acc + F.when(v > e, 1).otherwise(0))
+    return (df.filter(v.isNotNull())
+            .groupBy(idx.alias("bin"))
+            .agg(F.min(v).alias("lo"), F.max(v).alias("hi"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("bin"))

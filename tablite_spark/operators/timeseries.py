@@ -585,3 +585,40 @@ def path_ngrams(events: DataFrame, key_col: str, state_col: str,
             .withColumn("rank", F.row_number().over(
                 Window.orderBy(F.col("n_occurrences").desc(),
                                F.col("path").asc()))))
+
+
+def markov_transitions(df: DataFrame, key_col: str, state_col: str,
+                       ts_col: str,
+                       tiebreak: str | None = None) -> DataFrame:
+    """First-order Markov transition matrix of per-key state
+    sequences: one row per observed (state, next_state) pair with
+    the transition count ``n`` and the row-normalized probability
+    ``p`` = n / Σ_next n — the user-journey / process-mining
+    companion to :func:`path_ngrams` (which mines the sequences;
+    this estimates the chain). Each key's observations order by
+    ``ts_col`` (then ``tiebreak`` for determinism under equal
+    timestamps); the last observation of a key emits nothing; a
+    NULL state breaks the chain (no transition in or out, matching
+    path_ngrams' NULL-breaks-chains rule).
+
+    Scale shape: ONE hash(key) shuffle for the lead() window (rows
+    order per key, never globally), then a combinable
+    groupBy(state, next_state) that collapses the corpus to the
+    |states|² transition frame; the normalizing row sums are window
+    sums OVER THAT BOUNDED FRAME, never over data rows. Nothing
+    changes between 60k rows and 100 TB except the one shuffle.
+    """
+    from pyspark.sql import Window
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(state_col).over(w)
+    pairs = (df.select(F.col(state_col).alias("state"),
+                       nxt.alias("next_state"))
+             .filter(F.col("state").isNotNull()
+                     & F.col("next_state").isNotNull())
+             .groupBy("state", "next_state")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = F.sum("n").over(Window.partitionBy("state"))
+    return pairs.select(
+        "state", "next_state", "n",
+        (F.col("n") / tot.cast("double")).alias("p"))

@@ -1,0 +1,85 @@
+"""ML feature engineering over 100 TB: leakage-free target encoding.
+
+Beyond the reference (tablite has no supervised-feature surface):
+the tabular-ML staple — replace a categorical column with the
+out-of-fold mean of a numeric target, smoothed toward a global prior
+— computed without ever materializing per-row fold masks or looping
+folds driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(df: DataFrame, cat_col: str, target_col: str,
+                  id_col: str, folds: int = 5,
+                  smoothing: float = 20.0,
+                  out_col: str | None = None) -> DataFrame:
+    """K-fold out-of-fold target encoding: every row gains
+    ``out_col`` (default ``{cat_col}_te``) = the smoothed mean of
+    ``target_col`` over OTHER folds' rows of the same category:
+
+        te = (S_cat - S_cat,fold + m·prior) / (C_cat - C_cat,fold + m)
+
+    where S/C are target sum/count, m = ``smoothing``, and ``prior``
+    is the GLOBAL target mean excluding the row's own fold — so no
+    row's own target ever reaches its encoding (leakage-free by
+    construction). Folds are deterministic and engine-portable:
+    ``pmod(id_col, folds)`` — reshuffles, retries and SQL oracles all
+    agree. A category seen only in the row's own fold degrades to the
+    prior (denominator ≥ m when m > 0; with m = 0 it is NULL, never a
+    division error). NULL categories are REAL categories (the
+    group_outliers lesson): the encoding join is null-safe. Rows with
+    a NULL target still receive an encoding (they contribute nothing
+    to S/C); rows with a NULL id form a NULL fold that behaves like
+    any other fold (its own rows are excluded from its encoding) —
+    deterministic, null-safe throughout.
+
+    Scale shape: ONE combinable groupBy(cat, fold) collapses the
+    corpus to a ≤ |categories|·(folds+1)-row summary; per-category
+    totals and per-fold globals are window sums OVER THAT BOUNDED
+    FRAME (never over data rows); the encodings join back UNHINTED so
+    AQE broadcasts the tiny summary at runtime (and a 100M-category
+    variant degrades to a keyed join instead of a forced-broadcast
+    OOM). Two corpus scans (summary build + row join) — inherent to
+    row-level output.
+    """
+    if folds < 2:
+        raise ValueError("target_encode needs folds >= 2")
+    out_col = out_col or f"{cat_col}_te"
+    from pyspark.sql import Window
+    t = F.col(target_col).cast("double")
+    fold = F.pmod(F.col(id_col), F.lit(folds))
+    s = (df.groupBy(F.col(cat_col).alias("__cat__"),
+                    fold.alias("__fold__"))
+         .agg(F.sum(t).alias("__s__"), F.count(t).alias("__c__")))
+    wc = Window.partitionBy("__cat__")
+    wf = Window.partitionBy("__fold__")
+    s = (s.withColumn("__ts__",
+                      F.coalesce(F.sum("__s__").over(wc), F.lit(0.0)))
+          .withColumn("__tc__", F.sum("__c__").over(wc))
+          .withColumn("__fs__",
+                      F.coalesce(F.sum("__s__").over(wf), F.lit(0.0)))
+          .withColumn("__fc__", F.sum("__c__").over(wf)))
+    # lazy global scalar (tfidf discipline: no separate count job)
+    g = s.agg(F.sum(F.when(F.col("__c__") >= 0, F.col("__s__")))
+              .alias("__gs__"),
+              F.sum(F.abs(F.col("__c__"))).alias("__gc__"))
+    s = s.crossJoin(F.broadcast(g))
+    oof_c = F.col("__tc__") - F.col("__c__")
+    oof_s = F.col("__ts__") - F.coalesce(F.col("__s__"), F.lit(0.0))
+    pr_c = F.col("__gc__") - F.col("__fc__")
+    pr_s = (F.coalesce(F.col("__gs__"), F.lit(0.0))
+            - F.col("__fs__"))
+    prior = F.when(pr_c > 0, pr_s / pr_c.cast("double"))
+    m = F.lit(float(smoothing))
+    enc = F.when(oof_c + m > 0,
+                 (oof_s + m * F.coalesce(prior, F.lit(0.0)))
+                 / (oof_c.cast("double") + m))
+    summ = s.select("__cat__", "__fold__", enc.alias(out_col))
+    cond = (df[cat_col].eqNullSafe(F.col("__cat__"))
+            & fold.eqNullSafe(F.col("__fold__")))
+    return (df.join(summ, cond, "left")
+            .drop("__cat__", "__fold__"))
