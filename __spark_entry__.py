@@ -6290,15 +6290,18 @@ def _oracle_sql_base() -> dict[str, str]:
                                  / (na + nb)) AS l
                 FROM d
             )
+            -- lambda < 0.2: truncated-series branch is invalid but
+            -- true p = 1 to 5e-13 (mirrors the Spark operator)
             SELECT CAST(na AS BIGINT) AS n_a,
                    CAST(nb AS BIGINT) AS n_b,
                    ROUND(dd, 4) + 0 AS d_stat,
-                   ROUND(least(1.0, greatest(0.0,
+                   ROUND(CASE WHEN l < 0.2 THEN 1.0 ELSE
+                       least(1.0, greatest(0.0,
                        2 * (SELECT sum(
                             CASE WHEN j % 2 = 1 THEN 1.0
                                  ELSE -1.0 END
                             * exp(-2.0 * j * j * l * l))
-                            FROM range(1, 101) t(j)))), 4) + 0
+                            FROM range(1, 101) t(j)))) END, 4) + 0
                        AS p_value
             FROM lam
         """,

@@ -63,22 +63,31 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
                          StructField("cnt", LongType(), False)])
 
     def mg(batches):
+        import numpy as np
         import pandas as pd
-        counters: dict = {}
+        # counters live as a pandas Series so the per-batch merge
+        # (index-aligned add) and the decrement round (partition +
+        # boolean mask) stay vectorized C — a per-item python dict
+        # loop here cost 5x on the 20M/1M-distinct burn-in
+        counters = None
         seen = 0
         for b in batches:
             vc = b[col].value_counts(dropna=True)
             seen += int(vc.sum())
-            for val, c in vc.items():
-                counters[val] = counters.get(val, 0) + int(c)
+            counters = (vc if counters is None
+                        else counters.add(vc, fill_value=0))
             if len(counters) > cap:
-                counts = sorted(counters.values())
-                d = counts[len(counters) - cap - 1]
-                counters = {v: c - d for v, c in counters.items()
-                            if c - d > 0}
-        out = [(v, False, c) for v, c in counters.items()]
-        out.append((None, True, seen))
-        yield pd.DataFrame(out, columns=["value", "is_total", "cnt"])
+                arr = counters.to_numpy()
+                kth = len(arr) - cap - 1
+                d = np.partition(arr, kth)[kth]
+                counters = counters[arr > d] - d
+        out = pd.DataFrame({
+            "value": ([] if counters is None
+                      else list(counters.index)) + [None],
+            "cnt": ([] if counters is None
+                    else [int(c) for c in counters]) + [seen]})
+        out["is_total"] = [False] * (len(out) - 1) + [True]
+        yield out[["value", "is_total", "cnt"]]
 
     from pyspark import StorageLevel
     pass1 = (df.select(col).mapInPandas(mg, schema)

@@ -509,9 +509,13 @@ def ks_test_2sample(df: DataFrame, group_col: str, val_col: str,
     where ``d_stat`` = sup over pooled observed values of
     |F_a(x) - F_b(x)| (ties counted, right-continuous ECDFs) and
     ``p_value`` is the asymptotic Kolmogorov series
-    2·Σ_{j≥1} (-1)^{j-1} exp(-2 j² λ²), λ = D·sqrt(n_a·n_b/(n_a+n_b)),
-    truncated at ``terms`` (the tail is < exp(-2(terms+1)²λ²) —
-    far below double epsilon for any λ of practical interest).
+    2·Σ_{j≥1} (-1)^{j-1} exp(-2 j² λ²), λ = D·sqrt(n_a·n_b/(n_a+n_b)).
+    For λ < 0.2 the alternating series needs ~1.6/λ terms (found by
+    the 10M-all-distinct burn-in: d≈4e-6 gave a truncated 0.59 where
+    the truth is ≈1), but there the true p exceeds 1 - 5e-13 — so
+    that branch returns exactly 1.0, and for λ ≥ 0.2 the default 100
+    terms leave a truncation tail ≤ exp(-2·101²·0.04) ≈ e^-816:
+    the series is EXACT to double precision everywhere.
 
     Scale shape — the textbook trap is a GLOBAL ``Window.orderBy``
     cumulative count (serializes the corpus through one task). Like
@@ -569,7 +573,8 @@ def ks_test_2sample(df: DataFrame, group_col: str, val_col: str,
         F.sequence(F.lit(1), F.lit(int(terms))), F.lit(0.0),
         lambda acc, j: acc + sgn(j) * F.exp(
             F.lit(-2.0) * (j * j).cast("double") * lam * lam))
-    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series))
+    p = F.when(lam < 0.2, F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), 2.0 * series)))
     return one.select(F.lit(na).cast("long").alias("n_a"),
                       F.lit(nb).cast("long").alias("n_b"),
                       F.col("__d__").alias("d_stat"),

@@ -436,3 +436,29 @@ def test_winnow_matches_no_broadcast(spark):
     assert broadcast_join_count(m) == 0
     plan = m._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
+
+
+def test_no_undocumented_sliding_window_frames():
+    """Engine-wide audit gate (the r10 rolling_agg lesson): Spark
+    rebuilds a SLIDING frame's aggregate buffer per row (no
+    retraction), so any bounded-preceding frame is O(rows x frame)
+    per key. Running frames (unboundedPreceding -> currentRow) are
+    incremental and fine. The ONLY sliding frame allowed in the
+    package is rolling_agg's documented narrow-frames-only
+    engine='window' opt-in."""
+    import pathlib
+    import re
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "tablite_spark"
+    offenders = []
+    for p in sorted(pkg.rglob("*.py")):
+        src = p.read_text()
+        for m in re.finditer(r"\.(rowsBetween|rangeBetween)\(", src):
+            # frame spec = everything to the matching close paren
+            tail = src[m.end():src.index(")", m.end())]
+            start = tail.split(",")[0].strip()
+            ok_running = start in ("Window.unboundedPreceding",
+                                   "W.unboundedPreceding")
+            line = src[:m.start()].count("\n") + 1
+            if not ok_running:
+                offenders.append(f"{p.name}:{line} {start}")
+    assert offenders == ["timeseries.py:413 -span_us"], offenders

@@ -200,3 +200,18 @@ def test_target_encode_leakage_free_replay(spark):
     assert out2[1] is not None
     with pytest.raises(ValueError, match="folds"):
         target_encode(df2, "cat", "t", "id", folds=1)
+
+
+def test_ks_tiny_lambda_branch(spark):
+    """Near-identical samples (lambda < 0.2) must report p = 1.0
+    exactly — the truncated alternating series is invalid there
+    (the 10M burn-in found p=0.59 where truth is ~1)."""
+    rows = ([("a", float(i)) for i in range(200)]
+            + [("b", float(i) + 0.001) for i in range(200)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    from tablite_spark.operators.stats import ks_test_2sample
+    r = ks_test_2sample(df, "g", "v", "a", "b").collect()[0]
+    import math
+    lam = r["d_stat"] * math.sqrt(200 * 200 / 400)
+    assert lam < 0.2, lam
+    assert r["p_value"] == 1.0

@@ -1,0 +1,195 @@
+"""Round-11 adversarial-edge burn-ins (VERDICT r10 item 5) for the
+round-10 late operators plus the round-11 additions. Run manually:
+``python tools/burnin_r11.py [name]`` with name in {jaccard_floor,
+gq_groups, mi_card, pngram8, hh_adversarial, ks_distinct, te_cats}
+(default: all). Results are transcribed into PLANS.md.
+
+Contract boundaries exercised:
+
+- **jaccard_floor**: jaccard_join threshold sweep t in {0.8, 0.5,
+  0.3, 0.2} on 20k docs — PPJoin's prefix length is
+  |S| - ceil(t|S|) + 1, so t -> 0 pushes the prefix toward the whole
+  set and candidate volume toward all-pairs. Measures candidate-pair
+  growth to document the practical floor.
+- **gq_groups**: group_quantiles(exact=False) over 2M distinct
+  groups — one GK sketch PER GROUP in a combinable agg; verifies the
+  state stays map-side-mergeable and the job completes sanely.
+- **mi_card**: mutual_information with |X| = 1M joint cells over 20M
+  rows — the joint frame is cardinality-bounded, windows run over it,
+  no collect anywhere.
+- **pngram8**: path_ngrams n=8 over one hot key carrying 20% of 4M
+  rows — eight stacked lead() columns in ONE window pass; the hot
+  key serializes through one task by contract (documented), must
+  finish in minutes, not hours.
+- **hh_adversarial**: heavy_hitters on 20M rows / ~1M distinct with
+  capacity exactly ceil(1/phi) — constant decrement churn; exactness
+  re-verified against a groupBy ground truth.
+- **ks_distinct**: ks_test_2sample with ~10M all-distinct values —
+  the census is corpus-sized; the distributed prefix sum must hold
+  (the spearman discipline at KS's contract edge).
+- **te_cats**: target_encode with 1M categories x 5 folds — the
+  summary is 5M rows; AQE must pick a sane join (broadcast or keyed)
+  and the row join must not collapse.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from tablite_spark import get_spark
+
+
+def _t(label, t0):
+    dt = time.time() - t0
+    print(f"    [{label}] {dt:.1f}s  loadavg={os.getloadavg()[0]:.1f}")
+    return time.time()
+
+
+def burnin_jaccard_floor(spark):
+    from tablite_spark.pipeline.dedup import jaccard_join
+    print("== jaccard_join threshold floor: 20k docs, 30-token docs "
+          "from a 2k-token vocab, planted twins ==")
+    n = 20_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(F.lit("w"),
+                               ((F.col("id") * 37 + i * 101) % 2000)
+                               .cast("string")))).alias("text"))
+    # plant 100 identical twins (doc i copies doc i+n via same seed)
+    twins = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + n).alias("doc_id"), "text")
+    docs = docs.unionByName(twins).persist()
+    print(f"    corpus: {docs.count()} docs")
+    for t in (0.8, 0.5, 0.3, 0.2):
+        t0 = time.time()
+        out = jaccard_join(docs, "text", "doc_id", threshold=t)
+        cnt = out.count()
+        _t(f"t={t}: {cnt} pairs", t0)
+    docs.unpersist()
+
+
+def burnin_gq_groups(spark):
+    from tablite_spark.operators.stats import group_quantiles
+    print("== group_quantiles GK sketch over 2M distinct groups, "
+          "20M rows ==")
+    t0 = time.time()
+    df = spark.range(20_000_000).select(
+        (F.col("id") % 2_000_000).alias("g"),
+        (F.col("id") * 2654435761 % 1_000_003).cast("double")
+        .alias("v"))
+    out = group_quantiles(df, ["g"], "v", [0.5, 0.9], exact=False)
+    n = out.count()
+    _t(f"approx quantiles rows={n}", t0)
+    assert n == 4_000_000, n
+
+
+def burnin_mi_card(spark):
+    from tablite_spark.operators.stats import mutual_information
+    print("== mutual_information, 1M joint cells over 20M rows ==")
+    t0 = time.time()
+    df = spark.range(20_000_000).select(
+        (F.col("id") % 1000).alias("x"),
+        ((F.col("id") * 7919) % 1000).alias("y"))
+    r = mutual_information(df, "x", "y").collect()[0]
+    _t(f"n={r['n']} mi={r['mi_nats']:.4f}", t0)
+    assert r["n"] == 20_000_000
+
+
+def burnin_pngram8(spark):
+    from tablite_spark.operators.timeseries import path_ngrams
+    print("== path_ngrams n=8, hot key = 20% of 4M rows ==")
+    t0 = time.time()
+    df = spark.range(4_000_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("id") % 40_000).alias("user_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string"))
+        .alias("event_type"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"))
+    out = path_ngrams(df, "user_id", "event_type", "ts", n=8, k=25,
+                      tiebreak="event_id")
+    rows = out.collect()
+    _t(f"top-{len(rows)} 8-grams", t0)
+    # 7 cyclic states yield few DISTINCT 8-grams; the burn-in
+    # measures the hot-key window pass, not the top-k fill
+    assert 1 <= len(rows) <= 25
+
+
+def burnin_hh_adversarial(spark):
+    from tablite_spark.operators.frequency import heavy_hitters
+    print("== heavy_hitters: 20M rows, ~1M distinct tail, "
+          "capacity=ceil(1/phi) exactly ==")
+    t0 = time.time()
+    # 10 planted hitters at ~2% each (> phi=0.01), 80% long tail
+    df = spark.range(20_000_000).select(
+        F.when(F.col("id") % 5 < 1,
+               F.concat(F.lit("hot"),
+                        (F.col("id") % 10).cast("string")))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 997_001)
+                            .cast("string"))).alias("tok"))
+    out = heavy_hitters(df, "tok", phi=0.01, capacity=100)
+    got = sorted(r["value"] for r in out.collect())
+    t0 = _t(f"MG two-pass: {len(got)} hitters", t0)
+    truth = (df.groupBy("tok").count()
+             .filter(F.col("count") > 0.01 * 20_000_000)
+             .collect())
+    _t(f"groupBy ground truth: {len(truth)} hitters", t0)
+    assert got == sorted(r["tok"] for r in truth), got
+
+
+def burnin_ks_distinct(spark):
+    from tablite_spark.operators.stats import ks_test_2sample
+    print("== ks_test_2sample: 10M rows, all-distinct values ==")
+    t0 = time.time()
+    df = spark.range(10_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise("b")
+        .alias("g"),
+        (F.col("id") * 2654435761 % 4_000_000_063).cast("double")
+        .alias("v"))
+    r = ks_test_2sample(df, "g", "v", "a", "b").collect()[0]
+    _t(f"d={r['d_stat']:.6f} p={r['p_value']:.4f}", t0)
+    assert r["n_a"] == 5_000_000 and r["n_b"] == 5_000_000
+
+
+def burnin_te_cats(spark):
+    from tablite_spark.pipeline.features import target_encode
+    print("== target_encode: 1M categories x 5 folds over 20M "
+          "rows ==")
+    t0 = time.time()
+    df = spark.range(20_000_000).select(
+        F.col("id"),
+        F.concat(F.lit("c"), (F.col("id") % 1_000_000)
+                 .cast("string")).alias("cat"),
+        (F.col("id") % 1009).cast("double").alias("t"))
+    out = target_encode(df, "cat", "t", "id", folds=5,
+                        smoothing=20.0)
+    n = out.filter(F.col("cat_te").isNotNull()).count()
+    _t(f"encoded rows={n}", t0)
+    assert n == 20_000_000, n
+
+
+ALL = {
+    "jaccard_floor": burnin_jaccard_floor,
+    "gq_groups": burnin_gq_groups,
+    "mi_card": burnin_mi_card,
+    "pngram8": burnin_pngram8,
+    "hh_adversarial": burnin_hh_adversarial,
+    "ks_distinct": burnin_ks_distinct,
+    "te_cats": burnin_te_cats,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(ALL)
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    for nm in names:
+        ALL[nm](spark)
+    print("BURNIN r11 done")
