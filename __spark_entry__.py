@@ -3631,61 +3631,59 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------
 
-# Round-10 verification window: the driver checks the FIRST 50
-# entries of queries(). Registry state at r10 open (CORRECTNESS_r01
-# ..r09 merged): 190/192 green at latest check, staleness 50@r9 /
-# 50@r8 / 50@r7 / 42@r6; the two non-green rows are the PCA pair
-# (signed-zero hash flake + no_oracle), both FIXED this round
-# (canonicalized oracle; pinned-components projection oracle).
-# Priority: (1) the two PCA re-checks, (2) the 9 queries NEW in
-# round 10 (corr/quantiles/MI/rolling/intervals/outliers/jaccard/
-# path-ngrams/spearman — never driver-verified), (3) 39 of the 42
-# r6-stale entries (the r9 window comment's named list;
-# zorder_events, weighted_sample_docs and wav_decode_meta yield
-# their slots to the new entries and stay green in the committed
-# strict sweep), so nothing else in the registry ends staler than
-# r7. ALL out-of-window entries are locally oracle-swept green on
-# r10 code in STRICT hash mode — committed as SWEEP_r10.json.
+# Round-11 verification window: the driver checks the FIRST 50
+# entries of queries(). Registry state at r11 open (CORRECTNESS_r01
+# ..r10 merged): 201/201 green at latest check, staleness 50@r10 /
+# 48@r9 / 50@r8 / 50@r7 / 3@r6. Priority: (1) the 6 queries NEW in
+# round 11 (ks/chi2/equi-depth/heavy-hitters/markov/target-encode —
+# never driver-verified), (2) the three r6 leftovers
+# (wav_decode_meta, weighted_sample_docs, zorder_events — named by
+# the r10 comment as this round's front), (3) 41 of the 50 r7
+# entries (alphabetical from audio_features_meta; the last nine —
+# pivot_long, preference_pairs_docs, q14_promo_revenue,
+# rename_reorder_project, resample_audio_meta, resize_images_agg,
+# snapshot_diff_docs, stack_tables, tpz_roundtrip_agg — yield their
+# slots to the new entries, stay green in the committed strict
+# sweep, and head the r12 window). ALL out-of-window entries are
+# locally oracle-swept green on r11 code in STRICT hash mode —
+# committed as SWEEP_r11.json.
 #
-# r11 rotation front (post-r10 staleness, assuming this window
-# greens: 3@r6 / 50@r7 / 50@r8 / 48@r9): the three r6 leftovers
-# (wav_decode_meta, weighted_sample_docs, zorder_events) plus the
-# 47 oldest r7 entries (alphabetical from audio_features_meta) fill
-# the next window, leaving nothing staler than r8.
-_R10_WINDOW = [
-    # --- red in the r9 window, fixed this round
-    "pca_covariance_embeddings", "pca_project_embeddings",
-    # --- latest green = r6 (all 42; alphabetical)
-    "corpus_manifest", "dedup_clusters", "deterministic_sample_orders",
-    "get_headers_nation", "hdf5_vlen_roundtrip", "holdout_split_orders",
-    "html_roundtrip_agg", "incremental_dedup_docs",
-    "interval_join_events", "ivf_topk_embeddings", "join_inner",
-    "join_left", "join_nullsafe", "join_outer_merge_keys",
-    "lookup_first_match", "lsh_topk_embeddings", "minhash_dedup_docs",
-    "mixture_sample_docs", "normalize_docs", "ods_roundtrip_agg",
-    "pack_chunks_docs", "pack_sequences_docs", "png_decode_dims",
-    "pretrain_e2e_docs", "quality_classifier_docs", "quota_cap_docs",
-    "range_join_prices", "redact_pii_docs", "repetition_docs",
-    "salted_join_equivalence", "sessionize_events",
-    "shuffle_order_docs", "simhash_docs", "simhash_near_dup_docs",
-    "sql_script_md5", "stratified_sample_docs", "table_equality_check",
-    "unicode_sort_rank", "vocab_top_ngrams",
-    # --- never driver-verified: new in round 10
-    "corr_matrix_lineitem", "group_quantiles_events",
-    "mutual_info_docs", "rolling_avg_events",
-    "state_intervals_events",
-    "outliers_events", "jaccard_join_docs",
-    "path_ngrams_events", "spearman_corr_lineitem",
+# r12 rotation front (post-r11 staleness, assuming this window
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11): the nine r7
+# leftovers above plus the 41 oldest r8 entries fill the next
+# window, leaving nothing staler than r9.
+_R11_WINDOW = [
+    # --- never driver-verified: new in round 11
+    "ks_test_events", "chi2_docs", "equidepth_hist_events",
+    "heavy_hitters_docs", "markov_events", "target_encode_orders",
+    # --- latest green = r6 (the three r10 leftovers)
+    "wav_decode_meta", "weighted_sample_docs", "zorder_events",
+    # --- latest green = r7 (oldest 41, alphabetical)
+    "audio_features_meta", "canonical_urls_docs",
+    "cluster_dedup_keep_best_docs", "cluster_holdout_docs",
+    "concat_tables", "construction_api_agg", "drop_duplicates",
+    "filter_any", "filter_callable", "filter_expression",
+    "filter_fail", "filter_pass", "filter_substring_in",
+    "gif_decode_dims", "groupby_cube", "groupby_first_last",
+    "groupby_mode", "groupby_product", "groupby_rollup",
+    "hard_negatives_embeddings", "hdf5_roundtrip_agg",
+    "hybrid_search_docs", "imputation_mode", "imputation_nn",
+    "incremental_minhash_dedup_docs", "join_anti", "join_cross",
+    "join_semi", "jpeg_decode_dims", "json_columnar_roundtrip",
+    "json_roundtrip_agg", "kmeans_embeddings", "language_id_docs",
+    "line_dedup_docs", "merge_where_case", "near_dup_embeddings",
+    "ngram_jaccard_pairs", "pack_sequences_sft_docs",
+    "pagerank_lineitem", "parquet_roundtrip_agg", "perplexity_docs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R10_WINDOW`` puts the
+    bounded per-round window (50/round). ``_R11_WINDOW`` puts the
     stalest-green queries first; everything else keeps its
     registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R10_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R11_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 
