@@ -1685,6 +1685,73 @@ def target_encode_orders(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("te"))
 
 
+def outliers_mad_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-event-type outliers via the MAD fence
+    (|x - median| > 3 * 1.4826 * MAD) — immune to the outliers
+    inflating the fence, unlike the zscore twin: median and the
+    nested MAD median are two spill-aware percentile passes on a
+    |groups|-row summary, then an AQE-broadcast null-safe join back.
+    Oracle: DuckDB median()/mad() (both quantile_cont-interpolated,
+    exactly matching F.percentile)."""
+    from tablite_spark.operators.stats import group_outliers
+    ev = _t(spark, sf, "events")
+    out = group_outliers(ev, ["event_type"], "value",
+                         method="mad", threshold=3.0)
+    return (out.filter(F.col("is_outlier"))
+            .select("event_id", "event_type",
+                    F.round(F.col("value"), 4).alias("value")))
+
+
+def benford_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit screen of o_totalprice: the
+    digit is a pure row-local expression, the corpus collapses in
+    ONE combinable 9-bucket groupBy, N is a window sum over the
+    9-row frame. Oracle: the same closed formula in DuckDB."""
+    from tablite_spark.operators.stats import benford_digits
+    o = _t(spark, sf, "orders")
+    out = benford_digits(o, "o_totalprice")
+    return out.select("digit", "n_obs",
+                      F.round(F.col("share"), 6).alias("share"),
+                      F.round(F.col("benford_share"), 6)
+                      .alias("benford_share"),
+                      F.round(F.col("chi2_term"), 4)
+                      .alias("chi2_term"))
+
+
+def acf_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation of per-user event values at lags 0..5: ONE
+    hash(user) shuffle drives a single Window operator with all six
+    lag() columns (O(1)-incremental frames, no sliding rebuild),
+    then ONE combinable agg computes every lag's guarded co-moments
+    (ANSI-safe). Oracle: DuckDB lag() + corr() per lag."""
+    from tablite_spark.operators.timeseries import cross_correlation
+    ev = _t(spark, sf, "events")
+    out = cross_correlation(ev, "user_id", "ts", "value", "value",
+                            max_lag=5, tiebreak="event_id")
+    return out.select("lag", "n",
+                      F.round(F.col("ccf"), 4).alias("ccf"))
+
+
+def attribution_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Last-touch attribution of purchase values to the most recent
+    preceding view/click/signup touch per user: one hash(user)
+    shuffle, a running last(ignorenulls) carry (O(1)-incremental
+    UNBOUNDED PRECEDING frame — never an as-of self-join's second
+    corpus shuffle), then a |channels|-bounded combinable groupBy.
+    Conversions with no prior touch land in the NULL channel.
+    Oracle: DuckDB last_value(... IGNORE NULLS) over the same
+    running frame."""
+    from tablite_spark.operators.timeseries import attribute_conversions
+    ev = _t(spark, sf, "events")
+    out = attribute_conversions(ev, "user_id", "ts", "event_type",
+                                "value", "purchase",
+                                ["view", "click", "signup"],
+                                tiebreak="event_id")
+    return out.select("channel", "n_conversions",
+                      F.round(F.col("attributed_value"), 4)
+                      .alias("attributed_value"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -3649,9 +3716,12 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11): the nine r7
-# leftovers above plus the 41 oldest r8 entries fill the next
-# window, leaving nothing staler than r9.
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 4 r11-late
+# never-verified entries): the four r11-late ops (outliers_mad,
+# benford, acf, attribution — added after the window froze, all
+# strict-swept green), then the nine r7 leftovers above, then the
+# 37 oldest r8 entries fill the next window, leaving nothing staler
+# than r9 except 13 r8 rows that roll to r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
@@ -3801,6 +3871,10 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_docs": heavy_hitters_docs,
         "markov_events": markov_events,
         "target_encode_orders": target_encode_orders,
+        "outliers_mad_events": outliers_mad_events,
+        "benford_orders": benford_orders,
+        "acf_events": acf_events,
+        "attribution_events": attribution_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6379,6 +6453,100 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM p
             WHERE state IS NOT NULL AND next_state IS NOT NULL
             GROUP BY 1, 2
+        """,
+        "outliers_mad_events": """
+            WITH s AS (
+                SELECT event_type, median(value) AS med,
+                       mad(value) AS mad
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT e.event_id, e.event_type,
+                   ROUND(e.value, 4) + 0 AS value
+            FROM events e JOIN s
+              ON e.event_type IS NOT DISTINCT FROM s.event_type
+            WHERE e.value IS NOT NULL AND s.mad > 0
+              AND abs(e.value - s.med) > 3.0 * 1.4826 * s.mad
+        """,
+        "benford_orders": """
+            WITH o AS (
+                SELECT CAST(floor(o_totalprice
+                    / power(10, floor(log10(o_totalprice))))
+                    AS INT) AS digit
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+            ), g AS (
+                SELECT digit, count(*) AS n_obs FROM o GROUP BY 1
+            ), w AS (
+                SELECT digit, n_obs, sum(n_obs) OVER () AS tot
+                FROM g
+            )
+            SELECT digit, n_obs,
+                   ROUND(n_obs / CAST(tot AS DOUBLE), 6) + 0
+                       AS share,
+                   ROUND(log10(1.0 + 1.0 / digit), 6) + 0
+                       AS benford_share,
+                   ROUND(CAST(tot AS DOUBLE)
+                         * (n_obs / CAST(tot AS DOUBLE)
+                            - log10(1.0 + 1.0 / digit))
+                         * (n_obs / CAST(tot AS DOUBLE)
+                            - log10(1.0 + 1.0 / digit))
+                         / log10(1.0 + 1.0 / digit), 4) + 0
+                       AS chi2_term
+            FROM w
+        """,
+        "acf_events": """
+            WITH l AS (
+                SELECT value AS x,
+                       lag(value, 1) OVER w AS y1,
+                       lag(value, 2) OVER w AS y2,
+                       lag(value, 3) OVER w AS y3,
+                       lag(value, 4) OVER w AS y4,
+                       lag(value, 5) OVER w AS y5
+                FROM events
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            )
+            SELECT 0 AS lag,
+                   count(CASE WHEN x IS NOT NULL THEN 1 END) AS n,
+                   ROUND(corr(x, x), 4) + 0 AS ccf FROM l
+            UNION ALL SELECT 1,
+                   count(CASE WHEN x IS NOT NULL
+                              AND y1 IS NOT NULL THEN 1 END),
+                   ROUND(corr(y1, x), 4) + 0 FROM l
+            UNION ALL SELECT 2,
+                   count(CASE WHEN x IS NOT NULL
+                              AND y2 IS NOT NULL THEN 1 END),
+                   ROUND(corr(y2, x), 4) + 0 FROM l
+            UNION ALL SELECT 3,
+                   count(CASE WHEN x IS NOT NULL
+                              AND y3 IS NOT NULL THEN 1 END),
+                   ROUND(corr(y3, x), 4) + 0 FROM l
+            UNION ALL SELECT 4,
+                   count(CASE WHEN x IS NOT NULL
+                              AND y4 IS NOT NULL THEN 1 END),
+                   ROUND(corr(y4, x), 4) + 0 FROM l
+            UNION ALL SELECT 5,
+                   count(CASE WHEN x IS NOT NULL
+                              AND y5 IS NOT NULL THEN 1 END),
+                   ROUND(corr(y5, x), 4) + 0 FROM l
+        """,
+        "attribution_events": """
+            WITH c AS (
+                SELECT event_type AS t, value AS v,
+                       last_value(CASE WHEN event_type IN
+                           ('view', 'click', 'signup')
+                           THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS channel
+                FROM events
+            )
+            SELECT channel, count(*) AS n_conversions,
+                   ROUND(sum(v), 4) + 0 AS attributed_value
+            FROM c WHERE t = 'purchase'
+            GROUP BY 1
         """,
         "target_encode_orders": """
             WITH s AS (

@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "heavy_hitters_docs",
     "markov_events",
     "target_encode_orders",
+    "outliers_mad_events",
+    "benford_orders",
+    "acf_events",
+    "attribution_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -641,7 +645,9 @@ def main() -> None:
                   "spearman_corr_lineitem"}
     new_in_r11 = {"ks_test_events", "chi2_docs",
                   "equidepth_hist_events", "heavy_hitters_docs",
-                  "markov_events", "target_encode_orders"}
+                  "markov_events", "target_encode_orders",
+                  "outliers_mad_events", "benford_orders",
+                  "acf_events", "attribution_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

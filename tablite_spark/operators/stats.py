@@ -353,7 +353,10 @@ def group_outliers(df: DataFrame, keys: list[str], val_col: str,
     data-quality / anomaly screen. ``method='zscore'`` flags
     ``|x - mean| > threshold * stddev_samp``; ``method='iqr'`` flags
     ``x < q1 - threshold*IQR or x > q3 + threshold*IQR`` (Tukey
-    fences, threshold=1.5 classically). Returns the input rows plus
+    fences, threshold=1.5 classically); ``method='mad'`` flags
+    ``|x - median| > threshold * 1.4826 * MAD`` (the robust z-score
+    — immune to the outliers themselves inflating the fence, unlike
+    zscore). Returns the input rows plus
     ``is_outlier`` (NULL value or a degenerate group — stddev 0 /
     IQR 0 / n < 2 — flags nothing: NULL/false semantics mirrored in
     the oracle). Group keys join back with ``eqNullSafe``, so a
@@ -371,9 +374,13 @@ def group_outliers(df: DataFrame, keys: list[str], val_col: str,
     keyed join instead of OOMing a forced broadcast. No window over
     data rows; hot groups absorbed map-side on the zscore path.
     """
+    from functools import reduce
     v = F.col(val_col).cast("double")
     g = df.groupBy(*[F.col(k).alias(f"__k{i}__")
                      for i, k in enumerate(keys)])
+    cond = reduce(lambda a, b: a & b,
+                  [df[k].eqNullSafe(F.col(f"__k{i}__"))
+                   for i, k in enumerate(keys)])
     if method == "zscore":
         summ = g.agg(F.avg(v).alias("__m__"),
                      F.stddev_samp(v).alias("__s__"))
@@ -390,13 +397,30 @@ def group_outliers(df: DataFrame, keys: list[str], val_col: str,
             (v < F.col("__q1__") - F.lit(float(threshold)) * iqr)
             | (v > F.col("__q3__") + F.lit(float(threshold)) * iqr))
         drop = ["__q1__", "__q3__"]
+    elif method == "mad":
+        # robust z-score: |x - median| > thr * 1.4826 * MAD (the
+        # consistency constant makes scaled MAD estimate sigma for
+        # gaussian data). MAD is a NESTED median, so the summary
+        # takes two aggregate passes (median, then median of
+        # |x - med|) — 3 corpus scans total incl. the row join,
+        # inherent to the statistic; both joins stay
+        # summary-vs-rows (AQE-broadcast), never row-vs-row
+        med = g.agg(F.percentile(v, F.lit(0.5)).alias("__med__"))
+        kcols = [F.col(f"__k{i}__") for i in range(len(keys))]
+        summ = (df.join(med, cond, "left")
+                .groupBy(*kcols)
+                .agg(F.percentile(F.abs(v - F.col("__med__")),
+                                  F.lit(0.5)).alias("__mad__"),
+                     F.first("__med__").alias("__med__")))
+        flag = (F.col("__mad__").isNotNull()
+                & (F.col("__mad__") > 0)
+                & (F.abs(v - F.col("__med__"))
+                   > F.lit(float(threshold) * 1.4826)
+                   * F.col("__mad__")))
+        drop = ["__med__", "__mad__"]
     else:
-        raise ValueError(f"method must be 'zscore' or 'iqr', "
+        raise ValueError(f"method must be 'zscore', 'iqr' or 'mad', "
                          f"got {method!r}")
-    from functools import reduce
-    cond = reduce(lambda a, b: a & b,
-                  [df[k].eqNullSafe(F.col(f"__k{i}__"))
-                   for i, k in enumerate(keys)])
     joined = df.join(summ, cond, "left")
     return (joined.withColumn(
         "is_outlier",
@@ -701,3 +725,35 @@ def equi_depth_histogram(df: DataFrame, col: str, bins: int = 10,
             .agg(F.min(v).alias("lo"), F.max(v).alias("hi"),
                  F.count(F.lit(1)).alias("n_rows"))
             .orderBy("bin"))
+
+
+def benford_digits(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-significant-digit screen over a positive
+    numeric column — the classic fraud / synthetic-data detector:
+    one row per digit 1-9 with the observed count, observed share,
+    Benford's expected share log10(1 + 1/d), and the cell's
+    chi-squared contribution n·(obs - exp)²/exp. Non-positive and
+    NULL values are excluded (Benford is defined on magnitudes).
+
+    Scale shape: the first digit is a pure row-local expression
+    (floor(v / 10^floor(log10 v))), so the corpus collapses in ONE
+    combinable 9-bucket groupBy; N rides the bounded frame as a
+    window sum (9 rows). Note: values EXACTLY at a power of ten sit
+    on the floor(log10) rounding boundary and could classify
+    differently across libm implementations — real-valued data never
+    lands there; exact-power data should be screened as integers.
+    """
+    from pyspark.sql import Window
+    v = F.col(col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+    obs = (df.filter(v.isNotNull() & (v > 0))
+           .groupBy(digit.cast("int").alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n_obs")))
+    n = F.sum("n_obs").over(Window.partitionBy())   # 9-row frame
+    share = F.col("n_obs") / n.cast("double")
+    exp = F.log10(1.0 + 1.0 / F.col("digit"))
+    chi2 = (n.cast("double") * (share - exp) * (share - exp) / exp)
+    return (obs.select("digit", "n_obs", share.alias("share"),
+                       exp.alias("benford_share"),
+                       chi2.alias("chi2_term"))
+            .orderBy("digit"))

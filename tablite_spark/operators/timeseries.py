@@ -622,3 +622,88 @@ def markov_transitions(df: DataFrame, key_col: str, state_col: str,
     return pairs.select(
         "state", "next_state", "n",
         (F.col("n") / tot.cast("double")).alias("p"))
+
+
+def cross_correlation(df: DataFrame, key_col: str, ts_col: str,
+                      x_col: str, y_col: str, max_lag: int = 10,
+                      tiebreak: str | None = None) -> DataFrame:
+    """Cross-correlation function between two measures over per-key
+    ordered sequences: for each lag l in 0..max_lag, the Pearson
+    correlation of (x_t, y_{t-l}) pooled across keys — one row
+    (lag, n, ccf). With ``x_col == y_col`` this is the
+    autocorrelation function. Pairs where either side is NULL (or
+    the lag runs off the key's sequence start) are excluded
+    per-lag, matching the standard pairwise-deletion CCF.
+
+    Scale shape: ONE hash(key) shuffle drives a single Window
+    operator evaluating all max_lag+1 lag() columns in one pass
+    (rows order per key, never globally; lag frames are
+    O(1)-incremental, not sliding rebuilds), then ONE combinable
+    aggregation computes every lag's guarded co-moments (the
+    pairwise_corr ANSI discipline: NULL on zero variance, never a
+    DIVIDE_BY_ZERO). The corpus is scanned once.
+    """
+    if max_lag < 0:
+        raise ValueError("max_lag must be >= 0")
+    from pyspark.sql import Window
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    lagged = df.select(
+        x.alias("__x__"),
+        *[F.lag(y, lag).over(w).alias(f"__y{lag}__")
+          for lag in range(max_lag + 1)])
+    aggs = []
+    for lag in range(max_lag + 1):
+        xl, yl = F.col("__x__"), F.col(f"__y{lag}__")
+        both_x = F.when(yl.isNotNull(), xl)
+        both_y = F.when(xl.isNotNull(), yl)
+        cov = F.covar_samp(both_x, both_y)
+        vx, vy = F.var_samp(both_x), F.var_samp(both_y)
+        c = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        aggs.append(c.alias(f"c__{lag}"))
+        aggs.append(F.count(F.when(xl.isNotNull()
+                                   & yl.isNotNull(), 1))
+                    .alias(f"n__{lag}"))
+    one = lagged.agg(*aggs)
+    structs = [F.struct(F.lit(lag).alias("lag"),
+                        F.col(f"n__{lag}").alias("n"),
+                        F.col(f"c__{lag}").alias("ccf"))
+               for lag in range(max_lag + 1)]
+    return (one.select(F.explode(F.array(*structs)).alias("p"))
+            .select("p.lag", "p.n", "p.ccf"))
+
+
+def attribute_conversions(df: DataFrame, key_col: str, ts_col: str,
+                          type_col: str, value_col: str,
+                          conversion: str, touches: list[str],
+                          tiebreak: str | None = None) -> DataFrame:
+    """Last-touch attribution: each ``conversion`` event's value is
+    credited to the MOST RECENT preceding ``touches`` event of the
+    same key (strictly earlier rows in (ts, tiebreak) order; a
+    conversion with no preceding touch lands in the NULL channel).
+    Returns one row per channel: (channel, n_conversions,
+    attributed_value) — the marketing/channel-analytics staple.
+
+    Scale shape: ONE hash(key) shuffle; the carried "last touch" is
+    a running last(ignorenulls) window — an O(1)-incremental
+    UNBOUNDED PRECEDING frame, never a sliding rebuild and never a
+    per-key collect — followed by a combinable |channels|-bounded
+    groupBy. A self-as-of-join formulation would pay a second
+    corpus shuffle; this pays one.
+    """
+    from pyspark.sql import Window
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (Window.partitionBy(key_col).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = F.col(type_col)
+    touch = F.when(t.isin(list(touches)), t)
+    last_touch = F.last(touch, ignorenulls=True).over(w)
+    conv = (df.select(t.alias("__t__"),
+                      F.col(value_col).alias("__v__"),
+                      last_touch.alias("channel"))
+            .filter(F.col("__t__") == F.lit(conversion)))
+    return (conv.groupBy("channel")
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum("__v__").alias("attributed_value")))

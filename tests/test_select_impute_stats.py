@@ -370,7 +370,7 @@ def test_group_outliers_zscore_and_iqr(spark):
         assert flags[("a", None)] is None
     import pytest
     with pytest.raises(ValueError, match="method"):
-        group_outliers(df, ["g"], "v", method="mad")
+        group_outliers(df, ["g"], "v", method="grubbs")
 
 
 def test_spearman_corr_matches_numpy_with_ties(spark):

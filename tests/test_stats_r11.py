@@ -215,3 +215,112 @@ def test_ks_tiny_lambda_branch(spark):
     lam = r["d_stat"] * math.sqrt(200 * 200 / 400)
     assert lam < 0.2, lam
     assert r["p_value"] == 1.0
+
+
+def test_mad_outliers_matches_numpy_replay(spark):
+    """MAD fence must match a numpy replay; the robust fence flags
+    what zscore misses when the outlier inflates sigma."""
+    import numpy as np
+    base = [10.0, 10.5, 9.5, 10.2, 9.8, 10.1, 9.9, 10.3, 9.7, 500.0]
+    rows = ([("a", v) for v in base] + [("b", 5.0)] * 4
+            + [("a", None)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    from tablite_spark.operators.stats import group_outliers
+    out = group_outliers(df, ["g"], "v", method="mad",
+                         threshold=3.0).collect()
+    flags = {(r["g"], r["v"]): r["is_outlier"] for r in out}
+    a = np.array(base)
+    med = np.percentile(a, 50, method="linear")
+    mad = np.percentile(np.abs(a - med), 50, method="linear")
+    for v in base:
+        want = bool(abs(v - med) > 3.0 * 1.4826 * mad)
+        assert flags[("a", v)] == want, v
+    assert flags[("a", 500.0)] is True
+    assert flags[("b", 5.0)] is False       # MAD 0 -> flags nothing
+    assert flags[("a", None)] is None
+
+
+def test_benford_shares_and_chi2(spark):
+    """Digit extraction, shares, Benford expectations and chi2 terms
+    must match the closed formula; non-positive values excluded."""
+    import math
+    vals = ([1.5] * 30 + [2.5] * 18 + [3.5] * 12 + [45.0] * 10
+            + [567.0] * 8 + [0.0065] * 7 + [7e3] * 6 + [0.85] * 5
+            + [9.1] * 4 + [-5.0, 0.0, None])
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    from tablite_spark.operators.stats import benford_digits
+    out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+    assert sorted(out) == list(range(1, 10))
+    n = 100
+    counts = {1: 30, 2: 18, 3: 12, 4: 10, 5: 8, 6: 7, 7: 6,
+              8: 5, 9: 4}
+    for d, c in counts.items():
+        r = out[d]
+        assert r["n_obs"] == c
+        assert abs(r["share"] - c / n) < 1e-15
+        exp = math.log10(1 + 1 / d)
+        assert abs(r["benford_share"] - exp) < 1e-15
+        assert abs(r["chi2_term"]
+                   - n * (c / n - exp) ** 2 / exp) < 1e-10
+
+
+def test_cross_correlation_matches_numpy(spark):
+    """CCF at each lag must equal numpy corrcoef over the per-key
+    aligned pairs; lag 0 of (x, x) is exactly 1."""
+    import datetime as dt
+
+    import numpy as np
+    t0 = dt.datetime(2024, 1, 1)
+    xs = {"k1": [1.0, 3.0, 2.0, 5.0, 4.0, 7.0, 6.0],
+          "k2": [2.0, 1.0, 4.0, 3.0, 6.0]}
+    rows = [(k, t0 + dt.timedelta(minutes=i), v, i)
+            for k, vs in xs.items() for i, v in enumerate(vs)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, v double, eid int")
+    from tablite_spark.operators.timeseries import cross_correlation
+    out = {r["lag"]: r for r in
+           cross_correlation(df, "k", "ts", "v", "v", max_lag=2,
+                             tiebreak="eid").collect()}
+    assert out[0]["n"] == 12 and abs(out[0]["ccf"] - 1.0) < 1e-12
+    for lag in (1, 2):
+        pairs = [(seq[i], seq[i - lag]) for seq in xs.values()
+                 for i in range(lag, len(seq))]
+        a = np.array([p[0] for p in pairs])
+        b = np.array([p[1] for p in pairs])
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert out[lag]["n"] == len(pairs)
+        assert abs(out[lag]["ccf"] - want) < 1e-12, lag
+    import pytest
+    with pytest.raises(ValueError, match="max_lag"):
+        cross_correlation(df, "k", "ts", "v", "v", max_lag=-1)
+
+
+def test_attribution_last_touch(spark):
+    """Purchases credit the most recent STRICTLY-earlier touch of
+    the same user; no prior touch -> NULL channel; later touches
+    never leak backwards."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+
+    def r(u, m, t, v=0.0):
+        return (u, t0 + dt.timedelta(minutes=m), t, v, m)
+    rows = [
+        r("u1", 0, "view"), r("u1", 1, "click"),
+        r("u1", 2, "purchase", 10.0),      # -> click
+        r("u1", 3, "purchase", 5.0),       # still click
+        r("u1", 4, "view"), r("u1", 5, "purchase", 2.0),  # -> view
+        r("u2", 0, "purchase", 7.0),       # no touch -> NULL
+        r("u2", 1, "signup"), r("u2", 2, "purchase", 3.0),
+        r("u3", 0, "error"), r("u3", 1, "purchase", 1.0),  # -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "u string, ts timestamp, t string, v double, eid int")
+    from tablite_spark.operators.timeseries import attribute_conversions
+    out = {r["channel"]: (r["n_conversions"], r["attributed_value"])
+           for r in attribute_conversions(
+               df, "u", "ts", "t", "v", "purchase",
+               ["view", "click", "signup"], tiebreak="eid").collect()}
+    assert out["click"] == (2, 15.0)
+    assert out["view"] == (1, 2.0)
+    assert out["signup"] == (1, 3.0)
+    assert out[None] == (2, 8.0)
