@@ -462,3 +462,99 @@ def test_no_undocumented_sliding_window_frames():
             if not ok_running:
                 offenders.append(f"{p.name}:{line} {start}")
     assert offenders == ["timeseries.py:413 -span_us"], offenders
+
+
+def test_markov_transitions_shuffle_shape(spark):
+    """One hash(key) corpus shuffle for the lead() window; the
+    groupBy and the normalizing window run over the bounded
+    |states|^2 frame. No global sort, no join of any kind."""
+    import datetime as dt
+
+    from tablite_spark.operators.timeseries import markov_transitions
+    rows = [(i % 7, f"s{i % 3}",
+             dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), i)
+            for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "u long, s string, ts timestamp, eid long")
+    out = markov_transitions(df, "u", "s", "ts", tiebreak="eid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert shuffle_count(out) <= 3     # window + agg + tiny window
+
+
+def test_attribution_single_corpus_shuffle(spark):
+    """The last-touch carry is ONE hash(key) window shuffle (running
+    frame, O(1)-incremental) + a bounded-channel agg — never an
+    as-of self-join (no Join node at all)."""
+    import datetime as dt
+
+    from tablite_spark.operators.timeseries import attribute_conversions
+    rows = [(i % 5, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+             ["view", "click", "purchase"][i % 3], 1.0, i)
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, t string, v double, eid long")
+    out = attribute_conversions(df, "u", "ts", "t", "v", "purchase",
+                                ["view", "click"], tiebreak="eid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert shuffle_count(out) <= 2
+
+
+def test_cross_correlation_one_window_one_agg(spark):
+    """All max_lag+1 lag() columns must evaluate inside ONE Window
+    operator (a per-lag select chain would stack operators), and the
+    co-moment reduction is one aggregate — a single corpus shuffle
+    for the window plus the agg's exchange."""
+    import datetime as dt
+
+    from tablite_spark.operators.timeseries import cross_correlation
+    rows = [(i % 5, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+             float(i % 11), i) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "u long, ts timestamp, v double, eid long")
+    out = cross_correlation(df, "u", "ts", "v", "v", max_lag=6,
+                            tiebreak="eid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan[:1500]
+    assert "Join" not in plan
+    assert shuffle_count(out) <= 2
+
+
+def test_heavy_hitters_pass2_broadcasts_candidates(spark):
+    """Pass 2 must broadcast the (bounded-by-construction) candidate
+    set — the exact groupBy shuffles only candidate rows, never the
+    full domain."""
+    from tablite_spark.operators.frequency import heavy_hitters
+    df = spark.createDataFrame([(f"t{i % 37}",) for i in range(3000)],
+                               "tok string")
+    out = heavy_hitters(df, "tok", phi=0.02)
+    assert broadcast_join_count(out) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+
+def test_target_encode_no_corpus_window(spark):
+    """Every Window in the plan must run over the bounded
+    (cat, fold) summary, never over data rows: the row-side plan
+    contributes only the summary join (no Window above the row
+    scan). Heuristic gate: the plan has Window operators and each
+    sits above the summary aggregate (HashAggregate), plus the join
+    is present."""
+    from tablite_spark.pipeline.features import target_encode
+    df = spark.createDataFrame(
+        [(i, f"c{i % 9}", float(i % 13)) for i in range(500)],
+        "id long, cat string, t double")
+    out = target_encode(df, "cat", "t", "id", folds=4)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the tree prints top-down: a Window ABOVE the row-side Join
+    # would mean a corpus-window plan; here every Window must sit
+    # INSIDE the summary branch (printed after the Join header and
+    # above its Aggregate child)
+    idx_join = plan.find("Join")
+    idx_win = plan.find("Window")
+    idx_agg = plan.find("Aggregate")
+    assert idx_join != -1 and idx_win != -1 and idx_agg != -1
+    assert idx_join < idx_win < idx_agg, plan[:1500]
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ex
