@@ -1752,6 +1752,57 @@ def attribution_events(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("attributed_value"))
 
 
+def stream_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming twin of attribution_events, driver-oracled with a
+    REAL StreamingQuery: the events table splits at its median
+    timestamp into two mtime-pinned micro-batches (a global time
+    split preserves each user's order across batches — the
+    sequential-algebra ingestion contract), drains with availableNow
+    through applyInPandasWithState, and the per-user last-touch
+    carry CROSSES the batch boundary. Emits row-level attributed
+    conversions (event_id, channel, value) — the batch window
+    formula reproduces them exactly, which is the oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tablite_spark.streaming.ops import streaming_attribution
+    ev = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP (UTC session
+    # — the reinterpretation is monotone, the rolling_agg rule)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(F.percentile(us, F.lit(0.5))
+                 .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="attr_stream_")
+    src = f"{root}/src"
+    os.makedirs(src)
+    for i, part in enumerate((
+            ev.filter(us <= F.lit(int(cut))),
+            ev.filter(us > F.lit(int(cut))))):
+        stage = f"{root}/stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        t = 1_700_000_000 + i * 600
+        os.utime(dst, (t, t))
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    q = (streaming_attribution(stream)
+         .writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(f"{root}/out")
+    return out.select("event_id", "channel",
+                      F.round(F.col("value"), 4).alias("value"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -3716,12 +3767,13 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 4 r11-late
-# never-verified entries): the four r11-late ops (outliers_mad,
-# benford, acf, attribution — added after the window froze, all
-# strict-swept green), then the nine r7 leftovers above, then the
-# 37 oldest r8 entries fill the next window, leaving nothing staler
-# than r9 except 13 r8 rows that roll to r13.
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 5 r11-late
+# never-verified entries): the five r11-late ops (outliers_mad,
+# benford, acf, attribution, stream_attribution — added after the
+# window froze, all strict-swept green), then the nine r7 leftovers
+# above, then the 36 oldest r8 entries fill the next window,
+# leaving nothing staler than r9 except 14 r8 rows that roll to
+# r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
@@ -3875,6 +3927,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_orders": benford_orders,
         "acf_events": acf_events,
         "attribution_events": attribution_events,
+        "stream_attribution_events": stream_attribution_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6530,6 +6583,21 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(CASE WHEN x IS NOT NULL
                               AND y5 IS NOT NULL THEN 1 END),
                    ROUND(corr(y5, x), 4) + 0 FROM l
+        """,
+        "stream_attribution_events": """
+            WITH c AS (
+                SELECT event_id, event_type AS t, value AS v,
+                       last_value(CASE WHEN event_type IN
+                           ('view', 'click', 'signup')
+                           THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS channel
+                FROM events
+            )
+            SELECT event_id, channel, ROUND(v, 4) + 0 AS value
+            FROM c WHERE t = 'purchase'
         """,
         "attribution_events": """
             WITH c AS (

@@ -349,3 +349,66 @@ def stream_incremental_dedup(stream: DataFrame, text_col: str,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+_ATTR_STATE = T.StructType([
+    T.StructField("channel", T.StringType()),
+])
+_ATTR_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("channel", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def streaming_attribution(events: DataFrame,
+                          conversion: str = "purchase",
+                          touches: tuple = ("view", "click",
+                                            "signup")) -> DataFrame:
+    """Streaming twin of :func:`tablite_spark.operators.timeseries.
+    attribute_conversions`: per-user LAST-TOUCH carry continued
+    across micro-batches via ``applyInPandasWithState`` — the state
+    is one small string per user (the most recent touch channel),
+    partitioned by key, the EMA twin's footprint story. Each
+    conversion row is emitted THE MOMENT it arrives, credited to the
+    carried channel (NULL when no touch preceded it — matching the
+    batch operator's NULL channel). Row-level attributed conversions
+    are emitted (append mode) so any downstream aggregation —
+    channel totals, windowed conversion rates — composes; an
+    availableNow drain over a static directory aggregates to exactly
+    the batch operator's totals (StreamingQuery-tested). Rows order
+    (ts, event_id) within each micro-batch; cross-batch order is the
+    ingestion contract, as with every sequential-algebra incremental
+    operator here."""
+    touches = tuple(touches)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+        carry = state.get[0] if state.exists else None
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        pdf = (pd.concat(parts, ignore_index=True)
+               .sort_values(["ts", "event_id"], kind="mergesort"))
+        out = []
+        for eid, et, v in zip(pdf["event_id"], pdf["event_type"],
+                              pdf["value"]):
+            if et == conversion:
+                out.append((key[0], eid, carry,
+                            None if pd.isna(v) else float(v)))
+            elif et in touches:
+                carry = et
+        if carry is not None:
+            state.update((carry,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "event_id",
+                                             "channel", "value"])
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_ATTR_OUT,
+        stateStructType=_ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

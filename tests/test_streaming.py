@@ -528,3 +528,61 @@ def test_streaming_state_changes_matches_batch_twin(spark, tmp_path):
     # (one observation from each batch)
     assert any(u == 1 and s == "active" and n == 2
                for u, s, _, _, n in got)
+
+
+def test_streaming_attribution_matches_batch_twin(spark, tmp_path):
+    """Streaming last-touch attribution (stateful carry across
+    micro-batches) must aggregate to exactly the batch operator's
+    channel totals after a two-batch drain — including a conversion
+    in batch 2 credited to a touch from batch 1, and a pre-touch
+    conversion in the NULL channel."""
+    from tablite_spark.operators.timeseries import attribute_conversions
+    from tablite_spark.streaming.ops import streaming_attribution
+    stream_dir = str(tmp_path / "attr_stream")
+    first = [(1, "2024-01-01 00:00:00", 1, "purchase", 7.0),
+             (2, "2024-01-01 00:10:00", 1, "view", 0.0),
+             (3, "2024-01-01 00:20:00", 1, "purchase", 10.0),
+             (4, "2024-01-01 00:05:00", 2, "click", 0.0)]
+    more = [(5, "2024-01-01 01:00:00", 1, "purchase", 5.0),
+            (6, "2024-01-01 01:30:00", 2, "purchase", 3.0),
+            (7, "2024-01-01 02:00:00", 2, "signup", 0.0),
+            (8, "2024-01-01 02:10:00", 2, "purchase", 2.0)]
+    schema = ("event_id long, ts string, user_id long, "
+              "event_type string, value double")
+    mk = lambda rows: spark.createDataFrame(rows, schema) \
+        .withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+    mk(first).write.parquet(stream_dir)
+    time.sleep(1.1)
+    mk(more).write.mode("append").parquet(stream_dir)
+
+    s_schema = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double")
+    src = (spark.readStream.schema(s_schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false").parquet(stream_dir))
+    q = (streaming_attribution(src)
+         .writeStream.format("memory").queryName("sattr")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sattr").collect()
+    # row-level: one output per conversion, channel carried per user
+    got_rows = {(r["event_id"], r["channel"], r["value"])
+                for r in rows}
+    assert got_rows == {(1, None, 7.0), (3, "view", 10.0),
+                        (5, "view", 5.0), (6, "click", 3.0),
+                        (8, "signup", 2.0)}
+    # aggregated: equals the batch operator's totals exactly
+    import collections
+    agg = collections.defaultdict(lambda: [0, 0.0])
+    for _, ch, v in got_rows:
+        agg[ch][0] += 1
+        agg[ch][1] += v
+    batch = spark.read.parquet(stream_dir)
+    want = {r["channel"]: (r["n_conversions"], r["attributed_value"])
+            for r in attribute_conversions(
+                batch, "user_id", "ts", "event_type", "value",
+                "purchase", ["view", "click", "signup"],
+                tiebreak="event_id").collect()}
+    assert {k: tuple(v) for k, v in agg.items()} == want
