@@ -1,8 +1,8 @@
 """Round-11 adversarial-edge burn-ins (VERDICT r10 item 5) for the
 round-10 late operators plus the round-11 additions. Run manually:
 ``python tools/burnin_r11.py [name]`` with name in {jaccard_floor,
-gq_groups, mi_card, pngram8, hh_adversarial, ks_distinct, te_cats}
-(default: all). Results are transcribed into PLANS.md.
+gq_groups, mi_card, pngram8, hh_adversarial, ks_distinct, te_cats,
+late_ops} (default: all). Results are transcribed into PLANS.md.
 
 Contract boundaries exercised:
 
@@ -30,6 +30,11 @@ Contract boundaries exercised:
 - **te_cats**: target_encode with 1M categories x 5 folds — the
   summary is 5M rows; AQE must pick a sane join (broadcast or keyed)
   and the row join must not collapse.
+- **late_ops**: benford over 100M rows (pure-expression bucket agg);
+  MAD outliers with one group = 20% of 20M rows (two spill-aware
+  percentile passes); ACF at max_lag=20 on a 800k-row hot key (21
+  lag columns, ONE window operator); last-touch attribution with a
+  hot user = 20% of 20M rows (running O(1) carry).
 """
 from __future__ import annotations
 
@@ -185,6 +190,71 @@ ALL = {
     "ks_distinct": burnin_ks_distinct,
     "te_cats": burnin_te_cats,
 }
+
+
+
+def burnin_late_ops(spark):
+    """Hot-key / volume edges for the r11-late operators."""
+    import datetime as dt  # noqa: F401
+    from tablite_spark.operators.stats import (
+        benford_digits, group_outliers,
+    )
+    from tablite_spark.operators.timeseries import (
+        attribute_conversions, cross_correlation,
+    )
+    print("== benford over 100M rows (pure-expression 9-bucket "
+          "agg) ==")
+    t0 = time.time()
+    df = spark.range(100_000_000).select(
+        ((F.col("id") % 99_991 + 1) * 1.37).alias("v"))
+    rows = benford_digits(df, "v").collect()
+    t0 = _t(f"{len(rows)} digit rows", t0)
+
+    print("== MAD outliers: 20M rows, one group = 20% (two "
+          "spill-aware percentile passes) ==")
+    df = spark.range(20_000_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit("hot"))
+        .otherwise((F.col("id") % 1000).cast("string")).alias("g"),
+        (F.col("id") * 2654435761 % 1_000_003).cast("double")
+        .alias("v"))
+    out = group_outliers(df, ["g"], "v", method="mad",
+                         threshold=3.0)
+    n = out.filter(F.col("is_outlier")).count()
+    t0 = _t(f"mad outliers flagged={n}", t0)
+
+    print("== ACF max_lag=20, hot key = 20% of 4M rows (21 lag "
+          "columns, ONE window pass) ==")
+    df = spark.range(4_000_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("id") % 40_000).alias("u"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id").alias("eid"))
+    rows = cross_correlation(df, "u", "ts", "v", "v", max_lag=20,
+                             tiebreak="eid").collect()
+    t0 = _t(f"{len(rows)} lag rows", t0)
+    assert len(rows) == 21
+
+    print("== attribution: hot user = 20% of 20M rows (running "
+          "carry, O(1)-incremental) ==")
+    df = spark.range(20_000_000).select(
+        F.when(F.col("id") % 5 == 0, F.lit(0))
+        .otherwise(F.col("id") % 100_000).alias("u"),
+        F.timestamp_seconds(F.col("id")).alias("ts"),
+        F.element_at(F.array(F.lit("view"), F.lit("click"),
+                             F.lit("purchase"), F.lit("idle")),
+                     (F.col("id") % 4 + 1).cast("int")).alias("t"),
+        (F.col("id") % 13).cast("double").alias("v"),
+        F.col("id").alias("eid"))
+    out = attribute_conversions(df, "u", "ts", "t", "v",
+                                "purchase", ["view", "click"],
+                                tiebreak="eid")
+    rows = out.collect()
+    _t(f"{len(rows)} channels", t0)
+
+
+ALL["late_ops"] = burnin_late_ops
+
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
