@@ -1803,6 +1803,54 @@ def stream_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("value"), 4).alias("value"))
 
 
+def auc_events(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT ROC-AUC (tie-aware Mann-Whitney rank sum) of
+    value/500 as a purchase score: per-score census + the
+    spearman-style DISTRIBUTED prefix-sum ranks — never a
+    global-order rank() window. Average ranks are half-integers
+    (exact doubles), so the rank-sum and AUC are BIT-IDENTICAL
+    cross-engine — no rounding needed. Oracle: DuckDB rank window
+    formula."""
+    from tablite_spark.pipeline.evaluation import binary_auc
+    ev = _t(spark, sf, "events")
+    scored = ev.select((F.col("value") / 500.0).alias("s"),
+                       (F.col("event_type") == "purchase")
+                       .alias("y"))
+    return binary_auc(scored, "s", "y")
+
+
+def calibration_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Reliability diagram of the clamped purchase score over 10
+    fixed-width bins: the bin is a row-local expression, ONE
+    combinable groupBy. frac_pos is an exact-integer division
+    (bit-identical); mean_score rounds (sum-order differs across
+    engines). Oracle: the same bucketing in DuckDB."""
+    from tablite_spark.pipeline.evaluation import calibration_bins
+    ev = _t(spark, sf, "events")
+    scored = ev.select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("s"),
+        (F.col("event_type") == "purchase").alias("y"))
+    out = calibration_bins(scored, "s", "y", bins=10)
+    return out.select("bin", "n",
+                      F.round(F.col("mean_score"), 4)
+                      .alias("mean_score"), "frac_pos")
+
+
+def confusion_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold confusion counts + accuracy/precision/recall/F1 in
+    ONE combinable aggregation (guarded divisions — degenerate
+    denominators yield NULL, never an ANSI error); every derived
+    metric is a division of identical integers, bit-identical
+    cross-engine. Oracle: mirrored filters + the same formula
+    sequence in DuckDB."""
+    from tablite_spark.pipeline.evaluation import confusion_metrics
+    ev = _t(spark, sf, "events")
+    scored = ev.select((F.col("value") / 500.0).alias("s"),
+                       (F.col("event_type") == "purchase")
+                       .alias("y"))
+    return confusion_metrics(scored, "s", "y", threshold=0.3)
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -3767,13 +3815,13 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 5 r11-late
-# never-verified entries): the five r11-late ops (outliers_mad,
-# benford, acf, attribution, stream_attribution — added after the
-# window froze, all strict-swept green), then the nine r7 leftovers
-# above, then the 36 oldest r8 entries fill the next window,
-# leaving nothing staler than r9 except 14 r8 rows that roll to
-# r13.
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 8 r11-late
+# never-verified entries): the eight r11-late ops (outliers_mad,
+# benford, acf, attribution, stream_attribution, auc, calibration,
+# confusion — added after the window froze, all strict-swept
+# green), then the nine r7 leftovers above, then the 33 oldest r8
+# entries fill the next window, leaving nothing staler than r9
+# except 17 r8 rows that roll to r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
@@ -3928,6 +3976,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_events": acf_events,
         "attribution_events": attribution_events,
         "stream_attribution_events": stream_attribution_events,
+        "auc_events": auc_events,
+        "calibration_events": calibration_events,
+        "confusion_events": confusion_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6583,6 +6634,72 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(CASE WHEN x IS NOT NULL
                               AND y5 IS NOT NULL THEN 1 END),
                    ROUND(corr(y5, x), 4) + 0 FROM l
+        """,
+        "auc_events": """
+            WITH b AS (
+                SELECT value / 500.0 AS s,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL
+            ), r AS (
+                SELECT y, rank() OVER (ORDER BY s)
+                       + (count(*) OVER (PARTITION BY s) - 1) / 2.0
+                       AS ar
+                FROM b
+            )
+            SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+                   (sum(CASE WHEN y = 1 THEN ar END)
+                    - CAST(sum(y) AS DOUBLE) * (sum(y) + 1) / 2.0)
+                   / (CAST(sum(y) AS DOUBLE) * (count(*) - sum(y)))
+                       AS auc
+            FROM r
+        """,
+        "calibration_events": """
+            WITH b AS (
+                SELECT least(value / 500.0, 1.0) AS s,
+                       CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END AS y
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT CAST(least(floor(s * 10), 9) AS INT) AS bin,
+                   count(*) AS n,
+                   ROUND(avg(s), 4) + 0 AS mean_score,
+                   sum(y) / CAST(count(*) AS DOUBLE) AS frac_pos
+            FROM b GROUP BY 1
+        """,
+        "confusion_events": """
+            WITH b AS (
+                SELECT value / 500.0 AS s,
+                       event_type = 'purchase' AS y
+                FROM events WHERE value IS NOT NULL
+            ), c AS (
+                SELECT count(*) FILTER (s >= 0.3 AND y) AS tp,
+                       count(*) FILTER (s >= 0.3 AND NOT y) AS fp,
+                       count(*) FILTER (s < 0.3 AND NOT y) AS tn,
+                       count(*) FILTER (s < 0.3 AND y) AS fn
+                FROM b
+            ), m AS (
+                SELECT tp, fp, tn, fn,
+                       CASE WHEN tp + fp > 0
+                            THEN tp / CAST(tp + fp AS DOUBLE)
+                       END AS prec,
+                       CASE WHEN tp + fn > 0
+                            THEN tp / CAST(tp + fn AS DOUBLE)
+                       END AS rec
+                FROM c
+            )
+            SELECT tp, fp, tn, fn,
+                   CASE WHEN tp + fp + tn + fn > 0 THEN
+                       (tp + tn)
+                       / CAST(tp + fp + tn + fn AS DOUBLE)
+                   END AS accuracy,
+                   prec AS precision, rec AS recall,
+                   CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+                        AND prec + rec > 0
+                        THEN 2.0 * prec * rec / (prec + rec)
+                   END AS f1
+            FROM m
         """,
         "stream_attribution_events": """
             WITH c AS (

@@ -130,6 +130,9 @@ BENCH_QUERIES = [
     "benford_orders",
     "acf_events",
     "attribution_events",
+    "auc_events",
+    "calibration_events",
+    "confusion_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -647,7 +650,9 @@ def main() -> None:
                   "equidepth_hist_events", "heavy_hitters_docs",
                   "markov_events", "target_encode_orders",
                   "outliers_mad_events", "benford_orders",
-                  "acf_events", "attribution_events"}
+                  "acf_events", "attribution_events",
+                  "auc_events", "calibration_events",
+                  "confusion_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

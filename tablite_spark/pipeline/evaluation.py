@@ -1,0 +1,150 @@
+"""Distributed model-evaluation metrics over 100 TB of scored rows.
+
+Beyond the reference (tablite has no ML-evaluation surface): the
+quality-classifier companion — exact AUC, calibration bins, and
+threshold confusion metrics, none of which may sort the corpus
+globally or collect per-row scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def binary_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
+    """EXACT ROC-AUC of a binary classifier over scored rows, via the
+    tie-aware Mann-Whitney rank-sum identity:
+
+        AUC = (Σ_{y=1} avgrank(score) - n_pos(n_pos+1)/2)
+              / (n_pos · n_neg)
+
+    Ties get average ranks, so AUC equals the probability a random
+    positive outranks a random negative counting ties as 1/2 — the
+    textbook definition. Returns ONE row (n_pos, n_neg, auc); raises
+    when either class is empty. ``label_col`` may be a column name or
+    a boolean Column expression.
+
+    Scale shape — the textbook trap is ``rank() OVER (ORDER BY
+    score)``: a GLOBAL-order window that serializes the corpus
+    through one task. Like :func:`~tablite_spark.operators.stats.
+    spearman_corr`: one combinable per-score census groupBy (count +
+    positive count per distinct score), a DISTRIBUTED prefix sum
+    over score order (deterministic driver range buckets + in-bucket
+    running sums + a |buckets|-row offset collect that also yields
+    n_pos/n_neg for free), then the rank-sum is ONE aggregate over
+    the census. Average ranks are half-integers (exactly
+    representable), so the rank-sum is EXACT in double up to ~2^53
+    (≈9e15 — beyond that the sum rounds; note for 10T-row corpora).
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import with_range_bucket
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col) if isinstance(label_col, str)
+         else label_col).cast("boolean")
+    cens = (df.filter(s.isNotNull() & y.isNotNull())
+            .groupBy(s.alias("__s__"))
+            .agg(F.count(F.lit(1)).alias("__c__"),
+                 F.count(F.when(y, 1)).alias("__p__")))
+    cens = with_range_bucket(cens, "__s__", "__b__")
+    w = (Window.partitionBy("__b__").orderBy("__s__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cens = cens.withColumn("__cum__", F.sum("__c__").over(w))
+    tot = (cens.groupBy("__b__")
+           .agg(F.sum("__c__").alias("__t__"),
+                F.sum("__p__").alias("__tp__"))
+           .collect())                           # |buckets| rows
+    tot.sort(key=lambda r: r["__b__"])
+    off, run = {}, 0
+    n_pos = sum(r["__tp__"] for r in tot)
+    n_all = sum(r["__t__"] for r in tot)
+    n_neg = n_all - n_pos
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("binary_auc needs both classes present "
+                         f"(n_pos={n_pos}, n_neg={n_neg})")
+    for r in tot:
+        off[r["__b__"]] = run
+        run += r["__t__"]
+    omap = F.create_map(*[x for b, o in off.items()
+                          for x in (F.lit(b), F.lit(o))])
+    avg_rank = (omap[F.col("__b__")] + F.col("__cum__")
+                - F.col("__c__") + (F.col("__c__") + 1) / 2.0)
+    spr = cens.agg(F.sum(avg_rank * F.col("__p__"))
+                   .alias("__spr__"))
+    # n_pos(n_pos+1)/2 in python ints (exact, no 64-bit overflow),
+    # then the one double division
+    base = float(n_pos * (n_pos + 1) / 2)
+    auc = (F.col("__spr__") - F.lit(base)) \
+        / F.lit(float(n_pos) * float(n_neg))
+    return spr.select(F.lit(n_pos).cast("long").alias("n_pos"),
+                      F.lit(n_neg).cast("long").alias("n_neg"),
+                      auc.alias("auc"))
+
+
+def calibration_bins(df: DataFrame, score_col: str, label_col,
+                     bins: int = 10) -> DataFrame:
+    """Reliability diagram: scores in [0, 1] bucket into ``bins``
+    fixed-width bins (score 1.0 folds into the top bin); per
+    non-empty bin: (bin, n, mean_score, frac_pos). A calibrated
+    model has frac_pos ≈ mean_score per bin. Rows with NULL score or
+    label are excluded; out-of-[0,1] scores raise (a score that
+    isn't a probability has no reliability reading).
+
+    Scale shape: the bin is a pure row-local expression, so the
+    corpus collapses in ONE combinable ``bins``-bucket groupBy —
+    nothing else moves.
+    """
+    if bins < 2:
+        raise ValueError("calibration_bins needs bins >= 2")
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col) if isinstance(label_col, str)
+         else label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    oob = base.filter((s < 0) | (s > 1)).limit(1).collect()
+    if oob:
+        raise ValueError(
+            f"calibration_bins: score outside [0, 1] — {score_col} "
+            f"is not a probability")
+    b = F.least(F.floor(s * bins), F.lit(bins - 1)).cast("int")
+    return (base.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(s).alias("mean_score"),
+                 (F.count(F.when(y, 1))
+                  / F.count(F.lit(1)).cast("double"))
+                 .alias("frac_pos"))
+            .orderBy("bin"))
+
+
+def confusion_metrics(df: DataFrame, score_col: str, label_col,
+                      threshold: float = 0.5) -> DataFrame:
+    """Threshold confusion counts + derived metrics in ONE
+    combinable aggregation: (tp, fp, tn, fn, accuracy, precision,
+    recall, f1). Predicted positive = score >= threshold. Degenerate
+    denominators (no predicted positives / no actual positives)
+    yield NULL precision/recall/f1, never a division error (the
+    ANSI discipline). NULL score or label rows are excluded.
+    """
+    s = F.col(score_col).cast("double")
+    y = (F.col(label_col) if isinstance(label_col, str)
+         else label_col).cast("boolean")
+    pred = s >= F.lit(float(threshold))
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    one = base.agg(
+        F.count(F.when(pred & y, 1)).alias("tp"),
+        F.count(F.when(pred & ~y, 1)).alias("fp"),
+        F.count(F.when(~pred & ~y, 1)).alias("tn"),
+        F.count(F.when(~pred & y, 1)).alias("fn"))
+    tp, fp = F.col("tp"), F.col("fp")
+    tn, fn = F.col("tn"), F.col("fn")
+    n = (tp + fp + tn + fn).cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp).cast("double"))
+    rec = F.when(tp + fn > 0, tp / (tp + fn).cast("double"))
+    f1 = F.when(prec.isNotNull() & rec.isNotNull()
+                & (prec + rec > 0),
+                2.0 * prec * rec / (prec + rec))
+    return one.select(
+        "tp", "fp", "tn", "fn",
+        F.when(n > 0, (tp + tn) / n).alias("accuracy"),
+        prec.alias("precision"), rec.alias("recall"),
+        f1.alias("f1"))

@@ -324,3 +324,94 @@ def test_attribution_last_touch(spark):
     assert out["view"] == (1, 2.0)
     assert out["signup"] == (1, 3.0)
     assert out[None] == (2, 8.0)
+
+
+def test_binary_auc_matches_sklearn_free_replay(spark):
+    """AUC must equal the O(n log n) numpy replay of the tie-aware
+    rank-sum identity, across partitionings; perfect separation
+    gives 1.0; reversed gives 0.0; a constant score gives 0.5
+    (all ties count half)."""
+    import numpy as np
+
+    from tablite_spark.pipeline.evaluation import binary_auc
+
+    def replay(scores, labels):
+        s = np.asarray(scores, dtype=float)
+        y = np.asarray(labels, dtype=bool)
+        order = np.argsort(s, kind="mergesort")
+        ranks = np.empty(len(s))
+        ss = s[order]
+        i = 0
+        while i < len(s):
+            j = i
+            while j + 1 < len(s) and ss[j + 1] == ss[i]:
+                j += 1
+            ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        np_, nn_ = y.sum(), (~y).sum()
+        return (ranks[y].sum() - np_ * (np_ + 1) / 2) / (np_ * nn_)
+
+    import random
+    rng = random.Random(7)
+    scores = [rng.choice([0.1, 0.25, 0.25, 0.4, 0.6, 0.6, 0.9])
+              for _ in range(500)]
+    labels = [rng.random() < s for s in scores]
+    if not any(labels):
+        labels[0] = True
+    if all(labels):
+        labels[1] = False
+    df = spark.createDataFrame(list(zip(scores, labels)),
+                               "s double, y boolean")
+    for parts in (1, 9):
+        r = binary_auc(df.repartition(parts), "s", "y").collect()[0]
+        want = replay(scores, labels)
+        assert abs(r["auc"] - want) < 1e-15, parts
+        assert r["n_pos"] == sum(labels)
+    # perfect / inverted / constant
+    d2 = spark.createDataFrame(
+        [(0.9, True)] * 5 + [(0.1, False)] * 7, "s double, y boolean")
+    assert binary_auc(d2, "s", "y").collect()[0]["auc"] == 1.0
+    d3 = spark.createDataFrame(
+        [(0.1, True)] * 5 + [(0.9, False)] * 7, "s double, y boolean")
+    assert binary_auc(d3, "s", "y").collect()[0]["auc"] == 0.0
+    d4 = spark.createDataFrame(
+        [(0.5, True)] * 5 + [(0.5, False)] * 7, "s double, y boolean")
+    assert binary_auc(d4, "s", "y").collect()[0]["auc"] == 0.5
+    import pytest
+    d5 = spark.createDataFrame([(0.5, True)], "s double, y boolean")
+    with pytest.raises(ValueError, match="both classes"):
+        binary_auc(d5, "s", "y")
+
+
+def test_calibration_and_confusion(spark):
+    """Calibration bins, edge fold (score 1.0 -> top bin), the
+    out-of-range guard, and the confusion metrics' formulas."""
+    import pytest
+
+    from tablite_spark.pipeline.evaluation import (
+        calibration_bins, confusion_metrics,
+    )
+    rows = [(0.05, False), (0.06, False), (0.55, True),
+            (0.58, False), (1.0, True), (0.95, True), (None, True),
+            (0.5, None)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["bin"]: r for r in
+           calibration_bins(df, "s", "y", bins=10).collect()}
+    assert sorted(out) == [0, 5, 9]
+    assert out[0]["n"] == 2 and out[0]["frac_pos"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["frac_pos"] == 0.5
+    assert out[9]["n"] == 2 and out[9]["frac_pos"] == 1.0   # 1.0 folds
+    bad = spark.createDataFrame([(1.5, True), (0.5, False)],
+                                "s double, y boolean")
+    with pytest.raises(ValueError, match="outside"):
+        calibration_bins(bad, "s", "y")
+
+    m = confusion_metrics(df, "s", "y", threshold=0.5).collect()[0]
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (3, 1, 2, 0)
+    assert abs(m["precision"] - 3 / 4) < 1e-15
+    assert m["recall"] == 1.0
+    assert abs(m["f1"] - 2 * 0.75 / 1.75) < 1e-15
+    assert abs(m["accuracy"] - 5 / 6) < 1e-15
+    # degenerate: no predicted positives -> NULL precision/f1
+    m2 = confusion_metrics(df, "s", "y", threshold=2.0).collect()[0]
+    assert m2["precision"] is None and m2["f1"] is None
