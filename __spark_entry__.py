@@ -1851,6 +1851,39 @@ def confusion_events(spark: SparkSession, sf: str) -> DataFrame:
     return confusion_metrics(scored, "s", "y", threshold=0.3)
 
 
+def ols_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag simple linear regression of extendedprice on
+    quantity: all five moments in ONE combinable groupBy (map-side
+    partials, |groups|-row shuffle, no window/join/second scan);
+    guarded degenerate groups. Oracle: DuckDB covar_pop/var_pop
+    closed form."""
+    from tablite_spark.operators.stats import group_ols
+    li = _t(spark, sf, "lineitem")
+    out = group_ols(li, ["l_returnflag"], "l_quantity",
+                    "l_extendedprice")
+    return out.select("l_returnflag", "n",
+                      F.round(F.col("slope"), 4).alias("slope"),
+                      F.round(F.col("intercept"), 4)
+                      .alias("intercept"),
+                      F.round(F.col("r2"), 6).alias("r2"))
+
+
+def km_survival_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Kaplan-Meier survival over event values (error rows =
+    right-censored): per-duration census + TWO distributed prefix
+    sums (counts for n_at_risk, then log-domain survival) over the
+    spearman-style range buckets — never a global-order window; the
+    everyone-dies-at-the-end ln(0) case uses a finite sentinel whose
+    exp is exactly 0.0 on both engines. Oracle: DuckDB window
+    cumulative formula."""
+    from tablite_spark.operators.stats import km_curve
+    ev = _t(spark, sf, "events")
+    out = km_curve(ev, "value", F.col("event_type") != "error")
+    return out.select("duration", "n_at_risk", "n_events",
+                      F.round(F.col("survival"), 4)
+                      .alias("survival"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -3815,13 +3848,13 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 8 r11-late
-# never-verified entries): the eight r11-late ops (outliers_mad,
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 10 r11-late
+# never-verified entries): the ten r11-late ops (outliers_mad,
 # benford, acf, attribution, stream_attribution, auc, calibration,
-# confusion — added after the window froze, all strict-swept
-# green), then the nine r7 leftovers above, then the 33 oldest r8
-# entries fill the next window, leaving nothing staler than r9
-# except 17 r8 rows that roll to r13.
+# confusion, ols, km_survival — added after the window froze, all
+# strict-swept green), then the nine r7 leftovers above, then the
+# 31 oldest r8 entries fill the next window, leaving nothing staler
+# than r9 except 19 r8 rows that roll to r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
@@ -3979,6 +4012,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auc_events": auc_events,
         "calibration_events": calibration_events,
         "confusion_events": confusion_events,
+        "ols_lineitem": ols_lineitem,
+        "km_survival_events": km_survival_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6634,6 +6669,53 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(CASE WHEN x IS NOT NULL
                               AND y5 IS NOT NULL THEN 1 END),
                    ROUND(corr(y5, x), 4) + 0 FROM l
+        """,
+        "ols_lineitem": """
+            SELECT l_returnflag,
+                   count(*) FILTER (l_quantity IS NOT NULL
+                       AND l_extendedprice IS NOT NULL) AS n,
+                   ROUND(covar_pop(l_extendedprice, l_quantity)
+                         / var_pop(l_quantity), 4) + 0 AS slope,
+                   ROUND(avg(l_extendedprice)
+                         - covar_pop(l_extendedprice, l_quantity)
+                           / var_pop(l_quantity)
+                           * avg(l_quantity), 4) + 0 AS intercept,
+                   ROUND(covar_pop(l_extendedprice, l_quantity)
+                         * covar_pop(l_extendedprice, l_quantity)
+                         / (var_pop(l_quantity)
+                            * var_pop(l_extendedprice)), 6) + 0
+                       AS r2
+            FROM lineitem GROUP BY 1
+        """,
+        "km_survival_events": """
+            WITH c AS (
+                SELECT value AS t,
+                       count(*) FILTER (event_type <> 'error')
+                           AS d,
+                       count(*) FILTER (event_type = 'error')
+                           AS cns
+                FROM events WHERE value IS NOT NULL GROUP BY 1
+            ), w AS (
+                SELECT t, d, cns,
+                       sum(d + cns) OVER (ORDER BY t) AS cum,
+                       (SELECT sum(d + cns) FROM c) AS N
+                FROM c
+            ), r AS (
+                SELECT t, d, N - cum + d + cns AS n_risk FROM w
+            ), s AS (
+                SELECT t, d, n_risk,
+                       exp(sum(CASE WHEN d > 0 AND d < n_risk
+                               THEN ln(1 - CAST(d AS DOUBLE)
+                                           / n_risk)
+                               WHEN d > 0 THEN -1.0e6
+                               ELSE 0 END)
+                           OVER (ORDER BY t)) AS surv
+                FROM r
+            )
+            SELECT t AS duration, CAST(n_risk AS BIGINT)
+                       AS n_at_risk,
+                   d AS n_events, ROUND(surv, 4) + 0 AS survival
+            FROM s WHERE d > 0
         """,
         "auc_events": """
             WITH b AS (

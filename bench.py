@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "auc_events",
     "calibration_events",
     "confusion_events",
+    "ols_lineitem",
+    "km_survival_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -652,7 +654,8 @@ def main() -> None:
                   "outliers_mad_events", "benford_orders",
                   "acf_events", "attribution_events",
                   "auc_events", "calibration_events",
-                  "confusion_events"}
+                  "confusion_events", "ols_lineitem",
+                  "km_survival_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

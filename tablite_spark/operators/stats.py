@@ -757,3 +757,115 @@ def benford_digits(df: DataFrame, col: str) -> DataFrame:
                        exp.alias("benford_share"),
                        chi2.alias("chi2_term"))
             .orderBy("digit"))
+
+
+def group_ols(df: DataFrame, keys: list[str], x_col: str,
+              y_col: str) -> DataFrame:
+    """Per-group simple linear regression (closed form): one row per
+    group with (keys..., n, slope, intercept, r2) — slope =
+    covar_pop/var_pop over the pairwise-non-null rows (SQL
+    ``regr_slope`` semantics), intercept through the means, r2 the
+    squared Pearson correlation. Degenerate groups (constant x, or
+    n < 1) yield NULL slope/intercept; constant y additionally NULLs
+    r2 — guarded co-moments, never an ANSI division error.
+
+    Scale shape: ONE combinable groupBy pass — all five moments
+    (n, means, variances, covariance) partial-aggregate map-side, so
+    a hot group collapses before the shuffle and only a
+    |groups|-row frame moves. No window, no join, no second scan.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    xb = F.when(y.isNotNull(), x)
+    yb = F.when(x.isNotNull(), y)
+    g = df.groupBy(*[F.col(k) for k in keys])
+    cov = F.covar_pop(xb, yb)
+    vx, vy = F.var_pop(xb), F.var_pop(yb)
+    slope = F.when(vx > 0, cov / vx)
+    out = g.agg(
+        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("n"),
+        slope.alias("slope"),
+        F.when(vx > 0, F.avg(yb) - (cov / vx) * F.avg(xb))
+        .alias("intercept"),
+        F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy))
+        .alias("r2"))
+    return out
+
+
+def km_curve(df: DataFrame, duration_col: str,
+             observed_col) -> DataFrame:
+    """Kaplan-Meier survival estimator with right-censoring: one row
+    per distinct EVENT time t (durations where ≥1 observed event)
+    with (duration, n_at_risk, n_events, survival), survival =
+    Π_{t_j ≤ t} (1 - d_j / n_j) over event times. ``observed_col``
+    (name or boolean Column): true = event observed, false =
+    censored (contributes to n_at_risk until its duration, then
+    leaves without an event). NULL durations/flags excluded.
+
+    Scale shape — the textbook formulation is TWO global-order
+    windows (cumulative counts for n_at_risk, cumulative product for
+    S), both corpus-serializing. Here the corpus collapses in ONE
+    combinable per-duration census groupBy; both prefixes run
+    DISTRIBUTED over the census (the spearman discipline:
+    deterministic driver range buckets + in-bucket running sums +
+    two |buckets|-row offset collects — counts first, then the log
+    terms they determine), and the product is carried in log domain
+    (exp of the prefix log-sum, ``ln(1 - d/n)`` spelled identically
+    to the SQL oracle). No row-level data ever converges on one
+    task; survival values round at the oracle boundary (float
+    addition groups differ across engines by construction).
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import with_range_bucket
+    t = F.col(duration_col)
+    obs = (F.col(observed_col) if isinstance(observed_col, str)
+           else observed_col).cast("boolean")
+    cens = (df.filter(t.isNotNull() & obs.isNotNull())
+            .groupBy(t.alias("__t__"))
+            .agg(F.count(F.when(obs, 1)).alias("__d__"),
+                 F.count(F.when(~obs, 1)).alias("__c__")))
+    cens = with_range_bucket(cens, "__t__", "__b__")
+    w = (Window.partitionBy("__b__").orderBy("__t__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    both = F.col("__d__") + F.col("__c__")
+    cens = cens.withColumn("__cum__", F.sum(both).over(w))
+    tot = (cens.groupBy("__b__").agg(F.sum(both).alias("__t2__"))
+           .collect())                           # |buckets| rows
+    tot.sort(key=lambda r: r["__b__"])
+    off, run = {}, 0
+    for r in tot:
+        off[r["__b__"]] = run
+        run += r["__t2__"]
+    n_total = run
+    omap = F.create_map(*[x for b, o in off.items()
+                          for x in (F.lit(b), F.lit(o))])
+    n_risk = (F.lit(n_total) - (omap[F.col("__b__")]
+                                + F.col("__cum__")) + both)
+    # d == n_risk (everyone remaining dies at the last event time)
+    # would be ln(0): Spark's log yields NULL, DuckDB ERRORS — both
+    # sides use a finite sentinel whose exp is exactly 0.0 instead
+    # (it can only occur at the final event time, so it never
+    # poisons a later prefix)
+    d_ = F.col("__d__")
+    term = (F.when((d_ > 0) & (d_ < n_risk),
+                   F.log(1.0 - d_ / n_risk.cast("double")))
+            .when(d_ > 0, F.lit(-1.0e6))
+            .otherwise(0.0))
+    cens = (cens.withColumn("__nr__", n_risk)
+            .withColumn("__lcum__", F.sum(term).over(w)))
+    ltot = (cens.groupBy("__b__")
+            .agg(F.sum(term).alias("__lt__")).collect())
+    ltot.sort(key=lambda r: r["__b__"])
+    loff, lrun = {}, 0.0
+    for r in ltot:
+        loff[r["__b__"]] = lrun
+        lrun += r["__lt__"]
+    lmap = F.create_map(*[x for b, o in loff.items()
+                          for x in (F.lit(b), F.lit(float(o)))])
+    surv = F.exp(lmap[F.col("__b__")] + F.col("__lcum__"))
+    return (cens.filter(F.col("__d__") > 0)
+            .select(F.col("__t__").alias("duration"),
+                    F.col("__nr__").cast("long").alias("n_at_risk"),
+                    F.col("__d__").alias("n_events"),
+                    surv.alias("survival")))

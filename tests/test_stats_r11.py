@@ -415,3 +415,57 @@ def test_calibration_and_confusion(spark):
     # degenerate: no predicted positives -> NULL precision/f1
     m2 = confusion_metrics(df, "s", "y", threshold=2.0).collect()[0]
     assert m2["precision"] is None and m2["f1"] is None
+
+
+def test_group_ols_matches_numpy(spark):
+    import numpy as np
+
+    from tablite_spark.operators.stats import group_ols
+    x = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    y = [2.1, 4.3, 5.8, 8.4, 9.9, 12.2]
+    rows = ([("a", xi, yi) for xi, yi in zip(x, y)]
+            + [("const", 5.0, 1.0), ("const", 5.0, 2.0)]
+            + [("a", None, 9.0), ("a", 7.0, None)])
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in
+           group_ols(df, ["g"], "x", "y").collect()}
+    sl, ic = np.polyfit(np.array(x), np.array(y), 1)
+    r = out["a"]
+    assert r["n"] == 6
+    assert abs(r["slope"] - sl) < 1e-10
+    assert abs(r["intercept"] - ic) < 1e-10
+    assert abs(r["r2"] - np.corrcoef(x, y)[0, 1] ** 2) < 1e-12
+    # constant x -> NULL slope/intercept/r2, no division error
+    c = out["const"]
+    assert c["slope"] is None and c["intercept"] is None
+    assert c["r2"] is None
+
+
+def test_km_curve_matches_hand_computation(spark):
+    """Classic toy cohort: durations with censoring; survival must
+    follow the product-limit table; censored-only times emit no row
+    but reduce the next n_at_risk; the everyone-dies tail hits
+    exactly 0.0."""
+    from pyspark.sql import functions as F
+
+    from tablite_spark.operators.stats import km_curve
+    # (duration, observed): events at 2 (x2), 5; censored at 3, 8;
+    # final event at 10 kills the last subject -> S = 0
+    rows = [(2.0, True), (2.0, True), (3.0, False), (5.0, True),
+            (8.0, False), (10.0, True), (None, True), (5.0, None)]
+    df = spark.createDataFrame(rows, "d double, obs boolean")
+    out = {r["duration"]: r for r in
+           km_curve(df, "d", "obs").collect()}
+    assert sorted(out) == [2.0, 5.0, 10.0]   # censored times absent
+    # t=2: n=6 d=2 -> S=4/6; t=5: n=3 d=1 -> S=4/6*2/3=4/9;
+    # t=10: n=1 d=1 -> S=0
+    assert out[2.0]["n_at_risk"] == 6 and out[2.0]["n_events"] == 2
+    assert abs(out[2.0]["survival"] - 4 / 6) < 1e-12
+    assert out[5.0]["n_at_risk"] == 3
+    assert abs(out[5.0]["survival"] - 4 / 9) < 1e-12
+    assert out[10.0]["n_at_risk"] == 1
+    assert out[10.0]["survival"] == 0.0
+    # layout-independent
+    out7 = {r["duration"]: r["survival"] for r in
+            km_curve(df.repartition(7), "d", "obs").collect()}
+    assert abs(out7[5.0] - 4 / 9) < 1e-12
