@@ -62,6 +62,8 @@ def test_spark_round_canonicalizes_negative_zero(spark):
 @pytest.mark.parametrize("qname", [
     "pca_covariance_embeddings", "pca_project_embeddings",
     "ab_welch_events", "ema_events",
+    # r11 entries whose rounded floats can approach zero from below
+    "acf_events", "ols_lineitem",
 ])
 def test_no_negative_zero_in_rounded_query_outputs(spark, qname):
     """No -0.0 may survive in any float column of the registry

@@ -2,7 +2,7 @@
 round-10 late operators plus the round-11 additions. Run manually:
 ``python tools/burnin_r11.py [name]`` with name in {jaccard_floor,
 gq_groups, mi_card, pngram8, hh_adversarial, ks_distinct, te_cats,
-late_ops} (default: all). Results are transcribed into PLANS.md.
+late_ops, rank_stats} (default: all). Results are transcribed into PLANS.md.
 
 Contract boundaries exercised:
 
@@ -254,6 +254,32 @@ def burnin_late_ops(spark):
 
 
 ALL["late_ops"] = burnin_late_ops
+
+
+def burnin_rank_stats(spark):
+    """AUC and Kaplan-Meier at corpus-scale distinct values — the
+    bucketed-prefix-sum machinery at its contract edge (census is
+    corpus-sized, like ks_distinct)."""
+    from tablite_spark.operators.stats import km_curve
+    from tablite_spark.pipeline.evaluation import binary_auc
+    print("== binary_auc: 10M rows, ~all-distinct scores ==")
+    t0 = time.time()
+    df = spark.range(10_000_000).select(
+        ((F.col("id") * 2654435761 % 4_000_000_063)
+         .cast("double") / 4e9).alias("s"),
+        (F.col("id") % 3 == 0).alias("y"))
+    r = binary_auc(df, "s", "y").collect()[0]
+    t0 = _t(f"auc={r['auc']:.6f} n_pos={r['n_pos']}", t0)
+    print("== km_curve: 10M rows, ~all-distinct durations ==")
+    df = spark.range(10_000_000).select(
+        (F.col("id") * 2654435761 % 4_000_000_063)
+        .cast("double").alias("d"),
+        (F.col("id") % 10 != 0).alias("obs"))
+    n = km_curve(df, "d", "obs").count()
+    _t(f"km event rows={n}", t0)
+
+
+ALL["rank_stats"] = burnin_rank_stats
 
 
 if __name__ == "__main__":
