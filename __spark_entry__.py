@@ -1851,6 +1851,144 @@ def confusion_events(spark: SparkSession, sf: str) -> DataFrame:
     return confusion_metrics(scored, "s", "y", threshold=0.3)
 
 
+def q7_volume_shipping(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations, adapted to the
+    synthetic schema): lineitem joins orders/customer on keys
+    (corpus-scale, left to AQE) while supplier and both nation dims
+    BROADCAST; the nation-pair disjunction prunes early. One shuffle
+    chain, one combinable final groupBy. Oracle: the same SQL in
+    DuckDB."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    out = (li.filter(F.col("l_shipdate")
+                     .between("1996-01-01", "1997-12-31"))
+           .join(o, li["l_orderkey"] == o["o_orderkey"])
+           .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+           .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+           .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk"))
+           .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+           .filter(((F.col("supp_nation") == "NATION_1")
+                    & (F.col("cust_nation") == "NATION_2"))
+                   | ((F.col("supp_nation") == "NATION_2")
+                      & (F.col("cust_nation") == "NATION_1")))
+           .groupBy("supp_nation", "cust_nation",
+                    F.year("l_shipdate").alias("l_year"))
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("rev_")))
+    return out.select("supp_nation", "cust_nation", "l_year",
+                      F.round(F.col("rev_"), 4).alias("revenue"))
+
+
+def q8_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 (national market share of NATION_5 for PROMO parts
+    sold into ASIA): part filters BEFORE the join and broadcasts
+    (the classic selective-dim pushdown), supplier/customer/nation/
+    region all broadcast; the yearly share is a guarded conditional
+    sum over one combinable groupBy. Oracle: same SQL."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+            .join(o, li["l_orderkey"] == o["o_orderkey"])
+            .filter(F.col("o_orderdate")
+                    .between("1996-01-01", "1997-12-31"))
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n2), c["c_nationkey"] == F.col("c_nk"))
+            .join(F.broadcast(r), F.col("c_rk") == r["r_regionkey"])
+            .filter(F.col("r_name") == "ASIA")
+            .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n1), s["s_nationkey"] == F.col("s_nk")))
+    out = (base.groupBy(F.year("o_orderdate").alias("o_year"))
+           .agg((F.sum(F.when(F.col("supp_nation") == "NATION_5",
+                              vol).otherwise(0.0)) / F.sum(vol))
+                .alias("share_")))
+    return out.select("o_year",
+                      F.round(F.col("share_"), 6).alias("mkt_share"))
+
+
+def q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 (top-20 customers by returned-item revenue in one
+    quarter): orders date-prunes before the lineitem join, customer/
+    nation broadcast, top-20 via a deterministic (revenue DESC,
+    custkey) global sort of the |customers|-bounded aggregate — the
+    sort runs on the SUMMARY, never on line items. Oracle: same
+    SQL."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    out = (li.filter(F.col("l_returnflag") == "R")
+           .join(o.filter(F.col("o_orderdate")
+                          .between("1995-10-01", "1995-12-31")),
+                 li["l_orderkey"] == o["o_orderkey"])
+           .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+           .join(F.broadcast(n),
+                 c["c_nationkey"] == n["n_nationkey"])
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("rev_"))
+           .orderBy(F.col("rev_").desc(), F.col("c_custkey"))
+           .limit(20))
+    return out.select("c_custkey", "c_name", "n_name",
+                      F.round(F.col("rev_"), 4).alias("revenue"))
+
+
+def q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution, comment filter
+    omitted — the synthetic orders table carries no comment): LEFT
+    join keeps zero-order customers, two combinable groupBys
+    (per-customer count, then the bounded count histogram). Oracle:
+    same SQL."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    per = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+           .groupBy(c["c_custkey"])
+           .agg(F.count("o_orderkey").alias("c_count")))
+    return (per.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(),
+                     F.col("c_count").desc()))
+
+
+def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 (top supplier by quarterly revenue): the revenue
+    view is one combinable groupBy(suppkey); the max is a 1-row
+    broadcast joined back (never a global-order window over
+    suppliers). Oracle: same SQL with a scalar subquery."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    rev = (li.filter(F.col("l_shipdate")
+                     .between("1996-01-01", "1996-03-31"))
+           .groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")))
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx_"))
+    out = (rev.join(F.broadcast(mx),
+                    F.col("total_revenue") == F.col("mx_"))
+           .join(F.broadcast(s),
+                 F.col("supplier_no") == s["s_suppkey"]))
+    return out.select("s_suppkey", "s_name",
+                      F.round(F.col("total_revenue"), 4)
+                      .alias("total_revenue"))
+
+
 def ols_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag simple linear regression of extendedprice on
     quantity: all five moments in ONE combinable groupBy (map-side
@@ -3848,13 +3986,14 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 10 r11-late
-# never-verified entries): the ten r11-late ops (outliers_mad,
-# benford, acf, attribution, stream_attribution, auc, calibration,
-# confusion, ols, km_survival — added after the window froze, all
-# strict-swept green), then the nine r7 leftovers above, then the
-# 31 oldest r8 entries fill the next window, leaving nothing staler
-# than r9 except 19 r8 rows that roll to r13.
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 15 r11-late
+# never-verified entries): the fifteen r11-late entries
+# (outliers_mad, benford, acf, attribution, stream_attribution,
+# auc, calibration, confusion, ols, km_survival, q7, q8, q10, q13,
+# q15 — added after the window froze, all strict-swept green), then
+# the nine r7 leftovers above, then the 26 oldest r8 entries fill
+# the next window, leaving nothing staler than r9 except 24 r8 rows
+# that roll to r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
@@ -4014,6 +4153,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confusion_events": confusion_events,
         "ols_lineitem": ols_lineitem,
         "km_survival_events": km_survival_events,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q15_top_supplier": q15_top_supplier,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6669,6 +6813,93 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(CASE WHEN x IS NOT NULL
                               AND y5 IS NOT NULL THEN 1 END),
                    ROUND(corr(y5, x), 4) + 0 FROM l
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)),
+                         4) + 0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
+              AND ((n1.n_name = 'NATION_1'
+                    AND n2.n_name = 'NATION_2')
+                   OR (n1.n_name = 'NATION_2'
+                       AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            WITH base AS (
+                SELECT year(o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount)
+                           AS volume,
+                       n1.n_name AS supp_nation
+                FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+                JOIN region ON n2.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+                  AND o_orderdate BETWEEN '1996-01-01'
+                      AND '1997-12-31'
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   ROUND(sum(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN volume ELSE 0 END)
+                         / sum(volume), 6) + 0 AS mkt_share
+            FROM base GROUP BY 1
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(sum(l_extendedprice * (1 - l_discount)),
+                         4) + 0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate BETWEEN '1995-10-01'
+                  AND '1995-12-31'
+            GROUP BY 1, 2, 3
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                     c_custkey
+            LIMIT 20
+        """,
+        "q13_customer_distribution": """
+            WITH per AS (
+                SELECT c.c_custkey,
+                       count(o.o_orderkey) AS c_count
+                FROM customer c LEFT JOIN orders o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT c_count, count(*) AS custdist
+            FROM per GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS supplier_no,
+                       sum(l_extendedprice * (1 - l_discount))
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate BETWEEN '1996-01-01'
+                    AND '1996-03-31'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name,
+                   ROUND(total_revenue, 4) + 0 AS total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue)
+                                   FROM rev)
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -558,3 +558,25 @@ def test_target_encode_no_corpus_window(spark):
     assert idx_join < idx_win < idx_agg, plan[:1500]
     ex = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in ex
+
+
+def test_q8_selective_dim_pushdown_and_broadcasts(spark, qs):
+    """Q8: the p_type filter must reach the part scan (selective-dim
+    pushdown) and every dimension joins as a broadcast — the
+    fact-table chain carries no dim shuffle."""
+    out = qs["q8_market_share"](spark, SF)
+    pushed = " ".join(pushed_filters(out))
+    assert "p_type" in pushed, pushed
+    assert broadcast_join_count(out) >= 5
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_sort_over_summary_only(spark, qs):
+    """Q10's top-20 sort must run over the |customers|-bounded
+    aggregate (TakeOrderedAndProject above the agg), never over
+    line items."""
+    out = qs["q10_returned_items"](spark, SF)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
+    assert broadcast_join_count(out) >= 2
