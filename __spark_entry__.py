@@ -1989,6 +1989,21 @@ def q15_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("total_revenue"))
 
 
+def gini_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient + Theil index of order totals: the tie-safe
+    rank formula over the SAME distributed census prefix sum as AUC
+    (never a global-order window); Theil folds to the one-pass
+    identity sum(x ln x)/(n mu) - ln(mu) and rides the same census
+    aggregate — one corpus scan total. Oracle: DuckDB rank-window
+    formula."""
+    from tablite_spark.operators.stats import inequality_metrics
+    o = _t(spark, sf, "orders")
+    out = inequality_metrics(o, "o_totalprice")
+    return out.select("n", F.round(F.col("mean"), 4).alias("mean"),
+                      F.round(F.col("gini"), 6).alias("gini"),
+                      F.round(F.col("theil"), 6).alias("theil"))
+
+
 def ols_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Per-returnflag simple linear regression of extendedprice on
     quantity: all five moments in ONE combinable groupBy (map-side
@@ -3986,14 +4001,14 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 15 r11-late
-# never-verified entries): the fifteen r11-late entries
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 16 r11-late
+# never-verified entries): the sixteen r11-late entries
 # (outliers_mad, benford, acf, attribution, stream_attribution,
 # auc, calibration, confusion, ols, km_survival, q7, q8, q10, q13,
-# q15 — added after the window froze, all strict-swept green), then
-# the nine r7 leftovers above, then the 26 oldest r8 entries fill
-# the next window, leaving nothing staler than r9 except 24 r8 rows
-# that roll to r13.
+# q15, gini — added after the window froze, all strict-swept
+# green), then the nine r7 leftovers above, then the 25 oldest r8
+# entries fill the next window, leaving nothing staler than r9
+# except 25 r8 rows that roll to r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
@@ -4158,6 +4173,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
         "q15_top_supplier": q15_top_supplier,
+        "gini_orders": gini_orders,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -6813,6 +6829,26 @@ def _oracle_sql_base() -> dict[str, str]:
                    count(CASE WHEN x IS NOT NULL
                               AND y5 IS NOT NULL THEN 1 END),
                    ROUND(corr(y5, x), 4) + 0 FROM l
+        """,
+        "gini_orders": """
+            WITH r AS (
+                SELECT o_totalprice AS x,
+                       rank() OVER (ORDER BY o_totalprice)
+                       + (count(*) OVER
+                          (PARTITION BY o_totalprice) - 1) / 2.0
+                           AS ar
+                FROM orders WHERE o_totalprice IS NOT NULL
+            )
+            SELECT count(*) AS n,
+                   ROUND(avg(x), 4) + 0 AS mean,
+                   ROUND(2 * sum(ar * x) / (count(*) * sum(x))
+                         - (count(*) + 1.0) / count(*), 6) + 0
+                       AS gini,
+                   ROUND(sum(CASE WHEN x > 0 THEN x * ln(x)
+                                  ELSE 0 END)
+                         / (count(*) * avg(x)) - ln(avg(x)), 6) + 0
+                       AS theil
+            FROM r
         """,
         "q7_volume_shipping": """
             SELECT n1.n_name AS supp_nation,

@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "gini_orders",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -662,7 +663,8 @@ def main() -> None:
                   "confusion_events", "ols_lineitem",
                   "km_survival_events", "q7_volume_shipping",
                   "q8_market_share", "q10_returned_items",
-                  "q13_customer_distribution", "q15_top_supplier"}
+                  "q13_customer_distribution", "q15_top_supplier",
+                  "gini_orders"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

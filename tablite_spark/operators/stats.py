@@ -869,3 +869,69 @@ def km_curve(df: DataFrame, duration_col: str,
                     F.col("__nr__").cast("long").alias("n_at_risk"),
                     F.col("__d__").alias("n_events"),
                     surv.alias("survival")))
+
+
+def inequality_metrics(df: DataFrame, col: str) -> DataFrame:
+    """Gini coefficient + Theil index of a non-negative measure —
+    the concentration/inequality screen (wealth, traffic, token
+    frequency): ONE row (n, mean, gini, theil). Negative values
+    raise (neither index is defined there); zeros are fine for Gini
+    and contribute zero to Theil (lim x→0 of x·ln x = 0, the
+    standard convention).
+
+    Gini uses the tie-safe rank formula
+        G = 2·Σ rank_i·x_i / (n·Σx) − (n+1)/n
+    where tied values take ANY consistent ranks (a tied group's
+    Σ rank·x is order-invariant), so average ranks from the same
+    DISTRIBUTED census prefix sum as :func:`binary_auc` work —
+    never a global-order window. Theil folds to the one-pass
+    identity T = Σx·ln x/(n·μ) − ln μ, so it rides the SAME census
+    aggregate (Σ c·v·ln v per distinct value) — the corpus is
+    scanned exactly once.
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import with_range_bucket
+    v = F.col(col).cast("double")
+    bad = df.filter(v < 0).limit(1).collect()
+    if bad:
+        raise ValueError(f"inequality_metrics: {col!r} has negative "
+                         f"values — Gini/Theil undefined")
+    cens = (df.filter(v.isNotNull())
+            .groupBy(v.alias("__v__"))
+            .agg(F.count(F.lit(1)).alias("__c__")))
+    cens = with_range_bucket(cens, "__v__", "__b__")
+    w = (Window.partitionBy("__b__").orderBy("__v__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cens = cens.withColumn("__cum__", F.sum("__c__").over(w))
+    tot = (cens.groupBy("__b__").agg(F.sum("__c__").alias("__t__"))
+           .collect())
+    tot.sort(key=lambda r: r["__b__"])
+    off, run = {}, 0
+    for r in tot:
+        off[r["__b__"]] = run
+        run += r["__t__"]
+    n = run
+    if n == 0:
+        raise ValueError("inequality_metrics: no non-null values")
+    omap = F.create_map(*[x for b, o in off.items()
+                          for x in (F.lit(b), F.lit(o))])
+    avg_rank = (omap[F.col("__b__")] + F.col("__cum__")
+                - F.col("__c__") + (F.col("__c__") + 1) / 2.0)
+    c = F.col("__c__")
+    xlnx = F.when(F.col("__v__") > 0,
+                  F.col("__v__") * F.log("__v__")).otherwise(0.0)
+    agg = cens.agg(
+        F.sum(avg_rank * F.col("__v__") * c).alias("__srx__"),
+        F.sum(F.col("__v__") * c).alias("__sx__"),
+        F.sum(xlnx * c).alias("__sxl__"))
+    nn = float(n)
+    gini = (2.0 * F.col("__srx__") / (F.lit(nn) * F.col("__sx__"))
+            - F.lit((nn + 1.0) / nn))
+    mean = F.col("__sx__") / F.lit(nn)
+    theil = F.when(
+        F.col("__sx__") > 0,
+        F.col("__sxl__") / (F.lit(nn) * mean) - F.log(mean))
+    return agg.select(F.lit(n).cast("long").alias("n"),
+                      mean.alias("mean"), gini.alias("gini"),
+                      theil.alias("theil"))

@@ -469,3 +469,35 @@ def test_km_curve_matches_hand_computation(spark):
     out7 = {r["duration"]: r["survival"] for r in
             km_curve(df.repartition(7), "d", "obs").collect()}
     assert abs(out7[5.0] - 4 / 9) < 1e-12
+
+
+def test_inequality_metrics_matches_numpy(spark):
+    import math
+
+    import numpy as np
+    import pytest
+
+    from tablite_spark.operators.stats import inequality_metrics
+    vals = [1.0, 1.0, 2.0, 4.0, 10.0, 10.0, 30.0, 0.0]
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)],
+                               "v double")
+    r = inequality_metrics(df, "v").collect()[0]
+    x = np.sort(np.array(vals))
+    i = np.arange(1, len(x) + 1)
+    g = 2 * np.sum(i * x) / (len(x) * x.sum()) - (len(x) + 1) / len(x)
+    assert r["n"] == 8
+    assert abs(r["gini"] - g) < 1e-14
+    mu = x.mean()
+    t = sum(v / mu * math.log(v / mu) for v in x if v > 0) / len(x)
+    assert abs(r["theil"] - t) < 1e-12
+    # perfectly equal distribution -> gini 0, theil 0
+    eq = spark.createDataFrame([(5.0,)] * 10, "v double")
+    re = inequality_metrics(eq, "v").collect()[0]
+    assert abs(re["gini"]) < 1e-14 and abs(re["theil"]) < 1e-14
+    # negative values refuse
+    neg = spark.createDataFrame([(1.0,), (-2.0,)], "v double")
+    with pytest.raises(ValueError, match="negative"):
+        inequality_metrics(neg, "v")
+    # layout-independent
+    r7 = inequality_metrics(df.repartition(5), "v").collect()[0]
+    assert abs(r7["gini"] - r["gini"]) < 1e-14
