@@ -65,3 +65,34 @@ def with_range_bucket(df: DataFrame, key: str, pid_col: str,
             "spark.sql.shuffle.partitions", "200"))
     bounds = range_bucket_bounds(df, key, n_buckets)
     return df.withColumn(pid_col, bucket_expr(key, bounds))
+
+
+def bucket_prefix_offsets(cens: DataFrame, bucket_col: str,
+                          sums: dict) -> tuple[dict, dict]:
+    """The distributed-prefix-sum offset step shared by every
+    census-ranking operator (spearman / KS / AUC / Kaplan-Meier /
+    Gini): collect ONE |buckets|-row aggregate of the given
+    ``{name: column}`` sums, fold each into ascending-bucket running
+    offsets, and return (``{name: map-literal Column}`` mapping
+    bucket id -> offset of everything in EARLIER buckets,
+    ``{name: grand total}``). Offsets keep their native type (int
+    counts stay exact int64 literals; float sums — e.g. log-domain
+    survival terms — stay doubles), so downstream arithmetic loses
+    nothing. One driver collect, bounded by the bucket count, serves
+    every requested sum at once.
+    """
+    aggs = [F.sum(c).alias(n) for n, c in sums.items()]
+    rows = cens.groupBy(bucket_col).agg(*aggs).collect()
+    rows.sort(key=lambda r: r[bucket_col])
+    maps, totals = {}, {}
+    for n in sums:
+        off, run = {}, 0
+        for r in rows:
+            off[r[bucket_col]] = run
+            run = run + r[n]
+        if isinstance(run, float):   # float sums: homogeneous map
+            off = {b: float(o) for b, o in off.items()}
+        maps[n] = F.create_map(*[x for b, o in off.items()
+                                 for x in (F.lit(b), F.lit(o))])
+        totals[n] = run
+    return maps, totals

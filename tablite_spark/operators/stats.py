@@ -472,7 +472,9 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
 
     from pyspark import StorageLevel
 
-    from tablite_spark.functions.buckets import with_range_bucket
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
     base = df.select(*cols).filter(
         reduce(lambda a, b: a & b,
                [F.col(c).isNotNull() for c in cols]))
@@ -498,18 +500,11 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
              .rowsBetween(Window.unboundedPreceding,
                           Window.currentRow))
         vc = vc.withColumn("__cum__", F.sum("__c__").over(w))
-        tot = (vc.groupBy("__p__")
-               .agg(F.sum("__c__").alias("__t__"),
-                    F.count(F.lit(1)).alias("__nd__"))
-               .collect())                       # |buckets| rows
-        tot.sort(key=lambda r: r["__p__"])
-        off, run = {}, 0
-        for r in tot:
-            off[r["__p__"]] = run
-            run += r["__t__"]
-        ndistinct = sum(r["__nd__"] for r in tot)
-        omap = F.create_map(*[x for p, o in off.items()
-                              for x in (F.lit(p), F.lit(o))])
+        maps, totals = bucket_prefix_offsets(
+            vc, "__p__", {"__t__": F.col("__c__"),
+                          "__nd__": F.lit(1)})
+        omap = maps["__t__"]
+        ndistinct = totals["__nd__"]
         # strictly-smaller count = offset + cum - c; average rank of
         # a tie group of size c starting at min_rank is
         # min_rank + (c - 1)/2
@@ -586,7 +581,9 @@ def ks_test_2sample(df: DataFrame, group_col: str, val_col: str,
     """
     from pyspark.sql import Window
 
-    from tablite_spark.functions.buckets import with_range_bucket
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
     g, v = F.col(group_col), F.col(val_col)
     base = df.filter(v.isNotNull() & g.isin([group_a, group_b]))
     cens = (base.groupBy(v.alias("__v__"))
@@ -599,25 +596,15 @@ def ks_test_2sample(df: DataFrame, group_col: str, val_col: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cens = (cens.withColumn("__cuma__", F.sum("__ca__").over(w))
                 .withColumn("__cumb__", F.sum("__cb__").over(w)))
-    tot = (cens.groupBy("__p__")
-           .agg(F.sum("__ca__").alias("__ta__"),
-                F.sum("__cb__").alias("__tb__"))
-           .collect())                          # |buckets| rows
-    tot.sort(key=lambda r: r["__p__"])
-    offa, offb, run_a, run_b = {}, {}, 0, 0
-    for r in tot:
-        offa[r["__p__"]], offb[r["__p__"]] = run_a, run_b
-        run_a += r["__ta__"]
-        run_b += r["__tb__"]
-    na, nb = run_a, run_b
+    maps, totals = bucket_prefix_offsets(
+        cens, "__p__", {"__a__": F.col("__ca__"),
+                        "__b__": F.col("__cb__")})
+    na, nb = totals["__a__"], totals["__b__"]
     if na == 0 or nb == 0:
         raise ValueError(
             f"ks_test_2sample: group {'a' if na == 0 else 'b'} has "
             f"no non-null values")
-    oma = F.create_map(*[x for p, o in offa.items()
-                         for x in (F.lit(p), F.lit(o))])
-    omb = F.create_map(*[x for p, o in offb.items()
-                         for x in (F.lit(p), F.lit(o))])
+    oma, omb = maps["__a__"], maps["__b__"]
     fa = (oma[F.col("__p__")] + F.col("__cuma__")) / F.lit(float(na))
     fb = (omb[F.col("__p__")] + F.col("__cumb__")) / F.lit(float(nb))
     one = cens.agg(F.max(F.abs(fa - fb)).alias("__d__"))
@@ -817,7 +804,9 @@ def km_curve(df: DataFrame, duration_col: str,
     """
     from pyspark.sql import Window
 
-    from tablite_spark.functions.buckets import with_range_bucket
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
     t = F.col(duration_col)
     obs = (F.col(observed_col) if isinstance(observed_col, str)
            else observed_col).cast("boolean")
@@ -830,16 +819,10 @@ def km_curve(df: DataFrame, duration_col: str,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     both = F.col("__d__") + F.col("__c__")
     cens = cens.withColumn("__cum__", F.sum(both).over(w))
-    tot = (cens.groupBy("__b__").agg(F.sum(both).alias("__t2__"))
-           .collect())                           # |buckets| rows
-    tot.sort(key=lambda r: r["__b__"])
-    off, run = {}, 0
-    for r in tot:
-        off[r["__b__"]] = run
-        run += r["__t2__"]
-    n_total = run
-    omap = F.create_map(*[x for b, o in off.items()
-                          for x in (F.lit(b), F.lit(o))])
+    maps, totals = bucket_prefix_offsets(cens, "__b__",
+                                         {"__t2__": both})
+    n_total = totals["__t2__"]
+    omap = maps["__t2__"]
     n_risk = (F.lit(n_total) - (omap[F.col("__b__")]
                                 + F.col("__cum__")) + both)
     # d == n_risk (everyone remaining dies at the last event time)
@@ -854,15 +837,9 @@ def km_curve(df: DataFrame, duration_col: str,
             .otherwise(0.0))
     cens = (cens.withColumn("__nr__", n_risk)
             .withColumn("__lcum__", F.sum(term).over(w)))
-    ltot = (cens.groupBy("__b__")
-            .agg(F.sum(term).alias("__lt__")).collect())
-    ltot.sort(key=lambda r: r["__b__"])
-    loff, lrun = {}, 0.0
-    for r in ltot:
-        loff[r["__b__"]] = lrun
-        lrun += r["__lt__"]
-    lmap = F.create_map(*[x for b, o in loff.items()
-                          for x in (F.lit(b), F.lit(float(o)))])
+    lmaps, _ = bucket_prefix_offsets(cens, "__b__",
+                                     {"__lt__": term})
+    lmap = lmaps["__lt__"]
     surv = F.exp(lmap[F.col("__b__")] + F.col("__lcum__"))
     return (cens.filter(F.col("__d__") > 0)
             .select(F.col("__t__").alias("duration"),
@@ -891,7 +868,9 @@ def inequality_metrics(df: DataFrame, col: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from tablite_spark.functions.buckets import with_range_bucket
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
     v = F.col(col).cast("double")
     bad = df.filter(v < 0).limit(1).collect()
     if bad:
@@ -904,18 +883,12 @@ def inequality_metrics(df: DataFrame, col: str) -> DataFrame:
     w = (Window.partitionBy("__b__").orderBy("__v__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cens = cens.withColumn("__cum__", F.sum("__c__").over(w))
-    tot = (cens.groupBy("__b__").agg(F.sum("__c__").alias("__t__"))
-           .collect())
-    tot.sort(key=lambda r: r["__b__"])
-    off, run = {}, 0
-    for r in tot:
-        off[r["__b__"]] = run
-        run += r["__t__"]
-    n = run
+    maps, totals = bucket_prefix_offsets(cens, "__b__",
+                                         {"__t__": F.col("__c__")})
+    n = totals["__t__"]
     if n == 0:
         raise ValueError("inequality_metrics: no non-null values")
-    omap = F.create_map(*[x for b, o in off.items()
-                          for x in (F.lit(b), F.lit(o))])
+    omap = maps["__t__"]
     avg_rank = (omap[F.col("__b__")] + F.col("__cum__")
                 - F.col("__c__") + (F.col("__c__") + 1) / 2.0)
     c = F.col("__c__")

@@ -39,7 +39,9 @@ def binary_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from tablite_spark.functions.buckets import with_range_bucket
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
     s = F.col(score_col).cast("double")
     y = (F.col(label_col) if isinstance(label_col, str)
          else label_col).cast("boolean")
@@ -51,23 +53,15 @@ def binary_auc(df: DataFrame, score_col: str, label_col) -> DataFrame:
     w = (Window.partitionBy("__b__").orderBy("__s__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cens = cens.withColumn("__cum__", F.sum("__c__").over(w))
-    tot = (cens.groupBy("__b__")
-           .agg(F.sum("__c__").alias("__t__"),
-                F.sum("__p__").alias("__tp__"))
-           .collect())                           # |buckets| rows
-    tot.sort(key=lambda r: r["__b__"])
-    off, run = {}, 0
-    n_pos = sum(r["__tp__"] for r in tot)
-    n_all = sum(r["__t__"] for r in tot)
-    n_neg = n_all - n_pos
+    maps, totals = bucket_prefix_offsets(
+        cens, "__b__", {"__t__": F.col("__c__"),
+                        "__tp__": F.col("__p__")})
+    n_pos = totals["__tp__"]
+    n_neg = totals["__t__"] - n_pos
     if n_pos == 0 or n_neg == 0:
         raise ValueError("binary_auc needs both classes present "
                          f"(n_pos={n_pos}, n_neg={n_neg})")
-    for r in tot:
-        off[r["__b__"]] = run
-        run += r["__t__"]
-    omap = F.create_map(*[x for b, o in off.items()
-                          for x in (F.lit(b), F.lit(o))])
+    omap = maps["__t__"]
     avg_rank = (omap[F.col("__b__")] + F.col("__cum__")
                 - F.col("__c__") + (F.col("__c__") + 1) / 2.0)
     spr = cens.agg(F.sum(avg_rank * F.col("__p__"))
