@@ -141,6 +141,15 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "gini_orders",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -664,7 +673,11 @@ def main() -> None:
                   "km_survival_events", "q7_volume_shipping",
                   "q8_market_share", "q10_returned_items",
                   "q13_customer_distribution", "q15_top_supplier",
-                  "gini_orders"}
+                  "gini_orders", "q2_min_cost_supplier",
+                  "q9_product_profit", "q11_important_parts",
+                  "q12_late_shipments", "q16_supplier_part_counts",
+                  "q17_small_qty_revenue", "q20_promo_suppliers",
+                  "q21_waiting_suppliers", "q22_dormant_customers"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -580,3 +580,87 @@ def test_q10_sort_over_summary_only(spark, qs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:1200]
     assert broadcast_join_count(out) >= 2
+
+
+def test_q2_no_correlated_subquery_no_cartesian(spark, qs):
+    """Q2's correlated min must compile to aggregate + equi join
+    back (never a per-row subquery or nested loop); part/supplier
+    dims broadcast and the p_type filter reaches the part scan."""
+    out = qs["q2_min_cost_supplier"](spark, SF)
+    pushed = " ".join(pushed_filters(out))
+    assert "p_type" in pushed or "p_size" in pushed, pushed
+    assert broadcast_join_count(out) >= 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q9_dims_broadcast_filter_pushed(spark, qs):
+    """Q9: the 'red' name filter prunes part BEFORE its broadcast
+    join; supplier and nation broadcast too — the lineitem chain
+    shuffles only for the final groupBy."""
+    out = qs["q9_product_profit"](spark, SF)
+    pushed = " ".join(pushed_filters(out))
+    assert "p_name" in pushed, pushed
+    assert broadcast_join_count(out) >= 3
+    # one shuffle: the nation×year aggregate
+    assert shuffle_count(out) <= 2
+
+
+def test_q11_single_scan_reused_for_threshold(spark, qs):
+    """Q11's global threshold must reuse the per-part value
+    aggregate's exchange (ReusedExchange under AQE), never a second
+    lineitem scan; the 1-row threshold joins as broadcast."""
+    out = qs["q11_important_parts"](spark, SF)
+    out.collect()
+    # under AQE the reuse decision lands in the FINAL adaptive plan
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_broadcast_distinct_agg(spark, qs):
+    """Q16: the excluded-supplier anti join must broadcast
+    (|suppliers| rows) and the size/brand/type filters reach the
+    part scan."""
+    out = qs["q16_supplier_part_counts"](spark, SF)
+    pushed = " ".join(pushed_filters(out))
+    assert "p_size" in pushed, pushed
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in ex and "LeftAnti" in ex, ex[:1500]
+
+
+def test_q17_avg_join_back_broadcast(spark, qs):
+    """Q17's correlated 0.2*avg becomes a |parts|-row broadcast join
+    back over the already-filtered lineitems — never a per-row
+    subquery, never a second full lineitem scan without the part
+    prune."""
+    out = qs["q17_small_qty_revenue"](spark, SF)
+    assert broadcast_join_count(out) >= 2
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in ex
+
+
+def test_q21_one_lineitem_pass_no_self_join(spark, qs):
+    """Q21's EXISTS/NOT-EXISTS pair must be the per-order aggregate
+    reformulation: exactly ONE lineitem scan (never the classic
+    triple self-join) and no cartesian."""
+    out = qs["q21_waiting_suppliers"](spark, SF)
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("Scan parquet") <= 3, ex[:1500]  # li + orders + supplier
+    assert "CartesianProduct" not in ex
+
+
+def test_q22_anti_join_not_forced_broadcast(spark, qs):
+    """Q22: the recent-buyer anti join must remain a plain join the
+    optimizer sizes (shuffle at 100 TB, AQE-broadcast at small SF) —
+    the plan must NOT carry a user-forced broadcast hint on the
+    corpus-sized side; the 1-row avg IS broadcast."""
+    out = qs["q22_dormant_customers"](spark, SF)
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in ex, ex[:1200]
+    assert "CartesianProduct" not in ex
