@@ -2071,9 +2071,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     out = oe.join(F.broadcast(mn),
                   (F.col("p_partkey") == F.col("mk"))
                   & (F.col("unit_cost") == F.col("mn_cost")))
+    # unit_cost is emitted UNROUNDED: both engines divide the same
+    # doubles (IEEE division is deterministic), so the values are
+    # bit-identical — while ROUND would tie-break dyadic quotients
+    # like .8125 differently (Spark HALF_UP vs DuckDB), the exact
+    # flake class the sf0.1 audit caught.
     return out.select("s_acctbal", "s_name", "n_name", "p_partkey",
-                      F.round(F.col("unit_cost"), 6)
-                      .alias("unit_cost"))
+                      "unit_cost")
 
 
 def q9_product_profit(spark: SparkSession, sf: str) -> DataFrame:
@@ -2108,9 +2112,10 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
     Per-part value is ONE combinable groupBy; the global threshold is
     a 1-row aggregate of the SAME frame crossJoin-broadcast back —
     Catalyst materializes the value aggregate once (ReusedExchange),
-    never a second corpus scan. Threshold comparison audited: min
-    |value-thr| at sf0.01 is ~7e2, 14 orders of magnitude above
-    double ulp. Oracle: scalar subquery."""
+    never a second corpus scan. The 2x-mean threshold is
+    scale-free (a fixed corpus fraction empties at 10x the parts);
+    boundary audited: min |value-thr| is 2e2 at sf0.01 / 0.5 at
+    sf0.1, >=1e3x above the ~1e-4 summation noise. Oracle: scalar subquery."""
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation")
@@ -2123,7 +2128,7 @@ def q11_important_parts(spark: SparkSession, sf: str) -> DataFrame:
            .groupBy("l_partkey")
            .agg(F.sum(F.col("l_extendedprice")
                       * (1 - F.col("l_discount"))).alias("value_")))
-    thr = val.agg((F.sum("value_") * 0.002).alias("thr_"))
+    thr = val.agg((F.avg("value_") * 2.0).alias("thr_"))
     out = (val.crossJoin(F.broadcast(thr))
            .filter(F.col("value_") > F.col("thr_")))
     return out.select(F.col("l_partkey").alias("p_partkey"),
@@ -7216,8 +7221,7 @@ def _oracle_sql_base() -> dict[str, str]:
                   AND p_size <= 10
             )
             SELECT s_acctbal, s_name, n_name,
-                   l_partkey AS p_partkey,
-                   ROUND(unit_cost, 6) + 0 AS unit_cost
+                   l_partkey AS p_partkey, unit_cost + 0 AS unit_cost
             FROM oe
             WHERE unit_cost = (SELECT min(unit_cost) FROM oe i
                                WHERE i.l_partkey = oe.l_partkey)
@@ -7248,7 +7252,7 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT l_partkey AS p_partkey,
                    ROUND(value, 4) + 0 AS value
             FROM val
-            WHERE value > (SELECT sum(value) * 0.002 FROM val)
+            WHERE value > (SELECT avg(value) * 2 FROM val)
         """,
         "q12_late_shipments": """
             SELECT l_linestatus,
