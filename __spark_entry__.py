@@ -2294,6 +2294,67 @@ def q22_dormant_customers(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("t_"), 4).alias("totacctbal"))
 
 
+def cusum_events(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM changepoint over the events value series (ordered by
+    ts): census groupBy + DISTRIBUTED prefix sums (range buckets +
+    in-bucket windows + ONE |buckets|-row offset collect) + a single
+    max(struct) argmax with the exact integer index as tiebreak —
+    never a global-order window. Top-2 |S| gap audited: 37.5 at
+    sf0.01 / 3.0 at sf0.1, >=1e9x the cross-engine summation drift,
+    so the argmax cannot flip. Oracle: DuckDB window cumsum +
+    ORDER BY abs LIMIT 1."""
+    from tablite_spark.operators.timeseries import cusum_changepoint
+    ev = _t(spark, sf, "events")
+    out = cusum_changepoint(ev, "ts", "value")
+    return out.select("n", F.round(F.col("mean"), 4).alias("mean"),
+                      "cp_index", "cp_at",
+                      F.round(F.col("cusum"), 4).alias("cusum"),
+                      F.round(F.col("cusum_abs"), 4)
+                      .alias("cusum_abs"))
+
+
+def expectations_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data-quality audit over orders: six rules
+    (not-null key, totalprice range, status membership, priority
+    pattern, unique key, positive price) verified in ONE combinable
+    aggregation pass — one corpus scan for the whole contract, one
+    row per rule. pass_rate is an exact integer ratio
+    (bit-identical). Oracle: per-rule CASE sums UNION ALL."""
+    from tablite_spark.operators.expect import expectations
+    o = _t(spark, sf, "orders")
+    rules = [
+        {"rule": "custkey_not_null", "column": "o_custkey",
+         "check": "not_null"},
+        {"rule": "totalprice_range", "column": "o_totalprice",
+         "check": "between", "low": 0.0, "high": 1e6},
+        {"rule": "status_in_set", "column": "o_orderstatus",
+         "check": "in_set", "values": ["F", "O", "P"]},
+        {"rule": "priority_pattern", "column": "o_orderpriority",
+         "check": "regex", "pattern": "^[1-5]-"},
+        {"rule": "orderkey_unique", "column": "o_orderkey",
+         "check": "unique"},
+        {"rule": "price_positive", "column": "o_totalprice",
+         "check": "min", "value": 0.01},
+    ]
+    return expectations(o, rules)
+
+
+def feature_scale_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/IQR) feature scaling of lineitem measures: the
+    fit is ONE aggregation (exact percentile interpolation —
+    bit-identical cross-engine on identical doubles, the
+    group_quantiles precedent), broadcast back as a 1-row crossJoin;
+    the transform is row-local codegen arithmetic, emitted UNROUNDED
+    because subtraction/division of identical doubles is
+    deterministic. Oracle: percentile_cont scalar subqueries."""
+    from tablite_spark.pipeline.features import feature_scale
+    li = _t(spark, sf, "lineitem")
+    out = feature_scale(li, ["l_quantity", "l_extendedprice"],
+                        method="robust")
+    return out.select("l_orderkey", "l_linenumber",
+                      "l_quantity_scaled", "l_extendedprice_scaled")
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4440,6 +4501,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_promo_suppliers": q20_promo_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_dormant_customers": q22_dormant_customers,
+        "cusum_events": cusum_events,
+        "expectations_orders": expectations_orders,
+        "feature_scale_lineitem": feature_scale_lineitem,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7330,6 +7394,100 @@ def _oracle_sql_base() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= '2000-01-01')
             GROUP BY 1
+        """,
+        "cusum_events": """
+            WITH c AS (
+                SELECT ts AS t, sum(value) AS x, count(*) AS nn
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), m AS (
+                SELECT sum(x) AS sx, sum(nn) AS sn FROM c
+            ), w AS (
+                SELECT t, sum(x) OVER (ORDER BY t) AS cx,
+                       sum(nn) OVER (ORDER BY t) AS cn
+                FROM c
+            ), s AS (
+                SELECT t, cn,
+                       cx - (SELECT sx / sn FROM m) * cn AS s
+                FROM w
+            )
+            SELECT (SELECT sn FROM m) AS n,
+                   ROUND((SELECT sx / sn FROM m), 4) + 0 AS mean,
+                   cn AS cp_index, t AS cp_at,
+                   ROUND(s, 4) + 0 AS cusum,
+                   ROUND(abs(s), 4) + 0 AS cusum_abs
+            FROM s ORDER BY abs(s) DESC, cn LIMIT 1
+        """,
+        "expectations_orders": """
+            WITH agg AS (
+                SELECT count(*) AS n,
+                       sum(CASE WHEN o_custkey IS NULL
+                           THEN 1 ELSE 0 END) AS v1,
+                       sum(CASE WHEN o_totalprice IS NOT NULL
+                                AND o_totalprice NOT BETWEEN
+                                    0.0 AND 1000000.0
+                           THEN 1 ELSE 0 END) AS v2,
+                       sum(CASE WHEN o_orderstatus IS NOT NULL
+                                AND o_orderstatus NOT IN
+                                    ('F', 'O', 'P')
+                           THEN 1 ELSE 0 END) AS v3,
+                       sum(CASE WHEN o_orderpriority IS NOT NULL
+                                AND NOT regexp_matches(
+                                    o_orderpriority, '^[1-5]-')
+                           THEN 1 ELSE 0 END) AS v4,
+                       count(o_orderkey)
+                           - count(DISTINCT o_orderkey) AS v5,
+                       sum(CASE WHEN o_totalprice IS NOT NULL
+                                AND o_totalprice < 0.01
+                           THEN 1 ELSE 0 END) AS v6
+                FROM orders
+            )
+            SELECT r.rule, r.col AS column, agg.n AS n_rows,
+                   CASE r.rule
+                       WHEN 'custkey_not_null' THEN v1
+                       WHEN 'totalprice_range' THEN v2
+                       WHEN 'status_in_set' THEN v3
+                       WHEN 'priority_pattern' THEN v4
+                       WHEN 'orderkey_unique' THEN v5
+                       ELSE v6 END AS violations,
+                   CASE WHEN agg.n > 0 THEN
+                       CAST(agg.n - (CASE r.rule
+                           WHEN 'custkey_not_null' THEN v1
+                           WHEN 'totalprice_range' THEN v2
+                           WHEN 'status_in_set' THEN v3
+                           WHEN 'priority_pattern' THEN v4
+                           WHEN 'orderkey_unique' THEN v5
+                           ELSE v6 END) AS DOUBLE) / agg.n
+                   END AS pass_rate
+            FROM agg, (VALUES
+                ('custkey_not_null', 'o_custkey'),
+                ('totalprice_range', 'o_totalprice'),
+                ('status_in_set', 'o_orderstatus'),
+                ('priority_pattern', 'o_orderpriority'),
+                ('orderkey_unique', 'o_orderkey'),
+                ('price_positive', 'o_totalprice'))
+                AS r(rule, col)
+        """,
+        "feature_scale_lineitem": """
+            WITH st AS (
+                SELECT quantile_cont(l_quantity, 0.5) AS mq,
+                       quantile_cont(l_quantity, 0.75)
+                           - quantile_cont(l_quantity, 0.25) AS sq,
+                       quantile_cont(l_extendedprice, 0.5) AS mp,
+                       quantile_cont(l_extendedprice, 0.75)
+                           - quantile_cont(l_extendedprice, 0.25)
+                           AS sp
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN sq > 0
+                        THEN (l_quantity - mq) / sq END
+                       AS l_quantity_scaled,
+                   CASE WHEN sp > 0
+                        THEN (l_extendedprice - mp) / sp END
+                       AS l_extendedprice_scaled
+            FROM lineitem, st
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -150,6 +150,9 @@ BENCH_QUERIES = [
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "cusum_events",
+    "expectations_orders",
+    "feature_scale_lineitem",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -677,7 +680,9 @@ def main() -> None:
                   "q9_product_profit", "q11_important_parts",
                   "q12_late_shipments", "q16_supplier_part_counts",
                   "q17_small_qty_revenue", "q20_promo_suppliers",
-                  "q21_waiting_suppliers", "q22_dormant_customers"}
+                  "q21_waiting_suppliers", "q22_dormant_customers",
+                  "cusum_events", "expectations_orders",
+                  "feature_scale_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -1,0 +1,91 @@
+"""Declarative data-quality expectations — a one-scan constraint
+audit over a DataFrame.
+
+Ref parity: tablite validates per-cell on import (``column_select``'s
+cast-with-reject, reference ``tablite/redux.py`` filter semantics);
+this module is the beyond-reference batch twin a 100 TB ingest
+pipeline needs: assert a CONTRACT over a whole table (null rates,
+ranges, membership, patterns, uniqueness) and get one auditable row
+per rule without re-scanning the corpus per rule.
+
+Scale shape: every row-local rule compiles to a conditional-sum
+column of ONE combinable aggregation — k rules cost ONE corpus scan
+and a 1-row result, unpivoted driver-side-free via ``stack``.
+``unique`` rules ride the same aggregate as ``count - countDistinct``
+(two-phase partial distinct, map-side deduped). No collects, no
+joins, no windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["expectations"]
+
+
+def _violation(rule: dict) -> Column:
+    """Row-level violation indicator (1/0) for one rule. NULLs only
+    violate ``not_null`` — range/set/pattern checks skip NULL cells
+    (compose with a not_null rule to forbid them), mirroring SQL
+    three-valued logic so the DuckDB oracle is the same CASE."""
+    c = F.col(rule["column"])
+    kind = rule["check"]
+    if kind == "not_null":
+        cond = c.isNull()
+    elif kind == "min":
+        cond = c.isNotNull() & (c < F.lit(rule["value"]))
+    elif kind == "max":
+        cond = c.isNotNull() & (c > F.lit(rule["value"]))
+    elif kind == "between":
+        lo, hi = rule["low"], rule["high"]
+        cond = c.isNotNull() & ~c.between(F.lit(lo), F.lit(hi))
+    elif kind == "in_set":
+        cond = c.isNotNull() & ~c.isin(*rule["values"])
+    elif kind == "regex":
+        cond = c.isNotNull() & ~c.rlike(rule["pattern"])
+    elif kind == "where":          # arbitrary boolean Column
+        cond = ~rule["condition"]
+    else:
+        raise ValueError(f"unknown expectation check: {kind!r}")
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Audit ``rules`` over ``df`` in one pass. Each rule is a dict:
+    ``{"rule": name, "column": col, "check": kind, ...params}`` with
+    kinds ``not_null`` / ``min`` / ``max`` / ``between`` / ``in_set``
+    / ``regex`` / ``unique`` / ``where``. Returns one row per rule:
+    (rule, column, n_rows, violations, pass_rate) — pass_rate an
+    exact integer ratio (bit-identical cross-engine).
+    """
+    if not rules:
+        raise ValueError("expectations requires at least one rule")
+    names = [r["rule"] for r in rules]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate rule names")
+    aggs = [F.count(F.lit(1)).alias("__n__")]
+    for k, r in enumerate(rules):
+        if r["check"] == "unique":
+            c = F.col(r["column"])
+            v = F.count(c) - F.countDistinct(c)
+        else:
+            v = _violation(r)
+        # sum over an EMPTY table is NULL — an empty table violates
+        # nothing, so fold to 0
+        aggs.append(F.coalesce(v.cast("long"), F.lit(0))
+                    .alias(f"__v{k}__"))
+    one = df.agg(*aggs)
+    structs = [F.struct(F.lit(r["rule"]).alias("rule"),
+                        F.lit(r["column"]).alias("column"),
+                        F.col(f"__v{k}__").alias("violations"))
+               for k, r in enumerate(rules)]
+    out = (one.select(F.col("__n__").alias("n_rows"),
+                      F.explode(F.array(*structs)).alias("p"))
+           .select("p.rule", F.col("p.column").alias("column"),
+                   "n_rows", "p.violations"))
+    return out.withColumn(
+        "pass_rate",
+        F.when(F.col("n_rows") > 0,
+               (F.col("n_rows") - F.col("violations")).cast("double")
+               / F.col("n_rows")).otherwise(F.lit(None)))

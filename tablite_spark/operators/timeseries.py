@@ -707,3 +707,63 @@ def attribute_conversions(df: DataFrame, key_col: str, ts_col: str,
     return (conv.groupBy("channel")
             .agg(F.count(F.lit(1)).alias("n_conversions"),
                  F.sum("__v__").alias("attributed_value")))
+
+
+def cusum_changepoint(df: DataFrame, order_col: str,
+                      val_col: str) -> DataFrame:
+    """CUSUM changepoint detection: over the series ordered by
+    ``order_col``, compute the centered cumulative sum
+    S_i = Σ_{j<=i}(x_j - x̄) and return the single point where |S|
+    peaks — the classic level-shift locator (the peak of the CUSUM
+    walk is the maximum-likelihood split for a one-change mean
+    model). One row: (n, mean, cp_index, cp_at, cusum, cusum_abs).
+    Ref parity: tablite has no changepoint op — beyond-reference,
+    motivated by drift detection over training-data ingest logs.
+
+    Scale shape — the spearman/KM census discipline: the corpus
+    collapses in ONE combinable groupBy(order) census; the prefix
+    sums of (Σx, Σn) run DISTRIBUTED (deterministic range buckets +
+    in-bucket running windows + ONE |buckets|-row offset collect
+    serving both sums); the argmax is a single max(struct) aggregate
+    with the global row index as an exact-integer tiebreak (smallest
+    index wins a |S| tie) — never a global-order window, never a
+    driver-side series. Duplicate order keys merge into one census
+    point (their joint contribution lands at that position).
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
+    t, x = F.col(order_col), F.col(val_col)
+    cens = (df.filter(t.isNotNull() & x.isNotNull())
+            .groupBy(t.alias("__t__"))
+            .agg(F.sum(x).alias("__x__"),
+                 F.count(F.lit(1)).alias("__n__")))
+    cens = with_range_bucket(cens, "__t__", "__b__")
+    w = (Window.partitionBy("__b__").orderBy("__t__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cens = (cens.withColumn("__cx__", F.sum("__x__").over(w))
+            .withColumn("__cn__", F.sum("__n__").over(w)))
+    maps, totals = bucket_prefix_offsets(
+        cens, "__b__", {"x": F.col("__x__"), "n": F.col("__n__")})
+    n_total, x_total = totals["n"], totals["x"]
+    if n_total == 0:
+        return cens.sparkSession.createDataFrame(
+            [], "n long, mean double, cp_index long, "
+                "cp_at " + dict(df.dtypes)[order_col]
+                + ", cusum double, cusum_abs double")
+    mean = float(x_total) / float(n_total)
+    b = F.col("__b__")
+    i = maps["n"][b] + F.col("__cn__")          # exact global index
+    s = (maps["x"][b] + F.col("__cx__")) - F.lit(mean) * i
+    peak = cens.agg(F.max(F.struct(
+        F.abs(s).alias("a"), (-i).alias("ni"), s.alias("s"),
+        i.alias("i"), F.col("__t__").alias("t"))).alias("p"))
+    return peak.select(
+        F.lit(int(n_total)).alias("n"),
+        F.lit(mean).alias("mean"),
+        F.col("p.i").alias("cp_index"),
+        F.col("p.t").alias("cp_at"),
+        F.col("p.s").alias("cusum"),
+        F.col("p.a").alias("cusum_abs"))

@@ -83,3 +83,52 @@ def target_encode(df: DataFrame, cat_col: str, target_col: str,
             & fold.eqNullSafe(F.col("__fold__")))
     return (df.join(summ, cond, "left")
             .drop("__cat__", "__fold__"))
+
+
+def feature_scale(df: DataFrame, cols: list[str],
+                  method: str = "zscore",
+                  suffix: str = "_scaled") -> DataFrame:
+    """Fit-and-transform feature scaling over numeric columns —
+    ``zscore`` ((x-μ)/σ), ``minmax`` ((x-min)/(max-min)), or
+    ``robust`` ((x-median)/IQR). Appends ``<col><suffix>`` columns;
+    degenerate denominators (constant column) yield NULL, never an
+    ANSI error. Beyond-reference: the ML-preprocessing staple a
+    feature pipeline needs before k-means/ANN (ref tablite stops at
+    per-column statistics, tablite/statistics.py).
+
+    Scale shape: the fit is ONE combinable aggregation over all
+    columns at once (1-row result, broadcast back via crossJoin);
+    the transform is row-local arithmetic in whole-stage codegen.
+    minmax and robust are bit-identical cross-engine (exact extrema
+    / percentile_cont interpolation of identical doubles); zscore's
+    μ/σ carry summation-order noise, so round zscore outputs at an
+    oracle boundary.
+    """
+    if method not in ("zscore", "minmax", "robust"):
+        raise ValueError(f"unknown scaling method: {method!r}")
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        if method == "zscore":
+            aggs += [F.avg(x).alias(f"__m_{c}__"),
+                     F.stddev_pop(x).alias(f"__s_{c}__")]
+        elif method == "minmax":
+            aggs += [F.min(x).alias(f"__m_{c}__"),
+                     (F.max(x) - F.min(x)).alias(f"__s_{c}__")]
+        else:
+            med = F.percentile(x, F.lit(0.5))
+            iqr = (F.percentile(x, F.lit(0.75))
+                   - F.percentile(x, F.lit(0.25)))
+            aggs += [med.alias(f"__m_{c}__"),
+                     iqr.alias(f"__s_{c}__")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        denom = F.col(f"__s_{c}__")
+        out = out.withColumn(
+            c + suffix,
+            F.when(denom > 0,
+                   (F.col(c) - F.col(f"__m_{c}__")) / denom)
+            .otherwise(F.lit(None)))
+    return out.drop(*[f"__m_{c}__" for c in cols],
+                    *[f"__s_{c}__" for c in cols])
