@@ -2355,6 +2355,35 @@ def feature_scale_lineitem(spark: SparkSession, sf: str) -> DataFrame:
                       "l_quantity_scaled", "l_extendedprice_scaled")
 
 
+def weighted_quantiles_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted quantiles of extendedprice weighted by quantity:
+    census groupBy + the shared distributed prefix-sum primitive +
+    one explode-filter argmin per q — never a global-order window.
+    Quantities are integer-valued, so cumulative weights are EXACT
+    integers and every q·W comparison is bit-identical cross-engine
+    (no rounding anywhere). Oracle: DuckDB cumulative-weight window
+    formula."""
+    from tablite_spark.operators.stats import weighted_quantiles
+    li = _t(spark, sf, "lineitem")
+    return weighted_quantiles(li, "l_extendedprice", "l_quantity",
+                              [0.25, 0.5, 0.75, 0.95])
+
+
+def seasonal_anomalies_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly screen over event values: scan 1
+    pools within-hour variance from per-hour (n, Σx, Σx²) moments —
+    24 rows, no residual materialization pass; scan 2 joins the
+    broadcast hour means back and filters |resid| > 3σ row-locally.
+    Boundary audited: min ||resid|-3σ| = 0.033 at sf0.01, ~3e7x the
+    summation drift. Oracle: same pooled-variance SQL."""
+    from tablite_spark.operators.stats import seasonal_anomalies
+    ev = _t(spark, sf, "events")
+    out = seasonal_anomalies(ev, "ts", "value", period="hour", k=3.0)
+    return out.select("event_id", "value",
+                      F.round(F.col("expected"), 4).alias("expected"),
+                      F.round(F.col("z"), 4).alias("z"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4504,6 +4533,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_events": cusum_events,
         "expectations_orders": expectations_orders,
         "feature_scale_lineitem": feature_scale_lineitem,
+        "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
+        "seasonal_anomalies_events": seasonal_anomalies_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7488,6 +7519,40 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN (l_extendedprice - mp) / sp END
                        AS l_extendedprice_scaled
             FROM lineitem, st
+        """,
+        "weighted_quantiles_lineitem": """
+            WITH c AS (
+                SELECT l_extendedprice AS v,
+                       sum(l_quantity) AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                  AND l_quantity IS NOT NULL AND l_quantity > 0
+                GROUP BY 1
+            ), w2 AS (
+                SELECT v, sum(w) OVER (ORDER BY v) AS cw FROM c
+            ), t AS (SELECT sum(w) AS tw FROM c)
+            SELECT q.q, min(v) AS value
+            FROM w2, t,
+                 (VALUES (0.25), (0.5), (0.75), (0.95)) q(q)
+            WHERE cw >= q.q * t.tw
+            GROUP BY 1
+        """,
+        "seasonal_anomalies_events": """
+            WITH m AS (
+                SELECT hour(ts) AS p, count(*) AS n,
+                       sum(value) AS s,
+                       sum(value * value) AS ssq
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY 1
+            ), g AS (
+                SELECT sum(ssq - s * s / n) / sum(n) AS varr FROM m
+            )
+            SELECT event_id, value,
+                   ROUND(s / n, 4) + 0 AS expected,
+                   ROUND((value - s / n) / sqrt(varr), 4) + 0 AS z
+            FROM events e JOIN m ON hour(e.ts) = m.p, g
+            WHERE abs(value - s / n) > 3 * sqrt(varr)
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -153,6 +153,8 @@ BENCH_QUERIES = [
     "cusum_events",
     "expectations_orders",
     "feature_scale_lineitem",
+    "weighted_quantiles_lineitem",
+    "seasonal_anomalies_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -182,6 +184,29 @@ COMPACT_LINE_SHED = {
     # 0.33/0.35 over its 2 rounds; none are BASELINE.md rows):
     "ohlc_resample_events", "funnel_events", "phrase_search_docs",
     "batched_topk_embeddings", "ab_welch_events",
+    # round-11 curation: the full TPC-H suite + the r10/r11 stat rows
+    # pushed the printed line past the 2000-char window and the
+    # last-resort truncation started dropping BASELINE-comparable rows
+    # (synth_order_1m_save/load) arbitrarily. These rows are all flat
+    # sub-0.6 s shapes whose full min-of-2 + loadavg stamps live in the
+    # committed BENCH_META file every round; the printed line keeps the
+    # baseline-comparable io/synth rows, every multi-second row, and
+    # the newest never-benched entries.
+    "confusion_events", "calibration_events", "benford_orders",
+    "ols_lineitem", "chi2_docs", "mutual_info_docs",
+    "attribution_events", "group_quantiles_events",
+    "equidepth_hist_events", "markov_events", "path_ngrams_events",
+    "target_encode_orders", "corr_matrix_lineitem",
+    "retention_cohorts_events", "trigram_substring_docs",
+    "winnow_fps_docs", "acf_events", "outliers_mad_events",
+    "q12_late_shipments", "q13_customer_distribution",
+    "q15_top_supplier", "q17_small_qty_revenue",
+    "q22_dormant_customers", "q9_product_profit",
+    "q11_important_parts", "q16_supplier_part_counts",
+    "q20_promo_suppliers", "q10_returned_items",
+    "q7_volume_shipping", "q8_market_share", "expectations_orders",
+    "ks_test_events", "heavy_hitters_docs", "gini_orders",
+    "auc_events", "km_survival_events",
 }
 
 
@@ -682,7 +707,9 @@ def main() -> None:
                   "q17_small_qty_revenue", "q20_promo_suppliers",
                   "q21_waiting_suppliers", "q22_dormant_customers",
                   "cusum_events", "expectations_orders",
-                  "feature_scale_lineitem"}
+                  "feature_scale_lineitem",
+                  "weighted_quantiles_lineitem",
+                  "seasonal_anomalies_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -908,3 +908,100 @@ def inequality_metrics(df: DataFrame, col: str) -> DataFrame:
     return agg.select(F.lit(n).cast("long").alias("n"),
                       mean.alias("mean"), gini.alias("gini"),
                       theil.alias("theil"))
+
+
+def weighted_quantiles(df: DataFrame, val_col: str,
+                       weight_col, qs: list[float]) -> DataFrame:
+    """Weighted quantiles: for each q return the smallest value v
+    whose cumulative weight reaches q·W (the lower weighted-quantile
+    convention). ``weight_col`` is a name or Column; NULL values /
+    weights and non-positive weights are excluded. One row per q:
+    (q, value). Beyond-reference: the frequency-table quantile a
+    token-count or row-multiplicity census needs without exploding
+    weights into rows.
+
+    Scale shape — the census discipline: ONE combinable
+    groupBy(value) weight census, a DISTRIBUTED cumulative weight
+    (range buckets + in-bucket running sums + ONE |buckets|-row
+    offset collect via :func:`bucket_prefix_offsets`), then each q
+    selects min(value | cw >= q·W) in ONE explode+filter aggregate
+    over the census — never a global-order window, never all qs as
+    separate jobs. With integer weights every comparison is exact
+    cross-engine (integer cumulative sums).
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
+    if not qs:
+        raise ValueError("weighted_quantiles requires at least one q")
+    if any(q <= 0 or q > 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    v = F.col(val_col)
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col)
+    cens = (df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+            .groupBy(v.alias("__v__"))
+            .agg(F.sum(w).alias("__w__")))
+    cens = with_range_bucket(cens, "__v__", "__b__")
+    win = (Window.partitionBy("__b__").orderBy("__v__")
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow))
+    cens = cens.withColumn("__cw__", F.sum("__w__").over(win))
+    maps, totals = bucket_prefix_offsets(cens, "__b__",
+                                         {"w": F.col("__w__")})
+    total = totals["w"]
+    cw = maps["w"][F.col("__b__")] + F.col("__cw__")
+    qarr = F.array(*[F.lit(float(q)) for q in sorted(set(qs))])
+    return (cens.withColumn("__gcw__", cw)
+            .select("__v__", "__gcw__",
+                    F.explode(qarr).alias("q"))
+            .filter(F.col("__gcw__") >= F.col("q") * F.lit(total))
+            .groupBy("q")
+            .agg(F.min("__v__").alias("value")))
+
+
+def seasonal_anomalies(df: DataFrame, ts_col: str, val_col: str,
+                       period: str = "hour",
+                       k: float = 3.0) -> DataFrame:
+    """Seasonal anomaly detection: model value as its seasonal-bucket
+    mean (hour-of-day / day-of-week / day-of-month), pool the
+    within-bucket variance into one residual σ, and return the rows
+    where |value − seasonal mean| > k·σ with their z-scores.
+    Beyond-reference: the drift/outage screen an ingest-volume or
+    metrics table needs.
+
+    Scale shape: TWO corpus scans total — scan 1 is one combinable
+    groupBy over the ≤31-row seasonal key collecting (n, Σx, Σx²)
+    per bucket, from which the pooled residual variance
+    Σ_b(ssq_b − s_b²/n_b)/N is assembled on ≤31 rows (no residual
+    materialization pass); scan 2 joins the broadcast bucket means
+    back and filters row-locally. Never a window, never a third
+    pass.
+    """
+    part_fn = {"hour": F.hour, "dow": F.dayofweek,
+               "dom": F.dayofmonth}.get(period)
+    if part_fn is None:
+        raise ValueError(f"unknown period: {period!r}")
+    t, x = F.col(ts_col), F.col(val_col)
+    base = df.filter(t.isNotNull() & x.isNotNull())
+    m = (base.groupBy(part_fn(t).alias("__p__"))
+         .agg(F.count(F.lit(1)).alias("__n__"),
+              F.sum(x).alias("__s__"),
+              F.sum(x * x).alias("__ssq__")))
+    g = m.agg(
+        (F.sum(F.col("__ssq__")
+               - F.col("__s__") * F.col("__s__") / F.col("__n__"))
+         / F.sum("__n__")).alias("__var__"))
+    means = m.select("__p__", (F.col("__s__") / F.col("__n__"))
+                     .alias("__mean__"))
+    joined = (base.join(F.broadcast(means),
+                        part_fn(t) == F.col("__p__"))
+              .crossJoin(F.broadcast(g)))
+    sigma = F.sqrt(F.col("__var__"))
+    resid = x - F.col("__mean__")
+    return (joined.filter(F.abs(resid) > F.lit(k) * sigma)
+            .select(*df.columns,
+                    F.col("__mean__").alias("expected"),
+                    (resid / sigma).alias("z")))

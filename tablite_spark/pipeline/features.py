@@ -87,7 +87,9 @@ def target_encode(df: DataFrame, cat_col: str, target_col: str,
 
 def feature_scale(df: DataFrame, cols: list[str],
                   method: str = "zscore",
-                  suffix: str = "_scaled") -> DataFrame:
+                  suffix: str = "_scaled",
+                  exact: bool = True,
+                  accuracy: int = 10000) -> DataFrame:
     """Fit-and-transform feature scaling over numeric columns —
     ``zscore`` ((x-μ)/σ), ``minmax`` ((x-min)/(max-min)), or
     ``robust`` ((x-median)/IQR). Appends ``<col><suffix>`` columns;
@@ -102,7 +104,10 @@ def feature_scale(df: DataFrame, cols: list[str],
     minmax and robust are bit-identical cross-engine (exact extrema
     / percentile_cont interpolation of identical doubles); zscore's
     μ/σ carry summation-order noise, so round zscore outputs at an
-    oracle boundary.
+    oracle boundary. ``exact=False`` swaps robust's exact percentile
+    (whose aggregation buffer holds every value — a single-task
+    memory wall past ~10M rows) for the bounded-state
+    percentile_approx sketch.
     """
     if method not in ("zscore", "minmax", "robust"):
         raise ValueError(f"unknown scaling method: {method!r}")
@@ -116,9 +121,16 @@ def feature_scale(df: DataFrame, cols: list[str],
             aggs += [F.min(x).alias(f"__m_{c}__"),
                      (F.max(x) - F.min(x)).alias(f"__s_{c}__")]
         else:
-            med = F.percentile(x, F.lit(0.5))
-            iqr = (F.percentile(x, F.lit(0.75))
-                   - F.percentile(x, F.lit(0.25)))
+            # exact percentile buffers EVERY value in one aggregation
+            # buffer — fine to ~10M rows, the oracle-comparable
+            # default; exact=False is the 100 TB valve (bounded
+            # KLL/GK-style sketch state, same group_quantiles
+            # discipline)
+            pct = (F.percentile if exact
+                   else lambda col, q: F.percentile_approx(
+                       col, q, F.lit(accuracy)))
+            med = pct(x, F.lit(0.5))
+            iqr = (pct(x, F.lit(0.75)) - pct(x, F.lit(0.25)))
             aggs += [med.alias(f"__m_{c}__"),
                      iqr.alias(f"__s_{c}__")]
     stats = df.agg(*aggs)

@@ -215,3 +215,102 @@ def test_feature_scale_broadcast_stats_plan(spark):
     assert "BroadcastNestedLoopJoin" in ex or "BroadcastExchange" \
         in ex, ex[:1500]
     assert "SortMergeJoin" not in ex
+
+
+def test_feature_scale_approx_close_to_exact(spark):
+    """exact=False (the 100 TB valve) must land within sketch
+    tolerance of the exact robust params."""
+    from tablite_spark.pipeline.features import feature_scale
+    df = spark.createDataFrame(
+        [(i, float(i % 1000)) for i in range(20000)],
+        "id long, x double")
+    ex = feature_scale(df, ["x"], method="robust").collect()
+    ap = feature_scale(df, ["x"], method="robust",
+                       exact=False).collect()
+    exd = {r["id"]: r["x_scaled"] for r in ex}
+    apd = {r["id"]: r["x_scaled"] for r in ap}
+    for i in (0, 5000, 19999):
+        assert abs(exd[i] - apd[i]) < 0.02
+
+
+# ------------------------------------------------------------------
+# weighted_quantiles / seasonal_anomalies
+# ------------------------------------------------------------------
+
+def test_weighted_quantiles_hand(spark):
+    """Values 1..4 with weights 1,1,2,4 (W=8): q=.25 -> cw 2 at v=2;
+    q=.5 -> v=3 (cw 4); q=.75 -> v=4; q=1 -> max value."""
+    from tablite_spark.operators.stats import weighted_quantiles
+    rows = [(1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (4.0, 4.0)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    out = {r["q"]: r["value"] for r in
+           weighted_quantiles(df, "v", "w",
+                              [0.25, 0.5, 0.75, 1.0]).collect()}
+    assert out == {0.25: 2.0, 0.5: 3.0, 0.75: 4.0, 1.0: 4.0}
+
+
+def test_weighted_quantiles_excludes_and_validates(spark):
+    from tablite_spark.operators.stats import weighted_quantiles
+    rows = [(1.0, 5.0), (2.0, 0.0), (3.0, -1.0), (None, 4.0),
+            (9.0, None)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    out = weighted_quantiles(df, "v", "w", [0.5]).collect()
+    # only (1.0, w=5) survives the w>0 / not-null gate
+    assert out[0]["value"] == 1.0
+    with pytest.raises(ValueError, match="at least one"):
+        weighted_quantiles(df, "v", "w", [])
+    with pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        weighted_quantiles(df, "v", "w", [0.0])
+
+
+def test_weighted_quantiles_matches_exploded_percentile(spark):
+    """Weighted quantile over integer weights == lower quantile of
+    the weight-exploded series."""
+    from tablite_spark.operators.stats import weighted_quantiles
+    rows = [(float(v), float(1 + v % 5)) for v in range(200)]
+    df = spark.createDataFrame(rows, "v double, w double")
+    got = {r["q"]: r["value"] for r in
+           weighted_quantiles(df, "v", "w", [0.5, 0.9]).collect()}
+    exploded = sorted(
+        x for v, w in rows for x in [v] * int(w))
+    import math
+    for q in (0.5, 0.9):
+        # smallest value whose cumulative count >= q*N
+        idx = math.ceil(q * len(exploded)) - 1
+        assert got[q] == exploded[idx], (q, got[q], exploded[idx])
+
+
+def test_seasonal_anomalies_hand(spark):
+    """Two hourly regimes (hour 1 mean 10, hour 2 mean 50) with one
+    planted spike per regime: only the spikes exceed 3 pooled σ."""
+    from datetime import datetime
+
+    from tablite_spark.operators.stats import seasonal_anomalies
+    rows = []
+    for m in range(30):
+        rows.append((m, datetime(2024, 1, 1, 1, m), 10.0 + (m % 3)))
+        rows.append((100 + m, datetime(2024, 1, 1, 2, m),
+                     50.0 + (m % 3)))
+    rows.append((999, datetime(2024, 1, 1, 1, 55), 40.0))   # spike
+    rows.append((998, datetime(2024, 1, 1, 2, 55), 20.0))   # dip
+    df = spark.createDataFrame(rows, "id long, ts timestamp, x double")
+    out = seasonal_anomalies(df, "ts", "x", period="hour", k=3.0)
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [998, 999]
+    z = {r["id"]: r["z"] for r in out.collect()}
+    assert z[999] > 3 and z[998] < -3
+
+
+def test_seasonal_anomalies_two_scans_and_validation(spark):
+    from datetime import datetime
+
+    from tablite_spark.operators.stats import seasonal_anomalies
+    rows = [(i, datetime(2024, 1, 1, i % 24, 0), float(i % 7))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, ts timestamp, x double")
+    out = seasonal_anomalies(df, "ts", "x")
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in ex
+    assert "SortMergeJoin" not in ex          # means broadcast
+    with pytest.raises(ValueError, match="unknown period"):
+        seasonal_anomalies(df, "ts", "x", period="minute")

@@ -282,6 +282,58 @@ def burnin_rank_stats(spark):
 ALL["rank_stats"] = burnin_rank_stats
 
 
+
+def burnin_quality_ops(spark):
+    """Round-11 late additions at their contract edges: CUSUM over a
+    20M-point all-distinct census (corpus-sized prefix sum);
+    expectations with 12 rules over 50M rows (must stay ONE scan);
+    feature_scale robust on 20M rows exact vs sketch (the exact
+    percentile single-buffer wall vs the 100 TB valve)."""
+    import time
+
+    from tablite_spark.operators.expect import expectations
+    from tablite_spark.operators.timeseries import cusum_changepoint
+    from tablite_spark.pipeline.features import feature_scale
+    print("[burnin] quality_ops")
+    t0 = time.time()
+    big = spark.range(0, 20_000_000, 1, 32).select(
+        F.col("id").cast("double").alias("t"),
+        (F.sin(F.col("id") / 1e5)
+         + F.when(F.col("id") > 12_000_000, 2.0).otherwise(0.0)
+         ).alias("x"))
+    r = cusum_changepoint(big, "t", "x").collect()[0]
+    assert 11_900_000 < r["cp_index"] <= 12_000_001, r
+    t0 = _t("cusum 20M distinct census", t0)
+
+    wide = spark.range(0, 50_000_000, 1, 32).select(
+        F.col("id"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.concat(F.lit("u"), (F.col("id") % 1000)).alias("s"))
+    rules = ([{"rule": f"v_min_{k}", "column": "v", "check": "min",
+               "value": float(k)} for k in range(10)]
+             + [{"rule": "s_regex", "column": "s", "check": "regex",
+                 "pattern": "^u[0-9]+$"},
+                {"rule": "id_unique", "column": "id",
+                 "check": "unique"}])
+    out = expectations(wide, rules).collect()
+    assert len(out) == 12
+    assert next(o for o in out
+                if o["rule"] == "id_unique")["violations"] == 0
+    t0 = _t("expectations 12 rules x 50M rows", t0)
+
+    feat = spark.range(0, 20_000_000, 1, 32).select(
+        F.col("id"), (F.col("id") % 100_000).cast("double")
+        .alias("x"))
+    feature_scale(feat, ["x"], method="robust",
+                  exact=False).agg(F.avg("x_scaled")).collect()
+    t0 = _t("feature_scale robust sketch 20M", t0)
+    feature_scale(feat, ["x"], method="robust",
+                  exact=True).agg(F.avg("x_scaled")).collect()
+    t0 = _t("feature_scale robust EXACT 20M (single-buffer wall)", t0)
+
+
+ALL["quality_ops"] = burnin_quality_ops
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     spark = get_spark()
