@@ -2384,6 +2384,38 @@ def seasonal_anomalies_events(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("z"), 4).alias("z"))
 
 
+def winsorize_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Winsorization of extendedprice at the [1%, 99%] exact
+    percentiles: one fit aggregation broadcast back, row-local clip
+    — emitted UNROUNDED (percentile interpolation and
+    least/greatest of identical doubles are bit-identical
+    cross-engine). Oracle: quantile_cont scalar subqueries +
+    least/greatest."""
+    from tablite_spark.pipeline.features import winsorize
+    li = _t(spark, sf, "lineitem")
+    out = winsorize(li, ["l_extendedprice"], 0.01, 0.99)
+    return out.select("l_orderkey", "l_linenumber",
+                      "l_extendedprice_wins")
+
+
+def zipf_alpha_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Power-law exponent of the corpus token-frequency distribution
+    (the pretraining-corpus health check): whitespace token census
+    (explode -> combinable groupBy) then the one-aggregation
+    Clauset-Shalizi-Newman MLE over tail tokens with count >= 5.
+    Oracle: same census + closed form in DuckDB."""
+    from tablite_spark.operators.stats import zipf_fit
+    d = _t(spark, sf, "documents")
+    toks = (d.select(F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("f")))
+    out = zipf_fit(toks, "f", fmin=5)
+    return out.select("n_tail", "fmin", "f_max",
+                      F.round(F.col("alpha"), 6).alias("alpha"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4535,6 +4567,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_scale_lineitem": feature_scale_lineitem,
         "weighted_quantiles_lineitem": weighted_quantiles_lineitem,
         "seasonal_anomalies_events": seasonal_anomalies_events,
+        "winsorize_lineitem": winsorize_lineitem,
+        "zipf_alpha_docs": zipf_alpha_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7553,6 +7587,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND((value - s / n) / sqrt(varr), 4) + 0 AS z
             FROM events e JOIN m ON hour(e.ts) = m.p, g
             WHERE abs(value - s / n) > 3 * sqrt(varr)
+        """,
+        "winsorize_lineitem": """
+            WITH st AS (
+                SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+                       quantile_cont(l_extendedprice, 0.99) AS hi
+                FROM lineitem
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_extendedprice IS NOT NULL THEN
+                       least(greatest(l_extendedprice, lo), hi)
+                   END AS l_extendedprice_wins
+            FROM lineitem, st
+        """,
+        "zipf_alpha_docs": """
+            WITH c AS (
+                SELECT tok, count(*) AS f
+                FROM (SELECT UNNEST(string_split_regex(
+                          LOWER(TRIM(text)), '\\s+')) AS tok
+                      FROM documents)
+                WHERE tok <> ''
+                GROUP BY 1
+            )
+            SELECT count(*) AS n_tail, 5 AS fmin,
+                   max(f) AS f_max,
+                   ROUND(1 + count(*)
+                         / sum(ln(CAST(f AS DOUBLE) / 4.5)), 6) + 0
+                       AS alpha
+            FROM c WHERE f >= 5
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "feature_scale_lineitem",
     "weighted_quantiles_lineitem",
     "seasonal_anomalies_events",
+    "winsorize_lineitem",
+    "zipf_alpha_docs",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -709,7 +711,8 @@ def main() -> None:
                   "cusum_events", "expectations_orders",
                   "feature_scale_lineitem",
                   "weighted_quantiles_lineitem",
-                  "seasonal_anomalies_events"}
+                  "seasonal_anomalies_events",
+                  "winsorize_lineitem", "zipf_alpha_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

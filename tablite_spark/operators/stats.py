@@ -1005,3 +1005,34 @@ def seasonal_anomalies(df: DataFrame, ts_col: str, val_col: str,
             .select(*df.columns,
                     F.col("__mean__").alias("expected"),
                     (resid / sigma).alias("z")))
+
+
+def zipf_fit(census: DataFrame, count_col: str,
+             fmin: int = 5) -> DataFrame:
+    """Power-law (Zipf) exponent MLE over a frequency census — the
+    token-distribution health check for a pretraining corpus (natural
+    text sits near α≈2; spam/boilerplate skews it). Input is a
+    census (one row per item with its count ``count_col``); each
+    distinct item with count >= fmin is one observation of the
+    discrete power law P(f) ∝ f^-α, fitted with the
+    Clauset-Shalizi-Newman continuous MLE
+    α = 1 + n / Σ ln(f_i / (fmin - 0.5)). One row:
+    (n_tail, fmin, f_max, alpha). Beyond-reference.
+
+    Scale shape: ONE combinable aggregation over the census — the
+    corpus-sized explode/groupBy that BUILDS the census is the
+    caller's (already-distributed) concern; the fit adds a single
+    reduce. No collect, no window, no join.
+    """
+    if fmin < 2:
+        raise ValueError("fmin must be >= 2 (ln(f/(fmin-0.5)) must "
+                         "be positive for every tail item)")
+    f = F.col(count_col)
+    tail = census.filter(f >= fmin)
+    return tail.agg(
+        F.count(F.lit(1)).alias("n_tail"),
+        F.lit(fmin).alias("fmin"),
+        F.max(f).alias("f_max"),
+        (1.0 + F.count(F.lit(1))
+         / F.sum(F.log(f.cast("double") / (fmin - 0.5))))
+        .alias("alpha"))

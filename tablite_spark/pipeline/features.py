@@ -144,3 +144,45 @@ def feature_scale(df: DataFrame, cols: list[str],
             .otherwise(F.lit(None)))
     return out.drop(*[f"__m_{c}__" for c in cols],
                     *[f"__s_{c}__" for c in cols])
+
+
+def winsorize(df: DataFrame, cols: list[str],
+              lower: float = 0.01, upper: float = 0.99,
+              suffix: str = "_wins",
+              exact: bool = True,
+              accuracy: int = 10000) -> DataFrame:
+    """Winsorize (clip) numeric columns at the given quantiles — the
+    standard outlier-taming step before scaling/regression. Appends
+    ``<col><suffix>``. NULLs pass through untouched. Exact
+    percentile interpolation makes the clip bounds — and therefore
+    every output — bit-identical cross-engine (least/greatest of
+    identical doubles; no rounding anywhere); ``exact=False`` is the
+    bounded-sketch valve for corpus-scale fits.
+
+    Scale shape: ONE combinable fit aggregation for ALL columns,
+    broadcast back as a 1-row crossJoin; the clip is row-local
+    codegen (the feature_scale discipline).
+    """
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    pct = (F.percentile if exact
+           else lambda col, q: F.percentile_approx(
+               col, q, F.lit(accuracy)))
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        aggs += [pct(x, F.lit(lower)).alias(f"__lo_{c}__"),
+                 pct(x, F.lit(upper)).alias(f"__hi_{c}__")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        # least/greatest SKIP nulls (both engines), which would turn
+        # a NULL cell into the clip bound — guard explicitly
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(c).isNotNull(),
+                   F.least(F.greatest(F.col(c),
+                                      F.col(f"__lo_{c}__")),
+                           F.col(f"__hi_{c}__"))))
+    return out.drop(*[f"__lo_{c}__" for c in cols],
+                    *[f"__hi_{c}__" for c in cols])

@@ -314,3 +314,54 @@ def test_seasonal_anomalies_two_scans_and_validation(spark):
     assert "SortMergeJoin" not in ex          # means broadcast
     with pytest.raises(ValueError, match="unknown period"):
         seasonal_anomalies(df, "ts", "x", period="minute")
+
+
+# ------------------------------------------------------------------
+# winsorize / zipf_fit
+# ------------------------------------------------------------------
+
+def test_winsorize_clips_and_passes_nulls(spark):
+    from tablite_spark.pipeline.features import winsorize
+    vals = [float(i) for i in range(1, 100)] + [1000.0, None]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id long, x double")
+    out = {r["id"]: r["x_wins"] for r in
+           winsorize(df, ["x"], 0.05, 0.95).collect()}
+    assert max(v for v in out.values() if v is not None) < 1000.0
+    assert out[100] is None                     # NULL passes through
+    assert out[50] == 51.0                      # interior untouched
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize(df, ["x"], 0.9, 0.1)
+
+
+def test_zipf_fit_recovers_exponent(spark):
+    """Counts drawn as round(C * r^-2) over ranks r: the CSN MLE on
+    the frequency tail must land near the generating alpha ~2 within
+    the known small-sample bias."""
+    import math
+
+    from tablite_spark.operators.stats import zipf_fit
+    # discrete power law in the FREQUENCY domain: P(f) ∝ f^-2 ->
+    # number of items with count f is N/f^2
+    rows = []
+    item = 0
+    for f in range(5, 200):
+        for _ in range(max(1, int(100000 / f ** 2))):
+            rows.append((f"i{item}", f))
+            item += 1
+    df = spark.createDataFrame(rows, "tok string, f long")
+    r = zipf_fit(df, "f", fmin=5).collect()[0]
+    assert 1.8 < r["alpha"] < 2.2, r
+    assert r["n_tail"] == len(rows) and r["f_max"] == 199
+    with pytest.raises(ValueError, match="fmin"):
+        zipf_fit(df, "f", fmin=1)
+
+
+def test_zipf_single_aggregate_plan(spark):
+    from tablite_spark.operators.stats import zipf_fit
+    df = spark.createDataFrame([(f"t{i}", i % 50 + 5)
+                                for i in range(1000)],
+                               "tok string, f long")
+    out = zipf_fit(df, "f")
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in ex and "Window" not in ex
