@@ -2416,6 +2416,20 @@ def zipf_alpha_docs(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("alpha"), 6).alias("alpha"))
 
 
+def bigram_lm_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-trained add-k bigram LM fluency scores per document:
+    bigrams build ROW-LOCALLY (arrays_zip of two slices, no window),
+    the model is two combinable censuses + a broadcast vocab scalar,
+    scoring is two keyed joins + one per-doc fold. Oracle: the same
+    model in DuckDB via list indexing."""
+    from tablite_spark.pipeline.text import bigram_lm_scores
+    d = _t(spark, sf, "documents")
+    out = bigram_lm_scores(d, "text", "doc_id", k=0.5)
+    return out.select("doc_id", "n_bigrams",
+                      F.round(F.col("avg_logprob"), 4)
+                      .alias("avg_logprob"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4569,6 +4583,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies_events": seasonal_anomalies_events,
         "winsorize_lineitem": winsorize_lineitem,
         "zipf_alpha_docs": zipf_alpha_docs,
+        "bigram_lm_docs": bigram_lm_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7615,6 +7630,34 @@ def _oracle_sql_base() -> dict[str, str]:
                          / sum(ln(CAST(f AS DOUBLE) / 4.5)), 6) + 0
                        AS alpha
             FROM c WHERE f >= 5
+        """,
+        "bigram_lm_docs": """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(
+                           lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents
+            ), big AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM d, UNNEST(generate_series(1, len(toks) - 1))
+                     AS g(i)
+                WHERE len(toks) >= 2
+            ), bg AS (
+                SELECT w1, w2, count(*) AS cbg FROM big GROUP BY 1, 2
+            ), uni AS (
+                SELECT w, count(*) AS cu FROM (
+                    SELECT UNNEST(list_filter(string_split_regex(
+                        lower(trim(text)), '\\s+'),
+                        t -> t <> '')) AS w
+                    FROM documents) GROUP BY 1
+            ), v AS (SELECT count(*) AS vv FROM uni)
+            SELECT big.doc_id, count(*) AS n_bigrams,
+                   ROUND(avg(ln((cbg + 0.5) / (cu + 0.5 * vv))), 4)
+                       + 0 AS avg_logprob
+            FROM big JOIN bg USING (w1, w2)
+            JOIN uni ON big.w1 = uni.w, v
+            GROUP BY 1
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

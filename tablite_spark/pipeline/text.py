@@ -1369,3 +1369,55 @@ def tfidf_keywords(df: DataFrame, text_col: str, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "term", "score_micro", "rank"))
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str,
+                     k: float = 0.5) -> DataFrame:
+    """Train an add-k smoothed bigram language model on the corpus
+    and score every document by its mean bigram log-probability
+    ln((c(w1,w2)+k) / (c(w1)+k·V)) — the classic cheap fluency /
+    domain-fit signal (a corpus-trained counterpart of the unigram
+    perplexity scorer). Returns (id, n_bigrams, avg_logprob); docs
+    with <2 tokens drop (no bigram evidence). Beyond-reference.
+
+    Scale shape: bigrams build ROW-LOCALLY (arrays_zip of two
+    slices — no window, no posexplode self-join); the model is two
+    combinable censuses (bigram counts, unigram counts) + one scalar
+    vocab count; scoring joins the exploded corpus bigrams to the
+    censuses on their natural keys (corpus-scaling side carries the
+    shuffle; census sides merge keyed or AQE-broadcast at small SF)
+    and folds per-doc in one groupBy. The vocab scalar rides a
+    broadcast 1-row crossJoin.
+    """
+    if k <= 0:
+        raise ValueError("add-k smoothing requires k > 0")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))),
+                            r"\s+"), lambda t: t != "")
+    base = (df.select(F.col(id_col).alias("__id__"),
+                      toks.alias("__t__"))
+            .filter(F.size("__t__") >= 2))
+    n = F.size("__t__")
+    pairs = F.arrays_zip(F.slice("__t__", 1, n - 1),
+                         F.expr("slice(__t__, 2, size(__t__) - 1)"))
+    big = (base.select("__id__",
+                       F.explode(pairs).alias("__p__"))
+           .select("__id__", F.col("__p__.0").alias("w1"),
+                   F.col("__p__.1").alias("w2")))
+    bg_cnt = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__cbg__"))
+    # unigram counts over ALL token positions (the bigram history
+    # distribution is over positions 1..n-1, but add-k smoothing
+    # only needs a consistent c(w1) — full counts keep the oracle
+    # a plain census)
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("__cu__")))
+    vocab = uni.agg(F.countDistinct("w").alias("__v__"))
+    scored = (big
+              .join(bg_cnt, ["w1", "w2"])
+              .join(uni.withColumnRenamed("w", "w1"), ["w1"])
+              .crossJoin(F.broadcast(vocab)))
+    lp = F.log((F.col("__cbg__") + F.lit(k))
+               / (F.col("__cu__") + F.lit(k) * F.col("__v__")))
+    return (scored.groupBy(F.col("__id__").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.avg(lp).alias("avg_logprob")))

@@ -365,3 +365,41 @@ def test_zipf_single_aggregate_plan(spark):
     out = zipf_fit(df, "f")
     ex = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in ex and "Window" not in ex
+
+
+# ------------------------------------------------------------------
+# bigram_lm_scores
+# ------------------------------------------------------------------
+
+def test_bigram_lm_hand_model(spark):
+    """Tiny corpus, hand-counted model: doc 2's two bigrams score
+    ln(2.5/9) and ln(2.5/5) under k=0.5, V=6; single-token docs
+    drop; repeated-token docs count every position."""
+    import math
+
+    from tablite_spark.pipeline.text import bigram_lm_scores
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat"),
+         (3, "single"), (4, "  the   the the  ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           bigram_lm_scores(df, "text", "doc_id", k=0.5).collect()}
+    assert set(out) == {1, 2, 4}
+    want2 = (math.log(2.5 / (6 + 3)) + math.log(2.5 / (2 + 3))) / 2
+    assert abs(out[2]["avg_logprob"] - want2) < 1e-12
+    assert out[2]["n_bigrams"] == 2 and out[4]["n_bigrams"] == 2
+    with pytest.raises(ValueError, match="k > 0"):
+        bigram_lm_scores(df, "text", "doc_id", k=0.0)
+
+
+def test_bigram_lm_row_local_pairs_plan(spark):
+    """Bigram construction must be row-local (no Window, no
+    posexplode self-join): the plan carries joins only for the
+    census lookups."""
+    from tablite_spark.pipeline.text import bigram_lm_scores
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(50)],
+        "doc_id long, text string")
+    out = bigram_lm_scores(df, "text", "doc_id")
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in ex
