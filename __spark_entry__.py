@@ -2430,6 +2430,53 @@ def bigram_lm_docs(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("avg_logprob"))
 
 
+def stream_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming online z-score anomaly scoring, driver-oracled with
+    a REAL StreamingQuery: the events table splits at its median
+    timestamp into two mtime-pinned micro-batches, drains with
+    availableNow through applyInPandasWithState, and each event's
+    Welford (n, mean, M2) prior CROSSES the batch boundary — the
+    expanding-frame window formula in DuckDB reproduces every score,
+    which is the oracle."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tablite_spark.streaming.ops import streaming_zscore
+    ev = _t(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = ev.agg(F.percentile(us, F.lit(0.5))
+                 .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="zs_stream_")
+    src = f"{root}/src"
+    os.makedirs(src)
+    for i, part in enumerate((
+            ev.filter(us <= F.lit(int(cut))),
+            ev.filter(us > F.lit(int(cut))))):
+        stage = f"{root}/stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        t = 1_700_000_000 + i * 600
+        os.utime(dst, (t, t))
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    q = (streaming_zscore(stream)
+         .writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(f"{root}/out")
+    return out.select("user_id", "event_id", "n_prior",
+                      F.round(F.col("z"), 4).alias("z"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4584,6 +4631,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_lineitem": winsorize_lineitem,
         "zipf_alpha_docs": zipf_alpha_docs,
         "bigram_lm_docs": bigram_lm_docs,
+        "stream_zscore_events": stream_zscore_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7658,6 +7706,24 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM big JOIN bg USING (w1, w2)
             JOIN uni ON big.w1 = uni.w, v
             GROUP BY 1
+        """,
+        "stream_zscore_events": """
+            WITH w AS (
+                SELECT user_id, event_id, value AS v,
+                       count(value) OVER pre AS np,
+                       avg(value) OVER pre AS m,
+                       stddev_pop(value) OVER pre AS sd
+                FROM events
+                WHERE value IS NOT NULL
+                WINDOW pre AS (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+            )
+            SELECT user_id, event_id, np AS n_prior,
+                   ROUND(CASE WHEN np >= 2 AND sd > 0
+                              THEN (v - m) / sd END, 4) + 0 AS z
+            FROM w
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

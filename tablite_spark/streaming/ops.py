@@ -412,3 +412,65 @@ def streaming_attribution(events: DataFrame,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+_ZS_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("mean", T.DoubleType()),
+    T.StructField("m2", T.DoubleType()),
+])
+_ZS_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_id", T.LongType()),
+    T.StructField("n_prior", T.LongType()),
+    T.StructField("z", T.DoubleType()),
+])
+
+
+def _zscore_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    pdf = (pd.concat(parts, ignore_index=True)
+           .sort_values(["ts", "event_id"], kind="mergesort"))
+    ids, priors, zs = [], [], []
+    for eid, v in zip(pdf["event_id"], pdf["value"]):
+        if pd.isna(v):
+            continue                      # nulls never touch state
+        x = float(v)
+        var = m2 / n if n >= 2 else 0.0
+        z = (x - mean) / var ** 0.5 if n >= 2 and var > 0 else None
+        ids.append(eid)
+        priors.append(n)
+        zs.append(z)
+        # Welford update AFTER scoring: z is against PRIOR history
+        n += 1
+        d = x - mean
+        mean += d / n
+        m2 += d * (x - mean)
+    state.update((int(n), float(mean), float(m2)))
+    yield pd.DataFrame({"user_id": key[0], "event_id": ids,
+                        "n_prior": priors, "z": zs})
+
+
+def streaming_zscore(events: DataFrame) -> DataFrame:
+    """Online per-key anomaly scoring: each event's z-score against
+    the key's ENTIRE PRIOR history (Welford running mean/M2 — one
+    (long, double, double) of state per key, continued across
+    micro-batches via ``applyInPandasWithState``). The first two
+    events per key emit NULL z (no variance evidence yet); NULL
+    values pass through without touching state. Batch twin: the
+    expanding-frame window avg/stddev_pop — an EXPANDING frame is
+    incrementally maintained by Spark (unlike the sliding frames the
+    rolling_agg burn-in falsified), so the twin stays O(n) per key.
+    Beyond-reference: the streaming drift monitor an ingest pipeline
+    runs ahead of the batch seasonal/CUSUM screens."""
+    return (events.groupBy("user_id").applyInPandasWithState(
+        _zscore_fn,
+        outputStructType=_ZS_OUT,
+        stateStructType=_ZS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

@@ -586,3 +586,50 @@ def test_streaming_attribution_matches_batch_twin(spark, tmp_path):
                 "purchase", ["view", "click", "signup"],
                 tiebreak="event_id").collect()}
     assert {k: tuple(v) for k, v in agg.items()} == want
+
+
+def test_streaming_zscore_welford_crosses_batches(spark, tmp_path):
+    """Online z-score: batch-2 events must score against the Welford
+    state accumulated in batch 1 (prior mean/variance carried, not
+    reset), matching hand-computed population stats; first two
+    events per key emit NULL z; NULL values skip without touching
+    state."""
+    stream_dir = str(tmp_path / "zs_stream")
+    first = [(1, "2024-01-01 00:00:00", 1, 10.0),
+             (2, "2024-01-01 00:10:00", 1, 14.0),
+             (3, "2024-01-01 00:20:00", 1, None)]
+    more = [(4, "2024-01-01 01:00:00", 1, 18.0),
+            (5, "2024-01-01 01:30:00", 1, 12.0)]
+    schema = "event_id long, ts string, user_id long, value double"
+    mk = lambda rows: spark.createDataFrame(rows, schema) \
+        .withColumn("ts", F.to_timestamp("ts")).coalesce(1)
+    mk(first).write.parquet(stream_dir)
+    time.sleep(1.1)
+    mk(more).write.mode("append").parquet(stream_dir)
+
+    from tablite_spark.streaming.ops import streaming_zscore
+    s_schema = ("event_id long, ts timestamp, user_id long, "
+                "value double")
+    src = (spark.readStream.schema(s_schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false").parquet(stream_dir))
+    q = (streaming_zscore(src)
+         .writeStream.format("memory").queryName("szs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_zs"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r for r in
+            spark.sql("SELECT * FROM szs").collect()}
+    # NULL value (event 3) never emitted, never advanced state
+    assert set(rows) == {1, 2, 4, 5}
+    assert rows[1]["z"] is None and rows[1]["n_prior"] == 0
+    assert rows[2]["z"] is None and rows[2]["n_prior"] == 1
+    # event 4 scores against prior {10, 14}: mean 12, popstd 2
+    assert rows[4]["n_prior"] == 2
+    assert abs(rows[4]["z"] - (18.0 - 12.0) / 2.0) < 1e-9
+    # event 5 against {10, 14, 18}: mean 14, popvar 32/3
+    import math
+    want = (12.0 - 14.0) / math.sqrt(32.0 / 3.0)
+    assert rows[5]["n_prior"] == 3
+    assert abs(rows[5]["z"] - want) < 1e-9
