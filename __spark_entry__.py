@@ -2477,6 +2477,40 @@ def stream_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("z"), 4).alias("z"))
 
 
+def isotonic_calibration_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Isotonic (PAV) recalibration of the clamped purchase score
+    over 20 bins, evaluated through the minimax closed form
+    max_k min_j mean(y over bins k..j) — every segment mean is a
+    ratio of exact integer counts, so rate AND the monotone fit are
+    bit-identical cross-engine with NO rounding. The O(bins²)
+    minimax runs over the ≤20-row census only. Oracle: the same
+    closed form in SQL."""
+    from tablite_spark.pipeline.evaluation import isotonic_calibration
+    ev = _t(spark, sf, "events")
+    scored = ev.select(
+        F.least(F.col("value") / 500.0, F.lit(1.0)).alias("s"),
+        (F.col("event_type") == "purchase").alias("y"))
+    return isotonic_calibration(scored, "s", "y", bins=20)
+
+
+def referential_audit_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Foreign-key integrity audit as one-pass left-join indicator
+    sums (never anti-join-plus-count): orders→customer must be clean
+    (0 orphans) and the reverse part→lineitem coverage reports parts
+    that never sold. ok_rate is an exact integer ratio. Oracle:
+    mirrored LEFT JOIN CASE sums."""
+    from tablite_spark.operators.expect import referential_check
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    a = (referential_check(o, "o_custkey", c, "c_custkey")
+         .select(F.lit("orders_customer").alias("relation"), "*"))
+    b = (referential_check(p, "p_partkey", li, "l_partkey")
+         .select(F.lit("part_sold").alias("relation"), "*"))
+    return a.unionByName(b)
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4632,6 +4666,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_docs": zipf_alpha_docs,
         "bigram_lm_docs": bigram_lm_docs,
         "stream_zscore_events": stream_zscore_events,
+        "isotonic_calibration_events": isotonic_calibration_events,
+        "referential_audit_orders": referential_audit_orders,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7724,6 +7760,68 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(CASE WHEN np >= 2 AND sd > 0
                               THEN (v - m) / sd END, 4) + 0 AS z
             FROM w
+        """,
+        "isotonic_calibration_events": """
+            WITH cens AS (
+                SELECT least(CAST(floor(least(value / 500.0, 1.0)
+                                        * 20) AS INT), 19) AS bin,
+                       count(*) AS n,
+                       sum(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS pos
+                FROM events
+                WHERE value IS NOT NULL
+                  AND least(value / 500.0, 1.0) >= 0
+                GROUP BY 1
+            ), cum AS (
+                SELECT bin, n, pos,
+                       sum(n) OVER (ORDER BY bin) AS cn,
+                       sum(pos) OVER (ORDER BY bin) AS cp
+                FROM cens
+            ), seg AS (
+                SELECT l.bin AS k, h.bin AS j,
+                       CAST(h.cp - (l.cp - l.pos) AS DOUBLE)
+                           / (h.cn - (l.cn - l.n)) AS seg_mean
+                FROM cum l JOIN cum h ON l.bin <= h.bin
+            ), inn AS (
+                SELECT i.bin AS i, s.k, min(seg_mean) AS mn
+                FROM seg s JOIN cens i
+                  ON s.k <= i.bin AND i.bin <= s.j
+                GROUP BY 1, 2
+            ), fit AS (
+                SELECT i AS bin, max(mn) AS calibrated
+                FROM inn GROUP BY 1
+            )
+            SELECT cens.bin, n, pos,
+                   CAST(pos AS DOUBLE) / n AS rate, calibrated
+            FROM cens JOIN fit USING (bin)
+        """,
+        "referential_audit_orders": """
+            WITH a AS (
+                SELECT 'orders_customer' AS relation,
+                       count(*) AS n_rows,
+                       count(o_custkey) AS n_nonnull_fk,
+                       sum(CASE WHEN o_custkey IS NOT NULL
+                                AND c_custkey IS NULL
+                           THEN 1 ELSE 0 END) AS orphans
+                FROM orders LEFT JOIN
+                     (SELECT DISTINCT c_custkey FROM customer) c
+                     ON o_custkey = c_custkey
+            ), b AS (
+                SELECT 'part_sold' AS relation,
+                       count(*) AS n_rows,
+                       count(p_partkey) AS n_nonnull_fk,
+                       sum(CASE WHEN p_partkey IS NOT NULL
+                                AND l_partkey IS NULL
+                           THEN 1 ELSE 0 END) AS orphans
+                FROM part LEFT JOIN
+                     (SELECT DISTINCT l_partkey FROM lineitem) l
+                     ON p_partkey = l_partkey
+            )
+            SELECT relation, n_rows, n_nonnull_fk, orphans,
+                   CASE WHEN n_nonnull_fk > 0 THEN
+                       CAST(n_nonnull_fk - orphans AS DOUBLE)
+                           / n_nonnull_fk END AS ok_rate
+            FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

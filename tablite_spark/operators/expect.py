@@ -89,3 +89,34 @@ def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
         F.when(F.col("n_rows") > 0,
                (F.col("n_rows") - F.col("violations")).cast("double")
                / F.col("n_rows")).otherwise(F.lit(None)))
+
+
+def referential_check(child: DataFrame, fk: str,
+                      parent: DataFrame, pk: str) -> DataFrame:
+    """Foreign-key integrity audit: count child rows whose non-NULL
+    ``fk`` has no match in ``parent.pk``. One row:
+    (n_rows, n_nonnull_fk, orphans, ok_rate) — ok_rate an exact
+    integer ratio over the non-NULL keys (NULL fk is the not_null
+    rule's business, not an orphan).
+
+    Scale shape: parent collapses to its distinct key set (one
+    combinable census); ONE left join (keyed shuffle at corpus
+    scale, AQE-broadcast when small) + one conditional-sum
+    aggregate. Never an anti join PLUS a count — the indicator
+    rides a single pass.
+    """
+    fkc = F.col(fk)
+    keys = parent.select(F.col(pk).alias("__pk__")).distinct()
+    j = child.join(keys, fkc == F.col("__pk__"), "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(fkc).alias("n_nonnull_fk"),
+        F.coalesce(F.sum(F.when(fkc.isNotNull()
+                                & F.col("__pk__").isNull(), 1)
+                         .otherwise(0)), F.lit(0)).alias("orphans"),
+        F.when(F.count(fkc) > 0,
+               (F.count(fkc)
+                - F.sum(F.when(fkc.isNotNull()
+                               & F.col("__pk__").isNull(), 1)
+                        .otherwise(0))).cast("double")
+               / F.count(fkc)).alias("ok_rate"))

@@ -142,3 +142,65 @@ def confusion_metrics(df: DataFrame, score_col: str, label_col,
         F.when(n > 0, (tp + tn) / n).alias("accuracy"),
         prec.alias("precision"), rec.alias("recall"),
         f1.alias("f1"))
+
+
+def isotonic_calibration(df: DataFrame, score_col: str,
+                         label_col: str,
+                         bins: int = 20) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of a
+    [0,1] score against a boolean label — the standard
+    pool-adjacent-violators (PAV) recalibration step after training
+    a quality classifier. Scores bucket into ``bins`` fixed-width
+    bins; the PAV fit is evaluated through the minimax closed form
+    fitted(i) = max_{k<=i} min_{j>=i} mean(y over bins k..j), which
+    on integer (pos, n) bin counts is a ratio of exact integers —
+    bit-identical cross-engine, no iterative pooling loop to verify.
+    Returns one row per non-empty bin:
+    (bin, n, pos, rate, calibrated), calibrated non-decreasing.
+
+    Scale shape: the corpus collapses in ONE combinable
+    groupBy(bin) over the ≤``bins``-row census; the O(bins²)
+    minimax runs as windows/joins over that census (bounded, never
+    corpus-sized). No collect, no driver fit.
+    """
+    from pyspark.sql import Window
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    s = F.col(score_col)
+    y = F.col(label_col).cast("boolean")
+    b = F.least(F.floor(s * bins).cast("int"), F.lit(bins - 1))
+    cens = (df.filter(s.isNotNull() & y.isNotNull()
+                      & (s >= 0) & (s <= 1))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(y, 1).otherwise(0)).alias("pos")))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)
+    # census is <= bins rows: a single-task window here is the
+    # CONTRACT (bounded), not a scale leak
+    cum = (cens.withColumn("cn", F.sum("n").over(w))
+           .withColumn("cp", F.sum("pos").over(w)))
+    lo = cum.select(F.col("bin").alias("k"),
+                    (F.col("cn") - F.col("n")).alias("cn_lo"),
+                    (F.col("cp") - F.col("pos")).alias("cp_lo"))
+    hi = cum.select(F.col("bin").alias("j"),
+                    F.col("cn").alias("cn_hi"),
+                    F.col("cp").alias("cp_hi"))
+    # mean(y over k..j) for every k <= j pair of census bins
+    seg = (lo.join(hi, F.col("k") <= F.col("j"))
+           .select("k", "j",
+                   ((F.col("cp_hi") - F.col("cp_lo"))
+                    / (F.col("cn_hi") - F.col("cn_lo")))
+                   .alias("seg_mean")))
+    inner = (seg.join(cens.select(F.col("bin").alias("i")),
+                      (F.col("k") <= F.col("i"))
+                      & (F.col("i") <= F.col("j")))
+             .groupBy("i", "k")
+             .agg(F.min("seg_mean").alias("mn")))
+    fit = (inner.groupBy(F.col("i").alias("bin"))
+           .agg(F.max("mn").alias("calibrated")))
+    return (cens.join(fit, "bin")
+            .select("bin", "n", "pos",
+                    (F.col("pos").cast("double") / F.col("n"))
+                    .alias("rate"),
+                    "calibrated"))

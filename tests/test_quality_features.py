@@ -403,3 +403,51 @@ def test_bigram_lm_row_local_pairs_plan(spark):
     out = bigram_lm_scores(df, "text", "doc_id")
     ex = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in ex
+
+
+# ------------------------------------------------------------------
+# isotonic_calibration / referential_check
+# ------------------------------------------------------------------
+
+def test_isotonic_pav_pools_violators(spark):
+    """Bin rates .1 .3 .2 .4 (10 rows each): PAV pools the middle
+    violating pair to .25; endpoints untouched; output monotone."""
+    from tablite_spark.pipeline.evaluation import isotonic_calibration
+    rows = []
+    for b, pos in enumerate([1, 3, 2, 4]):
+        for i in range(10):
+            rows.append(((b + 0.5) / 4, i < pos))
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = sorted(isotonic_calibration(df, "s", "y", bins=4)
+                 .collect())
+    assert [r["calibrated"] for r in out] == [0.1, 0.25, 0.25, 0.4]
+    cal = [r["calibrated"] for r in out]
+    assert cal == sorted(cal)
+    with pytest.raises(ValueError, match="bins"):
+        isotonic_calibration(df, "s", "y", bins=0)
+
+
+def test_isotonic_already_monotone_identity(spark):
+    from tablite_spark.pipeline.evaluation import isotonic_calibration
+    rows = []
+    for b, pos in enumerate([0, 2, 5, 9]):
+        for i in range(10):
+            rows.append(((b + 0.5) / 4, i < pos))
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = sorted(isotonic_calibration(df, "s", "y", bins=4)
+                 .collect())
+    assert [r["calibrated"] for r in out] == [r["rate"] for r in out]
+
+
+def test_referential_check_counts(spark):
+    from tablite_spark.operators.expect import referential_check
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id long, fk long")
+    parent = spark.createDataFrame([(10,), (20,), (20,)], "pk long")
+    r = referential_check(child, "fk", parent, "pk").collect()[0]
+    assert r["n_rows"] == 4 and r["n_nonnull_fk"] == 3
+    assert r["orphans"] == 1                     # fk 99
+    assert r["ok_rate"] == 2 / 3
+    empty = spark.createDataFrame([], "id long, fk long")
+    r0 = referential_check(empty, "fk", parent, "pk").collect()[0]
+    assert r0["orphans"] == 0 and r0["ok_rate"] is None

@@ -334,6 +334,58 @@ def burnin_quality_ops(spark):
 
 ALL["quality_ops"] = burnin_quality_ops
 
+
+def burnin_quality_ops2(spark):
+    """Second r11 late batch at contract edges: weighted quantiles
+    over a 10M-distinct census (corpus-sized prefix sum); seasonal
+    anomalies over 100M rows (must stay TWO scans); bigram LM over a
+    40M-token synthetic corpus (row-local pair build + two censuses
+    + keyed scoring joins)."""
+    import time
+
+    from tablite_spark.operators.stats import (seasonal_anomalies,
+                                               weighted_quantiles)
+    from tablite_spark.pipeline.text import bigram_lm_scores
+    print("[burnin] quality_ops2")
+    t0 = time.time()
+    wq = spark.range(0, 10_000_000, 1, 32).select(
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"))
+    rows = weighted_quantiles(wq, "v", "w",
+                              [0.25, 0.5, 0.9, 0.99]).collect()
+    assert len(rows) == 4
+    med = next(r["value"] for r in rows if r["q"] == 0.5)
+    assert 4_900_000 < med < 5_100_000, med
+    t0 = _t("weighted_quantiles 10M distinct census", t0)
+
+    sa = spark.range(0, 100_000_000, 1, 32).select(
+        F.col("id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60)
+        .alias("ts"),
+        ((F.col("id") % 24) * 10.0
+         + (F.col("id") % 7).cast("double")).alias("x"))
+    n = seasonal_anomalies(sa, "ts", "x", period="hour",
+                           k=6.0).count()
+    assert n == 0, n     # pure seasonal + bounded noise: no 6-sigma
+    t0 = _t("seasonal_anomalies 100M rows (2 scans)", t0)
+
+    docs = spark.range(0, 200_000, 1, 32).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", F.transform(
+            F.sequence(F.lit(1), F.lit(200)),
+            lambda i: F.concat(F.lit("w"),
+                               F.conv(F.substring(F.md5(
+                                   F.concat(F.col("id"), F.lit("_"),
+                                            i)), 1, 4), 16, 10)
+                               % 10_000))).alias("text"))
+    out = bigram_lm_scores(docs, "text", "doc_id", k=0.5)
+    cnt = out.count()
+    assert cnt == 200_000, cnt
+    t0 = _t("bigram_lm 200k docs x 200 tokens (40M bigrams)", t0)
+
+
+ALL["quality_ops2"] = burnin_quality_ops2
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     spark = get_spark()
