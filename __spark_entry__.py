@@ -2511,6 +2511,23 @@ def referential_audit_orders(spark: SparkSession, sf: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def json_props_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: the events `props` JSON payload
+    parses into typed columns via ONE row-local from_json projection
+    (schema inferred from a bounded 1000-row sample — the O(sample)
+    inference / O(corpus) codegen-parse split that scales); the
+    extracted field aggregates per event_type. Oracle: DuckDB
+    json_extract."""
+    from tablite_spark.sources.io import parse_json_column
+    ev = _t(spark, sf, "events")
+    parsed = parse_json_column(ev, "props", prefix="p_")
+    return (parsed.groupBy("event_type")
+            .agg(F.count("p_k").alias("n"),
+                 F.sum("p_k").alias("sum_k"),
+                 F.min("p_k").alias("min_k"),
+                 F.max("p_k").alias("max_k")))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4475,14 +4492,20 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 16 r11-late
-# never-verified entries): the sixteen r11-late entries
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 36 r11-late
+# never-verified entries): the sixteen second-wave r11-late entries
 # (outliers_mad, benford, acf, attribution, stream_attribution,
 # auc, calibration, confusion, ols, km_survival, q7, q8, q10, q13,
-# q15, gini — added after the window froze, all strict-swept
-# green), then the nine r7 leftovers above, then the 25 oldest r8
-# entries fill the next window, leaving nothing staler than r9
-# except 25 r8 rows that roll to r13.
+# q15, gini) plus the twenty third-wave entries (q2, q9, q11, q12,
+# q16, q17, q20, q21, q22, cusum_events, expectations_orders,
+# feature_scale_lineitem, weighted_quantiles_lineitem,
+# seasonal_anomalies_events, winsorize_lineitem, zipf_alpha_docs,
+# bigram_lm_docs, stream_zscore_events,
+# isotonic_calibration_events, referential_audit_orders — all added
+# after the window froze, every one strict-swept green at sf0.01
+# AND sf0.1 before registration) take 36 of the 50 r12 slots; the
+# nine r7 leftovers above take nine more; the 5 oldest r8 entries
+# fill the window, the rest of r8 rolls to r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
@@ -4668,6 +4691,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_zscore_events": stream_zscore_events,
         "isotonic_calibration_events": isotonic_calibration_events,
         "referential_audit_orders": referential_audit_orders,
+        "json_props_events": json_props_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7822,6 +7846,18 @@ def _oracle_sql_base() -> dict[str, str]:
                        CAST(n_nonnull_fk - orphans AS DOUBLE)
                            / n_nonnull_fk END AS ok_rate
             FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        """,
+        "json_props_events": """
+            SELECT event_type,
+                   count(CAST(json_extract(props, '$.k')
+                              AS BIGINT)) AS n,
+                   sum(CAST(json_extract(props, '$.k')
+                            AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k')
+                            AS BIGINT)) AS min_k,
+                   max(CAST(json_extract(props, '$.k')
+                            AS BIGINT)) AS max_k
+            FROM events GROUP BY 1
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -596,3 +596,43 @@ def to_sql_script(df: DataFrame, name: str, limit: int = 10_000) -> str:
                 vals.append(f"'{s}'")
         inserts.append(f"INSERT INTO {name} VALUES ({', '.join(vals)});")
     return "\n".join([ddl, *inserts])
+
+
+def parse_json_column(df, json_col: str, schema: str | None = None,
+                      sample_rows: int = 1000, prefix: str = ""):
+    """Parse a JSON-string column into typed top-level columns —
+    the semi-structured escape hatch an events `props` payload
+    needs (ref tablite imports whole JSON documents,
+    tablite/import_utils.py; this is the per-cell twin).
+
+    Schema handling: pass a DDL string to pin it; otherwise the
+    schema is INFERRED from a bounded sample (``sample_rows``
+    distinct non-null payloads collected to the driver and merged
+    by Spark's JSON reader — the standard scale pattern: inference
+    cost is O(sample), the full-corpus parse is one row-local
+    ``from_json`` projection in codegen). Parsed fields append as
+    ``<prefix><field>``; malformed payloads yield NULL fields
+    (from_json PERMISSIVE), never a job failure.
+    """
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    c = F.col(json_col)
+    if schema is None:
+        sample = [r[0] for r in
+                  df.select(c).filter(c.isNotNull())
+                  .distinct().limit(sample_rows).collect()]
+        if not sample:
+            raise ValueError(f"no non-null JSON in {json_col!r}")
+        # the bounded sample parses driver-side via the JVM JSON
+        # reader (the one documented in-memory inference path takes
+        # an RDD[str]; the sample is <= sample_rows strings)
+        inferred = spark.read.json(
+            spark.sparkContext.parallelize(sample, 1))
+        schema = inferred.schema
+    parsed = df.withColumn("__j__", F.from_json(c, schema))
+    fields = (parsed.schema["__j__"].dataType.fieldNames()
+              if hasattr(parsed.schema["__j__"].dataType,
+                         "fieldNames") else [])
+    for f in fields:
+        parsed = parsed.withColumn(prefix + f, F.col(f"__j__.{f}"))
+    return parsed.drop("__j__")

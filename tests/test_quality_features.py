@@ -451,3 +451,33 @@ def test_referential_check_counts(spark):
     empty = spark.createDataFrame([], "id long, fk long")
     r0 = referential_check(empty, "fk", parent, "pk").collect()[0]
     assert r0["orphans"] == 0 and r0["ok_rate"] is None
+
+
+# ------------------------------------------------------------------
+# parse_json_column
+# ------------------------------------------------------------------
+
+def test_parse_json_inference_and_malformed(spark):
+    from tablite_spark.sources.io import parse_json_column
+    rows = [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2}'),
+            (3, 'NOT JSON'), (4, None)]
+    df = spark.createDataFrame(rows, "id long, j string")
+    out = {r["id"]: r for r in
+           parse_json_column(df, "j", prefix="p_").collect()}
+    assert out[1]["p_a"] == 1 and out[1]["p_b"] == "x"
+    assert out[2]["p_a"] == 2 and out[2]["p_b"] is None
+    # malformed / NULL payloads -> NULL fields, rows survive
+    assert out[3]["p_a"] is None and out[4]["p_a"] is None
+    assert len(out) == 4
+
+
+def test_parse_json_pinned_schema_and_empty(spark):
+    from tablite_spark.sources.io import parse_json_column
+    df = spark.createDataFrame([(1, '{"a": 7, "zz": 1}')],
+                               "id long, j string")
+    out = parse_json_column(df, "j", schema="a int").collect()[0]
+    assert out["a"] == 7                   # typed by the pinned DDL
+    assert "zz" not in out.asDict()        # unpinned fields dropped
+    nulls = spark.createDataFrame([(1, None)], "id long, j string")
+    with pytest.raises(ValueError, match="no non-null JSON"):
+        parse_json_column(nulls, "j")
