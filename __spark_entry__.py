@@ -2528,6 +2528,26 @@ def json_props_events(spark: SparkSession, sf: str) -> DataFrame:
                  F.max("p_k").alias("max_k")))
 
 
+def ranking_metrics_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """NDCG@10 + MRR@10 over a deterministic synthetic retrieval task
+    (query = lang, candidates ranked by n_chars, relevant = web
+    source): per-query windows with the (score DESC, id ASC)
+    deterministic tiebreak — candidate lists serialize per query by
+    contract, the corpus stays parallel across queries. Oracle: same
+    row_number windows in DuckDB."""
+    from tablite_spark.pipeline.evaluation import ranking_metrics
+    d = _t(spark, sf, "documents")
+    cand = d.select(F.col("lang").alias("q"),
+                    F.col("doc_id").alias("id"),
+                    F.col("n_chars").cast("double").alias("s"),
+                    (F.col("source") == "web").cast("int")
+                    .alias("rel"))
+    out = ranking_metrics(cand, "q", "id", "s", "rel", k=10)
+    return out.select("n_queries",
+                      F.round(F.col("ndcg"), 6).alias("ndcg"),
+                      F.round(F.col("mrr"), 6).alias("mrr"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4692,6 +4712,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration_events": isotonic_calibration_events,
         "referential_audit_orders": referential_audit_orders,
         "json_props_events": json_props_events,
+        "ranking_metrics_docs": ranking_metrics_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7858,6 +7879,37 @@ def _oracle_sql_base() -> dict[str, str]:
                    max(CAST(json_extract(props, '$.k')
                             AS BIGINT)) AS max_k
             FROM events GROUP BY 1
+        """,
+        "ranking_metrics_docs": """
+            WITH ranked AS (
+                SELECT lang AS q, doc_id AS id,
+                       CAST(source = 'web' AS DOUBLE) AS rel,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY CAST(n_chars AS DOUBLE) DESC,
+                                    doc_id ASC) AS pos,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY CAST(source = 'web' AS DOUBLE)
+                                    DESC, doc_id ASC) AS ipos
+                FROM documents
+                WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+                  AND n_chars IS NOT NULL AND source IS NOT NULL
+            ), per_q AS (
+                SELECT q,
+                       sum(CASE WHEN pos <= 10
+                           THEN rel / log2(pos + 1.0)
+                           ELSE 0 END) AS dcg,
+                       sum(CASE WHEN ipos <= 10
+                           THEN rel / log2(ipos + 1.0)
+                           ELSE 0 END) AS idcg,
+                       max(CASE WHEN pos <= 10 AND rel > 0
+                           THEN 1.0 / pos END) AS rr,
+                       max(rel) AS maxrel
+                FROM ranked GROUP BY 1
+            )
+            SELECT count(*) AS n_queries,
+                   ROUND(avg(dcg / idcg), 6) + 0 AS ndcg,
+                   ROUND(avg(coalesce(rr, 0.0)), 6) + 0 AS mrr
+            FROM per_q WHERE maxrel > 0
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "isotonic_calibration_events",
     "referential_audit_orders",
     "json_props_events",
+    "ranking_metrics_docs",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -720,7 +721,8 @@ def main() -> None:
                   "winsorize_lineitem", "zipf_alpha_docs",
                   "bigram_lm_docs", "stream_zscore_events",
                   "isotonic_calibration_events",
-                  "referential_audit_orders", "json_props_events"}
+                  "referential_audit_orders", "json_props_events",
+                  "ranking_metrics_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

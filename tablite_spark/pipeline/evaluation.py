@@ -204,3 +204,48 @@ def isotonic_calibration(df: DataFrame, score_col: str,
                     (F.col("pos").cast("double") / F.col("n"))
                     .alias("rate"),
                     "calibrated"))
+
+
+def ranking_metrics(df: DataFrame, query_col: str, id_col: str,
+                    score_col: str, rel_col: str,
+                    k: int = 10) -> DataFrame:
+    """Retrieval-quality metrics over (query, candidate) rows:
+    NDCG@k (graded relevance, log2 discount) and MRR@k (first
+    relevant hit), averaged over queries with at least one relevant
+    candidate. One row: (n_queries, ndcg, mrr). The deterministic
+    rank order is (score DESC, id ASC) — ties never flap across
+    engines. Beyond-reference: the evaluation twin of the BM25 /
+    hybrid retrieval operators.
+
+    Scale shape: both rankings are per-query windows — each query's
+    candidate list serializes through one task BY CONTRACT (a
+    candidate list is top-N bounded in any real evaluation; the
+    corpus across queries stays fully parallel). One shuffle on
+    query, one |queries|-row aggregate, one global reduce.
+    """
+    from pyspark.sql import Window
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q, i = F.col(query_col), F.col(id_col)
+    s, r = F.col(score_col), F.col(rel_col).cast("double")
+    base = df.filter(q.isNotNull() & i.isNotNull()
+                     & s.isNotNull() & r.isNotNull())
+    wr = Window.partitionBy(q).orderBy(s.desc(), i.asc())
+    wi = Window.partitionBy(q).orderBy(r.desc(), i.asc())
+    ranked = (base.withColumn("__pos__", F.row_number().over(wr))
+              .withColumn("__ipos__", F.row_number().over(wi)))
+    disc = F.log2(F.col("__pos__") + 1.0)
+    idisc = F.log2(F.col("__ipos__") + 1.0)
+    per_q = (ranked.groupBy(q.alias("__q__")).agg(
+        F.sum(F.when(F.col("__pos__") <= k, r / disc)
+              .otherwise(0.0)).alias("__dcg__"),
+        F.sum(F.when(F.col("__ipos__") <= k, r / idisc)
+              .otherwise(0.0)).alias("__idcg__"),
+        F.max(F.when((F.col("__pos__") <= k) & (r > 0),
+                     1.0 / F.col("__pos__"))).alias("__rr__"),
+        F.max(r).alias("__maxrel__")))
+    scored = per_q.filter(F.col("__maxrel__") > 0)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg(F.col("__dcg__") / F.col("__idcg__")).alias("ndcg"),
+        F.avg(F.coalesce(F.col("__rr__"), F.lit(0.0))).alias("mrr"))

@@ -481,3 +481,39 @@ def test_parse_json_pinned_schema_and_empty(spark):
     nulls = spark.createDataFrame([(1, None)], "id long, j string")
     with pytest.raises(ValueError, match="no non-null JSON"):
         parse_json_column(nulls, "j")
+
+
+# ------------------------------------------------------------------
+# ranking_metrics
+# ------------------------------------------------------------------
+
+def test_ranking_metrics_hand(spark):
+    """One query, 4 candidates, relevant at ranked positions 2 and 4:
+    DCG = 1/log2(3) + 1/log2(5), IDCG = 1/log2(2) + 1/log2(3),
+    MRR = 1/2. A second query with no relevant docs is excluded."""
+    import math
+
+    from tablite_spark.pipeline.evaluation import ranking_metrics
+    rows = [("q1", 1, 9.0, 0), ("q1", 2, 8.0, 1),
+            ("q1", 3, 7.0, 0), ("q1", 4, 6.0, 1),
+            ("q2", 5, 5.0, 0), ("q2", 6, 4.0, 0)]
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel int")
+    r = ranking_metrics(df, "q", "id", "s", "rel", k=10).collect()[0]
+    dcg = 1 / math.log2(3) + 1 / math.log2(5)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert r["n_queries"] == 1
+    assert abs(r["ndcg"] - dcg / idcg) < 1e-12
+    assert abs(r["mrr"] - 0.5) < 1e-12
+
+
+def test_ranking_metrics_k_cut_and_ties(spark):
+    """k=1 counts only the top hit; score ties break on id ASC so
+    the metric is deterministic."""
+    from tablite_spark.pipeline.evaluation import ranking_metrics
+    rows = [("q", 1, 5.0, 0), ("q", 2, 5.0, 1)]   # tie: id 1 wins
+    df = spark.createDataFrame(rows, "q string, id long, s double, rel int")
+    r = ranking_metrics(df, "q", "id", "s", "rel", k=1).collect()[0]
+    assert r["mrr"] == 0.0 and r["ndcg"] == 0.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        ranking_metrics(df, "q", "id", "s", "rel", k=0)
