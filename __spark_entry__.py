@@ -2548,6 +2548,50 @@ def ranking_metrics_docs(spark: SparkSession, sf: str) -> DataFrame:
                       F.round(F.col("mrr"), 6).alias("mrr"))
 
 
+def logrank_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample log-rank test between even/odd user cohorts
+    (duration = value, censored = error rows): per-duration census
+    with per-group at-risk counts via the shared distributed prefix
+    sums, then ONE scalar aggregate folds the hypergeometric O−E and
+    variance terms. Oracle: the same census + window cumsums in
+    DuckDB."""
+    from tablite_spark.operators.stats import logrank_test
+    ev = _t(spark, sf, "events").withColumn(
+        "grp", (F.col("user_id") % 2).cast("int"))
+    out = logrank_test(ev, "value", F.col("event_type") != "error",
+                       "grp")
+    return out.select("n_a", "n_b",
+                      F.round(F.col("chi2"), 4).alias("chi2"))
+
+
+def psi_orders_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Population Stability Index of order totals, pre-1998 baseline
+    vs 1998+ live: exact baseline quantile edges broadcast into
+    row-local bucket cuts, ONE combinable census per side, PSI over
+    the ≤10-row joined census with add-half smoothing. Oracle: same
+    edges + formula in DuckDB."""
+    from tablite_spark.operators.stats import psi_drift
+    o = _t(spark, sf, "orders")
+    exp = o.filter(F.col("o_orderdate") < "1998-01-01")
+    act = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    out = psi_drift(exp, act, "o_totalprice", bins=10)
+    return out.select("bins", "n_expected", "n_actual",
+                      F.round(F.col("psi"), 6).alias("psi"))
+
+
+def gains_table_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative gains / lift of the purchase score by decile: one
+    exact-percentile fit, one bucket census, cumulative rates over
+    the ≤10-row census only — every output an exact integer ratio
+    (emitted UNROUNDED). Oracle: same banding in DuckDB."""
+    from tablite_spark.pipeline.evaluation import gains_table
+    ev = _t(spark, sf, "events")
+    scored = ev.select((F.col("value") / 500.0).alias("s"),
+                       (F.col("event_type") == "purchase")
+                       .alias("y")).filter(F.col("s").isNotNull())
+    return gains_table(scored, "s", "y", deciles=10)
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4713,6 +4757,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_audit_orders": referential_audit_orders,
         "json_props_events": json_props_events,
         "ranking_metrics_docs": ranking_metrics_docs,
+        "logrank_events": logrank_events,
+        "psi_orders_drift": psi_orders_drift,
+        "gains_table_events": gains_table_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -7910,6 +7957,119 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(avg(dcg / idcg), 6) + 0 AS ndcg,
                    ROUND(avg(coalesce(rr, 0.0)), 6) + 0 AS mrr
             FROM per_q WHERE maxrel > 0
+        """,
+        "logrank_events": """
+            WITH base AS (
+                SELECT value AS t,
+                       (event_type <> 'error') AS obs,
+                       CAST(user_id % 2 AS INT) AS grp
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+                  AND event_type IS NOT NULL
+            ), cens AS (
+                SELECT t,
+                       count(*) FILTER (obs AND grp = 0) AS da,
+                       count(*) FILTER (obs AND grp = 1) AS db,
+                       count(*) FILTER (grp = 0) AS na,
+                       count(*) FILTER (grp = 1) AS nb
+                FROM base GROUP BY 1
+            ), w AS (
+                SELECT t, da, db,
+                       (SELECT sum(na) FROM cens)
+                           - sum(na) OVER (ORDER BY t) + na AS ra,
+                       (SELECT sum(nb) FROM cens)
+                           - sum(nb) OVER (ORDER BY t) + nb AS rb
+                FROM cens
+            ), ev AS (
+                SELECT sum(da - CAST(ra AS DOUBLE) * (da + db)
+                                / (ra + rb)) AS o_e,
+                       sum(CASE WHEN ra + rb > 1 THEN
+                           CAST(ra AS DOUBLE) * rb * (da + db)
+                           * (ra + rb - da - db)
+                           / (CAST(ra + rb AS DOUBLE)
+                              * (ra + rb) * (ra + rb - 1))
+                           ELSE 0 END) AS v
+                FROM w WHERE da + db > 0
+            )
+            SELECT (SELECT sum(na) FROM cens) AS n_a,
+                   (SELECT sum(nb) FROM cens) AS n_b,
+                   ROUND(CASE WHEN v > 0 THEN o_e * o_e / v END, 4)
+                       + 0 AS chi2
+            FROM ev
+        """,
+        "psi_orders_drift": """
+            WITH e AS (
+                SELECT o_totalprice AS v FROM orders
+                WHERE o_orderdate < '1998-01-01'
+                  AND o_totalprice IS NOT NULL
+            ), a AS (
+                SELECT o_totalprice AS v FROM orders
+                WHERE o_orderdate >= '1998-01-01'
+                  AND o_totalprice IS NOT NULL
+            ), ed AS (
+                SELECT DISTINCT unnest(quantile_cont(v,
+                    [0.1, 0.2, 0.3, 0.4, 0.5,
+                     0.6, 0.7, 0.8, 0.9])) AS edge
+                FROM e
+            ), k AS (SELECT count(*) + 1 AS k FROM ed),
+            ce AS (
+                SELECT (SELECT count(*) FROM ed WHERE v >= edge)
+                           AS bin, count(*) AS ne
+                FROM e GROUP BY 1
+            ), ca AS (
+                SELECT (SELECT count(*) FROM ed WHERE v >= edge)
+                           AS bin, count(*) AS na
+                FROM a GROUP BY 1
+            ), j AS (
+                SELECT coalesce(ce.bin, ca.bin) AS bin, ne, na
+                FROM ce FULL JOIN ca ON ce.bin = ca.bin
+            ), tot AS (
+                SELECT sum(ne) AS te, sum(na) AS ta FROM j
+            )
+            SELECT k.k AS bins, te AS n_expected, ta AS n_actual,
+                   ROUND((SELECT sum(
+                       ((coalesce(ne, 0) + 0.5) / (te + 0.5 * k.k)
+                        - (coalesce(na, 0) + 0.5) / (ta + 0.5 * k.k))
+                       * ln(((coalesce(ne, 0) + 0.5)
+                             / (te + 0.5 * k.k))
+                            / ((coalesce(na, 0) + 0.5)
+                               / (ta + 0.5 * k.k)))) FROM j), 6)
+                       + 0 AS psi
+            FROM tot, k
+        """,
+        "gains_table_events": """
+            WITH b AS (
+                SELECT value / 500.0 AS s,
+                       (event_type = 'purchase') AS y
+                FROM events WHERE value IS NOT NULL
+            ), ed AS (
+                SELECT DISTINCT unnest(quantile_cont(s,
+                    [0.1, 0.2, 0.3, 0.4, 0.5,
+                     0.6, 0.7, 0.8, 0.9])) AS edge
+                FROM b
+            ), c AS (
+                SELECT (SELECT count(*) FROM ed)
+                       - (SELECT count(*) FROM ed WHERE s >= edge)
+                           AS band,
+                       count(*) AS n,
+                       sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos
+                FROM b GROUP BY 1
+            ), cum AS (
+                SELECT band, n, pos,
+                       sum(pos) OVER (ORDER BY band) AS cum_pos,
+                       sum(n) OVER (ORDER BY band) AS cum_n
+                FROM c
+            ), tot AS (
+                SELECT max(cum_pos) AS tp, max(cum_n) AS tn FROM cum
+            )
+            SELECT band, n, pos, cum_pos,
+                   CASE WHEN tp > 0 THEN
+                       CAST(cum_pos AS DOUBLE) / tp END
+                       AS cum_capture,
+                   CASE WHEN tp > 0 AND cum_n > 0 THEN
+                       (CAST(cum_pos AS DOUBLE) / cum_n)
+                       / (CAST(tp AS DOUBLE) / tn) END AS lift
+            FROM cum, tot
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -163,6 +163,9 @@ BENCH_QUERIES = [
     "referential_audit_orders",
     "json_props_events",
     "ranking_metrics_docs",
+    "logrank_events",
+    "psi_orders_drift",
+    "gains_table_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -722,7 +725,8 @@ def main() -> None:
                   "bigram_lm_docs", "stream_zscore_events",
                   "isotonic_calibration_events",
                   "referential_audit_orders", "json_props_events",
-                  "ranking_metrics_docs"}
+                  "ranking_metrics_docs", "logrank_events",
+                  "psi_orders_drift", "gains_table_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

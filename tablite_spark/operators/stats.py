@@ -1036,3 +1036,121 @@ def zipf_fit(census: DataFrame, count_col: str,
         (1.0 + F.count(F.lit(1))
          / F.sum(F.log(f.cast("double") / (fmin - 0.5))))
         .alias("alpha"))
+
+
+def logrank_test(df: DataFrame, duration_col: str, observed_col,
+                 group_col: str) -> DataFrame:
+    """Two-sample log-rank test — does survival differ between the
+    two groups of ``group_col``? One row: (n_a, n_b, chi2) with
+    chi2 = (Σ(O_a − E_a))² / ΣV over event times, the standard
+    hypergeometric-variance form. Groups beyond two raise. The
+    KM companion (:func:`km_curve` draws the curves; this tests
+    them).
+
+    Scale shape — the km_curve census discipline: ONE combinable
+    per-(duration) census carrying per-group event/censor counts,
+    at-risk counts via the SAME distributed prefix sums (range
+    buckets + in-bucket windows + one |buckets|-row offset collect
+    per group), then one scalar aggregate over the census. Never a
+    global-order window.
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
+    t = F.col(duration_col)
+    obs = (F.col(observed_col) if isinstance(observed_col, str)
+           else observed_col).cast("boolean")
+    g = F.col(group_col)
+    base = df.filter(t.isNotNull() & obs.isNotNull() & g.isNotNull())
+    groups = [r[0] for r in
+              base.select(g).distinct().limit(3).collect()]
+    if len(groups) != 2:
+        raise ValueError("logrank_test requires exactly two groups; "
+                         f"got {groups!r}")
+    ga, gb = sorted(groups, key=str)
+    is_a = g == F.lit(ga)
+    cens = (base.groupBy(t.alias("__t__"))
+            .agg(F.count(F.when(obs & is_a, 1)).alias("__da__"),
+                 F.count(F.when(obs & ~is_a, 1)).alias("__db__"),
+                 F.count(F.when(is_a, 1)).alias("__na__"),
+                 F.count(F.when(~is_a, 1)).alias("__nb__")))
+    cens = with_range_bucket(cens, "__t__", "__b__")
+    w = (Window.partitionBy("__b__").orderBy("__t__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cens = (cens.withColumn("__ca__", F.sum("__na__").over(w))
+            .withColumn("__cb__", F.sum("__nb__").over(w)))
+    maps, totals = bucket_prefix_offsets(
+        cens, "__b__", {"a": F.col("__na__"), "b": F.col("__nb__")})
+    b = F.col("__b__")
+    # at-risk = everyone with duration >= t, per group
+    ra = (F.lit(totals["a"]) - (maps["a"][b] + F.col("__ca__"))
+          + F.col("__na__"))
+    rb = (F.lit(totals["b"]) - (maps["b"][b] + F.col("__cb__"))
+          + F.col("__nb__"))
+    d = F.col("__da__") + F.col("__db__")
+    n = ra + rb
+    e_a = ra.cast("double") * d / n
+    v = F.when(n > 1,
+               (ra.cast("double") * rb * d * (n - d))
+               / (n.cast("double") * n * (n - 1))).otherwise(0.0)
+    ev = cens.filter(d > 0).agg(
+        F.sum(F.col("__da__") - e_a).alias("__o_e__"),
+        F.sum(v).alias("__v__"))
+    return ev.select(
+        F.lit(int(totals["a"])).alias("n_a"),
+        F.lit(int(totals["b"])).alias("n_b"),
+        F.when(F.col("__v__") > 0,
+               F.col("__o_e__") * F.col("__o_e__") / F.col("__v__"))
+        .alias("chi2"))
+
+
+def psi_drift(expected: DataFrame, actual: DataFrame, col: str,
+              bins: int = 10) -> DataFrame:
+    """Population Stability Index between a baseline sample and a
+    live sample of the same numeric column — THE standard feature /
+    score drift alarm (<0.1 stable, >0.25 shifted). Bin edges come
+    from the BASELINE's exact quantiles (equi-depth, collapsed when
+    duplicated); both sides bucket row-locally against the broadcast
+    edges; PSI = Σ (p−q)·ln(p/q) with add-half-count smoothing so
+    empty cells stay finite. One row: (bins, n_expected, n_actual,
+    psi).
+
+    Scale shape: one exact-percentile fit on the baseline (the
+    group_quantiles contract), ONE combinable bucket-count groupBy
+    per side (≤bins rows each), and a ≤bins-row join — corpus scans:
+    one per side.
+    """
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    x = F.col(col)
+    qs = [i / bins for i in range(1, bins)]
+    edges = (expected.filter(x.isNotNull())
+             .agg(F.percentile(x, F.array(*[F.lit(q) for q in qs]))
+                  .alias("e")).collect()[0]["e"])
+    if edges is None:
+        raise ValueError(f"no non-null values in baseline {col!r}")
+    edges = sorted(set(edges))
+    from tablite_spark.functions.buckets import bucket_expr
+
+    def census(d, name):
+        return (d.filter(x.isNotNull())
+                .select(bucket_expr(col, edges).alias("bin"))
+                .groupBy("bin")
+                .agg(F.count(F.lit(1)).alias(name)))
+    ce = census(expected, "ne")
+    ca = census(actual, "na")
+    j = ce.join(ca, "bin", "full")
+    tot = j.agg(F.sum("ne").alias("te"), F.sum("na").alias("ta"))
+    k = len(edges) + 1
+    # add-half smoothing keeps ln finite on empty cells
+    p = (F.coalesce(F.col("ne"), F.lit(0)) + 0.5) \
+        / (F.col("te") + 0.5 * k)
+    q = (F.coalesce(F.col("na"), F.lit(0)) + 0.5) \
+        / (F.col("ta") + 0.5 * k)
+    return (j.crossJoin(F.broadcast(tot))
+            .agg(F.lit(k).alias("bins"),
+                 F.max("te").alias("n_expected"),
+                 F.max("ta").alias("n_actual"),
+                 F.sum((p - q) * F.log(p / q)).alias("psi")))

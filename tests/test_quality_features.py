@@ -517,3 +517,69 @@ def test_ranking_metrics_k_cut_and_ties(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must"):
         ranking_metrics(df, "q", "id", "s", "rel", k=0)
+
+
+# ------------------------------------------------------------------
+# logrank_test / psi_drift / gains_table
+# ------------------------------------------------------------------
+
+def test_logrank_identical_groups_zero(spark):
+    """Two identical survival curves: O-E folds to 0, chi2 ~ 0;
+    wildly different curves give a large chi2."""
+    from tablite_spark.operators.stats import logrank_test
+    same = [(float(t), True, grp) for grp in (0, 1)
+            for t in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame(same, "d double, obs boolean, g int")
+    r = logrank_test(df, "d", "obs", "g").collect()[0]
+    assert r["n_a"] == 5 and r["n_b"] == 5
+    assert r["chi2"] is None or abs(r["chi2"]) < 1e-9
+    diff = ([(float(t), True, 0) for t in (1, 2, 3)]
+            + [(float(t), True, 1) for t in (10, 11, 12)])
+    df2 = spark.createDataFrame(diff, "d double, obs boolean, g int")
+    r2 = logrank_test(df2, "d", "obs", "g").collect()[0]
+    assert r2["chi2"] > 3.0, r2
+    with pytest.raises(ValueError, match="exactly two"):
+        logrank_test(df.withColumn("g", F.col("d").cast("int")),
+                     "d", "obs", "g")
+
+
+def test_logrank_censoring_reduces_at_risk(spark):
+    """A censored subject leaves the risk set without an event —
+    the statistic must differ from the all-observed fixture."""
+    from tablite_spark.operators.stats import logrank_test
+    rows = [(1.0, True, 0), (2.0, False, 0), (3.0, True, 0),
+            (1.5, True, 1), (2.5, True, 1), (3.5, True, 1)]
+    df = spark.createDataFrame(rows, "d double, obs boolean, g int")
+    r = logrank_test(df, "d", "obs", "g").collect()[0]
+    assert r["n_a"] == 3 and r["n_b"] == 3
+    assert r["chi2"] is not None
+
+
+def test_psi_drift_detects_shift(spark):
+    from tablite_spark.operators.stats import psi_drift
+    base = spark.createDataFrame(
+        [(float(i % 100),) for i in range(5000)], "x double")
+    same = spark.createDataFrame(
+        [(float((i * 7) % 100),) for i in range(5000)], "x double")
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 60.0,) for i in range(5000)], "x double")
+    lo = psi_drift(base, same, "x").collect()[0]["psi"]
+    hi = psi_drift(base, shifted, "x").collect()[0]["psi"]
+    assert lo < 0.05 and hi > 0.5, (lo, hi)
+    with pytest.raises(ValueError, match="bins"):
+        psi_drift(base, same, "x", bins=1)
+
+
+def test_gains_table_hand(spark):
+    """100 rows, score = i/100, positives exactly the top 20 scores:
+    band 0 (top decile) captures 10/20, bands 0+1 capture all."""
+    from tablite_spark.pipeline.evaluation import gains_table
+    rows = [(i / 100.0, i >= 80) for i in range(100)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r["band"]: r for r in
+           gains_table(df, "s", "y", deciles=10).collect()}
+    assert out[0]["pos"] == 10 and out[0]["cum_capture"] == 0.5
+    assert out[0]["lift"] == (10 / 10) / (20 / 100)   # 5x
+    assert out[1]["cum_capture"] == 1.0
+    assert out[9]["cum_capture"] == 1.0
+    assert abs(out[9]["lift"] - 1.0) < 1e-12
