@@ -2592,6 +2592,23 @@ def gains_table_events(spark: SparkSession, sf: str) -> DataFrame:
     return gains_table(scored, "s", "y", deciles=10)
 
 
+def group_cusum_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type CUSUM changepoints over the value series: one
+    (type, ts) census groupBy, per-type expanding windows over the
+    census (each type's census serializes by contract — the ACF
+    hot-key rule; types stay parallel), one max(struct) argmax per
+    type. Oracle: the same per-key window cumsums in DuckDB."""
+    from tablite_spark.operators.timeseries import group_cusum
+    ev = _t(spark, sf, "events")
+    out = group_cusum(ev, ["event_type"], "ts", "value")
+    return out.select("event_type", "n",
+                      F.round(F.col("mean"), 4).alias("mean"),
+                      "cp_index", "cp_at",
+                      F.round(F.col("cusum"), 4).alias("cusum"),
+                      F.round(F.col("cusum_abs"), 4)
+                      .alias("cusum_abs"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4760,6 +4777,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_events": logrank_events,
         "psi_orders_drift": psi_orders_drift,
         "gains_table_events": gains_table_events,
+        "group_cusum_events": group_cusum_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8070,6 +8088,40 @@ def _oracle_sql_base() -> dict[str, str]:
                        (CAST(cum_pos AS DOUBLE) / cum_n)
                        / (CAST(tp AS DOUBLE) / tn) END AS lift
             FROM cum, tot
+        """,
+        "group_cusum_events": """
+            WITH c AS (
+                SELECT event_type AS g, ts AS t,
+                       sum(value) AS x, count(*) AS nn
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                  AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), w AS (
+                SELECT g, t,
+                       sum(x) OVER (PARTITION BY g ORDER BY t)
+                           AS cx,
+                       sum(nn) OVER (PARTITION BY g ORDER BY t)
+                           AS cn,
+                       sum(x) OVER (PARTITION BY g) AS tx,
+                       sum(nn) OVER (PARTITION BY g) AS tn
+                FROM c
+            ), s AS (
+                SELECT g, t, cn, tn, tx,
+                       cx - (tx / tn) * cn AS s
+                FROM w
+            ), r AS (
+                SELECT g, t, cn, tn, tx, s,
+                       row_number() OVER (PARTITION BY g
+                           ORDER BY abs(s) DESC, cn ASC) AS rk
+                FROM s
+            )
+            SELECT g AS event_type, tn AS n,
+                   ROUND(tx / tn, 4) + 0 AS mean,
+                   cn AS cp_index, t AS cp_at,
+                   ROUND(s, 4) + 0 AS cusum,
+                   ROUND(abs(s), 4) + 0 AS cusum_abs
+            FROM r WHERE rk = 1
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "logrank_events",
     "psi_orders_drift",
     "gains_table_events",
+    "group_cusum_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -726,7 +727,8 @@ def main() -> None:
                   "isotonic_calibration_events",
                   "referential_audit_orders", "json_props_events",
                   "ranking_metrics_docs", "logrank_events",
-                  "psi_orders_drift", "gains_table_events"}
+                  "psi_orders_drift", "gains_table_events",
+                  "group_cusum_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

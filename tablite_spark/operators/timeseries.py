@@ -767,3 +767,59 @@ def cusum_changepoint(df: DataFrame, order_col: str,
         F.col("p.t").alias("cp_at"),
         F.col("p.s").alias("cusum"),
         F.col("p.a").alias("cusum_abs"))
+
+
+def group_cusum(df: DataFrame, keys: list[str], order_col: str,
+                val_col: str) -> DataFrame:
+    """Per-group CUSUM changepoints: :func:`cusum_changepoint` for
+    every group at once — one row per group with its peak-|S| point
+    (keys..., n, mean, cp_index, cp_at, cusum, cusum_abs).
+
+    Scale shape: ONE combinable (keys, order) census groupBy, then
+    per-key expanding windows over the census — each GROUP's census
+    serializes through one task by contract (a group's distinct
+    order keys are the bounded unit; the corpus stays parallel
+    across groups — the ACF/path-ngrams hot-key contract), and the
+    group mean rides the same window's final value via a group-total
+    window, no second scan. The argmax is one combinable
+    max(struct) per group."""
+    from pyspark.sql import Window
+    if not keys:
+        raise ValueError("group_cusum requires at least one key; "
+                         "use cusum_changepoint for the global form")
+    t, x = F.col(order_col), F.col(val_col)
+    kc = [F.col(k) for k in keys]
+    base = df.filter(t.isNotNull() & x.isNotNull())
+    for k in kc:                      # NULL group keys are excluded
+        base = base.filter(k.isNotNull())
+    cens = (base
+            .groupBy(*kc, t.alias("__t__"))
+            .agg(F.sum(x).alias("__x__"),
+                 F.count(F.lit(1)).alias("__n__")))
+    run = (Window.partitionBy(*keys).orderBy("__t__")
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow))
+    tot = (Window.partitionBy(*keys)
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing))
+    cens = (cens.withColumn("__cx__", F.sum("__x__").over(run))
+            .withColumn("__cn__", F.sum("__n__").over(run))
+            .withColumn("__tx__", F.sum("__x__").over(tot))
+            .withColumn("__tn__", F.sum("__n__").over(tot)))
+    mean = F.col("__tx__") / F.col("__tn__")
+    s = F.col("__cx__") - mean * F.col("__cn__")
+    peak = (cens.groupBy(*keys)
+            .agg(F.max(F.col("__tn__")).alias("n"),
+                 F.max(F.col("__tx__") / F.col("__tn__"))
+                 .alias("mean"),
+                 F.max(F.struct(
+                     F.abs(s).alias("a"),
+                     (-F.col("__cn__")).alias("ni"),
+                     s.alias("s"),
+                     F.col("__cn__").alias("i"),
+                     F.col("__t__").alias("t"))).alias("p")))
+    return peak.select(*keys, "n", "mean",
+                       F.col("p.i").alias("cp_index"),
+                       F.col("p.t").alias("cp_at"),
+                       F.col("p.s").alias("cusum"),
+                       F.col("p.a").alias("cusum_abs"))

@@ -583,3 +583,25 @@ def test_gains_table_hand(spark):
     assert out[1]["cum_capture"] == 1.0
     assert out[9]["cum_capture"] == 1.0
     assert abs(out[9]["lift"] - 1.0) < 1e-12
+
+
+def test_group_cusum_per_key_shifts(spark):
+    """Two keys with shifts at different points: each gets its own
+    changepoint; a NULL-keyed row is excluded."""
+    from tablite_spark.operators.timeseries import group_cusum
+    rows = []
+    for i in range(20):
+        rows.append(("a", float(i), 1.0 if i < 10 else 5.0))
+        rows.append(("b", float(i), 5.0 if i < 5 else 1.0))
+    rows.append((None, 0.0, 99.0))
+    df = spark.createDataFrame(rows, "g string, t double, x double")
+    out = {r["g"]: r for r in
+           group_cusum(df, ["g"], "t", "x").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["cp_index"] == 10 and out["a"]["cp_at"] == 9.0
+    assert out["a"]["cusum"] == -20.0
+    # key b: mean 2, S_5 = 25 - 2*5 = 15 (the shift point)
+    assert out["b"]["cp_index"] == 5 and out["b"]["cp_at"] == 4.0
+    assert out["b"]["cusum"] == 15.0
+    with pytest.raises(ValueError, match="at least one key"):
+        group_cusum(df, [], "t", "x")
