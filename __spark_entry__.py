@@ -2609,6 +2609,22 @@ def group_cusum_events(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("cusum_abs"))
 
 
+def column_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon entropy of the documents lang/source columns: both
+    columns melt through ONE stack projection into ONE (column,
+    value) census groupBy — one corpus scan for k columns; the
+    entropy fold uses the numerically-stable ln(n) − Σc·ln(c)/n
+    identity over the vocab-bounded census. Oracle: same identity
+    in DuckDB."""
+    from tablite_spark.operators.stats import column_entropy
+    d = _t(spark, sf, "documents")
+    out = column_entropy(d, ["lang", "source"])
+    return out.select("column", "n", "n_distinct",
+                      F.round(F.col("entropy"), 6).alias("entropy"),
+                      F.round(F.col("norm_entropy"), 6)
+                      .alias("norm_entropy"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4778,6 +4794,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_orders_drift": psi_orders_drift,
         "gains_table_events": gains_table_events,
         "group_cusum_events": group_cusum_events,
+        "column_entropy_docs": column_entropy_docs,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8122,6 +8139,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(s, 4) + 0 AS cusum,
                    ROUND(abs(s), 4) + 0 AS cusum_abs
             FROM r WHERE rk = 1
+        """,
+        "column_entropy_docs": """
+            WITH cens AS (
+                SELECT col, val, count(*) AS c
+                FROM (
+                    SELECT 'lang' AS col, CAST(lang AS VARCHAR)
+                        AS val FROM documents
+                    UNION ALL
+                    SELECT 'source', CAST(source AS VARCHAR)
+                    FROM documents
+                ) WHERE val IS NOT NULL
+                GROUP BY 1, 2
+            ), per AS (
+                SELECT col, sum(c) AS n, count(*) AS nd,
+                       sum(c * ln(CAST(c AS DOUBLE))) AS clc
+                FROM cens GROUP BY 1
+            )
+            SELECT col AS "column", n, nd AS n_distinct,
+                   ROUND(ln(CAST(n AS DOUBLE)) - clc / n, 6) + 0
+                       AS entropy,
+                   ROUND(CASE WHEN nd > 1 THEN
+                       (ln(CAST(n AS DOUBLE)) - clc / n)
+                       / ln(CAST(nd AS DOUBLE)) END, 6) + 0
+                       AS norm_entropy
+            FROM per
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

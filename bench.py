@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "psi_orders_drift",
     "gains_table_events",
     "group_cusum_events",
+    "column_entropy_docs",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -728,7 +729,7 @@ def main() -> None:
                   "referential_audit_orders", "json_props_events",
                   "ranking_metrics_docs", "logrank_events",
                   "psi_orders_drift", "gains_table_events",
-                  "group_cusum_events"}
+                  "group_cusum_events", "column_entropy_docs"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -1154,3 +1154,42 @@ def psi_drift(expected: DataFrame, actual: DataFrame, col: str,
                  F.max("te").alias("n_expected"),
                  F.max("ta").alias("n_actual"),
                  F.sum((p - q) * F.log(p / q)).alias("psi")))
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (and the cardinality-normalized form) of one
+    or more discrete columns — the feature-informativeness /
+    near-constant-column screen. One row per column:
+    (column, n, n_distinct, entropy, norm_entropy); entropy in nats,
+    norm = H/ln(k) (NULL for constant columns). NULL cells are
+    excluded per column.
+
+    Scale shape: ALL columns melt through ONE stack projection and
+    collapse in ONE combinable (column, value) census groupBy; the
+    per-column fold is a second aggregate over the census
+    (vocab-bounded). One corpus scan for k columns, no windows, the
+    mutual_information census discipline."""
+    if not cols:
+        raise ValueError("column_entropy requires at least one column")
+    pairs = F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(c).cast("string").alias("val"))
+        for c in cols])
+    cens = (df.select(F.explode(pairs).alias("p"))
+            .filter(F.col("p.val").isNotNull())
+            .groupBy(F.col("p.col").alias("column"),
+                     F.col("p.val").alias("__v__"))
+            .agg(F.count(F.lit(1)).alias("__c__")))
+    per = (cens.groupBy("column")
+           .agg(F.sum("__c__").alias("n"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                F.sum(F.col("__c__")
+                      * F.log(F.col("__c__").cast("double")))
+                .alias("__clc__")))
+    nn = F.col("n").cast("double")
+    h = F.log(nn) - F.col("__clc__") / nn
+    return per.select(
+        "column", "n", "n_distinct", h.alias("entropy"),
+        F.when(F.col("n_distinct") > 1,
+               h / F.log(F.col("n_distinct").cast("double")))
+        .alias("norm_entropy"))

@@ -605,3 +605,25 @@ def test_group_cusum_per_key_shifts(spark):
     assert out["b"]["cusum"] == 15.0
     with pytest.raises(ValueError, match="at least one key"):
         group_cusum(df, [], "t", "x")
+
+
+def test_column_entropy_hand(spark):
+    """Uniform 4-way column: H = ln 4, norm 1; constant column:
+    H = 0, norm NULL; one scan for both columns."""
+    import math
+
+    from tablite_spark.operators.stats import column_entropy
+    rows = [(str(i % 4), "k", None if i % 2 else 1) for i in range(8)]
+    df = spark.createDataFrame(rows, "a string, b string, c int")
+    out = {r["column"]: r for r in
+           column_entropy(df, ["a", "b", "c"]).collect()}
+    assert abs(out["a"]["entropy"] - math.log(4)) < 1e-12
+    assert abs(out["a"]["norm_entropy"] - 1.0) < 1e-12
+    assert out["b"]["entropy"] == 0.0
+    assert out["b"]["norm_entropy"] is None
+    assert out["c"]["n"] == 4                    # nulls excluded
+    ex = column_entropy(df, ["a", "b"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in ex and "Window" not in ex
+    with pytest.raises(ValueError, match="at least one column"):
+        column_entropy(df, [])
