@@ -220,6 +220,14 @@ COMPACT_LINE_SHED = {
     "q7_volume_shipping", "q8_market_share", "expectations_orders",
     "ks_test_events", "heavy_hitters_docs", "gini_orders",
     "auc_events", "km_survival_events",
+    # second r11 curation pass: the fourth-wave sub-second rows (all
+    # in META + SWEEP every round) — the line keeps every
+    # baseline-comparable io/synth row, the multi-second rows, and a
+    # representative slice of the newest ops
+    "column_entropy_docs", "zipf_alpha_docs", "outliers_events",
+    "pca_covariance_embeddings", "ranking_metrics_docs",
+    "referential_audit_orders", "gains_table_events",
+    "isotonic_calibration_events",
 }
 
 
