@@ -2625,6 +2625,32 @@ def column_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("norm_entropy"))
 
 
+def pmi_collocations_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-50 collocations by PMI over the documents corpus: pairs
+    build row-locally, two combinable censuses, vocab-keyed joins,
+    1-row broadcast N; the PMI log argument is a ratio of exact
+    integer counts. Oracle: same censuses + formula in DuckDB."""
+    from tablite_spark.pipeline.text import pmi_collocations
+    d = _t(spark, sf, "documents")
+    out = pmi_collocations(d, "text", k=50, min_count=5)
+    return out.select("w1", "w2", "pair_count",
+                      F.round(F.col("pmi"), 6).alias("pmi"))
+
+
+def session_summary_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-entry-type session analytics (30-min gap sessions): lag+
+    cumsum sessionization per user, ONE combinable per-session
+    groupBy carrying the entry type via min_by on the portable
+    order key, then a bounded per-entry-type fold — bounce rate /
+    avg events / avg duration are exact integer ratios, emitted
+    UNROUNDED. Oracle: the same lag/cumsum/arg_min chain in
+    DuckDB."""
+    from tablite_spark.operators.timeseries import session_summary
+    ev = _t(spark, sf, "events")
+    return session_summary(ev, "user_id", "ts", "event_type",
+                           gap_seconds=1800, tiebreak="event_id")
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4795,6 +4821,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gains_table_events": gains_table_events,
         "group_cusum_events": group_cusum_events,
         "column_entropy_docs": column_entropy_docs,
+        "pmi_collocations_docs": pmi_collocations_docs,
+        "session_summary_events": session_summary_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8164,6 +8192,79 @@ def _oracle_sql_base() -> dict[str, str]:
                        / ln(CAST(nd AS DOUBLE)) END, 6) + 0
                        AS norm_entropy
             FROM per
+        """,
+        "pmi_collocations_docs": """
+            WITH d AS (
+                SELECT list_filter(string_split_regex(
+                           lower(trim(text)), '\\s+'),
+                           t -> t <> '') AS toks
+                FROM documents
+            ), big AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2
+                FROM d, UNNEST(generate_series(1, len(toks) - 1))
+                     AS g(i)
+                WHERE len(toks) >= 2
+            ), bg AS (
+                SELECT w1, w2, count(*) AS pair_count
+                FROM big GROUP BY 1, 2 HAVING count(*) >= 5
+            ), uni AS (
+                SELECT w, count(*) AS cu FROM (
+                    SELECT UNNEST(list_filter(string_split_regex(
+                        lower(trim(text)), '\\s+'),
+                        t -> t <> '')) AS w
+                    FROM documents) GROUP BY 1
+            ), tot AS (SELECT sum(cu) AS n FROM uni)
+            SELECT bg.w1, bg.w2, pair_count,
+                   ROUND(ln(CAST(n AS DOUBLE) * pair_count
+                            / (CAST(u1.cu AS DOUBLE) * u2.cu)), 6)
+                       + 0 AS pmi
+            FROM bg
+            JOIN uni u1 ON bg.w1 = u1.w
+            JOIN uni u2 ON bg.w2 = u2.w, tot
+            ORDER BY ln(CAST(n AS DOUBLE) * pair_count
+                        / (CAST(u1.cu AS DOUBLE) * u2.cu)) DESC,
+                     bg.w1, bg.w2
+            LIMIT 50
+        """,
+        "session_summary_events": """
+            WITH o AS (
+                SELECT user_id, ts, event_type, event_id,
+                       CASE WHEN epoch_us(ts)
+                                 - epoch_us(lag(ts) OVER w)
+                                 IS NULL
+                            OR epoch_us(ts)
+                                 - epoch_us(lag(ts) OVER w)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id
+                             ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, event_type, event_id,
+                       sum(ns) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS sid
+                FROM o
+            ), per AS (
+                SELECT user_id, sid, count(*) AS n,
+                       arg_min(event_type,
+                               strftime(ts, '%Y-%m-%d %H:%M:%S.%f')
+                               || '|' || lpad(CAST(event_id
+                                                   AS VARCHAR),
+                                              12, '0')) AS entry,
+                       epoch_us(max(ts)) - epoch_us(min(ts))
+                           AS dur
+                FROM s GROUP BY 1, 2
+            )
+            SELECT entry AS entry_type, count(*) AS n_sessions,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                       AS bounces,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / count(*) AS bounce_rate,
+                   CAST(sum(n) AS DOUBLE) / count(*) AS avg_events,
+                   CAST(sum(dur) AS DOUBLE) / 1e6 / count(*)
+                       AS avg_duration_s
+            FROM per GROUP BY 1
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "gains_table_events",
     "group_cusum_events",
     "column_entropy_docs",
+    "pmi_collocations_docs",
+    "session_summary_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -737,7 +739,8 @@ def main() -> None:
                   "referential_audit_orders", "json_props_events",
                   "ranking_metrics_docs", "logrank_events",
                   "psi_orders_drift", "gains_table_events",
-                  "group_cusum_events", "column_entropy_docs"}
+                  "group_cusum_events", "column_entropy_docs",
+                  "pmi_collocations_docs", "session_summary_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

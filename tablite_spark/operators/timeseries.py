@@ -823,3 +823,57 @@ def group_cusum(df: DataFrame, keys: list[str], order_col: str,
                        F.col("p.t").alias("cp_at"),
                        F.col("p.s").alias("cusum"),
                        F.col("p.a").alias("cusum_abs"))
+
+
+def session_summary(df: DataFrame, key_col: str, ts_col: str,
+                    type_col: str, gap_seconds: int = 1800,
+                    tiebreak: str | None = None) -> DataFrame:
+    """Session analytics: gap-sessionize per key (lag+cumsum), then
+    report per ENTRY event type the session count, bounce rate
+    (single-event sessions), mean events per session, and mean
+    session duration — the landing-page / funnel-entry health table.
+    One row per entry type: (entry_type, n_sessions, bounces,
+    bounce_rate, avg_events, avg_duration_s). Rates are exact
+    integer ratios; durations are exact integer seconds.
+
+    Scale shape: per-key lag/cumsum windows (each KEY's events
+    serialize by contract — the sessionize shape), then ONE
+    combinable per-session groupBy carrying entry/exit via
+    min_by/max_by on the (ts, tiebreak) order key, then a bounded
+    per-entry-type fold. No corpus-order window, no join.
+    """
+    from pyspark.sql import Window
+    k, t = F.col(key_col), F.col(ts_col)
+    order = [t.asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    # INTEGER microseconds, not unix_timestamp: that truncates to
+    # seconds and silently moves gap boundaries (and durations) off
+    # the sub-second truth — caught by the strict oracle diff
+    us = F.unix_micros(t.cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull()
+                      | (gap > gap_seconds * 1_000_000),
+                      1).otherwise(0)
+    # the module's engine-portable order key (DuckDB arg_min can't
+    # order by struct — _order_key docstring)
+    okey = _order_key(ts_col, tiebreak)
+    sess = (df.filter(k.isNotNull() & t.isNotNull())
+            .withColumn("__ns__", new_sess)
+            .withColumn("__sid__", F.sum("__ns__").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    per = (sess.groupBy(k.alias("__k__"), F.col("__sid__"))
+           .agg(F.count(F.lit(1)).alias("__n__"),
+                F.min_by(F.col(type_col), okey).alias("__entry__"),
+                (F.max(us) - F.min(us)).alias("__dur__")))
+    return (per.groupBy(F.col("__entry__").alias("entry_type"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum(F.when(F.col("__n__") == 1, 1).otherwise(0))
+                 .alias("bounces"),
+                 (F.sum(F.when(F.col("__n__") == 1, 1).otherwise(0))
+                  .cast("double") / F.count(F.lit(1)))
+                 .alias("bounce_rate"),
+                 (F.sum("__n__").cast("double")
+                  / F.count(F.lit(1))).alias("avg_events"),
+                 (F.sum("__dur__").cast("double") / 1e6
+                  / F.count(F.lit(1))).alias("avg_duration_s")))

@@ -1421,3 +1421,52 @@ def bigram_lm_scores(df: DataFrame, text_col: str, id_col: str,
     return (scored.groupBy(F.col("__id__").alias(id_col))
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.avg(lp).alias("avg_logprob")))
+
+
+def pmi_collocations(df: DataFrame, text_col: str, k: int = 50,
+                     min_count: int = 5) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by pointwise mutual
+    information PMI = ln(N·c(w1,w2) / (c(w1)·c(w2))) — the classic
+    phrase-mining signal (NLTK/Church-Hanks), with a ``min_count``
+    support floor so rare pairs don't dominate. Deterministic
+    (PMI DESC, w1, w2) ranking. Returns (w1, w2, pair_count, pmi).
+
+    Scale shape: the bigram_lm_scores censuses reused — pairs build
+    ROW-LOCALLY (arrays_zip of two slices), counts are two
+    combinable groupBys, N rides a 1-row broadcast; the join keys
+    are the vocab-bounded censuses themselves (never the corpus);
+    top-k cuts a census-sized frame. PMI's log argument is a ratio
+    of exact integer counts — cross-engine deterministic.
+    """
+    if k < 1 or min_count < 1:
+        raise ValueError("k and min_count must be >= 1")
+    toks = F.filter(F.split(F.lower(F.trim(F.col(text_col))),
+                            r"\s+"), lambda t: t != "")
+    base = (df.select(toks.alias("__t__"))
+            .filter(F.size("__t__") >= 2))
+    n = F.size("__t__")
+    pairs = F.arrays_zip(F.slice("__t__", 1, n - 1),
+                         F.expr("slice(__t__, 2, size(__t__) - 1)"))
+    big = (base.select(F.explode(pairs).alias("__p__"))
+           .select(F.col("__p__.0").alias("w1"),
+                   F.col("__p__.1").alias("w2")))
+    bg = (big.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("pair_count"))
+          .filter(F.col("pair_count") >= min_count))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("__cu__")))
+    tot = uni.agg(F.sum("__cu__").alias("__n__"))
+    scored = (bg
+              .join(uni.select(F.col("w").alias("w1"),
+                               F.col("__cu__").alias("__c1__")),
+                    "w1")
+              .join(uni.select(F.col("w").alias("w2"),
+                               F.col("__cu__").alias("__c2__")),
+                    "w2")
+              .crossJoin(F.broadcast(tot)))
+    pmi = F.log(F.col("__n__").cast("double") * F.col("pair_count")
+                / (F.col("__c1__").cast("double") * F.col("__c2__")))
+    return (scored.select("w1", "w2", "pair_count",
+                          pmi.alias("pmi"))
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(k))

@@ -627,3 +627,54 @@ def test_column_entropy_hand(spark):
     assert "Join" not in ex and "Window" not in ex
     with pytest.raises(ValueError, match="at least one column"):
         column_entropy(df, [])
+
+
+# ------------------------------------------------------------------
+# pmi_collocations / session_summary
+# ------------------------------------------------------------------
+
+def test_pmi_collocations_hand(spark):
+    """'of the' occurs in every doc (common pair of common words ->
+    low PMI); 'zx qq' is a rare exclusive pair -> top PMI."""
+    import math
+
+    from tablite_spark.pipeline.text import pmi_collocations
+    docs = [(i, "of the and of the or of the") for i in range(20)]
+    docs += [(100 + i, "zx qq filler") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pmi_collocations(df, "text", k=5, min_count=5).collect()
+    # ('qq','filler') and ('zx','qq') share the exact same counts ->
+    # identical PMI; the (w1, w2) tiebreak orders qq < zx
+    assert [(r["w1"], r["w2"]) for r in out[:2]] == \
+        [("qq", "filler"), ("zx", "qq")]
+    # exact PMI: N tokens=175, c(pair)=5, c(w)=5 each
+    for r in out[:2]:
+        assert abs(r["pmi"] - math.log(175 * 5 / 25)) < 1e-12
+    with pytest.raises(ValueError, match=">= 1"):
+        pmi_collocations(df, "text", k=0)
+
+
+def test_session_summary_hand(spark):
+    """User 1: two sessions (gap > 30 min) entered via view (3
+    events, 600s) and click (1 event -> bounce). Exact ratios."""
+    from datetime import datetime as dt
+
+    from tablite_spark.operators.timeseries import session_summary
+    rows = [(1, dt(2024, 1, 1, 10, 0, 0), "view", 1),
+            (1, dt(2024, 1, 1, 10, 5, 0), "click", 2),
+            (1, dt(2024, 1, 1, 10, 10, 0), "purchase", 3),
+            (1, dt(2024, 1, 1, 12, 0, 0), "click", 4),
+            (2, dt(2024, 1, 1, 9, 0, 0), "view", 5)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, "
+              "event_id long")
+    out = {r["entry_type"]: r for r in
+           session_summary(df, "user_id", "ts", "event_type",
+                           tiebreak="event_id").collect()}
+    assert out["view"]["n_sessions"] == 2      # user1 s1 + user2
+    assert out["view"]["bounces"] == 1         # user2's single view
+    assert out["view"]["bounce_rate"] == 0.5
+    assert out["view"]["avg_events"] == 2.0    # (3 + 1) / 2
+    assert out["view"]["avg_duration_s"] == 300.0
+    assert out["click"]["n_sessions"] == 1
+    assert out["click"]["bounce_rate"] == 1.0
