@@ -386,6 +386,81 @@ def burnin_quality_ops2(spark):
 
 ALL["quality_ops2"] = burnin_quality_ops2
 
+
+def burnin_quality_ops3(spark):
+    """Fourth-wave burn-ins: log-rank over a 10M-distinct census
+    (prefix-sum at-risk counts at the KS contract edge); PSI with a
+    100M-row live side (two corpus scans, bounded census); group
+    CUSUM with one key carrying 20% of 10M rows (per-key census
+    serialization contract); per-column entropy over 5 columns x 20M
+    rows in ONE scan; session_summary with a hot user = 20% of 10M
+    events; PMI + ranking metrics at 200k docs / 2k queries."""
+    import time
+
+    from tablite_spark.operators.stats import (column_entropy,
+                                               logrank_test,
+                                               psi_drift)
+    from tablite_spark.operators.timeseries import (group_cusum,
+                                                    session_summary)
+    from tablite_spark.pipeline.evaluation import ranking_metrics
+    print("[burnin] quality_ops3")
+    t0 = time.time()
+    lr = spark.range(0, 10_000_000, 1, 32).select(
+        (F.col("id") + (F.col("id") % 2) * 0.5).alias("d"),
+        (F.col("id") % 10 != 0).alias("obs"),
+        (F.col("id") % 2).cast("int").alias("g"))
+    r = logrank_test(lr, "d", "obs", "g").collect()[0]
+    assert r["n_a"] == 5_000_000 and r["chi2"] is not None
+    t0 = _t("logrank 10M distinct census", t0)
+
+    base = spark.range(0, 1_000_000, 1, 32).select(
+        (F.col("id") % 1000).cast("double").alias("x"))
+    live = spark.range(0, 100_000_000, 1, 32).select(
+        ((F.col("id") * 7) % 1000).cast("double").alias("x"))
+    p = psi_drift(base, live, "x", bins=10).collect()[0]
+    assert abs(p["psi"]) < 0.01, p   # same distribution -> ~0
+    t0 = _t("psi 1M baseline vs 100M live", t0)
+
+    gc = spark.range(0, 10_000_000, 1, 32).select(
+        F.when(F.col("id") % 5 == 0, "hot")
+        .otherwise((F.col("id") % 97).cast("string")).alias("g"),
+        F.col("id").cast("double").alias("t"),
+        F.when(F.col("id") > 8_000_000, 3.0).otherwise(1.0)
+        .alias("x"))
+    out = group_cusum(gc, ["g"], "t", "x").count()
+    assert out == 98, out
+    t0 = _t("group_cusum hot key 20% of 10M", t0)
+
+    ec = spark.range(0, 20_000_000, 1, 32).select(
+        *[((F.col("id") * k) % (10 ** k)).cast("string")
+          .alias(f"c{k}") for k in range(1, 6)])
+    ents = column_entropy(ec, [f"c{k}" for k in range(1, 6)])
+    assert ents.count() == 5
+    t0 = _t("column_entropy 5 cols x 20M one scan", t0)
+
+    ss = spark.range(0, 10_000_000, 1, 32).select(
+        F.when(F.col("id") % 5 == 0, F.lit(7))
+        .otherwise(F.col("id") % 100_000).alias("user_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 3)
+        .alias("ts"),
+        (F.col("id") % 4).cast("string").alias("event_type"),
+        F.col("id").alias("event_id"))
+    n = session_summary(ss, "user_id", "ts", "event_type",
+                        tiebreak="event_id").count()
+    assert n == 4, n
+    t0 = _t("session_summary hot user 20% of 10M", t0)
+
+    rk = spark.range(0, 2_000_000, 1, 32).select(
+        (F.col("id") % 2000).alias("q"), F.col("id").alias("i"),
+        ((F.col("id") * 13) % 9973).cast("double").alias("s"),
+        (F.col("id") % 7 == 0).cast("int").alias("rel"))
+    m = ranking_metrics(rk, "q", "i", "s", "rel", k=10).collect()[0]
+    assert m["n_queries"] == 2000
+    t0 = _t("ranking_metrics 2k queries x 1k candidates", t0)
+
+
+ALL["quality_ops3"] = burnin_quality_ops3
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     spark = get_spark()
