@@ -2651,6 +2651,19 @@ def session_summary_events(spark: SparkSession, sf: str) -> DataFrame:
                            gap_seconds=1800, tiebreak="event_id")
 
 
+def association_rules_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules over orders as baskets and
+    parts as items: basket-keyed self-join (per-basket |items|²
+    fan-out, bounded by real basket size — never corpus²), census
+    supports joined back, 1-row broadcast N; confidence and lift are
+    exact integer ratios, unrounded, ranked (lift DESC, a, b).
+    Oracle: the same joins in DuckDB."""
+    from tablite_spark.operators.frequency import association_rules
+    li = _t(spark, sf, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey",
+                             min_support=3, k=50)
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4823,6 +4836,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy_docs": column_entropy_docs,
         "pmi_collocations_docs": pmi_collocations_docs,
         "session_summary_events": session_summary_events,
+        "association_rules_lineitem": association_rules_lineitem,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8265,6 +8279,33 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(sum(dur) AS DOUBLE) / 1e6 / count(*)
                        AS avg_duration_s
             FROM per GROUP BY 1
+        """,
+        "association_rules_lineitem": """
+            WITH base AS (
+                SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL
+            ), supp AS (
+                SELECT it, count(*) AS s FROM base GROUP BY 1
+            ), nb AS (
+                SELECT count(DISTINCT bk) AS n FROM base
+            ), pairs AS (
+                SELECT l.it AS a, r.it AS b, count(*) AS support
+                FROM base l JOIN base r
+                  ON l.bk = r.bk AND l.it <> r.it
+                GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT a, b, support,
+                   CAST(support AS DOUBLE) / sa.s AS confidence,
+                   CAST(nb.n AS DOUBLE) * support
+                       / (CAST(sa.s AS DOUBLE) * sb.s) AS lift
+            FROM pairs
+            JOIN supp sa ON pairs.a = sa.it
+            JOIN supp sb ON pairs.b = sb.it, nb
+            ORDER BY CAST(nb.n AS DOUBLE) * support
+                     / (CAST(sa.s AS DOUBLE) * sb.s) DESC, a, b
+            LIMIT 50
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "column_entropy_docs",
     "pmi_collocations_docs",
     "session_summary_events",
+    "association_rules_lineitem",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -740,7 +741,8 @@ def main() -> None:
                   "ranking_metrics_docs", "logrank_events",
                   "psi_orders_drift", "gains_table_events",
                   "group_cusum_events", "column_entropy_docs",
-                  "pmi_collocations_docs", "session_summary_events"}
+                  "pmi_collocations_docs", "session_summary_events",
+                  "association_rules_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -110,3 +110,52 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
             .filter(F.col("cnt") > F.lit(float(phi) * n))
             .select(F.col(col).alias("value"), "cnt",
                     (F.col("cnt") / F.lit(float(n))).alias("share")))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_support: int = 5,
+                      k: int = 50) -> DataFrame:
+    """Pairwise association rules over (basket, item) rows — the
+    market-basket staple: for each ordered item pair (a -> b) with
+    co-occurrence in >= ``min_support`` baskets, report support,
+    confidence = supp(a,b)/supp(a) and lift =
+    N·supp(a,b)/(supp(a)·supp(b)), top-``k`` by (lift DESC, a, b).
+    Duplicate (basket, item) rows collapse first (set semantics).
+
+    Scale shape: baskets dedupe in ONE combinable distinct; the pair
+    table builds by a SELF-JOIN ON THE BASKET KEY (a < b cut) — the
+    per-basket fan-out is |basket|², bounded by the real-world
+    basket size, never corpus²; item supports are a census joined
+    back on the vocab-bounded keys; N(baskets) rides a 1-row
+    broadcast. Confidence/lift are exact integer ratios —
+    cross-engine deterministic, emitted unrounded.
+    """
+    if min_support < 1 or k < 1:
+        raise ValueError("min_support and k must be >= 1")
+    b, i = F.col(basket_col), F.col(item_col)
+    base = (df.filter(b.isNotNull() & i.isNotNull())
+            .select(b.alias("__b__"), i.alias("__i__")).distinct())
+    supp = base.groupBy(F.col("__i__").alias("item")).agg(
+        F.count(F.lit(1)).alias("s"))
+    nb = base.agg(F.countDistinct("__b__").alias("n_baskets"))
+    l = base.select("__b__", F.col("__i__").alias("a"))
+    r = base.select(F.col("__b__").alias("__b2__"),
+                    F.col("__i__").alias("b"))
+    pairs = (l.join(r, (F.col("__b__") == F.col("__b2__"))
+                    & (F.col("a") != F.col("b")))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter(F.col("support") >= min_support))
+    out = (pairs
+           .join(supp.select(F.col("item").alias("a"),
+                             F.col("s").alias("__sa__")), "a")
+           .join(supp.select(F.col("item").alias("b"),
+                             F.col("s").alias("__sb__")), "b")
+           .crossJoin(F.broadcast(nb)))
+    conf = F.col("support").cast("double") / F.col("__sa__")
+    lift = (F.col("n_baskets").cast("double") * F.col("support")
+            / (F.col("__sa__").cast("double") * F.col("__sb__")))
+    return (out.select("a", "b", "support", conf.alias("confidence"),
+                       lift.alias("lift"))
+            .orderBy(F.col("lift").desc(), "a", "b")
+            .limit(k))

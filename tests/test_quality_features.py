@@ -678,3 +678,27 @@ def test_session_summary_hand(spark):
     assert out["view"]["avg_duration_s"] == 300.0
     assert out["click"]["n_sessions"] == 1
     assert out["click"]["bounce_rate"] == 1.0
+
+
+def test_association_rules_hand(spark):
+    """Items x,y co-occur in 3 of 4 baskets; z appears once with x.
+    supp(x)=4, supp(y)=3, pair (x,y)=3 -> conf 3/4, lift 4*3/12=1;
+    duplicate rows collapse; min_support prunes (x,z)."""
+    from tablite_spark.operators.frequency import association_rules
+    rows = [(1, "x"), (1, "y"), (1, "y"),       # dup collapses
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "y"),
+            (4, "x"), (4, "z")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r["a"], r["b"]): r for r in
+           association_rules(df, "bk", "it", min_support=2,
+                             k=10).collect()}
+    assert ("x", "z") not in out                 # support 1 < 2
+    r = out[("x", "y")]
+    assert r["support"] == 3
+    assert r["confidence"] == 3 / 4
+    assert r["lift"] == 4 * 3 / (4 * 3)
+    # asymmetric confidence: y -> x is 3/3
+    assert out[("y", "x")]["confidence"] == 1.0
+    with pytest.raises(ValueError, match=">= 1"):
+        association_rules(df, "bk", "it", min_support=0)
