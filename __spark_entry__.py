@@ -2664,6 +2664,19 @@ def association_rules_lineitem(spark: SparkSession, sf: str) -> DataFrame:
                              min_support=3, k=50)
 
 
+def funnel_window_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed view→click→purchase funnel: each hop must land
+    within 1 HOUR of the previous step (the attribution-window
+    semantics) — same selective-filter + conditional-min + user-key
+    join chain as funnel_events, with an integer-microsecond hop
+    bound (sub-second exact on both engines). Oracle: the chained
+    CTEs with the same epoch_us bound."""
+    from tablite_spark.operators.timeseries import funnel
+    return funnel(_t(spark, sf, "events"),
+                  ["view", "click", "purchase"],
+                  within_seconds=3600)
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4837,6 +4850,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_docs": pmi_collocations_docs,
         "session_summary_events": session_summary_events,
         "association_rules_lineitem": association_rules_lineitem,
+        "funnel_window_events": funnel_window_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8306,6 +8320,29 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY CAST(nb.n AS DOUBLE) * support
                      / (CAST(sa.s AS DOUBLE) * sb.s) DESC, a, b
             LIMIT 50
+        """,
+        "funnel_window_events": """
+            WITH s0 AS (
+                SELECT user_id, MIN(ts) AS t_view FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s1 AS (
+                SELECT e.user_id, MIN(ts) AS t_click
+                FROM events e JOIN s0 USING (user_id)
+                WHERE event_type = 'click' AND ts > t_view
+                  AND epoch_us(ts) - epoch_us(t_view)
+                      <= 3600000000
+                GROUP BY e.user_id
+            ), s2 AS (
+                SELECT e.user_id, MIN(ts) AS t_purchase
+                FROM events e JOIN s1 USING (user_id)
+                WHERE event_type = 'purchase' AND ts > t_click
+                  AND epoch_us(ts) - epoch_us(t_click)
+                      <= 3600000000
+                GROUP BY e.user_id
+            )
+            SELECT s0.user_id, t_view, t_click, t_purchase
+            FROM s0 LEFT JOIN s1 USING (user_id)
+                    LEFT JOIN s2 USING (user_id)
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

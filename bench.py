@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "pmi_collocations_docs",
     "session_summary_events",
     "association_rules_lineitem",
+    "funnel_window_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -742,7 +743,8 @@ def main() -> None:
                   "psi_orders_drift", "gains_table_events",
                   "group_cusum_events", "column_entropy_docs",
                   "pmi_collocations_docs", "session_summary_events",
-                  "association_rules_lineitem"}
+                  "association_rules_lineitem",
+                  "funnel_window_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

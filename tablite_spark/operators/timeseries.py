@@ -78,12 +78,15 @@ def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
            user_col: str = "user_id",
            type_col: str = "event_type",
            single_scan: bool = False,
+           within_seconds: int | None = None,
            _materialize: bool = True) -> DataFrame:
     """Ordered funnel: per user, the earliest time each successive
     step was completed STRICTLY AFTER the previous step's time
     (view -> click -> purchase). Returns one row per user who
     completed step 0, with a nullable ``t_<step>`` timestamp per step
-    (null = dropped out at that step).
+    (null = dropped out at that step). ``within_seconds`` bounds each
+    hop: the windowed-funnel semantics where a conversion only
+    counts within the attribution window.
 
     Scale shape: per step, a highly selective ``type = step`` filter
     then a combinable conditional-min groupBy(user); successive steps
@@ -133,10 +136,19 @@ def funnel(events: DataFrame, steps: list[str], ts_col: str = "ts",
            .groupBy("user_id_")
            .agg(F.min("ts_").alias(cols[0])))
     for i, s in enumerate(steps[1:], 1):
+        after = F.col("ts_") > F.col("prev_")
+        if within_seconds is not None:
+            # windowed funnel: the step must ALSO land within
+            # within_seconds of the previous step (integer-micro
+            # comparison — sub-second exact on both engines)
+            after = after & (
+                F.unix_micros(F.col("ts_").cast("timestamp"))
+                - F.unix_micros(F.col("prev_").cast("timestamp"))
+                <= within_seconds * 1_000_000)
         nxt = (step_events(s)
                .join(cur.select("user_id_", F.col(cols[i - 1])
                                 .alias("prev_")), "user_id_")
-               .filter(F.col("ts_") > F.col("prev_"))
+               .filter(after)
                .groupBy("user_id_")
                .agg(F.min("ts_").alias(cols[i])))
         cur = cur.join(nxt, "user_id_", "left")

@@ -702,3 +702,26 @@ def test_association_rules_hand(spark):
     assert out[("y", "x")]["confidence"] == 1.0
     with pytest.raises(ValueError, match=">= 1"):
         association_rules(df, "bk", "it", min_support=0)
+
+
+def test_funnel_within_window(spark):
+    """A click 2h after the view converts in the unbounded funnel
+    but NOT in the 1h-windowed funnel; an in-window click passes
+    both."""
+    from datetime import datetime as dt
+
+    from tablite_spark.operators.timeseries import funnel
+    rows = [(1, dt(2024, 1, 1, 10, 0), "view"),
+            (1, dt(2024, 1, 1, 12, 0), "click"),      # 2h late
+            (2, dt(2024, 1, 1, 10, 0), "view"),
+            (2, dt(2024, 1, 1, 10, 30), "click")]     # in window
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string")
+    plain = {r["user_id"]: r for r in
+             funnel(df, ["view", "click"]).collect()}
+    bound = {r["user_id"]: r for r in
+             funnel(df, ["view", "click"],
+                    within_seconds=3600).collect()}
+    assert plain[1]["t_click"] is not None
+    assert bound[1]["t_click"] is None            # window cut it
+    assert bound[2]["t_click"] is not None
