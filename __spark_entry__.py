@@ -2677,6 +2677,45 @@ def funnel_window_events(spark: SparkSession, sf: str) -> DataFrame:
                   within_seconds=3600)
 
 
+def additive_seasonal_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-factor (hour + day-of-week) additive seasonal anomaly
+    screen: all three factor means from ONE corpus scan via
+    GROUPING SETS (Catalyst Expand feeding one combinable agg), the
+    ≤32-row model broadcast back, pooled residual σ from a second
+    scan — two scans total, no windows. Boundary margin audited:
+    0.052 at sf0.01 / 0.011 at sf0.1, >=1e7x the drift. Oracle: the
+    same GROUPING SETS model in DuckDB (day-of-week LABELS differ
+    across engines but the row partition is identical, and only the
+    fitted values are emitted)."""
+    from tablite_spark.operators.timeseries import additive_seasonal
+    ev = _t(spark, sf, "events")
+    out = additive_seasonal(ev, "ts", "value", k=3.0)
+    return out.select("event_id", "value",
+                      F.round(F.col("expected"), 4).alias("expected"),
+                      F.round(F.col("z"), 4).alias("z"))
+
+
+def interarrival_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-arrival rhythm stats (mean/sd gap, CV,
+    Goh-Barabási burstiness): one per-key lag window (per-key
+    serialization contract) + ONE combinable per-key aggregate;
+    gaps are integer microseconds so the moments are deterministic
+    up to summation drift (rounded). Oracle: the same lag window +
+    stddev_pop in DuckDB."""
+    from tablite_spark.operators.timeseries import interarrival_stats
+    ev = _t(spark, sf, "events")
+    out = interarrival_stats(ev, "user_id", "ts",
+                             tiebreak="event_id")
+    return out.select("user_id", "n_gaps",
+                      F.round(F.col("mean_gap_s"), 4)
+                      .alias("mean_gap_s"),
+                      F.round(F.col("sd_gap_s"), 4)
+                      .alias("sd_gap_s"),
+                      F.round(F.col("cv"), 6).alias("cv"),
+                      F.round(F.col("burstiness"), 6)
+                      .alias("burstiness"))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4851,6 +4890,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_summary_events": session_summary_events,
         "association_rules_lineitem": association_rules_lineitem,
         "funnel_window_events": funnel_window_events,
+        "additive_seasonal_events": additive_seasonal_events,
+        "interarrival_events": interarrival_events,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8343,6 +8384,61 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT s0.user_id, t_view, t_click, t_purchase
             FROM s0 LEFT JOIN s1 USING (user_id)
                     LEFT JOIN s2 USING (user_id)
+        """,
+        "additive_seasonal_events": """
+            WITH m AS (
+                SELECT hour(ts) AS h, dayofweek(ts) AS d,
+                       avg(value) AS mv
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+                GROUP BY GROUPING SETS ((hour(ts)),
+                                        (dayofweek(ts)), ())
+            ), hm AS (
+                SELECT h, mv AS hmean FROM m WHERE h IS NOT NULL
+            ), dm AS (
+                SELECT d, mv AS dmean FROM m
+                WHERE d IS NOT NULL AND h IS NULL
+            ), gm AS (
+                SELECT mv AS grand FROM m
+                WHERE h IS NULL AND d IS NULL
+            ), j AS (
+                SELECT event_id, value,
+                       hmean + dmean - grand AS fit
+                FROM events JOIN hm ON hour(ts) = h
+                JOIN dm ON dayofweek(ts) = d, gm
+                WHERE value IS NOT NULL
+            ), s AS (
+                SELECT *, (SELECT stddev_pop(value - fit) FROM j)
+                           AS sd
+                FROM j
+            )
+            SELECT event_id, value,
+                   ROUND(fit, 4) + 0 AS expected,
+                   ROUND((value - fit) / sd, 4) + 0 AS z
+            FROM s WHERE abs(value - fit) > 3 * sd
+        """,
+        "interarrival_events": """
+            WITH g AS (
+                SELECT user_id,
+                       CAST(epoch_us(ts)
+                            - epoch_us(lag(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)) AS DOUBLE)
+                           / 1e6 AS gap
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT user_id, count(*) AS n_gaps,
+                   ROUND(avg(gap), 4) + 0 AS mean_gap_s,
+                   ROUND(stddev_pop(gap), 4) + 0 AS sd_gap_s,
+                   ROUND(CASE WHEN avg(gap) > 0 THEN
+                       stddev_pop(gap) / avg(gap) END, 6) + 0 AS cv,
+                   ROUND(CASE WHEN stddev_pop(gap) + avg(gap) > 0
+                       THEN (stddev_pop(gap) - avg(gap))
+                            / (stddev_pop(gap) + avg(gap)) END, 6)
+                       + 0 AS burstiness
+            FROM g WHERE gap IS NOT NULL
+            GROUP BY 1
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

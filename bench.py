@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "session_summary_events",
     "association_rules_lineitem",
     "funnel_window_events",
+    "additive_seasonal_events",
+    "interarrival_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -744,7 +746,8 @@ def main() -> None:
                   "group_cusum_events", "column_entropy_docs",
                   "pmi_collocations_docs", "session_summary_events",
                   "association_rules_lineitem",
-                  "funnel_window_events"}
+                  "funnel_window_events",
+                  "additive_seasonal_events", "interarrival_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

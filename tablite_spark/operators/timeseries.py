@@ -889,3 +889,84 @@ def session_summary(df: DataFrame, key_col: str, ts_col: str,
                   / F.count(F.lit(1))).alias("avg_events"),
                  (F.sum("__dur__").cast("double") / 1e6
                   / F.count(F.lit(1))).alias("avg_duration_s")))
+
+
+def additive_seasonal(df: DataFrame, ts_col: str, val_col: str,
+                      k: float = 3.0) -> DataFrame:
+    """Two-factor additive seasonal screen: model value as
+    grand_mean + hour-of-day effect + day-of-week effect, pool the
+    residual variance, and return rows where |residual| > k·σ with
+    their z-scores — the richer cousin of the one-factor
+    :func:`tablite_spark.operators.stats.seasonal_anomalies`.
+
+    Scale shape: ALL THREE factor means (hour, dow, grand) come from
+    ONE corpus scan via GROUPING SETS ((hour),(dow),()) — Catalyst's
+    Expand feeds one combinable aggregate; the ≤32-row model
+    broadcasts back twice (hour row, dow row) and the residual
+    moments pool from a second scan's single aggregate. Two corpus
+    scans total, no windows.
+    """
+    t, x = F.col(ts_col), F.col(val_col)
+    base = df.filter(t.isNotNull() & x.isNotNull())
+    hod, dow = F.hour(t), F.dayofweek(t)
+    m = (base.select(hod.alias("__h__"), dow.alias("__d__"),
+                     x.alias("__x__"))
+         .groupingSets([["__h__"], ["__d__"], []],
+                       "__h__", "__d__")
+         .agg(F.avg("__x__").alias("__m__")))
+    hm = (m.filter(F.col("__h__").isNotNull())
+          .select(F.col("__h__").alias("__hk__"),
+                  F.col("__m__").alias("__hmean__")))
+    dm = (m.filter(F.col("__d__").isNotNull())
+          .select(F.col("__d__").alias("__dk__"),
+                  F.col("__m__").alias("__dmean__")))
+    gm = (m.filter(F.col("__h__").isNull()
+                   & F.col("__d__").isNull())
+          .select(F.col("__m__").alias("__grand__")))
+    fitted = (F.col("__hmean__") + F.col("__dmean__")
+              - F.col("__grand__"))
+    joined = (base.join(F.broadcast(hm), hod == F.col("__hk__"))
+              .join(F.broadcast(dm), dow == F.col("__dk__"))
+              .crossJoin(F.broadcast(gm)))
+    resid = x - fitted
+    stats = joined.agg(F.stddev_pop(resid).alias("__sd__"))
+    out = (joined.crossJoin(F.broadcast(stats))
+           .filter(F.abs(resid) > F.lit(k) * F.col("__sd__")))
+    return out.select(*df.columns, fitted.alias("expected"),
+                      (resid / F.col("__sd__")).alias("z"))
+
+
+def interarrival_stats(df: DataFrame, key_col: str, ts_col: str,
+                       tiebreak: str | None = None) -> DataFrame:
+    """Per-key inter-arrival statistics: mean/stddev gap (seconds),
+    coefficient of variation, and the Goh-Barabási burstiness
+    B = (σ−μ)/(σ+μ) (−1 periodic, 0 Poisson, →1 bursty) — the event-
+    stream rhythm screen (bot detection, sensor health). One row per
+    key with ≥2 events: (key, n_gaps, mean_gap_s, sd_gap_s, cv,
+    burstiness). Gaps are integer microseconds; derived stats carry
+    the usual summation drift (round at an oracle boundary).
+
+    Scale shape: one per-key lag window (a key's events serialize by
+    contract — the sessionize shape) then ONE combinable per-key
+    aggregate. No corpus-order window, no join.
+    """
+    from pyspark.sql import Window
+    k, t = F.col(key_col), F.col(ts_col)
+    order = [t.asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    us = F.unix_micros(t.cast("timestamp"))
+    gap = (us - F.lag(us).over(w)).cast("double") / 1e6
+    per = (df.filter(k.isNotNull() & t.isNotNull())
+           .withColumn("__g__", gap)
+           .filter(F.col("__g__").isNotNull())
+           .groupBy(k.alias(key_col))
+           .agg(F.count(F.lit(1)).alias("n_gaps"),
+                F.avg("__g__").alias("mean_gap_s"),
+                F.stddev_pop("__g__").alias("sd_gap_s")))
+    cv = F.when(F.col("mean_gap_s") > 0,
+                F.col("sd_gap_s") / F.col("mean_gap_s"))
+    b = F.when(F.col("sd_gap_s") + F.col("mean_gap_s") > 0,
+               (F.col("sd_gap_s") - F.col("mean_gap_s"))
+               / (F.col("sd_gap_s") + F.col("mean_gap_s")))
+    return per.select(key_col, "n_gaps", "mean_gap_s", "sd_gap_s",
+                      cv.alias("cv"), b.alias("burstiness"))

@@ -725,3 +725,53 @@ def test_funnel_within_window(spark):
     assert plain[1]["t_click"] is not None
     assert bound[1]["t_click"] is None            # window cut it
     assert bound[2]["t_click"] is not None
+
+
+def test_additive_seasonal_one_scan_grouping_sets(spark):
+    """The three factor means must come from ONE scan (GROUPING SETS
+    -> Expand), and a planted off-pattern spike is flagged."""
+    from datetime import datetime as dt
+
+    from tablite_spark.operators.timeseries import additive_seasonal
+    rows = []
+    i = 0
+    for day in range(1, 15):
+        for hour in (3, 9, 15):
+            rows.append((i, dt(2024, 1, day, hour, 0),
+                         10.0 * hour + (day % 7)))
+            i += 1
+    rows.append((999, dt(2024, 1, 20, 3, 0), 500.0))   # spike
+    df = spark.createDataFrame(rows, "id long, ts timestamp, x double")
+    out = additive_seasonal(df, "ts", "x", k=3.0).collect()
+    assert [r["id"] for r in out] == [999]
+    assert out[0]["z"] > 3
+    ex = additive_seasonal(df, "ts", "x") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in ex, ex[:1200]        # GROUPING SETS proof
+    assert "Window" not in ex
+
+
+def test_interarrival_burstiness_signs(spark):
+    """Perfectly periodic key -> burstiness -1 (sd 0); a bursty key
+    (tight pairs separated by long silences) -> burstiness > 0;
+    single-event keys drop."""
+    from datetime import datetime as dt, timedelta as td
+
+    from tablite_spark.operators.timeseries import interarrival_stats
+    rows = []
+    t0 = dt(2024, 1, 1)
+    for j in range(10):                      # periodic: every 60s
+        rows.append((1, t0 + td(seconds=60 * j), j))
+    burst = [0, 1, 2, 3600, 3601, 3602, 7200, 7201, 7202]
+    for j, s in enumerate(burst):            # bursty triplets
+        rows.append((2, t0 + td(seconds=s), 100 + j))
+    rows.append((3, t0, 999))                # single event
+    df = spark.createDataFrame(rows,
+                               "k long, ts timestamp, event_id long")
+    out = {r["k"]: r for r in
+           interarrival_stats(df, "k", "ts",
+                              tiebreak="event_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["burstiness"] == -1.0 and out[1]["sd_gap_s"] == 0.0
+    assert out[2]["burstiness"] > 0.25
+    assert out[1]["n_gaps"] == 9
