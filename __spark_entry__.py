@@ -2716,6 +2716,25 @@ def interarrival_events(spark: SparkSession, sf: str) -> DataFrame:
                       .alias("burstiness"))
 
 
+def bootstrap_ci_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean order total: 100
+    deterministic md5-hash resamples — the ×100 explode feeds
+    straight into a combinable groupBy(b) so partial aggregation
+    collapses each task to ≤100 rows; the CI is one exact-percentile
+    pass over the 100-row resample frame. Fully replayed by the
+    DuckDB oracle (same hash, same inverse-CDF thresholds, same
+    weighted means)."""
+    from tablite_spark.operators.stats import bootstrap_ci
+    o = _t(spark, sf, "orders")
+    out = bootstrap_ci(o, "o_totalprice", "o_orderkey",
+                       n_resamples=100, alpha=0.05)
+    return out.select("n", F.round(F.col("estimate"), 4)
+                      .alias("estimate"),
+                      F.round(F.col("lo"), 4).alias("lo"),
+                      F.round(F.col("hi"), 4).alias("hi"),
+                      "n_resamples")
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4892,6 +4911,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_window_events": funnel_window_events,
         "additive_seasonal_events": additive_seasonal_events,
         "interarrival_events": interarrival_events,
+        "bootstrap_ci_orders": bootstrap_ci_orders,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8439,6 +8459,52 @@ def _oracle_sql_base() -> dict[str, str]:
                        + 0 AS burstiness
             FROM g WHERE gap IS NOT NULL
             GROUP BY 1
+        """,
+        "bootstrap_ci_orders": """
+            WITH rows_ AS (
+                SELECT o_totalprice AS x, o_orderkey AS id, b.b
+                FROM orders, (SELECT unnest(range(0, 100)) AS b) b
+                WHERE o_totalprice IS NOT NULL
+                  AND o_orderkey IS NOT NULL
+            ), wtd AS (
+                SELECT b, x,
+                       CAST(CAST(('0x' || substr(md5(
+                           CAST(id AS VARCHAR) || '_'
+                           || CAST(b AS VARCHAR)), 1, 8))
+                           AS BIGINT) AS DOUBLE) / 4294967296.0
+                           AS u
+                FROM rows_
+            ), w AS (
+                SELECT b, x,
+                       CASE WHEN u < 0.36787944117144233 THEN 0
+                            WHEN u < 0.7357588823428847 THEN 1
+                            WHEN u < 0.9196986029286058 THEN 2
+                            WHEN u < 0.9810118431238462 THEN 3
+                            WHEN u < 0.9963401531726563 THEN 4
+                            WHEN u < 0.9994058151824183 THEN 5
+                            WHEN u < 0.9999167588507119 THEN 6
+                            ELSE 7 END AS wgt
+                FROM wtd
+            ), per_b AS (
+                SELECT b, sum(wgt * x) / sum(wgt) AS m
+                FROM w GROUP BY 1
+            ), ci AS (
+                SELECT quantile_cont(m, 0.025) AS lo,
+                       quantile_cont(m, 0.975) AS hi,
+                       count(*) AS nb
+                FROM per_b
+            )
+            SELECT (SELECT count(*) FROM orders
+                    WHERE o_totalprice IS NOT NULL
+                      AND o_orderkey IS NOT NULL) AS n,
+                   ROUND((SELECT avg(o_totalprice) FROM orders
+                          WHERE o_totalprice IS NOT NULL
+                            AND o_orderkey IS NOT NULL), 4) + 0
+                       AS estimate,
+                   ROUND(lo, 4) + 0 AS lo,
+                   ROUND(hi, 4) + 0 AS hi,
+                   nb AS n_resamples
+            FROM ci
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "funnel_window_events",
     "additive_seasonal_events",
     "interarrival_events",
+    "bootstrap_ci_orders",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -747,7 +748,8 @@ def main() -> None:
                   "pmi_collocations_docs", "session_summary_events",
                   "association_rules_lineitem",
                   "funnel_window_events",
-                  "additive_seasonal_events", "interarrival_events"}
+                  "additive_seasonal_events", "interarrival_events",
+                  "bootstrap_ci_orders"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

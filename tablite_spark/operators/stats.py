@@ -1193,3 +1193,66 @@ def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
         F.when(F.col("n_distinct") > 1,
                h / F.log(F.col("n_distinct").cast("double")))
         .alias("norm_entropy"))
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf e^-1 Σ 1/k!):
+# P(X<=k) for k = 0..6; u beyond the last threshold maps to 7.
+_POIS1_CDF = [0.36787944117144233, 0.7357588823428847,
+              0.9196986029286058, 0.9810118431238462,
+              0.9963401531726563, 0.9994058151824183,
+              0.9999167588507119]
+
+
+def bootstrap_ci(df: DataFrame, val_col: str, id_col: str,
+                 n_resamples: int = 100,
+                 alpha: float = 0.05) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the MEAN via the
+    distributed POISSON BOOTSTRAP (Chamandy et al., Google 2012):
+    every row joins resample b with weight ~ Poisson(1), so no
+    resample ever needs a global sample-with-replacement pass.
+    Weights are DETERMINISTIC — u = md5(id·b)-derived uniform
+    through the Poisson(1) inverse CDF — so reruns, retries, AND the
+    DuckDB oracle reproduce the exact resamples. One row:
+    (n, estimate, lo, hi, n_resamples).
+
+    Scale shape: the ×B explode is row-local and feeds straight into
+    a combinable groupBy(b) — partial aggregation collapses each
+    task to ≤B rows, so the shuffle carries B·tasks rows, never
+    B·corpus. The B-row resample frame takes one exact-percentile
+    pass for the CI. Statistical caveat (documented, standard for
+    Poisson bootstrap): each resample's size is Poisson(n), not
+    exactly n.
+    """
+    if n_resamples < 2:
+        raise ValueError("n_resamples must be >= 2")
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1)")
+    x, rid = F.col(val_col), F.col(id_col)
+    base = df.filter(x.isNotNull() & rid.isNotNull())
+    b = F.explode(F.sequence(F.lit(0),
+                             F.lit(n_resamples - 1))).alias("__b__")
+    rows = base.select(x.alias("__x__"),
+                       rid.alias("__id__"), b)
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        "_", F.col("__id__"), F.col("__b__"))), 1, 8), 16, 10)
+        .cast("long") / F.lit(4294967296.0))
+    w = F.lit(7)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    per_b = (rows.withColumn("__w__", w)
+             .groupBy("__b__")
+             .agg((F.sum(F.col("__w__") * F.col("__x__"))
+                   / F.sum("__w__")).alias("__m__")))
+    est = base.agg(F.avg(x).alias("__est__"),
+                   F.count(F.lit(1)).alias("__n__"))
+    ci = per_b.agg(
+        F.percentile(F.col("__m__"),
+                     F.array(F.lit(alpha / 2),
+                             F.lit(1 - alpha / 2))).alias("__ci__"),
+        F.count(F.lit(1)).alias("__nb__"))
+    return (est.crossJoin(F.broadcast(ci))
+            .select(F.col("__n__").alias("n"),
+                    F.col("__est__").alias("estimate"),
+                    F.col("__ci__")[0].alias("lo"),
+                    F.col("__ci__")[1].alias("hi"),
+                    F.col("__nb__").alias("n_resamples")))

@@ -775,3 +775,28 @@ def test_interarrival_burstiness_signs(spark):
     assert out[1]["burstiness"] == -1.0 and out[1]["sd_gap_s"] == 0.0
     assert out[2]["burstiness"] > 0.25
     assert out[1]["n_gaps"] == 9
+
+
+def test_bootstrap_ci_covers_mean_and_deterministic(spark):
+    """The 95% CI must bracket the sample mean and tighten as n
+    grows; reruns and repartitionings reproduce the identical
+    interval (hash determinism)."""
+    from tablite_spark.operators.stats import bootstrap_ci
+    small = spark.createDataFrame(
+        [(i, float((i * 13) % 100)) for i in range(200)],
+        "id long, x double")
+    big = spark.createDataFrame(
+        [(i, float((i * 13) % 100)) for i in range(5000)],
+        "id long, x double")
+    rs = bootstrap_ci(small, "x", "id", n_resamples=50).collect()[0]
+    rb = bootstrap_ci(big, "x", "id", n_resamples=50).collect()[0]
+    assert rs["lo"] < rs["estimate"] < rs["hi"]
+    assert rb["lo"] < rb["estimate"] < rb["hi"]
+    assert (rb["hi"] - rb["lo"]) < (rs["hi"] - rs["lo"])
+    again = bootstrap_ci(small.repartition(7), "x", "id",
+                         n_resamples=50).collect()[0]
+    assert again == rs
+    with pytest.raises(ValueError, match="n_resamples"):
+        bootstrap_ci(small, "x", "id", n_resamples=1)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_ci(small, "x", "id", alpha=1.5)
