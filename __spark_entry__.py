@@ -4699,20 +4699,22 @@ def bloom_contamination_docs(spark: SparkSession, sf: str) -> DataFrame:
 # committed as SWEEP_r11.json.
 #
 # r12 rotation front (post-r11 staleness, assuming this window
-# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus 36 r11-late
-# never-verified entries): the sixteen second-wave r11-late entries
-# (outliers_mad, benford, acf, attribution, stream_attribution,
-# auc, calibration, confusion, ols, km_survival, q7, q8, q10, q13,
-# q15, gini) plus the twenty third-wave entries (q2, q9, q11, q12,
-# q16, q17, q20, q21, q22, cusum_events, expectations_orders,
-# feature_scale_lineitem, weighted_quantiles_lineitem,
-# seasonal_anomalies_events, winsorize_lineitem, zipf_alpha_docs,
-# bigram_lm_docs, stream_zscore_events,
-# isotonic_calibration_events, referential_audit_orders — all added
-# after the window froze, every one strict-swept green at sf0.01
-# AND sf0.1 before registration) take 36 of the 50 r12 slots; the
-# nine r7 leftovers above take nine more; the 5 oldest r8 entries
-# fill the window, the rest of r8 rolls to r13.
+# greens: 9@r7 / 50@r8 / 48@r9 / 50@r10 / 50@r11, plus FIFTY
+# r11-late never-driver-verified entries that fill the r12 window
+# EXACTLY): the sixteen second-wave entries (outliers_mad, benford,
+# acf, attribution, stream_attribution, auc, calibration,
+# confusion, ols, km_survival, q7, q8, q10, q13, q15, gini) plus
+# the thirty-four third-to-sixth-wave entries (q2, q9, q11, q12,
+# q16, q17, q20, q21, q22, cusum, expectations, feature_scale,
+# weighted_quantiles, seasonal_anomalies, winsorize, zipf,
+# bigram_lm, stream_zscore, isotonic, referential, json_props,
+# ranking_metrics, logrank, psi, gains_table, group_cusum,
+# column_entropy, pmi_collocations, session_summary,
+# association_rules, funnel_window, additive_seasonal,
+# interarrival, bootstrap_ci — every one strict-verified at BOTH
+# sf0.01 and sf0.1 before registration, all in SWEEP_r11's
+# 257/257). The nine r7 leftovers and the oldest r8 rows then head
+# r13.
 _R11_WINDOW = [
     # --- never driver-verified: new in round 11
     "ks_test_events", "chi2_docs", "equidepth_hist_events",
