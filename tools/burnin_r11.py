@@ -461,6 +461,72 @@ def burnin_quality_ops3(spark):
 
 ALL["quality_ops3"] = burnin_quality_ops3
 
+
+def burnin_quality_ops4(spark):
+    """Sixth-wave burn-ins: Poisson bootstrap at 10M rows x 100
+    resamples (1B exploded pairs MUST collapse map-side — the
+    shuffle carries <=100·tasks rows); association rules with a hot
+    basket of 2000 items (4M pair fan-out from ONE basket, bounded
+    |basket|² contract); additive seasonal over 100M rows (one
+    GROUPING SETS model scan + one residual scan); windowed funnel
+    at 20M events."""
+    import time
+
+    from tablite_spark.operators.frequency import association_rules
+    from tablite_spark.operators.stats import bootstrap_ci
+    from tablite_spark.operators.timeseries import (additive_seasonal,
+                                                    funnel)
+    print("[burnin] quality_ops4")
+    t0 = time.time()
+    bs = spark.range(0, 10_000_000, 1, 32).select(
+        F.col("id"), ((F.col("id") * 13) % 1000).cast("double")
+        .alias("x"))
+    r = bootstrap_ci(bs, "x", "id", n_resamples=100).collect()[0]
+    assert r["lo"] < r["estimate"] < r["hi"]
+    assert (r["hi"] - r["lo"]) < 1.0, r   # 10M rows: tight CI
+    t0 = _t("bootstrap 10M x 100 resamples (1B weighted rows)", t0)
+
+    # 100k normal baskets each holding items 0..9 (dense pair
+    # support) + ONE hot basket with 2000 distinct singleton items
+    # (4M-pair fan-out from a single basket — the |basket|² stress;
+    # the first fixture accidentally collapsed items mod 2000 to a
+    # single value per basket and produced zero rules)
+    ar = spark.range(0, 1_000_000, 1, 32).select(
+        F.when(F.col("id") < 2000, F.lit(0))
+        .otherwise(F.col("id") % 100_000).alias("bk"),
+        F.when(F.col("id") < 2000, 1000 + F.col("id"))
+        .otherwise(F.floor(F.col("id") / 100_000)).alias("it"))
+    n = association_rules(ar, "bk", "it", min_support=3,
+                          k=50).count()
+    assert n == 50, n
+    t0 = _t("association rules, hot basket 2000 items", t0)
+
+    sa = spark.range(0, 100_000_000, 1, 32).select(
+        F.col("id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60)
+        .alias("ts"),
+        ((F.col("id") % 24) * 5.0 + (F.col("id") % 7) * 2.0
+         + (F.col("id") % 11).cast("double")).alias("x"))
+    cnt = additive_seasonal(sa, "ts", "x", k=6.0).count()
+    assert cnt == 0, cnt
+    t0 = _t("additive_seasonal 100M rows (2 scans)", t0)
+
+    fw = spark.range(0, 20_000_000, 1, 32).select(
+        (F.col("id") % 1_000_000).alias("user_id"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 7)
+        .alias("ts"),
+        F.element_at(F.array(F.lit("view"), F.lit("click"),
+                             F.lit("purchase"), F.lit("other")),
+                     (F.col("id") % 4 + 1).cast("int"))
+        .alias("event_type"))
+    got = funnel(fw, ["view", "click", "purchase"],
+                 within_seconds=3600).count()
+    assert got > 0
+    t0 = _t("windowed funnel 20M events", t0)
+
+
+ALL["quality_ops4"] = burnin_quality_ops4
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     spark = get_spark()
