@@ -235,6 +235,11 @@ COMPACT_LINE_SHED = {
     "pca_covariance_embeddings", "ranking_metrics_docs",
     "referential_audit_orders", "gains_table_events",
     "isotonic_calibration_events",
+    # third curation pass (the sixth-wave rows joined the line):
+    # multi-round-flat sub-1.2s rows, all still in META + SWEEP
+    "state_intervals_events", "ema_events", "near_dup_embeddings",
+    "pivot_wide", "interpolate_events", "gopher_repetition_docs",
+    "groupby_accumulators", "bucketed_join_revenue",
 }
 
 

@@ -1229,16 +1229,30 @@ def bootstrap_ci(df: DataFrame, val_col: str, id_col: str,
         raise ValueError("alpha must be in (0, 1)")
     x, rid = F.col(val_col), F.col(id_col)
     base = df.filter(x.isNotNull() & rid.isNotNull())
+    # the xB explode multiplies whatever parallelism the source has:
+    # a single-file source would push B x corpus through ONE task
+    # (12 s for 15M exploded rows at sf0.1 — caught by the bench).
+    # Fan out to the session's parallelism first; at real corpus
+    # scale the source is already wide and this branch never fires.
+    para = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < para:
+        base = base.repartition(para)
     b = F.explode(F.sequence(F.lit(0),
                              F.lit(n_resamples - 1))).alias("__b__")
     rows = base.select(x.alias("__x__"),
                        rid.alias("__id__"), b)
+    # materialize u as its OWN projection: the 8-branch inverse-CDF
+    # CASE references u once per branch, and md5+conv inlined into
+    # every branch cost ~15x (31 s for 15M rows at sf0.1 — caught by
+    # the bench); as a projected column the hash evaluates once/row
     u = (F.conv(F.substring(F.md5(F.concat_ws(
         "_", F.col("__id__"), F.col("__b__"))), 1, 8), 16, 10)
         .cast("long") / F.lit(4294967296.0))
+    rows = rows.select("__x__", "__b__", u.alias("__u__"))
+    uc = F.col("__u__")
     w = F.lit(7)
     for k in range(len(_POIS1_CDF) - 1, -1, -1):
-        w = F.when(u < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+        w = F.when(uc < F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
     per_b = (rows.withColumn("__w__", w)
              .groupBy("__b__")
              .agg((F.sum(F.col("__w__") * F.col("__x__"))
