@@ -1107,7 +1107,8 @@ def logrank_test(df: DataFrame, duration_col: str, observed_col,
 
 
 def psi_drift(expected: DataFrame, actual: DataFrame, col: str,
-              bins: int = 10) -> DataFrame:
+              bins: int = 10, exact: bool = True,
+              accuracy: int = 10000) -> DataFrame:
     """Population Stability Index between a baseline sample and a
     live sample of the same numeric column — THE standard feature /
     score drift alarm (<0.1 stable, >0.25 shifted). Bin edges come
@@ -1126,8 +1127,14 @@ def psi_drift(expected: DataFrame, actual: DataFrame, col: str,
         raise ValueError("bins must be >= 2")
     x = F.col(col)
     qs = [i / bins for i in range(1, bins)]
+    # exact percentile buffers every baseline value in one task —
+    # exact=False is the 100 TB valve (bounded-sketch edges; PSI is
+    # a binned statistic, sketch-edge wobble only moves bin borders)
+    pct = (F.percentile if exact
+           else lambda c, q: F.percentile_approx(c, q,
+                                                 F.lit(accuracy)))
     edges = (expected.filter(x.isNotNull())
-             .agg(F.percentile(x, F.array(*[F.lit(q) for q in qs]))
+             .agg(pct(x, F.array(*[F.lit(q) for q in qs]))
                   .alias("e")).collect()[0]["e"])
     if edges is None:
         raise ValueError(f"no non-null values in baseline {col!r}")

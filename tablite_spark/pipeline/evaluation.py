@@ -252,7 +252,8 @@ def ranking_metrics(df: DataFrame, query_col: str, id_col: str,
 
 
 def gains_table(df: DataFrame, score_col: str, label_col: str,
-                deciles: int = 10) -> DataFrame:
+                deciles: int = 10, exact: bool = True,
+                accuracy: int = 10000) -> DataFrame:
     """Cumulative gains / lift table: rank rows by score, split into
     ``deciles`` equal-frequency bands (exact quantile edges, ties
     collapse), and report per band the positives captured, the
@@ -272,7 +273,11 @@ def gains_table(df: DataFrame, score_col: str, label_col: str,
     y = F.col(label_col).cast("boolean")
     base = df.filter(s.isNotNull() & y.isNotNull())
     qs = [i / deciles for i in range(1, deciles)]
-    edges = (base.agg(F.percentile(
+    # exact=False: the bounded-sketch valve for corpus-scale scores
+    pct = (F.percentile if exact
+           else lambda c, q: F.percentile_approx(c, q,
+                                                 F.lit(accuracy)))
+    edges = (base.agg(pct(
         s, F.array(*[F.lit(q) for q in qs]))
         .alias("e")).collect()[0]["e"])
     if edges is None:

@@ -800,3 +800,28 @@ def test_bootstrap_ci_covers_mean_and_deterministic(spark):
         bootstrap_ci(small, "x", "id", n_resamples=1)
     with pytest.raises(ValueError, match="alpha"):
         bootstrap_ci(small, "x", "id", alpha=1.5)
+
+
+def test_psi_and_gains_sketch_valves(spark):
+    """exact=False (the 100 TB valve) must land within sketch
+    tolerance of the exact fits on both operators."""
+    from tablite_spark.operators.stats import psi_drift
+    from tablite_spark.pipeline.evaluation import gains_table
+    base = spark.createDataFrame(
+        [(float(i % 1000),) for i in range(20000)], "x double")
+    live = spark.createDataFrame(
+        [(float((i * 7) % 1000) + 100,) for i in range(20000)],
+        "x double")
+    pe = psi_drift(base, live, "x").collect()[0]["psi"]
+    pa = psi_drift(base, live, "x",
+                   exact=False).collect()[0]["psi"]
+    assert abs(pe - pa) < 0.05, (pe, pa)
+    scored = spark.createDataFrame(
+        [(i / 20000, i >= 16000) for i in range(20000)],
+        "s double, y boolean")
+    ge = {r["band"]: r["cum_capture"] for r in
+          gains_table(scored, "s", "y").collect()}
+    ga = {r["band"]: r["cum_capture"] for r in
+          gains_table(scored, "s", "y", exact=False).collect()}
+    for b in ge:
+        assert abs(ge[b] - ga.get(b, 0)) < 0.05, (b, ge[b], ga.get(b))
