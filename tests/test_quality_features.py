@@ -1,4 +1,8 @@
-"""Unit tests for cusum_changepoint / expectations / feature_scale —
+"""Unit tests for the round-11 third-to-sixth-wave operators
+(CUSUM family, expectations/referential audits, feature scaling /
+winsorization, weighted quantiles, seasonal screens, Zipf, bigram LM,
+PMI, isotonic, gains/PSI/log-rank, ranking metrics, session and
+inter-arrival analytics, association rules, Poisson bootstrap) —
 hand-computed truths, degenerate inputs, and plan-shape gates."""
 
 import math
