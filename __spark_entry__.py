@@ -2735,6 +2735,45 @@ def bootstrap_ci_orders(spark: SparkSession, sf: str) -> DataFrame:
                       "n_resamples")
 
 
+def active_users_events(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU/WAU/MAU + stickiness per day via the explode-window
+    trick: distinct (user, day) pairs (bounded by users×days), ≤28
+    row-local copies each, ONE count-distinct groupBy per day —
+    never a distinct-over-sliding-window. Counts are exact
+    integers; stickiness an exact ratio (unrounded). Oracle: the
+    same explode in DuckDB."""
+    from tablite_spark.operators.timeseries import active_users
+    ev = _t(spark, sf, "events")
+    return active_users(ev, "ts", "user_id", windows=(1, 7, 28))
+
+
+def category_index_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic frequency-ordered label indexing of order
+    status+priority: vocab-bounded census windows, broadcast join
+    back; indices are exact integers. Oracle: the same
+    (count DESC, value) ranking in DuckDB."""
+    from tablite_spark.pipeline.features import category_index
+    o = _t(spark, sf, "orders")
+    out = category_index(o, ["o_orderstatus", "o_orderpriority"])
+    return (out.groupBy("o_orderstatus", "o_orderstatus_idx",
+                        "o_orderpriority", "o_orderpriority_idx")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def quantile_discretize_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Equal-frequency discretization of lineitem measures: one
+    array-percentile fit for both columns, row-local bucket
+    expressions (no join); bucket populations returned as the
+    check. Oracle: the same quantile edges + bucket counting in
+    DuckDB."""
+    from tablite_spark.pipeline.features import quantile_discretize
+    li = _t(spark, sf, "lineitem")
+    out = quantile_discretize(li, ["l_extendedprice", "l_quantity"],
+                              bins=10)
+    return (out.groupBy("l_extendedprice_bin", "l_quantity_bin")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def spearman_corr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     """Spearman rank correlation over lineitem measures: tie-average
     ranks via a DISTRIBUTED prefix sum (deterministic range buckets +
@@ -4914,6 +4953,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "additive_seasonal_events": additive_seasonal_events,
         "interarrival_events": interarrival_events,
         "bootstrap_ci_orders": bootstrap_ci_orders,
+        "active_users_events": active_users_events,
+        "category_index_orders": category_index_orders,
+        "quantile_discretize_lineitem": quantile_discretize_lineitem,
         "resize_images_agg": resize_images_agg,
         "incremental_minhash_dedup_docs": incremental_minhash_dedup_docs,
         "kmeans_embeddings": kmeans_embeddings,
@@ -8507,6 +8549,80 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(hi, 4) + 0 AS hi,
                    nb AS n_resamples
             FROM ci
+        """,
+        "active_users_events": """
+            WITH pairs AS (
+                SELECT DISTINCT user_id AS u,
+                       date_trunc('day', ts) AS d
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), days AS (SELECT DISTINCT d AS day FROM pairs),
+            expl AS (
+                SELECT u, o.off,
+                       d + to_days(CAST(o.off AS INT)) AS day
+                FROM pairs, (SELECT unnest(range(0, 28)) AS off) o
+            ), per AS (
+                SELECT day,
+                       count(DISTINCT CASE WHEN off < 1 THEN u END)
+                           AS au_1,
+                       count(DISTINCT CASE WHEN off < 7 THEN u END)
+                           AS au_7,
+                       count(DISTINCT CASE WHEN off < 28 THEN u END)
+                           AS au_28
+                FROM expl GROUP BY 1
+            )
+            SELECT days.day, au_1, au_7, au_28,
+                   CAST(au_1 AS DOUBLE) / au_28 AS stickiness
+            FROM days JOIN per ON days.day = per.day
+        """,
+        "category_index_orders": """
+            WITH s AS (
+                SELECT o_orderstatus AS v,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          o_orderstatus) - 1 AS i
+                FROM orders WHERE o_orderstatus IS NOT NULL
+                GROUP BY 1
+            ), p AS (
+                SELECT o_orderpriority AS v,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          o_orderpriority) - 1 AS i
+                FROM orders WHERE o_orderpriority IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT o_orderstatus, s.i AS o_orderstatus_idx,
+                   o_orderpriority, p.i AS o_orderpriority_idx,
+                   count(*) AS n
+            FROM orders
+            LEFT JOIN s ON o_orderstatus = s.v
+            LEFT JOIN p ON o_orderpriority = p.v
+            GROUP BY 1, 2, 3, 4
+        """,
+        "quantile_discretize_lineitem": """
+            WITH ep AS (
+                SELECT unnest(quantile_cont(l_extendedprice,
+                    [0.1, 0.2, 0.3, 0.4, 0.5,
+                     0.6, 0.7, 0.8, 0.9])) AS e
+                FROM lineitem
+            ), eq AS (
+                SELECT DISTINCT e FROM ep
+            ), qp AS (
+                SELECT unnest(quantile_cont(l_quantity,
+                    [0.1, 0.2, 0.3, 0.4, 0.5,
+                     0.6, 0.7, 0.8, 0.9])) AS e
+                FROM lineitem
+            ), qq AS (
+                SELECT DISTINCT e FROM qp
+            )
+            SELECT CASE WHEN l_extendedprice IS NOT NULL THEN
+                       CAST((SELECT count(*) FROM eq
+                             WHERE l_extendedprice >= e) AS INT)
+                   END AS l_extendedprice_bin,
+                   CASE WHEN l_quantity IS NOT NULL THEN
+                       CAST((SELECT count(*) FROM qq
+                             WHERE l_quantity >= e) AS INT)
+                   END AS l_quantity_bin,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1, 2
         """,
         "ols_lineitem": """
             SELECT l_returnflag,

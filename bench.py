@@ -175,6 +175,9 @@ BENCH_QUERIES = [
     "additive_seasonal_events",
     "interarrival_events",
     "bootstrap_ci_orders",
+    "active_users_events",
+    "category_index_orders",
+    "quantile_discretize_lineitem",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -754,7 +757,9 @@ def main() -> None:
                   "association_rules_lineitem",
                   "funnel_window_events",
                   "additive_seasonal_events", "interarrival_events",
-                  "bootstrap_ci_orders"}
+                  "bootstrap_ci_orders", "active_users_events",
+                  "category_index_orders",
+                  "quantile_discretize_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

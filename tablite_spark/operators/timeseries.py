@@ -970,3 +970,49 @@ def interarrival_stats(df: DataFrame, key_col: str, ts_col: str,
                / (F.col("sd_gap_s") + F.col("mean_gap_s")))
     return per.select(key_col, "n_gaps", "mean_gap_s", "sd_gap_s",
                       cv.alias("cv"), b.alias("burstiness"))
+
+
+def active_users(df: DataFrame, ts_col: str, user_col: str,
+                 windows: tuple = (1, 7, 28)) -> DataFrame:
+    """Rolling distinct-active-user counts per day — DAU / WAU / MAU
+    and the DAU/MAU stickiness ratio, the product-analytics staple.
+    One row per calendar day with ≥1 event: (day, au_1, au_7,
+    au_28, stickiness). A user active on day d counts toward every
+    window ENDING on d..d+w−1 that has begun (days with no events
+    emit no row).
+
+    Scale shape — the explode-window trick: the corpus first
+    collapses to DISTINCT (user, day) pairs (one combinable
+    distinct; at most users×days rows regardless of event volume);
+    each pair then explodes to the w days whose trailing window
+    contains it (≤max(windows) row-local copies) and ONE
+    count-distinct groupBy per day finishes the job. Never a
+    distinct-over-sliding-window (unsupported/serializing), never a
+    per-day self-join chain.
+    """
+    if not windows or any(w < 1 for w in windows):
+        raise ValueError("windows must be positive ints")
+    wmax = max(windows)
+    t, u = F.col(ts_col), F.col(user_col)
+    pairs = (df.filter(t.isNotNull() & u.isNotNull())
+             .select(u.alias("__u__"),
+                     F.date_trunc("day", t).alias("__d__"))
+             .distinct())
+    days = pairs.select(F.col("__d__").alias("day")).distinct()
+    exploded = pairs.select(
+        "__u__", "__d__",
+        F.explode(F.sequence(F.lit(0), F.lit(wmax - 1)))
+        .alias("__off__")).select(
+        "__u__", "__off__",
+        (F.col("__d__") + F.make_interval(days=F.col("__off__")))
+        .alias("day"))
+    aggs = [F.countDistinct(
+        F.when(F.col("__off__") < w, F.col("__u__")))
+        .alias(f"au_{w}") for w in sorted(windows)]
+    per_day = exploded.groupBy("day").agg(*aggs)
+    out = days.join(per_day, "day")      # drop phantom future days
+    if 1 in windows and wmax in windows and wmax > 1:
+        out = out.withColumn(
+            "stickiness",
+            F.col("au_1").cast("double") / F.col(f"au_{wmax}"))
+    return out

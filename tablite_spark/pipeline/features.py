@@ -191,3 +191,70 @@ def winsorize(df: DataFrame, cols: list[str],
                            F.col(f"__hi_{c}__"))))
     return out.drop(*[f"__lo_{c}__" for c in cols],
                     *[f"__hi_{c}__" for c in cols])
+
+
+def category_index(df: DataFrame, cols: list[str],
+                   suffix: str = "_idx") -> DataFrame:
+    """Deterministic label indexing (StringIndexer semantics):
+    each column's categories map to 0..k−1 ordered by (frequency
+    DESC, value ASC) — the most common category gets 0 on every
+    engine, every rerun. NULL categories stay NULL. Appends
+    ``<col><suffix>``.
+
+    Scale shape: one combinable census per column, index =
+    row_number over the VOCAB-BOUNDED census (the bounded-window
+    contract), broadcast-join back per column (censuses are
+    dictionary-sized; AQE keeps them broadcast).
+    """
+    from pyspark.sql import Window
+    if not cols:
+        raise ValueError("category_index requires at least one column")
+    out = df
+    for c in cols:
+        x = F.col(c)
+        cens = (df.filter(x.isNotNull())
+                .groupBy(x.alias("__v__"))
+                .agg(F.count(F.lit(1)).alias("__n__")))
+        w = Window.orderBy(F.col("__n__").desc(),
+                           F.col("__v__").asc())
+        idx = cens.select(
+            F.col("__v__"),
+            (F.row_number().over(w) - 1).alias(c + suffix))
+        out = (out.join(F.broadcast(idx), out[c] == F.col("__v__"),
+                        "left")
+               .drop("__v__"))
+    return out
+
+
+def quantile_discretize(df: DataFrame, cols: list[str],
+                        bins: int = 10, suffix: str = "_bin",
+                        exact: bool = True,
+                        accuracy: int = 10000) -> DataFrame:
+    """Equal-frequency discretization (QuantileDiscretizer
+    semantics): each column cuts at its exact quantile edges into at
+    most ``bins`` buckets (duplicate edges collapse); appends
+    integer ``<col><suffix>`` columns, NULL in → NULL out.
+
+    Scale shape: ONE fit aggregation for ALL columns (array
+    percentile — one buffer per column), driver-bounded edge lists
+    compiled into row-local bucket expressions (no join at all);
+    ``exact=False`` is the bounded-sketch valve.
+    """
+    from tablite_spark.functions.buckets import bucket_expr
+    if bins < 2:
+        raise ValueError("bins must be >= 2")
+    qs = [i / bins for i in range(1, bins)]
+    pct = (F.percentile if exact
+           else lambda c, q: F.percentile_approx(c, q,
+                                                 F.lit(accuracy)))
+    aggs = [pct(F.col(c), F.array(*[F.lit(q) for q in qs]))
+            .alias(c) for c in cols]
+    row = df.agg(*aggs).collect()[0]
+    out = df
+    for c in cols:
+        edges = sorted(set(row[c])) if row[c] is not None else []
+        out = out.withColumn(
+            c + suffix,
+            F.when(F.col(c).isNotNull(),
+                   bucket_expr(c, edges)).cast("int"))
+    return out

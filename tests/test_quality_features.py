@@ -829,3 +829,54 @@ def test_psi_and_gains_sketch_valves(spark):
           gains_table(scored, "s", "y", exact=False).collect()}
     for b in ge:
         assert abs(ge[b] - ga.get(b, 0)) < 0.05, (b, ge[b], ga.get(b))
+
+
+# ------------------------------------------------------------------
+# active_users / category_index / quantile_discretize
+# ------------------------------------------------------------------
+
+def test_active_users_hand(spark):
+    """3 users across 3 days: DAU exact per day; WAU(7) on day 3
+    counts everyone active in the trailing week; duplicate events
+    per (user, day) count once."""
+    from datetime import datetime as dt
+
+    from tablite_spark.operators.timeseries import active_users
+    rows = [(1, dt(2024, 1, 1, 9)), (1, dt(2024, 1, 1, 15)),  # dup
+            (2, dt(2024, 1, 1, 10)),
+            (1, dt(2024, 1, 2, 10)),
+            (3, dt(2024, 1, 3, 10))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {r["day"].day: r for r in
+           active_users(df, "ts", "user_id",
+                        windows=(1, 7)).collect()}
+    assert out[1]["au_1"] == 2 and out[1]["au_7"] == 2
+    assert out[2]["au_1"] == 1 and out[2]["au_7"] == 2
+    assert out[3]["au_1"] == 1 and out[3]["au_7"] == 3
+    with pytest.raises(ValueError, match="positive"):
+        active_users(df, "ts", "user_id", windows=(0,))
+
+
+def test_category_index_frequency_order(spark):
+    from tablite_spark.pipeline.features import category_index
+    rows = [("b",), ("b",), ("b",), ("a",), ("a",), ("c",), (None,)]
+    df = spark.createDataFrame(rows, "v string")
+    out = {r["v"]: r["v_idx"] for r in
+           category_index(df, ["v"]).collect()}
+    assert out == {"b": 0, "a": 1, "c": 2, None: None}
+
+
+def test_quantile_discretize_balanced_and_nulls(spark):
+    from tablite_spark.pipeline.features import quantile_discretize
+    rows = [(float(i),) for i in range(1000)] + [(None,)]
+    df = spark.createDataFrame(rows, "x double")
+    out = quantile_discretize(df, ["x"], bins=10)
+    counts = {r["x_bin"]: r["n"] for r in
+              out.groupBy("x_bin").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert counts[None] == 1
+    sizes = [counts[b] for b in range(10)]
+    assert sum(sizes) == 1000
+    assert max(sizes) - min(sizes) <= 2     # equal-frequency
+    ex = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in ex                 # row-local cut, no join
