@@ -243,6 +243,9 @@ COMPACT_LINE_SHED = {
     "state_intervals_events", "ema_events", "near_dup_embeddings",
     "pivot_wide", "interpolate_events", "gopher_repetition_docs",
     "groupby_accumulators", "bucketed_join_revenue",
+    # fourth curation pass (seventh-wave rows joined the line)
+    "seasonal_anomalies_events", "interarrival_events",
+    "funnel_window_events", "pmi_collocations_docs",
 }
 
 

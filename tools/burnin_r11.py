@@ -527,6 +527,56 @@ def burnin_quality_ops4(spark):
 
 ALL["quality_ops4"] = burnin_quality_ops4
 
+
+def burnin_quality_ops5(spark):
+    """Seventh-wave burn-ins: active_users at 30M events / 1M
+    users x 30 days (30M distinct pairs x 28 = 840M exploded rows
+    must collapse into the per-day count-distinct); category_index
+    at a 1M-category vocab (the bounded-census global window at its
+    practical edge); quantile_discretize at 50M rows exact vs
+    sketch."""
+    import time
+
+    from tablite_spark.operators.timeseries import active_users
+    from tablite_spark.pipeline.features import (category_index,
+                                                 quantile_discretize)
+    print("[burnin] quality_ops5", flush=True)
+    t0 = time.time()
+    # consecutive ids 30k..30k+29 are ONE user's 30 daily events:
+    # every user is active every day, so au_1 == 1M users/day
+    # (the first fixture mixed user and day through the same id
+    # residues and no user hit more than ~3 distinct days)
+    au = spark.range(0, 30_000_000, 1, 32).select(
+        F.floor(F.col("id") / 30).alias("user_id"),
+        F.timestamp_seconds(1_700_000_000
+                            + (F.col("id") % 30) * 86_400)
+        .alias("ts"))
+    rows = active_users(au, "ts", "user_id",
+                        windows=(1, 7, 28)).collect()
+    assert len(rows) == 30
+    assert all(r["au_1"] == 1_000_000 for r in rows), rows[:3]
+    t0 = _t("active_users 100M events (840M exploded pairs)", t0)
+
+    ci = spark.range(0, 20_000_000, 1, 32).select(
+        F.concat(F.lit("c"), (F.col("id") % 1_000_000))
+        .alias("cat"))
+    out = category_index(ci, ["cat"])
+    n = out.filter(F.col("cat_idx").isNotNull()).count()
+    assert n == 20_000_000
+    t0 = _t("category_index 1M-category vocab x 20M rows", t0)
+
+    qd = spark.range(0, 50_000_000, 1, 32).select(
+        ((F.col("id") * 13) % 100_000).cast("double").alias("x"))
+    quantile_discretize(qd, ["x"], bins=10, exact=False) \
+        .groupBy("x_bin").count().collect()
+    t0 = _t("quantile_discretize 50M sketch", t0)
+    quantile_discretize(qd, ["x"], bins=10, exact=True) \
+        .groupBy("x_bin").count().collect()
+    t0 = _t("quantile_discretize 50M EXACT (single-buffer wall)", t0)
+
+
+ALL["quality_ops5"] = burnin_quality_ops5
+
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
     spark = get_spark()
