@@ -8,6 +8,6 @@ names with the modules themselves, e.g. ``groupby.groupby``.)
 """
 
 from tablite_spark.operators import (  # noqa: F401
-    filters, fuzzy, groupby, imputation, joins, select, setops, sorting,
-    stats, timeseries,
+    expect, filters, frequency, fuzzy, groupby, imputation, joins,
+    select, setops, sorting, stats, timeseries,
 )
