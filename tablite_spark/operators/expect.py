@@ -29,8 +29,11 @@ def _violation(rule: dict) -> Column:
     violate ``not_null`` — range/set/pattern checks skip NULL cells
     (compose with a not_null rule to forbid them), mirroring SQL
     three-valued logic so the DuckDB oracle is the same CASE."""
-    c = F.col(rule["column"])
     kind = rule["check"]
+    if kind == "where":            # arbitrary boolean Column — may
+        return F.sum(               # span several columns, so no
+            F.when(~rule["condition"], 1).otherwise(0))  # "column" key
+    c = F.col(rule["column"])
     if kind == "not_null":
         cond = c.isNull()
     elif kind == "min":
@@ -44,8 +47,6 @@ def _violation(rule: dict) -> Column:
         cond = c.isNotNull() & ~c.isin(*rule["values"])
     elif kind == "regex":
         cond = c.isNotNull() & ~c.rlike(rule["pattern"])
-    elif kind == "where":          # arbitrary boolean Column
-        cond = ~rule["condition"]
     else:
         raise ValueError(f"unknown expectation check: {kind!r}")
     return F.sum(F.when(cond, 1).otherwise(0))
@@ -57,7 +58,10 @@ def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     kinds ``not_null`` / ``min`` / ``max`` / ``between`` / ``in_set``
     / ``regex`` / ``unique`` / ``where``. Returns one row per rule:
     (rule, column, n_rows, violations, pass_rate) — pass_rate an
-    exact integer ratio (bit-identical cross-engine).
+    exact integer ratio (bit-identical cross-engine). ``where`` rules
+    take an arbitrary boolean ``condition`` Column (possibly spanning
+    several columns); their ``"column"`` key is optional and defaults
+    to ``""`` in the output label.
     """
     if not rules:
         raise ValueError("expectations requires at least one rule")
@@ -77,7 +81,7 @@ def expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
                     .alias(f"__v{k}__"))
     one = df.agg(*aggs)
     structs = [F.struct(F.lit(r["rule"]).alias("rule"),
-                        F.lit(r["column"]).alias("column"),
+                        F.lit(r.get("column", "")).alias("column"),
                         F.col(f"__v{k}__").alias("violations"))
                for k, r in enumerate(rules)]
     out = (one.select(F.col("__n__").alias("n_rows"),

@@ -123,7 +123,8 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     Duplicate (basket, item) rows collapse first (set semantics).
 
     Scale shape: baskets dedupe in ONE combinable distinct; the pair
-    table builds by a SELF-JOIN ON THE BASKET KEY (a < b cut) — the
+    table builds by a SELF-JOIN ON THE BASKET KEY keeping BOTH
+    ordered directions (a != b — confidence is asymmetric) — the
     per-basket fan-out is |basket|², bounded by the real-world
     basket size, never corpus²; item supports are a census joined
     back on the vocab-bounded keys; N(baskets) rides a 1-row

@@ -1226,9 +1226,13 @@ def bootstrap_ci(df: DataFrame, val_col: str, id_col: str,
     a combinable groupBy(b) — partial aggregation collapses each
     task to ≤B rows, so the shuffle carries B·tasks rows, never
     B·corpus. The B-row resample frame takes one exact-percentile
-    pass for the CI. Statistical caveat (documented, standard for
-    Poisson bootstrap): each resample's size is Poisson(n), not
-    exactly n.
+    pass for the CI. Statistical caveats (standard for the Poisson
+    bootstrap): each resample's size is Poisson(n), not exactly n;
+    and the inverse-CDF table truncates at weight 7 — the ~8.3e-5
+    upper tail of Poisson(1) maps to 7 instead of 8+, a bias of
+    ~1e-5 in expected weight, far below bootstrap noise at any
+    practical n. The DuckDB oracle replays the same 7-term table,
+    so cross-engine parity is exact.
     """
     if n_resamples < 2:
         raise ValueError("n_resamples must be >= 2")

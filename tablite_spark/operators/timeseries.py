@@ -17,7 +17,10 @@ from pyspark.sql import functions as F
 
 __all__ = ["ohlc_resample", "funnel", "retention_cohorts",
            "interpolate_at", "ema_smooth", "rolling_agg",
-           "state_intervals", "path_ngrams"]
+           "state_intervals", "path_ngrams", "markov_transitions",
+           "cross_correlation", "attribute_conversions",
+           "cusum_changepoint", "group_cusum", "session_summary",
+           "additive_seasonal", "interarrival_stats", "active_users"]
 
 
 def _order_key(ts_col: str, tiebreak: str | None):
