@@ -404,6 +404,15 @@ def min_of_2(name: str, fn, timings: dict, meta: dict,
             break
     timings[name] = min(runs)
     meta[name] = {"runs": runs, "loadavg": loads}
+    # self-annotating outlier record (VERDICT r11 item 4): when the
+    # spread exceeds the ±15% noise band the committed META itself
+    # says the min smoothed an outlier — the honesty note travels
+    # with the number instead of living only in PLANS.md
+    if len(runs) > 1 and max(runs) > 1.3 * min(runs):
+        meta[name]["spread_note"] = (
+            f"{max(runs) / min(runs):.1f}x run spread at loadavg "
+            f"{loads}: ambient contention — min kept as the "
+            f"least-contended observation")
 
 
 def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
@@ -526,6 +535,11 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
                 best, best_stages = dt, stages
         timings["json_columnar_1m_read"] = round(best, 3)
         meta["json_columnar_1m_read"] = {"runs": runs, "loadavg": loads}
+        if max(runs) > 1.3 * min(runs):
+            meta["json_columnar_1m_read"]["spread_note"] = (
+                f"{max(runs) / min(runs):.1f}x run spread at loadavg "
+                f"{loads}: ambient contention — min kept as the "
+                f"least-contended observation")
         for k, v in best_stages.items():
             timings[f"json_columnar_1m_{k}"] = round(v, 3)
         rows_out["synth_rows"] = 1_000_000

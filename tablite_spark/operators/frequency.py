@@ -114,7 +114,8 @@ def heavy_hitters(df: DataFrame, col: str, phi: float,
 
 def association_rules(df: DataFrame, basket_col: str, item_col: str,
                       min_support: int = 5,
-                      k: int = 50) -> DataFrame:
+                      k: int = 50,
+                      max_basket_size: int | None = None) -> DataFrame:
     """Pairwise association rules over (basket, item) rows — the
     market-basket staple: for each ordered item pair (a -> b) with
     co-occurrence in >= ``min_support`` baskets, report support,
@@ -130,12 +131,32 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     back on the vocab-bounded keys; N(baskets) rides a 1-row
     broadcast. Confidence/lift are exact integer ratios —
     cross-engine deterministic, emitted unrounded.
+
+    ``max_basket_size`` is the hot-basket valve: the |basket|²
+    fan-out of ONE pathological basket (a crawler cart, a bot
+    session) lands in a single join task — 10k items is 10⁸ pairs
+    through one task (measured: minutes, not seconds, at that
+    shape). Setting the valve drops baskets with more distinct
+    items than the cap BEFORE pairing (one combinable per-basket
+    census + semi-join); oversized baskets carry no associative
+    signal — every pair in them gets the same inflated support —
+    so capping is the standard market-basket practice, but it DOES
+    change results, hence opt-in (default None = exact over all
+    baskets).
     """
     if min_support < 1 or k < 1:
         raise ValueError("min_support and k must be >= 1")
+    if max_basket_size is not None and max_basket_size < 2:
+        raise ValueError("max_basket_size must be >= 2")
     b, i = F.col(basket_col), F.col(item_col)
     base = (df.filter(b.isNotNull() & i.isNotNull())
             .select(b.alias("__b__"), i.alias("__i__")).distinct())
+    if max_basket_size is not None:
+        small = (base.groupBy("__b__")
+                 .agg(F.count(F.lit(1)).alias("__sz__"))
+                 .filter(F.col("__sz__") <= max_basket_size)
+                 .select("__b__"))
+        base = base.join(small, "__b__", "left_semi")
     supp = base.groupBy(F.col("__i__").alias("item")).agg(
         F.count(F.lit(1)).alias("s"))
     nb = base.agg(F.countDistinct("__b__").alias("n_baskets"))

@@ -373,6 +373,37 @@ _UNIT_US = {"second": 1_000_000, "minute": 60_000_000,
             "hour": 3_600_000_000, "day": 86_400_000_000}
 
 
+def _halo_buckets(df: DataFrame, ts_col: str, span_us: int,
+                  factor: int = 4):
+    """Time-range bucketing with a trailing halo — the shuffle key
+    that makes UNGROUPED rolling aggregates distributed.
+
+    Each row lands in the bucket starting at
+    ``ts_us - pmod(ts_us, factor*span_us)`` (``__bkt__``, core rows),
+    and rows within ``span_us`` of their bucket's end are DUPLICATED
+    into the next bucket (halo rows, ``__core__ = false``). Because
+    ``factor >= 1`` keeps the bucket at least as wide as the frame, a
+    trailing ``[ts - span, ts]`` frame never reaches further back
+    than the immediately preceding bucket — so every core row's frame
+    is complete inside its own partition and halo rows' outputs are
+    simply discarded. Duplication cost is ~1/factor of the corpus;
+    parallelism is (time range)/(factor·span) buckets. The same
+    carry discipline as ``functions/buckets.py``'s prefix-sum halos.
+    """
+    bucket_us = factor * span_us
+    ts = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        ts = ts.cast("timestamp")
+    us = F.unix_micros(ts)
+    bstart = us - F.pmod(us, F.lit(bucket_us))
+    core = (df.withColumn("__bkt__", bstart)
+            .withColumn("__core__", F.lit(True)))
+    halo = (df.filter(us >= bstart + F.lit(bucket_us - span_us))
+            .withColumn("__bkt__", bstart + F.lit(bucket_us))
+            .withColumn("__core__", F.lit(False)))
+    return core.unionByName(halo)
+
+
 def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
                 by: list[str], window: str,
                 funcs: tuple[str, ...] = ("avg", "min", "max",
@@ -404,6 +435,17 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
 
     NULL values never contribute; a frame whose values are all NULL
     yields NULL aggregates (count 0) — standard SQL frame semantics.
+    A row with a NULL timestamp has no frame: all its rolling outputs
+    are NULL and it never contributes to any other row's frame.
+
+    UNGROUPED series (``by=[]``) distribute too: both engines bucket
+    the time axis at 4× the frame span with a trailing-span halo
+    (``_halo_buckets``) — each bucket partition carries the preceding
+    span's rows as discarded-output context, so no task ever holds
+    more than one bucket of the corpus and parallelism scales with
+    (time range)/(4·span). The degenerate case — a frame span on the
+    order of the whole series' range — is inherently sequential (one
+    bucket), exactly like the single-group grouped case.
     """
     n, unit = window.split()
     unit = unit.rstrip("s")
@@ -418,12 +460,20 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
             raise ValueError(f"unknown rolling func {f!r}")
     if engine == "window":
         from pyspark.sql import Window
+        src, parts = df, [F.col(k) for k in by]
+        if not by:
+            # UNGROUPED: an empty partitionBy is a global window —
+            # the whole series through ONE task. Bucket by time with
+            # a trailing halo instead: frames stay complete inside
+            # each bucket partition, halo rows' results are dropped.
+            src = _halo_buckets(df, ts_col, span_us)
+            parts = [F.col("__bkt__")]
         ts = F.col(ts_col)
-        if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        if dict(src.dtypes).get(ts_col) == "timestamp_ntz":
             # unix_micros only accepts TIMESTAMP; reinterpreting NTZ
             # in the session zone is monotone (UTC sessions)
             ts = ts.cast("timestamp")
-        w = (Window.partitionBy(*[F.col(k) for k in by])
+        w = (Window.partitionBy(*parts)
              .orderBy(F.unix_micros(ts))
              .rangeBetween(-span_us, 0))
         mk = {"avg": F.avg, "min": F.min, "max": F.max,
@@ -431,7 +481,11 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
         v = F.col(val_col)
         # one select -> ONE Window operator for all aggregates
         rolls = [mk[f](v).over(w).alias(f"roll_{f}") for f in funcs]
-        return df.select("*", *rolls)
+        out = src.select("*", *rolls)
+        if not by:
+            out = out.filter(F.col("__core__")).drop("__bkt__",
+                                                     "__core__")
+        return out
     if engine != "kernel":
         raise ValueError(f"engine must be 'kernel' or 'window', "
                          f"got {engine!r}")
@@ -445,6 +499,16 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
                        LongType() if f == "count" else DoubleType())
            for f in funcs])
     keys = list(by)
+    if keys:
+        shuffled = df.repartition(*[F.col(k) for k in keys])
+    else:
+        # UNGROUPED: coalesce(1) would serialize the corpus through
+        # one task. Bucket by time with a trailing halo and group the
+        # kernel on the bucket key — every core row's frame is
+        # complete inside its partition; halo outputs are dropped.
+        shuffled = (_halo_buckets(df, ts_col, span_us)
+                    .repartition(F.col("__bkt__")))
+        keys = ["__bkt__"]
 
     def roll(batches):
         import numpy as np
@@ -453,63 +517,94 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True)
-        i8 = (pd.to_datetime(pdf[ts_col]).to_numpy()
-              .astype("datetime64[us]").astype("int64"))
+        n = len(pdf)
+        tser = pd.to_datetime(pdf[ts_col])
+        i8 = (tser.to_numpy().astype("datetime64[us]")
+              .astype("int64"))
         vals = pdf[val_col].to_numpy(dtype="float64", na_value=np.nan)
-        out = {f: np.empty(len(pdf)) for f in funcs}
-        groups = (pdf.groupby(keys, sort=False, dropna=False).indices
-                  if keys else {(): np.arange(len(pdf))})
-        for idxs in groups.values():
-            t = i8[idxs]
-            v = vals[idxs]
-            u, inv = np.unique(t, return_inverse=True)
-            m = ~np.isnan(v)
-            cnts = np.bincount(inv[m], minlength=len(u))
+        gid = pdf.groupby(keys, sort=False, dropna=False) \
+                 .ngroup().to_numpy()
+        out = {f: np.full(n, np.nan) for f in funcs}
+        # rows with a NULL timestamp have no frame: NULL aggregates,
+        # and they never contribute to any other row's frame
+        valid = np.flatnonzero(tser.notna().to_numpy())
+        if len(valid):
+            order = valid[np.lexsort((i8[valid], gid[valid]))]
+            t_s, g_s, v_s = i8[order], gid[order], vals[order]
+            # unique (group, ts) axis — frame PEERS collapse to one
+            # per-timestamp partial, so each frame endpoint is
+            # evaluated once no matter how many tied rows share it
+            new_u = np.empty(len(order), dtype=bool)
+            new_u[0] = True
+            new_u[1:] = ((g_s[1:] != g_s[:-1])
+                         | (t_s[1:] != t_s[:-1]))
+            uid_s = np.cumsum(new_u) - 1
+            m_u = int(uid_s[-1]) + 1
+            u_t, u_g = t_s[new_u], g_s[new_u]
+            # ONE gap-separated time axis for ALL groups: rebase each
+            # group to start span+1 past the previous group's end, so
+            # a single rolling pass never crosses a group boundary —
+            # no per-group pandas objects, no Python group loop
+            gnew = np.empty(m_u, dtype=bool)
+            gnew[0] = True
+            gnew[1:] = u_g[1:] != u_g[:-1]
+            gs = np.flatnonzero(gnew)
+            ge = np.append(gs[1:], m_u) - 1
+            glen = ge - gs + 1
+            shift = np.zeros(len(gs), dtype="int64")
+            if len(gs) > 1:
+                shift[1:] = np.cumsum(
+                    (u_t[ge] - u_t[gs])[:-1] + span_us + 1)
+            adj_u = u_t - np.repeat(u_t[gs], glen) \
+                + np.repeat(shift, glen)
+            mval = ~np.isnan(v_s)
+            cnts = np.bincount(uid_s[mval], minlength=m_u)
             ccnt = np.concatenate(([0], np.cumsum(cnts)))
-            lo = np.searchsorted(u, u - span_us, side="left")
-            pos = np.arange(len(u))
+            lo = np.searchsorted(adj_u, adj_u - span_us, side="left")
+            pos = np.arange(m_u)
             rc = ccnt[pos + 1] - ccnt[lo]
             res = {}
+            idx = pd.to_datetime(adj_u, unit="us")
+            width = pd.Timedelta(microseconds=span_us)
             if {"sum", "avg"} & set(funcs):
                 # NOT prefix-sum differencing (cs[pos+1]-cs[lo]):
                 # cancellation error there grows with the running
                 # prefix magnitude, so late frames over long or
                 # mixed-sign series drift. pandas' time-rolling sum
-                # is Kahan-compensated add/evict (same C kernel
-                # family as the min/max path) — per-frame error
+                # is Kahan-compensated add/evict — per-frame error
                 # stays O(frame), independent of series length.
-                sums = np.bincount(inv[m], weights=v[m],
-                                   minlength=len(u))
-                s = pd.Series(sums,
-                              index=pd.to_datetime(u, unit="us"))
-                r = s.rolling(pd.Timedelta(microseconds=span_us),
-                              closed="both", min_periods=1).sum()
-                rs = np.where(rc > 0, r.to_numpy(), np.nan)
+                sums = np.bincount(uid_s[mval], weights=v_s[mval],
+                                   minlength=m_u)
+                r = (pd.Series(sums, index=idx)
+                     .rolling(width, closed="both", min_periods=1)
+                     .sum().to_numpy())
+                rs = np.where(rc > 0, r, np.nan)
                 res["sum"] = rs
                 res["avg"] = np.where(rc > 0, rs / rc, np.nan)
             for f, seed, red in (("min", np.inf, np.minimum),
                                  ("max", -np.inf, np.maximum)):
                 if f not in funcs:
                     continue
-                per_ts = np.full(len(u), seed)
-                red.at(per_ts, inv[m], v[m])
-                s = pd.Series(np.where(cnts > 0, per_ts, np.nan),
-                              index=pd.to_datetime(u, unit="us"))
-                r = s.rolling(pd.Timedelta(microseconds=span_us),
-                              closed="both", min_periods=1)
+                per_ts = np.full(m_u, seed)
+                red.at(per_ts, uid_s[mval], v_s[mval])
+                r = (pd.Series(np.where(cnts > 0, per_ts, np.nan),
+                               index=idx)
+                     .rolling(width, closed="both", min_periods=1))
                 res[f] = (r.min() if f == "min"
                           else r.max()).to_numpy()
             res["count"] = rc.astype("float64")
             for f in funcs:
-                out[f][idxs] = res[f][inv]
+                out[f][order] = res[f][uid_s]
+        if "__core__" in pdf.columns:
+            keep = pdf["__core__"].to_numpy()
+            pdf = pdf.loc[keep].copy()
+            out = {f: c[keep] for f, c in out.items()}
         for f in funcs:
             col = out[f]
             pdf[f"roll_{f}"] = (pd.array(col, dtype="Int64")
                                 if f == "count" else col)
         yield pdf[[fld.name for fld in schema.fields]]
 
-    shuffled = (df.repartition(*[F.col(k) for k in keys])
-                if keys else df.coalesce(1))
     return shuffled.mapInPandas(roll, schema)
 
 
@@ -976,7 +1071,8 @@ def interarrival_stats(df: DataFrame, key_col: str, ts_col: str,
 
 
 def active_users(df: DataFrame, ts_col: str, user_col: str,
-                 windows: tuple = (1, 7, 28)) -> DataFrame:
+                 windows: tuple = (1, 7, 28),
+                 engine: str = "auto") -> DataFrame:
     """Rolling distinct-active-user counts per day — DAU / WAU / MAU
     and the DAU/MAU stickiness ratio, the product-analytics staple.
     One row per calendar day with ≥1 event: (day, au_1, au_7,
@@ -984,17 +1080,35 @@ def active_users(df: DataFrame, ts_col: str, user_col: str,
     window ENDING on d..d+w−1 that has begun (days with no events
     emit no row).
 
-    Scale shape — the explode-window trick: the corpus first
-    collapses to DISTINCT (user, day) pairs (one combinable
-    distinct; at most users×days rows regardless of event volume);
-    each pair then explodes to the w days whose trailing window
-    contains it (≤max(windows) row-local copies) and ONE
+    Scale shape, ``engine='explode'`` (best for small max(windows)):
+    the corpus first collapses to DISTINCT (user, day) pairs (one
+    combinable distinct; at most users×days rows regardless of event
+    volume); each pair then explodes to the w days whose trailing
+    window contains it (≤max(windows) row-local copies) and ONE
     count-distinct groupBy per day finishes the job. Never a
     distinct-over-sliding-window (unsupported/serializing), never a
     per-day self-join chain.
+
+    ``engine='interval'`` (best for large max(windows), e.g. yearly
+    actives): the ×wmax explode is replaced by interval arithmetic —
+    per (user, window), consecutive active days at gaps ≤ w merge
+    into islands (one hash(user) shuffle + a lag over per-user
+    bounded frames: ≤ calendar days per user); each island
+    [first, last+w−1] emits +1/−1 deltas at its two endpoint days,
+    and a prefix sum over the DAY CENSUS (bounded by the calendar
+    span + wmax, never by users or events) recovers the exact
+    distinct count per day. Shuffle volume is O(pairs·|windows|)
+    instead of O(pairs·wmax) — ~120× less for a 365-day window —
+    at the cost of one extra user-keyed shuffle. ``'auto'`` picks
+    'interval' when max(windows) > 32.
     """
     if not windows or any(w < 1 for w in windows):
         raise ValueError("windows must be positive ints")
+    if engine == "auto":
+        engine = "interval" if max(windows) > 32 else "explode"
+    if engine not in ("explode", "interval"):
+        raise ValueError(f"engine must be 'auto', 'explode' or "
+                         f"'interval', got {engine!r}")
     wmax = max(windows)
     t, u = F.col(ts_col), F.col(user_col)
     pairs = (df.filter(t.isNotNull() & u.isNotNull())
@@ -1002,18 +1116,67 @@ def active_users(df: DataFrame, ts_col: str, user_col: str,
                      F.date_trunc("day", t).alias("__d__"))
              .distinct())
     days = pairs.select(F.col("__d__").alias("day")).distinct()
-    exploded = pairs.select(
-        "__u__", "__d__",
-        F.explode(F.sequence(F.lit(0), F.lit(wmax - 1)))
-        .alias("__off__")).select(
-        "__u__", "__off__",
-        (F.col("__d__") + F.make_interval(days=F.col("__off__")))
-        .alias("day"))
-    aggs = [F.countDistinct(
-        F.when(F.col("__off__") < w, F.col("__u__")))
-        .alias(f"au_{w}") for w in sorted(windows)]
-    per_day = exploded.groupBy("day").agg(*aggs)
-    out = days.join(per_day, "day")      # drop phantom future days
+    if engine == "explode":
+        exploded = pairs.select(
+            "__u__", "__d__",
+            F.explode(F.sequence(F.lit(0), F.lit(wmax - 1)))
+            .alias("__off__")).select(
+            "__u__", "__off__",
+            (F.col("__d__") + F.make_interval(days=F.col("__off__")))
+            .alias("day"))
+        aggs = [F.countDistinct(
+            F.when(F.col("__off__") < w, F.col("__u__")))
+            .alias(f"au_{w}") for w in sorted(windows)]
+        per_day = exploded.groupBy("day").agg(*aggs)
+        out = days.join(per_day, "day")  # drop phantom future days
+    else:
+        from pyspark.sql import Window
+        uw = Window.partitionBy("__u__").orderBy("__d__")
+        gap = F.datediff(F.col("__d__"),
+                         F.lag("__d__").over(uw))
+        # islands per (user, window): a gap of more than w days
+        # means the previous island's coverage [last, last+w-1]
+        # ends strictly before this day — split; gap == w is
+        # adjacent coverage and merges (same day-set, fewer deltas)
+        marked = pairs.select(
+            "__u__", "__d__",
+            *[F.when(gap.isNull() | (gap > w), 1).otherwise(0)
+              .alias(f"__new_{w}__") for w in sorted(windows)])
+        marked = marked.select(
+            "__u__", "__d__",
+            *[F.sum(f"__new_{w}__").over(uw).alias(f"__isl_{w}__")
+              for w in sorted(windows)])
+        deltas = None
+        for w in sorted(windows):
+            isl = (marked.groupBy("__u__", f"__isl_{w}__")
+                   .agg(F.min("__d__").alias("__a__"),
+                        F.max("__d__").alias("__z__")))
+            d_w = (isl.select(
+                F.explode(F.array(
+                    F.struct(F.col("__a__").alias("day"),
+                             F.lit(1).alias("delta")),
+                    F.struct((F.col("__z__") + F.make_interval(
+                        days=F.lit(w))).alias("day"),
+                        F.lit(-1).alias("delta")))).alias("e"))
+                .select("e.day", "e.delta")
+                .groupBy("day")
+                .agg(F.sum("delta").alias(f"__dlt_{w}__")))
+            deltas = d_w if deltas is None else \
+                deltas.join(d_w, "day", "full")
+        # bounded census: delta days ⊆ [min_day, max_day + wmax] —
+        # calendar-bounded, so the unpartitioned running sum is over
+        # a frame the size of the day axis, never of the corpus
+        axis = (days.withColumn("__ev__", F.lit(True))
+                .join(deltas, "day", "full"))
+        dw_ord = Window.orderBy("day") \
+            .rowsBetween(Window.unboundedPreceding, 0)
+        out = (axis.select(
+            "day", "__ev__",
+            *[F.sum(F.coalesce(F.col(f"__dlt_{w}__"), F.lit(0)))
+              .over(dw_ord).alias(f"au_{w}")
+              for w in sorted(windows)])
+            .filter(F.col("__ev__"))   # drop no-event + phantom days
+            .drop("__ev__"))
     if 1 in windows and wmax in windows and wmax > 1:
         out = out.withColumn(
             "stickiness",

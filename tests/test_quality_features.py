@@ -880,3 +880,62 @@ def test_quantile_discretize_balanced_and_nulls(spark):
     assert max(sizes) - min(sizes) <= 2     # equal-frequency
     ex = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in ex                 # row-local cut, no join
+
+
+def test_active_users_interval_engine_equals_explode(spark):
+    """The interval engine (island deltas + day-census prefix sum)
+    must equal the explode engine exactly, including gap days,
+    adjacent-island merges, and the stickiness column; 'auto' picks
+    interval for large windows."""
+    import random
+    from datetime import datetime as dt, timedelta
+
+    from tablite_spark.operators.timeseries import active_users
+    rnd = random.Random(5)
+    rows = [(rnd.randint(0, 40),
+             dt(2024, 1, 1) + timedelta(days=rnd.randint(0, 120),
+                                        hours=rnd.randint(0, 23)))
+            for _ in range(800)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    for wins in ((1, 7, 28), (1, 45), (2,)):
+        a = {r["day"]: r.asDict() for r in
+             active_users(df, "ts", "user_id", windows=wins,
+                          engine="explode").collect()}
+        b = {r["day"]: r.asDict() for r in
+             active_users(df, "ts", "user_id", windows=wins,
+                          engine="interval").collect()}
+        assert a == b, wins
+    auto = {r["day"]: r.asDict() for r in
+            active_users(df, "ts", "user_id", windows=(1, 45),
+                         engine="auto").collect()}
+    assert auto == {r["day"]: r.asDict() for r in
+                    active_users(df, "ts", "user_id", windows=(1, 45),
+                                 engine="interval").collect()}
+    with pytest.raises(ValueError, match="engine"):
+        active_users(df, "ts", "user_id", engine="nope")
+
+
+def test_association_rules_max_basket_valve(spark):
+    """The hot-basket valve drops oversized baskets BEFORE pairing;
+    small baskets are untouched, so rules among them survive with
+    supports recomputed over the kept baskets only."""
+    from tablite_spark.operators.frequency import association_rules
+    rows = [(1, "x"), (1, "y"),
+            (2, "x"), (2, "y"),
+            (3, "x"), (3, "y")]
+    # basket 9 is oversized (5 distinct items)
+    rows += [(9, f"i{j}") for j in range(5)] + [(9, "x")]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r["a"], r["b"]): r for r in
+           association_rules(df, "bk", "it", min_support=2, k=50,
+                             max_basket_size=4).collect()}
+    assert ("x", "i0") not in out
+    r = out[("x", "y")]
+    assert r["support"] == 3 and r["confidence"] == 1.0
+    # without the valve the oversized basket inflates supp(x) to 4
+    full = {(r["a"], r["b"]): r for r in
+            association_rules(df, "bk", "it", min_support=2,
+                              k=50).collect()}
+    assert full[("x", "y")]["confidence"] == 3 / 4
+    with pytest.raises(ValueError, match="max_basket_size"):
+        association_rules(df, "bk", "it", max_basket_size=1)

@@ -488,3 +488,59 @@ def test_rolling_sum_immune_to_prefix_cancellation(spark):
         frame = [0.1 for t2 in tail_t if t - lo <= t2 <= t]
         assert got[t][1] == len(frame)
         assert abs(got[t][0] - sum(frame)) < 1e-9, (t, got[t])
+
+
+def test_rolling_agg_ungrouped_distributed(spark):
+    """by=[] must (a) match the single-group reference exactly on
+    both engines, (b) keep every input row exactly once (halo
+    duplicates discarded), and (c) NOT funnel the series through one
+    task — the plan buckets the time axis (__bkt__ halo shuffle)
+    instead of coalesce(1)/global window."""
+    import random
+
+    from tablite_spark.operators.timeseries import rolling_agg
+    rnd = random.Random(11)
+    rows = []
+    for i in range(500):
+        v = None if rnd.random() < 0.15 else round(rnd.uniform(-9, 9), 3)
+        # 2 hours of data -> many 4x15-minute halo buckets
+        ts = _ts(0) + dt.timedelta(seconds=rnd.randrange(7200))
+        rows.append((i, ts, v))
+    df = spark.createDataFrame(
+        rows, "rid int, ts timestamp, v double").repartition(5)
+    funcs = ("avg", "min", "max", "sum", "count")
+    ref = {r["rid"]: tuple(r[f"roll_{f}"] for f in funcs) for r in
+           rolling_agg(df.withColumn("one", F.lit(1)), "ts", "v",
+                       ["one"], "15 minutes", funcs=funcs,
+                       engine="window").collect()}
+    for eng in ("kernel", "window"):
+        got = {r["rid"]: tuple(r[f"roll_{f}"] for f in funcs) for r in
+               rolling_agg(df, "ts", "v", [], "15 minutes",
+                           funcs=funcs, engine=eng).collect()}
+        assert set(got) == set(ref) and len(got) == 500, eng
+        for rid in ref:
+            for x, y in zip(got[rid], ref[rid]):
+                if x is None or y is None:
+                    assert x == y, (eng, rid, got[rid], ref[rid])
+                else:
+                    assert abs(x - y) < 1e-9, (eng, rid)
+        plan = rolling_agg(df, "ts", "v", [], "15 minutes",
+                           engine=eng)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "__bkt__" in plan, eng
+        assert "Coalesce 1" not in plan, eng
+
+
+def test_rolling_agg_null_timestamp_rows(spark):
+    """A NULL-timestamp row has no frame: all rolling outputs NULL,
+    and it never contributes to any other row's frame."""
+    from tablite_spark.operators.timeseries import rolling_agg
+    rows = [(0, "k", _ts(0), 5.0), (1, "k", None, 100.0),
+            (2, "k", _ts(0, 30), 7.0)]
+    df = spark.createDataFrame(rows, "rid int, k string, ts timestamp, v double")
+    out = {r["rid"]: r.asDict() for r in
+           rolling_agg(df, "ts", "v", ["k"], "1 minutes",
+                       funcs=("sum", "count")).collect()}
+    assert out[1]["roll_sum"] is None and out[1]["roll_count"] is None
+    assert out[0]["roll_sum"] == 5.0 and out[0]["roll_count"] == 1
+    assert out[2]["roll_sum"] == 12.0 and out[2]["roll_count"] == 2
