@@ -178,6 +178,12 @@ BENCH_QUERIES = [
     "active_users_events",
     "category_index_orders",
     "quantile_discretize_lineitem",
+    # round-12 additions: the three new execution paths (ungrouped
+    # halo-bucket rolling, interval active-user engine, hot-basket
+    # valve)
+    "rolling_global_events",
+    "active_users_interval_events",
+    "association_rules_capped_lineitem",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -246,6 +252,12 @@ COMPACT_LINE_SHED = {
     # fourth curation pass (seventh-wave rows joined the line)
     "seasonal_anomalies_events", "interarrival_events",
     "funnel_window_events", "pmi_collocations_docs",
+    # round-12 curation: make room for the three r12 rows WITHOUT
+    # shedding the r2_comparable_total anchor — these four are flat
+    # sub-second r11 rows (0.33-0.62 s, spread < 0.2 s over their
+    # two rounds), still stamped in META + SWEEP every round
+    "category_index_orders", "json_props_events",
+    "session_summary_events", "additive_seasonal_events",
 }
 
 
@@ -777,10 +789,13 @@ def main() -> None:
                   "bootstrap_ci_orders", "active_users_events",
                   "category_index_orders",
                   "quantile_discretize_lineitem"}
+    new_in_r12 = {"rolling_global_events",
+                  "active_users_interval_events",
+                  "association_rules_capped_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9
-                         | new_in_r10 | new_in_r11), 3)
+                         | new_in_r10 | new_in_r11 | new_in_r12), 3)
 
     io_benchmarks(spark, sf_dir, timings, extra)
     probe_benchmarks(spark, sf_dir, timings, extra)
@@ -807,7 +822,7 @@ def main() -> None:
     meta_path = os.environ.get(
         "SPARK_GRAFT_BENCH_META",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_META_r11.json"))
+                     "BENCH_META_r12.json"))
     try:
         with open(meta_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)

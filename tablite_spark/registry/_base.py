@@ -10,6 +10,13 @@ from pyspark.sql import functions as F
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# repo root (the directory holding __spark_entry__.py and tests/):
+# fixture-reading queries were written when they lived in the entry
+# module and resolve committed fixtures relative to it
+import pathlib as _pathlib
+
+REPO_ROOT = str(_pathlib.Path(__file__).resolve().parents[2])
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from tablite_spark.session import read_table

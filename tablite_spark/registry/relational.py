@@ -921,8 +921,9 @@ def tpz_reference_read(spark: SparkSession, sf: str) -> DataFrame:
     """
     import pathlib
 
+    from tablite_spark.registry._base import REPO_ROOT
     from tablite_spark.sources.io import from_file
-    fixture = (pathlib.Path(__file__).resolve().parent
+    fixture = (pathlib.Path(REPO_ROOT)
                / "tests" / "fixtures" / "reference_table.tpz")
     df = from_file(spark, str(fixture), allow_pickle=True)
     return df.select(
@@ -947,9 +948,10 @@ def hdf5_foreign_read(spark: SparkSession, sf: str) -> DataFrame:
     reader regression on ANY of those structures flips the hash."""
     import os
 
+    from tablite_spark.registry._base import REPO_ROOT
     from tablite_spark.sources import hdf5lite
-    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "tests", "fixtures", "foreign_layout.h5")
+    p = os.path.join(REPO_ROOT, "tests", "fixtures",
+                     "foreign_layout.h5")
     data = hdf5lite.read(p)
     rows = []
     for name in sorted(data):
