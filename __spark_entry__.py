@@ -7,7 +7,7 @@ equivalent. Column names are aliased identically on both sides; money
 aggregates are ROUND()ed on both sides so float summation order can't
 flip the value-hash.
 
-The 260 query callables and their DuckDB oracles live in per-wave
+The query callables and their DuckDB oracles live in per-wave
 modules under ``tablite_spark/registry/`` (split in round 12 — zero
 behavior change); this module star-imports them and keeps the driver
 contract: ``entry`` / ``queries`` / ``oracle_sql`` plus the
@@ -32,7 +32,8 @@ from tablite_spark.registry.oracles import (  # noqa: F401
     _oracle_sql_base, _pca_project_oracle, _zorder_oracle)
 from tablite_spark.registry.round12 import (  # noqa: F401
     ROUND12_ORACLES, active_users_interval_events,
-    association_rules_capped_lineitem, rolling_global_events)
+    association_rules_capped_lineitem, merge_upsert_orders,
+    multi_touch_events, rolling_global_events, skew_report_lineitem)
 
 
 # --------------------------------------------------------------------
@@ -59,17 +60,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # (.. bootstrap_ci) — in registry order. The r13 window front, in
 # priority order: the three SEVENTH-WAVE overflow entries
 # (active_users_events, category_index_orders,
-# quantile_discretize_lineitem), the three ROUND-12 additions
+# quantile_discretize_lineitem), the six ROUND-12 additions
 # (rolling_global_events, active_users_interval_events,
-# association_rules_capped_lineitem — strict-verified at BOTH
-# sf0.01 and sf0.1 before registration), and the nine r7-stale rows
+# association_rules_capped_lineitem, merge_upsert_orders,
+# multi_touch_events, skew_report_lineitem — each strict-verified
+# at BOTH sf0.01 and sf0.1 before registration), and the nine
+# r7-stale rows
 # (pivot_long, preference_pairs_docs, q14_promo_revenue,
 # rename_reorder_project, resample_audio_meta, resize_images_agg,
 # snapshot_diff_docs, stack_tables, tpz_roundtrip_agg); the oldest
 # r8 rows fill the rest. ALL out-of-window entries stay locally
 # oracle-swept green in STRICT hash mode — committed as
-# SWEEP_r12.json (full 263-query registry at sf0.01) and
-# SWEEP_r12_sf01.json (sf0.1: the 53 r11-late + 3 r12 entries).
+# SWEEP_r12.json (full 266-query registry at sf0.01) and
+# SWEEP_r12_sf01.json (sf0.1: the 53 r11-late + 6 r12 entries).
 _R12_WINDOW = [
     "outliers_mad_events",
     "benford_orders",
@@ -419,6 +422,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_interval_events": active_users_interval_events,
         "association_rules_capped_lineitem":
             association_rules_capped_lineitem,
+        # --- round-12 eighth wave (CDC upsert, multi-touch credit,
+        #     join-skew census)
+        "merge_upsert_orders": merge_upsert_orders,
+        "multi_touch_events": multi_touch_events,
+        "skew_report_lineitem": skew_report_lineitem,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -178,12 +178,16 @@ BENCH_QUERIES = [
     "active_users_events",
     "category_index_orders",
     "quantile_discretize_lineitem",
-    # round-12 additions: the three new execution paths (ungrouped
-    # halo-bucket rolling, interval active-user engine, hot-basket
-    # valve)
+    # round-12 additions (excluded from r2_comparable_total): the
+    # three new execution paths (ungrouped halo-bucket rolling,
+    # interval active-user engine, hot-basket valve) and the eighth
+    # wave (CDC upsert, multi-touch credit, join-skew census)
     "rolling_global_events",
     "active_users_interval_events",
     "association_rules_capped_lineitem",
+    "merge_upsert_orders",
+    "multi_touch_events",
+    "skew_report_lineitem",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -252,12 +256,13 @@ COMPACT_LINE_SHED = {
     # fourth curation pass (seventh-wave rows joined the line)
     "seasonal_anomalies_events", "interarrival_events",
     "funnel_window_events", "pmi_collocations_docs",
-    # round-12 curation: make room for the three r12 rows WITHOUT
-    # shedding the r2_comparable_total anchor — these four are flat
-    # sub-second r11 rows (0.33-0.62 s, spread < 0.2 s over their
+    # round-12 curation: make room for the six r12 rows WITHOUT
+    # shedding the r2_comparable_total anchor — these six are flat
+    # sub-second r11 rows (0.33-0.77 s, spread < 0.2 s over their
     # two rounds), still stamped in META + SWEEP every round
     "category_index_orders", "json_props_events",
     "session_summary_events", "additive_seasonal_events",
+    "group_cusum_events", "psi_orders_drift",
 }
 
 
@@ -791,7 +796,9 @@ def main() -> None:
                   "quantile_discretize_lineitem"}
     new_in_r12 = {"rolling_global_events",
                   "active_users_interval_events",
-                  "association_rules_capped_lineitem"}
+                  "association_rules_capped_lineitem",
+                  "merge_upsert_orders", "multi_touch_events",
+                  "skew_report_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

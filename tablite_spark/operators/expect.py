@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["expectations"]
+__all__ = ["expectations", "referential_check"]
 
 
 def _violation(rule: dict) -> Column:

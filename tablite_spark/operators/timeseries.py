@@ -20,7 +20,8 @@ __all__ = ["ohlc_resample", "funnel", "retention_cohorts",
            "state_intervals", "path_ngrams", "markov_transitions",
            "cross_correlation", "attribute_conversions",
            "cusum_changepoint", "group_cusum", "session_summary",
-           "additive_seasonal", "interarrival_stats", "active_users"]
+           "additive_seasonal", "interarrival_stats", "active_users",
+           "multi_touch_attribution"]
 
 
 def _order_key(ts_col: str, tiebreak: str | None):
@@ -1182,3 +1183,77 @@ def active_users(df: DataFrame, ts_col: str, user_col: str,
             "stickiness",
             F.col("au_1").cast("double") / F.col(f"au_{wmax}"))
     return out
+
+
+def multi_touch_attribution(df: DataFrame, key_col: str, ts_col: str,
+                            type_col: str, value_col: str,
+                            conversion: str, touches: list[str],
+                            tiebreak: str | None = None) -> DataFrame:
+    """Multi-touch attribution — the fractional-credit twin of
+    :func:`attribute_conversions` (last-touch). Each ``conversion``
+    event's value is split across the ``touches`` events of the same
+    key that precede it STRICTLY (in (ts, tiebreak) order) and follow
+    the previous conversion (paths reset at each conversion):
+
+    - ``linear_value``: value/k to each of the k touches in the path;
+    - ``ushape_value``: the position-based U: 40% first touch, 40%
+      last touch, 20% split over the middles (k=1 -> 100%, k=2 ->
+      50/50) — the standard position-based model.
+
+    Conversions with NO preceding touch land in the NULL channel at
+    full value under both models, mirroring last-touch. One row per
+    channel: (channel, n_touches, linear_value, ushape_value).
+
+    Scale shape: ONE hash(key) shuffle drives both window passes
+    (path id = running count of PRIOR conversions — an
+    O(1)-incremental unbounded-preceding frame, and a rank pair for
+    first/last position — over per-path bounded frames); the
+    conversion values join back on the (key, path) pair (keyed
+    shuffle of the conversions sliver only) and a |channels|-bounded
+    combinable groupBy finishes. Never a per-conversion explode of
+    its path, never a self-as-of-join over the corpus.
+    """
+    from pyspark.sql import Window
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    t = F.col(type_col)
+    wrun = (Window.partitionBy(key_col).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    # path id: number of conversions strictly before this row — the
+    # touches between conversion i and i+1 share path i with the
+    # (i+1)-th conversion row itself
+    path = F.coalesce(
+        F.sum(F.when(t == conversion, 1).otherwise(0)).over(wrun),
+        F.lit(0))
+    base = df.withColumn("__p__", path).select(
+        F.col(key_col).alias("__k__"), t.alias("__t__"),
+        F.col(value_col).alias("__v__"), F.col("__p__"), *order)
+    conv = (base.filter(F.col("__t__") == conversion)
+            .select("__k__", "__p__", "__v__"))
+    tch = base.filter(F.col("__t__").isin(list(touches)))
+    wpath = Window.partitionBy("__k__", "__p__").orderBy(*order)
+    tch = tch.select(
+        "__k__", "__p__", F.col("__t__").alias("channel"),
+        F.row_number().over(wpath).alias("__pos__"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("__k__", "__p__")).alias("__kk__"))
+    credited = tch.join(conv, ["__k__", "__p__"])  # drops trailing
+    k = F.col("__kk__").cast("double")
+    u = (F.when(F.col("__kk__") == 1, 1.0)
+         .when(F.col("__kk__") == 2, 0.5)
+         .when(F.col("__pos__") == 1, 0.4)
+         .when(F.col("__pos__") == F.col("__kk__"), 0.4)
+         .otherwise(0.2 / (k - 2)))
+    per = (credited.groupBy("channel")
+           .agg(F.count(F.lit(1)).alias("n_touches"),
+                F.sum(F.col("__v__") / k).alias("linear_value"),
+                F.sum(F.col("__v__") * u).alias("ushape_value")))
+    # conversions whose path has no touch: NULL channel, full value
+    paths = tch.select("__k__", "__p__").distinct()
+    orphan = (conv.join(paths, ["__k__", "__p__"], "left_anti")
+              .agg(F.count(F.lit(1)).alias("n_touches"),
+                   F.sum("__v__").alias("linear_value"),
+                   F.sum("__v__").alias("ushape_value"))
+              .filter(F.col("n_touches") > 0)
+              .select(F.lit(None).cast("string").alias("channel"),
+                      "n_touches", "linear_value", "ushape_value"))
+    return per.unionByName(orphan)

@@ -61,8 +61,8 @@ from pyspark.sql import functions as F
 
 from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
 
-__all__ = ["quantize_vectors", "kmeans_fit", "kmeans_assign",
-           "kmeans_cells"]
+__all__ = ["DEFAULT_SCALE", "quantize_vectors", "kmeans_fit",
+           "kmeans_assign", "kmeans_cells"]
 
 #: quantization scale — 2^20 keeps unit-ish embedding components
 #: integer-exact to ~1e-6 while leaving 40+ bits of headroom for

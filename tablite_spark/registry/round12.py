@@ -145,3 +145,163 @@ ROUND12_ORACLES: dict[str, str] = {
         LIMIT 50
     """,
 }
+
+
+def merge_upsert_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC MERGE INTO over orders: keys ending in 0 are deleted,
+    keys ending in 1 get TWO updates (seq 1: +500; seq 2: +1000 and
+    status 'X' — the seq collapse must keep the later one), and a
+    synthetic insert feed adds keys+1e9 for keys ending in 2. The
+    per-status census of the merged table is the check; money rides
+    exact integer cents. Oracle: the final state stated directly in
+    SQL (the collapse itself is the Spark-side semantics under
+    test)."""
+    from tablite_spark.operators.merge import merge_upsert
+    o = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    dels = (o.filter(k % 10 == 0)
+            .select("*", F.lit("D").alias("op"), F.lit(1).alias("seq")))
+    upd1 = (o.filter(k % 10 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 500)
+            .select("*", F.lit("U").alias("op"), F.lit(1).alias("seq")))
+    upd2 = (o.filter(k % 10 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+            .withColumn("o_orderstatus", F.lit("X"))
+            .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq")))
+    ins = (o.filter(k % 10 == 2)
+           .withColumn("o_orderkey", k + 1_000_000_000)
+           .select("*", F.lit("U").alias("op"), F.lit(1).alias("seq")))
+    changes = dels.unionByName(upd1).unionByName(upd2).unionByName(ins)
+    merged = merge_upsert(o, changes, ["o_orderkey"], seq_col="seq")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(F.round(F.col("o_totalprice") * 100, 0)) / 100)
+                 .alias("sum_price")))
+
+
+def multi_touch_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Linear + U-shaped multi-touch attribution of purchase values
+    to view/click touches, paths resetting at each purchase;
+    event_id breaks timestamp ties so positions are deterministic.
+    Values ride exact integer cents; the per-channel credit sums are
+    rounded to 4 on both engines. Oracle: the same path/position
+    windows in DuckDB."""
+    from tablite_spark.operators.timeseries import (
+        multi_touch_attribution,
+    )
+    ev = (_t(spark, sf, "events")
+          .withColumn("vc", F.round(F.col("value") * 100, 0) / 100))
+    out = multi_touch_attribution(ev, "user_id", "ts", "event_type",
+                                  "vc", "purchase", ["view", "click"],
+                                  tiebreak="event_id")
+    return out.select("channel", "n_touches",
+                      F.round(F.col("linear_value"), 4)
+                      .alias("linear_value"),
+                      F.round(F.col("ushape_value"), 4)
+                      .alias("ushape_value"))
+
+
+def skew_report_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-planning skew census of lineitem's supplier key: top-20
+    heavy keys + the per-key-count distribution (p50/p99 exact
+    percentile_cont, max, skew factor). All integer counts and
+    single integer divisions — unrounded, bit-exact cross-engine.
+    Oracle: the same census in DuckDB."""
+    from tablite_spark.operators.skew import skew_report
+    li = _t(spark, sf, "lineitem")
+    return skew_report(li, "l_suppkey", top_k=20)
+
+
+ROUND12_ORACLES.update({
+    "merge_upsert_orders": """
+        WITH kept AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)
+        ), upd AS (
+            SELECT o_orderkey, 'X' AS o_orderstatus,
+                   o_totalprice + 1000 AS o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 1
+        ), ins AS (
+            SELECT o_orderkey + 1000000000 AS o_orderkey,
+                   o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 10 = 2
+        ), merged AS (
+            SELECT * FROM kept UNION ALL
+            SELECT * FROM upd UNION ALL
+            SELECT * FROM ins
+        )
+        SELECT o_orderstatus, count(*) AS n,
+               SUM(ROUND(o_totalprice * 100, 0)) / 100 AS sum_price
+        FROM merged GROUP BY 1
+    """,
+    "multi_touch_events": """
+        WITH e AS (
+            SELECT user_id, ts, event_id, event_type,
+                   ROUND(value * 100, 0) / 100 AS vc,
+                   COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS p
+            FROM events
+        ), conv AS (
+            SELECT user_id, p, vc AS v FROM e
+            WHERE event_type = 'purchase'
+        ), tch AS (
+            SELECT user_id, p, event_type AS channel,
+                   row_number() OVER w AS pos,
+                   count(*) OVER (PARTITION BY user_id, p) AS kk
+            FROM e WHERE event_type IN ('view', 'click')
+            WINDOW w AS (PARTITION BY user_id, p
+                         ORDER BY ts, event_id)
+        ), credited AS (
+            SELECT t.channel, c.v, t.kk, t.pos,
+                   CASE WHEN t.kk = 1 THEN 1.0
+                        WHEN t.kk = 2 THEN 0.5
+                        WHEN t.pos = 1 THEN 0.4
+                        WHEN t.pos = t.kk THEN 0.4
+                        ELSE 0.2 / (t.kk - 2) END AS u
+            FROM tch t JOIN conv c
+              ON t.user_id = c.user_id AND t.p = c.p
+        ), per AS (
+            SELECT channel, count(*) AS n_touches,
+                   ROUND(SUM(v / kk), 4) + 0 AS linear_value,
+                   ROUND(SUM(v * u), 4) + 0 AS ushape_value
+            FROM credited GROUP BY 1
+        ), orphan AS (
+            SELECT CAST(NULL AS VARCHAR) AS channel,
+                   count(*) AS n_touches,
+                   ROUND(SUM(v), 4) + 0 AS linear_value,
+                   ROUND(SUM(v), 4) + 0 AS ushape_value
+            FROM conv c
+            WHERE NOT EXISTS (SELECT 1 FROM tch t
+                              WHERE t.user_id = c.user_id
+                                AND t.p = c.p)
+            HAVING count(*) > 0
+        )
+        SELECT * FROM per UNION ALL SELECT * FROM orphan
+    """,
+    "skew_report_lineitem": """
+        WITH census AS (
+            SELECT l_suppkey AS key, count(*) AS cnt
+            FROM lineitem WHERE l_suppkey IS NOT NULL
+            GROUP BY 1
+        ), dist AS (
+            SELECT SUM(cnt) AS n_rows, count(*) AS n_keys,
+                   quantile_cont(cnt, 0.5) AS p50_cnt,
+                   quantile_cont(cnt, 0.99) AS p99_cnt,
+                   MAX(cnt) AS max_cnt
+            FROM census
+        ), top AS (
+            SELECT key, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, key) AS rank
+            FROM census ORDER BY cnt DESC, key LIMIT 20
+        )
+        SELECT rank, CAST(key AS VARCHAR) AS key, cnt,
+               CAST(cnt AS DOUBLE) / n_rows AS share,
+               n_rows, n_keys, p50_cnt, p99_cnt, max_cnt,
+               CAST(max_cnt AS DOUBLE) / p50_cnt AS skew_factor
+        FROM top, dist
+    """,
+})

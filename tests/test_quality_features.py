@@ -939,3 +939,91 @@ def test_association_rules_max_basket_valve(spark):
     assert full[("x", "y")]["confidence"] == 3 / 4
     with pytest.raises(ValueError, match="max_basket_size"):
         association_rules(df, "bk", "it", max_basket_size=1)
+
+
+# ------------------------------------------------------------------
+# round-12 eighth wave: merge_upsert / multi_touch / skew_report
+# ------------------------------------------------------------------
+
+def test_merge_upsert_hand(spark):
+    """U replaces matched rows and inserts unmatched ones, D deletes
+    (and is a no-op on absent keys), seq_col collapses multi-change
+    keys to the latest, and untouched base rows pass through."""
+    from tablite_spark.operators.merge import merge_upsert
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, amt double")
+    changes = spark.createDataFrame(
+        [(2, "B", 21.0, "U", 1),     # update
+         (3, None, None, "D", 1),    # delete
+         (4, "d", 40.0, "U", 1),     # insert
+         (5, None, None, "D", 1),    # delete of absent key: no-op
+         (1, "a1", 11.0, "U", 1),    # superseded by seq 2
+         (1, "a2", 12.0, "U", 2)],
+        "k long, name string, amt double, op string, seq int")
+    out = {r["k"]: (r["name"], r["amt"]) for r in
+           merge_upsert(base, changes, ["k"], seq_col="seq").collect()}
+    assert out == {1: ("a2", 12.0), 2: ("B", 21.0), 4: ("d", 40.0)}
+    with pytest.raises(ValueError, match="missing columns"):
+        merge_upsert(base, changes.drop("amt"), ["k"])
+    with pytest.raises(ValueError, match="key column"):
+        merge_upsert(base, changes, [])
+
+
+def test_multi_touch_attribution_hand(spark):
+    """Linear = value/k per touch; U-shape = 40/20/40 (k=1 -> 100%,
+    k=2 -> 50/50); paths reset at conversions; a conversion with no
+    preceding touch lands in the NULL channel at full value."""
+    from datetime import datetime as dt, timedelta
+
+    from tablite_spark.operators.timeseries import (
+        multi_touch_attribution,
+    )
+    t0 = dt(2024, 1, 1)
+    rows = []
+    # user 1: ad, email, ad, buy(100) -> k=3 path
+    for i, ch in enumerate(["ad", "email", "ad"]):
+        rows.append((1, t0 + timedelta(minutes=i), ch, None))
+    rows.append((1, t0 + timedelta(minutes=9), "buy", 100.0))
+    # then email, buy(50) -> k=1 second path (reset)
+    rows.append((1, t0 + timedelta(minutes=10), "email", None))
+    rows.append((1, t0 + timedelta(minutes=11), "buy", 50.0))
+    # user 2: buy(70) with no touch -> NULL channel
+    rows.append((2, t0, "buy", 70.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double")
+    out = {r["channel"]: r for r in multi_touch_attribution(
+        df, "user_id", "ts", "event_type", "value",
+        "buy", ["ad", "email"]).collect()}
+    # linear: path1 -> ad 2/3*100, email 1/3*100; path2 -> email 50
+    assert abs(out["ad"]["linear_value"] - 200 / 3) < 1e-9
+    assert abs(out["email"]["linear_value"] - (100 / 3 + 50)) < 1e-9
+    # ushape path1 (k=3): first ad 40, mid email 20, last ad 40
+    assert abs(out["ad"]["ushape_value"] - 80.0) < 1e-9
+    assert abs(out["email"]["ushape_value"] - 70.0) < 1e-9
+    assert out[None]["linear_value"] == 70.0
+    assert out["ad"]["n_touches"] == 2 and out["email"]["n_touches"] == 2
+    # credit conservation: channel credits sum to total converted value
+    tot = sum(r["linear_value"] for r in out.values())
+    assert abs(tot - 220.0) < 1e-9
+    tot_u = sum(r["ushape_value"] for r in out.values())
+    assert abs(tot_u - 220.0) < 1e-9
+
+
+def test_skew_report_hand(spark):
+    """Counts/shares exact; skew_factor = max/p50; top-k cuts after
+    (cnt DESC, key) ordering; NULL keys excluded."""
+    from tablite_spark.operators.skew import skew_report
+    rows = ([("hot",)] * 6 + [("warm",)] * 3 + [("a",)] + [("b",)]
+            + [(None,)])
+    df = spark.createDataFrame(rows, "k string")
+    out = {r["key"]: r for r in skew_report(df, "k", top_k=3).collect()}
+    assert set(out) == {"hot", "warm", "a"}
+    r = out["hot"]
+    assert (r["rank"], r["cnt"], r["n_rows"], r["n_keys"],
+            r["max_cnt"]) == (1, 6, 11, 4, 6)
+    assert abs(r["share"] - 6 / 11) < 1e-12
+    assert r["p50_cnt"] == 2.0          # counts [1,1,3,6] -> 2.0
+    assert abs(r["skew_factor"] - 3.0) < 1e-12
+    with pytest.raises(ValueError, match="top_k"):
+        skew_report(df, "k", top_k=0)
