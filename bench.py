@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "merge_upsert_orders",
     "multi_touch_events",
     "skew_report_lineitem",
+    "stream_upsert_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -798,7 +799,7 @@ def main() -> None:
                   "active_users_interval_events",
                   "association_rules_capped_lineitem",
                   "merge_upsert_orders", "multi_touch_events",
-                  "skew_report_lineitem"}
+                  "skew_report_lineitem", "stream_upsert_events"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

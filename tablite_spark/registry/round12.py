@@ -305,3 +305,89 @@ ROUND12_ORACLES.update({
         FROM top, dist
     """,
 })
+
+
+def stream_upsert_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC compaction twin, driver-oracled with a REAL
+    StreamingQuery: events become a change feed (key = user_id,
+    seq = event_id, op = D on purchases else U, val =
+    NULL-coalesced cents-rounded value), split at the median
+    timestamp into two mtime-pinned micro-batches so each user's
+    winning change can land in either batch — the last-write-wins
+    state and the cumulative change count must CROSS the batch
+    boundary. The final per-key state (max cumulative count, seq
+    tiebreak) is the check; the batch oracle is one max_by census
+    in DuckDB."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tablite_spark.streaming.ops import streaming_upsert_compact
+    ev = _t(spark, sf, "events").filter(
+        F.col("user_id").isNotNull())
+    feed = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", "D")
+        .otherwise("U").alias("op"),
+        F.coalesce(F.round(F.col("value"), 2), F.lit(-1.0))
+        .alias("val"),
+        F.col("ts"))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = feed.agg(F.percentile(us, F.lit(0.5))
+                   .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="upsert_stream_")
+    src = f"{root}/src"
+    os.makedirs(src)
+    for i, part in enumerate((feed.filter(us <= F.lit(int(cut))),
+                              feed.filter(us > F.lit(int(cut))))):
+        stage = f"{root}/stage{i}"
+        part.drop("ts").coalesce(1).write.mode("overwrite") \
+            .parquet(stage)
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        t = 1_700_000_000 + i * 600
+        os.utime(dst, (t, t))
+    stream = (spark.readStream
+              .schema("key long, seq long, op string, val double")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    q = (streaming_upsert_compact(stream)
+         .writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(f"{root}/out")
+    # final state per key = the emission with the greatest
+    # cumulative count (ties impossible: n strictly increases per
+    # emission)
+    final = (out.groupBy("key")
+             .agg(F.max_by(F.struct("seq", "op", "val"), "n_changes")
+                  .alias("s"),
+                  F.max("n_changes").alias("n_changes")))
+    return final.select(F.col("key").alias("user_id"),
+                        F.col("s.seq").alias("last_seq"),
+                        F.col("s.op").alias("last_op"),
+                        F.col("s.val").alias("last_val"),
+                        "n_changes")
+
+
+ROUND12_ORACLES.update({
+    "stream_upsert_events": """
+        WITH feed AS (
+            SELECT user_id AS key, event_id AS seq,
+                   CASE WHEN event_type = 'purchase'
+                        THEN 'D' ELSE 'U' END AS op,
+                   COALESCE(ROUND(value, 2), -1.0) AS val
+            FROM events WHERE user_id IS NOT NULL
+        )
+        SELECT key AS user_id,
+               max(seq) AS last_seq,
+               max_by(op, seq) AS last_op,
+               max_by(val, seq) AS last_val,
+               count(*) AS n_changes
+        FROM feed GROUP BY 1
+    """,
+})

@@ -474,3 +474,63 @@ def streaming_zscore(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+_UPS_STATE = T.StructType([
+    T.StructField("seq", T.LongType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("val", T.DoubleType()),
+    T.StructField("n", T.LongType()),
+])
+_UPS_OUT = T.StructType([
+    T.StructField("key", T.LongType()),
+    T.StructField("seq", T.LongType()),
+    T.StructField("op", T.StringType()),
+    T.StructField("val", T.DoubleType()),
+    T.StructField("n_changes", T.LongType()),
+])
+
+
+def _upsert_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+    seq, op, val, n = (state.get if state.exists
+                       else (None, None, None, 0))
+    for pdf in pdfs:
+        n += len(pdf)
+        i = pdf["seq"].idxmax()
+        if seq is None or int(pdf["seq"].loc[i]) > seq:
+            seq = int(pdf["seq"].loc[i])
+            op = str(pdf["op"].loc[i])
+            val = float(pdf["val"].loc[i])
+    state.update((seq, op, val, int(n)))
+    yield pd.DataFrame({"key": [key[0]], "seq": [seq], "op": [op],
+                        "val": [val], "n_changes": [int(n)]})
+
+
+def streaming_upsert_compact(changes: DataFrame) -> DataFrame:
+    """Streaming CDC compaction — the stream twin of
+    ``operators/merge.py:merge_upsert``'s feed-collapse stage: per
+    key, carry the HIGHEST-SEQUENCE change (last-write-wins) and the
+    cumulative change count across micro-batches, emitting the key's
+    current net state each batch it changes (append-mode emissions —
+    one "state after this batch" record per touched key). Input
+    columns: (key long, seq long, op string, val double). Applying
+    the compacted feed to a base table is the periodic batch
+    ``merge_upsert``; this operator keeps the feed collapsed BETWEEN
+    merges, so the batch join is always |keys|-bounded, never
+    |events|-bounded. State per key is one (long, string, double,
+    long) — bounded regardless of stream length; seq order across
+    batches is irrelevant (max-seq is commutative), so no
+    event-time watermark is needed for correctness.
+    """
+    return (changes.groupBy("key").applyInPandasWithState(
+        _upsert_fn,
+        outputStructType=_UPS_OUT,
+        stateStructType=_UPS_STATE,
+        # append semantics: each emission is a NEW "state after this
+        # batch" record (n_changes strictly increases), so the
+        # parquet sink's append mode is sound — the zscore twin's
+        # discipline
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))

@@ -633,3 +633,49 @@ def test_streaming_zscore_welford_crosses_batches(spark, tmp_path):
     want = (12.0 - 14.0) / math.sqrt(32.0 / 3.0)
     assert rows[5]["n_prior"] == 3
     assert abs(rows[5]["z"] - want) < 1e-9
+
+
+def test_streaming_upsert_compact_crosses_batches(spark, tmp_path):
+    """CDC compaction: the per-key last-write-wins state and the
+    cumulative change count must carry across micro-batches — a key
+    whose batch-2 change has a LOWER seq keeps its batch-1 winner,
+    a higher seq replaces it, and n_changes counts both batches."""
+    stream_dir = str(tmp_path / "ups_stream")
+    first = [(1, 10, "U", 1.0),     # key 1: seq 10 wins batch 1
+             (1, 5, "U", 0.5),
+             (2, 7, "U", 2.0)]      # key 2: only batch 1
+    more = [(1, 3, "D", 9.9),       # LOWER seq: must NOT replace
+            (3, 1, "D", 3.0),       # new key in batch 2
+            (2, 8, "D", 2.5)]       # higher seq: replaces
+    schema = "key long, seq long, op string, val double"
+    mk = lambda rows: spark.createDataFrame(rows, schema).coalesce(1)
+    mk(first).write.parquet(stream_dir)
+    time.sleep(1.1)
+    mk(more).write.mode("append").parquet(stream_dir)
+
+    from tablite_spark.streaming.ops import streaming_upsert_compact
+    src = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1)
+           .option("latestFirst", "false").parquet(stream_dir))
+    q = (streaming_upsert_compact(src)
+         .writeStream.format("memory").queryName("sup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_up"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM sup").collect()
+    # final state per key = max-n_changes emission
+    final = {}
+    for r in rows:
+        if (r["key"] not in final
+                or r["n_changes"] > final[r["key"]]["n_changes"]):
+            final[r["key"]] = r
+    f1, f2, f3 = final[1], final[2], final[3]
+    assert (f1["seq"], f1["op"], f1["val"], f1["n_changes"]) == \
+        (10, "U", 1.0, 3)          # batch-2 lower seq ignored, n=3
+    assert (f2["seq"], f2["op"], f2["val"], f2["n_changes"]) == \
+        (8, "D", 2.5, 2)           # batch-2 higher seq replaces
+    assert (f3["seq"], f3["op"], f3["val"], f3["n_changes"]) == \
+        (1, "D", 3.0, 1)
+    # key 1 emitted in BOTH batches (touched twice)
+    assert sum(1 for r in rows if r["key"] == 1) == 2
