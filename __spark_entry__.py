@@ -34,7 +34,7 @@ from tablite_spark.registry.round12 import (  # noqa: F401
     ROUND12_ORACLES, active_users_interval_events,
     association_rules_capped_lineitem, merge_upsert_orders,
     multi_touch_events, rolling_global_events, skew_report_lineitem,
-    stream_upsert_events)
+    stream_upsert_events, top_k_per_group_lineitem)
 
 
 # --------------------------------------------------------------------
@@ -61,19 +61,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # (.. bootstrap_ci) — in registry order. The r13 window front, in
 # priority order: the three SEVENTH-WAVE overflow entries
 # (active_users_events, category_index_orders,
-# quantile_discretize_lineitem), the seven ROUND-12 additions
+# quantile_discretize_lineitem), the eight ROUND-12 additions
 # (rolling_global_events, active_users_interval_events,
 # association_rules_capped_lineitem, merge_upsert_orders,
-# multi_touch_events, skew_report_lineitem, stream_upsert_events —
-# each strict-verified at BOTH sf0.01 and sf0.1 before
-# registration), and the nine r7-stale rows
+# multi_touch_events, skew_report_lineitem, stream_upsert_events,
+# top_k_per_group_lineitem — each strict-verified at BOTH sf0.01
+# and sf0.1 before registration), and the nine r7-stale rows
 # (pivot_long, preference_pairs_docs, q14_promo_revenue,
 # rename_reorder_project, resample_audio_meta, resize_images_agg,
 # snapshot_diff_docs, stack_tables, tpz_roundtrip_agg); the oldest
 # r8 rows fill the rest. ALL out-of-window entries stay locally
 # oracle-swept green in STRICT hash mode — committed as
-# SWEEP_r12.json (full 267-query registry at sf0.01) and
-# SWEEP_r12_sf01.json (sf0.1: the 53 r11-late + 7 r12 entries).
+# SWEEP_r12.json (full 268-query registry at sf0.01) and
+# SWEEP_r12_sf01.json (sf0.1: the 53 r11-late + 8 r12 entries).
 _R12_WINDOW = [
     "outliers_mad_events",
     "benford_orders",
@@ -429,6 +429,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_touch_events": multi_touch_events,
         "skew_report_lineitem": skew_report_lineitem,
         "stream_upsert_events": stream_upsert_events,
+        "top_k_per_group_lineitem": top_k_per_group_lineitem,
     }
 
 def oracle_sql() -> dict[str, str]:

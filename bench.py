@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "multi_touch_events",
     "skew_report_lineitem",
     "stream_upsert_events",
+    "top_k_per_group_lineitem",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make
@@ -799,7 +800,8 @@ def main() -> None:
                   "active_users_interval_events",
                   "association_rules_capped_lineitem",
                   "merge_upsert_orders", "multi_touch_events",
-                  "skew_report_lineitem", "stream_upsert_events"}
+                  "skew_report_lineitem", "stream_upsert_events",
+                  "top_k_per_group_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
                          if k not in new_in_r3 | new_in_r4 | new_in_r6
                          | new_in_r7 | new_in_r8 | new_in_r9

@@ -391,3 +391,37 @@ ROUND12_ORACLES.update({
         FROM feed GROUP BY 1
     """,
 })
+
+
+def top_k_per_group_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 lineitems by extended price per supplier —
+    deterministic under price ties via the (orderkey, linenumber)
+    tiebreak. Runs the default window engine (supplier groups are
+    uniform); the salted skew engine is pytest-verified equal and
+    burn-in-documented as the valve for groups a single window task
+    cannot sort. Oracle: the row_number window formulation in
+    DuckDB."""
+    from tablite_spark.operators.groupby import top_k_per_group
+    li = _t(spark, sf, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    out = top_k_per_group(li, ["l_suppkey"], "l_extendedprice", 3,
+                          tiebreak=["l_orderkey", "l_linenumber"])
+    return out.select("l_suppkey", "rank", "l_orderkey",
+                      "l_linenumber", "l_extendedprice")
+
+
+ROUND12_ORACLES.update({
+    "top_k_per_group_lineitem": """
+        SELECT l_suppkey, rank, l_orderkey, l_linenumber,
+               l_extendedprice
+        FROM (
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_extendedprice DESC,
+                                l_orderkey, l_linenumber) AS rank
+            FROM lineitem
+        ) WHERE rank <= 3
+    """,
+})

@@ -1027,3 +1027,45 @@ def test_skew_report_hand(spark):
     assert abs(r["skew_factor"] - 3.0) < 1e-12
     with pytest.raises(ValueError, match="top_k"):
         skew_report(df, "k", top_k=0)
+
+
+def test_top_k_per_group_engines_match(spark):
+    """Both engines must equal the reference row_number formulation
+    exactly (same deterministic tiebreak), including groups smaller
+    than k, NULL keys, and ascending order. Plan gates: the salted
+    engine has NO Window and exactly two hash exchanges ((keys,
+    salt) + the survivor merge); the window engine is the plain
+    one-exchange window plan."""
+    import random
+
+    from pyspark.sql import Window
+    from tablite_spark.operators.groupby import top_k_per_group
+    rnd = random.Random(9)
+    rows = [(i, rnd.choice(["a", "b", "c", None]),
+             float(rnd.randint(0, 20))) for i in range(500)]
+    rows += [(1000, "tiny", 5.0)]           # group smaller than k
+    df = spark.createDataFrame(
+        rows, "rid long, g string, v double").repartition(7)
+    for asc in (False, True):
+        w = Window.partitionBy("g").orderBy(
+            F.col("v").asc() if asc else F.col("v").desc(),
+            F.col("rid").asc())
+        want = {(r["g"], r["rid"]): r["rank"] for r in
+                df.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3).collect()}
+        for eng in ("window", "salted"):
+            got = {(r["g"], r["rid"]): r["rank"] for r in
+                   top_k_per_group(df, ["g"], "v", 3, ascending=asc,
+                                   tiebreak=["rid"],
+                                   engine=eng).collect()}
+            assert got == want, (asc, eng)
+    plan = top_k_per_group(df, ["g"], "v", 3, tiebreak=["rid"],
+                           engine="salted")         ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.lower().count("hashpartitioning") == 2
+    with pytest.raises(ValueError, match="k must"):
+        top_k_per_group(df, ["g"], "v", 0)
+    with pytest.raises(ValueError, match="grouping keys"):
+        top_k_per_group(df, [], "v", 3)
+    with pytest.raises(ValueError, match="engine"):
+        top_k_per_group(df, ["g"], "v", 3, engine="nope")
