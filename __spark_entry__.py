@@ -35,6 +35,9 @@ from tablite_spark.registry.round12 import (  # noqa: F401
     association_rules_capped_lineitem, merge_upsert_orders,
     multi_touch_events, rolling_global_events, skew_report_lineitem,
     stream_upsert_events, top_k_per_group_lineitem)
+from tablite_spark.registry.round13 import (  # noqa: F401
+    ROUND13_ORACLES, char_entropy_docs, conversion_lag_events,
+    nelson_aalen_events, time_weighted_avg_events)
 
 
 # --------------------------------------------------------------------
@@ -50,91 +53,89 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------
 
-# Round-12 verification window: the driver checks the FIRST 50
-# entries of queries(). Registry state at r12 open (CORRECTNESS_r01
-# ..r11 merged): 260/260 green at latest check, staleness 50@r11 /
-# 50@r10 / 48@r9 / 50@r8 / 9@r7, plus FIFTY-THREE r11-late entries
-# never driver-verified (all 53 strict-green in the committed
-# SWEEP_r11 at sf0.01 and in the judge's independent r11 re-run).
-# The window takes the 50 oldest-registered of those 53 — the
-# second wave (outliers_mad .. gini) through the sixth wave
-# (.. bootstrap_ci) — in registry order. The r13 window front, in
-# priority order: the three SEVENTH-WAVE overflow entries
-# (active_users_events, category_index_orders,
-# quantile_discretize_lineitem), the eight ROUND-12 additions
-# (rolling_global_events, active_users_interval_events,
-# association_rules_capped_lineitem, merge_upsert_orders,
-# multi_touch_events, skew_report_lineitem, stream_upsert_events,
-# top_k_per_group_lineitem — each strict-verified at BOTH sf0.01
-# and sf0.1 before registration), and the nine r7-stale rows
-# (pivot_long, preference_pairs_docs, q14_promo_revenue,
-# rename_reorder_project, resample_audio_meta, resize_images_agg,
-# snapshot_diff_docs, stack_tables, tpz_roundtrip_agg); the oldest
-# r8 rows fill the rest. ALL out-of-window entries stay locally
-# oracle-swept green in STRICT hash mode — committed as
-# SWEEP_r12.json (full 268-query registry at sf0.01) and
-# SWEEP_r12_sf01.json (sf0.1: the 53 r11-late + 8 r12 entries).
-_R12_WINDOW = [
-    "outliers_mad_events",
-    "benford_orders",
-    "acf_events",
-    "attribution_events",
-    "stream_attribution_events",
-    "auc_events",
-    "calibration_events",
-    "confusion_events",
-    "ols_lineitem",
-    "km_survival_events",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "gini_orders",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_parts",
+# Round-13 verification window: the driver checks the FIRST 50
+# entries of queries(). This round is debt burn-down after the r12
+# 38/50: the ELEVEN never-driver-verified entries (3 seventh-wave
+# overflow + 8 round-12 additions) lead, then the TWELVE r12 reds —
+# all value-correct but int-vs-float dtype-mismatched against their
+# DuckDB oracles (SUM(int) -> HUGEINT -> pandas float64 vs Spark
+# int64; the driver hash is typed), each oracle now CAST(... AS
+# BIGINT)-aligned and strict-green under the new dtype-class gate in
+# tools/check_oracle.py — then the NINE r7-stale rows, then the TWO
+# rows whose Spark side changed this round (lookup_first_match /
+# tpz_reference_read: date -> timestamp so the pandas dtype CLASS
+# matches the oracle instead of relying on stringification
+# coincidence), and the SIXTEEN oldest-registered r8 rows fill the
+# remainder — leaving r8 staleness at 34 rows for r14. ALL
+# out-of-window entries stay locally oracle-swept green in STRICT
+# hash mode WITH the dtype-class gate — committed as SWEEP_r13.json
+# (full 268-query registry at sf0.01).
+_R13_WINDOW = [
+    # -- never driver-verified (registration order)
+    "active_users_events",
+    "category_index_orders",
+    "quantile_discretize_lineitem",
+    "rolling_global_events",
+    "active_users_interval_events",
+    "association_rules_capped_lineitem",
+    "merge_upsert_orders",
+    "multi_touch_events",
+    "skew_report_lineitem",
+    "stream_upsert_events",
+    "top_k_per_group_lineitem",
+    # -- r12 reds, dtype-aligned this round
     "q12_late_shipments",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
     "cusum_events",
     "expectations_orders",
-    "feature_scale_lineitem",
-    "weighted_quantiles_lineitem",
-    "seasonal_anomalies_events",
-    "winsorize_lineitem",
-    "zipf_alpha_docs",
-    "bigram_lm_docs",
-    "stream_zscore_events",
     "isotonic_calibration_events",
     "referential_audit_orders",
     "json_props_events",
-    "ranking_metrics_docs",
     "logrank_events",
     "psi_orders_drift",
     "gains_table_events",
     "group_cusum_events",
     "column_entropy_docs",
-    "pmi_collocations_docs",
     "session_summary_events",
-    "association_rules_lineitem",
-    "funnel_window_events",
-    "additive_seasonal_events",
-    "interarrival_events",
-    "bootstrap_ci_orders",
+    # -- r7-stale
+    "pivot_long",
+    "preference_pairs_docs",
+    "q14_promo_revenue",
+    "rename_reorder_project",
+    "resample_audio_meta",
+    "resize_images_agg",
+    "snapshot_diff_docs",
+    "stack_tables",
+    "tpz_roundtrip_agg",
+    # -- Spark side changed this round (date -> timestamp)
+    "lookup_first_match",
+    "tpz_reference_read",
+    # -- oldest r8 rows (registration order)
+    "semantic_dedup_embeddings",
+    "gopher_quality_docs",
+    "gopher_dup_ngrams_docs",
+    "c4_clean_docs",
+    "gopher_repetition_docs",
+    "vocab_shift_docs",
+    "token_budget_docs",
+    "video_frames_meta",
+    "xls_roundtrip_agg",
+    "hdf5_chunked_roundtrip_agg",
+    "stream_incremental_dedup_docs",
+    "hdf5_foreign_read",
+    "ohlc_resample_events",
+    "funnel_events",
+    "phrase_search_docs",
+    "bloom_contamination_docs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R12_WINDOW`` puts the
+    bounded per-round window (50/round). ``_R13_WINDOW`` puts the
     stalest-green queries first; everything else keeps its
     registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R12_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R13_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 
@@ -430,11 +431,19 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_lineitem": skew_report_lineitem,
         "stream_upsert_events": stream_upsert_events,
         "top_k_per_group_lineitem": top_k_per_group_lineitem,
+        # --- round-13 wave (TWAP exact-decimal accumulation,
+        #     Nelson-Aalen census prefix, per-doc char entropy,
+        #     conversion lag; never driver-verified — queue for r14)
+        "time_weighted_avg_events": time_weighted_avg_events,
+        "nelson_aalen_events": nelson_aalen_events,
+        "char_entropy_docs": char_entropy_docs,
+        "conversion_lag_events": conversion_lag_events,
     }
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d.update(ROUND12_ORACLES)
+    d.update(ROUND13_ORACLES)
     d["pca_project_embeddings"] = _pca_project_oracle()
     # pretrain_filter is the conjunction of three already-oracled
     # stages: compose their SQL verbatim so the oracle stays a single

@@ -229,7 +229,14 @@ def top_k_per_group(df, keys: list[str], order_col: str, k: int,
                          f"got {engine!r}")
     payload = [c for c in df.columns if c not in keys]
     skey = ocol if ascending else -ocol
-    item = F.struct(skey.alias("__o__"),
+    # NULL placement must match the window engine's asc()/desc()
+    # defaults (asc -> nulls FIRST, desc -> nulls LAST). A bare NULL
+    # skey sorts lowest in struct compare, which is wrong for
+    # descending — so encode the placement explicitly as the first
+    # struct field: 0 sorts before 1.
+    nflag = (ocol.isNull() != F.lit(bool(ascending))).cast("int")
+    item = F.struct(nflag.alias("__n__"),
+                    skey.alias("__o__"),
                     *[F.col(c) for c in tb],
                     F.struct(*[F.col(c) for c in payload])
                     .alias("__p__"))

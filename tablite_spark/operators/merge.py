@@ -65,7 +65,14 @@ def merge_upsert(base: DataFrame, changes: DataFrame,
                if c not in changes.columns]
     if missing:
         raise ValueError(f"changes is missing columns: {missing}")
-    payload = F.struct(F.col(op_col).alias("__op__"),
+    # op codes outside {'U','D'} (incl. NULL) fail loudly at scan
+    # time — a typo'd 'u'/'delete' must not silently upsert
+    op = F.col(op_col)
+    valid_op = F.when(op.isin("U", "D"), op).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"merge_upsert: {op_col} must be 'U' or 'D', got "),
+            F.coalesce(op.cast("string"), F.lit("NULL")))))
+    payload = F.struct(valid_op.alias("__op__"),
                        *[F.col(c) for c in data_cols])
     order = F.col(seq_col) if seq_col is not None else payload
     latest = (changes.groupBy(*key_cols)

@@ -848,6 +848,59 @@ def km_curve(df: DataFrame, duration_col: str,
                     surv.alias("survival")))
 
 
+def nelson_aalen(df: DataFrame, duration_col: str,
+                 observed_col) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator, the additive
+    companion of ``km_curve``: one row per distinct event time t
+    with (duration, n_at_risk, n_events, cumhaz), where
+    H(t) = Σ_{t_j ≤ t} d_j / n_j. Right-censored rows
+    (``observed_col`` false) count toward n_at_risk until their
+    duration, then leave without an event; NULL durations/flags are
+    excluded.
+
+    Scale shape — identical to km_curve's: ONE combinable
+    per-duration census groupBy, then the distributed prefix
+    (deterministic driver range buckets + in-bucket running sums +
+    one |buckets|-row offset collect) carries the hazard sum — no
+    global-order window, no corpus on one task. The hazard is a
+    plain sum (no log domain needed: d/n is finite for n ≥ d ≥ 0),
+    so the only cross-engine float drift is summation grouping —
+    round at the oracle boundary.
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
+    t = F.col(duration_col)
+    obs = (F.col(observed_col) if isinstance(observed_col, str)
+           else observed_col).cast("boolean")
+    cens = (df.filter(t.isNotNull() & obs.isNotNull())
+            .groupBy(t.alias("__t__"))
+            .agg(F.count(F.when(obs, 1)).alias("__d__"),
+                 F.count(F.when(~obs, 1)).alias("__c__")))
+    cens = with_range_bucket(cens, "__t__", "__b__")
+    w = (Window.partitionBy("__b__").orderBy("__t__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    both = F.col("__d__") + F.col("__c__")
+    cens = cens.withColumn("__cum__", F.sum(both).over(w))
+    maps, totals = bucket_prefix_offsets(cens, "__b__",
+                                         {"__t2__": both})
+    n_risk = (F.lit(totals["__t2__"])
+              - (maps["__t2__"][F.col("__b__")] + F.col("__cum__"))
+              + both)
+    term = F.col("__d__") / n_risk.cast("double")
+    cens = (cens.withColumn("__nr__", n_risk)
+            .withColumn("__hcum__", F.sum(term).over(w)))
+    hmaps, _ = bucket_prefix_offsets(cens, "__b__", {"__ht__": term})
+    cumhaz = hmaps["__ht__"][F.col("__b__")] + F.col("__hcum__")
+    return (cens.filter(F.col("__d__") > 0)
+            .select(F.col("__t__").alias("duration"),
+                    F.col("__nr__").cast("long").alias("n_at_risk"),
+                    F.col("__d__").alias("n_events"),
+                    cumhaz.alias("cumhaz")))
+
+
 def inequality_metrics(df: DataFrame, col: str) -> DataFrame:
     """Gini coefficient + Theil index of a non-negative measure —
     the concentration/inequality screen (wealth, traffic, token

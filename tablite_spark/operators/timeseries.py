@@ -21,7 +21,7 @@ __all__ = ["ohlc_resample", "funnel", "retention_cohorts",
            "cross_correlation", "attribute_conversions",
            "cusum_changepoint", "group_cusum", "session_summary",
            "additive_seasonal", "interarrival_stats", "active_users",
-           "multi_touch_attribution"]
+           "multi_touch_attribution", "time_weighted_avg"]
 
 
 def _order_key(ts_col: str, tiebreak: str | None):
@@ -480,8 +480,17 @@ def rolling_agg(df: DataFrame, ts_col: str, val_col: str,
         mk = {"avg": F.avg, "min": F.min, "max": F.max,
               "sum": F.sum, "count": F.count}
         v = F.col(val_col)
-        # one select -> ONE Window operator for all aggregates
-        rolls = [mk[f](v).over(w).alias(f"roll_{f}") for f in funcs]
+        # one select -> ONE Window operator for all aggregates.
+        # NULL-ts rows form their own peer group under a range
+        # frame (they'd aggregate EACH OTHER) — mask their outputs
+        # to NULL to honor the no-frame contract. They can never
+        # appear in a non-NULL row's frame (NULL unix_micros is
+        # outside every finite range), so masking is sufficient;
+        # NULL values inside frames are already ignored by the
+        # aggregates themselves.
+        rolls = [F.when(F.col(ts_col).isNotNull(),
+                        mk[f](v).over(w)).alias(f"roll_{f}")
+                 for f in funcs]
         out = src.select("*", *rolls)
         if not by:
             out = out.filter(F.col("__core__")).drop("__bkt__",
@@ -1257,3 +1266,57 @@ def multi_touch_attribution(df: DataFrame, key_col: str, ts_col: str,
               .select(F.lit(None).cast("string").alias("channel"),
                       "n_touches", "linear_value", "ushape_value"))
     return per.unionByName(orphan)
+
+
+def time_weighted_avg(df: DataFrame, keys: list[str], ts_col: str,
+                      val_col: str,
+                      tiebreak: str | None = None) -> DataFrame:
+    """Time-weighted average (TWAP): per key, each observation holds
+    from its timestamp until the key's NEXT observation, and the
+    average weights every value by its holding time —
+    ``Σ v·Δt / Σ Δt``. The final observation has no successor and
+    contributes no weight (standard TWAP over the observed span).
+    Rows with NULL timestamp or value are excluded; keys with fewer
+    than two surviving observations have an empty span and are
+    omitted. ``tiebreak`` (a unique id column) makes Δt
+    deterministic under duplicate timestamps.
+
+    Exactness discipline: values quantize to integer cents and Δt
+    to integer microseconds; their products accumulate in
+    ``decimal(38,0)`` (exact, order-independent — Spark's decimal
+    sum and DuckDB's HUGEINT sum agree bit-for-bit), so the single
+    final division is the ONLY float operation and the result is
+    identical on any partitioning. No rounding needed at the oracle
+    boundary.
+
+    Scale shape: one window (lead) partitioned by the keys — the
+    same per-entity partition every sessionization uses — then one
+    combinable groupBy. Hot keys absorb map-side in the partial
+    aggregation; only (key, 3 sums) shuffle.
+    """
+    from pyspark.sql import Window
+    if not keys:
+        raise ValueError("time_weighted_avg needs grouping keys")
+    ts, v = F.col(ts_col), F.col(val_col)
+    base = df.filter(ts.isNotNull() & v.isNotNull())
+    order = [ts.asc()] + ([F.col(tiebreak).asc()]
+                          if tiebreak is not None else [])
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    us = F.unix_micros(ts.cast("timestamp"))
+    dt = F.lead(us).over(w) - us
+    vc = F.round(v * 100, 0).cast("decimal(18,0)")
+    seg = (base.withColumn("__dt__", dt)
+           .filter(F.col("__dt__").isNotNull())
+           .withColumn("__vd__", vc * F.col("__dt__")))
+    agg = (seg.groupBy(*keys)
+           .agg(F.sum("__vd__").alias("__svd__"),
+                F.sum("__dt__").alias("__sdt__"),
+                F.count(F.lit(1)).alias("__n__"))
+           # all observations at one instant: zero span, no average
+           .filter(F.col("__sdt__") > 0))
+    return agg.select(
+        *keys,
+        (F.col("__n__") + 1).alias("n_obs"),
+        (F.col("__sdt__") / F.lit(1_000_000.0)).alias("span_s"),
+        (F.col("__svd__").cast("double")
+         / F.col("__sdt__").cast("double") / 100.0).alias("twa"))

@@ -1470,3 +1470,40 @@ def pmi_collocations(df: DataFrame, text_col: str, k: int = 50,
                           pmi.alias("pmi"))
             .orderBy(F.col("pmi").desc(), "w1", "w2")
             .limit(k))
+
+
+def char_entropy(df: DataFrame, text_col: str,
+                 id_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish/binary screen (near-zero entropy = repeated filler,
+    abnormally high = random bytes/base64; natural language sits in
+    a narrow band). Counts CODE POINTS via a regex '.' extraction —
+    code-point aware and newline-excluding in both JVM regex and
+    RE2, so an SQL oracle (regexp_extract_all) sees the identical
+    census. Documents with no countable characters are omitted.
+
+    Returns (id_col, n_chars_counted, n_distinct_chars, entropy)
+    with entropy in nats: H = ln(n) − Σ c·ln(c) / n over the
+    per-character counts c.
+
+    Scale shape: explode → two combinable groupBys keyed by
+    (doc, char) then (doc) — all JVM-side, partial aggregation
+    absorbs the per-doc fan-out map-side; no window, no Python in
+    the row path.
+    """
+    ch = (df.select(F.col(id_col),
+                    F.explode(F.regexp_extract_all(
+                        F.col(text_col), F.lit("."), 0)).alias("__ch__"))
+          .groupBy(id_col, "__ch__")
+          .agg(F.count(F.lit(1)).alias("__c__")))
+    c = F.col("__c__").cast("double")
+    return (ch.groupBy(id_col)
+            .agg(F.sum("__c__").alias("__n__"),
+                 F.count(F.lit(1)).alias("n_distinct_chars"),
+                 F.sum(c * F.log(c)).alias("__clc__"))
+            .select(F.col(id_col),
+                    F.col("__n__").alias("n_chars_counted"),
+                    "n_distinct_chars",
+                    (F.log(F.col("__n__").cast("double"))
+                     - F.col("__clc__") / F.col("__n__"))
+                    .alias("entropy")))

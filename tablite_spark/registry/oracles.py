@@ -2651,12 +2651,12 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q12_late_shipments": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN
+                   CAST(sum(CASE WHEN o_orderpriority IN
                             ('1-URGENT', '2-HIGH') THEN 1
-                            ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority IN
+                            ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
                             ('1-URGENT', '2-HIGH') THEN 0
-                            ELSE 1 END) AS low_line_count
+                            ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate BETWEEN '1996-01-01' AND '1997-12-31'
               AND l_shipdate > o_orderdate + INTERVAL 90 DAY
@@ -2743,9 +2743,9 @@ def _oracle_sql_base() -> dict[str, str]:
                        cx - (SELECT sx / sn FROM m) * cn AS s
                 FROM w
             )
-            SELECT (SELECT sn FROM m) AS n,
+            SELECT CAST((SELECT sn FROM m) AS BIGINT) AS n,
                    ROUND((SELECT sx / sn FROM m), 4) + 0 AS mean,
-                   cn AS cp_index, t AS cp_at,
+                   CAST(cn AS BIGINT) AS cp_index, t AS cp_at,
                    ROUND(s, 4) + 0 AS cusum,
                    ROUND(abs(s), 4) + 0 AS cusum_abs
             FROM s ORDER BY abs(s) DESC, cn LIMIT 1
@@ -2775,13 +2775,13 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM orders
             )
             SELECT r.rule, r.col AS column, agg.n AS n_rows,
-                   CASE r.rule
+                   CAST(CASE r.rule
                        WHEN 'custkey_not_null' THEN v1
                        WHEN 'totalprice_range' THEN v2
                        WHEN 'status_in_set' THEN v3
                        WHEN 'priority_pattern' THEN v4
                        WHEN 'orderkey_unique' THEN v5
-                       ELSE v6 END AS violations,
+                       ELSE v6 END AS BIGINT) AS violations,
                    CASE WHEN agg.n > 0 THEN
                        CAST(agg.n - (CASE r.rule
                            WHEN 'custkey_not_null' THEN v1
@@ -2958,7 +2958,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 SELECT i AS bin, max(mn) AS calibrated
                 FROM inn GROUP BY 1
             )
-            SELECT cens.bin, n, pos,
+            SELECT cens.bin, n, CAST(pos AS BIGINT) AS pos,
                    CAST(pos AS DOUBLE) / n AS rate, calibrated
             FROM cens JOIN fit USING (bin)
         """,
@@ -2984,7 +2984,8 @@ def _oracle_sql_base() -> dict[str, str]:
                      (SELECT DISTINCT l_partkey FROM lineitem) l
                      ON p_partkey = l_partkey
             )
-            SELECT relation, n_rows, n_nonnull_fk, orphans,
+            SELECT relation, n_rows, n_nonnull_fk,
+                   CAST(orphans AS BIGINT) AS orphans,
                    CASE WHEN n_nonnull_fk > 0 THEN
                        CAST(n_nonnull_fk - orphans AS DOUBLE)
                            / n_nonnull_fk END AS ok_rate
@@ -2994,8 +2995,8 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT event_type,
                    count(CAST(json_extract(props, '$.k')
                               AS BIGINT)) AS n,
-                   sum(CAST(json_extract(props, '$.k')
-                            AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k')
+                            AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract(props, '$.k')
                             AS BIGINT)) AS min_k,
                    max(CAST(json_extract(props, '$.k')
@@ -3066,8 +3067,10 @@ def _oracle_sql_base() -> dict[str, str]:
                            ELSE 0 END) AS v
                 FROM w WHERE da + db > 0
             )
-            SELECT (SELECT sum(na) FROM cens) AS n_a,
-                   (SELECT sum(nb) FROM cens) AS n_b,
+            SELECT CAST((SELECT sum(na) FROM cens) AS BIGINT)
+                       AS n_a,
+                   CAST((SELECT sum(nb) FROM cens) AS BIGINT)
+                       AS n_b,
                    ROUND(CASE WHEN v > 0 THEN o_e * o_e / v END, 4)
                        + 0 AS chi2
             FROM ev
@@ -3101,7 +3104,9 @@ def _oracle_sql_base() -> dict[str, str]:
             ), tot AS (
                 SELECT sum(ne) AS te, sum(na) AS ta FROM j
             )
-            SELECT k.k AS bins, te AS n_expected, ta AS n_actual,
+            SELECT k.k AS bins,
+                   CAST(te AS BIGINT) AS n_expected,
+                   CAST(ta AS BIGINT) AS n_actual,
                    ROUND((SELECT sum(
                        ((coalesce(ne, 0) + 0.5) / (te + 0.5 * k.k)
                         - (coalesce(na, 0) + 0.5) / (ta + 0.5 * k.k))
@@ -3137,7 +3142,8 @@ def _oracle_sql_base() -> dict[str, str]:
             ), tot AS (
                 SELECT max(cum_pos) AS tp, max(cum_n) AS tn FROM cum
             )
-            SELECT band, n, pos, cum_pos,
+            SELECT band, n, CAST(pos AS BIGINT) AS pos,
+                   CAST(cum_pos AS BIGINT) AS cum_pos,
                    CASE WHEN tp > 0 THEN
                        CAST(cum_pos AS DOUBLE) / tp END
                        AS cum_capture,
@@ -3173,9 +3179,9 @@ def _oracle_sql_base() -> dict[str, str]:
                            ORDER BY abs(s) DESC, cn ASC) AS rk
                 FROM s
             )
-            SELECT g AS event_type, tn AS n,
+            SELECT g AS event_type, CAST(tn AS BIGINT) AS n,
                    ROUND(tx / tn, 4) + 0 AS mean,
-                   cn AS cp_index, t AS cp_at,
+                   CAST(cn AS BIGINT) AS cp_index, t AS cp_at,
                    ROUND(s, 4) + 0 AS cusum,
                    ROUND(abs(s), 4) + 0 AS cusum_abs
             FROM r WHERE rk = 1
@@ -3196,7 +3202,8 @@ def _oracle_sql_base() -> dict[str, str]:
                        sum(c * ln(CAST(c AS DOUBLE))) AS clc
                 FROM cens GROUP BY 1
             )
-            SELECT col AS "column", n, nd AS n_distinct,
+            SELECT col AS "column", CAST(n AS BIGINT) AS n,
+                   nd AS n_distinct,
                    ROUND(ln(CAST(n AS DOUBLE)) - clc / n, 6) + 0
                        AS entropy,
                    ROUND(CASE WHEN nd > 1 THEN
@@ -3269,8 +3276,8 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM s GROUP BY 1, 2
             )
             SELECT entry AS entry_type, count(*) AS n_sessions,
-                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
-                       AS bounces,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bounces,
                    CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
                         AS DOUBLE) / count(*) AS bounce_rate,
                    CAST(sum(n) AS DOUBLE) / count(*) AS avg_events,

@@ -236,7 +236,13 @@ def lookup_first_match(spark: SparkSession, sf: str) -> DataFrame:
     return (j.groupBy("o_orderkey")
             .agg(F.min(best).alias("b"))
             .select("o_orderkey",
-                    F.col("b.sd").cast("date").alias("first_ship"),
+                    # timestamp, not date: Spark DATE -> pandas
+                    # object-of-date while the DuckDB twin is
+                    # datetime64 — a dtype-CLASS mismatch that only
+                    # passed the driver hash by stringification
+                    # coincidence. timestamp vs DATE is datetime
+                    # class on both sides (unit tolerance proven).
+                    F.col("b.sd").cast("timestamp").alias("first_ship"),
                     F.col("b.ln").alias("l_linenumber")))
 
 
@@ -928,7 +934,10 @@ def tpz_reference_read(spark: SparkSession, sf: str) -> DataFrame:
     df = from_file(spark, str(fixture), allow_pickle=True)
     return df.select(
         "n_key", "name", "maybe_note", "amount", "score", "ok",
-        "created", F.col("day").alias("day_col"),
+        # timestamp, not date: aligns the pandas dtype CLASS with
+        # the DuckDB DATE oracle (datetime64) instead of relying on
+        # object-of-date stringification coinciding.
+        "created", F.col("day").cast("timestamp").alias("day_col"),
         F.col("列 tag").alias("tag"), "dup_a", "dup_b",
     ).orderBy("n_key")
 

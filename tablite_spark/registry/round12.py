@@ -288,7 +288,8 @@ ROUND12_ORACLES.update({
             FROM lineitem WHERE l_suppkey IS NOT NULL
             GROUP BY 1
         ), dist AS (
-            SELECT SUM(cnt) AS n_rows, count(*) AS n_keys,
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   count(*) AS n_keys,
                    quantile_cont(cnt, 0.5) AS p50_cnt,
                    quantile_cont(cnt, 0.99) AS p99_cnt,
                    MAX(cnt) AS max_cnt
@@ -334,7 +335,11 @@ def stream_upsert_events(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.round(F.col("value"), 2), F.lit(-1.0))
         .alias("val"),
         F.col("ts"))
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    # NULL-ts rows must land in SOME batch (the oracle counts every
+    # feed row; a bare `us <= cut` / `us > cut` pair drops them from
+    # both) — route them to batch 0 via coalesce
+    us = F.coalesce(
+        F.unix_micros(F.col("ts").cast("timestamp")), F.lit(0))
     cut = feed.agg(F.percentile(us, F.lit(0.5))
                    .alias("m")).collect()[0]["m"]
     root = tempfile.mkdtemp(prefix="upsert_stream_")

@@ -968,6 +968,14 @@ def test_merge_upsert_hand(spark):
         merge_upsert(base, changes.drop("amt"), ["k"])
     with pytest.raises(ValueError, match="key column"):
         merge_upsert(base, changes, [])
+    # op codes outside {'U','D'} (or NULL) fail loudly instead of
+    # silently upserting (r12 ADVICE)
+    for bad_op in ("u", "delete", None):
+        bad = spark.createDataFrame(
+            [(9, "x", 1.0, bad_op, 1)],
+            "k long, name string, amt double, op string, seq int")
+        with pytest.raises(Exception, match="op must be 'U' or 'D'"):
+            merge_upsert(base, bad, ["k"], seq_col="seq").collect()
 
 
 def test_multi_touch_attribution_hand(spark):
@@ -1041,9 +1049,15 @@ def test_top_k_per_group_engines_match(spark):
     from pyspark.sql import Window
     from tablite_spark.operators.groupby import top_k_per_group
     rnd = random.Random(9)
+    # ~10% NULL order values: window asc() puts nulls FIRST and
+    # desc() puts them LAST — the salted engine must agree (the r12
+    # ADVICE repro: bare NULL skey sorted lowest, so descending
+    # salted returned the NULL rows as "top")
     rows = [(i, rnd.choice(["a", "b", "c", None]),
-             float(rnd.randint(0, 20))) for i in range(500)]
+             None if rnd.random() < 0.1
+             else float(rnd.randint(0, 20))) for i in range(500)]
     rows += [(1000, "tiny", 5.0)]           # group smaller than k
+    rows += [(1001, "allnull", None), (1002, "allnull", None)]
     df = spark.createDataFrame(
         rows, "rid long, g string, v double").repartition(7)
     for asc in (False, True):
@@ -1069,3 +1083,30 @@ def test_top_k_per_group_engines_match(spark):
         top_k_per_group(df, [], "v", 3)
     with pytest.raises(ValueError, match="engine"):
         top_k_per_group(df, ["g"], "v", 3, engine="nope")
+
+
+def test_char_entropy_hand(spark):
+    """Code-point census via '.': newlines excluded, unicode counts
+    one per code point; H = ln n - Σ c·ln c / n; empty/NULL text
+    docs are omitted."""
+    import math
+
+    from tablite_spark.pipeline.text import char_entropy
+    df = spark.createDataFrame(
+        [(1, "aab"), (2, "aaaa"), (3, "a\nb"), (4, ""), (5, None),
+         (6, "héé")],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r.asDict() for r in
+           char_entropy(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2, 3, 6}
+    assert (out[1]["n_chars_counted"],
+            out[1]["n_distinct_chars"]) == (3, 2)
+    h_aab = math.log(3) - (2 * math.log(2) + 1 * math.log(1)) / 3
+    assert abs(out[1]["entropy"] - h_aab) < 1e-12
+    assert out[2]["entropy"] == 0.0          # single symbol
+    # newline dropped: 'a\nb' counts 2 chars, entropy ln 2
+    assert out[3]["n_chars_counted"] == 2
+    assert abs(out[3]["entropy"] - math.log(2)) < 1e-12
+    # unicode é is ONE code point
+    assert (out[6]["n_chars_counted"],
+            out[6]["n_distinct_chars"]) == (3, 2)

@@ -536,11 +536,72 @@ def test_rolling_agg_null_timestamp_rows(spark):
     and it never contributes to any other row's frame."""
     from tablite_spark.operators.timeseries import rolling_agg
     rows = [(0, "k", _ts(0), 5.0), (1, "k", None, 100.0),
-            (2, "k", _ts(0, 30), 7.0)]
+            (2, "k", _ts(0, 30), 7.0), (3, "k", None, 200.0)]
     df = spark.createDataFrame(rows, "rid int, k string, ts timestamp, v double")
-    out = {r["rid"]: r.asDict() for r in
-           rolling_agg(df, "ts", "v", ["k"], "1 minutes",
-                       funcs=("sum", "count")).collect()}
-    assert out[1]["roll_sum"] is None and out[1]["roll_count"] is None
-    assert out[0]["roll_sum"] == 5.0 and out[0]["roll_count"] == 1
-    assert out[2]["roll_sum"] == 12.0 and out[2]["roll_count"] == 2
+    # BOTH engines (r12 ADVICE: the window engine gave NULL-ts rows a
+    # peer frame of the other NULL-ts rows), grouped and ungrouped
+    for eng in ("kernel", "window"):
+        for by in (["k"], []):
+            out = {r["rid"]: r.asDict() for r in
+                   rolling_agg(df, "ts", "v", by, "1 minutes",
+                               funcs=("sum", "count"),
+                               engine=eng).collect()}
+            tag = (eng, tuple(by))
+            for rid in (1, 3):
+                assert out[rid]["roll_sum"] is None, tag
+                assert out[rid]["roll_count"] is None, tag
+            assert out[0]["roll_sum"] == 5.0 and out[0]["roll_count"] == 1, tag
+            assert out[2]["roll_sum"] == 12.0 and out[2]["roll_count"] == 2, tag
+
+
+def test_time_weighted_avg_hand(spark):
+    """TWAP weights each value by its holding time to the next
+    observation; the last observation carries no weight; single-
+    observation and zero-span keys are omitted; NULL ts/value rows
+    are excluded; duplicate timestamps resolve by tiebreak (a
+    zero-length segment contributes nothing either way)."""
+    from tablite_spark.operators.timeseries import time_weighted_avg
+    rows = [
+        # key a: 10 held 60 s, 20 held 30 s, 99 unweighted (last)
+        ("a", _ts(0), 1, 10.0),
+        ("a", _ts(1), 2, 20.0),
+        ("a", _ts(1, 30), 3, 99.0),
+        # key b: single observation -> omitted
+        ("b", _ts(0), 4, 5.0),
+        # key c: two obs at the SAME instant -> zero span, omitted
+        ("c", _ts(2), 5, 1.0), ("c", _ts(2), 6, 2.0),
+        # key d: NULL value row excluded entirely
+        ("d", _ts(0), 7, 3.0), ("d", _ts(1), 8, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, eid int, v double")
+    out = {r["k"]: r.asDict() for r in
+           time_weighted_avg(df, ["k"], "ts", "v",
+                             tiebreak="eid").collect()}
+    assert set(out) == {"a"}
+    a = out["a"]
+    assert a["n_obs"] == 3 and a["span_s"] == 90.0
+    assert abs(a["twa"] - (10.0 * 60 + 20.0 * 30) / 90) < 1e-12
+    with pytest.raises(ValueError, match="grouping keys"):
+        time_weighted_avg(df, [], "ts", "v")
+
+
+def test_nelson_aalen_hand(spark):
+    """H(t) = Σ d/n over event times; censored rows hold n_at_risk
+    until their duration then leave without an event; censor-only
+    times emit no row."""
+    from tablite_spark.operators.stats import nelson_aalen
+    # durations: events at 1 (d=2of6), censor at 2 (n drops), event
+    # at 3 (d=1of3), event at 5 (d=2of2)
+    rows = [(1.0, True), (1.0, True), (2.0, False), (3.0, True),
+            (5.0, True), (5.0, True), (None, True), (4.0, None)]
+    df = spark.createDataFrame(rows, "t double, obs boolean")
+    out = {r["duration"]: r.asDict() for r in
+           nelson_aalen(df, "t", "obs").collect()}
+    assert set(out) == {1.0, 3.0, 5.0}
+    assert (out[1.0]["n_at_risk"], out[1.0]["n_events"]) == (6, 2)
+    assert (out[3.0]["n_at_risk"], out[3.0]["n_events"]) == (3, 1)
+    assert (out[5.0]["n_at_risk"], out[5.0]["n_events"]) == (2, 2)
+    assert abs(out[1.0]["cumhaz"] - 2 / 6) < 1e-12
+    assert abs(out[3.0]["cumhaz"] - (2 / 6 + 1 / 3)) < 1e-12
+    assert abs(out[5.0]["cumhaz"] - (2 / 6 + 1 / 3 + 1.0)) < 1e-12

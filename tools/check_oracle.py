@@ -54,6 +54,39 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return pdf
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class for the strict gate.
+
+    The driver hash tolerates integer WIDTH (int32/int64) and
+    datetime UNIT (ns/us) differences but kills int-vs-float — the
+    entire r12 red set. An empty column has no hashable values, so
+    its class can't diverge; report it as neutral.
+    """
+    if len(s) == 0 or s.isna().all():
+        return "empty"
+    dt = s.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int"
+    if pd.api.types.is_float_dtype(dt):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "datetime"
+    if dt == object:
+        # object columns of date/datetime values (DuckDB DATE ->
+        # object of datetime.date) count as datetime class; pure
+        # strings/lists stay object.
+        import datetime as _dtmod
+        sample = s.dropna()
+        if len(sample) and all(
+                isinstance(v, (_dtmod.date, _dtmod.datetime))
+                for v in sample.head(20)):
+            return "datetime"
+        return "object"
+    return str(dt)
+
+
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame,
             strict: bool = False) -> list[str]:
     problems = []
@@ -65,6 +98,24 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame,
         return problems
     if problems:
         return problems
+    if strict:
+        # dtype-CLASS gate (r12 lesson): the driver's value-hash is
+        # typed, so an int64 Spark column against a float64 oracle
+        # column (DuckDB SUM(int) -> HUGEINT -> pandas float64)
+        # hash-mismatches even when every value is equal — 12 r12
+        # driver reds, all value-correct. Width (int32 vs int64) and
+        # datetime unit (ns vs us) are tolerated: 30 driver-green
+        # rows prove the hash allows them. Fail on any CLASS
+        # divergence (int/float/bool/datetime/object) per column.
+        for c in sorted(spark_pdf.columns):
+            sc, dc = _dtype_class(spark_pdf[c]), _dtype_class(duck_pdf[c])
+            if sc != dc:
+                problems.append(
+                    f"dtype-class mismatch in column {c!r}: "
+                    f"spark={spark_pdf[c].dtype}({sc}) "
+                    f"duck={duck_pdf[c].dtype}({dc})")
+        if problems:
+            return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
