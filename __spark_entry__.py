@@ -37,7 +37,8 @@ from tablite_spark.registry.round12 import (  # noqa: F401
     stream_upsert_events, top_k_per_group_lineitem)
 from tablite_spark.registry.round13 import (  # noqa: F401
     ROUND13_ORACLES, char_entropy_docs, conversion_lag_events,
-    nelson_aalen_events, time_weighted_avg_events)
+    nelson_aalen_events, stream_session_events,
+    time_weighted_avg_events)
 
 
 # --------------------------------------------------------------------
@@ -438,6 +439,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen_events": nelson_aalen_events,
         "char_entropy_docs": char_entropy_docs,
         "conversion_lag_events": conversion_lag_events,
+        "stream_session_events": stream_session_events,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -190,6 +190,14 @@ BENCH_QUERIES = [
     "skew_report_lineitem",
     "stream_upsert_events",
     "top_k_per_group_lineitem",
+    # round-13 additions (excluded from r2_comparable_total): TWAP
+    # exact-decimal accumulation, Nelson-Aalen census prefix,
+    # per-doc code-point entropy, conversion lag
+    "time_weighted_avg_events",
+    "nelson_aalen_events",
+    "char_entropy_docs",
+    "conversion_lag_events",
+    "stream_session_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make

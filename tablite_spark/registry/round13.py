@@ -182,3 +182,94 @@ ROUND13_ORACLES["conversion_lag_events"] = """
       AND e.ts IS NOT NULL
     GROUP BY 1, 2
 """
+
+
+def stream_session_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming SESSION windows (30-min inactivity gap), driver-
+    oracled with a REAL StreamingQuery: the events split at the
+    median timestamp into two mtime-pinned micro-batches, so a
+    user's session can OPEN in batch 0 and extend in batch 1 — the
+    merge-across-batches state path is the thing under test. Two
+    trailing sentinel batches (one far-future row each) push the
+    event-time watermark past every real session: Spark applies the
+    watermark computed at the END of batch N to batch N+1, so the
+    first sentinel finalizes nothing and the second flushes all
+    closed sessions in append mode. Values ride as integer cents
+    (exact summation in any order); the DuckDB oracle is the
+    gaps-and-islands formulation with the session_window boundary
+    rule (gap >= 30 min starts a NEW session — an event at exactly
+    start+gap is outside the half-open [start, last+gap) window)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tablite_spark.streaming.ops import session_aggregate
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull())
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                  F.round(F.col("value") * 100, 0).alias("value")))
+    us = F.unix_micros(F.col("ts"))
+    cut, hi = ev.agg(
+        F.percentile(us, F.lit(0.5)).alias("m"),
+        F.max("ts").alias("hi")).collect()[0]
+    root = tempfile.mkdtemp(prefix="sess_stream_")
+    src = f"{root}/src"
+    os.makedirs(src)
+    import datetime
+    sent = [ev.sparkSession.createDataFrame(
+        [(-1, hi + datetime.timedelta(days=30 * (i + 1)), 0.0)],
+        "user_id long, ts timestamp, value double") for i in range(2)]
+    parts = [ev.filter(us <= F.lit(int(cut))),
+             ev.filter(us > F.lit(int(cut))), sent[0], sent[1]]
+    for i, part in enumerate(parts):
+        stage = f"{root}/stage{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        t = 1_700_000_000 + i * 600
+        os.utime(dst, (t, t))
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    q = (session_aggregate(stream, gap="30 minutes",
+                           watermark="2 hours")
+         .writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.read.parquet(f"{root}/out")
+    return (out.filter(F.col("user_id") >= 0)
+            .select("user_id",
+                    F.col("session_window.start")
+                    .alias("session_start"),
+                    "n_events",
+                    (F.col("session_value") / 100.0)
+                    .alias("session_value")))
+
+
+ROUND13_ORACLES["stream_session_events"] = """
+    WITH o AS (
+        SELECT user_id, ts, round(value * 100, 0) AS vc,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts, vc,
+               sum(ns) OVER (PARTITION BY user_id
+                             ORDER BY ts) AS sid
+        FROM o
+    )
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events,
+           CAST(sum(vc) AS DOUBLE) / 100.0 AS session_value
+    FROM s GROUP BY user_id, sid
+"""
