@@ -37,6 +37,7 @@ from tablite_spark.registry.round12 import (  # noqa: F401
     stream_upsert_events, top_k_per_group_lineitem)
 from tablite_spark.registry.round13 import (  # noqa: F401
     ROUND13_ORACLES, char_entropy_docs, conversion_lag_events,
+    fit_apply_scale_events, hist2d_events, mom_growth_orders,
     nelson_aalen_events, stream_session_events,
     time_weighted_avg_events)
 
@@ -70,7 +71,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # remainder — leaving r8 staleness at 34 rows for r14. ALL
 # out-of-window entries stay locally oracle-swept green in STRICT
 # hash mode WITH the dtype-class gate — committed as SWEEP_r13.json
-# (full 268-query registry at sf0.01).
+# (full registry at sf0.01; 268 pre-wave rows — the five ninth-wave
+# additions were each strict-verified at sf0.001/0.01/0.1 in-round
+# and enter the committed sweep artifact at round close, 276 total).
 _R13_WINDOW = [
     # -- never driver-verified (registration order)
     "active_users_events",
@@ -440,6 +443,9 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_docs": char_entropy_docs,
         "conversion_lag_events": conversion_lag_events,
         "stream_session_events": stream_session_events,
+        "mom_growth_orders": mom_growth_orders,
+        "hist2d_events": hist2d_events,
+        "fit_apply_scale_events": fit_apply_scale_events,
     }
 
 def oracle_sql() -> dict[str, str]:

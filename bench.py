@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "char_entropy_docs",
     "conversion_lag_events",
     "stream_session_events",
+    "mom_growth_orders",
+    "hist2d_events",
+    "fit_apply_scale_events",
 ]
 
 # Stable sub-second rows moved OUT of the printed compact line to make

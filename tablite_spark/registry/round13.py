@@ -273,3 +273,153 @@ ROUND13_ORACLES["stream_session_events"] = """
            CAST(sum(vc) AS DOUBLE) / 100.0 AS session_value
     FROM s GROUP BY user_id, sid
 """
+
+
+def mom_growth_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Month-over-month revenue growth per customer nation — the
+    period-over-period KPI behind every revenue dashboard. The corpus
+    collapses in ONE combinable (nation, month) cents census; the
+    lag() window then runs over the CENSUS (|nations| x |months|
+    rows), never over row-level data. Revenue is exact cents; growth
+    is one division of exact operands, rounded at the oracle
+    boundary only because (a-b)/b is a float."""
+    from pyspark.sql import Window
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf, "nation").select("n_nationkey", "n_name")
+    # customer is a BIG dim at corpus scale — no broadcast hint;
+    # AQE picks broadcast at small SF and shuffle-hash at 100 TB.
+    # nation (25 rows) is always broadcast.
+    cen = (o.join(c, o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"),
+                    F.date_trunc("month", F.col("o_orderdate")
+                                 .cast("timestamp")).alias("month"))
+           .agg((F.sum(F.round(F.col("o_totalprice") * 100, 0))
+                 / 100).alias("revenue")))
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return cen.select(
+        "nation", "month", "revenue",
+        (F.round((F.col("revenue") - prev) / prev, 6) + 0)
+        .alias("growth"))
+
+
+ROUND13_ORACLES["mom_growth_orders"] = """
+    WITH cen AS (
+        SELECT n_name AS nation,
+               date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                   AS month,
+               CAST(sum(round(o_totalprice * 100, 0)) AS DOUBLE)
+                   / 100 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    )
+    SELECT nation, month, revenue,
+           ROUND((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) + 0 AS growth
+    FROM cen WINDOW w AS (PARTITION BY nation ORDER BY month)
+"""
+
+
+def hist2d_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Bivariate census: event value (25-wide bins, clamped to
+    [0, 500)) x hour of day — the 2-D histogram behind density
+    heatmaps. Pure integer arithmetic end to end (counts and exact
+    integer-ratio shares over a <=480-cell frame), ONE combinable
+    groupBy."""
+    ev = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull())
+    vbin = F.least(F.floor(F.col("value") / 25).cast("int"),
+                   F.lit(19))
+    cen = (ev.groupBy(vbin.alias("value_bin"),
+                      F.hour(F.col("ts").cast("timestamp"))
+                      .alias("hour"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    total = cen.agg(F.sum("n").alias("__t__"))
+    return (cen.crossJoin(F.broadcast(total))
+            .select("value_bin", "hour", "n",
+                    (F.col("n").cast("double") / F.col("__t__"))
+                    .alias("share")))
+
+
+ROUND13_ORACLES["hist2d_events"] = """
+    WITH cen AS (
+        SELECT least(CAST(floor(value / 25) AS INT), 19)
+                   AS value_bin,
+               CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+               count(*) AS n
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT value_bin, hour, n,
+           CAST(n AS DOUBLE) / (SELECT sum(n) FROM cen) AS share
+    FROM cen
+"""
+
+
+def fit_apply_scale_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe fit/apply standardization: z-score parameters
+    (mean, std) FIT on the training period only (events before
+    1998-06-01), APPLIED to the full stream, summarized per event
+    type. The fit and every group mean derive from exact integer
+    cents sums (Σvc, Σvc², n), so mean/std/avg_z are identical on
+    any partitioning and engine — avg_z ships UNROUNDED, computed as
+    (Σvc/100 − n·m)/s/n from the exact components rather than a
+    float sum of per-row z's. min_z/max_z are order-independent.
+    ONE scan per side + a 1-row broadcast: no window, no Python."""
+    ev = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select(F.col("event_type"),
+                     F.col("ts").cast("timestamp").alias("ts"),
+                     vc.alias("vc"))
+    fit = (base.filter(F.col("ts") < F.lit("1998-06-01"))
+           .agg(F.sum("vc").alias("s1"),
+                F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+                F.count(F.lit(1)).alias("n")))
+    m = F.col("s1").cast("double") / F.col("n") / 100.0
+    var = ((F.col("s2").cast("double") / 10000.0
+            - F.col("n") * m * m) / (F.col("n") - 1))
+    fit = fit.select(m.alias("__m__"), F.sqrt(var).alias("__s__"))
+    g = (base.crossJoin(F.broadcast(fit))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("vc").alias("gs"),
+              F.min("vc").alias("lo"), F.max("vc").alias("hi"),
+              F.first("__m__").alias("__m__"),
+              F.first("__s__").alias("__s__")))
+    z = lambda c: (c / 100.0 - F.col("__m__")) / F.col("__s__")
+    return g.select(
+        "event_type", "n",
+        ((F.col("gs").cast("double") / 100.0
+          - F.col("n") * F.col("__m__"))
+         / F.col("__s__") / F.col("n")).alias("avg_z"),
+        z(F.col("lo").cast("double")).alias("min_z"),
+        z(F.col("hi").cast("double")).alias("max_z"))
+
+
+ROUND13_ORACLES["fit_apply_scale_events"] = """
+    WITH base AS (
+        SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events WHERE value IS NOT NULL
+    ), fit AS (
+        SELECT CAST(sum(vc) AS DOUBLE) / count(*) / 100.0 AS m,
+               sqrt((CAST(sum(vc * vc) AS DOUBLE) / 10000.0
+                     - count(*) * (CAST(sum(vc) AS DOUBLE)
+                                   / count(*) / 100.0)
+                       * (CAST(sum(vc) AS DOUBLE)
+                          / count(*) / 100.0))
+                    / (count(*) - 1)) AS s
+        FROM base WHERE ts < TIMESTAMP '1998-06-01'
+    )
+    SELECT event_type, count(*) AS n,
+           (CAST(sum(vc) AS DOUBLE) / 100.0 - count(*) * m)
+               / s / count(*) AS avg_z,
+           (CAST(min(vc) AS DOUBLE) / 100.0 - m) / s AS min_z,
+           (CAST(max(vc) AS DOUBLE) / 100.0 - m) / s AS max_z
+    FROM base, fit GROUP BY event_type, m, s
+"""
