@@ -203,6 +203,93 @@ BENCH_QUERIES = [
     "fit_apply_scale_events",
 ]
 
+
+# Post-round-2 additions, by round — every BENCH_QUERIES entry
+# registered after round 2 MUST appear in exactly one of these sets
+# or it silently inflates r2_comparable_total (happened in r6 and
+# again in r13; test_layout.py now guards the invariant).
+new_in_r3 = {"dedup_clusters", "chunk_docs", "contamination_docs",
+             "pack_chunks_docs"}
+new_in_r4 = {"perplexity_docs", "line_dedup_docs",
+             "semantic_dedup_embeddings"}
+new_in_r6 = {"substring_dedup_docs", "gopher_quality_docs",
+             "pretrain_filter_docs", "pq_topk_embeddings",
+             "ivfpq_topk_embeddings", "zorder_events",
+             # these five were benched from r6 but missing from
+             # the exclusion set, quietly inflating
+             # r2_comparable_total — fixed in r7 (the r6/r7
+             # records' r2 subtotals are therefore not directly
+             # comparable; per-query rows are)
+             "pack_sequences_docs", "bm25_search_docs",
+             "bucketed_join_revenue", "quality_classifier_docs",
+             "pretrain_e2e_docs"}
+new_in_r7 = {"incremental_minhash_dedup_docs",
+             "cluster_dedup_keep_best_docs", "kmeans_embeddings",
+             "preference_pairs_docs", "hybrid_search_docs",
+             "hard_negatives_embeddings", "pagerank_lineitem",
+             "snapshot_diff_docs"}
+new_in_r8 = {"ohlc_resample_events", "funnel_events",
+             "phrase_search_docs", "bloom_contamination_docs",
+             "batched_topk_embeddings"}
+new_in_r9 = {"retention_cohorts_events", "bpe_train_docs",
+             "interpolate_events", "fuzzy_join_diverse_110k",
+             "ema_events", "dsir_weights_docs",
+             "pca_covariance_embeddings", "ab_welch_events",
+             "tfidf_keywords_docs", "winnow_matches_docs"}
+new_in_r10 = {"winnow_fps_docs", "dsir_select_docs",
+              "corr_matrix_lineitem", "group_quantiles_events",
+              "mutual_info_docs", "rolling_avg_events",
+              "state_intervals_events", "outliers_events",
+              "jaccard_join_docs", "path_ngrams_events",
+              "spearman_corr_lineitem"}
+new_in_r11 = {"ks_test_events", "chi2_docs",
+              "equidepth_hist_events", "heavy_hitters_docs",
+              "markov_events", "target_encode_orders",
+              "outliers_mad_events", "benford_orders",
+              "acf_events", "attribution_events",
+              "auc_events", "calibration_events",
+              "confusion_events", "ols_lineitem",
+              "km_survival_events", "q7_volume_shipping",
+              "q8_market_share", "q10_returned_items",
+              "q13_customer_distribution", "q15_top_supplier",
+              "gini_orders", "q2_min_cost_supplier",
+              "q9_product_profit", "q11_important_parts",
+              "q12_late_shipments", "q16_supplier_part_counts",
+              "q17_small_qty_revenue", "q20_promo_suppliers",
+              "q21_waiting_suppliers", "q22_dormant_customers",
+              "cusum_events", "expectations_orders",
+              "feature_scale_lineitem",
+              "weighted_quantiles_lineitem",
+              "seasonal_anomalies_events",
+              "winsorize_lineitem", "zipf_alpha_docs",
+              "bigram_lm_docs", "stream_zscore_events",
+              "isotonic_calibration_events",
+              "referential_audit_orders", "json_props_events",
+              "ranking_metrics_docs", "logrank_events",
+              "psi_orders_drift", "gains_table_events",
+              "group_cusum_events", "column_entropy_docs",
+              "pmi_collocations_docs", "session_summary_events",
+              "association_rules_lineitem",
+              "funnel_window_events",
+              "additive_seasonal_events", "interarrival_events",
+              "bootstrap_ci_orders", "active_users_events",
+              "category_index_orders",
+              "quantile_discretize_lineitem"}
+new_in_r12 = {"rolling_global_events",
+              "active_users_interval_events",
+              "association_rules_capped_lineitem",
+              "merge_upsert_orders", "multi_touch_events",
+              "skew_report_lineitem", "stream_upsert_events",
+              "top_k_per_group_lineitem"}
+new_in_r13 = {"time_weighted_avg_events", "nelson_aalen_events",
+              "char_entropy_docs", "conversion_lag_events",
+              "stream_session_events", "mom_growth_orders",
+              "hist2d_events", "fit_apply_scale_events"}
+POST_R2_SETS = (new_in_r3 | new_in_r4 | new_in_r6 | new_in_r7
+               | new_in_r8 | new_in_r9 | new_in_r10 | new_in_r11
+               | new_in_r12 | new_in_r13)
+
+
 # Stable sub-second rows moved OUT of the printed compact line to make
 # room for the round-8/9 entries above (the driver parses only the
 # last 2000 stdout chars). They are still measured every round with
@@ -740,83 +827,8 @@ def main() -> None:
     total = round(sum(timings[q] for q in BENCH_QUERIES), 3)
     # additions after round 2 inflate the headline total; publish the
     # subtotal over the round-2 query list so the trend stays readable
-    new_in_r3 = {"dedup_clusters", "chunk_docs", "contamination_docs",
-                 "pack_chunks_docs"}
-    new_in_r4 = {"perplexity_docs", "line_dedup_docs",
-                 "semantic_dedup_embeddings"}
-    new_in_r6 = {"substring_dedup_docs", "gopher_quality_docs",
-                 "pretrain_filter_docs", "pq_topk_embeddings",
-                 "ivfpq_topk_embeddings", "zorder_events",
-                 # these five were benched from r6 but missing from
-                 # the exclusion set, quietly inflating
-                 # r2_comparable_total — fixed in r7 (the r6/r7
-                 # records' r2 subtotals are therefore not directly
-                 # comparable; per-query rows are)
-                 "pack_sequences_docs", "bm25_search_docs",
-                 "bucketed_join_revenue", "quality_classifier_docs",
-                 "pretrain_e2e_docs"}
-    new_in_r7 = {"incremental_minhash_dedup_docs",
-                 "cluster_dedup_keep_best_docs", "kmeans_embeddings",
-                 "preference_pairs_docs", "hybrid_search_docs",
-                 "hard_negatives_embeddings", "pagerank_lineitem",
-                 "snapshot_diff_docs"}
-    new_in_r8 = {"ohlc_resample_events", "funnel_events",
-                 "phrase_search_docs", "bloom_contamination_docs",
-                 "batched_topk_embeddings"}
-    new_in_r9 = {"retention_cohorts_events", "bpe_train_docs",
-                 "interpolate_events", "fuzzy_join_diverse_110k",
-                 "ema_events", "dsir_weights_docs",
-                 "pca_covariance_embeddings", "ab_welch_events",
-                 "tfidf_keywords_docs", "winnow_matches_docs"}
-    new_in_r10 = {"winnow_fps_docs", "dsir_select_docs",
-                  "corr_matrix_lineitem", "group_quantiles_events",
-                  "mutual_info_docs", "rolling_avg_events",
-                  "state_intervals_events", "outliers_events",
-                  "jaccard_join_docs", "path_ngrams_events",
-                  "spearman_corr_lineitem"}
-    new_in_r11 = {"ks_test_events", "chi2_docs",
-                  "equidepth_hist_events", "heavy_hitters_docs",
-                  "markov_events", "target_encode_orders",
-                  "outliers_mad_events", "benford_orders",
-                  "acf_events", "attribution_events",
-                  "auc_events", "calibration_events",
-                  "confusion_events", "ols_lineitem",
-                  "km_survival_events", "q7_volume_shipping",
-                  "q8_market_share", "q10_returned_items",
-                  "q13_customer_distribution", "q15_top_supplier",
-                  "gini_orders", "q2_min_cost_supplier",
-                  "q9_product_profit", "q11_important_parts",
-                  "q12_late_shipments", "q16_supplier_part_counts",
-                  "q17_small_qty_revenue", "q20_promo_suppliers",
-                  "q21_waiting_suppliers", "q22_dormant_customers",
-                  "cusum_events", "expectations_orders",
-                  "feature_scale_lineitem",
-                  "weighted_quantiles_lineitem",
-                  "seasonal_anomalies_events",
-                  "winsorize_lineitem", "zipf_alpha_docs",
-                  "bigram_lm_docs", "stream_zscore_events",
-                  "isotonic_calibration_events",
-                  "referential_audit_orders", "json_props_events",
-                  "ranking_metrics_docs", "logrank_events",
-                  "psi_orders_drift", "gains_table_events",
-                  "group_cusum_events", "column_entropy_docs",
-                  "pmi_collocations_docs", "session_summary_events",
-                  "association_rules_lineitem",
-                  "funnel_window_events",
-                  "additive_seasonal_events", "interarrival_events",
-                  "bootstrap_ci_orders", "active_users_events",
-                  "category_index_orders",
-                  "quantile_discretize_lineitem"}
-    new_in_r12 = {"rolling_global_events",
-                  "active_users_interval_events",
-                  "association_rules_capped_lineitem",
-                  "merge_upsert_orders", "multi_touch_events",
-                  "skew_report_lineitem", "stream_upsert_events",
-                  "top_k_per_group_lineitem"}
     r2_basis = round(sum(v for k, v in timings.items()
-                         if k not in new_in_r3 | new_in_r4 | new_in_r6
-                         | new_in_r7 | new_in_r8 | new_in_r9
-                         | new_in_r10 | new_in_r11 | new_in_r12), 3)
+                         if k not in POST_R2_SETS), 3)
 
     io_benchmarks(spark, sf_dir, timings, extra)
     probe_benchmarks(spark, sf_dir, timings, extra)
