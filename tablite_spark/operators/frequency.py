@@ -181,3 +181,69 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                        lift.alias("lift"))
             .orderBy(F.col("lift").desc(), "a", "b")
             .limit(k))
+
+
+def item_cosine(df: DataFrame, basket_col: str, item_col: str,
+                min_support: int = 3,
+                top_k: int = 5,
+                max_basket_size: int | None = None) -> DataFrame:
+    """Item-item co-occurrence cosine — the bipartite-projection
+    similarity behind "users who bought X also bought Y"
+    (item-based collaborative filtering over implicit feedback):
+    cos(a, b) = c_ab / sqrt(c_a · c_b) over basket co-occurrence
+    counts, top-``top_k`` neighbors per item ``a`` by
+    (cosine DESC, b). Duplicate (basket, item) rows collapse first
+    (set semantics), so counts are basket-level incidence.
+
+    Scale shape — the association_rules discipline: ONE combinable
+    distinct, the pair table via a basket-keyed self-join
+    (|basket|²-bounded fan-out, never corpus²), item supports as a
+    vocab-bounded census joined back, and the per-item top-k as a
+    min-support-filtered window over the PAIR frame (bounded by
+    pairs ≥ min_support, not the corpus). Cosine is one
+    deterministic expression of exact integers — sqrt of an integer
+    product — so results are cross-engine exact unrounded except
+    for the sqrt itself (IEEE-correctly-rounded, identical
+    everywhere). ``max_basket_size`` is the same opt-in hot-basket
+    valve as association_rules (a 10k-item bot cart is 10⁸ pairs
+    through one join task).
+    """
+    from pyspark.sql import Window
+    if min_support < 1 or top_k < 1:
+        raise ValueError("min_support and top_k must be >= 1")
+    if max_basket_size is not None and max_basket_size < 2:
+        raise ValueError("max_basket_size must be >= 2")
+    b, i = F.col(basket_col), F.col(item_col)
+    base = (df.filter(b.isNotNull() & i.isNotNull())
+            .select(b.alias("__b__"), i.alias("__i__")).distinct())
+    if max_basket_size is not None:
+        small = (base.groupBy("__b__")
+                 .agg(F.count(F.lit(1)).alias("__sz__"))
+                 .filter(F.col("__sz__") <= max_basket_size)
+                 .select("__b__"))
+        base = base.join(small, "__b__", "left_semi")
+    supp = base.groupBy(F.col("__i__").alias("item")).agg(
+        F.count(F.lit(1)).alias("s"))
+    l = base.select("__b__", F.col("__i__").alias("a"))
+    r = base.select(F.col("__b__").alias("__b2__"),
+                    F.col("__i__").alias("b"))
+    pairs = (l.join(r, (F.col("__b__") == F.col("__b2__"))
+                    & (F.col("a") != F.col("b")))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("co"))
+             .filter(F.col("co") >= min_support))
+    scored = (pairs
+              .join(supp.select(F.col("item").alias("a"),
+                                F.col("s").alias("__sa__")), "a")
+              .join(supp.select(F.col("item").alias("b"),
+                                F.col("s").alias("__sb__")), "b")
+              .withColumn("cosine",
+                          F.col("co") / F.sqrt(
+                              (F.col("__sa__") * F.col("__sb__"))
+                              .cast("double"))))
+    w = Window.partitionBy("a").orderBy(F.col("cosine").desc(),
+                                        F.col("b").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("a", "b", "co", "cosine",
+                    F.col("rank").cast("int").alias("rank")))

@@ -423,3 +423,49 @@ ROUND13_ORACLES["fit_apply_scale_events"] = """
            (CAST(max(vc) AS DOUBLE) / 100.0 - m) / s AS max_z
     FROM base, fit GROUP BY event_type, m, s
 """
+
+
+def item_cosine_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 co-ordered parts per part by basket-cosine (item-based
+    collaborative filtering), baskets capped at 5 distinct items —
+    the hot-basket valve replayed in the oracle. Cosine is a single
+    sqrt of exact integers, so no oracle-boundary rounding; the
+    window runs over the min-support pair frame, never the corpus."""
+    from tablite_spark.operators.frequency import item_cosine
+    li = _t(spark, sf, "lineitem")
+    # min_support=2: the part space grows with SF so higher floors
+    # empty out (max co-occurrence at sf0.1 is 2) — 2 keeps the
+    # output meaningful at every scale (~1.0-1.4k pairs pre-top-k)
+    return item_cosine(li, "l_orderkey", "l_partkey",
+                       min_support=2, top_k=5, max_basket_size=5)
+
+
+ROUND13_ORACLES["item_cosine_lineitem"] = """
+    WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), small AS (
+        SELECT bk FROM base GROUP BY 1 HAVING count(*) <= 5
+    ), capped AS (
+        SELECT base.* FROM base JOIN small USING (bk)
+    ), supp AS (
+        SELECT it, count(*) AS s FROM capped GROUP BY 1
+    ), pairs AS (
+        SELECT l.it AS a, r.it AS b, count(*) AS co
+        FROM capped l JOIN capped r
+          ON l.bk = r.bk AND l.it <> r.it
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ), scored AS (
+        SELECT a, b, co,
+               co / sqrt(CAST(sa.s * sb.s AS DOUBLE)) AS cosine
+        FROM pairs
+        JOIN supp sa ON pairs.a = sa.it
+        JOIN supp sb ON pairs.b = sb.it
+    )
+    SELECT a, b, co, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY a
+                      ORDER BY cosine DESC, b ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""

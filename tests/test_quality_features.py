@@ -1110,3 +1110,39 @@ def test_char_entropy_hand(spark):
     # unicode é is ONE code point
     assert (out[6]["n_chars_counted"],
             out[6]["n_distinct_chars"]) == (3, 2)
+
+
+def test_item_cosine_hand(spark):
+    """cos(a,b) = co/sqrt(s_a*s_b) over basket incidence; set
+    semantics collapse duplicate (basket, item) rows; min_support
+    floors pairs; top_k ranks (cosine DESC, b); the basket valve
+    drops oversized carts before pairing."""
+    import math
+
+    from tablite_spark.operators.frequency import item_cosine
+    rows = [  # baskets: {1: AB, 2: AB, 3: AC, 4: A}, dup (1,A)
+        (1, "A"), (1, "A"), (1, "B"), (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"), (4, "A"),
+        # oversized cart (3 items, cap 2) must not contribute pairs
+        (9, "A"), (9, "B"), (9, "C"),
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = {(r["a"], r["b"]): r for r in
+           item_cosine(df, "bk", "it", min_support=1, top_k=5,
+                       max_basket_size=2).collect()}
+    # s_A=4, s_B=2, s_C=1 (capped); co(A,B)=2, co(A,C)=1
+    assert abs(out[("A", "B")]["cosine"]
+               - 2 / math.sqrt(4 * 2)) < 1e-15
+    assert abs(out[("A", "C")]["cosine"]
+               - 1 / math.sqrt(4 * 1)) < 1e-15
+    assert out[("A", "B")]["rank"] == 1 and out[("A", "C")]["rank"] == 2
+    assert ("B", "C") not in out          # only co-occur in basket 9
+    # min_support floors the A-C pair
+    floored = {(r["a"], r["b"]) for r in
+               item_cosine(df, "bk", "it", min_support=2,
+                           max_basket_size=2).collect()}
+    assert floored == {("A", "B"), ("B", "A")}
+    with pytest.raises(ValueError, match="min_support"):
+        item_cosine(df, "bk", "it", min_support=0)
+    with pytest.raises(ValueError, match="max_basket_size"):
+        item_cosine(df, "bk", "it", max_basket_size=1)
