@@ -38,8 +38,8 @@ from tablite_spark.registry.round12 import (  # noqa: F401
 from tablite_spark.registry.round13 import (  # noqa: F401
     ROUND13_ORACLES, char_entropy_docs, conversion_lag_events,
     fit_apply_scale_events, hist2d_events, item_cosine_lineitem,
-    mom_growth_orders, nelson_aalen_events, stream_session_events,
-    time_weighted_avg_events)
+    mom_growth_orders, nelson_aalen_events, stream_interval_join_events,
+    stream_session_events, time_weighted_avg_events)
 
 
 # --------------------------------------------------------------------
@@ -73,7 +73,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # hash mode WITH the dtype-class gate — committed as SWEEP_r13.json
 # (full registry at sf0.01; 268 pre-wave rows — the five ninth-wave
 # additions were each strict-verified at sf0.001/0.01/0.1 in-round
-# and enter the committed sweep artifact at round close, 277 total).
+# and enter the committed sweep artifact at round close, 278 total).
 _R13_WINDOW = [
     # -- never driver-verified (registration order)
     "active_users_events",
@@ -447,6 +447,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist2d_events": hist2d_events,
         "fit_apply_scale_events": fit_apply_scale_events,
         "item_cosine_lineitem": item_cosine_lineitem,
+        "stream_interval_join_events": stream_interval_join_events,
     }
 
 def oracle_sql() -> dict[str, str]:

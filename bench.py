@@ -202,6 +202,7 @@ BENCH_QUERIES = [
     "hist2d_events",
     "fit_apply_scale_events",
     "item_cosine_lineitem",
+    "stream_interval_join_events",
 ]
 
 
@@ -286,7 +287,7 @@ new_in_r13 = {"time_weighted_avg_events", "nelson_aalen_events",
               "char_entropy_docs", "conversion_lag_events",
               "stream_session_events", "mom_growth_orders",
               "hist2d_events", "fit_apply_scale_events",
-              "item_cosine_lineitem"}
+              "item_cosine_lineitem", "stream_interval_join_events"}
 POST_R2_SETS = (new_in_r3 | new_in_r4 | new_in_r6 | new_in_r7
                | new_in_r8 | new_in_r9 | new_in_r10 | new_in_r11
                | new_in_r12 | new_in_r13)

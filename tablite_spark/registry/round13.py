@@ -469,3 +469,94 @@ ROUND13_ORACLES["item_cosine_lineitem"] = """
         FROM scored
     ) WHERE rank <= 5
 """
+
+
+def stream_interval_join_events(spark: SparkSession,
+                                sf: str) -> DataFrame:
+    """Stream-STREAM interval join through TWO real streams:
+    purchases (left) join the same user's views (right) within the
+    DAY before the purchase. Each side splits at the global median
+    timestamp into two mtime-pinned micro-batches, so a view
+    arriving in batch 0 must be HELD IN JOIN STATE to match a
+    purchase arriving in batch 1 — the cross-batch state retention
+    is the thing under test (the 2 h watermark evicts right-side
+    state only past watermark − within, which provably retains every
+    in-window view). Inner joins emit matches as soon as both sides
+    are present, so no sentinel flush is needed. The oracle is the
+    plain batch interval join; the result is an exact row set
+    (integer-microsecond gap, no floats)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from tablite_spark.streaming.ops import stream_interval_join
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull())
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_id", "event_type"))
+    us = F.unix_micros(F.col("ts"))
+    cut = ev.agg(F.percentile(us, F.lit(0.5))
+                 .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="sij_stream_")
+    sides = {"l": ev.filter(F.col("event_type") == "purchase"),
+             "r": ev.filter(F.col("event_type") == "view")}
+    streams = {}
+    for name, side in sides.items():
+        src = f"{root}/{name}"
+        os.makedirs(src)
+        for i, part in enumerate((
+                side.filter(us <= F.lit(int(cut))),
+                side.filter(us > F.lit(int(cut))))):
+            stage = f"{root}/stage_{name}{i}"
+            part.drop("event_type").coalesce(1) \
+                .write.mode("overwrite").parquet(stage)
+            dst = f"{src}/batch{i}.parquet"
+            shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+            t = 1_700_000_000 + i * 600
+            os.utime(dst, (t, t))
+        streams[name] = (spark.readStream
+                         .schema("user_id long, ts timestamp, "
+                                 "event_id long")
+                         .option("maxFilesPerTrigger", 1)
+                         .option("latestFirst", "false").parquet(src))
+    # 1 DAY window: the hour-wide form matches only 3/40 pairs at
+    # sf0.001/0.01 — too sparse to exercise cross-batch state; a day
+    # gives 80/831 while the 2 h watermark still provably retains
+    # every in-window view (eviction floor = watermark − within)
+    joined = stream_interval_join(streams["l"], streams["r"],
+                                  key="user_id", within="1 day")
+    out_cols = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("view_id"),
+        (F.unix_micros(F.col("l.ts"))
+         - F.unix_micros(F.col("r.ts"))).alias("gap_us"))
+    q = (out_cols.writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out")
+
+
+ROUND13_ORACLES["stream_interval_join_events"] = """
+    WITH p AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+          AND user_id IS NOT NULL AND ts IS NOT NULL
+    ), v AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'view'
+          AND user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 DAY
+"""
