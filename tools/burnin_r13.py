@@ -261,9 +261,113 @@ def entropy_bigdocs():
     spark.stop()
 
 
+
+
+def sij_scale():
+    """stream-stream interval join at 4M x 4M rows through a REAL
+    two-batch-per-side stream: join state is bounded by the
+    watermark horizon, not the stream length — the 100 TB question
+    for stream-stream joins. Matches are pinned against the batch
+    join truth (exact count)."""
+    from tablite_spark.streaming.ops import stream_interval_join
+    spark = get_spark("burnin_sij")
+    n = 4_000_000
+    # id pairs (2k, 2k+1) share a user: the EVEN id is the right
+    # (view) at ts=2k s, the ODD id the left (purchase) 1 s later —
+    # so every left has exactly one in-window right (the user's
+    # other events are 200k s away, outside the 10 min window).
+    # (A `user = id % K` scheme with even K makes each user's ids
+    # single-parity — left and right user sets would be DISJOINT.)
+    base = (spark.range(2 * n)
+            .select(((F.col("id") / 2).cast("long") % 100_000)
+                    .alias("user_id"),
+                    F.timestamp_micros(
+                        F.lit(1_700_000_000_000_000)
+                        + F.col("id") * 1_000_000).alias("ts"),
+                    F.col("id").alias("event_id"),
+                    (F.col("id") % 2 == 1).alias("is_left")))
+    left_b = base.filter("is_left").drop("is_left")
+    right_b = base.filter("NOT is_left").drop("is_left")
+    root = tempfile.mkdtemp(prefix="burnin_sij_")
+    cut = 1_700_000_000_000_000 + n * 1_000_000  # median id ts
+    streams = {}
+    for name, side in (("l", left_b), ("r", right_b)):
+        src = f"{root}/{name}"
+        os.makedirs(src)
+        us = F.unix_micros(F.col("ts"))
+        for i, part in enumerate((side.filter(us <= cut),
+                                  side.filter(us > cut))):
+            stage = f"{root}/stage_{name}{i}"
+            part.coalesce(4).write.mode("overwrite").parquet(stage)
+            for j, f in enumerate(sorted(
+                    glob.glob(f"{stage}/part-*.parquet"))):
+                dst = f"{src}/b{i}_{j}.parquet"
+                shutil.copy(f, dst)
+                t = 1_700_000_000 + i * 600
+                os.utime(dst, (t, t))
+        streams[name] = (spark.readStream
+                         .schema("user_id long, ts timestamp, "
+                                 "event_id long")
+                         .option("maxFilesPerTrigger", 4)
+                         .option("latestFirst", "false").parquet(src))
+    t0 = time.time()
+    j = stream_interval_join(streams["l"], streams["r"],
+                             key="user_id", within="10 minutes",
+                             watermark="30 minutes")
+    out = j.select(F.col("l.event_id").alias("pid"),
+                   F.col("r.event_id").alias("vid"))
+    q = (out.writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dt = time.time() - t0
+    got = spark.read.parquet(f"{root}/out").count()
+    want = (left_b.alias("l").join(
+        right_b.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") <= F.col("l.ts"))
+        & (F.col("r.ts") >= F.col("l.ts")
+           - F.expr("INTERVAL 10 minutes"))).count())
+    load = ", ".join(f"{x:.1f}" for x in os.getloadavg())
+    print(f"sij_scale: 4M x 4M, 2 batches/side -> {got} matches in "
+          f"{dt:.1f}s (loadavg {load}); batch truth {want}")
+    assert got == want, (got, want)
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
+def cosine_10m():
+    """item_cosine on 10M (basket, item) rows with the 5-item valve:
+    the pair fan-out is |basket|²-bounded, the top-k window runs
+    over the min-support pair frame only."""
+    from tablite_spark.operators.frequency import item_cosine
+    spark = get_spark("burnin_cosine")
+    n = 10_000_000
+    # 4 ids per basket (id % 2.5M); the item offset per slot must
+    # not be 0 mod 50k (a pure multiplicative hash collapses every
+    # basket to ONE item because 2.5M is a multiple of 50k)
+    df = (spark.range(n)
+          .select((F.col("id") % 2_500_000).alias("bk"),
+                  ((F.col("id") % 50_000
+                    + (F.col("id") / 2_500_000).cast("long") * 7919)
+                   % 50_000).alias("it")))
+    t0 = time.time()
+    out = item_cosine(df, "bk", "it", min_support=2, top_k=5,
+                      max_basket_size=5)
+    n_out = out.count()
+    dt = time.time() - t0
+    load = ", ".join(f"{x:.1f}" for x in os.getloadavg())
+    print(f"cosine_10m: 10M rows / 2.5M baskets / 50k items -> "
+          f"{n_out} neighbor rows in {dt:.1f}s (loadavg {load})")
+    assert n_out > 0
+    spark.stop()
+
+
 if __name__ == "__main__":
     names = sys.argv[1:] or ["cdc_zipf", "stream_zipf", "twa_hot",
-                             "nelson_10m", "entropy_bigdocs"]
+                             "nelson_10m", "entropy_bigdocs",
+                             "sij_scale", "cosine_10m"]
     for nm in names:
         globals()[nm]()
     print("burnin_r13 OK:", ", ".join(names))
