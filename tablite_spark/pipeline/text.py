@@ -1477,10 +1477,14 @@ def char_entropy(df: DataFrame, text_col: str,
     """Per-document character-level Shannon entropy — the classic
     gibberish/binary screen (near-zero entropy = repeated filler,
     abnormally high = random bytes/base64; natural language sits in
-    a narrow band). Counts CODE POINTS via a regex '.' extraction —
-    code-point aware and newline-excluding in both JVM regex and
-    RE2, so an SQL oracle (regexp_extract_all) sees the identical
-    census. Documents with no countable characters are omitted.
+    a narrow band). Counts CODE POINTS via a regex '[^\\n]'
+    extraction — the one newline-excluding class both engines
+    interpret identically (Java's '.' excludes ALL line terminators
+    \\r/\\u0085/\\u2028/\\u2029 while RE2's '.' excludes only \\n, so
+    '.' silently diverges on CRLF corpora; '[^\\n]' matches \\r and
+    the unicode terminators in BOTH), so an SQL oracle
+    (regexp_extract_all(text, '[^\\n]')) sees the identical census.
+    Documents with no countable characters are omitted.
 
     Returns (id_col, n_chars_counted, n_distinct_chars, entropy)
     with entropy in nats: H = ln(n) − Σ c·ln(c) / n over the
@@ -1493,7 +1497,8 @@ def char_entropy(df: DataFrame, text_col: str,
     """
     ch = (df.select(F.col(id_col),
                     F.explode(F.regexp_extract_all(
-                        F.col(text_col), F.lit("."), 0)).alias("__ch__"))
+                        F.col(text_col), F.lit("[^\n]"), 0))
+                    .alias("__ch__"))
           .groupBy(id_col, "__ch__")
           .agg(F.count(F.lit(1)).alias("__c__")))
     c = F.col("__c__").cast("double")

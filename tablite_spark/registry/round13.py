@@ -12,9 +12,10 @@ construction or ROUND(..., n) + 0 on both sides).
   Kaplan-Meier query, on the same distributed census-prefix engine
   (no global-order window over row-level data).
 - ``char_entropy_docs`` — per-document code-point entropy, the
-  gibberish/binary quality screen; JVM regex and RE2 agree on '.'
-  (code-point aware, newline-excluding), so the census is identical
-  across engines.
+  gibberish/binary quality screen; the census regex is '[^\\n]'
+  (code-point aware, newline-excluding) because that is the one
+  class JVM regex and RE2 interpret identically — '.' diverges on
+  \\r/NEL/LS/PS (r13 ADVICE finding, fixed r14).
 - ``conversion_lag_events`` — first-view → first-subsequent-purchase
   latency per user; combinable min-aggregates + one keyed join, no
   window over the event stream.
@@ -61,7 +62,7 @@ ROUND13_ORACLES["time_weighted_avg_events"] = """
     SELECT user_id,
            count(*) + 1 AS n_obs,
            CAST(sum(dt) AS DOUBLE) / 1000000.0 AS span_s,
-           CAST(sum(vc * dt) AS DOUBLE)
+           CAST(sum(CAST(vc AS HUGEINT) * dt) AS DOUBLE)
                / CAST(sum(dt) AS DOUBLE) / 100.0 AS twa
     FROM seg GROUP BY 1 HAVING sum(dt) > 0
 """
@@ -110,8 +111,10 @@ ROUND13_ORACLES["nelson_aalen_events"] = """
 def char_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document character-level Shannon entropy (nats) — the
     gibberish/binary screen of a pretraining filter stack. Census by
-    code point via regex '.' (JVM and RE2 agree); entropy rounds at
-    the oracle boundary."""
+    code point via regex '[^\\n]' — the newline-excluding class JVM
+    regex and RE2 interpret identically (Java '.' also excludes
+    \\r/NEL/LS/PS while RE2 '.' excludes only \\n, so '.' diverges on
+    CRLF text); entropy rounds at the oracle boundary."""
     from tablite_spark.pipeline.text import char_entropy
     docs = _t(spark, sf, "documents")
     out = char_entropy(docs, "text", "doc_id")
@@ -123,7 +126,7 @@ def char_entropy_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 ROUND13_ORACLES["char_entropy_docs"] = """
     WITH ch AS (
-        SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+        SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS c
         FROM documents
     ), cnt AS (
         SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
@@ -364,7 +367,10 @@ ROUND13_ORACLES["hist2d_events"] = """
 def fit_apply_scale_events(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe fit/apply standardization: z-score parameters
     (mean, std) FIT on the training period only (events before
-    1998-06-01), APPLIED to the full stream, summarized per event
+    2024-01-15, the midpoint of the generator's 2024-01 event month —
+    the r13 cutoff of 1998-06-01 predated the data entirely, making
+    the query a vacuous NULL-matches-NULL pass; caught and re-dated
+    in r14), APPLIED to the full stream, summarized per event
     type. The fit and every group mean derive from exact integer
     cents sums (Σvc, Σvc², n), so mean/std/avg_z are identical on
     any partitioning and engine — avg_z ships UNROUNDED, computed as
@@ -376,14 +382,20 @@ def fit_apply_scale_events(spark: SparkSession, sf: str) -> DataFrame:
     base = ev.select(F.col("event_type"),
                      F.col("ts").cast("timestamp").alias("ts"),
                      vc.alias("vc"))
-    fit = (base.filter(F.col("ts") < F.lit("1998-06-01"))
+    fit = (base.filter(F.col("ts") < F.lit("2024-01-15"))
            .agg(F.sum("vc").alias("s1"),
                 F.sum(F.col("vc") * F.col("vc")).alias("s2"),
                 F.count(F.lit(1)).alias("n")))
     m = F.col("s1").cast("double") / F.col("n") / 100.0
     var = ((F.col("s2").cast("double") / 10000.0
             - F.col("n") * m * m) / (F.col("n") - 1))
-    fit = fit.select(m.alias("__m__"), F.sqrt(var).alias("__s__"))
+    # symmetric empty-train guard (r13 ADVICE): an empty training
+    # window leaves Spark's agg with ONE all-NULL row while the
+    # oracle's `FROM base, fit` cross join of an empty fit CTE has
+    # ZERO rows — dropping the NULL-parameter fit row makes both
+    # engines return empty instead of Spark emitting NULL z-scores
+    fit = (fit.select(m.alias("__m__"), F.sqrt(var).alias("__s__"))
+           .filter(F.col("__m__").isNotNull()))
     g = (base.crossJoin(F.broadcast(fit))
          .groupBy("event_type")
          .agg(F.count(F.lit(1)).alias("n"),
@@ -414,7 +426,7 @@ ROUND13_ORACLES["fit_apply_scale_events"] = """
                        * (CAST(sum(vc) AS DOUBLE)
                           / count(*) / 100.0))
                     / (count(*) - 1)) AS s
-        FROM base WHERE ts < TIMESTAMP '1998-06-01'
+        FROM base WHERE ts < TIMESTAMP '2024-01-15'
     )
     SELECT event_type, count(*) AS n,
            (CAST(sum(vc) AS DOUBLE) / 100.0 - count(*) * m)

@@ -1086,19 +1086,22 @@ def test_top_k_per_group_engines_match(spark):
 
 
 def test_char_entropy_hand(spark):
-    """Code-point census via '.': newlines excluded, unicode counts
-    one per code point; H = ln n - Σ c·ln c / n; empty/NULL text
-    docs are omitted."""
+    """Code-point census via '[^\\n]': \\n excluded but \\r and the
+    unicode line terminators COUNT (the class both JVM regex and RE2
+    read identically — Java '.' drops \\r/NEL/LS/PS, RE2 '.' keeps
+    them, so '.' is not oracle-safe); unicode counts one per code
+    point; H = ln n - Σ c·ln c / n; empty/NULL text docs are
+    omitted."""
     import math
 
     from tablite_spark.pipeline.text import char_entropy
     df = spark.createDataFrame(
         [(1, "aab"), (2, "aaaa"), (3, "a\nb"), (4, ""), (5, None),
-         (6, "héé")],
+         (6, "héé"), (7, "a\rb"), (8, "a\u2028b\u0085c")],
         "doc_id int, text string")
     out = {r["doc_id"]: r.asDict() for r in
            char_entropy(df, "text", "doc_id").collect()}
-    assert set(out) == {1, 2, 3, 6}
+    assert set(out) == {1, 2, 3, 6, 7, 8}
     assert (out[1]["n_chars_counted"],
             out[1]["n_distinct_chars"]) == (3, 2)
     h_aab = math.log(3) - (2 * math.log(2) + 1 * math.log(1)) / 3
@@ -1110,6 +1113,21 @@ def test_char_entropy_hand(spark):
     # unicode é is ONE code point
     assert (out[6]["n_chars_counted"],
             out[6]["n_distinct_chars"]) == (3, 2)
+    # \r COUNTS (CRLF corpora must census identically to the DuckDB
+    # oracle, whose RE2 '.'-class keeps \r): 'a\rb' is 3 chars, and
+    # the same parity holds against duckdb's regexp_extract_all
+    assert (out[7]["n_chars_counted"],
+            out[7]["n_distinct_chars"]) == (3, 3)
+    # unicode LS ( ) and NEL () also count
+    assert out[8]["n_chars_counted"] == 5
+    import duckdb
+    for doc_id, doc in ((7, "a\rb"), (8, "a\u2028b\u0085c"),
+                        (3, "a\nb")):
+        n_duck = duckdb.execute(
+            "SELECT len(regexp_extract_all(?, '[^' || chr(10) || ']'))",
+            [doc]).fetchone()[0]
+        assert n_duck == out[doc_id]["n_chars_counted"], (
+            doc, n_duck, out[doc_id]["n_chars_counted"])
 
 
 def test_item_cosine_hand(spark):

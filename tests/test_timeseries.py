@@ -605,3 +605,29 @@ def test_nelson_aalen_hand(spark):
     assert abs(out[1.0]["cumhaz"] - 2 / 6) < 1e-12
     assert abs(out[3.0]["cumhaz"] - (2 / 6 + 1 / 3)) < 1e-12
     assert abs(out[5.0]["cumhaz"] - (2 / 6 + 1 / 3 + 1.0)) < 1e-12
+
+
+def test_fit_apply_scale_empty_train_is_empty(spark, tmp_path):
+    """r13 ADVICE pin: when NO event precedes the 2024-01-15 training
+    cutoff, the fit frame must be EMPTY on both engines — Spark's
+    all-NULL agg row is filtered out, matching the oracle's zero-row
+    `FROM base, fit` cross join — instead of emitting per-event-type
+    rows with NULL z-scores."""
+    from __spark_entry__ import fit_apply_scale_events
+    rows = [(i, "view", dt.datetime(2024, 2, 1 + i), float(i + 1))
+            for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, "
+              "value double")
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    assert fit_apply_scale_events(spark, str(tmp_path)).count() == 0
+    # and with one pre-cutoff batch the guard must NOT bite
+    rows2 = rows + [(9 + i, "view", dt.datetime(2024, 1, 1 + i),
+                     float(i)) for i in range(3)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, event_type string, ts timestamp, "
+               "value double")
+    df2.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = fit_apply_scale_events(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["n"] == 7
+    assert out[0]["avg_z"] is not None
