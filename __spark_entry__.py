@@ -55,91 +55,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver contract
 # --------------------------------------------------------------------
 
-# Round-13 verification window: the driver checks the FIRST 50
-# entries of queries(). This round is debt burn-down after the r12
-# 38/50: the ELEVEN never-driver-verified entries (3 seventh-wave
-# overflow + 8 round-12 additions) lead, then the TWELVE r12 reds —
-# all value-correct but int-vs-float dtype-mismatched against their
-# DuckDB oracles (SUM(int) -> HUGEINT -> pandas float64 vs Spark
-# int64; the driver hash is typed), each oracle now CAST(... AS
-# BIGINT)-aligned and strict-green under the new dtype-class gate in
-# tools/check_oracle.py — then the NINE r7-stale rows, then the TWO
-# rows whose Spark side changed this round (lookup_first_match /
-# tpz_reference_read: date -> timestamp so the pandas dtype CLASS
-# matches the oracle instead of relying on stringification
-# coincidence), and the SIXTEEN oldest-registered r8 rows fill the
-# remainder — leaving r8 staleness at 34 rows for r14. ALL
-# out-of-window entries stay locally oracle-swept green in STRICT
-# hash mode WITH the dtype-class gate — committed as SWEEP_r13.json
-# (full registry at sf0.01; 268 pre-wave rows — the five ninth-wave
-# additions were each strict-verified at sf0.001/0.01/0.1 in-round
-# and enter the committed sweep artifact at round close, 278 total).
-_R13_WINDOW = [
-    # -- never driver-verified (registration order)
-    "active_users_events",
-    "category_index_orders",
-    "quantile_discretize_lineitem",
-    "rolling_global_events",
-    "active_users_interval_events",
-    "association_rules_capped_lineitem",
-    "merge_upsert_orders",
-    "multi_touch_events",
-    "skew_report_lineitem",
-    "stream_upsert_events",
-    "top_k_per_group_lineitem",
-    # -- r12 reds, dtype-aligned this round
-    "q12_late_shipments",
-    "cusum_events",
-    "expectations_orders",
-    "isotonic_calibration_events",
-    "referential_audit_orders",
-    "json_props_events",
-    "logrank_events",
-    "psi_orders_drift",
-    "gains_table_events",
-    "group_cusum_events",
-    "column_entropy_docs",
-    "session_summary_events",
-    # -- r7-stale
-    "pivot_long",
-    "preference_pairs_docs",
-    "q14_promo_revenue",
-    "rename_reorder_project",
-    "resample_audio_meta",
-    "resize_images_agg",
-    "snapshot_diff_docs",
-    "stack_tables",
-    "tpz_roundtrip_agg",
-    # -- Spark side changed this round (date -> timestamp)
-    "lookup_first_match",
-    "tpz_reference_read",
-    # -- oldest r8 rows (registration order)
-    "semantic_dedup_embeddings",
-    "gopher_quality_docs",
-    "gopher_dup_ngrams_docs",
-    "c4_clean_docs",
-    "gopher_repetition_docs",
-    "vocab_shift_docs",
-    "token_budget_docs",
-    "video_frames_meta",
-    "xls_roundtrip_agg",
-    "hdf5_chunked_roundtrip_agg",
-    "stream_incremental_dedup_docs",
-    "hdf5_foreign_read",
-    "ohlc_resample_events",
-    "funnel_events",
-    "phrase_search_docs",
-    "bloom_contamination_docs",
+# Round-14 verification window: the driver checks the FIRST 50
+# entries of queries(). This round finishes the driver-evidence
+# ledger (r13 VERDICT task 1): the TEN never-driver-verified rows
+# (the whole round-13 wave — all strict-green locally, three of them
+# re-verified after this round's ADVICE fixes re-dated the
+# fit_apply cutoff and re-classed the char_entropy census regex)
+# lead, then the THIRTY-THREE r8-stale rows (the merged
+# CORRECTNESS_r01-r13 record shows 33, not the verdict's quoted 34),
+# then the SEVEN oldest-registered r9-stale rows fill the remainder
+# to exactly 50. After this round every registry row has driver
+# evidence and the staleness floor moves r8 -> r9. ALL out-of-window
+# entries stay locally oracle-swept green in STRICT hash mode with
+# the dtype-class gate — committed as SWEEP_r14.json.
+_R14_WINDOW = [
+    # -- never driver-verified (the round-13 wave, registration order)
+    "time_weighted_avg_events",
+    "nelson_aalen_events",
+    "char_entropy_docs",
+    "conversion_lag_events",
+    "stream_session_events",
+    "mom_growth_orders",
+    "hist2d_events",
+    "fit_apply_scale_events",
+    "item_cosine_lineitem",
+    "stream_interval_join_events",
+    # -- r8-stale (registration order)
+    "batched_topk_embeddings",
+    "retention_cohorts_events",
+    "bpe_train_docs",
+    "fuzzy_join_customers",
+    "interpolate_events",
+    "trigram_substring_docs",
+    "row_iteration_checksum",
+    "diff_tables",
+    "drop_rows",
+    "groupby_accumulators",
+    "distinct_keys",
+    "histogram",
+    "hopping_window",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_topk",
+    "csv_roundtrip_agg",
+    "q1_pricing_summary",
+    "q3_shipping_revenue",
+    "q5_nation_revenue",
+    "sort_mixed_excel",
+    "transpose_region",
+    "date_range_expand",
+    "sort_unix_mixed",
+    "xround_time_buckets",
+    "xlsx_roundtrip_agg",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "q4_priority_exists",
+    "q19_disjunctive_filter",
+    "window_ntile",
+    "count_value",
+    "token_count_bpe",
+    # -- oldest r9-stale rows (registration order)
+    "asof_join_events",
+    "chunk_docs",
+    "contamination_docs",
+    "substring_dedup_docs",
+    "pretrain_filter_docs",
+    "pq_topk_embeddings",
+    "ivfpq_topk_embeddings",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict order matters: the driver verifies entries in order with a
-    bounded per-round window (50/round). ``_R13_WINDOW`` puts the
+    bounded per-round window (50/round). ``_R14_WINDOW`` puts the
     stalest-green queries first; everything else keeps its
     registration order behind them."""
     d = _all_queries()
-    ordered = {k: d[k] for k in _R13_WINDOW if k in d}
+    ordered = {k: d[k] for k in _R14_WINDOW if k in d}
     ordered.update((k, v) for k, v in d.items() if k not in ordered)
     return ordered
 
