@@ -40,6 +40,11 @@ from tablite_spark.registry.round13 import (  # noqa: F401
     fit_apply_scale_events, hist2d_events, item_cosine_lineitem,
     mom_growth_orders, nelson_aalen_events, stream_interval_join_events,
     stream_session_events, time_weighted_avg_events)
+from tablite_spark.registry.round14 import (  # noqa: F401
+    ROUND14_ORACLES, exactly_once_sink_events, kfold_splits_docs,
+    mann_whitney_events, revenue_concentration_orders,
+    rfm_segments_orders, stream_dedup_watermark_events,
+    stream_interval_join_outer_events)
 
 
 # --------------------------------------------------------------------
@@ -441,12 +446,26 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fit_apply_scale_events": fit_apply_scale_events,
         "item_cosine_lineitem": item_cosine_lineitem,
         "stream_interval_join_events": stream_interval_join_events,
+        # --- round-14 wave (outer stream-stream join, forced-replay
+        #     exactly-once sink, dropDuplicatesWithinWatermark, RFM /
+        #     Mann-Whitney / Lorenz deciles / k-fold on the
+        #     distributed-rank + census-prefix engines; never
+        #     driver-verified -- queue for r15)
+        "stream_interval_join_outer_events":
+            stream_interval_join_outer_events,
+        "exactly_once_sink_events": exactly_once_sink_events,
+        "stream_dedup_watermark_events": stream_dedup_watermark_events,
+        "rfm_segments_orders": rfm_segments_orders,
+        "mann_whitney_events": mann_whitney_events,
+        "revenue_concentration_orders": revenue_concentration_orders,
+        "kfold_splits_docs": kfold_splits_docs,
     }
 
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d.update(ROUND12_ORACLES)
     d.update(ROUND13_ORACLES)
+    d.update(ROUND14_ORACLES)
     d["pca_project_embeddings"] = _pca_project_oracle()
     # pretrain_filter is the conjunction of three already-oracled
     # stages: compose their SQL verbatim so the oracle stays a single

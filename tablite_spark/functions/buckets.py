@@ -96,3 +96,41 @@ def bucket_prefix_offsets(cens: DataFrame, bucket_col: str,
                                  for x in (F.lit(b), F.lit(o))])
         totals[n] = run
     return maps, totals
+
+
+def distributed_row_number(df: DataFrame, order_cols: list[str],
+                           out_col: str = "rank",
+                           n_buckets: int | None = None
+                           ) -> tuple[DataFrame, int]:
+    """Global 1-based ``row_number`` over ``order_cols`` WITHOUT a
+    single-task global sort: deterministic range buckets on the FIRST
+    order column (monotone, so bucket order == key order), a
+    per-bucket ``row_number`` window, and ONE |buckets|-row offset
+    collect via :func:`bucket_prefix_offsets` — the spearman/KS/KM
+    census-prefix discipline generalized to whole-row ranking.
+
+    ``order_cols`` are column NAMES, ascending; make the combination
+    unique (append a key column) or ties break arbitrarily within a
+    bucket. For descending order materialize a negated column first
+    (exact for integer keys). Returns ``(df + out_col, total_rows)``.
+
+    Scale shape: one approxQuantile pass for bounds, one window
+    bounded per bucket (rows/bucket ≈ N/shuffle.partitions), one
+    driver collect of |buckets| longs. No stage sees the global
+    order.
+    """
+    from pyspark.sql import Window
+
+    if not order_cols:
+        raise ValueError("distributed_row_number needs order columns")
+    b = with_range_bucket(df, order_cols[0], "__rnb__", n_buckets)
+    win = (Window.partitionBy("__rnb__")
+           .orderBy(*[F.col(c) for c in order_cols]))
+    b = b.withColumn("__rnw__", F.row_number().over(win))
+    maps, totals = bucket_prefix_offsets(
+        b.groupBy("__rnb__").agg(F.count(F.lit(1)).alias("__n__")),
+        "__rnb__", {"n": F.col("__n__")})
+    rank = (F.coalesce(maps["n"][F.col("__rnb__")], F.lit(0))
+            + F.col("__rnw__"))
+    return (b.withColumn(out_col, rank).drop("__rnb__", "__rnw__"),
+            int(totals["n"]))

@@ -1334,3 +1334,81 @@ def bootstrap_ci(df: DataFrame, val_col: str, id_col: str,
                     F.col("__ci__")[0].alias("lo"),
                     F.col("__ci__")[1].alias("hi"),
                     F.col("__nb__").alias("n_resamples")))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, val_col: str,
+                   group_a, group_b) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    ``val_col`` distributions of two groups: ONE row
+    (n_a, n_b, u_a_x2, z) where ``u_a_x2`` = 2·U_a held as an exact
+    BIGINT (average ranks under ties are half-integers, so DOUBLING
+    the rank sum keeps every intermediate an integer — no float
+    summation order anywhere before the final z division) and ``z``
+    is the tie-corrected normal approximation
+    z = (U_a − n_a·n_b/2) / sqrt(n_a·n_b/12·((N+1) − Σ(t³−t)/(N(N−1))))
+    with t = per-value tie counts. z is NULL when the variance is 0
+    (all values tied).
+
+    Scale shape — the rank-sum trap is a global ``Window.orderBy``
+    rank over row-level data; like :func:`ks_test_2sample` this runs
+    on ONE combinable per-value census groupBy, a DISTRIBUTED
+    exclusive prefix count over value order (driver range buckets +
+    in-bucket running sums + one |buckets|-row offset collect), and
+    two scalar aggregates. avg_rank(v) = less(v) + (t(v)+1)/2, so
+    2·R_a = Σ c_a(v)·(2·less(v) + t(v) + 1) — exact int64 until the
+    corpus nears 2^63 rank-units (~3e9 rows), and Σ(t³−t) accumulates
+    in decimal(38,0) so heavy ties can't overflow.
+
+    Reference scope: beyond-reference (tablite has no hypothesis
+    tests); the distribution-shift screen an ingest pipeline runs
+    next to PSI/KS when the metric is ordinal.
+    """
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import (
+        bucket_prefix_offsets, with_range_bucket,
+    )
+    g, v = F.col(group_col), F.col(val_col)
+    base = df.filter(v.isNotNull() & g.isin([group_a, group_b]))
+    cens = (base.groupBy(v.alias("__v__"))
+            .agg(F.count(F.when(g == F.lit(group_a), 1))
+                 .alias("__ca__"),
+                 F.count(F.when(g == F.lit(group_b), 1))
+                 .alias("__cb__")))
+    cens = cens.withColumn("__ct__", F.col("__ca__") + F.col("__cb__"))
+    cens = with_range_bucket(cens, "__v__", "__p__")
+    w = (Window.partitionBy("__p__").orderBy("__v__")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cens = cens.withColumn("__cumt__", F.sum("__ct__").over(w))
+    maps, totals = bucket_prefix_offsets(
+        cens, "__p__", {"__a__": F.col("__ca__"),
+                        "__b__": F.col("__cb__"),
+                        "__t__": F.col("__ct__")})
+    na, nb = int(totals["__a__"]), int(totals["__b__"])
+    if na == 0 or nb == 0:
+        raise ValueError(
+            f"mann_whitney_u: group {'a' if na == 0 else 'b'} has "
+            f"no non-null values")
+    n = na + nb
+    # exclusive prefix: pooled count strictly BELOW this value
+    less = (maps["__t__"][F.col("__p__")] + F.col("__cumt__")
+            - F.col("__ct__"))
+    r_a_x2 = F.sum(F.col("__ca__")
+                   * (2 * less + F.col("__ct__") + 1))
+    ties = F.sum((F.col("__ct__").cast("decimal(38,0)")
+                  * F.col("__ct__") * F.col("__ct__"))
+                 - F.col("__ct__"))
+    one = cens.agg(r_a_x2.alias("__r2__"), ties.alias("__tt__"))
+    u_a_x2 = F.col("__r2__") - F.lit(na) * F.lit(na + 1)
+    var = (F.lit(float(na) * float(nb) / 12.0)
+           * (F.lit(float(n + 1))
+              - F.col("__tt__").cast("double")
+              / F.lit(float(n) * float(n - 1))))
+    z = F.when(var > 0,
+               (u_a_x2.cast("double") / 2.0
+                - F.lit(float(na) * float(nb) / 2.0))
+               / F.sqrt(var)).otherwise(F.lit(None))
+    return one.select(F.lit(na).cast("long").alias("n_a"),
+                      F.lit(nb).cast("long").alias("n_b"),
+                      u_a_x2.cast("long").alias("u_a_x2"),
+                      z.alias("z"))

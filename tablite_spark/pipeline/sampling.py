@@ -291,3 +291,24 @@ def cluster_holdout_split(df: DataFrame, id_col: str,
     u = _unit_hash(key)
     return (tagged.filter(u >= holdout_fraction).drop("__cl__"),
             tagged.filter(u < holdout_fraction).drop("__cl__"))
+
+
+def kfold_assign(df: DataFrame, key_col: str, k: int = 5,
+                 salt: str = "", fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment: fold =
+    first-15-hex-digits-of-md5(salt + key) mod k — the same
+    engine-portable md5 discipline as :func:`deterministic_sample`,
+    but INTEGER modulus instead of a float threshold, so the
+    assignment is exact on any engine (DuckDB:
+    ``CAST(('0x' || substring(md5(...), 1, 15)) AS UBIGINT) % k``).
+    Rerun-stable, partitioning-independent, and append-consistent
+    (a new row never moves an existing row's fold) — the property a
+    cross-validation split over a growing 100 TB corpus needs. Change
+    ``salt`` for an independent fold structure. Scan-only plan: one
+    md5 per row, no shuffle, no state.
+    """
+    if k < 2:
+        raise ValueError("kfold_assign requires k >= 2")
+    key = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return df.withColumn(fold_col, (h % k).cast("int"))

@@ -1,0 +1,524 @@
+"""Round-14 query wave — closing the streaming evidence gaps the
+r13 VERDICT named (tasks 2/3/7) plus four new batch capabilities,
+each under the strict DuckDB value-hash + dtype-class gate.
+
+Streaming (driver-oracled through REAL StreamingQuery runs, the
+r13 sentinel-batch discipline):
+
+- ``stream_interval_join_outer_events`` — the OUTER form of the r13
+  stream-stream interval join: unmatched purchases are held in state
+  until the watermark proves no view can still arrive, THEN emitted
+  null-padded; two trailing far-future sentinel batches per side
+  flush the trailing nulls. Oracle = the batch LEFT join.
+- ``exactly_once_sink_events`` — the idempotent ``foreachBatch``
+  parquet sink driven through a FORCED batch-0 replay (the
+  checkpoint's commit marker is deleted between two runs, exactly
+  the at-least-once crash window); the oracle is the plain batch
+  census, so a duplicated replay row would hash-mismatch — the
+  exactly-once claim is now a receipt, not pytest prose.
+- ``stream_dedup_watermark_events`` — ``dropDuplicatesWithinWatermark``
+  (the bounded-state dedup-in-flight shape): every event arrives
+  TWICE, the second copy in a later micro-batch, so the cross-batch
+  key state is the thing under test; oracle = the distinct batch
+  census. TTL eviction (a dup arriving after its key's state
+  expires is re-admitted) is pinned in tests/test_round14.py.
+
+Batch:
+
+- ``rfm_segments_orders`` — RFM quintile scoring on the distributed
+  row-number engine (never a single-task global sort).
+- ``mann_whitney_events`` — tie-corrected Mann-Whitney U via the
+  census-prefix discipline; exact integer 2·U.
+- ``revenue_concentration_orders`` — Lorenz/Pareto decile table
+  (distributed rank by revenue desc, exact-cents cumulative shares).
+- ``kfold_splits_docs`` — deterministic md5-mod-k fold assignment
+  (engine-portable integer hash; append-consistent CV splits).
+"""
+from __future__ import annotations
+
+import datetime
+import glob
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tablite_spark.registry._base import _t
+
+ROUND14_ORACLES: dict[str, str] = {}
+
+
+def _stage_batches(root: str, name: str, parts: list[DataFrame],
+                   base_mtime: int = 1_700_000_000) -> str:
+    """Stage each part as one mtime-pinned parquet file under
+    ``root/name`` so a file-source readStream with
+    ``maxFilesPerTrigger=1`` replays them as ordered micro-batches
+    (the r13 fixture discipline; ``coalesce(1)`` is fixture staging
+    over tiny frames, never a data-path shape)."""
+    src = f"{root}/{name}"
+    os.makedirs(src, exist_ok=True)
+    for i, part in enumerate(parts):
+        stage = f"{root}/__stage_{name}_{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{src}/batch{i}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        t = base_mtime + i * 600
+        os.utime(dst, (t, t))
+    return src
+
+
+# --------------------------------------------------------------------
+# streaming: outer interval join (r13 VERDICT task 2)
+# --------------------------------------------------------------------
+
+def stream_interval_join_outer_events(spark: SparkSession,
+                                      sf: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join through two real
+    streams: every purchase pairs with the same user's views within
+    the DAY before it, and a purchase with NO such view must still
+    emit — null-padded — once the watermark PROVES no matching view
+    can arrive. That finalization is the thing under test: Spark
+    holds the unmatched purchase in join state until the global
+    watermark passes its join window, so a query that stops at the
+    last data batch never sees the trailing nulls. Two trailing
+    far-future sentinel batches per side advance the watermark (the
+    r13 session-window discipline: the watermark computed at the end
+    of batch N applies to batch N+1 — the first sentinel finalizes
+    nothing, the second flushes every held row). Oracle = the plain
+    batch LEFT join; exact row set (integer-microsecond gap, NULL
+    for unmatched).
+
+    Scale shape: join state is watermark-bounded on both sides
+    (right rows older than watermark − within are evicted; left rows
+    leave state the moment they finalize), so state is horizon-sized,
+    never stream-length-sized."""
+    from tablite_spark.streaming.ops import stream_interval_join
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull())
+          .select("user_id", F.col("ts").cast("timestamp").alias("ts"),
+                  "event_id", "event_type"))
+    us = F.unix_micros(F.col("ts"))
+    cut, hi = ev.agg(
+        F.percentile(us, F.lit(0.5)).alias("m"),
+        F.max("ts").alias("hi")).collect()[0]
+    root = tempfile.mkdtemp(prefix="sijo_stream_")
+    sent = [spark.createDataFrame(
+        [(-1, hi + datetime.timedelta(days=30 * (i + 1)), -1)],
+        "user_id long, ts timestamp, event_id long")
+        for i in range(2)]
+    streams = {}
+    for name, etype in (("l", "purchase"), ("r", "view")):
+        side = ev.filter(F.col("event_type") == etype).drop("event_type")
+        src = _stage_batches(root, name, [
+            side.filter(us <= F.lit(int(cut))),
+            side.filter(us > F.lit(int(cut))),
+            sent[0], sent[1]])
+        streams[name] = (spark.readStream
+                         .schema("user_id long, ts timestamp, "
+                                 "event_id long")
+                         .option("maxFilesPerTrigger", 1)
+                         .option("latestFirst", "false").parquet(src))
+    joined = stream_interval_join(streams["l"], streams["r"],
+                                  key="user_id", within="1 day",
+                                  how="leftOuter")
+    out_cols = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_id"),
+        F.col("r.event_id").alias("view_id"),
+        (F.unix_micros(F.col("l.ts"))
+         - F.unix_micros(F.col("r.ts"))).alias("gap_us"))
+    q = (out_cols.writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{root}/out")
+            .filter(F.col("user_id") >= 0))
+
+
+ROUND14_ORACLES["stream_interval_join_outer_events"] = """
+    WITH p AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'purchase'
+          AND user_id IS NOT NULL AND ts IS NOT NULL
+    ), v AS (
+        SELECT user_id, ts, event_id FROM events
+        WHERE event_type = 'view'
+          AND user_id IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p LEFT JOIN v
+      ON p.user_id = v.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 DAY
+"""
+
+
+# --------------------------------------------------------------------
+# streaming: exactly-once sink with forced replay (task 3)
+# --------------------------------------------------------------------
+
+def exactly_once_sink_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Idempotent ``foreachBatch`` parquet sink
+    (``streaming/ops.py:exactly_once_parquet_sink``) driven through a
+    FORCED batch replay: run batch 0, then delete the checkpoint's
+    ``commits/0`` marker — the exact at-least-once crash window
+    (sink write landed, commit didn't) — then restart from the same
+    checkpoint with batch 1's file now present. Spark re-executes
+    batch 0 FROM ITS PINNED OFFSETS and the per-batch-partition
+    ``mode=overwrite`` write replaces (never appends beside) the
+    first attempt's files. The oracle is the plain batch census, so
+    ONE duplicated or dropped row anywhere hash-mismatches: the
+    exactly-once upgrade is value-checked, not asserted."""
+    from tablite_spark.streaming.ops import exactly_once_parquet_sink
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("ts").isNotNull())
+          .select("event_id", "user_id",
+                  F.col("ts").cast("timestamp").alias("ts"), "value"))
+    us = F.unix_micros(F.col("ts"))
+    cut = ev.agg(F.percentile(us, F.lit(0.5))
+                 .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="e1x_sink_")
+    parts = [ev.filter(us <= F.lit(int(cut))),
+             ev.filter(us > F.lit(int(cut)))]
+    # stage ONLY batch 0; batch 1 arrives after the forced crash
+    src = _stage_batches(root, "src", parts[:1])
+    schema = "event_id long, user_id long, ts timestamp, value double"
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        q = exactly_once_parquet_sink(stream, f"{root}/out",
+                                      f"{root}/ckpt")
+        q.awaitTermination()
+
+    run()                                   # drains batch 0, commits
+    # simulate the crash window: batch 0's sink write survived but
+    # its commit marker didn't -> the restart MUST replay batch 0
+    os.remove(f"{root}/ckpt/commits/0")
+    # the local FS keeps a .crc shadow per log file; a stale one
+    # blocks the replayed commit's rename on restart
+    crc = f"{root}/ckpt/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _stage_batches(root, "src", parts)      # batch 1's file lands
+    run()                                   # replays 0, processes 1
+    return (spark.read.parquet(f"{root}/out")
+            .select("event_id", "user_id", "ts", "value"))
+
+
+ROUND14_ORACLES["exactly_once_sink_events"] = """
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events WHERE ts IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------
+# streaming: dropDuplicatesWithinWatermark (task 7)
+# --------------------------------------------------------------------
+
+def stream_dedup_watermark_events(spark: SparkSession,
+                                  sf: str) -> DataFrame:
+    """Bounded-state streaming dedup via
+    ``dropDuplicatesWithinWatermark`` — the idiomatic 100 TB
+    dedup-in-flight shape (state per key expires once the event-time
+    watermark passes key-ts + delay, unlike plain ``dropDuplicates``
+    whose state grows with the stream). The feed delivers EVERY event
+    twice: copy A split across two micro-batches, copy B as a third
+    batch — so each duplicate pair straddles a batch boundary and the
+    cross-batch key state is the thing under test. The 40-day delay
+    exceeds the fixture's 30-day span, so no fixture key expires and
+    the exact output is the distinct census (= the base events);
+    TTL EVICTION semantics — a dup arriving after its key's state
+    expired is re-admitted, and a row older than the watermark is
+    dropped outright — are pinned in tests/test_round14.py, where
+    the timestamps are hand-controlled."""
+    from tablite_spark.streaming.ops import stream_dedup
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("ts").isNotNull())
+          .select("event_id",
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  "user_id", "event_type"))
+    us = F.unix_micros(F.col("ts"))
+    cut = ev.agg(F.percentile(us, F.lit(0.5))
+                 .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="dedup_wm_")
+    src = _stage_batches(root, "src", [
+        ev.filter(us <= F.lit(int(cut))),        # copy A, first half
+        ev.filter(us > F.lit(int(cut))),         # copy A, second half
+        ev,                                      # copy B (all dupes)
+    ])
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    q = (stream_dedup(stream, ["event_id"], watermark="40 days")
+         .writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(f"{root}/out")
+
+
+ROUND14_ORACLES["stream_dedup_watermark_events"] = """
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+    FROM events WHERE ts IS NOT NULL
+"""
+
+
+# --------------------------------------------------------------------
+# batch: RFM segmentation
+# --------------------------------------------------------------------
+
+def rfm_segments_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer RFM (recency / frequency / monetary) quintile
+    scores — the classic CRM segmentation. Each metric ranks ALL
+    customers via the distributed row-number engine
+    (``functions/buckets.py:distributed_row_number``: deterministic
+    range buckets + per-bucket windows + one |buckets|-row offset
+    collect — never a single-task global sort), then quintile
+    q = 1 + ((rank-1)*5) DIV N in exact integer arithmetic (no ntile
+    remainder-rule dependence). Monetary accumulates exact cents;
+    recency counts days from the corpus max order date. Higher
+    score = better customer on every axis (recent / frequent /
+    high-spend); ties rank by custkey so the oracle's row_number is
+    bit-identical."""
+    from tablite_spark.functions.buckets import distributed_row_number
+    o = _t(spark, sf, "orders")
+    maxd = o.agg(F.max(F.col("o_orderdate").cast("date"))
+                 .alias("__maxd__"))
+    cen = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.max(F.col("o_orderdate").cast("date"))
+                .alias("__last__"),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100, 0))
+                .cast("long").alias("__mc__"))
+           .crossJoin(F.broadcast(maxd))
+           .withColumn("recency_days",
+                       F.datediff(F.col("__maxd__"), F.col("__last__"))
+                       .cast("long"))
+           .drop("__maxd__", "__last__"))
+    ranked, n = distributed_row_number(
+        cen, ["recency_days", "custkey"], "__rr__")
+    ranked, _ = distributed_row_number(
+        ranked, ["n_orders", "custkey"], "__rf__")
+    ranked, _ = distributed_row_number(
+        ranked, ["__mc__", "custkey"], "__rm__")
+    # integer DIV via expr keeps the arithmetic exact end to end
+    return ranked.select(
+        "custkey", "recency_days",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        (F.col("__mc__").cast("double") / 100).alias("monetary"),
+        (F.lit(5) - F.expr(f"((__rr__ - 1) * 5) DIV {n}"))
+        .cast("int").alias("r_score"),
+        (F.lit(1) + F.expr(f"((__rf__ - 1) * 5) DIV {n}"))
+        .cast("int").alias("f_score"),
+        (F.lit(1) + F.expr(f"((__rm__ - 1) * 5) DIV {n}"))
+        .cast("int").alias("m_score"))
+
+
+ROUND14_ORACLES["rfm_segments_orders"] = """
+    WITH cen AS (
+        SELECT o_custkey AS custkey,
+               max(CAST(o_orderdate AS DATE)) AS last_order,
+               count(*) AS n_orders,
+               CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT)
+                   AS mc
+        FROM orders GROUP BY 1
+    ), r AS (
+        SELECT *,
+               date_diff('day', last_order,
+                         (SELECT max(CAST(o_orderdate AS DATE))
+                          FROM orders)) AS recency_days,
+               (SELECT count(*) FROM cen) AS n
+        FROM cen
+    ), rk AS (
+        SELECT *,
+               row_number() OVER (ORDER BY recency_days, custkey)
+                   AS rr,
+               row_number() OVER (ORDER BY n_orders, custkey) AS rf,
+               row_number() OVER (ORDER BY mc, custkey) AS rm
+        FROM r
+    )
+    SELECT custkey,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(mc AS DOUBLE) / 100 AS monetary,
+           CAST(5 - ((rr - 1) * 5) // n AS INT) AS r_score,
+           CAST(1 + ((rf - 1) * 5) // n AS INT) AS f_score,
+           CAST(1 + ((rm - 1) * 5) // n AS INT) AS m_score
+    FROM rk
+"""
+
+
+# --------------------------------------------------------------------
+# batch: Mann-Whitney U
+# --------------------------------------------------------------------
+
+def mann_whitney_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U comparing purchase vs view event
+    values (``operators/stats.py:mann_whitney_u``): 2·U ships as an
+    exact BIGINT (half-integer average ranks doubled away); z rounds
+    at the oracle boundary. The census-prefix engine keeps the rank
+    sum distributed — the same shape the KS test runs."""
+    from tablite_spark.operators.stats import mann_whitney_u
+    ev = _t(spark, sf, "events")
+    out = mann_whitney_u(ev, "event_type", "value",
+                         "purchase", "view")
+    return out.select("n_a", "n_b", "u_a_x2",
+                      (F.round(F.col("z"), 6) + 0).alias("z"))
+
+
+ROUND14_ORACLES["mann_whitney_events"] = """
+    WITH cens AS (
+        SELECT value AS v,
+               count(*) FILTER (event_type = 'purchase') AS ca,
+               count(*) FILTER (event_type = 'view') AS cb,
+               count(*) AS ct
+        FROM events
+        WHERE value IS NOT NULL
+          AND event_type IN ('purchase', 'view')
+        GROUP BY 1
+    ), pre AS (
+        SELECT *, sum(ct) OVER (ORDER BY v) - ct AS less FROM cens
+    ), agg AS (
+        SELECT CAST(sum(ca) AS BIGINT) AS na,
+               CAST(sum(cb) AS BIGINT) AS nb,
+               CAST(sum(ca * (2 * less + ct + 1)) AS BIGINT) AS r2,
+               sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS tt
+        FROM pre
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST(r2 - na * (na + 1) AS BIGINT) AS u_a_x2,
+           ROUND((CAST(r2 - na * (na + 1) AS DOUBLE) / 2.0
+                  - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((na + nb + 1)
+                           - CAST(tt AS DOUBLE)
+                             / ((na + nb) * (na + nb - 1.0)))),
+                 6) + 0 AS z
+    FROM agg
+"""
+
+
+# --------------------------------------------------------------------
+# batch: revenue concentration (Lorenz deciles)
+# --------------------------------------------------------------------
+
+def revenue_concentration_orders(spark: SparkSession,
+                                 sf: str) -> DataFrame:
+    """Revenue concentration: customers ranked by revenue DESC into
+    deciles (1 = top spenders), with each decile's customer count,
+    exact-cents revenue, share, and cumulative share — the Lorenz /
+    Pareto "top 10% drive X%" table. The global rank runs on the
+    distributed row-number engine over the per-customer census
+    (revenue negated to a long so DESC is an exact ascending rank);
+    the only window is the cumulative share over the ≤10-row decile
+    frame, and it cumulates INTEGER cents (one final division), so
+    every share is a single exact-operand float op."""
+    from pyspark.sql import Window
+
+    from tablite_spark.functions.buckets import distributed_row_number
+    o = _t(spark, sf, "orders")
+    cen = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0))
+                .cast("long").alias("__mc__"))
+           .withColumn("__neg__", -F.col("__mc__")))
+    ranked, n = distributed_row_number(
+        cen, ["__neg__", "custkey"], "__rank__")
+    dec = (ranked
+           .withColumn("decile",
+                       (F.lit(1)
+                        + F.expr(f"((__rank__ - 1) * 10) DIV {n}"))
+                       .cast("int"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n_customers"),
+                F.sum("__mc__").alias("__dc__")))
+    total = dec.agg(F.sum("__dc__").alias("__t__"))
+    w = (Window.orderBy("decile")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # the cumulative window runs over the <=10-row decile frame only
+    return (dec.withColumn("__cdc__", F.sum("__dc__").over(w))
+            .crossJoin(F.broadcast(total))
+            .select("decile", "n_customers",
+                    (F.col("__dc__").cast("double") / 100)
+                    .alias("revenue"),
+                    (F.col("__dc__").cast("double")
+                     / F.col("__t__").cast("double")).alias("share"),
+                    (F.col("__cdc__").cast("double")
+                     / F.col("__t__").cast("double"))
+                    .alias("cum_share")))
+
+
+ROUND14_ORACLES["revenue_concentration_orders"] = """
+    WITH cen AS (
+        SELECT o_custkey AS custkey,
+               CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT)
+                   AS mc
+        FROM orders GROUP BY 1
+    ), rk AS (
+        SELECT *,
+               row_number() OVER (ORDER BY -mc, custkey) AS r,
+               (SELECT count(*) FROM cen) AS n
+        FROM cen
+    ), dec AS (
+        SELECT CAST(1 + ((r - 1) * 10) // n AS INT) AS decile,
+               count(*) AS n_customers,
+               CAST(sum(mc) AS BIGINT) AS dc
+        FROM rk GROUP BY 1
+    )
+    SELECT decile, n_customers,
+           CAST(dc AS DOUBLE) / 100 AS revenue,
+           CAST(dc AS DOUBLE)
+               / CAST((SELECT sum(dc) FROM dec) AS DOUBLE) AS share,
+           CAST(sum(dc) OVER (ORDER BY decile) AS DOUBLE)
+               / CAST((SELECT sum(dc) FROM dec) AS DOUBLE)
+               AS cum_share
+    FROM dec
+"""
+
+
+# --------------------------------------------------------------------
+# batch: k-fold splits
+# --------------------------------------------------------------------
+
+def kfold_splits_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment over the
+    corpus (``pipeline/sampling.py:kfold_assign``: md5-mod-k, the
+    engine-portable integer-hash discipline — rerun-stable,
+    partitioning-independent, append-consistent), summarized per
+    fold: doc count, id checksum, character mass. The per-fold
+    balance of a hash split is itself the thing a training pipeline
+    audits before trusting the CV."""
+    from tablite_spark.pipeline.sampling import kfold_assign
+    docs = _t(spark, sf, "documents")
+    return (kfold_assign(docs, "doc_id", k=5, salt="cv")
+            .groupBy("fold")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_sum"),
+                 F.sum(F.length("text")).cast("long")
+                 .alias("char_sum")))
+
+
+ROUND14_ORACLES["kfold_splits_docs"] = """
+    WITH f AS (
+        SELECT CAST(CAST(('0x' || substring(
+                   md5('cv' || CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) % 5 AS INT) AS fold,
+               doc_id, length(text) AS chars
+        FROM documents
+    )
+    SELECT fold, count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(chars) AS BIGINT) AS char_sum
+    FROM f GROUP BY 1
+"""
