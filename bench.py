@@ -389,6 +389,16 @@ COMPACT_LINE_SHED = {
     "multi_touch_events", "rolling_global_events",
     "top_k_per_group_lineitem", "q18_large_orders",
     "q19_disjunctive_filter", "logrank_events", "bigram_lm_docs",
+    # second r14 pass: the first quiet run still truncated 9 rows and
+    # the r2_comparable_total anchor off the line. These are all
+    # multi-round-flat 0.6-1.7 s rows (spreads < 0.3 s across
+    # r12/r13/r14), none BASELINE-comparable, all in META + SWEEP:
+    "char_entropy_docs", "nelson_aalen_events",
+    "tfidf_keywords_docs", "q2_min_cost_supplier",
+    "q5_nation_revenue", "q3_shipping_revenue",
+    "active_users_events", "q21_waiting_suppliers",
+    "perplexity_docs", "semantic_dedup_embeddings",
+    "jaccard_join_docs",
 }
 
 
