@@ -41,10 +41,11 @@ from tablite_spark.registry.round13 import (  # noqa: F401
     mom_growth_orders, nelson_aalen_events, stream_interval_join_events,
     stream_session_events, time_weighted_avg_events)
 from tablite_spark.registry.round14 import (  # noqa: F401
-    ROUND14_ORACLES, exactly_once_sink_events, kfold_splits_docs,
+    ROUND14_ORACLES, bollinger_events, exactly_once_sink_events,
+    grouped_weighted_median_lineitem, kfold_splits_docs,
     mann_whitney_events, revenue_concentration_orders,
     rfm_segments_orders, stream_dedup_watermark_events,
-    stream_interval_join_outer_events)
+    stream_interval_join_outer_events, tokenizer_fertility_docs)
 
 
 # --------------------------------------------------------------------
@@ -459,6 +460,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney_events": mann_whitney_events,
         "revenue_concentration_orders": revenue_concentration_orders,
         "kfold_splits_docs": kfold_splits_docs,
+        # --- round-14 eleventh wave (grouped weighted quantiles,
+        #     census Bollinger bands, tokenizer fertility)
+        "grouped_weighted_median_lineitem":
+            grouped_weighted_median_lineitem,
+        "bollinger_events": bollinger_events,
+        "tokenizer_fertility_docs": tokenizer_fertility_docs,
     }
 
 def oracle_sql() -> dict[str, str]:

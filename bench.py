@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "mann_whitney_events",
     "revenue_concentration_orders",
     "kfold_splits_docs",
+    "grouped_weighted_median_lineitem",
+    "bollinger_events",
+    "tokenizer_fertility_docs",
 ]
 
 
@@ -300,7 +303,9 @@ new_in_r14 = {"stream_interval_join_outer_events",
               "exactly_once_sink_events",
               "stream_dedup_watermark_events",
               "rfm_segments_orders", "mann_whitney_events",
-              "revenue_concentration_orders", "kfold_splits_docs"}
+              "revenue_concentration_orders", "kfold_splits_docs",
+              "grouped_weighted_median_lineitem", "bollinger_events",
+              "tokenizer_fertility_docs"}
 POST_R2_SETS = (new_in_r3 | new_in_r4 | new_in_r6 | new_in_r7
                | new_in_r8 | new_in_r9 | new_in_r10 | new_in_r11
                | new_in_r12 | new_in_r13 | new_in_r14)
@@ -399,6 +404,10 @@ COMPACT_LINE_SHED = {
     "active_users_events", "q21_waiting_suppliers",
     "perplexity_docs", "semantic_dedup_embeddings",
     "jaccard_join_docs",
+    # room for the eleventh-wave rows (write twins are not
+    # BASELINE.md mappings — the baseline compares READ throughput;
+    # both are flat across r12/r13 and stay in META + SWEEP):
+    "io_csv_write", "io_json_write", "bootstrap_ci_orders",
 }
 
 

@@ -1412,3 +1412,58 @@ def mann_whitney_u(df: DataFrame, group_col: str, val_col: str,
                       F.lit(nb).cast("long").alias("n_b"),
                       u_a_x2.cast("long").alias("u_a_x2"),
                       z.alias("z"))
+
+
+def grouped_weighted_quantiles(df: DataFrame, keys: list[str],
+                               val_col: str, weight_col,
+                               qs: list[float]) -> DataFrame:
+    """Per-GROUP weighted quantiles: for each group and each q, the
+    smallest value whose cumulative weight reaches q·W_group (the
+    lower weighted-quantile convention of :func:`weighted_quantiles`,
+    which this generalizes from one global series to per-key series).
+    NULL values/weights and non-positive weights are excluded; a
+    group whose rows are all excluded disappears. Long output:
+    (keys..., q, value). With integer weights every cumulative
+    comparison multiplies exact operands once, so the pick is
+    engine-exact.
+
+    Scale shape: ONE combinable (keys, value) weight census, then a
+    cumulative-weight window PARTITIONED BY the group over the
+    group's census — each task holds one group's distinct values,
+    the :func:`group_quantiles` exact-path contract (right when
+    per-group value cardinality is bounded: discrete metrics,
+    cents-quantized money). For ONE giant ungrouped series use
+    :func:`weighted_quantiles`, whose range-bucket prefix
+    distributes a single group's census across tasks.
+    """
+    from pyspark.sql import Window
+
+    if not keys:
+        raise ValueError("grouped_weighted_quantiles needs grouping "
+                         "keys; use weighted_quantiles for a global "
+                         "series")
+    if not qs:
+        raise ValueError("needs at least one q")
+    if any(q <= 0 or q > 1 for q in qs):
+        raise ValueError("quantiles must be in (0, 1]")
+    v = F.col(val_col)
+    w = (F.col(weight_col) if isinstance(weight_col, str)
+         else weight_col)
+    cens = (df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+            .groupBy(*[F.col(k) for k in keys], v.alias("__v__"))
+            .agg(F.sum(w).alias("__w__")))
+    win = (Window.partitionBy(*keys).orderBy("__v__")
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.currentRow))
+    tot = (Window.partitionBy(*keys)
+           .rowsBetween(Window.unboundedPreceding,
+                        Window.unboundedFollowing))
+    cens = (cens.withColumn("__cw__", F.sum("__w__").over(win))
+            .withColumn("__W__", F.sum("__w__").over(tot)))
+    qarr = F.array(*[F.lit(float(q)) for q in sorted(set(qs))])
+    return (cens.select(*keys, "__v__", "__cw__", "__W__",
+                        F.explode(qarr).alias("q"))
+            .filter(F.col("__cw__")
+                    >= F.col("q") * F.col("__W__"))
+            .groupBy(*keys, "q")
+            .agg(F.min("__v__").alias("value")))

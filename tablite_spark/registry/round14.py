@@ -522,3 +522,190 @@ ROUND14_ORACLES["kfold_splits_docs"] = """
            CAST(sum(chars) AS BIGINT) AS char_sum
     FROM f GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------
+# batch: grouped weighted median
+# --------------------------------------------------------------------
+
+def grouped_weighted_median_lineitem(spark: SparkSession,
+                                     sf: str) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag
+    (``operators/stats.py:grouped_weighted_quantiles``): the
+    frequency-weighted order statistic a billing census needs
+    without exploding weights into rows. Prices ride as exact
+    integer cents and weights as exact integer units, so every
+    cumulative comparison is a single exact-operand multiply —
+    the picked values need no rounding."""
+    from tablite_spark.operators.stats import grouped_weighted_quantiles
+    li = _t(spark, sf, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        .alias("pc"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"))
+    out = grouped_weighted_quantiles(
+        base, ["l_returnflag"], "pc", "qty", [0.25, 0.5, 0.75])
+    return out.select("l_returnflag", "q",
+                      (F.col("value").cast("double") / 100)
+                      .alias("price"))
+
+
+ROUND14_ORACLES["grouped_weighted_median_lineitem"] = """
+    WITH cens AS (
+        SELECT l_returnflag,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+                    AS BIGINT) AS wt
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+          AND round(l_quantity, 0) > 0
+        GROUP BY 1, 2
+    ), cum AS (
+        -- tw must NOT be spelled "W": DuckDB identifiers are
+        -- case-insensitive and "W" would collide with column wt's
+        -- former name, silently resolving to the per-row weight
+        SELECT *,
+               sum(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY pc) AS cw,
+               sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM cens
+    )
+    SELECT l_returnflag, q, CAST(min(pc) AS DOUBLE) / 100 AS price
+    FROM cum, (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+    WHERE cw >= q * tw
+    GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# batch: Bollinger bands over the hourly census
+# --------------------------------------------------------------------
+
+def bollinger_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Bollinger bands per event type: each hourly bucket's mean
+    value against the trailing-24-bucket rolling mean ± 2σ — the
+    volatility envelope behind ops dashboards. The corpus collapses
+    FIRST into one combinable (type, hour) census of exact integer
+    moments (n, Σvc, Σvc²); the rolling window then runs over the
+    CENSUS (≤ |hours| rows per type, time-bounded), cumulating those
+    INTEGER moments so the mean/σ of each 24-bucket frame derive
+    from exact operands — band edges round at the oracle boundary
+    only because σ is a sqrt. Buckets with < 2 trailing observations
+    ship NULL bands on both engines."""
+    ev = _t(spark, sf, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull())
+    vc = F.round(F.col("value") * 100, 0).cast("long")
+    cen = (ev.groupBy(F.col("event_type"),
+                      F.date_trunc("hour",
+                                   F.col("ts").cast("timestamp"))
+                      .alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(vc).alias("s1"),
+                F.sum(vc * vc).alias("s2")))
+    from pyspark.sql import Window
+    w = (Window.partitionBy("event_type").orderBy("bucket")
+         .rowsBetween(-23, Window.currentRow))
+    rn = F.sum("n").over(w)
+    rs1 = F.sum("s1").over(w)
+    rs2 = F.sum("s2").over(w)
+    m = rs1.cast("double") / rn / 100.0
+    var = ((rs2.cast("double") / 10000.0 - rn * m * m)
+           / (rn - 1))
+    sd = F.when(rn >= 2, F.sqrt(var))
+    return cen.select(
+        "event_type", "bucket", "n",
+        (F.col("s1").cast("double") / F.col("n") / 100.0)
+        .alias("bucket_mean"),
+        (F.round(m, 6) + 0).alias("roll_mean"),
+        (F.round(m - 2 * sd, 6) + 0).alias("band_lo"),
+        (F.round(m + 2 * sd, 6) + 0).alias("band_hi"))
+
+
+ROUND14_ORACLES["bollinger_events"] = """
+    WITH cen AS (
+        SELECT event_type,
+               date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS s1,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                        * CAST(round(value * 100, 0) AS BIGINT))
+                    AS BIGINT) AS s2
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2
+    ), roll AS (
+        SELECT *,
+               sum(n) OVER w AS rn, sum(s1) OVER w AS rs1,
+               sum(s2) OVER w AS rs2
+        FROM cen
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, bucket, n,
+           CAST(s1 AS DOUBLE) / n / 100.0 AS bucket_mean,
+           ROUND(CAST(rs1 AS DOUBLE) / rn / 100.0, 6) + 0
+               AS roll_mean,
+           CASE WHEN rn >= 2 THEN ROUND(
+               CAST(rs1 AS DOUBLE) / rn / 100.0
+               - 2 * sqrt((CAST(rs2 AS DOUBLE) / 10000.0
+                           - rn * (CAST(rs1 AS DOUBLE) / rn / 100.0)
+                             * (CAST(rs1 AS DOUBLE) / rn / 100.0))
+                          / (rn - 1)), 6) + 0 END AS band_lo,
+           CASE WHEN rn >= 2 THEN ROUND(
+               CAST(rs1 AS DOUBLE) / rn / 100.0
+               + 2 * sqrt((CAST(rs2 AS DOUBLE) / 10000.0
+                           - rn * (CAST(rs1 AS DOUBLE) / rn / 100.0)
+                             * (CAST(rs1 AS DOUBLE) / rn / 100.0))
+                          / (rn - 1)), 6) + 0 END AS band_hi
+    FROM roll
+"""
+
+
+# --------------------------------------------------------------------
+# batch: tokenizer fertility by language
+# --------------------------------------------------------------------
+
+def tokenizer_fertility_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer fertility census per language: BPE-ish piece count
+    (letter runs / digit runs / single punctuation — the cheap BPE
+    proxy) per character, the statistic that decides whether a
+    tokenizer under- or over-segments a language. The token regex
+    spells out its whitespace class EXPLICITLY
+    ('[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]') because Java's '\\\\s' includes
+    \\x0B while RE2's does not — the char_entropy lesson applied
+    BEFORE the divergence bites. Pure combinable arithmetic: one
+    regexp count + one groupBy; fertility is a single division of
+    exact integers, rounded at the boundary."""
+    docs = _t(spark, sf, "documents")
+    toks = F.size(F.regexp_extract_all(
+        F.col("text"),
+        F.lit("[A-Za-z]+|[0-9]+|[^ \t\n\x0b\f\rA-Za-z0-9]"), 0))
+    out = (docs.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(toks).cast("long").alias("n_tokens"),
+                F.sum(F.length("text")).cast("long")
+                .alias("n_chars")))
+    return out.select(
+        "lang", "n_docs", "n_tokens", "n_chars",
+        (F.round(F.col("n_tokens").cast("double")
+                 / F.col("n_chars"), 6) + 0).alias("fertility"))
+
+
+ROUND14_ORACLES["tokenizer_fertility_docs"] = """
+    WITH f AS (
+        SELECT lang,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^ \t\n' || chr(11) ||
+                   chr(12) || chr(13) || 'A-Za-z0-9]')) AS toks,
+               length(text) AS chars
+        FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS n_tokens,
+           CAST(sum(chars) AS BIGINT) AS n_chars,
+           ROUND(CAST(sum(toks) AS DOUBLE) / sum(chars), 6) + 0
+               AS fertility
+    FROM f GROUP BY 1
+"""

@@ -248,3 +248,62 @@ def test_exactly_once_sink_forced_replay(spark, tmp_path):
         str(tmp_path / "out" / "batch_id=0" / "part-*")))
     # overwrite replaced the first attempt's files, never sat beside
     assert first_files != second_files and len(second_files) >= 1
+
+
+# ------------------------------------------------------------------
+# grouped_weighted_quantiles
+# ------------------------------------------------------------------
+
+def test_grouped_weighted_quantiles_hand(spark):
+    """Lower weighted-quantile convention per group: smallest value
+    whose cumulative weight reaches q*W; duplicate values merge
+    weights; NULL/non-positive weights and NULL values drop;
+    validation guards."""
+    from tablite_spark.operators.stats import grouped_weighted_quantiles
+    rows = [
+        # group a: v=1 w=1, v=2 w=3 (2+1), v=10 w=1 -> W=5
+        #   q=.5 -> cw>=2.5 first at v=2; q=.9 -> 4.5 -> v=10
+        ("a", 1.0, 1), ("a", 2.0, 2), ("a", 2.0, 1), ("a", 10.0, 1),
+        # group b: single value
+        ("b", 7.0, 4),
+        # excluded rows
+        ("a", 99.0, 0), ("a", 99.0, None), ("a", None, 5),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    out = {(r["g"], r["q"]): r["value"] for r in
+           grouped_weighted_quantiles(
+               df, ["g"], "v", "w", [0.5, 0.9]).collect()}
+    assert out[("a", 0.5)] == 2.0 and out[("a", 0.9)] == 10.0
+    assert out[("b", 0.5)] == 7.0 and out[("b", 0.9)] == 7.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="grouping keys"):
+        grouped_weighted_quantiles(df, [], "v", "w", [0.5])
+    with _pt.raises(ValueError, match="at least one"):
+        grouped_weighted_quantiles(df, ["g"], "v", "w", [])
+    with _pt.raises(ValueError, match="in \\(0, 1\\]"):
+        grouped_weighted_quantiles(df, ["g"], "v", "w", [1.5])
+
+
+def test_grouped_weighted_quantiles_matches_explode(spark):
+    """The census form must equal the naive explode-the-weights
+    percentile (lower convention) on integer weights."""
+    from tablite_spark.operators.stats import grouped_weighted_quantiles
+    rows = [("g%d" % (i % 3), float((i * 7) % 11), 1 + i % 4)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    got = {(r["g"], r["q"]): r["value"] for r in
+           grouped_weighted_quantiles(
+               df, ["g"], "v", "w", [0.25, 0.5, 0.75]).collect()}
+    # naive truth on the driver
+    from collections import defaultdict
+    series = defaultdict(list)
+    for g, v, w in rows:
+        series[g].extend([v] * w)
+    for g, vals in series.items():
+        vals.sort()
+        n = len(vals)
+        for q in (0.25, 0.5, 0.75):
+            # smallest value with cum count >= q*n
+            import math as _m
+            idx = _m.ceil(q * n) - 1
+            assert got[(g, q)] == vals[idx], (g, q)
