@@ -709,3 +709,84 @@ ROUND14_ORACLES["tokenizer_fertility_docs"] = """
                AS fertility
     FROM f GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------
+# streaming: event-time-timeout sessionizer (abandoned-cart feed)
+# --------------------------------------------------------------------
+
+def stream_session_timeout_events(spark: SparkSession,
+                                  sf: str) -> DataFrame:
+    """Sessionization through ``streaming/ops.py:
+    streaming_session_timeout`` — the EVENT-TIME-TIMEOUT state
+    primitive: interior sessions emit on the data path, but each
+    key's FINAL session emits only when the watermark passes
+    last_event + gap and the ``GroupStateTimeout.EventTimeTimeout``
+    fires (no successor event exists to close it). Two trailing
+    sentinel batches advance the watermark so every trailing session
+    times out before the availableNow drain stops: the r13 flush
+    discipline applied to the timeout path instead of the
+    session_window operator. The conversion flag rides along, so
+    this is the abandoned-cart feed; the oracle is the batch
+    gaps-and-islands sessionization with the same >= 30 min
+    half-open gap rule."""
+    from tablite_spark.streaming.ops import streaming_session_timeout
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("user_id").isNotNull()
+                  & F.col("ts").isNotNull())
+          .select("user_id",
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  "event_type"))
+    us = F.unix_micros(F.col("ts"))
+    cut, hi = ev.agg(
+        F.percentile(us, F.lit(0.5)).alias("m"),
+        F.max("ts").alias("hi")).collect()[0]
+    root = tempfile.mkdtemp(prefix="sess_to_")
+    sent = [spark.createDataFrame(
+        [(-1, hi + datetime.timedelta(days=30 * (i + 1)), "view")],
+        "user_id long, ts timestamp, event_type string")
+        for i in range(2)]
+    src = _stage_batches(root, "src", [
+        ev.filter(us <= F.lit(int(cut))),
+        ev.filter(us > F.lit(int(cut))),
+        sent[0], sent[1]])
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    q = (streaming_session_timeout(stream)
+         .writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{root}/out")
+            .filter(F.col("user_id") >= 0))
+
+
+ROUND14_ORACLES["stream_session_timeout_events"] = """
+    WITH o AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         >= 1800000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts, event_type,
+               sum(ns) OVER (PARTITION BY user_id
+                             ORDER BY ts) AS sid
+        FROM o
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(max(CASE WHEN event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BOOLEAN) AS purchased
+    FROM s GROUP BY user_id, sid
+"""

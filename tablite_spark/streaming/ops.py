@@ -534,3 +534,98 @@ def streaming_upsert_compact(changes: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     ))
+
+
+_SESS_TO_STATE = T.StructType([
+    T.StructField("start_us", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+    T.StructField("n", T.LongType()),
+    T.StructField("purchased", T.BooleanType()),
+])
+_SESS_TO_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("purchased", T.BooleanType()),
+])
+_SESS_GAP_US = 30 * 60 * 1_000_000
+
+
+def _session_timeout_fn(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    def row(s, l, n, p):
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "session_start": [pd.to_datetime(s, unit="us")],
+            "session_end": [pd.to_datetime(l, unit="us")],
+            "n_events": [int(n)], "purchased": [bool(p)]})
+
+    if state.hasTimedOut:
+        s, l, n, p = state.get
+        state.remove()
+        yield row(s, l, n, p)
+        return
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    pdf = (pd.concat(parts, ignore_index=True)
+           .sort_values("ts", kind="mergesort"))
+    s, l, n, p = (state.get if state.exists
+                  else (None, None, 0, False))
+    out = []
+    for ts, et in zip(pdf["ts"], pdf["event_type"]):
+        tus = ts.value // 1000
+        if s is None:
+            s, l, n, p = tus, tus, 1, et == "purchase"
+        elif tus - l >= _SESS_GAP_US:
+            out.append((s, l, n, p))     # gap closes the session
+            s, l, n, p = tus, tus, 1, et == "purchase"
+        else:
+            l, n = tus, n + 1
+            p = p or et == "purchase"
+    state.update((int(s), int(l), int(n), bool(p)))
+    # the open session times out once the event-time watermark
+    # passes last + gap; a session already past the watermark gets
+    # wm+1 so the set call is legal and it fires next batch
+    wm_ms = state.getCurrentWatermarkMs()
+    state.setTimeoutTimestamp(max(l // 1000 + _SESS_GAP_US // 1000,
+                                  wm_ms + 1))
+    for s0, l0, n0, p0 in out:
+        yield row(s0, l0, n0, p0)
+
+
+def streaming_session_timeout(events: DataFrame,
+                              ts_col: str = "ts",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Custom sessionizer on ``applyInPandasWithState`` with
+    EVENT-TIME TIMEOUTS — the state primitive none of the other
+    streaming ops exercise: interior sessions (superseded by a
+    later same-key event after a >= 30 min gap) emit on the DATA
+    path, but the LAST session of a key has no successor event, so
+    it can only emit when ``GroupStateTimeout.EventTimeTimeout``
+    fires — the watermark passing last_event + gap proves no
+    in-order event can extend it. Each invocation re-arms the
+    timeout at max(last + gap, watermark + 1) (Spark rejects a
+    timeout at or below the current watermark; the clamp makes an
+    already-expired session fire on the NEXT batch).
+
+    The output carries the session's conversion flag, so filtering
+    ``purchased = false`` is the classic abandoned-cart feed.
+    Semantics twin: ``session_window`` aggregation / the batch
+    gaps-and-islands form — same >= gap half-open boundary — which
+    is exactly how the registry oracles it.
+
+    State is one (start, last, n, purchased) tuple per OPEN session
+    per key — hot keys cost one row (r14 session_hot burn-in
+    receipt), and timeout eviction bounds state by the watermark
+    horizon."""
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                _session_timeout_fn,
+                outputStructType=_SESS_TO_OUT,
+                stateStructType=_SESS_TO_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout,
+            ))

@@ -307,3 +307,58 @@ def test_grouped_weighted_quantiles_matches_explode(spark):
             import math as _m
             idx = _m.ceil(q * n) - 1
             assert got[(g, q)] == vals[idx], (g, q)
+
+
+# ------------------------------------------------------------------
+# event-time-timeout sessionizer
+# ------------------------------------------------------------------
+
+def test_streaming_session_timeout_paths(spark, tmp_path):
+    """The two emission paths must split exactly: an interior
+    session (superseded by a later same-key event past the gap)
+    emits on the DATA path even with no watermark movement, while a
+    trailing session emits ONLY when the event-time timeout fires —
+    a drain without sentinel batches must not contain it, and a
+    drain with them must."""
+    from tablite_spark.streaming.ops import streaming_session_timeout
+    rows0 = [(1, "2024-01-01 10:00:00", "view"),
+             (1, "2024-01-01 10:10:00", "purchase"),
+             (1, "2024-01-01 11:00:00", "view"),   # 50 min gap
+             (2, "2024-01-01 10:00:00", "view")]
+    sent = [(99, "2024-03-0%d 00:00:00" % (d + 1), "view")
+            for d in range(2)]
+
+    def drain(batches, name):
+        src = str(tmp_path / name)
+        for rows in batches:
+            (spark.createDataFrame(
+                rows, "user_id long, ts string, event_type string")
+             .withColumn("ts", F.to_timestamp("ts"))
+             .coalesce(1).write.mode("append").parquet(src))
+            time.sleep(1.1)
+        stream = (spark.readStream
+                  .schema("user_id long, ts timestamp, "
+                          "event_type string")
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        q = (streaming_session_timeout(stream)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / ("c" + name)))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["user_id"], str(r["session_start"]),
+                 r["n_events"], r["purchased"])
+                for r in spark.sql(f"SELECT * FROM {name}").collect()
+                if r["user_id"] != 99}   # sentinel user
+
+    # no sentinels: only u1's INTERIOR session can emit (data path)
+    got = drain([rows0], "st_nosent")
+    assert got == {(1, "2024-01-01 10:00:00", 2, True)}
+    # sentinels advance the watermark -> trailing sessions time out
+    got2 = drain([rows0, [sent[0]], [sent[1]]], "st_sent")
+    assert got2 == {
+        (1, "2024-01-01 10:00:00", 2, True),
+        (1, "2024-01-01 11:00:00", 1, False),   # abandoned
+        (2, "2024-01-01 10:00:00", 1, False),
+    }
