@@ -1,7 +1,7 @@
 """Round-14 scale burn-ins. Run manually:
 ``python tools/burnin_r14.py [name]`` with name in {session_hot,
-outer_sij, dedup_wm, replay_sink, rank_50m} (default: all). Results
-are transcribed into PLANS.md.
+outer_sij, dedup_wm, replay_sink, rank_50m, session_timeout_hot}
+(default: all). Results are transcribed into PLANS.md.
 
 Contract boundaries exercised:
 
@@ -382,9 +382,89 @@ def rank_50m():
     spark.stop()
 
 
+def session_timeout_hot():
+    """The EVENT-TIME-TIMEOUT sessionizer at the session_hot shape
+    (10M events, one user owning 20%): per-key state is ONE open
+    session tuple regardless of the hot key's event count, interior
+    sessions emit on the data path, and the trailing ~100k sessions
+    flush through actual timeout firings. Truth = the same
+    gaps-and-islands batch computation."""
+    from tablite_spark.streaming.ops import streaming_session_timeout
+    spark = get_spark("burnin_sess_to")
+    n = 10_000_000
+    base = (spark.range(n)
+            .select(F.when(F.col("id") % 5 == 0, F.lit(0))
+                    .otherwise(1 + F.col("id") % 100_000)
+                    .alias("user_id"),
+                    F.timestamp_micros(
+                        F.lit(1_700_000_000_000_000)
+                        + F.col("id") * 1_000_000).alias("ts"),
+                    F.when(F.col("id") % 97 == 0, "purchase")
+                    .otherwise("view").alias("event_type")))
+    root = tempfile.mkdtemp(prefix="burnin_sessto_")
+    cut = 1_700_000_000_000_000 + (n // 2) * 1_000_000
+    src = _stage_two_batches(root, "src", base, cut,
+                             "user_id long, ts timestamp, "
+                             "event_type string")
+    sent_us = 1_700_000_000_000_000 + (n + 10_000_000) * 1_000_000
+    for i in range(2):
+        sdf = spark.createDataFrame(
+            [(-1, sent_us // 1_000_000 + i * 86_400, "view")],
+            "user_id long, ts_s long, event_type string").select(
+            "user_id", F.timestamp_seconds("ts_s").alias("ts"),
+            "event_type")
+        stage = f"{root}/sent{i}"
+        sdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        dst = f"{src}/sent{i}.parquet"
+        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
+        t = 1_700_000_000 + (2 + i) * 600
+        os.utime(dst, (t, t))
+    stream = (spark.readStream
+              .schema("user_id long, ts timestamp, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", 4)
+              .option("latestFirst", "false").parquet(src))
+    t0 = time.time()
+    q = (streaming_session_timeout(stream)
+         .writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    dt = time.time() - t0
+    got = (spark.read.parquet(f"{root}/out")
+           .filter("user_id >= 0")
+           .select("user_id", F.col("session_start").alias("s"),
+                   "n_events", "purchased"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = (F.unix_micros(F.col("ts"))
+           - F.unix_micros(F.lag("ts").over(w)))
+    ns = F.when(gap.isNull() | (gap >= 1_800_000_000), 1).otherwise(0)
+    truth = (base.withColumn("__ns__", ns)
+             .withColumn("__sid__", F.sum("__ns__").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("user_id", "__sid__")
+             .agg(F.min("ts").alias("s"),
+                  F.count(F.lit(1)).alias("n_events"),
+                  F.max(F.col("event_type") == "purchase")
+                  .alias("purchased")))
+    cols = ["user_id", "s", "n_events", "purchased"]
+    diff = (got.select(cols).exceptAll(truth.select(cols)).count()
+            + truth.select(cols).exceptAll(got.select(cols)).count())
+    n_sessions = got.count()
+    print(f"session_timeout_hot: 10M events, hot user 20% -> "
+          f"{n_sessions} sessions in {dt:.1f}s; truth diff {diff} "
+          f"(loadavg {_loadavg()})")
+    assert diff == 0, diff
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+
+
 ALL = {"session_hot": session_hot, "outer_sij": outer_sij,
        "dedup_wm": dedup_wm, "replay_sink": replay_sink,
-       "rank_50m": rank_50m}
+       "rank_50m": rank_50m,
+       "session_timeout_hot": session_timeout_hot}
 
 if __name__ == "__main__":
     names = sys.argv[1:] or list(ALL)
