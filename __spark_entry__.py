@@ -45,8 +45,9 @@ from tablite_spark.registry.round14 import (  # noqa: F401
     grouped_weighted_median_lineitem, kfold_splits_docs,
     mann_whitney_events, revenue_concentration_orders,
     rfm_segments_orders, stream_dedup_watermark_events,
-    stream_interval_join_outer_events, stream_session_timeout_events,
-    tokenizer_fertility_docs)
+    stream_interval_join_outer_events, stream_matview_events,
+    stream_session_timeout_events, tokenizer_fertility_docs,
+    triangle_count_lineitem)
 
 
 # --------------------------------------------------------------------
@@ -468,6 +469,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bollinger_events": bollinger_events,
         "tokenizer_fertility_docs": tokenizer_fertility_docs,
         "stream_session_timeout_events": stream_session_timeout_events,
+        "triangle_count_lineitem": triangle_count_lineitem,
+        "stream_matview_events": stream_matview_events,
     }
 
 def oracle_sql() -> dict[str, str]:

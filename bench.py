@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "bollinger_events",
     "tokenizer_fertility_docs",
     "stream_session_timeout_events",
+    "triangle_count_lineitem",
+    "stream_matview_events",
 ]
 
 
@@ -307,7 +309,8 @@ new_in_r14 = {"stream_interval_join_outer_events",
               "revenue_concentration_orders", "kfold_splits_docs",
               "grouped_weighted_median_lineitem", "bollinger_events",
               "tokenizer_fertility_docs",
-              "stream_session_timeout_events"}
+              "stream_session_timeout_events",
+              "triangle_count_lineitem", "stream_matview_events"}
 POST_R2_SETS = (new_in_r3 | new_in_r4 | new_in_r6 | new_in_r7
                | new_in_r8 | new_in_r9 | new_in_r10 | new_in_r11
                | new_in_r12 | new_in_r13 | new_in_r14)

@@ -790,3 +790,138 @@ ROUND14_ORACLES["stream_session_timeout_events"] = """
                          THEN 1 ELSE 0 END) AS BOOLEAN) AS purchased
     FROM s GROUP BY user_id, sid
 """
+
+
+# --------------------------------------------------------------------
+# batch: triangle census (graph analytics)
+# --------------------------------------------------------------------
+
+def triangle_count_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the part co-order graph
+    (``pipeline/graph.py:triangle_count``): nodes are parts, an edge
+    joins two parts co-ordered in a ≤5-item basket (the item_cosine
+    valve), and the count runs on the degree-ordered orientation —
+    every node's out-degree is O(sqrt|E|), so the wedge join fans
+    out by ORIENTED degree, never a hub's raw degree. The oracle is
+    the plain a<b<c triple self-join: two different triangle
+    algorithms agreeing. All counts exact BIGINT; the transitivity
+    coefficient rounds at the boundary."""
+    from tablite_spark.pipeline.graph import triangle_count
+    li = _t(spark, sf, "lineitem")
+    base = (li.filter(F.col("l_orderkey").isNotNull()
+                      & F.col("l_partkey").isNotNull())
+            .select(F.col("l_orderkey").alias("bk"),
+                    F.col("l_partkey").alias("it")).distinct())
+    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") <= 5).select("bk"))
+    capped = base.join(small, "bk")
+    edges = (capped.alias("l").join(capped.alias("r"), "bk")
+             .filter(F.col("l.it") < F.col("r.it"))
+             .select(F.col("l.it").alias("src"),
+                     F.col("r.it").alias("dst")))
+    out = triangle_count(edges, "src", "dst")
+    return out.select("n_nodes", "n_edges", "n_triangles",
+                      "n_wedges",
+                      (F.round(F.col("clustering"), 6) + 0)
+                      .alias("clustering"))
+
+
+ROUND14_ORACLES["triangle_count_lineitem"] = """
+    WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), small AS (
+        SELECT bk FROM base GROUP BY 1 HAVING count(*) <= 5
+    ), capped AS (
+        SELECT base.* FROM base JOIN small USING (bk)
+    ), e AS (
+        SELECT DISTINCT l.it AS u, r.it AS v
+        FROM capped l JOIN capped r
+          ON l.bk = r.bk AND l.it < r.it
+    ), deg AS (
+        SELECT n, count(*) AS d FROM (
+            SELECT u AS n FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY 1
+    ), tri AS (
+        SELECT count(*) AS t
+        FROM e e1 JOIN e e2 ON e1.v = e2.u AND e1.u < e2.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                THEN ROUND(3.0 * (SELECT t FROM tri)
+                           / (SELECT sum(d * (d - 1) / 2) FROM deg),
+                           6) + 0 END AS clustering
+"""
+
+
+# --------------------------------------------------------------------
+# streaming: incremental materialized view with forced replay
+# --------------------------------------------------------------------
+
+def stream_matview_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Incrementally-maintained aggregate table
+    (``streaming/ops.py:incremental_matview_sink``) under a FORCED
+    batch-0 replay: per-(event_type, day) count + exact-cents sum
+    partials land in per-batch partitions (overwrite = idempotent)
+    and compact into a swap-served view each batch. The fixture
+    deletes the checkpoint's commits/0 marker between two runs —
+    the exactly_once_sink_events crash window — so the hash-matched
+    oracle proves the VIEW converges to the batch truth through a
+    real replay, which is the whole claim of an incremental MV."""
+    from tablite_spark.streaming.ops import incremental_matview_sink
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("ts").isNotNull()
+                  & F.col("value").isNotNull())
+          .select("event_type",
+                  F.date_trunc("day", F.col("ts").cast("timestamp"))
+                  .alias("day"),
+                  F.round(F.col("value") * 100, 0).cast("long")
+                  .alias("vc")))
+    us = F.unix_micros(F.col("day"))
+    cut = ev.agg(F.percentile(us, F.lit(0.5))
+                 .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="matview_")
+    parts = [ev.filter(us <= F.lit(int(cut))),
+             ev.filter(us > F.lit(int(cut)))]
+    src = _stage_batches(root, "src", parts[:1])
+    schema = "event_type string, day timestamp, vc long"
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .option("latestFirst", "false").parquet(src))
+        q = incremental_matview_sink(
+            stream, ["event_type", "day"], "vc",
+            f"{root}/mv", f"{root}/ckpt")
+        q.awaitTermination()
+
+    run()
+    os.remove(f"{root}/ckpt/commits/0")
+    crc = f"{root}/ckpt/commits/.0.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    _stage_batches(root, "src", parts)
+    run()
+    mv = spark.read.parquet(f"{root}/mv/serve")
+    return mv.select("event_type", "day",
+                     F.col("n").alias("n_events"),
+                     (F.col("s").cast("double") / 100)
+                     .alias("total_value"))
+
+
+ROUND14_ORACLES["stream_matview_events"] = """
+    SELECT event_type,
+           date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100 AS total_value
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+"""

@@ -362,3 +362,93 @@ def test_streaming_session_timeout_paths(spark, tmp_path):
         (1, "2024-01-01 11:00:00", 1, False),   # abandoned
         (2, "2024-01-01 10:00:00", 1, False),
     }
+
+
+# ------------------------------------------------------------------
+# triangle_count
+# ------------------------------------------------------------------
+
+def test_triangle_count_hand(spark):
+    """K4 has 4 triangles, 6 edges, 12 wedges, transitivity 1;
+    adding a pendant node adds a wedge-only path; directed dups and
+    self-loops canonicalize away."""
+    from tablite_spark.pipeline.graph import triangle_count
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(2, 2), (3, 4)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    r = triangle_count(df, "src", "dst").collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) \
+        == (5, 7, 4)
+    # degrees: 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15
+    assert r["n_wedges"] == 15
+    assert abs(r["clustering"] - 12 / 15) < 1e-12
+    # triangle-free star: 0 triangles, wedges from the hub
+    star = spark.createDataFrame([(0, i) for i in range(1, 5)],
+                                 "src long, dst long")
+    r2 = triangle_count(star, "src", "dst").collect()[0]
+    assert r2["n_triangles"] == 0 and r2["n_wedges"] == 6
+    assert r2["clustering"] == 0.0
+
+
+def test_triangle_count_matches_naive(spark):
+    """Degree-ordered count equals the naive driver-side census on a
+    pseudo-random graph."""
+    from itertools import combinations
+
+    from tablite_spark.pipeline.graph import triangle_count
+    edges = sorted({(min((i * 7) % 30, (i * 13 + 5) % 30),
+                     max((i * 7) % 30, (i * 13 + 5) % 30))
+                    for i in range(200)} - {(i, i) for i in range(30)})
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want = sum(1 for a, b, c in combinations(sorted(adj), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = triangle_count(df, "src", "dst").collect()[0]
+    assert r["n_triangles"] == want
+    assert r["n_edges"] == len(edges)
+
+
+# ------------------------------------------------------------------
+# incremental matview sink
+# ------------------------------------------------------------------
+
+def test_incremental_matview_replay_converges(spark, tmp_path):
+    """The served view equals the full batch aggregate after a
+    forced batch-0 replay (commit marker deleted between drains) —
+    the per-batch partial overwrite makes the replay idempotent and
+    the compaction is a pure function of the partials."""
+    import os
+
+    from tablite_spark.streaming.ops import incremental_matview_sink
+    src = str(tmp_path / "src")
+    b0 = [("a", 1), ("a", 2), ("b", 10)]
+    b1 = [("a", 4), ("c", 7)]
+    (spark.createDataFrame(b0, "k string, v long")
+     .coalesce(1).write.mode("append").parquet(src))
+
+    def run():
+        stream = (spark.readStream.schema("k string, v long")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = incremental_matview_sink(
+            stream, ["k"], "v", str(tmp_path / "mv"),
+            str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+    run()
+    got0 = {r["k"]: (r["n"], r["s"]) for r in spark.read.parquet(
+        str(tmp_path / "mv" / "serve")).collect()}
+    assert got0 == {"a": (2, 3), "b": (1, 10)}
+    os.remove(str(tmp_path / "ckpt" / "commits" / "0"))
+    crc = str(tmp_path / "ckpt" / "commits" / ".0.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    time.sleep(1.1)
+    (spark.createDataFrame(b1, "k string, v long")
+     .coalesce(1).write.mode("append").parquet(src))
+    run()
+    got = {r["k"]: (r["n"], r["s"]) for r in spark.read.parquet(
+        str(tmp_path / "mv" / "serve")).collect()}
+    assert got == {"a": (3, 7), "b": (1, 10), "c": (1, 7)}
