@@ -413,6 +413,12 @@ COMPACT_LINE_SHED = {
     # BASELINE.md mappings — the baseline compares READ throughput;
     # both are flat across r12/r13 and stay in META + SWEEP):
     "io_csv_write", "io_json_write", "bootstrap_ci_orders",
+    # room for the wave-12/13 rows: the r13 additions have now
+    # printed for two rounds with flat sub-0.6 s values (all in
+    # META + SWEEP; none BASELINE-comparable):
+    "fit_apply_scale_events", "conversion_lag_events",
+    "skew_report_lineitem", "mom_growth_orders",
+    "rolling_avg_events", "time_weighted_avg_events",
 }
 
 
