@@ -47,7 +47,10 @@ from tablite_spark.registry.round14 import (  # noqa: F401
     rfm_segments_orders, stream_dedup_watermark_events,
     stream_interval_join_outer_events, stream_matview_events,
     stream_session_timeout_events, tokenizer_fertility_docs,
-    triangle_count_lineitem)
+    triangle_count_lineitem, hll_distinct_events, skyline_orders,
+    spatial_pairs_customers, bfs_hops_lineitem, kmv_jaccard_events,
+    bloom_semi_join_lineitem, assortativity_lineitem, kcore_lineitem,
+    dbscan_customers, cms_tokens_docs, hyperball_lineitem)
 
 
 # --------------------------------------------------------------------
@@ -471,6 +474,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_session_timeout_events": stream_session_timeout_events,
         "triangle_count_lineitem": triangle_count_lineitem,
         "stream_matview_events": stream_matview_events,
+        # --- round-14 fourteenth wave (sketch / frontier / spatial /
+        #     graph-traversal shapes)
+        "hll_distinct_events": hll_distinct_events,
+        "skyline_orders": skyline_orders,
+        "spatial_pairs_customers": spatial_pairs_customers,
+        "bfs_hops_lineitem": bfs_hops_lineitem,
+        # --- round-14 fifteenth wave (KMV set-overlap sketch, Bloom
+        #     semi-join reduction, graph assortativity)
+        "kmv_jaccard_events": kmv_jaccard_events,
+        "bloom_semi_join_lineitem": bloom_semi_join_lineitem,
+        "assortativity_lineitem": assortativity_lineitem,
+        # --- round-14 sixteenth wave (k-core fixpoint, grid DBSCAN)
+        "kcore_lineitem": kcore_lineitem,
+        "dbscan_customers": dbscan_customers,
+        # --- round-14 seventeenth wave (CMS sketch, HyperBall)
+        "cms_tokens_docs": cms_tokens_docs,
+        "hyperball_lineitem": hyperball_lineitem,
     }
 
 def oracle_sql() -> dict[str, str]:

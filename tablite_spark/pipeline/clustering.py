@@ -222,3 +222,67 @@ def kmeans_cells(df: DataFrame, vec_col: str, id_col: str,
             .select("cell",
                     F.coalesce("n_points", F.lit(0)).alias("n_points"),
                     "centroid_csv"))
+
+
+def dbscan_grid(pts: DataFrame, id_col: str, x_col: str, y_col: str,
+                eps: int, min_pts: int) -> DataFrame:
+    """Distributed DBSCAN on an integer lattice — rows (id, role,
+    cluster) with role in {'core','border','noise'} and cluster =
+    the SMALLEST core id reachable through the core graph (NULL for
+    noise). Deterministic end to end:
+
+    - neighbors come from ``operators/spatial.py:grid_radius_join``
+      (the 9-neighbor cell equi join — shuffle |P| + 9|P| rows by
+      cell, never the all-pairs join a textbook DBSCAN implies);
+      a point counts ITSELF toward ``min_pts`` (the self-pair is in
+      the join output at distance 0).
+    - core points (>= min_pts in-radius neighbors) cluster through
+      ``pipeline/dedup.py:connected_components`` (hash-min label
+      propagation) over the core-core adjacency; an isolated core
+      labels itself.
+    - border points (non-core with a core neighbor) take the MIN
+      cluster label among their in-radius cores — the deterministic
+      resolution of textbook DBSCAN's first-found-wins ambiguity.
+
+    Scale shape: one cell-bucketed self-join + combinable counts +
+    the CC rounds (state = (core id, label) pairs). Cluster shape is
+    a data property; subcritical eps keeps components small, and the
+    CC engine's hash-min rounds are the standard answer either way.
+    """
+    from tablite_spark.operators.spatial import grid_radius_join
+    from tablite_spark.pipeline.dedup import connected_components
+    p = pts.select(F.col(id_col).alias("pid"),
+                   F.col(x_col).alias("x"), F.col(y_col).alias("y"))
+    nb = grid_radius_join(p, p, eps)
+    cnt = (nb.groupBy(F.col("pid_l").alias("pid"))
+           .agg(F.count(F.lit(1)).alias("n_nb")))
+    cores = cnt.filter(F.col("n_nb") >= min_pts).select("pid")
+    core_pairs = (nb
+                  .join(cores.select(F.col("pid").alias("pid_l")),
+                        "pid_l")
+                  .join(cores.select(F.col("pid").alias("pid_r")),
+                        "pid_r")
+                  .filter(F.col("pid_l") < F.col("pid_r"))
+                  .select(F.col("pid_l").alias("id_a"),
+                          F.col("pid_r").alias("id_b")))
+    comp = connected_components(core_pairs)
+    core_lab = (cores.join(comp.select(F.col("id").alias("pid"),
+                                       "component"), "pid", "left")
+                .select("pid",
+                        F.coalesce("component", F.col("pid"))
+                        .cast("long").alias("cluster")))
+    border = (nb
+              .join(cores.select(F.col("pid").alias("pid_l")),
+                    "pid_l", "left_anti")
+              .join(core_lab.select(F.col("pid").alias("pid_r"),
+                                    "cluster"), "pid_r")
+              .groupBy(F.col("pid_l").alias("pid"))
+              .agg(F.min("cluster").cast("long").alias("cluster")))
+    labeled = (core_lab.withColumn("role", F.lit("core"))
+               .unionByName(border.withColumn("role",
+                                              F.lit("border"))))
+    return (p.select("pid")
+            .join(labeled, "pid", "left")
+            .select(F.col("pid").alias(id_col),
+                    F.coalesce("role", F.lit("noise")).alias("role"),
+                    "cluster"))

@@ -44,7 +44,8 @@ from pyspark.sql import functions as F
 
 from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "bfs_hops", "k_core",
+           "hyperball"]
 
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
@@ -166,3 +167,184 @@ def triangle_count(edges: DataFrame, src_col: str,
                            3.0 * F.col("n_triangles")
                            / F.col("n_wedges"))
                     .alias("clustering")))
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, src_col: str,
+             dst_col: str, node_col: str = "node",
+             max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS hop distance over an UNDIRECTED graph:
+    rows (node, hops) for every node reachable from any seed within
+    ``max_hops`` (seeds themselves at hops 0). The lineage-curation
+    use: "everything within k links of a trusted/banned seed set".
+
+    Shape per round (the Pregel frontier pattern): ONE frontier ⋈
+    edges join on the frontier key + ONE combinable min-groupBy,
+    then an anti-join against settled nodes so state and frontier
+    hold each node AT MOST ONCE — state is O(reached nodes), the
+    frontier only ever shrinks toward the periphery, and rounds are
+    ``localCheckpoint``-pinned so lineage stays flat (the pagerank /
+    connected-components discipline). A node's distance is final the
+    first round it appears (BFS invariant), so no re-relaxation ever
+    happens — ``max_hops`` bounds the round count, not correctness.
+    """
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                     F.col(src_col).alias("b")))
+           .distinct())
+    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("hops", F.lit(0))
+            .localCheckpoint())
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (und.join(frontier.select(F.col("node").alias("a")),
+                        "a")
+               .select(F.col("b").alias("node")).distinct()
+               .join(dist.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        prev = dist
+        dist = dist.unionByName(nxt).localCheckpoint()
+        unpersist_local_checkpoint(prev)
+        if frontier is not prev:  # round 1: frontier IS the seeds
+            unpersist_local_checkpoint(frontier)
+        frontier = nxt
+    return dist.select("node", F.col("hops").cast("long")
+                       .alias("hops"))
+
+
+def k_core(edges: DataFrame, src_col: str, dst_col: str, k: int,
+           max_rounds: int = 30) -> DataFrame:
+    """The k-core of an UNDIRECTED graph — the (unique) maximal
+    subgraph where every node keeps degree >= k — as rows
+    (node, core_degree). The curation use: "parts/documents that
+    co-occur robustly", where raw degree over-counts hub noise that
+    unravels once weak neighbors leave.
+
+    Algorithm: SIMULTANEOUS peeling to the fixpoint — each round
+    recomputes degrees within the surviving set (two semi joins +
+    one combinable groupBy) and drops every node under k at once.
+    The k-core is a confluent fixpoint, so simultaneous rounds reach
+    exactly it, in at most graph-unraveling-depth rounds (single
+    digits on co-occurrence graphs; ``max_rounds`` guards pathological
+    chains and raises rather than returning a non-fixpoint). Rounds
+    are ``localCheckpoint``-pinned (the pagerank/CC discipline);
+    per-round state is the (node) survivor frame, never the corpus.
+
+    Returns the SAME relation the last degree recomputation produced,
+    so ``core_degree`` is each node's degree inside the final core.
+    """
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                     F.col(src_col).alias("b")))
+           .distinct().persist())
+    alive = (und.select(F.col("a").alias("node")).distinct()
+             .localCheckpoint())
+    n_alive = alive.count()
+    try:
+        for _ in range(max_rounds):
+            deg = (und
+                   .join(alive.select(F.col("node").alias("a")), "a")
+                   .join(alive.select(F.col("node").alias("b")), "b")
+                   .groupBy(F.col("a").alias("node"))
+                   .agg(F.count(F.lit(1)).cast("long")
+                        .alias("core_degree")))
+            keep = deg.filter(F.col("core_degree") >= k)
+            n_keep = keep.count()
+            if n_keep == n_alive or n_keep == 0:
+                # materialize before the finally-block frees und
+                return keep.localCheckpoint()
+            prev = alive
+            alive = keep.select("node").localCheckpoint()
+            unpersist_local_checkpoint(prev)
+            n_alive = n_keep
+        raise RuntimeError(
+            f"k_core did not converge in {max_rounds} rounds")
+    finally:
+        und.unpersist()
+
+
+def hyperball(edges: DataFrame, src_col: str, dst_col: str,
+              max_h: int = 3, b: int = 6) -> list[tuple[int, int]]:
+    """Approximate neighborhood function via per-node HLL sketches —
+    the HyperBall algorithm (Boldi & Vigna 2013), THE way to answer
+    "how many node pairs lie within h hops" on a graph where exact
+    all-pairs BFS is quadratic. Returns [(h, nf_micro)] for
+    h = 0..max_h, where nf_micro = Σ over nodes of
+    round(est |ball(node, h)| · 1e6) — per-node estimates quantize
+    to integer MICRO-UNITS before the sum (the pagerank discipline),
+    so the total is an exact BIGINT sum: order-free, partitioning-
+    free, and replayable verbatim by a DuckDB oracle.
+
+    State per round: (node, register, rho) with m = 2^b registers —
+    at most m rows per node regardless of ball size. A round is ONE
+    edges ⋈ state join + ONE combinable max-groupBy (register maxes
+    union the neighbor balls — the HLL mergeability doing the
+    traversal's work), localCheckpoint-pinned. b defaults to 6
+    (m=64): HyperBall's own regime — neighborhood estimates trade
+    precision for 16x less state than the m=1024 counting sketch.
+    """
+    m = 1 << b
+    rho_bits = 60 - b
+    w_mask = (1 << rho_bits) - 1
+    rho_max = rho_bits + 1
+    q = 1 << rho_max
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    numer = alpha * m * m * float(q)
+
+    und = (edges.select(F.col(src_col).alias("a"),
+                        F.col(dst_col).alias("b"))
+           .unionByName(edges.select(F.col(dst_col).alias("a"),
+                                     F.col(src_col).alias("b")))
+           .distinct().persist())
+    h = F.conv(F.substring(F.md5(F.col("node").cast("string")),
+                           1, 15), 16, 10).cast("long")
+    state = (und.select(F.col("a").alias("node")).distinct()
+             .select("node",
+                     F.shiftright(h, rho_bits).cast("int")
+                     .alias("register"),
+                     h.bitwiseAND(F.lit(w_mask)).alias("__w__"))
+             .select("node", "register",
+                     F.when(F.col("__w__") == 0, F.lit(rho_max))
+                     .otherwise(F.lit(rho_max)
+                                - F.length(F.expr("bin(__w__)")))
+                     .cast("int").alias("rho"))
+             .localCheckpoint())
+
+    def nf_micro(st: DataFrame) -> int:
+        agg = (st.groupBy("node")
+               .agg(F.count(F.lit(1)).alias("np"),
+                    F.sum(F.expr(
+                        f"shiftleft(cast(1 as bigint), "
+                        f"{rho_max} - rho)")).alias("s")))
+        vz = F.lit(m).cast("long") - F.col("np")
+        denom = (vz * F.lit(q).cast("long") + F.col("s"))
+        raw = F.lit(numer) / denom.cast("double")
+        lin = F.lit(float(m)) * F.log(F.lit(float(m)) / vz)
+        est = F.when((raw <= 2.5 * m) & (vz > 0), lin).otherwise(raw)
+        return int(agg.select(
+            F.sum(F.round(est * 1e6, 0).cast("long")).alias("nf"))
+            .collect()[0]["nf"])
+
+    out = [(0, nf_micro(state))]
+    try:
+        for hh in range(1, max_h + 1):
+            contrib = (und.join(
+                state.select(F.col("node").alias("b"),
+                             "register", "rho"), "b")
+                .select(F.col("a").alias("node"), "register", "rho"))
+            prev = state
+            state = (contrib.unionByName(
+                state.select("node", "register", "rho"))
+                .groupBy("node", "register")
+                .agg(F.max("rho").alias("rho"))
+                .localCheckpoint())
+            unpersist_local_checkpoint(prev)
+            out.append((hh, nf_micro(state)))
+        return out
+    finally:
+        und.unpersist()

@@ -925,3 +925,884 @@ ROUND14_ORACLES["stream_matview_events"] = """
     WHERE ts IS NOT NULL AND value IS NOT NULL
     GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------
+# batch: HyperLogLog distinct sketch (bit-exact register parity)
+# --------------------------------------------------------------------
+
+def hll_distinct_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type distinct-user HyperLogLog sketch
+    (``functions/sketches.py``) with the EXACT distinct count beside
+    it — the sketch-accuracy audit a pipeline runs before trusting
+    sketched cardinalities at corpus scale. The register census is
+    ONE combinable groupBy bounded at m=1024 rows per type (the
+    mergeable-sketch shuffle shape: group x register, never
+    group x user), the harmonic denominator accumulates in Q51
+    FIXED-POINT BIGINT, and the md5-register arithmetic is replayed
+    verbatim by the oracle — register state, zero counts and the
+    Q51 denominator are bit-exact across engines; only the final
+    estimate divides (and small-range ln's), rounded at the
+    boundary."""
+    from tablite_spark.functions.sketches import (hll_estimate,
+                                                  hll_register_census)
+    ev = _t(spark, sf, "events")
+    cen = hll_register_census(ev, "user_id", ["event_type"])
+    est = hll_estimate(cen, ["event_type"])
+    exact = (ev.filter(F.col("user_id").isNotNull())
+             .groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return (est.join(exact, "event_type")
+            .select("event_type", "n_present", "v_zero",
+                    "denom_q51", "hll_estimate", "exact_distinct",
+                    (F.round((F.col("hll_estimate")
+                              / F.col("exact_distinct") - 1) * 100,
+                             4) + 0).alias("rel_err_pct")))
+
+
+def _hll_oracle() -> str:
+    from tablite_spark.functions.sketches import hll_oracle_sql
+    est = hll_oracle_sql("user_id", "events", "event_type")
+    return f"""
+    WITH est AS ({est}),
+    x AS (
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS exact_distinct
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT est.event_type, n_present, v_zero, denom_q51,
+           hll_estimate, exact_distinct,
+           ROUND((hll_estimate / exact_distinct - 1) * 100, 4) + 0
+               AS rel_err_pct
+    FROM est JOIN x ON est.event_type = x.event_type
+    """
+
+
+ROUND14_ORACLES["hll_distinct_events"] = _hll_oracle()
+
+
+# --------------------------------------------------------------------
+# batch: 2-D skyline (Pareto frontier)
+# --------------------------------------------------------------------
+
+def skyline_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Cheapest-earliest Pareto frontier of orders — every order not
+    dominated on (total price, order date), i.e. no other order was
+    both <= as cheap and <= as early with one strict. Runs on
+    ``operators/skyline.py:skyline_2d``: a combinable price census
+    + the range-bucket strict-prefix-min engine — windows only ever
+    partition by the bounded bucket id, never one global sort task
+    (the census-prefix discipline at frontier shape). Axes are
+    exact integers (cents, epoch days); the oracle replays the
+    frontier with a DuckDB global window over the same census."""
+    from tablite_spark.operators.skyline import skyline_2d
+    o = _t(spark, sf, "orders")
+    pts = (o.filter(F.col("o_totalprice").isNotNull()
+                    & F.col("o_orderdate").isNotNull())
+           .select(F.round(F.col("o_totalprice") * 100, 0)
+                   .cast("long").alias("price_cents"),
+                   F.datediff(F.col("o_orderdate").cast("date"),
+                              F.lit("1970-01-01").cast("date"))
+                   .cast("long").alias("__yd__")))
+    sky = skyline_2d(pts, "price_cents", "__yd__")
+    return sky.select(
+        "price_cents",
+        F.expr("cast(date_add(DATE '1970-01-01', "
+               "cast(__yd__ as int)) as timestamp)")
+        .alias("orderdate"))
+
+
+ROUND14_ORACLES["skyline_orders"] = """
+    WITH p AS (
+        SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                   AS price_cents,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS yd
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+    ), c AS (
+        SELECT price_cents, min(yd) AS yd FROM p GROUP BY 1
+    ), w AS (
+        SELECT price_cents, yd,
+               min(yd) OVER (ORDER BY price_cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS pm
+        FROM c
+    )
+    SELECT price_cents,
+           CAST(DATE '1970-01-01' + CAST(yd AS INTEGER) AS TIMESTAMP)
+               AS orderdate
+    FROM w WHERE pm IS NULL OR pm > yd
+"""
+
+
+# --------------------------------------------------------------------
+# batch: grid-bucketed spatial radius join
+# --------------------------------------------------------------------
+
+def spatial_pairs_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer-supplier proximity pairs within radius 5000 on a
+    deterministic 100k x 100k integer lattice (coordinates are
+    md5-derived from the keys — the engine-portable hash
+    discipline), via ``operators/spatial.py:grid_radius_join``: the
+    9-neighbor cell equi join whose shuffle is |customers| +
+    9|suppliers| rows keyed by cell — NEVER the cross join the
+    DuckDB oracle deliberately runs (two different algorithms; any
+    cell-hop miss at a boundary mismatches). Distances stay exact
+    squared BIGINTs."""
+    from tablite_spark.operators.spatial import grid_radius_join
+
+    def lattice(df: DataFrame, key: str, out: str) -> DataFrame:
+        def ax(salt: str):
+            return (F.conv(F.substring(
+                F.md5(F.concat(F.lit(salt),
+                               F.col(key).cast("string"))), 1, 8),
+                16, 10).cast("long") % 100000)
+        return df.select(F.col(key).alias(out),
+                         ax("gx").alias("x"), ax("gy").alias("y"))
+
+    cust = lattice(_t(spark, sf, "customer"), "c_custkey", "custkey")
+    supp = lattice(_t(spark, sf, "supplier"), "s_suppkey", "suppkey")
+    out = grid_radius_join(cust, supp, radius=5000)
+    return out.select(F.col("custkey_l").alias("custkey"),
+                      F.col("suppkey_r").alias("suppkey"),
+                      "dist_sq")
+
+
+ROUND14_ORACLES["spatial_pairs_customers"] = """
+    WITH c AS (
+        SELECT c_custkey AS custkey,
+               CAST(CAST(('0x' || substring(md5('gx' ||
+                   CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % 100000 AS BIGINT) AS x,
+               CAST(CAST(('0x' || substring(md5('gy' ||
+                   CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % 100000 AS BIGINT) AS y
+        FROM customer
+    ), s AS (
+        SELECT s_suppkey AS suppkey,
+               CAST(CAST(('0x' || substring(md5('gx' ||
+                   CAST(s_suppkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % 100000 AS BIGINT) AS x,
+               CAST(CAST(('0x' || substring(md5('gy' ||
+                   CAST(s_suppkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % 100000 AS BIGINT) AS y
+        FROM supplier
+    )
+    SELECT custkey, suppkey,
+           (c.x - s.x) * (c.x - s.x)
+           + (c.y - s.y) * (c.y - s.y) AS dist_sq
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x)
+          + (c.y - s.y) * (c.y - s.y) <= 25000000
+"""
+
+
+# --------------------------------------------------------------------
+# batch: multi-source BFS hop distance
+# --------------------------------------------------------------------
+
+def bfs_hops_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop distance from a seed set over the capped part co-order
+    graph (the triangle-count graph): every part within 3 co-order
+    hops of a seed part (partkey % 13 == 0), with its minimum hop
+    count — the "k links from a trusted set" lineage-curation query.
+    Runs on ``pipeline/graph.py:bfs_hops`` (Pregel frontier rounds:
+    frontier ⋈ edges + combinable min + anti-join against settled
+    state, localCheckpoint-pinned); the oracle is a DuckDB RECURSIVE
+    CTE — two different traversal algorithms agreeing."""
+    from tablite_spark.pipeline.graph import bfs_hops
+    li = _t(spark, sf, "lineitem")
+    base = (li.filter(F.col("l_orderkey").isNotNull()
+                      & F.col("l_partkey").isNotNull())
+            .select(F.col("l_orderkey").alias("bk"),
+                    F.col("l_partkey").alias("it")).distinct())
+    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") <= 5).select("bk"))
+    capped = base.join(small, "bk")
+    edges = (capped.alias("l").join(capped.alias("r"), "bk")
+             .filter(F.col("l.it") < F.col("r.it"))
+             .select(F.col("l.it").alias("src"),
+                     F.col("r.it").alias("dst")).distinct())
+    nodes = (edges.select(F.col("src").alias("node"))
+             .unionByName(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    seeds = nodes.filter(F.col("node") % 13 == 0)
+    out = bfs_hops(edges, seeds, "src", "dst", max_hops=3)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      "hops")
+
+
+ROUND14_ORACLES["bfs_hops_lineitem"] = """
+    WITH RECURSIVE base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), small AS (
+        SELECT bk FROM base GROUP BY 1 HAVING count(*) <= 5
+    ), capped AS (
+        SELECT base.* FROM base JOIN small USING (bk)
+    ), e AS (
+        SELECT DISTINCT l.it AS u, r.it AS v
+        FROM capped l JOIN capped r
+          ON l.bk = r.bk AND l.it < r.it
+    ), und AS (
+        SELECT u AS a, v AS b FROM e
+        UNION SELECT v, u FROM e
+    ), seeds AS (
+        SELECT DISTINCT a AS n FROM und WHERE a % 13 = 0
+    ), r(node, hops) AS (
+        SELECT n, 0 FROM seeds
+        UNION
+        SELECT und.b, r.hops + 1
+        FROM r JOIN und ON und.a = r.node
+        WHERE r.hops < 3
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(hops) AS BIGINT) AS hops
+    FROM r GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# batch: KMV sketch Jaccard between event-type audiences
+# --------------------------------------------------------------------
+
+def kmv_jaccard_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise audience overlap between event types over USER-DAY
+    entities, estimated from KMV sketches (``functions/sketches.py``:
+    k smallest 60-bit md5 hashes per type, k-smallest computed on
+    the SALTED top-k engine — the skew valve) with the exact Jaccard
+    beside it — the sketch-accuracy audit for set-overlap questions
+    a pipeline answers from sketches at corpus scale (audience
+    overlap, day-over-day retention of distinct keys). Post-sketch
+    relations are bounded at |types| x k rows; the |types|^2 pair
+    frame is the documented 1-row-broadcast-class cross join. The
+    oracle replays sketch construction, union ranking and both
+    ratio boundaries verbatim."""
+    from tablite_spark.functions.sketches import (kmv_estimate,
+                                                  kmv_jaccard_pairs,
+                                                  kmv_sketch)
+    ev = _t(spark, sf, "events")
+    ent = (ev.filter(F.col("user_id").isNotNull()
+                     & F.col("ts").isNotNull())
+           .select("event_type",
+                   F.concat(F.col("user_id").cast("string"),
+                            F.lit(":"),
+                            F.datediff(F.col("ts").cast("date"),
+                                       F.lit("1970-01-01")
+                                       .cast("date")).cast("string"))
+                   .alias("entity")))
+    sk = kmv_sketch(ent, "entity", "event_type")
+    est = kmv_estimate(sk, "event_type")
+    prs = kmv_jaccard_pairs(sk, "event_type")
+    es = ent.distinct()
+    sizes = (es.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_exact")))
+    inter = (es.select(F.col("event_type").alias("ga"),
+                       "entity")
+             .join(es.select(F.col("event_type").alias("gb"),
+                             "entity"), "entity")
+             .filter(F.col("ga") < F.col("gb"))
+             .groupBy("ga", "gb")
+             .agg(F.count(F.lit(1)).cast("long")
+                  .alias("n_exact_inter")))
+    out = (prs
+           .join(est.select(F.col("event_type").alias("ga"),
+                            F.col("kmv_estimate").alias("kmv_est_a")),
+                 "ga")
+           .join(est.select(F.col("event_type").alias("gb"),
+                            F.col("kmv_estimate").alias("kmv_est_b")),
+                 "gb")
+           .join(sizes.select(F.col("event_type").alias("ga"),
+                              F.col("n_exact").alias("n_exact_a")),
+                 "ga")
+           .join(sizes.select(F.col("event_type").alias("gb"),
+                              F.col("n_exact").alias("n_exact_b")),
+                 "gb")
+           .join(inter, ["ga", "gb"], "left")
+           .withColumn("n_exact_inter",
+                       F.coalesce("n_exact_inter", F.lit(0))
+                       .cast("long")))
+    return out.select(
+        "ga", "gb", "n_union_sketch", "n_inter_sketch",
+        "kmv_jaccard", "kmv_est_a", "kmv_est_b",
+        "n_exact_a", "n_exact_b", "n_exact_inter",
+        (F.round(F.col("n_exact_inter")
+                 / (F.col("n_exact_a") + F.col("n_exact_b")
+                    - F.col("n_exact_inter")), 6) + 0)
+        .alias("exact_jaccard"))
+
+
+def _kmv_oracle() -> str:
+    from tablite_spark.functions.sketches import (KMV_K, _KMV_SPACE,
+                                                  kmv_oracle_cte)
+    ent = ("(CAST(user_id AS VARCHAR) || ':' || "
+           "CAST(date_diff('day', DATE '1970-01-01', "
+           "CAST(ts AS DATE)) AS VARCHAR))")
+    cte = kmv_oracle_cte(
+        ent, "(SELECT * FROM events WHERE user_id IS NOT NULL "
+             "AND ts IS NOT NULL)", "event_type")
+    numer = repr(float(KMV_K - 1) * _KMV_SPACE)
+    return f"""
+    WITH {cte},
+    est AS (
+        SELECT g, count(*) AS n_s, max(h) AS hk FROM kmv GROUP BY 1
+    ), estv AS (
+        SELECT g,
+               ROUND(CASE WHEN n_s < {KMV_K}
+                     THEN CAST(n_s AS DOUBLE)
+                     ELSE {numer} / CAST(hk AS DOUBLE) END, 4) + 0
+                   AS kmv_estimate
+        FROM est
+    ), prs AS (
+        SELECT a.g AS ga, b.g AS gb
+        FROM (SELECT DISTINCT g FROM kmv) a,
+             (SELECT DISTINCT g FROM kmv) b
+        WHERE a.g < b.g
+    ), un AS (
+        SELECT prs.ga, prs.gb, k.h,
+               max(CASE WHEN k.g = prs.ga THEN 1 END) AS in_a,
+               max(CASE WHEN k.g = prs.gb THEN 1 END) AS in_b
+        FROM prs JOIN kmv k ON k.g IN (prs.ga, prs.gb)
+        GROUP BY 1, 2, 3
+    ), top AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY ga, gb
+                                         ORDER BY h) AS rn
+            FROM un
+        ) WHERE rn <= {KMV_K}
+    ), sk_j AS (
+        SELECT ga, gb,
+               CAST(count(*) AS BIGINT) AS n_union_sketch,
+               CAST(sum(CASE WHEN in_a IS NOT NULL
+                             AND in_b IS NOT NULL THEN 1
+                        ELSE 0 END) AS BIGINT) AS n_inter_sketch
+        FROM top GROUP BY 1, 2
+    ), ent AS (
+        SELECT DISTINCT event_type AS g,
+               {ent} AS e
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), sizes AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS n_exact
+        FROM ent GROUP BY 1
+    ), xinter AS (
+        SELECT a.g AS ga, b.g AS gb,
+               CAST(count(*) AS BIGINT) AS n_exact_inter
+        FROM ent a JOIN ent b ON a.e = b.e AND a.g < b.g
+        GROUP BY 1, 2
+    )
+    SELECT s.ga, s.gb, s.n_union_sketch, s.n_inter_sketch,
+           ROUND(s.n_inter_sketch / s.n_union_sketch, 6) + 0
+               AS kmv_jaccard,
+           ea.kmv_estimate AS kmv_est_a,
+           eb.kmv_estimate AS kmv_est_b,
+           sa.n_exact AS n_exact_a, sb.n_exact AS n_exact_b,
+           CAST(COALESCE(x.n_exact_inter, 0) AS BIGINT)
+               AS n_exact_inter,
+           ROUND(COALESCE(x.n_exact_inter, 0)
+                 / (sa.n_exact + sb.n_exact
+                    - COALESCE(x.n_exact_inter, 0)), 6) + 0
+               AS exact_jaccard
+    FROM sk_j s
+    JOIN estv ea ON ea.g = s.ga
+    JOIN estv eb ON eb.g = s.gb
+    JOIN sizes sa ON sa.g = s.ga
+    JOIN sizes sb ON sb.g = s.gb
+    LEFT JOIN xinter x ON x.ga = s.ga AND x.gb = s.gb
+    """
+
+
+ROUND14_ORACLES["kmv_jaccard_events"] = _kmv_oracle()
+
+
+# --------------------------------------------------------------------
+# batch: Bloom-prefiltered semi join
+# --------------------------------------------------------------------
+
+def bloom_semi_join_lineitem(spark: SparkSession,
+                             sf: str) -> DataFrame:
+    """Revenue by return flag over the line items of URGENT orders
+    above $150k — the selective-dim semi join, executed through
+    ``operators/bloomjoin.py:bloom_semi_join``: the order-key subset
+    builds a broadcast Bloom bitmap and the lineitem probe side
+    drops map-side BEFORE the exact confirm join, so the shuffle
+    sees ~the matching sliver instead of the corpus (false
+    negatives impossible; false positives removed by the confirm
+    join). The oracle is the PLAIN semi join — one Bloom-induced
+    row loss or phantom mismatches the census."""
+    from tablite_spark.operators.bloomjoin import bloom_semi_join
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    sel = o.filter((F.col("o_orderpriority") == "1-URGENT")
+                   & (F.col("o_totalprice") > 150000))
+    hit = bloom_semi_join(li, sel, "l_orderkey", "o_orderkey")
+    return (hit.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100, 0))
+                 .cast("long").alias("revenue_cents")))
+
+
+ROUND14_ORACLES["bloom_semi_join_lineitem"] = """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(round(l_extendedprice * 100, 0)) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_totalprice > 150000)
+    GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# batch: degree assortativity of the co-order graph
+# --------------------------------------------------------------------
+
+def assortativity_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson degree assortativity of the capped part co-order
+    graph (the triangle-count graph): do high-degree parts co-order
+    with high-degree parts? Sums accumulate over BOTH edge
+    orientations as exact BIGINTs (Σd, Σd², Σd_u d_v — the Pearson
+    operands), the ratio divides once at the boundary; a regular
+    graph (zero variance) ships NULL on both engines. Degree census
+    + two keyed joins — combinable end to end, no windows."""
+    li = _t(spark, sf, "lineitem")
+    base = (li.filter(F.col("l_orderkey").isNotNull()
+                      & F.col("l_partkey").isNotNull())
+            .select(F.col("l_orderkey").alias("bk"),
+                    F.col("l_partkey").alias("it")).distinct())
+    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") <= 5).select("bk"))
+    capped = base.join(small, "bk")
+    edges = (capped.alias("l").join(capped.alias("r"), "bk")
+             .filter(F.col("l.it") < F.col("r.it"))
+             .select(F.col("l.it").alias("src"),
+                     F.col("r.it").alias("dst")).distinct())
+    und = (edges.select(F.col("src").alias("a"),
+                        F.col("dst").alias("b"))
+           .unionByName(edges.select(F.col("dst").alias("a"),
+                                     F.col("src").alias("b"))))
+    deg = und.groupBy(F.col("a").alias("n")) \
+             .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    j = (und.join(deg.select(F.col("n").alias("a"),
+                             F.col("d").alias("da")), "a")
+         .join(deg.select(F.col("n").alias("b"),
+                          F.col("d").alias("db")), "b"))
+    agg = j.agg(F.count(F.lit(1)).cast("long").alias("m"),
+                F.sum(F.col("da") * F.col("db")).cast("long")
+                .alias("sxy"),
+                F.sum("da").cast("long").alias("sx"),
+                F.sum(F.col("da") * F.col("da")).cast("long")
+                .alias("sxx"))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+                 F.max("d").cast("long").alias("max_deg"))
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (agg.crossJoin(F.broadcast(nn))
+            .select("n_nodes",
+                    (F.col("m") / 2).cast("long").alias("n_edges"),
+                    "max_deg",
+                    (F.round(F.when(den != 0, num / den), 6) + 0)
+                    .alias("assortativity")))
+
+
+ROUND14_ORACLES["assortativity_lineitem"] = """
+    WITH base AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), small AS (
+        SELECT bk FROM base GROUP BY 1 HAVING count(*) <= 5
+    ), capped AS (
+        SELECT base.* FROM base JOIN small USING (bk)
+    ), e AS (
+        SELECT DISTINCT l.it AS u, r.it AS v
+        FROM capped l JOIN capped r
+          ON l.bk = r.bk AND l.it < r.it
+    ), und AS (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v, u FROM e
+    ), deg AS (
+        SELECT a AS n, CAST(count(*) AS BIGINT) AS d
+        FROM und GROUP BY 1
+    ), j AS (
+        SELECT da.d AS da, db.d AS db
+        FROM und JOIN deg da ON da.n = und.a
+                 JOIN deg db ON db.n = und.b
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS m,
+               CAST(sum(da * db) AS BIGINT) AS sxy,
+               CAST(sum(da) AS BIGINT) AS sx,
+               CAST(sum(da * da) AS BIGINT) AS sxx
+        FROM j
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(max(d) AS BIGINT) FROM deg) AS max_deg,
+           ROUND(CASE WHEN (m * sxx - sx * sx) != 0
+                 THEN (m * sxy - sx * sx)
+                      / CAST(m * sxx - sx * sx AS DOUBLE) END,
+                 6) + 0 AS assortativity
+    FROM agg
+"""
+
+
+# --------------------------------------------------------------------
+# batch: k-core decomposition of the co-order graph
+# --------------------------------------------------------------------
+
+def kcore_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """The 30-core of the capped part co-order graph — parts whose
+    co-order relationships survive when weakly-connected neighbors
+    unravel (``pipeline/graph.py:k_core``: simultaneous peeling to
+    the unique fixpoint, two semi joins + one combinable groupBy per
+    round, localCheckpoint-pinned). Peeling takes 3-5 rounds at the
+    three SFs with ~3-16% of nodes removed — a REAL cascade, not a
+    no-op filter (k was chosen against the degree census; k >= 35
+    unravels the whole graph). The oracle unrolls 10 simultaneous
+    peel rounds as chained CTEs — past the measured fixpoint, so
+    both engines land on the same core with the same in-core
+    degrees."""
+    from tablite_spark.pipeline.graph import k_core
+    li = _t(spark, sf, "lineitem")
+    base = (li.filter(F.col("l_orderkey").isNotNull()
+                      & F.col("l_partkey").isNotNull())
+            .select(F.col("l_orderkey").alias("bk"),
+                    F.col("l_partkey").alias("it")).distinct())
+    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") <= 5).select("bk"))
+    capped = base.join(small, "bk")
+    edges = (capped.alias("l").join(capped.alias("r"), "bk")
+             .filter(F.col("l.it") < F.col("r.it"))
+             .select(F.col("l.it").alias("src"),
+                     F.col("r.it").alias("dst")).distinct())
+    out = k_core(edges, "src", "dst", k=30)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      "core_degree")
+
+
+def _kcore_oracle(k: int = 30, rounds: int = 10) -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # peel round references its predecessor TWICE — inlining makes
+    # the 10-round chain a 2^10 expansion of the base scan (measured:
+    # the un-materialized form never finished at sf0.001; with
+    # MATERIALIZED it runs in 0.6 s)
+    parts = ["""
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), small AS MATERIALIZED (
+        SELECT bk FROM base GROUP BY 1 HAVING count(*) <= 5
+    ), capped AS MATERIALIZED (
+        SELECT base.* FROM base JOIN small USING (bk)
+    ), e AS MATERIALIZED (
+        SELECT DISTINCT l.it AS u, r.it AS v
+        FROM capped l JOIN capped r
+          ON l.bk = r.bk AND l.it < r.it
+    ), und AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v, u FROM e
+    ), a0 AS MATERIALIZED (
+        SELECT DISTINCT a AS n FROM und
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", d{r} AS MATERIALIZED (
+        SELECT und.a AS n, count(*) AS d
+        FROM und JOIN a{r - 1} x ON und.a = x.n
+                 JOIN a{r - 1} y ON und.b = y.n
+        GROUP BY 1
+    ), a{r} AS MATERIALIZED (
+        SELECT n FROM d{r} WHERE d >= {k}
+    )""")
+    parts.append(f"""
+    SELECT CAST(n AS BIGINT) AS node, CAST(d AS BIGINT)
+               AS core_degree
+    FROM d{rounds} WHERE d >= {k}
+    """)
+    return "".join(parts)
+
+
+ROUND14_ORACLES["kcore_lineitem"] = _kcore_oracle()
+
+
+# --------------------------------------------------------------------
+# batch: grid-DBSCAN over the customer lattice
+# --------------------------------------------------------------------
+
+def dbscan_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """DBSCAN density clustering of customers on the deterministic
+    md5 lattice (``pipeline/clustering.py:dbscan_grid`` — the
+    cell-bucketed neighbor join + hash-min connected components over
+    core points; border points take the MIN neighboring core
+    cluster, the deterministic resolution of textbook DBSCAN's
+    first-found ambiguity). The lattice side scales as
+    floor(sqrt(n)·4000) so point DENSITY is SF-invariant: eps=2200 /
+    min_pts=3 sits below the continuum-percolation threshold, which
+    keeps every SF's role census non-trivial (48/18/84 core/border/
+    noise at sf0.001, 3745/1782/9473 at sf0.1) and clusters small.
+    The oracle replays neighbors via the all-pairs CROSS join (a
+    different algorithm) and the components via a recursive CTE."""
+    from tablite_spark.pipeline.clustering import dbscan_grid
+    c = _t(spark, sf, "customer")
+    ln = c.agg(F.floor(F.sqrt(F.count(F.lit(1))) * 4000)
+               .cast("long").alias("__L__"))
+
+    def ax(salt: str):
+        return (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt),
+                           F.col("c_custkey").cast("string"))), 1, 8),
+            16, 10).cast("long") % F.col("__L__"))
+
+    pts = (c.crossJoin(F.broadcast(ln))
+           .select(F.col("c_custkey").alias("custkey"),
+                   ax("gx").alias("x"), ax("gy").alias("y")))
+    out = dbscan_grid(pts, "custkey", "x", "y",
+                      eps=2200, min_pts=3)
+    return out.select("custkey", "role",
+                      F.col("cluster").cast("long").alias("cluster"))
+
+
+ROUND14_ORACLES["dbscan_customers"] = """
+    WITH RECURSIVE lsz AS (
+        SELECT CAST(FLOOR(SQRT(count(*)) * 4000) AS BIGINT) AS L
+        FROM customer
+    ), p AS (
+        SELECT c_custkey AS pid,
+               CAST(CAST(('0x' || substring(md5('gx' ||
+                   CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % L AS BIGINT) AS x,
+               CAST(CAST(('0x' || substring(md5('gy' ||
+                   CAST(c_custkey AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   % L AS BIGINT) AS y
+        FROM customer, lsz
+    ), nb AS (
+        SELECT a.pid AS pa, b.pid AS pb
+        FROM p a, p b
+        WHERE (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= 2200 * 2200
+    ), cnt AS (
+        SELECT pa, count(*) AS n FROM nb GROUP BY 1
+    ), cores AS (
+        SELECT pa AS pid FROM cnt WHERE n >= 3
+    ), ce AS (
+        SELECT nb.pa AS a, nb.pb AS b
+        FROM nb JOIN cores c1 ON nb.pa = c1.pid
+                JOIN cores c2 ON nb.pb = c2.pid
+        WHERE nb.pa != nb.pb
+    ), reach(id, label) AS (
+        SELECT pid, pid FROM cores
+        UNION
+        SELECT ce.b, r.label FROM reach r JOIN ce ON ce.a = r.id
+    ), comp AS (
+        SELECT id, CAST(min(label) AS BIGINT) AS cluster
+        FROM reach GROUP BY 1
+    ), border AS (
+        SELECT nb.pa AS pid, CAST(min(comp.cluster) AS BIGINT)
+                   AS cluster
+        FROM nb JOIN cores c2 ON nb.pb = c2.pid
+                JOIN comp ON comp.id = nb.pb
+        WHERE nb.pa NOT IN (SELECT pid FROM cores)
+        GROUP BY 1
+    )
+    SELECT p.pid AS custkey,
+           CASE WHEN comp.cluster IS NOT NULL THEN 'core'
+                WHEN border.cluster IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           COALESCE(comp.cluster, border.cluster) AS cluster
+    FROM p
+    LEFT JOIN comp ON comp.id = p.pid
+    LEFT JOIN border ON border.pid = p.pid
+"""
+
+
+# --------------------------------------------------------------------
+# batch: Count-Min sketch frequency audit over document tokens
+# --------------------------------------------------------------------
+
+def cms_tokens_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch frequency estimates for the corpus's top-20
+    tokens, with exact counts beside them — the counting member of
+    the sketch trio (HLL distinct / KMV overlap / CMS frequency)
+    and its accuracy audit. The sketch is ONE combinable groupBy
+    bounded at d*w = 4096 cells regardless of corpus size
+    (``functions/sketches.py:cms_census``); estimates = min over the
+    d addressed cells, NEVER below the exact count (the CMS
+    one-sided guarantee — ``overshoot`` is the audit column). The
+    top-20 probe set comes from the exact census via Spark's
+    distributed TakeOrderedAndProject (sort-free top-k). Cells and
+    all outputs are exact integers — the oracle replays them
+    bit-for-bit."""
+    from tablite_spark.functions.sketches import (cms_census,
+                                                  cms_point_estimates)
+    d = _t(spark, sf, "documents")
+    toks = (d.select(F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        .alias("tok"))
+        .filter(F.col("tok") != ""))
+    exact = (toks.groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("long").alias("exact_n")))
+    top = exact.orderBy(F.col("exact_n").desc(),
+                        F.col("tok").asc()).limit(20)
+    cms = cms_census(toks, "tok")
+    est = cms_point_estimates(cms, top, "tok")
+    return (top.join(est, "tok")
+            .select("tok", "exact_n", "cms_est",
+                    (F.col("cms_est") - F.col("exact_n"))
+                    .cast("long").alias("overshoot")))
+
+
+def _cms_oracle() -> str:
+    from tablite_spark.functions.sketches import (CMS_D, CMS_W,
+                                                  cms_oracle_cells)
+    cells = cms_oracle_cells("tok", "toks2")
+    return f"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(
+            LOWER(TRIM(text)), '\\s+')) AS tok
+        FROM documents
+    ), toks2 AS (
+        SELECT tok FROM toks WHERE tok <> ''
+    ), exact AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS exact_n
+        FROM toks2 GROUP BY 1
+    ), top AS (
+        SELECT tok, exact_n FROM exact
+        ORDER BY exact_n DESC, tok LIMIT 20
+    ), {cells},
+    probes AS (
+        SELECT top.tok, r.i AS row,
+               CAST(CAST(('0x' || substring(md5(
+                   CAST(r.i AS VARCHAR) || ':' || top.tok), 1, 15))
+                   AS UBIGINT) % {CMS_W} AS INT) AS col
+        FROM top, (SELECT UNNEST(range({CMS_D})) AS i) r
+    ), est AS (
+        SELECT probes.tok,
+               CAST(min(COALESCE(cms.cnt, 0)) AS BIGINT) AS cms_est
+        FROM probes LEFT JOIN cms USING (row, col)
+        GROUP BY 1
+    )
+    SELECT top.tok, top.exact_n, est.cms_est,
+           CAST(est.cms_est - top.exact_n AS BIGINT) AS overshoot
+    FROM top JOIN est USING (tok)
+    """
+
+
+ROUND14_ORACLES["cms_tokens_docs"] = _cms_oracle()
+
+
+# --------------------------------------------------------------------
+# batch: HyperBall neighborhood function of the co-order graph
+# --------------------------------------------------------------------
+
+def hyperball_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate neighborhood function N(h) of the capped part
+    co-order graph for h = 0..3 — "how many (node, node) pairs lie
+    within h hops" — via ``pipeline/graph.py:hyperball``: per-node
+    HLL ball sketches (m=64) whose register maxes DO the traversal
+    (one edges ⋈ state join + one combinable max-groupBy per round;
+    state <= 64 rows/node however big the ball gets — the reason
+    HyperBall scales where exact all-pairs BFS is quadratic).
+    Per-node estimates quantize to integer micro-units BEFORE the
+    sum, so nf_micro is an exact BIGINT on any partitioning and the
+    oracle replays every round's registers verbatim. The 4-row
+    result assembles on the driver from per-round scalar aggregates
+    (the heavy work is distributed; the collect is 4 integers)."""
+    from tablite_spark.pipeline.graph import hyperball
+    li = _t(spark, sf, "lineitem")
+    base = (li.filter(F.col("l_orderkey").isNotNull()
+                      & F.col("l_partkey").isNotNull())
+            .select(F.col("l_orderkey").alias("bk"),
+                    F.col("l_partkey").alias("it")).distinct())
+    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") <= 5).select("bk"))
+    capped = base.join(small, "bk")
+    edges = (capped.alias("l").join(capped.alias("r"), "bk")
+             .filter(F.col("l.it") < F.col("r.it"))
+             .select(F.col("l.it").alias("src"),
+                     F.col("r.it").alias("dst")).distinct())
+    nf = hyperball(edges, "src", "dst", max_h=3)
+    return spark.createDataFrame(
+        [(int(h), int(v)) for h, v in nf], "h long, nf_micro long")
+
+
+def _hyperball_oracle(max_h: int = 3, b: int = 6) -> str:
+    m = 1 << b
+    rho_bits = 60 - b
+    w_mask = (1 << rho_bits) - 1
+    rho_max = rho_bits + 1
+    q = 1 << rho_max
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    numer = repr(alpha * m * m * float(q))
+
+    def est_cte(hh: int) -> str:
+        return f""", agg{hh} AS MATERIALIZED (
+        SELECT node, count(*) AS np,
+               sum(1::BIGINT << ({rho_max} - rho)) AS s
+        FROM s{hh} GROUP BY 1
+    ), nf{hh} AS MATERIALIZED (
+        SELECT CAST(sum(CAST(ROUND(
+            CASE WHEN ({numer} / CAST(({m} - np) * {q} + s
+                                      AS DOUBLE)) <= {2.5 * m!r}
+                      AND ({m} - np) > 0
+                 THEN {m} * ln({m} / CAST({m} - np AS DOUBLE))
+                 ELSE {numer} / CAST(({m} - np) * {q} + s AS DOUBLE)
+            END * 1e6, 0) AS BIGINT)) AS BIGINT) AS nf
+        FROM agg{hh}
+    )"""
+
+    parts = [f"""
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), small AS MATERIALIZED (
+        SELECT bk FROM base GROUP BY 1 HAVING count(*) <= 5
+    ), capped AS MATERIALIZED (
+        SELECT base.* FROM base JOIN small USING (bk)
+    ), e AS MATERIALIZED (
+        SELECT DISTINCT l.it AS u, r.it AS v
+        FROM capped l JOIN capped r
+          ON l.bk = r.bk AND l.it < r.it
+    ), und AS MATERIALIZED (
+        SELECT u AS a, v AS b FROM e
+        UNION ALL SELECT v, u FROM e
+    ), h0 AS MATERIALIZED (
+        SELECT DISTINCT a AS node,
+               CAST(CAST(('0x' || substring(
+                   md5(CAST(a AS VARCHAR)), 1, 15))
+                   AS UBIGINT) AS BIGINT) AS hv
+        FROM und
+    ), s0 AS MATERIALIZED (
+        SELECT node,
+               CAST(hv >> {rho_bits} AS INT) AS register,
+               CAST(CASE WHEN (hv & {w_mask}) = 0 THEN {rho_max}
+                    ELSE {rho_max} - length(bin(hv & {w_mask}))
+                    END AS INT) AS rho
+        FROM h0
+    )"""]
+    parts.append(est_cte(0))
+    for hh in range(1, max_h + 1):
+        parts.append(f""", s{hh} AS MATERIALIZED (
+        SELECT node, register, max(rho) AS rho FROM (
+            SELECT und.a AS node, s.register, s.rho
+            FROM und JOIN s{hh - 1} s ON s.node = und.b
+            UNION ALL
+            SELECT node, register, rho FROM s{hh - 1}
+        ) GROUP BY 1, 2
+    )""")
+        parts.append(est_cte(hh))
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({hh} AS BIGINT) AS h, nf AS nf_micro "
+        f"FROM nf{hh}" for hh in range(max_h + 1))
+    parts.append("\n    " + selects)
+    return "".join(parts)
+
+
+ROUND14_ORACLES["hyperball_lineitem"] = _hyperball_oracle()

@@ -460,10 +460,15 @@ def test_no_undocumented_sliding_window_frames():
                                    "W.unboundedPreceding")
             if not ok_running:
                 offenders.append(f"{p.name} {start}")
-    # the ONE allowed sliding frame: rolling_agg's documented
-    # engine='window' opt-in (matched by file+expression, not line
-    # number — additions above it kept moving the line)
-    assert offenders == ["timeseries.py -span_us"], offenders
+    # the allowed sliding frames: rolling_agg's documented
+    # engine='window' opt-in, and bollinger_events' trailing-24
+    # frame — which slides over the (type, hour) CENSUS (bounded at
+    # |types| x |hours| rows, never the event stream), so the
+    # O(rows x frame) rebuild cost is 24 x census, a constant
+    # (matched by file+expression, not line number — additions
+    # above them kept moving the line)
+    assert offenders == ["timeseries.py -span_us",
+                         "round14.py -23"], offenders
 
 
 def test_markov_transitions_shuffle_shape(spark):

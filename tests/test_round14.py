@@ -452,3 +452,543 @@ def test_incremental_matview_replay_converges(spark, tmp_path):
     got = {r["k"]: (r["n"], r["s"]) for r in spark.read.parquet(
         str(tmp_path / "mv" / "serve")).collect()}
     assert got == {"a": (3, 7), "b": (1, 10), "c": (1, 7)}
+
+
+# ------------------------------------------------------------------
+# skyline_2d
+# ------------------------------------------------------------------
+
+def _brute_skyline(pts):
+    """Reference O(n^2) dominance filter over distinct points."""
+    s = set(pts)
+    out = set()
+    for (x, y) in s:
+        if not any(qx <= x and qy <= y and (qx < x or qy < y)
+                   for (qx, qy) in s):
+            out.add((x, y))
+    return out
+
+
+def test_skyline_matches_bruteforce(spark):
+    """Random integer clouds (with deliberate x-ties and equal-y
+    chains) must match the O(n^2) dominance definition on any
+    layout / bucket count."""
+    import random
+
+    from tablite_spark.operators.skyline import skyline_2d
+    rng = random.Random(14)
+    pts = [(rng.randrange(50), rng.randrange(50)) for _ in range(400)]
+    pts += [(7, y) for y in range(0, 40, 5)]       # x-tie column
+    pts += [(x, 3) for x in range(0, 40, 5)]       # equal-y chain
+    df = spark.createDataFrame(pts, "x long, y long").repartition(9)
+    got = {(r["x"], r["y"]) for r in skyline_2d(df, "x", "y").collect()}
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_edges(spark):
+    """Single point, totally-ordered chain (whole chain survives),
+    and null axes dropped."""
+    from tablite_spark.operators.skyline import skyline_2d
+    one = spark.createDataFrame([(5, 5)], "x long, y long")
+    assert skyline_2d(one, "x", "y").collect()[0][0:2] == (5, 5)
+    chain = spark.createDataFrame(
+        [(i, 10 - i) for i in range(10)], "x long, y long")
+    assert skyline_2d(chain, "x", "y").count() == 10
+    withnull = spark.createDataFrame(
+        [(1, None), (None, 1), (2, 2)], "x long, y long")
+    assert [tuple(r) for r in
+            skyline_2d(withnull, "x", "y").collect()] == [(2, 2)]
+
+
+# ------------------------------------------------------------------
+# grid_radius_join
+# ------------------------------------------------------------------
+
+def test_grid_radius_join_matches_bruteforce(spark):
+    """Random points (negative coords included, plus exact-boundary
+    pairs at dist == r) must match the cross-join truth."""
+    import random
+
+    from tablite_spark.operators.spatial import grid_radius_join
+    rng = random.Random(41)
+    left = [(i, rng.randrange(-100, 100), rng.randrange(-100, 100))
+            for i in range(80)]
+    right = [(j, rng.randrange(-100, 100), rng.randrange(-100, 100))
+             for j in range(60)]
+    right.append((999, left[0][1] + 25, left[0][2]))  # dist == r
+    r = 25
+    ldf = spark.createDataFrame(left, "lid long, x long, y long")
+    rdf = spark.createDataFrame(right, "rid long, x long, y long")
+    got = {(row["lid_l"], row["rid_r"], row["dist_sq"])
+           for row in grid_radius_join(ldf, rdf, r).collect()}
+    truth = {(li, rj, (lx - rx) ** 2 + (ly - ry) ** 2)
+             for (li, lx, ly) in left for (rj, rx, ry) in right
+             if (lx - rx) ** 2 + (ly - ry) ** 2 <= r * r}
+    assert got == truth
+    assert any(d == r * r for (_, _, d) in got)  # boundary pair kept
+
+
+def test_grid_radius_join_validation(spark):
+    from tablite_spark.operators.spatial import grid_radius_join
+    df = spark.createDataFrame([(1, 1, 1)], "id long, x long, y long")
+    with pytest.raises(ValueError):
+        grid_radius_join(df, df, 0)
+    # null coordinates never match
+    ldf = spark.createDataFrame([(1, None, 5)], "id long, x long, y long")
+    assert grid_radius_join(ldf, df, 10).count() == 0
+
+
+# ------------------------------------------------------------------
+# bfs_hops
+# ------------------------------------------------------------------
+
+def _brute_bfs(edges, seeds, max_hops):
+    adj = {}
+    for (a, b) in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {v for u in frontier for v in adj.get(u, ())
+               if v not in dist}
+        for v in nxt:
+            dist[v] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_bruteforce(spark):
+    """Random graph + multi-source seeds: distances equal the
+    textbook BFS; unreachable nodes are absent; max_hops truncates."""
+    import random
+
+    from tablite_spark.pipeline.graph import bfs_hops
+    rng = random.Random(7)
+    edges = {(rng.randrange(60), rng.randrange(60))
+             for _ in range(90)}
+    edges = [(a, b) for (a, b) in edges if a != b]
+    edges += [(100, 101), (101, 102)]          # island off the seeds
+    seeds = [0, 1, 2]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    for mh in (1, 3):
+        got = {r["node"]: r["hops"]
+               for r in bfs_hops(edf, sdf, "src", "dst",
+                                 max_hops=mh).collect()}
+        assert got == _brute_bfs(edges, seeds, mh)
+    assert 100 not in got and 102 not in got
+
+
+def test_bfs_hops_seed_dedup_and_chain(spark):
+    """Duplicate seeds collapse; a path graph gives hops = index."""
+    from tablite_spark.pipeline.graph import bfs_hops
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long")
+    sdf = spark.createDataFrame([(0,), (0,)], "node long")
+    got = {r["node"]: r["hops"]
+           for r in bfs_hops(edf, sdf, "src", "dst",
+                             max_hops=10).collect()}
+    assert got == {i: i for i in range(7)}
+
+
+# ------------------------------------------------------------------
+# HLL sketch
+# ------------------------------------------------------------------
+
+def _py_hll(keys, b=10):
+    """Pure-python replay of the register contract."""
+    import hashlib
+    m = 1 << b
+    regs = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        reg = h >> 50
+        w = h & ((1 << 50) - 1)
+        rho = 51 if w == 0 else 51 - w.bit_length()
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_register_census_matches_python(spark):
+    from tablite_spark.functions.sketches import hll_register_census
+    keys = list(range(300)) + [None]
+    df = spark.createDataFrame([(k, "g") for k in keys],
+                               "k long, g string")
+    got = {r["register"]: r["rho"]
+           for r in hll_register_census(df, "k", ["g"]).collect()}
+    assert got == _py_hll(range(300))
+
+
+def test_hll_estimate_raw_branch_matches_duckdb(spark):
+    """The fixture corpus only ever exercises the linear-counting
+    branch (cardinality << 2.5m); this pins the RAW harmonic-mean
+    branch cross-engine at 40k distinct keys, where the estimate
+    must land within 5% of truth (3 sigma at m=1024 is ~9.7%)."""
+    import duckdb
+
+    from tablite_spark.functions.sketches import (hll_estimate,
+                                                  hll_oracle_sql,
+                                                  hll_register_census)
+    n = 40_000
+    df = spark.range(n).select(F.col("id").alias("k"),
+                               F.lit("g").alias("g"))
+    est = hll_estimate(hll_register_census(df, "k", ["g"]), ["g"])
+    row = est.collect()[0]
+    assert row["v_zero"] == 0 or row["n_present"] > 2560 / 2.5
+    assert abs(row["hll_estimate"] / n - 1) < 0.05
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT range AS k, 'g' AS g "
+                f"FROM range({n})")
+    duck = con.execute(hll_oracle_sql("k", "t", "g")).fetchall()[0]
+    assert (duck[1], duck[2], duck[3]) == (row["n_present"],
+                                           row["v_zero"],
+                                           row["denom_q51"])
+    assert duck[4] == row["hll_estimate"]
+
+
+def test_hll_census_is_mergeable(spark):
+    """max-merging two half-corpus censuses equals the full census —
+    the property that lets sketches roll up across days/streams."""
+    from tablite_spark.functions.sketches import hll_register_census
+    a = spark.range(0, 500).select(F.col("id").alias("k"),
+                                   F.lit("g").alias("g"))
+    b = spark.range(250, 900).select(F.col("id").alias("k"),
+                                     F.lit("g").alias("g"))
+    full = hll_register_census(a.unionByName(b), "k", ["g"])
+    merged = (hll_register_census(a, "k", ["g"])
+              .unionByName(hll_register_census(b, "k", ["g"]))
+              .groupBy("g", "register")
+              .agg(F.max("rho").alias("rho")))
+    f = {(r["register"], r["rho"]) for r in full.collect()}
+    g = {(r["register"], r["rho"]) for r in merged.collect()}
+    assert f == g
+
+
+# ------------------------------------------------------------------
+# bloom_semi_join
+# ------------------------------------------------------------------
+
+def test_bloom_semi_join_equals_plain_semi(spark):
+    """Exactly the plain left_semi result on random keys (dup rows
+    kept, nulls on either side never match, empty build side)."""
+    import random
+
+    from tablite_spark.operators.bloomjoin import bloom_semi_join
+    rng = random.Random(3)
+    big = [(i, rng.randrange(200)) for i in range(500)] + [(999, None)]
+    small = [(rng.randrange(300),) for _ in range(40)] + [(None,)]
+    bdf = spark.createDataFrame(big, "id long, k long")
+    sdf = spark.createDataFrame(small, "k long")
+    got = sorted((r["id"], r["k"]) for r in
+                 bloom_semi_join(bdf, sdf, "k", "k").collect())
+    truth = sorted((r["id"], r["k"]) for r in
+                   bdf.join(sdf.distinct(), "k", "left_semi")
+                   .select("id", "k").collect())
+    assert got == truth and len(got) > 0
+    empty = sdf.filter(F.lit(False))
+    assert bloom_semi_join(bdf, empty, "k", "k").count() == 0
+
+
+def test_bloom_semi_join_tiny_filter_forces_fp_path(spark):
+    """1 bit/key + 1 hash makes the Bloom filter nearly useless —
+    the confirm join must still produce the exact answer (false
+    positives really flow through and really get removed)."""
+    from tablite_spark.operators.bloomjoin import bloom_semi_join
+    bdf = spark.createDataFrame([(i, i % 50) for i in range(300)],
+                                "id long, k long")
+    sdf = spark.createDataFrame([(7,), (13,)], "k long")
+    got = sorted(r["id"] for r in
+                 bloom_semi_join(bdf, sdf, "k", "k",
+                                 bits_per_key=1,
+                                 num_hashes=1).collect())
+    truth = sorted(r["id"] for r in
+                   bdf.filter(F.col("k").isin(7, 13)).collect())
+    assert got == truth
+
+
+# ------------------------------------------------------------------
+# KMV sketch
+# ------------------------------------------------------------------
+
+def _py_kmv(vals, k):
+    import hashlib
+    hs = {int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+          for v in vals}
+    return sorted(hs)[:k]
+
+
+def test_kmv_sketch_matches_python(spark):
+    from tablite_spark.functions.sketches import kmv_sketch
+    vals = [f"e{i}" for i in range(500)]
+    df = spark.createDataFrame([(v, "g") for v in vals] * 2,
+                               "entity string, g string")
+    got = sorted(r["h"] for r in
+                 kmv_sketch(df, "entity", "g", k=64).collect())
+    assert got == _py_kmv(vals, 64)
+
+
+def test_kmv_jaccard_matches_bruteforce(spark):
+    """Sketch Jaccard on full sketches (k >= |union|) must equal the
+    EXACT Jaccard; on truncated sketches it must equal the python
+    replay of the k-smallest-of-union rule."""
+    from tablite_spark.functions.sketches import (kmv_jaccard_pairs,
+                                                  kmv_sketch)
+    a = {f"x{i}" for i in range(120)}
+    b = {f"x{i}" for i in range(60, 200)} | {f"y{i}" for i in range(40)}
+    rows = [(v, "A") for v in a] + [(v, "B") for v in b]
+    df = spark.createDataFrame(rows, "entity string, g string")
+    # full sketches: estimate == exact
+    sk = kmv_sketch(df, "entity", "g", k=1024)
+    r = kmv_jaccard_pairs(sk, "g", k=1024).collect()[0]
+    inter, union = len(a & b), len(a | b)
+    assert (r["n_union_sketch"], r["n_inter_sketch"]) == (union, inter)
+    assert abs(r["kmv_jaccard"] - inter / union) < 1e-6
+    # truncated sketches: python replay of the rule
+    import hashlib
+
+    def h(v):
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+    k = 32
+    ska, skb = set(_py_kmv(a, k)), set(_py_kmv(b, k))
+    topu = sorted(ska | skb)[:k]
+    want_inter = sum(1 for x in topu if x in ska and x in skb)
+    sk2 = kmv_sketch(df, "entity", "g", k=k)
+    r2 = kmv_jaccard_pairs(sk2, "g", k=k).collect()[0]
+    assert (r2["n_union_sketch"], r2["n_inter_sketch"]) \
+        == (len(topu), want_inter)
+
+
+# ------------------------------------------------------------------
+# k_core
+# ------------------------------------------------------------------
+
+def _brute_kcore(edges, k):
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for (a, b) in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        deg = {n: len(adj[n] & alive) for n in alive}
+        keep = {n for n in alive if deg[n] >= k}
+        if keep == alive:
+            return {n: deg[n] for n in alive}
+        alive = keep
+
+
+def test_k_core_matches_bruteforce(spark):
+    """Random graph at several k (non-empty core, cascading peel,
+    fully-unraveled empty core) must equal simultaneous-peel truth,
+    with in-core degrees."""
+    import random
+
+    from tablite_spark.pipeline.graph import k_core
+    rng = random.Random(11)
+    edges = list({(rng.randrange(40), rng.randrange(40))
+                  for _ in range(160)})
+    edges = [(a, b) for (a, b) in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 5, 8, 30):
+        got = {r["node"]: r["core_degree"]
+               for r in k_core(edf, "src", "dst", k=k).collect()}
+        assert got == _brute_kcore(edges, k), k
+
+
+def test_k_core_cascade_and_guard(spark):
+    """A path graph at k=2 unravels end-inward one layer per round
+    (the multi-round cascade); max_rounds too small must raise, not
+    return a non-fixpoint."""
+    from tablite_spark.pipeline.graph import k_core
+    edges = [(i, i + 1) for i in range(10)]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    assert k_core(edf, "src", "dst", k=2).count() == 0
+    with pytest.raises(RuntimeError):
+        k_core(edf, "src", "dst", k=2, max_rounds=2)
+    # a cycle IS its own 2-core
+    cyc = edges + [(10, 0)]
+    cdf = spark.createDataFrame(cyc, "src long, dst long")
+    got = {r["node"]: r["core_degree"]
+           for r in k_core(cdf, "src", "dst", k=2).collect()}
+    assert got == {i: 2 for i in range(11)}
+
+
+# ------------------------------------------------------------------
+# dbscan_grid
+# ------------------------------------------------------------------
+
+def _brute_dbscan(pts, eps, min_pts):
+    """Reference replay of the deterministic DBSCAN contract."""
+    ids = [p[0] for p in pts]
+    xy = {p[0]: (p[1], p[2]) for p in pts}
+    nb = {i: {j for j in ids
+              if (xy[i][0] - xy[j][0]) ** 2
+              + (xy[i][1] - xy[j][1]) ** 2 <= eps * eps}
+          for i in ids}
+    cores = {i for i in ids if len(nb[i]) >= min_pts}
+    parent = {c: c for c in cores}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+    for c in cores:
+        for d in nb[c]:
+            if d in cores and d != c:
+                ra, rb = find(c), find(d)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    lab = {}
+    for c in cores:
+        root = find(c)
+        lab.setdefault(root, min(x for x in cores if find(x) == root))
+    out = {}
+    for i in ids:
+        if i in cores:
+            out[i] = ("core", lab[find(i)])
+        else:
+            cn = [lab[find(c)] for c in nb[i] if c in cores]
+            out[i] = ("border", min(cn)) if cn else ("noise", None)
+    return out
+
+
+def test_dbscan_grid_matches_bruteforce(spark):
+    """Random lattice cloud: roles and deterministic min-labels must
+    match the union-find replay (cores, borders on multi-cluster
+    boundaries, noise)."""
+    import random
+
+    from tablite_spark.pipeline.clustering import dbscan_grid
+    rng = random.Random(23)
+    pts = [(i, rng.randrange(400), rng.randrange(400))
+           for i in range(200)]
+    df = spark.createDataFrame(pts, "id long, x long, y long")
+    got = {r["id"]: (r["role"], r["cluster"])
+           for r in dbscan_grid(df, "id", "x", "y",
+                                eps=30, min_pts=4).collect()}
+    want = _brute_dbscan(pts, 30, 4)
+    assert got == want
+    roles = {v[0] for v in got.values()}
+    assert roles == {"core", "border", "noise"}  # all paths hit
+
+
+# ------------------------------------------------------------------
+# CMS sketch
+# ------------------------------------------------------------------
+
+def _py_cms(vals, d, w):
+    import hashlib
+    from collections import Counter
+    cells = Counter()
+    for v in vals:
+        for i in range(d):
+            h = int(hashlib.md5(f"{i}:{v}".encode())
+                    .hexdigest()[:15], 16)
+            cells[(i, h % w)] += 1
+    return cells
+
+
+def test_cms_census_matches_python(spark):
+    from tablite_spark.functions.sketches import cms_census
+    vals = [f"t{i % 37}" for i in range(400)]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    got = {(r["row"], r["col"]): r["cnt"]
+           for r in cms_census(df, "k").collect()}
+    assert got == dict(_py_cms(vals, 4, 1024))
+
+
+def test_cms_overestimates_under_forced_collisions(spark):
+    """The registry corpus's top tokens happen to overshoot by 0
+    (each has a collision-free cell) — so the OVERESTIMATE path is
+    pinned here with w=8: collisions are forced, estimates must
+    stay >= exact (one-sided guarantee) and some must exceed it."""
+    from tablite_spark.functions.sketches import (cms_census,
+                                                  cms_point_estimates)
+    from collections import Counter
+    vals = [f"k{i % 40}" for i in range(800)] + ["k1"] * 50
+    exact = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    cen = cms_census(df, "k", d=2, w=8)
+    keys = spark.createDataFrame([(k,) for k in exact], "k string")
+    est = {r["k"]: r["cms_est"]
+           for r in cms_point_estimates(cen, keys, "k",
+                                        d=2, w=8).collect()}
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)
+    # python replay of the min-over-rows rule
+    cells = _py_cms(set(vals), 0, 8)  # structure only
+    cells = _py_cms(vals, 2, 8)
+    import hashlib
+    for k in exact:
+        want = min(cells[(i, int(hashlib.md5(f"{i}:{k}".encode())
+                                 .hexdigest()[:15], 16) % 8)]
+                   for i in range(2))
+        assert est[k] == want, k
+
+
+def test_cms_census_is_mergeable(spark):
+    """Cell-wise SUM of two half-corpus sketches equals the full
+    sketch — the streaming/rollup property."""
+    from tablite_spark.functions.sketches import cms_census
+    a = spark.range(300).select(
+        (F.col("id") % 50).cast("string").alias("k"))
+    b = spark.range(500).select(
+        (F.col("id") % 70).cast("string").alias("k"))
+    full = {(r["row"], r["col"]): r["cnt"] for r in
+            cms_census(a.unionByName(b), "k").collect()}
+    merged = {}
+    for part in (a, b):
+        for r in cms_census(part, "k").collect():
+            key = (r["row"], r["col"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    assert full == merged
+
+
+# ------------------------------------------------------------------
+# hyperball
+# ------------------------------------------------------------------
+
+def test_hyperball_tracks_exact_neighborhood_function(spark):
+    """On a small random graph the sketched N(h) must stay within
+    HLL error (m=64 -> ~13% sigma; assert 35%) of the exact
+    neighborhood function from all-pairs BFS, and h=0 must equal
+    n * est(singleton) exactly."""
+    import random
+
+    from tablite_spark.pipeline.graph import hyperball
+    rng = random.Random(5)
+    edges = list({(rng.randrange(80), rng.randrange(80))
+                  for _ in range(160)})
+    edges = [(a, b) for (a, b) in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    nf = dict(hyperball(edf, "src", "dst", max_h=3))
+    # exact N(h) by python BFS
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for (a, b) in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = set(adj)
+    exact = {}
+    for h in range(4):
+        tot = 0
+        for s in nodes:
+            ball = {s}
+            frontier = {s}
+            for _ in range(h):
+                frontier = {v for u in frontier
+                            for v in adj[u]} - ball
+                ball |= frontier
+            tot += len(ball)
+        exact[h] = tot
+    # h=0: every ball is a singleton, so nf is exactly
+    # n * round(est(1-element sketch) * 1e6)
+    import math
+    one = round(64 * math.log(64 / 63.0) * 1e6)
+    assert nf[0] == len(nodes) * one
+    for h in range(4):
+        assert abs(nf[h] / 1e6 / exact[h] - 1) < 0.35, (h, nf, exact)
+    # monotone in h
+    assert nf[0] <= nf[1] <= nf[2] <= nf[3]
