@@ -50,7 +50,8 @@ from tablite_spark.registry.round14 import (  # noqa: F401
     triangle_count_lineitem, hll_distinct_events, skyline_orders,
     spatial_pairs_customers, bfs_hops_lineitem, kmv_jaccard_events,
     bloom_semi_join_lineitem, assortativity_lineitem, kcore_lineitem,
-    dbscan_customers, cms_tokens_docs, hyperball_lineitem)
+    dbscan_customers, cms_tokens_docs, hyperball_lineitem,
+    temporal_reach_lineitem)
 
 
 # --------------------------------------------------------------------
@@ -491,6 +492,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-14 seventeenth wave (CMS sketch, HyperBall)
         "cms_tokens_docs": cms_tokens_docs,
         "hyperball_lineitem": hyperball_lineitem,
+        # --- round-14 eighteenth wave (temporal reachability)
+        "temporal_reach_lineitem": temporal_reach_lineitem,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     # round-14 seventeenth wave
     "cms_tokens_docs",
     "hyperball_lineitem",
+    # round-14 eighteenth wave
+    "temporal_reach_lineitem",
 ]
 
 
@@ -331,7 +333,7 @@ new_in_r14 = {"stream_interval_join_outer_events",
               "kmv_jaccard_events", "bloom_semi_join_lineitem",
               "assortativity_lineitem", "kcore_lineitem",
               "dbscan_customers", "cms_tokens_docs",
-              "hyperball_lineitem"}
+              "hyperball_lineitem", "temporal_reach_lineitem"}
 POST_R2_SETS = (new_in_r3 | new_in_r4 | new_in_r6 | new_in_r7
                | new_in_r8 | new_in_r9 | new_in_r10 | new_in_r11
                | new_in_r12 | new_in_r13 | new_in_r14)
@@ -467,6 +469,11 @@ COMPACT_LINE_SHED = {
     # loadavg stamps in META + SWEEP every round like everything
     # else here:
     "kfold_splits_docs",
+    # room for the eighteenth-wave row (temporal_reach, 11 s):
+    # tokenizer_fertility joins kfold in the shed-before-first-print
+    # class — a 0.27 s scan+regex census whose line row is the least
+    # informative kind; stamps in META + SWEEP every round:
+    "tokenizer_fertility_docs",
 }
 
 

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
 
 __all__ = ["pagerank", "triangle_count", "bfs_hops", "k_core",
-           "hyperball"]
+           "hyperball", "temporal_bfs"]
 
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
@@ -348,3 +348,48 @@ def hyperball(edges: DataFrame, src_col: str, dst_col: str,
         return out
     finally:
         und.unpersist()
+
+
+def temporal_bfs(edges: DataFrame, seeds: DataFrame, src_col: str,
+                 dst_col: str, ts_col: str, node_col: str = "node",
+                 seed_ts_col: str = "t0",
+                 max_hops: int = 3) -> DataFrame:
+    """Time-respecting earliest-arrival reachability (foremost
+    temporal paths): rows (node, arrival) — the earliest time each
+    node can be reached from any seed through a chain of at most
+    ``max_hops`` edges whose timestamps never DECREASE along the
+    path (an edge transmits only at-or-after its source's arrival).
+    The contagion/lineage question plain BFS gets wrong: a
+    structurally-connected node is temporally unreachable when every
+    path into it runs backward in time.
+
+    Rounds are SIMULTANEOUS full relaxations (state ⋈ edges with
+    ``edge_ts >= arrival`` + one combinable min-groupBy + min-merge
+    with the previous state, localCheckpoint-pinned), so round r
+    holds the exact <=r-hop earliest arrivals and a chained-CTE
+    oracle replays the trajectory verbatim. Arrival times are
+    whatever integer type the caller encodes (epoch days/micros) —
+    exact end to end. Production note: the frontier/delta-iteration
+    refinement (relax only improved nodes) is a drop-in once hop
+    counts grow; at <=3-4 hops full relaxation is one join more and
+    oracle-replayable.
+    """
+    state = (seeds.select(F.col(node_col).alias("node"),
+                          F.col(seed_ts_col).alias("arrival"))
+             .groupBy("node").agg(F.min("arrival").alias("arrival"))
+             .localCheckpoint())
+    e = edges.select(F.col(src_col).alias("node"),
+                     F.col(dst_col).alias("__dst__"),
+                     F.col(ts_col).alias("__ts__"))
+    for _ in range(max_hops):
+        relax = (e.join(state, "node")
+                 .filter(F.col("__ts__") >= F.col("arrival"))
+                 .select(F.col("__dst__").alias("node"),
+                         F.col("__ts__").alias("arrival")))
+        prev = state
+        state = (state.unionByName(relax)
+                 .groupBy("node").agg(F.min("arrival")
+                                      .alias("arrival"))
+                 .localCheckpoint())
+        unpersist_local_checkpoint(prev)
+    return state

@@ -1806,3 +1806,107 @@ def _hyperball_oracle(max_h: int = 3, b: int = 6) -> str:
 
 
 ROUND14_ORACLES["hyperball_lineitem"] = _hyperball_oracle()
+
+
+# --------------------------------------------------------------------
+# batch: time-respecting reachability over dated co-order edges
+# --------------------------------------------------------------------
+
+def temporal_reach_lineitem(spark: SparkSession,
+                            sf: str) -> DataFrame:
+    """Earliest time-respecting arrival from the seed parts through
+    DATED co-order edges (edge timestamp = the order's date;
+    transmission only along non-decreasing dates) within 3 hops —
+    the supply-chain/contagion question plain reachability answers
+    WRONG: at sf0.01, 771 of 2,000 parts have a LATER temporal
+    arrival than the date-blind relaxation would claim (the
+    constraint genuinely binds; checked at authoring time). Runs on
+    ``pipeline/graph.py:temporal_bfs`` (simultaneous full
+    relaxations + min-merge, checkpoint-pinned); arrivals are exact
+    epoch days end to end, cast to timestamp at the boundary. The
+    oracle replays the 3 relaxation rounds as chained MATERIALIZED
+    CTEs."""
+    from tablite_spark.pipeline.graph import temporal_bfs
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    base = (li.filter(F.col("l_orderkey").isNotNull()
+                      & F.col("l_partkey").isNotNull())
+            .select(F.col("l_orderkey").alias("bk"),
+                    F.col("l_partkey").alias("it")).distinct())
+    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
+             .filter(F.col("c") <= 5).select("bk"))
+    capped = base.join(small, "bk")
+    dated = (capped.alias("l").join(capped.alias("r"), "bk")
+             .filter(F.col("l.it") < F.col("r.it"))
+             .join(o.select(F.col("o_orderkey").alias("bk"),
+                            F.datediff(F.col("o_orderdate")
+                                       .cast("date"),
+                                       F.lit("1970-01-01")
+                                       .cast("date"))
+                            .cast("long").alias("d")), "bk")
+             .select(F.col("l.it").alias("u"),
+                     F.col("r.it").alias("v"), "d").distinct())
+    und = (dated.select(F.col("u").alias("src"),
+                        F.col("v").alias("dst"), "d")
+           .unionByName(dated.select(F.col("v").alias("src"),
+                                     F.col("u").alias("dst"), "d")))
+    seeds = (und.filter(F.col("src") % 13 == 0)
+             .groupBy(F.col("src").alias("node"))
+             .agg(F.min("d").alias("t0")))
+    out = temporal_bfs(und, seeds, "src", "dst", "d", max_hops=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.expr("cast(date_add(DATE '1970-01-01', "
+               "cast(arrival as int)) as timestamp)")
+        .alias("arrival"))
+
+
+ROUND14_ORACLES["temporal_reach_lineitem"] = """
+    WITH base AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+    ), small AS MATERIALIZED (
+        SELECT bk FROM base GROUP BY 1 HAVING count(*) <= 5
+    ), capped AS MATERIALIZED (
+        SELECT base.* FROM base JOIN small USING (bk)
+    ), de AS MATERIALIZED (
+        SELECT DISTINCT l.it AS u, r.it AS v,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o.o_orderdate AS DATE)) AS d
+        FROM capped l JOIN capped r
+          ON l.bk = r.bk AND l.it < r.it
+        JOIN orders o ON o.o_orderkey = l.bk
+    ), und AS MATERIALIZED (
+        SELECT u AS a, v AS b, d FROM de
+        UNION ALL SELECT v, u, d FROM de
+    ), seeds AS MATERIALIZED (
+        SELECT a AS node, min(d) AS arrival
+        FROM und WHERE a % 13 = 0 GROUP BY 1
+    ), s1 AS MATERIALIZED (
+        SELECT node, min(arrival) AS arrival FROM (
+            SELECT * FROM seeds
+            UNION ALL
+            SELECT und.b, und.d FROM und
+            JOIN seeds s ON und.a = s.node AND und.d >= s.arrival
+        ) GROUP BY 1
+    ), s2 AS MATERIALIZED (
+        SELECT node, min(arrival) AS arrival FROM (
+            SELECT * FROM s1
+            UNION ALL
+            SELECT und.b, und.d FROM und
+            JOIN s1 s ON und.a = s.node AND und.d >= s.arrival
+        ) GROUP BY 1
+    ), s3 AS MATERIALIZED (
+        SELECT node, min(arrival) AS arrival FROM (
+            SELECT * FROM s2
+            UNION ALL
+            SELECT und.b, und.d FROM und
+            JOIN s2 s ON und.a = s.node AND und.d >= s.arrival
+        ) GROUP BY 1
+    )
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(DATE '1970-01-01' + CAST(arrival AS INTEGER)
+                AS TIMESTAMP) AS arrival
+    FROM s3
+"""

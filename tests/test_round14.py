@@ -992,3 +992,135 @@ def test_hyperball_tracks_exact_neighborhood_function(spark):
         assert abs(nf[h] / 1e6 / exact[h] - 1) < 0.35, (h, nf, exact)
     # monotone in h
     assert nf[0] <= nf[1] <= nf[2] <= nf[3]
+
+
+# ------------------------------------------------------------------
+# transformWithStateInPandas (environment-gated)
+# ------------------------------------------------------------------
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """Spark 4's new arbitrary-state API (transformWithStateInPandas)
+    — running per-key totals whose ValueState crosses a micro-batch
+    boundary. SKIPS when google.protobuf is absent: the API's python
+    runner speaks protobuf to the JVM, and this container does not
+    ship it (verified: the query crashes in runner init with
+    'cannot import descriptor from google.protobuf'). The skip is
+    the honest marker, exactly like the h5py interop pair."""
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    root = str(tmp_path)
+    (spark.range(6).select((F.col("id") % 2).alias("k"),
+                           F.col("id").alias("v"))
+     .coalesce(1).write.parquet(f"{root}/src/b0"))
+    (spark.range(6, 12).select((F.col("id") % 2).alias("k"),
+                               F.col("id").alias("v"))
+     .coalesce(1).write.parquet(f"{root}/src/b1"))
+
+    class Totals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle):
+            self.state = handle.getValueState("tot", StructType(
+                [StructField("n", LongType()),
+                 StructField("s", LongType())]))
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, s = (self.state.get() if self.state.exists()
+                    else (0, 0))
+            for pdf in rows:
+                n += len(pdf)
+                s += int(pdf["v"].sum())
+            self.state.update((n, s))
+            yield pd.DataFrame({"k": [key[0]], "n": [n], "s": [s]})
+
+        def close(self):
+            pass
+
+    stream = (spark.readStream.schema("k long, v long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{root}/src/*"))
+    out = stream.groupBy("k").transformWithStateInPandas(
+        Totals(),
+        StructType([StructField("k", LongType()),
+                    StructField("n", LongType()),
+                    StructField("s", LongType())]),
+        "Update", "None")
+
+    def _write(bdf, bid):
+        bdf.write.mode("overwrite").parquet(
+            f"{root}/out/batch_id={bid}")
+
+    q = (out.writeStream.foreachBatch(_write)
+         .option("checkpointLocation", f"{root}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    res = spark.read.parquet(f"{root}/out")
+    final = {r["k"]: (r["n"], r["s"]) for r in
+             res.groupBy("k").agg(
+                 F.max("n").alias("n"),
+                 F.max("s").alias("s")).collect()}
+    assert final == {0: (6, 30), 1: (6, 36)}
+    # cross-batch proof: each key emitted once per batch, totals rise
+    assert res.count() == 4
+
+
+# ------------------------------------------------------------------
+# temporal_bfs
+# ------------------------------------------------------------------
+
+def _brute_temporal(edges, seeds, max_hops):
+    """edges: (src, dst, t) DIRECTED; seeds: {node: t0}. Earliest
+    arrival via <=max_hops simultaneous relaxations."""
+    state = dict(seeds)
+    for _ in range(max_hops):
+        nxt = dict(state)
+        for (a, b, t) in edges:
+            if a in state and t >= state[a]:
+                if b not in nxt or t < nxt[b]:
+                    nxt[b] = t
+        state = nxt
+    return state
+
+
+def test_temporal_bfs_matches_bruteforce(spark):
+    """Random dated graph + the canonical blocking case: B is
+    structurally adjacent to A but every edge into B predates A's
+    arrival, so B stays unreachable — the semantics plain BFS gets
+    wrong."""
+    import random
+
+    from tablite_spark.pipeline.graph import temporal_bfs
+    rng = random.Random(9)
+    edges = [(rng.randrange(30), rng.randrange(30),
+              rng.randrange(100)) for _ in range(120)]
+    edges = [(a, b, t) for (a, b, t) in edges if a != b]
+    edges += [(50, 51, 10), (51, 52, 5)]   # 52 blocked: 5 < 10
+    seeds = {0: 0, 50: 0}
+    edf = spark.createDataFrame(edges, "src long, dst long, d long")
+    sdf = spark.createDataFrame(list(seeds.items()),
+                                "node long, t0 long")
+    for mh in (1, 3):
+        got = {r["node"]: r["arrival"]
+               for r in temporal_bfs(edf, sdf, "src", "dst", "d",
+                                     max_hops=mh).collect()}
+        assert got == _brute_temporal(edges, seeds, mh), mh
+    assert 52 not in got and 51 in got  # the blocked node
+
+
+def test_temporal_bfs_min_merge_refines(spark):
+    """A 2-hop path can yield an EARLIER arrival than the 1-hop one
+    when a later direct edge exists — the min-merge across rounds."""
+    from tablite_spark.pipeline.graph import temporal_bfs
+    # seed S(t0=0): direct S->X at t=50; indirect S->Y(t=1)->X(t=2)
+    edges = [(0, 9, 50), (0, 1, 1), (1, 9, 2)]
+    edf = spark.createDataFrame(edges, "src long, dst long, d long")
+    sdf = spark.createDataFrame([(0, 0)], "node long, t0 long")
+    h1 = {r["node"]: r["arrival"] for r in
+          temporal_bfs(edf, sdf, "src", "dst", "d",
+                       max_hops=1).collect()}
+    h2 = {r["node"]: r["arrival"] for r in
+          temporal_bfs(edf, sdf, "src", "dst", "d",
+                       max_hops=2).collect()}
+    assert h1[9] == 50 and h2[9] == 2 and h2[0] == 0

@@ -51,7 +51,12 @@ def _rand_edges(spark, ne, nn):
 def kcore_10m():
     from tablite_spark.pipeline.graph import k_core
     spark = get_spark("burnin_kcore10m")
-    ne, nn, k = 10_000_000, 1_000_000, 20  # mean degree ~20
+    # mean degree ~20; k must sit BELOW the k-core emergence
+    # threshold for a Poisson graph (c_k ~ k + sqrt(k ln k): ~27.7
+    # for k=20, so the first draft's k=20 unraveled to an EMPTY core
+    # — vacuous; k=12 thresholds at ~17.5 < 20 and keeps a giant
+    # core while still forcing a real cascade)
+    ne, nn, k = 10_000_000, 1_000_000, 12
     edges = _rand_edges(spark, ne, nn)
     t0 = time.time()
     core = k_core(edges, "src", "dst", k=k).localCheckpoint()
@@ -68,6 +73,7 @@ def kcore_10m():
            .join(nodes.select(F.col("node").alias("dst")), "dst")
            .groupBy(F.col("src").alias("node"))
            .agg(F.count(F.lit(1)).alias("d")))
+    assert n_core > 0, "vacuous: empty core proves nothing"
     bad = deg.filter(F.col("d") < k).count()
     under = nodes.join(deg, "node", "left_anti").count()
     assert bad == 0 and under == 0, (bad, under)
@@ -153,19 +159,36 @@ def cms_100m():
 def hyperball_10m():
     from tablite_spark.pipeline.graph import hyperball
     spark = get_spark("burnin_hyperball10m")
-    ne, nn = 10_000_000, 200_000  # mean degree ~100: a 2-hop expander
+    ne, nn = 10_000_000, 200_000  # mean degree ~100
     edges = _rand_edges(spark, ne, nn)
+    # exact N(1) for the accuracy gate: sum over nodes of (1 + deg)
+    # = n + 2 * |distinct undirected edges| (the first draft instead
+    # asserted 2-ball saturation at n^2 — wrong arithmetic: a
+    # degree-100 2-ball is ~1+d+d^2 ~ 10k of 200k nodes, ~5% of n^2,
+    # which is exactly what the run measured)
+    und = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .distinct())
+    n_nodes = und.select("src").distinct().count()
+    n_und = und.count()          # both orientations
+    exact_n1 = n_nodes + n_und
     t0 = time.time()
     nf = dict(hyperball(edges, "src", "dst", max_h=2))
     dt = time.time() - t0
     assert nf[0] < nf[1] < nf[2], nf
-    # at mean degree ~100 the 2-ball is ~saturated: N(2) within HLL
-    # error of n^2
-    sat = nf[2] / 1e6 / (nn * nn)
-    assert 0.7 < sat <= 1.1, sat
-    print(f"hyperball_10m: 10M edges / 200k nodes -> N(h) "
+    err1 = nf[1] / 1e6 / exact_n1 - 1
+    assert abs(err1) < 0.15, (nf[1], exact_n1)
+    # h=2 plausibility: E|ball(2)| ~ 1 + d + d^2 for a sparse
+    # Poisson graph (collision terms are O(d^3/n), ~5% here)
+    dbar = n_und / n_nodes
+    pred2 = n_nodes * (1 + dbar + dbar * dbar)
+    ratio2 = nf[2] / 1e6 / pred2
+    assert 0.7 < ratio2 < 1.2, ratio2
+    print(f"hyperball_10m: 10M edges / {n_nodes} nodes -> N(h) "
           f"{ {h: round(v / 1e6) for h, v in sorted(nf.items())} } "
-          f"in {dt:.1f}s; 2-ball saturation {sat:.3f} of n^2 "
+          f"in {dt:.1f}s; N(1) err {err1 * 100:+.1f}% vs exact "
+          f"{exact_n1}, N(2) {ratio2:.2f}x the 1+d+d^2 prediction "
           f"(loadavg {_loadavg()})")
     spark.stop()
 
