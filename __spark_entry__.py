@@ -51,7 +51,7 @@ from tablite_spark.registry.round14 import (  # noqa: F401
     spatial_pairs_customers, bfs_hops_lineitem, kmv_jaccard_events,
     bloom_semi_join_lineitem, assortativity_lineitem, kcore_lineitem,
     dbscan_customers, cms_tokens_docs, hyperball_lineitem,
-    temporal_reach_lineitem)
+    temporal_reach_lineitem, ppr_lineitem)
 
 
 # --------------------------------------------------------------------
@@ -494,6 +494,8 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hyperball_lineitem": hyperball_lineitem,
         # --- round-14 eighteenth wave (temporal reachability)
         "temporal_reach_lineitem": temporal_reach_lineitem,
+        # --- round-14 nineteenth wave (personalized PageRank)
+        "ppr_lineitem": ppr_lineitem,
     }
 
 def oracle_sql() -> dict[str, str]:

@@ -234,6 +234,8 @@ BENCH_QUERIES = [
     "hyperball_lineitem",
     # round-14 eighteenth wave
     "temporal_reach_lineitem",
+    # round-14 nineteenth wave
+    "ppr_lineitem",
 ]
 
 
@@ -333,7 +335,8 @@ new_in_r14 = {"stream_interval_join_outer_events",
               "kmv_jaccard_events", "bloom_semi_join_lineitem",
               "assortativity_lineitem", "kcore_lineitem",
               "dbscan_customers", "cms_tokens_docs",
-              "hyperball_lineitem", "temporal_reach_lineitem"}
+              "hyperball_lineitem", "temporal_reach_lineitem",
+              "ppr_lineitem"}
 POST_R2_SETS = (new_in_r3 | new_in_r4 | new_in_r6 | new_in_r7
                | new_in_r8 | new_in_r9 | new_in_r10 | new_in_r11
                | new_in_r12 | new_in_r13 | new_in_r14)
@@ -474,6 +477,10 @@ COMPACT_LINE_SHED = {
     # class — a 0.27 s scan+regex census whose line row is the least
     # informative kind; stamps in META + SWEEP every round:
     "tokenizer_fertility_docs",
+    # room for the nineteenth-wave row (ppr, multi-second): bollinger
+    # joins the shed-before-first-print class (0.49 s census-window
+    # row); stamps in META + SWEEP every round:
+    "bollinger_events",
 }
 
 

@@ -1910,3 +1910,85 @@ ROUND14_ORACLES["temporal_reach_lineitem"] = """
                 AS TIMESTAMP) AS arrival
     FROM s3
 """
+
+
+# --------------------------------------------------------------------
+# batch: personalized PageRank from a trusted seed set
+# --------------------------------------------------------------------
+
+def ppr_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank over the supplier→part multigraph
+    (``pipeline/graph.py:personalized_pagerank``): teleport and
+    dangling mass restart to the SEED suppliers (suppkey % 10 == 0)
+    instead of all nodes — "centrality from the point of view of
+    the vetted set", the curation form of the quality prior. Same
+    integer micro-unit discipline as ``pagerank_lineitem`` (every
+    floor an identical IEEE op), so the oracle replays all 3
+    iterations as unrolled CTEs; parts only reachable from non-seed
+    suppliers hold rank 0, which is the semantic point."""
+    from tablite_spark.pipeline.graph import personalized_pagerank
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(F.col("l_suppkey").cast("long").alias("src"),
+                      (F.col("l_partkey") + 1_000_000).cast("long")
+                      .alias("dst"))
+    seeds = (edges.select(F.col("src").alias("node")).distinct()
+             .filter(F.col("node") % 10 == 0))
+    out = personalized_pagerank(edges, seeds, "src", "dst", iters=3)
+    return out.select(F.col("node").cast("long").alias("node"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _ppr_oracle_sql(iters: int = 3, damping: float = 0.85,
+                    unit: int = 10 ** 12) -> str:
+    """Unrolled-CTE replay of ppr_lineitem — mirrors
+    personalized_pagerank exactly: floor(unit/|S|) seed init,
+    teleport + dangling mass to seeds only, identical left-assoc
+    float expressions. MATERIALIZED (the kcore inlining lesson)."""
+    u = f"{float(unit):.1f}"
+    parts = ["""e AS MATERIALIZED (SELECT l_suppkey AS src,
+                1000000 + l_partkey AS dst FROM lineitem)""",
+             """nodes0 AS MATERIALIZED (SELECT DISTINCT node FROM
+                (SELECT src AS node FROM e
+                 UNION ALL SELECT dst FROM e))""",
+             """odeg AS MATERIALIZED (SELECT src AS node,
+                COUNT(*) AS outdeg FROM e GROUP BY src)""",
+             """nodes AS MATERIALIZED (SELECT n.node,
+                COALESCE(o.outdeg, 0) AS outdeg,
+                CASE WHEN n.node % 10 = 0 AND n.node < 1000000
+                     THEN 1 ELSE 0 END AS is_seed
+                FROM nodes0 n LEFT JOIN odeg o ON n.node = o.node)""",
+             """ns AS (SELECT COUNT(*) AS n FROM nodes
+                WHERE is_seed = 1)""",
+             f"""r0 AS MATERIALIZED (SELECT node, outdeg, is_seed,
+                CASE WHEN is_seed = 1
+                     THEN CAST(floor({u} / ns.n) AS BIGINT)
+                     ELSE 0 END AS rank
+                FROM nodes, ns)"""]
+    for it in range(iters):
+        parts.append(f"""d{it} AS (SELECT COALESCE(SUM(rank), 0) AS s
+                FROM r{it} WHERE outdeg = 0)""")
+        parts.append(f"""c{it} AS MATERIALIZED (
+                SELECT e.dst AS node,
+                SUM(CAST(floor(CAST(r.rank AS DOUBLE) / r.outdeg)
+                         AS BIGINT)) AS s
+                FROM e JOIN r{it} r ON e.src = r.node
+                WHERE r.outdeg > 0 GROUP BY e.dst)""")
+        parts.append(f"""r{it + 1} AS MATERIALIZED (
+                SELECT n.node, n.outdeg, n.is_seed,
+                CASE WHEN n.is_seed = 1
+                     THEN CAST(floor((1.0 - {damping}) * {u} / ns.n)
+                               AS BIGINT)
+                          + CAST(floor({damping} * d{it}.s / ns.n)
+                                 AS BIGINT)
+                     ELSE 0 END
+                + CAST(floor({damping} * CAST(COALESCE(c.s, 0)
+                                              AS DOUBLE)) AS BIGINT)
+                    AS rank
+                FROM nodes n LEFT JOIN c{it} c ON n.node = c.node,
+                     ns, d{it})""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT CAST(node AS BIGINT) AS node, "
+              f"CAST(rank AS BIGINT) AS rank FROM r{iters}")
+
+
+ROUND14_ORACLES["ppr_lineitem"] = _ppr_oracle_sql()

@@ -1124,3 +1124,53 @@ def test_temporal_bfs_min_merge_refines(spark):
           temporal_bfs(edf, sdf, "src", "dst", "d",
                        max_hops=2).collect()}
     assert h1[9] == 50 and h2[9] == 2 and h2[0] == 0
+
+
+# ------------------------------------------------------------------
+# personalized_pagerank
+# ------------------------------------------------------------------
+
+def _brute_ppr(edges, seeds, iters, d=0.85, unit=10 ** 12):
+    nodes = {n for e in edges for n in e}
+    outdeg = {}
+    for (a, _) in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    ns = len(seeds)
+    rank = {n: (unit // ns if n in seeds else 0) for n in nodes}
+    base = math.floor((1.0 - d) * unit / ns)
+    for _ in range(iters):
+        dang = sum(r for n, r in rank.items()
+                   if outdeg.get(n, 0) == 0)
+        dshare = math.floor(d * dang / ns)
+        contrib = {}
+        for (a, b) in edges:
+            c = math.floor(rank[a] / outdeg[a])
+            contrib[b] = contrib.get(b, 0) + c
+        rank = {n: ((base + dshare if n in seeds else 0)
+                    + math.floor(d * float(contrib.get(n, 0))))
+                for n in nodes}
+    return rank
+
+
+def test_personalized_pagerank_matches_bruteforce(spark):
+    """Random directed multigraph + seed restart: trajectory equals
+    the python replay exactly (integer micro-units); nodes
+    unreachable from seeds hold rank 0; no-seed input raises."""
+    import random
+
+    from tablite_spark.pipeline.graph import personalized_pagerank
+    rng = random.Random(17)
+    edges = [(rng.randrange(25), rng.randrange(25))
+             for _ in range(80)]
+    edges += [(100, 101), (101, 100)]     # island, seedless
+    seeds = [0, 3, 7]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(
+               edf, sdf, "src", "dst", iters=3).collect()}
+    assert got == _brute_ppr(edges, set(seeds), 3)
+    assert got[100] == 0 and got[101] == 0  # seedless island
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(
+            edf, sdf.filter(F.lit(False)), "src", "dst")
