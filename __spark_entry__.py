@@ -51,7 +51,8 @@ from tablite_spark.registry.round14 import (  # noqa: F401
     spatial_pairs_customers, bfs_hops_lineitem, kmv_jaccard_events,
     bloom_semi_join_lineitem, assortativity_lineitem, kcore_lineitem,
     dbscan_customers, cms_tokens_docs, hyperball_lineitem,
-    temporal_reach_lineitem, ppr_lineitem)
+    temporal_reach_lineitem, ppr_lineitem, script_mix_docs,
+    theil_sen_orders, stream_static_join_events)
 
 
 # --------------------------------------------------------------------
@@ -496,6 +497,11 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_lineitem": temporal_reach_lineitem,
         # --- round-14 nineteenth wave (personalized PageRank)
         "ppr_lineitem": ppr_lineitem,
+        # --- round-14 twentieth wave (script census, Theil-Sen,
+        #     stream-static enrichment)
+        "script_mix_docs": script_mix_docs,
+        "theil_sen_orders": theil_sen_orders,
+        "stream_static_join_events": stream_static_join_events,
     }
 
 def oracle_sql() -> dict[str, str]:

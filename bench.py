@@ -236,6 +236,10 @@ BENCH_QUERIES = [
     "temporal_reach_lineitem",
     # round-14 nineteenth wave
     "ppr_lineitem",
+    # round-14 twentieth wave
+    "script_mix_docs",
+    "theil_sen_orders",
+    "stream_static_join_events",
 ]
 
 
@@ -336,7 +340,8 @@ new_in_r14 = {"stream_interval_join_outer_events",
               "assortativity_lineitem", "kcore_lineitem",
               "dbscan_customers", "cms_tokens_docs",
               "hyperball_lineitem", "temporal_reach_lineitem",
-              "ppr_lineitem"}
+              "ppr_lineitem", "script_mix_docs", "theil_sen_orders",
+              "stream_static_join_events"}
 POST_R2_SETS = (new_in_r3 | new_in_r4 | new_in_r6 | new_in_r7
                | new_in_r8 | new_in_r9 | new_in_r10 | new_in_r11
                | new_in_r12 | new_in_r13 | new_in_r14)
@@ -481,6 +486,15 @@ COMPACT_LINE_SHED = {
     # joins the shed-before-first-print class (0.49 s census-window
     # row); stamps in META + SWEEP every round:
     "bollinger_events",
+    # final r14 allocation: 16 rows joined the registry this round
+    # and the 2000-char line cannot carry them all. The line keeps
+    # every multi-second new row (bfs/kcore/dbscan/hyperball/
+    # temporal/theil_sen/kmv/assort/cms/skyline/stream_static) and
+    # these sub-1.6 s rows ship META+SWEEP-only from birth (the
+    # sketch family stays represented on the line by kmv + cms; the
+    # spatial join is exercised inside dbscan's line row):
+    "hll_distinct_events", "spatial_pairs_customers",
+    "bloom_semi_join_lineitem", "script_mix_docs",
 }
 
 

@@ -1992,3 +1992,217 @@ def _ppr_oracle_sql(iters: int = 3, damping: float = 0.85,
 
 
 ROUND14_ORACLES["ppr_lineitem"] = _ppr_oracle_sql()
+
+
+# --------------------------------------------------------------------
+# batch: script-class mixture census (multilingual curation signal)
+# --------------------------------------------------------------------
+
+def script_mix_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language codepoint-class census over the corpus — the
+    multilingual curation signal ("is this 'en' shard actually
+    latin text?"): latin letters, digits, whitespace and other,
+    counted with EXPLICIT character classes on both engines (the
+    tokenizer_fertility discipline — named classes like \\s and
+    POSIX classes diverge between JVM regex and RE2, spelled-out
+    ranges do not). The four classes partition every codepoint, so
+    chars_total is also an integrity check. One combinable groupBy;
+    all counts exact BIGINT, one ratio rounds at the boundary."""
+    d = _t(spark, sf, "documents")
+
+    def nclass(cls: str):
+        return F.length(F.regexp_replace(
+            F.col("text"), f"[^{cls}]", ""))
+
+    ws = " \\t\\n\\x0B\\f\\r"
+    per = d.filter(F.col("text").isNotNull()).select(
+        "lang",
+        F.length("text").alias("n"),
+        nclass("A-Za-z").alias("lat"),
+        nclass("0-9").alias("dig"),
+        nclass(ws).alias("wsp"))
+    return (per.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n").cast("long").alias("chars_total"),
+                 F.sum("lat").cast("long").alias("chars_latin"),
+                 F.sum("dig").cast("long").alias("chars_digit"),
+                 F.sum("wsp").cast("long").alias("chars_ws"))
+            .withColumn("chars_other",
+                        (F.col("chars_total") - F.col("chars_latin")
+                         - F.col("chars_digit") - F.col("chars_ws"))
+                        .cast("long"))
+            .withColumn("latin_frac",
+                        F.round(F.col("chars_latin")
+                                / F.col("chars_total"), 6) + 0))
+
+
+ROUND14_ORACLES["script_mix_docs"] = """
+    WITH per AS (
+        SELECT lang, length(text) AS n,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS lat,
+               length(regexp_replace(text, '[^0-9]', '', 'g'))
+                   AS dig,
+               length(regexp_replace(text,
+                   '[^ ' || chr(9) || chr(10) || chr(11) || chr(12)
+                   || chr(13) || ']', '', 'g')) AS wsp
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS chars_total,
+           CAST(sum(lat) AS BIGINT) AS chars_latin,
+           CAST(sum(dig) AS BIGINT) AS chars_digit,
+           CAST(sum(wsp) AS BIGINT) AS chars_ws,
+           CAST(sum(n) - sum(lat) - sum(dig) - sum(wsp) AS BIGINT)
+               AS chars_other,
+           ROUND(sum(lat) / CAST(sum(n) AS DOUBLE), 6) + 0
+               AS latin_frac
+    FROM per GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------
+# batch: Theil-Sen robust slope (median of pairwise slopes)
+# --------------------------------------------------------------------
+
+def theil_sen_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust price-over-time trend: the Theil-Sen estimator (median
+    of all pairwise slopes — 29% breakdown point, the outlier-proof
+    alternative to OLS) over a DETERMINISTIC hash sample of orders
+    (custkey % 97 == 0). Theil-Sen is inherently O(n^2) in its
+    input; the scale answer is the bounded sample (documented
+    valve, ~1.5k orders -> ~1M pairs at sf0.1), after which the
+    pair frame is an inequality self-join BOUNDED BY CONSTRUCTION.
+    Slopes are one identical IEEE division of exact integers
+    (cents / days); the median interpolates, so it rounds at the
+    boundary, and the intercept median uses the ROUNDED slope so
+    both engines feed identical operands."""
+    o = _t(spark, sf, "orders")
+    s = (o.filter((F.col("o_custkey") % 97 == 0)
+                  & F.col("o_totalprice").isNotNull()
+                  & F.col("o_orderdate").isNotNull())
+         .select(F.col("o_orderkey").alias("k"),
+                 F.datediff(F.col("o_orderdate").cast("date"),
+                            F.lit("1970-01-01").cast("date"))
+                 .cast("long").alias("x"),
+                 F.round(F.col("o_totalprice") * 100, 0)
+                 .cast("long").alias("yc")))
+    pairs = (s.alias("a").join(
+        s.alias("b"), F.col("a.k") < F.col("b.k"))
+        .filter(F.col("a.x") != F.col("b.x"))
+        .select(((F.col("b.yc") - F.col("a.yc")).cast("double")
+                 / (F.col("b.x") - F.col("a.x")))
+                .alias("slope")))
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.round(F.expr("percentile(slope, 0.5)"), 6) + 0)
+        .alias("slope_cents_per_day"))
+    npts = s.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+    res = npts.crossJoin(F.broadcast(agg))
+    ic = (s.crossJoin(F.broadcast(
+        res.select("slope_cents_per_day")))
+        .select((F.col("yc").cast("double")
+                 - F.col("slope_cents_per_day") * F.col("x"))
+                .alias("r"))
+        .agg((F.round(F.expr("percentile(r, 0.5)"), 4) + 0)
+             .alias("intercept_cents")))
+    return res.crossJoin(F.broadcast(ic)).select(
+        "n_points", "n_pairs", "slope_cents_per_day",
+        "intercept_cents")
+
+
+ROUND14_ORACLES["theil_sen_orders"] = """
+    WITH s AS (
+        SELECT o_orderkey AS k,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS x,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS yc
+        FROM orders
+        WHERE o_custkey % 97 = 0 AND o_totalprice IS NOT NULL
+          AND o_orderdate IS NOT NULL
+    ), pairs AS (
+        SELECT (b.yc - a.yc) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM s a JOIN s b ON a.k < b.k AND a.x != b.x
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               ROUND(quantile_cont(slope, 0.5), 6) + 0
+                   AS slope_cents_per_day
+        FROM pairs
+    ), ic AS (
+        SELECT ROUND(quantile_cont(
+                   CAST(yc AS DOUBLE) - agg.slope_cents_per_day * x,
+                   0.5), 4) + 0 AS intercept_cents
+        FROM s, agg
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_points,
+           agg.n_pairs, agg.slope_cents_per_day, ic.intercept_cents
+    FROM agg, ic
+"""
+
+
+# --------------------------------------------------------------------
+# streaming: stream-static enrichment join (the canonical shape)
+# --------------------------------------------------------------------
+
+def stream_static_join_events(spark: SparkSession,
+                              sf: str) -> DataFrame:
+    """The canonical streaming ENRICHMENT shape — a real readStream
+    of events stateless-joined per micro-batch against a STATIC
+    dimension (nation, keyed by user_id % |nation|), aggregated
+    after the drain: revenue-weighted event census per nation name.
+    Stream-static joins hold NO state (each micro-batch broadcast-
+    joins the dim — at 100 TB/day this is the shape that replaces a
+    nightly batch enrich); the two-batch split proves the join runs
+    per-batch, and the oracle is the plain batch join + census."""
+    n = _t(spark, sf, "nation")
+    dim = n.select(F.col("n_nationkey").cast("long").alias("nk"),
+                   F.col("n_name").alias("nation"))
+    nn = dim.count()
+    ev = (_t(spark, sf, "events")
+          .filter(F.col("ts").isNotNull()
+                  & F.col("user_id").isNotNull())
+          .select("event_id",
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  "user_id", "event_type", "value"))
+    us = F.unix_micros(F.col("ts"))
+    cut = ev.agg(F.percentile(us, F.lit(0.5))
+                 .alias("m")).collect()[0]["m"]
+    root = tempfile.mkdtemp(prefix="stream_static_")
+    src = _stage_batches(root, "src", [
+        ev.filter(us <= F.lit(int(cut))),
+        ev.filter(us > F.lit(int(cut))),
+    ])
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(src))
+    enriched = (stream
+                .withColumn("nk", F.col("user_id") % F.lit(nn))
+                .join(F.broadcast(dim), "nk")
+                .select("event_id", "nation", "event_type",
+                        F.round(F.col("value") * 100, 0)
+                        .cast("long").alias("vc")))
+    q = (enriched.writeStream.format("parquet")
+         .option("path", f"{root}/out")
+         .option("checkpointLocation", f"{root}/ckpt")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(f"{root}/out")
+            .groupBy("nation", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum("vc").cast("long").alias("value_cents")))
+
+
+ROUND14_ORACLES["stream_static_join_events"] = """
+    SELECT n.n_name AS nation, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT))
+                AS BIGINT) AS value_cents
+    FROM events e
+    JOIN nation n
+      ON n.n_nationkey = e.user_id % (SELECT count(*) FROM nation)
+    WHERE e.ts IS NOT NULL AND e.user_id IS NOT NULL
+    GROUP BY 1, 2
+"""

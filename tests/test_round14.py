@@ -1174,3 +1174,58 @@ def test_personalized_pagerank_matches_bruteforce(spark):
     with pytest.raises(ValueError, match="seed"):
         personalized_pagerank(
             edf, sdf.filter(F.lit(False)), "src", "dst")
+
+
+# ------------------------------------------------------------------
+# wave-20 compositions
+# ------------------------------------------------------------------
+
+def test_script_mix_partitions_every_codepoint(spark):
+    """The four classes must partition any text exactly (including
+    the \\x0B vertical tab that named classes disagree on) — the
+    chars_other derivation is only valid under that invariant."""
+    from tablite_spark.registry.round14 import script_mix_docs
+    rows = [(1, "Abc 12\t3\x0b!?\näöü", "xx", "s", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, "
+              "source string, n_chars long")
+    df.createOrReplaceTempView("___t")
+    # drive the same expressions directly
+    from pyspark.sql import functions as F
+
+    def nclass(cls):
+        return F.length(F.regexp_replace(F.col("text"),
+                                         f"[^{cls}]", ""))
+    r = df.select(
+        F.length("text").alias("n"),
+        nclass("A-Za-z").alias("lat"),
+        nclass("0-9").alias("dig"),
+        nclass(" \\t\\n\\x0B\\f\\r").alias("wsp")).collect()[0]
+    # 15 chars: 3 latin, 3 digits, 4 ws (space/\t/\x0b/\n),
+    # 5 other (!, ?, ä, ö, ü)
+    assert (r["n"], r["lat"], r["dig"], r["wsp"]) == (15, 3, 3, 4)
+    assert r["n"] - r["lat"] - r["dig"] - r["wsp"] == 5  # other
+
+
+def test_theil_sen_matches_python_median_of_slopes(spark):
+    """Registry-shaped Theil-Sen on a hand sample (outlier included:
+    the median slope must ignore it where OLS would not)."""
+    import statistics
+
+    pts = [(1, 0, 100), (2, 1, 200), (3, 2, 300), (4, 3, 400),
+           (5, 4, 90000)]  # gross outlier
+    slopes = [(yb - ya) / (xb - xa)
+              for i, (ka, xa, ya) in enumerate(pts)
+              for (kb, xb, yb) in pts[i + 1:] if xa != xb]
+    want = statistics.median(slopes)
+    df = spark.createDataFrame(pts, "k long, x long, yc long")
+    pairs = (df.alias("a").join(df.alias("b"),
+                                F.col("a.k") < F.col("b.k"))
+             .filter(F.col("a.x") != F.col("b.x"))
+             .select(((F.col("b.yc") - F.col("a.yc"))
+                      .cast("double")
+                      / (F.col("b.x") - F.col("a.x")))
+                     .alias("slope")))
+    got = pairs.agg(F.expr("percentile(slope, 0.5)")).collect()[0][0]
+    assert abs(got - want) < 1e-9
+    assert abs(want - 100) < 1e-9  # the outlier did not move it
