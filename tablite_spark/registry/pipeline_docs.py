@@ -499,11 +499,10 @@ def stream_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
     carry CROSSES the batch boundary. Emits row-level attributed
     conversions (event_id, channel, value) — the batch window
     formula reproduces them exactly, which is the oracle."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
+    from tablite_spark.streaming.fixtures import (
+        stage_stream_batches, stream_shuffle_partitions)
     from tablite_spark.streaming.ops import streaming_attribution
     ev = _t(spark, sf, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
@@ -513,28 +512,21 @@ def stream_attribution_events(spark: SparkSession, sf: str) -> DataFrame:
     cut = ev.agg(F.percentile(us, F.lit(0.5))
                  .alias("m")).collect()[0]["m"]
     root = tempfile.mkdtemp(prefix="attr_stream_")
-    src = f"{root}/src"
-    os.makedirs(src)
-    for i, part in enumerate((
-            ev.filter(us <= F.lit(int(cut))),
-            ev.filter(us > F.lit(int(cut))))):
-        stage = f"{root}/stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = f"{src}/batch{i}.parquet"
-        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-        t = 1_700_000_000 + i * 600
-        os.utime(dst, (t, t))
+    src = stage_stream_batches(root, "src", [
+        ev.filter(us <= F.lit(int(cut))),
+        ev.filter(us > F.lit(int(cut)))])
     stream = (spark.readStream
               .schema("event_id long, ts timestamp, user_id long, "
                       "event_type string, value double")
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(src))
-    q = (streaming_attribution(stream)
-         .writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = (streaming_attribution(stream)
+             .writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     out = spark.read.parquet(f"{root}/out")
     return out.select("event_id", "channel",
                       F.round(F.col("value"), 4).alias("value"))
@@ -1175,11 +1167,10 @@ def stream_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
     Welford (n, mean, M2) prior CROSSES the batch boundary — the
     expanding-frame window formula in DuckDB reproduces every score,
     which is the oracle."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
+    from tablite_spark.streaming.fixtures import (
+        stage_stream_batches, stream_shuffle_partitions)
     from tablite_spark.streaming.ops import streaming_zscore
     ev = _t(spark, sf, "events").select(
         "event_id", "ts", "user_id", "value")
@@ -1187,28 +1178,21 @@ def stream_zscore_events(spark: SparkSession, sf: str) -> DataFrame:
     cut = ev.agg(F.percentile(us, F.lit(0.5))
                  .alias("m")).collect()[0]["m"]
     root = tempfile.mkdtemp(prefix="zs_stream_")
-    src = f"{root}/src"
-    os.makedirs(src)
-    for i, part in enumerate((
-            ev.filter(us <= F.lit(int(cut))),
-            ev.filter(us > F.lit(int(cut))))):
-        stage = f"{root}/stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = f"{src}/batch{i}.parquet"
-        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-        t = 1_700_000_000 + i * 600
-        os.utime(dst, (t, t))
+    src = stage_stream_batches(root, "src", [
+        ev.filter(us <= F.lit(int(cut))),
+        ev.filter(us > F.lit(int(cut)))])
     stream = (spark.readStream
               .schema("event_id long, ts timestamp, user_id long, "
                       "value double")
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(src))
-    q = (streaming_zscore(stream)
-         .writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = (streaming_zscore(stream)
+             .writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     out = spark.read.parquet(f"{root}/out")
     return out.select("user_id", "event_id", "n_prior",
                       F.round(F.col("z"), 4).alias("z"))

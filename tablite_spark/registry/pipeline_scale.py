@@ -292,14 +292,13 @@ def stream_incremental_dedup_docs(spark: SparkSession,
     Survivors are provably B ∪ E = every doc_id +30M and +60M, which
     DuckDB reproduces arithmetically. Exactly-once shape: survivors
     land in per-batch hive partitions (idempotent overwrite)."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from tablite_spark.pipeline.dedup import (
         minhash_save_index, shingle_minhash,
     )
+    from tablite_spark.streaming.fixtures import (
+        stage_stream_batches, stream_shuffle_partitions)
     from tablite_spark.streaming.ops import stream_incremental_dedup
 
     corpus = _dup_fixture(spark, sf).filter(F.col("doc_id") < 10_000_000)
@@ -333,23 +332,15 @@ def stream_incremental_dedup_docs(spark: SparkSession,
     batch1 = a.unionByName(b).unionByName(c)
     batch2 = d.unionByName(e)
 
-    src = f"{root}/src"
-    os.makedirs(src)
-    for i, bdf in enumerate([batch1, batch2]):
-        stage = f"{root}/stage{i}"
-        bdf.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(f"{stage}/part-*.parquet")[0]
-        dst = f"{src}/batch{i}.parquet"
-        shutil.copy(part, dst)
-        t = 1_700_000_000 + i * 600  # pin micro-batch order by mtime
-        os.utime(dst, (t, t))
+    src = stage_stream_batches(root, "src", [batch1, batch2])
 
     stream = (spark.readStream.schema("doc_id long, text string")
               .option("maxFilesPerTrigger", 1).parquet(src))
-    q = stream_incremental_dedup(
-        stream, "text", "doc_id", idx, out_path=f"{root}/out",
-        checkpoint=f"{root}/ckpt", threshold=0.8)
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = stream_incremental_dedup(
+            stream, "text", "doc_id", idx, out_path=f"{root}/out",
+            checkpoint=f"{root}/ckpt", threshold=0.8)
+        q.awaitTermination()
     return spark.read.parquet(f"{root}/out").select("doc_id")
 
 

@@ -319,11 +319,10 @@ def stream_upsert_events(spark: SparkSession, sf: str) -> DataFrame:
     boundary. The final per-key state (max cumulative count, seq
     tiebreak) is the check; the batch oracle is one max_by census
     in DuckDB."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
+    from tablite_spark.streaming.fixtures import (
+        stage_stream_batches, stream_shuffle_partitions)
     from tablite_spark.streaming.ops import streaming_upsert_compact
     ev = _t(spark, sf, "events").filter(
         F.col("user_id").isNotNull())
@@ -343,27 +342,20 @@ def stream_upsert_events(spark: SparkSession, sf: str) -> DataFrame:
     cut = feed.agg(F.percentile(us, F.lit(0.5))
                    .alias("m")).collect()[0]["m"]
     root = tempfile.mkdtemp(prefix="upsert_stream_")
-    src = f"{root}/src"
-    os.makedirs(src)
-    for i, part in enumerate((feed.filter(us <= F.lit(int(cut))),
-                              feed.filter(us > F.lit(int(cut))))):
-        stage = f"{root}/stage{i}"
-        part.drop("ts").coalesce(1).write.mode("overwrite") \
-            .parquet(stage)
-        dst = f"{src}/batch{i}.parquet"
-        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-        t = 1_700_000_000 + i * 600
-        os.utime(dst, (t, t))
+    src = stage_stream_batches(root, "src", [
+        feed.filter(us <= F.lit(int(cut))).drop("ts"),
+        feed.filter(us > F.lit(int(cut))).drop("ts")])
     stream = (spark.readStream
               .schema("key long, seq long, op string, val double")
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(src))
-    q = (streaming_upsert_compact(stream)
-         .writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = (streaming_upsert_compact(stream)
+             .writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     out = spark.read.parquet(f"{root}/out")
     # final state per key = the emission with the greatest
     # cumulative count (ties impossible: n strictly increases per

@@ -202,11 +202,13 @@ def stream_session_events(spark: SparkSession, sf: str) -> DataFrame:
     gaps-and-islands formulation with the session_window boundary
     rule (gap >= 30 min starts a NEW session — an event at exactly
     start+gap is outside the half-open [start, last+gap) window)."""
-    import glob
-    import os
-    import shutil
+    import datetime
     import tempfile
 
+    import pyarrow as pa
+
+    from tablite_spark.streaming.fixtures import (
+        stage_stream_batches, stream_shuffle_partitions)
     from tablite_spark.streaming.ops import session_aggregate
     ev = (_t(spark, sf, "events")
           .filter(F.col("user_id").isNotNull()
@@ -218,32 +220,25 @@ def stream_session_events(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile(us, F.lit(0.5)).alias("m"),
         F.max("ts").alias("hi")).collect()[0]
     root = tempfile.mkdtemp(prefix="sess_stream_")
-    src = f"{root}/src"
-    os.makedirs(src)
-    import datetime
-    sent = [ev.sparkSession.createDataFrame(
-        [(-1, hi + datetime.timedelta(days=30 * (i + 1)), 0.0)],
-        "user_id long, ts timestamp, value double") for i in range(2)]
-    parts = [ev.filter(us <= F.lit(int(cut))),
-             ev.filter(us > F.lit(int(cut))), sent[0], sent[1]]
-    for i, part in enumerate(parts):
-        stage = f"{root}/stage{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = f"{src}/batch{i}.parquet"
-        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-        t = 1_700_000_000 + i * 600
-        os.utime(dst, (t, t))
+    sent = [pa.table({
+        "user_id": [-1],
+        "ts": [hi + datetime.timedelta(days=30 * (i + 1))],
+        "value": [0.0]}) for i in range(2)]
+    src = stage_stream_batches(root, "src", [
+        ev.filter(us <= F.lit(int(cut))),
+        ev.filter(us > F.lit(int(cut))), sent[0], sent[1]])
     stream = (spark.readStream
               .schema("user_id long, ts timestamp, value double")
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(src))
-    q = (session_aggregate(stream, gap="30 minutes",
-                           watermark="2 hours")
-         .writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = (session_aggregate(stream, gap="30 minutes",
+                               watermark="2 hours")
+             .writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     out = spark.read.parquet(f"{root}/out")
     return (out.filter(F.col("user_id") >= 0)
             .select("user_id",
@@ -497,11 +492,10 @@ def stream_interval_join_events(spark: SparkSession,
     are present, so no sentinel flush is needed. The oracle is the
     plain batch interval join; the result is an exact row set
     (integer-microsecond gap, no floats)."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
+    from tablite_spark.streaming.fixtures import (
+        stage_stream_batches, stream_shuffle_partitions)
     from tablite_spark.streaming.ops import stream_interval_join
     ev = (_t(spark, sf, "events")
           .filter(F.col("user_id").isNotNull()
@@ -516,18 +510,9 @@ def stream_interval_join_events(spark: SparkSession,
              "r": ev.filter(F.col("event_type") == "view")}
     streams = {}
     for name, side in sides.items():
-        src = f"{root}/{name}"
-        os.makedirs(src)
-        for i, part in enumerate((
-                side.filter(us <= F.lit(int(cut))),
-                side.filter(us > F.lit(int(cut))))):
-            stage = f"{root}/stage_{name}{i}"
-            part.drop("event_type").coalesce(1) \
-                .write.mode("overwrite").parquet(stage)
-            dst = f"{src}/batch{i}.parquet"
-            shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-            t = 1_700_000_000 + i * 600
-            os.utime(dst, (t, t))
+        src = stage_stream_batches(root, name, [
+            side.filter(us <= F.lit(int(cut))).drop("event_type"),
+            side.filter(us > F.lit(int(cut))).drop("event_type")])
         streams[name] = (spark.readStream
                          .schema("user_id long, ts timestamp, "
                                  "event_id long")
@@ -545,11 +530,12 @@ def stream_interval_join_events(spark: SparkSession,
         F.col("r.event_id").alias("view_id"),
         (F.unix_micros(F.col("l.ts"))
          - F.unix_micros(F.col("r.ts"))).alias("gap_us"))
-    q = (out_cols.writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, f"{root}/l", f"{root}/r"):
+        q = (out_cols.writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.read.parquet(f"{root}/out")
 
 

@@ -37,15 +37,15 @@ Batch:
 from __future__ import annotations
 
 import datetime
-import glob
 import os
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tablite_spark.registry._base import _t
+from tablite_spark.streaming.fixtures import (
+    stage_stream_batches, stream_shuffle_partitions)
 
 ROUND14_ORACLES: dict[str, str] = {}
 
@@ -55,18 +55,10 @@ def _stage_batches(root: str, name: str, parts: list[DataFrame],
     """Stage each part as one mtime-pinned parquet file under
     ``root/name`` so a file-source readStream with
     ``maxFilesPerTrigger=1`` replays them as ordered micro-batches
-    (the r13 fixture discipline; ``coalesce(1)`` is fixture staging
-    over tiny frames, never a data-path shape)."""
-    src = f"{root}/{name}"
-    os.makedirs(src, exist_ok=True)
-    for i, part in enumerate(parts):
-        stage = f"{root}/__stage_{name}_{i}"
-        part.coalesce(1).write.mode("overwrite").parquet(stage)
-        dst = f"{src}/batch{i}.parquet"
-        shutil.copy(glob.glob(f"{stage}/part-*.parquet")[0], dst)
-        t = base_mtime + i * 600
-        os.utime(dst, (t, t))
-    return src
+    (the r13 fixture discipline). Since the r14 optimization round
+    the staging is one Arrow transfer per part instead of a
+    ``coalesce(1)`` Spark write — see ``streaming/fixtures.py``."""
+    return stage_stream_batches(root, name, parts, base_mtime)
 
 
 # --------------------------------------------------------------------
@@ -104,11 +96,12 @@ def stream_interval_join_outer_events(spark: SparkSession,
     cut, hi = ev.agg(
         F.percentile(us, F.lit(0.5)).alias("m"),
         F.max("ts").alias("hi")).collect()[0]
+    import pyarrow as pa
     root = tempfile.mkdtemp(prefix="sijo_stream_")
-    sent = [spark.createDataFrame(
-        [(-1, hi + datetime.timedelta(days=30 * (i + 1)), -1)],
-        "user_id long, ts timestamp, event_id long")
-        for i in range(2)]
+    sent = [pa.table({
+        "user_id": [-1],
+        "ts": [hi + datetime.timedelta(days=30 * (i + 1))],
+        "event_id": [-1]}) for i in range(2)]
     streams = {}
     for name, etype in (("l", "purchase"), ("r", "view")):
         side = ev.filter(F.col("event_type") == etype).drop("event_type")
@@ -130,11 +123,12 @@ def stream_interval_join_outer_events(spark: SparkSession,
         F.col("r.event_id").alias("view_id"),
         (F.unix_micros(F.col("l.ts"))
          - F.unix_micros(F.col("r.ts"))).alias("gap_us"))
-    q = (out_cols.writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, f"{root}/l", f"{root}/r"):
+        q = (out_cols.writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.read.parquet(f"{root}/out")
             .filter(F.col("user_id") >= 0))
 
@@ -195,9 +189,10 @@ def exactly_once_sink_events(spark: SparkSession, sf: str) -> DataFrame:
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1)
                   .option("latestFirst", "false").parquet(src))
-        q = exactly_once_parquet_sink(stream, f"{root}/out",
-                                      f"{root}/ckpt")
-        q.awaitTermination()
+        with stream_shuffle_partitions(spark, src):
+            q = exactly_once_parquet_sink(stream, f"{root}/out",
+                                          f"{root}/ckpt")
+            q.awaitTermination()
 
     run()                                   # drains batch 0, commits
     # simulate the crash window: batch 0's sink write survived but
@@ -260,12 +255,13 @@ def stream_dedup_watermark_events(spark: SparkSession,
                       "event_type string")
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(src))
-    q = (stream_dedup(stream, ["event_id"], watermark="40 days")
-         .writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = (stream_dedup(stream, ["event_id"], watermark="40 days")
+             .writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return spark.read.parquet(f"{root}/out")
 
 
@@ -741,11 +737,12 @@ def stream_session_timeout_events(spark: SparkSession,
     cut, hi = ev.agg(
         F.percentile(us, F.lit(0.5)).alias("m"),
         F.max("ts").alias("hi")).collect()[0]
+    import pyarrow as pa
     root = tempfile.mkdtemp(prefix="sess_to_")
-    sent = [spark.createDataFrame(
-        [(-1, hi + datetime.timedelta(days=30 * (i + 1)), "view")],
-        "user_id long, ts timestamp, event_type string")
-        for i in range(2)]
+    sent = [pa.table({
+        "user_id": [-1],
+        "ts": [hi + datetime.timedelta(days=30 * (i + 1))],
+        "event_type": ["view"]}) for i in range(2)]
     src = _stage_batches(root, "src", [
         ev.filter(us <= F.lit(int(cut))),
         ev.filter(us > F.lit(int(cut))),
@@ -755,12 +752,13 @@ def stream_session_timeout_events(spark: SparkSession,
                       "event_type string")
               .option("maxFilesPerTrigger", 1)
               .option("latestFirst", "false").parquet(src))
-    q = (streaming_session_timeout(stream)
-         .writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = (streaming_session_timeout(stream)
+             .writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.read.parquet(f"{root}/out")
             .filter(F.col("user_id") >= 0))
 
@@ -896,10 +894,11 @@ def stream_matview_events(spark: SparkSession, sf: str) -> DataFrame:
         stream = (spark.readStream.schema(schema)
                   .option("maxFilesPerTrigger", 1)
                   .option("latestFirst", "false").parquet(src))
-        q = incremental_matview_sink(
-            stream, ["event_type", "day"], "vc",
-            f"{root}/mv", f"{root}/ckpt")
-        q.awaitTermination()
+        with stream_shuffle_partitions(spark, src):
+            q = incremental_matview_sink(
+                stream, ["event_type", "day"], "vc",
+                f"{root}/mv", f"{root}/ckpt")
+            q.awaitTermination()
 
     run()
     os.remove(f"{root}/ckpt/commits/0")
@@ -2184,11 +2183,12 @@ def stream_static_join_events(spark: SparkSession,
                 .select("event_id", "nation", "event_type",
                         F.round(F.col("value") * 100, 0)
                         .cast("long").alias("vc")))
-    q = (enriched.writeStream.format("parquet")
-         .option("path", f"{root}/out")
-         .option("checkpointLocation", f"{root}/ckpt")
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark, src):
+        q = (enriched.writeStream.format("parquet")
+             .option("path", f"{root}/out")
+             .option("checkpointLocation", f"{root}/ckpt")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
     return (spark.read.parquet(f"{root}/out")
             .groupBy("nation", "event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),

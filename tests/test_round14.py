@@ -364,6 +364,53 @@ def test_streaming_session_timeout_paths(spark, tmp_path):
     }
 
 
+def test_session_timeout_batched_emission():
+    """r14 optimization: _session_timeout_fn now yields ONE frame per
+    invocation instead of one per closed session. Three interior
+    sessions of one key arriving in a single micro-batch must all be
+    present with exact bounds/counts/flags in the single emitted
+    frame (the semantics of the per-session emission, batched)."""
+    import pandas as pd
+
+    from tablite_spark.streaming.ops import _session_timeout_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, t):
+            self.stored = t
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ts):
+            self.timeout = ts
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00",   # session 1
+        "2024-01-01 11:00:00",                           # session 2
+        "2024-01-01 12:00:00", "2024-01-01 12:05:00",   # session 3
+        "2024-01-01 13:00:00",                           # open tail
+    ])
+    pdf = pd.DataFrame({"ts": ts,
+                        "event_type": ["view", "purchase", "view",
+                                       "view", "view", "view"]})
+    st = FakeState()
+    out = list(_session_timeout_fn((7,), iter([pdf]), st))
+    assert len(out) == 1                      # one frame, not three
+    got = {(str(r.session_start), str(r.session_end),
+            int(r.n_events), bool(r.purchased))
+           for r in out[0].itertuples()}
+    assert got == {
+        ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, True),
+        ("2024-01-01 11:00:00", "2024-01-01 11:00:00", 1, False),
+        ("2024-01-01 12:00:00", "2024-01-01 12:05:00", 2, False),
+    }
+    # the open tail lives only in state
+    assert st.stored[2] == 1 and not st.stored[3]
+
+
 # ------------------------------------------------------------------
 # triangle_count
 # ------------------------------------------------------------------
