@@ -38,6 +38,7 @@ pattern).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,64 +49,99 @@ __all__ = ["pagerank", "triangle_count", "bfs_hops", "k_core",
            "hyperball", "temporal_bfs",
            "personalized_pagerank"]
 
+# Iterative graph state lives in localCheckpoint frames, whose
+# LogicalRDD stats are UNKNOWN to Catalyst — every state ⋈ edges join
+# therefore planned as a sort-merge join that shuffles the EDGE side
+# once per round (r14 optimization round, measured in the plan
+# captures). The state side is node-bounded and its row count is
+# already computed each round (the fixpoint/convergence checks), so
+# the broadcast decision can be made from REAL numbers instead of
+# missing estimates: broadcast the node-sized side iff its estimated
+# bytes fit the budget below, else keep the shuffle join (the
+# 100 TB-safe fallback — node sets scale with the corpus). 256 MB is
+# the guide's "a few hundred MB is usually fine" regime, far under
+# the 8 GB broadcast cap; production can move it via the env knob.
+_BROADCAST_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_GRAPH_BROADCAST_BYTES", str(256 << 20)))
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int,
+                     bytes_per_row: int) -> DataFrame:
+    if n_rows * bytes_per_row <= _BROADCAST_BYTES:
+        return F.broadcast(df)
+    return df
+
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
              iters: int = 5, damping: float = 0.85,
              unit: int = 10 ** 12) -> DataFrame:
     """Return (node, rank) in integer micro-units after ``iters``
     damped power iterations. Nodes = distinct(src ∪ dst)."""
-    src = F.col(src_col).alias("node")
-    dst = F.col(dst_col).alias("node")
-    nodes = (edges.select(src).unionByName(edges.select(dst))
-             .distinct())
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    base_nodes = (nodes.join(outdeg, "node", "left")
-                  .select("node", F.coalesce("outdeg", F.lit(0))
-                          .alias("outdeg"))
-                  .localCheckpoint())
-    n = base_nodes.count()
-    if n == 0:
-        return base_nodes.select("node", F.lit(0).alias("rank"))
-    d = float(damping)
-    base = math.floor((1.0 - d) * unit / n)
-    ranks = base_nodes.withColumn(
-        "rank", F.lit(int(math.floor(unit / n))).cast("long"))
+    # the edge frame is scanned 2 + iters times (nodes, outdeg, one
+    # contribs join per iteration) — pin it once instead of replaying
+    # its upstream build (which for the registry callers is a multi-
+    # shuffle derivation from the corpus) every scan
     e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
-    prev_ckpt: DataFrame | None = None  # last iteration's checkpoint
-    for _ in range(iters):
-        dang = ranks.filter(F.col("outdeg") == 0) \
-                    .agg(F.sum("rank")).first()[0] or 0
-        dang_share = math.floor(d * dang / n)
-        per_edge = ranks.filter(F.col("outdeg") > 0).select(
-            F.col("node").alias("src"),
-            F.floor(F.col("rank") / F.col("outdeg")).cast("long")
-            .alias("c"))
-        contribs = (e.join(per_edge, "src")
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.sum("c").alias("s")))
-        ranks = (base_nodes.join(contribs, "node", "left")
-                 .select("node", "outdeg",
-                         (F.lit(base + dang_share)
-                          + F.floor(F.lit(d)
-                                    * F.coalesce(F.col("s"), F.lit(0))
-                                    .cast("double")).cast("long"))
-                         .alias("rank"))
-                 .localCheckpoint())  # eager: materialized here
-        # the new checkpoint no longer references the previous one's
-        # blocks — free them DETERMINISTICALLY, or one copy of the
-        # rank state stays pinned in executor storage per iteration
-        # (DataFrame.unpersist is a silent no-op on checkpointed
-        # frames; see plans.lifecycle)
-        if prev_ckpt is not None:
-            unpersist_local_checkpoint(prev_ckpt)
-        prev_ckpt = ranks
-    if iters > 0:
-        # the final ranks checkpoint is self-contained; base_nodes'
-        # blocks are no longer reachable from it (iters=0 returns the
-        # initial frame, which still reads base_nodes' blocks)
-        unpersist_local_checkpoint(base_nodes)
-    return ranks.select("node", "rank")
+                     F.col(dst_col).alias("dst")).persist()
+    try:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .unionByName(e.select(F.col("dst").alias("node")))
+                 .distinct())
+        outdeg = e.groupBy(F.col("src").alias("node")) \
+                  .agg(F.count(F.lit(1)).alias("outdeg"))
+        base_nodes = (nodes.join(outdeg, "node", "left")
+                      .select("node", F.coalesce("outdeg", F.lit(0))
+                              .alias("outdeg"))
+                      .localCheckpoint())
+        n = base_nodes.count()
+        if n == 0:
+            return base_nodes.select("node", F.lit(0).alias("rank"))
+        d = float(damping)
+        base = math.floor((1.0 - d) * unit / n)
+        ranks = base_nodes.withColumn(
+            "rank", F.lit(int(math.floor(unit / n))).cast("long"))
+        prev_ckpt: DataFrame | None = None  # last round's checkpoint
+        for _ in range(iters):
+            dang = ranks.filter(F.col("outdeg") == 0) \
+                        .agg(F.sum("rank")).first()[0] or 0
+            dang_share = math.floor(d * dang / n)
+            per_edge = ranks.filter(F.col("outdeg") > 0).select(
+                F.col("node").alias("src"),
+                F.floor(F.col("rank") / F.col("outdeg")).cast("long")
+                .alias("c"))
+            # per_edge is node-bounded (<= n rows, counted): broadcast
+            # it so the edge table is never shuffled — the join output
+            # collapses map-side into <= n partial sums per task
+            contribs = (e.join(_maybe_broadcast(per_edge, n, 32),
+                               "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum("c").alias("s")))
+            ranks = (base_nodes.join(
+                _maybe_broadcast(contribs, n, 24), "node", "left")
+                .select("node", "outdeg",
+                        (F.lit(base + dang_share)
+                         + F.floor(F.lit(d)
+                                   * F.coalesce(F.col("s"), F.lit(0))
+                                   .cast("double")).cast("long"))
+                        .alias("rank"))
+                .localCheckpoint())  # eager: materialized here
+            # the new checkpoint no longer references the previous
+            # one's blocks — free them DETERMINISTICALLY, or one copy
+            # of the rank state stays pinned in executor storage per
+            # iteration (DataFrame.unpersist is a silent no-op on
+            # checkpointed frames; see plans.lifecycle)
+            if prev_ckpt is not None:
+                unpersist_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
+        if iters > 0:
+            # the final ranks checkpoint is self-contained;
+            # base_nodes' blocks are no longer reachable from it
+            # (iters=0 returns the initial frame, which still reads
+            # base_nodes' blocks)
+            unpersist_local_checkpoint(base_nodes)
+        return ranks.select("node", "rank")
+    finally:
+        e.unpersist()
 
 
 def triangle_count(edges: DataFrame, src_col: str,
@@ -128,46 +164,76 @@ def triangle_count(edges: DataFrame, src_col: str,
     caller's boundary.
     """
     a, b = F.col(src_col), F.col(dst_col)
+    # und is scanned 4x (degree census, orientation join, edge count,
+    # triangle probe) and ori 3x (both wedge legs + probe) — pin each
+    # once; |E| is counted anyway (it is an output column), and that
+    # real number drives every broadcast decision below
     und = (edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
            .select(F.least(a, b).alias("u"),
                    F.greatest(a, b).alias("v"))
-           .distinct())
-    deg = (und.select(F.col("u").alias("n"))
-           .unionAll(und.select(F.col("v").alias("n")))
-           .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
-    # orient each edge low-(degree, id) -> high-(degree, id)
-    du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
-    e = und.join(du, "u").join(dv, "v")
-    lo_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    ori = e.select(
-        F.when(lo_first, F.col("u")).otherwise(F.col("v"))
-        .alias("s"),
-        F.when(lo_first, F.col("v")).otherwise(F.col("u"))
-        .alias("t"))
-    # wedges at the low endpoint: (s -> t1), (s -> t2), t1 < t2;
-    # a triangle exists iff (t1, t2) is an edge in EITHER orientation
-    w1 = ori.select(F.col("s"), F.col("t").alias("t1"))
-    w2 = ori.select(F.col("s"), F.col("t").alias("t2"))
-    wedges = (w1.join(w2, "s")
-              .filter(F.col("t1") < F.col("t2")))
-    probe = ori.select(F.col("s").alias("t1"),
-                       F.col("t").alias("t2")).unionAll(
-        ori.select(F.col("t").alias("t1"), F.col("s").alias("t2")))
-    tri = wedges.join(probe, ["t1", "t2"]).agg(
-        F.count(F.lit(1)).alias("n_triangles"))
-    stats = (deg.agg(F.count(F.lit(1)).alias("n_nodes"),
-                     F.sum(F.col("d") * (F.col("d") - 1) / 2)
-                     .cast("long").alias("n_wedges")))
-    nedges = und.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (stats.crossJoin(F.broadcast(nedges))
-            .crossJoin(F.broadcast(tri))
-            .select("n_nodes", "n_edges", "n_triangles", "n_wedges",
-                    F.when(F.col("n_wedges") > 0,
-                           3.0 * F.col("n_triangles")
-                           / F.col("n_wedges"))
-                    .alias("clustering")))
+           .distinct().persist())
+    deg = None
+    try:
+        n_edges = und.count()
+        # the degree census feeds the orientation join AND the wedge
+        # total — pin it so its union+groupBy pass runs once
+        deg = (und.select(F.col("u").alias("n"))
+               .unionAll(und.select(F.col("v").alias("n")))
+               .groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+               .persist())
+        # orient each edge low-(degree, id) -> high-(degree, id);
+        # deg is node-bounded (<= 2|E| rows): broadcast it into both
+        # endpoint joins so und is never shuffled
+        du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+        dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+        e = (und.join(_maybe_broadcast(du, 2 * n_edges, 24), "u")
+             .join(_maybe_broadcast(dv, 2 * n_edges, 24), "v"))
+        lo_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+        ori = e.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v"))
+            .alias("s"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u"))
+            .alias("t")).persist()
+        # wedges at the low endpoint: (s -> t1), (s -> t2), t1 < t2;
+        # a triangle exists iff {t1, t2} is an edge. Because wedges
+        # carry t1 < t2 and und is canonical (u < v), the closing-
+        # edge probe is und ITSELF — the old probe unioned BOTH
+        # orientations of ori (2|E| rows) to reach the same matches.
+        # Wedge leg and probe are |E|-bounded: broadcast them so the
+        # wedge fan-out streams through one stage with zero shuffles
+        # (the fallback keeps the shuffled joins for graphs past the
+        # budget)
+        w1 = ori.select(F.col("s"), F.col("t").alias("t1"))
+        w2 = ori.select(F.col("s"), F.col("t").alias("t2"))
+        wedges = (w1.join(_maybe_broadcast(w2, n_edges, 16), "s")
+                  .filter(F.col("t1") < F.col("t2")))
+        probe = und.select(F.col("u").alias("t1"),
+                           F.col("v").alias("t2"))
+        tri = (wedges.join(_maybe_broadcast(probe, n_edges, 16),
+                           ["t1", "t2"])
+               .agg(F.count(F.lit(1)).alias("n_triangles")))
+        stats = (deg.agg(F.count(F.lit(1)).alias("n_nodes"),
+                         F.sum(F.col("d") * (F.col("d") - 1) / 2)
+                         .cast("long").alias("n_wedges")))
+        nedges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+        return (stats.crossJoin(F.broadcast(nedges))
+                .crossJoin(F.broadcast(tri))
+                .select("n_nodes", "n_edges", "n_triangles",
+                        "n_wedges",
+                        F.when(F.col("n_wedges") > 0,
+                               3.0 * F.col("n_triangles")
+                               / F.col("n_wedges"))
+                        .alias("clustering"))
+                .localCheckpoint())  # 1 row; lets the pins release
+    finally:
+        try:
+            ori.unpersist()
+        except NameError:  # counted 0 edges before ori was built
+            pass
+        if deg is not None:
+            deg.unpersist()
+        und.unpersist()
 
 
 def bfs_hops(edges: DataFrame, seeds: DataFrame, src_col: str,
@@ -188,32 +254,50 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, src_col: str,
     first round it appears (BFS invariant), so no re-relaxation ever
     happens — ``max_hops`` bounds the round count, not correctness.
     """
+    # the undirected edge frame is scanned once per round — pin it
+    # (before this round it was re-derived from the corpus each hop)
     und = (edges.select(F.col(src_col).alias("a"),
                         F.col(dst_col).alias("b"))
            .unionByName(edges.select(F.col(dst_col).alias("a"),
                                      F.col(src_col).alias("b")))
-           .distinct())
-    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
-            .withColumn("hops", F.lit(0))
-            .localCheckpoint())
-    frontier = dist
-    for h in range(1, max_hops + 1):
-        nxt = (und.join(frontier.select(F.col("node").alias("a")),
-                        "a")
-               .select(F.col("b").alias("node")).distinct()
-               .join(dist.select("node"), "node", "left_anti")
-               .withColumn("hops", F.lit(h))
-               .localCheckpoint())
-        if nxt.isEmpty():
-            break
-        prev = dist
-        dist = dist.unionByName(nxt).localCheckpoint()
-        unpersist_local_checkpoint(prev)
-        if frontier is not prev:  # round 1: frontier IS the seeds
-            unpersist_local_checkpoint(frontier)
-        frontier = nxt
-    return dist.select("node", F.col("hops").cast("long")
-                       .alias("hops"))
+           .distinct().persist())
+    try:
+        dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+                .withColumn("hops", F.lit(0))
+                .localCheckpoint())
+        n_frontier = dist.count()  # replaces round-1 isEmpty probe
+        n_dist = n_frontier
+        frontier = dist
+        for h in range(1, max_hops + 1):
+            if n_frontier == 0:
+                break
+            # frontier and settled state are node-bounded with REAL
+            # counts in hand: broadcast them so und never shuffles —
+            # the frontier side into the expansion join, the settled
+            # side into the anti-join
+            nxt = (und.join(_maybe_broadcast(
+                       frontier.select(F.col("node").alias("a")),
+                       n_frontier, 16), "a")
+                   .select(F.col("b").alias("node")).distinct()
+                   .join(_maybe_broadcast(dist.select("node"),
+                                          n_dist, 16),
+                         "node", "left_anti")
+                   .withColumn("hops", F.lit(h))
+                   .localCheckpoint())
+            n_frontier = nxt.count()  # doubles as the isEmpty probe
+            if n_frontier == 0:
+                break
+            n_dist += n_frontier
+            prev = dist
+            dist = dist.unionByName(nxt).localCheckpoint()
+            unpersist_local_checkpoint(prev)
+            if frontier is not prev:  # round 1: frontier IS the seeds
+                unpersist_local_checkpoint(frontier)
+            frontier = nxt
+        return dist.select("node", F.col("hops").cast("long")
+                           .alias("hops"))
+    finally:
+        und.unpersist()
 
 
 def k_core(edges: DataFrame, src_col: str, dst_col: str, k: int,
@@ -244,22 +328,39 @@ def k_core(edges: DataFrame, src_col: str, dst_col: str, k: int,
            .distinct().persist())
     alive = (und.select(F.col("a").alias("node")).distinct()
              .localCheckpoint())
+    alive_ckpt = alive  # the checkpoint backing the survivor view
     n_alive = alive.count()
     try:
         for _ in range(max_rounds):
+            # the survivor set is node-bounded and its count is in
+            # hand from the convergence check: broadcast both
+            # membership probes so the pinned edge table is scanned
+            # once per round with NO shuffle (the groupBy shrinks
+            # map-side to <= |alive| partial counts per task)
             deg = (und
-                   .join(alive.select(F.col("node").alias("a")), "a")
-                   .join(alive.select(F.col("node").alias("b")), "b")
+                   .join(_maybe_broadcast(
+                       alive.select(F.col("node").alias("a")),
+                       n_alive, 16), "a")
+                   .join(_maybe_broadcast(
+                       alive.select(F.col("node").alias("b")),
+                       n_alive, 16), "b")
                    .groupBy(F.col("a").alias("node"))
                    .agg(F.count(F.lit(1)).cast("long")
                         .alias("core_degree")))
-            keep = deg.filter(F.col("core_degree") >= k)
+            # checkpoint FIRST, count the pinned result: the old
+            # count-then-checkpoint order evaluated the whole round
+            # TWICE (localCheckpoint is eager — it re-ran the joins
+            # the count had just run)
+            keep = deg.filter(F.col("core_degree") >= k) \
+                      .localCheckpoint()
             n_keep = keep.count()
             if n_keep == n_alive or n_keep == 0:
-                # materialize before the finally-block frees und
-                return keep.localCheckpoint()
-            prev = alive
-            alive = keep.select("node").localCheckpoint()
+                # already materialized — safe past the finally-block
+                return keep
+            prev = alive_ckpt
+            alive = keep.select("node")  # view on keep's blocks
+            alive_ckpt = keep  # lifecycle tracks the CHECKPOINT —
+            # unpersist_local_checkpoint is a no-op on derived views
             unpersist_local_checkpoint(prev)
             n_alive = n_keep
         raise RuntimeError(
@@ -304,6 +405,15 @@ def hyperball(edges: DataFrame, src_col: str, dst_col: str,
            .distinct().persist())
     h = F.conv(F.substring(F.md5(F.col("node").cast("string")),
                            1, 15), 16, 10).cast("long")
+    # State is PACKED: one row per node holding all m registers as an
+    # int array (0 = register absent; a real rho is always >= 1).
+    # The skinny (node, register, rho) layout made every round shuffle
+    # |E| x m rows through the merge groupBy — 66M rows per round on a
+    # 520k-edge graph, measured as the entire hyperball cost. Packed,
+    # a round joins |E| rows against a node-bounded broadcast and
+    # shuffles <= |V| partial rows of m register maxes. The register
+    # math (hash, rho, element-wise max, the HLL estimator) is
+    # expression-for-expression the one the oracle replays.
     state = (und.select(F.col("a").alias("node")).distinct()
              .select("node",
                      F.shiftright(h, rho_bits).cast("int")
@@ -314,14 +424,22 @@ def hyperball(edges: DataFrame, src_col: str, dst_col: str,
                      .otherwise(F.lit(rho_max)
                                 - F.length(F.expr("bin(__w__)")))
                      .cast("int").alias("rho"))
+             .select("node", F.expr(
+                 f"transform(sequence(0, {m - 1}), "
+                 f"i -> IF(i = register, rho, 0))").alias("rhos"))
              .localCheckpoint())
+    n_nodes = state.count()
 
     def nf_micro(st: DataFrame) -> int:
-        agg = (st.groupBy("node")
-               .agg(F.count(F.lit(1)).alias("np"),
-                    F.sum(F.expr(
-                        f"shiftleft(cast(1 as bigint), "
-                        f"{rho_max} - rho)")).alias("s")))
+        # np / s over PRESENT registers only — identical to the
+        # per-row groupBy census of the skinny layout
+        agg = st.select(
+            F.expr("size(filter(rhos, x -> x > 0))").cast("long")
+            .alias("np"),
+            F.expr(f"aggregate(filter(rhos, x -> x > 0), "
+                   f"cast(0 as bigint), (acc, x) -> acc + "
+                   f"shiftleft(cast(1 as bigint), {rho_max} - x))")
+            .alias("s"))
         vz = F.lit(m).cast("long") - F.col("np")
         denom = (vz * F.lit(q).cast("long") + F.col("s"))
         raw = F.lit(numer) / denom.cast("double")
@@ -332,18 +450,23 @@ def hyperball(edges: DataFrame, src_col: str, dst_col: str,
             .collect()[0]["nf"])
 
     out = [(0, nf_micro(state))]
+    # element-wise register max across a node's own sketch and its
+    # neighbors' — m combinable max aggregates, repacked to the array
+    reg_max = [F.max(F.element_at(F.col("rhos"), i + 1))
+               .alias(f"__r{i}__") for i in range(m)]
+    repack = F.array(*[F.col(f"__r{i}__") for i in range(m)])
     try:
         for hh in range(1, max_h + 1):
             contrib = (und.join(
-                state.select(F.col("node").alias("b"),
-                             "register", "rho"), "b")
-                .select(F.col("a").alias("node"), "register", "rho"))
+                _maybe_broadcast(
+                    state.select(F.col("node").alias("b"), "rhos"),
+                    n_nodes, 4 * m + 48), "b")
+                .select(F.col("a").alias("node"), "rhos"))
             prev = state
-            state = (contrib.unionByName(
-                state.select("node", "register", "rho"))
-                .groupBy("node", "register")
-                .agg(F.max("rho").alias("rho"))
-                .localCheckpoint())
+            state = (contrib.unionByName(state)
+                     .groupBy("node").agg(*reg_max)
+                     .select("node", repack.alias("rhos"))
+                     .localCheckpoint())
             unpersist_local_checkpoint(prev)
             out.append((hh, nf_micro(state)))
         return out
@@ -379,21 +502,32 @@ def temporal_bfs(edges: DataFrame, seeds: DataFrame, src_col: str,
                           F.col(seed_ts_col).alias("arrival"))
              .groupBy("node").agg(F.min("arrival").alias("arrival"))
              .localCheckpoint())
+    n_state = state.count()
+    # the (timestamped) edge frame is scanned every round — pin it
+    # once instead of replaying its corpus-side derivation per hop
     e = edges.select(F.col(src_col).alias("node"),
                      F.col(dst_col).alias("__dst__"),
-                     F.col(ts_col).alias("__ts__"))
-    for _ in range(max_hops):
-        relax = (e.join(state, "node")
-                 .filter(F.col("__ts__") >= F.col("arrival"))
-                 .select(F.col("__dst__").alias("node"),
-                         F.col("__ts__").alias("arrival")))
-        prev = state
-        state = (state.unionByName(relax)
-                 .groupBy("node").agg(F.min("arrival")
-                                      .alias("arrival"))
-                 .localCheckpoint())
-        unpersist_local_checkpoint(prev)
-    return state
+                     F.col(ts_col).alias("__ts__")).persist()
+    try:
+        for _ in range(max_hops):
+            # arrival state is node-bounded with a real count:
+            # broadcast it so the edge table never shuffles; the
+            # min-merge groupBy collapses map-side to <= |V| partials
+            relax = (e.join(_maybe_broadcast(state, n_state, 24),
+                            "node")
+                     .filter(F.col("__ts__") >= F.col("arrival"))
+                     .select(F.col("__dst__").alias("node"),
+                             F.col("__ts__").alias("arrival")))
+            prev = state
+            state = (state.unionByName(relax)
+                     .groupBy("node").agg(F.min("arrival")
+                                          .alias("arrival"))
+                     .localCheckpoint())
+            n_state = state.count()
+            unpersist_local_checkpoint(prev)
+        return state
+    finally:
+        e.unpersist()
 
 
 def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
@@ -412,59 +546,67 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     same IEEE op in any engine, so the trajectory is bit-exact and
     oracle-replayable. Non-seed nodes unreachable from the seed set
     hold rank 0 forever (the semantic point of personalization)."""
-    src = F.col(src_col).alias("node")
-    dst = F.col(dst_col).alias("node")
-    nodes = (edges.select(src).unionByName(edges.select(dst))
-             .distinct())
-    outdeg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
-    sd = seeds.select(F.col(node_col).alias("node")).distinct()
-    base_nodes = (nodes.join(outdeg, "node", "left")
-                  .join(sd.withColumn("__is_seed__", F.lit(1)),
-                        "node", "left")
-                  .select("node",
-                          F.coalesce("outdeg", F.lit(0))
-                          .alias("outdeg"),
-                          F.coalesce("__is_seed__", F.lit(0))
-                          .alias("is_seed"))
-                  .localCheckpoint())
-    ns = base_nodes.filter(F.col("is_seed") == 1).count()
-    if ns == 0:
-        raise ValueError("personalized_pagerank needs >= 1 seed "
-                         "present in the graph")
-    d = float(damping)
-    base = math.floor((1.0 - d) * unit / ns)
-    ranks = base_nodes.withColumn(
-        "rank", F.when(F.col("is_seed") == 1,
-                       F.lit(int(math.floor(unit / ns))))
-        .otherwise(F.lit(0)).cast("long"))
+    # same scan-pinning + count-driven broadcast discipline as
+    # ``pagerank`` (see there for the rationale)
     e = edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
-    prev_ckpt: DataFrame | None = None
-    for _ in range(iters):
-        dang = ranks.filter(F.col("outdeg") == 0) \
-                    .agg(F.sum("rank")).first()[0] or 0
-        dang_share = math.floor(d * dang / ns)
-        per_edge = ranks.filter(F.col("outdeg") > 0).select(
-            F.col("node").alias("src"),
-            F.floor(F.col("rank") / F.col("outdeg")).cast("long")
-            .alias("c"))
-        contribs = (e.join(per_edge, "src")
-                    .groupBy(F.col("dst").alias("node"))
-                    .agg(F.sum("c").alias("s")))
-        ranks = (base_nodes.join(contribs, "node", "left")
-                 .select("node", "outdeg", "is_seed",
-                         (F.when(F.col("is_seed") == 1,
-                                 F.lit(base + dang_share))
-                          .otherwise(F.lit(0))
-                          + F.floor(F.lit(d)
-                                    * F.coalesce(F.col("s"),
-                                                 F.lit(0))
-                                    .cast("double")).cast("long"))
-                         .alias("rank"))
-                 .localCheckpoint())
-        if prev_ckpt is not None:
-            unpersist_local_checkpoint(prev_ckpt)
-        prev_ckpt = ranks
-    if iters > 0:
-        unpersist_local_checkpoint(base_nodes)
-    return ranks.select("node", "rank")
+                     F.col(dst_col).alias("dst")).persist()
+    try:
+        nodes = (e.select(F.col("src").alias("node"))
+                 .unionByName(e.select(F.col("dst").alias("node")))
+                 .distinct())
+        outdeg = e.groupBy(F.col("src").alias("node")) \
+                  .agg(F.count(F.lit(1)).alias("outdeg"))
+        sd = seeds.select(F.col(node_col).alias("node")).distinct()
+        base_nodes = (nodes.join(outdeg, "node", "left")
+                      .join(sd.withColumn("__is_seed__", F.lit(1)),
+                            "node", "left")
+                      .select("node",
+                              F.coalesce("outdeg", F.lit(0))
+                              .alias("outdeg"),
+                              F.coalesce("__is_seed__", F.lit(0))
+                              .alias("is_seed"))
+                      .localCheckpoint())
+        n = base_nodes.count()
+        ns = base_nodes.filter(F.col("is_seed") == 1).count()
+        if ns == 0:
+            raise ValueError("personalized_pagerank needs >= 1 seed "
+                             "present in the graph")
+        d = float(damping)
+        base = math.floor((1.0 - d) * unit / ns)
+        ranks = base_nodes.withColumn(
+            "rank", F.when(F.col("is_seed") == 1,
+                           F.lit(int(math.floor(unit / ns))))
+            .otherwise(F.lit(0)).cast("long"))
+        prev_ckpt: DataFrame | None = None
+        for _ in range(iters):
+            dang = ranks.filter(F.col("outdeg") == 0) \
+                        .agg(F.sum("rank")).first()[0] or 0
+            dang_share = math.floor(d * dang / ns)
+            per_edge = ranks.filter(F.col("outdeg") > 0).select(
+                F.col("node").alias("src"),
+                F.floor(F.col("rank") / F.col("outdeg")).cast("long")
+                .alias("c"))
+            contribs = (e.join(_maybe_broadcast(per_edge, n, 32),
+                               "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum("c").alias("s")))
+            ranks = (base_nodes.join(
+                _maybe_broadcast(contribs, n, 24), "node", "left")
+                .select("node", "outdeg", "is_seed",
+                        (F.when(F.col("is_seed") == 1,
+                                F.lit(base + dang_share))
+                         .otherwise(F.lit(0))
+                         + F.floor(F.lit(d)
+                                   * F.coalesce(F.col("s"),
+                                                F.lit(0))
+                                   .cast("double")).cast("long"))
+                        .alias("rank"))
+                .localCheckpoint())
+            if prev_ckpt is not None:
+                unpersist_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
+        if iters > 0:
+            unpersist_local_checkpoint(base_nodes)
+        return ranks.select("node", "rank")
+    finally:
+        e.unpersist()

@@ -50,6 +50,34 @@ from tablite_spark.streaming.fixtures import (
 ROUND14_ORACLES: dict[str, str] = {}
 
 
+def _co_order_pairs(li: DataFrame, cap: int = 5) -> DataFrame:
+    """(bk, src, dst) co-order part pairs of the capped basket graph
+    — one row per (basket, unordered pair), ``src < dst``. Shared by
+    the six graph queries; consumers drop ``bk`` and add
+    ``.distinct()`` when they need the simple graph.
+
+    r14 optimization round (guide §2.2, shuffle less): the original
+    four-exchange pipeline (distinct (bk,it) → basket census →
+    cap semi-join → bk self-join) is ONE combinable ``collect_set``
+    groupBy plus an in-row pair expansion — the census, the cap
+    filter and the pair fan-out all happen inside the aggregated row
+    (a kept basket holds <= ``cap`` items, so it fans out to
+    <= cap·(cap-1)/2 structs). Multiset-identical to the self-join
+    (verified at sf0.01: 52,049 = 52,049 rows, zero exceptAll diff);
+    the oracle SQL keeps the self-join formulation — two different
+    pair expansions agreeing."""
+    return (li.filter(F.col("l_orderkey").isNotNull()
+                      & F.col("l_partkey").isNotNull())
+            .groupBy(F.col("l_orderkey").alias("bk"))
+            .agg(F.collect_set("l_partkey").alias("__items__"))
+            .filter(F.size("__items__") <= cap)
+            .select("bk", F.explode(F.expr(
+                "flatten(transform(__items__, x -> "
+                "transform(filter(__items__, y -> y > x), "
+                "y -> struct(x AS src, y AS dst))))")).alias("p"))
+            .select("bk", "p.src", "p.dst"))
+
+
 def _stage_batches(root: str, name: str, parts: list[DataFrame],
                    base_mtime: int = 1_700_000_000) -> str:
     """Stage each part as one mtime-pinned parquet file under
@@ -806,17 +834,7 @@ def triangle_count_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     coefficient rounds at the boundary."""
     from tablite_spark.pipeline.graph import triangle_count
     li = _t(spark, sf, "lineitem")
-    base = (li.filter(F.col("l_orderkey").isNotNull()
-                      & F.col("l_partkey").isNotNull())
-            .select(F.col("l_orderkey").alias("bk"),
-                    F.col("l_partkey").alias("it")).distinct())
-    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
-             .filter(F.col("c") <= 5).select("bk"))
-    capped = base.join(small, "bk")
-    edges = (capped.alias("l").join(capped.alias("r"), "bk")
-             .filter(F.col("l.it") < F.col("r.it"))
-             .select(F.col("l.it").alias("src"),
-                     F.col("r.it").alias("dst")))
+    edges = _co_order_pairs(li).select("src", "dst")
     out = triangle_count(edges, "src", "dst")
     return out.select("n_nodes", "n_edges", "n_triangles",
                       "n_wedges",
@@ -1114,22 +1132,19 @@ def bfs_hops_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     CTE — two different traversal algorithms agreeing."""
     from tablite_spark.pipeline.graph import bfs_hops
     li = _t(spark, sf, "lineitem")
-    base = (li.filter(F.col("l_orderkey").isNotNull()
-                      & F.col("l_partkey").isNotNull())
-            .select(F.col("l_orderkey").alias("bk"),
-                    F.col("l_partkey").alias("it")).distinct())
-    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
-             .filter(F.col("c") <= 5).select("bk"))
-    capped = base.join(small, "bk")
-    edges = (capped.alias("l").join(capped.alias("r"), "bk")
-             .filter(F.col("l.it") < F.col("r.it"))
-             .select(F.col("l.it").alias("src"),
-                     F.col("r.it").alias("dst")).distinct())
-    nodes = (edges.select(F.col("src").alias("node"))
-             .unionByName(edges.select(F.col("dst").alias("node")))
-             .distinct())
-    seeds = nodes.filter(F.col("node") % 13 == 0)
-    out = bfs_hops(edges, seeds, "src", "dst", max_hops=3)
+    # no .distinct(): bfs_hops' own und/nodes distincts dedupe —
+    # an intermediate distinct would just add a 4th shuffle. The
+    # pair frame is scanned by BOTH the seed derivation and the
+    # traversal's und build, so pin it for the (eager) call
+    edges = _co_order_pairs(li).select("src", "dst").persist()
+    try:
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .distinct())
+        seeds = nodes.filter(F.col("node") % 13 == 0)
+        out = bfs_hops(edges, seeds, "src", "dst", max_hops=3)
+    finally:
+        edges.unpersist()
     return out.select(F.col("node").cast("long").alias("node"),
                       "hops")
 
@@ -1371,17 +1386,7 @@ def assortativity_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     graph (zero variance) ships NULL on both engines. Degree census
     + two keyed joins — combinable end to end, no windows."""
     li = _t(spark, sf, "lineitem")
-    base = (li.filter(F.col("l_orderkey").isNotNull()
-                      & F.col("l_partkey").isNotNull())
-            .select(F.col("l_orderkey").alias("bk"),
-                    F.col("l_partkey").alias("it")).distinct())
-    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
-             .filter(F.col("c") <= 5).select("bk"))
-    capped = base.join(small, "bk")
-    edges = (capped.alias("l").join(capped.alias("r"), "bk")
-             .filter(F.col("l.it") < F.col("r.it"))
-             .select(F.col("l.it").alias("src"),
-                     F.col("r.it").alias("dst")).distinct())
+    edges = _co_order_pairs(li).select("src", "dst").distinct()
     und = (edges.select(F.col("src").alias("a"),
                         F.col("dst").alias("b"))
            .unionByName(edges.select(F.col("dst").alias("a"),
@@ -1469,17 +1474,8 @@ def kcore_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     degrees."""
     from tablite_spark.pipeline.graph import k_core
     li = _t(spark, sf, "lineitem")
-    base = (li.filter(F.col("l_orderkey").isNotNull()
-                      & F.col("l_partkey").isNotNull())
-            .select(F.col("l_orderkey").alias("bk"),
-                    F.col("l_partkey").alias("it")).distinct())
-    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
-             .filter(F.col("c") <= 5).select("bk"))
-    capped = base.join(small, "bk")
-    edges = (capped.alias("l").join(capped.alias("r"), "bk")
-             .filter(F.col("l.it") < F.col("r.it"))
-             .select(F.col("l.it").alias("src"),
-                     F.col("r.it").alias("dst")).distinct())
+    # no .distinct(): k_core's und distinct dedupes (see bfs note)
+    edges = _co_order_pairs(li).select("src", "dst")
     out = k_core(edges, "src", "dst", k=30)
     return out.select(F.col("node").cast("long").alias("node"),
                       "core_degree")
@@ -1714,17 +1710,8 @@ def hyperball_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     (the heavy work is distributed; the collect is 4 integers)."""
     from tablite_spark.pipeline.graph import hyperball
     li = _t(spark, sf, "lineitem")
-    base = (li.filter(F.col("l_orderkey").isNotNull()
-                      & F.col("l_partkey").isNotNull())
-            .select(F.col("l_orderkey").alias("bk"),
-                    F.col("l_partkey").alias("it")).distinct())
-    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
-             .filter(F.col("c") <= 5).select("bk"))
-    capped = base.join(small, "bk")
-    edges = (capped.alias("l").join(capped.alias("r"), "bk")
-             .filter(F.col("l.it") < F.col("r.it"))
-             .select(F.col("l.it").alias("src"),
-                     F.col("r.it").alias("dst")).distinct())
+    # no .distinct(): hyperball's und distinct dedupes (see bfs note)
+    edges = _co_order_pairs(li).select("src", "dst")
     nf = hyperball(edges, "src", "dst", max_h=3)
     return spark.createDataFrame(
         [(int(h), int(v)) for h, v in nf], "h long, nf_micro long")
@@ -1828,31 +1815,31 @@ def temporal_reach_lineitem(spark: SparkSession,
     from tablite_spark.pipeline.graph import temporal_bfs
     li = _t(spark, sf, "lineitem")
     o = _t(spark, sf, "orders")
-    base = (li.filter(F.col("l_orderkey").isNotNull()
-                      & F.col("l_partkey").isNotNull())
-            .select(F.col("l_orderkey").alias("bk"),
-                    F.col("l_partkey").alias("it")).distinct())
-    small = (base.groupBy("bk").agg(F.count(F.lit(1)).alias("c"))
-             .filter(F.col("c") <= 5).select("bk"))
-    capped = base.join(small, "bk")
-    dated = (capped.alias("l").join(capped.alias("r"), "bk")
-             .filter(F.col("l.it") < F.col("r.it"))
+    dated = (_co_order_pairs(li)
              .join(o.select(F.col("o_orderkey").alias("bk"),
                             F.datediff(F.col("o_orderdate")
                                        .cast("date"),
                                        F.lit("1970-01-01")
                                        .cast("date"))
                             .cast("long").alias("d")), "bk")
-             .select(F.col("l.it").alias("u"),
-                     F.col("r.it").alias("v"), "d").distinct())
-    und = (dated.select(F.col("u").alias("src"),
-                        F.col("v").alias("dst"), "d")
-           .unionByName(dated.select(F.col("v").alias("src"),
-                                     F.col("u").alias("dst"), "d")))
-    seeds = (und.filter(F.col("src") % 13 == 0)
-             .groupBy(F.col("src").alias("node"))
-             .agg(F.min("d").alias("t0")))
-    out = temporal_bfs(und, seeds, "src", "dst", "d", max_hops=3)
+             .select(F.col("src").alias("u"),
+                     F.col("dst").alias("v"), "d").distinct()
+             .persist())  # scanned by seeds AND the relax rounds
+    try:
+        und = (dated.select(F.col("u").alias("src"),
+                            F.col("v").alias("dst"), "d")
+               .unionByName(dated.select(F.col("v").alias("src"),
+                                         F.col("u").alias("dst"),
+                                         "d")))
+        seeds = (und.filter(F.col("src") % 13 == 0)
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.min("d").alias("t0")))
+        # temporal_bfs is eager (checkpoint-pinned rounds), so the
+        # pin can release as soon as it returns
+        out = temporal_bfs(und, seeds, "src", "dst", "d",
+                           max_hops=3)
+    finally:
+        dated.unpersist()
     return out.select(
         F.col("node").cast("long").alias("node"),
         F.expr("cast(date_add(DATE '1970-01-01', "
