@@ -251,36 +251,56 @@ def dbscan_grid(pts: DataFrame, id_col: str, x_col: str, y_col: str,
     """
     from tablite_spark.operators.spatial import grid_radius_join
     from tablite_spark.pipeline.dedup import connected_components
+    from tablite_spark.plans.hints import maybe_broadcast
     p = pts.select(F.col(id_col).alias("pid"),
                    F.col(x_col).alias("x"), F.col(y_col).alias("y"))
-    nb = grid_radius_join(p, p, eps)
-    cnt = (nb.groupBy(F.col("pid_l").alias("pid"))
-           .agg(F.count(F.lit(1)).alias("n_nb")))
-    cores = cnt.filter(F.col("n_nb") >= min_pts).select("pid")
-    core_pairs = (nb
-                  .join(cores.select(F.col("pid").alias("pid_l")),
-                        "pid_l")
-                  .join(cores.select(F.col("pid").alias("pid_r")),
+    # r14 optimization round: the neighbor-pair frame feeds the core
+    # census, the core-core adjacency AND the border resolution —
+    # pin it ONCE, projected to the id pair (guide §2.2: the old
+    # shape re-ran the 9-cell self-join three times and carried
+    # x/y/dist_sq it never read again); the core set / labels are
+    # point-bounded with counted sizes, so their joins broadcast
+    nb = (grid_radius_join(p, p, eps)
+          .select("pid_l", "pid_r").persist())
+    try:
+        cnt = (nb.groupBy(F.col("pid_l").alias("pid"))
+               .agg(F.count(F.lit(1)).alias("n_nb")))
+        cores = (cnt.filter(F.col("n_nb") >= min_pts).select("pid")
+                 .localCheckpoint())
+        n_cores = cores.count()
+        core_pairs = (nb
+                      .join(maybe_broadcast(
+                          cores.select(F.col("pid").alias("pid_l")),
+                          n_cores, 16), "pid_l")
+                      .join(maybe_broadcast(
+                          cores.select(F.col("pid").alias("pid_r")),
+                          n_cores, 16), "pid_r")
+                      .filter(F.col("pid_l") < F.col("pid_r"))
+                      .select(F.col("pid_l").alias("id_a"),
+                              F.col("pid_r").alias("id_b")))
+        comp = connected_components(core_pairs)
+        core_lab = (cores.join(maybe_broadcast(
+            comp.select(F.col("id").alias("pid"), "component"),
+            n_cores, 24), "pid", "left")
+            .select("pid",
+                    F.coalesce("component", F.col("pid"))
+                    .cast("long").alias("cluster")))
+        border = (nb
+                  .join(maybe_broadcast(
+                      cores.select(F.col("pid").alias("pid_l")),
+                      n_cores, 16), "pid_l", "left_anti")
+                  .join(maybe_broadcast(
+                      core_lab.select(F.col("pid").alias("pid_r"),
+                                      "cluster"), n_cores, 24),
                         "pid_r")
-                  .filter(F.col("pid_l") < F.col("pid_r"))
-                  .select(F.col("pid_l").alias("id_a"),
-                          F.col("pid_r").alias("id_b")))
-    comp = connected_components(core_pairs)
-    core_lab = (cores.join(comp.select(F.col("id").alias("pid"),
-                                       "component"), "pid", "left")
-                .select("pid",
-                        F.coalesce("component", F.col("pid"))
-                        .cast("long").alias("cluster")))
-    border = (nb
-              .join(cores.select(F.col("pid").alias("pid_l")),
-                    "pid_l", "left_anti")
-              .join(core_lab.select(F.col("pid").alias("pid_r"),
-                                    "cluster"), "pid_r")
-              .groupBy(F.col("pid_l").alias("pid"))
-              .agg(F.min("cluster").cast("long").alias("cluster")))
-    labeled = (core_lab.withColumn("role", F.lit("core"))
-               .unionByName(border.withColumn("role",
-                                              F.lit("border"))))
+                  .groupBy(F.col("pid_l").alias("pid"))
+                  .agg(F.min("cluster").cast("long").alias("cluster")))
+        labeled = (core_lab.withColumn("role", F.lit("core"))
+                   .unionByName(border.withColumn("role",
+                                                  F.lit("border")))
+                   .localCheckpoint())  # point-bounded; frees nb
+    finally:
+        nb.unpersist()
     return (p.select("pid")
             .join(labeled, "pid", "left")
             .select(F.col("pid").alias(id_col),

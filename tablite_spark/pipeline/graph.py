@@ -38,11 +38,11 @@ pattern).
 from __future__ import annotations
 
 import math
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tablite_spark.plans.hints import maybe_broadcast as _maybe_broadcast
 from tablite_spark.plans.lifecycle import unpersist_local_checkpoint
 
 __all__ = ["pagerank", "triangle_count", "bfs_hops", "k_core",
@@ -51,25 +51,11 @@ __all__ = ["pagerank", "triangle_count", "bfs_hops", "k_core",
 
 # Iterative graph state lives in localCheckpoint frames, whose
 # LogicalRDD stats are UNKNOWN to Catalyst — every state ⋈ edges join
-# therefore planned as a sort-merge join that shuffles the EDGE side
-# once per round (r14 optimization round, measured in the plan
-# captures). The state side is node-bounded and its row count is
-# already computed each round (the fixpoint/convergence checks), so
-# the broadcast decision can be made from REAL numbers instead of
-# missing estimates: broadcast the node-sized side iff its estimated
-# bytes fit the budget below, else keep the shuffle join (the
-# 100 TB-safe fallback — node sets scale with the corpus). 256 MB is
-# the guide's "a few hundred MB is usually fine" regime, far under
-# the 8 GB broadcast cap; production can move it via the env knob.
-_BROADCAST_BYTES = int(os.environ.get(
-    "SPARK_GRAFT_GRAPH_BROADCAST_BYTES", str(256 << 20)))
-
-
-def _maybe_broadcast(df: DataFrame, n_rows: int,
-                     bytes_per_row: int) -> DataFrame:
-    if n_rows * bytes_per_row <= _BROADCAST_BYTES:
-        return F.broadcast(df)
-    return df
+# would plan as a sort-merge join that shuffles the EDGE side once
+# per round (r14 optimization round, measured in the plan captures).
+# The state side is node-bounded and its row count is already
+# computed each round (the fixpoint/convergence checks), so every
+# loop below feeds those REAL counts to plans.hints.maybe_broadcast.
 
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,

@@ -2074,8 +2074,17 @@ def theil_sen_orders(spark: SparkSession, sf: str) -> DataFrame:
                  .cast("long").alias("x"),
                  F.round(F.col("o_totalprice") * 100, 0)
                  .cast("long").alias("yc")))
-    pairs = (s.alias("a").join(
-        s.alias("b"), F.col("a.k") < F.col("b.k"))
+    # r14 optimization round: the ~1.5k-row sample reads as ONE
+    # parquet split, so the inequality self-join and the exact
+    # percentile over its ~1.2M slopes all ran in a single task
+    # (measured: 5.3 s of the query's 5.9 s). Pin the sample once
+    # and spread the pair fan-out across the cores — the percentile
+    # buffers then fill in parallel and only the final merge sees
+    # the full multiset (order-free, bit-identical median).
+    s = s.localCheckpoint()
+    wide = s.repartition(spark.sparkContext.defaultParallelism)
+    pairs = (wide.alias("a").join(
+        F.broadcast(s).alias("b"), F.col("a.k") < F.col("b.k"))
         .filter(F.col("a.x") != F.col("b.x"))
         .select(((F.col("b.yc") - F.col("a.yc")).cast("double")
                  / (F.col("b.x") - F.col("a.x")))
