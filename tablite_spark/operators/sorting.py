@@ -207,11 +207,28 @@ def with_row_index(df: DataFrame, name: str = "__row_id__",
         acc += r["__wri_cnt__"]
     if not offsets:  # empty frame: no rows to index
         return df.withColumn(name, F.lit(None).cast("long"))
+    sub = F.col(mid).bitwiseAND(F.lit(_MID_SUB_MASK))
+    pid_expr = F.shiftrightunsigned(F.col(mid), 33)
+    max_pid = offsets[-1][0]
+    if max_pid < 4096:
+        # r14 optimization round (guide §2.4): the offsets are a tiny
+        # pid-indexed table — attach them as a constant-folded literal
+        # array lookup instead of a broadcast hash join. The join node
+        # (and its per-row hash probe + build broadcast) disappears
+        # from the plan; identical values. Gaps = empty partitions,
+        # whose slots are never probed (no rows carry that pid).
+        arr, it = [0] * (max_pid + 1), iter(offsets)
+        for p, off in it:
+            arr[p] = off
+        lookup = F.array(*[F.lit(o) for o in arr])
+        return (tagged
+                .withColumn(name, F.element_at(
+                    lookup, pid_expr.cast("int") + 1) + sub)
+                .drop(mid))
     off_df = df.sparkSession.createDataFrame(
         offsets, schema=f"{pid} long, __wri_off__ long")
-    sub = F.col(mid).bitwiseAND(F.lit(_MID_SUB_MASK))
     return (tagged
-            .withColumn(pid, F.shiftrightunsigned(F.col(mid), 33))
+            .withColumn(pid, pid_expr)
             .join(F.broadcast(off_df), pid)
             .withColumn(name, F.col("__wri_off__") + sub)
             .drop(pid, "__wri_off__", mid))

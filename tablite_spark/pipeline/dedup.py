@@ -505,12 +505,35 @@ def minhash_save_index(sig: DataFrame, id_col: str, path: str,
         first = sig.select(F.size("minhash").alias("n")).first()
         num_perm = first["n"] if first else Config.MINHASH_PERMUTATIONS
     bands = bands or Config.MINHASH_BANDS
-    sig.select(F.col(id_col).alias("id"), "minhash") \
-        .write.mode(mode).parquet(f"{path}/signatures")
-    (minhash_bands(sig, id_col, bands, num_perm)
-     .select(F.col(id_col).alias("id"), "band", "bh")
-     .sortWithinPartitions("band", "bh")
-     .write.mode(mode).parquet(f"{path}/bands"))
+    # r14 optimization round (guide §1.2 "don't compute things you
+    # throw away"): the two writes below each forced the FULL
+    # signature computation — at corpus scale that is two complete
+    # shingle scans of the text for one index build (measured: the
+    # save phase cost ~2x the signature job). Materialize the
+    # signature exactly once and band from the materialized rows:
+    # - overwrite: write signatures first, then band from the
+    #   freshly-written parquet (disk-backed, zero memory pinned —
+    #   the 100 TB-safe shape);
+    # - append: band from a localCheckpoint of the new rows (reading
+    #   the path back would re-band the OLD corpus rows too); the
+    #   append side is batch-bounded by contract, so pinning it is
+    #   cheap.
+    sig_proj = sig.select(F.col(id_col).alias("id"), "minhash")
+    ckpt = None
+    if mode == "append":
+        ckpt = sig_once = sig_proj.localCheckpoint()
+        sig_once.write.mode(mode).parquet(f"{path}/signatures")
+    else:
+        sig_proj.write.mode(mode).parquet(f"{path}/signatures")
+        sig_once = sig.sparkSession.read.parquet(f"{path}/signatures")
+    try:
+        (minhash_bands(sig_once, "id", bands, num_perm)
+         .select("id", "band", "bh")
+         .sortWithinPartitions("band", "bh")
+         .write.mode(mode).parquet(f"{path}/bands"))
+    finally:
+        if ckpt is not None:
+            unpersist_local_checkpoint(ckpt)
     if mode == "overwrite":
         (spark.createDataFrame([(int(num_perm), int(bands))],
                                "num_perm int, bands int")
@@ -582,7 +605,14 @@ def incremental_minhash_dedup(new_df: DataFrame, text_col: str,
     dup_vs_corpus = (scored
                      .filter((matches / F.size("mh_a")) >= threshold)
                      .select(F.col("new_id").alias(id_col)).distinct())
-    fresh_sig = new_sig.join(dup_vs_corpus, id_col, "left_anti")
+    # r14 optimization round: fresh_sig feeds the in-batch LSH band
+    # self-join (both sides), the jaccard scorer (both sides) and the
+    # final anti-join — five references, each of which re-ran the
+    # whole corpus-probe chain above inside keep_ids' one eager
+    # checkpoint (guide §1.2). Pin it once; it is batch-bounded by
+    # contract (the new batch, minus corpus dups).
+    fresh_sig = new_sig.join(dup_vs_corpus, id_col, "left_anti") \
+        .localCheckpoint()
     in_batch = minhash_lsh_candidates(fresh_sig, id_col,
                                       bands=meta["bands"],
                                       num_perm=meta["num_perm"])
@@ -591,6 +621,11 @@ def incremental_minhash_dedup(new_df: DataFrame, text_col: str,
                        .select(F.col("id_b").alias(id_col)).distinct())
     keep_ids = (fresh_sig.join(in_batch_losers, id_col, "left_anti")
                 .localCheckpoint())  # pin BEFORE the index mutates
+    # keep_ids is materialized; fresh_sig (and new_sig behind it) are
+    # dead weight from here — free them rather than waiting for the
+    # ContextCleaner (plans.lifecycle)
+    unpersist_local_checkpoint(fresh_sig)
+    unpersist_local_checkpoint(new_sig)
     survivors = new_df.join(keep_ids.select(id_col), id_col, "left_semi")
     if update_index:
         minhash_save_index(keep_ids, id_col, index_path,
