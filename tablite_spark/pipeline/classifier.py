@@ -54,6 +54,23 @@ def logreg_train(df: DataFrame, feature_cols: list[str],
     if n_row == 0:
         return w + [b]
     n = float(n_row)
+    # r14 optimization round (guide §2.2 per-task overhead): every
+    # iteration is one tiny agg job, so its cost is task scheduling,
+    # not compute — a 4 MB feature frame spread over 32 cached
+    # partitions pays 32 task launches × iters for partial sums of a
+    # few doubles. Size the iteration frame from REAL numbers (n_row
+    # is already in hand): ~one partition per 4 MB of narrow feature
+    # rows, capped at defaultParallelism so corpus-scale frames keep
+    # their full width. coalesce over the caller's cache is a narrow
+    # read of cached blocks — nothing is recomputed or re-pinned.
+    spark = df.sparkSession
+    target = max(1, min(spark.sparkContext.defaultParallelism,
+                        (n_row * (k + 2) * 8 + (4 << 20) - 1)
+                        // (4 << 20)))
+    work = df.select(label_col, *feature_cols)
+    if work.rdd.getNumPartitions() > 2 * target:
+        work = work.coalesce(target)
+    df = work
     y = F.col(label_col).cast("double")
     for _ in range(iters):
         z = F.lit(b)
@@ -89,6 +106,15 @@ def doc_quality_features(df: DataFrame, text_col: str) -> DataFrame:
     """Cheap, EXACTLY-replayable per-document features (integer
     counts scaled by constants — identical in any engine): words/100,
     lines/10, chars/1000, distinct-words/100."""
+    # r14 optimization round (guide §2.5 input skew): a small corpus
+    # arrives as ONE parquet split, so the regex/array feature pass —
+    # the expensive part of this operator — ran single-task (measured
+    # 5 s of the 8 s classifier query at sf0.1). Spread under-
+    # partitioned input across the cores; at corpus scale the scan is
+    # already wide and this no-ops (the shingle_minhash pattern).
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     c = F.col(text_col)
     words = F.filter(F.split(F.trim(c), r"\s+"),
                      lambda wd: wd != F.lit(""))

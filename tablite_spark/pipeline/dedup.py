@@ -308,6 +308,50 @@ def simhash_near_dup_pairs(sig: DataFrame, id_col: str,
     return pairs
 
 
+def _cc_driver_union_find(edges: DataFrame) -> DataFrame:
+    """Exact driver-side twin of the hash-min loop for count-gated
+    small graphs: union-find with path halving over ONE Arrow
+    transfer of the (src, dst) pairs; each node's component is the
+    MINIMUM id in its set — identical to the distributed fixpoint's
+    answer by definition. Returns the same (id, component) schema
+    (both columns keep the callers' id dtype)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    spark = edges.sparkSession
+    dt = edges.schema["src"].dataType
+    schema = StructType([StructField("id", dt),
+                         StructField("component", dt)])
+    pdf = edges.toArrow().to_pandas()
+    both = pd.concat([pdf["src"], pdf["dst"]], ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    n = len(uniq)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    m = len(pdf)
+    a, b = codes[:m], codes[m:]
+    for i in range(m):
+        ra, rb = find(a[i]), find(b[i])
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(n)),
+                        dtype=np.int64, count=n)
+    ids = pd.Series(uniq)
+    comp = ids.groupby(roots).transform("min")
+    return spark.createDataFrame(
+        pd.DataFrame({"id": ids, "component": comp}), schema)
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 25,
                          id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Connected components over an undirected edge list → (id,
@@ -332,13 +376,36 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
       ``checkpoint()`` against a reliable dir for fault tolerance).
     - Convergence check is an aggregate on the already-shuffled frame,
       not a collect of labels.
+    - r14 optimization round (guide §2.2 per-round latency): a SMALL
+      graph pays the loop's fixed cost — diameter × (join job +
+      eager checkpoint + convergence job) — regardless of data size
+      (measured: a 3.3k-node / 7k-edge DBSCAN core graph spent ~5 s
+      in 7 rounds of pure orchestration). When the DEDUPED edge
+      count (already materialized for the loop) is at most
+      ``SPARK_GRAFT_CC_DRIVER_EDGES`` (default 1M — 16 MB of long
+      pairs, the same size class as a broadcast side), the
+      components come from ONE Arrow collect + union-find on the
+      driver instead: exact same labels (component = min reachable
+      id; union-find tracks the min), the ``diff``/``transpose``
+      size-valve discipline. Corpus-scale graphs exceed the valve
+      and take the distributed loop unchanged.
     """
+    import os as _os
+
     from tablite_spark.plans.hints import maybe_broadcast
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.union(e.select(F.col("dst").alias("src"),
                              F.col("src").alias("dst"))).distinct()
     edges = edges.persist()
+    driver_valve = int(_os.environ.get(
+        "SPARK_GRAFT_CC_DRIVER_EDGES", str(1_000_000)))
+    n_edges = edges.count()
+    if n_edges <= driver_valve:
+        try:
+            return _cc_driver_union_find(edges)
+        finally:
+            edges.unpersist()
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("component", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
@@ -751,6 +818,13 @@ def substring_dedup(df: DataFrame, text_col: str, id_col: str,
     one combinable per-doc groupBy rebuilds the text. No windows
     (analytic), no driver collection, no all-pairs anything.
     """
+    # spread docs across cores when the source arrives under-partitioned
+    # (single-row-group files): the k-slice zip + posexplode window
+    # build below runs pre-shuffle and otherwise lands in ONE task; at
+    # scale the scan is already wide and this no-ops
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     # filter('' ...) drops the [''] that split() yields for empty /
     # whitespace-only docs, so they count as 0 tokens, not 1
     toks = F.filter(F.split(F.trim(F.regexp_replace(
@@ -863,6 +937,13 @@ def winnow_fingerprints(df: DataFrame, text_col: str, id_col: str,
     """
     if k < 1 or window < 1:
         raise ValueError("k and window must be >= 1")
+    # spread docs across cores when the source arrives under-partitioned
+    # (single-row-group files): the md5-per-gram kernel below is the
+    # cost of this operator and otherwise runs in ONE task; at scale
+    # the scan is already wide and this no-ops (shingle_minhash pattern)
+    spark = df.sparkSession
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     # 15 hex chars = 60 bits: a 32-bit (8-hex) fp space measured ~2.2M
     # birthday-collision pairs at 5M docs (75M selected fps); 60 bits
@@ -931,8 +1012,15 @@ def winnow_matches(df: DataFrame, text_col: str, id_col: str,
     fingerprint side and OOMed the driver (the round-5 merge-hint
     lesson, re-learned live).
     """
+    # r14 optimization round (guide §2.1 pin-what-you-reuse): the
+    # distinct (doc, fp) frame feeds the df census AND both self-join
+    # sides — four references that each re-ran the md5-per-gram
+    # fingerprint kernel (4 MapInPandas branches in the before plan).
+    # Materialize it once; its size class (~2/(window+1) of all
+    # grams) is exactly what the joins below shuffle anyway.
     fps = winnow_fingerprints(df, text_col, id_col, k, window) \
-        .select(F.col(id_col).alias("__id__"), "fp").distinct()
+        .select(F.col(id_col).alias("__id__"), "fp").distinct() \
+        .localCheckpoint()
     censu = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__dfc__"))
     keep = censu.filter(F.col("__dfc__") <= max_df).select("fp")
     pruned = fps.hint("merge").join(keep, "fp")

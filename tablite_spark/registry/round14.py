@@ -1636,6 +1636,12 @@ def cms_tokens_docs(spark: SparkSession, sf: str) -> DataFrame:
     from tablite_spark.functions.sketches import (cms_census,
                                                   cms_point_estimates)
     d = _t(spark, sf, "documents")
+    # spread the single-row-group source so the regex-split token
+    # explode (run twice: exact census + sketch census, both
+    # combinable groupBys — partition-invariant exact integers)
+    # fills all cores; no-op at corpus scale (r14 optimization round)
+    if d.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        d = d.repartition(spark.sparkContext.defaultParallelism)
     toks = (d.select(F.explode(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
         .alias("tok"))

@@ -598,14 +598,46 @@ def test_incremental_dedup(spark):
     assert kept == [11, 13]
 
 
-def test_connected_components_nonconvergence_raises(spark):
+def test_connected_components_nonconvergence_raises(spark, monkeypatch):
     import pytest as _pytest
     from tablite_spark.pipeline.dedup import connected_components
+    # force the DISTRIBUTED loop (the valve would solve this tiny
+    # chain exactly on the driver and never hit the guard)
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")
     # chain 0-1-2-...-6 has diameter 6; 2 iterations cannot converge
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], "id_a long, id_b long")
     with _pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=2)
+
+
+def test_connected_components_driver_valve_parity(spark, monkeypatch):
+    """The count-gated driver union-find (r14 optimization) must
+    return EXACTLY the distributed hash-min loop's labels — same
+    rows, same (id, component) values, same dtypes — on a graph
+    mixing chains, a clique, duplicate/reversed edges, self-loops
+    and string ids."""
+    from tablite_spark.pipeline.dedup import connected_components
+    edges = ([(i, i + 1) for i in range(8)]            # chain
+             + [(20, 21), (21, 22), (22, 20)]          # triangle
+             + [(30, 30), (31, 30), (30, 31)])         # dup/self
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "1000000")
+    got = connected_components(pairs)
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "0")
+    want = connected_components(pairs)
+    assert got.schema == want.schema
+    assert (sorted((r["id"], r["component"]) for r in got.collect())
+            == sorted((r["id"], r["component"])
+                      for r in want.collect()))
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")],
+        "id_a string, id_b string")
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_EDGES", "1000000")
+    sgot = {(r["id"], r["component"])
+            for r in connected_components(spairs).collect()}
+    assert sgot == {("a", "a"), ("b", "a"), ("c", "a"),
+                    ("x", "x"), ("y", "x")}
 
 
 def test_chunk_documents(spark):
