@@ -65,7 +65,16 @@ def _co_order_pairs(li: DataFrame, cap: int = 5) -> DataFrame:
     <= cap·(cap-1)/2 structs). Multiset-identical to the self-join
     (verified at sf0.01: 52,049 = 52,049 rows, zero exceptAll diff);
     the oracle SQL keeps the self-join formulation — two different
-    pair expansions agreeing."""
+    pair expansions agreeing.
+
+    The single-row-group lineitem scan is spread across cores before
+    the groupBy so the partial collect_set (the map side of the one
+    shuffle) fills the machine instead of one task; the pair set is
+    order-free (x < y expansion), so the result is partition- and
+    set-order-invariant. No-op at corpus scale."""
+    spark = li.sparkSession
+    if li.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        li = li.repartition(spark.sparkContext.defaultParallelism)
     return (li.filter(F.col("l_orderkey").isNotNull()
                       & F.col("l_partkey").isNotNull())
             .groupBy(F.col("l_orderkey").alias("bk"))
