@@ -17,6 +17,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -602,9 +604,37 @@ def minhash_save_index(sig: DataFrame, id_col: str, path: str,
         if ckpt is not None:
             unpersist_local_checkpoint(ckpt)
     if mode == "overwrite":
-        (spark.createDataFrame([(int(num_perm), int(bands))],
-                               "num_perm int, bands int")
-         .repartition(1).write.mode("overwrite").parquet(f"{path}/meta"))
+        _write_index_meta(spark, path, int(num_perm), int(bands))
+
+
+def _write_index_meta(spark, path: str, num_perm: int,
+                      bands: int) -> None:
+    """One-row ``{path}/meta`` parquet. Local paths take the direct
+    pyarrow write (the streaming-fixture staging lesson, guide §4: a
+    1-row createDataFrame→repartition(1)→write plan parallelizes the
+    local relation over every core and re-collapses it through one
+    task — measured 0.4-1.5 s of pure orchestration for 8 bytes of
+    data); remote URIs keep the Spark writer, which knows the
+    filesystem."""
+    meta_dir = f"{path}/meta"
+    local = path.removeprefix("file://").removeprefix("file:") \
+        if path.startswith("file:") else path
+    if "://" not in local:
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        local_meta = f"{local}/meta"
+        shutil.rmtree(local_meta, ignore_errors=True)
+        os.makedirs(local_meta, exist_ok=True)
+        pq.write_table(
+            pa.table({"num_perm": pa.array([num_perm], pa.int32()),
+                      "bands": pa.array([bands], pa.int32())}),
+            f"{local_meta}/part-00000.parquet")
+        return
+    (spark.createDataFrame([(num_perm, bands)],
+                           "num_perm int, bands int")
+     .repartition(1).write.mode("overwrite").parquet(meta_dir))
 
 
 def minhash_load_index(spark, path: str):

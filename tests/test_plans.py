@@ -114,10 +114,13 @@ def test_partial_aggregation_happens(spark, qs):
 
 
 def test_row_index_no_single_partition_exchange(spark, qs):
-    """with_row_index (no order_by) must be true zipWithIndex: offsets
-    are broadcast-joined, so the plan has NO SinglePartition exchange
-    and NO global window — the positional family (slice/reindex/
-    unique_index/setitem) stays distributed at 100 TB."""
+    """with_row_index (no order_by) must be true zipWithIndex — NO
+    SinglePartition exchange, NO global window, and no shuffle join:
+    the positional family (slice/reindex/unique_index/setitem) stays
+    distributed at 100 TB. Since the r14 optimization round the
+    per-partition offsets attach as a constant-folded literal-array
+    lookup when <4096 partitions (zero join nodes); a wider frame
+    falls back to the broadcast join — never a sort-merge join."""
     from tablite_spark.operators.sorting import slice_rows, with_row_index
     from tablite_spark.plans.audit import _formatted
     li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
@@ -126,7 +129,9 @@ def test_row_index_no_single_partition_exchange(spark, qs):
         s = _formatted(df)
         assert "Exchange SinglePartition" not in s, s
         assert "Window" not in s, s
-        assert "BroadcastHashJoin" in s or "BroadcastNestedLoopJoin" in s
+        assert "SortMergeJoin" not in s, s
+        # small frame: the literal-lookup path has no join at all
+        assert "Join" not in s, s
 
 
 def test_row_index_values(spark):
