@@ -1064,6 +1064,20 @@ def pack_sequences(df: DataFrame, ids_col: str, id_col: str,
                 mask_col, F.concat(F.col(mask_col),
                                    F.array(F.lit(int(eos_mask))
                                            .cast("int"))))
+    # r14 optimization round (guide §2.1): the token frame is read
+    # THREE times — the range-bound quantile pass, the per-bucket
+    # token-total agg, and the final pack — and each read replayed
+    # the whole upstream plan (for pretrain_e2e: the gate + dedup
+    # join chain, measured as ~2/3 of the query). Pin it once when
+    # that upstream is actually expensive to recompute; a plain
+    # pruned file scan skips the pin — re-scanning is cheaper than a
+    # cache fill (the spearman_corr discipline, same tag list).
+    opt = base._jdf.queryExecution().optimizedPlan().toString()
+    if any(t in opt for t in (
+            "Join", "Aggregate", "Window", "Generate", "Expand",
+            "Union", "MapInPandas", "FlatMapGroupsInPandas",
+            "MapGroups", "PythonUDF")):
+        base = base.localCheckpoint()
     tagged = with_range_bucket(base, id_col, "__pid__").withColumn(
         "__nt__", F.size(ids_col))
     sums = (tagged.groupBy("__pid__")
