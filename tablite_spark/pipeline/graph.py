@@ -38,6 +38,7 @@ pattern).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -51,11 +52,163 @@ __all__ = ["pagerank", "triangle_count", "bfs_hops", "k_core",
 
 # Iterative graph state lives in localCheckpoint frames, whose
 # LogicalRDD stats are UNKNOWN to Catalyst — every state ⋈ edges join
-# would plan as a sort-merge join that shuffles the EDGE side once
+# would plan as a sort-merge join that shuffles the BIG side once
 # per round (r14 optimization round, measured in the plan captures).
 # The state side is node-bounded and its row count is already
 # computed each round (the fixpoint/convergence checks), so every
 # loop below feeds those REAL counts to plans.hints.maybe_broadcast.
+#
+# r14 optimization round, second lever (guide §2.2 fixed per-round
+# cost): a DISCRETE fixpoint on a SMALL graph pays rounds ×
+# (join job + eager checkpoint + convergence job) of pure
+# orchestration — measured ~0.7 s/round on a 520k-edge graph whose
+# whole edge list is 16 MB. The three integer-exact traversals
+# (k-core peel, BFS hops, temporal earliest-arrival) therefore take
+# a count-gated driver twin when the pinned edge frame holds at most
+# ``SPARK_GRAFT_GRAPH_DRIVER_EDGES`` rows (default 2M ≈ 48 MB — the
+# broadcast-side size class; the connected_components /
+# ``diff``/``transpose`` valve discipline): ONE Arrow collect + the
+# identical numpy fixpoint, same rows, same dtypes, same
+# ``max_rounds`` guard. Float algorithms (pagerank's floor chain,
+# hyperball's estimator) are NOT twinned — cross-runtime libm
+# differences could break bit-parity — and corpus-scale graphs
+# exceed the valve and run the unchanged distributed loops.
+
+def _driver_edge_valve() -> int:
+    # read per call so tests/deployments can steer the valve at
+    # runtime (the connected_components knob discipline)
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_DRIVER_EDGES",
+                              str(2_000_000)))
+
+
+def _factorized_edges(pdf, cols):
+    """Factorize the node values of ``pdf[cols]`` into one shared
+    code space: (per-col int64 code arrays, the unique values as a
+    pandas Series)."""
+    import pandas as pd
+    both = pd.concat([pdf[c] for c in cols], ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    m = len(pdf)
+    return [codes[i * m:(i + 1) * m] for i in range(len(cols))], \
+        pd.Series(uniq)
+
+
+def _k_core_driver(und: DataFrame, k: int,
+                   max_rounds: int) -> DataFrame:
+    """Exact driver twin of the simultaneous peel: same rows (node,
+    core_degree within the final core), same dtypes, same
+    ``max_rounds`` guard. A node leaves ``deg`` when it has no
+    surviving edge (the inner join drops it), so keep additionally
+    requires deg > 0 — bit-identical to the distributed fixpoint."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = und.sparkSession
+    schema = StructType([
+        StructField("node", und.schema["a"].dataType),
+        # count(...).cast("long") is non-nullable in the
+        # distributed frame — match it exactly
+        StructField("core_degree", LongType(), False)])
+    pdf = und.toArrow().to_pandas()
+    (a, b), uniq = _factorized_edges(pdf, ["a", "b"])
+    n = len(uniq)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    import pandas as pd
+    alive = np.ones(n, dtype=bool)
+    for _ in range(max_rounds):
+        mask = alive[a] & alive[b]
+        deg = np.bincount(a[mask], minlength=n)
+        keep = alive & (deg >= k) & (deg > 0)
+        n_keep, n_alive = int(keep.sum()), int(alive.sum())
+        if n_keep == n_alive or n_keep == 0:
+            out = pd.DataFrame({
+                "node": uniq[keep].reset_index(drop=True),
+                "core_degree": deg[keep].astype("int64")})
+            return spark.createDataFrame(out, schema)
+        alive = keep
+    raise RuntimeError(
+        f"k_core did not converge in {max_rounds} rounds")
+
+
+def _bfs_hops_driver(und: DataFrame, seeds: DataFrame,
+                     node_col: str, max_hops: int) -> DataFrame:
+    """Exact driver twin of the frontier loop: seeds at hops 0 (even
+    seeds absent from the graph — the distributed dist keeps them),
+    each further round settles the unvisited neighbors of the
+    previous frontier."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = und.sparkSession
+    sd = seeds.select(F.col(node_col).alias("node")).distinct()
+    schema = StructType([
+        StructField("node", sd.schema["node"].dataType),
+        # lit(h).cast("long") is non-nullable in the distributed
+        # frame — match it exactly
+        StructField("hops", LongType(), False)])
+    epdf = und.toArrow().to_pandas()
+    spdf = sd.toArrow().to_pandas()
+    both = pd.concat([epdf["a"], epdf["b"], spdf["node"]],
+                     ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    m = len(epdf)
+    a, b = codes[:m], codes[m:2 * m]
+    seed_codes = np.unique(codes[2 * m:])
+    n = len(uniq)
+    hops = np.full(n, -1, dtype=np.int64)
+    if len(seed_codes):
+        hops[seed_codes] = 0
+    for h in range(1, max_hops + 1):
+        cand = b[hops[a] == h - 1]
+        cand = cand[hops[cand] == -1]
+        if len(cand) == 0:
+            break
+        hops[np.unique(cand)] = h
+    mask = hops != -1
+    out = pd.DataFrame({
+        "node": pd.Series(uniq)[mask].reset_index(drop=True),
+        "hops": hops[mask]})
+    return spark.createDataFrame(out, schema)
+
+
+def _temporal_bfs_driver(e: DataFrame, state0: DataFrame,
+                         out_schema, max_hops: int) -> DataFrame:
+    """Exact driver twin of the simultaneous temporal relaxation:
+    ``max_hops`` strict Jacobi rounds (eligibility judged against
+    the ROUND-START arrivals, then one order-free min-merge), the
+    same round count and no early exit — matching the distributed
+    loop's trajectory round for round."""
+    import numpy as np
+    import pandas as pd
+
+    spark = e.sparkSession
+    epdf = e.toArrow().to_pandas()
+    spdf = state0.toArrow().to_pandas()
+    both = pd.concat([epdf["node"], epdf["__dst__"], spdf["node"]],
+                     ignore_index=True)
+    codes, uniq = pd.factorize(both)
+    m = len(epdf)
+    src, dst = codes[:m], codes[m:2 * m]
+    scodes = codes[2 * m:]
+    n = len(uniq)
+    SENT = np.iinfo(np.int64).max
+    arr = np.full(n, SENT, dtype=np.int64)
+    if len(scodes):
+        arr[scodes] = spdf["arrival"].to_numpy(dtype=np.int64)
+    ts = epdf["__ts__"].to_numpy(dtype=np.int64)
+    for _ in range(max_hops):
+        prev = arr.copy()
+        sel = (prev[src] != SENT) & (ts >= prev[src])
+        np.minimum.at(arr, dst[sel], ts[sel])
+    mask = arr != SENT
+    out = pd.DataFrame({
+        "node": pd.Series(uniq)[mask].reset_index(drop=True),
+        "arrival": arr[mask]})
+    return spark.createDataFrame(out, out_schema)
 
 
 def pagerank(edges: DataFrame, src_col: str, dst_col: str,
@@ -248,6 +401,8 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, src_col: str,
                                      F.col(src_col).alias("b")))
            .distinct().persist())
     try:
+        if und.count() <= _driver_edge_valve():
+            return _bfs_hops_driver(und, seeds, node_col, max_hops)
         dist = (seeds.select(F.col(node_col).alias("node")).distinct()
                 .withColumn("hops", F.lit(0))
                 .localCheckpoint())
@@ -312,6 +467,11 @@ def k_core(edges: DataFrame, src_col: str, dst_col: str, k: int,
            .unionByName(edges.select(F.col(dst_col).alias("a"),
                                      F.col(src_col).alias("b")))
            .distinct().persist())
+    if und.count() <= _driver_edge_valve():
+        try:
+            return _k_core_driver(und, k, max_rounds)
+        finally:
+            und.unpersist()
     alive = (und.select(F.col("a").alias("node")).distinct()
              .localCheckpoint())
     alive_ckpt = alive  # the checkpoint backing the survivor view
@@ -484,16 +644,30 @@ def temporal_bfs(edges: DataFrame, seeds: DataFrame, src_col: str,
     counts grow; at <=3-4 hops full relaxation is one join more and
     oracle-replayable.
     """
-    state = (seeds.select(F.col(node_col).alias("node"),
-                          F.col(seed_ts_col).alias("arrival"))
-             .groupBy("node").agg(F.min("arrival").alias("arrival"))
-             .localCheckpoint())
-    n_state = state.count()
+    state0 = (seeds.select(F.col(node_col).alias("node"),
+                           F.col(seed_ts_col).alias("arrival"))
+              .groupBy("node").agg(F.min("arrival").alias("arrival")))
     # the (timestamped) edge frame is scanned every round — pin it
     # once instead of replaying its corpus-side derivation per hop
     e = edges.select(F.col(src_col).alias("node"),
                      F.col(dst_col).alias("__dst__"),
                      F.col(ts_col).alias("__ts__")).persist()
+    if max_hops >= 1 and e.count() <= _driver_edge_valve():
+        # output dtypes after round 1 = the union's coerced schema
+        # (seed-ts vs edge-ts types may widen) — derive it from the
+        # ANALYZED round plan, never recompute it by hand
+        out_schema = (state0.unionByName(
+            e.select(F.col("__dst__").alias("node"),
+                     F.col("__ts__").alias("arrival")))
+            .groupBy("node").agg(F.min("arrival").alias("arrival"))
+            .schema)
+        try:
+            return _temporal_bfs_driver(e, state0, out_schema,
+                                        max_hops)
+        finally:
+            e.unpersist()
+    state = state0.localCheckpoint()
+    n_state = state.count()
     try:
         for _ in range(max_hops):
             # arrival state is node-bounded with a real count:

@@ -1276,3 +1276,65 @@ def test_theil_sen_matches_python_median_of_slopes(spark):
     got = pairs.agg(F.expr("percentile(slope, 0.5)")).collect()[0][0]
     assert abs(got - want) < 1e-9
     assert abs(want - 100) < 1e-9  # the outlier did not move it
+
+
+# --------------------------------------------------------------------
+# r14 optimization round: driver-twin valves (graph fixpoints)
+# --------------------------------------------------------------------
+
+def test_graph_driver_valve_parity(spark, monkeypatch):
+    """The count-gated driver twins (k_core / bfs_hops /
+    temporal_bfs) must return EXACTLY the distributed loops' frames
+    — same rows, same values, same dtypes — on a random graph. The
+    env knob flips the path; everything else is identical."""
+    import random
+
+    from tablite_spark.pipeline.graph import (bfs_hops, k_core,
+                                              temporal_bfs)
+    rng = random.Random(21)
+    edges = sorted({(rng.randrange(40), rng.randrange(40))
+                    for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame([(0,), (7,)], "node long")
+    tdf = spark.createDataFrame(
+        [(a, b, (a * 7 + b * 3) % 50) for a, b in edges],
+        "src long, dst long, d long")
+    tsd = spark.createDataFrame([(0, 5), (7, 1)], "node long, t0 long")
+
+    def run():
+        return (
+            k_core(edf, "src", "dst", k=3),
+            bfs_hops(edf, sdf, "src", "dst", max_hops=3),
+            temporal_bfs(tdf, tsd, "src", "dst", "d", max_hops=3),
+        )
+
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "2000000")
+    valve = run()
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "0")
+    dist = run()
+    for v, d in zip(valve, dist):
+        assert v.schema == d.schema, (v.schema, d.schema)
+        assert (sorted(map(tuple, v.collect()))
+                == sorted(map(tuple, d.collect())))
+
+
+def test_graph_driver_valve_edge_cases(spark, monkeypatch):
+    """Empty graphs / seeds-off-graph / k_core guard behave
+    identically on the valve path."""
+    import pytest as _pytest
+
+    from tablite_spark.pipeline.graph import bfs_hops, k_core
+    monkeypatch.setenv("SPARK_GRAFT_GRAPH_DRIVER_EDGES", "2000000")
+    empty = spark.createDataFrame([], "src long, dst long")
+    sdf = spark.createDataFrame([(5,)], "node long")
+    # seeds survive at hops 0 even with no edges (distributed keeps
+    # the seed frame as the whole dist)
+    got = bfs_hops(empty, sdf, "src", "dst", max_hops=2).collect()
+    assert [(r["node"], r["hops"]) for r in got] == [(5, 0)]
+    assert k_core(empty, "src", "dst", k=2).count() == 0
+    # the max_rounds guard fires on the driver path too
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="converge"):
+        k_core(path, "src", "dst", k=2, max_rounds=2)
