@@ -515,9 +515,20 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
 
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
     try:
+        # r14 optimization round (guide §2.2): each column's rank
+        # derivation runs two driver-blocking jobs (the range-bound
+        # pass + the |buckets|-row offset collect) — k columns paid
+        # them SEQUENTIALLY. Spark job submission is thread-safe and
+        # the per-column work shares only the pinned base frame, so
+        # the k chains submit concurrently: wall-clock ≈ the slowest
+        # column instead of the sum. Bounds/offsets are pure
+        # functions of the data (deterministic range buckets), so
+        # results are unchanged by construction.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=len(cols)) as ex:
+            per_col = list(ex.map(avg_ranks, cols))
         ranked = base
-        for c in cols:
-            ranks, ndistinct = avg_ranks(c)
+        for c, (ranks, ndistinct) in zip(cols, per_col):
             # per-column join strategy from the DRIVER-KNOWN census
             # size (free with the offsets collect): a low-cardinality
             # column's (value, rank) map broadcasts — no corpus
