@@ -473,7 +473,7 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     from pyspark import StorageLevel
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     base = df.select(*cols).filter(
         reduce(lambda a, b: a & b,
@@ -495,6 +495,9 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     def avg_ranks(c):
         vc = (base.groupBy(F.col(c).alias("__v__"))
               .agg(F.count(F.lit(1)).alias("__c__")))
+        # the census feeds three jobs (bounds, offsets, rank join) —
+        # pin it so the corpus scan + census shuffle run once
+        vc = pin_census(vc)
         vc = with_range_bucket(vc, "__v__", "__p__")
         w = (Window.partitionBy("__p__").orderBy("__v__")
              .rowsBetween(Window.unboundedPreceding,
@@ -593,7 +596,7 @@ def ks_test_2sample(df: DataFrame, group_col: str, val_col: str,
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     g, v = F.col(group_col), F.col(val_col)
     base = df.filter(v.isNotNull() & g.isin([group_a, group_b]))
@@ -602,6 +605,7 @@ def ks_test_2sample(df: DataFrame, group_col: str, val_col: str,
                  .alias("__ca__"),
                  F.count(F.when(g == F.lit(group_b), 1))
                  .alias("__cb__")))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__v__", "__p__")
     w = (Window.partitionBy("__p__").orderBy("__v__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -816,7 +820,7 @@ def km_curve(df: DataFrame, duration_col: str,
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     t = F.col(duration_col)
     obs = (F.col(observed_col) if isinstance(observed_col, str)
@@ -825,6 +829,7 @@ def km_curve(df: DataFrame, duration_col: str,
             .groupBy(t.alias("__t__"))
             .agg(F.count(F.when(obs, 1)).alias("__d__"),
                  F.count(F.when(~obs, 1)).alias("__c__")))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__t__", "__b__")
     w = (Window.partitionBy("__b__").orderBy("__t__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -881,7 +886,7 @@ def nelson_aalen(df: DataFrame, duration_col: str,
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     t = F.col(duration_col)
     obs = (F.col(observed_col) if isinstance(observed_col, str)
@@ -890,6 +895,7 @@ def nelson_aalen(df: DataFrame, duration_col: str,
             .groupBy(t.alias("__t__"))
             .agg(F.count(F.when(obs, 1)).alias("__d__"),
                  F.count(F.when(~obs, 1)).alias("__c__")))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__t__", "__b__")
     w = (Window.partitionBy("__b__").orderBy("__t__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -933,7 +939,7 @@ def inequality_metrics(df: DataFrame, col: str) -> DataFrame:
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     v = F.col(col).cast("double")
     bad = df.filter(v < 0).limit(1).collect()
@@ -943,6 +949,7 @@ def inequality_metrics(df: DataFrame, col: str) -> DataFrame:
     cens = (df.filter(v.isNotNull())
             .groupBy(v.alias("__v__"))
             .agg(F.count(F.lit(1)).alias("__c__")))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__v__", "__b__")
     w = (Window.partitionBy("__b__").orderBy("__v__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -996,7 +1003,7 @@ def weighted_quantiles(df: DataFrame, val_col: str,
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     if not qs:
         raise ValueError("weighted_quantiles requires at least one q")
@@ -1008,6 +1015,7 @@ def weighted_quantiles(df: DataFrame, val_col: str,
     cens = (df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
             .groupBy(v.alias("__v__"))
             .agg(F.sum(w).alias("__w__")))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__v__", "__b__")
     win = (Window.partitionBy("__b__").orderBy("__v__")
            .rowsBetween(Window.unboundedPreceding,
@@ -1121,7 +1129,7 @@ def logrank_test(df: DataFrame, duration_col: str, observed_col,
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     t = F.col(duration_col)
     obs = (F.col(observed_col) if isinstance(observed_col, str)
@@ -1140,6 +1148,7 @@ def logrank_test(df: DataFrame, duration_col: str, observed_col,
                  F.count(F.when(obs & ~is_a, 1)).alias("__db__"),
                  F.count(F.when(is_a, 1)).alias("__na__"),
                  F.count(F.when(~is_a, 1)).alias("__nb__")))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__t__", "__b__")
     w = (Window.partitionBy("__b__").orderBy("__t__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -1377,7 +1386,7 @@ def mann_whitney_u(df: DataFrame, group_col: str, val_col: str,
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     g, v = F.col(group_col), F.col(val_col)
     base = df.filter(v.isNotNull() & g.isin([group_a, group_b]))
@@ -1387,6 +1396,7 @@ def mann_whitney_u(df: DataFrame, group_col: str, val_col: str,
                  F.count(F.when(g == F.lit(group_b), 1))
                  .alias("__cb__")))
     cens = cens.withColumn("__ct__", F.col("__ca__") + F.col("__cb__"))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__v__", "__p__")
     w = (Window.partitionBy("__p__").orderBy("__v__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

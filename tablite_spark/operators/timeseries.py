@@ -853,13 +853,14 @@ def cusum_changepoint(df: DataFrame, order_col: str,
     from pyspark.sql import Window
 
     from tablite_spark.functions.buckets import (
-        bucket_prefix_offsets, with_range_bucket,
+        bucket_prefix_offsets, pin_census, with_range_bucket,
     )
     t, x = F.col(order_col), F.col(val_col)
     cens = (df.filter(t.isNotNull() & x.isNotNull())
             .groupBy(t.alias("__t__"))
             .agg(F.sum(x).alias("__x__"),
                  F.count(F.lit(1)).alias("__n__")))
+    cens = pin_census(cens)
     cens = with_range_bucket(cens, "__t__", "__b__")
     w = (Window.partitionBy("__b__").orderBy("__t__")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -160,15 +160,17 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str,
     Returns the centroid list — feed to :func:`kmeans_assign`."""
     q = quantize_vectors(df, vec_col, scale).select(
         F.col(id_col).alias("__id__"), "qv")
-    seed_rows = (q.orderBy(F.md5(F.col("__id__").cast("string")),
-                           "__id__")
-                 .limit(k).select("qv").collect())
-    centroids = [list(r["qv"]) for r in seed_rows]
-    if not centroids:
-        return []
-    dim = len(centroids[0])
-    q = q.localCheckpoint()  # quantize once, scan per iteration
+    # pin BEFORE the seed collect: the seed job and every iteration
+    # read the one quantize pass (was: seeds quantized a second time)
+    q = q.localCheckpoint()
     try:
+        seed_rows = (q.orderBy(F.md5(F.col("__id__").cast("string")),
+                               "__id__")
+                     .limit(k).select("qv").collect())
+        centroids = [list(r["qv"]) for r in seed_rows]
+        if not centroids:
+            return []
+        dim = len(centroids[0])
         for _ in range(iters):
             cell = _assign(F.col("qv"), centroids)
             sums = (q.groupBy(cell.alias("cell"))

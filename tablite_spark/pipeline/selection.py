@@ -98,8 +98,21 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
     if buckets > 1_000_000:
         raise ValueError("buckets > 1e6 breaks the driver-side λ "
                          "table contract; shard the feature space")
+    # r14 optimization round (guide §8 — decide with small rows): the
+    # raw corpus was tokenized + md5-hashed TWICE (bucket stats pass,
+    # then the scoring pass). ONE per-(doc, bucket) census serves
+    # both: the raw bucket counts are its bucket marginals, and the
+    # per-doc score folds to Σ_b c(doc,b)·λ(b) — identical exact
+    # integers either way (n_grams = Σ_b c). The census pins once
+    # (≤ |docs|·buckets narrow rows — the lightweight proxy, 10-100×
+    # smaller than the exploded gram rows it replaces).
+    cens = (_gram_rows(raw, text_col, [id_col])
+            .select(id_col, _bucket(F.col("g"), buckets).alias("b"))
+            .groupBy(id_col, "b")
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .localCheckpoint())
     rc = {r["b"]: r["c"] for r in
-          _bucket_counts(raw, text_col, buckets).collect()}
+          cens.groupBy("b").agg(F.sum("__c__").alias("c")).collect()}
     tc = {r["b"]: r["c"] for r in
           _bucket_counts(target, text_col, buckets).collect()}
     tr, tt = sum(rc.values()), sum(tc.values())
@@ -108,12 +121,11 @@ def dsir_weights(raw: DataFrame, target: DataFrame, text_col: str,
         - math.log((rc.get(b, 0) + 1) / (tr + buckets)))))
         for b in range(buckets)]
     lam = spark.createDataFrame(lam_rows, "b long, lam long")
-    per_gram = (_gram_rows(raw, text_col, [id_col])
-                .select(id_col, _bucket(F.col("g"), buckets).alias("b")))
-    scored = (per_gram.join(F.broadcast(lam), "b")
+    scored = (cens.join(F.broadcast(lam), "b")
               .groupBy(id_col)
-              .agg(F.count(F.lit(1)).alias("n_grams"),
-                   F.sum("lam").alias("dsir_micro")))
+              .agg(F.sum("__c__").alias("n_grams"),
+                   F.sum(F.col("__c__") * F.col("lam"))
+                   .alias("dsir_micro")))
     return (raw.select(id_col).join(scored, id_col, "left")
             .select(id_col,
                     F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

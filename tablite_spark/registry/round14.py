@@ -43,6 +43,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tablite_spark.plans.hints import maybe_broadcast
 from tablite_spark.registry._base import _t
 from tablite_spark.streaming.fixtures import (
     stage_stream_batches, stream_shuffle_partitions)
@@ -1395,17 +1396,32 @@ def assortativity_lineitem(spark: SparkSession, sf: str) -> DataFrame:
     graph (zero variance) ships NULL on both engines. Degree census
     + two keyed joins — combinable end to end, no windows."""
     li = _t(spark, sf, "lineitem")
-    edges = _co_order_pairs(li).select("src", "dst").distinct()
+    # r14 optimization round (guide §2.1, §3.1 — the triangle_count
+    # pattern): the edge frame feeds the degree census AND both join
+    # sides, and deg feeds three references — unpinned, the whole
+    # co-order pipeline replayed 16x in the physical plan. Pin each
+    # once; the count (needed for broadcast sizing anyway) drives a
+    # count-driven broadcast of the node-bounded degree census so the
+    # edge frame is never shuffled (shuffle-join fallback past the
+    # budget — the 100 TB-safe path).
+    edges = (_co_order_pairs(li).select("src", "dst").distinct()
+             .persist())
+    n_edges = edges.count()
     und = (edges.select(F.col("src").alias("a"),
                         F.col("dst").alias("b"))
            .unionByName(edges.select(F.col("dst").alias("a"),
                                      F.col("src").alias("b"))))
-    deg = und.groupBy(F.col("a").alias("n")) \
-             .agg(F.count(F.lit(1)).cast("long").alias("d"))
-    j = (und.join(deg.select(F.col("n").alias("a"),
-                             F.col("d").alias("da")), "a")
-         .join(deg.select(F.col("n").alias("b"),
-                          F.col("d").alias("db")), "b"))
+    deg = (und.groupBy(F.col("a").alias("n"))
+           .agg(F.count(F.lit(1)).cast("long").alias("d"))
+           .persist())
+    j = (und.join(maybe_broadcast(
+             deg.select(F.col("n").alias("a"),
+                        F.col("d").alias("da")), 2 * n_edges, 24),
+             "a")
+         .join(maybe_broadcast(
+             deg.select(F.col("n").alias("b"),
+                        F.col("d").alias("db")), 2 * n_edges, 24),
+             "b"))
     agg = j.agg(F.count(F.lit(1)).cast("long").alias("m"),
                 F.sum(F.col("da") * F.col("db")).cast("long")
                 .alias("sxy"),

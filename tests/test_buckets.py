@@ -64,3 +64,55 @@ def test_bucket_expr_heavy_hitter_merges_not_splits(spark):
     b = df.withColumn("pid", bucket_expr("k", bounds))
     hot = b.filter(F.col("k") == 42).select("pid").distinct().count()
     assert hot == 1
+
+
+def test_pin_census_identical_rows_and_single_source_eval(spark):
+    """pin_census returns byte-identical rows, and the census-prefix
+    operators' FINAL plan reads the checkpoint instead of replaying
+    the corpus scan (the r14 optimization: bounds pass + offsets
+    collect + final aggregate each re-evaluated the census — the pin
+    makes the corpus aggregation run exactly once)."""
+    from tablite_spark.functions.buckets import pin_census
+    df = spark.range(10_000).select(
+        (F.col("id") % 997).alias("v"))
+    cens = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    expect = {(r["v"], r["c"]) for r in cens.collect()}
+    pinned = pin_census(cens)
+    got = {(r["v"], r["c"]) for r in pinned.collect()}
+    assert got == expect
+    # the pinned plan must not re-derive the aggregation
+    plan = pinned._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan, plan
+
+
+def test_census_prefix_operator_plan_reads_checkpoint(spark, tmp_path):
+    """An operator on the census-prefix engine (cusum) over a real
+    parquet scan: the returned frame's plan contains ZERO parquet
+    scans — every job after the pin reads checkpoint blocks — and the
+    values match the driver-side replay."""
+    import math
+
+    from tablite_spark.operators.timeseries import cusum_changepoint
+    p = str(tmp_path / "series.parquet")
+    vals = [(i, float((i * 37) % 101) + (50.0 if i >= 600 else 0.0))
+            for i in range(1_000)]
+    spark.createDataFrame(vals, "ts long, value double") \
+        .write.parquet(p)
+    out = cusum_changepoint(spark.read.parquet(p), "ts", "value")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan, plan
+    row = out.collect()[0]
+    # driver replay of the exact CUSUM recurrence
+    mean = sum(v for _, v in vals) / len(vals)
+    best = None
+    s = 0.0
+    for i, (ts, v) in enumerate(sorted(vals), start=1):
+        s += v
+        cus = s - mean * i
+        key = (abs(cus), -i)
+        if best is None or key > best[0]:
+            best = (key, i, ts, cus)
+    assert row["n"] == len(vals)
+    assert row["cp_index"] == best[1]
+    assert row["cp_at"] == best[2]
+    assert math.isclose(row["cusum"], best[3], rel_tol=0, abs_tol=1e-9)
