@@ -55,6 +55,7 @@ recipes).
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -171,6 +172,19 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str,
         if not centroids:
             return []
         dim = len(centroids[0])
+        # r14 optimization round — count-gated driver twin (the
+        # graph/connected-components valve discipline, guide §2.2):
+        # each Lloyd round is ONE tiny agg job whose k×(dim+1) sums
+        # pay 32 task launches + a fresh codegen compile (centroid
+        # literals change every round) — pure fixed cost on a small
+        # frame. Under the valve, ONE Arrow collect + the identical
+        # numpy trajectory replaces iters jobs; corpus-scale frames
+        # run the unchanged distributed loop.
+        n_rows = q.count()
+        if n_rows * dim <= _kmeans_driver_cells():
+            tw = _driver_lloyd(q, centroids, iters)
+            if tw is not None:
+                return tw
         for _ in range(iters):
             cell = _assign(F.col("qv"), centroids)
             sums = (q.groupBy(cell.alias("cell"))
@@ -188,6 +202,60 @@ def kmeans_fit(df: DataFrame, vec_col: str, id_col: str,
         # DataFrame.unpersist is a no-op on checkpointed frames —
         # release the quantized-vector blocks deterministically
         unpersist_local_checkpoint(q)
+    return centroids
+
+
+def _kmeans_driver_cells() -> int:
+    """Valve: run Lloyd's on the driver when rows·dim int64 cells fit
+    this budget (default 8M cells = 64 MB — the broadcast-side size
+    class the graph valves use)."""
+    return int(os.environ.get("SPARK_GRAFT_KMEANS_DRIVER_CELLS",
+                              str(8_000_000)))
+
+
+def _driver_lloyd(q: DataFrame, centroids: list[list[int]],
+                  iters: int) -> list[list[int]] | None:
+    """Driver twin of the distributed Lloyd loop — IDENTICAL
+    trajectory by construction: int64 squared distances via
+    ``|x|² − 2x·C + |c|²`` (exact — integer addition is associative,
+    the `_assign_numpy_udf` bound), ``np.argmin`` ties to the lowest
+    cell id (the struct-min rule), per-cell int64 sums floored
+    through the SAME ``math.floor(int / int)`` float division as the
+    distributed update, empty cells carry. Returns None (caller runs
+    the distributed loop) when the collected vectors are not a clean
+    rectangular int64 matrix (null/ragged rows)."""
+    import numpy as np
+
+    col = q.select("qv").toArrow().column("qv")
+    rows = col.to_pylist()
+    dim = len(centroids[0])
+    if any(r is None or len(r) != dim or None in r for r in rows):
+        return None
+    X = np.asarray(rows, dtype=np.int64)
+    # int64 exactness guard: numpy wraps silently where the JVM's
+    # long math keeps going — require 4·dim·max|x|² < 2^62 (covers
+    # |x|² + 2|x||c| + |c|² per term, summed over dim), else fall
+    # back to the distributed loop
+    mx = int(np.abs(X).max()) if X.size else 0
+    if mx and 4 * dim * mx * mx >= 2 ** 62:
+        return None
+    x_sq = (X * X).sum(axis=1)
+    for _ in range(iters):
+        C = np.asarray(centroids, dtype=np.int64)
+        d2 = (x_sq[:, None] - 2 * (X @ C.T)
+              + (C * C).sum(axis=1)[None, :])
+        cell = np.argmin(d2, axis=1)
+        new = []
+        for j in range(len(centroids)):
+            m = cell == j
+            nj = int(m.sum())
+            if nj:
+                sums = X[m].sum(axis=0, dtype=np.int64)
+                new.append([int(math.floor(int(s) / nj))
+                            for s in sums])
+            else:
+                new.append(centroids[j])  # empty cell carries
+        centroids = new
     return centroids
 
 

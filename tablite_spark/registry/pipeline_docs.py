@@ -795,6 +795,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
                       F.col("l_suppkey") == F.col("s_suppkey"))
           .join(F.broadcast(p.select("p_partkey")),
                 F.col("l_partkey") == F.col("p_partkey")))
+    # r14 optimization round (guide §2.1): oe feeds BOTH the per-part
+    # min and the final equality join — unpinned, the lineitem scan +
+    # offers aggregation ran twice. The pin is the filtered offer
+    # sliver (EUROPE suppliers × qualifying parts), the same size
+    # class the min-join shuffles anyway.
+    oe = oe.localCheckpoint()
     mn = oe.groupBy(F.col("p_partkey").alias("mk")).agg(
         F.min("unit_cost").alias("mn_cost"))
     out = oe.join(F.broadcast(mn),

@@ -2968,3 +2968,46 @@ def test_jaccard_join_plan_no_cartesian_no_broadcast(spark):
     assert "BroadcastHashJoin" not in plan  # every side merge-hinted
     rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
     assert rows == {(1, 2): 0.5}
+
+
+def test_kmeans_driver_valve_parity(spark, monkeypatch):
+    """The count-gated driver twin (r14) must reproduce the
+    distributed Lloyd loop EXACTLY — centroids, including argmin
+    ties, empty-cell carries and the floor(int/int) float division —
+    and the env knob must really force the distributed path."""
+    import tablite_spark.pipeline.clustering as cl
+
+    rows = []
+    for i in range(200):
+        rows.append((i, [((i * 13 + j * 5) % 37) / 18.0 - 1.0
+                         for j in range(16)]))
+    rows += [(500 + i, rows[i][1]) for i in range(5)]  # distance ties
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_DRIVER_CELLS", "0")
+    dist = cl.kmeans_fit(df, "embedding", "vec_id", k=5, iters=3)
+    monkeypatch.setenv("SPARK_GRAFT_KMEANS_DRIVER_CELLS", "100000000")
+    twin = cl.kmeans_fit(df, "embedding", "vec_id", k=5, iters=3)
+    assert twin == dist
+
+
+def test_kmeans_driver_twin_falls_back_on_ragged_or_huge(spark):
+    """The twin declines (returns None -> distributed loop) on
+    ragged vectors and on magnitudes that could wrap int64 — both
+    must still produce a result identical to the distributed path."""
+    import numpy as np
+
+    import tablite_spark.pipeline.clustering as cl
+
+    # ragged: one row with a different dim — _driver_lloyd sees it
+    q = spark.createDataFrame(
+        [(0, [1, 2]), (1, [3, 4]), (2, [5, 6, 7])],
+        "vec_id long, qv array<bigint>")
+    assert cl._driver_lloyd(q, [[1, 2]], 1) is None
+    # huge magnitudes: guard refuses (4*dim*mx^2 >= 2^62)
+    big = int(2 ** 31)
+    q2 = spark.createDataFrame(
+        [(0, [big, big]), (1, [-big, big])],
+        "vec_id long, qv array<bigint>")
+    assert cl._driver_lloyd(q2, [[big, big]], 1) is None
