@@ -18,6 +18,132 @@ from pyspark.sql import functions as F
 _TEMPORAL = {"date", "timestamp", "timestamp_ntz"}
 
 
+def exact_percentiles(df: DataFrame,
+                      wants: dict[str, list[float]]) -> dict:
+    """Driver-side EXACT percentiles (``F.percentile`` semantics,
+    bit-identical) for one or more numeric columns, computed on the
+    census-prefix engine instead of Spark's Percentile aggregate.
+
+    Why (r14 optimization round): Percentile buffers EVERY value into
+    a boxed per-task OpenHashMap and merges the maps into ONE task —
+    measured 1.9 s for the 583k-distinct lineitem price column alone
+    (~60% of the fit-transform family's bench cost) and the
+    documented single-task memory wall past ~10M rows. Here the
+    corpus collapses in a combinable census groupBy, the quantile
+    indices are located by exact integer cumulative counts (range
+    buckets + in-bucket windows + ONE |buckets|-row offset collect —
+    the spearman discipline), and only the ≤2 boundary values per
+    requested q reach the driver.
+
+    Exactness: index selection is two-level order statistics — the
+    0-based row index maps through exact per-range row counts to an
+    in-range rank (row_number over value order; tied ranks share the
+    value, so tie order is irrelevant) — and the interpolation
+    replicates Percentile's ``(hi−pos)·lower + (pos−lo)·higher``
+    double formula; both verified bit-identical against
+    ``F.percentile`` on adversarial values
+    (``test_exact_percentiles_bit_identical``). Columns evaluate
+    concurrently (guide §2.6). Returns ``{col: [values] aligned with
+    wants[col]}``, with None for a column with no non-null values
+    (Percentile's NULL result).
+
+    Three jobs per column, all whole-stage-codegen row-local
+    arithmetic (the deterministic range id is ``floor((v−min)/w)``
+    of driver constants — O(1) per row, unlike the O(|bounds|)
+    interpreted array-aggregate of ``bucket_expr``): the min/max/n
+    pass, one combinable ≤4097-row range-count collect, and one
+    probe that shuffles ONLY the ranges holding a requested index.
+    Skew note: a pathological outlier can pile most rows into one
+    range, in which case the probe's in-range window degrades to the
+    single-task sort Percentile always paid — never worse, usually
+    ~n/4096 of it."""
+    import math
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import Window
+
+    RANGES = 4096
+
+    def one(col: str):
+        v = F.col(col).cast("double")
+        base = df.filter(v.isNotNull()).select(v.alias("__v__"))
+        mm = base.agg(F.min("__v__").alias("mn"),
+                      F.max("__v__").alias("mx"),
+                      F.count(F.lit(1)).alias("n")).collect()[0]
+        n = int(mm["n"])
+        if n == 0:
+            return None
+        mn, mx = float(mm["mn"]), float(mm["mx"])
+        width = (mx - mn) / RANGES
+        if width > 0:
+            rid = F.least(
+                F.floor((F.col("__v__") - F.lit(mn)) / F.lit(width)),
+                F.lit(RANGES - 1)).cast("int")
+        else:  # constant column (or a single row): one range
+            rid = F.lit(0)
+        rows = (base.groupBy(rid.alias("__r__"))
+                .agg(F.count(F.lit(1)).alias("__c__")).collect())
+        rows.sort(key=lambda r: r["__r__"])
+        cum_before, run = {}, 0
+        for r in rows:
+            cum_before[r["__r__"]] = run
+            run += r["__c__"]
+        qs = wants[col]
+        need = sorted({i for q in qs
+                       for i in (int(math.floor(q * (n - 1))),
+                                 int(math.ceil(q * (n - 1))))})
+        # map each global index to (range, in-range 0-based rank):
+        # the last range whose exclusive prefix count is <= i
+        import bisect
+        order = [r["__r__"] for r in rows]
+        cums = [cum_before[rr] for rr in order]
+        pairs = []
+        for i in need:
+            rr = order[bisect.bisect_right(cums, i) - 1]
+            pairs.append((i, rr, i - cum_before[rr]))
+        needed = sorted({rr for _, rr, _ in pairs})
+        # SQL ordering ties -0.0 with +0.0; Percentile's map keys are
+        # raw bits ordered -0.0 < +0.0 — replicate with a sign-bit
+        # tiebreak. The probe is the string cast ('-0.0' keeps the
+        # sign), NOT signum(1/x): ANSI mode raises DIVIDE_BY_ZERO on
+        # a ±0.0 divisor even for doubles.
+        zkey = (F.when(F.col("__v__") == 0.0,
+                       F.when(F.col("__v__").cast("string")
+                              .startswith("-"), F.lit(-1.0))
+                       .otherwise(F.lit(1.0)))
+                .otherwise(F.lit(0.0)))
+        w = Window.partitionBy("__r__").orderBy(F.col("__v__"), zkey)
+        cond = None
+        for _, rr, rk in pairs:
+            c = (F.col("__r__") == rr) & (F.col("__rn__") == rk)
+            cond = c if cond is None else (cond | c)
+        probe = (base.withColumn("__r__", rid)
+                 .filter(F.col("__r__").isin(needed))
+                 .withColumn("__rn__", F.row_number().over(w) - 1)
+                 .filter(cond)
+                 .select("__r__", "__rn__", "__v__").collect())
+        val = {(r["__r__"], r["__rn__"]): r["__v__"] for r in probe}
+        at = {i: val[(rr, rk)] for i, rr, rk in pairs}
+        out = []
+        for q in qs:
+            pos = q * (n - 1)
+            lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+            if lo == hi or at[lo] == at[hi]:
+                # Percentile's equal-key shortcut: no interpolation
+                # when both boundary keys compare equal (protects a
+                # tied value from (hi−pos)+(pos−lo) ulp drift, and
+                # returns the LOWER of a ±0.0 pair as Spark does)
+                out.append(at[lo])
+            else:
+                out.append((hi - pos) * at[lo] + (pos - lo) * at[hi])
+        return out
+
+    cols = list(wants)
+    with ThreadPoolExecutor(max_workers=max(len(cols), 1)) as ex:
+        res = list(ex.map(one, cols))
+    return dict(zip(cols, res))
+
+
 def statistics(df: DataFrame, column: str) -> DataFrame:
     """One-row frame of summary statistics for a column.
 

@@ -111,6 +111,30 @@ def feature_scale(df: DataFrame, cols: list[str],
     """
     if method not in ("zscore", "minmax", "robust"):
         raise ValueError(f"unknown scaling method: {method!r}")
+    if method == "robust" and exact:
+        # r14 optimization round: the exact-percentile fit is the
+        # whole cost of this operator (Percentile boxes every value
+        # into one task's map — measured 3.2 s of the 3.8 s total on
+        # lineitem) AND its single-task buffer is the documented
+        # ~10M-row wall. exact_percentiles computes bit-identical
+        # values on the census-prefix engine (combinable census, no
+        # single-task buffer) and the fit broadcasts as plan
+        # literals instead of a crossJoin.
+        from tablite_spark.operators.stats import exact_percentiles
+        fits = exact_percentiles(df, {c: [0.25, 0.5, 0.75]
+                                      for c in cols})
+        out = df
+        for c in cols:
+            trio = fits[c]
+            m = trio[1] if trio is not None else None
+            s = trio[2] - trio[0] if trio is not None else None
+            denom = F.lit(s).cast("double")
+            out = out.withColumn(
+                c + suffix,
+                F.when(denom > 0,
+                       (F.col(c) - F.lit(m).cast("double")) / denom)
+                .otherwise(F.lit(None)))
+        return out
     aggs = []
     for c in cols:
         x = F.col(c)
@@ -168,6 +192,24 @@ def winsorize(df: DataFrame, cols: list[str],
     """
     if not 0 <= lower < upper <= 1:
         raise ValueError("need 0 <= lower < upper <= 1")
+    if exact:
+        # census-prefix fit (see feature_scale) — bit-identical clip
+        # bounds as plan literals; least/greatest skip NULL bounds,
+        # so an empty input degrades to identity exactly as the
+        # NULL-stats crossJoin did.
+        from tablite_spark.operators.stats import exact_percentiles
+        fits = exact_percentiles(df, {c: [lower, upper]
+                                      for c in cols})
+        out = df
+        for c in cols:
+            pair = fits[c] if fits[c] is not None else [None, None]
+            lo = F.lit(pair[0]).cast("double")
+            hi = F.lit(pair[1]).cast("double")
+            out = out.withColumn(
+                c + suffix,
+                F.when(F.col(c).isNotNull(),
+                       F.least(F.greatest(F.col(c), lo), hi)))
+        return out
     pct = (F.percentile if exact
            else lambda col, q: F.percentile_approx(
                col, q, F.lit(accuracy)))
@@ -244,15 +286,19 @@ def quantile_discretize(df: DataFrame, cols: list[str],
     if bins < 2:
         raise ValueError("bins must be >= 2")
     qs = [i / bins for i in range(1, bins)]
-    pct = (F.percentile if exact
-           else lambda c, q: F.percentile_approx(c, q,
-                                                 F.lit(accuracy)))
-    aggs = [pct(F.col(c), F.array(*[F.lit(q) for q in qs]))
-            .alias(c) for c in cols]
-    row = df.agg(*aggs).collect()[0]
+    if exact:
+        # census-prefix fit (see feature_scale) — bit-identical edges
+        from tablite_spark.operators.stats import exact_percentiles
+        vals = exact_percentiles(df, {c: qs for c in cols})
+    else:
+        aggs = [F.percentile_approx(
+            F.col(c), F.array(*[F.lit(q) for q in qs]),
+            F.lit(accuracy)).alias(c) for c in cols]
+        row = df.agg(*aggs).collect()[0]
+        vals = {c: row[c] for c in cols}
     out = df
     for c in cols:
-        edges = sorted(set(row[c])) if row[c] is not None else []
+        edges = sorted(set(vals[c])) if vals[c] is not None else []
         out = out.withColumn(
             c + suffix,
             F.when(F.col(c).isNotNull(),

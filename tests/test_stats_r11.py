@@ -501,3 +501,45 @@ def test_inequality_metrics_matches_numpy(spark):
     # layout-independent
     r7 = inequality_metrics(df.repartition(5), "v").collect()[0]
     assert abs(r7["gini"] - r["gini"]) < 1e-14
+
+
+def test_exact_percentiles_bit_identical(spark):
+    """exact_percentiles (r14: the census-free two-level order
+    statistic that replaces F.percentile's single-task boxed buffer)
+    must be BIT-identical to F.percentile — including the
+    (hi-pos)*lower + (pos-lo)*higher interpolation, the equal-key
+    shortcut, ties, constants, huge magnitudes, an extreme outlier
+    (degenerate range), and the -0.0 < +0.0 raw-bit ordering that
+    SQL comparisons erase."""
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from tablite_spark.operators.stats import exact_percentiles
+
+    random.seed(11)
+    cases = [
+        [random.uniform(-1e6, 1e6) for _ in range(997)] + [3.25] * 13,
+        [1e16 + 1, 1e16 + 3, -7.123456789e15, 0.1, 123.456e14],
+        [42.5],
+        [5.0] * 100 + [7.0] * 3,
+        [9.0] * 500,
+        [float(i) for i in range(1000)],
+        [float(i) for i in range(2000)] + [1e300],
+        [-0.0, 0.0, 1.0, -1.0],
+        [-0.0] * 3 + [0.0] * 2,
+        ([-0.0] * 7 + [0.0] * 11 + [1.5] * 3) * 5,
+    ]
+    qs = [0.0, 0.01, 0.25, 1 / 3, 0.5, 0.61, 2 / 3, 0.75, 0.9, 1.0]
+    for vals in cases:
+        df = spark.createDataFrame([(float(v),) for v in vals],
+                                   "x double")
+        want = df.agg(F.percentile(
+            "x", F.array(*[F.lit(q) for q in qs]))).collect()[0][0]
+        got = exact_percentiles(df, {"x": qs})["x"]
+        assert all(struct.pack("d", a) == struct.pack("d", b)
+                   for a, b in zip(want, got)), vals[:5]
+    # empty input mirrors Percentile's NULL
+    empty = spark.createDataFrame([], "x double")
+    assert exact_percentiles(empty, {"x": qs})["x"] is None
