@@ -157,6 +157,11 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                  .filter(F.col("__sz__") <= max_basket_size)
                  .select("__b__"))
         base = base.join(small, "__b__", "left_semi")
+    # r14 optimization round (guide §2.1): base feeds the support
+    # census, the basket count and BOTH self-join sides — unpinned,
+    # the scan + distinct (+ cap semi-join) re-ran per reference.
+    # One pin, the size class the self-join shuffles anyway.
+    base = base.localCheckpoint()
     supp = base.groupBy(F.col("__i__").alias("item")).agg(
         F.count(F.lit(1)).alias("s"))
     nb = base.agg(F.countDistinct("__b__").alias("n_baskets"))
@@ -222,6 +227,8 @@ def item_cosine(df: DataFrame, basket_col: str, item_col: str,
                  .filter(F.col("__sz__") <= max_basket_size)
                  .select("__b__"))
         base = base.join(small, "__b__", "left_semi")
+    # pinned for the same reason as association_rules above
+    base = base.localCheckpoint()
     supp = base.groupBy(F.col("__i__").alias("item")).agg(
         F.count(F.lit(1)).alias("s"))
     l = base.select("__b__", F.col("__i__").alias("a"))

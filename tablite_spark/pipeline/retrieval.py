@@ -72,7 +72,13 @@ def bm25_search(docs: DataFrame | None, queries: DataFrame,
     to amortize the index across query batches; else it is built
     from ``docs``."""
     if postings is None:
-        postings = build_postings(docs, text_col, id_col)
+        # r14 optimization round (guide §2.1): postings feed the
+        # doc-length stats, the query-term df census AND the scoring
+        # join — an internally-built index re-tokenized the corpus
+        # per reference. Pin it once (a caller-supplied postings
+        # frame is already amortized — typically parquet-backed).
+        postings = build_postings(docs, text_col, id_col) \
+            .localCheckpoint()
     stats = postings.groupBy(id_col).agg(F.first("dl").alias("dl"))
     consts = stats.agg(
         F.count(F.lit(1)).alias("n"),

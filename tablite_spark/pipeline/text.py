@@ -838,9 +838,14 @@ def contamination_check(df: DataFrame, probes: DataFrame, text_col: str,
     doc_g = _respread(df).select(
         F.col(id_col).alias("doc_id_"),
         F.explode(_gram_hashes(F.col(text_col), n)).alias("g"))
+    # r14 optimization round (guide §2.1): the probe-gram frame feeds
+    # the size table AND the exploded postings broadcast — unpinned,
+    # each reference re-scanned the text-heavy probe source and
+    # re-tokenized. One pin of the (probe suite)-bounded grams.
     probe_grams = probes.select(
         F.col(probe_id_col).alias("probe_id_"),
-        _gram_hashes(F.col(probe_text_col), n).alias("gs"))
+        _gram_hashes(F.col(probe_text_col), n).alias("gs")) \
+        .localCheckpoint()
     return _confirm_overlap(doc_g, probe_grams, id_col, probe_id_col,
                             broadcast_probes)
 
@@ -925,9 +930,13 @@ def bloom_decontaminate(df: DataFrame, probes: DataFrame, text_col: str,
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    # pinned once (see contamination_check): the grams feed the Bloom
+    # gset collect, the size table and the postings broadcast — three
+    # text re-scans without the pin
     probe_grams = probes.select(
         F.col(probe_id_col).alias("probe_id_"),
-        _gram_hashes(F.col(probe_text_col), n).alias("gs"))
+        _gram_hashes(F.col(probe_text_col), n).alias("gs")) \
+        .localCheckpoint()
     gset = (probe_grams.select(F.explode("gs").alias("g")).distinct()
             .toPandas()["g"].to_numpy())
     m = 64

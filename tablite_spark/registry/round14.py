@@ -2120,10 +2120,20 @@ def theil_sen_orders(spark: SparkSession, sf: str) -> DataFrame:
         .select(((F.col("b.yc") - F.col("a.yc")).cast("double")
                  / (F.col("b.x") - F.col("a.x")))
                 .alias("slope")))
-    agg = pairs.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        (F.round(F.expr("percentile(slope, 0.5)"), 6) + 0)
-        .alias("slope_cents_per_day"))
+    # r14 optimization round, second pass: the slope median still
+    # merged ~1.2M boxed doubles through ONE task (Percentile's
+    # buffer). Pin the pair frame once (≈10 MB of doubles) and take
+    # the median via stats.exact_percentiles (two-level order
+    # statistics, bit-identical — see its test); the ROUND of the
+    # same double stays in Spark so the rounding mode is unchanged.
+    from tablite_spark.operators.stats import exact_percentiles
+    pairs = pairs.localCheckpoint()
+    n_pairs = pairs.count()
+    med = exact_percentiles(pairs, {"slope": [0.5]})["slope"]
+    agg = spark.range(1).select(
+        F.lit(n_pairs).cast("long").alias("n_pairs"),
+        (F.round(F.lit(med[0] if med else None).cast("double"), 6)
+         + 0).alias("slope_cents_per_day"))
     npts = s.agg(F.count(F.lit(1)).cast("long").alias("n_points"))
     res = npts.crossJoin(F.broadcast(agg))
     ic = (s.crossJoin(F.broadcast(
