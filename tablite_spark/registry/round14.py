@@ -341,10 +341,19 @@ def rfm_segments_orders(spark: SparkSession, sf: str) -> DataFrame:
                        F.datediff(F.col("__maxd__"), F.col("__last__"))
                        .cast("long"))
            .drop("__maxd__", "__last__"))
+    # r14 optimization round (guide §2.1): each distributed_row_number
+    # call evaluates its input three times (bounds pass, offsets
+    # collect, output plan) — CHAINED, rank 3's bounds job replayed
+    # rank 1+2's whole lineage. Pin the customer census and each
+    # rank's output (|customers| narrow rows) so every pass reads a
+    # checkpoint instead of the cascade.
+    cen = cen.localCheckpoint()
     ranked, n = distributed_row_number(
         cen, ["recency_days", "custkey"], "__rr__")
+    ranked = ranked.localCheckpoint()
     ranked, _ = distributed_row_number(
         ranked, ["n_orders", "custkey"], "__rf__")
+    ranked = ranked.localCheckpoint()
     ranked, _ = distributed_row_number(
         ranked, ["__mc__", "custkey"], "__rm__")
     # integer DIV via expr keeps the arithmetic exact end to end
@@ -467,6 +476,9 @@ def revenue_concentration_orders(spark: SparkSession,
            .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0))
                 .cast("long").alias("__mc__"))
            .withColumn("__neg__", -F.col("__mc__")))
+    # pinned: the row-number engine evaluates its input three times
+    # (bounds, offsets, output) — see rfm_segments_orders
+    cen = cen.localCheckpoint()
     ranked, n = distributed_row_number(
         cen, ["__neg__", "custkey"], "__rank__")
     dec = (ranked
