@@ -799,8 +799,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf: str) -> DataFrame:
     # min and the final equality join — unpinned, the lineitem scan +
     # offers aggregation ran twice. The pin is the filtered offer
     # sliver (EUROPE suppliers × qualifying parts), the same size
-    # class the min-join shuffles anyway.
-    oe = oe.localCheckpoint()
+    # class the min-join shuffles anyway. persist (not checkpoint)
+    # keeps the lineage in the plan, so the pushdown/broadcast audit
+    # of the pre-pin phase stays visible (test_plans).
+    oe = oe.persist()
     mn = oe.groupBy(F.col("p_partkey").alias("mk")).agg(
         F.min("unit_cost").alias("mn_cost"))
     out = oe.join(F.broadcast(mn),
