@@ -555,10 +555,19 @@ def _kmeans_sample_train(df: DataFrame, id_col: str, vec_col: str,
         d2 = xn[:, None] + (cents * cents).sum(axis=1)[None, :] \
             - 2.0 * (X @ cents.T)
         lab = d2.argmin(axis=1)
-        for c in range(k):
-            m = lab == c
-            if m.any():
-                cents[c] = X[m].mean(axis=0)
+        # grouped means via ONE stable sort instead of k full-array
+        # masks (O(n log n) vs O(k·n)); bit-identical — the stable
+        # order preserves each cluster's row sequence, so the
+        # contiguous-slice mean reduces the same floats in the same
+        # pairwise tree as the masked copy (r14, micro-benched -30%)
+        order = np.argsort(lab, kind="stable")
+        sl = lab[order]
+        starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+        ends = np.r_[starts[1:], len(sl)]
+        Xs = X[order]
+        for gi in range(len(starts)):
+            cents[sl[starts[gi]]] = \
+                Xs[starts[gi]:ends[gi]].mean(axis=0)
     return [list(map(float, c)) for c in cents]
 
 
@@ -685,10 +694,15 @@ def pq_train(df: DataFrame, id_col: str, vec_col: str,
             d2 = sn[:, None] + (cents * cents).sum(axis=1)[None, :] \
                 - 2.0 * (S @ cents.T)
             lab = d2.argmin(axis=1)
-            for c in range(k):
-                msk = lab == c
-                if msk.any():
-                    cents[c] = S[msk].mean(axis=0)
+            # grouped means, bit-identical (see _kmeans_sample_train)
+            order = np.argsort(lab, kind="stable")
+            sl = lab[order]
+            starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+            ends = np.r_[starts[1:], len(sl)]
+            Ss = S[order]
+            for gi in range(len(starts)):
+                cents[sl[starts[gi]]] = \
+                    Ss[starts[gi]:ends[gi]].mean(axis=0)
         books.append(cents)
     return books
 
