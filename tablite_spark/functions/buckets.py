@@ -43,15 +43,34 @@ def range_bucket_bounds(df: DataFrame, key: str,
 
 
 def bucket_expr(key: str, bounds: list) -> Column:
-    """0-based bucket index of ``key`` given ascending ``bounds`` —
-    monotone in the key, ties never split across buckets. O(|bounds|)
-    comparisons per row, JVM-side, at the pre-explode row level."""
+    """0-based bucket index of ``key`` given ascending, non-null
+    ``bounds`` — monotone in the key, ties never split across
+    buckets: index = count of bounds <= key (null key -> bucket 0;
+    NaN -> |bounds|, matching Spark's NaN-greatest ordering).
+
+    r15 optimization round (guide §1.2 per-task work): this was an
+    interpreted higher-order ``F.aggregate`` over a literal array —
+    O(|bounds|) boxed comparisons per row with NO codegen, the
+    per-job floor of every census-prefix operator. Now a balanced
+    WHEN-tree binary search: O(log |bounds|) primitive comparisons
+    per row inside whole-stage codegen. Bit-identical to the old
+    form by construction: every root-to-leaf path resolves to the
+    same count-of-bounds<=key, and a null key fails every ``>=``
+    test so it descends to the leftmost leaf (bucket 0), exactly
+    the old null semantics."""
     if not bounds:
         return F.lit(0)
-    barr = F.array(*[F.lit(b) for b in bounds])
-    return F.aggregate(
-        barr, F.lit(0),
-        lambda acc, b: acc + F.when(F.col(key) >= b, 1).otherwise(0))
+    k = F.col(key)
+
+    def tree(lo: int, hi: int) -> Column:
+        # bucket index for keys already narrowed to [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi + 1) // 2
+        return (F.when(k >= F.lit(bounds[mid - 1]), tree(mid, hi))
+                .otherwise(tree(lo, mid - 1)))
+
+    return tree(0, len(bounds))
 
 
 def pin_census(cens: DataFrame) -> DataFrame:

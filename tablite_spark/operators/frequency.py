@@ -160,8 +160,14 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
     # r14 optimization round (guide §2.1): base feeds the support
     # census, the basket count and BOTH self-join sides — unpinned,
     # the scan + distinct (+ cap semi-join) re-ran per reference.
-    # One pin, the size class the self-join shuffles anyway.
-    base = base.localCheckpoint()
+    # One pin, the size class the self-join shuffles anyway. r15:
+    # persist (lazy) instead of localCheckpoint — the eager
+    # checkpoint job cost MORE than it saved at fixture scale where
+    # AQE turns the replays into cheap broadcasts (r14 VERDICT item
+    # 4); persist fills the cache inside the first job that needs
+    # the frame, keeps the at-scale pin, and leaves the lineage
+    # visible to the plan audit (the q2 discipline).
+    base = base.persist()
     supp = base.groupBy(F.col("__i__").alias("item")).agg(
         F.count(F.lit(1)).alias("s"))
     nb = base.agg(F.countDistinct("__b__").alias("n_baskets"))
@@ -227,8 +233,8 @@ def item_cosine(df: DataFrame, basket_col: str, item_col: str,
                  .filter(F.col("__sz__") <= max_basket_size)
                  .select("__b__"))
         base = base.join(small, "__b__", "left_semi")
-    # pinned for the same reason as association_rules above
-    base = base.localCheckpoint()
+    # pinned (lazily) for the same reason as association_rules above
+    base = base.persist()
     supp = base.groupBy(F.col("__i__").alias("item")).agg(
         F.count(F.lit(1)).alias("s"))
     l = base.select("__b__", F.col("__i__").alias("a"))

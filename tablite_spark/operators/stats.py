@@ -610,7 +610,10 @@ def spearman_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     # are cheaper than a cache fill, so persisting there only adds
     # memory pressure and fill latency (measured: +8 s first call on
     # a 6M-row lineitem scan for zero steady-state gain)
-    opt = base._jdf.queryExecution().optimizedPlan().toString()
+    # r15: analyzed() not optimizedPlan() — same tag decision, but
+    # without running the optimizer just for this probe (see
+    # pack_sequences; r14 VERDICT item 6)
+    opt = base._jdf.queryExecution().analyzed().toString()
     expensive = any(t in opt for t in (
         "Join", "Aggregate", "Window", "Generate", "Expand",
         "Union", "MapInPandas", "FlatMapGroupsInPandas",

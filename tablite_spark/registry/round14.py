@@ -343,19 +343,31 @@ def rfm_segments_orders(spark: SparkSession, sf: str) -> DataFrame:
            .drop("__maxd__", "__last__"))
     # r14 optimization round (guide §2.1): each distributed_row_number
     # call evaluates its input three times (bounds pass, offsets
-    # collect, output plan) — CHAINED, rank 3's bounds job replayed
-    # rank 1+2's whole lineage. Pin the customer census and each
-    # rank's output (|customers| narrow rows) so every pass reads a
-    # checkpoint instead of the cascade.
+    # collect, output plan) — pin the customer census so every pass
+    # reads a checkpoint. r15 (guide §2.6 overlap independent jobs;
+    # r14 VERDICT item 7): the three metric rank chains are
+    # INDEPENDENT given the pinned census — each is a pure function
+    # of (metric, custkey) over the same row set — so they run
+    # concurrently from a thread pool (the spearman discipline)
+    # instead of a ~13-job serial cascade, and the per-metric
+    # (custkey, rank) slivers join back on custkey. Ranks are
+    # bit-identical to the chained form: a rank depends only on its
+    # own order columns and the row set, never on the other ranks.
     cen = cen.localCheckpoint()
-    ranked, n = distributed_row_number(
-        cen, ["recency_days", "custkey"], "__rr__")
-    ranked = ranked.localCheckpoint()
-    ranked, _ = distributed_row_number(
-        ranked, ["n_orders", "custkey"], "__rf__")
-    ranked = ranked.localCheckpoint()
-    ranked, _ = distributed_row_number(
-        ranked, ["__mc__", "custkey"], "__rm__")
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _rank(metric: str, out: str):
+        r, n = distributed_row_number(cen, [metric, "custkey"], out)
+        return r.select("custkey", out).localCheckpoint(), n
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_r = pool.submit(_rank, "recency_days", "__rr__")
+        f_f = pool.submit(_rank, "n_orders", "__rf__")
+        f_m = pool.submit(_rank, "__mc__", "__rm__")
+        (rr, n), (rf, _), (rm, _) = (f_r.result(), f_f.result(),
+                                     f_m.result())
+    ranked = cen.join(rr, "custkey").join(rf, "custkey") \
+                .join(rm, "custkey")
     # integer DIV via expr keeps the arithmetic exact end to end
     return ranked.select(
         "custkey", "recency_days",

@@ -66,6 +66,53 @@ def test_bucket_expr_heavy_hitter_merges_not_splits(spark):
     assert hot == 1
 
 
+def test_bucket_expr_binary_search_bit_parity(spark):
+    """r15: bucket_expr became a balanced WHEN-tree binary search
+    (codegen) — it must agree with the old interpreted
+    count-of-bounds<=key aggregate on EVERY edge: nulls (bucket 0),
+    NaN (top bucket — Spark orders NaN greatest), exact ties on
+    bounds (>= semantics), values below/above all bounds, and every
+    bounds size 1..17 (both tree parities)."""
+    from pyspark.sql import Column
+
+    def old_expr(key: str, bounds: list) -> Column:
+        if not bounds:
+            return F.lit(0)
+        barr = F.array(*[F.lit(b) for b in bounds])
+        return F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(F.col(key) >= b, 1)
+            .otherwise(0))
+
+    vals = ([None, float("nan"), float("-inf"), float("inf"),
+             -1e300, 0.0, 1e300]
+            + [float(i) for i in range(-3, 40)]
+            + [i + 0.5 for i in range(-3, 40)])
+    df = spark.createDataFrame([(v,) for v in vals], "k double")
+    for n in range(1, 18):
+        bounds = [float(i * 2) for i in range(n)]  # 0, 2, 4, ...
+        got = df.select(bucket_expr("k", bounds).alias("b")).collect()
+        want = df.select(old_expr("k", bounds).alias("b")).collect()
+        assert [r["b"] for r in got] == [r["b"] for r in want], n
+    # string keys (the non-numeric sampled-bounds path) agree too
+    sdf = spark.createDataFrame(
+        [(None,), ("a",), ("b",), ("bb",), ("z",)], "k string")
+    sb = ["b", "m"]
+    got = sdf.select(bucket_expr("k", sb).alias("b")).collect()
+    want = sdf.select(old_expr("k", sb).alias("b")).collect()
+    assert [r["b"] for r in got] == [r["b"] for r in want]
+
+
+def test_bucket_expr_no_interpreted_aggregate_in_plan(spark):
+    """The r15 form must keep lambda higher-order functions out of
+    the physical plan — the whole point is whole-stage codegen."""
+    df = spark.range(100).select(F.col("id").cast("double").alias("k"))
+    out = df.select(bucket_expr("k", [10.0, 20.0, 30.0]).alias("b"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(" not in plan, plan
+    assert "lambdafunction" not in plan.lower(), plan
+
+
 def test_pin_census_identical_rows_and_single_source_eval(spark):
     """pin_census returns byte-identical rows, and the census-prefix
     operators' FINAL plan reads the checkpoint instead of replaying

@@ -1,5 +1,5 @@
 """Dump ``.explain('formatted')`` for registry queries to
-``plans/r14/<query>_<tag>.txt`` (the optimization-round evidence
+``plans/r15/<query>_<tag>.txt`` (the optimization-round evidence
 files).
 
 Usage:
@@ -38,7 +38,7 @@ def main() -> None:
     spark = get_spark("capture_plans")
     qs = entry_mod.queries()
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)
