@@ -553,59 +553,83 @@ _SESS_GAP_US = 30 * 60 * 1_000_000
 
 
 def _session_timeout_fn(key, pdfs, state: GroupState):
+    import numpy as np
     import pandas as pd
 
-    def emit(rows):
-        # ONE DataFrame per invocation, not one per session: the
-        # per-emission pd.DataFrame constructor dominated the whole
-        # query (~45k sessions/batch x ~0.5 ms — guide §4.2: batch
-        # the Python-side work); values are identical, only the
-        # yield granularity changed (r14 optimization round).
+    def emit(starts, lasts, ns, ps):
+        # ONE DataFrame per invocation, built from integer-µs numpy
+        # arrays viewed as datetime64[us] — no pd.to_datetime pass,
+        # no per-row python objects. Values identical to the r14
+        # form (µs-exact timestamps, int64 counts, bool flags).
         return pd.DataFrame({
             "user_id": key[0],
-            "session_start": pd.to_datetime(
-                [r[0] for r in rows], unit="us"),
-            "session_end": pd.to_datetime(
-                [r[1] for r in rows], unit="us"),
-            "n_events": [int(r[2]) for r in rows],
-            "purchased": [bool(r[3]) for r in rows]})
+            "session_start": np.asarray(starts, dtype="int64")
+            .view("datetime64[us]"),
+            "session_end": np.asarray(lasts, dtype="int64")
+            .view("datetime64[us]"),
+            "n_events": np.asarray(ns, dtype="int64"),
+            "purchased": np.asarray(ps, dtype=bool)})
 
     if state.hasTimedOut:
         s, l, n, p = state.get
         state.remove()
-        yield emit([(s, l, n, p)])
+        yield emit([s], [l], [n], [bool(p)])
         return
-    parts = [pdf for pdf in pdfs if len(pdf)]
-    if not parts:
+    # r15 (guide §4.2 vectorize the python side): the per-event
+    # python loop + pandas concat/sort cost ~2.1 ms per key
+    # invocation (accumulator-timed, 4.5k invocations ≈ 9.6 s of the
+    # 8.3 s wall at sf0.1 — the dominant cost of the whole query).
+    # Sessionization is a segmented reduction, so it vectorizes:
+    # stable argsort on the integer-µs array, gap breaks via diff,
+    # per-segment count/any via cumsum — identical tuples by
+    # construction (same stable order, same >= gap rule, same
+    # carried-state merge), no row loop.
+    ts_chunks, pur_chunks = [], []
+    for pdf in pdfs:
+        if len(pdf):
+            ts_chunks.append(pdf["ts"].to_numpy()
+                             .astype("datetime64[us]").astype("int64"))
+            pur_chunks.append(
+                pdf["event_type"].to_numpy() == "purchase")
+    if not ts_chunks:
         return
-    pdf = (pd.concat(parts, ignore_index=True)
-           .sort_values("ts", kind="mergesort"))
-    s, l, n, p = (state.get if state.exists
-                  else (None, None, 0, False))
-    out = []
-    # integer-µs array instead of per-row pandas Timestamp objects
-    # (Timestamp.value is ns — the datetime64[us] cast keeps the
-    # same integer microseconds)
-    tus_arr = (pdf["ts"].to_numpy().astype("datetime64[us]")
-               .astype("int64").tolist())
-    for tus, et in zip(tus_arr, pdf["event_type"].tolist()):
-        if s is None:
-            s, l, n, p = tus, tus, 1, et == "purchase"
-        elif tus - l >= _SESS_GAP_US:
-            out.append((s, l, n, p))     # gap closes the session
-            s, l, n, p = tus, tus, 1, et == "purchase"
+    t = (ts_chunks[0] if len(ts_chunks) == 1
+         else np.concatenate(ts_chunks))
+    pur = (pur_chunks[0] if len(pur_chunks) == 1
+           else np.concatenate(pur_chunks))
+    order = np.argsort(t, kind="stable")
+    t, pur = t[order], pur[order]
+    brk = np.flatnonzero(np.diff(t) >= _SESS_GAP_US) + 1
+    seg_start = np.concatenate(([0], brk))
+    seg_end = np.concatenate((brk, [len(t)]))
+    starts = t[seg_start]
+    lasts = t[seg_end - 1]
+    ns = (seg_end - seg_start).astype("int64")
+    cp = np.concatenate(([0], np.cumsum(pur.astype("int64"))))
+    ps = (cp[seg_end] - cp[seg_start]) > 0
+    if state.exists:
+        s0, l0, n0, p0 = state.get
+        if t[0] - l0 >= _SESS_GAP_US:
+            # the carried session closes on the data path
+            starts = np.concatenate(([s0], starts))
+            lasts = np.concatenate(([l0], lasts))
+            ns = np.concatenate(([n0], ns))
+            ps = np.concatenate(([bool(p0)], ps))
         else:
-            l, n = tus, n + 1
-            p = p or et == "purchase"
-    state.update((int(s), int(l), int(n), bool(p)))
+            # the carried session continues into segment 0
+            starts[0] = s0
+            ns[0] += n0
+            ps[0] = bool(ps[0]) or bool(p0)
+    l = int(lasts[-1])
+    state.update((int(starts[-1]), l, int(ns[-1]), bool(ps[-1])))
     # the open session times out once the event-time watermark
     # passes last + gap; a session already past the watermark gets
     # wm+1 so the set call is legal and it fires next batch
     wm_ms = state.getCurrentWatermarkMs()
     state.setTimeoutTimestamp(max(l // 1000 + _SESS_GAP_US // 1000,
                                   wm_ms + 1))
-    if out:
-        yield emit(out)
+    if len(starts) > 1:
+        yield emit(starts[:-1], lasts[:-1], ns[:-1], ps[:-1])
 
 
 def streaming_session_timeout(events: DataFrame,
