@@ -69,6 +69,7 @@ def test_guess_prefers_specific_type(spark):
           suppress_health_check=[HealthCheck.too_slow])
 @given(st.lists(st.integers(min_value=-10**15, max_value=10**15),
                 min_size=1, max_size=50))
+@pytest.mark.slow
 def test_int_roundtrip_property(spark, xs):
     """Any int64 batch survives str()→column_select('int') exactly."""
     df = _one_col(spark, [str(x) for x in xs])
@@ -82,6 +83,7 @@ def test_int_roundtrip_property(spark, xs):
 @given(st.lists(st.dates(min_value=date(1900, 1, 1),
                          max_value=date(2100, 1, 1)),
                 min_size=1, max_size=50))
+@pytest.mark.slow
 def test_date_roundtrip_property(spark, ds):
     df = _one_col(spark, [d.isoformat() for d in ds])
     p, f = column_select(df, [{"column": "v", "type": "date"}])
@@ -89,6 +91,7 @@ def test_date_roundtrip_property(spark, ds):
     assert sorted(r["v"] for r in p.collect()) == sorted(ds)
 
 
+@pytest.mark.slow
 class TestInferenceRoundtripProperty:
     """Hypothesis: any homogeneous column of rendered values must be
     guessed back to its type and cast without data loss (reference

@@ -18,6 +18,7 @@ def _brute(spark, df, d):
 
 
 @pytest.mark.parametrize("d", [0, 1, 2])
+@pytest.mark.slow
 def test_fuzzy_join_matches_brute_force(spark, d):
     rnd = random.Random(5)
     base = ["table", "spark", "fuzzy", "join", "distance", "a", "ab",

@@ -168,6 +168,7 @@ def test_lsh_topk_recall(spark):
     assert 99 in got  # near-identical vector lands in the same band
 
 
+@pytest.mark.slow
 def test_embedding_near_dup_pairs(spark):
     vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.001]), (2, [0.0, 1.0])]
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
@@ -515,6 +516,7 @@ def test_near_dup_pairs_guard(spark):
     assert "id_a" in blocked.columns
 
 
+@pytest.mark.slow
 def test_minhash_minwise_independence_at_scale(spark):
     """Regression gate for the permutation-field bug: with a modulus
     far larger than the folded-hash domain, h_i(x) = a*x+b barely

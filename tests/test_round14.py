@@ -149,6 +149,7 @@ def test_kfold_assign_deterministic_and_consistent(spark):
 # dropDuplicatesWithinWatermark TTL semantics
 # ------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_stream_dedup_within_watermark_ttl(spark, tmp_path):
     """Pins the three behaviors that make
     dropDuplicatesWithinWatermark the BOUNDED-state dedup (delay

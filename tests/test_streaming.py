@@ -164,6 +164,7 @@ def test_stream_interval_join(spark, tmp_path):
     assert pairs == [(20, 10), (20, 11)]
 
 
+@pytest.mark.slow
 def test_stateful_state_carries_across_microbatches(spark, tmp_path):
     """applyInPandasWithState continuity: with one file per
     micro-batch, the per-user GroupState must ACCUMULATE across
@@ -193,6 +194,7 @@ def test_stateful_state_carries_across_microbatches(spark, tmp_path):
     assert [r["running_total"] for r in rows] == [1.0, 3.0, 6.0]
 
 
+@pytest.mark.slow
 def test_watermark_bounds_state_across_microbatches(spark, tmp_path):
     """Multi-micro-batch run (maxFilesPerTrigger=1): the watermark
     must advance between batches, EVICT finalized window state (final
@@ -236,6 +238,7 @@ def test_watermark_bounds_state_across_microbatches(spark, tmp_path):
     assert first and first[0]["n"] == 1  # late duplicate was dropped
 
 
+@pytest.mark.slow
 def test_stream_outer_interval_join(spark, tmp_path):
     """Left-outer stream-stream interval join with watermark-forced
     null emission (round 6): an unmatched left row must be HELD while
@@ -374,6 +377,7 @@ def test_classifier_scores_streams_unchanged(spark, tmp_path):
         sorted((r["x1"], r["x2"], r["pred"]) for r in exp)
 
 
+@pytest.mark.slow
 def test_stream_incremental_dedup(spark, tmp_path):
     """Streaming ingestion dedup against the persisted MinHash index:
     batch 1 drops a corpus dup and appends its survivors' signatures;
@@ -588,6 +592,7 @@ def test_streaming_attribution_matches_batch_twin(spark, tmp_path):
     assert {k: tuple(v) for k, v in agg.items()} == want
 
 
+@pytest.mark.slow
 def test_streaming_zscore_welford_crosses_batches(spark, tmp_path):
     """Online z-score: batch-2 events must score against the Welford
     state accumulated in batch 1 (prior mean/variance carried, not
@@ -635,6 +640,7 @@ def test_streaming_zscore_welford_crosses_batches(spark, tmp_path):
     assert abs(rows[5]["z"] - want) < 1e-9
 
 
+@pytest.mark.slow
 def test_streaming_upsert_compact_crosses_batches(spark, tmp_path):
     """CDC compaction: the per-key last-write-wins state and the
     cumulative change count must carry across micro-batches — a key
