@@ -816,16 +816,21 @@ def io_benchmarks(spark, sf_dir: str, timings: dict, rows_out: dict) -> None:
         from tablite_spark.operators.sorting import slice_rows, with_row_index
 
         def _save():
-            # r15 (guide §6): zstd instead of the snappy default for
-            # the 50M table — paired interleaved A/B showed equal
-            # save time (min 7.5 vs 7.5 s) at 32% fewer bytes
-            # (2308 -> 1577 MB), which the load and slice rows read
-            # back. Same rows, same schema, same 16 MB row groups —
-            # only the page codec changes.
+            # r15 (guide §6): zstd level 1 instead of the snappy
+            # default for the 50M table — paired interleaved A/Bs
+            # showed zstd-3 equal to snappy on save time at 32%
+            # fewer bytes (2308 -> 1577 MB), and zstd-1 then beating
+            # zstd-3 on every paired rep (save 7.3/7.3/6.7 vs
+            # 10.1/10.0/7.8 s; load 1.32 vs 1.59; slice 0.61 vs
+            # 0.77) at a marginally SMALLER file (1547 MB). Same
+            # rows, same schema, same 16 MB row groups — only the
+            # page codec changes, and the load/slice rows read the
+            # smaller bytes back.
             with_row_index(synthetic_order_data(spark, 50_000_000)) \
                 .write.mode("overwrite") \
                 .option("parquet.block.size", 16 * 1024 * 1024) \
                 .option("compression", "zstd") \
+                .option("parquet.compression.codec.zstd.level", "1") \
                 .parquet(f"{tmp}/s50m.parquet")
         # three runs for this row (VERDICT r10 item 2): its r10
         # record spread 8.58/17.82 s run-to-run — the 50M generate+
